@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   */
 object ColumnNs {
 
-  /** Backtick-quote a dotted column name for safe resolution. */
-  def q(name: String): Column = col(s"`$name`")
+  /** Backtick-quote a dotted column name for safe resolution. Embedded
+    * backticks are escaped by doubling, per Spark's identifier rules. */
+  def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
 
   /** P4 `prefix_ref`: prepend `prefix` to every column name.
     * Reference: RenameWithPrefixAllEntriesTransformer.php:34-44.
@@ -33,12 +34,19 @@ object ColumnNs {
   def selectPrefix(df: DataFrame, prefixes: Seq[String],
                    removePrefix: Boolean = false): DataFrame = {
     val kept = df.columns.filter(c => prefixes.exists(c.startsWith))
-    val cols = kept.map { c =>
-      val out = if (removePrefix)
+    val outNames = kept.map { c =>
+      if (removePrefix)
         prefixes.find(c.startsWith).map(p => c.stripPrefix(p)).getOrElse(c)
       else c
-      q(c).as(out)
     }
+    // Stripping different prefixes can alias distinct inputs onto one output
+    // name (`meta.x` and `tax.x` both -> `x`); that DataFrame only fails much
+    // later at resolution, so fail fast here with the offenders named.
+    val dups = outNames.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+    require(dups.isEmpty,
+      s"selectPrefix: stripping prefixes ${prefixes.mkString(",")} collides on " +
+        s"output name(s): ${dups.mkString(", ")}")
+    val cols = kept.zip(outNames).map { case (c, out) => q(c).as(out) }
     df.select(cols.toIndexedSeq: _*)
   }
 
@@ -53,9 +61,12 @@ object ColumnNs {
     df.toDF(df.columns.map(_.replaceAll(pattern, replacement)).toIndexedSeq: _*)
 
   /** Strip control chars + non-ASCII from all column names
-    * (DataNormalizer.php:36 — `/[\x00-\x1F\x80-\xFF]/` → ``). */
+    * (DataNormalizer.php:36 — `/[\x00-\x1F\x80-\xFF]/`). PHP's regex is
+    * byte-wise, so every byte of a multibyte UTF-8 char matches [\x80-\xFF]
+    * and the whole char vanishes; parity therefore means stripping ALL
+    * non-ASCII code points, not just U+0080-U+00FF. */
   def stripControlChars(df: DataFrame): DataFrame =
-    renameRegex(df, "[\\x00-\\x1F\\x80-\\xFF]", "")
+    renameRegex(df, "[\\x00-\\x1F]|[^\\x00-\\x7F]", "")
 
   /** snake_case one name: `Post Title` -> `post_title`, `postTitle` ->
     * `post_title`. Reference: `renameAllStyle('snake')`
@@ -83,9 +94,14 @@ object ColumnNs {
     df.drop(names.toIndexedSeq: _*)
 
   /** P7 `reduce_row_on_prefix` (flat form): scope to `prefix.*`, strip the
-    * prefix. Reference: BaseLoader.php:109-141. */
-  def reduceOnPrefix(df: DataFrame, prefix: String): DataFrame =
-    selectPrefix(df, Seq(prefix), removePrefix = true)
+    * prefix. The prefix is normalized to end with exactly one dot (the
+    * reference does rtrim($prefix,'.').'.' — BaseLoader.php:109-141), so
+    * `reduceOnPrefix(df, "post")` matches `post.*` but NOT `postmeta.x`,
+    * and stripped names never start with a dot. */
+  def reduceOnPrefix(df: DataFrame, prefix: String): DataFrame = {
+    val p = prefix.replaceAll("\\.+$", "") + "."
+    selectPrefix(df, Seq(p), removePrefix = true)
+  }
 
   /** P7 with `unpack = true`: additionally re-nest dotted names into
     * struct trees (`a.b.c` -> struct a{ struct b{ c }}), mirroring the
@@ -102,10 +118,18 @@ object ColumnNs {
       val parts = c.split("\\.")
       var cur = root
       parts.zipWithIndex.foreach { case (p, i) =>
-        if (i == parts.length - 1) cur.children(p) = Leaf(c)
-        else cur.children.get(p) match {
+        if (i == parts.length - 1) {
+          // A name that is both a leaf and a branch prefix (`a` and `a.b`)
+          // would silently drop one of the two at a sink boundary; refuse.
+          require(!cur.children.get(p).exists(_.isInstanceOf[Branch]),
+            s"nestDotted: column '$c' collides with nested columns under '$c.'")
+          cur.children(p) = Leaf(c)
+        } else cur.children.get(p) match {
           case Some(b: Branch) => cur = b
-          case _ =>
+          case Some(_: Leaf) =>
+            throw new IllegalArgumentException(
+              s"nestDotted: column '$c' collides with plain column '${parts.take(i + 1).mkString(".")}'")
+          case None =>
             val b = Branch(scala.collection.mutable.LinkedHashMap.empty)
             cur.children(p) = b; cur = b
         }
