@@ -1,0 +1,941 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.columns.ColumnNs
+import graft.functions.{Fns, HtmlBlocks}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Upsert, WpLoad, WpReaders}
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** The registered query inventory — one entry per implemented operator
+  * from SURVEY.md §2 (+ the LLM-pipeline extensions), each with a
+  * DuckDB-equivalent oracle where the semantics are SQL-expressible.
+  *
+  * Conventions (driver contract):
+  *  - output column names match the oracle exactly (aliased on BOTH
+  *    sides);
+  *  - every query ends in a deterministic ORDER BY on a unique key;
+  *  - double-typed aggregates go through DECIMAL so parallel summation
+  *    order cannot change the result (then cast back to DOUBLE);
+  *  - queries whose operators are hash-seeded (xxhash64 — MinHash,
+  *    SimHash, LSH) or engine-specific (UDF HTML parse details) have no
+  *    oracle and get the driver's rows-only check; their semantics are
+  *    covered by ScalaTest specs instead.
+  */
+object Queries {
+
+  final case class QueryDef(name: String,
+                            fn: (SparkSession, String) => DataFrame,
+                            oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** decimal-summed double: sum(CAST(x AS DECIMAL(18,s))) cast back. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def tmpDir(dir: String, name: String): String = {
+    val sf = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    s"/tmp/graft_q/$sf/$name"
+  }
+
+  // ---- oracle SQL builders ------------------------------------------------
+
+  /** WP slug chain (Fns.toSlug) in DuckDB SQL (ASCII inputs — the
+    * accent-fold translate is identity and omitted). */
+  private def sqlSlug(e: String): String = {
+    val noTags = s"regexp_replace($e,'<[^>]*>','','g')"
+    val low    = s"lower(trim($noTags))"
+    val alnum  = s"regexp_replace($low,'[^a-z0-9\\s_-]','','g')"
+    val dashed = s"regexp_replace($alnum,'[\\s_-]+','-','g')"
+    val lead   = s"regexp_replace($dashed,'^-+','','g')"
+    s"regexp_replace($lead,'-+$$','','g')"
+  }
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  /** normalized word list (Dedup.normalizeText + split). */
+  private val sqlWords =
+    "string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')"
+
+  private def sqlStopHits(ws: String, stops: Seq[String]): String =
+    s"len(list_intersect(list_distinct($ws), ${sqlList(stops)}))"
+
+  /** Left-fold with explicit 0 initial value (list_reduce uses the first
+    * element as init, so prepend). */
+  private def sqlFold(list: String, init: String, lambda: String): String =
+    s"list_reduce(list_prepend($init, $list), $lambda)"
+
+  private def sqlDot(a: String, b: String): String =
+    sqlFold(s"list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])", "0.0",
+      "(acc,v) -> acc+v")
+
+  private def sqlNorm(a: String): String =
+    s"sqrt(${sqlFold(s"list_transform($a, x -> x*x)", "0.0", "(acc,v) -> acc+v")})"
+
+  // ========================================================================
+  // Relational core (bench headliners)
+  // ========================================================================
+
+  private val q1Agg = QueryDef("q1_agg",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("count_order"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q3Topn = QueryDef("q3_topn",
+    (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON o_orderkey=l_orderkey
+      WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  private val q5Region = QueryDef("q5_region_join",
+    (s, d) => {
+      // dims broadcast explicitly; the orders⋈lineitem fact join shuffles
+      // on the order key (AQE re-plans at runtime)
+      val cust = t(s, d, "customer"); val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
+      val nat = broadcast(t(s, d, "nation")); val reg = broadcast(t(s, d, "region"))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey=o_custkey
+        JOIN lineitem ON o_orderkey=l_orderkey
+        JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        JOIN nation ON s_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+      WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  // A2 — group-collect embedding (the extractor's per-entity list)
+  private val a2Collect = QueryDef("a2_group_collect",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, list_sort(list(o_orderkey)) AS orderkeys, count(*) AS n_orders
+      FROM customer JOIN orders ON c_custkey=o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  // A5 — union-by-name merge with missing columns
+  private val a5Merge = QueryDef("a5_merge_union",
+    (s, d) => {
+      val p = t(s, d, "part")
+      val a = p.select(col("p_partkey"), col("p_name"), lit("a").as("src"))
+      val b = p.select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        lit("b").as("src"))
+      ColumnNs.merge(a, b).orderBy(col("p_partkey"), col("src"))
+    },
+    Some("""SELECT * FROM (
+        SELECT p_partkey, p_name, 'a' AS src FROM part
+        UNION ALL BY NAME
+        SELECT p_partkey, p_brand, p_retailprice, 'b' AS src FROM part)
+      ORDER BY p_partkey, src"""))
+
+  // A6 — keep-first dedup by key
+  private val a6Dedup = QueryDef("a6_dedup_first",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey"""))
+
+  // ========================================================================
+  // Upsert / load-side operators (K7-K12)
+  // ========================================================================
+
+  private def upsertFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val o = t(s, d, "orders")
+    val target = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey").as("id"),
+      concat(lit("order-"), col("o_orderkey").cast("string")).as("name"),
+      col("o_orderpriority").as("title"),
+      col("o_orderstatus").as("status"))
+    val incoming = o.filter(col("o_orderkey") % 3 === 0).select(
+      concat(lit("order-"), col("o_orderkey").cast("string")).as("name"),
+      upper(col("o_orderpriority")).as("title"))
+    (incoming, target)
+  }
+
+  private val k7Upsert = QueryDef("k7_upsert",
+    (s, d) => {
+      val (incoming, target) = upsertFrames(s, d)
+      Upsert.upsert(incoming, target, Seq("name"), "id",
+          defaults = Map("status" -> lit("draft")))
+        .orderBy(col("id"))
+    },
+    Some("""WITH target AS (
+        SELECT o_orderkey AS id, 'order-'||o_orderkey AS name,
+               o_orderpriority AS title, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 2 = 0),
+      inc AS (
+        SELECT 'order-'||o_orderkey AS name, upper(o_orderpriority) AS title
+        FROM orders WHERE o_orderkey % 3 = 0),
+      mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM target),
+      j AS (SELECT i.name, i.title, t.id AS tid, t.status AS tstatus
+            FROM inc i LEFT JOIN target t USING (name)),
+      n AS (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY (tid IS NULL) ORDER BY name) AS rn
+            FROM j)
+      SELECT CASE WHEN tid IS NULL THEN (SELECT m FROM mx) + rn ELSE tid END AS id,
+             name, title, COALESCE(tstatus, 'draft') AS status
+      FROM n ORDER BY id"""))
+
+  private val k8Exists = QueryDef("k8_exists_probe",
+    (s, d) => {
+      val (incoming, target) = upsertFrames(s, d)
+      Upsert.markExists(incoming, target, Seq("name"), flag = "in_target")
+        .orderBy(col("name"))
+    },
+    Some("""WITH target AS (
+        SELECT DISTINCT 'order-'||o_orderkey AS name FROM orders WHERE o_orderkey % 2 = 0),
+      inc AS (
+        SELECT 'order-'||o_orderkey AS name, upper(o_orderpriority) AS title
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT i.name, i.title, (t.name IS NOT NULL) AS in_target
+      FROM inc i LEFT JOIN target t USING (name) ORDER BY name"""))
+
+  private val k9Meta = QueryDef("k9_meta_unpivot",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity").cast("string").as("meta.qty"),
+        col("l_returnflag").as("meta.flag"),
+        col("l_linestatus").as("meta.note.add"))
+      WpLoad.unpivotMeta(li, "rid")
+        .orderBy(col("entity_id"), col("meta_key"))
+    },
+    Some("""SELECT * FROM (
+        SELECT l_orderkey*10+l_linenumber AS entity_id, 'qty' AS meta_key,
+               CAST(l_quantity AS VARCHAR) AS meta_value, 'update' AS mode FROM lineitem
+        UNION ALL
+        SELECT l_orderkey*10+l_linenumber, 'flag', l_returnflag, 'update' FROM lineitem
+        UNION ALL
+        SELECT l_orderkey*10+l_linenumber, 'note', l_linestatus, 'add' FROM lineitem)
+      WHERE meta_value IS NOT NULL
+      ORDER BY entity_id, meta_key"""))
+
+  private val k12Tax = QueryDef("k12_tax_explode",
+    (s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"),
+        Fns.explodeToArray(col("p_name"), " ").as("tax.tags"),
+        col("p_brand").as("tax.brand"))
+      WpLoad.explodeTaxTerms(p, "p_partkey")
+        .orderBy(col("entity_id"), col("taxonomy"), col("term"))
+    },
+    Some("""SELECT * FROM (
+        SELECT p_partkey AS entity_id, 'brand' AS taxonomy, p_brand AS term FROM part
+        UNION ALL
+        SELECT p_partkey, 'tags',
+               unnest(list_transform(string_split(p_name, ' '), x -> trim(x)))
+        FROM part)
+      WHERE term IS NOT NULL AND trim(term) <> ''
+      ORDER BY entity_id, taxonomy, term"""))
+
+  private val k10Parents = QueryDef("k10_missing_parents",
+    (s, d) => {
+      val incoming = t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("name"), lower(col("r_name")).as("parent_slug"),
+          lit("cat").as("taxonomy"))
+      val target = t(s, d, "region").filter(col("r_regionkey") <= 1)
+        .select(lower(col("r_name")).as("slug"), lit("cat").as("taxonomy"))
+      WpLoad.missingParents(incoming, target).orderBy(col("slug"))
+    },
+    Some("""SELECT DISTINCT 'cat' AS taxonomy, lower(r_name) AS slug, lower(r_name) AS name
+      FROM nation JOIN region ON n_regionkey=r_regionkey
+      WHERE lower(r_name) NOT IN (SELECT lower(r_name) FROM region WHERE r_regionkey <= 1)
+      ORDER BY slug"""))
+
+  // ========================================================================
+  // Entity readers (S6-S8)
+  // ========================================================================
+
+  private val s6Posts = QueryDef("s6_posts_reader",
+    (s, d) => {
+      val posts = t(s, d, "orders").select(col("o_orderkey").as("id"),
+        when(col("o_orderstatus") === "O", "post").otherwise("page").as("post_type"),
+        when(col("o_orderpriority").startsWith("1"), "publish").otherwise("draft")
+          .as("post_status"),
+        col("o_custkey").as("post_author"),
+        col("o_orderpriority").as("post_title"))
+      val users = t(s, d, "customer").select(col("c_custkey").as("id"),
+        col("c_name"), col("c_acctbal"))
+      WpReaders.readPosts(posts, users = Some(users),
+          opts = WpReaders.PostsOpts(limit = Some(200), withAuthor = true))
+        .select(col("id"), col("post_title"),
+          col("author.c_name").as("author_name"),
+          col("author.c_acctbal").as("author_acctbal"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT o_orderkey AS id, o_orderpriority AS post_title,
+             c_name AS author_name, c_acctbal AS author_acctbal
+      FROM orders JOIN customer ON o_custkey=c_custkey
+      WHERE o_orderstatus='O' AND o_orderpriority LIKE '1%'
+      ORDER BY id LIMIT 200"""))
+
+  private val s7Terms = QueryDef("s7_terms_parent_slug",
+    (s, d) => {
+      val regionTerms = t(s, d, "region").select(
+        (col("r_regionkey") + 1000).cast("long").as("term_id"),
+        col("r_name").as("name"),
+        lower(regexp_replace(col("r_name"), "\\s+", "-")).as("slug"),
+        lit(null).cast("long").as("parent"))
+      val nationTerms = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("term_id"),
+        col("n_name").as("name"), lower(col("n_name")).as("slug"),
+        (col("n_regionkey") + 1000).cast("long").as("parent"))
+      WpReaders.readTerms(regionTerms.unionByName(nationTerms))
+        .select(col("term_id"), col("name"), col("slug"), col("parent_slug"))
+        .orderBy(col("term_id"))
+    },
+    Some("""SELECT * FROM (
+        SELECT CAST(r_regionkey+1000 AS BIGINT) AS term_id, r_name AS name,
+               lower(regexp_replace(r_name,'\s+','-','g')) AS slug, '' AS parent_slug
+        FROM region
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name, lower(n_name),
+               lower(regexp_replace(r_name,'\s+','-','g'))
+        FROM nation JOIN region ON n_regionkey=r_regionkey)
+      ORDER BY term_id"""))
+
+  private val s8Users = QueryDef("s8_users_filter",
+    (s, d) => {
+      val users = t(s, d, "customer").select(col("c_custkey").as("id"),
+        col("c_name").as("user_login"),
+        concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+          lit("@example.com")).as("user_email"),
+        col("c_mktsegment").as("role"))
+      WpReaders.readUsers(users, roleIn = Seq("BUILDING", "MACHINERY"),
+          search = Some("12"), limit = Some(100))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT c_custkey AS id, c_name AS user_login,
+             lower(regexp_replace(c_name,'[^A-Za-z0-9]','','g'))||'@example.com' AS user_email,
+             c_mktsegment AS role
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        AND (c_name LIKE '%12%' OR
+             lower(regexp_replace(c_name,'[^A-Za-z0-9]','','g'))||'@example.com' LIKE '%12%')
+      ORDER BY id LIMIT 100"""))
+
+  // ========================================================================
+  // Column-namespace ops (P2-P7)
+  // ========================================================================
+
+  private val p2Roundtrip = QueryDef("p2_p4_p5_prefix_roundtrip",
+    (s, d) => {
+      val camel = t(s, d, "part").select(col("p_partkey").as("PartKey"),
+        col("p_name").as("PartName"), col("p_size").as("PartSize"))
+      val snaked = ColumnNs.snakeCaseAll(camel)                 // part_key...
+      val prefixed = ColumnNs.prefixAll(snaked, "legacy.")      // legacy.part_key
+      ColumnNs.selectPrefix(prefixed, Seq("legacy."), removePrefix = true)
+        .orderBy(col("part_key"))
+    },
+    Some("""SELECT p_partkey AS part_key, p_name AS part_name, p_size AS part_size
+      FROM part ORDER BY part_key"""))
+
+  private val p3Rename = QueryDef("p3_rename_regex",
+    (s, d) => {
+      val df = t(s, d, "part").select(col("p_partkey").as("p_partkey_1"),
+        col("p_name").as("p_name_22"))
+      ColumnNs.renameRegex(df, "_\\d+$", "").orderBy(col("p_partkey"))
+    },
+    Some("SELECT p_partkey, p_name FROM part ORDER BY p_partkey"))
+
+  private val p7Nest = QueryDef("p7_nest_dotted",
+    (s, d) => {
+      val df = t(s, d, "part").select(col("p_partkey").as("id"),
+        col("p_name").as("post.title"), col("p_brand").as("post.meta.brand"))
+      ColumnNs.nestDotted(df).orderBy(col("id"))
+    },
+    None) // nested-struct value compare across engines is not contract-stable
+
+  private val p6Skip = QueryDef("p6_skip_fields_backfill",
+    (s, d) => {
+      // drop + required-field coalesce backfill (WordPressPostLoader
+      // .php:127-164): post_title is skipped, then backfilled with a
+      // synthesized default
+      val df = t(s, d, "part").select(col("p_partkey").as("id"),
+        col("p_name").as("post_title"), col("p_brand").as("brand"))
+      val dropped = ColumnNs.dropColumns(df, Seq("post_title"))
+      dropped.withColumn("post_title",
+          coalesce(lit(null).cast("string"), concat(lit("Untitled-"), col("id").cast("string"))))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT p_partkey AS id, p_brand AS brand, 'Untitled-'||p_partkey AS post_title
+      FROM part ORDER BY id"""))
+
+  // ========================================================================
+  // Scalar functions (F5-F24)
+  // ========================================================================
+
+  private val f7Slug = QueryDef("f7_slug",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Fns.toSlug(col("p_name")).as("slug"),
+        Fns.toSlug(col("p_type"), "t ").as("type_slug"))
+      .orderBy(col("p_partkey")),
+    Some(s"""SELECT p_partkey, ${sqlSlug("p_name")} AS slug,
+      ${sqlSlug("'t '||p_type")} AS type_slug
+      FROM part ORDER BY p_partkey"""))
+
+  private val f8Explode = QueryDef("f8_explode_array",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Fns.explodeToArray(col("p_name"), " ").as("name_words"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      list_transform(string_split(p_name, ' '), x -> trim(x)) AS name_words
+      FROM part ORDER BY p_partkey"""))
+
+  private val f9Nullif = QueryDef("f9_compare_set_null",
+    (s, d) => t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        Fns.compareSetNull(col("l_returnflag"), "N").as("flag_or_null"))
+      .orderBy(col("rid")),
+    Some("""SELECT l_orderkey*10+l_linenumber AS rid,
+      NULLIF(l_returnflag, 'N') AS flag_or_null
+      FROM lineitem ORDER BY rid"""))
+
+  private val f10StrNull = QueryDef("f10_string_to_null",
+    (s, d) => {
+      val df = t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_returnflag"), col("l_linestatus"))
+      Fns.stringToNull(df, "N").orderBy(col("rid"))
+    },
+    Some("""SELECT l_orderkey*10+l_linenumber AS rid,
+      NULLIF(l_returnflag,'N') AS l_returnflag, NULLIF(l_linestatus,'N') AS l_linestatus
+      FROM lineitem ORDER BY rid"""))
+
+  private val f11Simple = QueryDef("f11_simple_transformer",
+    (s, d) => {
+      val concatRow = (r: org.apache.spark.sql.Row) =>
+        r.getString(0) + "|" + r.getLong(1)
+      t(s, d, "part").select(col("p_partkey"),
+          Fns.simpleTransformer(concatRow, Seq(col("p_brand"), col("p_partkey")))
+            .as("combined"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("SELECT p_partkey, p_brand||'|'||p_partkey AS combined FROM part ORDER BY p_partkey"))
+
+  private val f12Static = QueryDef("f12_interpolate_static",
+    (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        Fns.replaceTokens(lit("order %%id%% prio %%prio%% x %%missing%%"),
+          Map("id" -> col("o_orderkey"), "prio" -> col("o_orderpriority")))
+          .as("rendered"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      replace(replace('order %%id%% prio %%prio%% x %%missing%%',
+        '%%id%%', CAST(o_orderkey AS VARCHAR)), '%%prio%%', o_orderpriority) AS rendered
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val f12Dynamic = QueryDef("f12_interpolate_dynamic",
+    (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        Fns.interpolate(lit("order %%id%% prio %%prio%% x %%missing%%"),
+          map(lit("id"), col("o_orderkey").cast("string"),
+              lit("prio"), col("o_orderpriority"))).as("rendered"))
+      .orderBy(col("o_orderkey")),
+    // the dynamic per-row-map UDF resolves unknown tokens to '' —
+    // mirrored by a plain replace chain on the oracle side
+    Some("""SELECT o_orderkey,
+      replace(replace(replace('order %%id%% prio %%prio%% x %%missing%%',
+        '%%id%%', CAST(o_orderkey AS VARCHAR)), '%%prio%%', o_orderpriority),
+        '%%missing%%', '') AS rendered
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val f13Dates = QueryDef("f13_normalize_date",
+    (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        Fns.normalizeDate(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+          .as("norm_ts"))
+      .orderBy(col("o_orderkey")),
+    Some("SELECT o_orderkey, o_orderdate AS norm_ts FROM orders ORDER BY o_orderkey"))
+
+  private val f14Iso = QueryDef("f14_iso8601",
+    (s, d) => t(s, d, "orders").select(col("o_orderkey"),
+        Fns.toIso8601(col("o_orderdate")).as("iso"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')||'Z' AS iso
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val f15Text = QueryDef("f15_sanitize_text",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Fns.sanitizeTextField(
+          concat(lit("<b>"), col("p_name"), lit("</b>  x%20y"))).as("clean"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      trim(regexp_replace(regexp_replace(regexp_replace('<b>'||p_name||'</b>  x%20y',
+        '<[^>]*>','','g'), '%[a-fA-F0-9]{2}','','g'), '[\r\n\t ]+',' ','g')) AS clean
+      FROM part ORDER BY p_partkey"""))
+
+  private val f16Key = QueryDef("f16_sanitize_key",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Fns.sanitizeKey(concat(col("p_type"), lit(" #"), col("p_partkey").cast("string")))
+          .as("key"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      regexp_replace(lower(p_type||' #'||p_partkey), '[^a-z0-9_-]', '', 'g') AS key
+      FROM part ORDER BY p_partkey"""))
+
+  private val f18Kses = QueryDef("f18_kses_post",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Fns.ksesPost(concat(
+          lit("<script>bad()</script><p onclick=\"x()\">Hello "),
+          col("p_name"), lit("</p><marquee>no</marquee>"))).as("safe"))
+      .orderBy(col("p_partkey")),
+    // RE2 has no backreferences/lookahead, so the oracle states the
+    // EXPECTED OUTPUT directly for this controlled input
+    Some("""SELECT p_partkey, '<p>Hello '||p_name||'</p>no' AS safe
+      FROM part ORDER BY p_partkey"""))
+
+  private val f19Absint = QueryDef("f19_absint",
+    (s, d) => t(s, d, "customer").select(col("c_custkey"),
+        Fns.absInt(col("c_acctbal")).as("abs_bal"))
+      .orderBy(col("c_custkey")),
+    // Spark cast(double as long) truncates toward zero; DuckDB CAST
+    // rounds — use trunc() explicitly
+    Some("""SELECT c_custkey, abs(CAST(trunc(c_acctbal) AS BIGINT)) AS abs_bal
+      FROM customer ORDER BY c_custkey"""))
+
+  private val f20Email = QueryDef("f20_sanitize_email",
+    (s, d) => t(s, d, "customer").select(col("c_custkey"),
+        Fns.sanitizeEmail(concat(col("c_name"), lit("@Example.COM"))).as("email"),
+        Fns.sanitizeUser(concat(lit("<b>"), col("c_name"), lit("</b> !!"))).as("login"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+      CASE WHEN regexp_matches(regexp_replace(trim(c_name||'@Example.COM'),
+             '[^a-zA-Z0-9.!#$%&''*+/=?^_`{|}~@\-]','','g'), '^[^@]+@[^@]+\.[^@]+$')
+           THEN lower(regexp_replace(trim(c_name||'@Example.COM'),
+             '[^a-zA-Z0-9.!#$%&''*+/=?^_`{|}~@\-]','','g'))
+           ELSE '' END AS email,
+      trim(regexp_replace(regexp_replace('<b>'||c_name||'</b> !!','<[^>]*>','','g'),
+        '[^A-Za-z0-9 _.\-@]','','g')) AS login
+      FROM customer ORDER BY c_custkey"""))
+
+  private val f20Url = QueryDef("f20_esc_url",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Fns.escUrlRaw(concat(lit("https://ex.com/"), col("p_name"))).as("url_ok"),
+        Fns.escUrlRaw(col("p_brand")).as("url_fixed"))
+      .orderBy(col("p_partkey")),
+    Some("""WITH c AS (SELECT p_partkey,
+        regexp_replace(trim('https://ex.com/'||p_name),
+          '[^a-zA-Z0-9\-~+_.?#=!&;,/:%@$|*''()\[\]\x80-\x{10FFFF}]','','g') AS c1,
+        regexp_replace(trim(p_brand),
+          '[^a-zA-Z0-9\-~+_.?#=!&;,/:%@$|*''()\[\]\x80-\x{10FFFF}]','','g') AS c2
+      FROM part)
+      SELECT p_partkey,
+        CASE WHEN regexp_matches(c1, '(?i)^(https?|ftp|ftps|mailto|news|irc|gopher|nntp|feed|telnet)://|^/|^#|^\?')
+             THEN c1 WHEN c1='' THEN '' ELSE 'http://'||c1 END AS url_ok,
+        CASE WHEN regexp_matches(c2, '(?i)^(https?|ftp|ftps|mailto|news|irc|gopher|nntp|feed|telnet)://|^/|^#|^\?')
+             THEN c2 WHEN c2='' THEN '' ELSE 'http://'||c2 END AS url_fixed
+      FROM c ORDER BY p_partkey"""))
+
+  private val f21Repair = QueryDef("f21_repair_text",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        Fns.repairText(concat(col("p_name"), lit("\u0007"), lit(" <i>x</i>")))
+          .as("repaired"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(p_name||chr(7)||' <i>x</i>',
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFD}]','','g'),
+        '<[^>]*>','','g'), '%[a-fA-F0-9]{2}','','g'), '[\r\n\t ]+',' ','g')) AS repaired
+      FROM part ORDER BY p_partkey"""))
+
+  private val f22Numeric = QueryDef("f22_numeric_tag",
+    (s, d) => t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        Fns.numericTag(col("l_quantity").cast("string")).as("qty_tag"),
+        Fns.numericTag(col("l_linenumber").cast("string")).as("line_tag"),
+        Fns.asLongIfIntegral(col("l_linenumber").cast("string")).as("line_long"))
+      .orderBy(col("rid")),
+    Some("""SELECT l_orderkey*10+l_linenumber AS rid,
+      CASE WHEN regexp_matches(CAST(l_quantity AS VARCHAR),'^-?\d+$') THEN 'long'
+           WHEN regexp_matches(CAST(l_quantity AS VARCHAR),'^-?\d+\.\d+$') THEN 'double'
+           ELSE 'string' END AS qty_tag,
+      CASE WHEN regexp_matches(CAST(l_linenumber AS VARCHAR),'^-?\d+$') THEN 'long'
+           WHEN regexp_matches(CAST(l_linenumber AS VARCHAR),'^-?\d+\.\d+$') THEN 'double'
+           ELSE 'string' END AS line_tag,
+      CASE WHEN regexp_matches(CAST(l_linenumber AS VARCHAR),'^-?\d+$')
+           THEN CAST(l_linenumber AS BIGINT) END AS line_long
+      FROM lineitem ORDER BY rid"""))
+
+  private val f23Blocks = QueryDef("f23_html_blocks",
+    (s, d) => t(s, d, "part").select(col("p_partkey"),
+        HtmlBlocks.htmlToBlocks(concat(
+          lit("<p>"), col("p_name"), lit("</p><h2>Title</h2>"))).as("blocks"))
+      .orderBy(col("p_partkey")),
+    // UDF output stated directly for the controlled input (serialize
+    // format of WithSimpleHtmlBlockConverter)
+    Some("""SELECT p_partkey,
+      '<!-- wp:paragraph -->'||chr(10)||'<p>'||p_name||'</p>'||chr(10)||'<!-- /wp:paragraph -->'
+      ||chr(10)||chr(10)||
+      '<!-- wp:heading {"level":2} -->'||chr(10)||'<h2 class="wp-block-heading">Title</h2>'||chr(10)||'<!-- /wp:heading -->'
+      AS blocks FROM part ORDER BY p_partkey"""))
+
+  private val f24Pattern = QueryDef("f24_block_pattern",
+    (s, d) => {
+      val registry = Map("even" -> "PATTERN_A", "odd" -> "PATTERN_B")
+      t(s, d, "part").select(col("p_partkey"),
+          HtmlBlocks.blockPattern(registry)(
+            when(col("p_partkey") % 2 === 0, "even").otherwise("odd")).as("pattern"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+      CASE WHEN p_partkey % 2 = 0 THEN 'PATTERN_A' ELSE 'PATTERN_B' END AS pattern
+      FROM part ORDER BY p_partkey"""))
+
+  // ========================================================================
+  // Source/sink roundtrips (S1-S3, S10, K1, K2, K16 + normalize)
+  // ========================================================================
+
+  private val s1Csv = QueryDef("s1_csv_roundtrip",
+    (s, d) => {
+      val dir = tmpDir(d, "s1_csv")
+      Sinks.writeCsv(t(s, d, "part"), dir)
+      val back = Sources.readCsv(s, dir)
+      val normalized = ColumnNs.selectPrefix(
+        ColumnNs.normalize(back, "legacy."), Seq("legacy."), removePrefix = true)
+      normalized.select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_name").cast("string").as("p_name"),
+          col("p_size").cast("int").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_name, p_size, p_retailprice
+      FROM part ORDER BY p_partkey"""))
+
+  private val s2Json = QueryDef("s2_json_roundtrip",
+    (s, d) => {
+      val dir = tmpDir(d, "s2_json")
+      Sinks.writeJson(t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), dir)
+      Sources.readJson(s, dir, multiLine = false)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val s3Xml = QueryDef("s3_xml_roundtrip",
+    (s, d) => {
+      val dir = new java.io.File(tmpDir(d, "s3_xml")); dir.mkdirs()
+      val f = new java.io.File(dir, "feed.xml")
+      val rows = t(s, d, "part").select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey")).limit(200).collect()
+      val items = rows.map { r =>
+        s"<item><p_partkey>${r.getLong(0)}</p_partkey><p_name>${r.getString(1)}</p_name>" +
+          s"<p_retailprice>${r.getDouble(2)}</p_retailprice></item>"
+      }.mkString
+      java.nio.file.Files.write(f.toPath,
+        s"<rss><channel>$items</channel></rss>".getBytes("UTF-8"))
+      Sources.readXml(s, f.getPath, "rss/channel/item")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_name"), col("p_retailprice").cast("double").as("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_name, p_retailprice
+      FROM part ORDER BY p_partkey LIMIT 200"""))
+
+  private val s10Ledger = QueryDef("s10_ledger_roundtrip",
+    (s, d) => {
+      val dir = tmpDir(d, "s10_ledger")
+      val df = t(s, d, "orders").filter(col("o_orderkey") % 97 === 0).select(
+        sha2(concat(lit("u"), col("o_orderkey").cast("string")), 256).as("etl.uid"),
+        col("o_orderkey").as("ledger.id"),
+        col("o_orderstatus").as("ledger.status"))
+      Sinks.writeLedger(df, dir, "orders", "r1")
+      Sources.ledgerLatest(s, dir, "orders")
+        .select(col("etl_uid"), col("id").cast("long").as("id"), col("status"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT sha256('u'||o_orderkey) AS etl_uid, o_orderkey AS id,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 97 = 0 ORDER BY id"""))
+
+  // ========================================================================
+  // LLM-pipeline track
+  // ========================================================================
+
+  private val dedupExact = QueryDef("dedup_exact",
+    (s, d) => Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("content_hash")),
+    Some("""SELECT sha256(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS content_hash,
+             min(doc_id) AS keep_id, count(*) AS n_dupes
+      FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  private val dedupExactKeep = QueryDef("dedup_exact_keep",
+    (s, d) => Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+          min(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text),'\s+',' ','g'))) AS keep
+        FROM documents) WHERE doc_id = keep ORDER BY doc_id"""))
+
+  private val dedupMinhash = QueryDef("dedup_minhash",
+    (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy(col("a"), col("b")),
+    None) // seeded-xxhash LSH has no cross-engine oracle; see DedupSpec
+
+  private val dedupSimhash = QueryDef("dedup_simhash",
+    (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("a"), col("b")),
+    None)
+
+  private val dedupNgram = QueryDef("dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        blockCols = Seq(col("lang"), floor(col("n_chars") / 100)),
+        n = 1, threshold = 0.5)
+      .orderBy(col("a"), col("b")),
+    Some(s"""WITH base AS (
+        SELECT doc_id, lang, floor(n_chars/100) AS lb,
+               list_distinct($sqlWords) AS ws
+        FROM documents)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.ws, b.ws))::DOUBLE /
+             len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE AS jaccard
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+            len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE >= 0.5
+      ORDER BY a, b"""))
+
+  private val textStats = QueryDef("text_stats",
+    (s, d) => {
+      val df = t(s, d, "documents")
+        .withColumn("__st", TextAnalysis.qualityStats(col("text")))
+      df.select(col("doc_id"),
+          col("__st.n_words").as("n_words"),
+          col("__st.mean_word_len").as("mean_word_len"),
+          col("__st.punct_ratio").as("punct_ratio"),
+          col("__st.digit_ratio").as("digit_ratio"),
+          col("__st.upper_ratio").as("upper_ratio"),
+          col("__st.stop_ratio").as("stop_ratio"),
+          TextAnalysis.qualityOk(col("__st")).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, text, $sqlWords AS ws, length(text)::DOUBLE AS nc
+        FROM documents),
+      m AS (SELECT doc_id, text, ws, nc, len(ws) AS n_words,
+        CASE WHEN len(ws) > 0 THEN
+          round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)", "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
+          ELSE 0 END AS mean_word_len,
+        ${sqlStopHits("ws", TextAnalysis.enStop)}::DOUBLE AS stops
+        FROM w)
+      SELECT doc_id, n_words, mean_word_len,
+        round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc ELSE 0 END, 4) AS punct_ratio,
+        round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nc ELSE 0 END, 4) AS digit_ratio,
+        round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / nc ELSE 0 END, 4) AS upper_ratio,
+        round(CASE WHEN n_words > 0 THEN stops / n_words ELSE 0 END, 4) AS stop_ratio,
+        (n_words BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 12.0)
+          AND (round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc ELSE 0 END, 4) <= 0.3) AS quality_ok
+      FROM m ORDER BY doc_id"""))
+
+  private val langIdQ = QueryDef("lang_id",
+    (s, d) => t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH sc AS (
+        SELECT doc_id, lang,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.enStop)} AS en,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.deStop)} AS de,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.frStop)} AS fr,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.esStop)} AS es,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(en,de,fr,es,zh) = 0 THEN 'und'
+             WHEN zh = greatest(en,de,fr,es,zh) THEN 'zh'
+             WHEN en = greatest(en,de,fr,es,zh) THEN 'en'
+             WHEN de = greatest(en,de,fr,es,zh) THEN 'de'
+             WHEN es = greatest(en,de,fr,es,zh) THEN 'es'
+             ELSE 'fr' END AS predicted
+      FROM sc ORDER BY doc_id"""))
+
+  private val tokenCounts = QueryDef("token_counts",
+    (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END AS ws_tokens,
+      len(regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS bpe_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val docFingerprint = QueryDef("doc_fingerprint",
+    (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      ${sqlFold(
+        s"list_transform($sqlWords, w -> (coalesce(ascii(substring(w,1,1)),0)::BIGINT*31 + length(w)::BIGINT*17) % 1000000007)",
+        "0::BIGINT", "(a,b) -> (a*131+b) % 1000000007")} AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  private val annBrute = QueryDef("ann_bruteforce",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  private val annLsh = QueryDef("ann_lsh",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb, k = 5, nBits = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None) // seeded-hyperplane LSH; recall vs brute force checked in SimilaritySpec
+
+  private val embedNearDup = QueryDef("embed_neardup",
+    (s, d) => Similarity.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.9)
+      .orderBy(col("a"), col("b")),
+    None)
+
+  private val mmFeatures = QueryDef("mm_features",
+    (s, d) => t(s, d, "documents").select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        sha2(col("text"), 256).as("content_sha"),
+        graft.multimodal.Multimodal.fakeTextFeatures(col("text"), 8).as("features"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+      sha256(text) AS content_sha,
+      list_transform(range(0, 8), i ->
+        ((ascii(substring(text, CAST(i*5+1 AS INT), 1))*31 + (i+1)*7) % 997) / 997.0) AS features
+      FROM documents ORDER BY doc_id"""))
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long (legacy conf, runtime-settable)
+    * and convert with integer `div` — epoch-nanos (~1.7e18) exceeds
+    * 2^53, so double math would corrupt the value. DuckDB's own µs
+    * truncation of the same nanos matches exactly. */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val eventsHourly = QueryDef("events_hourly",
+    (s, d) => events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("event_type"), col("hour")),
+    Some("""SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+      min(value) AS min_value, max(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""))
+
+  private val eventsSessions = QueryDef("events_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(run))
+        .groupBy(col("user_id"))
+        .agg(max(col("__sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH x AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+      y AS (SELECT user_id, ts,
+        CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800*1000000
+             THEN 1 ELSE 0 END AS is_new
+        FROM x),
+      z AS (SELECT user_id,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM y)
+      SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM z GROUP BY user_id ORDER BY user_id"""))
+
+  /** Full registry, in SURVEY §2 order. */
+  val all: Vector[QueryDef] = Vector(
+    q1Agg, q3Topn, q5Region, a2Collect, a5Merge, a6Dedup,
+    k7Upsert, k8Exists, k9Meta, k12Tax, k10Parents,
+    s6Posts, s7Terms, s8Users,
+    p2Roundtrip, p3Rename, p6Skip, p7Nest,
+    f7Slug, f8Explode, f9Nullif, f10StrNull, f11Simple,
+    f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
+    f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks, f24Pattern,
+    s1Csv, s2Json, s3Xml, s10Ledger,
+    dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgram,
+    textStats, langIdQ, tokenCounts, docFingerprint,
+    annBrute, annLsh, embedNearDup, mmFeatures,
+    eventsHourly, eventsSessions)
+}

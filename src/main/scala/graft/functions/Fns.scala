@@ -159,7 +159,10 @@ object Fns {
   // Reference: WPUserLoader.php:146-166; WPMediaLoader.php:212.
   // --------------------------------------------------------------------
   def escUrlRaw(c: Column): Column = {
-    val cleaned = regexp_replace(trim(c), "[^a-zA-Z0-9\\-~+_.?#=!&;,/:%@$|*'()\\[\\]\\x80-\\xff]", "")
+    // PHP's byte-wise [\x80-\xff] keeps EVERY non-ASCII char (all bytes of a
+    // multibyte UTF-8 char are >= 0x80), so parity means allowing the whole
+    // non-ASCII plane, not just U+0080-U+00FF.
+    val cleaned = regexp_replace(trim(c), "[^a-zA-Z0-9\\-~+_.?#=!&;,/:%@$|*'()\\[\\]\\x80-\\x{10FFFF}]", "")
     when(cleaned.rlike("(?i)^(https?|ftp|ftps|mailto|news|irc|gopher|nntp|feed|telnet)://|^/|^#|^\\?"), cleaned)
       .otherwise(when(cleaned === "", "").otherwise(concat(lit("http://"), cleaned)))
   }
@@ -213,16 +216,37 @@ object Fns {
     * empty (WordPressMediaLoader.php:134-138 drops empties). Implemented
     * as a UDF — the token set is data-dependent per row, which no builtin
     * expresses. */
+  private val tokenRe = "%%([A-Za-z0-9_.]+)%%".r
+
   val interpolateUdf = udf { (s: String, m: Map[String, String]) =>
     if (s == null) null
     else {
       val mm = if (m == null) Map.empty[String, String] else m
-      "%%([A-Za-z0-9_.]+)%%".r.replaceAllIn(s, mt =>
+      tokenRe.replaceAllIn(s, mt =>
         java.util.regex.Matcher.quoteReplacement(mm.getOrElse(mt.group(1), "")))
     }
   }
 
   def interpolate(c: Column, tokenMap: Column): Column = interpolateUdf(c, tokenMap)
+
+  // --------------------------------------------------------------------
+  // F11 — simple_transformer: arbitrary function over the whole Row — the
+  // UDF escape hatch. Reference: SimpleTransformer.php:45-51, DSL
+  // functions.php:64-66. Callers pass a Scala fn over Row applied to
+  // struct(cols); the constant-map convenience mirrors the reference's
+  // most common use (`{'etl_pipeline': class}` WordPressUserPipeline
+  // .php:169-176) without any UDF at all.
+  // --------------------------------------------------------------------
+  def simpleTransformer(fn: org.apache.spark.sql.Row => String, cols: Seq[Column]): Column = {
+    val u = udf(fn)
+    u(struct(cols: _*))
+  }
+
+  /** Constant-map convenience: `map('k1','v1',...)` as a literal column. */
+  def constantMap(entries: Map[String, String]): Column = {
+    val pairs = entries.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    map(pairs: _*)
+  }
 
   // --------------------------------------------------------------------
   // F5/F6 conveniences (now(), uuid_v4()) — direct builtins.

@@ -35,54 +35,62 @@ object HtmlBlocks {
   private val openTag: Regex = "(?is)<([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)/?>".r
 
   /** Split html into top-level (tag, attrs, innerHTML, outerHTML) elements
-    * plus bare-text runs (returned with tag ""). */
+    * plus bare-text runs (returned with tag "").
+    *
+    * Linear-time: both the open-tag and close-tag scans drive a single
+    * `java.util.regex.Matcher` over the ORIGINAL string via `find(pos)` —
+    * no substring copies of the document tail (a 100 MB content column
+    * through the old substring form was O(n²)). Self-closing nested tags
+    * (`<div><div/></div>`) do not bump the depth counter.
+    */
   private[functions] def topLevel(html: String): Seq[(String, String, String, String)] = {
     val out = ArrayBuffer.empty[(String, String, String, String)]
-    var i = 0
     val s = html
-    def flushText(until: Int, from: Int): Unit = {
-      val t = s.substring(from, until)
+    val om = openTag.pattern.matcher(s)
+    var i = 0
+    var textStart = 0
+    def flushText(until: Int): Unit = {
+      val t = s.substring(textStart, until)
       if (t.trim.nonEmpty) out += (("", "", t, t))
     }
-    var textStart = 0
-    while (i < s.length) {
-      openTag.findFirstMatchIn(s.substring(i)) match {
-        case Some(m) =>
-          val tag = m.group(1).toLowerCase
-          val attrs = Option(m.group(2)).getOrElse("")
-          val start = i + m.start
-          flushText(start, textStart)
-          val afterOpen = i + m.end
-          if (voidTags(tag) || m.matched.endsWith("/>")) {
-            out += ((tag, attrs, "", m.matched))
-            i = afterOpen; textStart = i
-          } else {
-            // find the matching close tag at the same nesting depth
-            val closeRe = ("(?is)</?" + tag + "\\b[^>]*>").r
-            var depth = 1
-            var pos = afterOpen
-            var closeStart = -1
-            var closeEnd = -1
-            val it = closeRe.findAllMatchIn(s.substring(afterOpen))
-            while (depth > 0 && it.hasNext) {
-              val c = it.next()
-              if (c.matched.startsWith("</")) depth -= 1 else depth += 1
-              if (depth == 0) { closeStart = afterOpen + c.start; closeEnd = afterOpen + c.end }
-            }
-            if (closeStart < 0) { // unclosed: treat rest as inner
-              out += ((tag, attrs, s.substring(afterOpen), s.substring(start)))
-              i = s.length; textStart = i
-            } else {
-              out += ((tag, attrs, s.substring(afterOpen, closeStart), s.substring(start, closeEnd)))
-              i = closeEnd; textStart = i
-            }
-            pos = pos // silence unused
-          }
-        case None =>
-          i = s.length
+    var done = false
+    while (!done && i < s.length && om.find(i)) {
+      val tag = om.group(1).toLowerCase
+      val attrs = Option(om.group(2)).getOrElse("")
+      val start = om.start
+      val afterOpen = om.end
+      val matched = s.substring(start, afterOpen)
+      flushText(start)
+      if (voidTags(tag) || matched.endsWith("/>")) {
+        out += ((tag, attrs, "", matched))
+        i = afterOpen; textStart = i
+      } else {
+        // find the matching close tag at the same nesting depth
+        val closeRe = java.util.regex.Pattern.compile(
+          "(?is)<(/?)" + java.util.regex.Pattern.quote(tag) + "\\b[^>]*?(/?)>")
+        val cm = closeRe.matcher(s)
+        var depth = 1
+        var pos = afterOpen
+        var closeStart = -1
+        var closeEnd = -1
+        while (depth > 0 && cm.find(pos)) {
+          val isClose = cm.group(1) == "/"
+          val isSelfClose = cm.group(2) == "/"
+          if (isClose) depth -= 1 else if (!isSelfClose) depth += 1
+          pos = cm.end
+          if (depth == 0) { closeStart = cm.start; closeEnd = cm.end }
+        }
+        if (closeStart < 0) { // unclosed: treat rest as inner
+          out += ((tag, attrs, s.substring(afterOpen), s.substring(start)))
+          i = s.length; textStart = i
+          done = true
+        } else {
+          out += ((tag, attrs, s.substring(afterOpen, closeStart), s.substring(start, closeEnd)))
+          i = closeEnd; textStart = i
+        }
       }
     }
-    flushText(s.length, textStart)
+    flushText(s.length)
     out.toSeq
   }
 

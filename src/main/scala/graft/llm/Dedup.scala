@@ -1,0 +1,189 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are banded/bucketed — candidate generation NEVER does an
+  * all-pairs join. At 100 TB:
+  *  - exact dedup is one hash-partitioned aggregation;
+  *  - MinHash-LSH shuffles (band, bucket) keys; bucket sizes are bounded
+  *    by `maxBucket` so a degenerate bucket (boilerplate text) cannot go
+  *    quadratic;
+  *  - SimHash bands a 64-bit fingerprint into 4×16-bit chunks (any pair
+  *    within Hamming distance 3 shares ≥1 chunk — pigeonhole).
+  *
+  * Everything below `minhashCandidates`' pair expansion is pure
+  * `org.apache.spark.sql.functions` (codegen'd; no UDF).
+  */
+object Dedup {
+
+  /** Canonical text form used for hashing: lowercase, collapse
+    * whitespace, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact-dup groups: content hash → surviving (min) id + group size.
+    * One shuffle on the 256-bit content hash. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        sha2(normalizeText(col(textCol)), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Exact dedup: keep the min-id row per content hash. Implemented with
+    * a window over the hash partition (shuffle by hash, no global
+    * sort). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = sha2(normalizeText(col(textCol)), 256)
+    val w = Window.partitionBy(col("__h"))
+    df.withColumn("__h", h)
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .where(col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+  }
+
+  /** Word n-gram shingles of the normalized text. Short texts (< n
+    * words) produce their single joined form. */
+  def shingles(c: Column, n: Int = 5): Column = {
+    val words = split(normalizeText(c), " ")
+    val grams = transform(sequence(lit(0), size(words) - n),
+      i => array_join(slice(words, i + 1, lit(n)), " "))
+    when(size(words) >= n, array_distinct(grams))
+      .otherwise(array(array_join(words, " ")))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * seeded xxhash64; sig[i] = min over shingles of hash_i(shingle). */
+  def minhashSignature(shinglesCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPer`
+    * values; each band hashes to one bucket. Two docs with Jaccard j
+    * collide in ≥1 band with prob 1-(1-j^rowsPer)^bands. */
+  def lshBands(sigCol: Column, bands: Int, rowsPer: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+             xxhash64(slice(sigCol, b * rowsPer + 1, rowsPer), lit(b)).as("bucket"))
+    }: _*)
+
+  /** Candidate near-dup pairs via MinHash-LSH. Returns
+    * `(a, b, est_jaccard)` with a < b, where est_jaccard is the fraction
+    * of matching signature positions. `maxBucket` drops degenerate
+    * buckets (identical boilerplate shingles) before the in-bucket pair
+    * expansion, bounding the quadratic term. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    val rowsPer = k / bands
+    require(bands * rowsPer == k, s"bands ($bands) must divide k ($k)")
+    val sigs = df.select(col(idCol).as("doc_id"),
+        minhashSignature(shingles(col(textCol)), k).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(lshBands(col("sig"), bands, rowsPer)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    // per-(band,bucket): collect members sorted by id, expand i<j pairs
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+    val pairs = buckets.select(explode(flatten(
+        transform(col("ms"), (m, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))), other =>
+            struct(m.getField("doc_id").as("a"),
+                   other.getField("doc_id").as("b"),
+                   m.getField("sig").as("sa"),
+                   other.getField("sig").as("sb")))))).as("p"))
+      .select(col("p.a"), col("p.b"), col("p.sa"), col("p.sb"))
+      .dropDuplicates("a", "b")
+    pairs.select(col("a"), col("b"),
+      (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), bb => bb))
+        .cast("double") / lit(k)).as("est_jaccard"))
+  }
+
+  /** Verified near-dup pairs: exact Jaccard over shingle sets, computed
+    * only for LSH candidates (join back by id — hash-partitioned). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, k: Int = 64,
+                      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands)
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
+    val withA = cands.join(sh.withColumnRenamed("__id", "a")
+      .withColumnRenamed("__sh", "sha_"), Seq("a"))
+    val withB = withA.join(sh.withColumnRenamed("__id", "b")
+      .withColumnRenamed("__sh", "shb_"), Seq("b"))
+    withB.withColumn("jaccard", jaccard(col("sha_"), col("shb_")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    val u = size(array_union(a, b)).cast("double")
+    when(u === 0d, 0d).otherwise(i / u)
+  }
+
+  /** 64-bit SimHash of the word multiset: bit i of the fingerprint is
+    * the sign of Σ_words (±1 by bit i of xxhash64(word)). Pure
+    * higher-order-function expression. */
+  def simhash64(c: Column): Column = {
+    val words = split(normalizeText(c), " ")
+    // One aggregate pass per bit (unrolled in Scala — bit index must be a
+    // literal for shiftright); 64 codegen'd folds over the word array.
+    val bits = (0 until 64).map { i =>
+      when(aggregate(words, lit(0L),
+        (acc, w) => acc + when(shiftright(xxhash64(w), i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)) > 0L, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming` (≤3 guaranteed found by
+    * 4-chunk banding; pigeonhole over 16-bit chunks). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only to Hamming 3")
+    val fp = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp"))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+                 shiftright(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("c"))
+      .select(col("doc_id"), col("fp"), col("c.chunk"), col("c.key"))
+    val buckets = chunks.groupBy(col("chunk"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+    buckets.select(explode(flatten(
+        transform(col("ms"), (m, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))), other =>
+            struct(m.getField("doc_id").as("a"), other.getField("doc_id").as("b"),
+                   m.getField("fp").as("fa"), other.getField("fp").as("fb")))))).as("p"))
+      .select(col("p.a"), col("p.b"), hamming(col("p.fa"), col("p.fb")).as("hamming"))
+      .dropDuplicates("a", "b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dups within blocking buckets (same
+    * `blockCols` values — e.g. language + length band). The block keys
+    * bound the pairwise term; at 100 TB choose blocks so bucket sizes
+    * stay ~10³. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[Column], n: Int = 3,
+                        threshold: Double = 0.3): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"),
+      struct(blockCols: _*).as("__blk"))
+    // distinct column names on each side — a self-join on a shared
+    // lineage column resolves to a trivially-true predicate otherwise
+    val a = base.select(col("__blk").as("__blka"), col("__id").as("a"), col("__sh").as("sha_"))
+    val b = base.select(col("__blk").as("__blkb"), col("__id").as("b"), col("__sh").as("shb_"))
+    a.join(b, col("__blka") === col("__blkb") && col("a") < col("b"))
+      .withColumn("jaccard", jaccard(col("sha_"), col("shb_")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *   query set against the corpus; one scan, no corpus shuffle. The
+  *   100 TB baseline: the corpus is only ever read, never joined to
+  *   itself.
+  * - [[lshTopK]] — random-hyperplane LSH: corpus is bucketed by sign
+  *   bits once (write-time amortizable), queries probe their bucket plus
+  *   Hamming-1 neighbors; candidate set per query is a small fraction of
+  *   the corpus.
+  * - [[embeddingNearDups]] — near-duplicate pairs by cosine within LSH
+  *   buckets (no all-pairs).
+  *
+  * Dot products are built from `zip_with` + `aggregate` (codegen'd
+  * higher-order functions — no UDF, no MLlib dependency).
+  */
+object Similarity {
+
+  /** Cast float vectors to double before arithmetic so accumulation is
+    * double-precision end to end. */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential left-fold dot product — deterministic evaluation
+    * order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries(qIdCol, vecCol)` is broadcast (must be driver-small);
+    * `corpus(cIdCol, vecCol)` is scanned once. Returns
+    * (query_id, rank, neighbor_id, cosine). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qIdCol: String = "vec_id", cIdCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes, seeded. */
+  private[llm] def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Pack the sign bits of `vec · h_i` into one int bucket key. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0d, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via random-hyperplane LSH with Hamming-1 multiprobe:
+    * corpus rows key by their bucket; each query probes its own bucket
+    * and every bucket one bit-flip away (nBits+1 probes). Shuffle is by
+    * bucket key; per-bucket candidate lists stay ~corpus/2^nBits. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 12, seed: Long = 42L,
+              qIdCol: String = "vec_id", cIdCol: String = "vec_id",
+              vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col(cIdCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", lshBucket(col("__cv"), planes))
+    val qBase = queries.select(col(qIdCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__b0", lshBucket(col("__qv"), planes))
+    // probe own bucket + each Hamming-1 neighbor
+    val probes = qBase.select(col("query_id"), col("__qv"),
+      explode(array(col("__b0") +:
+        (0 until nBits).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*)).as("__bucket"))
+    val cands = probes.join(c, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket by LSH signature,
+    * pair within buckets only, verify cosine ≥ threshold. */
+  def embeddingNearDups(df: DataFrame, threshold: Double = 0.95,
+                        nBits: Int = 8, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxBucket: Int = 10000, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val keyed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val buckets = keyed.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+    buckets.select(explode(flatten(
+        transform(col("ms"), (m, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))), other =>
+            struct(m.getField("id").as("a"), other.getField("id").as("b"),
+                   m.getField("v").as("va"), other.getField("v").as("vb")))))).as("p"))
+      .select(col("p.a"), col("p.b"), cosine(col("p.va"), col("p.vb")).as("cosine"))
+      .dropDuplicates("a", "b")
+      .where(col("cosine") >= threshold)
+  }
+}

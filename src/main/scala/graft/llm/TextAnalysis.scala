@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * builtin-expression compositions (codegen'd, no UDF, no shuffle) —
+  * they scale as a map-only pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    when(trim(c) === "", 0).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
+    * suffixes / letter runs / digit runs / punctuation runs / spaces);
+    * counts pre-tokens, a good proxy for BPE token counts at corpus
+    * scale. */
+  private val bpeRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpeRe))
+
+  // public: SparkEntry mirrors these lists into the DuckDB oracle SQL
+  val enStop = Seq("the", "of", "and", "a", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "was", "are", "be",
+    "or", "an", "not", "but", "from", "they", "his", "her", "she", "he", "we")
+  val deStop = Seq("der", "die", "das", "und", "ist", "ich", "nicht",
+    "ein", "eine", "mit", "für", "auf", "des", "dem", "den", "von", "zu", "im")
+  val frStop = Seq("le", "la", "les", "et", "est", "je", "ne", "pas",
+    "un", "une", "avec", "pour", "sur", "des", "du", "de", "en", "dans", "que")
+  val esStop = Seq("el", "la", "los", "las", "y", "es", "yo", "no",
+    "un", "una", "con", "para", "en", "por", "del", "se", "que", "su", "al")
+
+  private def words(c: Column): Column = split(Dedup.normalizeText(c), " ")
+
+  private def stopHits(ws: Column, stops: Seq[String]): Column = {
+    val set = array(stops.map(lit): _*)
+    size(array_intersect(ws, set))
+  }
+
+  /** Per-language stopword hit scores (distinct stopwords present). */
+  def langScores(c: Column): Column = {
+    val ws = array_distinct(words(c))
+    struct(
+      stopHits(ws, enStop).as("en"), stopHits(ws, deStop).as("de"),
+      stopHits(ws, frStop).as("fr"), stopHits(ws, esStop).as("es"),
+      // zh: character-level — CJK codepoint count dominates
+      regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")).as("zh"))
+  }
+
+  /** Language ID by stopword/charset heuristic; deterministic tie-break
+    * order en > de > es > fr > zh, 'und' (undetermined) when no signal. */
+  def langId(c: Column): Column = {
+    val s = langScores(c)
+    val (en, de, fr, es, zh) =
+      (s.getField("en"), s.getField("de"), s.getField("fr"), s.getField("es"),
+        s.getField("zh"))
+    val mx = greatest(en, de, fr, es, zh)
+    when(mx === 0, "und")
+      .when(zh === mx, "zh")
+      .when(en === mx, "en")
+      .when(de === mx, "de")
+      .when(es === mx, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality-signal columns (Gopher-style length/punct/stopword rules).
+    * Returns a struct; `qualityOk` flattens to the keep decision. */
+  def qualityStats(c: Column): Column = {
+    val ws = words(c)
+    val nWords = size(ws).cast("double")
+    val nChars = length(c).cast("double")
+    val meanWordLen = when(nWords > 0,
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords)
+      .otherwise(0d)
+    val punct = regexp_count(c, lit("[\\p{Punct}]")).cast("double")
+    val digits = regexp_count(c, lit("[0-9]")).cast("double")
+    val upper = regexp_count(c, lit("[A-Z]")).cast("double")
+    val stop = stopHits(ws, enStop).cast("double")
+    struct(
+      size(ws).as("n_words"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(when(nChars > 0, punct / nChars).otherwise(0d), 4).as("punct_ratio"),
+      round(when(nChars > 0, digits / nChars).otherwise(0d), 4).as("digit_ratio"),
+      round(when(nChars > 0, upper / nChars).otherwise(0d), 4).as("upper_ratio"),
+      round(when(nWords > 0, stop / nWords).otherwise(0d), 4).as("stop_ratio"))
+  }
+
+  /** Gopher-ish keep decision over [[qualityStats]]. */
+  def qualityOk(stats: Column,
+                minWords: Int = 10, maxWords: Int = 100000,
+                minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                maxPunctRatio: Double = 0.3): Column =
+    stats.getField("n_words").between(minWords, maxWords) &&
+      stats.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      stats.getField("punct_ratio") <= maxPunctRatio
+
+  /** Rolling-hash document fingerprint: left fold of a polynomial hash
+    * over per-word codes, mod 1e9+7 (stays well inside int64 —
+    * acc < P, acc*131 + code < 2^63). Deterministic and
+    * engine-portable (same fold is expressible in ANSI SQL reducers). */
+  def fingerprint(c: Column): Column = {
+    val P = 1000000007L
+    val ws = words(c)
+    val codes = transform(ws, w =>
+      (coalesce(ascii(substring(w, 1, 1)).cast("long"), lit(0L)) * 31L +
+        length(w).cast("long") * 17L) % P)
+    aggregate(codes, lit(0L), (acc, x) => (acc * 131L + x) % P)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.columns.ColumnNs
+
+/** Sinks K1-K6, K16, K17 (SURVEY.md §2.2).
+  *
+  * The reference writes exactly ONE JSON/CSV file per sink with an
+  * optional timestamped name (`Load/Factories/AdapterFactory.php:
+  * 101-146`). Single-file outputs use `coalesce(1)` ONLY at the
+  * terminal sink (never mid-plan — SURVEY §7.4-6); the partitioned
+  * variants (`writeJson`/`writeCsv` without `singleFile`) are the scale
+  * path.
+  */
+object Sinks {
+
+  /** Destination naming (`AdapterFactory.php:128-146`): `dir/file.ext`
+    * when overwriting, `dir/file-<timestamp>.ext` otherwise. */
+  def destination(dir: String, file: String, overwrite: Boolean,
+                  timestamp: Long = System.currentTimeMillis() / 1000): String = {
+    val (base, ext) = file.lastIndexOf('.') match {
+      case -1 => (file, "")
+      case i  => (file.substring(0, i), file.substring(i))
+    }
+    if (overwrite) s"$dir/$base$ext" else s"$dir/$base-$timestamp$ext"
+  }
+
+  /** K1 — JSON writer (JSONL; splittable, the at-scale format). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K2 — CSV writer. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header).csv(path)
+
+  /** K1 single-file form: one `.json` file at exactly `path` (reference
+    * parity). `pretty` rewrites the file as an indented JSON array —
+    * driver-side, so only for reference-scale outputs. */
+  def writeJsonSingle(df: DataFrame, path: String, pretty: Boolean = false): Unit = {
+    writeSingle(df, path, "json")(d => d.write.mode(SaveMode.Overwrite).json(_))
+    if (pretty) prettify(df.sparkSession, path)
+  }
+
+  /** K2 single-file form. */
+  def writeCsvSingle(df: DataFrame, path: String, header: Boolean = true): Unit =
+    writeSingle(df, path, "csv")(d => p =>
+      d.write.mode(SaveMode.Overwrite).option("header", header).csv(p))
+
+  private def writeSingle(df: DataFrame, path: String, ext: String)
+                         (w: DataFrame => String => Unit): Unit = {
+    val tmp = path + ".__tmp__"
+    w(df.coalesce(1))(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(tmp), conf)
+    val part = fs.globStatus(new Path(tmp, s"part-*"))
+      .headOption.getOrElse(sys.error(s"writeSingle: no part file under $tmp"))
+    val dest = new Path(path)
+    fs.delete(dest, false)
+    Option(dest.getParent).foreach(fs.mkdirs(_))
+    fs.rename(part.getPath, dest)
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Reference `flags: pretty` (`AdapterFactory.php:102-107`): JSONL →
+    * indented JSON array. Driver-side single-file transform. */
+  private def prettify(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    val body = lines.map(l => "  " + l).mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes("UTF-8"))
+  }
+
+  /** K3 — collect-to-array (`to_array`); driver-side by definition. */
+  def toArray(df: DataFrame): Array[org.apache.spark.sql.Row] = df.collect()
+
+  /** K4 — debug output (`to_output`). */
+  def debug(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** K5 — prefix-scoped sink wrapper (`AdapterFactory.php:157-170`):
+    * project to `prefix.*` (optionally stripping) before any write. */
+  def prefixScoped(df: DataFrame, prefixes: Seq[String], removePrefix: Boolean)
+                  (write: DataFrame => Unit): Unit =
+    write(ColumnNs.selectPrefix(df, prefixes, removePrefix))
+
+  /** K16 — ledger writer: `ledger.*` fields (stripped) + the row uid,
+    * one JSON file `dir/name-ledger-<runId>.json`
+    * (`LedgerLoader.php:47-60`, `WithLedger.php:81-104`). */
+  def writeLedger(df: DataFrame, dir: String, name: String, runId: String,
+                  uidCol: String = "etl.uid"): Unit = {
+    val cols = graft.columns.ColumnNs.q(uidCol).as("etl_uid") +:
+      df.columns.filter(_.startsWith("ledger.")).toSeq
+        .map(c => graft.columns.ColumnNs.q(c).as(c.stripPrefix("ledger.")))
+    writeJsonSingle(df.select(cols: _*), s"$dir/$name-ledger-$runId.json")
+  }
+
+  // ------------------------------------------------------------------
+  // K6 — synchronous multi-loader chain with row-mutation hand-off
+  // (`SynchronousPipelineLoader.php:40-64`): loaders that generate IDs
+  // (posts/terms/media) enrich the batch consumed by later loaders
+  // (meta/terms/ledger). Modeled as an ordered list of enrichment
+  // stages and terminal writes over one cached DataFrame (SURVEY
+  // §7.4-1).
+  // ------------------------------------------------------------------
+  sealed trait LoadStep
+  /** A loader that mutates rows (adds IDs): DataFrame => DataFrame. */
+  final case class Enrich(name: String, f: DataFrame => DataFrame) extends LoadStep
+  /** A pure sink. */
+  final case class Write(name: String, f: DataFrame => Unit) extends LoadStep
+
+  /** Run the chain; the frame is cached at each enrichment boundary so
+    * downstream sinks reuse the computed batch instead of recomputing
+    * the lineage (the reference streams each batch through all loaders
+    * once — caching is the set-oriented equivalent). Returns the final
+    * enriched frame. */
+  def runChain(df: DataFrame, steps: Seq[LoadStep]): DataFrame = {
+    var cur = df.cache()
+    steps.foreach {
+      case Enrich(_, f) =>
+        val next = f(cur).cache()
+        cur.unpersist()
+        cur = next
+      case Write(_, f) => f(cur)
+    }
+    cur
+  }
+
+  /** K17 — composite `WP_Post_All` expansion: the macro loader expands
+    * to media → post → meta → terms in that fixed order, deduping
+    * members already listed explicitly
+    * (`Load/Orchestrator.php:115-147`). */
+  def expandComposite(steps: Seq[String],
+                      composites: Map[String, Seq[String]] = Map(
+                        "wp_post_all" -> Seq("wp_post_media", "wp_post", "wp_post_meta", "wp_post_terms")
+                      )): Seq[String] = {
+    val out = steps.flatMap(s => composites.getOrElse(s.toLowerCase, Seq(s)))
+    out.distinct
+  }
+}

@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import graft.columns.ColumnNs
+
+/** Sources S1-S5, S9-S11 (SURVEY.md §2.1).
+  *
+  * File readers are the Spark builtins (distributed, splittable); the
+  * XML reader is a driver-side `scala.xml` parse (the container ships no
+  * spark-xml) — reference XML inputs are RSS feeds, KB-MB config-scale
+  * files (`AdapterFactory.php:152-169`), so a driver parse is the right
+  * cost model; the resulting DataFrame is distributed as usual.
+  */
+object Sources {
+
+  /** S1 — CSV scan (`AdapterFactory.php:63-72`). */
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true,
+              delimiter: String = ",", inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header)
+      .option("delimiter", delimiter)
+      .option("inferSchema", inferSchema)
+      .csv(path)
+
+  /** S2 — JSON scan; reference JSON files are arrays of objects
+    * (`AdapterFactory.php:80-89`), hence multiLine. Set
+    * `multiLine=false` for JSONL at scale (splittable). */
+  def readJson(spark: SparkSession, path: String, multiLine: Boolean = true): DataFrame =
+    spark.read.option("multiLine", multiLine).json(path)
+
+  /** S3 — XML scan with node path (default `rss/channel/item`,
+    * `AdapterFactory.php:159`). Every emitted row has one string column
+    * per child element of the node; the column set is the union over all
+    * nodes (missing children are null), matching the row-merge union
+    * semantics (`Extract/Orchestrator.php:216-227`). */
+  def readXml(spark: SparkSession, path: String,
+              nodePath: String = "rss/channel/item"): DataFrame = {
+    val root = scala.xml.XML.loadFile(path)
+    val segs = nodePath.split("/").filter(_.nonEmpty).toList
+    val rel = if (segs.nonEmpty && segs.head == root.label) segs.tail else segs
+    val nodes = rel.foldLeft(Seq[scala.xml.Node](root)) { (acc, seg) =>
+      acc.flatMap(n => (n \ seg))
+    }
+    val rowsData: Seq[Map[String, String]] = nodes.map { n =>
+      n.child.collect {
+        case e: scala.xml.Elem => e.label -> e.text
+      }.toMap
+    }
+    val colNames = rowsData.foldLeft(Vector.empty[String]) { (acc, m) =>
+      acc ++ m.keys.filterNot(acc.contains)
+    }
+    val schema = StructType(colNames.map(c => StructField(c, StringType, nullable = true)))
+    val rows = rowsData.map(m => Row.fromSeq(colNames.map(c => m.get(c).orNull)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+  }
+
+  /** S4 — RSS-over-HTTP with disk cache: body cached at
+    * `cacheDir/md5(url).xml` (`AdapterFactory.php:97-144`), then the S3
+    * reader. Supports file:// URLs (tests / offline). */
+  def readRss(spark: SparkSession, url: String, cacheDir: String,
+              nodePath: String = "rss/channel/item",
+              timeoutMs: Int = 60000): DataFrame = {
+    val cached = cachePath(cacheDir, url)
+    if (!cached.exists()) {
+      cached.getParentFile.mkdirs()
+      val conn = new java.net.URL(url).openConnection()
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      val in = conn.getInputStream
+      try Files.copy(in, cached.toPath, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
+    readXml(spark, cached.getPath, nodePath)
+  }
+
+  private[sources] def cachePath(cacheDir: String, url: String): File = {
+    val md5 = MessageDigest.getInstance("MD5").digest(url.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new File(cacheDir, s"$md5.xml")
+  }
+
+  /** S5 — RSS multi-source fan-out: iterate `url?page=N`
+    * (`RSSMultiSourceIterator.php:41-88`), read each page, merge with
+    * union-by-name (distributed — no driver collect, unlike the
+    * reference's `to_array` merge). Stops at the first empty page or
+    * `maxPages`. */
+  def readRssMultiSource(spark: SparkSession, urlPattern: String,
+                         cacheDir: String, start: Int = 1, increment: Int = 1,
+                         maxPages: Int = 10,
+                         nodePath: String = "rss/channel/item"): DataFrame = {
+    val pages = Iterator.iterate(start)(_ + increment)
+      .take(maxPages)
+      .map(p => readRss(spark, urlPattern.replace("%d", p.toString), cacheDir, nodePath))
+      .takeWhile(df => !df.isEmpty)
+      .toSeq
+    require(pages.nonEmpty, s"readRssMultiSource: no pages read from $urlPattern")
+    ColumnNs.mergeAll(pages)
+  }
+
+  /** S9 — in-memory scan (`from_array`). */
+  def fromRows(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+
+  /** S10 — ledger scan: glob `name-ledger-*.json`, pick the latest
+    * (lexicographically greatest — run ids are sortable timestamps),
+    * read as a DataFrame (`LedgerRegistry.php:93-129`). */
+  def ledgerLatest(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"$name-ledger-") && f.getName.endsWith(".json"))
+    require(files.nonEmpty, s"ledgerLatest: no '$name-ledger-*.json' under $dir")
+    val latest = files.maxBy(_.getName)
+    spark.read.json(latest.getPath)
+  }
+
+  /** S11 — local file finder: resolve `file` under `base`, searching
+    * subdirectories (`LocalFileSystemExtractor.php:44-91`). */
+  def findFile(base: String, file: String): Option[File] = {
+    val direct = new File(base, file)
+    if (direct.isFile) Some(direct)
+    else {
+      val stack = scala.collection.mutable.Stack(new File(base))
+      var found: Option[File] = None
+      while (found.isEmpty && stack.nonEmpty) {
+        val d = stack.pop()
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        found = kids.find(f => f.isFile && f.getName == file)
+        kids.filter(_.isDirectory).foreach(stack.push)
+      }
+      found
+    }
+  }
+}
