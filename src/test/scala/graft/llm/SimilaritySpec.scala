@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val cs = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cs(0)) < 1e-12)
+    assert(math.abs(cs(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors excluding self") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 2), emb, k = 3)
+    val grouped = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(grouped.keySet == Set(0L, 1L))
+    grouped.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+      // descending cosine within the group
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+      assert(!rows.exists(r => r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("lshTopK recall vs brute force on clustered vectors") {
+    // clustered corpus: LSH recall is only meaningful when true near
+    // neighbors exist (uniform-random vectors have none)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val points = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 20
+    } yield ((ci * 20 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val corpus = points.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 20 === 0) // one per cluster
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(queries, corpus, k = 5, nBits = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
+  }
+
+  test("embeddingNearDups finds an exact duplicate vector") {
+    val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
+    val w = Seq.tabulate(64)(i => math.cos(i * 2).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, threshold = 0.99, nBits = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

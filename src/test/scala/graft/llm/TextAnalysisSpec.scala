@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId detects language by stopwords / CJK charset") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it was not a dog"),
+      (2L, "der Hund ist nicht mit der Katze und dem Vogel"),
+      (3L, "le chat est sur la table avec le chien et les oiseaux"),
+      (4L, "el perro es un animal y la casa es grande con los gatos"),
+      (5L, "这是一个中文句子"),
+      (6L, "zzz qqq xxx")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de"); assert(out(3L) == "fr")
+    assert(out(4L) == "es"); assert(out(5L) == "zh"); assert(out(6L) == "und")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = Seq("Hello world, it's 42 degrees!").toDF("t")
+    val ws = df.select(TextAnalysis.wsTokenCount(col("t"))).as[Int].head()
+    assert(ws == 5)
+    val bpe = df.select(TextAnalysis.bpeTokenCount(col("t"))).as[Int].head()
+    // Hello| world|,| it|'s| 42| degrees|! -> 8 pre-tokens
+    assert(bpe == 8)
+    assert(df.sparkSession.range(1).select(
+      TextAnalysis.wsTokenCount(lit(""))).as[Int].head() == 0)
+  }
+
+  test("qualityStats + qualityOk thresholds") {
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    val short = "hi"
+    val punct = "!!! ??? ;;; ### !!! ??? ;;; ### !!! ??? ;;; ###"
+    val df = Seq((1L, good), (2L, short), (3L, punct)).toDF("id", "t")
+      .withColumn("st", TextAnalysis.qualityStats(col("t")))
+      .select(col("id"), TextAnalysis.qualityOk(col("st")).as("ok"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m(1L)); assert(!m(2L)); assert(!m(3L))
+  }
+
+  test("fingerprint is deterministic and discriminating") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "alpha beta delta"))
+      .toDF("id", "t")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert(fps.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sinks.Sinks
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_spec").toFile.getPath
+
+  test("csv roundtrip preserves values (S1/K2)") {
+    val dir = tmp() + "/csv"
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)).toDF("id", "name", "x")
+    Sinks.writeCsv(df, dir)
+    val back = Sources.readCsv(spark, dir)
+      .select(col("id").cast("long"), col("name"), col("x").cast("double"))
+    assert(rowsOf(back) == rowsOf(df))
+  }
+
+  test("single-file json writer produces exactly one file at the path (K1)") {
+    val path = tmp() + "/out.json"
+    Sinks.writeJsonSingle(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    val f = new java.io.File(path)
+    assert(f.isFile)
+    val lines = scala.io.Source.fromFile(f).getLines().toList
+    assert(lines.size == 2 && lines.forall(_.startsWith("{")))
+  }
+
+  test("pretty json writes an indented array (K1 flags)") {
+    val path = tmp() + "/pretty.json"
+    Sinks.writeJsonSingle(Seq((1, "a")).toDF("id", "v"), path, pretty = true)
+    val body = scala.io.Source.fromFile(path).mkString
+    assert(body.startsWith("[\n") && body.endsWith("\n]"))
+  }
+
+  test("destination naming: overwrite vs timestamped (K1 dest)") {
+    assert(Sinks.destination("/d", "f.json", overwrite = true) == "/d/f.json")
+    assert(Sinks.destination("/d", "f.json", overwrite = false, timestamp = 42L)
+      == "/d/f-42.json")
+  }
+
+  test("xml reader extracts node-path rows with union-of-children columns (S3)") {
+    val dir = tmp()
+    val f = new java.io.File(dir, "feed.xml")
+    Files.write(f.toPath,
+      ("<rss><channel><item><a>1</a><b>x</b></item>" +
+        "<item><a>2</a><c>y</c></item></channel></rss>").getBytes("UTF-8"))
+    val df = Sources.readXml(spark, f.getPath)
+    assert(df.columns.toSet == Set("a", "b", "c"))
+    val rows = df.collect().map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[String]("c"))).toSet
+    assert(rows == Set(("1", "x", null), ("2", null, "y")))
+  }
+
+  test("rss reader caches by md5(url) and rereads from cache (S4)") {
+    val dir = tmp()
+    val f = new java.io.File(dir, "feed.xml")
+    Files.write(f.toPath,
+      "<rss><channel><item><t>hello</t></item></channel></rss>".getBytes("UTF-8"))
+    val cacheDir = tmp()
+    val url = f.toURI.toString
+    val df1 = Sources.readRss(spark, url, cacheDir)
+    assert(df1.select("t").as[String].head() == "hello")
+    assert(Sources.cachePath(cacheDir, url).exists())
+    // source file deleted -> served from cache
+    f.delete()
+    val df2 = Sources.readRss(spark, url, cacheDir)
+    assert(df2.select("t").as[String].head() == "hello")
+  }
+
+  test("rss multi-source fans out pages and merges by name (S5)") {
+    val dir = tmp()
+    for (p <- 1 to 2) {
+      Files.write(new java.io.File(dir, s"p$p.xml").toPath,
+        s"<rss><channel><item><v>$p</v></item></channel></rss>".getBytes("UTF-8"))
+    }
+    val cacheDir = tmp()
+    val df = Sources.readRssMultiSource(spark,
+      new java.io.File(dir, "p%d.xml").toURI.toString.replace("p%25d", "p%d"),
+      cacheDir, start = 1, maxPages = 2)
+    assert(df.select("v").as[String].collect().toSet == Set("1", "2"))
+  }
+
+  test("ledger write + glob-latest read-back (K16/S10)") {
+    val dir = tmp()
+    val df = Seq(("u1", 1L, "ok"), ("u2", 2L, "ok"))
+      .toDF("etl.uid", "ledger.id", "ledger.status")
+    Sinks.writeLedger(df, dir, "job", "001")
+    Sinks.writeLedger(df.limit(1), dir, "job", "002") // later run wins
+    val back = Sources.ledgerLatest(spark, dir, "job")
+    assert(back.count() == 1)
+    assert(back.columns.toSet == Set("etl_uid", "id", "status"))
+  }
+
+  test("file finder searches subdirectories (S11)") {
+    val dir = tmp()
+    val sub = new java.io.File(dir, "a/b"); sub.mkdirs()
+    val f = new java.io.File(sub, "target.csv")
+    Files.write(f.toPath, "x".getBytes)
+    assert(Sources.findFile(dir, "target.csv").map(_.getName).contains("target.csv"))
+    assert(Sources.findFile(dir, "absent.csv").isEmpty)
+  }
+
+  test("runChain: enrichment output feeds later sinks (K6 row-mutation)") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    var seen: Option[Set[String]] = None
+    val out = Sinks.runChain(df, Seq(
+      Sinks.Enrich("add-id", d => d.withColumn("gen_id", col("id") + 100)),
+      Sinks.Write("capture", d => seen = Some(d.columns.toSet))))
+    assert(seen.contains(Set("id", "v", "gen_id")))
+    assert(out.columns.contains("gen_id"))
+  }
+
+  test("expandComposite expands wp_post_all in fixed order with dedup (K17)") {
+    val out = Sinks.expandComposite(Seq("wp_post_media", "wp_post_all", "ledger"))
+    assert(out == Seq("wp_post_media", "wp_post", "wp_post_meta", "wp_post_terms", "ledger"))
+  }
+}
