@@ -296,6 +296,145 @@ object Queries {
       WHERE lower(r_name) NOT IN (SELECT lower(r_name) FROM region WHERE r_regionkey <= 1)
       ORDER BY slug"""))
 
+  private val k14Media = QueryDef("k14_media_resolve",
+    (s, d) => {
+      val p = t(s, d, "part")
+      val attachments = p.filter(col("p_partkey") % 2 === 0).select(
+        col("p_partkey").as("attachment_id"),
+        concat(Fns.toSlug(col("p_name")), lit(".jpg")).as("filename"))
+      val media = p.filter(col("p_partkey") % 3 === 0).select(
+        col("p_partkey").as("entity_id"),
+        concat(lit("http://cdn.example.com/m/"),
+          when(col("p_partkey") % 2 === 0, concat(Fns.toSlug(col("p_name")), lit(".jpg")))
+            .otherwise(concat(lit("new-"), col("p_partkey").cast("string"), lit(".jpg"))))
+          .as("url"))
+      operators.Media.resolveAttachments(media, attachments)
+        .orderBy(col("entity_id"))
+    },
+    Some(s"""WITH att AS (
+        SELECT p_partkey AS attachment_id, ${sqlSlug("p_name")}||'.jpg' AS filename
+        FROM part WHERE p_partkey % 2 = 0),
+      media AS (
+        SELECT p_partkey AS entity_id,
+          'http://cdn.example.com/m/'||
+            (CASE WHEN p_partkey % 2 = 0 THEN ${sqlSlug("p_name")}||'.jpg'
+                  ELSE 'new-'||p_partkey||'.jpg' END) AS url
+        FROM part WHERE p_partkey % 3 = 0),
+      named AS (SELECT entity_id, url,
+          lower(regexp_extract(regexp_replace(url,'[?#].*$$',''),'[^/]+$$')) AS filename
+        FROM media),
+      du AS (SELECT DISTINCT url, filename FROM named),
+      hits AS (SELECT du.url, min(att.attachment_id) AS attachment_id
+        FROM du JOIN att ON att.filename = du.filename GROUP BY du.url),
+      mx AS (SELECT COALESCE(MAX(attachment_id),0) AS m FROM att),
+      newids AS (SELECT url, (SELECT m FROM mx) + ROW_NUMBER() OVER (ORDER BY url) AS attachment_id
+        FROM du WHERE url NOT IN (SELECT url FROM hits))
+      SELECT n.entity_id, n.url, n.filename,
+        COALESCE(h.attachment_id, ni.attachment_id) AS attachment_id,
+        (h.attachment_id IS NULL) AS is_new
+      FROM named n LEFT JOIN hits h ON n.url = h.url
+        LEFT JOIN newids ni ON n.url = ni.url
+      ORDER BY entity_id"""))
+
+  private val k15Subst = QueryDef("k15_placeholder_subst",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val df = o.select(col("o_orderkey").as("oid"),
+        lit("img: %%media.hero.url%% id: %%media.hero.attachment_id%%").as("body"))
+      val resolved = o.select(col("o_orderkey").as("entity_id"),
+          lit("media.hero.url").as("token"),
+          concat(lit("http://cdn/x/"), col("o_orderkey").cast("string"), lit(".jpg")).as("value"))
+        .unionByName(o.select(col("o_orderkey").as("entity_id"),
+          lit("media.hero.attachment_id").as("token"),
+          (col("o_orderkey") + 5000).cast("string").as("value")))
+      WpLoad.substitutePlaceholders(df, "oid", resolved, Seq("body"))
+        .orderBy(col("oid"))
+    },
+    Some("""SELECT o_orderkey AS oid,
+      replace(replace('img: %%media.hero.url%% id: %%media.hero.attachment_id%%',
+        '%%media.hero.url%%', 'http://cdn/x/'||o_orderkey||'.jpg'),
+        '%%media.hero.attachment_id%%', CAST(o_orderkey + 5000 AS VARCHAR)) AS body
+      FROM orders ORDER BY oid"""))
+
+  private val k6Chain = QueryDef("k6_enrichment_chain",
+    (s, d) => {
+      val df = t(s, d, "part").select(col("p_partkey"), col("p_name"))
+      graft.sinks.Sinks.runChain(df, Seq(
+        graft.sinks.Sinks.Enrich("assign-id",
+          dd => dd.withColumn("gen_id", col("p_partkey") + 100000)),
+        graft.sinks.Sinks.Enrich("slugify",
+          dd => dd.withColumn("slug", Fns.toSlug(col("p_name"))))))
+        .orderBy(col("p_partkey"))
+    },
+    Some(s"""SELECT p_partkey, p_name, p_partkey + 100000 AS gen_id,
+      ${sqlSlug("p_name")} AS slug
+      FROM part ORDER BY p_partkey"""))
+
+  private val p8Validate = QueryDef("p8_validation_routing",
+    (s, d) => {
+      val df = t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity"), col("l_discount"), col("l_returnflag"))
+      operators.Validation.validate(df, Seq(
+          "qty_in_range" -> col("l_quantity").between(1, 45),
+          "low_discount" -> (col("l_discount") <= 0.08),
+          "not_returned" -> (col("l_returnflag") =!= "R")))
+        .select(col("rid"), col("errors"), col("is_valid"))
+        .orderBy(col("rid"))
+    },
+    Some("""SELECT l_orderkey*10+l_linenumber AS rid,
+      list_filter([
+        CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 'qty_in_range' END,
+        CASE WHEN NOT (l_discount <= 0.08) THEN 'low_discount' END,
+        CASE WHEN NOT (l_returnflag <> 'R') THEN 'not_returned' END],
+        x -> x IS NOT NULL) AS errors,
+      len(list_filter([
+        CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 'qty_in_range' END,
+        CASE WHEN NOT (l_discount <= 0.08) THEN 'low_discount' END,
+        CASE WHEN NOT (l_returnflag <> 'R') THEN 'not_returned' END],
+        x -> x IS NOT NULL)) = 0 AS is_valid
+      FROM lineitem ORDER BY rid"""))
+
+  private val p8Stats = QueryDef("p8_validation_stats",
+    (s, d) => {
+      val df = t(s, d, "lineitem").select(col("l_quantity"), col("l_discount"))
+      val rules = Seq(
+        "qty_in_range" -> col("l_quantity").between(1, 45),
+        "low_discount" -> (col("l_discount") <= 0.08))
+      operators.Validation.stats(
+        operators.Validation.validate(df, rules), rules.map(_._1))
+    },
+    Some("""SELECT count(*) AS total,
+      SUM(CASE WHEN (l_quantity BETWEEN 1 AND 45) AND l_discount <= 0.08 THEN 1 ELSE 0 END) AS valid,
+      SUM(CASE WHEN (l_quantity BETWEEN 1 AND 45) AND l_discount <= 0.08 THEN 0 ELSE 1 END) AS rejected,
+      SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS n_qty_in_range,
+      SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS n_low_discount
+      FROM lineitem"""))
+
+  private val s6MetaEmbed = QueryDef("s6_posts_meta_embed",
+    (s, d) => {
+      val posts = t(s, d, "orders").select(col("o_orderkey").as("id"),
+        lit("post").as("post_type"), lit("publish").as("post_status"),
+        col("o_custkey").as("post_author"), col("o_orderpriority").as("post_title"))
+      val meta = t(s, d, "lineitem").select(col("l_orderkey").as("post_id"),
+        concat(lit("line_"), col("l_linenumber").cast("string")).as("meta_key"),
+        col("l_quantity").cast("string").as("meta_value"))
+      WpReaders.readPosts(posts, meta = Some(meta),
+          opts = WpReaders.PostsOpts(withMeta = true, limit = Some(500)))
+        .select(col("id"), col("post_title"), col("meta"))
+        .orderBy(col("id"))
+    },
+    None) // map-typed embedding: key order is engine-specific — spec-covered
+
+  private val annIvf = QueryDef("ann_ivf",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None) // KMeans-partitioned candidates; recall asserted in SimilaritySpec
+
   // ========================================================================
   // Entity readers (S6-S8)
   // ========================================================================
@@ -928,7 +1067,8 @@ object Queries {
   val all: Vector[QueryDef] = Vector(
     q1Agg, q3Topn, q5Region, a2Collect, a5Merge, a6Dedup,
     k7Upsert, k8Exists, k9Meta, k12Tax, k10Parents,
-    s6Posts, s7Terms, s8Users,
+    k14Media, k15Subst, k6Chain, p8Validate, p8Stats,
+    s6Posts, s6MetaEmbed, s7Terms, s8Users, annIvf,
     p2Roundtrip, p3Rename, p6Skip, p7Nest,
     f7Slug, f8Explode, f9Nullif, f10StrNull, f11Simple,
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,

@@ -102,6 +102,45 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus with KMeans
+    * (seeded — deterministic), assign each vector to its centroid
+    * bucket, and search only the `nProbe` nearest buckets per query.
+    * The scale path when the corpus is re-searched many times: the
+    * clustered assignment amortizes like an index (persist it), each
+    * query touches ~nProbe/nCentroids of the corpus, shuffled by
+    * cluster id. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              qIdCol: String = "vec_id", cIdCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("features", toVec(col("__cv")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(c)
+    val assigned = model.transform(c).select(col("neighbor_id"), col("__cv"), col("cluster"))
+    // nProbe nearest centroids per query, via literal centroid arrays
+    val centroids = model.clusterCenters.map(_.toArray)
+    val centStructs = centroids.zipWithIndex.map { case (ctr, i) =>
+      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+      struct((-dot(col("__qv"), ctrLit)).as("negdot"), lit(i).as("cluster"))
+    }
+    val q = queries.select(col(qIdCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__probes",
+        slice(sort_array(array(centStructs.toIndexedSeq: _*)), 1, nProbe))
+      .select(col("query_id"), col("__qv"), explode(col("__probes.cluster")).as("cluster"))
+    val cands = q.join(assigned, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by LSH signature,
     * pair within buckets only, verify cosine ≥ threshold. */
   def embeddingNearDups(df: DataFrame, threshold: Double = 0.95,

@@ -49,9 +49,12 @@ object WpReaders {
     if (opts.withMeta) {
       val m = meta.getOrElse(sys.error("readPosts: withMeta requires meta table"))
       // map<key, array<value>> like get_post_meta (single=false returns
-      // arrays per key — WPPostsExtractor.php:59)
-      val metaMap = m.groupBy(col("post_id"))
-        .agg(map_from_entries(collect_list(struct(col("meta_key"), col("meta_value"))))
+      // ALL values per key — WPPostsExtractor.php:59); two-level
+      // aggregation so duplicate keys fold into the value array
+      val metaMap = m.groupBy(col("post_id"), col("meta_key"))
+        .agg(sort_array(collect_list(col("meta_value"))).as("__vals"))
+        .groupBy(col("post_id"))
+        .agg(map_from_entries(collect_list(struct(col("meta_key"), col("__vals"))))
           .as("meta"))
       df = df.join(metaMap, df("id") === metaMap("post_id"), "left_outer")
         .drop("post_id")

@@ -51,4 +51,19 @@ class HtmlBlocksSpec extends SparkSpec {
     assert(r(0).getString(0).startsWith("<!-- wp:group"))
     assert(r(1).isNullAt(0))
   }
+
+  test("converts a 1000-element document quickly (linear-time scan)") {
+    val html = (1 to 1000).map(i => s"<p>para $i with <b>markup</b></p>").mkString
+    val t0 = System.nanoTime()
+    val out = convert(html)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out.split("<!-- wp:paragraph -->").length == 1001)
+    assert(elapsedMs < 1000, s"topLevel scan took $elapsedMs ms for 1000 elements")
+  }
+
+  test("self-closing nested tags do not break depth tracking") {
+    val out = convert("<div><div/>inner</div><p>after</p>")
+    assert(out.contains("<div><div/>inner</div>"))
+    assert(out.contains("<p>after</p>"))
+  }
 }

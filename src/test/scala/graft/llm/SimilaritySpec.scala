@@ -47,6 +47,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
   }
 
+  test("ivfTopK recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val points = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 25
+    } yield ((ci * 25 + j).toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val corpus = points.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(queries, corpus, k = 5, nCentroids = 8, nProbe = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low on clustered data: $recall")
+  }
+
   test("embeddingNearDups finds an exact duplicate vector") {
     val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
     val w = Seq.tabulate(64)(i => math.cos(i * 2).toFloat)
