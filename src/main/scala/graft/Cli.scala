@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{ConfigLoader, Pipeline}
+import graft.sinks.Sinks
+
+/** CLI — the `wp etl <command>` surface
+  * (`lib/CommandRegistrar.php:25-37`):
+  *
+  *   process   <config.json> [--job a,b] [--skip c] [--dry-run]
+  *   extract   <config.json> --job x --out dir [--mode json|csv]
+  *   transform <config.json> --job x --out dir [--mode json|csv]
+  *   analyze   <config.json>
+  *   config    <config.json>          (validate only)
+  *
+  * `process --dry-run` previews the plan without running
+  * (`ProcessCommand.php:149-152`); `analyze` counts rows per job
+  * (`ProcessCommand.php:403-494`); `extract`/`transform` run partial
+  * stages and write the frame (`ExtractCommand.php:62-119`,
+  * `TransformCommand.php:92-118`).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, usage)
+    val command = args(0)
+    val configPath = args(1)
+    val flags = parseFlags(args.drop(2))
+    val jobs = ConfigLoader.parseFile(configPath)
+
+    if (command == "config") {
+      Pipeline.validate(jobs)
+      println(s"config OK: ${jobs.size} job(s): ${jobs.map(_.name).mkString(", ")}")
+      return
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, command, jobs, flags)
+    finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, command: String,
+                         jobs: Seq[Pipeline.JobSpec],
+                         flags: Map[String, String]): Unit = {
+    val only = flags.get("job").map(_.split(",").toSet).getOrElse(Set.empty)
+    val skip = flags.get("skip").map(_.split(",").toSet).getOrElse(Set.empty)
+    command match {
+      case "process" if flags.contains("dry-run") =>
+        Pipeline.validate(jobs)
+        jobs.filterNot(_.skip).foreach { j =>
+          println(s"[dry-run] job ${j.name}: ${j.extract.size} source(s), " +
+            s"${j.transform.size} transform(s), ${j.load.size} load step(s)" +
+            (if (j.dependsOn.nonEmpty) s", depends on ${j.dependsOn.mkString(", ")}" else ""))
+        }
+      case "process" =>
+        val res = Pipeline.run(spark, jobs, only = only, skip = skip)
+        res.foreach { case (n, _) => println(s"[process] job $n done") }
+      case "analyze" =>
+        val res = Pipeline.run(spark, jobs, only = only, skip = skip, analyze = true)
+        res.foreach { case (n, r) => println(s"[analyze] $n: ${r.rows.getOrElse(-1L)} rows") }
+      case "extract" | "transform" =>
+        val name = flags.getOrElse("job", sys.error(s"$command requires --job"))
+        val out = flags.getOrElse("out", sys.error(s"$command requires --out"))
+        val mode = flags.getOrElse("mode", "json")
+        Pipeline.validate(jobs)
+        val job = jobs.find(_.name == name)
+          .getOrElse(sys.error(s"unknown job '$name'"))
+        val extracted = Pipeline.runExtract(spark, job)
+        val frame =
+          if (command == "extract") extracted
+          else job.transform.foldLeft(extracted)((df, st) => st(df))
+        val dest = Sinks.destination(out, s"$name.$mode", overwrite = true)
+        mode match {
+          case "json" => Sinks.writeJsonSingle(frame, dest)
+          case "csv"  => Sinks.writeCsvSingle(frame, dest)
+          case other  => sys.error(s"unknown --mode '$other'")
+        }
+        println(s"[$command] $name: ${frame.count()} rows -> $dest")
+      case other => sys.error(s"unknown command '$other'\n$usage")
+    }
+  }
+
+  private def parseFlags(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"unexpected argument '$a'\n$usage")
+      val key = a.stripPrefix("--")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out(key) = args(i + 1); i += 2
+      } else { out(key) = "true"; i += 1 }
+    }
+    out.toMap
+  }
+
+  private val usage: String =
+    """usage: graft.Cli <process|extract|transform|analyze|config> <config.json>
+      |  process   [--job a,b] [--skip c] [--dry-run]
+      |  extract   --job x --out dir [--mode json|csv]
+      |  transform --job x --out dir [--mode json|csv]
+      |""".stripMargin
+}

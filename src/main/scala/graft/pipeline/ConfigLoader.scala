@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+import graft.columns.ColumnNs
+import graft.functions.Fns
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** Config-driven migrations — the reference's YAML job files
+  * (`README.md:35-94`, `GlobalConfig.php:90-107`) re-expressed as JSON
+  * (the container ships no YAML parser; Jackson comes with Spark).
+  *
+  * Shape:
+  * {{{
+  * { "jobs": [ {
+  *     "name": "wp_posts", "dependsOn": [], "skip": false,
+  *     "extract":  [ {"kind":"csv","path":"in.csv","prefix":"legacy."} ],
+  *     "transform":[ {"kind":"post_pipeline",
+  *                    "options":{"titleCol":"legacy.title","contentCol":"legacy.content"}},
+  *                   {"kind":"string_to_null","options":{"value":"N/A"}} ],
+  *     "load":     [ {"kind":"json","path":"out.json","prefixes":["post."],"strip":"true"},
+  *                   {"kind":"ledger","dir":"out","name":"wp_posts"} ] } ] }
+  * }}}
+  *
+  * Kinds are resolved from open registries so plugins can add their own
+  * (the reference's `pipeline: FQCN` reflective extension point,
+  * `Transform/Orchestrator.php:103-117`).
+  */
+object ConfigLoader {
+
+  type Options = Map[String, String]
+
+  final case class StepConfig(kind: String, options: Options)
+
+  /** extract kind -> (options => SourceSpec). */
+  val sourceKinds: collection.mutable.Map[String, Options => Pipeline.SourceSpec] =
+    collection.mutable.Map(
+      "csv" -> (o => Pipeline.SourceSpec(
+        s => Sources.readCsv(s, req(o, "path"),
+          header = o.getOrElse("header", "true").toBoolean,
+          delimiter = o.getOrElse("delimiter", ",")),
+        prefix(o))),
+      "json" -> (o => Pipeline.SourceSpec(
+        s => Sources.readJson(s, req(o, "path"),
+          multiLine = o.getOrElse("multiLine", "true").toBoolean),
+        prefix(o))),
+      "xml" -> (o => Pipeline.SourceSpec(
+        s => Sources.readXml(s, req(o, "path"),
+          nodePath = o.getOrElse("nodePath", "rss/channel/item")),
+        prefix(o))),
+      "rss" -> (o => Pipeline.SourceSpec(
+        s => Sources.readRss(s, req(o, "url"), o.getOrElse("cacheDir", "output/.cache/rss"),
+          nodePath = o.getOrElse("nodePath", "rss/channel/item")),
+        prefix(o))),
+      "parquet" -> (o => Pipeline.SourceSpec(
+        s => s.read.parquet(req(o, "path")), prefix(o))),
+      "ledger" -> (o => Pipeline.SourceSpec(
+        s => Sources.ledgerLatest(s, req(o, "dir"), req(o, "name")),
+        prefix(o))))
+
+  /** transform kind -> (options => Stage). */
+  val transformKinds: collection.mutable.Map[String, Options => Pipeline.Stage] =
+    collection.mutable.Map(
+      "post_pipeline" -> (o => WpPipelines.postPipeline(WpPipelines.PostPipelineOpts(
+        titleCol = o.getOrElse("titleCol", "legacy.title"),
+        contentCol = o.getOrElse("contentCol", "legacy.content"),
+        dateCol = o.get("dateCol"),
+        postType = o.getOrElse("postType", "post"),
+        postStatus = o.getOrElse("postStatus", "publish"),
+        slugPrefix = o.getOrElse("slugPrefix", ""),
+        convertBlocks = o.getOrElse("convertBlocks", "false").toBoolean))),
+      "term_pipeline" -> (o => WpPipelines.termPipeline(
+        req(o, "nameCol"), req(o, "taxonomy"), o.get("parentSlugCol"))),
+      "user_pipeline" -> (o => WpPipelines.userPipeline(
+        req(o, "loginCol"), req(o, "emailCol"))),
+      "media_pipeline" -> (o => WpPipelines.mediaPipeline(
+        req(o, "urlCol"), o.get("titleCol"))),
+      "string_to_null" -> (o => df => Fns.stringToNull(df, req(o, "value"))),
+      "rename_regex" -> (o => df =>
+        ColumnNs.renameRegex(df, req(o, "pattern"), o.getOrElse("replacement", ""))),
+      "select_prefix" -> (o => df =>
+        ColumnNs.selectPrefix(df, req(o, "prefixes").split(",").toSeq,
+          o.getOrElse("strip", "false").toBoolean)),
+      "with_uid" -> (o => df =>
+        df.withColumn(o.getOrElse("column", "etl.uid"), Fns.uuidV4)),
+      "limit" -> (o => df => df.limit(req(o, "n").toInt)))
+
+  /** load kind -> (options => LoadStep). */
+  val loadKinds: collection.mutable.Map[String, Options => Sinks.LoadStep] =
+    collection.mutable.Map(
+      "json" -> (o => Sinks.Write("json", df =>
+        scoped(df, o)(d => Sinks.writeJsonSingle(d,
+          Sinks.destination(dir(o), file(o), overwrite(o)),
+          pretty = o.getOrElse("pretty", "false").toBoolean)))),
+      "csv" -> (o => Sinks.Write("csv", df =>
+        scoped(df, o)(d => Sinks.writeCsvSingle(d,
+          Sinks.destination(dir(o), file(o), overwrite(o)))))),
+      "json_dir" -> (o => Sinks.Write("json_dir", df =>
+        scoped(df, o)(d => Sinks.writeJson(d, req(o, "path"))))),
+      "ledger" -> (o => Sinks.Write("ledger", df =>
+        Sinks.writeLedger(df, req(o, "dir"), req(o, "name"),
+          o.getOrElse("runId", System.currentTimeMillis().toString),
+          uidCol = o.getOrElse("uidCol", "etl.uid")))),
+      "debug" -> (o => Sinks.Write("debug", df =>
+        Sinks.debug(df, o.getOrElse("n", "20").toInt))))
+
+  private def req(o: Options, k: String): String =
+    o.getOrElse(k, throw new Pipeline.ValidationException(s"missing option '$k'"))
+  /** "prefix" option: absent -> default "legacy." (the reference's
+    * configurable default, README.md:67); "" -> no normalization. */
+  private def prefix(o: Options): Option[String] = o.get("prefix") match {
+    case None      => Some("legacy.")
+    case Some("")  => None
+    case Some(p)   => Some(p)
+  }
+  private def dir(o: Options): String = o.getOrElse("dir", ".")
+  private def file(o: Options): String = req(o, "file")
+  private def overwrite(o: Options): Boolean = o.getOrElse("overwrite", "true").toBoolean
+  private def scoped(df: DataFrame, o: Options)(w: DataFrame => Unit): Unit =
+    o.get("prefixes") match {
+      case Some(ps) => Sinks.prefixScoped(df, ps.split(",").toSeq,
+        o.getOrElse("strip", "true").toBoolean)(w)
+      case None => w(df)
+    }
+
+  /** Parse a JSON config document into JobSpecs (throws
+    * ValidationException on unknown kinds / missing fields — the
+    * `wp etl config validate` behavior). */
+  def parse(json: String): Seq[Pipeline.JobSpec] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readValue(json, classOf[java.util.Map[String, Object]]).asScala
+    val jobs = root.getOrElse("jobs",
+        throw new Pipeline.ValidationException("config: missing 'jobs'"))
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+    jobs.map { j =>
+      val m = j.asScala
+      def steps(key: String): Seq[StepConfig] =
+        m.get(key).map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
+          .map { s =>
+            val sm = s.asScala
+            val opts = sm.filterNot { case (k, _) => k == "kind" }
+              .map { case (k, v) => k -> String.valueOf(v) }.toMap
+            StepConfig(String.valueOf(sm.getOrElse("kind",
+              throw new Pipeline.ValidationException(s"config: step in '$key' missing 'kind'"))),
+              opts)
+          }.toSeq).getOrElse(Nil)
+      def resolve[T](kind: String, reg: collection.Map[String, Options => T],
+                     what: String, opts: Options): T =
+        reg.getOrElse(kind, throw new Pipeline.ValidationException(
+          s"config: unknown $what kind '$kind' (known: ${reg.keys.toSeq.sorted.mkString(", ")})"))(opts)
+      Pipeline.JobSpec(
+        name = String.valueOf(m.getOrElse("name",
+          throw new Pipeline.ValidationException("config: job missing 'name'"))),
+        dependsOn = m.get("dependsOn")
+          .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq).getOrElse(Nil),
+        skip = m.get("skip").exists(v => String.valueOf(v).toBoolean),
+        extract = steps("extract").map(s => resolve(s.kind, sourceKinds, "source", s.options)),
+        transform = steps("transform").map(s => resolve(s.kind, transformKinds, "transform", s.options)),
+        load = steps("load").map(s => resolve(s.kind, loadKinds, "load", s.options)))
+    }.toSeq
+  }
+
+  def parseFile(path: String): Seq[Pipeline.JobSpec] =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+}
