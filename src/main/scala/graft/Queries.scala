@@ -411,6 +411,121 @@ object Queries {
       SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS n_low_discount
       FROM lineitem"""))
 
+  // K11 — plugin term loader: upsert by (taxonomy, slug) natural key with
+  // term_id resolution (`WordPressTermLoader.php:74-145`)
+  private val k11Terms = QueryDef("k11_terms_upsert",
+    (s, d) => {
+      val n = t(s, d, "nation")
+      val target = n.filter(col("n_nationkey") % 2 === 0).select(
+        col("n_nationkey").cast("long").as("term_id"),
+        lower(col("n_name")).as("slug"), lit("region").as("taxonomy"),
+        col("n_name").as("name"))
+      val incoming = n.select(lower(col("n_name")).as("slug"),
+        lit("region").as("taxonomy"), initcap(lower(col("n_name"))).as("name"))
+      Upsert.upsert(incoming, target, Seq("taxonomy", "slug"), "term_id")
+        .orderBy(col("term_id"))
+    },
+    Some("""WITH target AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS term_id, lower(n_name) AS slug,
+               'region' AS taxonomy, n_name AS name
+        FROM nation WHERE n_nationkey % 2 = 0),
+      inc AS (SELECT lower(n_name) AS slug, 'region' AS taxonomy,
+               -- initcap semantics: first letter of each word upper, rest lower
+               array_to_string(list_transform(string_split(lower(n_name), ' '),
+                 w -> upper(w[1])||w[2:]), ' ') AS name
+        FROM nation),
+      mx AS (SELECT COALESCE(MAX(term_id), 0) AS m FROM target),
+      j AS (SELECT i.taxonomy, i.slug, i.name, t.term_id AS tid
+            FROM inc i LEFT JOIN target t USING (taxonomy, slug)),
+      nn AS (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY (tid IS NULL) ORDER BY taxonomy, slug) AS rn
+            FROM j)
+      SELECT CASE WHEN tid IS NULL THEN (SELECT m FROM mx) + rn ELSE tid END AS term_id,
+             taxonomy, slug, name
+      FROM nn ORDER BY term_id"""))
+
+  // K13 — users upsert by lowercased email (`WPUserLoader.php:83-98`)
+  private val k13Users = QueryDef("k13_users_upsert",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val email = concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@example.com"))
+      val target = c.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("id"), email.as("user_email"),
+        col("c_name").as("user_login"), lit("subscriber").as("role"))
+      val incoming = c.filter(col("c_custkey") % 3 === 0).select(
+        email.as("user_email"), col("c_name").as("user_login"))
+      Upsert.upsert(incoming, target, Seq("user_email"), "id",
+          defaults = Map("role" -> lit("author")))
+        .orderBy(col("id"))
+    },
+    Some("""WITH em AS (SELECT c_custkey,
+        lower(regexp_replace(c_name,'[^A-Za-z0-9]','','g'))||'@example.com' AS user_email,
+        c_name FROM customer),
+      target AS (SELECT c_custkey AS id, user_email, c_name AS user_login,
+        'subscriber' AS role FROM em WHERE c_custkey % 2 = 0),
+      inc AS (SELECT user_email, c_name AS user_login FROM em WHERE c_custkey % 3 = 0),
+      mx AS (SELECT COALESCE(MAX(id), 0) AS m FROM target),
+      j AS (SELECT i.user_email, i.user_login, t.id AS tid, t.role AS trole
+            FROM inc i LEFT JOIN target t USING (user_email)),
+      nn AS (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY (tid IS NULL) ORDER BY user_email) AS rn
+            FROM j)
+      SELECT CASE WHEN tid IS NULL THEN (SELECT m FROM mx) + rn ELSE tid END AS id,
+             user_email, user_login, COALESCE(trole, 'author') AS role
+      FROM nn ORDER BY id"""))
+
+  private def writeRssPage(dir: java.io.File, name: String, rows: Seq[(Long, String)]): java.io.File = {
+    dir.mkdirs()
+    val f = new java.io.File(dir, name)
+    val items = rows.map { case (k, v) =>
+      s"<item><key>$k</key><val>$v</val></item>"
+    }.mkString
+    java.nio.file.Files.write(f.toPath,
+      s"<rss><channel>$items</channel></rss>".getBytes("UTF-8"))
+    f
+  }
+
+  private val s4Rss = QueryDef("s4_rss_cached",
+    (s, d) => {
+      val dir = new java.io.File(tmpDir(d, "s4_rss"))
+      val rows = t(s, d, "region").orderBy(col("r_regionkey")).collect()
+        .map(r => (r.getInt(0).toLong, r.getString(1))).toSeq
+      val f = writeRssPage(dir, "feed.xml", rows)
+      val cacheDir = new java.io.File(dir, "cache")
+      Sources.readRss(s, f.toURI.toString, cacheDir.getPath)
+        .select(col("key").cast("long").as("key"), col("val"))
+        .orderBy(col("key"))
+    },
+    Some("""SELECT CAST(r_regionkey AS BIGINT) AS key, r_name AS val
+      FROM region ORDER BY key"""))
+
+  private val s5Multi = QueryDef("s5_rss_multisource",
+    (s, d) => {
+      val dir = new java.io.File(tmpDir(d, "s5_rss"))
+      val nations = t(s, d, "nation").orderBy(col("n_nationkey")).collect()
+        .map(r => (r.getInt(0).toLong, r.getString(1))).toSeq
+      val (p1, p2) = nations.splitAt(nations.size / 2)
+      writeRssPage(dir, "p1.xml", p1)
+      writeRssPage(dir, "p2.xml", p2)
+      val cacheDir = new java.io.File(dir, "cache")
+      val pattern = new java.io.File(dir, "pX.xml").toURI.toString.replace("pX.xml", "p%d.xml")
+      Sources.readRssMultiSource(s, pattern, cacheDir.getPath, start = 1, maxPages = 2)
+        .select(col("key").cast("long").as("key"), col("val"))
+        .orderBy(col("key"))
+    },
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS val
+      FROM nation ORDER BY key"""))
+
+  private val s9Rows = QueryDef("s9_from_rows",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val regions = t(s, d, "region").orderBy(col("r_regionkey")).collect()
+        .map(r => Row(r.getInt(0).toLong, r.getString(1))).toSeq
+      val schema = StructType(Seq(StructField("rk", LongType), StructField("rn", StringType)))
+      Sources.fromRows(s, schema, regions).orderBy(col("rk"))
+    },
+    Some("SELECT CAST(r_regionkey AS BIGINT) AS rk, r_name AS rn FROM region ORDER BY rk"))
+
   private val s6MetaEmbed = QueryDef("s6_posts_meta_embed",
     (s, d) => {
       val posts = t(s, d, "orders").select(col("o_orderkey").as("id"),
@@ -1067,8 +1182,9 @@ object Queries {
   val all: Vector[QueryDef] = Vector(
     q1Agg, q3Topn, q5Region, a2Collect, a5Merge, a6Dedup,
     k7Upsert, k8Exists, k9Meta, k12Tax, k10Parents,
-    k14Media, k15Subst, k6Chain, p8Validate, p8Stats,
+    k14Media, k15Subst, k6Chain, p8Validate, p8Stats, k11Terms, k13Users,
     s6Posts, s6MetaEmbed, s7Terms, s8Users, annIvf,
+    s4Rss, s5Multi, s9Rows,
     p2Roundtrip, p3Rename, p6Skip, p7Nest,
     f7Slug, f8Explode, f9Nullif, f10StrNull, f11Simple,
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
