@@ -178,7 +178,11 @@ object Queries {
   private val a6Dedup = QueryDef("a6_dedup_first",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      // ordering must cover every OUTPUT column: the synthetic lineitem
+      // has duplicate (orderkey, linenumber) pairs, and a tie on the
+      // window ordering lets each engine keep a different row
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"))
       t(s, d, "lineitem")
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
@@ -187,7 +191,7 @@ object Queries {
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM (
         SELECT l_orderkey, l_linenumber, l_quantity,
-               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
         FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey"""))
 
   // ========================================================================

@@ -143,6 +143,24 @@ object ColumnNs {
     df.select(cols: _*)
   }
 
+  /** Inverse of [[nestDotted]]: flatten nested struct columns back to
+    * dotted names (`a.b.c`), recursively. Round-trips with nestDotted
+    * (property-tested). */
+  def flattenNested(df: DataFrame): DataFrame = {
+    def expand(prefix: String, dt: DataType, c: Column): Seq[(String, Column)] = dt match {
+      case st: StructType =>
+        st.fields.toSeq.flatMap(f => expand(s"$prefix.${f.name}", f.dataType, c.getField(f.name)))
+      case _ => Seq(prefix -> c)
+    }
+    val cols = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => expand(f.name, st, q(f.name))
+        case _              => Seq(f.name -> q(f.name))
+      }
+    }
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** A5 `merge_states`: union two heterogeneous frames tolerating missing
     * columns on either side (the reference collects both sides and
     * `array_merge`s row arrays — Extract/Orchestrator.php:216-227 — which
