@@ -1011,6 +1011,54 @@ object Queries {
             len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE >= 0.5
       ORDER BY a, b"""))
 
+  private val decontaminate = QueryDef("decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminated(docs, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH norm AS (SELECT doc_id, $sqlWords AS w FROM documents),
+      grams AS (SELECT doc_id,
+        CASE WHEN len(w) >= 8
+             THEN list_distinct(list_transform(range(0, len(w)-7),
+                    i -> array_to_string(w[i+1:i+8], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS gs
+        FROM norm),
+      cg AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+      bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 50 = 0)
+      SELECT cg.doc_id, count(*) AS n_contaminated_grams
+      FROM cg JOIN bg USING (g)
+      GROUP BY cg.doc_id HAVING count(*) >= 1
+      ORDER BY doc_id"""))
+
+  private val piiScrub = QueryDef("pii_scrub",
+    (s, d) => {
+      val withPii = t(s, d, "part").select(col("p_partkey"),
+        concat(col("p_name"), lit(" mail user"), col("p_partkey").cast("string"),
+          lit("@ex.com or 192.168.0.1 tel +1 (555) 123-4567 acct 1234567890123"))
+          .as("raw"))
+      withPii.select(col("p_partkey"),
+          TextAnalysis.scrubPii(col("raw")).as("scrubbed"),
+          TextAnalysis.piiStats(col("raw")).getField("emails").as("n_emails"),
+          TextAnalysis.piiStats(col("raw")).getField("ips").as("n_ips"),
+          TextAnalysis.piiStats(col("raw")).getField("phones").as("n_phones"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""WITH raw AS (SELECT p_partkey,
+        p_name||' mail user'||p_partkey||'@ex.com or 192.168.0.1 tel +1 (555) 123-4567 acct 1234567890123' AS r
+      FROM part)
+      SELECT p_partkey,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(r,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{9,}\b', '<NUMBER>', 'g'),
+          '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS scrubbed,
+        len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(r, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        len(regexp_extract_all(r, '\+?\d[\d ()-]{7,}\d')) AS n_phones
+      FROM raw ORDER BY p_partkey"""))
+
   private val textStats = QueryDef("text_stats",
     (s, d) => {
       val df = t(s, d, "documents")
@@ -1195,6 +1243,7 @@ object Queries {
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks, f24Pattern,
     s1Csv, s2Json, s3Xml, s10Ledger,
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgram,
+    decontaminate, piiScrub,
     textStats, langIdQ, tokenCounts, docFingerprint,
     annBrute, annLsh, embedNearDup, mmFeatures,
     eventsHourly, eventsSessions)

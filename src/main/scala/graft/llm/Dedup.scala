@@ -207,6 +207,25 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Decontamination: flag corpus documents sharing any word n-gram
+    * with a benchmark/eval set. Token-join shape: explode benchmark
+    * n-grams to a (small) key set, broadcast against the corpus's
+    * exploded n-grams, count overlaps per doc. The benchmark side is
+    * eval-suite-sized (thousands of docs) — always the broadcast side;
+    * the corpus is only exploded and aggregated, never self-joined. */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int = 8,
+                   minOverlaps: Int = 1): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__g")).dropDuplicates("__g")
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("__g"))
+    corpusGrams.join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .where(col("n_contaminated_grams") >= minOverlaps)
+  }
+
   /** Exact n-gram Jaccard near-dups within blocking buckets (same
     * `blockCols` values — e.g. language + length band). The block keys
     * bound the pairwise term; at 100 TB choose blocks so bucket sizes

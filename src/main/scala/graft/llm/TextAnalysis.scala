@@ -96,6 +96,32 @@ object TextAnalysis {
       stats.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
       stats.getField("punct_ratio") <= maxPunctRatio
 
+  // PII scrubbing: redact emails / phone-ish numbers / IPv4 / long
+  // digit runs (card/ssn-ish). Pure regexp_replace chain (codegen'd);
+  // patterns are deliberately conservative (recall over precision, the
+  // usual stance for training-data scrubbing).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+?\\d[\\d ()-]{7,}\\d"
+  private val longDigitsRe = "\\b\\d{9,}\\b"
+
+  def scrubPii(c: Column): Column = {
+    // long digit runs BEFORE phones: a 16-digit card number would
+    // otherwise match the looser phone pattern first
+    val noEmail = regexp_replace(c, emailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ipRe, "<IP>")
+    val noLong = regexp_replace(noIp, longDigitsRe, "<NUMBER>")
+    regexp_replace(noLong, phoneRe, "<PHONE>")
+  }
+
+  /** Count of PII hits per kind (for filtering decisions without
+    * rewriting the text). */
+  def piiStats(c: Column): Column = struct(
+    regexp_count(c, lit(emailRe)).as("emails"),
+    regexp_count(c, lit(ipRe)).as("ips"),
+    regexp_count(c, lit(phoneRe)).as("phones"),
+    regexp_count(c, lit(longDigitsRe)).as("long_numbers"))
+
   /** Rolling-hash document fingerprint: left fold of a polynomial hash
     * over per-word codes, mod 1e9+7 (stays well inside int64 —
     * acc < P, acc*131 + code < 2^63). Deterministic and

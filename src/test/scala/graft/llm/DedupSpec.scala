@@ -67,6 +67,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("contaminated flags docs sharing n-grams with the benchmark only") {
+    val corpus = Seq((1L, baseText), (2L, otherText), (3L, nearText))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, baseText)).toDF("doc_id", "text")
+    val flagged = Dedup.contaminated(corpus, benchmark, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.contains(1L))        // identical to benchmark doc
+    assert(!flagged.contains(2L))       // disjoint content
+    assert(flagged.contains(3L))        // shares most 8-grams
+  }
+
   test("shingles produce distinct n-grams; short texts fall back to joined form") {
     val sh = Seq("a b c d e f").toDF("t")
       .select(Dedup.shingles(col("t"), 5).as("s")).as[Seq[String]].head()

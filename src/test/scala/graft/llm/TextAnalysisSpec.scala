@@ -42,6 +42,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L)); assert(!m(2L)); assert(!m(3L))
   }
 
+  test("scrubPii redacts emails, ips, phones, long digit runs") {
+    val df = Seq("write bob.smith+x@corp.example.org from 10.0.0.1 " +
+      "or call +44 (20) 7946-0958 card 4111111111111111 but keep 42").toDF("t")
+    val out = df.select(TextAnalysis.scrubPii(col("t"))).as[String].head()
+    assert(out.contains("<EMAIL>") && out.contains("<IP>") &&
+      out.contains("<PHONE>") && out.contains("<NUMBER>"))
+    assert(!out.contains("@corp") && !out.contains("10.0.0.1") &&
+      !out.contains("4111111111111111"))
+    assert(out.contains("keep 42"))
+    val st = df.select(TextAnalysis.piiStats(col("t")).as("s")).select("s.*").head()
+    assert(st.getAs[Int]("emails") == 1 && st.getAs[Int]("ips") == 1)
+  }
+
   test("fingerprint is deterministic and discriminating") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "alpha beta delta"))
       .toDF("id", "t")
