@@ -16,6 +16,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the session (executor threads, codegen, parquet footer
+    // reads) so the first measured query isn't charged for startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -24,6 +28,9 @@ object Bench {
       } + "\""
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = Queries.all.map { q =>
+      // operator-internal caches (LSH signatures etc.) must not leak
+      // into the next query's measurement
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>

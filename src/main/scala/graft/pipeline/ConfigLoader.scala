@@ -87,7 +87,21 @@ object ConfigLoader {
           o.getOrElse("strip", "false").toBoolean)),
       "with_uid" -> (o => df =>
         df.withColumn(o.getOrElse("column", "etl.uid"), Fns.uuidV4)),
-      "limit" -> (o => df => df.limit(req(o, "n").toInt)))
+      "limit" -> (o => df => df.limit(req(o, "n").toInt)),
+      // LLM-pipeline transforms as config steps
+      "dedup_exact" -> (o => df =>
+        graft.llm.Dedup.exactDedup(df, req(o, "idCol"), req(o, "textCol"))),
+      "scrub_pii" -> (o => df => {
+        val c = req(o, "column")
+        df.withColumn(c, graft.llm.TextAnalysis.scrubPii(ColumnNs.q(c)))
+      }),
+      "quality_filter" -> (o => df => {
+        val st = graft.llm.TextAnalysis.qualityStats(ColumnNs.q(req(o, "column")))
+        df.where(graft.llm.TextAnalysis.qualityOk(st))
+      }),
+      "lang_filter" -> (o => df =>
+        df.where(graft.llm.TextAnalysis.langId(ColumnNs.q(req(o, "column")))
+          === req(o, "lang"))))
 
   /** load kind -> (options => LoadStep). */
   val loadKinds: collection.mutable.Map[String, Options => Sinks.LoadStep] =
