@@ -879,6 +879,20 @@ object Queries {
       '<!-- wp:heading {"level":2} -->'||chr(10)||'<h2 class="wp-block-heading">Title</h2>'||chr(10)||'<!-- /wp:heading -->'
       AS blocks FROM part ORDER BY p_partkey"""))
 
+  private val f23Native = QueryDef("f23_html_blocks_native",
+    (s, d) => {
+      // the native Catalyst-expression form (codegen'd, no UDF plumbing)
+      graft.plans.GraftExtensions.register(s)
+      t(s, d, "part").selectExpr("p_partkey",
+          "graft_html_to_blocks(concat('<p>', p_name, '</p><h2>Title</h2>')) AS blocks")
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+      '<!-- wp:paragraph -->'||chr(10)||'<p>'||p_name||'</p>'||chr(10)||'<!-- /wp:paragraph -->'
+      ||chr(10)||chr(10)||
+      '<!-- wp:heading {"level":2} -->'||chr(10)||'<h2 class="wp-block-heading">Title</h2>'||chr(10)||'<!-- /wp:heading -->'
+      AS blocks FROM part ORDER BY p_partkey"""))
+
   private val f24Pattern = QueryDef("f24_block_pattern",
     (s, d) => {
       val registry = Map("even" -> "PATTERN_A", "odd" -> "PATTERN_B")
@@ -1240,7 +1254,8 @@ object Queries {
     p2Roundtrip, p3Rename, p6Skip, p7Nest,
     f7Slug, f8Explode, f9Nullif, f10StrNull, f11Simple,
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
-    f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks, f24Pattern,
+    f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
+    f23Native, f24Pattern,
     s1Csv, s2Json, s3Xml, s10Ledger,
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgram,
     decontaminate, piiScrub,
