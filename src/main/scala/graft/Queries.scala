@@ -1009,11 +1009,11 @@ object Queries {
 
   private val dedupNgram = QueryDef("dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        blockCols = Seq(col("lang"), floor(col("n_chars") / 100)),
+        blockCols = Seq(col("lang"), floor(col("n_chars") / 50)),
         n = 1, threshold = 0.5)
       .orderBy(col("a"), col("b")),
     Some(s"""WITH base AS (
-        SELECT doc_id, lang, floor(n_chars/100) AS lb,
+        SELECT doc_id, lang, floor(n_chars/50) AS lb,
                list_distinct($sqlWords) AS ws
         FROM documents)
       SELECT a.doc_id AS a, b.doc_id AS b,

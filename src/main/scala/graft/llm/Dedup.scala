@@ -71,9 +71,14 @@ object Dedup {
     * shuffle carries only (doc_id, k partial mins). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64): DataFrame = {
+    // each shingle STRING is hashed once; the k per-permutation hashes
+    // derive from that 8-byte value (hash-of-hash — standard MinHash
+    // practice), so per-row work is k fixed-width hashes instead of k
+    // string traversals
     val exploded = df.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol))).as("__sh"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
+        explode(shingles(col(textCol))).as("__sh"))
+      .select(col("doc_id"), xxhash64(col("__sh")).as("__h"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__h$i"))
     exploded.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
