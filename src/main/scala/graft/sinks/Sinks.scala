@@ -128,6 +128,20 @@ object Sinks {
     cur
   }
 
+  /** Bucketed table writer — the co-located-join scale path: two
+    * tables bucketed on the same key with the same bucket count join
+    * WITHOUT a shuffle on either side (SortMergeJoin reads the bucket
+    * files directly). At 100 TB this is how entity tables and their
+    * meta/relationship tables should be laid out so every upsert /
+    * embedding join skips both exchanges. Requires a catalog table
+    * (`saveAsTable`) — bucketing metadata lives in the metastore. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** K17 — composite `WP_Post_All` expansion: the macro loader expands
     * to media → post → meta → terms in that fixed order, deduping
     * members already listed explicitly

@@ -114,6 +114,22 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out.columns.contains("gen_id"))
   }
 
+  test("bucketed tables join without a shuffle exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "bspec_a", Seq("k"), numBuckets = 4)
+    Sinks.writeBucketed(b, "bspec_b", Seq("k"), numBuckets = 4)
+    val joined = spark.table("bspec_a").join(spark.table("bspec_b"), "k")
+    // force a sort-merge plan so the bucket layout (not a broadcast)
+    // carries the join, then assert no shuffle exchange anywhere
+    val smj = joined.hint("merge")
+    smj.collect()
+    val plan = smj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
   test("expandComposite expands wp_post_all in fixed order with dedup (K17)") {
     val out = Sinks.expandComposite(Seq("wp_post_media", "wp_post_all", "ledger"))
     assert(out == Seq("wp_post_media", "wp_post", "wp_post_meta", "wp_post_terms", "ledger"))
