@@ -100,11 +100,22 @@ object Pipeline {
           only: Set[String] = Set.empty, skip: Set[String] = Set.empty,
           analyze: Boolean = false): Map[String, JobResult] = {
     validate(jobs)
+    // `only` pulls in the TRANSITIVE dependency closure of the selected
+    // jobs (a selected job's dep-of-dep must still run first)
+    val wanted: Set[String] =
+      if (only.isEmpty) jobs.map(_.name).toSet
+      else {
+        val byName = jobs.map(j => j.name -> j).toMap
+        val seen = scala.collection.mutable.Set.empty[String]
+        def visit(n: String): Unit =
+          if (!seen(n)) { seen += n; byName.get(n).foreach(_.dependsOn.foreach(visit)) }
+        only.foreach(visit)
+        seen.toSet
+      }
     val selected = jobs
       .filterNot(_.skip)
       .filterNot(j => skip.contains(j.name))
-      .filter(j => only.isEmpty || only.contains(j.name) ||
-        jobs.exists(x => (only.isEmpty || only(x.name)) && x.dependsOn.contains(j.name)))
+      .filter(j => wanted.contains(j.name))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, JobResult]
     selected.foreach { job =>
       job.dependsOn.foreach { d =>

@@ -93,6 +93,15 @@ class PipelineSpec extends SparkSpec {
     assert(res("counts").rows.contains(5L))
   }
 
+  test("only filter pulls in the transitive dependency closure") {
+    def regionJob(name: String, deps: String*) = JobSpec(name, deps,
+      extract = Seq(SourceSpec(s => s.read.parquet(s"$sfDir/region.parquet"), None)))
+    val jobs = Seq(regionJob("a"), regionJob("b", "a"), regionJob("c", "b"),
+      regionJob("unrelated"))
+    val res = Pipeline.run(spark, jobs, only = Set("c"), analyze = true)
+    assert(res.keySet == Set("a", "b", "c")) // dep-of-dep included, unrelated not
+  }
+
   test("skip filter drops jobs") {
     val jobs = Seq(
       JobSpec("a", extract = Seq(SourceSpec(s => s.read.parquet(s"$sfDir/region.parquet"), None))),
