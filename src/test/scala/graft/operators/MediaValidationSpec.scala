@@ -65,4 +65,15 @@ class MediaValidationSpec extends SparkSpec {
     val validated = Validation.validate(df, Seq("qty_pos" -> (col("qty") > 0)))
     assert(!validated.select("is_valid").as[Boolean].head())
   }
+
+  test("saltedJoin equals the plain join while spreading hot keys") {
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload") // key 1 is a heavy hitter (500 rows)
+    val small = Seq((1L, "hot"), (2L, "cold"), (7L, "seven")).toDF("k", "label")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "label")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8)
+      .select("k", "payload", "label")
+    assert(rowsOf(salted) == rowsOf(plain))
+    assert(salted.count() == plain.count())
+  }
 }
