@@ -650,6 +650,30 @@ object Queries {
     },
     Some("SELECT p_partkey, p_name FROM part ORDER BY p_partkey"))
 
+  private val p7Roundtrip = QueryDef("p7_nest_flatten_roundtrip",
+    (s, d) => {
+      val df = t(s, d, "part").select(col("p_partkey").as("id"),
+        col("p_name").as("post.title"), col("p_brand").as("post.meta.brand"),
+        col("p_size").as("post.meta.size"))
+      ColumnNs.flattenNested(ColumnNs.nestDotted(df)).orderBy(col("id"))
+    },
+    Some("""SELECT p_partkey AS id, p_name AS "post.title",
+             p_brand AS "post.meta.brand", p_size AS "post.meta.size"
+      FROM part ORDER BY id"""))
+
+  private val k5Scoped = QueryDef("k5_prefix_scoped_sink",
+    (s, d) => {
+      val dir = tmpDir(d, "k5_scoped")
+      val df = t(s, d, "part").select(col("p_partkey").as("post.id"),
+        col("p_name").as("post.title"), col("p_brand").as("internal.brand"))
+      graft.sinks.Sinks.prefixScoped(df, Seq("post."), removePrefix = true)(
+        scoped => graft.sinks.Sinks.writeJsonSingle(scoped, s"$dir/posts.json"))
+      Sources.readJson(s, s"$dir/posts.json", multiLine = false)
+        .select(col("id").cast("long").as("id"), col("title"))
+        .orderBy(col("id"))
+    },
+    Some("SELECT p_partkey AS id, p_name AS title FROM part ORDER BY id"))
+
   private val p7Nest = QueryDef("p7_nest_dotted",
     (s, d) => {
       val df = t(s, d, "part").select(col("p_partkey").as("id"),
@@ -1251,7 +1275,7 @@ object Queries {
     k14Media, k15Subst, k6Chain, p8Validate, p8Stats, k11Terms, k13Users,
     s6Posts, s6MetaEmbed, s7Terms, s8Users, annIvf,
     s4Rss, s5Multi, s9Rows,
-    p2Roundtrip, p3Rename, p6Skip, p7Nest,
+    p2Roundtrip, p3Rename, p6Skip, p7Nest, p7Roundtrip, k5Scoped,
     f7Slug, f8Explode, f9Nullif, f10StrNull, f11Simple,
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
