@@ -116,6 +116,17 @@ class SourcesSinksSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange on either side") {
     import org.apache.spark.sql.functions.col
+    // stale managed-table locations survive the (per-JVM, in-memory)
+    // metastore — clear both catalog entries and directories first
+    Seq("bspec_a", "bspec_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
     Sinks.writeBucketed(a, "bspec_a", Seq("k"), numBuckets = 4)
