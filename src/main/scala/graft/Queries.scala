@@ -710,6 +710,19 @@ object Queries {
       ${sqlSlug("'t '||p_type")} AS type_slug
       FROM part ORDER BY p_partkey"""))
 
+  private val f7Native = QueryDef("f7_slug_native",
+    (s, d) => {
+      // single-pass native expression vs the 6-regex chain — same oracle
+      graft.plans.GraftExtensions.register(s)
+      t(s, d, "part").selectExpr("p_partkey",
+          "graft_slugify(p_name) AS slug",
+          "graft_slugify(concat('t ', p_type)) AS type_slug")
+        .orderBy(col("p_partkey"))
+    },
+    Some(s"""SELECT p_partkey, ${sqlSlug("p_name")} AS slug,
+      ${sqlSlug("'t '||p_type")} AS type_slug
+      FROM part ORDER BY p_partkey"""))
+
   private val f8Explode = QueryDef("f8_explode_array",
     (s, d) => t(s, d, "part").select(col("p_partkey"),
         Fns.explodeToArray(col("p_name"), " ").as("name_words"))
@@ -1276,7 +1289,7 @@ object Queries {
     s6Posts, s6MetaEmbed, s7Terms, s8Users, annIvf,
     s4Rss, s5Multi, s9Rows,
     p2Roundtrip, p3Rename, p6Skip, p7Nest, p7Roundtrip, k5Scoped,
-    f7Slug, f8Explode, f9Nullif, f10StrNull, f11Simple,
+    f7Slug, f7Native, f8Explode, f9Nullif, f10StrNull, f11Simple,
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
     f23Native, f24Pattern,

@@ -43,6 +43,9 @@ object Fns {
   private val (accented, plain) = accentGroups
     .flatMap { case (cs, t) => cs.map(ch => (ch, t)) }.unzip
 
+  /** accent char -> base char (shared with the native slug expression). */
+  private[graft] val accentMap: Map[Char, Char] = accented.zip(plain).toMap
+
   def foldAccents(c: Column): Column =
     translate(c, accented.mkString, plain.mkString)
 

@@ -51,20 +51,27 @@ case class HtmlToBlocksExpression(child: Expression)
   * session's registry (tests, notebooks). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.htmlToBlocksFn)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val htmlToBlocksFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_html_to_blocks"),
-    new ExpressionInfo(classOf[HtmlToBlocksExpression].getName, "graft_html_to_blocks"),
+  private def unary(name: String, cls: Class[_],
+                    build: Expression => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 1, "graft_html_to_blocks takes exactly one argument")
-      HtmlToBlocksExpression(children.head)
+      require(children.size == 1, s"$name takes exactly one argument")
+      build(children.head)
     })
+
+  private[plans] val functions = Seq(
+    unary("graft_html_to_blocks", classOf[HtmlToBlocksExpression], HtmlToBlocksExpression(_)),
+    unary("graft_slugify", classOf[SlugifyExpression], SlugifyExpression(_)))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      htmlToBlocksFn._1, htmlToBlocksFn._2, htmlToBlocksFn._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
