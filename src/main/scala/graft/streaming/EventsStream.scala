@@ -31,6 +31,15 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"))
 
+  /** Streaming exact-dedup: drop duplicate keys with bounded state —
+    * duplicates arriving within the watermark delay are suppressed,
+    * state for expired keys is evicted (the streaming counterpart of
+    * `Dedup.exactDedup` for continuous ingestion). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermarkCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stateful sessionization: a new session starts after `gapMinutes`
     * of inactivity per user. Emits running per-user totals on every
     * update (OutputMode.Update semantics). State is one small struct

@@ -49,6 +49,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream suppresses duplicate ids across batches within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append")
+      .start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "view", 1.0), Event(1, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(2), 1, "view", 1.0), Event(2, ts(3), 1, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L)) // the three id=1 events collapse to one
+    } finally q.stop()
+  }
+
   test("sessionize runs as a streaming query with state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
