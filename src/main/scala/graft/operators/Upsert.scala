@@ -54,7 +54,28 @@ object Upsert {
     */
   def upsert(incoming: DataFrame, target: DataFrame, keys: Seq[String],
              idCol: String, defaults: Map[String, Column] = Map.empty,
-             broadcastIncoming: Boolean = false): DataFrame = {
+             broadcastIncoming: Boolean = false,
+             keepLastBy: Option[Column] = None): DataFrame = {
+    // Reference parity for duplicate natural keys within ONE batch: rows
+    // are processed sequentially there, so a later row UPDATES the row
+    // an earlier one inserted — i.e. last-wins per key. Spark frames
+    // are unordered, so the caller supplies the ordering column
+    // (ingest sequence, timestamp); with `keepLastBy` set we keep the
+    // max-ordered row per key before the join.
+    val dedupedIncoming = keepLastBy match {
+      case None => incoming
+      case Some(ord) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(q): _*).orderBy(ord.desc)
+        incoming.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+    }
+    upsertDeduped(dedupedIncoming, target, keys, idCol, defaults, broadcastIncoming)
+  }
+
+  private def upsertDeduped(incoming: DataFrame, target: DataFrame, keys: Seq[String],
+                            idCol: String, defaults: Map[String, Column],
+                            broadcastIncoming: Boolean): DataFrame = {
     val tPrefix = "__t__"
     val tFields = target.columns.filterNot(c => keys.contains(c))
     val tRenamed = target.select(

@@ -24,6 +24,18 @@ class UpsertSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("keepLastBy collapses duplicate incoming keys last-wins (reference batch semantics)") {
+    val target = Seq((1L, "a", "old")).toDF("id", "name", "title")
+    val incoming = Seq(("a", "v1", 1), ("a", "v2", 2), ("b", "w1", 1), ("b", "w2", 2))
+      .toDF("name", "title", "seq")
+    val out = Upsert.upsert(incoming, target, Seq("name"), "id",
+        keepLastBy = Some(col("seq")))
+      .drop("seq")
+    assert(out.count() == 2)
+    val byName = out.collect().map(r => r.getAs[String]("name") -> r.getAs[String]("title")).toMap
+    assert(byName == Map("a" -> "v2", "b" -> "w2"))
+  }
+
   test("upsert honors an id already present on the incoming row") {
     val target = Seq((5L, "a", "old")).toDF("id", "name", "title")
     val incoming = Seq((99L, "missing-name", "forced")).toDF("id", "name", "title")
