@@ -99,6 +99,15 @@ class FnsSpec extends SparkSpec {
     assert(rs(2).getString(0) == "/rel/path")
   }
 
+  test("escUrlRaw keeps ALL non-ASCII (CJK/arrows), not just U+0080-U+00FF") {
+    // regression: PHP's byte-wise [\x80-\xff] keeps every multibyte char;
+    // the old Java class stripped anything past U+00FF
+    val rs = Seq("https://例え.jp/パス?q=値", "https://x.co/a→b/ü").toDF("v")
+      .select(escUrlRaw($"v")).collect()
+    assert(rs(0).getString(0) == "https://例え.jp/パス?q=値")
+    assert(rs(1).getString(0) == "https://x.co/a→b/ü")
+  }
+
   test("numeric preservation: tags + typed casts") {
     val df = Seq("12", "1.5", "abc").toDF("v")
     val tags = df.select(numericTag($"v")).collect().map(_.getString(0)).toSeq
