@@ -147,15 +147,20 @@ object Queries {
         AND o_orderdate < TIMESTAMP '1997-01-01'
       GROUP BY n_name ORDER BY revenue DESC, n_name"""))
 
-  // A2 — group-collect embedding (the extractor's per-entity list)
+  // A2 — group-collect embedding (the extractor's per-entity list).
+  // The collected array is serialized to a joined string so the driver's
+  // scalar-only compare can hash it (complex-typed cells crash the
+  // pandas sort in the harness).
   private val a2Collect = QueryDef("a2_group_collect",
     (s, d) => t(s, d, "customer")
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
+          .as("orderkeys"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_custkey")),
-    Some("""SELECT c_custkey, list_sort(list(o_orderkey)) AS orderkeys, count(*) AS n_orders
+    Some("""SELECT c_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+        count(*) AS n_orders
       FROM customer JOIN orders ON c_custkey=o_custkey
       GROUP BY c_custkey ORDER BY c_custkey"""))
 
@@ -383,15 +388,19 @@ object Queries {
           "qty_in_range" -> col("l_quantity").between(1, 45),
           "low_discount" -> (col("l_discount") <= 0.08),
           "not_returned" -> (col("l_returnflag") =!= "R")))
-        .select(col("rid"), col("errors"), col("is_valid"))
+        .select(col("rid"), array_join(col("errors"), ",").as("errors"),
+          col("is_valid"))
         .orderBy(col("rid"))
     },
+    // errors serialized as a joined string (scalar-only driver compare);
+    // DuckDB array_to_string(empty) is NULL, Spark array_join is '' —
+    // COALESCE aligns them
     Some("""SELECT l_orderkey*10+l_linenumber AS rid,
-      list_filter([
+      COALESCE(array_to_string(list_filter([
         CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 'qty_in_range' END,
         CASE WHEN NOT (l_discount <= 0.08) THEN 'low_discount' END,
         CASE WHEN NOT (l_returnflag <> 'R') THEN 'not_returned' END],
-        x -> x IS NOT NULL) AS errors,
+        x -> x IS NOT NULL), ','), '') AS errors,
       len(list_filter([
         CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 'qty_in_range' END,
         CASE WHEN NOT (l_discount <= 0.08) THEN 'low_discount' END,
@@ -408,11 +417,13 @@ object Queries {
       operators.Validation.stats(
         operators.Validation.validate(df, rules), rules.map(_._1))
     },
+    // CAST to BIGINT: DuckDB SUM yields HUGEINT (int128) which the
+    // driver hashes differently from Spark's BIGINT (values identical)
     Some("""SELECT count(*) AS total,
-      SUM(CASE WHEN (l_quantity BETWEEN 1 AND 45) AND l_discount <= 0.08 THEN 1 ELSE 0 END) AS valid,
-      SUM(CASE WHEN (l_quantity BETWEEN 1 AND 45) AND l_discount <= 0.08 THEN 0 ELSE 1 END) AS rejected,
-      SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS n_qty_in_range,
-      SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS n_low_discount
+      CAST(SUM(CASE WHEN (l_quantity BETWEEN 1 AND 45) AND l_discount <= 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+      CAST(SUM(CASE WHEN (l_quantity BETWEEN 1 AND 45) AND l_discount <= 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS rejected,
+      CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_in_range,
+      CAST(SUM(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS n_low_discount
       FROM lineitem"""))
 
   // K11 — plugin term loader: upsert by (taxonomy, slug) natural key with
@@ -538,12 +549,34 @@ object Queries {
       val meta = t(s, d, "lineitem").select(col("l_orderkey").as("post_id"),
         concat(lit("line_"), col("l_linenumber").cast("string")).as("meta_key"),
         col("l_quantity").cast("string").as("meta_value"))
+      // the map<key, array<value>> embedding is serialized to
+      // "k=[v,...];..." with entries sorted BY KEY (sort_array on
+      // map_entries sorts struct<key,value> by key) so the driver's
+      // scalar-only compare can hash it deterministically
       WpReaders.readPosts(posts, meta = Some(meta),
           opts = WpReaders.PostsOpts(withMeta = true, limit = Some(500)))
-        .select(col("id"), col("post_title"), col("meta"))
+        .select(col("id"), col("post_title"),
+          coalesce(array_join(transform(sort_array(map_entries(col("meta"))),
+            e => concat(e.getField("key"), lit("="),
+              array_join(e.getField("value"), ","))), ";"), lit(""))
+            .as("meta_str"))
         .orderBy(col("id"))
     },
-    None) // map-typed embedding: key order is engine-specific — spec-covered
+    // DuckDB mirror: list(... ORDER BY meta_key) — sorting the joined
+    // "k=v" strings instead would order 'line_1=' AFTER 'line_10='
+    Some("""WITH m AS (
+        SELECT l_orderkey AS post_id, 'line_'||l_linenumber AS meta_key,
+               CAST(l_quantity AS VARCHAR) AS meta_value FROM lineitem),
+      g AS (SELECT post_id, meta_key,
+              array_to_string(list_sort(list(meta_value)), ',') AS vals
+            FROM m GROUP BY post_id, meta_key),
+      mm AS (SELECT post_id,
+               array_to_string(list(meta_key||'='||vals ORDER BY meta_key), ';') AS meta_str
+             FROM g GROUP BY post_id)
+      SELECT o_orderkey AS id, o_orderpriority AS post_title,
+             COALESCE(mm.meta_str, '') AS meta_str
+      FROM orders LEFT JOIN mm ON o_orderkey = mm.post_id
+      ORDER BY id LIMIT 500"""))
 
   private val annIvf = QueryDef("ann_ivf",
     (s, d) => {
@@ -678,9 +711,17 @@ object Queries {
     (s, d) => {
       val df = t(s, d, "part").select(col("p_partkey").as("id"),
         col("p_name").as("post.title"), col("p_brand").as("post.meta.brand"))
-      ColumnNs.nestDotted(df).orderBy(col("id"))
+      // struct serialized via to_json so the driver compare sees a
+      // scalar column; field order = dotted-name insertion order
+      ColumnNs.nestDotted(df)
+        .select(col("id"), to_json(col("post")).as("post_json"))
+        .orderBy(col("id"))
     },
-    None) // nested-struct value compare across engines is not contract-stable
+    // oracle states the exact compact-JSON serialization (controlled
+    // ASCII inputs — no escaping differences)
+    Some("""SELECT p_partkey AS id,
+      '{"title":"'||p_name||'","meta":{"brand":"'||p_brand||'"}}' AS post_json
+      FROM part ORDER BY id"""))
 
   private val p6Skip = QueryDef("p6_skip_fields_backfill",
     (s, d) => {
@@ -725,10 +766,11 @@ object Queries {
 
   private val f8Explode = QueryDef("f8_explode_array",
     (s, d) => t(s, d, "part").select(col("p_partkey"),
-        Fns.explodeToArray(col("p_name"), " ").as("name_words"))
+        array_join(Fns.explodeToArray(col("p_name"), " "), "|").as("name_words"))
       .orderBy(col("p_partkey")),
+    // joined-string serialization: the driver compare is scalar-only
     Some("""SELECT p_partkey,
-      list_transform(string_split(p_name, ' '), x -> trim(x)) AS name_words
+      array_to_string(list_transform(string_split(p_name, ' '), x -> trim(x)), '|') AS name_words
       FROM part ORDER BY p_partkey"""))
 
   private val f9Nullif = QueryDef("f9_compare_set_null",
@@ -1184,6 +1226,53 @@ object Queries {
         "0::BIGINT", "(a,b) -> (a*131+b) % 1000000007")} AS fp
       FROM documents ORDER BY doc_id"""))
 
+  // A1 — analyze row counts, persisted as the cross-run manifest
+  // (ProcessCommand.php:458-469) and read back as the query result
+  private val a1Analyze = QueryDef("a1_analyze_counts",
+    (s, d) => {
+      val jobs = Seq("region", "nation", "customer").map(n => pipeline.Pipeline.JobSpec(
+        name = n,
+        extract = Seq(pipeline.Pipeline.SourceSpec(sp => t(sp, d, n), prefix = None))))
+      val res = pipeline.Pipeline.run(s, jobs, analyze = true)
+      val path = tmpDir(d, "a1_manifest") + "/manifest.json"
+      pipeline.Pipeline.writeAnalyzeManifest(s, res, path)
+      Sources.readJson(s, path, multiLine = false)
+        .select(col("job"), col("n_rows").cast("long").as("n_rows"))
+        .orderBy(col("job"))
+    },
+    Some("""SELECT 'customer' AS job, count(*) AS n_rows FROM customer UNION ALL
+      SELECT 'nation', count(*) FROM nation UNION ALL
+      SELECT 'region', count(*) FROM region ORDER BY job"""))
+
+  // K17 — composite WP_Post_All expansion (planner-level; the expansion
+  // result lifted to a frame so the driver has a row for it)
+  private val k17Expand = QueryDef("k17_composite_expand",
+    (s, d) => {
+      import s.implicits._
+      Sinks.expandComposite(Seq("wp_post_all", "wp_post", "wp_users"))
+        .zipWithIndex.map { case (st, i) => (i.toLong, st) }.toDF("ord", "step")
+        .orderBy(col("ord"))
+    },
+    Some("""SELECT CAST(ord AS BIGINT) AS ord, step FROM (VALUES
+      (0, 'wp_post_media'), (1, 'wp_post'), (2, 'wp_post_meta'),
+      (3, 'wp_post_terms'), (4, 'wp_users')) t(ord, step) ORDER BY ord"""))
+
+  // S11 — local file finder: recursive resolution result lifted to a
+  // one-row frame
+  private val s11Finder = QueryDef("s11_file_finder",
+    (s, d) => {
+      import s.implicits._
+      val base = new java.io.File(tmpDir(d, "s11_base"))
+      val sub = new java.io.File(base, "nested/deeper"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(sub, "target.csv").toPath,
+        "x\n".getBytes("UTF-8"))
+      val found = Sources.findFile(base.getPath, "target.csv")
+      val missing = Sources.findFile(base.getPath, "absent.csv")
+      Seq((found.map(_.getName).getOrElse(""), missing.isDefined))
+        .toDF("resolved", "found_absent")
+    },
+    Some("SELECT 'target.csv' AS resolved, false AS found_absent"))
+
   private val annBrute = QueryDef("ann_bruteforce",
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1211,21 +1300,81 @@ object Queries {
     },
     None) // seeded-hyperplane LSH; recall vs brute force checked in SimilaritySpec
 
+  /** ε-perturbed copies of the first `n` embedding vectors (id+100000,
+    * first component +0.001f in FLOAT arithmetic — bit-reproducible in
+    * DuckDB as `embedding[1] + CAST(0.001 AS FLOAT)`): plants known
+    * near-duplicate pairs so the similarity queries prove recall
+    * against a real oracle (the raw synthetic table has ZERO pairs
+    * with cosine ≥ 0.9). */
+  private def perturbedEmbeddings(emb: DataFrame, n: Int): DataFrame =
+    emb.filter(col("vec_id") < n).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+
+  /** DuckDB mirror of [[perturbedEmbeddings]] + double-cast corpus. */
+  private def sqlPerturbedUnion(n: Int): String =
+    s"""SELECT vec_id, embedding::DOUBLE[] AS v
+         FROM embeddings
+       UNION ALL
+       SELECT vec_id + 100000,
+         list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[]
+         FROM embeddings WHERE vec_id < $n"""
+
   private val embedNearDup = QueryDef("embed_neardup",
-    (s, d) => Similarity.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.9)
-      .orderBy(col("a"), col("b")),
-    None)
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val withPlanted = emb.unionByName(perturbedEmbeddings(emb, 5))
+      Similarity.embeddingNearDups(withPlanted, threshold = 0.9)
+        .orderBy(col("a"), col("b"))
+    },
+    // exact-cosine oracle over all pairs: LSH only gates candidates, so
+    // the planted (i, i+100000) pairs must ALL surface with exact cosine
+    Some(s"""WITH u AS (${sqlPerturbedUnion(5)}),
+      a AS (SELECT vec_id AS a, v AS va FROM u),
+      b AS (SELECT vec_id AS b, v AS vb FROM u),
+      sc AS (SELECT a.a, b.b,
+          ${sqlDot("va", "vb")} / (${sqlNorm("va")} * ${sqlNorm("vb")}) AS cosine
+        FROM a JOIN b ON a.a < b.b)
+      SELECT a, b, cosine FROM sc WHERE cosine >= 0.9 ORDER BY a, b"""))
+
+  // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
+  // copy is provably its base vector, so the brute-force oracle binds
+  // the LSH path's recall (the unplanted ann_lsh stays rows-only)
+  private val annLshPlanted = QueryDef("ann_lsh_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(perturbedEmbeddings(emb, 3), emb, k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
 
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
         sha2(col("text"), 256).as("content_sha"),
-        graft.multimodal.Multimodal.fakeTextFeatures(col("text"), 8).as("features"))
+        // features are k/997.0 — serialize the recovered integer k
+        // (round(x*997) is exact) so the driver compares scalars and no
+        // cross-engine double formatting is involved
+        array_join(transform(
+            graft.multimodal.Multimodal.fakeTextFeatures(col("text"), 8),
+            x => round(x * 997).cast("long").cast("string")), ",").as("features"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
       sha256(text) AS content_sha,
-      list_transform(range(0, 8), i ->
-        ((ascii(substring(text, CAST(i*5+1 AS INT), 1))*31 + (i+1)*7) % 997) / 997.0) AS features
+      array_to_string(list_transform(range(0, 8), i ->
+        (ascii(substring(text, CAST(i*5+1 AS INT), 1))*31 + (i+1)*7) % 997), ',') AS features
       FROM documents ORDER BY doc_id"""))
 
   /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
@@ -1287,7 +1436,7 @@ object Queries {
     k7Upsert, k8Exists, k9Meta, k12Tax, k10Parents,
     k14Media, k15Subst, k6Chain, p8Validate, p8Stats, k11Terms, k13Users,
     s6Posts, s6MetaEmbed, s7Terms, s8Users, annIvf,
-    s4Rss, s5Multi, s9Rows,
+    s4Rss, s5Multi, s9Rows, a1Analyze, k17Expand, s11Finder,
     p2Roundtrip, p3Rename, p6Skip, p7Nest, p7Roundtrip, k5Scoped,
     f7Slug, f7Native, f8Explode, f9Nullif, f10StrNull, f11Simple,
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
@@ -1297,6 +1446,6 @@ object Queries {
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgram,
     decontaminate, piiScrub,
     textStats, langIdQ, tokenCounts, docFingerprint,
-    annBrute, annLsh, embedNearDup, mmFeatures,
+    annBrute, annLsh, annLshPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsSessions)
 }

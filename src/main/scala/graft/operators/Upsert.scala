@@ -112,7 +112,16 @@ object Upsert {
     val newRows = base.where(q(idCol).isNull).drop(idCol)
     // max(existing id) stays in-plan as a broadcast scalar — no driver
     // collect; zipWithIndex assigns 0..n-1 and the max is added after.
-    val maxDf = target.agg(coalesce(max(q(idCol)).cast(LongType), lit(0L)).as("__maxid"))
+    // The max ranges over BOTH target ids and any id carried on an
+    // incoming row (the honored update-by-ID path): an incoming id
+    // absent from the target and > max(target id) must not collide with
+    // a freshly assigned one.
+    val idPool =
+      if (incoming.columns.contains(idCol))
+        target.select(q(idCol).cast(LongType).as("__i"))
+          .unionAll(incoming.select(q(idCol).cast(LongType).as("__i")))
+      else target.select(q(idCol).cast(LongType).as("__i"))
+    val maxDf = idPool.agg(coalesce(max(col("__i")), lit(0L)).as("__maxid"))
     val seqd = withSequentialIds(newRows, "__seq", 1L, keys)
     val assigned = seqd.crossJoin(broadcast(maxDf))
       .withColumn(idCol, col("__maxid") + col("__seq"))

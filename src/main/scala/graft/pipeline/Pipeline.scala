@@ -93,6 +93,17 @@ object Pipeline {
     ColumnNs.mergeAll(frames)
   }
 
+  /** Persist the analyze manifest across runs — the reference stores
+    * per-job counts in `wp_options` (`ProcessCommand.php:458-469`);
+    * single-file JSON equivalent, re-readable as a frame. */
+  def writeAnalyzeManifest(spark: SparkSession,
+                           results: Map[String, JobResult], path: String): Unit = {
+    import spark.implicits._
+    val df = results.values.toSeq.sortBy(_.name)
+      .map(r => (r.name, r.rows.getOrElse(-1L))).toDF("job", "n_rows")
+    Sinks.writeJsonSingle(df, path)
+  }
+
   /** Run the full migration. `analyze = true` mirrors
     * `ProcessCommand.analyze` (`ProcessCommand.php:403-494`): count
     * rows per job (the only action) without running loads. */

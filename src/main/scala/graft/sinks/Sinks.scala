@@ -58,9 +58,13 @@ object Sinks {
     val part = fs.globStatus(new Path(tmp, s"part-*"))
       .headOption.getOrElse(sys.error(s"writeSingle: no part file under $tmp"))
     val dest = new Path(path)
-    fs.delete(dest, false)
+    // check both return values: a silent failed delete (dest is a
+    // non-empty dir) or failed rename would leave no output and no error
+    if (fs.exists(dest) && !fs.delete(dest, false))
+      sys.error(s"writeSingle: cannot delete existing $dest")
     Option(dest.getParent).foreach(fs.mkdirs(_))
-    fs.rename(part.getPath, dest)
+    if (!fs.rename(part.getPath, dest))
+      sys.error(s"writeSingle: rename failed: ${part.getPath} -> $dest")
     fs.delete(new Path(tmp), true)
   }
 
@@ -72,6 +76,12 @@ object Sinks {
     val body = lines.map(l => "  " + l).mkString("[\n", ",\n", "\n]")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes("UTF-8"))
+    // the in-place rewrite bypasses Hadoop's ChecksumFileSystem: drop the
+    // .crc sidecar (renamed along with the part file) or any checksummed
+    // re-read of this file fails
+    val f = new java.io.File(path)
+    val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+    if (crc.exists()) crc.delete()
   }
 
   /** K3 — collect-to-array (`to_array`); driver-side by definition. */

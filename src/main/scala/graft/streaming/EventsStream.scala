@@ -43,25 +43,47 @@ object EventsStream {
   /** Stateful sessionization: a new session starts after `gapMinutes`
     * of inactivity per user. Emits running per-user totals on every
     * update (OutputMode.Update semantics). State is one small struct
-    * per user — bounded, timeout-evictable. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSessionStats] = {
+    * per user AND evicted once the event-time watermark passes
+    * `stateTtl` beyond the user's last event (EventTimeTimeout) — a
+    * long-running stream does not accumulate state for users that
+    * stopped arriving, and eviction is data-driven (no wall-clock
+    * batches). A user reappearing after eviction restarts their
+    * running totals. Batch executions never time out, so the batch
+    * path is unaffected. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 stateTtl: String = "2 hours"): Dataset[UserSessionStats] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", stateTtl) else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSessionStats](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          sorted.foreach { e =>
-            val tsMicros = e.ts.getTime * 1000L
-            val newSession = st.lastTsMicros == Long.MinValue ||
-              tsMicros - st.lastTsMicros > gapMicros
-            st = SessionState(st.nEvents + 1,
-              st.nSessions + (if (newSession) 1L else 0L), tsMicros)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val tsMicros = e.ts.getTime * 1000L
+              val newSession = st.lastTsMicros == Long.MinValue ||
+                tsMicros - st.lastTsMicros > gapMicros
+              st = SessionState(st.nEvents + 1,
+                st.nSessions + (if (newSession) 1L else 0L), tsMicros)
+            }
+            state.update(st)
+            if (streaming) {
+              // evict at lastEvent + ttl, floored above the current
+              // watermark (a fully-late group may trail it)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMicros / 1000L, wm + 1L), stateTtl)
+            }
+            Iterator.single(UserSessionStats(userId, st.nSessions, st.nEvents))
           }
-          state.update(st)
-          Iterator.single(UserSessionStats(userId, st.nSessions, st.nEvents))
       }
   }
 }

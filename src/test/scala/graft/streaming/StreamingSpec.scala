@@ -9,7 +9,12 @@ import EventsStream.Event
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+  // base offset one day above epoch: the streaming late-row filter drops
+  // events with ts <= watermark, and the INITIAL watermark is epoch 0 —
+  // an event at exactly t=0 would be discarded before reaching the
+  // stateful operator
+  private val baseMin = 24L * 60L
+  private def ts(minutes: Long): Timestamp = new Timestamp((baseMin + minutes) * 60000L)
 
   private val eventsData = Seq(
     Event(1, ts(0), 1, "view", 1.0),
@@ -43,9 +48,9 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
         .toSet
       // hour 0: view(2: ids 1,4) + click(1); hour 1 (min 60-120): view(1)
-      assert(rows.contains((0L, "view", 2L)))
-      assert(rows.contains((0L, "click", 1L)))
-      assert(rows.contains((60L, "view", 1L)))
+      assert(rows.contains((baseMin, "view", 2L)))
+      assert(rows.contains((baseMin, "click", 1L)))
+      assert(rows.contains((baseMin + 60L, "view", 1L)))
     } finally q.stop()
   }
 
@@ -80,6 +85,34 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
       // state persisted across batches: final update reports 2 sessions, 2 events
       assert(last.contains((2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize evicts idle state once the watermark passes the ttl") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionize(mem.toDS(), gapMinutes = 30, stateTtl = "1 hour")
+      .writeStream.format("memory").queryName("sessions_ttl_test").outputMode("update")
+      .start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      // user 2 far in the future advances the watermark (t=600 - 60min)
+      // beyond user 1's eviction point (t=0 + 60min)
+      mem.addData(Event(2, ts(600), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(601), 2, "view", 1.0)) // triggers timeout processing
+      q.processAllAvailable()
+      // user 1 reappears AFTER eviction: totals restart at 1/1 instead
+      // of continuing 2/2
+      mem.addData(Event(4, ts(610), 1, "view", 1.0))
+      q.processAllAvailable()
+      val updatesForUser1 = spark.table("sessions_ttl_test")
+        .where(col("user_id") === 1)
+        .collect().map(r => (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+      assert(updatesForUser1.contains((1L, 1L)))
+      assert(updatesForUser1.length == 2) // initial + post-eviction restart
+      assert(updatesForUser1.last == ((1L, 1L)))
     } finally q.stop()
   }
 }
