@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~80 registered queries × several codegen'd stages each overflow the
+  // default 240m JIT code cache mid-bench; once full, compilation stops
+  // and later heavy-expression queries run interpreted (measured: the
+  // same query 7 s in a fresh JVM vs 50-128 s late in the bench run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

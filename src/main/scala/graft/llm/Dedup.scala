@@ -45,14 +45,58 @@ object Dedup {
       .drop("__h", "__keep")
   }
 
-  /** Word n-gram shingles of the normalized text. Short texts (< n
-    * words) produce their single joined form. */
-  def shingles(c: Column, n: Int = 5): Column = {
-    val words = split(normalizeText(c), " ")
+  /** Normalized word array. */
+  def wordsOf(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Let-binding for expressions referenced inside higher-order-function
+    * lambdas: evaluates `e` ONCE per row (as the element of a singleton
+    * array) and hands the body a lambda variable. Referencing an
+    * expensive subtree like `split(regexp_replace(...))` directly inside
+    * a lambda re-evaluates it PER ELEMENT — and a `select` boundary does
+    * NOT protect against that, because CollapseProject re-inlines the
+    * projected expression into the consuming lambda during optimization
+    * (measured: 108 s vs 4 s for the MinHash signature pass at sf0.1).
+    * A lambda binding cannot be inlined through. */
+  private def letBound(e: Column)(body: Column => Column): Column =
+    transform(array(e), body).getItem(0)
+
+  /** Word n-gram shingles over an already-bound (cheap-to-reference)
+    * words-array column. Short texts (< n words) produce their single
+    * joined form. Callers with an arbitrary text expression should use
+    * [[shingles]], which let-binds the word split first. */
+  def shinglesFromWords(words: Column, n: Int = 5): Column = {
     val grams = transform(sequence(lit(0), size(words) - n),
       i => array_join(slice(words, i + 1, lit(n)), " "))
     when(size(words) >= n, array_distinct(grams))
       .otherwise(array(array_join(words, " ")))
+  }
+
+  /** Word n-gram shingles of the normalized text. The word split is
+    * let-bound so it is computed once per row regardless of how the
+    * optimizer rewrites the surrounding projections. */
+  def shingles(c: Column, n: Int = 5): Column =
+    letBound(wordsOf(c))(ws => shinglesFromWords(ws, n))
+
+  /** (doc_id, sorted hashed-shingle array) frame: each shingle
+    * represented by its 64-bit xxhash64 — set semantics (and therefore
+    * Jaccard) are preserved up to hash collisions (~n²/2⁶⁵ per
+    * document, negligible), while joins/shuffles carry fixed-width
+    * longs instead of n-gram strings. Sorted ascending once per
+    * document so pairwise intersection is a single merge loop
+    * ([[graft.plans.SortedIntersectSizeExpression]]). */
+  private def hashedShingleFrame(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int = 5): DataFrame =
+    // shingles(...) sits in transform's CHILD position (not inside the
+    // lambda), so it is evaluated once per row
+    df.select(col(idCol).as("doc_id"),
+      sort_array(transform(shingles(col(textCol), n), s => xxhash64(s))).as("__sh"))
+
+  /** Jaccard of two SORTED distinct-element long arrays via the native
+    * merge-loop intersection; |A∪B| = |A|+|B|−|A∩B|. */
+  private def sortedJaccard(a: Column, b: Column): Column = {
+    val inter = call_function("graft_sorted_intersect_size", a, b).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
+    when(union === 0d, 0d).otherwise(inter / union)
   }
 
   /** MinHash signature as a Column expression: sig[i] = min over
@@ -70,18 +114,25 @@ object Dedup {
     * than the nested-HOF expression form at corpus scale, and the
     * shuffle carries only (doc_id, k partial mins). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 64): DataFrame = {
-    // each shingle STRING is hashed once; the k per-permutation hashes
-    // derive from that 8-byte value (hash-of-hash — standard MinHash
-    // practice), so per-row work is k fixed-width hashes instead of k
-    // string traversals
-    val exploded = df.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol))).as("__sh"))
-      .select(col("doc_id"), xxhash64(col("__sh")).as("__h"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__h$i"))
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+                        k: Int = 64): DataFrame =
+    signaturesFromHashedShingles(hashedShingleFrame(df, idCol, textCol), k)
+
+  /** Signatures from a (doc_id, __sh hashed-shingle array) frame: the k
+    * per-permutation hashes derive from the shingle's 8-byte hash
+    * (hash-of-hash — standard MinHash practice), so per-row work is k
+    * fixed-width hashes instead of k string traversals.
+    *
+    * One native codegen'd expression
+    * ([[graft.plans.MinHashSignatureExpression]]) — map-only and
+    * shuffle-free. The builtin compositions both degrade at k = 64:
+    * explode + k `min(xxhash64)` aggregates multiplies rows and makes
+    * janino compile a k-wide aggregate class; k ×
+    * `array_min(transform)` runs as interpreted HOFs whose megamorphic
+    * call sites slow ~4× over a long multi-query JVM session. */
+  private def signaturesFromHashedShingles(sh: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(sh.sparkSession) // idempotent
+    sh.select(col("doc_id"),
+      call_function("graft_minhash_sig", col("__sh"), lit(k)).as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPer`
@@ -100,14 +151,18 @@ object Dedup {
     * expansion, bounding the quadratic term. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    candidatesFromSigs(minhashSignatures(df, idCol, textCol, k), k, bands, maxBucket)
+
+  /** Banding + in-bucket pair expansion + signature-agreement estimate
+    * over a (doc_id, sig) frame. Buckets and the pair expansion carry
+    * only doc ids — dragging the k-long signature arrays through
+    * collect_list/explode/shuffle dominates runtime otherwise; the
+    * signatures join back by id afterwards. */
+  private def candidatesFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                                 maxBucket: Int): DataFrame = {
     val rowsPer = k / bands
     require(bands * rowsPer == k, s"bands ($bands) must divide k ($k)")
-    // Signatures are computed ONCE (codegen'd aggregate form) and
-    // cached; buckets and the pair expansion carry only doc ids —
-    // dragging the k-long signature arrays through
-    // collect_list/explode/shuffle dominates runtime otherwise.
-    val sigs = minhashSignatures(df, idCol, textCol, k).cache()
     val banded = sigs.select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rowsPer)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
@@ -129,21 +184,43 @@ object Dedup {
           .cast("double") / lit(k)).as("est_jaccard"))
   }
 
-  /** Verified near-dup pairs: exact Jaccard over shingle sets, computed
-    * only for LSH candidates (join back by id — hash-partitioned). */
+  /** Verified near-dup pairs: exact Jaccard over (hashed) shingle sets,
+    * computed only for LSH candidates that also pass an est_jaccard
+    * pre-filter.
+    *
+    * One hashed-shingle frame feeds BOTH the signatures and the
+    * verification join (shingles computed once); the pre-filter
+    * (`threshold - 3σ`, σ = 1/(2√k) — retains essentially all true
+    * pairs) discards low-similarity bucket collisions before the exact
+    * set intersection. The result is materialized eagerly
+    * (`localCheckpoint`) so both intermediate caches can be released
+    * immediately — the output (near-dup pairs) is orders of magnitude
+    * smaller than the corpus. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, k: Int = 64,
-                      bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, bands)
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
-      .cache()
-    val withA = cands.join(sh.withColumnRenamed("__id", "a")
-      .withColumnRenamed("__sh", "sha_"), Seq("a"))
-    val withB = withA.join(sh.withColumnRenamed("__id", "b")
-      .withColumnRenamed("__sh", "shb_"), Seq("b"))
-    withB.withColumn("jaccard", jaccard(col("sha_"), col("shb_")))
+                      bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    // ONE cached shingle frame (plain long arrays — cheap to cache)
+    // feeds the signature derivation AND the verification joins; the
+    // signature projection is a single codegen'd pass over that cache,
+    // so its three references (banding + both est join-backs) re-derive
+    // it rather than caching a second frame.
+    val sh = hashedShingleFrame(df, idCol, textCol).cache()
+    val sigs = signaturesFromHashedShingles(sh, k)
+    val slack = 1.5 / math.sqrt(k) // 3σ at σ = 1/(2√k)
+    val pre = candidatesFromSigs(sigs, k, bands, maxBucket)
+      .where(col("est_jaccard") >= threshold - slack)
+    val verified = pre
+      .join(sh.select(col("doc_id").as("a"), col("__sh").as("sha_")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("__sh").as("shb_")), Seq("b"))
+      .withColumn("jaccard", sortedJaccard(col("sha_"), col("shb_")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+    // materialize eagerly so both caches can be released at once — the
+    // output (near-dup pairs) is orders of magnitude smaller than the
+    // corpus
+    val out = verified.localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Exact Jaccard similarity of two array columns (as sets). */
@@ -171,21 +248,16 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash fingerprints, vectorized (same rationale as
-    * [[minhashSignatures]]): explode words, 64 codegen'd conditional
-    * sums with map-side combine, then pack sign bits. */
+  /** SimHash fingerprints via ONE native codegen'd pass per row
+    * ([[graft.plans.SimHash64Expression]]): each word hashed once, its
+    * bits voting ±1 into 64 counters — map-only, shuffle-free. (The
+    * explode + 64 conditional-sum aggregate alternative multiplies rows
+    * by the word count and makes janino compile a 64-wide aggregate
+    * class.) */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("doc_id"),
-      explode(split(normalizeText(col(textCol)), " ")).as("__w"))
-    val aggs = (0 until 64).map(i =>
-      sum(when(shiftright(xxhash64(col("__w")), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"__b$i"))
-    val packed = (0 until 64)
-      .map(i => when(col(s"__b$i") > 0L, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    words.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), packed.as("fp"))
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    df.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash64", wordsOf(col(textCol))).as("fp"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤3 guaranteed found by
@@ -238,22 +310,23 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"),
+    graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
+    // sorted HASHED shingles: the pairwise term pays one merge-loop
+    // intersection per pair over fixed-width longs (Jaccard preserved
+    // up to negligible hash collisions) instead of an interpreted
+    // array_intersect over n-gram strings
+    val base = df.select(col(idCol).as("__id"),
+      sort_array(transform(shingles(col(textCol), n), s => xxhash64(s))).as("__sh"),
       struct(blockCols: _*).as("__blk"))
       .cache() // referenced by both join sides — compute shingles once
     // distinct column names on each side — a self-join on a shared
     // lineage column resolves to a trivially-true predicate otherwise
     val a = base.select(col("__blk").as("__blka"), col("__id").as("a"),
-      col("__sh").as("sha_"), size(col("__sh")).as("__na"))
+      col("__sh").as("sha_"))
     val b = base.select(col("__blk").as("__blkb"), col("__id").as("b"),
-      col("__sh").as("shb_"), size(col("__sh")).as("__nb"))
-    // |A∪B| = |A|+|B|-|A∩B| — one array_intersect per pair instead of
-    // intersect + union (shingles() already dedups, so size = |set|)
-    val inter = size(array_intersect(col("sha_"), col("shb_"))).cast("double")
+      col("__sh").as("shb_"))
     a.join(b, col("__blka") === col("__blkb") && col("a") < col("b"))
-      .withColumn("jaccard",
-        when(col("__na") + col("__nb") === 0, 0d)
-          .otherwise(inter / (col("__na") + col("__nb") - inter)))
+      .withColumn("jaccard", sortedJaccard(col("sha_"), col("shb_")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * - [[embeddingNearDups]] — near-duplicate pairs by cosine within LSH
   *   buckets (no all-pairs).
   *
-  * Dot products are built from `zip_with` + `aggregate` (codegen'd
-  * higher-order functions — no UDF, no MLlib dependency).
+  * Dot products run as ONE native codegen'd expression
+  * ([[graft.plans.DotProductExpression]], bit-identical to the
+  * `zip_with` + `aggregate` fold) — no UDF, no per-element interpreted
+  * lambda eval in the hot path.
   */
 object Similarity {
 
@@ -27,7 +29,12 @@ object Similarity {
   def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Sequential left-fold dot product — deterministic evaluation
-    * order. */
+    * order. Pure-builtin form for ad-hoc use; the operators below use
+    * the bit-identical native expression
+    * ([[graft.plans.DotProductExpression]]) — interpreted
+    * higher-order-function eval degrades over long multi-query JVM
+    * sessions (megamorphic call sites), and similarity passes compute
+    * O(nBits + k) dots per row. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -36,6 +43,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Native codegen'd forms — bit-identical results to the folds above
+    * (same sequential accumulation order). Requires
+    * `GraftExtensions.register` (every operator in this object
+    * registers on entry). */
+  private def nDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private def nNorm(a: Column): Column = sqrt(nDot(a, a))
+  private def nCosine(a: Column, b: Column): Column =
+    nDot(a, b) / (nNorm(a) * nNorm(b))
+  private def registered(df: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df
+  }
+
   /** Exact top-k neighbors for each query vector.
     * `queries(qIdCol, vecCol)` is broadcast (must be driver-small);
     * `corpus(cIdCol, vecCol)` is scanned once. Returns
@@ -43,13 +63,14 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qIdCol: String = "vec_id", cIdCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    registered(corpus)
     val q = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
     val c = corpus.select(col(cIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -63,13 +84,29 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Pack the sign bits of `vec · h_i` into one int bucket key. */
+  /** Actual embedding length, read from one row — used when the caller
+    * does not pass `dim` explicitly, so hyperplanes always match the
+    * data. */
+  private def deriveDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("__d")).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => sys.error(s"deriveDim: empty frame — cannot infer length of '$vecCol'")
+    }
+
+  /** Pack the sign bits of `vec · h_i` into one int bucket key. Fails
+    * fast on a vector whose length differs from the hyperplane dim:
+    * `zip_with` would otherwise pad with nulls, `dot` evaluates to
+    * null, and every row would silently hash to bucket 0. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.head.size
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) > 0d, lit(1L << i)).otherwise(lit(0L))
+      when(nDot(vec, planeLit) > 0d, lit(1L << i)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(vec) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected dim $dim, got "), size(vec).cast("string")))
+        .cast("long"))
   }
 
   /** ANN top-k via random-hyperplane LSH with Hamming-1 multiprobe:
@@ -79,8 +116,12 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 12, seed: Long = 42L,
               qIdCol: String = "vec_id", cIdCol: String = "vec_id",
-              vecCol: String = "embedding", dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nBits, dim, seed)
+              vecCol: String = "embedding", dim: Int = -1): DataFrame = {
+    registered(corpus)
+    // dim <= 0 (the default): derive from the data so a mismatch between
+    // a hardcoded default and the actual embedding length is impossible
+    val d = if (dim > 0) dim else deriveDim(corpus, vecCol)
+    val planes = hyperplanes(nBits, d, seed)
     val c = corpus.select(col(cIdCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("__cv"))
       .withColumn("__bucket", lshBucket(col("__cv"), planes))
@@ -93,7 +134,7 @@ object Similarity {
         (0 until nBits).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*)).as("__bucket"))
     val cands = probes.join(c, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -114,26 +155,32 @@ object Similarity {
               qIdCol: String = "vec_id", cIdCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    import org.apache.spark.ml.functions.array_to_vector
+    registered(corpus)
     val c = corpus.select(col(cIdCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("features", toVec(col("__cv")))
+      .withColumn("features", array_to_vector(col("__cv")))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cluster").fit(c)
     val assigned = model.transform(c).select(col("neighbor_id"), col("__cv"), col("cluster"))
-    // nProbe nearest centroids per query, via literal centroid arrays
-    val centroids = model.clusterCenters.map(_.toArray)
-    val centStructs = centroids.zipWithIndex.map { case (ctr, i) =>
-      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
-      struct((-dot(col("__qv"), ctrLit)).as("negdot"), lit(i).as("cluster"))
-    }
+    // nProbe nearest centroids per query via a BROADCAST centroids frame
+    // (nCentroids rows) — keeps the expression tree free of
+    // nCentroids×dim literal arrays; probe selection is a window top-n
+    // over the (queries × centroids) broadcast product
+    import c.sparkSession.implicits._
+    val centroidsDf = model.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
+      .toDF("cluster", "__ctr")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cdot").desc, col("cluster").asc)
     val q = queries.select(col(qIdCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__probes",
-        slice(sort_array(array(centStructs.toIndexedSeq: _*)), 1, nProbe))
-      .select(col("query_id"), col("__qv"), explode(col("__probes.cluster")).as("cluster"))
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("__cdot", nDot(col("__qv"), col("__ctr")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cluster"))
     val cands = q.join(assigned, Seq("cluster"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))
@@ -146,8 +193,10 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, threshold: Double = 0.95,
                         nBits: Int = 8, seed: Long = 42L,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        maxBucket: Int = 10000, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nBits, dim, seed)
+                        maxBucket: Int = 10000, dim: Int = -1): DataFrame = {
+    registered(df)
+    val d = if (dim > 0) dim else deriveDim(df, vecCol)
+    val planes = hyperplanes(nBits, d, seed)
     // buckets carry ids only; vectors join back by id (same pattern as
     // Dedup.minhashCandidates — never drag vectors through collect_list)
     val keyed = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -165,7 +214,7 @@ object Similarity {
     pairs
       .join(keyed.select(col("id").as("a"), col("v").as("__va")), Seq("a"))
       .join(keyed.select(col("id").as("b"), col("v").as("__vb")), Seq("b"))
-      .select(col("a"), col("b"), cosine(col("__va"), col("__vb")).as("cosine"))
+      .select(col("a"), col("b"), nCosine(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -67,7 +67,32 @@ object GraftExtensions {
 
   private[plans] val functions = Seq(
     unary("graft_html_to_blocks", classOf[HtmlToBlocksExpression], HtmlToBlocksExpression(_)),
-    unary("graft_slugify", classOf[SlugifyExpression], SlugifyExpression(_)))
+    unary("graft_slugify", classOf[SlugifyExpression], SlugifyExpression(_)),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_minhash_sig takes (array<bigint>, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig: k must be an integer literal, got $other")
+        }
+        MinHashSignatureExpression(children.head, k)
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpression].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly two arguments")
+        DotProductExpression(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSizeExpression].getName,
+        "graft_sorted_intersect_size"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sorted_intersect_size takes exactly two arguments")
+        SortedIntersectSizeExpression(children(0), children(1))
+      }),
+    unary("graft_simhash64", classOf[SimHash64Expression], SimHash64Expression(_)))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =
