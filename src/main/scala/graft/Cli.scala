@@ -27,11 +27,21 @@ object Cli {
     val command = args(0)
     val configPath = args(1)
     val flags = parseFlags(args.drop(2))
-    val jobs = ConfigLoader.parseFile(configPath)
+    // janitor's positional argument is the entity parquet path, not a
+    // config file; yaml configs route through the !include-aware parser
+    val jobs =
+      if (command == "janitor") Nil
+      else if (configPath.endsWith(".yaml") || configPath.endsWith(".yml"))
+        ConfigLoader.parseYamlFile(configPath)
+      else ConfigLoader.parseFile(configPath)
 
     if (command == "config") {
       Pipeline.validate(jobs)
       println(s"config OK: ${jobs.size} job(s): ${jobs.map(_.name).mkString(", ")}")
+      return
+    }
+    if (command == "janitor") {
+      runJanitor(configPath, flags)
       return
     }
 
@@ -62,7 +72,14 @@ object Cli {
             (if (j.dependsOn.nonEmpty) s", depends on ${j.dependsOn.mkString(", ")}" else ""))
         }
       case "process" =>
-        val res = Pipeline.run(spark, jobs, only = only, skip = skip)
+        // --snapshot-dir: reference parity (ProcessCommand.php:349-362)
+        // — snapshot the output tree before the run, restore on fatal
+        def go(): Map[String, Pipeline.JobResult] =
+          Pipeline.run(spark, jobs, only = only, skip = skip)
+        val res = flags.get("snapshot-dir") match {
+          case Some(dir) => graft.sinks.Staging.withSnapshot(spark, dir)(go())
+          case None => go()
+        }
         res.foreach { case (n, _) => println(s"[process] job $n done") }
       case "analyze" =>
         val res = Pipeline.run(spark, jobs, only = only, skip = skip, analyze = true)
@@ -89,6 +106,38 @@ object Cli {
     }
   }
 
+  /** `wp etl janitor` equivalent: rewrite an entity parquet table
+    * without the rows matching `--post-type a,b` and/or the ids in
+    * `--ledger-dir/--name`'s latest ledger. Staged write — a failure
+    * leaves the table untouched. */
+  private def runJanitor(path: String, flags: Map[String, String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-janitor")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val types = flags.get("post-type").map(_.split(",").toSeq).getOrElse(Nil)
+      val ledger = flags.get("ledger-dir").map { dir =>
+        graft.sources.Sources.ledgerLatest(spark,
+          dir, flags.getOrElse("name", sys.error("janitor --ledger-dir requires --name")))
+      }
+      require(types.nonEmpty || ledger.nonEmpty,
+        "janitor requires --post-type and/or --ledger-dir/--name")
+      val (before, after) = graft.operators.Janitor.cleanParquet(spark, path, { df =>
+        val afterTypes =
+          if (types.isEmpty) df
+          else graft.operators.Janitor.emptyPosts(df, types,
+            typeCol = flags.getOrElse("type-col", "post_type"))
+        ledger.fold(afterTypes)(l => graft.operators.Janitor.deleteByLedger(afterTypes, l,
+          entityIdCol = flags.getOrElse("id-col", "id")))
+      })
+      println(s"[janitor] $path: $before -> $after rows (${before - after} deleted)")
+    } finally spark.stop()
+  }
+
   private def parseFlags(args: Array[String]): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -104,9 +153,10 @@ object Cli {
   }
 
   private val usage: String =
-    """usage: graft.Cli <process|extract|transform|analyze|config> <config.json>
-      |  process   [--job a,b] [--skip c] [--dry-run]
+    """usage: graft.Cli <process|extract|transform|analyze|config|janitor> <config.json|.yaml|parquet>
+      |  process   [--job a,b] [--skip c] [--dry-run] [--snapshot-dir dir]
       |  extract   --job x --out dir [--mode json|csv]
       |  transform --job x --out dir [--mode json|csv]
+      |  janitor   <entity.parquet> [--post-type a,b] [--ledger-dir d --name n] [--id-col id]
       |""".stripMargin
 }

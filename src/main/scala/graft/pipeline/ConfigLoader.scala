@@ -141,43 +141,123 @@ object ConfigLoader {
       case None => w(df)
     }
 
+  /** `pipeline: FQCN` aliases (the reference's reflective transform
+    * extension point, `Transform/Orchestrator.php:103-117` — e.g.
+    * `PluginNamespace\TransformationPipelines\WPPostsPipeline`): the
+    * class simple name maps onto a registered transform kind. Open so
+    * plugins can register their own. */
+  val pipelineAliases: collection.mutable.Map[String, String] =
+    collection.mutable.Map(
+      "WPPostsPipeline" -> "post_pipeline",
+      "WPTermsPipeline" -> "term_pipeline",
+      "WPUsersPipeline" -> "user_pipeline",
+      "WPMediaPipeline" -> "media_pipeline")
+
   /** Parse a JSON config document into JobSpecs (throws
     * ValidationException on unknown kinds / missing fields — the
     * `wp etl config validate` behavior). */
   def parse(json: String): Seq[Pipeline.JobSpec] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readValue(json, classOf[java.util.Map[String, Object]]).asScala
-    val jobs = root.getOrElse("jobs",
-        throw new Pipeline.ValidationException("config: missing 'jobs'"))
-      .asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
-    jobs.map { j =>
-      val m = j.asScala
-      def steps(key: String): Seq[StepConfig] =
-        m.get(key).map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]].asScala
-          .map { s =>
-            val sm = s.asScala
-            val opts = sm.filterNot { case (k, _) => k == "kind" }
-              .map { case (k, v) => k -> String.valueOf(v) }.toMap
-            StepConfig(String.valueOf(sm.getOrElse("kind",
-              throw new Pipeline.ValidationException(s"config: step in '$key' missing 'kind'"))),
-              opts)
-          }.toSeq).getOrElse(Nil)
-      def resolve[T](kind: String, reg: collection.Map[String, Options => T],
-                     what: String, opts: Options): T =
-        reg.getOrElse(kind, throw new Pipeline.ValidationException(
-          s"config: unknown $what kind '$kind' (known: ${reg.keys.toSeq.sorted.mkString(", ")})"))(opts)
-      Pipeline.JobSpec(
-        name = String.valueOf(m.getOrElse("name",
-          throw new Pipeline.ValidationException("config: job missing 'name'"))),
-        dependsOn = m.get("dependsOn")
-          .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq).getOrElse(Nil),
-        skip = m.get("skip").exists(v => String.valueOf(v).toBoolean),
-        extract = steps("extract").map(s => resolve(s.kind, sourceKinds, "source", s.options)),
-        transform = steps("transform").map(s => resolve(s.kind, transformKinds, "transform", s.options)),
-        load = steps("load").map(s => resolve(s.kind, loadKinds, "load", s.options)))
-    }.toSeq
+    fromTree(deep(mapper.readValue(json, classOf[java.util.Map[String, Object]])))
   }
 
   def parseFile(path: String): Seq[Pipeline.JobSpec] =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Parse a reference-shaped YAML config (with `!include` composition)
+    * into JobSpecs. Accepts BOTH this library's `jobs:` schema and the
+    * reference's `migration:` schema (`README.md:35-94`): per-step
+    * `adapter:`/`loader:`/`pipeline:` resolve to kinds, `args:` children
+    * become plain options, `destination: {path, file}` becomes
+    * `dir`/`file`, a load-side `prefix:` becomes `prefixes`, and
+    * `JSON_PRETTY_PRINT` in `options.flags` becomes `pretty`. */
+  def parseYamlFile(path: String): Seq[Pipeline.JobSpec] =
+    fromTree(Yaml.parseFile(path))
+
+  /** Normalize a Jackson tree to the Scala shapes [[fromTree]] walks
+    * (insertion order preserved — Jackson uses LinkedHashMap). */
+  private def deep(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      scala.collection.immutable.VectorMap(
+        m.asScala.toSeq.map { case (k, x) => String.valueOf(k) -> deep(x) }: _*)
+    case l: java.util.List[_] => l.asScala.toVector.map(deep)
+    case x => x
+  }
+
+  private type Tree = Map[String, Any]
+
+  private def fromTree(root: Any): Seq[Pipeline.JobSpec] = {
+    val rootMap = root match {
+      case m: Map[_, _] => m.asInstanceOf[Tree]
+      case _ => throw new Pipeline.ValidationException("config: root must be a map")
+    }
+    val jobs = rootMap.get("jobs").orElse(rootMap.get("migration")).getOrElse(
+        throw new Pipeline.ValidationException("config: missing 'jobs' (or 'migration')"))
+      .asInstanceOf[Vector[Any]]
+    jobs.map {
+      case j: Map[_, _] => jobFromTree(j.asInstanceOf[Tree])
+      case other => throw new Pipeline.ValidationException(
+        s"config: job entry must be a map, got $other")
+    }
+  }
+
+  private def jobFromTree(m: Tree): Pipeline.JobSpec = {
+    def steps(key: String): Seq[StepConfig] =
+      m.get(key).map(_.asInstanceOf[Vector[Any]]
+        .map(s => normalizeStep(s.asInstanceOf[Tree], key))).getOrElse(Nil)
+    def resolve[T](kind: String, reg: collection.Map[String, Options => T],
+                   what: String, opts: Options): T =
+      reg.getOrElse(kind, throw new Pipeline.ValidationException(
+        s"config: unknown $what kind '$kind' (known: ${reg.keys.toSeq.sorted.mkString(", ")})"))(opts)
+    Pipeline.JobSpec(
+      name = String.valueOf(m.getOrElse("name",
+        throw new Pipeline.ValidationException("config: job missing 'name'"))),
+      dependsOn = m.get("dependsOn")
+        .map(_.asInstanceOf[Vector[Any]].map(String.valueOf).toSeq).getOrElse(Nil),
+      skip = m.get("skip").exists(v => String.valueOf(v).toBoolean),
+      extract = steps("extract").map(s => resolve(s.kind, sourceKinds, "source", s.options)),
+      transform = steps("transform").map(s => resolve(s.kind, transformKinds, "transform", s.options)),
+      load = steps("load").map(s => resolve(s.kind, loadKinds, "load", s.options)))
+  }
+
+  // NOT dropping "name": some kinds consume it as an option (the ledger
+  // writer's ledger name); a step label flowing into options is harmless
+  private val stepMetaKeys = Set("kind", "adapter", "loader", "pipeline")
+
+  private def normalizeStep(m: Tree, phase: String): StepConfig = {
+    val kind = m.get("kind").map(String.valueOf)
+      .orElse(m.get("adapter").map(String.valueOf))
+      .orElse(m.get("loader").map(v => String.valueOf(v).toLowerCase))
+      .orElse(m.get("pipeline").map { v =>
+        val simple = String.valueOf(v).split("[\\\\.]").last
+        pipelineAliases.getOrElse(simple, simple)
+      })
+      .getOrElse(throw new Pipeline.ValidationException(
+        s"config: step in '$phase' missing 'kind' (or adapter/loader/pipeline)"))
+    val flat = collection.mutable.LinkedHashMap.empty[String, String]
+    def walk(prefix: String, v: Any): Unit = v match {
+      case mm: Map[_, _] => mm.asInstanceOf[Tree].foreach { case (k, x) =>
+        walk(if (prefix.isEmpty) k else s"$prefix.$k", x) }
+      case l: Vector[_] => flat(prefix) = l.map(String.valueOf).mkString(",")
+      case null => ()
+      case x => flat(prefix) = String.valueOf(x)
+    }
+    m.foreach { case (k, v) if !stepMetaKeys(k) => walk(k, v); case _ => () }
+    // reference-schema remaps onto this library's option names: `args:`
+    // and `options:` children become plain options, `destination:`
+    // becomes dir/file
+    val remapped = flat.map {
+      case (k, v) if k.startsWith("args.") => k.stripPrefix("args.") -> v
+      case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v
+      case ("destination.path", v) => "dir" -> v
+      case ("destination.file", v) => "file" -> v
+      case kv => kv
+    }
+    var opts = remapped.toMap
+    if (phase == "load" && opts.contains("prefix") && !opts.contains("prefixes"))
+      opts += "prefixes" -> opts("prefix")
+    if (opts.get("flags").exists(_.contains("JSON_PRETTY_PRINT")))
+      opts += "pretty" -> "true"
+    StepConfig(kind, opts)
+  }
 }

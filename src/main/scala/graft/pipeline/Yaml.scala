@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.Files
+
+import scala.collection.immutable.VectorMap
+
+/** Hand-rolled YAML-subset parser with `!include` composition — the
+  * reference's entire user interface is YAML job files with include
+  * tags (`lib/Classes/Config/YamlWithIncludes.php:41-65`,
+  * `README.md:35-94`). The container ships no YAML library, so this
+  * implements exactly the subset those configs use:
+  *
+  *  - block maps (`key: value` / `key:` + indented block)
+  *  - block lists (`- value`, `- key: value` inline-map items, `-` +
+  *    indented block); one-line flow lists `[a, b]` of scalars
+  *  - scalars: unquoted, 'single'- and "double"-quoted; `true/false`,
+  *    `null`/`~`, integers, floats; everything else is a string
+  *  - comments: full-line `# ...` and unquoted trailing ` # ...`
+  *  - `!include path` anywhere a value can appear: parses the referenced
+  *    file (relative to the INCLUDING file's directory, falling back to
+  *    the root config directory — the reference's FileLocator) and
+  *    splices its tree in. Circular includes fail fast.
+  *
+  * List items must use two-space `- ` markers with continuation lines
+  * aligned under the first key (the layout every reference config
+  * uses). Maps preserve key order ([[VectorMap]]).
+  */
+object Yaml {
+
+  final class YamlException(msg: String) extends RuntimeException(msg)
+
+  /** Parse a YAML file (resolving `!include` recursively). */
+  def parseFile(path: String): Any = {
+    val f = new File(path).getAbsoluteFile
+    parseFile(f, rootDir = f.getParentFile, seen = Set.empty)
+  }
+
+  /** Parse a YAML document string (includes resolved against `baseDir`,
+    * or disabled when absent). */
+  def parse(text: String, baseDir: Option[File] = None): Any =
+    new Parser(preprocess(text), include(baseDir, baseDir, Set.empty)).parseDocument()
+
+  private def parseFile(f: File, rootDir: File, seen: Set[String]): Any = {
+    val canonical = f.getCanonicalPath
+    if (seen(canonical))
+      throw new YamlException(s"circular !include: $canonical (via ${seen.mkString(" -> ")})")
+    if (!f.isFile) throw new YamlException(s"!include target not found: $f")
+    val text = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    new Parser(preprocess(text),
+      include(Some(f.getParentFile), Some(rootDir), seen + canonical)).parseDocument()
+  }
+
+  /** Include resolver: relative to the including file's dir, then the
+    * root config dir. */
+  private def include(baseDir: Option[File], rootDir: Option[File],
+                      seen: Set[String]): String => Any = { target =>
+    baseDir match {
+      case None => throw new YamlException(s"!include '$target' not allowed without a base directory")
+      case Some(base) =>
+        val candidates = Seq(new File(base, target)) ++ rootDir.map(new File(_, target))
+        val hit = candidates.find(_.isFile).getOrElse(candidates.head)
+        parseFile(hit, rootDir.getOrElse(base), seen)
+    }
+  }
+
+  // ---- lexing ------------------------------------------------------------
+
+  private final case class Line(indent: Int, text: String, num: Int)
+
+  private def preprocess(text: String): Vector[Line] =
+    text.linesIterator.zipWithIndex.flatMap { case (raw, i) =>
+      val noComment = stripComment(raw)
+      val t = noComment.trim
+      if (t.isEmpty || t == "---") None
+      else Some(Line(noComment.indexWhere(_ != ' '), t, i + 1))
+    }.toVector
+
+  /** Remove a full-line or unquoted trailing ` #` comment. */
+  private def stripComment(s: String): String = {
+    var inS = false; var inD = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS  => inD = !inD
+        case '#' if !inS && !inD && (i == 0 || s.charAt(i - 1) == ' ') =>
+          return s.substring(0, i)
+        case _ =>
+      }
+      i += 1
+    }
+    s
+  }
+
+  // ---- parsing -----------------------------------------------------------
+
+  private final class Parser(lines: Vector[Line], resolveInclude: String => Any) {
+    private var pos = 0
+    private def done: Boolean = pos >= lines.length
+    private def peek: Line = lines(pos)
+
+    def parseDocument(): Any = {
+      if (done) return VectorMap.empty[String, Any]
+      val v = parseNode(peek.indent)
+      if (!done)
+        throw new YamlException(s"line ${peek.num}: unexpected content '${peek.text}' " +
+          "after document (check indentation)")
+      v
+    }
+
+    private def isListItem(t: String): Boolean = t == "-" || t.startsWith("- ")
+
+    private def parseNode(indent: Int): Any =
+      if (done || peek.indent < indent) null
+      else if (isListItem(peek.text)) parseList(peek.indent)
+      else parseMap(peek.indent)
+
+    private def parseList(indent: Int): Vector[Any] = {
+      val out = Vector.newBuilder[Any]
+      while (!done && peek.indent == indent && isListItem(peek.text)) {
+        val ln = peek
+        val rest = if (ln.text == "-") "" else ln.text.drop(2).trim
+        if (rest.isEmpty) { // `-` with a nested block
+          pos += 1
+          if (done || peek.indent <= indent)
+            throw new YamlException(s"line ${ln.num}: empty list item")
+          out += parseNode(peek.indent)
+        } else splitKey(rest) match {
+          case Some((k, v)) => // `- key: ...` starts an inline map item
+            out += parseMapFrom(k, v, ln, indent + 2)
+          case None =>
+            pos += 1
+            out += scalar(rest, ln)
+        }
+      }
+      out.result()
+    }
+
+    private def parseMap(indent: Int): VectorMap[String, Any] = {
+      var out = VectorMap.empty[String, Any]
+      while (!done && peek.indent == indent && !isListItem(peek.text)) {
+        val ln = peek
+        val (k, v) = splitKey(ln.text).getOrElse(
+          throw new YamlException(s"line ${ln.num}: expected 'key: value', got '${ln.text}'"))
+        out = out.updated(k, entryValue(v, ln, indent))
+      }
+      out
+    }
+
+    /** A list item of the form `- key: v` — the map's first entry is on
+      * the marker line; continuation keys sit at `indent` (aligned under
+      * `key`, i.e. marker indent + 2). */
+    private def parseMapFrom(k: String, v: String, ln: Line, indent: Int): VectorMap[String, Any] = {
+      var out = VectorMap(k -> entryValue(v, ln, indent))
+      while (!done && peek.indent == indent && !isListItem(peek.text)) {
+        val l2 = peek
+        val (k2, v2) = splitKey(l2.text).getOrElse(
+          throw new YamlException(s"line ${l2.num}: expected 'key: value', got '${l2.text}'"))
+        out = out.updated(k2, entryValue(v2, l2, indent))
+      }
+      out
+    }
+
+    /** Value of one map entry whose key line is `ln` at `indent`;
+      * advances past the entry. */
+    private def entryValue(inline: String, ln: Line, indent: Int): Any = {
+      pos += 1
+      if (inline.nonEmpty) scalar(inline, ln)
+      else if (!done && peek.indent > indent) parseNode(peek.indent)
+      else null
+    }
+
+    /** Split `key: value` at the first unquoted `: ` (or trailing `:`).
+      * None if the text is not a map entry. */
+    private def splitKey(t: String): Option[(String, String)] = {
+      var inS = false; var inD = false; var i = 0
+      while (i < t.length) {
+        t.charAt(i) match {
+          case '\'' if !inD => inS = !inS
+          case '"' if !inS  => inD = !inD
+          case ':' if !inS && !inD && (i == t.length - 1 || t.charAt(i + 1) == ' ') =>
+            val key = unquote(t.substring(0, i).trim)
+            return Some(key -> t.substring(i + 1).trim)
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
+
+    private val IntRe = "^-?\\d+$".r
+    private val FloatRe = "^-?\\d+\\.\\d+([eE][+-]?\\d+)?$".r
+
+    private def scalar(t: String, ln: Line): Any = t match {
+      case s if s.startsWith("!include") =>
+        resolveInclude(unquote(s.stripPrefix("!include").trim))
+      case s if s.startsWith("[") && s.endsWith("]") => // one-line flow list
+        val body = s.substring(1, s.length - 1).trim
+        if (body.isEmpty) Vector.empty[Any]
+        else body.split(",").toVector.map(x => scalar(x.trim, ln))
+      case "null" | "~" | "" => null
+      case "true" | "True"   => true
+      case "false" | "False" => false
+      case s if s.startsWith("'") || s.startsWith("\"") => unquote(s)
+      case IntRe()   => t.toLong
+      case FloatRe(_) => t.toDouble
+      case s => s
+    }
+
+    private def unquote(s: String): String =
+      if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+        s.substring(1, s.length - 1).replace("''", "'")
+      else if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+        s.substring(1, s.length - 1)
+          .replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
+          .replace("\\\\", "\\")
+      else s
+  }
+}

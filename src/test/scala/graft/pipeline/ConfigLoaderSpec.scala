@@ -54,6 +54,64 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(e3.getMessage.contains("missing 'kind'"))
   }
 
+  test("reference-shaped YAML migration with !include ports verbatim (README.md:35-94)") {
+    val work = Files.createTempDirectory("graft_yaml_cfg").toFile.getPath
+    val confDir = new java.io.File(work, "config"); confDir.mkdirs()
+    val csv = new java.io.File(work, "in.csv")
+    Files.write(csv.toPath,
+      "Title,Content\nFirst Post,<p>a</p>\nAnother One,<p>b</p>\n".getBytes("UTF-8"))
+    // the job file — reference wp_posts.yaml structure: adapter/args,
+    // pipeline FQCN transform, loader with destination + options.flags
+    Files.write(new java.io.File(confDir, "wp_posts.yaml").toPath,
+      s"""name: wp_posts
+         |skip: false
+         |description: Extract, Transform, and Load posts into a JSON file.
+         |extract:
+         |  - name: wp_posts_extract
+         |    prefix: 'legacy.'  # Prefix all fields with 'legacy.'.
+         |    adapter: csv
+         |    args:
+         |      path: ${csv.getPath}
+         |transform:
+         |  - name: wp_posts_transform
+         |    pipeline: PluginNamespace\\TransformationPipelines\\WPPostsPipeline
+         |load:
+         |  - name: wp_posts_to_json
+         |    loader: JSON
+         |    prefix: post.
+         |    destination:
+         |      path: $work
+         |      file: posts.yaml.json
+         |    options:
+         |      flags:
+         |        - JSON_PRETTY_PRINT
+         |        - JSON_INVALID_UTF8_SUBSTITUTE
+         |""".stripMargin.getBytes("UTF-8"))
+    // the top-level migration file — reference migration.yaml structure
+    Files.write(new java.io.File(work, "migration.yaml").toPath,
+      """version: 1
+        |name: Example Migration
+        |slug: example_migration
+        |ledger:
+        |  path: 'output/ledgers'
+        |migration:
+        |  - !include "config/wp_posts.yaml"
+        |""".stripMargin.getBytes("UTF-8"))
+    val jobs = ConfigLoader.parseYamlFile(s"$work/migration.yaml")
+    assert(jobs.size == 1 && jobs.head.name == "wp_posts")
+    Pipeline.run(spark, jobs)
+    // JSON_PRETTY_PRINT -> an indented JSON array file
+    val text = new String(Files.readAllBytes(
+      new java.io.File(work, "posts.yaml.json").toPath), "UTF-8")
+    assert(text.startsWith("[\n"))
+    val out = spark.read.option("multiLine", "true").json(s"$work/posts.yaml.json")
+    assert(out.count() == 2)
+    assert(out.select("post_name").as[String].collect().toSet ==
+      Set("first-post", "another-one"))
+    // the load-side prefix scoped the output to post.* (stripped)
+    assert(out.columns.forall(!_.startsWith("legacy")))
+  }
+
   test("cli: dry-run, analyze, extract partial stage") {
     val work = Files.createTempDirectory("graft_cli").toFile.getPath
     val csv = new java.io.File(work, "in.csv")

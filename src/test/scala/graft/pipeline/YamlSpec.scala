@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class YamlSpec extends AnyFunSuite {
+
+  private def M(kv: (String, Any)*) = scala.collection.immutable.VectorMap(kv: _*)
+
+  test("scalars: types, quotes, comments") {
+    val doc =
+      """# full-line comment
+        |version: 1
+        |name: Example Migration
+        |ratio: 2.5
+        |skip: false
+        |empty: null
+        |tilde: ~
+        |quoted: 'output/ledgers'  # trailing comment
+        |dquoted: "a \"b\" c"
+        |hash_in_quotes: 'a # not a comment'
+        |url: http://example.com/x
+        |""".stripMargin
+    val m = Yaml.parse(doc).asInstanceOf[Map[String, Any]]
+    assert(m("version") == 1L)
+    assert(m("name") == "Example Migration")
+    assert(m("ratio") == 2.5)
+    assert(m("skip") == false)
+    assert(m("empty") == null && m("tilde") == null)
+    assert(m("quoted") == "output/ledgers")
+    assert(m("dquoted") == "a \"b\" c")
+    assert(m("hash_in_quotes") == "a # not a comment")
+    assert(m("url") == "http://example.com/x")
+  }
+
+  test("nesting: maps, lists, inline-map list items, flow lists") {
+    val doc =
+      """ledger:
+        |  path: 'output/ledgers'
+        |sources:
+        |  localfs:
+        |    type: filesystem
+        |    path: ./imports
+        |extract:
+        |  - name: a
+        |    prefix: 'legacy.'
+        |    args:
+        |      query:
+        |        post_type: post
+        |      withTaxonomies:
+        |        - category
+        |        - tag
+        |flags: [JSON_PRETTY_PRINT, JSON_INVALID_UTF8_SUBSTITUTE]
+        |plain:
+        |  - one
+        |  - two
+        |""".stripMargin
+    val m = Yaml.parse(doc).asInstanceOf[Map[String, Any]]
+    assert(m("ledger") == M("path" -> "output/ledgers"))
+    assert(m("sources") == M("localfs" -> M("type" -> "filesystem", "path" -> "./imports")))
+    val ex = m("extract").asInstanceOf[Vector[Any]]
+    assert(ex.size == 1)
+    val item = ex.head.asInstanceOf[Map[String, Any]]
+    assert(item("name") == "a" && item("prefix") == "legacy.")
+    val args = item("args").asInstanceOf[Map[String, Any]]
+    assert(args("query") == M("post_type" -> "post"))
+    assert(args("withTaxonomies") == Vector("category", "tag"))
+    assert(m("flags") == Vector("JSON_PRETTY_PRINT", "JSON_INVALID_UTF8_SUBSTITUTE"))
+    assert(m("plain") == Vector("one", "two"))
+  }
+
+  test("map key order is preserved") {
+    val m = Yaml.parse("z: 1\na: 2\nm: 3\n").asInstanceOf[Map[String, Any]]
+    assert(m.keys.toSeq == Seq("z", "a", "m"))
+  }
+
+  test("!include splices the included document; relative to including file") {
+    val dir = Files.createTempDirectory("graft_yaml").toFile
+    val sub = new java.io.File(dir, "config"); sub.mkdirs()
+    Files.write(new java.io.File(sub, "inner.yaml").toPath,
+      "name: inner_job\nskip: true\n".getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "main.yaml").toPath,
+      """name: outer
+        |migration:
+        |  - !include "config/inner.yaml"
+        |""".stripMargin.getBytes("UTF-8"))
+    val m = Yaml.parseFile(new java.io.File(dir, "main.yaml").getPath)
+      .asInstanceOf[Map[String, Any]]
+    assert(m("migration") == Vector(M("name" -> "inner_job", "skip" -> true)))
+  }
+
+  test("circular !include fails fast") {
+    val dir = Files.createTempDirectory("graft_yaml_cyc").toFile
+    Files.write(new java.io.File(dir, "a.yaml").toPath,
+      "x: !include \"b.yaml\"\n".getBytes("UTF-8"))
+    Files.write(new java.io.File(dir, "b.yaml").toPath,
+      "y: !include \"a.yaml\"\n".getBytes("UTF-8"))
+    val e = intercept[Yaml.YamlException](
+      Yaml.parseFile(new java.io.File(dir, "a.yaml").getPath))
+    assert(e.getMessage.contains("circular"))
+  }
+
+  test("missing include target and malformed lines raise") {
+    val dir = Files.createTempDirectory("graft_yaml_bad").toFile
+    Files.write(new java.io.File(dir, "a.yaml").toPath,
+      "x: !include \"nope.yaml\"\n".getBytes("UTF-8"))
+    assert(intercept[Yaml.YamlException](
+      Yaml.parseFile(new java.io.File(dir, "a.yaml").getPath))
+      .getMessage.contains("not found"))
+    assert(intercept[Yaml.YamlException](
+      Yaml.parse("key_without_colon\n")).getMessage.contains("expected 'key: value'"))
+  }
+}
