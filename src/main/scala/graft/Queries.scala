@@ -1038,6 +1038,29 @@ object Queries {
     Some("""SELECT p_partkey, p_name, p_retailprice
       FROM part ORDER BY p_partkey LIMIT 200"""))
 
+  private val s3XmlDist = QueryDef("s3_xml_distributed",
+    (s, d) => {
+      // same fixture as s3_xml_roundtrip, read via the SPLITTABLE
+      // item-delimited scan (the 100 GB-export path) instead of the
+      // driver-side scala.xml parse
+      val dir = new java.io.File(tmpDir(d, "s3_xml_dist")); dir.mkdirs()
+      val f = new java.io.File(dir, "feed.xml")
+      val rows = t(s, d, "part").select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey")).limit(200).collect()
+      val items = rows.map { r =>
+        s"<item><p_partkey>${r.getLong(0)}</p_partkey><p_name>${r.getString(1)}</p_name>" +
+          s"<p_retailprice>${r.getDouble(2)}</p_retailprice></item>"
+      }.mkString
+      java.nio.file.Files.write(f.toPath,
+        s"<rss><channel>$items</channel></rss>".getBytes("UTF-8"))
+      Sources.readXmlDistributed(s, f.getPath)
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          col("p_name"), col("p_retailprice").cast("double").as("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_name, p_retailprice
+      FROM part ORDER BY p_partkey LIMIT 200"""))
+
   private val s10Ledger = QueryDef("s10_ledger_roundtrip",
     (s, d) => {
       val dir = tmpDir(d, "s10_ledger")
@@ -1442,7 +1465,7 @@ object Queries {
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
     f23Native, f24Pattern,
-    s1Csv, s2Json, s3Xml, s10Ledger,
+    s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger,
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgram,
     decontaminate, piiScrub,
     textStats, langIdQ, tokenCounts, docFingerprint,

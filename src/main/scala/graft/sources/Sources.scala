@@ -11,11 +11,13 @@ import graft.columns.ColumnNs
 
 /** Sources S1-S5, S9-S11 (SURVEY.md §2.1).
   *
-  * File readers are the Spark builtins (distributed, splittable); the
-  * XML reader is a driver-side `scala.xml` parse (the container ships no
-  * spark-xml) — reference XML inputs are RSS feeds, KB-MB config-scale
-  * files (`AdapterFactory.php:152-169`), so a driver parse is the right
-  * cost model; the resulting DataFrame is distributed as usual.
+  * File readers are the Spark builtins (distributed, splittable). XML
+  * has two paths: [[readXml]] is a driver-side `scala.xml` parse (the
+  * container ships no spark-xml) — the right cost model for the
+  * reference's KB-MB RSS/config inputs (`AdapterFactory.php:152-169`) —
+  * and [[readXmlDistributed]] is the scale path: item-delimited
+  * splittable text input + codegen'd regex field extraction, for
+  * exports too large for any single machine.
   */
 object Sources {
 
@@ -58,6 +60,39 @@ object Sources {
     val schema = StructType(colNames.map(c => StructField(c, StringType, nullable = true)))
     val rows = rowsData.map(m => Row.fromSeq(colNames.map(c => m.get(c).orNull)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+  }
+
+  /** S3 at scale — DISTRIBUTED XML item reader: the file is split into
+    * records on the closing item tag (`lineSep` — splittable Hadoop
+    * text input, so a 100 GB export fans out across executors), and
+    * fields are extracted with codegen'd regexes. Handles the flat
+    * `<item><a>..</a><b>..</b></item>` element shape the reference
+    * consumes (RSS items, WXR-style exports); no attributes/CDATA/
+    * nested same-name tags — use [[readXml]] for config-scale documents
+    * needing a full parser. Missing children are null (union-of-columns
+    * semantics, as [[readXml]]); the five XML entities are unescaped.
+    * Tag discovery is one distributed pass whose DISTINCT tag set (not
+    * data) is collected — the same shape as Spark's own schema
+    * inference. */
+  def readXmlDistributed(spark: SparkSession, path: String,
+                         itemTag: String = "item"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val body = spark.read.option("lineSep", s"</$itemTag>").text(path)
+      .select(regexp_extract(col("value"), s"(?s)<$itemTag(?:\\s[^>]*)?>(.*)", 1).as("__body"))
+      .where(col("__body") =!= "")
+    val tags = body.select(explode(expr(
+        "regexp_extract_all(__body, '<([A-Za-z_][A-Za-z0-9_.-]*)(?:\\\\s[^>]*)?>', 1)")).as("t"))
+      .distinct().collect().map(_.getString(0)).sorted
+    def unescape(c: org.apache.spark.sql.Column) =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (e, ch)) => regexp_replace(acc, e, ch) }
+    val cols = tags.map { t =>
+      when(col("__body").rlike(s"<$t(?:\\s[^>]*)?>"),
+        unescape(regexp_extract(col("__body"), s"(?s)<$t(?:\\s[^>]*)?>(.*?)</$t>", 1)))
+        .as(t)
+    }
+    require(cols.nonEmpty, s"readXmlDistributed: no <$itemTag> elements found in $path")
+    body.select(cols.toIndexedSeq: _*)
   }
 
   /** S4 — RSS-over-HTTP with disk cache: body cached at

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.llm.{Dedup, Similarity}
+
+/** Direct unit coverage for the round-4 native expressions: each must be
+  * value-equivalent to the builtin composition it replaces (graft_dot
+  * BITWISE-equal — its accumulation order is part of the oracle
+  * contract). */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registered() = GraftExtensions.register(spark)
+
+  test("graft_dot is bitwise-equal to the zip_with/aggregate fold") {
+    registered()
+    val df = Seq(
+      (Seq(1.0, 2.5, -3.25, 1e-7), Seq(4.0, -1.5, 2.0, 1e7)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.7, 0.8, 0.9)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("fold")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // length mismatch and null element -> null (zip_with pad semantics)
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    assert(bad.select(call_function("graft_dot", col("a"), col("b"))).head().isNullAt(0))
+    val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))).toDF("a", "b")
+    assert(withNull.select(call_function("graft_dot", col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("graft_sorted_intersect_size matches array_intersect on sorted distinct arrays") {
+    registered()
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L))).toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_sorted_intersect_size", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("graft_minhash_sig: identical sets -> identical signatures; est tracks jaccard") {
+    registered()
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 40L)),   // identical to 1
+      (3L, Seq(99L, 98L, 97L, 96L)))   // disjoint
+      .toDF("id", "sh")
+    val sigs = df.select(col("id"),
+      call_function("graft_minhash_sig", col("sh"), lit(64)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).size == 64)
+    assert(sigs(1L) == sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    assert(agree < 16, s"disjoint sets should share few signature positions, got $agree")
+  }
+
+  test("graft_simhash64: identical word lists -> identical fingerprints, near lists -> small hamming") {
+    registered()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("dog", "cat")
+    val far = "completely different words in this unrelated sentence here now ok"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
+    val fp = Dedup.simhashFingerprints(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) >
+      java.lang.Long.bitCount(fp(1L) ^ fp(3L)))
+  }
+}

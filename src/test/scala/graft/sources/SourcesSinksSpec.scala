@@ -55,6 +55,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(rows == Set(("1", "x", null), ("2", null, "y")))
   }
 
+  test("distributed xml reader matches the driver-side parse (S3 scale path)") {
+    val dir = tmp()
+    val f = new java.io.File(dir, "big.xml")
+    Files.write(f.toPath,
+      ("<rss><channel>" +
+        "<item><a>1</a><b>x &amp; y</b></item>" +
+        "<item><a>2</a><c>z</c></item>" +
+        "<item><a>3</a><b>q&lt;r</b><c>w</c></item>" +
+        "</channel></rss>").getBytes("UTF-8"))
+    val dist = Sources.readXmlDistributed(spark, f.getPath)
+    assert(dist.columns.toSet == Set("a", "b", "c"))
+    val rows = dist.collect().map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[String]("c"))).toSet
+    // entity unescape + union-of-children with nulls, as readXml
+    assert(rows == Set(("1", "x & y", null), ("2", null, "z"), ("3", "q<r", "w")))
+    val direct = Sources.readXml(spark, f.getPath)
+    assert(rowsOf(direct.select("a", "b", "c")) == rowsOf(dist.select("a", "b", "c")))
+  }
+
   test("rss reader caches by md5(url) and rereads from cache (S4)") {
     val dir = tmp()
     val f = new java.io.File(dir, "feed.xml")
