@@ -1103,11 +1103,44 @@ object Queries {
       .orderBy(col("a"), col("b")),
     None) // seeded-xxhash LSH has no cross-engine oracle; see DedupSpec
 
+  /** Exact copies of the first `n` documents (doc_id+1000000, same
+    * text) planted so the seeded-hash near-dup paths prove recall
+    * against a real oracle: identical texts yield identical MinHash
+    * signatures / SimHash fingerprints, so detection is GUARANTEED
+    * (every band/chunk collides) and the verified similarity is
+    * exactly derivable (jaccard 1.0 / hamming 0). Restricting the
+    * output to the (i, i+1000000) pairs removes the seeded organic
+    * pairs the cross-engine oracle cannot derive. */
+  private def plantedDocs(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < n)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+
+  private val dedupMinhashPlanted = QueryDef("dedup_minhash_planted",
+    (s, d) => Dedup.minhashNearDups(plantedDocs(t(s, d, "documents"), 5),
+        "doc_id", "text", threshold = 0.9)
+      .where(col("b") === col("a") + 1000000)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a")),
+    Some("""SELECT doc_id AS a, doc_id + 1000000 AS b,
+        CAST(1.0 AS DOUBLE) AS jaccard
+      FROM documents WHERE doc_id < 5 ORDER BY a"""))
+
   private val dedupSimhash = QueryDef("dedup_simhash",
     (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)
       .orderBy(col("a"), col("b")),
     None)
+
+  private val dedupSimhashPlanted = QueryDef("dedup_simhash_planted",
+    (s, d) => Dedup.simhashNearDups(plantedDocs(t(s, d, "documents"), 5),
+        "doc_id", "text", maxHamming = 0)
+      .where(col("b") === col("a") + 1000000)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("a")),
+    Some("""SELECT doc_id AS a, doc_id + 1000000 AS b,
+        CAST(0 AS BIGINT) AS hamming
+      FROM documents WHERE doc_id < 5 ORDER BY a"""))
 
   private val dedupNgram = QueryDef("dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
@@ -1383,6 +1416,29 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  // IVF ANN with the same planted queries: the perturbed copy's true
+  // rank-1 neighbor is its base vector, and the base's centroid is
+  // (at ε=0.001) also the query's top probe, so the brute-force oracle
+  // binds the IVF path end-to-end (the unplanted ann_ivf stays rows-only)
+  private val annIvfPlanted = QueryDef("ann_ivf_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(perturbedEmbeddings(emb, 3), emb, k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -1466,9 +1522,10 @@ object Queries {
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
     f23Native, f24Pattern,
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger,
-    dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgram,
+    dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
+    dedupSimhash, dedupSimhashPlanted, dedupNgram,
     decontaminate, piiScrub,
     textStats, langIdQ, tokenCounts, docFingerprint,
-    annBrute, annLsh, annLshPlanted, embedNearDup, mmFeatures,
+    annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsSessions)
 }

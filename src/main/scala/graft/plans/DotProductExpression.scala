@@ -24,6 +24,13 @@ case class DotProductExpression(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
+  // ALWAYS nullable: length mismatch / null element -> null even when both
+  // child arrays are non-nullable. Without this, nullSafeCodeGen takes its
+  // non-nullable path for non-null children and never declares `ev.isNull`
+  // — the `${ev.isNull} = true` below then references an undeclared local,
+  // janino fails ("isNull_N is not an rvalue"), and every plan containing
+  // the expression silently falls back to interpreted eval.
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 

@@ -67,9 +67,12 @@ object Sources {
     * text input, so a 100 GB export fans out across executors), and
     * fields are extracted with codegen'd regexes. Handles the flat
     * `<item><a>..</a><b>..</b></item>` element shape the reference
-    * consumes (RSS items, WXR-style exports); no attributes/CDATA/
-    * nested same-name tags — use [[readXml]] for config-scale documents
-    * needing a full parser. Missing children are null (union-of-columns
+    * consumes (RSS items, WXR-style exports), including CDATA-wrapped
+    * fields (unwrapped literally, not entity-unescaped; a CDATA payload
+    * containing the field's own closing tag or `</item>` is NOT
+    * supported — use [[readXml]] for config-scale documents needing a
+    * full parser, likewise for attributes or nested same-name tags).
+    * Missing children are null (union-of-columns
     * semantics, as [[readXml]]); the five XML entities are unescaped.
     * Tag discovery is one distributed pass whose DISTINCT tag set (not
     * data) is collected — the same shape as Spark's own schema
@@ -80,15 +83,26 @@ object Sources {
     val body = spark.read.option("lineSep", s"</$itemTag>").text(path)
       .select(regexp_extract(col("value"), s"(?s)<$itemTag(?:\\s[^>]*)?>(.*)", 1).as("__body"))
       .where(col("__body") =!= "")
-    val tags = body.select(explode(expr(
-        "regexp_extract_all(__body, '<([A-Za-z_][A-Za-z0-9_.-]*)(?:\\\\s[^>]*)?>', 1)")).as("t"))
+    // discovery ignores CDATA payloads: HTML tags inside a CDATA field
+    // must not become columns
+    val tags = body.select(regexp_replace(col("__body"),
+          "(?s)<!\\[CDATA\\[.*?\\]\\]>", "").as("__nocdata"))
+      .select(explode(expr(
+        "regexp_extract_all(__nocdata, '<([A-Za-z_][A-Za-z0-9_.-]*)(?:\\\\s[^>]*)?>', 1)")).as("t"))
       .distinct().collect().map(_.getString(0)).sorted
     def unescape(c: org.apache.spark.sql.Column) =
       Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
         .foldLeft(c) { case (acc, (e, ch)) => regexp_replace(acc, e, ch) }
+    // CDATA-wrapped fields (the common RSS shape for HTML payloads) are
+    // unwrapped WITHOUT entity unescaping — CDATA content is literal, as
+    // a real parser (and readXml) treats it
+    def fieldValue(raw: org.apache.spark.sql.Column) =
+      when(raw.rlike("^\\s*<!\\[CDATA\\["),
+        regexp_extract(raw, "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$", 1))
+        .otherwise(unescape(raw))
     val cols = tags.map { t =>
       when(col("__body").rlike(s"<$t(?:\\s[^>]*)?>"),
-        unescape(regexp_extract(col("__body"), s"(?s)<$t(?:\\s[^>]*)?>(.*?)</$t>", 1)))
+        fieldValue(regexp_extract(col("__body"), s"(?s)<$t(?:\\s[^>]*)?>(.*?)</$t>", 1)))
         .as(t)
     }
     require(cols.nonEmpty, s"readXmlDistributed: no <$itemTag> elements found in $path")

@@ -33,6 +33,29 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(withNull.select(call_function("graft_dot", col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("graft_dot codegen COMPILES for non-nullable inputs (no interpreted fallback)") {
+    registered()
+    // literal-built arrays are non-nullable: before the nullable=true
+    // override, nullSafeCodeGen's non-nullable path left `ev.isNull`
+    // undeclared and janino rejected the class, silently degrading every
+    // containing plan to interpreted eval. CODEGEN_ONLY turns that
+    // silent fallback into a test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.range(1).select(
+        call_function("graft_dot",
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"))
+        .head().getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("graft_sorted_intersect_size matches array_intersect on sorted distinct arrays") {
     registered()
     val df = Seq(

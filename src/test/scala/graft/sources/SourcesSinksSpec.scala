@@ -74,6 +74,28 @@ class SourcesSinksSpec extends SparkSpec {
     assert(rowsOf(direct.select("a", "b", "c")) == rowsOf(dist.select("a", "b", "c")))
   }
 
+  test("distributed xml reader unwraps CDATA literally and ignores its tags (S3)") {
+    val dir = tmp()
+    val f = new java.io.File(dir, "cdata.xml")
+    Files.write(f.toPath,
+      ("<rss><channel>" +
+        "<item><title>t1</title><body><![CDATA[<p>html &amp; stays</p>]]></body></item>" +
+        "<item><title>t &amp; 2</title><body>plain &lt;escaped&gt;</body></item>" +
+        "</channel></rss>").getBytes("UTF-8"))
+    val dist = Sources.readXmlDistributed(spark, f.getPath)
+    // <p> inside CDATA must NOT become a column
+    assert(dist.columns.toSet == Set("title", "body"))
+    val rows = dist.collect().map(r =>
+      (r.getAs[String]("title"), r.getAs[String]("body"))).toSet
+    // CDATA payload literal (entities NOT decoded); non-CDATA unescaped
+    assert(rows == Set(
+      ("t1", "<p>html &amp; stays</p>"),
+      ("t & 2", "plain <escaped>")))
+    // same semantics as the driver-side parser
+    val direct = Sources.readXml(spark, f.getPath)
+    assert(rowsOf(direct.select("title", "body")) == rowsOf(dist.select("title", "body")))
+  }
+
   test("rss reader caches by md5(url) and rereads from cache (S4)") {
     val dir = tmp()
     val f = new java.io.File(dir, "feed.xml")
