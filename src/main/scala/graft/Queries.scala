@@ -1272,6 +1272,24 @@ object Queries {
         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS bpe_tokens
       FROM documents ORDER BY doc_id"""))
 
+  // sequence packing — concatenated-token-stream context windows via a
+  // two-phase distributed prefix sum (no global single-partition window)
+  private val packSequences = QueryDef("pack_sequences",
+    (s, d) => graft.llm.Packing.packSequences(t(s, d, "documents"), "doc_id",
+        TextAnalysis.wsTokenCount(col("text")), budget = 2048)
+      .orderBy(col("doc_id")),
+    Some("""WITH tc AS (SELECT doc_id,
+        CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END AS n_tokens
+        FROM documents),
+      o AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(token_offset AS BIGINT) AS token_offset,
+        CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
+      FROM o ORDER BY doc_id"""))
+
   private val docFingerprint = QueryDef("doc_fingerprint",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1525,7 +1543,7 @@ object Queries {
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
     decontaminate, piiScrub,
-    textStats, langIdQ, tokenCounts, docFingerprint,
+    textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsSessions)
 }

@@ -309,15 +309,26 @@ object Dedup {
     * stay ~10³. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int = 3,
-                        threshold: Double = 0.3): DataFrame = {
+                        threshold: Double = 0.3, maxBlock: Int = 0): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession) // idempotent
     // sorted HASHED shingles: the pairwise term pays one merge-loop
     // intersection per pair over fixed-width longs (Jaccard preserved
     // up to negligible hash collisions) instead of an interpreted
     // array_intersect over n-gram strings
-    val base = df.select(col(idCol).as("__id"),
+    val raw = df.select(col(idCol).as("__id"),
       sort_array(transform(shingles(col(textCol), n), s => xxhash64(s))).as("__sh"),
       struct(blockCols: _*).as("__blk"))
+    // optional skew guard (the LSH paths' maxBucket, applied to the
+    // caller-chosen blocks): a block larger than maxBlock is dropped
+    // entirely rather than paying its quadratic pairwise term — the same
+    // "a degenerate key must not stall the job" contract. 0 = unlimited
+    // (the exact documented path).
+    val guarded = if (maxBlock > 0) {
+      val wB = Window.partitionBy(col("__blk"))
+      raw.withColumn("__bn", count(lit(1)).over(wB))
+        .where(col("__bn") <= maxBlock).drop("__bn")
+    } else raw
+    val base = guarded
       .cache() // referenced by both join sides — compute shingles once
     // distinct column names on each side — a self-join on a shared
     // lineage column resolves to a trivially-true predicate otherwise

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data assembly: concatenate the
+  * corpus token stream in a deterministic document order and cut it
+  * into fixed-budget context windows. Each document is assigned the
+  * pack (window) containing its FIRST token:
+  * `pack_id = floor(token_offset / budget)` with `token_offset` the
+  * exclusive prefix sum of token counts in document order — the
+  * streaming-concatenation packing used to build training batches
+  * (documents straddle pack boundaries instead of leaving slack; a
+  * document longer than `budget` simply spans several packs and keeps
+  * its starting pack id).
+  *
+  * Scale shape: the global prefix sum is TWO-PHASE — a per-partition
+  * partial-sum frame (ONE ROW PER PARTITION, broadcast back as start
+  * offsets) plus a window partitioned by partition id — so no
+  * single-partition global window touches the data. The input is
+  * range-partitioned on the order key first, making partition order
+  * the stream order. The only unpartitioned window runs over the tiny
+  * per-partition totals frame (`numParts` rows). Deterministic and
+  * exactly reproducible in SQL (`SUM ... OVER (ORDER BY ...)`), so the
+  * cross-engine oracle compares hash-identical integers.
+  */
+object Packing {
+
+  /** Assign each row a global `token_offset` and `pack_id`.
+    *
+    * @param df        input
+    * @param idCol     unique orderable id defining the stream order
+    * @param tokensCol per-document token count (any numeric expression)
+    * @param budget    tokens per context window (pack)
+    * @param numParts  range partitions for the prefix sum (default: the
+    *                  session's shuffle parallelism)
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+                    budget: Long, numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol).as("doc_id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .repartitionByRange(n, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    // phase 1: per-partition totals — one row per partition; the
+    // unpartitioned window below only ever sees those `n` rows
+    val wPart = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .withColumn("__poff", coalesce(sum(col("__psum")).over(wPart), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    // phase 2: partition-local exclusive cumsum + broadcast start offset
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("token_offset",
+        col("__poff") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("token_offset") / lit(budget)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("pack_id"))
+  }
+}

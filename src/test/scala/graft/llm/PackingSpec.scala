@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: exclusive offsets, boundary straddle keeps starting pack") {
+    val df = Seq((1L, 10L), (2L, 90L), (3L, 30L), (4L, 100L), (5L, 1L))
+      .toDF("doc_id", "n")
+    val out = Packing.packSequences(df, "doc_id", col("n"), budget = 100)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // offsets: 0, 10, 100, 130, 230; packs of 100 tokens
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L),
+      (2L, 10L, 0L),   // spans the 100 boundary -> keeps pack 0
+      (3L, 100L, 1L),
+      (4L, 130L, 1L),  // 130..229 spans packs 1-2 -> keeps pack 1
+      (5L, 230L, 2L)))
+  }
+
+  test("packSequences: result independent of input partitioning, no global window") {
+    val df = spark.range(1, 501).select(col("id").as("doc_id"),
+      (col("id") % 37 + 1).as("n"))
+    val a = Packing.packSequences(df, "doc_id", col("n"), budget = 256, numParts = 7)
+    val b = Packing.packSequences(df.repartition(13), "doc_id", col("n"),
+      budget = 256, numParts = 3)
+    assert(rowsOf(a) == rowsOf(b))
+    // total stream length conservation: last doc's offset + tokens = sum
+    val last = a.orderBy(col("doc_id").desc).limit(1)
+      .select(col("token_offset") + col("n_tokens")).head().getLong(0)
+    assert(last == df.agg(sum("n")).head().getLong(0))
+    // the data-bearing windows are partitioned by __pid: no Window node
+    // over the full input without partitioning (the only unpartitioned
+    // window runs over the numParts-row offsets frame)
+    val plan = a.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"))
+  }
+
+  test("packSequences: empty and single-row inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n")
+    assert(Packing.packSequences(empty, "doc_id", col("n"), 100).count() == 0)
+    val one = Packing.packSequences(Seq((7L, 5L)).toDF("doc_id", "n"),
+      "doc_id", col("n"), 100).head()
+    assert((one.getLong(2), one.getLong(3)) == (0L, 0L))
+  }
+
+  test("ngramJaccardPairs maxBlock drops oversized blocks only") {
+    val docs = Seq(
+      (1L, "aa bb cc dd", "x"), (2L, "aa bb cc dd", "x"), (3L, "aa bb cc ee", "x"),
+      (4L, "zz yy ww vv", "y"), (5L, "zz yy ww vv", "y")).toDF("doc_id", "text", "blk")
+    def pairs(maxBlock: Int) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq(col("blk")),
+          n = 1, threshold = 0.5, maxBlock = maxBlock)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unguarded: both blocks pair
+    assert(pairs(0) == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // block "x" (3 docs) exceeds maxBlock=2 and is dropped; "y" survives
+    assert(pairs(2) == Set((4L, 5L)))
+  }
+}
