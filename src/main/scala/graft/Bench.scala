@@ -32,7 +32,10 @@ object Bench {
       // into the next query's measurement
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val ok = try { q.fn(spark, sfDir).count(); true }
+      // noop sink: evaluates EVERY output column and final sort, unlike
+      // count() (Catalyst prunes projections and eliminates sorts under
+      // a count aggregate, which under-measures projection-heavy queries)
+      val ok = try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           false

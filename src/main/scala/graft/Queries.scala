@@ -1290,6 +1290,20 @@ object Queries {
         CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
       FROM o ORDER BY doc_id"""))
 
+  // deterministic shuffle + shard assignment (reproducible data-loader
+  // order; md5 rank is cross-engine identical, so fully oracle-checked)
+  private val shardShuffleQ = QueryDef("shard_shuffle",
+    (s, d) => graft.llm.Packing.shardShuffle(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("rank"))
+      .orderBy(col("shard"), col("rank")),
+    Some("""SELECT doc_id,
+        CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) * 16
+            + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 17) % 8
+          AS BIGINT) AS shard,
+        md5(CAST(doc_id AS VARCHAR)) AS rank
+      FROM documents ORDER BY shard, rank"""))
+
   private val docFingerprint = QueryDef("doc_fingerprint",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1544,6 +1558,7 @@ object Queries {
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
     decontaminate, piiScrub,
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
+    shardShuffleQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsSessions)
 }

@@ -64,4 +64,28 @@ object Packing {
         floor(col("token_offset") / lit(budget)).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("pack_id"))
   }
+
+  /** Deterministic shuffle + sharding for training-data loaders: every
+    * row gets a stable pseudo-random `rank` (md5 of its id — chosen
+    * over seeded RNG or xxhash64 because md5 is identical in every
+    * engine, so the order is auditable cross-engine) and a `shard` from
+    * the first two hex digits mod `nShards`. Shard assignment is
+    * MAP-ONLY (no global window, no shuffle until the caller
+    * repartitions by shard); within-shard order is `rank`. This is the
+    * reproducible-shuffle contract a distributed data loader needs:
+    * same corpus → same shard membership and same per-shard order, on
+    * any cluster size.
+    *
+    * `nShards` ≤ 256 keeps the two-hex-digit key uniform across shards
+    * (256 % nShards skew is ≤1 part in 256/nShards; powers of two are
+    * exactly uniform). */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 256,
+      s"shardShuffle: nShards must be in 1..256, got $nShards")
+    df.withColumn("rank", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        expr(s"""pmod(instr('0123456789abcdef', substring(rank, 1, 1)) * 16
+                    + instr('0123456789abcdef', substring(rank, 2, 1)) - 17,
+                 $nShards)""").cast("long"))
+  }
 }

@@ -47,6 +47,25 @@ class PackingSpec extends SparkSpec {
     assert((one.getLong(2), one.getLong(3)) == (0L, 0L))
   }
 
+  test("shardShuffle: stable shard/rank, bounded range, ~uniform balance") {
+    val df = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val out = Packing.shardShuffle(df, "doc_id", nShards = 8).cache()
+    // deterministic: same input -> identical assignment
+    assert(rowsOf(out) == rowsOf(Packing.shardShuffle(df.repartition(13), "doc_id", 8)))
+    val shards = out.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shards.keySet.forall(s => s >= 0 && s < 8))
+    // two-hex-digit key is exactly uniform for power-of-two nShards;
+    // md5 balance over 1000 ids stays within a loose band
+    assert(shards.values.forall(c => c > 60 && c < 190), shards.toString)
+    // rank is the md5 hex of the id
+    val row = out.where(col("doc_id") === 42).head()
+    assert(row.getAs[String]("rank") ==
+      java.security.MessageDigest.getInstance("MD5").digest("42".getBytes)
+        .map("%02x".format(_)).mkString)
+    out.unpersist()
+  }
+
   test("ngramJaccardPairs maxBlock drops oversized blocks only") {
     val docs = Seq(
       (1L, "aa bb cc dd", "x"), (2L, "aa bb cc dd", "x"), (3L, "aa bb cc ee", "x"),
