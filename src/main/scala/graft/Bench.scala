@@ -17,9 +17,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (executor threads, codegen, parquet footer
-    // reads) so the first measured query isn't charged for startup
+    // reads, the hash-aggregate/sort/decimal classes the first real
+    // query would otherwise be charged for) so measurements start at
+    // steady state
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(2000)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_quantity").cast("decimal(18,2)")))
+      .orderBy("l_returnflag")
+      .write.format("noop").mode("overwrite").save()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"

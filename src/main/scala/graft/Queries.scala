@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.columns.ColumnNs
 import graft.functions.{Fns, HtmlBlocks}
 import graft.llm.{Dedup, Similarity, TextAnalysis}
-import graft.operators.{Upsert, WpLoad, WpReaders}
+import graft.operators.{Skew, Upsert, WpLoad, WpReaders}
 import graft.sinks.Sinks
 import graft.sources.Sources
 
@@ -81,6 +81,24 @@ object Queries {
   // ========================================================================
   // Relational core (bench headliners)
   // ========================================================================
+
+  // salted-join correctness gate: the salt spreads each hot key over 8
+  // sub-partitions but the RESULT must equal the plain inner join — the
+  // oracle is exactly that plain join
+  private val skewJoinQ = QueryDef("skew_salted_join",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Skew.saltedJoin(li, sup, Seq("l_suppkey"), salts = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_name"))
+    },
+    Some("""SELECT s_name, count(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""))
 
   private val q1Agg = QueryDef("q1_agg",
     (s, d) => t(s, d, "lineitem")
@@ -1543,7 +1561,7 @@ object Queries {
 
   /** Full registry, in SURVEY §2 order. */
   val all: Vector[QueryDef] = Vector(
-    q1Agg, q3Topn, q5Region, a2Collect, a5Merge, a6Dedup,
+    q1Agg, q3Topn, q5Region, skewJoinQ, a2Collect, a5Merge, a6Dedup,
     k7Upsert, k8Exists, k9Meta, k12Tax, k10Parents,
     k14Media, k15Subst, k6Chain, p8Validate, p8Stats, k11Terms, k13Users,
     s6Posts, s6MetaEmbed, s7Terms, s8Users, annIvf,

@@ -76,11 +76,14 @@ object Yaml {
       else Some(Line(noComment.indexWhere(_ != ' '), t, i + 1))
     }.toVector
 
-  /** Remove a full-line or unquoted trailing ` #` comment. */
+  /** Remove a full-line or unquoted trailing ` #` comment. An escaped
+    * `\"` inside a double-quoted scalar does not close the string (so a
+    * ` # ` after it is still string content, not a comment). */
   private def stripComment(s: String): String = {
     var inS = false; var inD = false; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
+        case '\\' if inD  => i += 1 // skip the escaped char
         case '\'' if !inD => inS = !inS
         case '"' if !inS  => inD = !inD
         case '#' if !inS && !inD && (i == 0 || s.charAt(i - 1) == ' ') =>
@@ -176,6 +179,7 @@ object Yaml {
       var inS = false; var inD = false; var i = 0
       while (i < t.length) {
         t.charAt(i) match {
+          case '\\' if inD  => i += 1 // escaped char never closes the string
           case '\'' if !inD => inS = !inS
           case '"' if !inS  => inD = !inD
           case ':' if !inS && !inD && (i == t.length - 1 || t.charAt(i + 1) == ' ') =>
@@ -210,10 +214,27 @@ object Yaml {
     private def unquote(s: String): String =
       if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
         s.substring(1, s.length - 1).replace("''", "'")
-      else if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
-        s.substring(1, s.length - 1)
-          .replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
-          .replace("\\\\", "\\")
-      else s
+      else if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\"")) {
+        // single left-to-right pass: chained String.replace mis-handles
+        // `\\n` (backslash-escape first, so the surviving `\n` pair reads
+        // as a newline escape — the YAML meaning is literal `\` + `n`)
+        val body = s.substring(1, s.length - 1)
+        val b = new StringBuilder(body.length)
+        var i = 0
+        while (i < body.length) {
+          val c = body.charAt(i)
+          if (c == '\\' && i + 1 < body.length) {
+            body.charAt(i + 1) match {
+              case 'n'   => b.append('\n')
+              case 't'   => b.append('\t')
+              case '"'   => b.append('"')
+              case '\\'  => b.append('\\')
+              case other => b.append('\\').append(other) // unknown escape kept verbatim
+            }
+            i += 2
+          } else { b.append(c); i += 1 }
+        }
+        b.result()
+      } else s
   }
 }

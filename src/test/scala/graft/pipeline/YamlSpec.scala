@@ -33,6 +33,20 @@ class YamlSpec extends AnyFunSuite {
     assert(m("url") == "http://example.com/x")
   }
 
+  test("double-quote escapes: literal backslash-n survives; escaped quote before #") {
+    val doc =
+      """regex: "a\\nb"
+        |real_newline: "a\nb"
+        |tricky: "say \" # quote\" end"
+        |""".stripMargin
+    val m = Yaml.parse(doc).asInstanceOf[Map[String, Any]]
+    // \\n is backslash + n (e.g. a regex), NOT a newline
+    assert(m("regex") == "a\\nb")
+    assert(m("real_newline") == "a\nb")
+    // the escaped quote must not close the string and expose ` # ` as a comment
+    assert(m("tricky") == "say \" # quote\" end")
+  }
+
   test("nesting: maps, lists, inline-map list items, flow lists") {
     val doc =
       """ledger:
