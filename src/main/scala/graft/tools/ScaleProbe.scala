@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape probe: replicate the `documents` corpus k× (ids shifted
+  * so replicas are distinct documents, texts perturbed with the replica
+  * index so near-dup structure doesn't explode quadratically) and time
+  * the heavy LLM passes at 1×, then each requested multiple. A
+  * near-linear time curve is the evidence that the plan shapes
+  * (bounded buckets, map-side partials, no global windows) hold as data
+  * grows — the local stand-in for "would this survive 100×?".
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.ScaleProbe 1 4 10
+  */
+object ScaleProbe {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  private def replicate(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      // rotate the alphabet per replica: replica texts become mutually
+      // DISSIMILAR (cross-replica shingle overlap ~0), so the near-dup
+      // pair count grows linearly with k and the timing measures the
+      // engine, not a quadratic output blowup
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    ks.foreach { k =>
+      val corpus = replicate(docs, k).localCheckpoint(true) // isolate gen cost
+      val rows = corpus.count()
+      println(s"[scale] === k=$k ($rows docs) ===")
+      time(s"exact_dedup x$k") {
+        graft.llm.Dedup.exactDupGroups(corpus, "doc_id", "text").count()
+      }
+      time(s"minhash_neardup x$k") {
+        graft.llm.Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5).count()
+      }
+      time(s"simhash_neardup x$k") {
+        graft.llm.Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3).count()
+      }
+      time(s"pack_sequences x$k") {
+        graft.llm.Packing.packSequences(corpus, "doc_id",
+          graft.llm.TextAnalysis.wsTokenCount(col("text")), budget = 2048).count()
+      }
+      time(s"text_quality_stats x$k") {
+        corpus.select(graft.llm.TextAnalysis.qualityStats(col("text")).as("q"))
+          .agg(avg(col("q.stop_ratio"))).count()
+      }
+    }
+    spark.stop()
+  }
+}
