@@ -1308,6 +1308,31 @@ object Queries {
         CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
       FROM o ORDER BY doc_id"""))
 
+  // Gopher-style repetition signals (duplicate-2-gram fraction,
+  // top-word share) — struct flattened to scalars for the oracle
+  private val repStats = QueryDef("rep_stats",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.dup_2gram_frac").as("dup_2gram_frac"),
+        col("r.top_word_frac").as("top_word_frac"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      g AS (SELECT doc_id, ws,
+          CASE WHEN len(ws) >= 2
+            THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+            ELSE [] END AS grams
+        FROM w)
+      SELECT doc_id,
+        CASE WHEN len(ws) >= 2
+          THEN round(1 - len(list_distinct(grams))::DOUBLE / (len(ws)-1)::DOUBLE, 4)
+          ELSE 0.0 END AS dup_2gram_frac,
+        CASE WHEN len(ws) > 0
+          THEN round(list_max(list_transform(list_distinct(ws),
+              u -> len(list_filter(ws, x -> x = u))))::DOUBLE / len(ws)::DOUBLE, 4)
+          ELSE 0.0 END AS top_word_frac
+      FROM g ORDER BY doc_id"""))
+
   // deterministic shuffle + shard assignment (reproducible data-loader
   // order; md5 rank is cross-engine identical, so fully oracle-checked)
   private val shardShuffleQ = QueryDef("shard_shuffle",
@@ -1321,6 +1346,65 @@ object Queries {
           AS BIGINT) AS shard,
         md5(CAST(doc_id AS VARCHAR)) AS rank
       FROM documents ORDER BY shard, rank"""))
+
+  // The composed curation pass a pre-training pipeline actually runs:
+  // language filter → Gopher quality + repetition filters → PII scrub
+  // → exact dedup of the scrubbed text. Every stage is an independently
+  // oracle-green operator; this query proves they compose in ONE plan —
+  // a single documents scan, map-only until the dedup's single hash
+  // shuffle. At 100 TB this shape is one pass over the corpus.
+  private val curatePipeline = QueryDef("curate_pipeline",
+    (s, d) => {
+      val staged = t(s, d, "documents")
+        // all filter signals from ONE let-bound word split (composing
+        // the stage columns naively re-evaluates the split ~20×/row
+        // after CollapseProject inlining: 8.7 s vs 1.7 s at sf0.1)
+        .filter(TextAnalysis.curationKeep(col("text")))
+        .withColumn("clean", TextAnalysis.scrubPii(col("text")))
+        .withColumn("n_words", size(Dedup.wordsOf(col("text"))).cast("long"))
+      Dedup.exactDedup(staged, "doc_id", "clean")
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          col("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, text, $sqlWords AS ws, length(text)::DOUBLE AS nc
+        FROM documents),
+      m AS (SELECT doc_id, text, ws, nc, len(ws) AS n_words,
+        CASE WHEN len(ws) > 0 THEN
+          round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)", "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
+          ELSE 0 END AS mean_word_len,
+        round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc ELSE 0 END, 4) AS punct_ratio,
+        CASE WHEN len(ws) >= 2
+          THEN round(1 - len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws)-1)::DOUBLE, 4)
+          ELSE 0.0 END AS dup2,
+        CASE WHEN len(ws) > 0
+          THEN round(list_max(list_transform(list_distinct(ws), u -> len(list_filter(ws, x -> x = u))))::DOUBLE / len(ws)::DOUBLE, 4)
+          ELSE 0.0 END AS topw,
+        ${sqlStopHits("ws", TextAnalysis.enStop)} AS en,
+        ${sqlStopHits("ws", TextAnalysis.deStop)} AS de,
+        ${sqlStopHits("ws", TextAnalysis.frStop)} AS fr,
+        ${sqlStopHits("ws", TextAnalysis.esStop)} AS es,
+        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh
+        FROM w),
+      f AS (SELECT doc_id, n_words,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+          '\\b\\d{9,}\\b', '<NUMBER>', 'g'),
+          '\\+?\\d[\\d ()-]{7,}\\d', '<PHONE>', 'g') AS clean
+        FROM m
+        WHERE greatest(en,de,fr,es,zh) > 0 AND zh < greatest(en,de,fr,es,zh)
+          AND en = greatest(en,de,fr,es,zh)
+          AND n_words BETWEEN 10 AND 100000
+          AND mean_word_len BETWEEN 2.0 AND 12.0
+          AND punct_ratio <= 0.3
+          AND dup2 <= 0.2 AND topw <= 0.3)
+      SELECT doc_id, md5(clean) AS clean_md5, n_words::BIGINT AS n_words
+      FROM (SELECT doc_id, clean, n_words,
+          min(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(clean),'\\s+',' ','g'))) AS keep
+        FROM f)
+      WHERE doc_id = keep ORDER BY doc_id"""))
 
   private val docFingerprint = QueryDef("doc_fingerprint",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
@@ -1576,7 +1660,7 @@ object Queries {
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
     decontaminate, piiScrub,
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
-    shardShuffleQ,
+    shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsSessions)
 }

@@ -57,7 +57,7 @@ object Dedup {
     * projected expression into the consuming lambda during optimization
     * (measured: 108 s vs 4 s for the MinHash signature pass at sf0.1).
     * A lambda binding cannot be inlined through. */
-  private def letBound(e: Column)(body: Column => Column): Column =
+  private[llm] def letBound(e: Column)(body: Column => Column): Column =
     transform(array(e), body).getItem(0)
 
   /** Word n-gram shingles over an already-bound (cheap-to-reference)

@@ -65,6 +65,44 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Count of the most frequent element of a string array, via a
+    * sorted-run scan: O(n log n) sort + one linear fold, vs the naive
+    * O(distinct·n) filter-per-distinct-element loop (which on a
+    * 100k-word document would be 10^10 comparisons). */
+  private def maxRunCount(ws: Column): Column =
+    aggregate(array_sort(ws),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      _.getField("best"))
+
+  /** Gopher-style repetition signals: the duplicate word-2-gram
+    * fraction and the most-frequent-word share. High values flag
+    * boilerplate and degenerate generations (the standard repetition
+    * filters alongside [[qualityStats]]). Map-only; the top-word pass
+    * is an O(n log n) sorted-run count per document ([[maxRunCount]]).
+    * The word split is let-bound (computed once per row; see
+    * `Dedup.letBound`). An empty text normalizes to the single empty
+    * word, giving (0, 1.0) — consistent in both engines. */
+  def repetitionStats(c: Column): Column =
+    Dedup.letBound(words(c)) { ws =>
+      val n = size(ws)
+      val grams = transform(sequence(lit(0), n - 2),
+        i => array_join(slice(ws, i + 1, lit(2)), " "))
+      val dupG = when(n >= 2,
+          round(lit(1d) - size(array_distinct(grams)).cast("double") /
+            (n - 1).cast("double"), 4))
+        .otherwise(0d)
+      val topW = when(n > 0,
+          round(maxRunCount(ws).cast("double") / n.cast("double"), 4))
+        .otherwise(0d)
+      struct(dupG.as("dup_2gram_frac"), topW.as("top_word_frac"))
+    }
+
   /** Quality-signal columns (Gopher-style length/punct/stopword rules).
     * Returns a struct; `qualityOk` flattens to the keep decision. */
   def qualityStats(c: Column): Column = {
@@ -95,6 +133,56 @@ object TextAnalysis {
     stats.getField("n_words").between(minWords, maxWords) &&
       stats.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
       stats.getField("punct_ratio") <= maxPunctRatio
+
+  /** Single-pass keep decision for the composed curation filter:
+    * language match + Gopher quality bounds + repetition bounds, all
+    * signals derived from ONE let-bound word split (and one let-bound
+    * distinct). Composing [[langId]]/[[qualityOk]]/[[repetitionStats]]
+    * as separate columns re-evaluates `split(normalizeText(...))`
+    * ~20× per row once CollapseProject inlines them into the Filter —
+    * measured 8.7 s vs 1.7 s for the full curation pass at sf0.1.
+    * Semantics are EXACTLY the composition (spec-asserted). */
+  def curationKeep(c: Column, lang: String = "en",
+                   minWords: Int = 10, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                   maxPunctRatio: Double = 0.3,
+                   maxDup2gramFrac: Double = 0.2,
+                   maxTopWordFrac: Double = 0.3): Column =
+    Dedup.letBound(words(c)) { ws =>
+      Dedup.letBound(array_distinct(ws)) { dws =>
+        val n = size(ws)
+        val nd = n.cast("double")
+        val nChars = length(c).cast("double")
+        def hits(stops: Seq[String]) =
+          size(array_intersect(dws, array(stops.map(lit): _*)))
+        val (en, de, fr, es) = (hits(enStop), hits(deStop), hits(frStop), hits(esStop))
+        val zh = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+        val mx = greatest(en, de, fr, es, zh)
+        val predicted = when(mx === 0, "und").when(zh === mx, "zh")
+          .when(en === mx, "en").when(de === mx, "de").when(es === mx, "es")
+          .otherwise("fr")
+        val meanWordLen = round(when(n > 0,
+          aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / nd)
+          .otherwise(0d), 4)
+        val punct = round(when(nChars > 0,
+          regexp_count(c, lit("[\\p{Punct}]")).cast("double") / nChars)
+          .otherwise(0d), 4)
+        val grams = transform(sequence(lit(0), n - 2),
+          i => array_join(slice(ws, i + 1, lit(2)), " "))
+        val dup2 = when(n >= 2,
+            round(lit(1d) - size(array_distinct(grams)).cast("double") /
+              (n - 1).cast("double"), 4))
+          .otherwise(0d)
+        val topw = when(n > 0,
+            round(maxRunCount(ws).cast("double") / nd, 4))
+          .otherwise(0d)
+        predicted === lang &&
+          n.between(minWords, maxWords) &&
+          meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
+          punct <= maxPunctRatio &&
+          dup2 <= maxDup2gramFrac && topw <= maxTopWordFrac
+      }
+    }
 
   // PII scrubbing: redact emails / phone-ish numbers / IPv4 / long
   // digit runs (card/ssn-ish). Pure regexp_replace chain (codegen'd);

@@ -55,6 +55,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(st.getAs[Int]("emails") == 1 && st.getAs[Int]("ips") == 1)
   }
 
+  test("repetitionStats: dup-2gram fraction and top-word share") {
+    val df = Seq(
+      (1L, "a b a b a b"),            // 5 grams, 2 distinct -> 0.6; 'a' 3/6
+      (2L, "one two three four"),     // all grams distinct -> 0.0; 1/4
+      (3L, "spam spam spam spam"),    // 3 grams, 1 distinct -> 2/3; 4/4
+      (4L, "solo"),                   // <2 words -> 0.0; 1/1
+      (5L, "")).toDF("id", "t")       // empty -> single empty word (0, 1.0)
+      .select(col("id"), TextAnalysis.repetitionStats(col("t")).as("r"))
+      .select(col("id"), col("r.dup_2gram_frac"), col("r.top_word_frac"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L) == (0.6, 0.5))
+    assert(m(2L) == (0.0, 0.25))
+    assert(m(3L) == (0.6667, 1.0))
+    assert(m(4L) == (0.0, 1.0))
+    assert(m(5L) == (0.0, 1.0))
+  }
+
+  test("curationKeep equals the naive langId/qualityOk/repetition composition") {
+    val docs = Seq(
+      "the cat is on the mat and it was not a dog at all today here now",
+      "der Hund ist nicht mit der Katze und dem Vogel im Haus heute",
+      "spam spam spam spam spam spam spam spam spam spam spam spam",
+      "the the the the the the the the the the of of of of it is",
+      "hi", "",
+      "the quick brown fox jumps over a lazy dog in the warm sun for fun",
+      "!!! ??? ;;; ### !!! the of and a to in is it that for on with mat")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "t")
+    val naive = df
+      .withColumn("st", TextAnalysis.qualityStats(col("t")))
+      .withColumn("rep", TextAnalysis.repetitionStats(col("t")))
+      .select(col("id"),
+        (TextAnalysis.langId(col("t")) === "en" &&
+          TextAnalysis.qualityOk(col("st")) &&
+          col("rep.dup_2gram_frac") <= 0.2 &&
+          col("rep.top_word_frac") <= 0.3).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fused = df.select(col("id"), TextAnalysis.curationKeep(col("t")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(fused == naive)
+    assert(fused(0L))            // clean english text passes
+    assert(!fused(1L))           // german fails the lang gate
+    assert(!fused(2L))           // degenerate repetition fails
+    assert(!fused(4L) && !fused(5L)) // too short / empty
+  }
+
   test("fingerprint is deterministic and discriminating") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "alpha beta delta"))
       .toDF("id", "t")
