@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.columns.ColumnNs
 import graft.functions.{Fns, HtmlBlocks}
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Mixing, Similarity, TextAnalysis}
 import graft.operators.{Skew, Upsert, WpLoad, WpReaders}
 import graft.sinks.Sinks
 import graft.sources.Sources
@@ -1199,6 +1199,65 @@ object Queries {
       GROUP BY cg.doc_id HAVING count(*) >= 1
       ORDER BY doc_id"""))
 
+  /** Same contract and oracle as `decontaminate` — the Bloom prefilter
+    * admits false positives but the exact verify join removes them, so
+    * the output is bit-identical. Small bitset (2¹⁴) on purpose: at
+    * sf0.01 it forces real false-positive traffic through the verify
+    * join, so the green hash row proves the FP-elimination path. */
+  private val decontaminateBloom = QueryDef("decontaminate_bloom",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminatedBloom(docs, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8, bloomBits = 1 << 14)
+        .orderBy(col("doc_id"))
+    },
+    decontaminate.oracle)
+
+  /** md5-bucket selection is engine-portable (lowercase hex compared as
+    * strings), so the sampling/mixing family is fully oracle-checked —
+    * unlike partition-seeded `DataFrame.sample`, the same rows are kept
+    * on any engine at any parallelism. */
+  private val mixSample = QueryDef("mix_sample",
+    (s, d) => Mixing.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+      ORDER BY doc_id"""))
+
+  private val mixStrata = QueryDef("mix_strata",
+    (s, d) => Mixing.mixStrata(t(s, d, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 0.2, "de" -> 0.8), defaultRate = 0.5)
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE lang WHEN 'en' THEN '33333333'
+                  WHEN 'de' THEN 'cccccccd'
+                  ELSE '80000000' END
+      ORDER BY doc_id"""))
+
+  private val mixUpsample = QueryDef("mix_upsample",
+    (s, d) => Mixing.upsample(
+        t(s, d, "documents").where(col("doc_id") < 200), "doc_id", 2.5)
+      .select(col("doc_id"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx")),
+    Some("""SELECT doc_id, unnest(range(1, 3 +
+        CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+             < '80000000' THEN 1 ELSE 0 END)) AS copy_idx
+      FROM documents WHERE doc_id < 200
+      ORDER BY doc_id, copy_idx"""))
+
+  /** weight rounded to 7 decimals on both sides: pow and the stratum-sum
+    * fold order are the only FP differences between engines; rounding
+    * absorbs the ulp-level divergence (same convention as mm_features). */
+  private val mixTemperature = QueryDef("mix_temperature",
+    (s, d) => Mixing.temperatureWeights(t(s, d, "documents"), "lang", 2.0)
+      .select(col("lang"), col("n"), round(col("weight"), 7).as("weight"))
+      .orderBy(col("lang")),
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      s AS (SELECT sum(pow(n, 0.5)) AS tot FROM c)
+      SELECT lang, n, round(pow(c.n, 0.5) / s.tot, 7) AS weight
+      FROM c, s ORDER BY lang"""))
+
   private val piiScrub = QueryDef("pii_scrub",
     (s, d) => {
       val withPii = t(s, d, "part").select(col("p_partkey"),
@@ -1658,7 +1717,8 @@ object Queries {
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
-    decontaminate, piiScrub,
+    decontaminate, decontaminateBloom, piiScrub,
+    mixSample, mixStrata, mixUpsample, mixTemperature,
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,

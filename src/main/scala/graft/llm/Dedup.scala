@@ -303,6 +303,71 @@ object Dedup {
       .where(col("n_contaminated_grams") >= minOverlaps)
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB path for
+    * [[contaminated]]. When the benchmark n-gram set is too large to
+    * broadcast as strings (hundreds of millions of grams), the corpus
+    * side is first filtered against a Bloom bitset over the benchmark
+    * grams (default 2²² bits ≈ 512 KB regardless of gram count), and
+    * only the tiny bloom-surviving fraction pays the exact verification
+    * join. Output is IDENTICAL to [[contaminated]] — bloom false
+    * positives are eliminated by the exact join — so the same oracle
+    * applies.
+    *
+    * Everything is in-plan and codegen'd: the bitset is built by a
+    * distributed `bit_or` aggregation over probe positions (never a
+    * driver-side collect of grams), densified into one ≤`bits/64`-long
+    * array row, and broadcast. Probes use Kirsch–Mitzenmacher double
+    * hashing off one xxhash64 per gram. */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 8,
+                        minOverlaps: Int = 1,
+                        bloomBits: Int = 1 << 22, probes: Int = 5): DataFrame = {
+    require(bloomBits > 0 && (bloomBits & (bloomBits - 1)) == 0,
+      s"bloomBits must be a power of two, got $bloomBits")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val nWords = math.max(1, bloomBits / 64)
+    // double-hashed probe positions: h1 = xxhash64(gram), odd stride h2
+    def positions(h: Column): Column = {
+      val h2 = shiftrightunsigned(h, 33) * 2 + 1
+      transform(sequence(lit(0), lit(probes - 1)),
+        i => pmod(h + i.cast("long") * h2, lit(bloomBits.toLong)))
+    }
+    def bitOf(p: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))
+
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__g")).dropDuplicates("__g")
+    // distributed bitset build: one bounded row per 64-bit word
+    val bitWords = benchGrams
+      .select(explode(positions(xxhash64(col("__g")))).as("__p"))
+      .groupBy(shiftrightunsigned(col("__p"), 6).as("__w"))
+      .agg(call_function("bit_or", bitOf(col("__p"))).as("__bits"))
+    // densify into ONE row (≤ nWords entries — capped by the bitset
+    // size, not the gram count) and broadcast it
+    val bitsRow = bitWords
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__m"))
+      .select(transform(sequence(lit(0L), lit((nWords - 1).toLong)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__bf"))
+
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("__g"))
+    val pre = corpusGrams.join(broadcast(bitsRow))
+      .where(forall(positions(xxhash64(col("__g"))), p =>
+        bitOf(p).bitwiseAND(
+          element_at(col("__bf"),
+            (shiftrightunsigned(p, 6) + 1).cast("int"))) =!= 0L))
+      .select(col("doc_id"), col("__g"))
+    // exact verify: deliberately NO broadcast hint — at scale the
+    // benchmark gram set is the too-big-to-broadcast side and the bloom
+    // survivors are the tiny side; a plain shuffle join (AQE picks the
+    // build side) carries only survivors
+    pre.join(benchGrams, Seq("__g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .where(col("n_contaminated_grams") >= minOverlaps)
+  }
+
   /** Exact n-gram Jaccard near-dups within blocking buckets (same
     * `blockCols` values — e.g. language + length band). The block keys
     * bound the pairwise term; at 100 TB choose blocks so bucket sizes

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus-mixing operators for assembling
+  * training mixes (per-source rates, temperature-scaled weights,
+  * fractional upsampling).
+  *
+  * Selection is by md5 of (salt ++ key): reproducible across runs,
+  * engines, partitionings, and cluster sizes — unlike Spark's
+  * `DataFrame.sample`, which is partition-seeded and silently changes
+  * membership whenever the input repartitions. Every sampling operator
+  * here is map-only (the predicate is a plain codegen'd expression that
+  * pushes toward the scan); at 100 TB a mix pass costs one read, no
+  * shuffle.
+  *
+  * The first 8 md5 hex chars compared as lowercase-hex STRINGS are
+  * order-isomorphic to the 32-bit bucket value, which keeps the
+  * predicate expressible identically in any engine with md5 — that is
+  * what makes these operators oracle-checkable cross-engine.
+  */
+object Mixing {
+
+  /** Lowercase-hex threshold for a fraction in [0,1]: rows whose bucket
+    * (first 8 md5 hex chars) sorts below it are kept. */
+  private[llm] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    val t = math.min((fraction * 4294967296.0).round, 4294967295L)
+    f"$t%08x"
+  }
+
+  /** 32-bit hash bucket of a key as 8 lowercase hex chars. */
+  def hashBucket(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+
+  /** Deterministic Bernoulli-style sample: keeps exactly the rows whose
+    * bucket falls below the fraction threshold. Changing `salt` draws an
+    * independent sample; the same (key, salt) always decides the same
+    * way. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          salt: String = "graft"): DataFrame =
+    df.where(hashBucket(col(keyCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Stratified mix-down: per-stratum sampling rates (e.g. language →
+    * rate); strata absent from `rates` get `defaultRate`. One map-only
+    * pass over the corpus — the per-row threshold is a small CASE
+    * chain, not a join. */
+  def mixStrata(df: DataFrame, stratumCol: String, keyCol: String,
+                rates: Map[String, Double], defaultRate: Double = 1.0,
+                salt: String = "graft"): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol), salt) < thr)
+  }
+
+  /** Deterministic fractional upsampling: each row is emitted
+    * floor(rate) times, plus once more when its bucket falls below the
+    * fractional part — expected multiplicity = rate, decided per key.
+    * Map-side explode, no shuffle; `copy_idx` (1-based) disambiguates
+    * the copies downstream. Rows drawing 0 copies are dropped (explode
+    * of NULL). */
+  def upsample(df: DataFrame, keyCol: String, rate: Double,
+               salt: String = "graft"): DataFrame = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    val base = math.floor(rate).toLong
+    val extra = when(
+      hashBucket(col(keyCol), salt) < lit(hexThreshold(rate - base)), 1L)
+      .otherwise(0L)
+    val n = lit(base) + extra
+    df.withColumn("copy_idx",
+      explode(when(n >= 1L, sequence(lit(1L), n))))
+  }
+
+  /** Temperature-scaled mixing weights from stratum counts:
+    * w_i ∝ n_i^(1/T). T=1 reproduces the natural distribution; larger T
+    * flattens toward uniform (the multilingual-sampling trick). Output
+    * is one row per stratum; the normalizer is a broadcast one-row
+    * aggregate, not a single-partition window. */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+                         temperature: Double): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__w", pow(col("n").cast("double"), 1.0 / temperature))
+    val total = counts.agg(sum(col("__w")).as("__tot"))
+    counts.join(broadcast(total))
+      .select(col(stratumCol), col("n"),
+        (col("__w") / col("__tot")).as("weight"))
+  }
+}

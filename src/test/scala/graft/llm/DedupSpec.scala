@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(flagged.contains(3L))        // shares most 8-grams
   }
 
+  test("contaminatedBloom matches contaminated exactly, even with a tiny FP-heavy bitset") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Dedup.contaminated(docs, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 2^10 bits with 5 probes over thousands of grams -> near-saturated
+    // bitset, so virtually every corpus gram passes the prefilter; the
+    // exact verify join must still reduce it to the exact answer
+    val fpHeavy = Dedup.contaminatedBloom(docs, bench, "doc_id", "text", n = 8,
+        bloomBits = 1 << 10)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fpHeavy == exact)
+    // and a realistically-sized bitset agrees too
+    val sized = Dedup.contaminatedBloom(docs, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sized == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("shingles produce distinct n-grams; short texts fall back to joined form") {
     val sh = Seq("a b c d e f").toDF("t")
       .select(Dedup.shingles(col("t"), 5).as("s")).as[Seq[String]].head()

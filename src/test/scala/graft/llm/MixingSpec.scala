@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys(n: Int) = (1L to n.toLong).toDF("k")
+
+  test("deterministicSample: stable under repartitioning, rate is close, salts independent") {
+    val df = keys(4000)
+    val a = Mixing.deterministicSample(df, "k", 0.25).as[Long].collect().toSet
+    val b = Mixing.deterministicSample(df.repartition(7), "k", 0.25)
+      .as[Long].collect().toSet
+    assert(a == b) // membership survives repartitioning (Spark sample's doesn't)
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03)
+    val other = Mixing.deterministicSample(df, "k", 0.25, salt = "other")
+      .as[Long].collect().toSet
+    assert(other != a)
+    // nesting: a 0.25 sample of the full set contains the 0.1 sample?
+    // No — thresholds nest for the SAME salt: bucket < t(0.1) implies < t(0.25)
+    val tighter = Mixing.deterministicSample(df, "k", 0.1).as[Long].collect().toSet
+    assert(tighter.subsetOf(a))
+  }
+
+  test("mixStrata applies per-stratum rates with default for the rest") {
+    val df = (1L to 3000L).toDF("k")
+      .withColumn("s", when(col("k") % 3 === 0, "a")
+        .when(col("k") % 3 === 1, "b").otherwise("c"))
+    val out = Mixing.mixStrata(df, "s", "k",
+      rates = Map("a" -> 0.0, "b" -> 1.0), defaultRate = 0.5)
+    val byS = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(!byS.contains("a"))          // rate 0 -> nothing survives
+    assert(byS("b") == 1000L)           // rate 1 -> everything survives
+    assert(math.abs(byS("c") / 1000.0 - 0.5) < 0.06)
+  }
+
+  test("upsample emits floor(rate) or ceil(rate) copies, expected multiplicity ~ rate") {
+    val out = Mixing.upsample(keys(2000), "k", 2.5)
+    val per = out.groupBy("k").count().as[(Long, Long)].collect()
+    assert(per.forall { case (_, c) => c == 2L || c == 3L })
+    val mean = per.map(_._2).sum.toDouble / per.length
+    assert(math.abs(mean - 2.5) < 0.05)
+    assert(per.length == 2000) // rate >= 1 keeps every key
+    // rate 0.4: only a bucket-selected subset survives, single copies
+    val down = Mixing.upsample(keys(2000), "k", 0.4)
+    val dper = down.groupBy("k").count().as[(Long, Long)].collect()
+    assert(dper.forall(_._2 == 1L))
+    assert(math.abs(dper.length / 2000.0 - 0.4) < 0.04)
+  }
+
+  test("temperatureWeights: T=1 natural, large T near-uniform, weights sum to 1") {
+    val df = (1L to 1000L).toDF("k")
+      .withColumn("s", when(col("k") <= 900, "big").otherwise("small"))
+    val t1 = Mixing.temperatureWeights(df, "s", 1.0)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(math.abs(t1("big") - 0.9) < 1e-9)
+    val t100 = Mixing.temperatureWeights(df, "s", 100.0)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(math.abs(t100("big") - 0.5) < 0.01)
+    assert(math.abs(t1.values.sum - 1.0) < 1e-9)
+    assert(math.abs(t100.values.sum - 1.0) < 1e-9)
+  }
+}
