@@ -1671,6 +1671,27 @@ object Queries {
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""))
 
+  /** Batch execution of the stream-static enrichment join — the same
+    * [[graft.streaming.EventsStream.enrich]] call StreamingSpec drives
+    * from a MemoryStream (where it is stateless per micro-batch). */
+  private val eventsEnriched = QueryDef("events_enriched",
+    (s, d) => {
+      val dim = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      graft.streaming.EventsStream.enrich(events(s, d), dim, "user_id", "c_custkey")
+        .groupBy(col("n_name"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+        .orderBy(col("n_name"), col("event_type"))
+    },
+    Some("""SELECT n_name, event_type, count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n_name, event_type ORDER BY n_name, event_type"""))
+
   private val eventsSessions = QueryDef("events_sessionize",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1722,5 +1743,5 @@ object Queries {
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
-    eventsHourly, eventsSessions)
+    eventsHourly, eventsEnriched, eventsSessions)
 }

@@ -40,6 +40,19 @@ object EventsStream {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static enrichment join: a (possibly unbounded) event
+    * stream joined against a static dimension frame. Stream-static
+    * inner joins are STATELESS in Structured Streaming — every
+    * micro-batch joins against the static side and no join state
+    * accumulates — so with a broadcast-able dimension this is the
+    * 100 TB/day-safe shape for ingest-time enrichment (the static side
+    * is re-broadcast per batch, the stream side never shuffles for the
+    * join). The identical function serves the batch path, where the
+    * driver's DuckDB oracle checks it (`events_enriched`). */
+  def enrich(events: DataFrame, dim: DataFrame,
+             eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Stateful sessionization: a new session starts after `gapMinutes`
     * of inactivity per user. Emits running per-user totals on every
     * update (OutputMode.Update semantics). State is one small struct
