@@ -1258,6 +1258,31 @@ object Queries {
       SELECT lang, n, round(pow(c.n, 0.5) / s.tot, 7) AS weight
       FROM c, s ORDER BY lang"""))
 
+  /** q rounded to 6 decimals on both sides: identical interpolation
+    * definition, but the (b−a)·frac arithmetic may differ at ulp level
+    * between engines. */
+  private val docQuantiles = QueryDef("doc_quantiles",
+    (s, d) => TextAnalysis.quantiles(t(s, d, "documents"),
+        col("n_chars").cast("double"), Seq(0.05, 0.5, 0.95, 0.99))
+      .select(col("p"), round(col("q"), 6).as("q")).orderBy(col("p")),
+    Some(Seq(0.05, 0.5, 0.95, 0.99).map(p =>
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+          round(quantile_cont(CAST(n_chars AS DOUBLE), $p), 6) AS q
+        FROM documents""")
+      .mkString("", " UNION ALL ", " ORDER BY p")))
+
+  private val topKPerLang = QueryDef("top_k_per_lang",
+    (s, d) => Mixing.topKPerStratum(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", col("n_chars"), "doc_id", k = 3)
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id")),
+    Some("""SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents) WHERE rk <= 3
+      ORDER BY lang, n_chars DESC, doc_id"""))
+
   private val piiScrub = QueryDef("pii_scrub",
     (s, d) => {
       val withPii = t(s, d, "part").select(col("p_partkey"),
@@ -1740,6 +1765,7 @@ object Queries {
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
     decontaminate, decontaminateBloom, piiScrub,
     mixSample, mixStrata, mixUpsample, mixTemperature,
+    docQuantiles, topKPerLang,
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,

@@ -75,6 +75,24 @@ object Mixing {
       explode(when(n >= 1L, sequence(lit(1L), n))))
   }
 
+  /** Deterministic best-k-per-stratum selection (e.g. keep the N
+    * highest-quality documents per source/domain). Ties broken by
+    * `keyCol` so the output is reproducible. One shuffle on the stratum
+    * key; Catalyst executes the rank filter as WindowGroupLimit, which
+    * drops below-k rows DURING the sort on the map side — the full
+    * per-stratum sort never materializes, so a degenerate stratum costs
+    * its top-k, not its size. */
+  def topKPerStratum(df: DataFrame, stratumCol: String, scoreCol: Column,
+                     keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(scoreCol.desc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Temperature-scaled mixing weights from stratum counts:
     * w_i ∝ n_i^(1/T). T=1 reproduces the natural distribution; larger T
     * flattens toward uniform (the multilingual-sampling trick). Output

@@ -103,6 +103,23 @@ object TextAnalysis {
       struct(dupG.as("dup_2gram_frac"), topW.as("top_word_frac"))
     }
 
+  /** Exact interpolated quantiles of a numeric column — the thresholds
+    * a curation pass derives BEFORE filtering (e.g. "drop below-p05 /
+    * above-p99 length documents"). One aggregation, one row out per
+    * requested probability. Spark's exact `percentile` shares DuckDB
+    * `quantile_cont`'s (n−1)·p linear-interpolation definition, so the
+    * thresholds are oracle-checkable; a 100 TB run swaps
+    * `percentile_approx` in at the call site for bounded executor
+    * memory with the same plan shape. */
+  def quantiles(df: org.apache.spark.sql.DataFrame, valueCol: Column,
+                probs: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val pArr = array(probs.map(lit): _*)
+    df.agg(percentile(valueCol, pArr).as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", "q")))
+      .select(element_at(pArr, col("__i") + 1).as("p"), col("q"))
+  }
+
   /** Quality-signal columns (Gopher-style length/punct/stopword rules).
     * Returns a struct; `qualityOk` flattens to the keep decision. */
   def qualityStats(c: Column): Column = {

@@ -50,6 +50,20 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(dper.length / 2000.0 - 0.4) < 0.04)
   }
 
+  test("topKPerStratum keeps k best per stratum with deterministic tie-break") {
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 30), (4L, "a", 5),
+      (5L, "b", 7)).toDF("id", "s", "score")
+    val out = Mixing.topKPerStratum(df, "s", col("score"), "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L, 5L)) // ties at 30 break by id; b has only one row
+    // the physical plan must carry the WindowGroupLimit pushdown (rank
+    // filter applied during the per-stratum sort, not after it)
+    val plan = Mixing.topKPerStratum(df, "s", col("score"), "id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("temperatureWeights: T=1 natural, large T near-uniform, weights sum to 1") {
     val df = (1L to 1000L).toDF("k")
       .withColumn("s", when(col("k") <= 900, "big").otherwise("small"))

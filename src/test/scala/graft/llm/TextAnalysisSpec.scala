@@ -110,4 +110,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
     assert(fps.values.forall(v => v >= 0 && v < 1000000007L))
   }
+
+  test("quantiles: exact interpolated percentiles of a column") {
+    val df = (1 to 101).map(_.toDouble).toDF("v")
+    val qs = TextAnalysis.quantiles(df, col("v"), Seq(0.0, 0.25, 0.5, 1.0))
+      .orderBy("p").as[(Double, Double)].collect().toSeq
+    // 101 values 1..101: position p*(n-1) lands on integers -> exact
+    assert(qs == Seq((0.0, 1.0), (0.25, 26.0), (0.5, 51.0), (1.0, 101.0)))
+    // interpolation between neighbors: median of 1..4 at 0.5 -> 2.5
+    val m = TextAnalysis.quantiles((1 to 4).map(_.toDouble).toDF("v"),
+      col("v"), Seq(0.5)).as[(Double, Double)].head()
+    assert(m == ((0.5, 2.5)))
+  }
 }
