@@ -1717,6 +1717,25 @@ object Queries {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n_name, event_type ORDER BY n_name, event_type"""))
 
+  /** Batch execution of the stream-stream range join — identical
+    * [[graft.streaming.EventsStream.attributeClicks]] call to the
+    * watermarked streaming path in StreamingSpec. */
+  private val eventsAttribution = QueryDef("events_attribution",
+    (s, d) => {
+      val ev = events(s, d)
+      graft.streaming.EventsStream.attributeClicks(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "click"), withinMinutes = 30)
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("""SELECT v.event_id AS view_id, c.event_id AS click_id,
+        v.user_id, v.ts AS view_ts, c.ts AS click_ts
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      ORDER BY view_id, click_id"""))
+
   private val eventsSessions = QueryDef("events_sessionize",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1769,5 +1788,5 @@ object Queries {
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
-    eventsHourly, eventsEnriched, eventsSessions)
+    eventsHourly, eventsEnriched, eventsAttribution, eventsSessions)
 }

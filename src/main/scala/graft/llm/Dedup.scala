@@ -343,21 +343,49 @@ object Dedup {
       .groupBy(shiftrightunsigned(col("__p"), 6).as("__w"))
       .agg(call_function("bit_or", bitOf(col("__p"))).as("__bits"))
     // densify into ONE row (≤ nWords entries — capped by the bitset
-    // size, not the gram count) and broadcast it
+    // size, not the gram count) and broadcast it. Single sorted pass:
+    // each (word, bits) entry emits its gap of zero-words then its own
+    // word — O(nWords + entries). (The obvious per-index
+    // element_at(map, i) lookup is a LINEAR scan of UnsafeMapData per
+    // index: 65k × 60k comparisons ≈ 90 s measured at the default
+    // bitset size.)
     val bitsRow = bitWords
-      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
-        .as("__m"))
-      .select(transform(sequence(lit(0L), lit((nWords - 1).toLong)),
-        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__bf"))
+      .agg(array_sort(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__s"))
+      .select {
+        val s = col("__s")
+        val wsArr = transform(s, e => e.getField("__w"))
+        val prevW = slice(concat(array(lit(-1L)), wsArr), lit(1), size(s))
+        val body = flatten(zip_with(s, prevW, (e, pw) => concat(
+          array_repeat(lit(0L), (e.getField("__w") - pw - 1).cast("int")),
+          array(e.getField("__bits")))))
+        val lastW = coalesce(element_at(wsArr, -1), lit(-1L))
+        concat(body,
+          array_repeat(lit(0L), (lit(nWords.toLong) - 1 - lastW).cast("int")))
+          .as("__bf")
+      }
 
     val corpusGrams = corpus.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("__g"))
-    val pre = corpusGrams.join(broadcast(bitsRow))
-      .where(forall(positions(xxhash64(col("__g"))), p =>
+    // LEFT-SEMI against the one-row bitset, with the probe as the JOIN
+    // CONDITION: the bitset array is read in place from the broadcast
+    // row. (The naive cross-join-then-filter shape attaches the
+    // 512 KB array to EVERY gram row before the filter projects it
+    // away — measured 231 s vs ~3 s at sf0.1 for the same result.)
+    // The probe loop is UNROLLED into a plain conjunction (probes is a
+    // small constant): an explicit HOF (`forall`) is interpreted,
+    // unrolled ShiftLeft/ElementAt codegen under the join predicate.
+    val probeCond = {
+      val h = xxhash64(col("__g"))
+      val h2 = shiftrightunsigned(h, 33) * 2 + 1
+      (0 until probes).map { i =>
+        val p = pmod(h + lit(i.toLong) * h2, lit(bloomBits.toLong))
         bitOf(p).bitwiseAND(
           element_at(col("__bf"),
-            (shiftrightunsigned(p, 6) + 1).cast("int"))) =!= 0L))
-      .select(col("doc_id"), col("__g"))
+            (shiftrightunsigned(p, 6) + 1).cast("int"))) =!= 0L
+      }.reduce(_ && _)
+    }
+    val pre = corpusGrams.join(broadcast(bitsRow), probeCond, "leftsemi")
     // exact verify: deliberately NO broadcast hint — at scale the
     // benchmark gram set is the too-big-to-broadcast side and the bloom
     // survivors are the tiny side; a plain shuffle join (AQE picks the

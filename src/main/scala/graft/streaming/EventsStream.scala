@@ -53,6 +53,33 @@ object EventsStream {
              eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey))
 
+  /** Stream-stream event-time range join (click attribution): each
+    * view event joined to the same user's click events within
+    * `withinMinutes` after it. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, which is what lets
+    * Structured Streaming evict join state: a buffered view is dropped
+    * once the click-side watermark passes `view_ts + within`, and a
+    * buffered click once the view-side watermark passes `click_ts` —
+    * without the range predicate, stream-stream join state grows
+    * without bound. The same function serves the batch path, where the
+    * DuckDB oracle checks it (`events_attribution`). */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+                      withinMinutes: Int = 30,
+                      delay: String = "1 hour"): DataFrame = {
+    val v = (if (views.isStreaming) views.withWatermark("ts", delay) else views)
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id"))
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", delay) else clicks)
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("__cu"))
+    v.join(c, col("user_id") === col("__cu") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") +
+          expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Stateful sessionization: a new session starts after `gapMinutes`
     * of inactivity per user. Emits running per-user totals on every
     * update (OutputMode.Update semantics). State is one small struct

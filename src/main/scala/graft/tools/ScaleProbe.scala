@@ -67,6 +67,19 @@ object ScaleProbe {
         corpus.select(graft.llm.TextAnalysis.qualityStats(col("text")).as("q"))
           .agg(avg(col("q.stop_ratio"))).count()
       }
+      time(s"decontaminate_bloom x$k") {
+        // benchmark side fixed-size (every 50th doc of ONE replica):
+        // the probe measures the corpus-side bloom scan growing with k
+        // against a constant bitset
+        graft.llm.Dedup.contaminatedBloom(corpus,
+          corpus.where(col("doc_id") < 10000000L && col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8).count()
+      }
+      time(s"mix_strata x$k") {
+        graft.llm.Mixing.mixStrata(
+          corpus.withColumn("s", (col("doc_id") % 5).cast("string")),
+          "s", "doc_id", rates = Map("0" -> 0.1, "1" -> 0.9)).count()
+      }
     }
     spark.stop()
   }

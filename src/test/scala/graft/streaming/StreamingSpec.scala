@@ -81,6 +81,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributeClicks: stream-stream range join attributes only in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = EventsStream.attributeClicks(
+      views.toDF(), clicks.toDF(), withinMinutes = 30)
+    assert(joined.isStreaming)
+    val q = joined.writeStream
+      .format("memory").queryName("attr_test").outputMode("append")
+      .start()
+    try {
+      views.addData(Event(1, ts(0), 1, "view", 1.0))
+      clicks.addData(
+        Event(10, ts(10), 1, "click", 1.0),  // in window
+        Event(11, ts(60), 1, "click", 1.0),  // outside 30-min window
+        Event(12, ts(5), 2, "click", 1.0))   // other user
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L)))
+      // a view in a LATER batch still joins a click buffered earlier
+      views.addData(Event(2, ts(3), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("attr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows2 == Set((1L, 10L), (2L, 12L)))
+    } finally q.stop()
+  }
+
   test("dedupStream suppresses duplicate ids across batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
