@@ -1213,6 +1213,33 @@ object Queries {
     },
     decontaminate.oracle)
 
+  /** Synthetic chain edges (doc_id — doc_id+1 for doc_id%10 ∈ {0,1,2})
+    * force the labels to propagate transitively across 4-node chains —
+    * the oracle recomputes components with a recursive CTE, so the
+    * green row proves the fixpoint iteration, not just direct pairs. */
+  private val dedupClusters = QueryDef("dedup_clusters",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      // max id stays in-plan (broadcast one-row aggregate, no collect)
+      val mxDf = docs.agg(max(col("doc_id")).as("__mx"))
+      val pairs = docs.crossJoin(broadcast(mxDf))
+        .where(col("doc_id") % 10 < 3 && col("doc_id") < col("__mx"))
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE
+      pairs AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+                WHERE doc_id % 10 < 3
+                  AND doc_id < (SELECT max(doc_id) FROM documents)),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      walk(id, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.id)
+      SELECT id AS doc_id, min(reach) AS cluster_id
+      FROM walk GROUP BY id ORDER BY doc_id"""))
+
   /** md5-bucket selection is engine-portable (lowercase hex compared as
     * strings), so the sampling/mixing family is fully oracle-checked —
     * unlike partition-seeded `DataFrame.sample`, the same rows are kept
@@ -1782,7 +1809,7 @@ object Queries {
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
-    decontaminate, decontaminateBloom, piiScrub,
+    decontaminate, decontaminateBloom, dedupClusters, piiScrub,
     mixSample, mixStrata, mixUpsample, mixTemperature,
     docQuantiles, topKPerLang,
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,

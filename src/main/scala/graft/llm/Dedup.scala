@@ -223,6 +223,50 @@ object Dedup {
     out
   }
 
+  /** Connected components over near-dup pairs — the survivor-selection
+    * step after any pairwise near-dup pass ([[minhashNearDups]],
+    * [[simhashNearDups]], [[ngramJaccardPairs]], ...): transitively
+    * linked documents form one cluster, labeled by the cluster's min
+    * doc id (the canonical survivor).
+    *
+    * Iterative min-label propagation: every node starts as its own
+    * label; each round takes the min over neighbor labels; fixpoint in
+    * O(component diameter) rounds — near-dup components are shallow
+    * (dup groups and short chains), so a handful of rounds suffices
+    * even at 100 TB, each round being one shuffle on the edge key.
+    * Frames are `localCheckpoint`ed per round to truncate lineage
+    * (the standard Spark iterative-algorithm discipline; cluster mode
+    * would use `checkpoint` on reliable storage). Convergence is
+    * detected by the (monotonically decreasing) label sum — one cheap
+    * scalar aggregate per round, no old×new join. */
+  def nearDupClusters(pairs: DataFrame, aCol: String = "a",
+                      bCol: String = "b", maxRounds: Int = 30): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("__nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__m"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__m"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b)).cast("double")

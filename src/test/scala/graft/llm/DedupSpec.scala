@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("nearDupClusters: transitive chains, stars, separate components, empty edges") {
+    // chain 1-2-3-4 (label must travel 3 hops), star 10-(11,12,13),
+    // isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("a", "b")
+    val out = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // composes with a near-dup pass: planted exact copies cluster together
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val planted = docs.unionByName(
+      docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")))
+    val clusters = Dedup.nearDupClusters(
+      Dedup.minhashNearDups(planted, "doc_id", "text", threshold = 0.9))
+    val m = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 50).forall(i => m.get(i + 1000L).forall(_ == m(i.toLong))))
+    // empty input converges immediately to an empty labeling
+    assert(Dedup.nearDupClusters(Seq.empty[(Long, Long)].toDF("a", "b"))
+      .count() == 0L)
+  }
+
   test("shingles produce distinct n-grams; short texts fall back to joined form") {
     val sh = Seq("a b c d e f").toDF("t")
       .select(Dedup.shingles(col("t"), 5).as("s")).as[Seq[String]].head()
