@@ -101,7 +101,25 @@ object ConfigLoader {
       }),
       "lang_filter" -> (o => df =>
         df.where(graft.llm.TextAnalysis.langId(ColumnNs.q(req(o, "column")))
-          === req(o, "lang"))))
+          === req(o, "lang"))),
+      "sample" -> (o => df =>
+        graft.llm.Mixing.deterministicSample(df, req(o, "keyCol"),
+          req(o, "fraction").toDouble, o.getOrElse("salt", "graft"))),
+      "mix_strata" -> (o => df =>
+        graft.llm.Mixing.mixStrata(df, req(o, "stratumCol"), req(o, "keyCol"),
+          // rates as "en=0.2,de=0.8"
+          rates = req(o, "rates").split(",").map { kv =>
+            val Array(k, v) = kv.split("="); k.trim -> v.trim.toDouble
+          }.toMap,
+          defaultRate = o.getOrElse("defaultRate", "1.0").toDouble,
+          salt = o.getOrElse("salt", "graft"))),
+      "upsample" -> (o => df =>
+        graft.llm.Mixing.upsample(df, req(o, "keyCol"),
+          req(o, "rate").toDouble, o.getOrElse("salt", "graft"))),
+      "top_k_per_stratum" -> (o => df =>
+        graft.llm.Mixing.topKPerStratum(df, req(o, "stratumCol"),
+          ColumnNs.q(req(o, "scoreCol")), req(o, "keyCol"),
+          req(o, "k").toInt)))
 
   /** load kind -> (options => LoadStep). */
   val loadKinds: collection.mutable.Map[String, Options => Sinks.LoadStep] =

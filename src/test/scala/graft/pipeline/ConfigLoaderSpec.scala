@@ -42,6 +42,28 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(Sources.ledgerLatest(spark, work, "wp_posts").count() == 2)
   }
 
+  test("mixing transform kinds drive curation steps from config") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val df = (1L to 1000L).toDF("k")
+      .withColumn("s", when(col("k") % 2 === 0, "en").otherwise("de"))
+      .withColumn("score", col("k") % 7)
+    val sampled = transformKinds("sample")(
+      Map("keyCol" -> "k", "fraction" -> "0.5"))(df)
+    assert(math.abs(sampled.count() / 1000.0 - 0.5) < 0.06)
+    val mixed = transformKinds("mix_strata")(
+      Map("stratumCol" -> "s", "keyCol" -> "k",
+        "rates" -> "en=0.0,de=1.0"))(df)
+    assert(mixed.select("s").distinct().as[String].collect().toSeq == Seq("de"))
+    val up = transformKinds("upsample")(
+      Map("keyCol" -> "k", "rate" -> "2.0"))(df)
+    assert(up.count() == 2000L)
+    val top = transformKinds("top_k_per_stratum")(
+      Map("stratumCol" -> "s", "scoreCol" -> "score", "keyCol" -> "k",
+        "k" -> "3"))(df)
+    assert(top.groupBy("s").count().as[(String, Long)].collect()
+      .forall(_._2 == 3L))
+  }
+
   test("unknown kinds and missing fields are rejected with clear messages") {
     val badKind = """{"jobs":[{"name":"x","extract":[{"kind":"ftp","path":"p"}]}]}"""
     val e1 = intercept[Pipeline.ValidationException](ConfigLoader.parse(badKind))
