@@ -247,7 +247,11 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // decimal(38,0) sum: overflow-safe at any id magnitude/row count
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -258,8 +262,8 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("__m"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val s = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-      converged = s == prevSum
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       round += 1

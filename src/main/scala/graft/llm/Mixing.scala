@@ -27,8 +27,10 @@ object Mixing {
   private[llm] def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0,1], got $fraction")
-    val t = math.min((fraction * 4294967296.0).round, 4294967295L)
-    f"$t%08x"
+    val t = (fraction * 4294967296.0).round
+    // rate 1.0 must keep EVERY row, including a bucket of exactly
+    // "ffffffff" (p = 2^-32): "g" sorts above every hex char
+    if (t >= 4294967296L) "g" else f"$t%08x"
   }
 
   /** 32-bit hash bucket of a key as 8 lowercase hex chars. */

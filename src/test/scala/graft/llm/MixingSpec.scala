@@ -24,6 +24,14 @@ class MixingSpec extends SparkSpec {
     assert(tighter.subsetOf(a))
   }
 
+  test("hexThreshold boundaries: 0 drops all, 1 keeps even bucket ffffffff, monotone") {
+    assert(Mixing.hexThreshold(0.0) == "00000000") // no bucket sorts below it
+    assert(Mixing.hexThreshold(1.0) > "ffffffff")  // keep-all survives the max bucket
+    assert(Mixing.hexThreshold(0.25) == "40000000")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.8, 0.999, 1.0)
+    assert(ps.map(Mixing.hexThreshold) == ps.map(Mixing.hexThreshold).sorted)
+  }
+
   test("mixStrata applies per-stratum rates with default for the rest") {
     val df = (1L to 3000L).toDF("k")
       .withColumn("s", when(col("k") % 3 === 0, "a")
