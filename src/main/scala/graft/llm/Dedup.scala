@@ -407,7 +407,10 @@ object Dedup {
         val body = flatten(zip_with(s, prevW, (e, pw) => concat(
           array_repeat(lit(0L), (e.getField("__w") - pw - 1).cast("int")),
           array(e.getField("__bits")))))
-        val lastW = coalesce(element_at(wsArr, -1), lit(-1L))
+        // when(size==0) guard, not bare element_at(-1): under ANSI mode
+        // (Spark 4 default) element_at on an empty array throws
+        val lastW = when(size(s) === 0, lit(-1L))
+          .otherwise(element_at(wsArr, -1))
         concat(body,
           array_repeat(lit(0L), (lit(nWords.toLong) - 1 - lastW).cast("int")))
           .as("__bf")

@@ -95,6 +95,10 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(sized == exact)
     assert(exact.nonEmpty)
+    // empty benchmark: all-zero bitset, nothing flagged (and the
+    // densify path must not trip ANSI element_at on an empty array)
+    assert(Dedup.contaminatedBloom(docs, bench.limit(0), "doc_id", "text",
+      n = 8).count() == 0L)
   }
 
   test("nearDupClusters: transitive chains, stars, separate components, empty edges") {
