@@ -133,6 +133,10 @@ object ConfigLoader {
           Sinks.destination(dir(o), file(o), overwrite(o)))))),
       "json_dir" -> (o => Sinks.Write("json_dir", df =>
         scoped(df, o)(d => Sinks.writeJson(d, req(o, "path"))))),
+      "shards" -> (o => Sinks.Write("shards", df =>
+        Sinks.writeShards(df, req(o, "keyCol"), req(o, "path"),
+          req(o, "nShards").toInt,
+          format = o.getOrElse("format", "parquet")))),
       "ledger" -> (o => Sinks.Write("ledger", df =>
         Sinks.writeLedger(df, req(o, "dir"), req(o, "name"),
           o.getOrElse("runId", System.currentTimeMillis().toString),

@@ -163,4 +163,20 @@ object Sinks {
     val out = steps.flatMap(s => composites.getOrElse(s.toLowerCase, Seq(s)))
     out.distinct
   }
+
+  /** Training-shard export: deterministic md5-rank shuffle
+    * ([[graft.llm.Packing.shardShuffle]]) materialized as one directory
+    * per shard (`shard=N/part-*`), rows ordered by rank within each
+    * shard. Assignment and order are functions of the key alone, so the
+    * SAME shards come out at any parallelism on any cluster — the
+    * reproducibility contract a training run needs for resumable data
+    * loading. One shuffle (repartition by shard), sort local to each
+    * shard. */
+  def writeShards(df: DataFrame, keyCol: String, dir: String, nShards: Int,
+                  format: String = "parquet"): Unit =
+    graft.llm.Packing.shardShuffle(df, keyCol, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("rank"))
+      .write.partitionBy("shard").format(format)
+      .mode(SaveMode.Overwrite).save(dir)
 }

@@ -66,6 +66,25 @@ class PackingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("writeShards: one dir per shard, identical output at different parallelism") {
+    import graft.sinks.Sinks
+    val df = spark.range(0, 500).select(col("id").as("doc_id"),
+      (col("id") * 3).as("payload"))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_sh1").toFile.getPath
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sh2").toFile.getPath
+    Sinks.writeShards(df, "doc_id", d1, nShards = 4)
+    Sinks.writeShards(df.repartition(17), "doc_id", d2, nShards = 4)
+    val r1 = spark.read.parquet(d1)
+    assert(r1.select("shard").distinct().count() == 4)
+    assert(new java.io.File(d1).listFiles().count(_.getName.startsWith("shard=")) == 4)
+    // reproducibility: same shards and in-shard rank order either way
+    def dump(p: String) = spark.read.parquet(p)
+      .select("shard", "rank", "doc_id", "payload")
+      .orderBy("shard", "rank").collect().toSeq
+    assert(dump(d1) == dump(d2))
+    assert(r1.count() == 500)
+  }
+
   test("ngramJaccardPairs maxBlock drops oversized blocks only") {
     val docs = Seq(
       (1L, "aa bb cc dd", "x"), (2L, "aa bb cc dd", "x"), (3L, "aa bb cc ee", "x"),
