@@ -1213,6 +1213,44 @@ object Queries {
     },
     decontaminate.oracle)
 
+  /** Both embedding-prep queries output EXPLODED scalar rows
+    * (id, position, rounded value) instead of array columns — robust
+    * under the driver's scalar-only compare, and round(6) absorbs the
+    * cross-engine sum/avg fold-order ulps. */
+  private val embedNormalize = QueryDef("embed_normalize",
+    (s, d) => t(s, d, "embeddings").where(col("vec_id") < 20)
+      .select(col("vec_id"),
+        posexplode(Similarity.l2Normalize(col("embedding")))
+          .as(Seq("i", "__v")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        round(col("__v"), 6).as("v"))
+      .orderBy(col("vec_id"), col("i")),
+    Some("""WITH x AS (SELECT vec_id,
+          unnest(range(1, len(embedding) + 1)) AS i,
+          unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 20),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM x GROUP BY vec_id)
+      SELECT x.vec_id, CAST(i - 1 AS BIGINT) AS i,
+        round(CASE WHEN nrm = 0 THEN v ELSE v / nrm END, 6) AS v
+      FROM x JOIN n USING (vec_id) ORDER BY vec_id, i"""))
+
+  private val embedMeanpool = QueryDef("embed_meanpool",
+    (s, d) => Similarity.meanPool(
+        t(s, d, "embeddings").withColumn("grp", col("vec_id") % 50),
+        "grp", "embedding")
+      .select(col("group_id"), col("n_vecs"),
+        posexplode(col("embedding")).as(Seq("i", "__v")))
+      .select(col("group_id"), col("n_vecs"),
+        col("i").cast("long").as("i"), round(col("__v"), 6).as("v"))
+      .orderBy(col("group_id"), col("i")),
+    Some("""WITH x AS (SELECT vec_id % 50 AS group_id,
+          unnest(range(1, len(embedding) + 1)) AS i,
+          unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings)
+      SELECT group_id, count(*) AS n_vecs,
+        CAST(i - 1 AS BIGINT) AS i, round(avg(v), 6) AS v
+      FROM x GROUP BY group_id, i ORDER BY group_id, i"""))
+
   /** Synthetic chain edges (doc_id — doc_id+1 for doc_id%10 ∈ {0,1,2})
     * force the labels to propagate transitively across 4-node chains —
     * the oracle recomputes components with a recursive CTE, so the
@@ -1810,6 +1848,7 @@ object Queries {
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
     decontaminate, decontaminateBloom, dedupClusters, piiScrub,
+    embedNormalize, embedMeanpool,
     mixSample, mixStrata, mixUpsample, mixTemperature,
     docQuantiles, topKPerLang,
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,

@@ -28,6 +28,34 @@ object Similarity {
     * double-precision end to end. */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** L2 normalization to a unit vector (after which cosine reduces to
+    * a plain dot product). Map-only; the norm is let-bound so the
+    * per-element division computes it once per row, not once per
+    * element (CollapseProject inlines through projections — see
+    * `Dedup.letBound`). Zero vectors pass through unchanged. */
+  def l2Normalize(vec: Column): Column =
+    Dedup.letBound(sqrt(dot(asDouble(vec), asDouble(vec)))) { n =>
+      when(n === 0d, asDouble(vec))
+        .otherwise(transform(asDouble(vec), x => x / n))
+    }
+
+  /** Element-wise mean pooling of embedding groups — the chunk→document
+    * embedding step. posexplode to (group, position, value), one
+    * partial/final avg per (group, position), reassembled in position
+    * order. Two shuffles on bounded keys (groups × dim, then groups);
+    * no vector ever rides a shuffle. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("group_id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("__p", "__v")))
+      .groupBy(col("group_id"), col("__p"))
+      .agg(avg(col("__v")).as("__m"), count(lit(1)).as("__n"))
+      .groupBy(col("group_id"))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__m")))).as("__s"),
+        max(col("__n")).as("n_vecs"))
+      .select(col("group_id"),
+        transform(col("__s"), e => e.getField("__m")).as("embedding"),
+        col("n_vecs"))
+
   /** Sequential left-fold dot product — deterministic evaluation
     * order. Pure-builtin form for ad-hoc use; the operators below use
     * the bit-identical native expression

@@ -65,6 +65,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("l2Normalize yields unit vectors, keeps zero vectors; meanPool averages element-wise") {
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val normed = df.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(normed(1L) == Seq(0.6, 0.8))
+    assert(normed(2L) == Seq(0.0, 0.0)) // zero vector passes through
+    val pooled = Similarity.meanPool(
+      Seq((10L, Seq(1.0f, 2.0f)), (10L, Seq(3.0f, 6.0f)), (11L, Seq(5.0f, 5.0f)))
+        .toDF("grp", "embedding"), "grp", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(pooled == Seq((10L, Seq(2.0, 4.0), 2L), (11L, Seq(5.0, 5.0), 1L)))
+  }
+
   test("embeddingNearDups finds an exact duplicate vector") {
     val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
     val w = Seq.tabulate(64)(i => math.cos(i * 2).toFloat)
