@@ -164,6 +164,29 @@ object Sinks {
     out.distinct
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(rows / targetRowsPerFile) evenly-sized files. The cure for
+    * the accumulation of tiny part-files that incremental jobs leave
+    * behind — at 100 TB a scan over millions of KB-sized files is
+    * scheduler-bound, not IO-bound. Staged write + atomic swap
+    * ([[Staging.stagedWrite]]): readers never observe a partial
+    * directory; failure leaves the input untouched. The file count is
+    * a driver-side scalar decision (it parameterizes `repartition`,
+    * like AQE's own partition sizing), not data flowing through the
+    * driver. Returns the new file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0)
+    val rows = spark.read.parquet(dir).count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    Staging.stagedWrite(spark, dir) { staging =>
+      // round-robin repartition: even file sizes without a shuffle key
+      spark.read.parquet(dir).repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+    nFiles
+  }
+
   /** Training-shard export: deterministic md5-rank shuffle
     * ([[graft.llm.Packing.shardShuffle]]) materialized as one directory
     * per shard (`shard=N/part-*`), rows ordered by rank within each

@@ -186,4 +186,23 @@ class SourcesSinksSpec extends SparkSpec {
     val out = Sinks.expandComposite(Seq("wp_post_media", "wp_post_all", "ledger"))
     assert(out == Seq("wp_post_media", "wp_post", "wp_post_meta", "wp_post_terms", "ledger"))
   }
+
+  test("compactParquet merges small files, preserves data, swaps atomically") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile.getPath + "/t"
+    spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(20).write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts == 20)
+    val n = Sinks.compactParquet(spark, dir, targetRowsPerFile = 500)
+    assert(n == 2 && parts == 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum(col("v"))).head().getLong(0)
+      == (0L until 1000L).map(_ * 2).sum)
+    // no leftover staging/old dirs
+    val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName).toSet
+    assert(siblings == Set("t"), siblings.toString)
+  }
 }
