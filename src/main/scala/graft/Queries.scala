@@ -1178,6 +1178,70 @@ object Queries {
             len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE >= 0.5
       ORDER BY a, b"""))
 
+  /** The synthetic docs are single-line and fully distinct, so (like
+    * the planted similarity oracles) the line-dedup queries inject
+    * their own boilerplate deterministically: every doc_id % 5 == 0
+    * gets a newsletter header and a copyright footer line wrapped
+    * around its text. Repeated-line removal must then recover the
+    * original corpus exactly. */
+  private def withBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n"), col("text"),
+               lit("\nCOPYRIGHT 2026 EXAMPLE CORP")))
+        .otherwise(col("text")))
+
+  private val sqlBoilerplate = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0
+             THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || text ||
+                  chr(10) || 'COPYRIGHT 2026 EXAMPLE CORP'
+             ELSE text END AS text
+      FROM documents"""
+
+  /** C4-style boilerplate-line census ([[Dedup.repeatedLines]]): lines
+    * shared by ≥3 distinct documents — here exactly the two injected
+    * boilerplate lines, each in |docs|/5 documents. */
+  private val dedupLinesRepeated = QueryDef("dedup_lines_repeated",
+    (s, d) => Dedup.repeatedLines(withBoilerplate(t(s, d, "documents")),
+        "doc_id", "text", minDocs = 3)
+      .orderBy(col("line")),
+    Some(s"""WITH aug AS ($sqlBoilerplate),
+      l AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM aug)
+      SELECT line, count(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, line FROM l WHERE len(line) >= 1)
+      GROUP BY line HAVING count(*) >= 3 ORDER BY line"""))
+
+  /** Line-grain corpus cleaning ([[Dedup.stripRepeatedLines]]): every
+    * document rewritten with its cross-document repeated lines removed,
+    * original line order preserved (fully-boilerplate docs would keep
+    * their row with empty text). Stripping the injected boilerplate
+    * must reproduce the original 500-doc corpus byte-for-byte. */
+  private val dedupLinesStrip = QueryDef("dedup_lines_strip",
+    (s, d) => Dedup.stripRepeatedLines(withBoilerplate(t(s, d, "documents")),
+        "doc_id", "text", minDocs = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH aug AS ($sqlBoilerplate),
+      l AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(parts))) AS pos,
+               unnest(parts) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+              FROM aug)),
+      rep AS (
+        SELECT line
+        FROM (SELECT DISTINCT doc_id, line FROM l WHERE len(line) >= 1)
+        GROUP BY line HAVING count(*) >= 3),
+      k AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept
+        FROM l WHERE line NOT IN (SELECT line FROM rep)
+        GROUP BY doc_id)
+      SELECT a.doc_id, coalesce(k.kept, '') AS text
+      FROM aug a LEFT JOIN k ON a.doc_id = k.doc_id
+      ORDER BY a.doc_id"""))
+
   private val decontaminate = QueryDef("decontaminate",
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -1801,6 +1865,65 @@ object Queries {
        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
       ORDER BY view_id, click_id"""))
 
+  /** As-of join ([[graft.operators.AsOf.asOfJoin]]): each click joined
+    * to the same user's most recent view at-or-before it — carry-forward
+    * over one sorted shuffle, no pair explosion. The oracle derives the
+    * identical deterministic answer pairwise (max ts, then max view_id). */
+  private val eventsAsof = QueryDef("events_asof",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.operators.AsOf.asOfJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("view_id"), tieCol = "view_id")
+        .orderBy(col("click_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click'),
+           v AS (SELECT user_id, ts AS vts, event_id AS view_id FROM events
+              WHERE event_type = 'view'),
+           m AS (SELECT c.click_id, c.user_id, c.ts, max(v.vts) AS matched_ts
+              FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.vts <= c.ts
+              GROUP BY 1, 2, 3),
+           j AS (SELECT m.click_id, m.user_id, m.ts, m.matched_ts,
+                   max(v.view_id) AS view_id
+              FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.vts = m.matched_ts
+              GROUP BY 1, 2, 3, 4)
+      SELECT user_id, ts, click_id, view_id, matched_ts FROM j
+      ORDER BY click_id"""))
+
+  /** As-of with a bounded lookback (`tolerance`) — matches older than
+    * 30 minutes are discarded; the bound is what keeps the streaming
+    * analog's state finite. */
+  private val eventsAsofTol = QueryDef("events_asof_tolerance",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      graft.operators.AsOf.asOfJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("view_id"), tieCol = "view_id",
+          tolerance = Some(expr("INTERVAL 30 MINUTES")))
+        .orderBy(col("click_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click'),
+           v AS (SELECT user_id, ts AS vts, event_id AS view_id FROM events
+              WHERE event_type = 'view'),
+           m AS (SELECT c.click_id, c.user_id, c.ts, max(v.vts) AS matched_ts
+              FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.vts <= c.ts
+                AND v.vts >= c.ts - INTERVAL 30 MINUTE
+              GROUP BY 1, 2, 3),
+           j AS (SELECT m.click_id, m.user_id, m.ts, m.matched_ts,
+                   max(v.view_id) AS view_id
+              FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.vts = m.matched_ts
+              GROUP BY 1, 2, 3, 4)
+      SELECT user_id, ts, click_id, view_id, matched_ts FROM j
+      ORDER BY click_id"""))
+
   private val eventsSessions = QueryDef("events_sessionize",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1847,6 +1970,7 @@ object Queries {
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
+    dedupLinesRepeated, dedupLinesStrip,
     decontaminate, decontaminateBloom, dedupClusters, piiScrub,
     embedNormalize, embedMeanpool,
     mixSample, mixStrata, mixUpsample, mixTemperature,
@@ -1854,5 +1978,6 @@ object Queries {
     textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
-    eventsHourly, eventsEnriched, eventsAttribution, eventsSessions)
+    eventsHourly, eventsEnriched, eventsAttribution, eventsAsof,
+    eventsAsofTol, eventsSessions)
 }

@@ -485,4 +485,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  // ---- repeated-line removal (C4-style) ----------------------------------
+
+  /** Lines repeated across ≥ `minDocs` DISTINCT documents — the
+    * boilerplate set (nav bars, cookie banners, license headers) that
+    * line-level corpus cleaning removes (the C4 recipe dedupes at the
+    * line/paragraph grain, not the document grain). Lines shorter than
+    * `minChars` are never counted (blank separator lines would
+    * otherwise be "repeated" everywhere and their removal would
+    * collapse document structure).
+    *
+    * Scale shape: distinct (line, doc) pairs aggregate with map-side
+    * partials, then a count per line — two shuffles on the line key,
+    * both combinable; no joins. */
+  def repeatedLines(df: DataFrame, idCol: String, textCol: String,
+                    minDocs: Int = 3, minChars: Int = 1): DataFrame = {
+    require(minDocs >= 2, s"repeatedLines: minDocs must be >= 2, got $minDocs")
+    df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .where(length(col("line")) >= minChars)
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Rewrite each document with its boilerplate lines removed: lines
+    * occurring in ≥ `minDocs` distinct documents are dropped, the rest
+    * are re-joined in original order (a fully-boilerplate document
+    * becomes the empty string but keeps its row). Every document and
+    * the line order within it are preserved exactly.
+    *
+    * Scale shape: the exploded corpus LEFT ANTI joins the repeated-line
+    * set — corpus-sized side shuffles on the line key once (or not at
+    * all when AQE broadcasts the boilerplate set, the common case);
+    * reassembly is one aggregation on doc_id. No driver-side state. */
+  def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                         minDocs: Int = 3, minChars: Int = 1): DataFrame = {
+    val rep = repeatedLines(df, idCol, textCol, minDocs, minChars)
+      .select(col("line"))
+    val kept = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .join(rep, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        _.getField("line")), "\n").as("__kept"))
+    df.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+  }
 }

@@ -132,4 +132,38 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.shingles(col("t"), 5).as("s")).as[Seq[String]].head()
     assert(short == Seq("a b"))
   }
+
+  test("repeatedLines counts distinct docs; short lines never counted") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\n\nCOOKIE BANNER"), // twice in one doc = 1 doc
+      (2L, "COOKIE BANNER\nunique beta\n"),
+      (3L, "unique gamma\nNAV BAR"),
+      (4L, "NAV BAR\n")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.repeatedLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    // the blank line occurs in 3 docs but minChars=1 exempts it
+    assert(rep == Map("COOKIE BANNER" -> 2L, "NAV BAR" -> 2L))
+  }
+
+  test("stripRepeatedLines preserves order, keeps empty lines, keeps all docs") {
+    val docs = Seq(
+      (1L, "BOILER\nkeep one\n\nkeep two\nBOILER"),
+      (2L, "BOILER\nother text"),
+      (3L, "BOILER") // fully boilerplate -> empty text, row kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "keep one\n\nkeep two")
+    assert(out(2L) == "other text")
+    assert(out(3L) == "")
+    assert(out.size == 3)
+  }
+
+  test("stripRepeatedLines with minDocs above max frequency is identity") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a\nb", 2L -> "a\nc"))
+  }
 }
