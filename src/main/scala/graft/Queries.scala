@@ -1503,6 +1503,24 @@ object Queries {
         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS bpe_tokens
       FROM documents ORDER BY doc_id"""))
 
+  /** Sliding-window token chunking ([[TextAnalysis.chunkByTokens]]):
+    * 32-token windows every 24 tokens (8-token overlap) — the
+    * embedding-prep complement of `embed_meanpool`. Map-only. */
+  private val chunkTokensQ = QueryDef("chunk_by_tokens",
+    (s, d) => TextAnalysis.chunkByTokens(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      st AS (
+        SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 24)) AS start
+        FROM w)
+      SELECT doc_id, start // 24 AS chunk_id,
+        array_to_string(list_slice(ws, start + 1, start + 32), ' ') AS chunk,
+        CAST(least(32, len(ws) - start) AS BIGINT) AS n_tokens
+      FROM st ORDER BY doc_id, chunk_id"""))
+
   // sequence packing — concatenated-token-stream context windows via a
   // two-phase distributed prefix sum (no global single-partition window)
   private val packSequences = QueryDef("pack_sequences",
@@ -1646,6 +1664,34 @@ object Queries {
     Some("""SELECT 'customer' AS job, count(*) AS n_rows FROM customer UNION ALL
       SELECT 'nation', count(*) FROM nation UNION ALL
       SELECT 'region', count(*) FROM region ORDER BY job"""))
+
+  /** Per-column profile ([[graft.operators.Profile.profile]]) of the
+    * customer table in ONE scan (multi-distinct via Expand); the double
+    * column is pre-cast to DECIMAL so min/max strings are
+    * engine-stable. */
+  private val profileQ = QueryDef("profile_columns",
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)"))
+      graft.operators.Profile.profile(cust,
+          Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .orderBy(col("col_name"))
+    },
+    Some {
+      val cols = Seq(
+        "c_custkey" -> "c_custkey",
+        "c_name" -> "c_name",
+        "c_nationkey" -> "c_nationkey",
+        "c_acctbal" -> "CAST(c_acctbal AS DECIMAL(18,2))",
+        "c_mktsegment" -> "c_mktsegment")
+      cols.map { case (n, e) =>
+        s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT $e) AS n_distinct,
+           CAST(min($e) AS VARCHAR) AS min_val,
+           CAST(max($e) AS VARCHAR) AS max_val FROM customer"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    })
 
   // K17 — composite WP_Post_All expansion (planner-level; the expansion
   // result lifted to a frame so the driver has a row for it)
@@ -1975,7 +2021,8 @@ object Queries {
     embedNormalize, embedMeanpool,
     mixSample, mixStrata, mixUpsample, mixTemperature,
     docQuantiles, topKPerLang,
-    textStats, langIdQ, tokenCounts, docFingerprint, packSequences,
+    textStats, langIdQ, tokenCounts, chunkTokensQ, profileQ,
+    docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsEnriched, eventsAttribution, eventsAsof,

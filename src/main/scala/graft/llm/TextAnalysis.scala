@@ -239,4 +239,30 @@ object TextAnalysis {
         length(w).cast("long") * 17L) % P)
     aggregate(codes, lit(0L), (acc, x) => (acc * 131L + x) % P)
   }
+
+  /** Sliding-window token chunking for embedding/context prep: each
+    * document splits into whitespace-token windows of `chunkTokens`
+    * starting every `stride` tokens (overlap = chunkTokens - stride;
+    * the final window may be shorter). Chunk ids are 0-based in
+    * document order, so [[Similarity.meanPool]] can pool chunk
+    * embeddings back to documents by `doc_id`.
+    *
+    * Scale shape: map-only — tokenize, enumerate starts, slice; no
+    * shuffle, no UDF; the explode multiplies rows by
+    * ceil(n_tokens / stride), the unavoidable output size. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkByTokens: chunkTokens must be > 0, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"chunkByTokens: stride must be in 1..chunkTokens, got $stride")
+    val ws = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc_id"), ws.as("__ws"))
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), greatest(size(col("__ws")) - 1, lit(0)), lit(stride)),
+          s => slice(col("__ws"), s + 1, lit(chunkTokens))))
+        .as(Seq("chunk_id", "__chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk"),
+        size(col("__chunk")).cast("long").as("n_tokens"))
+  }
 }

@@ -122,4 +122,27 @@ class TextAnalysisSpec extends SparkSpec {
       col("v"), Seq(0.5)).as[(Double, Double)].head()
     assert(m == ((0.5, 2.5)))
   }
+
+  test("chunkByTokens: coverage, overlap, short tail, single-chunk doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, chunk=3 stride=2 -> starts 0,2,4,6
+      (2L, "x y")            // 2 tokens -> one chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+        chunkTokens = 3, stride = 2)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L),
+      (1L, 2L, "e f g", 3L), (1L, 3L, "g", 1L),
+      (2L, 0L, "x y", 2L)))
+  }
+
+  test("chunkByTokens: stride == chunkTokens is non-overlapping partition") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 2, 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2).toSeq
+    assert(out.map(_._3) == Seq("a b", "c d", "e"))
+    // every token exactly once
+    assert(out.map(_._4).sum == 5L)
+  }
 }
