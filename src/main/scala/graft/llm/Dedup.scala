@@ -516,23 +516,26 @@ object Dedup {
     * becomes the empty string but keeps its row). Every document and
     * the line order within it are preserved exactly.
     *
-    * Scale shape: the exploded corpus LEFT ANTI joins the repeated-line
-    * set — corpus-sized side shuffles on the line key once (or not at
-    * all when AQE broadcasts the boilerplate set, the common case);
-    * reassembly is one aggregation on doc_id. No driver-side state. */
+    * Scale shape: the exploded corpus LEFT joins the repeated-line set
+    * only to MARK boilerplate lines (that side is boilerplate-sized and
+    * broadcasts; the corpus never shuffles for it), and marked lines
+    * are dropped during reassembly — every document keeps its row
+    * (even fully-boilerplate ones) without a corpus-sized join back to
+    * the input, so the only corpus shuffle is the one reassembly
+    * aggregation on doc_id. No driver-side state. */
   def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
                          minDocs: Int = 3, minChars: Int = 1): DataFrame = {
     val rep = repeatedLines(df, idCol, textCol, minDocs, minChars)
-      .select(col("line"))
-    val kept = df.select(col(idCol).as("doc_id"),
+      .select(col("line"), lit(1).as("__rep"))
+    df.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .join(rep, Seq("line"), "left_anti")
+      .join(rep, Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(array_join(transform(
-        sort_array(collect_list(struct(col("pos"), col("line")))),
-        _.getField("line")), "\n").as("__kept"))
-    df.select(col(idCol).as("doc_id"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__kept"), lit("")).as("text"))
+        filter(sort_array(collect_list(
+            struct(col("pos"), col("line"), col("__rep")))),
+          _.getField("__rep").isNull),
+        _.getField("line")), "\n").as("text"))
+      .select(col("doc_id"), col("text"))
   }
 }
