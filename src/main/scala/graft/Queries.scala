@@ -1022,6 +1022,37 @@ object Queries {
     Some("""SELECT p_partkey, p_name, p_size, p_retailprice
       FROM part ORDER BY p_partkey"""))
 
+  /** ORC source/sink roundtrip — Spark's other first-class columnar
+    * format (the reference is format-agnostic via adapters; ORC widens
+    * the engine's at-rest surface beyond parquet/csv/json/xml). */
+  private val orcRoundtrip = QueryDef("orc_roundtrip",
+    (s, d) => {
+      val dir = tmpDir(d, "orc_rt")
+      t(s, d, "part").write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_name, p_size, p_retailprice
+      FROM part ORDER BY p_partkey"""))
+
+  /** Hive-partitioned layout roundtrip ([[Sinks.writePartitioned]]):
+    * documents written `lang=…/` and read back with a partition-column
+    * filter — the scan touches only the matching directories
+    * (PartitionFilters; plan-pinned in SourcesSinksSpec). */
+  private val partitionedScan = QueryDef("partitioned_pruned_scan",
+    (s, d) => {
+      val dir = tmpDir(d, "part_lang")
+      Sinks.writePartitioned(t(s, d, "documents"), dir, Seq("lang"))
+      s.read.parquet(dir)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+      WHERE lang = 'en' ORDER BY doc_id"""))
+
   private val s2Json = QueryDef("s2_json_roundtrip",
     (s, d) => {
       val dir = tmpDir(d, "s2_json")
@@ -2013,7 +2044,8 @@ object Queries {
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
     f23Native, f24Pattern,
-    s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger,
+    s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger, orcRoundtrip,
+    partitionedScan,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupSimhash, dedupSimhashPlanted, dedupNgram,
     dedupLinesRepeated, dedupLinesStrip,

@@ -202,4 +202,21 @@ object Sinks {
       .sortWithinPartitions(col("shard"), col("rank"))
       .write.partitionBy("shard").format(format)
       .mode(SaveMode.Overwrite).save(dir)
+
+  /** Hive-style partitioned layout (`col=value/` directories): the
+    * standard at-rest organization for a multi-tenant / multi-language
+    * corpus — a reader filtering on a partition column scans ONLY the
+    * matching directories (partition pruning, visible as
+    * `PartitionFilters` on the scan node with no partition-column
+    * `PushedFilters` needed). Rows are pre-shuffled on the partition
+    * columns so each partition directory is written by few tasks
+    * (without this, every task can emit a file into every partition —
+    * tasks × partitions small files). */
+  def writePartitioned(df: DataFrame, dir: String, partCols: Seq[String],
+                       format: String = "parquet"): Unit = {
+    require(partCols.nonEmpty, "writePartitioned: no partition columns")
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).format(format)
+      .mode(SaveMode.Overwrite).save(dir)
+  }
 }

@@ -205,4 +205,35 @@ class SourcesSinksSpec extends SparkSpec {
     val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName).toSet
     assert(siblings == Set("t"), siblings.toString)
   }
+
+  test("writePartitioned lays out col=value dirs; filtered scan prunes partitions") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/part_write/t"
+    val df = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L), (4L, "fr", 40L))
+      .toDF("doc_id", "lang", "n")
+    Sinks.writePartitioned(df, dir, Seq("lang"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("lang=en", "lang=de", "lang=fr"))
+    val scan = spark.read.parquet(dir).where(col("lang") === "en")
+    // pruning is a PartitionFilter on the scan node, not a data filter
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(plan).isDefined, plan)
+    assert(scan.select("doc_id", "n").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 30L)))
+  }
+
+  test("orc write/read roundtrip preserves rows and schema") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test/orc_rt/t"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // read-back schema is nullable-relaxed; names and types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", -2.25)))
+  }
 }
