@@ -1175,6 +1175,25 @@ object Queries {
         CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents WHERE doc_id < 5 ORDER BY a"""))
 
+  /** Incremental (new-batch vs corpus) near-dup pass
+    * ([[Dedup.minhashNearDupsAgainst]]): exact copies of the first 5
+    * docs, re-keyed +1M, must each match their corpus original with
+    * jaccard 1.0 — and the corpus is never self-joined. */
+  private val dedupMinhashIncr = QueryDef("dedup_minhash_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.minhashNearDupsAgainst(batch, docs, "doc_id", "text",
+          threshold = 0.9)
+        .where(col("corpus_id") === col("new_id") - 1000000)
+        .select(col("new_id"), col("corpus_id"), col("jaccard"))
+        .orderBy(col("new_id"))
+    },
+    Some("""SELECT doc_id + 1000000 AS new_id, doc_id AS corpus_id,
+        CAST(1.0 AS DOUBLE) AS jaccard
+      FROM documents WHERE doc_id < 5 ORDER BY new_id"""))
+
   private val dedupSimhash = QueryDef("dedup_simhash",
     (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)
@@ -2047,7 +2066,7 @@ object Queries {
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger, orcRoundtrip,
     partitionedScan,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
-    dedupSimhash, dedupSimhashPlanted, dedupNgram,
+    dedupMinhashIncr, dedupSimhash, dedupSimhashPlanted, dedupNgram,
     dedupLinesRepeated, dedupLinesStrip,
     decontaminate, decontaminateBloom, dedupClusters, piiScrub,
     embedNormalize, embedMeanpool,

@@ -223,6 +223,72 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup pass for continuous ingestion: near-dup
+    * pairs between a NEW batch and the EXISTING corpus only. This is
+    * the steady-state shape of a crawl pipeline — each arriving batch
+    * is checked against everything already accepted, and the corpus is
+    * NEVER self-joined (the old×old work was paid when those batches
+    * arrived).
+    *
+    * Scale shape: the corpus side is banded map-only from its
+    * signatures; degenerate corpus buckets are capped (`maxBucket`)
+    * BEFORE the join; the bucket join shuffles bucket keys + ids only,
+    * and everything downstream is proportional to the batch and its
+    * collisions, not the corpus. At steady state the corpus
+    * signature/shingle frames would be persisted artifacts (bucketed
+    * on doc_id — see `Sinks.writeBucketed`), not recomputed; pass the
+    * same `corpusDf` and Spark recomputes them here, which is the
+    * demo-scale simplification.
+    *
+    * Id spaces may overlap (a re-submitted doc matches itself with
+    * jaccard 1.0 — that is a correct "already ingested" answer); no
+    * same-id filter is applied. */
+  def minhashNearDupsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double = 0.7, k: Int = 64,
+                             bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val rowsPer = k / bands
+    require(bands * rowsPer == k, s"bands ($bands) must divide k ($k)")
+    val shNew = hashedShingleFrame(newDf, idCol, textCol).cache()
+    val shCorp = hashedShingleFrame(corpusDf, idCol, textCol).cache()
+    val sigsNew = signaturesFromHashedShingles(shNew, k)
+    val sigsCorp = signaturesFromHashedShingles(shCorp, k)
+    def banded(sigs: DataFrame, idOut: String) =
+      sigs.select(col("doc_id").as(idOut),
+          explode(lshBands(col("sig"), bands, rowsPer)).as("bb"))
+        .select(col(idOut), col("bb.band"), col("bb.bucket"))
+    // cap degenerate corpus buckets (identical boilerplate shingles)
+    // before any pair expansion — bounds the per-probe fan-out
+    val corpBuckets = banded(sigsCorp, "corpus_id")
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("corpus_id")).as("ms"))
+      .where(size(col("ms")) <= maxBucket)
+    val pairs = banded(sigsNew, "new_id")
+      .join(corpBuckets, Seq("band", "bucket"))
+      .select(col("new_id"), explode(col("ms")).as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val slack = 1.5 / math.sqrt(k) // 3σ at σ = 1/(2√k)
+    val verified = pairs
+      .join(sigsNew.select(col("doc_id").as("new_id"), col("sig").as("__sa")),
+        Seq("new_id"))
+      .join(sigsCorp.select(col("doc_id").as("corpus_id"), col("sig").as("__sb")),
+        Seq("corpus_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+          bb => bb)).cast("double") / lit(k))
+      .where(col("est_jaccard") >= threshold - slack)
+      .join(shNew.select(col("doc_id").as("new_id"), col("__sh").as("sha_")),
+        Seq("new_id"))
+      .join(shCorp.select(col("doc_id").as("corpus_id"), col("__sh").as("shb_")),
+        Seq("corpus_id"))
+      .withColumn("jaccard", sortedJaccard(col("sha_"), col("shb_")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("est_jaccard"), col("jaccard"))
+    val out = verified.localCheckpoint(true)
+    shNew.unpersist(); shCorp.unpersist()
+    out
+  }
+
   /** Connected components over near-dup pairs — the survivor-selection
     * step after any pairwise near-dup pass ([[minhashNearDups]],
     * [[simhashNearDups]], [[ngramJaccardPairs]], ...): transitively

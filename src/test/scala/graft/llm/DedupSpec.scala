@@ -41,6 +41,35 @@ class DedupSpec extends SparkSpec {
     assert(est.nonEmpty && est.head == 1.0) // identical after normalize
   }
 
+  test("incremental minhash: batch matches corpus, corpus never self-pairs") {
+    // corpus holds a near-dup pair (1,3) internally; the batch holds an
+    // exact copy of doc 1 (id 10) and an unrelated doc (id 11)
+    val corpus = docs
+    val batch = Seq((10L, baseText), (11L, "nothing like anything here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // the copy matches its original (and its normalize-dup and near-dup)
+    assert(out.contains((10L, 1L)))
+    // unrelated batch doc matches nothing
+    assert(!out.exists(_._1 == 11L))
+    // every pair is batch-vs-corpus: the corpus-internal (1,3)/(1,2)
+    // near-dups never appear — the corpus was not self-joined
+    assert(out.forall { case (n, c) => n >= 10L && c < 10L })
+  }
+
+  test("incremental minhash: re-submitted id matches itself at jaccard 1") {
+    val corpus = docs
+    val batch = Seq((1L, baseText)).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text",
+        threshold = 0.9)
+      .where(col("corpus_id") === 1L)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 1L, 1.0)))
+  }
+
   test("simhash: identical docs hamming 0; near docs within 3 bits; pairs found") {
     val fps = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
