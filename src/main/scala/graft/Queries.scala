@@ -1553,6 +1553,19 @@ object Queries {
         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS bpe_tokens
       FROM documents ORDER BY doc_id"""))
 
+  /** Vocabulary heavy-hitters ([[TextAnalysis.vocabulary]]): top 20
+    * corpus words by total count (ties broken by word) — via
+    * TakeOrderedAndProject, never a global sort. */
+  private val vocabTopk = QueryDef("vocab_topk",
+    (s, d) => TextAnalysis.vocabulary(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("n_total").desc, col("word"))
+      .limit(20),
+    Some(s"""SELECT word, count(*) AS n_total,
+        count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest($sqlWords) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word ORDER BY n_total DESC, word LIMIT 20"""))
+
   /** Sliding-window token chunking ([[TextAnalysis.chunkByTokens]]):
     * 32-token windows every 24 tokens (8-token overlap) — the
     * embedding-prep complement of `embed_meanpool`. Map-only. */
@@ -2072,7 +2085,7 @@ object Queries {
     embedNormalize, embedMeanpool,
     mixSample, mixStrata, mixUpsample, mixTemperature,
     docQuantiles, topKPerLang,
-    textStats, langIdQ, tokenCounts, chunkTokensQ, profileQ,
+    textStats, langIdQ, tokenCounts, vocabTopk, chunkTokensQ, profileQ,
     docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,

@@ -240,6 +240,19 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, x) => (acc * 131L + x) % P)
   }
 
+  /** Corpus vocabulary census: one row per normalized word with total
+    * occurrences and distinct-document frequency — the heavy-hitter /
+    * stopword / tokenizer-coverage analysis pass. Scale shape: explode
+    * + ONE aggregation on the word key; the single distinct aggregate
+    * (`n_docs`) plans as a two-phase partial distinct (no Expand), so
+    * partials combine map-side on both counts. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_total"), count_distinct(col("doc_id")).as("n_docs"))
+
   /** Sliding-window token chunking for embedding/context prep: each
     * document splits into whitespace-token windows of `chunkTokens`
     * starting every `stride` tokens (overlap = chunkTokens - stride;

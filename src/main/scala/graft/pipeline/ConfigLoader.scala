@@ -119,7 +119,17 @@ object ConfigLoader {
       "top_k_per_stratum" -> (o => df =>
         graft.llm.Mixing.topKPerStratum(df, req(o, "stratumCol"),
           ColumnNs.q(req(o, "scoreCol")), req(o, "keyCol"),
-          req(o, "k").toInt)))
+          req(o, "k").toInt)),
+      "strip_repeated_lines" -> (o => df =>
+        graft.llm.Dedup.stripRepeatedLines(df, req(o, "idCol"),
+          req(o, "textCol"),
+          minDocs = o.getOrElse("minDocs", "3").toInt,
+          minChars = o.getOrElse("minChars", "1").toInt)),
+      "chunk_tokens" -> (o => df =>
+        graft.llm.TextAnalysis.chunkByTokens(df, req(o, "idCol"),
+          req(o, "textCol"),
+          chunkTokens = req(o, "chunkTokens").toInt,
+          stride = o.getOrElse("stride", req(o, "chunkTokens")).toInt)))
 
   /** load kind -> (options => LoadStep). */
   val loadKinds: collection.mutable.Map[String, Options => Sinks.LoadStep] =
@@ -142,7 +152,11 @@ object ConfigLoader {
           o.getOrElse("runId", System.currentTimeMillis().toString),
           uidCol = o.getOrElse("uidCol", "etl.uid")))),
       "debug" -> (o => Sinks.Write("debug", df =>
-        Sinks.debug(df, o.getOrElse("n", "20").toInt))))
+        Sinks.debug(df, o.getOrElse("n", "20").toInt))),
+      "partitioned" -> (o => Sinks.Write("partitioned", df =>
+        Sinks.writePartitioned(df, req(o, "path"),
+          req(o, "partCols").split(",").map(_.trim).toSeq,
+          format = o.getOrElse("format", "parquet")))))
 
   private def req(o: Options, k: String): String =
     o.getOrElse(k, throw new Pipeline.ValidationException(s"missing option '$k'"))

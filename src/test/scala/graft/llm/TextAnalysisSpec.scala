@@ -123,6 +123,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m == ((0.5, 2.5)))
   }
 
+  test("vocabulary counts totals and distinct-doc frequencies") {
+    val docs = Seq((1L, "The cat and the dog"), (2L, "a CAT")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v("the") == ((2L, 1L)))
+    assert(v("cat") == ((2L, 2L)))
+    assert(v("dog") == ((1L, 1L)))
+    assert(v.size == 5)
+  }
+
   test("chunkByTokens: coverage, overlap, short tail, single-chunk doc") {
     val docs = Seq(
       (1L, "a b c d e f g"), // 7 tokens, chunk=3 stride=2 -> starts 0,2,4,6

@@ -64,6 +64,26 @@ class ConfigLoaderSpec extends SparkSpec {
       .forall(_._2 == 3L))
   }
 
+  test("line-dedup, chunking, and partitioned-write kinds drive from config") {
+    import graft.pipeline.ConfigLoader.{transformKinds, loadKinds}
+    val docs = Seq((1L, "BOILER\nkeep a"), (2L, "BOILER\nkeep b"),
+      (3L, "BOILER\nkeep c")).toDF("doc_id", "text")
+    val stripped = transformKinds("strip_repeated_lines")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "minDocs" -> "2"))(docs)
+    assert(stripped.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "keep a"), (2L, "keep b"), (3L, "keep c")))
+    val chunked = transformKinds("chunk_tokens")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "chunkTokens" -> "1"))(docs)
+    assert(chunked.count() == 9L) // 3 ws-tokens per doc, one chunk each
+    val dir = "/tmp/graft_test/cfg_partitioned/t"
+    loadKinds("partitioned")(Map("path" -> dir, "partCols" -> "doc_id")) match {
+      case graft.sinks.Sinks.Write(_, f) => f(docs)
+      case other => fail(s"unexpected step: $other")
+    }
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.startsWith("doc_id=")) == 3)
+  }
+
   test("unknown kinds and missing fields are rejected with clear messages") {
     val badKind = """{"jobs":[{"name":"x","extract":[{"kind":"ftp","path":"p"}]}]}"""
     val e1 = intercept[Pipeline.ValidationException](ConfigLoader.parse(badKind))
