@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * forward-looking analytics surface, alongside the range join in
   * [[graft.streaming.EventsStream.attributeClicks]].
   *
+  * Null keys: window partitioning groups null keys together (an
+  * equi-join would drop them) — filter null-keyed rows first if the
+  * input may contain them.
+  *
   * Spark-first shape: NOT a range join. A range join materializes every
   * (left, candidate) pair and then aggregates the max — at 100 TB a
   * dense key can explode quadratically. Instead both sides are unioned
@@ -56,6 +60,10 @@ object AsOf {
                matchedTsCol: String = "matched_ts"): DataFrame = {
     require(rightPayload.contains(tieCol),
       s"asOfJoin: tieCol '$tieCol' must be one of rightPayload")
+    val clashes = (rightPayload :+ matchedTsCol).filter(left.columns.contains)
+    require(clashes.isEmpty,
+      s"asOfJoin: output columns ${clashes.mkString(", ")} already exist on " +
+        "the left side — rename the right payload (or matchedTsCol) first")
     val side = "__graft_asof_side"
     val rs   = "__graft_asof_r"
     // right rows must be visible to an equal-timestamp left row iff
