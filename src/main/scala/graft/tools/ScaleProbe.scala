@@ -80,6 +80,26 @@ object ScaleProbe {
           corpus.withColumn("s", (col("doc_id") % 5).cast("string")),
           "s", "doc_id", rates = Map("0" -> 0.1, "1" -> 0.9)).count()
       }
+      time(s"minhash_incremental x$k") {
+        // fixed-size batch (500 docs of one replica) probed against the
+        // k×-growing corpus: steady-state ingest cost should stay near
+        // flat — the corpus contributes one map-only banding pass
+        graft.llm.Dedup.minhashNearDupsAgainst(
+          docs.limit(500).select((col("doc_id") + 900000000L).as("doc_id"),
+            col("text")),
+          corpus, "doc_id", "text", threshold = 0.5).count()
+      }
+      time(s"strip_repeated_lines x$k") {
+        graft.llm.Dedup.stripRepeatedLines(corpus, "doc_id", "text",
+          minDocs = 3).count()
+      }
+      time(s"chunk_by_tokens x$k") {
+        graft.llm.TextAnalysis.chunkByTokens(corpus, "doc_id", "text",
+          chunkTokens = 32, stride = 24).count()
+      }
+      time(s"vocabulary x$k") {
+        graft.llm.TextAnalysis.vocabulary(corpus, "doc_id", "text").count()
+      }
     }
     spark.stop()
   }
