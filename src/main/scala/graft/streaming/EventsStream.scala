@@ -80,6 +80,80 @@ object EventsStream {
         col("view_ts"), col("click_ts"))
   }
 
+  final case class AsOfMatch(left_id: Long, user_id: Long,
+                             left_ts: java.sql.Timestamp,
+                             right_id: Option[Long],
+                             right_ts: Option[java.sql.Timestamp])
+
+  final case class AsOfState(rightId: Long, rightTs: java.sql.Timestamp)
+
+  /** Full-precision event-time micros (Timestamp.getTime is
+    * ms-truncated; the sub-ms part lives in getNanos). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Streaming as-of enrichment — the continuous counterpart of
+    * [[graft.operators.AsOf.asOfJoin]]: every `left` event is matched
+    * to the most recent at-or-before `right` event of the same user,
+    * with per-key state bounded to ONE (id, ts) pair (the latest right
+    * seen) plus event-time TTL eviction — this is the latest-value
+    * cache shape, not an unbounded event buffer.
+    *
+    * Semantics contract: within a micro-batch, rows process in
+    * event-time order (right before left at equal timestamps, ties to
+    * the greater id — identical ordering to the batch operator), so on
+    * a BATCH input (one group pass) the result is EXACTLY the batch
+    * as-of join (equivalence is spec-tested). On a stream, a right
+    * event arriving in a LATER micro-batch than a left it should have
+    * matched cannot retroactively re-match it — the precision limit of
+    * any single-pass enrichment; bound it operationally with the
+    * upstream watermark delay. */
+  def asOfEnrich(left: Dataset[Event], right: Dataset[Event],
+                 stateTtl: String = "2 hours"): Dataset[AsOfMatch] = {
+    import left.sparkSession.implicits._
+    val streaming = left.isStreaming || right.isStreaming
+    // side 0 = right, 1 = left: right rows at an equal timestamp are
+    // visible to left rows (at-or-before), matching AsOf.asOfJoin
+    val l = left.select(col("user_id"), col("ts"), col("event_id"),
+      lit(1).as("side"))
+    val r = right.select(col("user_id"), col("ts"), col("event_id"),
+      lit(0).as("side"))
+    val merged0 = l.unionByName(r)
+      .as[(Long, java.sql.Timestamp, Long, Int)]
+    val merged = if (streaming) merged0.withWatermark("ts", stateTtl)
+      .as[(Long, java.sql.Timestamp, Long, Int)] else merged0
+    merged.groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Int)],
+         state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = batch.toSeq.sortBy { case (_, ts, id, side) =>
+              (micros(ts), side, id)
+            }
+            var st = state.getOption
+            val out = Seq.newBuilder[AsOfMatch]
+            sorted.foreach { case (_, ts, id, side) =>
+              if (side == 0) {
+                if (st.forall(s => micros(ts) > micros(s.rightTs) ||
+                    (micros(ts) == micros(s.rightTs) && id > s.rightId)))
+                  st = Some(AsOfState(id, ts))
+              } else out += AsOfMatch(id, userId, ts,
+                st.map(_.rightId), st.map(_.rightTs))
+            }
+            st.foreach(state.update)
+            if (streaming && st.isDefined) {
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max(micros(st.get.rightTs) / 1000L, wm + 1L), stateTtl)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stateful sessionization: a new session starts after `gapMinutes`
     * of inactivity per user. Emits running per-user totals on every
     * update (OutputMode.Update semantics). State is one small struct

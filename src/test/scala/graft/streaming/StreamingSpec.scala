@@ -110,6 +110,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrich (batch path) equals the batch as-of join exactly") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("value", lit(1.0))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val views = ev.filter(_.event_type == "view")
+    val clicks = ev.filter(_.event_type == "click")
+    val got = EventsStream.asOfEnrich(clicks, views)
+      .collect().map(m => (m.left_id, m.right_id, m.right_ts)).toSet
+    val expected = graft.operators.AsOf.asOfJoin(
+        clicks.toDF().select($"user_id", $"ts", $"event_id".as("click_id")),
+        views.toDF().select($"user_id", $"ts", $"event_id".as("view_id")),
+        Seq("user_id"), "ts", Seq("view_id"), tieCol = "view_id")
+      .select($"click_id", $"view_id", $"matched_ts")
+      .as[(Long, Option[Long], Option[Timestamp])]
+      .collect().map(t => (t._1, t._2, t._3)).toSet
+    assert(got == expected)
+    assert(got.size == clicks.count())
+  }
+
+  test("asOfEnrich on a stream: latest-value state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val out = EventsStream.asOfEnrich(clicks.toDS(), views.toDS())
+    assert(out.isStreaming)
+    val q = out.writeStream
+      .format("memory").queryName("asof_test").outputMode("append")
+      .start()
+    try {
+      views.addData(Event(100, ts(0), 1, "view", 1.0))
+      q.processAllAvailable()
+      clicks.addData(Event(1, ts(5), 1, "click", 1.0),  // matches 100
+        Event(2, ts(6), 2, "click", 1.0))               // no view for user 2
+      q.processAllAvailable()
+      // a newer view arrives; only SUBSEQUENT clicks see it
+      views.addData(Event(101, ts(10), 1, "view", 1.0))
+      clicks.addData(Event(3, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_test")
+        .select($"left_id", $"right_id").as[(Long, Option[Long])]
+        .collect().toMap
+      assert(rows == Map(1L -> Some(100L), 2L -> None, 3L -> Some(101L)))
+    } finally q.stop()
+  }
+
   test("dedupStream suppresses duplicate ids across batches within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
