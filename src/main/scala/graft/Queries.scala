@@ -1566,6 +1566,20 @@ object Queries {
       WHERE word <> ''
       GROUP BY word ORDER BY n_total DESC, word LIMIT 20"""))
 
+  /** BPE-core adjacent-pair census ([[TextAnalysis.bigramCounts]]):
+    * top 20 adjacent word pairs — the argmax step of a tokenizer-
+    * training merge round. */
+  private val bigramTopk = QueryDef("bigram_topk",
+    (s, d) => TextAnalysis.bigramCounts(t(s, d, "documents"), "text")
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20),
+    Some(s"""WITH w AS (SELECT $sqlWords AS ws FROM documents),
+      p AS (SELECT unnest(list_transform(range(1, len(ws)),
+              i -> ws[i] || ' ' || ws[i+1])) AS pair
+            FROM w WHERE len(ws) >= 2)
+      SELECT pair, count(*) AS n FROM p
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
+
   /** Sliding-window token chunking ([[TextAnalysis.chunkByTokens]]):
     * 32-token windows every 24 tokens (8-token overlap) — the
     * embedding-prep complement of `embed_meanpool`. Map-only. */
@@ -2085,8 +2099,8 @@ object Queries {
     embedNormalize, embedMeanpool,
     mixSample, mixStrata, mixUpsample, mixTemperature,
     docQuantiles, topKPerLang,
-    textStats, langIdQ, tokenCounts, vocabTopk, chunkTokensQ, profileQ,
-    docFingerprint, packSequences,
+    textStats, langIdQ, tokenCounts, vocabTopk, bigramTopk, chunkTokensQ,
+    profileQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsEnriched, eventsAttribution, eventsAsof,

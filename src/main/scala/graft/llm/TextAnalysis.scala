@@ -253,6 +253,25 @@ object TextAnalysis {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_total"), count_distinct(col("doc_id")).as("n_docs"))
 
+  /** Adjacent-pair (bigram) census — the counting step at the core of
+    * BPE/WordPiece tokenizer training (find the most frequent adjacent
+    * pair, merge, repeat): one row per adjacent normalized-word pair
+    * with its total count. Same scale shape as [[vocabulary]]: a
+    * map-only pair expansion, then ONE combinable aggregation on the
+    * pair key. */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    // the word split is let-bound: its four references below (two sizes,
+    // two element_ats per pair) must not re-run the split
+    df.select(explode(
+        Dedup.letBound(split(Dedup.normalizeText(col(textCol)), " ")) { ws =>
+          when(size(ws) >= 2,
+            transform(sequence(lit(1), size(ws) - 1),
+              i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+            .otherwise(array().cast("array<string>"))
+        }).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+
   /** Sliding-window token chunking for embedding/context prep: each
     * document splits into whitespace-token windows of `chunkTokens`
     * starting every `stride` tokens (overlap = chunkTokens - stride;

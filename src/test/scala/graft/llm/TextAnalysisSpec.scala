@@ -133,6 +133,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v.size == 5)
   }
 
+  test("bigramCounts: adjacent pairs only; single-word docs contribute none") {
+    val docs = Seq((1L, "a b a b"), (2L, "b"), (3L, "A  b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    // doc1: "a b","b a","a b"; doc3 normalizes to "a b"; doc2: none
+    assert(out == Map("a b" -> 3L, "b a" -> 1L))
+  }
+
   test("chunkByTokens: coverage, overlap, short tail, single-chunk doc") {
     val docs = Seq(
       (1L, "a b c d e f g"), // 7 tokens, chunk=3 stride=2 -> starts 0,2,4,6
