@@ -1591,7 +1591,9 @@ object Queries {
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         FROM documents),
       st AS (
-        SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 24)) AS start
+        SELECT doc_id, ws,
+          unnest(range(0, 24 * greatest(0, (len(ws) - 32 + 23) // 24) + 1,
+                 24)) AS start
         FROM w)
       SELECT doc_id, start // 24 AS chunk_id,
         array_to_string(list_slice(ws, start + 1, start + 32), ' ') AS chunk,

@@ -152,7 +152,11 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame =
-    candidatesFromSigs(minhashSignatures(df, idCol, textCol, k), k, bands, maxBucket)
+    // cached: candidatesFromSigs references the signature frame three
+    // times (banding + both est join-backs) — uncached, each reference
+    // would recompute the dominant shingle+signature pass
+    candidatesFromSigs(minhashSignatures(df, idCol, textCol, k).cache(),
+      k, bands, maxBucket)
 
   /** Banding + in-bucket pair expansion + signature-agreement estimate
     * over a (doc_id, sig) frame. Buckets and the pair expansion carry
@@ -180,9 +184,21 @@ object Dedup {
     val sb = sigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
     pairs.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a"), col("b"),
-        (size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), bb => bb))
-          .cast("double") / lit(k)).as("est_jaccard"))
+        sigAgreement(col("__sa"), col("__sb"), k).as("est_jaccard"))
   }
+
+  /** Fraction of agreeing signature positions — the MinHash Jaccard
+    * estimate. Interpreted HOF, acceptable here because it only ever
+    * runs on candidate PAIRS (already bucket-bounded), never over the
+    * corpus. One definition shared by the batch and incremental paths
+    * so estimate and slack cannot drift apart. */
+  private def sigAgreement(sa: Column, sb: Column, k: Int): Column =
+    size(filter(zip_with(sa, sb, (x, y) => x === y), bb => bb))
+      .cast("double") / lit(k)
+
+  /** est-jaccard pre-filter slack: 3σ at σ = 1/(2√k) — retains
+    * essentially all true pairs above the threshold. */
+  private def estSlack(k: Int): Double = 1.5 / math.sqrt(k)
 
   /** Verified near-dup pairs: exact Jaccard over (hashed) shingle sets,
     * computed only for LSH candidates that also pass an est_jaccard
@@ -206,7 +222,7 @@ object Dedup {
     // it rather than caching a second frame.
     val sh = hashedShingleFrame(df, idCol, textCol).cache()
     val sigs = signaturesFromHashedShingles(sh, k)
-    val slack = 1.5 / math.sqrt(k) // 3σ at σ = 1/(2√k)
+    val slack = estSlack(k)
     val pre = candidatesFromSigs(sigs, k, bands, maxBucket)
       .where(col("est_jaccard") >= threshold - slack)
     val verified = pre
@@ -267,15 +283,13 @@ object Dedup {
       .join(corpBuckets, Seq("band", "bucket"))
       .select(col("new_id"), explode(col("ms")).as("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-    val slack = 1.5 / math.sqrt(k) // 3σ at σ = 1/(2√k)
+    val slack = estSlack(k)
     val verified = pairs
       .join(sigsNew.select(col("doc_id").as("new_id"), col("sig").as("__sa")),
         Seq("new_id"))
       .join(sigsCorp.select(col("doc_id").as("corpus_id"), col("sig").as("__sb")),
         Seq("corpus_id"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
-          bb => bb)).cast("double") / lit(k))
+      .withColumn("est_jaccard", sigAgreement(col("__sa"), col("__sb"), k))
       .where(col("est_jaccard") >= threshold - slack)
       .join(shNew.select(col("doc_id").as("new_id"), col("__sh").as("sha_")),
         Seq("new_id"))
@@ -569,7 +583,7 @@ object Dedup {
                     minDocs: Int = 3, minChars: Int = 1): DataFrame = {
     require(minDocs >= 2, s"repeatedLines: minDocs must be >= 2, got $minDocs")
     df.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), "\n")).as("line"))
+        explode(split(coalesce(col(textCol), lit("")), "\n")).as("line"))
       .where(length(col("line")) >= minChars)
       .distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
@@ -593,8 +607,11 @@ object Dedup {
                          minDocs: Int = 3, minChars: Int = 1): DataFrame = {
     val rep = repeatedLines(df, idCol, textCol, minDocs, minChars)
       .select(col("line"), lit(1).as("__rep"))
+    // null text coalesces to "" so the doc still explodes to one line
+    // row and keeps its output row (the documented contract)
     df.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .join(rep, Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(array_join(transform(

@@ -116,9 +116,13 @@ object Similarity {
     * does not pass `dim` explicitly, so hyperplanes always match the
     * data. */
   private def deriveDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("__d")).limit(1).collect() match {
+    // null vectors are skipped: size(null) would read back as a null
+    // Int and surface as a bare NPE instead of this message
+    df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("__d")).limit(1).collect() match {
       case Array(r) => r.getInt(0)
-      case _ => sys.error(s"deriveDim: empty frame — cannot infer length of '$vecCol'")
+      case _ => sys.error(
+        s"deriveDim: no non-null '$vecCol' rows — cannot infer vector length")
     }
 
   /** Pack the sign bits of `vec · h_i` into one int bucket key. Fails

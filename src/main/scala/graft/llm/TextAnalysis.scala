@@ -279,18 +279,29 @@ object TextAnalysis {
     * document order, so [[Similarity.meanPool]] can pool chunk
     * embeddings back to documents by `doc_id`.
     *
+    * Enumeration stops at the first window that reaches the document
+    * end — a shorter tail window is emitted only when the tokens past
+    * the last full window are not already covered (no chunk is ever a
+    * sub-span of its predecessor, which would double-weight tail
+    * tokens in downstream pooling).
+    *
     * Scale shape: map-only — tokenize, enumerate starts, slice; no
     * shuffle, no UDF; the explode multiplies rows by
-    * ceil(n_tokens / stride), the unavoidable output size. */
+    * ~n_tokens / stride, the unavoidable output size. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0, s"chunkByTokens: chunkTokens must be > 0, got $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"chunkByTokens: stride must be in 1..chunkTokens, got $stride")
     val ws = split(trim(col(textCol)), "\\s+")
+    // last start = stride * ceil((n - chunkTokens) / stride), floored at
+    // 0 — the first start whose window reaches the end of the doc
+    val lastStart = greatest(lit(0),
+      floor((size(col("__ws")) - chunkTokens + stride - 1).cast("double") / stride)
+        .cast("int")) * stride
     df.select(col(idCol).as("doc_id"), ws.as("__ws"))
       .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), greatest(size(col("__ws")) - 1, lit(0)), lit(stride)),
+          sequence(lit(0), lastStart, lit(stride)),
           s => slice(col("__ws"), s + 1, lit(chunkTokens))))
         .as(Seq("chunk_id", "__chunk")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),

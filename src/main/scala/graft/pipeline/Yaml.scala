@@ -195,13 +195,41 @@ object Yaml {
     private val IntRe = "^-?\\d+$".r
     private val FloatRe = "^-?\\d+\\.\\d+([eE][+-]?\\d+)?$".r
 
+    /** Quote-aware comma split for flow lists: a comma inside a quoted
+      * scalar (`['hello, world', x]`) is content, not a separator.
+      * Doubled `''` inside single quotes is the YAML quote escape and
+      * must not close the scalar. */
+    private def splitFlow(body: String, ln: Line): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var quote: Char = 0
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (quote == 0 && (c == '\'' || c == '"')) { quote = c; cur.append(c) }
+        else if (quote == '\'' && c == '\'' && i + 1 < body.length &&
+                 body.charAt(i + 1) == '\'') { cur.append("''"); i += 1 }
+        else if (quote != 0 && c == quote) { quote = 0; cur.append(c) }
+        else if (quote == '"' && c == '\\' && i + 1 < body.length) {
+          cur.append(c).append(body.charAt(i + 1)); i += 1
+        }
+        else if (quote == 0 && c == ',') { out += cur.result(); cur.clear() }
+        else cur.append(c)
+        i += 1
+      }
+      if (quote != 0)
+        throw new YamlException(s"line ${ln.num}: unclosed quote in flow list")
+      out += cur.result()
+      out.result()
+    }
+
     private def scalar(t: String, ln: Line): Any = t match {
       case s if s.startsWith("!include") =>
         resolveInclude(unquote(s.stripPrefix("!include").trim))
       case s if s.startsWith("[") && s.endsWith("]") => // one-line flow list
         val body = s.substring(1, s.length - 1).trim
         if (body.isEmpty) Vector.empty[Any]
-        else body.split(",").toVector.map(x => scalar(x.trim, ln))
+        else splitFlow(body, ln).map(x => scalar(x.trim, ln))
       case "null" | "~" | "" => null
       case "true" | "True"   => true
       case "false" | "False" => false

@@ -47,8 +47,12 @@ object Staging {
       if (hadTarget && !f.rename(dest, old))
         sys.error(s"stagedWrite: cannot move $dest aside")
       if (!f.rename(staging, dest)) {
-        // put the original back before failing
-        if (hadTarget) f.rename(old, dest)
+        // put the original back before failing — and if THAT also
+        // fails, say where the data actually is instead of implying
+        // the target was left untouched
+        if (hadTarget && !f.rename(old, dest))
+          sys.error(s"stagedWrite: cannot swap $staging into $dest AND " +
+            s"restore failed — original data is at $old")
         sys.error(s"stagedWrite: cannot swap $staging into $dest")
       }
       f.delete(old, true)

@@ -140,8 +140,16 @@ object EventsStream {
                 if (st.forall(s => micros(ts) > micros(s.rightTs) ||
                     (micros(ts) == micros(s.rightTs) && id > s.rightId)))
                   st = Some(AsOfState(id, ts))
-              } else out += AsOfMatch(id, userId, ts,
-                st.map(_.rightId), st.map(_.rightTs))
+              } else {
+                // an out-of-order left (later micro-batch, earlier ts)
+                // must not receive a FUTURE-dated match from newer state;
+                // the correct older right was superseded, so emit no
+                // match rather than a wrong one (in batch order this
+                // branch never fires)
+                val valid = st.filter(s => micros(s.rightTs) <= micros(ts))
+                out += AsOfMatch(id, userId, ts,
+                  valid.map(_.rightId), valid.map(_.rightTs))
+              }
             }
             st.foreach(state.update)
             if (streaming && st.isDefined) {

@@ -189,6 +189,14 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("stripRepeatedLines keeps a null-text doc as an empty-text row") {
+    val docs = Seq((1L, "BOILER\nkeep"), (2L, "BOILER\nx"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "keep", 2L -> "x", 3L -> ""))
+  }
+
   test("stripRepeatedLines with minDocs above max frequency is identity") {
     val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
     val out = Dedup.stripRepeatedLines(docs, "doc_id", "text", minDocs = 3)

@@ -141,18 +141,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map("a b" -> 3L, "b a" -> 1L))
   }
 
-  test("chunkByTokens: coverage, overlap, short tail, single-chunk doc") {
+  test("chunkByTokens: coverage, overlap, no redundant tail, single-chunk doc") {
     val docs = Seq(
-      (1L, "a b c d e f g"), // 7 tokens, chunk=3 stride=2 -> starts 0,2,4,6
+      (1L, "a b c d e f g"), // 7 tokens, chunk=3 stride=2 -> starts 0,2,4
       (2L, "x y")            // 2 tokens -> one chunk
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
         chunkTokens = 3, stride = 2)
       .as[(Long, Long, String, Long)].collect().toSet
+    // enumeration stops at the window reaching the end: no chunk is a
+    // sub-span of its predecessor (a "g"-only chunk would double-weight
+    // the tail in downstream pooling)
     assert(out == Set(
       (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L),
-      (1L, 2L, "e f g", 3L), (1L, 3L, "g", 1L),
+      (1L, 2L, "e f g", 3L),
       (2L, 0L, "x y", 2L)))
+  }
+
+  test("chunkByTokens: doc shorter than one window stays a single chunk") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text") // 5 < 32
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 32, 24)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, "a b c d e", 5L)))
   }
 
   test("chunkByTokens: stride == chunkTokens is non-overlapping partition") {

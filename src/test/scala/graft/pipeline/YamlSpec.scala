@@ -124,4 +124,15 @@ class YamlSpec extends AnyFunSuite {
     assert(intercept[Yaml.YamlException](
       Yaml.parse("key_without_colon\n")).getMessage.contains("expected 'key: value'"))
   }
+
+  test("flow list: commas inside quoted scalars are content, not separators") {
+    val m = Yaml.parse(
+      """tags: ['hello, world', "a, b", plain, 'it''s, ok']
+        |nums: [1, 2]
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    assert(m("tags") == Vector("hello, world", "a, b", "plain", "it's, ok"))
+    assert(m("nums") == Vector(1L, 2L))
+    assert(intercept[Yaml.YamlException](
+      Yaml.parse("bad: ['unclosed, x]\n")).getMessage.contains("unclosed quote"))
+  }
 }

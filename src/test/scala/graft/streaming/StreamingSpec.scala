@@ -151,10 +151,15 @@ class StreamingSpec extends SparkSpec {
       views.addData(Event(101, ts(10), 1, "view", 1.0))
       clicks.addData(Event(3, ts(20), 1, "click", 1.0))
       q.processAllAvailable()
+      // an out-of-order left (earlier ts than the state's right) must
+      // NOT receive the future-dated match; it emits no match
+      clicks.addData(Event(4, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
       val rows = spark.table("asof_test")
         .select($"left_id", $"right_id").as[(Long, Option[Long])]
         .collect().toMap
-      assert(rows == Map(1L -> Some(100L), 2L -> None, 3L -> Some(101L)))
+      assert(rows == Map(1L -> Some(100L), 2L -> None, 3L -> Some(101L),
+        4L -> None))
     } finally q.stop()
   }
 
