@@ -1566,6 +1566,28 @@ object Queries {
       WHERE word <> ''
       GROUP BY word ORDER BY n_total DESC, word LIMIT 20"""))
 
+  /** Per-doc characteristic terms ([[TextAnalysis.topTerms]]) on the
+    * first 50 docs — TF-IDF-ratio keyword extraction, top-3 per doc. */
+  private val topTermsQ = QueryDef("doc_top_terms",
+    (s, d) => TextAnalysis.topTerms(
+        t(s, d, "documents").where(col("doc_id") < 50), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("score").desc, col("word")),
+    Some(s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      w AS (SELECT doc_id, unnest($sqlWords) AS word FROM docs),
+      wc AS (SELECT doc_id, word, count(*) AS c FROM w
+             WHERE word <> '' GROUP BY doc_id, word),
+      dlen AS (SELECT doc_id, sum(c) AS len FROM wc GROUP BY doc_id),
+      dfreq AS (SELECT word, count(*) AS df FROM wc GROUP BY word),
+      n AS (SELECT count(*) AS n FROM docs),
+      scored AS (
+        SELECT wc.doc_id, wc.word,
+               CAST(wc.c * n.n AS DOUBLE) / (dlen.len * dfreq.df) AS score
+        FROM wc JOIN dlen USING (doc_id) JOIN dfreq USING (word), n),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, word) AS r FROM scored)
+      SELECT doc_id, word, score FROM rk WHERE r <= 3
+      ORDER BY doc_id, score DESC, word"""))
+
   /** BPE-core adjacent-pair census ([[TextAnalysis.bigramCounts]]):
     * top 20 adjacent word pairs — the argmax step of a tokenizer-
     * training merge round. */
@@ -2101,8 +2123,8 @@ object Queries {
     embedNormalize, embedMeanpool,
     mixSample, mixStrata, mixUpsample, mixTemperature,
     docQuantiles, topKPerLang,
-    textStats, langIdQ, tokenCounts, vocabTopk, bigramTopk, chunkTokensQ,
-    profileQ, docFingerprint, packSequences,
+    textStats, langIdQ, tokenCounts, vocabTopk, bigramTopk, topTermsQ,
+    chunkTokensQ, profileQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsEnriched, eventsAttribution, eventsAsof,

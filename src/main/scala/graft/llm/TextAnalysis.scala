@@ -253,6 +253,43 @@ object TextAnalysis {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_total"), count_distinct(col("doc_id")).as("n_docs"))
 
+  /** Per-document top-k characteristic terms by a TF-IDF-style score —
+    * keyword/topic tagging for corpus curation. The score is the exact
+    * rational `(term_count × n_docs) / (doc_len × doc_freq)` (raw
+    * inverse document frequency, no log damping): every factor is an
+    * integer and the one double division is IEEE-correctly-rounded, so
+    * the score is bit-identical across engines — a log-damped variant
+    * would hash-differ cross-engine in the last ulp (libm ln is not
+    * bit-specified). Ranking is unchanged by the missing log within a
+    * document when frequencies tie; ties break on the word.
+    *
+    * Scale shape: one corpus aggregation to (doc, word) counts, a
+    * doc-length join on doc_id, a vocabulary-sized doc-frequency join
+    * (broadcastable), the corpus count as a broadcast one-row
+    * aggregate, and a WindowGroupLimit top-k per doc — no global
+    * sort, no driver-side state. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("word"))
+      .where(col("word") =!= "")
+    val wc = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("__c"))
+    val dlen = wc.groupBy(col("doc_id")).agg(sum(col("__c")).as("__len"))
+    val dfreq = wc.groupBy(col("word")).agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = wc.join(dlen, Seq("doc_id")).join(dfreq, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("__c") * col("__n")).cast("double") / (col("__len") * col("__df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("doc_id"), col("word"), col("score"))
+  }
+
   /** Adjacent-pair (bigram) census — the counting step at the core of
     * BPE/WordPiece tokenizer training (find the most frequent adjacent
     * pair, merge, repeat): one row per adjacent normalized-word pair

@@ -133,6 +133,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v.size == 5)
   }
 
+  test("topTerms ranks distinctive words above corpus-wide ones") {
+    val docs = Seq(
+      (1L, "apple apple common"),
+      (2L, "banana common"),
+      (3L, "cherry common")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.topTerms(docs, "doc_id", "text", k = 1)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(top1 == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    // exact rational score: apple = (2 * 3) / (3 * 1) = 2.0
+    val s = TextAnalysis.topTerms(docs, "doc_id", "text", k = 1)
+      .where($"word" === "apple").select("score").as[Double].head()
+    assert(s == 2.0)
+  }
+
   test("bigramCounts: adjacent pairs only; single-word docs contribute none") {
     val docs = Seq((1L, "a b a b"), (2L, "b"), (3L, "A  b")).toDF("doc_id", "text")
     val out = TextAnalysis.bigramCounts(docs, "text")
