@@ -782,6 +782,33 @@ object Queries {
       ${sqlSlug("'t '||p_type")} AS type_slug
       FROM part ORDER BY p_partkey"""))
 
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalizeExpression]],
+    * native codegen): decomposed accents (base char + combining mark,
+    * injected deterministically) must compose to the same bytes DuckDB's
+    * `nfc_normalize` produces; a pre-normalization equality check over
+    * the two forms is also emitted to show why the pass matters. */
+  private val nfcNormalizeQ = QueryDef("nfc_normalize",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      // decomposed: 'e' + U+0301 combining acute; composed: U+00E9 —
+      // NFC must map the first onto the second
+      t(s, d, "part")
+        .withColumn("decomposed",
+          concat(col("p_name"), lit(" cafe\u0301")))
+        .withColumn("composed", concat(col("p_name"), lit(" caf\u00e9")))
+        .selectExpr("p_partkey",
+          "graft_nfc(decomposed) AS nfc_text",
+          "CAST(decomposed = composed AS INT) AS equal_raw",
+          "CAST(graft_nfc(decomposed) = graft_nfc(composed) AS INT) AS equal_nfc")
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+        nfc_normalize(p_name || ' cafe' || chr(769)) AS nfc_text,
+        CAST(p_name || ' cafe' || chr(769) = p_name || ' caf' || chr(233) AS INT) AS equal_raw,
+        CAST(nfc_normalize(p_name || ' cafe' || chr(769)) =
+             nfc_normalize(p_name || ' caf' || chr(233)) AS INT) AS equal_nfc
+      FROM part ORDER BY p_partkey"""))
+
   private val f8Explode = QueryDef("f8_explode_array",
     (s, d) => t(s, d, "part").select(col("p_partkey"),
         array_join(Fns.explodeToArray(col("p_name"), " "), "|").as("name_words"))
@@ -2112,6 +2139,7 @@ object Queries {
     p2Roundtrip, p3Rename, p6Skip, p7Nest, p7Roundtrip, k5Scoped,
     f7Slug, f7Native, f8Explode, f9Nullif, f10StrNull, f11Simple,
     f12Static, f12Dynamic, f13Dates, f14Iso, f15Text, f16Key, f18Kses,
+    nfcNormalizeQ,
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
     f23Native, f24Pattern,
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger, orcRoundtrip,

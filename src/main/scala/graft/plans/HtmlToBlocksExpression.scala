@@ -92,7 +92,8 @@ object GraftExtensions {
         require(children.size == 2, "graft_sorted_intersect_size takes exactly two arguments")
         SortedIntersectSizeExpression(children(0), children(1))
       }),
-    unary("graft_simhash64", classOf[SimHash64Expression], SimHash64Expression(_)))
+    unary("graft_simhash64", classOf[SimHash64Expression], SimHash64Expression(_)),
+    unary("graft_nfc", classOf[NfcNormalizeExpression], NfcNormalizeExpression(_)))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -98,4 +98,37 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) >
       java.lang.Long.bitCount(fp(1L) ^ fp(3L)))
   }
+
+  test("graft_nfc composes decomposed forms; identity on normalized text; codegen compiles") {
+    registered()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val decomposed = "cafe\u0301" // 'e' + combining acute
+      val composed = "caf\u00e9"    // precomposed
+      val rows = Seq(
+        (decomposed, composed),
+        ("plain ascii", "plain ascii"),
+        (composed, composed) // already NFC: identity
+      ).toDF("in", "expected")
+      val out = rows.selectExpr("graft_nfc(in) AS got", "expected")
+        .as[(String, String)].collect()
+      out.foreach { case (got, expected) => assert(got == expected) }
+      // equality across forms holds only AFTER normalization
+      assert(decomposed != composed)
+      val eq = Seq((decomposed, composed)).toDF("a", "b")
+        .selectExpr("graft_nfc(a) = graft_nfc(b) AS e")
+        .as[Boolean].head()
+      assert(eq)
+      // null propagates
+      val n = rows.limit(1).selectExpr("graft_nfc(CAST(NULL AS STRING)) AS g")
+        .collect().head.isNullAt(0)
+      assert(n)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
