@@ -1049,6 +1049,26 @@ object Queries {
     Some("""SELECT p_partkey, p_name, p_size, p_retailprice
       FROM part ORDER BY p_partkey"""))
 
+  /** Z-order interleave ([[Sinks.zValue]]): exact integer bit math,
+    * reproduced bit-for-bit by the oracle's shift/mask arithmetic. */
+  private val zorderQ = QueryDef("zorder_values",
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"),
+        Sinks.zValue(Seq(pmod(col("c_custkey"), lit(256)),
+          pmod(col("c_nationkey"), lit(256))), bits = 8).as("z"))
+      .orderBy(col("c_custkey")),
+    Some {
+      // DuckDB bitwise ops are same-precedence left-associative
+      // (PostgreSQL rules): every `<<` term needs its own parens or the
+      // `|` chain re-associates through the shifts
+      val terms = (0 until 8).flatMap { j =>
+        Seq(s"((((c_custkey % 256) >> $j) & 1) << ${j * 2})",
+            s"((((c_nationkey % 256) >> $j) & 1) << ${j * 2 + 1})")
+      }
+      s"""SELECT c_custkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+        FROM customer ORDER BY c_custkey"""
+    })
+
   /** ORC source/sink roundtrip — Spark's other first-class columnar
     * format (the reference is format-agnostic via adapters; ORC widens
     * the engine's at-rest surface beyond parquet/csv/json/xml). */
@@ -2143,7 +2163,7 @@ object Queries {
     f19Absint, f20Email, f20Url, f21Repair, f22Numeric, f23Blocks,
     f23Native, f24Pattern,
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger, orcRoundtrip,
-    partitionedScan,
+    partitionedScan, zorderQ,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupMinhashIncr, dedupSimhash, dedupSimhashPlanted, dedupNgram,
     dedupLinesRepeated, dedupLinesStrip,

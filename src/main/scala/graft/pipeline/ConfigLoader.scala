@@ -129,7 +129,13 @@ object ConfigLoader {
         graft.llm.TextAnalysis.chunkByTokens(df, req(o, "idCol"),
           req(o, "textCol"),
           chunkTokens = req(o, "chunkTokens").toInt,
-          stride = o.getOrElse("stride", req(o, "chunkTokens")).toInt)))
+          stride = o.getOrElse("stride", req(o, "chunkTokens")).toInt)),
+      "nfc_normalize" -> (o => df => {
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val c = req(o, "column")
+        df.withColumn(c, org.apache.spark.sql.functions.call_function(
+          "graft_nfc", ColumnNs.q(c)))
+      }))
 
   /** load kind -> (options => LoadStep). */
   val loadKinds: collection.mutable.Map[String, Options => Sinks.LoadStep] =

@@ -203,6 +203,42 @@ object Sinks {
       .write.partitionBy("shard").format(format)
       .mode(SaveMode.Overwrite).save(dir)
 
+  /** Z-order (Morton) interleave of `cols` — the multi-dimensional
+    * clustering key behind z-ordered table layouts: rows close in ALL
+    * dimensions land close in the one-dimensional sort, so per-file
+    * min/max ranges stay tight in every dimension and a scan filtering
+    * on ANY subset of the z-columns can skip most files (a plain sort
+    * only serves its leading column). Bit j of column i lands at
+    * position `j * n + i`. Pure codegen'd long arithmetic.
+    *
+    * Inputs must be non-negative and < 2^bits (hash or bucketize
+    * first for arbitrary domains); `n * bits` must fit a signed long. */
+  def zValue(cols: Seq[org.apache.spark.sql.Column], bits: Int = 21): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 1, "zValue: no columns")
+    require(n * bits <= 63, s"zValue: $n cols × $bits bits exceeds a long")
+    (0 until bits).flatMap { j =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * n + i)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered rewrite: range-partition on the interleaved key and sort
+    * within partitions — every output file covers a tight z-range
+    * (tight min/max in every z dimension). One range shuffle; the
+    * clustering column itself is dropped from the output. */
+  def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String],
+                    bits: Int = 21, numFiles: Int = 0): Unit = {
+    val keyed = df.withColumn("__z", zValue(zCols.map(col), bits))
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Hive-style partitioned layout (`col=value/` directories): the
     * standard at-rest organization for a multi-tenant / multi-language
     * corpus — a reader filtering on a partition column scans ONLY the

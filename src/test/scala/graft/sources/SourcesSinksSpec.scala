@@ -224,6 +224,34 @@ class SourcesSinksSpec extends SparkSpec {
       Set((1L, 10L), (3L, 30L)))
   }
 
+  test("zValue interleaves bits; writeZOrdered yields disjoint per-file z-ranges") {
+    import spark.implicits._
+    // reference interleave on the driver
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, j) =>
+        acc | (((x >> j) & 1L) << (j * 2)) | (((y >> j) & 1L) << (j * 2 + 1))
+      }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L))
+    val got = samples.toDF("x", "y")
+      .select(Sinks.zValue(Seq(col("x"), col("y")), bits = 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == samples.map { case (x, y) => ref(x, y, 8) })
+    // layout: z-ranges of distinct files must not overlap
+    val dir = "/tmp/graft_test/zorder/t"
+    val df = (0L until 1024L).map(i => (i % 32, (i * 7) % 32)).toDF("a", "b")
+    Sinks.writeZOrdered(df, dir, Seq("a", "b"), bits = 5, numFiles = 4)
+    val byFile = spark.read.parquet(dir)
+      .select(Sinks.zValue(Seq(col("a"), col("b")), 5).as("z"))
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(byFile.length > 1)
+    byFile.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("orc write/read roundtrip preserves rows and schema") {
     import spark.implicits._
     val dir = "/tmp/graft_test/orc_rt/t"
