@@ -2118,6 +2118,34 @@ object Queries {
       SELECT user_id, ts, click_id, view_id, matched_ts FROM j
       ORDER BY click_id"""))
 
+  /** Event-time RANGE-frame rolling aggregate: per event, the count and
+    * decimal-summed value of the same user's events in the trailing
+    * hour (inclusive). RANGE frames bound by event time — not row
+    * counts — are the standard trailing-window feature; equal-timestamp
+    * peers are all included in both engines. Sum and count are emitted
+    * separately (a windowed AVG would divide decimals under
+    * engine-specific scale rules). */
+  private val eventsRolling = QueryDef("events_rolling",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
   private val eventsSessions = QueryDef("events_sessionize",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2176,5 +2204,5 @@ object Queries {
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsEnriched, eventsAttribution, eventsAsof,
-    eventsAsofTol, eventsSessions)
+    eventsAsofTol, eventsRolling, eventsSessions)
 }
