@@ -2146,6 +2146,82 @@ object Queries {
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** Ordered, time-bounded funnel: view → click → purchase, each
+    * stage strictly after the previous stage's FIRST occurrence and
+    * within 24 hours of it, per user.
+    * Three conditional-min aggregations over one grouped pass each —
+    * no self-join of the events table against itself per stage. */
+  private val eventsFunnel = QueryDef("events_funnel",
+    (s, d) => {
+      val ev = events(s, d)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val staged = v.join(c.select(col("user_id"), lit(1).as("__c")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), lit(1).as("__p")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + coalesce(col("__c"), lit(0)) + coalesce(col("__p"), lit(0)))
+            .as("stage"))
+      staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+           c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.v_ts
+                AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+              GROUP BY e.user_id),
+           p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+                AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+              GROUP BY e.user_id),
+           staged AS (SELECT v.user_id,
+              1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage
+              FROM v LEFT JOIN c ON v.user_id = c.user_id
+                     LEFT JOIN p ON v.user_id = p.user_id)
+      SELECT stage, count(*) AS n_users FROM staged
+      GROUP BY stage ORDER BY stage"""))
+
+  /** Weekly cohort retention: users bucketed by their first-activity
+    * week; each (cohort, week-offset) cell counts distinct users active
+    * that week. Two grouped passes over (user, week) — the classic
+    * retention triangle, no per-week self-joins. */
+  private val eventsRetention = QueryDef("events_retention",
+    (s, d) => {
+      val uw = events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+      uw.join(cohort, Seq("user_id"))
+        .select(col("cohort_week"),
+          datediff(col("w"), col("cohort_week")).cast("long")./(7L)
+            .cast("long").as("week_offset"))
+        .groupBy(col("cohort_week").cast("date").as("cohort_week"),
+          col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM events),
+           cohort AS (SELECT user_id, min(w) AS cohort_week FROM uw
+              GROUP BY user_id)
+      SELECT cohort.cohort_week, CAST(date_diff('day', cohort.cohort_week, uw.w) / 7 AS BIGINT) AS week_offset,
+             count(*) AS n_users
+      FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val eventsSessions = QueryDef("events_sessionize",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2204,5 +2280,6 @@ object Queries {
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, eventsEnriched, eventsAttribution, eventsAsof,
-    eventsAsofTol, eventsRolling, eventsSessions)
+    eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,
+    eventsSessions)
 }
