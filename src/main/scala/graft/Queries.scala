@@ -2152,28 +2152,11 @@ object Queries {
     * Three conditional-min aggregations over one grouped pass each —
     * no self-join of the events table against itself per stage. */
   private val eventsFunnel = QueryDef("events_funnel",
-    (s, d) => {
-      val ev = events(s, d)
-      val v = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
-      val c = ev.where(col("event_type") === "click")
-        .join(v, Seq("user_id"))
-        .where(col("ts") > col("v_ts") &&
-          col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-      val p = ev.where(col("event_type") === "purchase")
-        .join(c, Seq("user_id"))
-        .where(col("ts") > col("c_ts") &&
-          col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
-      val staged = v.join(c.select(col("user_id"), lit(1).as("__c")), Seq("user_id"), "left")
-        .join(p.select(col("user_id"), lit(1).as("__p")), Seq("user_id"), "left")
-        .select(col("user_id"),
-          (lit(1) + coalesce(col("__c"), lit(0)) + coalesce(col("__p"), lit(0)))
-            .as("stage"))
-      staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
-        .orderBy(col("stage"))
-    },
+    (s, d) => graft.operators.EventAnalytics.funnel(events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        within = Some(expr("INTERVAL 24 HOURS")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage")),
     Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
               WHERE event_type = 'view' GROUP BY user_id),
            c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
@@ -2199,20 +2182,11 @@ object Queries {
     * that week. Two grouped passes over (user, week) — the classic
     * retention triangle, no per-week self-joins. */
   private val eventsRetention = QueryDef("events_retention",
-    (s, d) => {
-      val uw = events(s, d)
-        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
-        .distinct()
-      val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
-      uw.join(cohort, Seq("user_id"))
-        .select(col("cohort_week"),
-          datediff(col("w"), col("cohort_week")).cast("long")./(7L)
-            .cast("long").as("week_offset"))
-        .groupBy(col("cohort_week").cast("date").as("cohort_week"),
-          col("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy(col("cohort_week"), col("week_offset"))
-    },
+    (s, d) => graft.operators.EventAnalytics.retention(events(s, d),
+        "user_id", "ts")
+      .select(col("cohort").as("cohort_week"), col("offset").as("week_offset"),
+        col("n").as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset")),
     Some("""WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
               FROM events),
            cohort AS (SELECT user_id, min(w) AS cohort_week FROM uw
