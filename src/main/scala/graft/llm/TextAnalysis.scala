@@ -240,6 +240,15 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, x) => (acc * 131L + x) % P)
   }
 
+  /** One (doc_id, word) row per normalized word occurrence — the
+    * word-extraction contract shared by [[vocabulary]] and [[topTerms]]
+    * (and mirrored SQL-side by the oracle's word CTE): normalize,
+    * split on single spaces, drop empties. */
+  private def wordRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("word"))
+      .where(col("word") =!= "")
+
   /** Corpus vocabulary census: one row per normalized word with total
     * occurrences and distinct-document frequency — the heavy-hitter /
     * stopword / tokenizer-coverage analysis pass. Scale shape: explode
@@ -247,9 +256,7 @@ object TextAnalysis {
     * (`n_docs`) plans as a two-phase partial distinct (no Expand), so
     * partials combine map-side on both counts. */
   def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("word"))
-      .where(col("word") =!= "")
+    wordRows(df, idCol, textCol)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_total"), count_distinct(col("doc_id")).as("n_docs"))
 
@@ -271,10 +278,7 @@ object TextAnalysis {
   def topTerms(df: DataFrame, idCol: String, textCol: String,
                k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = df.select(col(idCol).as("doc_id"),
-        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("word"))
-      .where(col("word") =!= "")
-    val wc = words.groupBy(col("doc_id"), col("word"))
+    val wc = wordRows(df, idCol, textCol).groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("__c"))
     val dlen = wc.groupBy(col("doc_id")).agg(sum(col("__c")).as("__len"))
     val dfreq = wc.groupBy(col("word")).agg(count(lit(1)).as("__df"))

@@ -56,10 +56,17 @@ object EventAnalytics {
     * active `offset` periods after their cohort period. Two grouped
     * passes over distinct (entity, period) — no per-period self-joins.
     *
-    * `periodDays` must match `unit` ("week" → 7, "day" → 1, ...);
-    * month-grain retention should use months_between instead. */
+    * `unit` is "day" or "week" (fixed-length periods, so the offset is
+    * an exact datediff division); month-grain retention needs
+    * months_between and is deliberately not supported here. */
   def retention(events: DataFrame, keyCol: String, tsCol: String,
-                unit: String = "week", periodDays: Int = 7): DataFrame = {
+                unit: String = "week"): DataFrame = {
+    val periodDays = unit match {
+      case "day"  => 1
+      case "week" => 7
+      case other  => throw new IllegalArgumentException(
+        s"retention: unit must be 'day' or 'week', got '$other'")
+    }
     val uw = events
       .select(col(keyCol), date_trunc(unit, col(tsCol)).as("__w"))
       .distinct()

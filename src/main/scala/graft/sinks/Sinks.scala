@@ -212,10 +212,12 @@ object Sinks {
     * position `j * n + i`. Pure codegen'd long arithmetic.
     *
     * Inputs must be non-negative and < 2^bits (hash or bucketize
-    * first for arbitrary domains); `n * bits` must fit a signed long. */
+    * first for arbitrary domains — [[writeZOrdered]] rescales into this
+    * range automatically); `n * bits` must fit a signed long. */
   def zValue(cols: Seq[org.apache.spark.sql.Column], bits: Int = 21): org.apache.spark.sql.Column = {
     val n = cols.size
     require(n >= 1, "zValue: no columns")
+    require(bits >= 1, s"zValue: bits must be >= 1, got $bits")
     require(n * bits <= 63, s"zValue: $n cols × $bits bits exceeds a long")
     (0 until bits).flatMap { j =>
       cols.zipWithIndex.map { case (c, i) =>
@@ -224,18 +226,40 @@ object Sinks {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Z-ordered rewrite: range-partition on the interleaved key and sort
-    * within partitions — every output file covers a tight z-range
-    * (tight min/max in every z dimension). One range shuffle; the
-    * clustering column itself is dropped from the output. */
+  /** Z-ordered rewrite: rescale each clustering column into
+    * [0, 2^bits) from its observed min/max (one column-pruned aggregate
+    * scan — makes zValue's domain precondition hold for ANY numeric
+    * column, negatives included, instead of silently aliasing rows that
+    * exceed 2^bits), then range-partition on the interleaved key and
+    * sort within partitions — every output file covers a tight z-range
+    * (tight min/max in every z dimension). One stats scan + one range
+    * shuffle; the clustering column itself is dropped from the output.
+    * Nulls sort first (rescaled to 0). */
   def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String],
                     bits: Int = 21, numFiles: Int = 0): Unit = {
-    val keyed = df.withColumn("__z", zValue(zCols.map(col), bits))
+    val maxZ = (1L << bits) - 1
+    val aggs = zCols.flatMap(c => Seq(min(col(c).cast("double")),
+      max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      if (stats.isNullAt(2 * i)) lit(0L) // empty input / all-null column
+      else {
+        val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+        val v = coalesce(col(c).cast("double"), lit(lo))
+        if (hi == lo) lit(0L)
+        // span fits the bit budget: exact shift-by-min, no FP rounding
+        else if (hi - lo <= maxZ) (v - lit(lo)).cast("long")
+        else floor((v - lit(lo)) / lit(hi - lo) * maxZ).cast("long")
+      }
+    }
+    val zc = Iterator.from(0).map(i => s"__z$i")
+      .find(nm => !df.columns.contains(nm)).get
+    val keyed = df.withColumn(zc, zValue(scaled, bits))
     val n = if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    keyed.repartitionByRange(n, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    keyed.repartitionByRange(n, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 

@@ -75,6 +75,11 @@ class ConfigLoaderSpec extends SparkSpec {
     val chunked = transformKinds("chunk_tokens")(
       Map("idCol" -> "doc_id", "textCol" -> "text", "chunkTokens" -> "1"))(docs)
     assert(chunked.count() == 9L) // 3 ws-tokens per doc, one chunk each
+    // nfc_normalize: registers graft_nfc on the df's session, quotes the
+    // column name, rewrites in place (e + combining acute -> é)
+    val accented = Seq((1L, "cafe\u0301")).toDF("doc_id", "text")
+    val nfc = transformKinds("nfc_normalize")(Map("column" -> "text"))(accented)
+    assert(nfc.select("text").as[String].head() == "caf\u00e9")
     val dir = "/tmp/graft_test/cfg_partitioned/t"
     loadKinds("partitioned")(Map("path" -> dir, "partCols" -> "doc_id")) match {
       case graft.sinks.Sinks.Write(_, f) => f(docs)

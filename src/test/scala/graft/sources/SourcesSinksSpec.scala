@@ -252,6 +252,33 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered rescales out-of-range domains instead of aliasing") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](Sinks.zValue(Seq(col("a")), bits = 0))
+    // negatives and values >> 2^bits; b constant, so the z-order is the
+    // order of rescaled a — per-file a-ranges must still be disjoint
+    val dir = "/tmp/graft_test/zorder/rescale"
+    val df = (0L until 512L).map(i => (i * 1000000L - 256000000L, 1L))
+      .toDF("a", "b")
+    Sinks.writeZOrdered(df, dir, Seq("a", "b"), bits = 5, numFiles = 4)
+    val byFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("a").as("lo"), max("a").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(byFile.length > 1)
+    byFile.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // a pre-existing __z0 column survives the write untouched
+    val dir2 = "/tmp/graft_test/zorder/zcol"
+    val df2 = (0L until 64L).map(i => (i, i * 2)).toDF("__z0", "v")
+    Sinks.writeZOrdered(df2, dir2, Seq("v"), bits = 5, numFiles = 2)
+    val back = spark.read.parquet(dir2)
+    assert(back.columns.toSet == Set("__z0", "v"))
+    assert(back.agg(sum("__z0")).as[Long].head() == (0L until 64L).sum)
+  }
+
   test("orc write/read roundtrip preserves rows and schema") {
     import spark.implicits._
     val dir = "/tmp/graft_test/orc_rt/t"
