@@ -1339,6 +1339,60 @@ object Queries {
       FROM aug a LEFT JOIN k ON a.doc_id = k.doc_id
       ORDER BY a.doc_id"""))
 
+  /** Exact duplicated-span census ([[Dedup.duplicateSpans]]): every
+    * 4-token gram shared by ≥2 documents. The oracle rebuilds the same
+    * positional tokenization with zipped unnests and a lead() window. */
+  private val dedupSpansCensus = QueryDef("dedup_spans_census",
+    (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 4, minDocs = 2)
+      .orderBy(col("gram")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+      toks AS (SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(0, len(ws))) AS pos FROM w),
+      grams AS (SELECT doc_id,
+        CASE WHEN lead(tok, 3) OVER win IS NULL THEN NULL
+             ELSE tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+                  lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win
+        END AS gram
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+      SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM grams WHERE gram IS NOT NULL
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY gram"""))
+
+  /** Duplicated-span removal ([[Dedup.stripDuplicateSpans]]): tokens
+    * covered by any shared 4-gram are dropped, order preserved, every
+    * doc keeps its row. The oracle replays the mark-and-cover window. */
+  private val dedupSpansStrip = QueryDef("dedup_spans_strip",
+    (s, d) => Dedup.stripDuplicateSpans(t(s, d, "documents"), "doc_id",
+        "text", k = 4, minDocs = 2)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+      toks AS (SELECT doc_id, unnest(ws) AS tok,
+               unnest(range(0, len(ws))) AS pos FROM w),
+      grams AS (SELECT doc_id, pos, tok,
+        CASE WHEN lead(tok, 3) OVER win IS NULL THEN NULL
+             ELSE tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+                  lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win
+        END AS gram
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      dup AS (SELECT gram FROM grams WHERE gram IS NOT NULL
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      m AS (SELECT g.doc_id, g.pos, g.tok,
+              CASE WHEN dup.gram IS NULL THEN 0 ELSE 1 END AS s
+            FROM grams g LEFT JOIN dup ON g.gram = dup.gram),
+      cov AS (SELECT doc_id, pos, tok,
+              max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+              FROM m)
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE c = 0), '') AS text
+      FROM cov GROUP BY doc_id ORDER BY doc_id"""))
+
   private val decontaminate = QueryDef("decontaminate",
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -1449,6 +1503,21 @@ object Queries {
     Some("""SELECT doc_id, lang FROM documents
       WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
       ORDER BY doc_id"""))
+
+  /** Deterministic 80/10/10 train/val/test split
+    * ([[Mixing.splitByHash]]). Cumulative hex ladder: 0.8 → cccccccd,
+    * 0.9 → e6666666 (round(f × 2^32) as 8 hex chars). */
+  private val mixSplit = QueryDef("mix_split",
+    (s, d) => Mixing.splitByHash(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'cccccccd' THEN 'train'
+             WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'e6666666' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
 
   private val mixStrata = QueryDef("mix_strata",
     (s, d) => Mixing.mixStrata(t(s, d, "documents"), "lang", "doc_id",
@@ -2244,10 +2313,10 @@ object Queries {
     partitionedScan, zorderQ,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupMinhashIncr, dedupSimhash, dedupSimhashPlanted, dedupNgram,
-    dedupLinesRepeated, dedupLinesStrip,
+    dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     decontaminate, decontaminateBloom, dedupClusters, piiScrub,
     embedNormalize, embedMeanpool,
-    mixSample, mixStrata, mixUpsample, mixTemperature,
+    mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,
     textStats, langIdQ, tokenCounts, vocabTopk, bigramTopk, topTermsQ,
     chunkTokensQ, profileQ, docFingerprint, packSequences,

@@ -621,4 +621,81 @@ object Dedup {
         _.getField("line")), "\n").as("text"))
       .select(col("doc_id"), col("text"))
   }
+
+  /** One (doc_id, pos, tok) row per whitespace token, plus the k-token
+    * gram STARTING at each position (null where fewer than k tokens
+    * remain — `split` never yields null elements, so gating on the last
+    * constituent is exact). One window pass per document partition. */
+  private def tokenGrams(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), " "))
+          .as(Seq("pos", "tok")))
+      .withColumn("gram",
+        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+  }
+
+  /** Exact duplicated-SPAN census — the substring-level granularity
+    * between line-level boilerplate ([[repeatedLines]]) and whole-doc
+    * near-dup (MinHash): every k-token gram occurring in ≥ `minDocs`
+    * distinct documents, with its document and occurrence counts.
+    * Duplicated spans longer than k tokens show up as runs of
+    * overlapping duplicated k-grams, which is exactly what
+    * [[stripDuplicateSpans]]' coverage window consumes.
+    *
+    * Scale shape: one window pass to form grams (the corpus's one
+    * doc-key shuffle), then ONE aggregation on the gram key with
+    * map-side partials; the distinct-doc count is a two-phase partial
+    * distinct. No self-joins, no pair expansion — cost is linear in
+    * corpus token count, the known price of exact substring-level
+    * dedup. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"duplicateSpans: k must be >= 2, got $k")
+    require(minDocs >= 2, s"duplicateSpans: minDocs must be >= 2, got $minDocs")
+    tokenGrams(df, idCol, textCol, k)
+      .where(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Rewrite each document with duplicated k-token spans removed: a
+    * token is dropped iff it is covered by some duplicated k-gram (one
+    * occurring in ≥ `minDocs` distinct documents) starting at most k-1
+    * positions before it. Surviving tokens re-join in original order;
+    * every document keeps its row (a fully-duplicated one becomes "").
+    * Documents shorter than k tokens are never modified.
+    *
+    * Scale shape: the duplicated-gram set joins back only to MARK span
+    * starts — id-free, `xxhash64`-keyed, duplicate-vocabulary-sized, so
+    * it broadcasts and the corpus never shuffles for it; coverage is a
+    * second window over the SAME (doc, pos) partitioning (no new
+    * shuffle), and reassembly reuses the doc key. Three corpus-linear
+    * passes, one gram-key aggregation, no pair expansion. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val dup = duplicateSpans(df, idCol, textCol, k, minDocs)
+      .select(xxhash64(col("gram")).as("__gh"), lit(1).as("__dup"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // gate: xxhash64(null) is the seed, not null — an ungated hash
+    // would give every tail position one shared (joinable) key
+    val marked = tokenGrams(df, idCol, textCol, k)
+      .withColumn("__gh",
+        when(col("gram").isNotNull, xxhash64(col("gram"))))
+      .join(dup, Seq("__gh"), "left")
+      .withColumn("__covered",
+        max(coalesce(col("__dup"), lit(0)))
+          .over(w.rowsBetween(-(k - 1), Window.currentRow)))
+    marked.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        filter(sort_array(collect_list(
+            struct(col("pos"), col("tok"), col("__covered")))),
+          _.getField("__covered") === 0),
+        _.getField("tok")), " ").as("text"))
+      .select(col("doc_id"), col("text"))
+  }
 }

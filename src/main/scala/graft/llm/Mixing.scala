@@ -77,6 +77,36 @@ object Mixing {
       explode(when(n >= 1L, sequence(lit(1L), n))))
   }
 
+  /** Deterministic named partition of a corpus into train/val/test-style
+    * splits: each key's bucket falls into exactly one band of the
+    * cumulative-weight ladder, so the splits are disjoint, exhaustive,
+    * reproducible across runs/partitionings/engines, and STABLE under
+    * growth — a key keeps its split when more data arrives (the property
+    * a held-out set needs; a per-run random split leaks). Adds
+    * `splitCol`; weights must sum to 1. Map-only CASE chain, no shuffle.
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  weights: Seq[(String, Double)], salt: String = "graft",
+                  splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "splitByHash: no splits")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "splitByHash: duplicate split names")
+    require(weights.forall(_._2 >= 0.0), "splitByHash: negative weight")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"splitByHash: weights must sum to 1, got $total")
+    val bucket = hashBucket(col(keyCol), salt)
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    // ascending first-match-wins ladder; the last split takes the rest
+    // (incl. the "ffffffff" bucket), so rounding can't drop a row
+    val assigned = weights.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val cond = bucket < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.fold(lit(weights.last._1))(_.otherwise(lit(weights.last._1)))
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Deterministic best-k-per-stratum selection (e.g. keep the N
     * highest-quality documents per source/domain). Ties broken by
     * `keyCol` so the output is reproducible. One shuffle on the stratum

@@ -125,6 +125,20 @@ object ConfigLoader {
           req(o, "textCol"),
           minDocs = o.getOrElse("minDocs", "3").toInt,
           minChars = o.getOrElse("minChars", "1").toInt)),
+      "strip_duplicate_spans" -> (o => df =>
+        graft.llm.Dedup.stripDuplicateSpans(df, req(o, "idCol"),
+          req(o, "textCol"),
+          k = o.getOrElse("k", "8").toInt,
+          minDocs = o.getOrElse("minDocs", "2").toInt)),
+      // "train=0.8,val=0.1,test=0.1" — order defines the hash ladder
+      "split" -> (o => df =>
+        graft.llm.Mixing.splitByHash(df, req(o, "keyCol"),
+          req(o, "weights").split(",").toSeq.map { kv =>
+            val Array(n, w) = kv.split("=", 2)
+            n.trim -> w.trim.toDouble
+          },
+          salt = o.getOrElse("salt", "graft"),
+          splitCol = o.getOrElse("splitCol", "split"))),
       "chunk_tokens" -> (o => df =>
         graft.llm.TextAnalysis.chunkByTokens(df, req(o, "idCol"),
           req(o, "textCol"),

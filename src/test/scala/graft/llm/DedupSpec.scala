@@ -203,4 +203,45 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "a\nb", 2L -> "a\nc"))
   }
+
+  test("duplicateSpans finds shared k-grams with doc and occurrence counts") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "p q r s t"),
+      (4L, "a b c d a b c d") // same gram twice within one doc
+    ).toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpans(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // "a b c d": docs 1, 2, 4; 4 occurrences (twice in doc 4). Doc 4's
+    // rotated grams live in one doc only, so minDocs filters them.
+    assert(rows == Map("a b c d" -> ((3L, 4L))))
+  }
+
+  test("stripDuplicateSpans removes covered tokens, keeps order and rows") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // span at 0..3 -> "e f"
+      (2L, "x a b c d y"),  // span at 1..4 -> "x y"
+      (3L, "p q r s t"),    // untouched
+      (4L, "a b c d"),      // fully duplicated -> "" but row kept
+      (5L, "a b c")         // shorter than k: never modified
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text",
+        k = 4, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "e f", 2L -> "x y", 3L -> "p q r s t",
+      4L -> "", 5L -> "a b c"))
+  }
+
+  test("stripDuplicateSpans: overlapping grams cover a longer shared span") {
+    // the shared span is 5 tokens = two overlapping 4-grams; all five
+    // positions must go in both docs
+    val docs = Seq((1L, "a b c d e tail1"), (2L, "a b c d e tail2"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text",
+        k = 4, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "tail1", 2L -> "tail2"))
+  }
 }

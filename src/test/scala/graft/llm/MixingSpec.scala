@@ -84,4 +84,32 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(t1.values.sum - 1.0) < 1e-9)
     assert(math.abs(t100.values.sum - 1.0) < 1e-9)
   }
+
+  test("splitByHash: disjoint exhaustive splits, stable under growth") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = (1L to 2000L).toDF("k")
+    val out = Mixing.splitByHash(df, "k", weights)
+      .as[(Long, String)].collect().toMap
+    // exhaustive: every key gets exactly one named split
+    assert(out.size == 2000)
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    // proportions close to the weights
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 2000.0 - 0.1) < 0.03)
+    assert(math.abs(counts("test") / 2000.0 - 0.1) < 0.03)
+    // stability: a key's split never changes when the corpus grows
+    val grown = Mixing.splitByHash((1L to 4000L).toDF("k"), "k", weights)
+      .as[(Long, String)].collect().toMap
+    assert(out.forall { case (k, s) => grown(k) == s })
+    // a different salt draws an independent assignment
+    val other = Mixing.splitByHash(df, "k", weights, salt = "other")
+      .as[(Long, String)].collect().toMap
+    assert(out.exists { case (k, s) => other(k) != s })
+    // invalid weights fail fast
+    intercept[IllegalArgumentException](
+      Mixing.splitByHash(df, "k", Seq("a" -> 0.5, "b" -> 0.6)))
+    intercept[IllegalArgumentException](
+      Mixing.splitByHash(df, "k", Seq("a" -> 0.5, "a" -> 0.5)))
+  }
 }

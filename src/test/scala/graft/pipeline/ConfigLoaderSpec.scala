@@ -80,6 +80,17 @@ class ConfigLoaderSpec extends SparkSpec {
     val accented = Seq((1L, "cafe\u0301")).toDF("doc_id", "text")
     val nfc = transformKinds("nfc_normalize")(Map("column" -> "text"))(accented)
     assert(nfc.select("text").as[String].head() == "caf\u00e9")
+    // strip_duplicate_spans and split drive from config too
+    val spanned = transformKinds("strip_duplicate_spans")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "k" -> "2"))(
+      Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text"))
+    assert(spanned.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "c"), (2L, "d")))
+    val split = transformKinds("split")(
+      Map("keyCol" -> "doc_id", "weights" -> "train=0.9,val=0.1"))(docs)
+    assert(split.columns.contains("split"))
+    assert(split.select("split").distinct().as[String].collect()
+      .forall(Set("train", "val")))
     val dir = "/tmp/graft_test/cfg_partitioned/t"
     loadKinds("partitioned")(Map("path" -> dir, "partCols" -> "doc_id")) match {
       case graft.sinks.Sinks.Write(_, f) => f(docs)
