@@ -1605,6 +1605,48 @@ object Queries {
         len(regexp_extract_all(r, '\+?\d[\d ()-]{7,}\d')) AS n_phones
       FROM raw ORDER BY p_partkey"""))
 
+  /** Compression-ratio quality flags ([[TextAnalysis.compressionStats]])
+    * on constructed inputs whose verdicts are engine-independent:
+    * repeated text deflates far below 20% of raw, and chained-md5 hex
+    * (4 bits/char entropy) can never deflate below 40%. The oracle
+    * can't deflate, so it builds the SAME inputs and states the
+    * information-theoretically forced booleans; raw deflate lengths
+    * stay out of the output on purpose (zlib-build-specific). */
+  private val compressionStatsQ = QueryDef("compression_stats",
+    (s, d) => {
+      val hex = concat((0 until 10).map(g =>
+        md5(concat(col("doc_id").cast("string"), lit(s"-$g")))): _*)
+      val rows = t(s, d, "documents").where(col("doc_id").between(1, 3))
+        .select(col("doc_id"),
+          when(col("doc_id") === 1, concat_ws("", array_repeat(lit("spark "), 200)))
+            .when(col("doc_id") === 2, repeat(lit("a"), 1000))
+            .otherwise(hex).as("text"))
+      TextAnalysis.compressionStats(rows, "doc_id", "text")
+        .select(col("doc_id"), col("n_bytes"),
+          col("too_repetitive"), col("too_random"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH rows AS (
+        SELECT doc_id,
+          CASE WHEN doc_id = 1 THEN repeat('spark ', 200)
+               WHEN doc_id = 2 THEN repeat('a', 1000)
+               ELSE md5(CAST(doc_id AS VARCHAR) || '-0')
+                 || md5(CAST(doc_id AS VARCHAR) || '-1')
+                 || md5(CAST(doc_id AS VARCHAR) || '-2')
+                 || md5(CAST(doc_id AS VARCHAR) || '-3')
+                 || md5(CAST(doc_id AS VARCHAR) || '-4')
+                 || md5(CAST(doc_id AS VARCHAR) || '-5')
+                 || md5(CAST(doc_id AS VARCHAR) || '-6')
+                 || md5(CAST(doc_id AS VARCHAR) || '-7')
+                 || md5(CAST(doc_id AS VARCHAR) || '-8')
+                 || md5(CAST(doc_id AS VARCHAR) || '-9')
+          END AS text
+        FROM documents WHERE doc_id BETWEEN 1 AND 3)
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        doc_id IN (1, 2) AS too_repetitive,
+        doc_id = 3 AS too_random
+      FROM rows ORDER BY doc_id"""))
+
   private val textStats = QueryDef("text_stats",
     (s, d) => {
       val df = t(s, d, "documents")
@@ -2318,7 +2360,8 @@ object Queries {
     embedNormalize, embedMeanpool,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,
-    textStats, langIdQ, tokenCounts, vocabTopk, bigramTopk, topTermsQ,
+    textStats, compressionStatsQ, langIdQ, tokenCounts, vocabTopk,
+    bigramTopk, topTermsQ,
     chunkTokensQ, profileQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,

@@ -120,6 +120,30 @@ object TextAnalysis {
       .select(element_at(pArr, col("__i") + 1).as("p"), col("q"))
   }
 
+  /** Compression-ratio quality signal (Gopher-family heuristic): the
+    * zlib-deflated/raw byte ratio via the native
+    * [[graft.plans.DeflateLenExpression]]. Both tails flag junk —
+    * `too_repetitive` (machine-generated loops, boilerplate walls)
+    * compresses far below natural prose, `too_random`
+    * (base64/hex/binary spill) barely compresses at all. Map-only,
+    * shuffle-free, fuses into any existing scan pass. Raw deflate
+    * lengths are zlib-build-specific; the flags are the portable
+    * surface. Empty/null text yields a null ratio and false flags. */
+  def compressionStats(df: DataFrame, idCol: String, textCol: String,
+                       minRatio: Double = 0.2,
+                       maxRatio: Double = 0.4): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val raw = octet_length(col(textCol)).cast("long")
+    val dl = call_function("graft_deflate_len", col(textCol))
+    df.select(col(idCol).as("doc_id"), raw.as("n_bytes"),
+        // ANSI-safe: no division when the text is empty
+        when(raw > 0, dl.cast("double") / raw.cast("double")).as("ratio"))
+      .withColumn("too_repetitive",
+        coalesce(col("ratio") < minRatio, lit(false)))
+      .withColumn("too_random",
+        coalesce(col("ratio") > maxRatio, lit(false)))
+  }
+
   /** Quality-signal columns (Gopher-style length/punct/stopword rules).
     * Returns a struct; `qualityOk` flattens to the keep decision. */
   def qualityStats(c: Column): Column = {

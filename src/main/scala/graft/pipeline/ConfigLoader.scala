@@ -144,6 +144,19 @@ object ConfigLoader {
           req(o, "textCol"),
           chunkTokens = req(o, "chunkTokens").toInt,
           stride = o.getOrElse("stride", req(o, "chunkTokens")).toInt)),
+      // drop both compression-ratio tails (too repetitive / too random);
+      // empty texts carry no signal and are kept
+      "compression_filter" -> (o => df => {
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val t = ColumnNs.q(req(o, "textCol"))
+        val raw = org.apache.spark.sql.functions.octet_length(t).cast("long")
+        val ratio = org.apache.spark.sql.functions.when(raw > 0,
+          org.apache.spark.sql.functions.call_function("graft_deflate_len", t)
+            .cast("double") / raw.cast("double"))
+        val lo = o.getOrElse("minRatio", "0.2").toDouble
+        val hi = o.getOrElse("maxRatio", "0.4").toDouble
+        df.where(ratio.isNull || (ratio >= lo && ratio <= hi))
+      }),
       "nfc_normalize" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)
         val c = req(o, "column")

@@ -93,7 +93,8 @@ object GraftExtensions {
         SortedIntersectSizeExpression(children(0), children(1))
       }),
     unary("graft_simhash64", classOf[SimHash64Expression], SimHash64Expression(_)),
-    unary("graft_nfc", classOf[NfcNormalizeExpression], NfcNormalizeExpression(_)))
+    unary("graft_nfc", classOf[NfcNormalizeExpression], NfcNormalizeExpression(_)),
+    unary("graft_deflate_len", classOf[DeflateLenExpression], DeflateLenExpression(_)))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

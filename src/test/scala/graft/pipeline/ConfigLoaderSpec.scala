@@ -91,6 +91,13 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(split.columns.contains("split"))
     assert(split.select("split").distinct().as[String].collect()
       .forall(Set("train", "val")))
+    // compression_filter drops the repetitive tail, keeps prose-like text
+    val comp = Seq((1L, "spark " * 300), (2L, "the quick brown fox " +
+      "jumped over one lazy dog while twelve boxers drank quarts"))
+      .toDF("doc_id", "text")
+    val kept = transformKinds("compression_filter")(
+      Map("textCol" -> "text", "minRatio" -> "0.2", "maxRatio" -> "0.9"))(comp)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
     val dir = "/tmp/graft_test/cfg_partitioned/t"
     loadKinds("partitioned")(Map("path" -> dir, "partCols" -> "doc_id")) match {
       case graft.sinks.Sinks.Write(_, f) => f(docs)

@@ -131,4 +131,48 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("graft_deflate_len: order, types, nulls; codegen compiles") {
+    registered()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rep = "spark " * 200                    // 1200 bytes, repetitive
+      val rnd = (0 until 10).map(g =>             // 320 hex chars, ~random
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"x-$g".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ).mkString
+      val out = Seq((1L, rep), (2L, rnd)).toDF("id", "t")
+        .selectExpr("id", "graft_deflate_len(t) AS dl",
+          "octet_length(t) AS n")
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val (repDl, repN) = out(1L)
+      val (rndDl, rndN) = out(2L)
+      // repetitive text deflates below 20% of raw; hex "noise" carries
+      // 4 bits/char entropy, so deflate can never reach below 40%
+      assert(repDl.toDouble / repN < 0.2, s"rep ratio ${repDl.toDouble / repN}")
+      assert(rndDl.toDouble / rndN > 0.4, s"rnd ratio ${rndDl.toDouble / rndN}")
+      // binary input accepted; equals the string form of the same bytes
+      val b = Seq(Tuple1(rep.getBytes("UTF-8"))).toDF("b")
+        .selectExpr("graft_deflate_len(b) AS dl").as[Long].head()
+      assert(b == repDl)
+      // null propagates; empty input deflates to a few header bytes
+      assert(Seq(Tuple1(Option.empty[String])).toDF("t")
+        .selectExpr("graft_deflate_len(t)").head().isNullAt(0))
+      // compressionStats: flags on both tails, empty text -> null ratio
+      val st = graft.llm.TextAnalysis.compressionStats(
+          Seq((1L, rep), (2L, rnd), (3L, "")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long, Option[Double], Boolean, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(st(1L)._4 && !st(1L)._5)
+      assert(!st(2L)._4 && st(2L)._5)
+      assert(st(3L)._3.isEmpty && !st(3L)._4 && !st(3L)._5)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
