@@ -1466,6 +1466,56 @@ object Queries {
         CAST(i - 1 AS BIGINT) AS i, round(avg(v), 6) AS v
       FROM x GROUP BY group_id, i ORDER BY group_id, i"""))
 
+  /** Per-vector int8 quantization ([[Similarity.quantizeInt8]]): the
+    * oracle replays scale/round/cast per element, and the
+    * `err_bounded` column proves the scale/2 reconstruction bound on
+    * every row in BOTH engines. */
+  private val embedQuantize = QueryDef("embed_quantize",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      // NB: round(scale).as("scale") and the err bound cannot share one
+      // select — a lateral column alias would shadow the true scale
+      Similarity.quantizeInt8(emb)
+        .join(emb.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("__v")), Seq("vec_id"))
+        .withColumn("err_bounded",
+          array_max(zip_with(col("__v"),
+            Similarity.dequantizeInt8(col("q"), col("scale")),
+            (a, b) => abs(a - b))) <= col("scale") / 2)
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
+          col("err_bounded"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM b),
+      q AS (SELECT vec_id, scale, v,
+        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+             ELSE list_transform(v, x -> CAST(round(x / scale) AS INT))
+        END AS qv
+        FROM s)
+      SELECT vec_id, round(scale, 6) AS scale,
+        array_to_string(qv, ',') AS q_str,
+        list_max(list_transform(range(1, len(v) + 1),
+          i -> abs(v[i] - qv[i] * scale))) <= scale / 2 AS err_bounded
+      FROM q ORDER BY vec_id"""))
+
+  /** Cosine-to-centroid outlier probe ([[Similarity.centroidOutliers]]):
+    * DECIMAL-summed centroid (shuffle-order-proof), cosine against the
+    * sum vector (1/n cancels), k lowest scores. */
+  private val embedOutliers = QueryDef("embed_outliers",
+    (s, d) => Similarity.centroidOutliers(t(s, d, "embeddings"), k = 20),
+    Some(s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      e AS (SELECT unnest(v) AS x, unnest(range(0, len(v))) AS p FROM b),
+      c AS (SELECT p, CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) AS s
+            FROM e GROUP BY p),
+      cv AS (SELECT list(s ORDER BY p) AS cvec FROM c)
+      SELECT vec_id,
+        round(${sqlDot("v", "cvec")} / (${sqlNorm("v")} * ${sqlNorm("cvec")}),
+          6) AS cos_centroid
+      FROM b, cv ORDER BY cos_centroid, vec_id LIMIT 20"""))
+
   /** Synthetic chain edges (doc_id — doc_id+1 for doc_id%10 ∈ {0,1,2})
     * force the labels to propagate transitively across 4-node chains —
     * the oracle recomputes components with a recursive CTE, so the
@@ -2357,7 +2407,7 @@ object Queries {
     dedupMinhashIncr, dedupSimhash, dedupSimhashPlanted, dedupNgram,
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     decontaminate, decontaminateBloom, dedupClusters, piiScrub,
-    embedNormalize, embedMeanpool,
+    embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, tokenCounts, vocabTopk,

@@ -253,4 +253,57 @@ object Similarity {
       .select(col("a"), col("b"), nCosine(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Per-vector int8 scalar quantization: `scale = max|v_i| / 127`,
+    * `q_i = round(v_i / scale)` — 4× storage cut for float32 embedding
+    * columns (the difference between 100 TB of vectors fitting a
+    * cluster's disks or not), with reconstruction error bounded by
+    * scale/2 per component. Map-only, shuffle-free; zero vectors keep
+    * scale 0 and quantize to zeros. Returns (vec_id, scale, q). */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        Dedup.letBound(
+          array_max(transform(asDouble(col(vecCol)), x => abs(x))) / 127.0) { s =>
+          struct(s.as("scale"),
+            when(s === 0d, transform(col(vecCol), _ => lit(0)))
+              .otherwise(transform(asDouble(col(vecCol)),
+                x => round(x / s).cast("int"))).as("q"))
+        }.as("__qs"))
+      .select(col("vec_id"), col("__qs.scale").as("scale"),
+        col("__qs.q").as("q"))
+
+  /** Inverse of [[quantizeInt8]]: `v_i ≈ q_i * scale`. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Cosine-to-centroid outlier scores: the standard corrupt-embedding
+    * probe (zeroed rows, wrong-model vectors, encoding bugs score far
+    * from the corpus mean). The centroid's per-dimension sums go
+    * through DECIMAL so shuffle order cannot change results — and the
+    * cosine is taken against the SUM vector directly (the 1/n scale
+    * factor cancels in cosine), so no division ever happens in the
+    * aggregate. Returns the k lowest-cosine rows.
+    *
+    * Scale shape: one posexplode aggregation on the (bounded)
+    * dimension key, the dim-long centroid broadcast back as a one-row
+    * frame, a map-only score pass, and a TakeOrderedAndProject top-k —
+    * the corpus is scanned twice and never shuffled. */
+  def centroidOutliers(df: DataFrame, k: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    registered(df)
+    val sums = df
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("__p", "__v")))
+      .groupBy(col("__p"))
+      .agg(sum(col("__v").cast("decimal(38,20)")).as("__s"))
+    val centroid = sums
+      .agg(array_sort(collect_list(struct(col("__p"), col("__s")))).as("__c"))
+      .select(transform(col("__c"),
+        e => e.getField("__s").cast("double")).as("__cv"))
+    df.crossJoin(broadcast(centroid))
+      .select(col(idCol).as("vec_id"),
+        round(nCosine(asDouble(col(vecCol)), col("__cv")), 6).as("cos_centroid"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+      .limit(k)
+  }
 }

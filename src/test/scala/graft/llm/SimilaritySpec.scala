@@ -89,4 +89,43 @@ class SimilaritySpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("quantizeInt8 roundtrips within scale/2; zero vectors stay zero") {
+    val v = Seq.tabulate(64)(i => (math.sin(i) * 3).toFloat)
+    val df = Seq((1L, v), (2L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2))))
+      .toMap
+    val (scale, qv) = q(1L)
+    assert(qv.forall(x => x >= -127 && x <= 127))
+    assert(qv.map(math.abs).max == 127) // the max component pins the range
+    v.map(_.toDouble).zip(qv).foreach { case (orig, qi) =>
+      assert(math.abs(orig - qi * scale) <= scale / 2 + 1e-12)
+    }
+    val (zScale, zQv) = q(2L)
+    assert(zScale == 0.0 && zQv.forall(_ == 0))
+    // dequantize inverts up to the bound
+    val deq = Similarity.quantizeInt8(df).select(col("vec_id"),
+        Similarity.dequantizeInt8(col("q"), col("scale")).as("d"))
+      .where(col("vec_id") === 1L)
+      .select(explode(col("d"))).as[Double].collect()
+    deq.zip(v).foreach { case (d, orig) =>
+      assert(math.abs(d - orig) <= scale / 2 + 1e-12)
+    }
+  }
+
+  test("centroidOutliers ranks a planted corrupt vector worst") {
+    // 30 vectors near a common direction + one negated (anti-centroid)
+    val base = Seq.tabulate(64)(i => math.sin(i * 0.3) + 2.0)
+    val rows = (1L to 30L).map { k =>
+      (k, base.zipWithIndex.map { case (x, i) =>
+        (x + 0.01 * math.cos(i + k)).toFloat })
+    } :+ (99L, base.map(x => (-x).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, k = 3)
+      .as[(Long, Double)].collect()
+    assert(out.head._1 == 99L)
+    assert(out.head._2 < -0.8) // planted vector is anti-aligned
+    assert(out.tail.forall(_._2 > 0.9)) // the rest hug the centroid
+  }
 }
