@@ -1241,6 +1241,42 @@ object Queries {
         CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents WHERE doc_id < 5 ORDER BY new_id"""))
 
+  /** Incremental EXACT dedup ([[Dedup.exactDedupAgainst]]): the batch
+    * mixes corpus copies (must all drop), novel texts (must survive),
+    * and a within-batch duplicate of each novel text (keep-first). The
+    * oracle replays the anti-join + keep-first on normalized text. */
+  private val dedupExactIncr = QueryDef("dedup_exact_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val novel = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" novel "), col("doc_id")).as("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(novel.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        .unionByName(novel.select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      Dedup.exactDedupAgainst(batch, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH novel AS (
+        SELECT doc_id, text || ' novel ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 25 = 0),
+      batch AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 200000, text FROM novel
+        UNION ALL SELECT doc_id + 300000, text FROM novel),
+      norm AS (SELECT doc_id, text,
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM batch),
+      seen AS (SELECT DISTINCT
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents),
+      fresh AS (SELECT n.doc_id, n.text, n.nt FROM norm n
+        LEFT JOIN seen s ON n.nt = s.nt WHERE s.nt IS NULL),
+      k AS (SELECT doc_id, text,
+        min(doc_id) OVER (PARTITION BY nt) AS keep FROM fresh)
+      SELECT doc_id, text FROM k WHERE doc_id = keep ORDER BY doc_id"""))
+
   private val dedupSimhash = QueryDef("dedup_simhash",
     (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)
@@ -2180,6 +2216,28 @@ object Queries {
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY event_type, hour"""))
 
+  /** Batch execution of the streaming corpus-quality monitor
+    * ([[graft.streaming.EventsStream.qualityMonitor]]) — synthetic
+    * event times (one doc per 10 minutes) bucket the documents table
+    * into hourly per-source windows; StreamingSpec drives the same
+    * function over a MemoryStream with late data. */
+  private val docsQualityMonitor = QueryDef("docs_quality_monitor",
+    (s, d) => graft.streaming.EventsStream.qualityMonitor(
+        t(s, d, "documents").withColumn("ts",
+          timestamp_micros(col("doc_id") * 600000000L)))
+      .orderBy(col("window_start"), col("source")),
+    Some("""WITH docs AS (
+        SELECT *, make_timestamp(doc_id * 600000000) AS ts FROM documents)
+      SELECT date_trunc('hour', ts) AS window_start, source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN trim(text)='' THEN 0
+          ELSE len(string_split_regex(trim(text),'\s+')) END) AS BIGINT)
+          AS sum_tokens,
+        CAST(SUM(CASE WHEN (CASE WHEN trim(text)='' THEN 0
+          ELSE len(string_split_regex(trim(text),'\s+')) END) < 5
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      FROM docs GROUP BY 1, 2 ORDER BY window_start, source"""))
+
   /** Batch execution of the stream-static enrichment join — the same
     * [[graft.streaming.EventsStream.enrich]] call StreamingSpec drives
     * from a MemoryStream (where it is stateless per micro-batch). */
@@ -2404,7 +2462,8 @@ object Queries {
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger, orcRoundtrip,
     partitionedScan, zorderQ,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
-    dedupMinhashIncr, dedupSimhash, dedupSimhashPlanted, dedupNgram,
+    dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
+    dedupNgram,
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     decontaminate, decontaminateBloom, dedupClusters, piiScrub,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
@@ -2415,7 +2474,8 @@ object Queries {
     chunkTokensQ, profileQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
-    eventsHourly, eventsEnriched, eventsAttribution, eventsAsof,
+    eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
+    eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,
     eventsSessions)
 }

@@ -45,6 +45,29 @@ object Dedup {
       .drop("__h", "__keep")
   }
 
+  /** Incremental exact dedup — the continuous-ingestion shape: drop
+    * batch rows whose normalized content already exists in the corpus,
+    * then keep-first within the batch itself (two copies arriving in
+    * one batch must not both survive). The exact-hash counterpart of
+    * [[minhashNearDupsAgainst]].
+    *
+    * Scale shape: the corpus reduces to DISTINCT 256-bit hashes first
+    * (map-side partial; at steady state this side is a pre-materialized
+    * hash ledger that never rescans the corpus), and the anti join +
+    * keep-first window share one batch-side shuffle on the hash key.
+    * The corpus is never joined to itself. */
+  def exactDedupAgainst(batch: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val h = sha2(normalizeText(col(textCol)), 256)
+    val seen = corpus.select(h.as("__h")).distinct()
+    val w = Window.partitionBy(col("__h"))
+    batch.withColumn("__h", h)
+      .join(seen, Seq("__h"), "left_anti")
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .where(col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+  }
+
   /** Normalized word array. */
   def wordsOf(c: Column): Column = split(normalizeText(c), " ")
 

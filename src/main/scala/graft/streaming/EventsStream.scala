@@ -31,6 +31,31 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"))
 
+  /** Windowed per-source corpus-quality monitor — the ingest-time
+    * watchdog a continuously-fed training pipeline needs: a source that
+    * starts emitting empty/short/junk documents shows up within one
+    * window instead of one training run. Per (event-time window,
+    * source): doc count, exact token sum, and how many docs fall under
+    * `minTokens`. All signals are map-only expressions feeding ONE
+    * watermarked windowed aggregation — state is bounded by the
+    * watermark, integer sums are shuffle-order-proof, and the identical
+    * function serves the batch path (oracle-checked as
+    * `docs_quality_monitor`). */
+  def qualityMonitor(docs: DataFrame, tsCol: String = "ts",
+                     sourceCol: String = "source", textCol: String = "text",
+                     windowLen: String = "1 hour", delay: String = "2 hours",
+                     minTokens: Int = 5): DataFrame = {
+    val toks = graft.llm.TextAnalysis.wsTokenCount(col(textCol))
+    docs
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks).as("sum_tokens"),
+        sum(when(toks < minTokens, 1L).otherwise(0L)).as("n_short"))
+      .select(col("w.start").as("window_start"), col(sourceCol),
+        col("n_docs"), col("sum_tokens"), col("n_short"))
+  }
+
   /** Streaming exact-dedup: drop duplicate keys with bounded state —
     * duplicates arriving within the watermark delay are suppressed,
     * state for expired keys is evicted (the streaming counterpart of

@@ -204,6 +204,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> "a\nb", 2L -> "a\nc"))
   }
 
+  test("exactDedupAgainst drops corpus matches, keeps first within batch") {
+    val corpus = Seq((1L, "Existing Doc"), (2L, "other text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "existing   DOC"),  // normalizes to a corpus match -> drop
+      (11L, "brand new"),       // novel -> keep
+      (12L, "brand  NEW"),      // within-batch dup of 11 -> drop
+      (13L, "also fresh")       // novel -> keep
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedupAgainst(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("duplicateSpans finds shared k-grams with doc and occurrence counts") {
     val docs = Seq(
       (1L, "a b c d e f"),

@@ -54,6 +54,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityMonitor over a MemoryStream: windowed per-source signals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val mon = EventsStream.qualityMonitor(
+      mem.toDF().toDF("ts", "source", "text"))
+    val q = mon.writeStream
+      .format("memory").queryName("quality_test").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        (ts(0), "srcA", "one two three four five six"), // 6 tokens
+        (ts(10), "srcA", "short doc"),                  // 2 tokens -> short
+        (ts(20), "srcB", ""),                           // 0 tokens -> short
+        (ts(70), "srcA", "next window tokens here now")) // hour 1, 5 tokens
+      q.processAllAvailable()
+      // close the first windows past the 2h watermark
+      mem.addData((ts(400), "srcZ", "late closer"))
+      q.processAllAvailable()
+      val rows = spark.table("quality_test")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(rows.contains((baseMin, "srcA", 2L, 8L, 1L)))
+      assert(rows.contains((baseMin, "srcB", 1L, 0L, 1L)))
+      assert(rows.contains((baseMin + 60L, "srcA", 1L, 5L, 0L)))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static join is stateless and enriches each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "ALPHA"), (2L, "BETA")).toDF("c_custkey", "n_name")
