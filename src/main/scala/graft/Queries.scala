@@ -1810,6 +1810,31 @@ object Queries {
       WHERE word <> ''
       GROUP BY word ORDER BY n_total DESC, word LIMIT 20"""))
 
+  /** Unigram LM cross-entropy ([[TextAnalysis.unigramCrossEntropy]]):
+    * CCNet-style statistical quality scoring against the corpus's own
+    * word distribution. round(4) absorbs libm-ln last-ulp variance;
+    * the DECIMAL-routed log-sum handles shuffle order. */
+  private val docCrossEntropy = QueryDef("doc_cross_entropy",
+    (s, d) => TextAnalysis.unigramCrossEntropy(t(s, d, "documents"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_words"),
+        round(col("cross_entropy"), 4).as("cross_entropy"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS word
+              FROM documents),
+      ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      f AS (SELECT word, count(*) AS n FROM ww GROUP BY word),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+            count(*) AS v FROM f),
+      s AS (SELECT ww.doc_id,
+            -ln(CAST(f.n + 1 AS DOUBLE) / CAST(t.total + t.v + 1 AS DOUBLE))
+              AS nlp
+            FROM ww JOIN f USING (word) CROSS JOIN t)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
+          AS cross_entropy
+      FROM s GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Per-doc characteristic terms ([[TextAnalysis.topTerms]]) on the
     * first 50 docs — TF-IDF-ratio keyword extraction, top-3 per doc. */
   private val topTermsQ = QueryDef("doc_top_terms",
@@ -2470,7 +2495,7 @@ object Queries {
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, tokenCounts, vocabTopk,
-    bigramTopk, topTermsQ,
+    bigramTopk, topTermsQ, docCrossEntropy,
     chunkTokensQ, profileQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,

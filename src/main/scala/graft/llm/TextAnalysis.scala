@@ -273,6 +273,37 @@ object TextAnalysis {
         explode(split(Dedup.normalizeText(col(textCol)), " ")).as("word"))
       .where(col("word") =!= "")
 
+  /** CCNet-style statistical LM quality score: per-document unigram
+    * cross-entropy against the corpus's own word distribution, with
+    * add-one smoothing — `-mean(ln((n_w + 1) / (N + |V| + 1)))` in
+    * nats. Documents full of rare/garbage tokens score high; dull
+    * boilerplate scores low; both tails are curation candidates (the
+    * distributed stand-in for CCNet's wiki-LM perplexity bucketing —
+    * same selection mechanics, corpus-self-trained instead of an
+    * external LM).
+    *
+    * Scale shape: one vocabulary aggregation (vocabulary-sized output —
+    * broadcastable at realistic vocab sizes; swap the hint for a plain
+    * shuffle join if |V| outgrows executors), the per-word log computed
+    * ONCE per vocab entry (not per occurrence), one doc-key aggregation
+    * for the mean. Log-sums route through DECIMAL so partial-merge
+    * order cannot change results. */
+  def unigramCrossEntropy(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val ws = wordRows(df, idCol, textCol)
+    val freqs = ws.groupBy(col("word")).agg(count(lit(1)).as("__n"))
+    val totals = freqs.agg(sum(col("__n")).as("__total"),
+      count(lit(1)).as("__v"))
+    val worded = freqs.crossJoin(broadcast(totals))
+      .select(col("word"), (-log((col("__n") + 1).cast("double") /
+        (col("__total") + col("__v") + 1).cast("double"))).as("__nlp"))
+    ws.join(broadcast(worded), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        (sum(col("__nlp").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("cross_entropy"))
+  }
+
   /** Corpus vocabulary census: one row per normalized word with total
     * occurrences and distinct-document frequency — the heavy-hitter /
     * stopword / tokenizer-coverage analysis pass. Scale shape: explode

@@ -187,4 +187,18 @@ class TextAnalysisSpec extends SparkSpec {
     // every token exactly once
     assert(out.map(_._4).sum == 5L)
   }
+
+  test("unigramCrossEntropy: rare words raise the score; exact value") {
+    // corpus: n(a)=7, n(rare)=1, N=8, |V|=2; add-one smoothing:
+    // p(a) = 8/11, p(rare) = 2/11
+    val docs = Seq((1L, "a a a a"), (2L, "a a a rare")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ceCommon = -math.log(8.0 / 11.0)
+    val ceMixed = (3 * -math.log(8.0 / 11.0) + -math.log(2.0 / 11.0)) / 4
+    assert(out(1L)._1 == 4L && math.abs(out(1L)._2 - ceCommon) < 1e-9)
+    assert(out(2L)._1 == 4L && math.abs(out(2L)._2 - ceMixed) < 1e-9)
+    assert(out(2L)._2 > out(1L)._2)
+  }
 }
