@@ -1382,14 +1382,15 @@ object Queries {
     (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
         k = 4, minDocs = 2)
       .orderBy(col("gram")),
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+    Some("""WITH w AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS ws
               FROM documents),
       toks AS (SELECT doc_id, unnest(ws) AS tok,
                unnest(range(0, len(ws))) AS pos FROM w),
       grams AS (SELECT doc_id,
         CASE WHEN lead(tok, 3) OVER win IS NULL THEN NULL
-             ELSE tok || ' ' || lead(tok, 1) OVER win || ' ' ||
-                  lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win
+             ELSE lower(tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+                  lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win)
         END AS gram
         FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
       SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -1405,14 +1406,15 @@ object Queries {
     (s, d) => Dedup.stripDuplicateSpans(t(s, d, "documents"), "doc_id",
         "text", k = 4, minDocs = 2)
       .orderBy(col("doc_id")),
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+    Some("""WITH w AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS ws
               FROM documents),
       toks AS (SELECT doc_id, unnest(ws) AS tok,
                unnest(range(0, len(ws))) AS pos FROM w),
       grams AS (SELECT doc_id, pos, tok,
         CASE WHEN lead(tok, 3) OVER win IS NULL THEN NULL
-             ELSE tok || ' ' || lead(tok, 1) OVER win || ' ' ||
-                  lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win
+             ELSE lower(tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+                  lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win)
         END AS gram
         FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
       dup AS (SELECT gram FROM grams WHERE gram IS NOT NULL
@@ -1548,8 +1550,10 @@ object Queries {
             FROM e GROUP BY p),
       cv AS (SELECT list(s ORDER BY p) AS cvec FROM c)
       SELECT vec_id,
-        round(${sqlDot("v", "cvec")} / (${sqlNorm("v")} * ${sqlNorm("cvec")}),
-          6) AS cos_centroid
+        CASE WHEN v IS NULL OR ${sqlDot("v", "v")} = 0 THEN -2.0
+             ELSE round(${sqlDot("v", "cvec")} /
+               (${sqlNorm("v")} * ${sqlNorm("cvec")}), 6)
+        END AS cos_centroid
       FROM b, cv ORDER BY cos_centroid, vec_id LIMIT 20"""))
 
   /** Synthetic chain edges (doc_id — doc_id+1 for doc_id%10 ∈ {0,1,2})
@@ -2255,11 +2259,11 @@ object Queries {
         SELECT *, make_timestamp(doc_id * 600000000) AS ts FROM documents)
       SELECT date_trunc('hour', ts) AS window_start, source,
         CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(SUM(CASE WHEN trim(text)='' THEN 0
-          ELSE len(string_split_regex(trim(text),'\s+')) END) AS BIGINT)
+        CAST(SUM(COALESCE(CASE WHEN trim(text)='' THEN 0
+          ELSE len(string_split_regex(trim(text),'\s+')) END, 0)) AS BIGINT)
           AS sum_tokens,
-        CAST(SUM(CASE WHEN (CASE WHEN trim(text)='' THEN 0
-          ELSE len(string_split_regex(trim(text),'\s+')) END) < 5
+        CAST(SUM(CASE WHEN COALESCE(CASE WHEN trim(text)='' THEN 0
+          ELSE len(string_split_regex(trim(text),'\s+')) END, 0) < 5
           THEN 1 ELSE 0 END) AS BIGINT) AS n_short
       FROM docs GROUP BY 1, 2 ORDER BY window_start, source"""))
 

@@ -645,25 +645,31 @@ object Dedup {
       .select(col("doc_id"), col("text"))
   }
 
-  /** One (doc_id, pos, tok) row per whitespace token, plus the k-token
-    * gram STARTING at each position (null where fewer than k tokens
-    * remain — `split` never yields null elements, so gating on the last
-    * constituent is exact). One window pass per document partition. */
+  /** One (doc_id, pos, tok) row per whitespace-run token (`\s+` split
+    * of the trimmed text — tabs/newlines split like spaces, no empty
+    * tokens from runs), plus the lowercased k-token gram KEY starting
+    * at each position (null where fewer than k tokens remain — `split`
+    * never yields null elements, so gating on the last constituent is
+    * exact). Matching is therefore case- and whitespace-insensitive
+    * (the dedup-family contract) while `tok` preserves the original
+    * form for reassembly. One window pass per document partition. */
   private def tokenGrams(df: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
     df.select(col(idCol).as("doc_id"),
-        posexplode(split(coalesce(col(textCol), lit("")), " "))
+        posexplode(split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
           .as(Seq("pos", "tok")))
       .withColumn("gram",
-        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+        when(parts.last.isNotNull, lower(concat_ws(" ", parts: _*))))
   }
 
   /** Exact duplicated-SPAN census — the substring-level granularity
     * between line-level boilerplate ([[repeatedLines]]) and whole-doc
     * near-dup (MinHash): every k-token gram occurring in ≥ `minDocs`
     * distinct documents, with its document and occurrence counts.
+    * Grams are matched (and reported) case- and whitespace-insensitively
+    * — lowercased, `\s+`-tokenized — the dedup-family contract.
     * Duplicated spans longer than k tokens show up as runs of
     * overlapping duplicated k-grams, which is exactly what
     * [[stripDuplicateSpans]]' coverage window consumes.
@@ -688,28 +694,29 @@ object Dedup {
 
   /** Rewrite each document with duplicated k-token spans removed: a
     * token is dropped iff it is covered by some duplicated k-gram (one
-    * occurring in ≥ `minDocs` distinct documents) starting at most k-1
-    * positions before it. Surviving tokens re-join in original order;
-    * every document keeps its row (a fully-duplicated one becomes "").
-    * Documents shorter than k tokens are never modified.
+    * occurring in ≥ `minDocs` distinct documents, matched case- and
+    * whitespace-insensitively) starting at most k-1 positions before
+    * it. Surviving tokens keep their original form and order, re-joined
+    * by single spaces (inner whitespace runs normalize — the price of
+    * whitespace-insensitive matching); every document keeps its row (a
+    * fully-duplicated one becomes ""). Documents shorter than k tokens
+    * are never modified.
     *
     * Scale shape: the duplicated-gram set joins back only to MARK span
-    * starts — id-free, `xxhash64`-keyed, duplicate-vocabulary-sized, so
-    * it broadcasts and the corpus never shuffles for it; coverage is a
+    * starts — id-free and duplicate-vocabulary-sized, so it broadcasts
+    * and the corpus never shuffles for it; the join key is the gram
+    * STRING itself (a 64-bit hash key would silently strip innocent
+    * tokens on its first collision at corpus scale); coverage is a
     * second window over the SAME (doc, pos) partitioning (no new
     * shuffle), and reassembly reuses the doc key. Three corpus-linear
     * passes, one gram-key aggregation, no pair expansion. */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, minDocs: Int = 2): DataFrame = {
     val dup = duplicateSpans(df, idCol, textCol, k, minDocs)
-      .select(xxhash64(col("gram")).as("__gh"), lit(1).as("__dup"))
+      .select(col("gram"), lit(1).as("__dup"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // gate: xxhash64(null) is the seed, not null — an ungated hash
-    // would give every tail position one shared (joinable) key
     val marked = tokenGrams(df, idCol, textCol, k)
-      .withColumn("__gh",
-        when(col("gram").isNotNull, xxhash64(col("gram"))))
-      .join(dup, Seq("__gh"), "left")
+      .join(dup, Seq("gram"), "left")
       .withColumn("__covered",
         max(coalesce(col("__dup"), lit(0)))
           .over(w.rowsBetween(-(k - 1), Window.currentRow)))

@@ -285,6 +285,12 @@ object Similarity {
     * factor cancels in cosine), so no division ever happens in the
     * aggregate. Returns the k lowest-cosine rows.
     *
+    * Degenerate rows — null embeddings and zero vectors, the very
+    * corruption this probe exists to catch — score the sentinel `-2.0`
+    * (below any real cosine) so they rank FIRST: an undefined 0/0
+    * cosine would otherwise go NaN (sorts last in Spark — invisible)
+    * and a null score would diverge between engines' null orderings.
+    *
     * Scale shape: one posexplode aggregation on the (bounded)
     * dimension key, the dim-long centroid broadcast back as a one-row
     * frame, a map-only score pass, and a TakeOrderedAndProject top-k —
@@ -300,9 +306,11 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__p"), col("__s")))).as("__c"))
       .select(transform(col("__c"),
         e => e.getField("__s").cast("double")).as("__cv"))
+    val v = asDouble(col(vecCol))
     df.crossJoin(broadcast(centroid))
       .select(col(idCol).as("vec_id"),
-        round(nCosine(asDouble(col(vecCol)), col("__cv")), 6).as("cos_centroid"))
+        when(col(vecCol).isNull || nDot(v, v) === 0d, lit(-2.0))
+          .otherwise(round(nCosine(v, col("__cv")), 6)).as("cos_centroid"))
       .orderBy(col("cos_centroid").asc, col("vec_id").asc)
       .limit(k)
   }

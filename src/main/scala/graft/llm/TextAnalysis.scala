@@ -133,16 +133,34 @@ object TextAnalysis {
                        minRatio: Double = 0.2,
                        maxRatio: Double = 0.4): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
-    val raw = octet_length(col(textCol)).cast("long")
-    val dl = call_function("graft_deflate_len", col(textCol))
-    df.select(col(idCol).as("doc_id"), raw.as("n_bytes"),
-        // ANSI-safe: no division when the text is empty
-        when(raw > 0, dl.cast("double") / raw.cast("double")).as("ratio"))
+    df.select(col(idCol).as("doc_id"),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        compressionRatio(col(textCol)).as("ratio"))
       .withColumn("too_repetitive",
         coalesce(col("ratio") < minRatio, lit(false)))
       .withColumn("too_random",
         coalesce(col("ratio") > maxRatio, lit(false)))
   }
+
+  /** deflated/raw byte ratio, null for empty/null text (ANSI-safe — no
+    * division by zero). Requires `GraftExtensions.register` on the
+    * session. */
+  def compressionRatio(c: Column): Column =
+    Dedup.letBound(octet_length(c).cast("long")) { raw =>
+      when(raw > 0,
+        call_function("graft_deflate_len", c).cast("double") /
+          raw.cast("double"))
+    }
+
+  /** Keep predicate for the compression-ratio filter: inside
+    * [minRatio, maxRatio], with no-signal (empty/null) texts kept. The
+    * ratio is let-bound so the (dominant-cost) deflate runs ONCE per
+    * row even though the predicate references it three times. */
+  def compressionOk(c: Column, minRatio: Double = 0.2,
+                    maxRatio: Double = 0.4): Column =
+    Dedup.letBound(compressionRatio(c)) { r =>
+      r.isNull || (r >= minRatio && r <= maxRatio)
+    }
 
   /** Quality-signal columns (Gopher-style length/punct/stopword rules).
     * Returns a struct; `qualityOk` flattens to the keep decision. */

@@ -148,14 +148,10 @@ object ConfigLoader {
       // empty texts carry no signal and are kept
       "compression_filter" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)
-        val t = ColumnNs.q(req(o, "textCol"))
-        val raw = org.apache.spark.sql.functions.octet_length(t).cast("long")
-        val ratio = org.apache.spark.sql.functions.when(raw > 0,
-          org.apache.spark.sql.functions.call_function("graft_deflate_len", t)
-            .cast("double") / raw.cast("double"))
-        val lo = o.getOrElse("minRatio", "0.2").toDouble
-        val hi = o.getOrElse("maxRatio", "0.4").toDouble
-        df.where(ratio.isNull || (ratio >= lo && ratio <= hi))
+        df.where(graft.llm.TextAnalysis.compressionOk(
+          ColumnNs.q(req(o, "textCol")),
+          o.getOrElse("minRatio", "0.2").toDouble,
+          o.getOrElse("maxRatio", "0.4").toDouble))
       }),
       "nfc_normalize" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)

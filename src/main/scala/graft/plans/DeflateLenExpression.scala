@@ -53,17 +53,24 @@ case class DeflateLenExpression(child: Expression) extends UnaryExpression {
 }
 
 object DeflateLen {
+  // one native zlib stream per executor thread, reset() between rows —
+  // allocating/ending a Deflater per row costs on the order of the
+  // deflate itself for typical document sizes
+  private val local: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
   /** Raw-deflate (nowrap — no zlib header/checksum, so the length
-    * reflects only the entropy coding) at the default level 6. */
+    * reflects only the entropy coding) at the default level 6.
+    * Deterministic for a given input regardless of stream reuse. */
   def len(bytes: Array[Byte]): Long = {
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

@@ -45,7 +45,11 @@ object EventsStream {
                      sourceCol: String = "source", textCol: String = "text",
                      windowLen: String = "1 hour", delay: String = "2 hours",
                      minTokens: Int = 5): DataFrame = {
-    val toks = graft.llm.TextAnalysis.wsTokenCount(col(textCol))
+    // null text = 0 tokens: an extractor flipping to all-NULL is the
+    // classic upstream failure and MUST register as short docs, not
+    // silently fall out of both aggregates
+    val toks = coalesce(
+      graft.llm.TextAnalysis.wsTokenCount(col(textCol)), lit(0))
     docs
       .withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), windowLen).as("w"), col(sourceCol))

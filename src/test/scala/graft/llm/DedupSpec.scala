@@ -257,4 +257,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "tail1", 2L -> "tail2"))
   }
+
+  test("duplicate spans match across case and whitespace variants") {
+    // same span: different case, line-wrapped, tab-separated — all one
+    // gram key; surviving tokens keep their ORIGINAL form
+    val docs = Seq(
+      (1L, "The Quick Brown Fox ends"),
+      (2L, "prefix the quick\nbrown\tfox"),
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val census = Dedup.duplicateSpans(docs, "doc_id", "text",
+        k = 4, minDocs = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(census == Map("the quick brown fox" -> 2L))
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text",
+        k = 4, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "ends", 2L -> "prefix",
+      3L -> "unrelated words entirely here"))
+  }
 }

@@ -128,4 +128,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._2 < -0.8) // planted vector is anti-aligned
     assert(out.tail.forall(_._2 > 0.9)) // the rest hug the centroid
   }
+
+  test("centroidOutliers flags zero and null vectors first (sentinel -2)") {
+    val good = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val rows = Seq(
+      (1L, Some(good)),
+      (2L, Some(good.map(x => (x * 1.1f)))),
+      (3L, Some(Seq.fill(8)(0.0f))), // zero vector: undefined cosine
+      (4L, None)                     // null embedding
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(df, k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(3L -> -2.0, 4L -> -2.0))
+  }
 }

@@ -67,6 +67,8 @@ class StreamingSpec extends SparkSpec {
         (ts(0), "srcA", "one two three four five six"), // 6 tokens
         (ts(10), "srcA", "short doc"),                  // 2 tokens -> short
         (ts(20), "srcB", ""),                           // 0 tokens -> short
+        (ts(25), "srcB", null),    // null text = the broken-extractor
+                                   // case: counts as a short doc
         (ts(70), "srcA", "next window tokens here now")) // hour 1, 5 tokens
       q.processAllAvailable()
       // close the first windows past the 2h watermark
@@ -76,7 +78,7 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
           r.getLong(2), r.getLong(3), r.getLong(4))).toSet
       assert(rows.contains((baseMin, "srcA", 2L, 8L, 1L)))
-      assert(rows.contains((baseMin, "srcB", 1L, 0L, 1L)))
+      assert(rows.contains((baseMin, "srcB", 2L, 0L, 2L)))
       assert(rows.contains((baseMin + 60L, "srcA", 1L, 5L, 0L)))
     } finally q.stop()
   }
