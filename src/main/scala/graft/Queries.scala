@@ -2043,6 +2043,22 @@ object Queries {
     * customer table in ONE scan (multi-distinct via Expand); the double
     * column is pre-cast to DECIMAL so min/max strings are
     * engine-stable. */
+  /** Equi-width histogram ([[graft.operators.Profile.histogram]]) of
+    * document lengths over [0, 600), 12 buckets of width 50 — integer
+    * inputs and an integer bucket width keep the floor-division exact
+    * in both engines. Underflow (bucket 0) and overflow (13) are
+    * impossible for this data (n_chars 48..553) but the CASE arms are
+    * stated so the contract is explicit. */
+  private val histogramQ = QueryDef("profile_histogram",
+    (s, d) => graft.operators.Profile.histogram(
+        t(s, d, "documents"), "n_chars", lo = 0.0, hi = 600.0, nBuckets = 12)
+      .orderBy(col("bucket")),
+    Some("""SELECT CASE WHEN n_chars < 0 THEN 0
+             WHEN n_chars >= 600 THEN 13
+             ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT) + 1
+        END AS bucket, count(*) AS n
+      FROM documents GROUP BY 1 ORDER BY bucket"""))
+
   private val profileQ = QueryDef("profile_columns",
     (s, d) => {
       val cust = t(s, d, "customer")
@@ -2500,7 +2516,7 @@ object Queries {
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, tokenCounts, vocabTopk,
     bigramTopk, topTermsQ, docCrossEntropy,
-    chunkTokensQ, profileQ, docFingerprint, packSequences,
+    chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,

@@ -46,4 +46,24 @@ object Profile {
           col(s"__${c}__max").as("max_val"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Equi-width histogram of a numeric column over [lo, hi): the
+    * distribution view `profile`'s min/max can't give (skew, modes,
+    * heavy tails — the shape checks a curation threshold is chosen
+    * from). `width_bucket` semantics: bucket 0 collects values below
+    * `lo`, bucket `nBuckets + 1` values at/above `hi`, so nothing is
+    * silently dropped; empty buckets are omitted (at 100 TB a dense
+    * bucket list is the caller's join-with-`sequence` problem, not a
+    * row-explosion here). One map-only bucket assignment + ONE
+    * aggregation on the (bounded) bucket key. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"histogram: nBuckets must be >= 1, got $nBuckets")
+    require(lo < hi, s"histogram: need lo < hi, got [$lo, $hi)")
+    df.where(col(valueCol).isNotNull)
+      .select(width_bucket(col(valueCol).cast("double"), lit(lo), lit(hi),
+        lit(nBuckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -68,4 +68,43 @@ class ChunkStripPropSpec extends SparkSpec {
     }
     check(prop, 40)
   }
+
+  test("stripDuplicateSpans matches a brute-force mark-and-cover oracle") {
+    // small token alphabet (mixed case to exercise the lowercased key)
+    // forces duplicated k-grams, overlapping spans, and full coverage
+    val tokPool = Vector("a", "B", "c", "d", "E")
+    val genDocs = for {
+      nDocs <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(0, 12).flatMap(k =>
+          Gen.listOfN(k, Gen.choose(0, tokPool.size - 1))))
+    } yield docs.zipWithIndex.map { case (ids, i) =>
+      (i.toLong, ids.map(tokPool).mkString(" "))
+    }
+    val prop = Prop.forAll(genDocs, Gen.choose(2, 3), Gen.choose(2, 4)) {
+      (docs, k, minDocs) =>
+        def toks(t: String): Array[String] =
+          t.trim.split("\\s+") // "" -> Array("") — one empty token
+        // brute-force census on lowercased grams
+        val allGrams = docs.flatMap { case (id, t) =>
+          val w = toks(t)
+          (0 to w.length - k).map(p =>
+            (id, w.slice(p, p + k).mkString(" ").toLowerCase))
+        }
+        val dup = allGrams.distinct.groupBy(_._2)
+          .collect { case (g, xs) if xs.size >= minDocs => g }.toSet
+        val expected = docs.map { case (id, t) =>
+          val w = toks(t)
+          val starts = (0 to w.length - k)
+            .filter(p => dup(w.slice(p, p + k).mkString(" ").toLowerCase))
+          val covered = starts.flatMap(p => p until p + k).toSet
+          id -> w.indices.filterNot(covered).map(w).mkString(" ")
+        }.toMap
+        val got = Dedup.stripDuplicateSpans(
+            docs.toDF("doc_id", "text"), "doc_id", "text", k, minDocs)
+          .as[(Long, String)].collect().toMap
+        got == expected
+    }
+    check(prop, 40)
+  }
 }

@@ -38,4 +38,21 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[String], Option[String])].head()
     assert(out == (("s", 2L, 2L, 0L, None, None)))
   }
+
+  test("histogram: width_bucket semantics incl. under/overflow buckets") {
+    val vals = Seq(-5.0, 0.0, 0.5, 9.9, 10.0, 49.9, 50.0, 99.9, 100.0, 250.0)
+    val out = Profile.histogram(vals.toDF("v"), "v", lo = 0.0, hi = 100.0,
+        nBuckets = 10)
+      .as[(Long, Long)].collect().toMap
+    // -5 -> underflow 0; {0, 0.5, 9.9} -> 1; 10.0 -> 2; 49.9 -> 5;
+    // 50.0 -> 6; 99.9 -> 10; {100, 250} -> overflow 11
+    assert(out == Map(0L -> 1L, 1L -> 3L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 1L, 11L -> 2L))
+    // nulls are excluded, not bucketed
+    val withNull = Seq(Some(1.0), None).toDF("v")
+    assert(Profile.histogram(withNull, "v", 0.0, 10.0, 2)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L))
+    intercept[IllegalArgumentException](
+      Profile.histogram(vals.toDF("v"), "v", 5.0, 5.0, 10))
+  }
 }
