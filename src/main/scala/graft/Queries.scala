@@ -1790,6 +1790,52 @@ object Queries {
              ELSE 'fr' END AS predicted
       FROM sc ORDER BY doc_id"""))
 
+  /** Unicode-script composition ([[TextAnalysis.scriptStats]]) on
+    * constructed multilingual rows (the corpus is ASCII-only, which
+    * would make every fraction trivially Latin). Java's
+    * `\p{script=X}` and RE2's `\p{X}` agree on these BMP characters;
+    * the oracle counts via the length-difference trick (DuckDB has no
+    * regexp_count). */
+  private val scriptStatsQ = QueryDef("script_stats",
+    (s, d) => {
+      val rows = t(s, d, "documents").where(col("doc_id").between(1, 4))
+        .select(col("doc_id"),
+          when(col("doc_id") === 1, "Hello, World 123")
+            .when(col("doc_id") === 2, "Привет мир")
+            .when(col("doc_id") === 3, "你好世界 hello")
+            .otherwise("مرحبا بالعالم").as("text"))
+      rows.select(col("doc_id"),
+          TextAnalysis.scriptStats(col("text")).as("__s"))
+        .select(col("doc_id"), col("__s.n_chars").as("n_chars"),
+          round(col("__s.latin_frac"), 6).as("latin_frac"),
+          round(col("__s.cyrillic_frac"), 6).as("cyrillic_frac"),
+          round(col("__s.han_frac"), 6).as("han_frac"),
+          round(col("__s.arabic_frac"), 6).as("arabic_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH rows AS (SELECT doc_id,
+        CASE WHEN doc_id = 1 THEN 'Hello, World 123'
+             WHEN doc_id = 2 THEN 'Привет мир'
+             WHEN doc_id = 3 THEN '你好世界 hello'
+             ELSE 'مرحبا بالعالم' END AS text
+        FROM documents WHERE doc_id BETWEEN 1 AND 4),
+      m AS (SELECT doc_id, text,
+        length(regexp_replace(text, '\s', '', 'g')) AS n FROM rows)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        round(CASE WHEN n > 0 THEN CAST(length(text) -
+          length(regexp_replace(text, '\p{Latin}', '', 'g')) AS DOUBLE) / n
+          ELSE 0 END, 6) AS latin_frac,
+        round(CASE WHEN n > 0 THEN CAST(length(text) -
+          length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS DOUBLE) / n
+          ELSE 0 END, 6) AS cyrillic_frac,
+        round(CASE WHEN n > 0 THEN CAST(length(text) -
+          length(regexp_replace(text, '\p{Han}', '', 'g')) AS DOUBLE) / n
+          ELSE 0 END, 6) AS han_frac,
+        round(CASE WHEN n > 0 THEN CAST(length(text) -
+          length(regexp_replace(text, '\p{Arabic}', '', 'g')) AS DOUBLE) / n
+          ELSE 0 END, 6) AS arabic_frac
+      FROM m ORDER BY doc_id"""))
+
   private val tokenCounts = QueryDef("token_counts",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
@@ -2514,8 +2560,8 @@ object Queries {
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,
-    textStats, compressionStatsQ, langIdQ, tokenCounts, vocabTopk,
-    bigramTopk, topTermsQ, docCrossEntropy,
+    textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
+    vocabTopk, bigramTopk, topTermsQ, docCrossEntropy,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,

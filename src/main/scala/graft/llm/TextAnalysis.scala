@@ -65,6 +65,25 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** Unicode-script composition of a document: fraction of its
+    * non-whitespace characters in each major script (Latin, Cyrillic,
+    * CJK ideographs, Arabic) — the signal that catches mixed-script
+    * spam, mojibake, and wrong-language routing that a stopword-based
+    * [[langId]] can't see (it has no stopword table for most scripts).
+    * Map-only regexp counts over one let-bound length; returns a
+    * struct of `n_chars` + the four fractions (0 for empty text). */
+  def scriptStats(c: Column): Column =
+    Dedup.letBound(length(regexp_replace(c, "\\s", "")).cast("double")) { n =>
+      def frac(pattern: String) =
+        when(n > 0, regexp_count(c, lit(pattern)).cast("double") / n)
+          .otherwise(0d)
+      struct(n.cast("long").as("n_chars"),
+        frac("\\p{script=Latin}").as("latin_frac"),
+        frac("\\p{script=Cyrillic}").as("cyrillic_frac"),
+        frac("\\p{script=Han}").as("han_frac"),
+        frac("\\p{script=Arabic}").as("arabic_frac"))
+    }
+
   /** Count of the most frequent element of a string array, via a
     * sorted-run scan: O(n log n) sort + one linear fold, vs the naive
     * O(distinct·n) filter-per-distinct-element loop (which on a

@@ -188,6 +188,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._4).sum == 5L)
   }
 
+  test("scriptStats: per-script fractions over non-whitespace chars") {
+    val rows = Seq(
+      (1L, "Hello, World"), // 11 non-ws: 10 Latin letters + comma
+      (2L, "Привет мир"),   // 9 non-ws, all Cyrillic
+      (3L, "你好 ok"),       // 4 non-ws: 2 Han + 2 Latin
+      (4L, "")               // empty: zero fractions, no div-by-zero
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.scriptStats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_chars"), col("s.latin_frac"),
+        col("s.cyrillic_frac"), col("s.han_frac"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 11L, 10.0 / 11, 0.0, 0.0)))
+    assert(out(2L) == ((2L, 9L, 0.0, 1.0, 0.0)))
+    assert(out(3L) == ((3L, 4L, 0.5, 0.0, 0.5)))
+    assert(out(4L) == ((4L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("unigramCrossEntropy: rare words raise the score; exact value") {
     // corpus: n(a)=7, n(rare)=1, N=8, |V|=2; add-one smoothing:
     // p(a) = 8/11, p(rare) = 2/11
