@@ -105,6 +105,27 @@ class ConfigLoaderSpec extends SparkSpec {
     }
     assert(new java.io.File(dir).listFiles().map(_.getName)
       .count(_.startsWith("doc_id=")) == 3)
+    // the train/val export shape: split kind -> partitioned kind
+    // composes into split=train/ and split=val/ directories
+    val many = (1L to 200L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val splitDir = "/tmp/graft_test/cfg_partitioned/splits"
+    val splitted = transformKinds("split")(
+      Map("keyCol" -> "doc_id", "weights" -> "train=0.8,val=0.2"))(many)
+    loadKinds("partitioned")(
+      Map("path" -> splitDir, "partCols" -> "split")) match {
+      case graft.sinks.Sinks.Write(_, f) => f(splitted)
+      case other => fail(s"unexpected step: $other")
+    }
+    val back = spark.read.parquet(splitDir)
+    assert(new java.io.File(splitDir).listFiles().map(_.getName)
+      .filter(_.startsWith("split=")).toSet == Set("split=train", "split=val"))
+    assert(back.count() == 200L)
+    // membership is the hash ladder's, not file-layout-dependent
+    val expectTrain = transformKinds("split")(
+      Map("keyCol" -> "doc_id", "weights" -> "train=0.8,val=0.2"))(many)
+      .where(col("split") === "train").count()
+    assert(back.where(col("split") === "train").count() == expectTrain)
   }
 
   test("unknown kinds and missing fields are rejected with clear messages") {
