@@ -1277,6 +1277,50 @@ object Queries {
         min(doc_id) OVER (PARTITION BY nt) AS keep FROM fresh)
       SELECT doc_id, text FROM k WHERE doc_id = keep ORDER BY doc_id"""))
 
+  /** MinHash-UNION sketch ([[graft.llm.Sketches]], the custom
+    * Aggregator surface): a cloned source must estimate jaccard 1.0
+    * against its original — identical shingle sets give identical
+    * union signatures, so all k positions match exactly. */
+  private val sourceSimPlanted = QueryDef("source_similarity_planted",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val clone = docs.where(col("source") === "src1")
+        .select((col("doc_id") + 100000).as("doc_id"),
+          lit("zzclone").as("source"), col("text"))
+      graft.llm.Sketches.groupSimilarity(docs.unionByName(clone),
+          "source", "text")
+        .where(col("a") === "src1" && col("b") === "zzclone")
+    },
+    Some("""SELECT 'src1' AS a, 'zzclone' AS b,
+      CAST(1.0 AS DOUBLE) AS est_jaccard"""))
+
+  /** Exact group-level content Jaccard
+    * ([[graft.llm.Sketches.groupJaccardExact]]) — the ground truth the
+    * sketch estimates; all source pairs, exact rational values. */
+  private val sourceJaccardExact = QueryDef("source_jaccard_exact",
+    (s, d) => graft.llm.Sketches.groupJaccardExact(
+        t(s, d, "documents"), "source", "text")
+      .orderBy(col("a"), col("b")),
+    Some(s"""WITH norm AS (SELECT source, $sqlWords AS w FROM documents),
+      sh AS (SELECT source,
+        CASE WHEN len(w) >= 5
+             THEN list_distinct(list_transform(range(0, len(w)-4),
+                    i -> array_to_string(w[i+1:i+5], ' ')))
+             ELSE [array_to_string(w, ' ')] END AS gs
+        FROM norm),
+      ss AS (SELECT DISTINCT source AS g, unnest(gs) AS sh FROM sh),
+      sizes AS (SELECT g, count(*) AS n FROM ss GROUP BY g),
+      inter AS (SELECT l.g AS a, r.g AS b, count(*) AS i
+        FROM ss l JOIN ss r ON l.sh = r.sh AND l.g < r.g
+        GROUP BY 1, 2)
+      SELECT a, b,
+        CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.a = sa.g
+      JOIN sizes sb ON inter.b = sb.g
+      ORDER BY a, b"""))
+
   private val dedupSimhash = QueryDef("dedup_simhash",
     (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)
@@ -2554,7 +2598,7 @@ object Queries {
     partitionedScan, zorderQ,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
-    dedupNgram,
+    dedupNgram, sourceSimPlanted, sourceJaccardExact,
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     decontaminate, decontaminateBloom, dedupClusters, piiScrub,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,

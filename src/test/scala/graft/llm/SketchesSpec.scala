@@ -1,0 +1,52 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // srcA and srcB share half their content; srcC is disjoint
+    (1L, "A", "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "A", "pack my box with five dozen liquor jugs for the trip"),
+    (3L, "B", "the quick brown fox jumps over the lazy dog tonight"),
+    (4L, "B", "sphinx of black quartz judge my vow in the old museum"),
+    (5L, "C", "completely different tokens live here apart from everything else")
+  ).toDF("doc_id", "source", "text")
+
+  test("groupSignatures: partitioning-invariant (mergeable aggregate)") {
+    def sigs(parts: Int) =
+      Sketches.groupSignatures(docs.repartition(parts), "source", "text")
+        .as[(String, Seq[Long])].collect().toMap
+    assert(sigs(1) == sigs(7))
+  }
+
+  test("groupSimilarity: identical groups estimate exactly 1.0") {
+    val cloned = docs.unionByName(
+      docs.where(col("source") === "A")
+        .select(col("doc_id") + 100, lit("Z").as("source"), col("text"))
+        .toDF("doc_id", "source", "text"))
+    val est = Sketches.groupSimilarity(cloned, "source", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est(("A", "Z")) == 1.0)
+  }
+
+  test("groupSimilarity tracks groupJaccardExact within sketch error") {
+    val est = Sketches.groupSimilarity(docs, "source", "text", k = 128)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = Sketches.groupJaccardExact(docs, "source", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // A and B share one document of two -> jaccard ~ 1/3 of shingles
+    assert(exact(("A", "B")) > 0.2 && exact(("A", "B")) < 0.6)
+    // k=128 -> se ~ 0.044; allow 4 sigma
+    assert(math.abs(est(("A", "B")) - exact(("A", "B"))) < 0.2)
+    // the disjoint source never shares a signature position by more
+    // than chance; exact inner join omits zero-overlap pairs entirely
+    assert(!exact.contains(("A", "C")) || exact(("A", "C")) == 0.0)
+    assert(est.getOrElse(("A", "C"), 0.0) < 0.15)
+  }
+}
