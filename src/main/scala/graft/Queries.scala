@@ -1864,7 +1864,7 @@ object Queries {
              ELSE 'مرحبا بالعالم' END AS text
         FROM documents WHERE doc_id BETWEEN 1 AND 4),
       m AS (SELECT doc_id, text,
-        length(regexp_replace(text, '\s', '', 'g')) AS n FROM rows)
+        length(regexp_replace(text, '[\s\p{Zs}]', '', 'g')) AS n FROM rows)
       SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
         round(CASE WHEN n > 0 THEN CAST(length(text) -
           length(regexp_replace(text, '\p{Latin}', '', 'g')) AS DOUBLE) / n
@@ -2129,10 +2129,6 @@ object Queries {
       SELECT 'nation', count(*) FROM nation UNION ALL
       SELECT 'region', count(*) FROM region ORDER BY job"""))
 
-  /** Per-column profile ([[graft.operators.Profile.profile]]) of the
-    * customer table in ONE scan (multi-distinct via Expand); the double
-    * column is pre-cast to DECIMAL so min/max strings are
-    * engine-stable. */
   /** Equi-width histogram ([[graft.operators.Profile.histogram]]) of
     * document lengths over [0, 600), 12 buckets of width 50 — integer
     * inputs and an integer bucket width keep the floor-division exact
@@ -2149,6 +2145,10 @@ object Queries {
         END AS bucket, count(*) AS n
       FROM documents GROUP BY 1 ORDER BY bucket"""))
 
+  /** Per-column profile ([[graft.operators.Profile.profile]]) of the
+    * customer table in ONE scan (multi-distinct via Expand); the double
+    * column is pre-cast to DECIMAL so min/max strings are
+    * engine-stable. */
   private val profileQ = QueryDef("profile_columns",
     (s, d) => {
       val cust = t(s, d, "customer")

@@ -137,8 +137,8 @@ object Dedup {
     * than the nested-HOF expression form at corpus scale, and the
     * shuffle carries only (doc_id, k partial mins). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 64): DataFrame =
-    signaturesFromHashedShingles(hashedShingleFrame(df, idCol, textCol), k)
+                        k: Int = 64, n: Int = 5): DataFrame =
+    signaturesFromHashedShingles(hashedShingleFrame(df, idCol, textCol, n), k)
 
   /** Signatures from a (doc_id, __sh hashed-shingle array) frame: the k
     * per-permutation hashes derive from the shingle's 8-byte hash
@@ -215,7 +215,7 @@ object Dedup {
     * runs on candidate PAIRS (already bucket-bounded), never over the
     * corpus. One definition shared by the batch and incremental paths
     * so estimate and slack cannot drift apart. */
-  private def sigAgreement(sa: Column, sb: Column, k: Int): Column =
+  private[llm] def sigAgreement(sa: Column, sb: Column, k: Int): Column =
     size(filter(zip_with(sa, sb, (x, y) => x === y), bb => bb))
       .cast("double") / lit(k)
 

@@ -51,17 +51,15 @@ object Sketches {
   }
 
   /** Per-group MinHash signature of the group's shingle-set UNION:
-    * map-only per-document signatures
-    * ([[graft.plans.MinHashSignatureExpression]]) feed ONE
+    * map-only per-document signatures ([[Dedup.minhashSignatures]] —
+    * the ONE definition of a document's signature, shared with the
+    * dedup paths so sketches stay comparable with them) feed ONE
     * [[MinHashUnion]] aggregation — the shuffle carries k longs per
     * group (map-side combined), never a shingle. */
   def groupSignatures(df: DataFrame, groupCol: String, textCol: String,
                       k: Int = 64, n: Int = 5): DataFrame = {
-    graft.plans.GraftExtensions.register(df.sparkSession)
-    val perDoc = df.select(col(groupCol).as("group_key"),
-      call_function("graft_minhash_sig",
-        transform(Dedup.shingles(col(textCol), n), s => xxhash64(s)),
-        lit(k)).as("__sig"))
+    val perDoc = Dedup.minhashSignatures(df, groupCol, textCol, k, n)
+      .select(col("doc_id").as("group_key"), col("sig").as("__sig"))
     val union = udaf(new MinHashUnion)
     perDoc.groupBy(col("group_key"))
       .agg(union(col("__sig")).as("sig"))
@@ -79,9 +77,7 @@ object Sketches {
     val r = sigs.select(col("group_key").as("b"), col("sig").as("__sb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
-        (aggregate(zip_with(col("__sa"), col("__sb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), _ + _).cast("double") / k).as("est_jaccard"))
+        Dedup.sigAgreement(col("__sa"), col("__sb"), k).as("est_jaccard"))
   }
 
   /** EXACT content-Jaccard between group shingle-set unions — the

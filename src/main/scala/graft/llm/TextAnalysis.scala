@@ -71,9 +71,14 @@ object TextAnalysis {
     * spam, mojibake, and wrong-language routing that a stopword-based
     * [[langId]] can't see (it has no stopword table for most scripts).
     * Map-only regexp counts over one let-bound length; returns a
-    * struct of `n_chars` + the four fractions (0 for empty text). */
+    * struct of `n_chars` + the four fractions (0 for empty text).
+    * "Whitespace" is ASCII `\s` plus Unicode space separators (`\p{Zs}`
+    * — NBSP, ideographic space: web text is full of them, and counting
+    * them as content would dilute every fraction); the class is stated
+    * this way because both Java regex and RE2 accept it verbatim. */
   def scriptStats(c: Column): Column =
-    Dedup.letBound(length(regexp_replace(c, "\\s", "")).cast("double")) { n =>
+    Dedup.letBound(
+      length(regexp_replace(c, "[\\s\\p{Zs}]", "")).cast("double")) { n =>
       def frac(pattern: String) =
         when(n > 0, regexp_count(c, lit(pattern)).cast("double") / n)
           .otherwise(0d)

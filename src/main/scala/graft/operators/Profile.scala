@@ -51,8 +51,10 @@ object Profile {
     * distribution view `profile`'s min/max can't give (skew, modes,
     * heavy tails — the shape checks a curation threshold is chosen
     * from). `width_bucket` semantics: bucket 0 collects values below
-    * `lo`, bucket `nBuckets + 1` values at/above `hi`, so nothing is
-    * silently dropped; empty buckets are omitted (at 100 TB a dense
+    * `lo`, bucket `nBuckets + 1` values at/above `hi`, so no VALUE is
+    * silently dropped; nulls and NaN carry no position on the line and
+    * are excluded (width_bucket would emit a contract-less null bucket
+    * for NaN otherwise); empty buckets are omitted (at 100 TB a dense
     * bucket list is the caller's join-with-`sequence` problem, not a
     * row-explosion here). One map-only bucket assignment + ONE
     * aggregation on the (bounded) bucket key. */
@@ -60,7 +62,8 @@ object Profile {
                 nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"histogram: nBuckets must be >= 1, got $nBuckets")
     require(lo < hi, s"histogram: need lo < hi, got [$lo, $hi)")
-    df.where(col(valueCol).isNotNull)
+    df.where(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .select(width_bucket(col(valueCol).cast("double"), lit(lo), lit(hi),
         lit(nBuckets)).as("bucket"))
       .groupBy(col("bucket"))

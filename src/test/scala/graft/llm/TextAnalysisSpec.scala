@@ -193,7 +193,8 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "Hello, World"), // 11 non-ws: 10 Latin letters + comma
       (2L, "Привет мир"),   // 9 non-ws, all Cyrillic
       (3L, "你好 ok"),       // 4 non-ws: 2 Han + 2 Latin
-      (4L, "")               // empty: zero fractions, no div-by-zero
+      (4L, ""),              // empty: zero fractions, no div-by-zero
+      (5L, "ab cd　ef") // NBSP + ideographic space ARE whitespace
     ).toDF("doc_id", "text")
     val out = rows.select(col("doc_id"),
         TextAnalysis.scriptStats(col("text")).as("s"))
@@ -205,6 +206,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 9L, 0.0, 1.0, 0.0)))
     assert(out(3L) == ((3L, 4L, 0.5, 0.0, 0.5)))
     assert(out(4L) == ((4L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(5L) == ((5L, 6L, 1.0, 0.0, 0.0)))
   }
 
   test("unigramCrossEntropy: rare words raise the score; exact value") {

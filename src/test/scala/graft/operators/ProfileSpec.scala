@@ -48,8 +48,9 @@ class ProfileSpec extends SparkSpec {
     // 50.0 -> 6; 99.9 -> 10; {100, 250} -> overflow 11
     assert(out == Map(0L -> 1L, 1L -> 3L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
       10L -> 1L, 11L -> 2L))
-    // nulls are excluded, not bucketed
-    val withNull = Seq(Some(1.0), None).toDF("v")
+    // nulls and NaN are excluded, not bucketed (NaN has no position;
+    // width_bucket would emit a contract-less null bucket for it)
+    val withNull = Seq(Some(1.0), None, Some(Double.NaN)).toDF("v")
     assert(Profile.histogram(withNull, "v", 0.0, 10.0, 2)
       .as[(Long, Long)].collect().toMap == Map(1L -> 1L))
     intercept[IllegalArgumentException](
