@@ -1929,6 +1929,42 @@ object Queries {
           AS cross_entropy
       FROM s GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** CCNet-style quality bucketing ([[TextAnalysis.qualityBuckets]]):
+    * decile bands of the rounded cross-entropy score, summarized per
+    * band. Thresholds come from the same exact-percentile definition
+    * both engines share; rounding before thresholding keeps band
+    * membership engine-stable. */
+  private val qualityBucketsQ = QueryDef("quality_buckets",
+    (s, d) => TextAnalysis.qualityBuckets(t(s, d, "documents"),
+        "doc_id", "text", nBuckets = 10)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ce")).as("min_ce"), max(col("ce")).as("max_ce"))
+      .orderBy(col("bucket")),
+    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS word
+              FROM documents),
+      ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      f AS (SELECT word, count(*) AS n FROM ww GROUP BY word),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+            count(*) AS v FROM f),
+      sc AS (SELECT ww.doc_id,
+            -ln(CAST(f.n + 1 AS DOUBLE) / CAST(t.total + t.v + 1 AS DOUBLE))
+              AS nlp
+            FROM ww JOIN f USING (word) CROSS JOIN t),
+      ce AS (SELECT doc_id,
+        round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
+          AS ce
+        FROM sc GROUP BY doc_id),
+      th AS (SELECT quantile_cont(ce,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ths FROM ce),
+      b AS (SELECT doc_id, ce.ce AS ce,
+        1 + len(list_filter(th.ths, x -> ce.ce >= x)) AS bucket
+        FROM ce, th)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        min(ce) AS min_ce, max(ce) AS max_ce
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   /** Per-doc characteristic terms ([[TextAnalysis.topTerms]]) on the
     * first 50 docs — TF-IDF-ratio keyword extraction, top-3 per doc. */
   private val topTermsQ = QueryDef("doc_top_terms",
@@ -2605,7 +2641,7 @@ object Queries {
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
-    vocabTopk, bigramTopk, topTermsQ, docCrossEntropy,
+    vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,

@@ -346,6 +346,36 @@ object TextAnalysis {
           count(lit(1))).as("cross_entropy"))
   }
 
+  /** CCNet's selection step: bucket the corpus into `nBuckets`
+    * quantile bands of the unigram cross-entropy score (head = most
+    * fluent, tail = junk — CCNet keeps the head/middle and drops the
+    * tail). Scores are rounded to 4 decimals BEFORE thresholding on
+    * both engines so a last-ulp `ln` difference can never flip a
+    * document across a band boundary. Returns one row per document:
+    * (doc_id, ce, bucket 1..nBuckets); ties at a threshold go to the
+    * upper band.
+    *
+    * Scale shape: the CE pass (linear), ONE exact-percentile
+    * aggregation for the thresholds (swap `percentile_approx` in at
+    * corpus scale, same plan shape), the (nBuckets-1)-long threshold
+    * array broadcast back as a one-row frame, and a map-only band
+    * assignment — no ntile, no global sort, no single-partition
+    * window. */
+  def qualityBuckets(df: DataFrame, idCol: String, textCol: String,
+                     nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"qualityBuckets: need >= 2 buckets, got $nBuckets")
+    val ce = unigramCrossEntropy(df, idCol, textCol)
+      .select(col("doc_id"), round(col("cross_entropy"), 4).as("ce"))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val ths = quantiles(ce, col("ce"), probs)
+      .agg(sort_array(collect_list(col("q"))).as("__ths"))
+    ce.crossJoin(broadcast(ths))
+      .select(col("doc_id"), col("ce"),
+        (aggregate(col("__ths"), lit(1),
+          (acc, t) => acc + when(col("ce") >= t, 1).otherwise(0)))
+          .as("bucket"))
+  }
+
   /** Corpus vocabulary census: one row per normalized word with total
     * occurrences and distinct-document frequency — the heavy-hitter /
     * stopword / tokenizer-coverage analysis pass. Scale shape: explode

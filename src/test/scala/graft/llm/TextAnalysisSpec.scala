@@ -209,6 +209,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == ((5L, 6L, 1.0, 0.0, 0.0)))
   }
 
+  test("qualityBuckets: quantile bands ordered by cross-entropy") {
+    // 12 docs with strictly increasing rarity (doc i uses words seen
+    // in fewer other docs) -> strictly increasing CE
+    val common = "base words shared by every single document here"
+    val docs = (1L to 12L).map(i =>
+      (i, common + (s" unique$i " * i.toInt))).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityBuckets(docs, "doc_id", "text",
+        nBuckets = 4)
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    // bucket assignment is monotone in ce
+    val byCe = out.sortBy(_._2)
+    assert(byCe.map(_._3).toSeq == byCe.map(_._3).toSeq.sorted)
+    assert(out.map(_._3).min == 1 && out.map(_._3).max == 4)
+    // 12 distinct scores over 4 bands -> 3 per band
+    assert(out.groupBy(_._3).view.mapValues(_.length).toMap
+      .values.toSet == Set(3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.qualityBuckets(docs, "doc_id", "text", nBuckets = 1))
+  }
+
   test("unigramCrossEntropy: rare words raise the score; exact value") {
     // corpus: n(a)=7, n(rare)=1, N=8, |V|=2; add-one smoothing:
     // p(a) = 8/11, p(rare) = 2/11
