@@ -1958,7 +1958,7 @@ object Queries {
       th AS (SELECT quantile_cont(ce,
         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ths FROM ce),
       b AS (SELECT doc_id, ce.ce AS ce,
-        1 + len(list_filter(th.ths, x -> ce.ce >= x)) AS bucket
+        1 + len(list_filter(th.ths, x -> ce.ce > x)) AS bucket
         FROM ce, th)
       SELECT CAST(bucket AS BIGINT) AS bucket,
         CAST(count(*) AS BIGINT) AS n_docs,

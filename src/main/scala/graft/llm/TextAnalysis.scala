@@ -372,7 +372,7 @@ object TextAnalysis {
     ce.crossJoin(broadcast(ths))
       .select(col("doc_id"), col("ce"),
         (aggregate(col("__ths"), lit(1),
-          (acc, t) => acc + when(col("ce") >= t, 1).otherwise(0)))
+          (acc, t) => acc + when(col("ce") > t, 1).otherwise(0)))
           .as("bucket"))
   }
 

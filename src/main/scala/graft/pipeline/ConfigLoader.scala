@@ -153,6 +153,18 @@ object ConfigLoader {
           o.getOrElse("minRatio", "0.2").toDouble,
           o.getOrElse("maxRatio", "0.4").toDouble))
       }),
+      // CCNet tail-drop: bucket by cross-entropy quantile, keep bands
+      // 1..keepBuckets (head = most fluent)
+      "quality_bucket_filter" -> (o => df => {
+        val keep = o.getOrElse("keepBuckets", "8").toInt
+        val n = o.getOrElse("nBuckets", "10").toInt
+        val idc = req(o, "idCol")
+        val kept = graft.llm.TextAnalysis.qualityBuckets(df, idc,
+            req(o, "textCol"), n)
+          .where(org.apache.spark.sql.functions.col("bucket") <= keep)
+          .select(org.apache.spark.sql.functions.col("doc_id").as(idc))
+        df.join(kept, Seq(idc), "left_semi")
+      }),
       "nfc_normalize" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)
         val c = req(o, "column")
