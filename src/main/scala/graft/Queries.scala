@@ -1904,6 +1904,22 @@ object Queries {
       WHERE word <> ''
       GROUP BY word ORDER BY n_total DESC, word LIMIT 20"""))
 
+  /** ONE oracle definition of per-doc unigram negative-log-prob rows
+    * (CTE `sc`: doc_id, nlp) — shared by `doc_cross_entropy` and
+    * `quality_buckets` so the two oracles cannot drift apart on the
+    * smoothing constant, tokenization, or log routing. Mirrors
+    * [[TextAnalysis.unigramCrossEntropy]]. */
+  private val sqlCeCtes =
+    s"""w AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents),
+      ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      f AS (SELECT word, count(*) AS n FROM ww GROUP BY word),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+            count(*) AS v FROM f),
+      sc AS (SELECT ww.doc_id,
+            -ln(CAST(f.n + 1 AS DOUBLE) / CAST(t.total + t.v + 1 AS DOUBLE))
+              AS nlp
+            FROM ww JOIN f USING (word) CROSS JOIN t)"""
+
   /** Unigram LM cross-entropy ([[TextAnalysis.unigramCrossEntropy]]):
     * CCNet-style statistical quality scoring against the corpus's own
     * word distribution. round(4) absorbs libm-ln last-ulp variance;
@@ -1914,20 +1930,11 @@ object Queries {
       .select(col("doc_id"), col("n_words"),
         round(col("cross_entropy"), 4).as("cross_entropy"))
       .orderBy(col("doc_id")),
-    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS word
-              FROM documents),
-      ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
-      f AS (SELECT word, count(*) AS n FROM ww GROUP BY word),
-      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
-            count(*) AS v FROM f),
-      s AS (SELECT ww.doc_id,
-            -ln(CAST(f.n + 1 AS DOUBLE) / CAST(t.total + t.v + 1 AS DOUBLE))
-              AS nlp
-            FROM ww JOIN f USING (word) CROSS JOIN t)
+    Some(s"""WITH $sqlCeCtes
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
           AS cross_entropy
-      FROM s GROUP BY doc_id ORDER BY doc_id"""))
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
   /** CCNet-style quality bucketing ([[TextAnalysis.qualityBuckets]]):
     * decile bands of the rounded cross-entropy score, summarized per
@@ -1941,16 +1948,7 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         min(col("ce")).as("min_ce"), max(col("ce")).as("max_ce"))
       .orderBy(col("bucket")),
-    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS word
-              FROM documents),
-      ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
-      f AS (SELECT word, count(*) AS n FROM ww GROUP BY word),
-      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
-            count(*) AS v FROM f),
-      sc AS (SELECT ww.doc_id,
-            -ln(CAST(f.n + 1 AS DOUBLE) / CAST(t.total + t.v + 1 AS DOUBLE))
-              AS nlp
-            FROM ww JOIN f USING (word) CROSS JOIN t),
+    Some(s"""WITH $sqlCeCtes,
       ce AS (SELECT doc_id,
         round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
           AS ce

@@ -353,7 +353,13 @@ object TextAnalysis {
     * both engines so a last-ulp `ln` difference can never flip a
     * document across a band boundary. Returns one row per document:
     * (doc_id, ce, bucket 1..nBuckets); ties at a threshold go to the
-    * upper band.
+    * LOWER band — with a heavily modal score distribution the
+    * thresholds themselves equal the mode, and a ties-up rule would
+    * dump the entire modal mass into the worst band. Documents that
+    * produce no words (null/empty/whitespace-only text) have no score
+    * and no output row — callers filtering on buckets must decide
+    * their fate explicitly (the `quality_bucket_filter` config kind
+    * keeps them).
     *
     * Scale shape: the CE pass (linear), ONE exact-percentile
     * aggregation for the thresholds (swap `percentile_approx` in at

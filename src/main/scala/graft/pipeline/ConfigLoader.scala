@@ -154,16 +154,18 @@ object ConfigLoader {
           o.getOrElse("maxRatio", "0.4").toDouble))
       }),
       // CCNet tail-drop: bucket by cross-entropy quantile, keep bands
-      // 1..keepBuckets (head = most fluent)
+      // 1..keepBuckets (head = most fluent). Anti-join on the DROPPED
+      // set, so unscoreable docs (null/empty text — no CE row) are
+      // kept, matching compression_filter's no-signal convention
       "quality_bucket_filter" -> (o => df => {
         val keep = o.getOrElse("keepBuckets", "8").toInt
         val n = o.getOrElse("nBuckets", "10").toInt
         val idc = req(o, "idCol")
-        val kept = graft.llm.TextAnalysis.qualityBuckets(df, idc,
+        val dropped = graft.llm.TextAnalysis.qualityBuckets(df, idc,
             req(o, "textCol"), n)
-          .where(org.apache.spark.sql.functions.col("bucket") <= keep)
+          .where(org.apache.spark.sql.functions.col("bucket") > keep)
           .select(org.apache.spark.sql.functions.col("doc_id").as(idc))
-        df.join(kept, Seq(idc), "left_semi")
+        df.join(dropped, Seq(idc), "left_anti")
       }),
       "nfc_normalize" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)

@@ -210,8 +210,10 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("qualityBuckets: quantile bands ordered by cross-entropy") {
-    // 12 docs with strictly increasing rarity (doc i uses words seen
-    // in fewer other docs) -> strictly increasing CE
+    // 12 docs with 12 distinct CE scores (doc i mixes the common base
+    // with i copies of its own word — the scores differ but are NOT
+    // monotone in i: unique12 appears 12 times, as often as the common
+    // words, so doc 12 actually scores lowest and doc 3 highest)
     val common = "base words shared by every single document here"
     val docs = (1L to 12L).map(i =>
       (i, common + (s" unique$i " * i.toInt))).toDF("doc_id", "text")

@@ -93,13 +93,16 @@ class ConfigLoaderSpec extends SparkSpec {
       .forall(Set("train", "val")))
     // quality_bucket_filter drops the worst cross-entropy band: the doc
     // stuffed with hapax tokens scores worst and goes
-    val qdocs = (1L to 8L).map(i => (i, "shared base words here" +
-      (if (i == 8L) " zzz qqq xxx www vvv uuu ttt" else ""))).toDF("doc_id", "text")
+    val qdocs = ((1L to 8L).map(i => (i, "shared base words here" +
+      (if (i == 8L) " zzz qqq xxx www vvv uuu ttt" else ""))) :+
+      (9L, "")).toDF("doc_id", "text") // unscoreable: no CE row
     val qkept = transformKinds("quality_bucket_filter")(
       Map("idCol" -> "doc_id", "textCol" -> "text",
         "nBuckets" -> "4", "keepBuckets" -> "3"))(qdocs)
-    assert(!qkept.select("doc_id").as[Long].collect().contains(8L))
-    assert(qkept.count() >= 6)
+    val qids = qkept.select("doc_id").as[Long].collect().toSet
+    assert(!qids.contains(8L)) // the junk tail goes
+    assert(qids.contains(9L))  // no-signal docs are kept, not dropped
+    assert(qkept.count() >= 7)
     // compression_filter drops the repetitive tail, keeps prose-like text
     val comp = Seq((1L, "spark " * 300), (2L, "the quick brown fox " +
       "jumped over one lazy dog while twelve boxers drank quarts"))
