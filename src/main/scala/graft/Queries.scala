@@ -2346,6 +2346,32 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** Persisted-IVF roundtrip ([[Similarity.buildIvfIndex]] →
+    * [[Similarity.ivfQueryIndex]]): same planted rank-1 contract as
+    * `ann_ivf_planted`, but the corpus is read back from the
+    * cluster-partitioned on-disk index — proving the build-once/
+    * query-many path end to end. */
+  private val annIvfIndex = QueryDef("ann_ivf_index",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivf_index")
+      Similarity.buildIvfIndex(emb, dir)
+      Similarity.ivfQueryIndex(s, dir, perturbedEmbeddings(emb, 3), k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -2642,7 +2668,8 @@ object Queries {
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
-    annBrute, annLsh, annLshPlanted, annIvfPlanted, embedNearDup, mmFeatures,
+    annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
+    embedNearDup, mmFeatures,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

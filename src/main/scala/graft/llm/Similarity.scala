@@ -198,14 +198,22 @@ object Similarity {
       .setMaxIter(10).setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cluster").fit(c)
     val assigned = model.transform(c).select(col("neighbor_id"), col("__cv"), col("cluster"))
-    // nProbe nearest centroids per query via a BROADCAST centroids frame
-    // (nCentroids rows) — keeps the expression tree free of
-    // nCentroids×dim literal arrays; probe selection is a window top-n
-    // over the (queries × centroids) broadcast product
     import c.sparkSession.implicits._
     val centroidsDf = model.clusterCenters.toIndexedSeq.zipWithIndex
       .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
       .toDF("cluster", "__ctr")
+    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol)
+  }
+
+  /** IVF query phase shared by the fit-inline ([[ivfTopK]]) and
+    * persisted-index ([[ivfQueryIndex]]) paths: nProbe nearest
+    * centroids per query via a BROADCAST centroids frame (nCentroids
+    * rows — keeps the expression tree free of nCentroids×dim literal
+    * arrays; probe selection is a window top-n over the broadcast
+    * product), then exact cosine over the probed clusters only. */
+  private def ivfQueryPhase(queries: DataFrame, centroidsDf: DataFrame,
+                            assigned: DataFrame, k: Int, nProbe: Int,
+                            qIdCol: String, vecCol: String): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__cdot").desc, col("cluster").asc)
     val q = queries.select(col(qIdCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
@@ -222,6 +230,50 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Build a PERSISTENT IVF index — the build-once/query-many shape a
+    * 100 TB ANN corpus actually runs (fitting the quantizer per query
+    * batch, as [[ivfTopK]] does, re-scans the corpus every time):
+    * `dir/centroids` holds the nCentroids coarse centers and
+    * `dir/assignments` the corpus vectors Hive-partitioned BY CLUSTER,
+    * so a query batch probing nProbe clusters reads ONLY those
+    * directories (partition pruning) instead of the whole corpus. */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+                    seed: Long = 42L, cIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    registered(corpus)
+    val c = corpus.select(col(cIdCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("features", array_to_vector(col("__cv")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(10).setTol(1e-3)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(c)
+    import c.sparkSession.implicits._
+    model.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
+      .toDF("cluster", "__ctr")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.transform(c).select(col("neighbor_id"), col("__cv"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Query a persisted IVF index ([[buildIvfIndex]]): same results as
+    * the inline path for the same quantizer, but the corpus scan is
+    * partition-pruned to the probed clusters. */
+  def ivfQueryIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, k: Int, nProbe: Int = 4,
+                    qIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    registered(queries)
+    val centroidsDf = spark.read.parquet(s"$dir/centroids")
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket by LSH signature,

@@ -129,6 +129,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.tail.forall(_._2 > 0.9)) // the rest hug the centroid
   }
 
+  test("persisted IVF index returns exactly the inline ivfTopK results") {
+    val vecs = (1L to 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Seq.tabulate(16)(j =>
+        (math.sin(j * 2.1 + c * 40) + 0.05 * math.cos(i + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") <= 3)
+    val inline = Similarity.ivfTopK(queries, df, k = 4, nCentroids = 3)
+      .collect().map(_.toString).toSet
+    val dir = "/tmp/graft_test/ivf_index/t"
+    Similarity.buildIvfIndex(df, dir, nCentroids = 3)
+    val viaIndex = Similarity.ivfQueryIndex(spark, dir, queries, k = 4)
+      .collect().map(_.toString).toSet
+    assert(viaIndex == inline)
+    // the on-disk layout is cluster-partitioned (per-probe pruning)
+    val dirs = new java.io.File(s"$dir/assignments").listFiles()
+      .map(_.getName).filter(_.startsWith("cluster="))
+    assert(dirs.length == 3)
+  }
+
   test("centroidOutliers flags zero and null vectors first (sentinel -2)") {
     val good = Seq.tabulate(8)(i => (i + 1).toFloat)
     val rows = Seq(
