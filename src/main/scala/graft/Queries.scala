@@ -1953,8 +1953,9 @@ object Queries {
         round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
           AS ce
         FROM sc GROUP BY doc_id),
-      th AS (SELECT quantile_cont(ce,
-        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ths FROM ce),
+      th AS (SELECT list_transform(quantile_cont(ce,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        x -> round(x, 4)) AS ths FROM ce),
       b AS (SELECT doc_id, ce.ce AS ce,
         1 + len(list_filter(th.ths, x -> ce.ce > x)) AS bucket
         FROM ce, th)

@@ -349,9 +349,12 @@ object TextAnalysis {
   /** CCNet's selection step: bucket the corpus into `nBuckets`
     * quantile bands of the unigram cross-entropy score (head = most
     * fluent, tail = junk — CCNet keeps the head/middle and drops the
-    * tail). Scores are rounded to 4 decimals BEFORE thresholding on
-    * both engines so a last-ulp `ln` difference can never flip a
-    * document across a band boundary. Returns one row per document:
+    * tail). Scores AND the interpolated thresholds are rounded to 4
+    * decimals before comparison on both engines: rounding only the
+    * scores is not enough — with densely packed scores a last-ulp
+    * difference in the percentile INTERPOLATION itself moves real
+    * documents across a band (seen at sf0.1: ~100 docs flipped bands
+    * between engines until the thresholds were rounded too). Returns one row per document:
     * (doc_id, ce, bucket 1..nBuckets); ties at a threshold go to the
     * LOWER band — with a heavily modal score distribution the
     * thresholds themselves equal the mode, and a ties-up rule would
@@ -374,7 +377,7 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("cross_entropy"), 4).as("ce"))
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val ths = quantiles(ce, col("ce"), probs)
-      .agg(sort_array(collect_list(col("q"))).as("__ths"))
+      .agg(sort_array(collect_list(round(col("q"), 4))).as("__ths"))
     ce.crossJoin(broadcast(ths))
       .select(col("doc_id"), col("ce"),
         (aggregate(col("__ths"), lit(1),
