@@ -51,4 +51,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Set(
       ("2026-01-05", 0L, 2L), ("2026-01-05", 1L, 1L), ("2026-01-12", 0L, 1L)))
   }
+
+  test("retention: day grain derives its own period; bad unit fails fast") {
+    def d(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
+    val e = Seq(
+      (1L, d(5, 9)), (1L, d(5, 21)), // same day: one distinct period
+      (1L, d(7, 9)),                 // offset 2 days
+      (2L, d(6, 9))                  // cohort day 2, offset 0
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.retention(e, "user_id", "ts", unit = "day")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o, n) }.toSet
+    assert(out == Set(
+      ("2026-01-05", 0L, 1L), ("2026-01-05", 2L, 1L), ("2026-01-06", 0L, 1L)))
+    intercept[IllegalArgumentException](
+      EventAnalytics.retention(e, "user_id", "ts", unit = "month"))
+  }
 }
