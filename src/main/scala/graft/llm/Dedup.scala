@@ -58,7 +58,12 @@ object Dedup {
     * The corpus is never joined to itself. */
   def exactDedupAgainst(batch: DataFrame, corpus: DataFrame,
                         idCol: String, textCol: String): DataFrame = {
-    val h = sha2(normalizeText(col(textCol)), 256)
+    // null text hashes to null, and plain equality would never match it
+    // against corpus null-text rows (re-admitting known nulls) — route
+    // nulls to a sentinel outside sha2's hex alphabet so they form a
+    // content group like any other, matching exactDedup's window
+    // semantics (which groups nulls together)
+    val h = coalesce(sha2(normalizeText(col(textCol)), 256), lit("__null__"))
     val seen = corpus.select(h.as("__h")).distinct()
     val w = Window.partitionBy(col("__h"))
     batch.withColumn("__h", h)
@@ -174,12 +179,18 @@ object Dedup {
     * expansion, bounding the quadratic term. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame =
+                        maxBucket: Int = 1000): DataFrame = {
     // cached: candidatesFromSigs references the signature frame three
     // times (banding + both est join-backs) — uncached, each reference
     // would recompute the dominant shingle+signature pass
-    candidatesFromSigs(minhashSignatures(df, idCol, textCol, k).cache(),
-      k, bands, maxBucket)
+    val sigs = minhashSignatures(df, idCol, textCol, k).cache()
+    // materialize eagerly so the signature cache can be released before
+    // returning — candidates are far smaller than the corpus
+    val out = candidatesFromSigs(sigs, k, bands, maxBucket)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
 
   /** Banding + in-bucket pair expansion + signature-agreement estimate
     * over a (doc_id, sig) frame. Buckets and the pair expansion carry

@@ -299,11 +299,17 @@ object Similarity {
             other => struct(m.as("a"), other.as("b")))))).as("p"))
       .select(col("p.a"), col("p.b"))
       .dropDuplicates("a", "b")
-    pairs
+    val verified = pairs
       .join(keyed.select(col("id").as("a"), col("v").as("__va")), Seq("a"))
       .join(keyed.select(col("id").as("b"), col("v").as("__vb")), Seq("b"))
       .select(col("a"), col("b"), nCosine(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
+    // materialize eagerly so the vector cache can be released before
+    // returning (mirrors Dedup.minhashNearDups) — the verified pairs
+    // are orders of magnitude smaller than the corpus
+    val out = verified.localCheckpoint(true)
+    keyed.unpersist()
+    out
   }
 
   /** Per-vector int8 scalar quantization: `scale = max|v_i| / 127`,

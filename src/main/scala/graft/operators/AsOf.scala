@@ -69,7 +69,11 @@ object AsOf {
     // right rows must be visible to an equal-timestamp left row iff
     // non-strict — encode visibility in the sort order of the side tag
     val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
-    val r = right.select(
+    // right rows with a null timestamp would sort first (nulls-first
+    // asc) and be carried as a bogus "match" with null matched_ts for
+    // early left rows — they can never be a legitimate as-of match, so
+    // drop them before the union
+    val r = right.where(col(tsCol).isNotNull).select(
       keys.map(col) ++ Seq(
         col(tsCol),
         struct(col(tsCol).as("__ts") +: rightPayload.map(col): _*).as(rs),

@@ -198,15 +198,21 @@ object Yaml {
     /** Quote-aware comma split for flow lists: a comma inside a quoted
       * scalar (`['hello, world', x]`) is content, not a separator.
       * Doubled `''` inside single quotes is the YAML quote escape and
-      * must not close the scalar. */
+      * must not close the scalar. A quote char only OPENS a quoted
+      * scalar at the start of an element (first non-space char) — a
+      * plain scalar may contain quotes after the first character
+      * (`[it's fine, x]`), which are literal content per YAML. */
     private def splitFlow(body: String, ln: Line): Vector[String] = {
       val out = Vector.newBuilder[String]
       val cur = new StringBuilder
       var quote: Char = 0
       var i = 0
+      def atElementStart: Boolean = cur.forall(_.isWhitespace)
       while (i < body.length) {
         val c = body.charAt(i)
-        if (quote == 0 && (c == '\'' || c == '"')) { quote = c; cur.append(c) }
+        if (quote == 0 && (c == '\'' || c == '"') && atElementStart) {
+          quote = c; cur.append(c)
+        }
         else if (quote == '\'' && c == '\'' && i + 1 < body.length &&
                  body.charAt(i + 1) == '\'') { cur.append("''"); i += 1 }
         else if (quote != 0 && c == quote) { quote = 0; cur.append(c) }

@@ -217,6 +217,34 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(11L, 13L))
   }
 
+  test("exactDedupAgainst dedups null-text rows like any content group") {
+    // a null-text doc already in the corpus must not be re-admitted
+    // (sha2(null)=null and plain equality would never match), and two
+    // null-text batch rows keep only the first — same grouping
+    // semantics as exactDedup's window
+    val corpus = Seq((1L, Some("kept")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, Option.empty[String]), // corpus already has a null-text doc -> drop
+      (11L, Some("novel"))
+    ).toDF("doc_id", "text")
+    assert(Dedup.exactDedupAgainst(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    // with no null in the corpus, batch-internal nulls keep-first
+    val corpus2 = Seq((1L, Some("kept"))).toDF("doc_id", "text")
+    val batch2 = Seq((10L, Option.empty[String]), (11L, Option.empty[String]),
+      (12L, Some("novel"))).toDF("doc_id", "text")
+    assert(Dedup.exactDedupAgainst(batch2, corpus2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 12L))
+  }
+
+  test("minhashCandidates releases its signature cache before returning") {
+    spark.catalog.clearCache() // isolate from earlier tests' caches
+    Dedup.minhashCandidates(docs, "doc_id", "text").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhashCandidates left a frame in the cache manager")
+  }
+
   test("duplicateSpans finds shared k-grams with doc and occurrence counts") {
     val docs = Seq(
       (1L, "a b c d e f"),

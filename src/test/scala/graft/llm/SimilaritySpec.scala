@@ -85,9 +85,14 @@ class SimilaritySpec extends SparkSpec {
     val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
     val w = Seq.tabulate(64)(i => math.cos(i * 2).toFloat)
     val df = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    spark.catalog.clearCache() // isolate from earlier tests' caches
     val pairs = Similarity.embeddingNearDups(df, threshold = 0.99, nBits = 4)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+    // the vector cache is released before the call returns — a
+    // long-lived session must not accumulate pinned executor storage
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "embeddingNearDups left a frame in the cache manager")
   }
 
   test("quantizeInt8 roundtrips within scale/2; zero vectors stay zero") {

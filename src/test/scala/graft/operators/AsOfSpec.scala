@@ -34,6 +34,21 @@ class AsOfSpec extends SparkSpec {
     assert(out(904L) == ((None, None)))
   }
 
+  test("null-timestamp right rows are ignored, not carried as matches") {
+    // a null right ts sorts nulls-first and would be carried by
+    // last(ignoreNulls) as a bogus "match" with null matched_ts for
+    // early left rows — they must be dropped before the union
+    val rightWithNull = right.unionByName(
+      Seq((2L, Option.empty[java.sql.Timestamp], 299L))
+        .toDF("user_id", "ts", "view_id"))
+    val out = AsOf.asOfJoin(left, rightWithNull, Seq("user_id"), "ts",
+      Seq("view_id"), tieCol = "view_id")
+      .select($"click_id", $"view_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(903L) == None) // still no match before any real right row
+    assert(out(900L) == Some(102L)) // unchanged elsewhere
+  }
+
   test("strict mode excludes equal-timestamp right rows") {
     val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
       Seq("view_id"), tieCol = "view_id", strict = true)

@@ -135,4 +135,13 @@ class YamlSpec extends AnyFunSuite {
     assert(intercept[Yaml.YamlException](
       Yaml.parse("bad: ['unclosed, x]\n")).getMessage.contains("unclosed quote"))
   }
+
+  test("flow list: plain scalars may contain quotes after the first char") {
+    // a quote only OPENS a quoted scalar at element start — mid-token
+    // apostrophes are literal content in plain scalars (valid YAML)
+    val m = Yaml.parse(
+      """tags: [it's fine, rock'n'roll, say "hi", x]
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    assert(m("tags") == Vector("it's fine", "rock'n'roll", "say \"hi\"", "x"))
+  }
 }
