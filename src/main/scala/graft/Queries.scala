@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.columns.ColumnNs
 import graft.functions.{Fns, HtmlBlocks}
-import graft.llm.{Dedup, Mixing, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Mixing, Similarity, TextAnalysis}
 import graft.operators.{Skew, Upsert, WpLoad, WpReaders}
 import graft.sinks.Sinks
 import graft.sources.Sources
@@ -1880,16 +1880,112 @@ object Queries {
           ELSE 0 END, 6) AS arabic_frac
       FROM m ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- BPE
+  // DuckDB replay of the merge-table tokenizer: each word becomes its
+  // separator-wrapped code-point string (chr(31) around every symbol,
+  // doubled between symbols), and each merge in ladder order is ONE
+  // literal replace — boundary-anchored by construction, so the string
+  // replay is exactly the symbol-level scan the native expression runs
+  // (pinned by BpeSpec's string-reference property test).
+
+  private def duckBpeWrap(inner: String): String =
+    "chr(31) || array_to_string(regexp_split_to_array(" + inner +
+      ", ''), chr(31)||chr(31)) || chr(31)"
+
+  private def duckBpeEnc(merges: Seq[(String, String)], inner: String): String =
+    merges.foldLeft(duckBpeWrap(inner)) { case (acc, (a, b)) =>
+      "replace(" + acc + ", chr(31)||'" + a + "'||chr(31)||chr(31)||'" + b +
+        "'||chr(31), chr(31)||'" + a + b + "'||chr(31))"
+    }
+
+  /** Total BPE token count of `textExpr` (null text → null, blank → 0):
+    * symbols each carry two separators, so tokens = seps / 2. */
+  private def duckBpeCount(merges: Seq[(String, String)], textExpr: String): String =
+    "CASE WHEN " + textExpr + " IS NULL THEN NULL ELSE " +
+      "coalesce(CAST(list_sum(list_transform(" +
+      "list_filter(regexp_split_to_array(" + textExpr + ", '\\s+'), w -> w <> ''), " +
+      "w -> list_transform([" + duckBpeEnc(merges, "w") +
+      "], s -> (length(s) - length(replace(s, chr(31), ''))) // 2)[1]" +
+      ")) AS BIGINT), 0) END"
+
+  /** All tokens of `textExpr` joined by `|` (doubled seps between
+    * symbols become the joiner; the outer single seps drop). */
+  private def duckBpeToks(merges: Seq[(String, String)], textExpr: String): String =
+    "array_to_string(list_transform(" +
+      "list_filter(regexp_split_to_array(" + textExpr + ", '\\s+'), w -> w <> ''), " +
+      "w -> replace(replace(" + duckBpeEnc(merges, "w") +
+      ", chr(31)||chr(31), '|'), chr(31), '')" +
+      "), '|')"
+
   private val tokenCounts = QueryDef("token_counts",
-    (s, d) => t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
-        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
-      .orderBy(col("doc_id")),
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.preTokenCount(col("text")).as("pre_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
     Some("""SELECT doc_id,
       CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END AS ws_tokens,
       len(regexp_extract_all(text,
-        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS bpe_tokens
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS pre_tokens,
+      """ + duckBpeCount(Bpe.defaultLadder, "text") + """ AS bpe_tokens
       FROM documents ORDER BY doc_id"""))
+
+  /** Planted BPE training ([[Bpe.train]]): the classic
+    * low/lower/newest/widest corpus, whose 8-merge ladder is derivable
+    * by hand (pair counts weighted by word frequency, ties broken
+    * lexicographically) — the oracle states it literally, so the green
+    * row proves the training algorithm end to end, not just that rows
+    * came back. */
+  private val bpeCorpusLines = Seq("low low low", "lower lower",
+    "newest newest newest newest", "widest")
+
+  /** Hand-derived expected ladder for [[bpeCorpusLines]] (also the
+    * replay ladder for `bpe_encode_planted`'s oracle). */
+  private val plantedBpeLadder: Vector[(String, String)] = Vector(
+    "w" -> "e", "l" -> "o", "s" -> "t", "e" -> "we",
+    "ewe" -> "st", "n" -> "ewest", "lo" -> "w", "lo" -> "we")
+
+  private val bpeTrainPlanted = QueryDef("bpe_train_planted",
+    (s, d) => {
+      val corpus = s.createDataFrame(bpeCorpusLines.map(Tuple1(_))).toDF("text")
+      val merges = Bpe.train(corpus, "text", numMerges = 8, maxWords = 100)
+      s.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) })
+        .toDF("rank", "merge_left", "merge_right")
+        .orderBy(col("rank"))
+    },
+    Some("""SELECT * FROM (VALUES
+        (0,'w','e'),(1,'l','o'),(2,'s','t'),(3,'e','we'),
+        (4,'ewe','st'),(5,'n','ewest'),(6,'lo','w'),(7,'lo','we'))
+      AS t(rank, merge_left, merge_right) ORDER BY rank"""))
+
+  /** Planted BPE encode ([[Bpe.encodeDf]] with a ladder trained by
+    * [[Bpe.train]] in the same plan): held-out words (`lowest`,
+    * `widow`) prove the ladder generalizes by merge application, not
+    * word lookup. The oracle replays the hand-derived ladder as chained
+    * literal replaces. */
+  private val bpeEncodePlanted = QueryDef("bpe_encode_planted",
+    (s, d) => {
+      val corpus = s.createDataFrame(bpeCorpusLines.map(Tuple1(_))).toDF("text")
+      val merges = Bpe.train(corpus, "text", numMerges = 8, maxWords = 100)
+      val docs = s.createDataFrame(Seq(
+        (1L, "low lower newest widest"),
+        (2L, "lowest widow"),
+        (3L, "  low   lower  "))).toDF("id", "text")
+      Bpe.encodeDf(docs, "id", "text", merges)
+        .select(col("doc_id"), array_join(col("tokens"), "|").as("toks"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d(doc_id, text) AS (VALUES
+        (1, 'low lower newest widest'), (2, 'lowest widow'),
+        (3, '  low   lower  '))
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        """ + duckBpeToks(plantedBpeLadder, "text") + """ AS toks,
+        """ + duckBpeCount(plantedBpeLadder, "text") + """ AS n_tokens
+      FROM d ORDER BY doc_id"""))
 
   /** Vocabulary heavy-hitters ([[TextAnalysis.vocabulary]]): top 20
     * corpus words by total count (ties broken by word) — via
@@ -2666,6 +2762,7 @@ object Queries {
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
+    bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,

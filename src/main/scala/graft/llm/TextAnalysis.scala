@@ -14,12 +14,22 @@ object TextAnalysis {
   def wsTokenCount(c: Column): Column =
     when(trim(c) === "", 0).otherwise(size(split(trim(c), "\\s+")))
 
-  /** BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
-    * suffixes / letter runs / digit runs / punctuation runs / spaces);
-    * counts pre-tokens, a good proxy for BPE token counts at corpus
-    * scale. */
+  /** Pre-token count: a GPT-2-style pre-tokenizer regex (contraction
+    * suffixes / letter runs / digit runs / punctuation runs / spaces).
+    * A cheap upper-structure proxy; for real token counts use
+    * [[bpeTokenCount]] (learned merge-table BPE). */
   private val bpeRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
-  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpeRe))
+  def preTokenCount(c: Column): Column = regexp_count(c, lit(bpeRe))
+
+  /** Real BPE token count via the learned merge-table tokenizer
+    * ([[Bpe]]) — native codegen'd expression, map-only. Defaults to
+    * [[Bpe.defaultLadder]]; pass a corpus-trained ladder from
+    * [[Bpe.train]] for production counts. Caller must have run
+    * `GraftExtensions.register` on the session (every `Bpe.encodeDf` /
+    * query entry point does). */
+  def bpeTokenCount(c: Column,
+                    merges: Seq[(String, String)] = Bpe.defaultLadder): Column =
+    Bpe.countCol(c, merges)
 
   // public: SparkEntry mirrors these lists into the DuckDB oracle SQL
   val enStop = Seq("the", "of", "and", "a", "to", "in", "is", "it",

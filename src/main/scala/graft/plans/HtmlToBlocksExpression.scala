@@ -94,7 +94,24 @@ object GraftExtensions {
       }),
     unary("graft_simhash64", classOf[SimHash64Expression], SimHash64Expression(_)),
     unary("graft_nfc", classOf[NfcNormalizeExpression], NfcNormalizeExpression(_)),
-    unary("graft_deflate_len", classOf[DeflateLenExpression], DeflateLenExpression(_)))
+    unary("graft_deflate_len", classOf[DeflateLenExpression], DeflateLenExpression(_)),
+    bpe("graft_bpe_encode", countOnly = false),
+    bpe("graft_bpe_count", countOnly = true))
+
+  private def bpe(name: String, countOnly: Boolean):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[BpeEncodeExpression].getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"$name takes (text, ladder)")
+      val ladder = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+          v.toString
+        case other => throw new IllegalArgumentException(
+          s"$name: ladder must be a string literal, got $other")
+      }
+      BpeEncodeExpression(children.head, ladder, countOnly)
+    })
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -20,15 +20,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == "es"); assert(out(5L) == "zh"); assert(out(6L) == "und")
   }
 
-  test("token counts: whitespace and bpe-ish") {
+  test("token counts: whitespace, pre-tokens, learned BPE") {
     val df = Seq("Hello world, it's 42 degrees!").toDF("t")
     val ws = df.select(TextAnalysis.wsTokenCount(col("t"))).as[Int].head()
     assert(ws == 5)
-    val bpe = df.select(TextAnalysis.bpeTokenCount(col("t"))).as[Int].head()
+    val pre = df.select(TextAnalysis.preTokenCount(col("t"))).as[Int].head()
     // Hello| world|,| it|'s| 42| degrees|! -> 8 pre-tokens
-    assert(bpe == 8)
+    assert(pre == 8)
     assert(df.sparkSession.range(1).select(
       TextAnalysis.wsTokenCount(lit(""))).as[Int].head() == 0)
+    // real BPE with the default English ladder: merges compress letter
+    // runs, so the count sits between word count and character count
+    graft.plans.GraftExtensions.register(spark)
+    val bpe = df.select(TextAnalysis.bpeTokenCount(col("t"))).as[Long].head()
+    val chars = "Helloworld,it's42degrees!".length
+    assert(bpe > ws && bpe < chars, s"bpe=$bpe ws=$ws chars=$chars")
   }
 
   test("qualityStats + qualityOk thresholds") {
