@@ -2486,6 +2486,42 @@ object Queries {
         (ascii(substring(text, CAST(i*5+1 AS INT), 1))*31 + (i+1)*7) % 997), ',') AS features
       FROM documents ORDER BY doc_id"""))
 
+  /** REAL image decode ([[graft.multimodal.Multimodal.imageStats]] via
+    * JDK ImageIO, no external deps): synthetic RGB PNGs whose channel
+    * values are linear mixes of (x, y, id) mod 256 — PNG is lossless,
+    * so the decoded per-channel means equal the closed-form sums the
+    * oracle computes in SQL. Varying dims per id prove width/height
+    * come from the decoder; a planted corrupt payload must surface as
+    * `ok = false` with null stats, not vanish. */
+  private val mmImageStats = QueryDef("mm_image_stats",
+    (s, d) => {
+      val assets = (0L until 8L).map { id =>
+        val w = 8 + (id % 3).toInt * 4
+        val h = 8 + (id % 5).toInt * 2
+        (id, graft.multimodal.Multimodal.syntheticPng(id, w, h))
+      } :+ ((100L, "definitely not an image".getBytes("UTF-8")))
+      val df = s.createDataFrame(assets).toDF("asset_id", "payload")
+        .repartition(4) // exercise the distributed per-partition decode
+      graft.multimodal.Multimodal.imageStats(df).orderBy(col("asset_id"))
+    },
+    Some("""WITH ids(asset_id) AS (SELECT unnest(range(0, 8))),
+      dims AS (SELECT asset_id,
+        CAST(8 + (asset_id % 3) * 4 AS INT) AS w,
+        CAST(8 + (asset_id % 5) * 2 AS INT) AS h FROM ids),
+      xs AS (SELECT asset_id, w, h, unnest(range(0, w)) AS x FROM dims),
+      px AS (SELECT asset_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      st AS (SELECT asset_id, w, h,
+        CAST(SUM((x*7 + y*13 + asset_id*31) % 256) AS DOUBLE) / (w*h) AS mean_r,
+        CAST(SUM((x*11 + y*3 + asset_id*17) % 256) AS DOUBLE) / (w*h) AS mean_g,
+        CAST(SUM((x*5 + y*19 + asset_id*23) % 256) AS DOUBLE) / (w*h) AS mean_b
+        FROM px GROUP BY asset_id, w, h)
+      SELECT CAST(asset_id AS BIGINT) AS asset_id, true AS ok,
+        w AS width, h AS height, 3 AS channels, mean_r, mean_g, mean_b
+      FROM st
+      UNION ALL
+      SELECT CAST(100 AS BIGINT), false, NULL, NULL, NULL, NULL, NULL, NULL
+      ORDER BY asset_id"""))
+
   /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read nanos as long (legacy conf, runtime-settable)
     * and convert with integer `div` — epoch-nanos (~1.7e18) exceeds
@@ -2767,7 +2803,7 @@ object Queries {
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    embedNearDup, mmFeatures,
+    embedNearDup, mmFeatures, mmImageStats,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,
