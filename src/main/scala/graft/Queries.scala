@@ -363,6 +363,63 @@ object Queries {
         LEFT JOIN newids ni ON n.url = ni.url
       ORDER BY entity_id"""))
 
+  /** Thumbnail composite ([[WpLoad.withThumbnails]] inside a
+    * [[Sinks.runChain]] Enrich step): posts carrying
+    * `meta._remote_featured_media` resolve it through the K14 media
+    * resolver and the K9 unpivot writes the resulting
+    * `_thumbnail_id` meta row — `set_post_thumbnail` as a set
+    * operation (`WordPressPostLoader.php:109-116`,
+    * `WithSideLoadMedia.php:23`). Posts without a URL produce no meta
+    * row. Same part-table fixture as `k14_media_resolve`, so the
+    * oracle replays the identical resolution and checks the
+    * attachment id lands keyed to the right post. */
+  private val k8Thumbnail = QueryDef("k8_thumbnail",
+    (s, d) => {
+      val p = t(s, d, "part")
+      val attachments = p.filter(col("p_partkey") % 2 === 0).select(
+        col("p_partkey").as("attachment_id"),
+        concat(Fns.toSlug(col("p_name")), lit(".jpg")).as("filename"))
+      val posts = p.select(col("p_partkey").as("post.ID"),
+        col("p_name").as("post.post_title"),
+        when(col("p_partkey") % 3 === 0,
+          concat(lit("http://cdn.example.com/m/"),
+            when(col("p_partkey") % 2 === 0,
+              concat(Fns.toSlug(col("p_name")), lit(".jpg")))
+              .otherwise(concat(lit("new-"), col("p_partkey").cast("string"),
+                lit(".jpg")))))
+          .as("meta._remote_featured_media"))
+      val enriched = Sinks.runChain(posts, Seq(
+        Sinks.Enrich("thumbnail",
+          df => WpLoad.withThumbnails(df, attachments, "post.ID"))))
+      WpLoad.unpivotMeta(enriched, "post.ID")
+        .where(col("meta_key") === "_thumbnail_id")
+        .orderBy(col("entity_id"))
+    },
+    Some(s"""WITH att AS (
+        SELECT p_partkey AS attachment_id, ${sqlSlug("p_name")}||'.jpg' AS filename
+        FROM part WHERE p_partkey % 2 = 0),
+      media AS (
+        SELECT p_partkey AS entity_id,
+          'http://cdn.example.com/m/'||
+            (CASE WHEN p_partkey % 2 = 0 THEN ${sqlSlug("p_name")}||'.jpg'
+                  ELSE 'new-'||p_partkey||'.jpg' END) AS url
+        FROM part WHERE p_partkey % 3 = 0),
+      named AS (SELECT entity_id, url,
+          lower(regexp_extract(regexp_replace(url,'[?#].*$$',''),'[^/]+$$')) AS filename
+        FROM media),
+      du AS (SELECT DISTINCT url, filename FROM named),
+      hits AS (SELECT du.url, min(att.attachment_id) AS attachment_id
+        FROM du JOIN att ON att.filename = du.filename GROUP BY du.url),
+      mx AS (SELECT COALESCE(MAX(attachment_id),0) AS m FROM att),
+      newids AS (SELECT url, (SELECT m FROM mx) + ROW_NUMBER() OVER (ORDER BY url) AS attachment_id
+        FROM du WHERE url NOT IN (SELECT url FROM hits))
+      SELECT n.entity_id, '_thumbnail_id' AS meta_key,
+        CAST(COALESCE(h.attachment_id, ni.attachment_id) AS VARCHAR) AS meta_value,
+        'update' AS mode
+      FROM named n LEFT JOIN hits h ON n.url = h.url
+        LEFT JOIN newids ni ON n.url = ni.url
+      ORDER BY entity_id"""))
+
   private val k15Subst = QueryDef("k15_placeholder_subst",
     (s, d) => {
       val o = t(s, d, "orders")
@@ -2778,7 +2835,7 @@ object Queries {
   val all: Vector[QueryDef] = Vector(
     q1Agg, q3Topn, q5Region, skewJoinQ, a2Collect, a5Merge, a6Dedup,
     k7Upsert, k8Exists, k9Meta, k12Tax, k10Parents,
-    k14Media, k15Subst, k6Chain, p8Validate, p8Stats, k11Terms, k13Users,
+    k14Media, k8Thumbnail, k15Subst, k6Chain, p8Validate, p8Stats, k11Terms, k13Users,
     s6Posts, s6MetaEmbed, s7Terms, s8Users, annIvf,
     s4Rss, s5Multi, s9Rows, a1Analyze, k17Expand, s11Finder,
     p2Roundtrip, p3Rename, p6Skip, p7Nest, p7Roundtrip, k5Scoped,

@@ -38,6 +38,37 @@ object WpLoad {
       .where(col("meta_value").isNotNull)
   }
 
+  /** Thumbnail composite — the reference's featured-media step
+    * (`WordPressPostLoader.php:109-116` sideloads
+    * `meta._remote_featured_media` and calls `set_post_thumbnail`;
+    * `WithSideLoadMedia.php:23` probes the library by filename first):
+    * rows carrying a featured-media URL resolve it against the
+    * attachments table via the K14 resolver ([[Media.resolveAttachments]]
+    * — filename probe variants, dedup-before-fetch, new ids allocated
+    * per distinct URL) and gain BOTH `post.featured_media` (the row
+    * mutation the reference applies) and `meta._thumbnail_id`, which
+    * the K9 unpivot ([[unpivotMeta]]) then writes as
+    * `set_post_thumbnail`'s meta row. Rows without a URL pass through
+    * with nulls (no meta row — unpivot drops null values).
+    *
+    * Scale shape: resolution runs on DISTINCT URLs only; the join back
+    * to the batch is on the entity id. The attachments side is a dim
+    * table — broadcastable when small; the batch is never collected. */
+  def withThumbnails(df: DataFrame, attachments: DataFrame, idCol: String,
+                     urlCol: String = "meta._remote_featured_media"): DataFrame = {
+    require(df.columns.contains(urlCol),
+      s"withThumbnails: column '$urlCol' not present")
+    val media = df.where(q(urlCol).isNotNull)
+      .select(q(idCol).as("entity_id"), q(urlCol).as("url"))
+    val resolved = Media.resolveAttachments(media, attachments)
+      .select(col("entity_id"), col("attachment_id").as("__thumb_id"))
+    df.join(resolved, q(idCol) === col("entity_id"), "left_outer")
+      .drop("entity_id")
+      .withColumn("post.featured_media", col("__thumb_id"))
+      .withColumn("meta._thumbnail_id", col("__thumb_id").cast(StringType))
+      .drop("__thumb_id")
+  }
+
   /** K12 — post↔terms explode. Every `tax.<taxonomy>` column (scalar or
     * array — `WPPostTermsLoader.php:112-145` accepts both) becomes rows
     * `(entity_id, taxonomy, term)`. Replace semantics of

@@ -30,6 +30,28 @@ class MediaValidationSpec extends SparkSpec {
     assert(id == 1L)
   }
 
+  test("withThumbnails: resolved attachment id lands in featured_media and _thumbnail_id meta") {
+    val attachments = Seq((10L, "hero.jpg")).toDF("attachment_id", "filename")
+    val posts = Seq(
+      (1L, "With hero", Some("http://x/a/hero.jpg")),   // resolves to 10
+      (2L, "With fresh", Some("http://x/b/fresh.jpg")), // new id 11
+      (3L, "No media", Option.empty[String]))           // passes through
+      .toDF("post.ID", "post.post_title", "meta._remote_featured_media")
+    val out = WpLoad.withThumbnails(posts, attachments, "post.ID")
+    val byId = out.collect().map(r => r.getAs[Long]("post.ID") -> r).toMap
+    assert(byId(1L).getAs[Long]("post.featured_media") == 10L)
+    assert(byId(1L).getAs[String]("meta._thumbnail_id") == "10")
+    assert(byId(2L).getAs[Long]("post.featured_media") == 11L)
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("post.featured_media")))
+    // the K9 unpivot then writes set_post_thumbnail's meta row — and
+    // only for posts that had media (null meta values drop)
+    val meta = WpLoad.unpivotMeta(out, "post.ID")
+      .where(col("meta_key") === "_thumbnail_id").collect()
+      .map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[String]("meta_value"), r.getAs[String]("mode")))).toMap
+    assert(meta == Map(1L -> (("10", "update")), 2L -> (("11", "update"))))
+  }
+
   test("fetchNew fetches each distinct new url once via mapPartitions") {
     val attachments = Seq((10L, "hero.jpg")).toDF("attachment_id", "filename")
     val media = Seq((1L, "http://x/hero.jpg"), (2L, "http://x/new.bin"),
