@@ -28,16 +28,20 @@ object Cli {
     val configPath = args(1)
     val flags = parseFlags(args.drop(2))
     // janitor's positional argument is the entity parquet path, not a
-    // config file; yaml configs route through the !include-aware parser
+    // config file; yaml configs route through the !include-aware parser.
+    // --strict (ConfigCommand.php:58-67): unknown-key + missing-
+    // destination rejection on top of the lenient kind checks
+    val strict = command == "config" && flags.contains("strict")
     val jobs =
       if (command == "janitor") Nil
       else if (configPath.endsWith(".yaml") || configPath.endsWith(".yml"))
-        ConfigLoader.parseYamlFile(configPath)
-      else ConfigLoader.parseFile(configPath)
+        ConfigLoader.parseYamlFile(configPath, strict)
+      else ConfigLoader.parseFile(configPath, strict)
 
     if (command == "config") {
       Pipeline.validate(jobs)
-      println(s"config OK: ${jobs.size} job(s): ${jobs.map(_.name).mkString(", ")}")
+      println(s"config OK${if (strict) " (strict)" else ""}: " +
+        s"${jobs.size} job(s): ${jobs.map(_.name).mkString(", ")}")
       return
     }
     if (command == "janitor") {
@@ -73,9 +77,12 @@ object Cli {
         }
       case "process" =>
         // --snapshot-dir: reference parity (ProcessCommand.php:349-362)
-        // — snapshot the output tree before the run, restore on fatal
+        // — snapshot the output tree before the run, restore on fatal.
+        // --manifest: consume a prior analyze's manifest for progress
+        // fractions (ProcessCommand.php:107-140)
         def go(): Map[String, Pipeline.JobResult] =
-          Pipeline.run(spark, jobs, only = only, skip = skip)
+          Pipeline.run(spark, jobs, only = only, skip = skip,
+            manifestPath = flags.get("manifest"))
         val res = flags.get("snapshot-dir") match {
           case Some(dir) => graft.sinks.Staging.withSnapshot(spark, dir)(go())
           case None => go()
@@ -84,6 +91,9 @@ object Cli {
       case "analyze" =>
         val res = Pipeline.run(spark, jobs, only = only, skip = skip, analyze = true)
         res.foreach { case (n, r) => println(s"[analyze] $n: ${r.rows.getOrElse(-1L)} rows") }
+        // persist the manifest a later `process --manifest` consumes
+        flags.get("manifest").foreach(p =>
+          Pipeline.writeAnalyzeManifest(spark, res, p))
       case "extract" | "transform" =>
         val name = flags.getOrElse("job", sys.error(s"$command requires --job"))
         val out = flags.getOrElse("out", sys.error(s"$command requires --out"))
@@ -154,9 +164,11 @@ object Cli {
 
   private val usage: String =
     """usage: graft.Cli <process|extract|transform|analyze|config|janitor> <config.json|.yaml|parquet>
-      |  process   [--job a,b] [--skip c] [--dry-run] [--snapshot-dir dir]
+      |  process   [--job a,b] [--skip c] [--dry-run] [--snapshot-dir dir] [--manifest path]
+      |  analyze   [--job a,b] [--manifest path]
       |  extract   --job x --out dir [--mode json|csv]
       |  transform --job x --out dir [--mode json|csv]
+      |  config    [--strict]
       |  janitor   <entity.parquet> [--post-type a,b] [--ledger-dir d --name n] [--id-col id]
       |""".stripMargin
 }

@@ -234,14 +234,19 @@ object ConfigLoader {
 
   /** Parse a JSON config document into JobSpecs (throws
     * ValidationException on unknown kinds / missing fields — the
-    * `wp etl config validate` behavior). */
-  def parse(json: String): Seq[Pipeline.JobSpec] = {
+    * `wp etl config validate` behavior). `strict = true` is the
+    * `--strict` mode (`ConfigCommand.php:58-67`): additionally reject
+    * unknown root- and job-level keys (a typo'd `dependson:` must not
+    * silently drop a dependency) and file-writing load steps with no
+    * destination (a missing `file:`/`path:` otherwise only surfaces at
+    * write time). */
+  def parse(json: String, strict: Boolean = false): Seq[Pipeline.JobSpec] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    fromTree(deep(mapper.readValue(json, classOf[java.util.Map[String, Object]])))
+    fromTree(deep(mapper.readValue(json, classOf[java.util.Map[String, Object]])), strict)
   }
 
-  def parseFile(path: String): Seq[Pipeline.JobSpec] =
-    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+  def parseFile(path: String, strict: Boolean = false): Seq[Pipeline.JobSpec] =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"), strict)
 
   /** Parse a reference-shaped YAML config (with `!include` composition)
     * into JobSpecs. Accepts BOTH this library's `jobs:` schema and the
@@ -250,8 +255,8 @@ object ConfigLoader {
     * become plain options, `destination: {path, file}` becomes
     * `dir`/`file`, a load-side `prefix:` becomes `prefixes`, and
     * `JSON_PRETTY_PRINT` in `options.flags` becomes `pretty`. */
-  def parseYamlFile(path: String): Seq[Pipeline.JobSpec] =
-    fromTree(Yaml.parseFile(path))
+  def parseYamlFile(path: String, strict: Boolean = false): Seq[Pipeline.JobSpec] =
+    fromTree(Yaml.parseFile(path), strict)
 
   /** Normalize a Jackson tree to the Scala shapes [[fromTree]] walks
     * (insertion order preserved — Jackson uses LinkedHashMap). */
@@ -265,22 +270,58 @@ object ConfigLoader {
 
   private type Tree = Map[String, Any]
 
-  private def fromTree(root: Any): Seq[Pipeline.JobSpec] = {
+  // strict-mode known-key sets: the union of this library's schema and
+  // the reference's (README.md:35-94 — version/slug/ledger/sources/...)
+  private val knownRootKeys = Set("jobs", "migration", "version", "name",
+    "slug", "description", "ledger", "sources", "secrets", "settings")
+  private val knownJobKeys = Set("name", "dependsOn", "skip", "description",
+    "ledger", "extract", "transform", "load")
+  /** Load kinds that write files and the destination option(s) strict
+    * mode requires them to carry up front (lenient mode defers the
+    * missing-option failure to write time). */
+  private val loadRequiredDest: Map[String, Seq[String]] = Map(
+    "json" -> Seq("file"), "csv" -> Seq("file"), "json_dir" -> Seq("path"),
+    "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
+    "partitioned" -> Seq("path"))
+
+  private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
+    val unknown = m.keys.filterNot(known)
+    if (unknown.nonEmpty)
+      throw new Pipeline.ValidationException(
+        s"config (strict): unknown $what key(s): ${unknown.mkString(", ")} " +
+          s"(known: ${known.toSeq.sorted.mkString(", ")})")
+  }
+
+  private def fromTree(root: Any, strict: Boolean = false): Seq[Pipeline.JobSpec] = {
     val rootMap = root match {
       case m: Map[_, _] => m.asInstanceOf[Tree]
       case _ => throw new Pipeline.ValidationException("config: root must be a map")
     }
+    if (strict) rejectUnknown(rootMap, knownRootKeys, "root")
     val jobs = rootMap.get("jobs").orElse(rootMap.get("migration")).getOrElse(
         throw new Pipeline.ValidationException("config: missing 'jobs' (or 'migration')"))
       .asInstanceOf[Vector[Any]]
     jobs.map {
-      case j: Map[_, _] => jobFromTree(j.asInstanceOf[Tree])
+      case j: Map[_, _] => jobFromTree(j.asInstanceOf[Tree], strict)
       case other => throw new Pipeline.ValidationException(
         s"config: job entry must be a map, got $other")
     }
   }
 
-  private def jobFromTree(m: Tree): Pipeline.JobSpec = {
+  private def jobFromTree(m: Tree, strict: Boolean = false): Pipeline.JobSpec = {
+    if (strict) {
+      rejectUnknown(m, knownJobKeys, "job")
+      m.get("load").foreach(_.asInstanceOf[Vector[Any]].foreach { s =>
+        val step = normalizeStep(s.asInstanceOf[Tree], "load")
+        loadRequiredDest.get(step.kind).foreach { needed =>
+          val missing = needed.filterNot(step.options.contains)
+          if (missing.nonEmpty)
+            throw new Pipeline.ValidationException(
+              s"config (strict): load step '${step.kind}' missing destination " +
+                s"option(s): ${missing.mkString(", ")}")
+        }
+      })
+    }
     def steps(key: String): Seq[StepConfig] =
       m.get(key).map(_.asInstanceOf[Vector[Any]]
         .map(s => normalizeStep(s.asInstanceOf[Tree], key))).getOrElse(Nil)

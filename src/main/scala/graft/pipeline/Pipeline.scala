@@ -104,12 +104,31 @@ object Pipeline {
     Sinks.writeJsonSingle(df, path)
   }
 
+  /** Pre-read of the persisted analyze manifest — the reference sizes
+    * its progress bar from the per-job counts `analyze` stored
+    * (`ProcessCommand.php:107-140`). Absent file → empty map (process
+    * still runs, just without fractions). */
+  def readAnalyzeManifest(spark: SparkSession, path: String): Map[String, Long] =
+    if (!new java.io.File(path).exists()) Map.empty
+    else spark.read.json(path) // writeJsonSingle emits JSON-lines
+      .select("job", "n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Run the full migration. `analyze = true` mirrors
     * `ProcessCommand.analyze` (`ProcessCommand.php:403-494`): count
-    * rows per job (the only action) without running loads. */
+    * rows per job (the only action) without running loads.
+    *
+    * `manifestPath` (process mode) consumes the manifest a prior
+    * `analyze` persisted: per-job expected counts and cumulative
+    * progress fractions go through `progress`, jobs missing analysis
+    * data are called out up front, and an all-zero total warns —
+    * the reference's progress-bar pre-read
+    * (`ProcessCommand.php:107-140`). */
   def run(spark: SparkSession, jobs: Seq[JobSpec],
           only: Set[String] = Set.empty, skip: Set[String] = Set.empty,
-          analyze: Boolean = false): Map[String, JobResult] = {
+          analyze: Boolean = false,
+          manifestPath: Option[String] = None,
+          progress: String => Unit = println): Map[String, JobResult] = {
     validate(jobs)
     // `only` pulls in the TRANSITIVE dependency closure of the selected
     // jobs (a selected job's dep-of-dep must still run first)
@@ -127,6 +146,22 @@ object Pipeline {
       .filterNot(_.skip)
       .filterNot(j => skip.contains(j.name))
       .filter(j => wanted.contains(j.name))
+    // progress-bar pre-read (ProcessCommand.php:107-140): expected
+    // counts from the persisted manifest, missing-analysis call-out,
+    // zero-total warning
+    val manifest: Map[String, Long] =
+      if (analyze) Map.empty
+      else manifestPath.map(readAnalyzeManifest(spark, _)).getOrElse(Map.empty)
+    val totalExpected = selected.flatMap(j => manifest.get(j.name)).sum
+    if (manifestPath.nonEmpty && !analyze) {
+      val missing = selected.map(_.name).filterNot(manifest.contains)
+      if (missing.nonEmpty)
+        progress(s"[process] analysis data missing for: ${missing.mkString(", ")}" +
+          " — run analyze to refresh the manifest")
+      if (totalExpected == 0L)
+        progress("[process] no rows found to process in analysis")
+    }
+    var doneExpected = 0L
     val results = scala.collection.mutable.LinkedHashMap.empty[String, JobResult]
     selected.foreach { job =>
       job.dependsOn.foreach { d =>
@@ -143,6 +178,14 @@ object Pipeline {
           if (job.load.isEmpty) transformed
           else Sinks.runChain(transformed, job.load)
         results(job.name) = JobResult(job.name, loaded, None)
+        manifest.get(job.name).foreach { exp =>
+          doneExpected += exp
+          val pct =
+            if (totalExpected > 0) s"${doneExpected * 100 / totalExpected}%"
+            else "n/a"
+          progress(s"[process] ${job.name}: $exp row(s) expected; " +
+            s"cumulative $doneExpected/$totalExpected ($pct)")
+        }
       }
     }
     results.toMap

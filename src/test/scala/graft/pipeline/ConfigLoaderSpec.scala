@@ -152,6 +152,38 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(e3.getMessage.contains("missing 'kind'"))
   }
 
+  test("strict mode rejects unknown keys and missing destinations; lenient passes") {
+    // typo'd job key: lenient silently ignores (dependson != dependsOn),
+    // strict rejects — exactly the failure --strict exists to catch
+    val typo = """{"jobs":[{"name":"x","dependson":["y"],"extract":[{"kind":"parquet","path":"p"}]}]}"""
+    assert(ConfigLoader.parse(typo).head.dependsOn.isEmpty)
+    val e1 = intercept[Pipeline.ValidationException](
+      ConfigLoader.parse(typo, strict = true))
+    assert(e1.getMessage.contains("unknown job key(s): dependson"))
+    // unknown root key
+    val rootTypo = """{"jobz":[],"jobs":[{"name":"x"}]}"""
+    val e2 = intercept[Pipeline.ValidationException](
+      ConfigLoader.parse(rootTypo, strict = true))
+    assert(e2.getMessage.contains("unknown root key(s): jobz"))
+    // json load step with no file: lenient defers the failure to write
+    // time; strict fails at validate time
+    val noDest = """{"jobs":[{"name":"x","load":[{"kind":"json","dir":"/tmp"}]}]}"""
+    assert(ConfigLoader.parse(noDest).head.load.size == 1)
+    val e3 = intercept[Pipeline.ValidationException](
+      ConfigLoader.parse(noDest, strict = true))
+    assert(e3.getMessage.contains("missing destination option(s): file"))
+    // ledger needs dir AND name
+    val noLedger = """{"jobs":[{"name":"x","load":[{"kind":"ledger","dir":"/tmp"}]}]}"""
+    val e4 = intercept[Pipeline.ValidationException](
+      ConfigLoader.parse(noLedger, strict = true))
+    assert(e4.getMessage.contains("missing destination option(s): name"))
+    // a fully-specified config passes strict unchanged; the reference
+    // root keys (version/slug/ledger/...) are known
+    val ok = """{"version":1,"slug":"m","jobs":[{"name":"x","skip":true,
+      "load":[{"kind":"json","dir":"/tmp","file":"out.json"}]}]}"""
+    assert(ConfigLoader.parse(ok, strict = true).head.name == "x")
+  }
+
   test("reference-shaped YAML migration with !include ports verbatim (README.md:35-94)") {
     val work = Files.createTempDirectory("graft_yaml_cfg").toFile.getPath
     val confDir = new java.io.File(work, "config"); confDir.mkdirs()

@@ -93,6 +93,31 @@ class PipelineSpec extends SparkSpec {
     assert(res("counts").rows.contains(5L))
   }
 
+  test("process consumes the analyze manifest: per-job progress fractions") {
+    val work = Files.createTempDirectory("graft_manifest").toFile.getPath
+    def srcJob(name: String, table: String) = JobSpec(name,
+      extract = Seq(SourceSpec(s => s.read.parquet(s"$sfDir/$table.parquet"),
+        prefix = None)))
+    val jobs = Seq(srcJob("regions", "region"), srcJob("nations", "nation"),
+      srcJob("unanalyzed", "region"))
+    // analyze persists the manifest (region=5, nation=25)...
+    val analyzed = Pipeline.run(spark, jobs.take(2), analyze = true)
+    Pipeline.writeAnalyzeManifest(spark, analyzed, s"$work/manifest.json")
+    assert(Pipeline.readAnalyzeManifest(spark, s"$work/manifest.json") ==
+      Map("regions" -> 5L, "nations" -> 25L))
+    // ...process pre-reads it and reports cumulative fractions
+    // (ProcessCommand.php:107-140); the job with no analysis data is
+    // called out up front instead of silently skewing the total
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    Pipeline.run(spark, jobs, manifestPath = Some(s"$work/manifest.json"),
+      progress = lines += _)
+    assert(lines.exists(_.contains("analysis data missing for: unanalyzed")))
+    assert(lines.exists(_.contains("regions: 5 row(s) expected; cumulative 5/30 (16%)")))
+    assert(lines.exists(_.contains("nations: 25 row(s) expected; cumulative 30/30 (100%)")))
+    // absent manifest file -> empty map, run proceeds without fractions
+    assert(Pipeline.readAnalyzeManifest(spark, s"$work/nope.json").isEmpty)
+  }
+
   test("only filter pulls in the transitive dependency closure") {
     def regionJob(name: String, deps: String*) = JobSpec(name, deps,
       extract = Seq(SourceSpec(s => s.read.parquet(s"$sfDir/region.parquet"), None)))
