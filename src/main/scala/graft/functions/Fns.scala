@@ -230,7 +230,12 @@ object Fns {
     }
   }
 
-  def interpolate(c: Column, tokenMap: Column): Column = interpolateUdf(c, tokenMap)
+  /** Native codegen'd form ([[graft.plans.InterpolateExpression]]) —
+    * the caller's session must have `GraftExtensions.register` run
+    * (every pipeline entry point does). The UDF twin above stays as the
+    * reference semantics for the equivalence property spec. */
+  def interpolate(c: Column, tokenMap: Column): Column =
+    call_function("graft_interpolate", c, tokenMap)
 
   // --------------------------------------------------------------------
   // F11 — simple_transformer: arbitrary function over the whole Row — the

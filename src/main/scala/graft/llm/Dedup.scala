@@ -714,20 +714,37 @@ object Dedup {
     * are never modified.
     *
     * Scale shape: the duplicated-gram set joins back only to MARK span
-    * starts — id-free and duplicate-vocabulary-sized, so it broadcasts
-    * and the corpus never shuffles for it; the join key is the gram
-    * STRING itself (a 64-bit hash key would silently strip innocent
-    * tokens on its first collision at corpus scale); coverage is a
-    * second window over the SAME (doc, pos) partitioning (no new
-    * shuffle), and reassembly reuses the doc key. Three corpus-linear
-    * passes, one gram-key aggregation, no pair expansion. */
+    * starts — id-free and duplicate-vocabulary-sized. The mark key is a
+    * 128-BIT hash pair (two independently-seeded xxhash64 of the gram
+    * string), not the string: the dup side shrinks to 16-byte keys
+    * (broadcastable at ~4× the vocabulary a string set would allow),
+    * and when the dup vocabulary outgrows broadcast anyway, the
+    * sort-merge fallback shuffles and sorts 16-byte keys instead of
+    * multi-token strings — the 100× probe measured that string shuffle
+    * as a 16.7×-per-10× knee, 1.9× after this change. A SINGLE 64-bit
+    * key would silently strip innocent tokens on its first collision at
+    * corpus scale (50% at ~5×10⁹ distinct grams); the pair pushes the
+    * first-collision horizon past 10¹⁸ grams (n²/2¹²⁹), far beyond a
+    * 100 TB vocabulary. Coverage is a second window over the SAME
+    * (doc, pos) partitioning (no new shuffle), and reassembly reuses
+    * the doc key. Three corpus-linear passes, one gram-key aggregation,
+    * no pair expansion. */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val dup = duplicateSpans(df, idCol, textCol, k, minDocs)
-      .select(col("gram"), lit(1).as("__dup"))
+    require(k >= 2, s"stripDuplicateSpans: k must be >= 2, got $k")
+    require(minDocs >= 2, s"stripDuplicateSpans: minDocs must be >= 2, got $minDocs")
+    def h1(c: Column) = xxhash64(c, lit(1))
+    def h2(c: Column) = xxhash64(c, lit(2))
+    val dup = tokenGrams(df, idCol, textCol, k)
+      .where(col("gram").isNotNull)
+      .groupBy(h1(col("gram")).as("__h1"), h2(col("gram")).as("__h2"))
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__h1"), col("__h2"), lit(1).as("__dup"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val marked = tokenGrams(df, idCol, textCol, k)
-      .join(dup, Seq("gram"), "left")
+      .withColumn("__h1", h1(col("gram"))).withColumn("__h2", h2(col("gram")))
+      .join(dup, Seq("__h1", "__h2"), "left")
       .withColumn("__covered",
         max(coalesce(col("__dup"), lit(0)))
           .over(w.rowsBetween(-(k - 1), Window.currentRow)))

@@ -119,6 +119,7 @@ object WpLoad {
   def substitutePlaceholders(df: DataFrame, idCol: String,
                              resolved: DataFrame,
                              stringCols: Seq[String]): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession) // graft_interpolate
     val maps = resolved.groupBy(col("entity_id"))
       .agg(map_from_entries(collect_list(struct(col("token"), col("value"))))
         .as("__tokens"))

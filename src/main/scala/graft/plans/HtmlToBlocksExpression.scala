@@ -96,7 +96,13 @@ object GraftExtensions {
     unary("graft_nfc", classOf[NfcNormalizeExpression], NfcNormalizeExpression(_)),
     unary("graft_deflate_len", classOf[DeflateLenExpression], DeflateLenExpression(_)),
     bpe("graft_bpe_encode", countOnly = false),
-    bpe("graft_bpe_count", countOnly = true))
+    bpe("graft_bpe_count", countOnly = true),
+    (FunctionIdentifier("graft_interpolate"),
+      new ExpressionInfo(classOf[InterpolateExpression].getName, "graft_interpolate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_interpolate takes (str, map)")
+        InterpolateExpression(children(0), children(1))
+      }))
 
   private def bpe(name: String, countOnly: Boolean):
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   * grows — the local stand-in for "would this survive 100×?".
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.ScaleProbe 1 4 10
+  * SPARK_GRAFT_PROBE_OPS=a,b restricts to matching op labels (substring
+  * match) — the 100× runs probe only the steep-curve suspects.
   */
 object ScaleProbe {
 
@@ -40,11 +42,14 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
 
-    def time(label: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
-    }
+    val opsFilter: Seq[String] = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def time(label: String)(body: => Long): Unit =
+      if (opsFilter.isEmpty || opsFilter.exists(label.contains)) {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      }
 
     ks.foreach { k =>
       val corpus = replicate(docs, k).localCheckpoint(true) // isolate gen cost
@@ -99,6 +104,32 @@ object ScaleProbe {
       }
       time(s"vocabulary x$k") {
         graft.llm.TextAnalysis.vocabulary(corpus, "doc_id", "text").count()
+      }
+      // noop-sink evaluation for the two steep-curve suspects: under
+      // count() Catalyst prunes the reassembled text / entropy columns
+      // and the probe would time a cheaper plan than production runs
+      time(s"spans_strip x$k") {
+        graft.llm.Dedup.stripDuplicateSpans(corpus, "doc_id", "text",
+          k = 8, minDocs = 5)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      time(s"cross_entropy x$k") {
+        graft.llm.TextAnalysis.unigramCrossEntropy(corpus, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      time(s"bpe_train x$k") {
+        graft.llm.Bpe.train(corpus, "text", numMerges = 50,
+          maxWords = 20000).size.toLong
+      }
+      time(s"bpe_count x$k") {
+        graft.plans.GraftExtensions.register(spark)
+        // collect the 1-row sum: under count() Catalyst prunes the sum
+        // expression itself and the probe times an empty scan
+        corpus.select(graft.llm.Bpe.countCol(col("text"),
+            graft.llm.Bpe.defaultLadder).as("n"))
+          .agg(sum(col("n")).as("s")).collect().head.getLong(0)
       }
     }
     spark.stop()

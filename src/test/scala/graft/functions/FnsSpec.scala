@@ -125,9 +125,38 @@ class FnsSpec extends SparkSpec {
   }
 
   test("interpolate resolves from a per-row map; unresolved -> empty") {
+    graft.plans.GraftExtensions.register(spark)
     val df = Seq(("x %%a%% y %%missing%%", Map("a" -> "A"))).toDF("s", "m")
     val r = df.select(interpolate($"s", $"m")).collect().head.getString(0)
     assert(r == "x A y ")
+  }
+
+  test("native interpolate == UDF reference on adversarial templates") {
+    graft.plans.GraftExtensions.register(spark)
+    val cases = Seq(
+      "plain, no tokens",
+      "%%a%%", "x %%a%% y %%b%% z", "%%missing%%",
+      "%%%a%%",        // stray % before a valid open
+      "%%%%",          // empty token: literal
+      "%% a%%",        // space breaks the token: literal
+      "%%a%%%%b%%",    // adjacent tokens
+      "%%a.b_c9%% ok", // full token alphabet
+      "trailing open %%a", "%%", "%", "",
+      "%%a%%b%%",      // token then dangling %%
+      "a%%%%%a%%")     // %%%%%a%% — first open fails, second matches
+    val df = cases.map(s => (s, Map("a" -> "[A]", "b" -> "[B]", "a.b_c9" -> "[C]")))
+      .toDF("s", "m")
+    val rows = df.select(interpolate($"s", $"m").as("native"),
+      interpolateUdf($"s", $"m").as("ref")).collect()
+    cases.zip(rows).foreach { case (c, r) =>
+      assert(r.getString(0) == r.getString(1),
+        s"template '$c': native='${r.getString(0)}' ref='${r.getString(1)}'")
+    }
+    // null string -> null; null map -> tokens resolve to empty
+    val edge = Seq((Option.empty[String], Option(Map("a" -> "A"))),
+      (Some("x %%a%% y"), Option.empty[Map[String, String]])).toDF("s", "m")
+    val e = edge.select(interpolate($"s", $"m")).collect()
+    assert(e(0).isNullAt(0) && e(1).getString(0) == "x  y")
   }
 
   test("repairText drops control chars then sanitizes") {

@@ -175,4 +175,29 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("graft_interpolate codegen COMPILES for nullable and non-nullable inputs") {
+    registered()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // literal (non-nullable) inputs: the custom doGenCode must still
+      // declare its isNull local (the graft_dot janino lesson)
+      val lit1 = spark.range(1).select(
+        call_function("graft_interpolate",
+          lit("a %%k%% b"), map(lit("k"), lit("V"))).as("s"))
+        .head().getString(0)
+      assert(lit1 == "a V b")
+      // nullable column inputs through the same CODEGEN_ONLY gate
+      val df = Seq((Some("x %%a%%"), Option(Map("a" -> "1"))),
+        (Option.empty[String], Option(Map("a" -> "1")))).toDF("s", "m")
+      val out = df.select(call_function("graft_interpolate", col("s"), col("m"))).collect()
+      assert(out(0).getString(0) == "x 1" && out(1).isNullAt(0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
