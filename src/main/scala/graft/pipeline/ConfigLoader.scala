@@ -144,6 +144,17 @@ object ConfigLoader {
           req(o, "textCol"),
           chunkTokens = req(o, "chunkTokens").toInt,
           stride = o.getOrElse("stride", req(o, "chunkTokens")).toInt)),
+      // learned-BPE token count as a column (Bpe.scala): ladderPath
+      // loads a persisted merge table (train once, encode forever);
+      // absent -> the default English ladder
+      "bpe_token_count" -> (o => df => {
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val ladder = o.get("ladderPath")
+          .map(graft.llm.Bpe.loadLadder)
+          .getOrElse(graft.llm.Bpe.defaultLadder)
+        df.withColumn(o.getOrElse("outCol", "n_tokens"),
+          graft.llm.Bpe.countCol(ColumnNs.q(req(o, "textCol")), ladder))
+      }),
       // drop both compression-ratio tails (too repetitive / too random);
       // empty texts carry no signal and are kept
       "compression_filter" -> (o => df => {

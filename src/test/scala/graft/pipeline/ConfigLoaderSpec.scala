@@ -64,6 +64,22 @@ class ConfigLoaderSpec extends SparkSpec {
       .forall(_._2 == 3L))
   }
 
+  test("bpe_token_count kind: persisted ladder drives config-based counting") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val work = Files.createTempDirectory("graft_bpe_cfg").toFile.getPath
+    // with the mini ladder, "low low" -> [low][low] = 2 tokens
+    graft.llm.Bpe.saveLadder(Seq("l" -> "o", "lo" -> "w"), s"$work/ladder.txt")
+    val df = Seq((1L, "low low"), (2L, "xy")).toDF("id", "text")
+    val out = transformKinds("bpe_token_count")(
+      Map("textCol" -> "text", "ladderPath" -> s"$work/ladder.txt"))(df)
+      .select(col("id"), col("n_tokens")).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L))
+    // absent ladderPath -> default ladder, custom out column
+    val d = transformKinds("bpe_token_count")(
+      Map("textCol" -> "text", "outCol" -> "nt"))(df)
+    assert(d.columns.contains("nt") && d.count() == 2)
+  }
+
   test("line-dedup, chunking, and partitioned-write kinds drive from config") {
     import graft.pipeline.ConfigLoader.{transformKinds, loadKinds}
     val docs = Seq((1L, "BOILER\nkeep a"), (2L, "BOILER\nkeep b"),
