@@ -2579,6 +2579,80 @@ object Queries {
       SELECT CAST(100 AS BIGINT), false, NULL, NULL, NULL, NULL, NULL, NULL
       ORDER BY asset_id"""))
 
+  /** REAL audio decode ([[graft.multimodal.Multimodal.audioStats]] via
+    * the JDK's `javax.sound.sampled`, no external deps): synthetic mono
+    * PCM16 WAVs whose sample values are `((i*2653 + id*7919) mod 65536)
+    * - 32768` — PCM is lossless, so the decoded amplitude sums equal
+    * the closed-form sums the oracle computes in SQL (division/sqrt
+    * order matched for bit-identical doubles). Varying lengths per id
+    * prove n_samples/duration come from the decoder; a planted
+    * non-audio payload must surface as `ok = false`, not vanish. */
+  private val mmAudioStats = QueryDef("mm_audio_stats",
+    (s, d) => {
+      val assets = (0L until 6L).map { id =>
+        (id, graft.multimodal.Multimodal.syntheticWav(
+          id, 8000, 800 + (id % 4).toInt * 250))
+      } :+ ((100L, "definitely not audio".getBytes("UTF-8")))
+      val df = s.createDataFrame(assets).toDF("asset_id", "payload")
+        .repartition(4) // exercise the distributed per-partition decode
+      graft.multimodal.Multimodal.audioStats(df).orderBy(col("asset_id"))
+    },
+    Some("""WITH ids(asset_id) AS (SELECT unnest(range(0, 6))),
+      dims AS (SELECT asset_id, 800 + (asset_id % 4) * 250 AS n FROM ids),
+      sm AS (SELECT asset_id, n, unnest(range(0, n)) AS i FROM dims),
+      sv AS (SELECT asset_id, n,
+        ((i*2653 + asset_id*7919) % 65536) - 32768 AS s FROM sm),
+      st AS (SELECT asset_id, n,
+        CAST(SUM(ABS(s)) AS DOUBLE) / n / 32768.0 AS mean_abs,
+        sqrt(CAST(SUM(s*s) AS DOUBLE) / n) / 32768.0 AS rms
+        FROM sv GROUP BY asset_id, n)
+      SELECT CAST(asset_id AS BIGINT) AS asset_id, true AS ok,
+        CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms, mean_abs, rms
+      FROM st
+      UNION ALL
+      SELECT CAST(100 AS BIGINT), false, NULL, NULL, NULL, NULL, NULL, NULL
+      ORDER BY asset_id"""))
+
+  /** REAL per-frame video decode
+    * ([[graft.multimodal.Multimodal.videoFrameStats]]): each "video" is
+    * concatenated synthetic PNG frames; the chunk-walking demux finds
+    * frame boundaries at IEND, then every frame gets a real ImageIO
+    * decode. Frame f of asset a uses pixel seed `a*100 + f`, so
+    * per-frame channel means stay closed-form for the oracle. A
+    * frameless payload must emit its countable `frame_idx = -1` row. */
+  private val mmVideoFrames = QueryDef("mm_video_frames",
+    (s, d) => {
+      val assets = (0L until 4L).map { id =>
+        val w = 8 + (id % 2).toInt * 4
+        val h = 6 + (id % 3).toInt * 2
+        (id, graft.multimodal.Multimodal.syntheticVideo(id, 3, w, h))
+      } :+ ((100L, "definitely not a video".getBytes("UTF-8")))
+      val df = s.createDataFrame(assets).toDF("asset_id", "payload")
+        .repartition(3)
+      graft.multimodal.Multimodal.videoFrameStats(df)
+        .orderBy(col("asset_id"), col("frame_idx"))
+    },
+    Some("""WITH ids(asset_id) AS (SELECT unnest(range(0, 4))),
+      fr AS (SELECT asset_id, unnest(range(0, 3)) AS f FROM ids),
+      dims AS (SELECT asset_id, f, asset_id*100 + f AS seed,
+        CAST(8 + (asset_id % 2) * 4 AS INT) AS w,
+        CAST(6 + (asset_id % 3) * 2 AS INT) AS h FROM fr),
+      xs AS (SELECT asset_id, f, seed, w, h, unnest(range(0, w)) AS x FROM dims),
+      px AS (SELECT asset_id, f, seed, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      st AS (SELECT asset_id, f, w, h,
+        CAST(SUM((x*7 + y*13 + seed*31) % 256) AS DOUBLE) / (w*h) AS mean_r,
+        CAST(SUM((x*11 + y*3 + seed*17) % 256) AS DOUBLE) / (w*h) AS mean_g,
+        CAST(SUM((x*5 + y*19 + seed*23) % 256) AS DOUBLE) / (w*h) AS mean_b
+        FROM px GROUP BY asset_id, f, w, h)
+      SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(f AS INT) AS frame_idx,
+        true AS ok, w AS width, h AS height, mean_r, mean_g, mean_b
+      FROM st
+      UNION ALL
+      SELECT CAST(100 AS BIGINT), CAST(-1 AS INT), false, NULL, NULL, NULL, NULL, NULL
+      ORDER BY asset_id, frame_idx"""))
+
   /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read nanos as long (legacy conf, runtime-settable)
     * and convert with integer `div` — epoch-nanos (~1.7e18) exceeds
@@ -2860,7 +2934,7 @@ object Queries {
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    embedNearDup, mmFeatures, mmImageStats,
+    embedNearDup, mmFeatures, mmImageStats, mmAudioStats, mmVideoFrames,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

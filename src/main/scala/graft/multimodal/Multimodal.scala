@@ -7,14 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * Images/audio/video are opaque `binary` columns with typed metadata
-  * (mime, dims, duration). IMAGE decode is REAL: PNG/JPEG/GIF/BMP via
-  * the JDK's bundled `javax.imageio` ([[decodeImage]], [[imageStats]],
-  * and the image path of [[decodeBatched]]) — width/height/channel
-  * count and exact per-channel pixel means, no external dependency.
-  * Audio/video decode remains a clearly-marked deterministic fallback
-  * (no codec libraries ship in this container); a production deployment
-  * swaps the fallback for a codec call without touching the
-  * surrounding plumbing.
+  * (mime, dims, duration). Decode is REAL for every modality this
+  * container can carry without external deps: IMAGES via the JDK's
+  * bundled `javax.imageio` (PNG/JPEG/GIF/BMP — [[decodeImage]],
+  * [[imageStats]]), AUDIO via `javax.sound.sampled` (WAVE/AIFF/AU
+  * signed-PCM16 — [[decodeAudio]], [[audioStats]]), and VIDEO as a
+  * chunk-walking PNG-frame demux + per-frame ImageIO decode
+  * ([[pngFrames]], [[videoFrameStats]]). Only compressed codecs
+  * (JPEG2000, MP3, H.264, …) need external libraries; swapping those
+  * in replaces one decode call without touching the plumbing.
   *
   * Scale notes: everything is a map-only pass (no shuffle); binaries
   * stay in the executors (never collected); `decodeBatched` amortizes
@@ -77,8 +78,9 @@ object Multimodal {
 
   /** Batched per-partition decode — the `mapInPandas` analogue. Image
     * payloads get a REAL ImageIO decode (feature = mean luminance in
-    * [0,1]); non-image payloads fall back to a deterministic byte-hash
-    * feature (documented fallback — audio/video codecs don't ship in
+    * [0,1]); audio payloads a REAL PCM decode (feature = RMS amplitude
+    * in [0,1]); anything else falls back to a deterministic byte-hash
+    * feature (documented fallback — compressed codecs don't ship in
     * the JDK). The batching shape (iterate a partition in `batchSize`
     * groups, amortizing per-batch init) is the contract a model call
     * plugs into. Output: (asset_id, n_bytes, feature). */
@@ -98,7 +100,10 @@ object Multimodal {
             val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
             val feature = decodeImage(bytes) match {
               case Some(s) => (s.meanR + s.meanG + s.meanB) / (3.0 * 255.0)
-              case None => fallbackFeature(bytes)
+              case None => decodeAudio(bytes) match {
+                case Some(a) => a.rms
+                case None => fallbackFeature(bytes)
+              }
             }
             Row(id, bytes.length, feature)
           }
@@ -106,9 +111,10 @@ object Multimodal {
       }(enc)
   }
 
-  /** FALLBACK feature for payloads ImageIO can't decode (text stand-ins,
-    * audio/video): a deterministic byte hash — a real deployment swaps
-    * this for the appropriate codec + model call. */
+  /** FALLBACK feature for payloads neither ImageIO nor the PCM decoder
+    * accept (text stand-ins, compressed codecs): a deterministic byte
+    * hash — a real deployment swaps this for the appropriate codec +
+    * model call. */
   private def fallbackFeature(bytes: Array[Byte]): Double = {
     var h = 1125899906842597L
     var i = 0
@@ -185,6 +191,106 @@ object Multimodal {
       }(enc)
   }
 
+  /** Decoded audio shape + amplitude stats. Amplitudes are normalized
+    * to [0,1] against the PCM16 full scale (32768). */
+  final case class AudioStats(sampleRate: Int, channels: Int, nSamples: Long,
+                              durationMs: Long, meanAbs: Double, rms: Double)
+
+  /** REAL audio decode via the JDK's bundled `javax.sound.sampled`
+    * (WAVE/AIFF/AU containers, signed PCM16 payloads — no external
+    * dependency). Returns None for null/empty/undecodable payloads and
+    * for encodings this offline container can't carry (compressed
+    * codecs would need external libs — that swap point is the only
+    * thing a production deployment changes). PCM is lossless, so the
+    * amplitude sums are exact integers and the derived means are
+    * oracle-checkable cross-engine (same IEEE division/sqrt order). */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioStats] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      if (n == 0) return None
+      val little = !fmt.isBigEndian
+      var sumAbs = 0L; var sumSq = 0L
+      var i = 0
+      while (i < n) {
+        val s =
+          if (little) (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          else (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+        sumAbs += math.abs(s.toLong); sumSq += s.toLong * s
+        i += 1
+      }
+      val ch = fmt.getChannels
+      val frames = n / ch
+      Some(AudioStats(fmt.getSampleRate.toInt, ch, n.toLong,
+        frames * 1000L / fmt.getSampleRate.toLong,
+        sumAbs.toDouble / n / 32768.0,
+        math.sqrt(sumSq.toDouble / n) / 32768.0))
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed audio-stats pass: batched per-partition PCM decode,
+    * same map-only / binaries-stay-on-executors shape as [[imageStats]].
+    * Undecodable payloads keep their row with `ok = false` and null
+    * stats. Output: (asset_id, ok, sample_rate, channels, n_samples,
+    * duration_ms, mean_abs, rms). */
+  def audioStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("mean_abs", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch init slot (codec warmup) — javax.sound is stateless
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            decodeAudio(bytes) match {
+              case Some(s) => Row(id, true, s.sampleRate, s.channels,
+                s.nSamples, s.durationMs, s.meanAbs, s.rms)
+              case None => Row(id, false, null, null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic mono PCM16 WAV: sample i of asset `id` is
+    * `((i*2653 + id*7919) mod 65536) - 32768`, so amplitude sums are
+    * computable in closed form by any engine (the `mm_audio_stats`
+    * oracle replays them in SQL). Encoded through AudioSystem itself,
+    * so the round-trip exercises the real WAVE writer and reader. */
+  def syntheticWav(id: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.floorMod(i.toLong * 2653 + id * 7919, 65536L) - 32768L).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic RGB PNG: channel values are linear mixes
     * of (x, y, id) mod 256, so per-channel means are computable in
     * closed form by any engine (the `mm_image_stats` oracle replays
@@ -207,5 +313,103 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Container demux for the concatenated-PNG "video" format: walk each
+    * PNG's chunk structure (4-byte big-endian length + type + data +
+    * CRC) to its IEND boundary — frames are variable-length, so
+    * fixed-stride [[frameSample]] can't cut them, and signature
+    * scanning would mis-split if compressed data contained the magic.
+    * Bounded by `maxFrames`. A truncated/corrupt tail is emitted as a
+    * final frame (it decodes to an `ok = false` row downstream — corrupt
+    * media stays countable); a payload not starting with the PNG magic
+    * yields no frames. */
+  def pngFrames(bytes: Array[Byte], maxFrames: Int): Seq[Array[Byte]] = {
+    if (bytes == null) return Nil
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    var halt = false
+    while (!halt && frames.length < maxFrames && pos + PngMagic.length <= bytes.length &&
+           (0 until PngMagic.length).forall(m => bytes(pos + m) == PngMagic(m))) {
+      var p = pos + PngMagic.length
+      var end = -1
+      var ok = true
+      while (end < 0 && ok) {
+        if (p + 8 > bytes.length) ok = false
+        else {
+          val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+                    ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+                      bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+          val next = p + 12 + len
+          if (len < 0 || next > bytes.length) ok = false
+          else { if (isEnd) end = next; p = next }
+        }
+      }
+      if (!ok) {
+        frames += java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
+        halt = true
+      } else {
+        frames += java.util.Arrays.copyOfRange(bytes, pos, end)
+        pos = end
+      }
+    }
+    frames.toSeq
+  }
+
+  /** Deterministic synthetic "video": `nFrames` concatenated
+    * [[syntheticPng]] frames whose per-frame pixel formulas are seeded
+    * by `id * 100 + frameIdx` — per-frame channel means stay
+    * closed-form for the `mm_video_frames` oracle. */
+  def syntheticVideo(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) { bos.write(syntheticPng(id * 100 + f, w, h)); f += 1 }
+    bos.toByteArray
+  }
+
+  /** Distributed per-frame video decode: demux each payload into PNG
+    * frames ([[pngFrames]]), then REAL-decode every frame via ImageIO —
+    * the frame-sampling + decode composite a video pipeline needs.
+    * Map-only (one input row expands to its frame rows inside the
+    * executor; binaries never leave it). Undecodable frames keep their
+    * row with `ok = false`; payloads with no frames emit a single
+    * `frame_idx = -1, ok = false` row so corrupt media stays countable.
+    * Output: (asset_id, frame_idx, ok, width, height, mean_r, mean_g,
+    * mean_b). */
+  def videoFrameStats(df: DataFrame, maxFrames: Int = 64,
+                      batchSize: Int = 16): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch init slot (codec warmup) — ImageIO is stateless
+          batch.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            val frames = pngFrames(bytes, maxFrames)
+            if (frames.isEmpty) Seq(Row(id, -1, false, null, null, null, null, null))
+            else frames.zipWithIndex.map { case (fb, idx) =>
+              decodeImage(fb) match {
+                case Some(s) => Row(id, idx, true, s.width, s.height,
+                  s.meanR, s.meanG, s.meanB)
+                case None => Row(id, idx, false, null, null, null, null, null)
+              }
+            }
+          }
+        }
+      }(enc)
   }
 }

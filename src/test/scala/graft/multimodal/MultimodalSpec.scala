@@ -100,4 +100,85 @@ class MultimodalSpec extends SparkSpec {
     val feature = Multimodal.decodeBatched(df).collect().head.getDouble(2)
     assert(feature == (s.meanR + s.meanG + s.meanB) / (3.0 * 255.0))
   }
+
+  test("decodeAudio: exact rate/length/amplitude stats from a synthetic WAV") {
+    val n = 1000
+    val wav = Multimodal.syntheticWav(7L, 8000, n)
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.nSamples == n)
+    assert(a.durationMs == n * 1000L / 8000L)
+    // PCM is lossless: stats must equal the closed-form sample sums
+    var sumAbs = 0L; var sumSq = 0L
+    for (i <- 0 until n) {
+      val s = math.floorMod(i.toLong * 2653 + 7L * 7919, 65536L) - 32768L
+      sumAbs += math.abs(s); sumSq += s * s
+    }
+    assert(a.meanAbs == sumAbs.toDouble / n / 32768.0)
+    assert(a.rms == math.sqrt(sumSq.toDouble / n) / 32768.0)
+  }
+
+  test("decodeAudio: corrupt, empty and null payloads return None") {
+    assert(Multimodal.decodeAudio("junk bytes".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeAudio(
+      Multimodal.syntheticWav(1L, 8000, 100).take(30)).isEmpty)
+  }
+
+  test("audioStats: distributed decode keeps non-audio rows with ok=false") {
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(1L, 8000, 400)),
+      (2L, Multimodal.syntheticWav(2L, 16000, 1600)),
+      (3L, "not audio".getBytes("UTF-8"))
+    ).toDF("asset_id", "payload").repartition(3)
+    val rows = Multimodal.audioStats(df, batchSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 3)
+    assert(rows(1L).getBoolean(1) && rows(1L).getInt(2) == 8000 &&
+      rows(1L).getLong(4) == 400 && rows(1L).getLong(5) == 50L)
+    assert(rows(2L).getBoolean(1) && rows(2L).getInt(2) == 16000 &&
+      rows(2L).getLong(5) == 100L)
+    assert(!rows(3L).getBoolean(1) && rows(3L).isNullAt(2) && rows(3L).isNullAt(6))
+  }
+
+  test("decodeBatched: audio payloads route through the REAL PCM decode (RMS)") {
+    val wav = Multimodal.syntheticWav(9L, 8000, 500)
+    val a = Multimodal.decodeAudio(wav).get
+    val df = Seq((9L, wav)).toDF("asset_id", "payload")
+    val feature = Multimodal.decodeBatched(df).collect().head.getDouble(2)
+    assert(feature == a.rms)
+  }
+
+  test("pngFrames: chunk-walking demux recovers exact frame boundaries") {
+    val f0 = Multimodal.syntheticPng(100L, 8, 6)
+    val f1 = Multimodal.syntheticPng(101L, 8, 6)
+    val f2 = Multimodal.syntheticPng(102L, 8, 6)
+    val video = f0 ++ f1 ++ f2
+    val frames = Multimodal.pngFrames(video, maxFrames = 10)
+    assert(frames.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq, f2.toSeq))
+    // maxFrames bounds the demux
+    assert(Multimodal.pngFrames(video, maxFrames = 2).length == 2)
+    // non-PNG payloads yield no frames; truncated tail emitted as-is
+    assert(Multimodal.pngFrames("junk".getBytes("UTF-8"), 10).isEmpty)
+    assert(Multimodal.pngFrames(null, 10).isEmpty)
+    val truncated = Multimodal.pngFrames(video.dropRight(10), 10)
+    assert(truncated.length == 3 && truncated(2).length < f2.length)
+  }
+
+  test("videoFrameStats: per-frame REAL decode; frameless payloads stay countable") {
+    val df = Seq(
+      (1L, Multimodal.syntheticVideo(1L, 2, 8, 6)),
+      (2L, "not a video".getBytes("UTF-8"))
+    ).toDF("asset_id", "payload").repartition(2)
+    val rows = Multimodal.videoFrameStats(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(rows.size == 3)
+    val expected0 = Multimodal.decodeImage(Multimodal.syntheticPng(100L, 8, 6)).get
+    val r0 = rows((1L, 0))
+    assert(r0.getBoolean(2) && r0.getInt(3) == 8 && r0.getInt(4) == 6 &&
+      r0.getDouble(5) == expected0.meanR)
+    assert(rows((1L, 1)).getBoolean(2))
+    val bad = rows((2L, -1))
+    assert(!bad.getBoolean(2) && bad.isNullAt(3))
+  }
 }
