@@ -2230,6 +2230,39 @@ object Queries {
         md5(CAST(doc_id AS VARCHAR)) AS rank
       FROM documents ORDER BY shard, rank"""))
 
+  /** Trainer-shard write path end to end
+    * ([[graft.llm.Packing.writeTrainingShards]]): shards land as
+    * `shard=N` parquet directories, and the returned manifest is
+    * computed by RE-READING the written files — so this row certifies
+    * the on-disk layout, not the intended one. The checksum is the
+    * bounded-state sum of 8-hex-digit rank digests (mergeable, one
+    * long per shard), replayed in SQL as pure substring arithmetic. */
+  private val shardManifest = QueryDef("shard_manifest",
+    (s, d) => {
+      val dir = tmpDir(d, "train_shards")
+      graft.llm.Packing.writeTrainingShards(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", dir, nShards = 8)
+        .orderBy(col("shard"))
+    },
+    Some("""WITH r AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS rank FROM documents),
+      s AS (SELECT rank,
+        (strpos('0123456789abcdef', substr(rank,1,1)) * 16
+         + strpos('0123456789abcdef', substr(rank,2,1)) - 17) % 8 AS shard,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank
+      FROM s GROUP BY shard ORDER BY shard"""))
+
   // The composed curation pass a pre-training pipeline actually runs:
   // language filter → Gopher quality + repetition filters → PII scrub
   // → exact dedup of the scrubbed text. Every stage is an independently
@@ -2932,7 +2965,7 @@ object Queries {
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
-    shardShuffleQ, repStats, curatePipeline,
+    shardShuffleQ, shardManifest, repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     embedNearDup, mmFeatures, mmImageStats, mmAudioStats, mmVideoFrames,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,

@@ -88,4 +88,53 @@ object Packing {
                     + instr('0123456789abcdef', substring(rank, 2, 1)) - 17,
                  $nShards)""").cast("long"))
   }
+
+  /** Order-independent 64-bit row digest from the md5 `rank` hex: the
+    * integer value of its first 8 hex digits (engine-portable pure
+    * arithmetic on substrings — no conv()/from_hex, which differ
+    * across engines). Summing these per shard gives a MERGEABLE,
+    * BOUNDED-STATE checksum (one long per shard, map-side combinable)
+    * — the scale-correct alternative to hashing a sorted
+    * concatenation of all member ranks, whose aggregation state grows
+    * with shard size. */
+  private[llm] def rankDigest(rank: Column): Column =
+    (1 to 8).map { i =>
+      (instr(lit("0123456789abcdef"), substring(rank, i, 1)) - 1) *
+        (1L << (4 * (8 - i)))
+    }.reduce(_ + _).cast("long")
+
+  /** Write the corpus as trainer-ready shards + an audit manifest.
+    *
+    * Layout: parquet part-files under `dir/data/shard=N/` ([[graft.sinks.Sinks.writeShards]]
+    * — one directory per shard; a data loader maps worker k to shard k
+    * and reads its directory with partition pruning, see [[readShard]])
+    * and `dir/manifest/` (tiny: one row per shard with `n_rows`, the
+    * summed [[rankDigest]] `checksum`, and the min/max member rank for
+    * spot audits).
+    *
+    * The manifest is computed by RE-READING the written files — it
+    * certifies what landed on disk, not what was intended — via a
+    * bounded-state aggregation (no per-shard collect). Returns the
+    * manifest. */
+  def writeTrainingShards(df: DataFrame, idCol: String, dir: String,
+                          nShards: Int): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val spark = df.sparkSession
+    graft.sinks.Sinks.writeShards(df, idCol, s"$dir/data", nShards)
+    val manifest = spark.read.parquet(s"$dir/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rankDigest(col("rank"))).as("checksum"),
+        min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    spark.read.parquet(s"$dir/manifest")
+  }
+
+  /** Partition-pruned single-shard read — the per-worker data-loader
+    * load. The `shard = k` filter prunes to one `shard=N` directory at
+    * planning time (PartitionFilters, zero IO on the other shards);
+    * PackingSpec pins the pruned-scan shape. */
+  def readShard(spark: org.apache.spark.sql.SparkSession, dir: String,
+                shard: Int): DataFrame =
+    spark.read.parquet(s"$dir/data").where(col("shard") === shard)
 }

@@ -85,6 +85,51 @@ class PackingSpec extends SparkSpec {
     assert(r1.count() == 500)
   }
 
+  test("writeTrainingShards: manifest certifies the on-disk shards") {
+    val df = spark.range(0, 400).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsh").toFile.getPath
+    val manifest = Packing.writeTrainingShards(df, "doc_id", dir, nShards = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(manifest.size == 4)
+    assert(manifest.values.map(_.getLong(1)).sum == 400)
+    // the persisted manifest equals an independent recomputation from
+    // the written files
+    val recomputed = spark.read.parquet(s"$dir/data")
+      .groupBy(col("shard").cast("long"))
+      .agg(count(lit(1)), sum(Packing.rankDigest(col("rank"))))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    manifest.foreach { case (sh, r) =>
+      assert(recomputed(sh) == ((r.getLong(1), r.getLong(2))))
+    }
+    // a tampered shard no longer matches its manifest checksum
+    val tampered = spark.read.parquet(s"$dir/data")
+      .where(col("shard") === 0).limit(1)
+    val missingOne = spark.read.parquet(s"$dir/data").where(col("shard") === 0)
+      .join(tampered.select(col("doc_id").as("gone")),
+        col("doc_id") === col("gone"), "left_anti")
+      .agg(sum(Packing.rankDigest(col("rank")))).collect().head.getLong(0)
+    assert(missingOne != manifest(0L).getLong(2))
+  }
+
+  test("readShard: partition-pruned to one shard directory") {
+    val df = spark.range(0, 300).select(col("id").as("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rsh").toFile.getPath
+    val manifest = Packing.writeTrainingShards(df, "doc_id", dir, nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = Packing.readShard(spark, dir, 2)
+    assert(one.count() == manifest(2L))
+    assert(one.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the shard filter must prune at planning time, not post-scan
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"))
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    assert(scanned == 1, s"expected 1 pruned partition, scanned $scanned")
+  }
+
   test("ngramJaccardPairs maxBlock drops oversized blocks only") {
     val docs = Seq(
       (1L, "aa bb cc dd", "x"), (2L, "aa bb cc dd", "x"), (3L, "aa bb cc ee", "x"),
