@@ -2263,6 +2263,82 @@ object Queries {
         min(rank) AS min_rank, max(rank) AS max_rank
       FROM s GROUP BY shard ORDER BY shard"""))
 
+  /** Incremental-pipeline snapshot diff
+    * ([[graft.llm.Snapshot.corpusDiff]]): "today's" corpus is derived
+    * deterministically from the documents table (doc_id % 7 == 0
+    * removed, % 5 == 0 text-mutated, ids < 20 re-added shifted by
+    * 100000) so the oracle replays the same two snapshots and the same
+    * full-outer hash compare in SQL. Null-text rows exercise the
+    * presence-flag path (must NOT surface as added/removed) and the
+    * summary census rides the same diff. */
+  private val corpusDiffQ = QueryDef("corpus_diff",
+    (s, d) => {
+      val prev = t(s, d, "documents")
+      val cur = prev.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(prev.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")),
+          allowMissingColumns = true)
+      graft.llm.Snapshot.corpusDiff(prev, cur, "doc_id", "text")
+        .orderBy(col("id"))
+    },
+    Some("""WITH prev AS (SELECT doc_id, text FROM documents),
+      cur AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id < 20),
+      p AS (SELECT doc_id AS id, md5(text) AS old_md5, true AS in_old FROM prev),
+      c AS (SELECT doc_id AS id, md5(text) AS new_md5, true AS in_new FROM cur),
+      j AS (SELECT COALESCE(p.id, c.id) AS id, old_md5, new_md5, in_old, in_new
+        FROM p FULL OUTER JOIN c ON p.id = c.id),
+      st AS (SELECT id, old_md5, new_md5,
+        CASE WHEN in_old IS NULL THEN 'added'
+             WHEN in_new IS NULL THEN 'removed'
+             WHEN old_md5 IS DISTINCT FROM new_md5 THEN 'changed'
+             ELSE 'unchanged' END AS status
+        FROM j)
+      SELECT id, status, old_md5, new_md5 FROM st
+      WHERE status <> 'unchanged' ORDER BY id"""))
+
+  /** The ≤3-row monitoring census over the same diff. */
+  private val corpusDiffSummary = QueryDef("corpus_diff_summary",
+    (s, d) => {
+      val prev = t(s, d, "documents")
+      val cur = prev.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(prev.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")),
+          allowMissingColumns = true)
+      graft.llm.Snapshot.diffSummary(
+          graft.llm.Snapshot.corpusDiff(prev, cur, "doc_id", "text"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH prev AS (SELECT doc_id, text FROM documents),
+      cur AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id < 20),
+      p AS (SELECT doc_id AS id, md5(text) AS old_md5, true AS in_old FROM prev),
+      c AS (SELECT doc_id AS id, md5(text) AS new_md5, true AS in_new FROM cur),
+      j AS (SELECT COALESCE(p.id, c.id) AS id, old_md5, new_md5, in_old, in_new
+        FROM p FULL OUTER JOIN c ON p.id = c.id),
+      st AS (SELECT CASE WHEN in_old IS NULL THEN 'added'
+             WHEN in_new IS NULL THEN 'removed'
+             WHEN old_md5 IS DISTINCT FROM new_md5 THEN 'changed'
+             ELSE 'unchanged' END AS status FROM j)
+      SELECT status, COUNT(*) AS n FROM st
+      WHERE status <> 'unchanged' GROUP BY status ORDER BY status"""))
+
   // The composed curation pass a pre-training pipeline actually runs:
   // language filter → Gopher quality + repetition filters → PII scrub
   // → exact dedup of the scrubbed text. Every stage is an independently
@@ -2965,7 +3041,8 @@ object Queries {
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
-    shardShuffleQ, shardManifest, repStats, curatePipeline,
+    shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
+    repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     embedNearDup, mmFeatures, mmImageStats, mmAudioStats, mmVideoFrames,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
