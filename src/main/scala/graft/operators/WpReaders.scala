@@ -50,8 +50,14 @@ object WpReaders {
       val m = meta.getOrElse(sys.error("readPosts: withMeta requires meta table"))
       // map<key, array<value>> like get_post_meta (single=false returns
       // ALL values per key — WPPostsExtractor.php:59); two-level
-      // aggregation so duplicate keys fold into the value array
-      val metaMap = m.groupBy(col("post_id"), col("meta_key"))
+      // aggregation so duplicate keys fold into the value array.
+      // Pre-partition on post_id alone: hashpartitioning(post_id)
+      // satisfies BOTH groupBys' distributions, so the corpus-sized
+      // meta table crosses the wire ONCE instead of twice (the
+      // (post_id, meta_key) partial combine it forfeits is ~no-op —
+      // that pair is nearly unique in a meta table).
+      val metaMap = m.repartition(col("post_id"))
+        .groupBy(col("post_id"), col("meta_key"))
         .agg(sort_array(collect_list(col("meta_value"))).as("__vals"))
         .groupBy(col("post_id"))
         .agg(map_from_entries(collect_list(struct(col("meta_key"), col("__vals"))))
@@ -65,7 +71,9 @@ object WpReaders {
       // taxonomy -> sorted array<struct<term_id,name,slug>> per post
       // (WPPostsExtractor.php:120-145); sort_array makes the embedding
       // deterministic (collect_list order is not).
+      // same single-exchange shape as the meta map above
       val joined = rel.join(t, Seq("term_id"))
+        .repartition(col("post_id"))
         .groupBy(col("post_id"), col("taxonomy"))
         .agg(sort_array(collect_list(struct(col("term_id"), col("name"), col("slug"))))
           .as("terms"))
