@@ -2139,6 +2139,83 @@ object Queries {
       SELECT doc_id, word, score FROM rk WHERE r <= 3
       ORDER BY doc_id, score DESC, word"""))
 
+  /** Integer value of the first `n` md5 hex chars of `e` as pure
+    * substring arithmetic (engine-portable — no conv()/from_hex). */
+  private def sqlHexVal(e: String, n: Int): String =
+    (1 to n).map { i =>
+      val w = math.pow(16, n - i).toLong
+      s"(strpos('0123456789abcdef', substr($e,$i,1)) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
+  /** Shared DuckDB CTEs for the DSIR hashed-feature pipeline (mirrors
+    * [[graft.llm.Importance]]): normalized unigram+bigram features,
+    * 4-hex-digit md5 bucket % 10000, add-one-smoothed per-bucket
+    * log-likelihood ratio vs the lang='en' target slice, 12-dp-rounded
+    * before the DECIMAL per-doc sum — one definition shared by
+    * `dsir_logweights` and `dsir_select` so the oracles cannot drift. */
+  private val sqlDsirCtes = {
+    val b = sqlHexVal("md5('dsir' || feat)", 4)
+    s"""wl AS (SELECT doc_id, lang,
+            list_filter($sqlWords, x -> x <> '') AS w FROM documents),
+      feats AS (SELECT doc_id, lang, unnest(list_concat(w,
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])
+                 ELSE [] END)) AS feat FROM wl),
+      fb AS (SELECT doc_id, lang, $b % 10000 AS bucket FROM feats),
+      rc AS (SELECT bucket, count(*) AS n FROM fb GROUP BY bucket),
+      tc AS (SELECT bucket, count(*) AS nt FROM fb
+             WHERE lang = 'en' GROUP BY bucket),
+      rt AS (SELECT CAST(sum(n) AS BIGINT) AS rt FROM rc),
+      tt AS (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM tc),
+      lr AS (SELECT rc.bucket,
+             round(ln(CAST(coalesce(tc.nt, 0) + 1 AS DOUBLE)
+                      / CAST(tt.tt + 10000 AS DOUBLE))
+                 - ln(CAST(rc.n + 1 AS DOUBLE)
+                      / CAST(rt.rt + 10000 AS DOUBLE)), 12) AS log_ratio
+             FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN rt CROSS JOIN tt),
+      lw AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(SUM(CAST(lr.log_ratio AS DECIMAL(27,12))) AS DOUBLE)
+               AS log_weight
+             FROM fb JOIN lr USING (bucket) GROUP BY fb.doc_id)"""
+  }
+
+  /** DSIR log importance weights ([[graft.llm.Importance.logWeights]]):
+    * hashed-ngram likelihood ratio of every document against the
+    * lang='en' target slice. The weight table broadcasts (≤10000
+    * rows); the only corpus-sized shuffle is the per-doc sum. */
+  private val dsirLogweights = QueryDef("dsir_logweights",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Importance.logWeights(docs,
+          docs.where(col("lang") === "en"), "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_weight"), 4).as("log_weight"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $sqlDsirCtes
+      SELECT doc_id, n_feats, round(log_weight, 4) AS log_weight
+      FROM lw ORDER BY doc_id"""))
+
+  /** DSIR Gumbel-top-k selection ([[graft.llm.Importance.dsirSelect]]):
+    * weighted resampling without replacement under a DETERMINISTIC
+    * md5-derived Gumbel draw — repartition-invariant, and the top-k
+    * plans as TakeOrderedAndProject (no global sort). */
+  private val dsirSelect = QueryDef("dsir_select",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Importance.dsirSelect(docs,
+        docs.where(col("lang") === "en"), "doc_id", "text", k = 60)
+    },
+    Some(s"""WITH $sqlDsirCtes,
+      g AS (SELECT doc_id, round(-ln(-ln(
+            (${sqlHexVal("md5('dsir_g' || CAST(doc_id AS VARCHAR))", 8)} + 0.5)
+              / 4294967296.0)), 12) AS g FROM documents)
+      SELECT lw.doc_id, n_feats, round(log_weight, 4) AS log_weight,
+             round(log_weight + g.g, 4) AS score
+      FROM lw JOIN g USING (doc_id)
+      ORDER BY score DESC, lw.doc_id LIMIT 60"""))
+
   /** BPE-core adjacent-pair census ([[TextAnalysis.bigramCounts]]):
     * top 20 adjacent word pairs — the argmax step of a tokenizer-
     * training merge round. */
@@ -3040,6 +3117,7 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
+    dsirLogweights, dsirSelect,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline,

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023): score every raw document by how much more likely its
+  * hashed n-gram bag is under a TARGET distribution (e.g. curated
+  * wiki/books-like text) than under the RAW distribution, then resample
+  * top-k under deterministic Gumbel noise.
+  *
+  * Reference behavior modeled: the published DSIR recipe (hashed
+  * unigram+bigram features, bag-of-ngrams likelihood ratio, Gumbel
+  * top-k); no reference-repo counterpart — this is part of the
+  * training-data extension surface.
+  *
+  * Cross-engine determinism: features hash through the first 4 md5 hex
+  * chars (pure substring arithmetic — the repo's standing portable-hash
+  * trick, see [[Mixing.hashBucket]] / [[Packing]] digests), per-bucket
+  * log-ratios are rounded to 12 dp BEFORE the per-doc sum and summed as
+  * DECIMAL, and the Gumbel draw derives from an md5 bucket of the doc
+  * id — every stage is reproducible across runs, engines, and
+  * partitionings.
+  *
+  * Scale shape (100 TB): feature extraction is a map-side explode; the
+  * two distribution estimates are bounded-key aggregations (`nBuckets`
+  * rows out, map-side combinable); the weight table (`nBuckets` rows)
+  * BROADCASTS into the per-doc join; the per-doc score is one doc-key
+  * aggregation; top-k goes through TakeOrderedAndProject. Nothing
+  * materializes more than corpus-linear rows, and the only corpus-sized
+  * shuffle is the per-doc score aggregation.
+  */
+object Importance {
+
+  /** 16-bit integer value of the first 4 md5 hex chars of
+    * (salt ++ feature) — portable across engines as pure substring
+    * arithmetic (no conv()/from_hex). */
+  private def featBucket(feat: Column, salt: String, nBuckets: Int): Column = {
+    val h = md5(concat(lit(salt), feat))
+    val v = (1 to 4).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1) *
+        (1 << (4 * (4 - i)))
+    }.reduce(_ + _)
+    pmod(v, lit(nBuckets)).cast("long")
+  }
+
+  /** Hashed unigram+bigram feature occurrences: one row per feature
+    * occurrence, `(doc_id, bucket)`. Bigrams join with '' so
+    * "a b"+"c" and "a"+"b c" cannot collide. Map-only (explode). */
+  def featureRows(df: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 10000, salt: String = "dsir"): DataFrame = {
+    val ws = split(Dedup.normalizeText(col(textCol)), " ")
+    val feats = Dedup.letBound(filter(ws, w => w =!= "")) { w =>
+      // sequence(a, b) counts DOWN when b < a -- guard the 0/1-word case
+      val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      concat(w, bigrams)
+    }
+    df.select(col(idCol).as("doc_id"), explode(feats).as("feat"))
+      .select(col("doc_id"), featBucket(col("feat"), salt, nBuckets).as("bucket"))
+  }
+
+  /** Per-bucket add-one-smoothed log-likelihood ratio
+    * `ln p_target(b) - ln p_raw(b)`, one row per bucket present in the
+    * RAW corpus (raw documents can only contain raw-present buckets, so
+    * the table is closed over everything the scoring join will look
+    * up). Rounded to 12 dp so both engines sum identical decimals.
+    * Output is at most `nBuckets` rows — broadcastable by
+    * construction. */
+  def bucketLogRatios(raw: DataFrame, target: DataFrame,
+                      idCol: String, textCol: String,
+                      nBuckets: Int = 10000, salt: String = "dsir"): DataFrame = {
+    def counts(df: DataFrame) =
+      featureRows(df, idCol, textCol, nBuckets, salt)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val rawC = counts(raw)
+    val tgtC = counts(target)
+    val rawTot = rawC.agg(sum(col("n")).as("rt"))
+    val tgtTot = tgtC.agg(sum(col("n")).as("tt"))
+    rawC.join(tgtC.withColumnRenamed("n", "nt"), Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
+              (col("tt") + nBuckets).cast("double")) -
+          log((col("n") + 1).cast("double") /
+              (col("rt") + nBuckets).cast("double")),
+          12).as("log_ratio"))
+  }
+
+  /** Per-document DSIR log importance weight: the DECIMAL-routed sum of
+    * its features' bucket log-ratios. Documents with no features
+    * (empty/whitespace text) produce no row — callers decide their
+    * fate explicitly. */
+  def logWeights(raw: DataFrame, target: DataFrame,
+                 idCol: String, textCol: String,
+                 nBuckets: Int = 10000, salt: String = "dsir"): DataFrame = {
+    val lr = bucketLogRatios(raw, target, idCol, textCol, nBuckets, salt)
+    featureRows(raw, idCol, textCol, nBuckets, salt)
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("log_ratio").cast("decimal(27,12)")).cast("double")
+          .as("log_weight"))
+  }
+
+  /** Deterministic Gumbel draw for a key: `-ln(-ln(u))` with
+    * `u = (bucket32 + 0.5) / 2^32` from the md5 bucket of
+    * (salt ++ key) — u is exactly representable, so both engines take
+    * ln of the same double. Rounded to 12 dp. */
+  private[llm] def gumbel(key: Column, salt: String): Column = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    val v = (1 to 8).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
+        (1L << (4 * (8 - i)))
+    }.reduce(_ + _)
+    round(-log(-log((v.cast("double") + 0.5) / 4294967296.0)), 12)
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling over the log importance
+    * weights (`score = log_weight + Gumbel(doc_id)`, take the k
+    * largest) — the weighted-sampling-without-replacement construction
+    * from the paper, made repartition-invariant by the deterministic
+    * Gumbel draw. Top-k plans as TakeOrderedAndProject (no global
+    * sort); ties break by doc_id. */
+  def dsirSelect(raw: DataFrame, target: DataFrame,
+                 idCol: String, textCol: String, k: Int,
+                 nBuckets: Int = 10000, salt: String = "dsir"): DataFrame =
+    logWeights(raw, target, idCol, textCol, nBuckets, salt)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("log_weight"), 4).as("log_weight"),
+        round(col("log_weight") + gumbel(col("doc_id"), salt + "_g"), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+}

@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSIR importance sampling ([[Importance]]): feature extraction,
+  * likelihood-ratio direction, determinism, and selection mechanics. */
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "a cat and a dog sat together"),
+    (3L, "the dog sat on the rug")).toDF("doc_id", "text")
+
+  private val raw = Seq(
+    (10L, "the cat sat on the mat"),        // verbatim target-like
+    (11L, "cat dog sat mat rug"),           // target vocabulary
+    (12L, "quantum flux capacitor array"),  // disjoint vocabulary
+    (13L, "zzz qqq xxx www vvv uuu"),       // disjoint vocabulary
+    (14L, "")).toDF("doc_id", "text")       // no features -> no row
+
+  test("featureRows: unigrams + bigrams, empty docs drop") {
+    val f = Importance.featureRows(
+      Seq((1L, "a b c"), (2L, ""), (3L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val counts = f.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // "a b c" -> 3 unigrams + 2 bigrams; "solo" -> 1 unigram, no bigram
+    assert(counts == Map(1L -> 5L, 3L -> 1L))
+  }
+
+  test("logWeights: target-like docs outweigh disjoint docs; empty docs absent") {
+    val w = Importance.logWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet == Set(10L, 11L, 12L, 13L))
+    assert(w(10L) > w(12L) && w(10L) > w(13L))
+    assert(w(11L) > w(12L))
+  }
+
+  test("logWeights is repartition-invariant") {
+    val a = Importance.logWeights(raw, target, "doc_id", "text")
+    val b = Importance.logWeights(raw.repartition(7), target.repartition(3),
+      "doc_id", "text")
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
+  test("dsirSelect: k rows, scores sorted desc, gumbel preserves strong ordering") {
+    val sel = Importance.dsirSelect(raw, target, "doc_id", "text", k = 3)
+      .collect()
+    assert(sel.length == 3)
+    val scores = sel.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // the verbatim target-like doc must beat the disjoint docs even
+    // after Gumbel noise (weight gap >> noise range at this sf)
+    assert(sel.map(_.getLong(0)).contains(10L))
+  }
+
+  test("gumbel draw is deterministic per key and bounded-tail") {
+    val g = spark.range(1000)
+      .select(Importance.gumbel(col("id"), "t").as("g"))
+      .agg(min("g"), max("g")).head()
+    // Gumbel(0,1): P(g < -2) ~ 6e-4, P(g > 10) ~ 4.5e-5
+    assert(g.getDouble(0) > -3.0 && g.getDouble(1) < 15.0)
+    val a = spark.range(100).select(Importance.gumbel(col("id"), "t").as("g"))
+    val b = spark.range(100).repartition(9)
+      .select(Importance.gumbel(col("id"), "t").as("g"))
+    assert(rowsOf(a) == rowsOf(b))
+  }
+}
