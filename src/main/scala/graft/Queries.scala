@@ -2216,6 +2216,72 @@ object Queries {
       FROM lw JOIN g USING (doc_id)
       ORDER BY score DESC, lw.doc_id LIMIT 60"""))
 
+  /** Shared DuckDB CTE chain for the winnowing fingerprint pipeline
+    * (mirrors [[graft.llm.Winnow]], k=4 w=4 salt 'wfp'): filtered
+    * words → k-grams (short docs: single joined form) → encoded
+    * `hash*2^31 + (2^31-1-pos)` longs → per-window min → distinct.
+    * `src` must provide (doc_id, text). */
+  private def sqlWinnowCtes(src: String): String = {
+    val h = sqlHexVal("md5('wfp' || grams[i])", 8)
+    s"""wl AS (SELECT doc_id, list_filter($sqlWords, x -> x <> '') AS w
+            FROM $src),
+      g AS (SELECT doc_id, CASE WHEN len(w) >= 4
+            THEN list_transform(range(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 3), ' '))
+            ELSE [array_to_string(w, ' ')] END AS grams FROM wl),
+      e AS (SELECT doc_id, list_transform(range(1, len(grams) + 1),
+            i -> $h * 2147483648 + (2147483647 - (i - 1))) AS enc FROM g),
+      f AS (SELECT doc_id, CASE WHEN len(enc) >= 4
+            THEN list_distinct(list_transform(range(1, len(enc) - 2),
+                   j -> list_aggregate(list_slice(enc, j, j + 3), 'min')))
+            ELSE [list_aggregate(enc, 'min')] END AS fps FROM e),
+      fpe AS (SELECT doc_id, unnest(fps) AS enc FROM f)"""
+  }
+
+  /** Winnowed k-gram fingerprints ([[graft.llm.Winnow.fingerprints]]):
+    * the SIGMOD'03 copy-detection selection, computed entirely as
+    * per-row array arithmetic (map-only, no shuffle). */
+  private val winnowFingerprints = QueryDef("winnow_fingerprints",
+    (s, d) => graft.llm.Winnow.fingerprints(
+        t(s, d, "documents").where(col("doc_id") < 40), "doc_id", "text")
+      .orderBy(col("doc_id"), col("pos")),
+    Some(s"""WITH ${sqlWinnowCtes("documents WHERE doc_id < 40")}
+      SELECT doc_id, 2147483647 - (enc % 2147483648) AS pos,
+             enc // 2147483648 AS fp_hash
+      FROM fpe ORDER BY doc_id, pos"""))
+
+  /** Fingerprint-overlap near-dup pairs
+    * ([[graft.llm.Winnow.nearDupPairs]]) over the corpus plus planted
+    * two-word-prepended copies: winnowing's position-robustness makes
+    * the perturbed copy share most fingerprints with its original.
+    * Hot fingerprints (> 16 docs) are dropped (boilerplate cap), so
+    * pair fan-out is bounded — no all-pairs comparison. */
+  private val winnowNeardup = QueryDef("winnow_neardup",
+    (s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("zq qz "), col("text")).as("text"))
+      graft.llm.Winnow.nearDupPairs(base.union(planted), "doc_id", "text",
+          minShared = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, 'zq qz ' || text AS text
+          FROM documents),
+      ${sqlWinnowCtes("corpus")},
+      fp AS (SELECT DISTINCT doc_id, enc // 2147483648 AS fp_hash FROM fpe),
+      rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+               HAVING count(*) <= 16),
+      fr AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+               FROM fr a JOIN fr b
+                 ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, n_shared FROM pairs
+      WHERE n_shared >= 3 ORDER BY doc_a, doc_b"""))
+
   /** BPE-core adjacent-pair census ([[TextAnalysis.bigramCounts]]):
     * top 20 adjacent word pairs — the argmax step of a tokenizer-
     * training merge round. */
@@ -3117,7 +3183,7 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
-    dsirLogweights, dsirSelect,
+    dsirLogweights, dsirSelect, winnowFingerprints, winnowNeardup,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline,

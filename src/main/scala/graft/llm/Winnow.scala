@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003): hash every k-word gram, slide a window of `w` consecutive
+  * gram hashes, and keep each window's minimal hash (rightmost
+  * occurrence on ties). The selected set is position-robust — any
+  * shared run of at least `w + k - 1` words between two documents is
+  * guaranteed to contribute at least one IDENTICAL fingerprint to both
+  * — which is what makes it the classic copy-detection primitive
+  * (MOSS). Complements MinHash (whole-doc resemblance) with
+  * local/partial-overlap detection.
+  *
+  * Reference behavior modeled: the published winnowing scheme; no
+  * reference-repo counterpart — part of the training-data extension
+  * surface.
+  *
+  * Scale shape (100 TB): fingerprint selection is ENTIRELY per-row
+  * array arithmetic — a map-only pass, no explode-then-window, no
+  * shuffle. The near-dup pair pass shuffles id-only rows on the
+  * 32-bit fingerprint key with a hot-fingerprint cap (boilerplate
+  * fingerprints are dropped, exactly like the LSH bucket cap in
+  * [[Dedup]]), so pair expansion is bounded by `maxBucket`².
+  *
+  * Hashes are the integer value of the first 8 md5 hex chars of
+  * (salt ++ gram) — the repo's standing engine-portable hash — and the
+  * rightmost-min tie rule is encoded arithmetically:
+  * `enc = hash * 2^31 + (2^31 - 1 - pos)`, so `array_min` picks the
+  * smallest hash and, among equal hashes, the LARGEST position. Fits
+  * a signed 64-bit exactly (max value = 2^63 - 1).
+  */
+object Winnow {
+
+  private val POS_BASE = 2147483648L // 2^31
+
+  /** Encoded gram hashes for a bound words array: one long per k-gram,
+    * `hash * 2^31 + (2^31 - 1 - pos)`. Documents shorter than k words
+    * contribute their single joined form (same convention as
+    * [[Dedup.shinglesFromWords]]). */
+  private def encodedGrams(wv: Column, k: Int, salt: String): Column = {
+    val grams = when(size(wv) >= k,
+      transform(sequence(lit(0), size(wv) - k),
+        i => array_join(slice(wv, i + 1, lit(k)), " ")))
+      .otherwise(array(array_join(wv, " ")))
+    transform(grams, (g, i) =>
+      Packing.rankDigest(md5(concat(lit(salt), g))) * POS_BASE +
+        (lit(POS_BASE - 1) - i))
+  }
+
+  /** The winnowed fingerprint set of a text column as an array of
+    * encoded longs — decode with `/ 2^31` (hash) and
+    * `2^31 - 1 - (x % 2^31)` (gram position). Pure per-row expression:
+    * words, grams, and encoded hashes are each let-bound so nothing
+    * re-evaluates per window. */
+  def fingerprintArray(textCol: Column, k: Int = 4, w: Int = 4,
+                       salt: String = "wfp"): Column =
+    Dedup.letBound(filter(split(Dedup.normalizeText(textCol), " "),
+        x => x =!= "")) { wv =>
+      Dedup.letBound(encodedGrams(wv, k, salt)) { ev =>
+        when(size(ev) >= w,
+          array_distinct(transform(sequence(lit(0), size(ev) - w),
+            j => array_min(slice(ev, j + 1, lit(w))))))
+          .otherwise(array(array_min(ev)))
+      }
+    }
+
+  /** Per-document fingerprints, one row per selected gram:
+    * `(doc_id, pos, fp_hash)`. Map-only (per-row selection + explode). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 4, salt: String = "wfp"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(fingerprintArray(col(textCol), k, w, salt)).as("__enc"))
+      .select(col("doc_id"),
+        (lit(POS_BASE - 1) - pmod(col("__enc"), lit(POS_BASE))).as("pos"),
+        // shiftright, NOT double division: enc/2^31 as a double rounds
+        // the pos-0 fraction (1 - 4.6e-10) up to the next hash
+        shiftright(col("__enc"), 31).as("fp_hash"))
+
+  /** Near-duplicate pairs by shared winnowed fingerprints: documents
+    * sharing at least `minShared` distinct fingerprint hashes, after
+    * dropping fingerprints present in more than `maxBucket` documents
+    * (boilerplate guard — identical role to the LSH bucket cap).
+    * Output `(doc_a, doc_b, n_shared)`, doc_a < doc_b.
+    *
+    * Scale shape: distinct (doc, hash) pairs shuffle once on the hash
+    * key carrying ids only; the self-join fans out at most
+    * maxBucket²/2 pairs per fingerprint; the pair count is one more
+    * bounded aggregation. No all-pairs comparison anywhere. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 4, minShared: Int = 5,
+                   maxBucket: Int = 16, salt: String = "wfp"): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w, salt)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val rare = fps.join(
+      fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucket)
+        .select(col("fp_hash")),
+      Seq("fp_hash"))
+    rare.as("a").join(rare.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprints ([[Winnow]]): selection mechanics, the
+  * published coverage guarantee, and near-dup pair detection. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprints: deterministic, repartition-invariant, positions valid") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val a = Winnow.fingerprints(df, "doc_id", "text")
+    val b = Winnow.fingerprints(df.repartition(7), "doc_id", "text")
+    assert(rowsOf(a) == rowsOf(b))
+    val bad = a.where(col("pos") < 0 ||
+      col("fp_hash") < 0 || col("fp_hash") > 4294967295L).count()
+    assert(bad == 0)
+  }
+
+  test("guarantee: a shared run of >= w+k-1 words yields a shared fingerprint") {
+    // k=4, w=4 -> any shared 7-word run must contribute >= 1 identical
+    // fingerprint to both docs. Build docs agreeing ONLY on a 7-word run.
+    val shared = "alpha bravo charlie delta echo foxtrot golf"
+    val df = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven twelve")).toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(df, "doc_id", "text")
+      .select("doc_id", "fp_hash").distinct()
+    val common = fp.where(col("doc_id") === 1).select("fp_hash")
+      .intersect(fp.where(col("doc_id") === 2).select("fp_hash"))
+    assert(common.count() >= 1)
+  }
+
+  test("rightmost-min tie rule: repeated grams select the latest position") {
+    // one doc of one repeated word: every gram identical -> every window
+    // min is the same hash; rightmost rule keeps the LAST window's tail
+    val df = Seq((1L, Seq.fill(10)("rep").mkString(" "))).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(df, "doc_id", "text").collect()
+    // 7 grams, 4 windows, all the same hash: each window's rightmost
+    // min is a NEW occurrence (pos 3,4,5,6) — winnowing records each
+    // occurrence, so 4 fingerprints sharing one hash
+    assert(fps.map(_.getLong(1)).sorted.sameElements(Array(3L, 4L, 5L, 6L)))
+    assert(fps.map(_.getLong(2)).distinct.length == 1)
+  }
+
+  test("short docs (< k words) fingerprint their joined form") {
+    val df = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(df, "doc_id", "text")
+    assert(fp.count() == 3)
+    val hashes = fp.select("doc_id", "fp_hash").as[(Long, Long)]
+      .collect().toMap
+    assert(hashes(1L) == hashes(2L) && hashes(1L) != hashes(3L))
+  }
+
+  test("nearDupPairs: planted perturbed copies are found, disjoint docs are not") {
+    // synthetic corpus with NO cross-doc vocabulary overlap (testdata
+    // documents contain genuine near-dups — found while writing this
+    // test — which make exact-set assertions corpus-dependent)
+    val base = (1 to 30).map { i =>
+      (i.toLong, (1 to 20).map(j => s"a${i}b$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val planted = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("zq qz "), col("text")).as("text"))
+    // minShared = 2: disjoint vocabularies cannot share even one
+    // fingerprint, while a 20-word doc yields ~5-15 distinct
+    // fingerprints of which the perturbed copy shares most (but can
+    // dip below 5 when one small hash dominates many windows)
+    val pairs = Winnow.nearDupPairs(base.union(planted), "doc_id", "text",
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1 to 30).map(i => (i.toLong, i + 1000L)).toSet
+    assert(pairs == expected)
+  }
+
+  test("hot-fingerprint cap drops boilerplate buckets") {
+    // 20 docs sharing one boilerplate sentence + unique tails: with
+    // maxBucket below 20 the boilerplate fingerprints can't pair them
+    val docs = (1 to 20).map { i =>
+      (i.toLong, s"all rights reserved contact the webmaster for details " +
+        s"unique$i tail$i words$i here$i now$i")
+    }.toDF("doc_id", "text")
+    val capped = Winnow.nearDupPairs(docs, "doc_id", "text",
+      minShared = 2, maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Winnow.nearDupPairs(docs, "doc_id", "text",
+      minShared = 2, maxBucket = 100)
+    assert(uncapped.count() > 0)
+  }
+}
