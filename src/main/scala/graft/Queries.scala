@@ -2139,6 +2139,41 @@ object Queries {
       SELECT doc_id, word, score FROM rk WHERE r <= 3
       ORDER BY doc_id, score DESC, word"""))
 
+  /** Interpolated bigram LM cross-entropy
+    * ([[TextAnalysis.bigramCrossEntropy]], λ=0.7): per-doc
+    * `-mean(ln(λ·MLE + (1−λ)·smoothed-unigram))` over word
+    * transitions. Per-bigram prices are rounded to 12 dp before the
+    * DECIMAL-routed per-doc sum on BOTH engines — partial-merge order
+    * and libm ulps cannot move a score. */
+  private val docBigramCe = QueryDef("doc_bigram_ce",
+    (s, d) => TextAnalysis.bigramCrossEntropy(t(s, d, "documents"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_trans"),
+        round(col("bigram_ce"), 4).as("bigram_ce"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH wl AS (SELECT doc_id,
+            list_filter($sqlWords, x -> x <> '') AS w FROM documents),
+      trs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM
+            (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+               i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+             FROM wl WHERE len(w) >= 2)),
+      uc AS (SELECT word, count(*) AS n FROM
+            (SELECT unnest(w) AS word FROM wl) GROUP BY word),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+            count(*) AS v FROM uc),
+      bc AS (SELECT w1, w2, count(*) AS nb FROM trs GROUP BY w1, w2),
+      priced AS (SELECT bc.w1, bc.w2,
+            round(-ln(0.7 * CAST(bc.nb AS DOUBLE) / CAST(u1.n AS DOUBLE)
+                + 0.3 * CAST(u2.n + 1 AS DOUBLE)
+                      / CAST(tot.total + tot.v + 1 AS DOUBLE)), 12) AS nlp
+            FROM bc JOIN uc u1 ON bc.w1 = u1.word
+                    JOIN uc u2 ON bc.w2 = u2.word CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+            round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE)
+                  / count(*), 4) AS bigram_ce
+      FROM trs JOIN priced USING (w1, w2)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Integer value of the first `n` md5 hex chars of `e` as pure
     * substring arithmetic (engine-portable — no conv()/from_hex). */
   private def sqlHexVal(e: String, n: Int): String =
@@ -3184,6 +3219,7 @@ object Queries {
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     dsirLogweights, dsirSelect, winnowFingerprints, winnowNeardup,
+    docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline,

@@ -356,6 +356,72 @@ object TextAnalysis {
           count(lit(1))).as("cross_entropy"))
   }
 
+  /** Per-document word-transition rows `(doc_id, w1, w2)` — one row
+    * per consecutive word pair. Docs with fewer than two words produce
+    * no row. Map-only (let-bound split + explode). */
+  private def transitionRows(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val pairs = Dedup.letBound(
+        filter(split(Dedup.normalizeText(col(textCol)), " "),
+          x => x =!= "")) { w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => struct(element_at(w, i + 1).as("w1"),
+            element_at(w, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    df.select(col(idCol).as("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** Interpolated bigram LM cross-entropy — one rung up the n-gram
+    * ladder from [[unigramCrossEntropy]] toward CCNet's 5-gram KenLM:
+    * `p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+|V|+1)`,
+    * per-document score `-mean(ln p)` over its transitions in nats.
+    * Fluent prose rides high-probability transitions; shuffled or
+    * garbage text falls back to the unigram floor and scores high.
+    * The conditional context count approximates "occurrences of w1
+    * followed by anything" with the plain unigram count (standard
+    * corpus-LM shortcut; deterministic on both engines). Docs with
+    * fewer than two words have no score row.
+    *
+    * Scale shape: one bigram-key aggregation (vocab-pair-bounded,
+    * corpus-sublinear in practice) joined — ONCE PER DISTINCT BIGRAM,
+    * not per occurrence — against the broadcast unigram table to price
+    * each transition; the corpus transition rows then shuffle once on
+    * the bigram key to pick up the price and once on doc_id for the
+    * mean. The bigram price table is deliberately NOT broadcast (it
+    * grows with corpus vocabulary; AQE may still choose to). Prices
+    * are rounded to 12 dp before the DECIMAL-routed per-doc sum, so
+    * partial-merge order and libm ulps cannot move a score. */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"bigramCrossEntropy: lambda must be in (0,1), got $lambda")
+    val trs = transitionRows(df, idCol, textCol)
+    val uni = wordRows(df, idCol, textCol)
+      .groupBy(col("word")).agg(count(lit(1)).as("__n"))
+    val totals = uni.agg(sum(col("__n")).as("__total"),
+      count(lit(1)).as("__v"))
+    val bi = trs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__nb"))
+    val priced = bi
+      .join(broadcast(uni.select(col("word").as("w1"), col("__n").as("__n1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("__n").as("__n2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        round(-log(
+          lit(lambda) * col("__nb").cast("double") / col("__n1").cast("double") +
+          lit(1.0 - lambda) * (col("__n2") + 1).cast("double") /
+            (col("__total") + col("__v") + 1).cast("double")), 12).as("__nlp"))
+    trs.join(priced, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        (sum(col("__nlp").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("bigram_ce"))
+  }
+
   /** CCNet's selection step: bucket the corpus into `nBuckets`
     * quantile bands of the unigram cross-entropy score (head = most
     * fluent, tail = junk — CCNet keeps the head/middle and drops the

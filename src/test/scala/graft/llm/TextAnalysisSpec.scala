@@ -250,4 +250,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._1 == 4L && math.abs(out(2L)._2 - ceMixed) < 1e-9)
     assert(out(2L)._2 > out(1L)._2)
   }
+
+  test("bigramCrossEntropy: exact value; shuffled text scores worse than fluent") {
+    // corpus of one doc "a b a b": c(a)=2, c(b)=2, N=4, |V|=2;
+    // bigrams: (a,b)x2, (b,a)x1. λ=0.7.
+    // p(b|a) = .7*(2/2) + .3*(3/7);  p(a|b) = .7*(1/2) + .3*(3/7)
+    val one = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val ce = TextAnalysis.bigramCrossEntropy(one, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().head
+    val pAB = 0.7 * 1.0 + 0.3 * (3.0 / 7.0)
+    val pBA = 0.7 * 0.5 + 0.3 * (3.0 / 7.0)
+    val expected = -(2 * math.log(pAB) + math.log(pBA)) / 3
+    assert(ce._2 == 3L && math.abs(ce._3 - expected) < 1e-9)
+
+    // same word multiset, fluent repetition vs shuffled transitions:
+    // the bigram LM separates them (a unigram LM cannot)
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"),
+      (2L, "the the cat sat cat the sat sat cat")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(2L) > scores(1L))
+    val uni = TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-12)
+  }
+
+  test("bigramCrossEntropy: sub-2-word docs have no row; repartition-invariant") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "two words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(3L))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val a = TextAnalysis.bigramCrossEntropy(corpus, "doc_id", "text")
+    val b = TextAnalysis.bigramCrossEntropy(corpus.repartition(7), "doc_id", "text")
+    assert(rowsOf(a) == rowsOf(b))
+  }
 }
