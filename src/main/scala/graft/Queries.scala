@@ -1298,6 +1298,41 @@ object Queries {
         CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents WHERE doc_id < 5 ORDER BY new_id"""))
 
+  /** Fuzzy (near-dup) decontamination
+    * ([[Dedup.decontaminateFuzzy]]): a benchmark of verbatim copies of
+    * every doc_id % 50 == 0 corpus doc. The oracle COMPUTES the true
+    * 5-gram shingle-set Jaccard against each benchmark doc (the
+    * verified jaccard is unseeded — only candidate GENERATION uses
+    * seeded hashes, and at threshold 0.9 a 16×4 LSH misses a true pair
+    * with p ≈ 4e-8), so genuine corpus near-dups of benchmark docs are
+    * correctly expected-removed too — a naive "everything but the
+    * planted ids" oracle is WRONG (doc 92 at sf0.01 is a real near-dup
+    * of a benchmark doc; found by this oracle). The spec covers the
+    * perturbed-contamination case. */
+  private val decontaminateFuzzyQ = QueryDef("decontaminate_fuzzy",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      Dedup.decontaminateFuzzy(docs, bench, "doc_id", "text",
+          threshold = 0.9)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH wl AS (SELECT doc_id, $sqlWords AS w FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+            THEN list_transform(range(1, len(w) - 3),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' '))
+            ELSE [array_to_string(w, ' ')] END) AS s FROM wl),
+      bsh AS (SELECT s FROM sh WHERE doc_id % 50 = 0),
+      bad AS (SELECT DISTINCT c.doc_id
+            FROM sh c CROSS JOIN bsh b
+            WHERE CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+                  / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s)))
+                  >= 0.9)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""))
+
   /** Incremental EXACT dedup ([[Dedup.exactDedupAgainst]]): the batch
     * mixes corpus copies (must all drop), novel texts (must survive),
     * and a within-batch duplicate of each novel text (keep-first). The
@@ -3211,7 +3246,8 @@ object Queries {
     dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
     dedupNgram, sourceSimPlanted, sourceJaccardExact,
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
-    decontaminate, decontaminateBloom, dedupClusters, piiScrub,
+    decontaminate, decontaminateBloom, decontaminateFuzzyQ,
+    dedupClusters, piiScrub,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     docQuantiles, topKPerLang,

@@ -565,6 +565,38 @@ object Dedup {
     * `blockCols` values — e.g. language + length band). The block keys
     * bound the pairwise term; at 100 TB choose blocks so bucket sizes
     * stay ~10³. */
+  /** FUZZY decontamination: corpus documents whose shingle-set Jaccard
+    * against ANY benchmark document clears `threshold` — catches the
+    * perturbed / lightly-edited contamination that exact n-gram overlap
+    * ([[contaminated]]) under-counts when the eval text was reflowed or
+    * reworded in passing. MinHash-LSH candidate generation with the
+    * benchmark as the INDEXED side ([[minhashNearDupsAgainst]] with the
+    * corpus probing benchmark buckets): the benchmark's banded buckets
+    * are small (eval suites, not corpora), the 100 TB corpus pays one
+    * banding pass, and every candidate is exact-Jaccard verified.
+    * Output: `(doc_id, bench_id, est_jaccard, jaccard)` pairs. */
+  def contaminatedFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.7, k: Int = 64,
+                        bands: Int = 16, maxBucket: Int = 1000): DataFrame =
+    minhashNearDupsAgainst(corpus, benchmark, idCol, textCol,
+        threshold, k, bands, maxBucket)
+      .select(col("new_id").as("doc_id"), col("corpus_id").as("bench_id"),
+        col("est_jaccard"), col("jaccard"))
+
+  /** The filtering counterpart of [[contaminatedFuzzy]]: the corpus
+    * with every fuzzy-contaminated document removed (left-anti join on
+    * the contaminated id set — id-only payloads through the shuffle). */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.7, k: Int = 64,
+                         bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val bad = contaminatedFuzzy(corpus, benchmark, idCol, textCol,
+        threshold, k, bands, maxBucket)
+      .select(col("doc_id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int = 3,
                         threshold: Double = 0.3, maxBlock: Int = 0): DataFrame = {

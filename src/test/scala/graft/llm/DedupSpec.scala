@@ -130,6 +130,31 @@ class DedupSpec extends SparkSpec {
       n = 8).count() == 0L)
   }
 
+  test("contaminatedFuzzy catches PERTURBED benchmark copies exact overlap misses less") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // benchmark = perturbed copies (two words prepended) of docs % 40
+    val bench = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(lit("zq qz "), col("text")).as("text"))
+    val expected = docs.filter(col("doc_id") % 40 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = Dedup.contaminatedFuzzy(docs, bench, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // every perturbed source doc flagged; jaccard < 1 (it IS perturbed)
+    assert(expected.subsetOf(flagged))
+    val j = Dedup.contaminatedFuzzy(docs, bench, "doc_id", "text",
+        threshold = 0.5)
+      .agg(max(col("jaccard")), min(col("jaccard"))).head()
+    assert(j.getDouble(0) < 1.0 && j.getDouble(1) >= 0.5)
+    // and the filtering counterpart removes exactly the flagged ids
+    val clean = Dedup.decontaminateFuzzy(docs, bench, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == docs.select("doc_id").as[Long].collect().toSet -- flagged)
+  }
+
   test("nearDupClusters: transitive chains, stars, separate components, empty edges") {
     // chain 1-2-3-4 (label must travel 3 hops), star 10-(11,12,13),
     // isolated pair 20-21
