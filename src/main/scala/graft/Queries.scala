@@ -1767,6 +1767,28 @@ object Queries {
       FROM documents WHERE doc_id < 200
       ORDER BY doc_id, copy_idx"""))
 
+  /** Per-source token-budget sampling ([[Mixing.tokenBudgetSample]]):
+    * each source contributes docs in md5-rank order until its 600-token
+    * allowance is spent (600 so the cutoff actually bites at sf0.01,
+    * where sources hold ~1300 tokens). The exclusive running total is the two-phase
+    * prefix sum (no single-partition window over data); the oracle
+    * replays it as a plain per-source window cumsum. */
+  private val mixTokenBudget = QueryDef("mix_token_budget",
+    (s, d) => Mixing.tokenBudgetSample(t(s, d, "documents"),
+        "doc_id", "text", "source", budget = 600)
+      .orderBy(col("doc_id")),
+    Some("""WITH r AS (SELECT doc_id, source,
+        CAST(CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END AS BIGINT)
+          AS n_tokens,
+        md5('graft' || CAST(doc_id AS VARCHAR)) AS rank FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+        coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        FROM r)
+      SELECT doc_id, source, n_tokens, tok_before FROM c
+      WHERE tok_before < 600 ORDER BY doc_id"""))
+
   /** weight rounded to 7 decimals on both sides: pow and the stratum-sum
     * fold order are the only FP differences between engines; rounding
     * absorbs the ulp-level divergence (same convention as mm_features). */
@@ -3250,6 +3272,7 @@ object Queries {
     dedupClusters, piiScrub,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
+    mixTokenBudget,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,

@@ -125,6 +125,53 @@ object Mixing {
       .drop("__rk")
   }
 
+  /** Deterministic per-source TOKEN-budget sampling — the trainer-mix
+    * assembly step where each source contributes documents until its
+    * token allowance is spent (not a document-count or a rate: token
+    * budgets are what mixture specs are written in). Documents are
+    * admitted in md5-rank order (reproducible on any cluster size,
+    * auditable cross-engine) while the source's EXCLUSIVE running
+    * token total is still below `budget` — so the first
+    * budget-crossing document is admitted (overshoot ≤ one document,
+    * and every source with a nonzero budget contributes at least one
+    * document).
+    *
+    * Scale shape: the per-source running total is the TWO-PHASE prefix
+    * sum from [[Packing.packSequences]] generalized to source groups —
+    * range-partition on (source, rank), per-(partition, source) totals
+    * (a tiny frame: numParts × |sources| rows), per-source exclusive
+    * cumsum over that frame only, broadcast back, then a
+    * partition-LOCAL window. No single-partition window touches data
+    * even when one source dominates the corpus. Output:
+    * `(doc_id, source, n_tokens, tok_before)`. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, budget: Long,
+                        salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(concat(lit(salt), col(idCol).cast("string"))).as("__rank"))
+      .repartitionByRange(n, col("source"), col("__rank"))
+      .sortWithinPartitions(col("source"), col("__rank"))
+      .withColumn("__pid", spark_partition_id())
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .withColumn("__poff", coalesce(sum(col("__psum")).over(wPart), lit(0L)))
+      .select(col("__pid"), col("source"), col("__poff"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("source")).orderBy(col("__rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("__pid", "source"))
+      .withColumn("tok_before",
+        col("__poff") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .where(col("tok_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_before"))
+  }
+
   /** Temperature-scaled mixing weights from stratum counts:
     * w_i ∝ n_i^(1/T). T=1 reproduces the natural distribution; larger T
     * flattens toward uniform (the multilingual-sampling trick). Output

@@ -112,4 +112,48 @@ class MixingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mixing.splitByHash(df, "k", Seq("a" -> 0.5, "a" -> 0.5)))
   }
+
+  test("tokenBudgetSample: budget honored with <= 1 doc overshoot per source") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val budget = 1500L
+    val out = Mixing.tokenBudgetSample(docs, "doc_id", "text", "source", budget)
+    val bySource = out.groupBy("source")
+      .agg(sum("n_tokens").as("tot"), max("tok_before").as("maxBefore"),
+        max("n_tokens").as("maxTok"))
+      .collect()
+    // every source in the corpus contributes
+    assert(bySource.length ==
+      docs.select("source").distinct().count().toInt)
+    bySource.foreach { r =>
+      // exclusive prefix of every admitted doc < budget...
+      assert(r.getLong(2) < budget)
+      // ...so the total overshoots by at most one document
+      assert(r.getLong(1) - budget <= r.getLong(3))
+    }
+    // deterministic + repartition-invariant
+    val again = Mixing.tokenBudgetSample(docs.repartition(13),
+      "doc_id", "text", "source", budget)
+    assert(rowsOf(out) == rowsOf(again))
+  }
+
+  test("tokenBudgetSample: exact admission order on a controlled corpus") {
+    // one source; ranks order ids deterministically — replay the
+    // md5-rank cumsum by hand and compare the admitted set exactly
+    val docs = (1L to 20L).map(i => (i, "w " * i.toInt, "s"))
+      .toDF("doc_id", "text", "source")
+    val budget = 50L
+    val ranked = (1L to 20L)
+      .map(i => i -> java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .sortBy(_._2)
+    val expected = scala.collection.mutable.Set.empty[Long]
+    var run = 0L
+    ranked.foreach { case (i, _) =>
+      if (run < budget) { expected += i; run += i } // doc i has i tokens
+    }
+    val got = Mixing.tokenBudgetSample(docs, "doc_id", "text", "source", budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected.toSet)
+  }
 }
