@@ -92,18 +92,26 @@ object Winnow {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 4, minShared: Int = 5,
                    maxBucket: Int = 16, salt: String = "wfp"): DataFrame = {
+    // cache the (id, hash) frame: the count filter and BOTH sides of
+    // the self-join reference it — without the cache each reference
+    // re-runs the full fingerprint scan. Fixed-width 16-byte rows, and
+    // released as soon as the pair result is materialized (the repo's
+    // cache-then-localCheckpoint discipline, Dedup.minhashNearDups).
     val fps = fingerprints(df, idCol, textCol, k, w, salt)
-      .select(col("doc_id"), col("fp_hash")).distinct()
+      .select(col("doc_id"), col("fp_hash")).distinct().cache()
     val rare = fps.join(
       fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("__n"))
         .where(col("__n") <= maxBucket)
         .select(col("fp_hash")),
       Seq("fp_hash"))
-    rare.as("a").join(rare.as("b"),
+    val pairs = rare.as("a").join(rare.as("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    val out = pairs.localCheckpoint(true)
+    fps.unpersist()
+    out
   }
 }
