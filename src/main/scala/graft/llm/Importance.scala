@@ -36,14 +36,16 @@ object Importance {
   /** 16-bit integer value of the first 4 md5 hex chars of
     * (salt ++ feature) — portable across engines as pure substring
     * arithmetic (no conv()/from_hex). */
-  private def featBucket(feat: Column, salt: String, nBuckets: Int): Column = {
-    val h = md5(concat(lit(salt), feat))
-    val v = (1 to 4).map { i =>
-      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1) *
-        (1 << (4 * (4 - i)))
-    }.reduce(_ + _)
-    pmod(v, lit(nBuckets)).cast("long")
-  }
+  private def featBucket(feat: Column, salt: String, nBuckets: Int): Column =
+    // md5 LET-BOUND: the four digit terms each reference the hash, and
+    // only a lambda binding guarantees one evaluation per row
+    Dedup.letBound(md5(concat(lit(salt), feat))) { h =>
+      val v = (1 to 4).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1) *
+          (1 << (4 * (4 - i)))
+      }.reduce(_ + _)
+      pmod(v, lit(nBuckets)).cast("long")
+    }
 
   /** Hashed unigram+bigram feature occurrences: one row per feature
     * occurrence, `(doc_id, bucket)`. Bigrams join with '' so
@@ -72,15 +74,21 @@ object Importance {
     * construction. */
   def bucketLogRatios(raw: DataFrame, target: DataFrame,
                       idCol: String, textCol: String,
-                      nBuckets: Int = 10000, salt: String = "dsir"): DataFrame = {
-    def counts(df: DataFrame) =
-      featureRows(df, idCol, textCol, nBuckets, salt)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-    val rawC = counts(raw)
-    val tgtC = counts(target)
+                      nBuckets: Int = 10000, salt: String = "dsir"): DataFrame =
+    ratiosFrom(
+      featureRows(raw, idCol, textCol, nBuckets, salt)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n")),
+      featureRows(target, idCol, textCol, nBuckets, salt)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("nt")),
+      nBuckets)
+
+  /** ONE definition of the smoothed log-ratio arithmetic, shared by
+    * [[bucketLogRatios]] and [[logWeights]] so they cannot drift. */
+  private def ratiosFrom(rawC: DataFrame, tgtC: DataFrame,
+                         nBuckets: Int): DataFrame = {
     val rawTot = rawC.agg(sum(col("n")).as("rt"))
-    val tgtTot = tgtC.agg(sum(col("n")).as("tt"))
-    rawC.join(tgtC.withColumnRenamed("n", "nt"), Seq("bucket"), "left")
+    val tgtTot = tgtC.agg(sum(col("nt")).as("tt"))
+    rawC.join(tgtC, Seq("bucket"), "left")
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
       .select(col("bucket"),
         round(
@@ -98,27 +106,39 @@ object Importance {
   def logWeights(raw: DataFrame, target: DataFrame,
                  idCol: String, textCol: String,
                  nBuckets: Int = 10000, salt: String = "dsir"): DataFrame = {
-    val lr = bucketLogRatios(raw, target, idCol, textCol, nBuckets, salt)
-    featureRows(raw, idCol, textCol, nBuckets, salt)
+    // the raw feature frame feeds BOTH the raw distribution estimate
+    // and the scoring join — cache it so the corpus pays one
+    // extraction pass, and release as soon as the (corpus-linear,
+    // 3-column) weight frame is materialized
+    val rawFeats = featureRows(raw, idCol, textCol, nBuckets, salt).cache()
+    val lr = ratiosFrom(
+      rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("n")),
+      featureRows(target, idCol, textCol, nBuckets, salt)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("nt")),
+      nBuckets)
+    val out = rawFeats
       .join(broadcast(lr), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
         sum(col("log_ratio").cast("decimal(27,12)")).cast("double")
           .as("log_weight"))
+      .localCheckpoint(true)
+    rawFeats.unpersist()
+    out
   }
 
   /** Deterministic Gumbel draw for a key: `-ln(-ln(u))` with
     * `u = (bucket32 + 0.5) / 2^32` from the md5 bucket of
     * (salt ++ key) — u is exactly representable, so both engines take
     * ln of the same double. Rounded to 12 dp. */
-  private[llm] def gumbel(key: Column, salt: String): Column = {
-    val h = md5(concat(lit(salt), key.cast("string")))
-    val v = (1 to 8).map { i =>
-      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
-        (1L << (4 * (8 - i)))
-    }.reduce(_ + _)
-    round(-log(-log((v.cast("double") + 0.5) / 4294967296.0)), 12)
-  }
+  private[llm] def gumbel(key: Column, salt: String): Column =
+    Dedup.letBound(md5(concat(lit(salt), key.cast("string")))) { h =>
+      val v = (1 to 8).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
+          (1L << (4 * (8 - i)))
+      }.reduce(_ + _)
+      round(-log(-log((v.cast("double") + 0.5) / 4294967296.0)), 12)
+    }
 
   /** DSIR selection: Gumbel-top-k resampling over the log importance
     * weights (`score = log_weight + Gumbel(doc_id)`, take the k

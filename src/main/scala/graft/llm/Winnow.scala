@@ -46,8 +46,11 @@ object Winnow {
         i => array_join(slice(wv, i + 1, lit(k)), " ")))
       .otherwise(array(array_join(wv, " ")))
     transform(grams, (g, i) =>
-      Packing.rankDigest(md5(concat(lit(salt), g))) * POS_BASE +
-        (lit(POS_BASE - 1) - i))
+      // md5 LET-BOUND inside the lambda: rankDigest references its
+      // argument 8 times, and only a binding stops 8 hash evaluations
+      Dedup.letBound(md5(concat(lit(salt), g))) { h =>
+        Packing.rankDigest(h) * POS_BASE + (lit(POS_BASE - 1) - i)
+      })
   }
 
   /** The winnowed fingerprint set of a text column as an array of

@@ -131,6 +131,36 @@ object ScaleProbe {
             graft.llm.Bpe.defaultLadder).as("n"))
           .agg(sum(col("n")).as("s")).collect().head.getLong(0)
       }
+      time(s"dsir_logweights x$k") {
+        // target = a fixed-size slice of one replica; weight table is
+        // bucket-bounded so only the two linear feature passes grow
+        graft.llm.Importance.logWeights(corpus,
+          docs.limit(200), "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      time(s"winnow_neardup x$k") {
+        graft.llm.Winnow.nearDupPairs(corpus, "doc_id", "text",
+          minShared = 3).count()
+      }
+      time(s"bigram_ce x$k") {
+        graft.llm.TextAnalysis.bigramCrossEntropy(corpus, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      time(s"decontaminate_fuzzy x$k") {
+        // fixed-size benchmark vs the k×-growing corpus: the corpus
+        // pays one banding pass against constant-size indexed buckets
+        graft.llm.Dedup.contaminatedFuzzy(corpus,
+          docs.limit(200).select((col("doc_id") + 950000000L).as("doc_id"),
+            col("text")),
+          "doc_id", "text", threshold = 0.5).count()
+      }
+      time(s"token_budget x$k") {
+        graft.llm.Mixing.tokenBudgetSample(
+          corpus.withColumn("s", (col("doc_id") % 20).cast("string")),
+          "doc_id", "text", "s", budget = 100000L).count()
+      }
     }
     spark.stop()
   }
