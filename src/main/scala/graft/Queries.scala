@@ -2923,6 +2923,49 @@ object Queries {
       SELECT CAST(100 AS BIGINT), false, NULL, NULL, NULL, NULL, NULL, NULL
       ORDER BY asset_id"""))
 
+  /** REAL image resize roundtrip
+    * ([[graft.multimodal.Multimodal.resizeImages]]): synthetic PNGs →
+    * nearest-neighbor resample to 6×5 → PNG re-encode → REAL re-decode
+    * ([[graft.multimodal.Multimodal.imageStats]]). Nearest-neighbor's
+    * floor mapping `src = out·in/outDim` copies exact source pixels,
+    * so the resized means are closed-form SQL; the roundtrip proves
+    * the emitted payloads are genuine decodable PNGs, not metadata
+    * restamps. The corrupt payload must survive as ok=false. */
+  private val mmImageResize = QueryDef("mm_image_resize",
+    (s, d) => {
+      val assets = (0L until 8L).map { id =>
+        val w = 8 + (id % 3).toInt * 4
+        val h = 8 + (id % 5).toInt * 2
+        (id, graft.multimodal.Multimodal.syntheticPng(id, w, h))
+      } :+ ((100L, "definitely not an image".getBytes("UTF-8")))
+      val df = s.createDataFrame(assets).toDF("asset_id", "payload")
+        .repartition(4) // exercise the distributed per-partition path
+      val resized = graft.multimodal.Multimodal.resizeImages(df, 6, 5)
+      graft.multimodal.Multimodal.imageStats(
+          resized.select(col("asset_id"), col("payload")))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH ids(asset_id) AS (SELECT unnest(range(0, 8))),
+      dims AS (SELECT asset_id,
+        CAST(8 + (asset_id % 3) * 4 AS INT) AS w,
+        CAST(8 + (asset_id % 5) * 2 AS INT) AS h FROM ids),
+      xs AS (SELECT asset_id, w, h, unnest(range(0, 6)) AS x FROM dims),
+      px AS (SELECT asset_id, w, h, x, unnest(range(0, 5)) AS y FROM xs),
+      src AS (SELECT asset_id, (x * w) // 6 AS sx, (y * h) // 5 AS sy
+              FROM px),
+      st AS (SELECT asset_id,
+        CAST(SUM((sx*7 + sy*13 + asset_id*31) % 256) AS DOUBLE) / 30 AS mean_r,
+        CAST(SUM((sx*11 + sy*3 + asset_id*17) % 256) AS DOUBLE) / 30 AS mean_g,
+        CAST(SUM((sx*5 + sy*19 + asset_id*23) % 256) AS DOUBLE) / 30 AS mean_b
+        FROM src GROUP BY asset_id)
+      SELECT CAST(asset_id AS BIGINT) AS asset_id, true AS ok,
+        CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+        CAST(3 AS INT) AS channels, mean_r, mean_g, mean_b
+      FROM st
+      UNION ALL
+      SELECT CAST(100 AS BIGINT), false, NULL, NULL, NULL, NULL, NULL, NULL
+      ORDER BY asset_id"""))
+
   /** REAL audio decode ([[graft.multimodal.Multimodal.audioStats]] via
     * the JDK's `javax.sound.sampled`, no external deps): synthetic mono
     * PCM16 WAVs whose sample values are `((i*2653 + id*7919) mod 65536)
@@ -3283,7 +3326,8 @@ object Queries {
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    embedNearDup, mmFeatures, mmImageStats, mmAudioStats, mmVideoFrames,
+    embedNearDup, mmFeatures, mmImageStats, mmImageResize, mmAudioStats,
+    mmVideoFrames,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

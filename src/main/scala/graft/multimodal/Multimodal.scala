@@ -71,10 +71,71 @@ object Multimodal {
 
   /** "Resize": in the stub, re-stamp the metadata and truncate the
     * payload proportionally — keeps the schema contract of a real
-    * resize. */
+    * resize. Superseded by the REAL [[resizeImage]]/[[resizeImages]]
+    * decode-resample-reencode path; kept for the metadata-only shape. */
   def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("width", lit(w)).withColumn("height", lit(h))
       .withColumn("payload", col("payload").substr(lit(1), least(length(col("payload")), lit(w * h))))
+
+  /** REAL image resize: ImageIO decode → nearest-neighbor resample →
+    * PNG re-encode. Nearest-neighbor with the floor mapping
+    * `src = out * in / outDim` (integer division) is chosen over
+    * bilinear deliberately: every output pixel is an EXACT copy of a
+    * source pixel, so the resized image's stats are closed-form
+    * replayable by the cross-engine oracle (bilinear's rounding is
+    * library-private). Returns None for undecodable payloads. */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, s"resize dims must be positive: $outW x $outH")
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, img.getRGB(x * w / outW, sy) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed resize pass (same batched `mapInPandas` shape as
+    * [[imageStats]]): map-only, binaries never leave the executors,
+    * undecodable payloads keep their row with `ok = false` and a null
+    * payload. Output: (asset_id, ok, payload). */
+  def resizeImages(df: DataFrame, outW: Int, outH: Int,
+                   batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch init slot (codec warmup) — ImageIO is stateless
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            resizeImage(bytes, outW, outH) match {
+              case Some(p) => Row(id, true, p)
+              case None => Row(id, false, null)
+            }
+          }
+        }
+      }(enc)
+  }
 
   /** Batched per-partition decode — the `mapInPandas` analogue. Image
     * payloads get a REAL ImageIO decode (feature = mean luminance in

@@ -54,6 +54,30 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("payload").length <= 6)
   }
 
+  test("resizeImage: nearest-neighbor output pixels are exact source copies") {
+    val (w, h) = (12, 10)
+    val bytes = Multimodal.syntheticPng(3L, w, h)
+    val resized = Multimodal.resizeImage(bytes, 5, 4).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 5 && img.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val (sx, sy) = (x * w / 5, y * h / 4)
+      val expected = (((sx * 7 + sy * 13 + 3 * 31) % 256) << 16) |
+        (((sx * 11 + sy * 3 + 3 * 17) % 256) << 8) |
+        ((sx * 5 + sy * 19 + 3 * 23) % 256)
+      assert((img.getRGB(x, y) & 0xffffff) == expected)
+    }
+    // undecodable and degenerate inputs
+    assert(Multimodal.resizeImage("nope".getBytes, 5, 4).isEmpty)
+    assert(Multimodal.resizeImage(null, 5, 4).isEmpty)
+    intercept[IllegalArgumentException](Multimodal.resizeImage(bytes, 0, 4))
+    // upscale works too (source pixels repeat)
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(bytes, 24, 10).get))
+    assert(up.getWidth == 24 && (up.getRGB(0, 0) & 0xffffff) ==
+      (up.getRGB(1, 0) & 0xffffff))
+  }
+
   test("decodeImage: exact dims + channel means from a synthetic PNG") {
     val (w, h) = (12, 10)
     val bytes = Multimodal.syntheticPng(3L, w, h)
