@@ -2330,6 +2330,26 @@ object Queries {
       fpe AS (SELECT doc_id, unnest(fps) AS enc FROM f)"""
   }
 
+  /** ONE pair-construction chain (planted-prepend corpus → winnow
+    * CTEs → capped fingerprint join → per-pair shared counts), shared
+    * by `winnow_neardup` and `winnow_spans` so the two oracles cannot
+    * drift on the corpus, cap, or dedup conventions. */
+  private val sqlWinnowPairCtes =
+    s"""corpus AS (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, 'zq qz ' || text AS text
+          FROM documents),
+      ${sqlWinnowCtes("corpus")},
+      fp AS (SELECT DISTINCT doc_id, enc // 2147483648 AS fp_hash FROM fpe),
+      rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+               HAVING count(*) <= 16),
+      fr AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash)),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+               FROM fr a JOIN fr b
+                 ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)"""
+
   /** Winnowed k-gram fingerprints ([[graft.llm.Winnow.fingerprints]]):
     * the SIGMOD'03 copy-detection selection, computed entirely as
     * per-row array arithmetic (map-only, no shuffle). */
@@ -2357,22 +2377,43 @@ object Queries {
           minShared = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 100000 AS doc_id, 'zq qz ' || text AS text
-          FROM documents),
-      ${sqlWinnowCtes("corpus")},
-      fp AS (SELECT DISTINCT doc_id, enc // 2147483648 AS fp_hash FROM fpe),
-      rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash
-               HAVING count(*) <= 16),
-      fr AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash)),
-      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(count(*) AS BIGINT) AS n_shared
-               FROM fr a JOIN fr b
-                 ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-               GROUP BY a.doc_id, b.doc_id)
+    Some(s"""WITH $sqlWinnowPairCtes
       SELECT doc_a, doc_b, n_shared FROM pairs
       WHERE n_shared >= 3 ORDER BY doc_a, doc_b"""))
+
+  /** Matched-region localization ([[graft.llm.Winnow.overlapSpans]])
+    * over the same planted corpus and pair set as `winnow_neardup`:
+    * per-pair matched-fingerprint count and the gram-position envelope
+    * in each document — the "where is the copied region" audit. The
+    * planted copies are two-word prepends, so b-side envelopes sit ~2
+    * grams to the right of a-side ones (visible in the output). */
+  private val winnowSpans = QueryDef("winnow_spans",
+    (s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("zq qz "), col("text")).as("text"))
+      val corpus = base.union(planted)
+      val pairs = graft.llm.Winnow.nearDupPairs(corpus, "doc_id", "text",
+        minShared = 3)
+      graft.llm.Winnow.overlapSpans(corpus, "doc_id", "text", pairs)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $sqlWinnowPairCtes,
+      env AS (SELECT doc_id, enc // 2147483648 AS fp_hash,
+             min(2147483647 - (enc % 2147483648)) AS p_min,
+             max(2147483647 - (enc % 2147483648)) AS p_max
+             FROM fpe GROUP BY doc_id, fp_hash),
+      pr AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared >= 3),
+      j AS (SELECT pr.doc_a, pr.doc_b, a.fp_hash,
+             a.p_min AS a_lo, a.p_max AS a_hi,
+             b.p_min AS b_lo, b.p_max AS b_hi
+             FROM pr JOIN env a ON a.doc_id = pr.doc_a
+                     JOIN env b ON b.doc_id = pr.doc_b
+                                AND b.fp_hash = a.fp_hash)
+      SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matched,
+             min(a_lo) AS a_min_pos, max(a_hi) AS a_max_pos,
+             min(b_lo) AS b_min_pos, max(b_hi) AS b_max_pos
+      FROM j GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
 
   /** BPE-core adjacent-pair census ([[TextAnalysis.bigramCounts]]):
     * top 20 adjacent word pairs — the argmax step of a tokenizer-
@@ -3321,7 +3362,7 @@ object Queries {
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     dsirLogweights, dsirSelect, winnowFingerprints, winnowNeardup,
-    docBigramCe,
+    winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline,

@@ -74,6 +74,25 @@ class WinnowSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("overlapSpans localizes the copied region of a partial-overlap pair") {
+    // doc 2 copies doc 1's TAIL (words 11-20) into its own head: the
+    // matched envelope must sit late in doc 1 and early in doc 2
+    val sharedRun = (11 to 20).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ") + " " + sharedRun),
+      (2L, sharedRun + " " + (1 to 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Winnow.nearDupPairs(df, "doc_id", "text", minShared = 1)
+    val spans = Winnow.overlapSpans(df, "doc_id", "text", pairs).collect()
+    assert(spans.length == 1)
+    val r = spans.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) >= 1L)
+    // doc 1 has 17 grams (0-16), shared run is grams 10-16;
+    // doc 2's copy sits at grams 0-6
+    assert(r.getLong(3) >= 10L && r.getLong(4) <= 16L) // a-side envelope
+    assert(r.getLong(5) >= 0L && r.getLong(6) <= 6L)   // b-side envelope
+  }
+
   test("hot-fingerprint cap drops boilerplate buckets") {
     // 20 docs sharing one boilerplate sentence + unique tails: with
     // maxBucket below 20 the boilerplate fingerprints can't pair them
