@@ -561,10 +561,6 @@ object Dedup {
       .where(col("n_contaminated_grams") >= minOverlaps)
   }
 
-  /** Exact n-gram Jaccard near-dups within blocking buckets (same
-    * `blockCols` values — e.g. language + length band). The block keys
-    * bound the pairwise term; at 100 TB choose blocks so bucket sizes
-    * stay ~10³. */
   /** FUZZY decontamination: corpus documents whose shingle-set Jaccard
     * against ANY benchmark document clears `threshold` — catches the
     * perturbed / lightly-edited contamination that exact n-gram overlap
@@ -597,6 +593,10 @@ object Dedup {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Exact n-gram Jaccard near-dups within blocking buckets (same
+    * `blockCols` values — e.g. language + length band). The block keys
+    * bound the pairwise term; at 100 TB choose blocks so bucket sizes
+    * stay ~10³. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int = 3,
                         threshold: Double = 0.3, maxBlock: Int = 0): DataFrame = {

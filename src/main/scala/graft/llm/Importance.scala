@@ -48,8 +48,8 @@ object Importance {
     }
 
   /** Hashed unigram+bigram feature occurrences: one row per feature
-    * occurrence, `(doc_id, bucket)`. Bigrams join with '' so
-    * "a b"+"c" and "a"+"b c" cannot collide. Map-only (explode). */
+    * occurrence, `(doc_id, bucket)`. Bigrams join with a single space,
+    * which post-split words cannot contain -- no collisions. Map-only (explode). */
   def featureRows(df: DataFrame, idCol: String, textCol: String,
                   nBuckets: Int = 10000, salt: String = "dsir"): DataFrame = {
     val ws = split(Dedup.normalizeText(col(textCol)), " ")
@@ -133,11 +133,8 @@ object Importance {
     * ln of the same double. Rounded to 12 dp. */
   private[llm] def gumbel(key: Column, salt: String): Column =
     Dedup.letBound(md5(concat(lit(salt), key.cast("string")))) { h =>
-      val v = (1 to 8).map { i =>
-        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
-          (1L << (4 * (8 - i)))
-      }.reduce(_ + _)
-      round(-log(-log((v.cast("double") + 0.5) / 4294967296.0)), 12)
+      round(-log(-log(
+        (Packing.rankDigest(h).cast("double") + 0.5) / 4294967296.0)), 12)
     }
 
   /** DSIR selection: Gumbel-top-k resampling over the log importance

@@ -387,7 +387,9 @@ object TextAnalysis {
     *
     * Scale shape: one bigram-key aggregation (vocab-pair-bounded,
     * corpus-sublinear in practice) joined — ONCE PER DISTINCT BIGRAM,
-    * not per occurrence — against the broadcast unigram table to price
+    * not per occurrence — against the broadcast unigram table (same
+    * realistic-vocab caveat as [[unigramCrossEntropy]]: at an extreme
+    * corpus vocabulary, drop the hint and let it shuffle-join) to price
     * each transition; the corpus transition rows then shuffle once on
     * the bigram key to pick up the price and once on doc_id for the
     * mean. The bigram price table is deliberately NOT broadcast (it
@@ -398,7 +400,11 @@ object TextAnalysis {
                          lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0,
       s"bigramCrossEntropy: lambda must be in (0,1), got $lambda")
-    val trs = transitionRows(df, idCol, textCol)
+    // cached: the bigram-count aggregation AND the pricing join both
+    // read the transition frame -- uncached, the corpus-sized
+    // normalize-split-explode extraction runs twice (the standing
+    // cache-then-release discipline; released after materialization)
+    val trs = transitionRows(df, idCol, textCol).cache()
     val uni = wordRows(df, idCol, textCol)
       .groupBy(col("word")).agg(count(lit(1)).as("__n"))
     val totals = uni.agg(sum(col("__n")).as("__total"),
@@ -415,11 +421,14 @@ object TextAnalysis {
           lit(lambda) * col("__nb").cast("double") / col("__n1").cast("double") +
           lit(1.0 - lambda) * (col("__n2") + 1).cast("double") /
             (col("__total") + col("__v") + 1).cast("double")), 12).as("__nlp"))
-    trs.join(priced, Seq("w1", "w2"))
+    val out = trs.join(priced, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trans"),
         (sum(col("__nlp").cast("decimal(27,12)")).cast("double") /
           count(lit(1))).as("bigram_ce"))
+      .localCheckpoint(true)
+    trs.unpersist()
+    out
   }
 
   /** CCNet's selection step: bucket the corpus into `nBuckets`
