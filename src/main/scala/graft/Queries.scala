@@ -2308,6 +2308,41 @@ object Queries {
       FROM lw JOIN g USING (doc_id)
       ORDER BY score DESC, lw.doc_id LIMIT 60"""))
 
+  /** fastText-style hashed linear quality-classifier inference
+    * ([[graft.llm.Importance.classifierScore]]) under the
+    * deterministic seeded weight table: the GPT-3/LLaMA model-based
+    * quality-filter shape — sigmoid of the mean per-bucket weight of
+    * each document's hashed unigram+bigram features. Features hash
+    * exactly like DSIR's; weights derive from the 32-bit md5 bucket of
+    * `'clfw' || bucket` (exact doubles before the 12-dp round); the
+    * per-doc sum is DECIMAL-routed. */
+  private val classifierScoreQ = QueryDef("classifier_score",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.Importance.classifierScore(docs,
+          graft.llm.Importance.seededWeights(s), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH wl AS (SELECT doc_id,
+            list_filter($sqlWords, x -> x <> '') AS w FROM documents),
+      feats AS (SELECT doc_id, unnest(list_concat(w,
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])
+                 ELSE [] END)) AS feat FROM wl),
+      fb AS (SELECT doc_id,
+            ${sqlHexVal("md5('dsir' || feat)", 4)} % 10000 AS bucket FROM feats),
+      wt AS (SELECT range AS bucket,
+            round(${sqlHexVal("md5('clfw' || CAST(range AS VARCHAR))", 8)}
+                / 4294967296.0 * 2.0 - 1.0, 12) AS weight
+            FROM range(10000)),
+      sc AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+            CAST(SUM(CAST(wt.weight AS DECIMAL(27,12))) AS DOUBLE)
+              / count(*) AS m
+            FROM fb JOIN wt USING (bucket) GROUP BY fb.doc_id)
+      SELECT doc_id, n_feats, round(1.0 / (1.0 + exp(-m)), 6) AS score
+      FROM sc ORDER BY doc_id"""))
+
   /** Shared DuckDB CTE chain for the winnowing fingerprint pipeline
     * (mirrors [[graft.llm.Winnow]], k=4 w=4 salt 'wfp'): filtered
     * words → k-grams (short docs: single joined form) → encoded
@@ -2840,6 +2875,51 @@ object Queries {
         FROM a JOIN b ON a.a < b.b)
       SELECT a, b, cosine FROM sc WHERE cosine >= 0.9 ORDER BY a, b"""))
 
+  /** SemDeDup within-cluster near-dup pairs
+    * ([[graft.llm.Similarity.semDedupPairs]]) over the corpus + 5
+    * ε-perturbed planted copies. The oracle computes TRUE all-pairs
+    * cosine: the raw table has zero pairs ≥ 0.9, so every oracle pair
+    * is a planted (base, base+100000) twin, and the Spark side matches
+    * only if k-means co-clusters each base with its ε-copy — binding
+    * the clustering path end-to-end (the `ann_ivf_planted` argument:
+    * at ε=0.001 the copy's nearest centroid is its base's). Cluster
+    * ids are seeded internals and are dropped from the output. */
+  private val semdedupPairsQ = QueryDef("semdedup_pairs",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val withPlanted = emb.unionByName(perturbedEmbeddings(emb, 5))
+      Similarity.semDedupPairs(withPlanted, threshold = 0.9, nClusters = 8)
+        .select(col("a"), col("b"), col("cosine"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some(s"""WITH u AS (${sqlPerturbedUnion(5)}),
+      a AS (SELECT vec_id AS a, v AS va FROM u),
+      b AS (SELECT vec_id AS b, v AS vb FROM u),
+      sc AS (SELECT a.a, b.b,
+          ${sqlDot("va", "vb")} / (${sqlNorm("va")} * ${sqlNorm("vb")}) AS cosine
+        FROM a JOIN b ON a.a < b.b)
+      SELECT a, b, cosine FROM sc WHERE cosine >= 0.9 ORDER BY a, b"""))
+
+  /** SemDeDup keep-set ([[graft.llm.Similarity.semDedup]]): every
+    * vector except those with a lower-id semantic twin in their
+    * cluster — under the planted layout, exactly the 5 ε-copies drop. */
+  private val semdedupQ = QueryDef("semdedup",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val withPlanted = emb.unionByName(perturbedEmbeddings(emb, 5))
+      Similarity.semDedup(withPlanted, threshold = 0.9, nClusters = 8)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
+    Some(s"""WITH u AS (${sqlPerturbedUnion(5)}),
+      a AS (SELECT vec_id AS a, v AS va FROM u),
+      b AS (SELECT vec_id AS b, v AS vb FROM u),
+      sc AS (SELECT a.a, b.b,
+          ${sqlDot("va", "vb")} / (${sqlNorm("va")} * ${sqlNorm("vb")}) AS cosine
+        FROM a JOIN b ON a.a < b.b)
+      SELECT vec_id FROM u
+      WHERE vec_id NOT IN (SELECT DISTINCT b FROM sc WHERE cosine >= 0.9)
+      ORDER BY vec_id"""))
+
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -3361,13 +3441,14 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
-    dsirLogweights, dsirSelect, winnowFingerprints, winnowNeardup,
-    winnowSpans, docBigramCe,
+    dsirLogweights, dsirSelect, classifierScoreQ, winnowFingerprints,
+    winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    embedNearDup, mmFeatures, mmImageStats, mmImageResize, mmAudioStats,
+    embedNearDup, semdedupPairsQ, semdedupQ,
+    mmFeatures, mmImageStats, mmImageResize, mmAudioStats,
     mmVideoFrames,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,

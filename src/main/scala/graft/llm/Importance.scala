@@ -137,6 +137,50 @@ object Importance {
         (Packing.rankDigest(h).cast("double") + 0.5) / 4294967296.0)), 12)
     }
 
+  /** Deterministic pseudo-random weight table for
+    * [[classifierScore]]: one row per bucket,
+    * `weight = round(md5bucket32/2^32 * 2 - 1, 12)` in [-1, 1). Stands
+    * in for trained fastText weights where no model artifact exists
+    * (fixtures, smoke tests) — real deployments load their trained
+    * `(bucket, weight)` table from parquet instead. */
+  def seededWeights(spark: org.apache.spark.sql.SparkSession,
+                    nBuckets: Int = 10000,
+                    salt: String = "clfw"): DataFrame =
+    spark.range(nBuckets.toLong).select(col("id").as("bucket"),
+      round(Packing.rankDigest(md5(concat(lit(salt), col("id").cast("string"))))
+          .cast("double") / 4294967296.0 * 2.0 - 1.0,
+        12).as("weight"))
+
+  /** fastText-style hashed linear classifier INFERENCE (Joulin et al.,
+    * "Bag of Tricks for Efficient Text Classification", EACL 2017):
+    * `score = sigmoid(mean weight of the doc's hashed unigram+bigram
+    * features)` — the model-based quality-filter shape (GPT-3/LLaMA
+    * pretraining used exactly this: a linear classifier over hashed
+    * n-gram bags scoring web documents against a curated target).
+    * Training is out of scope; `weights` is the trained per-bucket
+    * table (or [[seededWeights]] for deterministic fixtures).
+    *
+    * Cross-engine determinism: features hash like [[featureRows]],
+    * per-bucket weights are pre-rounded to 12 dp, the per-doc sum is
+    * DECIMAL-routed, and the sigmoid is taken over the (exactly
+    * representable) mean — both engines exponentiate the same double.
+    *
+    * Scale shape (100 TB): map-side explode, a BROADCAST join against
+    * the ≤`nBuckets`-row weight table, and ONE corpus-sized shuffle
+    * (the per-doc aggregation). Documents with no features produce no
+    * row, mirroring [[logWeights]]. */
+  def classifierScore(df: DataFrame, weights: DataFrame,
+                      idCol: String, textCol: String,
+                      nBuckets: Int = 10000, salt: String = "dsir"): DataFrame =
+    featureRows(df, idCol, textCol, nBuckets, salt)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("weight").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("__m"))
+      .select(col("doc_id"), col("n_feats"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
+
   /** DSIR selection: Gumbel-top-k resampling over the log importance
     * weights (`score = log_weight + Gumbel(doc_id)`, take the k
     * largest) — the weighted-sampling-without-replacement construction

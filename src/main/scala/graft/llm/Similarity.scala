@@ -186,23 +186,43 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               qIdCol: String = "vec_id", cIdCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    registered(corpus)
+    val (assigned, centroidsDf) = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
+    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol)
+  }
+
+  /** Coarse k-means fit + assignment shared by the IVF paths and
+    * [[semDedup]]: returns the corpus as (neighbor_id, __cv, cluster)
+    * plus the (cluster, __ctr) centroid frame. A coarse quantizer
+    * doesn't need fully-converged Lloyd iterations: 10 iters / 1e-3
+    * tol halves fit time; quality is bounded below by the
+    * SimilaritySpec recall floor and the planted oracles.
+    *
+    * `fitFraction` < 1 fits the quantizer on a DETERMINISTIC
+    * hash-sampled subset and only ASSIGNS (map-only model transform)
+    * the full corpus — the 100 TB shape: Lloyd cost is
+    * O(rows × centroids) per iteration, so when cluster count scales
+    * with the corpus (to keep cluster sizes bounded) a full-corpus fit
+    * would go quadratic while a sampled fit stays constant. */
+  private def kmeansAssign(corpus: DataFrame, nCentroids: Int, seed: Long,
+                           cIdCol: String, vecCol: String,
+                           fitFraction: Double = 1.0): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    registered(corpus)
     val c = corpus.select(col(cIdCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
       .withColumn("features", array_to_vector(col("__cv")))
-    // a coarse quantizer doesn't need fully-converged Lloyd iterations:
-    // 10 iters / 1e-3 tol halves fit time; index quality is bounded
-    // below by the SimilaritySpec recall floor and the planted oracle
+    val fitOn = if (fitFraction >= 1.0) c
+      else c.where(pmod(xxhash64(col("neighbor_id")), lit(1000000L)) <
+        lit(math.max(1L, (fitFraction * 1000000L).toLong)))
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setMaxIter(10).setTol(1e-3)
-      .setFeaturesCol("features").setPredictionCol("cluster").fit(c)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(fitOn)
     val assigned = model.transform(c).select(col("neighbor_id"), col("__cv"), col("cluster"))
     import c.sparkSession.implicits._
     val centroidsDf = model.clusterCenters.toIndexedSeq.zipWithIndex
       .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
       .toDF("cluster", "__ctr")
-    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol)
+    (assigned, centroidsDf)
   }
 
   /** IVF query phase shared by the fit-inline ([[ivfTopK]]) and
@@ -242,22 +262,11 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
                     seed: Long = 42L, cIdCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     registered(corpus)
-    val c = corpus.select(col(cIdCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("__cv"))
-      .withColumn("features", array_to_vector(col("__cv")))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setMaxIter(10).setTol(1e-3)
-      .setFeaturesCol("features").setPredictionCol("cluster").fit(c)
-    import c.sparkSession.implicits._
-    model.clusterCenters.toIndexedSeq.zipWithIndex
-      .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
-      .toDF("cluster", "__ctr")
-      .coalesce(1)
+    val (assigned, centroidsDf) = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
+    centroidsDf.coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    model.transform(c).select(col("neighbor_id"), col("__cv"), col("cluster"))
+    assigned
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$dir/assignments")
@@ -310,6 +319,68 @@ object Similarity {
     val out = verified.localCheckpoint(true)
     keyed.unpersist()
     out
+  }
+
+  /** SemDeDup candidate pairs (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): k-means-cluster the embedding space with the
+    * same coarse quantizer as the IVF index, then compute pairwise
+    * cosine WITHIN clusters only — the paper's trick for making
+    * semantic dedup tractable at web scale (all-pairs over the corpus
+    * is quadratic; within-cluster pairs are quadratic only in cluster
+    * size). Returns (cluster, a, b, cosine) with a < b and
+    * cosine ≥ threshold.
+    *
+    * Scale shape (100 TB): one k-means fit (sampled/coarse — 10 Lloyd
+    * iterations), one shuffle on cluster id carrying IDS ONLY
+    * (vectors join back by id, the [[embeddingNearDups]] /
+    * minhashCandidates discipline), pair generation bounded by
+    * `maxCluster` (pick `nClusters` ≈ corpus/10³ so clusters stay
+    * ~10³, exactly the paper's regime), and the verified-pair output
+    * localCheckpointed so the vector cache releases before return. */
+  def semDedupPairs(df: DataFrame, threshold: Double = 0.95,
+                    nClusters: Int = 16, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCluster: Int = 10000,
+                    fitFraction: Double = 1.0): DataFrame = {
+    registered(df)
+    val (assigned, _) =
+      kmeansAssign(df, nClusters, seed, idCol, vecCol, fitFraction)
+    val keyed = assigned.select(col("neighbor_id").as("id"),
+      col("__cv").as("v"), col("cluster")).cache()
+    val clusters = keyed.groupBy(col("cluster"))
+      .agg(sort_array(collect_list(col("id"))).as("ms"))
+      .where(size(col("ms")).between(2, maxCluster))
+    val pairs = clusters.select(col("cluster"), explode(flatten(
+        transform(col("ms"), (m, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            other => struct(m.as("a"), other.as("b")))))).as("p"))
+      .select(col("cluster"), col("p.a"), col("p.b"))
+    val verified = pairs
+      .join(keyed.select(col("id").as("a"), col("v").as("__va")), Seq("a"))
+      .join(keyed.select(col("id").as("b"), col("v").as("__vb")), Seq("b"))
+      .select(col("cluster"), col("a"), col("b"),
+        nCosine(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+    val out = verified.localCheckpoint(true)
+    keyed.unpersist()
+    out
+  }
+
+  /** SemDeDup keep-set: drop every vector with a LOWER-id semantic
+    * twin in its cluster (keep-first, the repo's exact-dedup
+    * convention — deterministic where the paper's "keep the example
+    * farthest from the centroid" tie-breaks arbitrarily on chained
+    * near-dup groups). Returns the input rows that survive. */
+  def semDedup(df: DataFrame, threshold: Double = 0.95,
+               nClusters: Int = 16, seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxCluster: Int = 10000,
+               fitFraction: Double = 1.0): DataFrame = {
+    val bad = semDedupPairs(df, threshold, nClusters, seed, idCol, vecCol,
+        maxCluster, fitFraction)
+      .select(col("b").as(idCol)).distinct()
+    df.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Per-vector int8 scalar quantization: `scale = max|v_i| / 127`,

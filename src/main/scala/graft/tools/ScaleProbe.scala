@@ -30,6 +30,20 @@ object ScaleProbe {
         translate(col("text"), alpha, rot).as("text"))
     }.reduce(_ unionByName _)
 
+  /** Replica i's embeddings rotate by i positions: a vector and its
+    * rotation are ~orthogonal for random-ish embeddings, so
+    * cross-replica cosine structure vanishes and within-replica
+    * structure is preserved exactly — near-dup output grows linearly
+    * with k. */
+  private def replicateEmb(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      val v = col("embedding")
+      val rot = if (i == 0) v
+        else concat(slice(v, lit(i + 1), size(v) - i), slice(v, lit(1), lit(i)))
+      emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        rot.as("embedding"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 10)
@@ -41,6 +55,8 @@ object ScaleProbe {
     spark.range(1000).selectExpr("sum(id)").collect()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
 
     val opsFilter: Seq[String] = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -160,6 +176,23 @@ object ScaleProbe {
         graft.llm.Mixing.tokenBudgetSample(
           corpus.withColumn("s", (col("doc_id") % 20).cast("string")),
           "doc_id", "text", "s", budget = 100000L).count()
+      }
+      time(s"classifier_score x$k") {
+        graft.llm.Importance.classifierScore(corpus,
+            graft.llm.Importance.seededWeights(spark), "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      time(s"semdedup x$k") {
+        // the 100 TB regime: cluster COUNT scales with the corpus (so
+        // cluster sizes stay bounded) while the quantizer fits on a
+        // constant-size sample — fit cost constant, assignment map-only,
+        // within-cluster pairwise linear in k
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val n = graft.llm.Similarity.semDedup(embK, threshold = 0.95,
+          nClusters = 16 * k, fitFraction = 1.0 / k).count()
+        embK.unpersist()
+        n
       }
     }
     spark.stop()

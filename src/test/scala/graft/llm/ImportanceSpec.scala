@@ -55,6 +55,39 @@ class ImportanceSpec extends SparkSpec {
     assert(sel.map(_.getLong(0)).contains(10L))
   }
 
+  test("seededWeights: nBuckets rows in [-1, 1), deterministic") {
+    val w = Importance.seededWeights(spark, 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 100)
+    assert(w.values.forall(v => v >= -1.0 && v < 1.0))
+    val again = Importance.seededWeights(spark, 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == again)
+  }
+
+  test("classifierScore: sigmoid of mean feature weight; empty docs drop") {
+    // constant weight table: every feature contributes 0.5, so the mean
+    // is 0.5 and every scored doc gets sigmoid(0.5) regardless of length
+    val wts = spark.range(10000)
+      .select(col("id").as("bucket"), lit(0.5).as("weight"))
+    val out = Importance.classifierScore(raw, wts, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_feats"), r.getAs[Double]("score")))
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSet == Set(10L, 11L, 12L, 13L)) // doc 14 empty
+    assert(out.forall(_._3 == expected))
+    // "cat dog sat mat rug": 5 unigrams + 4 bigrams
+    assert(out.find(_._1 == 11L).get._2 == 9L)
+  }
+
+  test("classifierScore is repartition-invariant under seeded weights") {
+    val w = Importance.seededWeights(spark)
+    val a = Importance.classifierScore(raw, w, "doc_id", "text")
+    val b = Importance.classifierScore(raw.repartition(7), w, "doc_id", "text")
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
   test("gumbel draw is deterministic per key and bounded-tail") {
     val g = spark.range(1000)
       .select(Importance.gumbel(col("id"), "t").as("g"))

@@ -155,6 +155,33 @@ class SimilaritySpec extends SparkSpec {
     assert(dirs.length == 3)
   }
 
+  test("semDedupPairs finds planted near-dups within clusters; semDedup keeps first") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(4)(Array.fill(32)(rnd.nextGaussian()))
+    val base = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 10
+    } yield ((ci * 10 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    val corpus = base.toDF("vec_id", "embedding")
+    // near-exact copies of each cluster's first member at ids +1000
+    val planted = corpus.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val all = corpus.unionByName(planted)
+    // in-cluster noise 0.3 keeps base-pair cosine ~0.9; only the
+    // ε-copies clear 0.99, and each lands in its base's cluster
+    val pairs = Similarity.semDedupPairs(all, threshold = 0.99, nClusters = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs == Set((0L, 1000L), (10L, 1010L), (20L, 1020L), (30L, 1030L)))
+    val kept = Similarity.semDedup(all, threshold = 0.99, nClusters = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == base.map(_._1).toSet) // originals survive, copies drop
+    // the maxCluster cap bounds the pairwise term: cap 1 -> no pairs
+    assert(Similarity.semDedupPairs(all, 0.99, 4, maxCluster = 1).isEmpty)
+  }
+
   test("centroidOutliers flags zero and null vectors first (sentinel -2)") {
     val good = Seq.tabulate(8)(i => (i + 1).toFloat)
     val rows = Seq(
