@@ -343,6 +343,8 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     maxCluster: Int = 10000,
                     fitFraction: Double = 1.0): DataFrame = {
+    require(nClusters >= 2, // Spark ML KMeans rejects k < 2
+      s"semDedupPairs: nClusters must be >= 2, got $nClusters")
     registered(df)
     val (assigned, _) =
       kmeansAssign(df, nClusters, seed, idCol, vecCol, fitFraction)

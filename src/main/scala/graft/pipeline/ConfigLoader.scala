@@ -183,6 +183,35 @@ object ConfigLoader {
         val c = req(o, "column")
         df.withColumn(c, org.apache.spark.sql.functions.call_function(
           "graft_nfc", ColumnNs.q(c)))
+      }),
+      // SemDeDup semantic dedup over an embedding column: drops rows
+      // with a lower-id near-twin in their k-means cluster
+      "semdedup" -> (o => df =>
+        graft.llm.Similarity.semDedup(df,
+          threshold = o.getOrElse("threshold", "0.95").toDouble,
+          nClusters = o.getOrElse("nClusters", "16").toInt,
+          idCol = o.getOrElse("idCol", "vec_id"),
+          vecCol = o.getOrElse("vecCol", "embedding"),
+          maxCluster = o.getOrElse("maxCluster", "10000").toInt,
+          fitFraction = o.getOrElse("fitFraction", "1.0").toDouble)),
+      // hashed-linear-classifier quality filter: scores via a trained
+      // (bucket, weight) parquet table (weightsPath; absent -> the
+      // seeded fixture table) and keeps rows scoring >= minScore;
+      // unscoreable docs (no features) are kept — the no-signal
+      // convention shared with compression_filter
+      "classifier_filter" -> (o => df => {
+        val idc = req(o, "idCol")
+        val nBuckets = o.getOrElse("nBuckets", "10000").toInt
+        val wts = o.get("weightsPath")
+          .map(df.sparkSession.read.parquet(_))
+          .getOrElse(graft.llm.Importance.seededWeights(
+            df.sparkSession, nBuckets))
+        val dropped = graft.llm.Importance.classifierScore(df, wts, idc,
+            req(o, "textCol"), nBuckets)
+          .where(org.apache.spark.sql.functions.col("score") <
+            o.getOrElse("minScore", "0.5").toDouble)
+          .select(org.apache.spark.sql.functions.col("doc_id").as(idc))
+        df.join(dropped, Seq(idc), "left_anti")
       }))
 
   /** load kind -> (options => LoadStep). */

@@ -107,6 +107,31 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(split.columns.contains("split"))
     assert(split.select("split").distinct().as[String].collect()
       .forall(Set("train", "val")))
+    // semdedup drives from config: the exact-duplicate embedding drops
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (1001L, Seq(1.0f, 0.0f, 0.0f, 0.0f))) // duplicate of 1
+      .toDF("vec_id", "embedding")
+    val semKept = transformKinds("semdedup")(
+      Map("threshold" -> "0.99", "nClusters" -> "2"))(vecs)
+    assert(semKept.select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+    // classifier_filter loads weights from parquet; no-feature docs are
+    // kept regardless of threshold (no-signal convention)
+    val wdir = "/tmp/graft_test/cfg_clf_weights"
+    spark.range(10000)
+      .select(col("id").as("bucket"), lit(1.0).as("weight"))
+      .write.mode("overwrite").parquet(wdir)
+    val cdocs = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("doc_id", "text")
+    val clfKeep = transformKinds("classifier_filter")(
+      Map("idCol" -> "doc_id", "textCol" -> "text",
+        "weightsPath" -> wdir, "minScore" -> "0.5"))(cdocs)
+    // every feature weighs 1.0 -> score sigmoid(1) ~ 0.73 >= 0.5
+    assert(clfKeep.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val clfStrict = transformKinds("classifier_filter")(
+      Map("idCol" -> "doc_id", "textCol" -> "text",
+        "weightsPath" -> wdir, "minScore" -> "0.9"))(cdocs)
+    assert(clfStrict.select("doc_id").as[Long].collect().toSet == Set(2L))
     // quality_bucket_filter drops the worst cross-entropy band: the doc
     // stuffed with hapax tokens scores worst and goes
     val qdocs = ((1L to 8L).map(i => (i, "shared base words here" +
