@@ -1783,8 +1783,9 @@ object Queries {
           AS n_tokens,
         md5('graft' || CAST(doc_id AS VARCHAR)) AS rank FROM documents),
       c AS (SELECT doc_id, source, n_tokens,
-        coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rank
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tok_before
         FROM r)
       SELECT doc_id, source, n_tokens, tok_before FROM c
       WHERE tok_before < 600 ORDER BY doc_id"""))
@@ -3161,15 +3162,34 @@ object Queries {
       SELECT CAST(100 AS BIGINT), CAST(-1 AS INT), false, NULL, NULL, NULL, NULL, NULL
       ORDER BY asset_id, frame_idx"""))
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long (legacy conf, runtime-settable)
-    * and convert with integer `div` — epoch-nanos (~1.7e18) exceeds
-    * 2^53, so double math would corrupt the value. DuckDB's own µs
-    * truncation of the same nanos matches exactly. */
-  private def events(s: SparkSession, d: String): DataFrame = {
+  /** The events table's `ts` encoding has varied across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's parquet reader only
+    * accepts as long via the legacy conf — and plain TIMESTAMP_MICROS.
+    * Branch on the actual read schema: a timestamp column passes
+    * through; a long column is epoch-nanos and converts with integer
+    * `div` (epoch-nanos ~1.7e18 exceeds 2^53, so double math would
+    * corrupt the value; DuckDB's own µs truncation matches exactly). */
+  def readEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, d, "events")
+    normalizeEventTs(df)
   }
+
+  /** Schema-branching `ts` normalization, factored out so specs can apply
+    * it to synthetic fixtures in either encoding. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // TIMESTAMP_MICROS (with or without timezone) — already a
+        // timestamp; Spark reads NTZ as TimestampNTZType, normalize to
+        // TimestampType so downstream window/watermark ops behave the same.
+        df.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+    }
+
+  private def events(s: SparkSession, d: String): DataFrame = readEvents(s, d)
 
   private val eventsHourly = QueryDef("events_hourly",
     (s, d) => events(s, d)

@@ -138,23 +138,26 @@ object Mixing {
     *
     * Scale shape: the per-source running total is the TWO-PHASE prefix
     * sum from [[Packing.packSequences]] generalized to source groups —
-    * range-partition on (source, rank), per-(partition, source) totals
-    * (a tiny frame: numParts × |sources| rows), per-source exclusive
-    * cumsum over that frame only, broadcast back, then a
-    * partition-LOCAL window. No single-partition window touches data
-    * even when one source dominates the corpus. Output:
-    * `(doc_id, source, n_tokens, tok_before)`. */
+    * bucket each row DETERMINISTICALLY by the first two hex digits of
+    * its md5 rank (monotone in rank order, so buckets tile the
+    * per-source rank range), per-(bucket, source) totals (a tiny
+    * frame: 256 × |sources| rows), per-source exclusive cumsum over
+    * that frame only, broadcast back, then a bucket-LOCAL window. No
+    * single-partition window touches data even when one source
+    * dominates the corpus. The bucket is a pure function of the row
+    * (NOT `spark_partition_id`), so the offsets branch and the join
+    * branch always agree even when the two plan branches recompute the
+    * shuffle independently (exchange-reuse miss, AQE re-plan, executor
+    * loss). Output: `(doc_id, source, n_tokens, tok_before)`. */
   def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
                         sourceCol: String, budget: Long,
                         salt: String = "graft"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
         md5(concat(lit(salt), col(idCol).cast("string"))).as("__rank"))
-      .repartitionByRange(n, col("source"), col("__rank"))
-      .sortWithinPartitions(col("source"), col("__rank"))
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", conv(substring(col("__rank"), 1, 2), 16, 10)
+        .cast("int"))
     val wPart = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("__pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -41,11 +41,21 @@ object Packing {
     require(budget > 0, s"packSequences: budget must be positive, got $budget")
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the partition assignment: `base` feeds BOTH
+    // the offsets aggregation and the final join, and `__pid` (a
+    // physical partition id) is only consistent between the two
+    // branches if they observe the SAME materialized shuffle — an
+    // exchange-reuse miss or AQE re-plan would otherwise recompute the
+    // range sampling differently and silently corrupt token_offset.
+    // (doc_id is an arbitrary orderable type, so a rank-hash bucket —
+    // the deterministic fix used in Mixing.tokenBudgetSample — can't be
+    // made monotone here without knowing the id distribution.)
     val base = df.select(col(idCol).as("doc_id"),
         tokensCol.cast("long").as("n_tokens"))
       .repartitionByRange(n, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // phase 1: per-partition totals — one row per partition; the
     // unpartitioned window below only ever sees those `n` rows
     val wPart = Window.orderBy(col("__pid"))

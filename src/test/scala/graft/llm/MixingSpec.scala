@@ -147,13 +147,30 @@ class MixingSpec extends SparkSpec {
         .digest(s"graft$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString)
       .sortBy(_._2)
-    val expected = scala.collection.mutable.Set.empty[Long]
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
     var run = 0L
     ranked.foreach { case (i, _) =>
-      if (run < budget) { expected += i; run += i } // doc i has i tokens
+      if (run < budget) { expected(i) = run; run += i } // doc i has i tokens
     }
     val got = Mixing.tokenBudgetSample(docs, "doc_id", "text", "source", budget)
-      .select("doc_id").as[Long].collect().toSet
-    assert(got == expected.toSet)
+      .select($"doc_id", $"tok_before").as[(Long, Long)].collect().toMap
+    // the admitted SET and each doc's exclusive running total — the
+    // tok_before column is the one that silently corrupts if the
+    // offsets branch and the join branch ever disagree on bucketing
+    assert(got == expected.toMap)
+  }
+
+  test("tokenBudgetSample: tok_before stable across independent runs") {
+    // the round-5 driver flake: two plan branches derived partition ids
+    // from spark_partition_id and could disagree on recompute; the
+    // bucket is now a pure function of the md5 rank, so any two runs —
+    // any partitioning, any core count — must agree on every value
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val runs = Seq(
+      Mixing.tokenBudgetSample(docs, "doc_id", "text", "source", 5000L),
+      Mixing.tokenBudgetSample(docs.repartition(3), "doc_id", "text", "source", 5000L),
+      Mixing.tokenBudgetSample(docs.repartition(29), "doc_id", "text", "source", 5000L)
+    ).map(rowsOf)
+    assert(runs.distinct.size == 1)
   }
 }

@@ -39,6 +39,20 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__pid"))
   }
 
+  test("packSequences: offsets identical across repeated independent runs") {
+    // the two-branch __pid shape corrupts token_offset if the offsets
+    // aggregation and the final join ever observe different partition
+    // assignments; base is localCheckpoint-pinned, so repeated runs
+    // (fresh plans, no exchange reuse between them) must agree exactly
+    val df = spark.range(1, 2001).select(col("id").as("doc_id"),
+      (col("id") % 53 + 1).as("n"))
+    val runs = (1 to 3).map { i =>
+      rowsOf(Packing.packSequences(df.repartition(5 + i), "doc_id",
+        col("n"), budget = 512, numParts = 11))
+    }
+    assert(runs.distinct.size == 1)
+  }
+
   test("packSequences: empty and single-row inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n")
     assert(Packing.packSequences(empty, "doc_id", col("n"), 100).count() == 0)

@@ -77,9 +77,7 @@ class AsOfSpec extends SparkSpec {
   }
 
   test("matches brute-force oracle on the sf0.001 events table") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Queries.readEvents(spark, sfDir)
     val clicks = ev.where($"event_type" === "click")
       .select($"user_id", $"ts", $"event_id".as("click_id"))
     val views = ev.where($"event_type" === "view")
@@ -96,5 +94,38 @@ class AsOfSpec extends SparkSpec {
       .select($"click_id", $"view_id", $"matched_ts")
     assert(rowsOf(got) == rowsOf(expected))
     assert(got.count() == clicks.count())
+  }
+
+  test("events ts adapter handles both µs-timestamp and nanos-long encodings") {
+    // the driver has regenerated events.parquet with different ts
+    // physical types across rounds (TIMESTAMP(NANOS) read as long vs
+    // TIMESTAMP_MICROS); normalizeEventTs must yield identical values
+    // for the same instants regardless of encoding
+    val dir = java.nio.file.Files.createTempDirectory("events-enc").toString
+    val base = Seq(
+      (1L, ts(0), 10L, "view", 1.0), (2L, ts(10), 10L, "click", 2.0),
+      (3L, ts(5), 11L, "view", 3.0), (4L, ts(30), 11L, "click", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    base.write.parquet(s"$dir/micros/events.parquet")
+    // nanos-as-long: what the legacy TIMESTAMP(NANOS) fixture reads as
+    base.withColumn("ts", unix_micros($"ts") * 1000L)
+      .write.parquet(s"$dir/nanos/events.parquet")
+
+    val micros = graft.Queries.readEvents(spark, s"$dir/micros")
+    val nanos = graft.Queries.readEvents(spark, s"$dir/nanos")
+    assert(micros.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(nanos.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(rowsOf(micros.orderBy($"event_id")) ==
+      rowsOf(nanos.orderBy($"event_id")))
+
+    def asof(ev: org.apache.spark.sql.DataFrame) = AsOf.asOfJoin(
+      ev.where($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id")),
+      ev.where($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id".as("view_id")),
+      Seq("user_id"), "ts", Seq("view_id"), tieCol = "view_id")
+    assert(rowsOf(asof(micros)) == rowsOf(asof(nanos)))
   }
 }

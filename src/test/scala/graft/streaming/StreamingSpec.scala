@@ -140,9 +140,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("asOfEnrich (batch path) equals the batch as-of join exactly") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Queries.readEvents(spark, sfDir)
       .withColumn("value", lit(1.0))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event]
