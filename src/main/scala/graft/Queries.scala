@@ -2344,6 +2344,47 @@ object Queries {
       SELECT doc_id, n_feats, round(1.0 / (1.0 + exp(-m)), 6) AS score
       FROM sc ORDER BY doc_id"""))
 
+  /** Distributed classifier TRAINING on a planted linearly-separable
+    * fixture ([[graft.llm.Importance.trainClassifier]]): positives and
+    * negatives draw from disjoint vocabularies, the trained
+    * `(bucket, weight)` table scores a held-out set through the
+    * standard inference path, and the query reports per-label holdout
+    * accuracy. Training is deterministic (decimal-routed sums,
+    * bucket-ordered driver updates), so the pinned oracle — perfect
+    * separation — is stable across partitionings and cluster sizes;
+    * DuckDB cannot replay 30 gradient iterations, so the oracle states
+    * the expected outcome directly (the repo's planted-twin
+    * convention, like bpe_train_planted). */
+  private val classifierTrainPlanted = QueryDef("classifier_train_planted",
+    (s, d) => {
+      import s.implicits._
+      val posV = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+      val negV = Vector("zulu", "yankee", "xray", "whiskey", "victor", "uniform")
+      def text(v: Vector[String], seed: Int, len: Int): String =
+        (0 until len).map(j => v((seed + j * 2) % v.size)).mkString(" ")
+      val train = ((0 until 30).map(i => (i.toLong, text(posV, i, 8), 1)) ++
+          (0 until 30).map(i => ((i + 50).toLong, text(negV, i, 8), 0)))
+        .toDF("doc_id", "text", "label")
+      val holdout = ((0 until 10).map(i =>
+          ((i + 100).toLong, text(posV, i + 3, 6), 1)) ++
+          (0 until 10).map(i => ((i + 110).toLong, text(negV, i + 3, 6), 0)))
+        .toDF("doc_id", "text", "label")
+      val wts = graft.llm.Importance.trainClassifier(train,
+        "doc_id", "text", "label", nBuckets = 4096, iters = 30)
+      graft.llm.Importance.classifierScore(holdout, wts,
+          "doc_id", "text", nBuckets = 4096)
+        .join(holdout.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("score") >= 0.5) === (col("label") === 1), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .orderBy(col("label"))
+    },
+    Some("""SELECT * FROM (VALUES
+        (0, CAST(10 AS BIGINT), CAST(10 AS BIGINT)),
+        (1, CAST(10 AS BIGINT), CAST(10 AS BIGINT)))
+      t(label, n_docs, n_correct) ORDER BY label"""))
+
   /** Shared DuckDB CTE chain for the winnowing fingerprint pipeline
     * (mirrors [[graft.llm.Winnow]], k=4 w=4 salt 'wfp'): filtered
     * words → k-grams (short docs: single joined form) → encoded
@@ -2709,6 +2750,106 @@ object Queries {
           min(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(clean),'\\s+',' ','g'))) AS keep
         FROM f)
       WHERE doc_id = keep ORDER BY doc_id"""))
+
+  // The FULL modern curation recipe: language/quality/repetition
+  // filters → model-based quality filter (classifier score, MAP-ONLY
+  // via the weight-array literal — zero shuffles added) → PII scrub →
+  // exact dedup (hash shuffle #1) → SemDeDup over the survivors'
+  // embeddings (bounded cluster shuffles on the ids+vectors side) →
+  // semantic-keep semi-join (shuffle #2 on doc ids). One documents
+  // scan end-to-end on the text path. The semdedup stage's oracle is
+  // TRUE all-pairs cosine — it binds "no false drops" here; planted
+  // drop-binding lives in semdedup/semdedup_pairs.
+  private val curatePipelineFull = QueryDef("curate_pipeline_full",
+    (s, d) => {
+      val wts = graft.llm.Importance.weightArray(
+        graft.llm.Importance.seededWeights(s))
+      val staged = t(s, d, "documents")
+        .filter(TextAnalysis.curationKeep(col("text")))
+        .withColumn("clf_score",
+          graft.llm.Importance.classifierScoreCol(col("text"), wts))
+        .where(col("clf_score") >= 0.5)
+        .withColumn("clean", TextAnalysis.scrubPii(col("text")))
+        .withColumn("n_words", size(Dedup.wordsOf(col("text"))).cast("long"))
+      val deduped = Dedup.exactDedup(staged, "doc_id", "clean")
+      val semKeep = graft.llm.Similarity.semDedup(
+          t(s, d, "embeddings").join(
+            deduped.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi"),
+          threshold = 0.9, nClusters = 8)
+        .select(col("vec_id").as("doc_id"))
+      deduped.join(semKeep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          col("n_words"), col("clf_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, text, $sqlWords AS ws, length(text)::DOUBLE AS nc
+        FROM documents),
+      m AS (SELECT doc_id, text, ws, nc, len(ws) AS n_words,
+        CASE WHEN len(ws) > 0 THEN
+          round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)", "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
+          ELSE 0 END AS mean_word_len,
+        round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc ELSE 0 END, 4) AS punct_ratio,
+        CASE WHEN len(ws) >= 2
+          THEN round(1 - len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws)-1)::DOUBLE, 4)
+          ELSE 0.0 END AS dup2,
+        CASE WHEN len(ws) > 0
+          THEN round(list_max(list_transform(list_distinct(ws), u -> len(list_filter(ws, x -> x = u))))::DOUBLE / len(ws)::DOUBLE, 4)
+          ELSE 0.0 END AS topw,
+        ${sqlStopHits("ws", TextAnalysis.enStop)} AS en,
+        ${sqlStopHits("ws", TextAnalysis.deStop)} AS de,
+        ${sqlStopHits("ws", TextAnalysis.frStop)} AS fr,
+        ${sqlStopHits("ws", TextAnalysis.esStop)} AS es,
+        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh
+        FROM w),
+      surv AS (SELECT doc_id, text, list_filter(ws, x -> x <> '') AS ww,
+          n_words FROM m
+        WHERE greatest(en,de,fr,es,zh) > 0 AND zh < greatest(en,de,fr,es,zh)
+          AND en = greatest(en,de,fr,es,zh)
+          AND n_words BETWEEN 10 AND 100000
+          AND mean_word_len BETWEEN 2.0 AND 12.0
+          AND punct_ratio <= 0.3
+          AND dup2 <= 0.2 AND topw <= 0.3),
+      feats AS (SELECT doc_id, unnest(list_concat(ww,
+            CASE WHEN len(ww) >= 2
+                 THEN list_transform(range(1, len(ww)),
+                        i -> ww[i] || ' ' || ww[i+1])
+                 ELSE [] END)) AS feat FROM surv),
+      fb AS (SELECT doc_id,
+            ${sqlHexVal("md5('dsir' || feat)", 4)} % 10000 AS bucket FROM feats),
+      wt AS (SELECT range AS bucket,
+            CAST(round(round(${sqlHexVal("md5('clfw' || CAST(range AS VARCHAR))", 8)}
+                / 4294967296.0 * 2.0 - 1.0, 12) * 1000000000000.0) AS BIGINT)
+              AS sw
+            FROM range(10000)),
+      sc AS (SELECT fb.doc_id,
+            round(1.0 / (1.0 + exp(-(CAST(SUM(wt.sw) AS DOUBLE)
+              / 1000000000000.0 / count(*)))), 6) AS clf_score
+            FROM fb JOIN wt USING (bucket) GROUP BY fb.doc_id),
+      f AS (SELECT surv.doc_id, n_words, clf_score,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+          '\\b\\d{9,}\\b', '<NUMBER>', 'g'),
+          '\\+?\\d[\\d ()-]{7,}\\d', '<PHONE>', 'g') AS clean
+        FROM surv JOIN sc ON surv.doc_id = sc.doc_id
+        WHERE clf_score >= 0.5),
+      dd AS (SELECT doc_id, clean, n_words, clf_score
+        FROM (SELECT doc_id, clean, n_words, clf_score,
+            min(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(clean),'\\s+',' ','g'))) AS keep
+          FROM f)
+        WHERE doc_id = keep),
+      ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM dd)),
+      sem AS (SELECT a.vec_id AS a, b.vec_id AS b,
+          ${sqlDot("a.v", "b.v")} / (${sqlNorm("a.v")} * ${sqlNorm("b.v")}) AS cosine
+        FROM ev a JOIN ev b ON a.vec_id < b.vec_id)
+      SELECT doc_id, md5(clean) AS clean_md5, n_words::BIGINT AS n_words,
+        clf_score
+      FROM dd
+      WHERE doc_id NOT IN (SELECT DISTINCT b FROM sem WHERE cosine >= 0.9)
+      ORDER BY doc_id"""))
 
   private val docFingerprint = QueryDef("doc_fingerprint",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
@@ -3461,11 +3602,12 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
-    dsirLogweights, dsirSelect, classifierScoreQ, winnowFingerprints,
+    dsirLogweights, dsirSelect, classifierScoreQ, classifierTrainPlanted,
+    winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
-    repStats, curatePipeline,
+    repStats, curatePipeline, curatePipelineFull,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageResize, mmAudioStats,

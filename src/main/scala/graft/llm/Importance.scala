@@ -47,13 +47,13 @@ object Importance {
       pmod(v, lit(nBuckets)).cast("long")
     }
 
-  /** Hashed unigram+bigram feature occurrences: one row per feature
-    * occurrence, `(doc_id, bucket)`. Bigrams join with a single space,
-    * which post-split words cannot contain -- no collisions. Map-only (explode). */
-  def featureRows(df: DataFrame, idCol: String, textCol: String,
-                  nBuckets: Int = 10000, salt: String = "dsir"): DataFrame = {
-    val ws = split(Dedup.normalizeText(col(textCol)), " ")
-    val feats = Dedup.letBound(filter(ws, w => w =!= "")) { w =>
+  /** The unigram+bigram feature array of a text column (normalized
+    * words ++ space-joined bigrams), shared by the exploding and the
+    * scalar feature paths. Bigrams join with a single space, which
+    * post-split words cannot contain — no collisions. */
+  private[llm] def featsOf(textCol: Column): Column = {
+    val ws = split(Dedup.normalizeText(textCol), " ")
+    Dedup.letBound(filter(ws, w => w =!= "")) { w =>
       // sequence(a, b) counts DOWN when b < a -- guard the 0/1-word case
       val bigrams = when(size(w) >= 2,
         transform(sequence(lit(0), size(w) - 2),
@@ -61,9 +61,14 @@ object Importance {
         .otherwise(array().cast("array<string>"))
       concat(w, bigrams)
     }
-    df.select(col(idCol).as("doc_id"), explode(feats).as("feat"))
-      .select(col("doc_id"), featBucket(col("feat"), salt, nBuckets).as("bucket"))
   }
+
+  /** Hashed unigram+bigram feature occurrences: one row per feature
+    * occurrence, `(doc_id, bucket)`. Map-only (explode). */
+  def featureRows(df: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 10000, salt: String = "dsir"): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(featsOf(col(textCol))).as("feat"))
+      .select(col("doc_id"), featBucket(col("feat"), salt, nBuckets).as("bucket"))
 
   /** Per-bucket add-one-smoothed log-likelihood ratio
     * `ln p_target(b) - ln p_raw(b)`, one row per bucket present in the
@@ -151,6 +156,91 @@ object Importance {
           .cast("double") / 4294967296.0 * 2.0 - 1.0,
         12).as("weight"))
 
+  /** fastText-style hashed linear classifier TRAINING (Joulin et al.,
+    * "Bag of Tricks for Efficient Text Classification", EACL 2017):
+    * full-batch logistic regression over the hashed unigram+bigram bag,
+    * producing the `(bucket, weight)` table [[classifierScore]] loads.
+    * The model is exactly the inference shape — `p = sigmoid(Σ_b w_b ·
+    * cnt_db / n_d)` (mean feature weight) — so a trained table replays
+    * bit-for-bit through the scoring path.
+    *
+    * Scale shape (100 TB): feature extraction runs ONCE — the per-doc
+    * per-bucket count frame is hash-partitioned on the doc key and
+    * cached, so each gradient iteration is (a) a BROADCAST join against
+    * the ≤`nBuckets`-row weight table, (b) a per-doc margin aggregation
+    * and error join that both REUSE the cached partitioning (no
+    * exchange), and (c) one bounded-key gradient aggregation emitting
+    * ≤`nBuckets` rows. Only the gradient (bounded by construction, like
+    * the BPE merge table, [[Bpe]]) ever reaches the driver; the corpus
+    * never does.
+    *
+    * Cross-engine determinism: per-row contributions are doubles of
+    * 12-dp-rounded inputs, per-doc and per-bucket sums are
+    * DECIMAL-routed (order-independent), the driver applies updates in
+    * bucket order, and weights re-round to 12 dp every step — the same
+    * run on any partitioning or cluster size yields the identical
+    * weight table.
+    *
+    * @param labeled  frame with a 0/1 label column
+    * @param l2       ridge penalty (per-example scale)
+    * @return all `nBuckets` rows `(bucket, weight)`; buckets unseen in
+    *         training carry weight 0, so the table is closed over
+    *         anything inference can hash to (same shape as
+    *         [[seededWeights]]) */
+  def trainClassifier(labeled: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, nBuckets: Int = 10000,
+                      salt: String = "dsir", iters: Int = 30,
+                      learnRate: Double = 2.0, l2: Double = 0.0): DataFrame = {
+    require(iters > 0 && learnRate > 0.0,
+      s"trainClassifier: iters/learnRate must be positive, got $iters/$learnRate")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val dec = "decimal(27,12)"
+    // (doc_id, bucket, cnt, n, y) — one extraction pass, then
+    // hash-partitioned on the doc key and cached so every iteration's
+    // per-doc aggregation and error join are exchange-free
+    val x = featureRows(labeled, idCol, textCol, nBuckets, salt)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .join(labeled.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("double").as("y")), Seq("doc_id"))
+      .repartition(col("doc_id"))
+      .cache()
+    val nDocs = x.select(col("doc_id")).distinct().count()
+    require(nDocs > 0, "trainClassifier: no featured documents")
+
+    val w = Array.fill(nBuckets)(0.0)
+    (1 to iters).foreach { _ =>
+      val wDf = broadcast(w.toIndexedSeq.zipWithIndex
+        .map { case (wt, b) => (b.toLong, wt) }.toDF("bucket", "weight"))
+      // err_d = sigmoid(Σ w_b·cnt/n) - y, rounded for the gradient pass
+      val err = x.join(wDf, Seq("bucket"))
+        .groupBy(col("doc_id"), col("y"), col("n"))
+        .agg(sum(round(col("weight") * col("cnt"), 12).cast(dec)).as("__s"))
+        .select(col("doc_id"),
+          round(lit(1.0) /
+              (lit(1.0) + exp(-(col("__s").cast("double") / col("n")))) -
+            col("y"), 12).as("err"))
+      // g_b = Σ_d err_d · cnt_db / n_d  (≤ nBuckets rows out)
+      val grad = x.join(err, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(round(col("err") * col("cnt") / col("n"), 12).cast(dec))
+          .as("g"))
+        .select(col("bucket"), col("g").cast("double"))
+        .as[(Long, Double)].collect().sortBy(_._1)
+      grad.foreach { case (b, g) =>
+        val i = b.toInt
+        w(i) = BigDecimal(w(i) - learnRate * (g / nDocs + l2 * w(i)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    x.unpersist()
+    w.toIndexedSeq.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toDF("bucket", "weight")
+  }
+
   /** fastText-style hashed linear classifier INFERENCE (Joulin et al.,
     * "Bag of Tricks for Efficient Text Classification", EACL 2017):
     * `score = sigmoid(mean weight of the doc's hashed unigram+bigram
@@ -180,6 +270,43 @@ object Importance {
           count(lit(1)).cast("double")).as("__m"))
       .select(col("doc_id"), col("n_feats"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
+
+  /** A `(bucket, weight)` table collected to a dense driver-side array
+    * for [[classifierScoreCol]] — bounded by construction (≤ nBuckets
+    * rows, the same budget the broadcast join carries). Missing buckets
+    * default to weight 0. */
+  def weightArray(weights: DataFrame, nBuckets: Int = 10000): IndexedSeq[Double] = {
+    val w = Array.fill(nBuckets)(0.0)
+    weights.select(col("bucket").cast("long"), col("weight").cast("double"))
+      .collect().foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
+    w.toIndexedSeq
+  }
+
+  /** MAP-ONLY classifier scoring: the same model as [[classifierScore]]
+    * (sigmoid of the mean hashed-feature weight) evaluated as a scalar
+    * column — the weight table rides along as an array LITERAL indexed
+    * per feature, so scoring a corpus costs ZERO shuffles and composes
+    * into any single-pass pipeline (the 100 TB curation shape: the
+    * aggregation-and-join form pays one corpus shuffle per scoring
+    * pass; this pays none).
+    *
+    * Cross-engine determinism: weights must be pre-rounded to 12 dp
+    * (both [[seededWeights]] and [[trainClassifier]] are); each is
+    * scaled to an exact 1e12-integer and summed as BIGINT over the
+    * feature array — order-independent and exactly replayable as
+    * DuckDB `SUM(BIGINT)`. Docs with no features score null. */
+  def classifierScoreCol(textCol: Column, weights: IndexedSeq[Double],
+                         salt: String = "dsir"): Column = {
+    val scaled = typedLit(weights.map(w => math.round(w * 1e12)))
+    Dedup.letBound(featsOf(textCol)) { feats =>
+      val s = aggregate(feats, lit(0L), (acc, f) =>
+        acc + element_at(scaled,
+          (featBucket(f, salt, weights.size) + 1).cast("int")))
+      when(size(feats) > 0,
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(s.cast("double") / 1e12 / size(feats)))), 6))
+    }
+  }
 
   /** DSIR selection: Gumbel-top-k resampling over the log importance
     * weights (`score = log_weight + Gumbel(doc_id)`, take the k

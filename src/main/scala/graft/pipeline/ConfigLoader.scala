@@ -239,7 +239,20 @@ object ConfigLoader {
       "partitioned" -> (o => Sinks.Write("partitioned", df =>
         Sinks.writePartitioned(df, req(o, "path"),
           req(o, "partCols").split(",").map(_.trim).toSeq,
-          format = o.getOrElse("format", "parquet")))))
+          format = o.getOrElse("format", "parquet")))),
+      // train the hashed-linear quality classifier on the incoming
+      // labeled frame and persist the (bucket, weight) table that
+      // classifier_filter's weightsPath loads — the model-producing
+      // half of the model-based quality-filter loop
+      "classifier_train" -> (o => Sinks.Write("classifier_train", df => {
+        graft.llm.Importance.trainClassifier(df,
+            req(o, "idCol"), req(o, "textCol"), req(o, "labelCol"),
+            nBuckets = o.getOrElse("nBuckets", "10000").toInt,
+            iters = o.getOrElse("iters", "30").toInt,
+            learnRate = o.getOrElse("learnRate", "2.0").toDouble,
+            l2 = o.getOrElse("l2", "0.0").toDouble)
+          .coalesce(1).write.mode("overwrite").parquet(req(o, "path"))
+      })))
 
   private def req(o: Options, k: String): String =
     o.getOrElse(k, throw new Pipeline.ValidationException(s"missing option '$k'"))
@@ -322,7 +335,7 @@ object ConfigLoader {
   private val loadRequiredDest: Map[String, Seq[String]] = Map(
     "json" -> Seq("file"), "csv" -> Seq("file"), "json_dir" -> Seq("path"),
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
-    "partitioned" -> Seq("path"))
+    "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

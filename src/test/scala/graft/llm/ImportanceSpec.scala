@@ -88,6 +88,84 @@ class ImportanceSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  private def plantedText(v: Vector[String], seed: Int, len: Int): String =
+    (0 until len).map(j => v((seed + j * 2) % v.size)).mkString(" ")
+  private val posV = Vector("alpha", "bravo", "charlie", "delta", "echo")
+  private val negV = Vector("zulu", "yankee", "xray", "whiskey", "victor")
+
+  test("trainClassifier separates a planted fixture and generalizes to holdout") {
+    val train = ((0 until 20).map(i => (i.toLong, plantedText(posV, i, 8), 1)) ++
+        (0 until 20).map(i => ((i + 40).toLong, plantedText(negV, i, 8), 0)))
+      .toDF("doc_id", "text", "label")
+    val wts = Importance.trainClassifier(train, "doc_id", "text", "label",
+      nBuckets = 2048, iters = 25)
+    assert(wts.count() == 2048) // closed over the full bucket space
+    // holdout: unseen word mixes from the same vocabularies
+    val holdout = ((0 until 8).map(i =>
+        ((i + 100).toLong, plantedText(posV, i + 2, 5), 1)) ++
+        (0 until 8).map(i => ((i + 110).toLong, plantedText(negV, i + 2, 5), 0)))
+      .toDF("doc_id", "text", "label")
+    val scored = Importance.classifierScore(holdout, wts, "doc_id", "text",
+        nBuckets = 2048)
+      .join(holdout.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"), col("score")).as[(Int, Double)].collect()
+    assert(scored.length == 16)
+    assert(scored.forall { case (y, s) => (s >= 0.5) == (y == 1) })
+    // separation is decisive, not marginal
+    assert(scored.filter(_._1 == 1).map(_._2).min >
+      scored.filter(_._1 == 0).map(_._2).max + 0.2)
+  }
+
+  test("trainClassifier is deterministic across input partitionings") {
+    val train = ((0 until 12).map(i => (i.toLong, plantedText(posV, i, 6), 1)) ++
+        (0 until 12).map(i => ((i + 40).toLong, plantedText(negV, i, 6), 0)))
+      .toDF("doc_id", "text", "label")
+    val a = Importance.trainClassifier(train, "doc_id", "text", "label",
+      nBuckets = 512, iters = 10)
+    val b = Importance.trainClassifier(train.repartition(7),
+      "doc_id", "text", "label", nBuckets = 512, iters = 10)
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
+  test("trained weights roundtrip through parquet into classifierScore") {
+    val train = ((0 until 10).map(i => (i.toLong, plantedText(posV, i, 6), 1)) ++
+        (0 until 10).map(i => ((i + 40).toLong, plantedText(negV, i, 6), 0)))
+      .toDF("doc_id", "text", "label")
+    val wts = Importance.trainClassifier(train, "doc_id", "text", "label",
+      nBuckets = 512, iters = 10)
+    val path = java.nio.file.Files.createTempDirectory("clfw").toString + "/w"
+    wts.write.parquet(path)
+    val direct = Importance.classifierScore(train, wts, "doc_id", "text", 512)
+    val loaded = Importance.classifierScore(train,
+      spark.read.parquet(path), "doc_id", "text", 512)
+    assert(rowsOf(direct) == rowsOf(loaded))
+  }
+
+  test("classifierScoreCol (map-only) agrees exactly with classifierScore") {
+    // both routes sum the same 12-dp weights exactly (decimal vs scaled
+    // long), so the rounded scores must be bit-identical
+    val wts = Importance.seededWeights(spark)
+    val arr = Importance.weightArray(wts)
+    val viaAgg = Importance.classifierScore(raw, wts, "doc_id", "text")
+      .select(col("doc_id"), col("score"))
+    val viaCol = raw.select(col("doc_id"),
+        Importance.classifierScoreCol(col("text"), arr).as("score"))
+      .where(col("score").isNotNull) // empty docs: no row vs null score
+    assert(rowsOf(viaAgg) == rowsOf(viaCol))
+    // trained weights route identically
+    val train = ((0 until 8).map(i => (i.toLong, plantedText(posV, i, 5), 1)) ++
+        (0 until 8).map(i => ((i + 40).toLong, plantedText(negV, i, 5), 0)))
+      .toDF("doc_id", "text", "label")
+    val tw = Importance.trainClassifier(train, "doc_id", "text", "label",
+      nBuckets = 512, iters = 5)
+    assert(rowsOf(
+      Importance.classifierScore(train, tw, "doc_id", "text", 512)
+        .select(col("doc_id"), col("score"))) ==
+      rowsOf(train.select(col("doc_id"),
+        Importance.classifierScoreCol(col("text"),
+          Importance.weightArray(tw, 512)).as("score"))))
+  }
+
   test("gumbel draw is deterministic per key and bounded-tail") {
     val g = spark.range(1000)
       .select(Importance.gumbel(col("id"), "t").as("g"))
