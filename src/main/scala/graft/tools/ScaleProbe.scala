@@ -30,18 +30,23 @@ object ScaleProbe {
         translate(col("text"), alpha, rot).as("text"))
     }.reduce(_ unionByName _)
 
-  /** Replica i's embeddings rotate by i positions: a vector and its
-    * rotation are ~orthogonal for random-ish embeddings, so
-    * cross-replica cosine structure vanishes and within-replica
-    * structure is preserved exactly — near-dup output grows linearly
-    * with k. */
+  /** Replica i's embeddings get a per-replica deterministic SIGN-FLIP
+    * pattern (replica 0 is identity): magnitudes and within-replica
+    * cosine structure are preserved exactly, while two different
+    * patterns agree on ~half the positions so cross-replica cosine
+    * structure vanishes — near-dup output grows linearly with k.
+    * (The earlier rotate-by-i scheme collides once i reaches the
+    * vector dimension — replicas 0 and 64 of a 64-dim table would be
+    * identical — so it cannot drive a 100× probe.) */
   private def replicateEmb(emb: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       val v = col("embedding")
-      val rot = if (i == 0) v
-        else concat(slice(v, lit(i + 1), size(v) - i), slice(v, lit(1), lit(i)))
+      val flipped = if (i == 0) v
+        else transform(v, (x, j) =>
+          when(pmod((j + 1) * lit(2654435761L) * lit(2L * i + 1), lit(97L))
+            < 48, -x).otherwise(x))
       emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
-        rot.as("embedding"))
+        flipped.as("embedding"))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -183,14 +188,35 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         0L
       }
+      time(s"classifier_score_col x$k") {
+        // the map-only scoring path: the weight table rides as an array
+        // literal, so this should track the raw scan curve
+        corpus.select(col("doc_id"),
+            graft.llm.Importance.classifierScoreCol(col("text"),
+              graft.llm.Importance.weightArray(
+                graft.llm.Importance.seededWeights(spark))).as("score"))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      time(s"classifier_train x$k") {
+        // 3 fixed iterations: extraction (linear) + per-iteration cost
+        // (broadcast + exchange-free aggs + bounded gradient collect)
+        graft.llm.Importance.trainClassifier(
+          corpus.withColumn("label", (col("doc_id") % 2).cast("int")),
+          "doc_id", "text", "label", iters = 3).count()
+      }
       time(s"semdedup x$k") {
         // the 100 TB regime: cluster COUNT scales with the corpus (so
         // cluster sizes stay bounded) while the quantizer fits on a
         // constant-size sample — fit cost constant, assignment map-only,
         // within-cluster pairwise linear in k
         val embK = replicateEmb(emb, k).localCheckpoint(true)
+        // fitFraction is auto-derived (≈50 sample points per centroid,
+        // driver-local two-level fit): 1/k starves the quantizer at
+        // large K — ~1 sample per cluster degenerates the partition and
+        // the skewed clusters blow up the pairwise term
         val n = graft.llm.Similarity.semDedup(embK, threshold = 0.95,
-          nClusters = 16 * k, fitFraction = 1.0 / k).count()
+          nClusters = 16 * k).count()
         embK.unpersist()
         n
       }

@@ -182,6 +182,70 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedupPairs(all, 0.99, 4, maxCluster = 1).isEmpty)
   }
 
+  test("hierarchical quantizer (large nClusters): planted twins co-cluster, deterministic") {
+    // nClusters > 64 takes the two-level driver-local path. EXACT
+    // copies are assignment-invariant (identical vector -> identical
+    // two-level choice), so their recall must be 1.0; ε-copies can
+    // straddle a fine sub-cluster boundary (the paper accepts
+    // cross-cluster misses), so they carry a recall FLOOR instead.
+    val rnd = new scala.util.Random(29)
+    val centers = Seq.fill(12)(Array.fill(32)(rnd.nextGaussian()))
+    val base = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 25
+    } yield ((ci * 25 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    val corpus = base.toDF("vec_id", "embedding")
+    val exact = corpus.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val eps = corpus.filter(col("vec_id") % 25 === 1)
+      .select((col("vec_id") + 2000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val all = corpus.unionByName(exact).unionByName(eps)
+    val pairs = Similarity.semDedupPairs(all, threshold = 0.99, nClusters = 100)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // every exact twin MUST surface; no non-planted pair may (noise 0.3
+    // keeps base-pair cosine well under 0.99)
+    val exactPairs = (0 until 12).map(ci => (ci * 25L, ci * 25L + 1000L)).toSet
+    val epsPairs = (0 until 12).map(ci => (ci * 25L + 1, ci * 25L + 2001L)).toSet
+    assert(exactPairs.subsetOf(pairs))
+    assert(pairs.subsetOf(exactPairs ++ epsPairs))
+    assert((pairs & epsPairs).size >= 9) // ε recall floor: >= 9 of 12
+    // determinism: a different input partitioning yields identical pairs
+    val again = Similarity.semDedupPairs(all.repartition(13),
+        threshold = 0.99, nClusters = 100)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(again == pairs)
+    // keep-set drops exactly the b-side of the found pairs
+    val kept = Similarity.semDedup(all, threshold = 0.99, nClusters = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (base.map(_._1).toSet ++ epsPairs.map(_._2)) -- pairs.map(_._2))
+  }
+
+  test("ivfTopK recall through the hierarchical path (nCentroids > 64)") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.fill(10)(Array.fill(24)(rnd.nextGaussian()))
+    val corpus = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 30
+    } yield ((ci * 30 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.25).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    // exact copies as queries: the probe rule force-includes the
+    // query's own two-level assignment, so the base vector (same
+    // cluster by construction) is always reachable -> rank-1 = base
+    val queries = corpus.where(col("vec_id") % 60 === 0)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val got = Similarity.ivfTopK(queries, corpus, k = 1, nCentroids = 80,
+        nProbe = 4)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toMap
+    (0 until 5).foreach { i =>
+      assert(got(i * 60L + 5000L) == i * 60L)
+    }
+  }
+
   test("centroidOutliers flags zero and null vectors first (sentinel -2)") {
     val good = Seq.tabulate(8)(i => (i + 1).toFloat)
     val rows = Seq(
