@@ -181,8 +181,17 @@ object Importance {
     * run on any partitioning or cluster size yields the identical
     * weight table.
     *
-    * @param labeled  frame with a 0/1 label column
+    * @param labeled  frame with a 0/1 label column; `idCol` must be
+    *                 unique
     * @param l2       ridge penalty (per-example scale)
+    * @param sampleFraction train on a deterministic md5-sampled subset
+    *                 (the 100 TB shape: each full-batch iteration is a
+    *                 pass over the cached feature frame, and a quality
+    *                 classifier saturates around ~10⁶ examples — hash
+    *                 the training set down rather than paying
+    *                 iters × corpus; sampling is by [[Mixing]]'s
+    *                 engine-portable md5 predicate, so the subset is
+    *                 reproducible anywhere)
     * @return all `nBuckets` rows `(bucket, weight)`; buckets unseen in
     *         training carry weight 0, so the table is closed over
     *         anything inference can hash to (same shape as
@@ -190,16 +199,22 @@ object Importance {
   def trainClassifier(labeled: DataFrame, idCol: String, textCol: String,
                       labelCol: String, nBuckets: Int = 10000,
                       salt: String = "dsir", iters: Int = 30,
-                      learnRate: Double = 2.0, l2: Double = 0.0): DataFrame = {
+                      learnRate: Double = 2.0, l2: Double = 0.0,
+                      sampleFraction: Double = 1.0): DataFrame = {
     require(iters > 0 && learnRate > 0.0,
       s"trainClassifier: iters/learnRate must be positive, got $iters/$learnRate")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"trainClassifier: sampleFraction must be in (0, 1], got $sampleFraction")
+    val train = if (sampleFraction >= 1.0) labeled
+      else Mixing.deterministicSample(labeled, idCol, sampleFraction,
+        salt + "_ts")
     val spark = labeled.sparkSession
     import spark.implicits._
     val dec = "decimal(27,12)"
     // (doc_id, bucket, cnt, n, y) — one extraction pass, then
     // hash-partitioned on the doc key and cached so every iteration's
     // per-doc aggregation and error join are exchange-free
-    val x = featureRows(labeled, idCol, textCol, nBuckets, salt)
+    val x = featureRows(train, idCol, textCol, nBuckets, salt)
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("n", sum(col("cnt")).over(

@@ -213,7 +213,30 @@ object Similarity {
     * assigned clusters can miss the cluster an exact twin was
     * assigned to). */
   private case class Quantizer(assigned: DataFrame, centroidsDf: DataFrame,
-                               probe: Option[(Column, Int) => Column])
+                               probe: Option[(Column, Int) => Column],
+                               hier: Option[(Array[Array[Double]], Int)] = None)
+
+  /** The two-level probe closure, shared by the inline fit and the
+    * persisted-index load path (`subs` reconstructs from the flat
+    * centroid list via cluster = cell * kf + j). */
+  private def twoLevelProbe(coarse: Array[Array[Double]],
+                            subs: Array[Array[Array[Double]]],
+                            kf: Int): (Column, Int) => Column =
+    (vec: Column, nProbe: Int) => {
+      val f = udf { (v: Seq[Double]) =>
+        val a = v.toArray
+        val own = { val cell = nearest(a, coarse)
+          cell * kf + nearest(a, subs(cell)) }
+        val cells = coarse.indices
+          .map(i => (dist2(a, coarse(i)), i)).sorted.take(2).map(_._2)
+        val more = cells.flatMap { ce =>
+          subs(ce).indices.map(j => (dist2(a, subs(ce)(j)), ce * kf + j)) }
+          .sorted.map(_._2).filter(_ != own)
+          .take(math.max(0, nProbe - 1))
+        (own +: more).toArray
+      }
+      f(vec)
+    }
 
   private def kmeansAssign(corpus: DataFrame, nCentroids: Int, seed: Long,
                            cIdCol: String, vecCol: String,
@@ -308,22 +331,8 @@ object Similarity {
     // probe rule = assignment rule: the query's own two-level cluster
     // first (so an exact corpus twin is always reached), then the
     // nearest other sub-centroids from the top-2 cells
-    val probe = (vec: Column, nProbe: Int) => {
-      val f = udf { (v: Seq[Double]) =>
-        val a = v.toArray
-        val own = { val cell = nearest(a, coarse)
-          cell * kf + nearest(a, subs(cell)) }
-        val cells = coarse.indices
-          .map(i => (dist2(a, coarse(i)), i)).sorted.take(2).map(_._2)
-        val more = cells.flatMap { ce =>
-          subs(ce).indices.map(j => (dist2(a, subs(ce)(j)), ce * kf + j)) }
-          .sorted.map(_._2).filter(_ != own)
-          .take(math.max(0, nProbe - 1))
-        (own +: more).toArray
-      }
-      f(vec)
-    }
-    Quantizer(assigned, centroidsDf, Some(probe))
+    Quantizer(assigned, centroidsDf, Some(twoLevelProbe(coarse, subs, kf)),
+      Some((coarse, kf)))
   }
 
   /** Squared L2 distance over the common prefix. */
@@ -425,11 +434,20 @@ object Similarity {
                     seed: Long = 42L, cIdCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     registered(corpus)
-    val Quantizer(assigned, centroidsDf, _) =
-      kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
-    centroidsDf.coalesce(1)
+    val qz = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
+    qz.centroidsDf.coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    assigned
+    // hierarchical builds (nCentroids > 64) also persist the coarse
+    // level + kf, so the index query path can reconstruct the
+    // two-level probe and stay consistent with the assignment rule
+    qz.hier.foreach { case (coarse, kf) =>
+      import corpus.sparkSession.implicits._
+      coarse.toIndexedSeq.zipWithIndex
+        .map { case (ctr, cell) => (cell, ctr.toSeq, kf) }
+        .toDF("cell", "__ctr", "kf")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    }
+    qz.assigned
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$dir/assignments")
@@ -445,7 +463,25 @@ object Similarity {
     registered(queries)
     val centroidsDf = spark.read.parquet(s"$dir/centroids")
     val assigned = spark.read.parquet(s"$dir/assignments")
-    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol)
+    // a persisted coarse level marks a hierarchical build: rebuild the
+    // two-level probe so index queries probe under the assignment rule
+    val probe = if (!new java.io.File(s"$dir/coarse").exists()) None else {
+      val rows = spark.read.parquet(s"$dir/coarse")
+        .select(col("cell"), col("__ctr"), col("kf"))
+        .collect().sortBy(_.getInt(0))
+      val coarse = rows.map(_.getSeq[Double](1).toArray)
+      val kf = rows.head.getInt(2)
+      val byCluster = centroidsDf.select(col("cluster"), col("__ctr"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      val subs: Array[Array[Array[Double]]] = coarse.indices.map { cell =>
+        byCluster.filter { case (cl, _) =>
+          cl >= cell * kf && cl < (cell + 1) * kf }.map(_._2)
+      }.toArray
+      Some(twoLevelProbe(coarse, subs, kf))
+    }
+    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol,
+      probe)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket by LSH signature,
@@ -511,7 +547,7 @@ object Similarity {
     registered(df)
     val (assigned, _) =
       kmeansAssign(df, nClusters, seed, idCol, vecCol, fitFraction)
-        match { case Quantizer(a, c, _) => (a, c) }
+        match { case q: Quantizer => (q.assigned, q.centroidsDf) }
     val keyed = assigned.select(col("neighbor_id").as("id"),
       col("__cv").as("v"), col("cluster")).cache()
     val clusters = keyed.groupBy(col("cluster"))

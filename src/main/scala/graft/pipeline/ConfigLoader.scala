@@ -250,7 +250,8 @@ object ConfigLoader {
             nBuckets = o.getOrElse("nBuckets", "10000").toInt,
             iters = o.getOrElse("iters", "30").toInt,
             learnRate = o.getOrElse("learnRate", "2.0").toDouble,
-            l2 = o.getOrElse("l2", "0.0").toDouble)
+            l2 = o.getOrElse("l2", "0.0").toDouble,
+            sampleFraction = o.getOrElse("sampleFraction", "1.0").toDouble)
           .coalesce(1).write.mode("overwrite").parquet(req(o, "path"))
       })))
 

@@ -127,6 +127,25 @@ class ImportanceSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  test("trainClassifier sampleFraction: trains on the hash subset, still separates") {
+    val train = ((0 until 40).map(i => (i.toLong, plantedText(posV, i, 8), 1)) ++
+        (0 until 40).map(i => ((i + 100).toLong, plantedText(negV, i, 8), 0)))
+      .toDF("doc_id", "text", "label")
+    val wts = Importance.trainClassifier(train, "doc_id", "text", "label",
+      nBuckets = 2048, iters = 20, sampleFraction = 0.5)
+    // sampled training must equal training on the materialized sample
+    val sampled = Mixing.deterministicSample(train, "doc_id", 0.5, "dsir_ts")
+    assert(sampled.count() < 80) // the subset is real
+    val direct = Importance.trainClassifier(sampled, "doc_id", "text", "label",
+      nBuckets = 2048, iters = 20)
+    assert(rowsOf(wts) == rowsOf(direct))
+    // and the half-corpus model still separates the full corpus
+    val scored = Importance.classifierScore(train, wts, "doc_id", "text", 2048)
+      .join(train.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"), col("score")).as[(Int, Double)].collect()
+    assert(scored.forall { case (y, s) => (s >= 0.5) == (y == 1) })
+  }
+
   test("trained weights roundtrip through parquet into classifierScore") {
     val train = ((0 until 10).map(i => (i.toLong, plantedText(posV, i, 6), 1)) ++
         (0 until 10).map(i => ((i + 40).toLong, plantedText(negV, i, 6), 0)))

@@ -244,6 +244,16 @@ class SimilaritySpec extends SparkSpec {
     (0 until 5).foreach { i =>
       assert(got(i * 60L + 5000L) == i * 60L)
     }
+    // the persisted index must keep the two-level probe: an index built
+    // at the same nCentroids returns the same rank-1 neighbors (the
+    // coarse level + kf persist alongside the flat centroid list)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-hier").toString
+    Similarity.buildIvfIndex(corpus, dir, nCentroids = 80)
+    val viaIndex = Similarity.ivfQueryIndex(spark, dir, queries, k = 1,
+        nProbe = 4)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(viaIndex == got)
   }
 
   test("centroidOutliers flags zero and null vectors first (sentinel -2)") {

@@ -83,6 +83,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifierScoreCol composes into a stream: map-only ingest-time scoring") {
+    // the scalar classifier (weights as an array literal) is a pure
+    // column expression, so model-based quality filtering works
+    // unchanged at ingest time — no aggregation state, no shuffle
+    implicit val sqlCtx = spark.sqlContext
+    val wts = graft.llm.Importance.weightArray(
+      graft.llm.Importance.seededWeights(spark))
+    val mem = MemoryStream[(Long, String)]
+    val scored = mem.toDF().toDF("doc_id", "text")
+      .withColumn("score",
+        graft.llm.Importance.classifierScoreCol(col("text"), wts))
+    assert(scored.isStreaming)
+    val q = scored.writeStream
+      .format("memory").queryName("clf_stream_test").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, "the cat sat on the mat"), (2L, ""), (3L, "solo"))
+      q.processAllAvailable()
+      val rows = spark.table("clf_stream_test")
+        .collect().map(r => r.getLong(0) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+      // scores equal the batch path exactly; featureless docs score null
+      val batch = Seq((1L, "the cat sat on the mat"), (3L, "solo"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.llm.Importance.classifierScoreCol(col("text"), wts).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows(1L).contains(batch(1L)))
+      assert(rows(3L).contains(batch(3L)))
+      assert(rows(2L).isEmpty)
+    } finally q.stop()
+  }
+
   test("enrich: stream-static join is stateless and enriches each micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "ALPHA"), (2L, "BETA")).toDF("c_custkey", "n_name")
