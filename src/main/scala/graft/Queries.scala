@@ -2344,6 +2344,44 @@ object Queries {
       SELECT doc_id, n_feats, round(1.0 / (1.0 + exp(-m)), 6) AS score
       FROM sc ORDER BY doc_id"""))
 
+  /** The fused native classifier scoring path
+    * ([[graft.llm.Importance.classifierScoreColNative]] /
+    * `graft_clf_score`) against the SAME DuckDB replay as
+    * `classifier_score` — binding the one-pass codegen'd expression
+    * directly to the cross-engine oracle (featureless docs score null
+    * and are dropped here to mirror the aggregation path's no-row
+    * convention). */
+  private val classifierScoreNativeQ = QueryDef("classifier_score_native",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val wts = graft.llm.Importance.weightArray(
+        graft.llm.Importance.seededWeights(s))
+      t(s, d, "documents").select(col("doc_id"),
+          graft.llm.Importance.classifierScoreColNative(col("text"), wts)
+            .as("score"))
+        .where(col("score").isNotNull)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH wl AS (SELECT doc_id,
+            list_filter($sqlWords, x -> x <> '') AS w FROM documents),
+      feats AS (SELECT doc_id, unnest(list_concat(w,
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])
+                 ELSE [] END)) AS feat FROM wl),
+      fb AS (SELECT doc_id,
+            ${sqlHexVal("md5('dsir' || feat)", 4)} % 10000 AS bucket FROM feats),
+      wt AS (SELECT range AS bucket,
+            CAST(round(round(${sqlHexVal("md5('clfw' || CAST(range AS VARCHAR))", 8)}
+                / 4294967296.0 * 2.0 - 1.0, 12) * 1000000000000.0) AS BIGINT)
+              AS sw
+            FROM range(10000)),
+      sc AS (SELECT fb.doc_id,
+            round(1.0 / (1.0 + exp(-(CAST(SUM(wt.sw) AS DOUBLE)
+              / 1000000000000.0 / count(*)))), 6) AS score
+            FROM fb JOIN wt USING (bucket) GROUP BY fb.doc_id)
+      SELECT doc_id, score FROM sc ORDER BY doc_id"""))
+
   /** Distributed classifier TRAINING on a planted linearly-separable
     * fixture ([[graft.llm.Importance.trainClassifier]]): positives and
     * negatives draw from disjoint vocabularies, the trained
@@ -2762,12 +2800,13 @@ object Queries {
   // drop-binding lives in semdedup/semdedup_pairs.
   private val curatePipelineFull = QueryDef("curate_pipeline_full",
     (s, d) => {
+      graft.plans.GraftExtensions.register(s)
       val wts = graft.llm.Importance.weightArray(
         graft.llm.Importance.seededWeights(s))
       val staged = t(s, d, "documents")
         .filter(TextAnalysis.curationKeep(col("text")))
         .withColumn("clf_score",
-          graft.llm.Importance.classifierScoreCol(col("text"), wts))
+          graft.llm.Importance.classifierScoreColNative(col("text"), wts))
         .where(col("clf_score") >= 0.5)
         .withColumn("clean", TextAnalysis.scrubPii(col("text")))
         .withColumn("n_words", size(Dedup.wordsOf(col("text"))).cast("long"))
@@ -3609,7 +3648,8 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
-    dsirLogweights, dsirSelect, classifierScoreQ, classifierTrainPlanted,
+    dsirLogweights, dsirSelect, classifierScoreQ, classifierScoreNativeQ,
+    classifierTrainPlanted,
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,

@@ -323,6 +323,17 @@ object Importance {
     }
   }
 
+  /** [[classifierScoreCol]] as the fused NATIVE expression
+    * (`graft_clf_score`, [[graft.plans.ClassifierScoreExpression]]):
+    * one codegen'd pass over the text — no word/bigram/md5 intermediate
+    * arrays — bit-identical scores (spec-asserted). Caller must have
+    * run `GraftExtensions.register` on the session. */
+  def classifierScoreColNative(textCol: Column, weights: IndexedSeq[Double],
+                               salt: String = "dsir"): Column =
+    call_function("graft_clf_score", textCol,
+      lit(weights.map(w => math.round(w * 1e12)).mkString(",")),
+      lit(salt))
+
   /** DSIR selection: Gumbel-top-k resampling over the log importance
     * weights (`score = log_weight + Gumbel(doc_id)`, take the k
     * largest) — the weighted-sampling-without-replacement construction

@@ -102,6 +102,19 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_interpolate takes (str, map)")
         InterpolateExpression(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_clf_score"),
+      new ExpressionInfo(classOf[ClassifierScoreExpression].getName, "graft_clf_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_clf_score takes (text, weights, salt)")
+        def strLit(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_clf_score: $what must be a string literal, got $other")
+        }
+        ClassifierScoreExpression(children.head,
+          strLit(children(1), "weights"), strLit(children(2), "salt"))
       }))
 
   private def bpe(name: String, countOnly: Boolean):

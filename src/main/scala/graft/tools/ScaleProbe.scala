@@ -198,6 +198,15 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         0L
       }
+      time(s"classifier_score_native x$k") {
+        graft.plans.GraftExtensions.register(spark)
+        corpus.select(col("doc_id"),
+            graft.llm.Importance.classifierScoreColNative(col("text"),
+              graft.llm.Importance.weightArray(
+                graft.llm.Importance.seededWeights(spark))).as("score"))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
       time(s"classifier_train x$k") {
         // 3 fixed iterations: extraction (linear) + per-iteration cost
         // (broadcast + exchange-free aggs + bounded gradient collect)

@@ -185,6 +185,32 @@ class ImportanceSpec extends SparkSpec {
           Importance.weightArray(tw, 512)).as("score"))))
   }
 
+  test("native graft_clf_score is bit-identical to the builtin scalar route") {
+    graft.plans.GraftExtensions.register(spark)
+    val wts = Importance.weightArray(Importance.seededWeights(spark))
+    // adversarial normalization cases: tabs/newlines/multi-space,
+    // unicode uppercase, single word, empty, punctuation-only token
+    val docs = Seq(
+      (1L, "The  Cat\tSat\n on the MAT"),
+      (2L, "ÀLPHA Ünïcode ß cases"),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, "  leading and trailing  "),
+      (6L, "a b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val builtin = docs.select(col("doc_id"),
+      Importance.classifierScoreCol(col("text"), wts).as("score"))
+    val native = docs.select(col("doc_id"),
+      Importance.classifierScoreColNative(col("text"), wts).as("score"))
+    assert(rowsOf(builtin) == rowsOf(native))
+    // and across the corpus fixture
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rowsOf(corpus.select(col("doc_id"),
+        Importance.classifierScoreCol(col("text"), wts).as("score"))) ==
+      rowsOf(corpus.select(col("doc_id"),
+        Importance.classifierScoreColNative(col("text"), wts).as("score"))))
+  }
+
   test("gumbel draw is deterministic per key and bounded-tail") {
     val g = spark.range(1000)
       .select(Importance.gumbel(col("id"), "t").as("g"))

@@ -200,4 +200,27 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("graft_clf_score codegen COMPILES; nulls and featureless docs -> null") {
+    registered()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // weights: bucket b has scaled weight b (tiny table keeps the
+      // expected mean computable by hand below)
+      val wts = (0 until 16).map(_.toLong).mkString(",")
+      val df = Seq(Some("hello world"), Some(""), Option.empty[String])
+        .toDF("t")
+      val out = df.select(
+        call_function("graft_clf_score", col("t"), lit(wts), lit("s"))).collect()
+      assert(!out(0).isNullAt(0)) // 3 features, some score
+      assert(out(1).isNullAt(0))  // featureless
+      assert(out(2).isNullAt(0))  // null text
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
