@@ -2102,6 +2102,59 @@ object Queries {
         """ + duckBpeCount(plantedBpeLadder, "text") + """ AS n_tokens
       FROM d ORDER BY doc_id"""))
 
+  /** Unigram-LM tokenizer training ([[graft.llm.Unigram.train]]) on a
+    * planted morpheme corpus: every word is a pair of the four
+    * morphemes, so EM must discover them as high-probability pieces.
+    * Training is deterministic by construction (bounded driver-side
+    * hard-EM, spec-pinned repartition invariance), so the oracle
+    * states the learned multi-char pieces directly — DuckDB cannot
+    * replay Viterbi EM (the bpe_train_planted convention). */
+  private val unigramTrainPlanted = QueryDef("unigram_train_planted",
+    (s, d) => {
+      val morphs = Vector("ing", "pre", "fix", "ed")
+      val words = for { a <- morphs; b <- morphs if a != b } yield a + b
+      val corpus = s.createDataFrame(
+        words.flatMap(w => Seq.fill(5)(w)).grouped(6).map(g => Tuple1(g.mkString(" "))).toSeq)
+        .toDF("text")
+      val pieces = graft.llm.Unigram.train(corpus, "text", vocabSize = 30,
+        maxPieceLen = 4, emIters = 4)
+      s.createDataFrame(pieces.filter(_._1.length > 1)
+          .map { case (p, v) => (p, BigDecimal(v).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) })
+        .toDF("piece", "logprob")
+        .orderBy(col("logprob").desc, col("piece"))
+    },
+    Some("""SELECT * FROM (VALUES
+        ('ed', CAST(-1.458615 AS DOUBLE)), ('fix', CAST(-1.458615 AS DOUBLE)),
+        ('ing', CAST(-1.458615 AS DOUBLE)), ('pre', CAST(-1.458615 AS DOUBLE)))
+      t(piece, logprob) ORDER BY logprob DESC, piece"""))
+
+  /** Viterbi encoding under a FIXED hand-authored piece table
+    * ([[graft.plans.UnigramEncodeExpression]]): segmentations are
+    * hand-derivable (max-total-logprob, longer-piece tie-break,
+    * single-char fallback for unknown characters), so the oracle
+    * states them directly. */
+  private val unigramEncodePlanted = QueryDef("unigram_encode_planted",
+    (s, d) => {
+      val table = Seq("ab" -> math.log(0.4), "bc" -> math.log(0.1),
+        "a" -> math.log(0.2), "b" -> math.log(0.1), "c" -> math.log(0.2))
+      val docs = s.createDataFrame(Seq(
+        (1L, "abc"),          // ab+c (-2.53) beats a+bc (-3.91), a+b+c
+        (2L, "abab cab"),     // ab+ab; c+ab
+        (3L, "axc"),          // unknown x -> single-char fallback
+        (4L, ""))).toDF("id", "text")
+      graft.llm.Unigram.encodeDf(docs, "id", "text", table)
+        .select(col("doc_id"), array_join(col("tokens"), "|").as("toks"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'ab|c', CAST(2 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'ab|ab|c|ab', CAST(4 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'a|x|c', CAST(3 AS BIGINT)),
+        (CAST(4 AS BIGINT), '', CAST(0 AS BIGINT)))
+      t(doc_id, toks, n_tokens) ORDER BY doc_id"""))
+
   /** Vocabulary heavy-hitters ([[TextAnalysis.vocabulary]]): top 20
     * corpus words by total count (ties broken by word) — via
     * TakeOrderedAndProject, never a global sort. */
@@ -3647,6 +3700,7 @@ object Queries {
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
+    unigramTrainPlanted, unigramEncodePlanted,
     vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     dsirLogweights, dsirSelect, classifierScoreQ, classifierScoreNativeQ,
     classifierTrainPlanted,

@@ -155,6 +155,16 @@ object ConfigLoader {
         df.withColumn(o.getOrElse("outCol", "n_tokens"),
           graft.llm.Bpe.countCol(ColumnNs.q(req(o, "textCol")), ladder))
       }),
+      // unigram-LM token count as a column (Unigram.scala): piecesPath
+      // loads a persisted (piece, logprob) table (train once, encode
+      // forever — required: unlike BPE there is no default table)
+      "unigram_token_count" -> (o => df => {
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val pieces = graft.llm.Unigram.loadPieces(df.sparkSession,
+          req(o, "piecesPath"))
+        df.withColumn(o.getOrElse("outCol", "n_tokens"),
+          graft.llm.Unigram.countCol(ColumnNs.q(req(o, "textCol")), pieces))
+      }),
       // drop both compression-ratio tails (too repetitive / too random);
       // empty texts carry no signal and are kept
       "compression_filter" -> (o => df => {
@@ -197,21 +207,24 @@ object ConfigLoader {
       // hashed-linear-classifier quality filter: scores via a trained
       // (bucket, weight) parquet table (weightsPath; absent -> the
       // seeded fixture table) and keeps rows scoring >= minScore;
-      // unscoreable docs (no features) are kept — the no-signal
-      // convention shared with compression_filter
+      // unscoreable docs (no features -> null score) are kept — the
+      // no-signal convention shared with compression_filter. Scoring
+      // runs through the fused native scalar (graft_clf_score), so the
+      // whole filter is MAP-ONLY — the earlier aggregation+anti-join
+      // form paid a corpus shuffle per filter pass
       "classifier_filter" -> (o => df => {
-        val idc = req(o, "idCol")
+        graft.plans.GraftExtensions.register(df.sparkSession)
         val nBuckets = o.getOrElse("nBuckets", "10000").toInt
-        val wts = o.get("weightsPath")
-          .map(df.sparkSession.read.parquet(_))
-          .getOrElse(graft.llm.Importance.seededWeights(
-            df.sparkSession, nBuckets))
-        val dropped = graft.llm.Importance.classifierScore(df, wts, idc,
-            req(o, "textCol"), nBuckets)
-          .where(org.apache.spark.sql.functions.col("score") <
-            o.getOrElse("minScore", "0.5").toDouble)
-          .select(org.apache.spark.sql.functions.col("doc_id").as(idc))
-        df.join(dropped, Seq(idc), "left_anti")
+        val wts = graft.llm.Importance.weightArray(
+          o.get("weightsPath")
+            .map(df.sparkSession.read.parquet(_))
+            .getOrElse(graft.llm.Importance.seededWeights(
+              df.sparkSession, nBuckets)),
+          nBuckets)
+        val score = graft.llm.Importance.classifierScoreColNative(
+          ColumnNs.q(req(o, "textCol")), wts)
+        df.where(score.isNull ||
+          score >= o.getOrElse("minScore", "0.5").toDouble)
       }))
 
   /** load kind -> (options => LoadStep). */

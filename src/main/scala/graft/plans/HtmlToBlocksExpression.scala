@@ -97,6 +97,8 @@ object GraftExtensions {
     unary("graft_deflate_len", classOf[DeflateLenExpression], DeflateLenExpression(_)),
     bpe("graft_bpe_encode", countOnly = false),
     bpe("graft_bpe_count", countOnly = true),
+    unigram("graft_unigram_encode", countOnly = false),
+    unigram("graft_unigram_count", countOnly = true),
     (FunctionIdentifier("graft_interpolate"),
       new ExpressionInfo(classOf[InterpolateExpression].getName, "graft_interpolate"),
       (children: Seq[Expression]) => {
@@ -116,6 +118,21 @@ object GraftExtensions {
         ClassifierScoreExpression(children.head,
           strLit(children(1), "weights"), strLit(children(2), "salt"))
       }))
+
+  private def unigram(name: String, countOnly: Boolean):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[UnigramEncodeExpression].getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"$name takes (text, pieces)")
+      val pieces = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+          v.toString
+        case other => throw new IllegalArgumentException(
+          s"$name: pieces must be a string literal, got $other")
+      }
+      UnigramEncodeExpression(children.head, pieces, countOnly)
+    })
 
   private def bpe(name: String, countOnly: Boolean):
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -201,6 +201,31 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_unigram_encode/count codegen COMPILE; Viterbi segmentation") {
+    registered()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val pieces = graft.plans.UnigramEncode.serialize(Seq(
+        "ab" -> math.log(0.4), "a" -> math.log(0.2),
+        "b" -> math.log(0.2), "c" -> math.log(0.2)))
+      val df = Seq("abc ab").toDF("t")
+      val toks = df.select(
+        call_function("graft_unigram_encode", col("t"), lit(pieces)))
+        .head().getSeq[String](0)
+      assert(toks == Seq("ab", "c", "ab"))
+      val n = df.select(
+        call_function("graft_unigram_count", col("t"), lit(pieces)))
+        .head().getLong(0)
+      assert(n == 3L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("graft_clf_score codegen COMPILES; nulls and featureless docs -> null") {
     registered()
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
