@@ -152,6 +152,15 @@ object ScaleProbe {
             graft.llm.Bpe.defaultLadder).as("n"))
           .agg(sum(col("n")).as("s")).collect().head.getLong(0)
       }
+      time(s"unigram_count x$k") {
+        graft.plans.GraftExtensions.register(spark)
+        // train on the FIXED 1× corpus (bounded, constant cost); the
+        // probe measures the Viterbi encode scan growing with k
+        val pieces = graft.llm.Unigram.train(docs, "text",
+          vocabSize = 4000, maxPieceLen = 6, emIters = 2)
+        corpus.select(graft.llm.Unigram.countCol(col("text"), pieces).as("n"))
+          .agg(sum(col("n")).as("s")).collect().head.getLong(0)
+      }
       time(s"dsir_logweights x$k") {
         // target = a fixed-size slice of one replica; weight table is
         // bucket-bounded so only the two linear feature passes grow
