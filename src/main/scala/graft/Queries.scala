@@ -2635,6 +2635,37 @@ object Queries {
         CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
       FROM o ORDER BY doc_id"""))
 
+  /** Pack MATERIALIZATION ([[graft.llm.Packing.packMaterialize]]):
+    * the per-pack concatenated token streams a training loader reads —
+    * whitespace tokens here so DuckDB replays the full chain (offsets,
+    * membership, in-pack order, stream bytes via md5). */
+  private val packMaterializeQ = QueryDef("pack_materialize",
+    (s, d) => graft.llm.Packing.packMaterialize(
+        t(s, d, "documents").withColumn("__w",
+          filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+          // token-less docs carry nothing into a pack and would desync
+          // the two engines' stream-join separators — drop up front
+          .where(size(col("__w")) > 0),
+        "doc_id", col("__w"), budget = 2048)
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        md5(array_join(col("tokens"), " ")).as("stream_md5"))
+      .orderBy(col("pack_id")),
+    Some("""WITH tc AS (SELECT doc_id,
+        CASE WHEN trim(text)='' THEN []
+             ELSE string_split_regex(trim(text),'\s+') END AS toks
+        FROM documents),
+      o AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      p AS (SELECT *, CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
+        FROM o)
+      SELECT pack_id, count(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY token_offset))
+          AS stream_md5
+      FROM p GROUP BY pack_id ORDER BY pack_id"""))
+
   // Gopher-style repetition signals (duplicate-2-gram fraction,
   // top-word share) — struct flattened to scalars for the oracle
   private val repStats = QueryDef("rep_stats",
@@ -3708,7 +3739,7 @@ object Queries {
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
-    repStats, curatePipeline, curatePipelineFull,
+    repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageResize, mmAudioStats,

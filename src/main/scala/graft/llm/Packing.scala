@@ -99,6 +99,42 @@ object Packing {
                  $nShards)""").cast("long"))
   }
 
+  /** Materialize [[packSequences]]' assignments into the actual
+    * concatenated per-pack token streams — the last-mile artifact a
+    * training data loader reads. Each pack row carries its member
+    * docs' tokens concatenated in stream order plus audit columns.
+    *
+    * @param df        input with a TOKEN ARRAY column
+    * @param idCol     unique orderable id defining the stream order
+    * @param tokensCol array<string> token column (token count = size)
+    * @param budget    tokens per context window
+    * @return (pack_id, n_docs, n_tokens, tokens) ordered by pack_id
+    *
+    * Scale shape: one [[packSequences]] pass (its two-phase prefix
+    * sum), one join back to the token arrays by doc id, then ONE
+    * shuffle on pack_id whose groups are bounded by construction —
+    * a pack holds ≤ budget tokens plus at most one straddling
+    * document, so collect_list state is capped near the context
+    * length, never corpus-sized. The straddle-keeps-starting-pack
+    * convention of packSequences is preserved (packs can exceed
+    * `budget` by less than one document; a loader truncates or
+    * overflows per its own policy). */
+  def packMaterialize(df: DataFrame, idCol: String, tokensCol: Column,
+                      budget: Long, numParts: Int = 0): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokensCol.as("__toks"))
+    val assigned = packSequences(df, idCol, size(tokensCol).cast("long"),
+      budget, numParts)
+    assigned.join(toks, Seq("doc_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // struct sorts by its first field: token_offset orders members
+        flatten(transform(
+          sort_array(collect_list(struct(col("token_offset"), col("__toks")))),
+          m => m.getField("__toks"))).as("tokens"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("tokens"))
+  }
+
   /** Order-independent 64-bit row digest from the md5 `rank` hex: the
     * integer value of its first 8 hex digits (engine-portable pure
     * arithmetic on substrings — no conv()/from_hex, which differ

@@ -53,6 +53,31 @@ class PackingSpec extends SparkSpec {
     assert(runs.distinct.size == 1)
   }
 
+  test("packMaterialize: stream order, conservation, straddle keeps starting pack") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),          // offset 0, pack 0
+      (2L, Seq("d", "e")),               // offset 3, pack 0 (straddles 4)
+      (3L, Seq("f")),                    // offset 5, pack 1
+      (4L, Seq("g", "h", "i", "j"))      // offset 6, pack 1 (straddles 8)
+    ).toDF("doc_id", "toks")
+    val out = Packing.packMaterialize(df, "doc_id", col("toks"), budget = 4)
+      .orderBy("pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).toList))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 5L, List("a", "b", "c", "d", "e")),
+      (1L, 2L, 5L, List("f", "g", "h", "i", "j"))))
+    // conservation across any partitioning
+    val big = spark.range(1, 301).select(col("id").as("doc_id"),
+      array_repeat(concat(lit("t"), col("id")), (col("id") % 7 + 1).cast("int"))
+        .as("toks"))
+    val packs = Packing.packMaterialize(big.repartition(11), "doc_id",
+      col("toks"), budget = 64)
+    val total = big.select(sum(size(col("toks")))).head().getLong(0)
+    assert(packs.agg(sum(col("n_tokens"))).head().getLong(0) == total)
+    assert(packs.agg(sum(size(col("tokens")))).head().getLong(0) == total)
+  }
+
   test("packSequences: empty and single-row inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n")
     assert(Packing.packSequences(empty, "doc_id", col("n"), 100).count() == 0)
