@@ -2902,13 +2902,18 @@ object Queries {
       // is the standard write-between-stages checkpoint.
       val deduped = Dedup.exactDedup(staged, "doc_id", "clean")
         .localCheckpoint(true)
-      val semKeep = graft.llm.Similarity.semDedup(
+      // anti-join on the DROPPED side, not semi-join on the kept side:
+      // docs with no embedding row carry no semantic signal and must be
+      // KEPT (the no-signal convention every filter stage here shares);
+      // a keep-set semi-join silently deletes them wherever embeddings
+      // cover only part of the corpus (sf0.1 caught exactly that)
+      val semDropped = graft.llm.Similarity.semDedupPairs(
           t(s, d, "embeddings").join(
             deduped.select(col("doc_id").as("vec_id")), Seq("vec_id"),
             "left_semi"),
           threshold = 0.9, nClusters = 8)
-        .select(col("vec_id").as("doc_id"))
-      deduped.join(semKeep, Seq("doc_id"), "left_semi")
+        .select(col("b").as("doc_id")).distinct()
+      deduped.join(semDropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
           col("n_words"), col("clf_score"))
         .orderBy(col("doc_id"))
