@@ -152,6 +152,15 @@ object ScaleProbe {
             graft.llm.Bpe.defaultLadder).as("n"))
           .agg(sum(col("n")).as("s")).collect().head.getLong(0)
       }
+      time(s"pack_materialize x$k") {
+        graft.llm.Packing.packMaterialize(
+            corpus.withColumn("__w",
+              filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+              .where(size(col("__w")) > 0),
+            "doc_id", col("__w"), budget = 2048)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
       time(s"unigram_count x$k") {
         graft.plans.GraftExtensions.register(spark)
         // train on the FIXED 1× corpus (bounded, constant cost); the
