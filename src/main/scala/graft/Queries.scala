@@ -2561,9 +2561,7 @@ object Queries {
       val planted = base.select((col("doc_id") + 100000L).as("doc_id"),
         concat(lit("zq qz "), col("text")).as("text"))
       val corpus = base.union(planted)
-      val pairs = graft.llm.Winnow.nearDupPairs(corpus, "doc_id", "text",
-        minShared = 3)
-      graft.llm.Winnow.overlapSpans(corpus, "doc_id", "text", pairs)
+      graft.llm.Winnow.nearDupSpans(corpus, "doc_id", "text", minShared = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""WITH $sqlWinnowPairCtes,

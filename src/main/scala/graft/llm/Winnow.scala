@@ -70,17 +70,28 @@ object Winnow {
       }
     }
 
+  /** [[fingerprintArray]] as the fused NATIVE expression
+    * (`graft_winnow_fps`, [[graft.plans.WinnowFpExpression]]): one
+    * codegen'd pass with an O(n) monotonic-deque window minimum —
+    * bit-identical output (spec-asserted). */
+  def fingerprintArrayNative(textCol: Column, k: Int = 4, w: Int = 4,
+                             salt: String = "wfp"): Column =
+    call_function("graft_winnow_fps", textCol, lit(k), lit(w), lit(salt))
+
   /** Per-document fingerprints, one row per selected gram:
-    * `(doc_id, pos, fp_hash)`. Map-only (per-row selection + explode). */
+    * `(doc_id, pos, fp_hash)`. Map-only (per-row native selection +
+    * explode). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 4, w: Int = 4, salt: String = "wfp"): DataFrame =
+                   k: Int = 4, w: Int = 4, salt: String = "wfp"): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"),
-        explode(fingerprintArray(col(textCol), k, w, salt)).as("__enc"))
+        explode(fingerprintArrayNative(col(textCol), k, w, salt)).as("__enc"))
       .select(col("doc_id"),
         (lit(POS_BASE - 1) - pmod(col("__enc"), lit(POS_BASE))).as("pos"),
         // shiftright, NOT double division: enc/2^31 as a double rounds
         // the pos-0 fraction (1 - 4.6e-10) up to the next hash
         shiftright(col("__enc"), 31).as("fp_hash"))
+  }
 
   /** Near-duplicate pairs by shared winnowed fingerprints: documents
     * sharing at least `minShared` distinct fingerprint hashes, after
@@ -102,19 +113,43 @@ object Winnow {
     // cache-then-localCheckpoint discipline, Dedup.minhashNearDups).
     val fps = fingerprints(df, idCol, textCol, k, w, salt)
       .select(col("doc_id"), col("fp_hash")).distinct().cache()
+    val out = pairsFrom(fps, minShared, maxBucket).localCheckpoint(true)
+    fps.unpersist()
+    out
+  }
+
+  /** The pair pass over a materialized distinct (doc_id, fp_hash)
+    * frame — shared by [[nearDupPairs]] and [[nearDupSpans]]. */
+  private def pairsFrom(fps: DataFrame, minShared: Int,
+                        maxBucket: Int): DataFrame = {
     val rare = fps.join(
       fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("__n"))
         .where(col("__n") <= maxBucket)
         .select(col("fp_hash")),
       Seq("fp_hash"))
-    val pairs = rare.as("a").join(rare.as("b"),
+    rare.as("a").join(rare.as("b"),
         col("a.fp_hash") === col("b.fp_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    val out = pairs.localCheckpoint(true)
-    fps.unpersist()
+  }
+
+  /** [[nearDupPairs]] + [[overlapSpans]] fused over ONE fingerprint
+    * extraction: the per-row winnowing selection (the md5-heavy map
+    * pass) is the dominant cost, and running the two stages separately
+    * pays it twice — the composed audit query measured ~2× this form.
+    * Output is exactly [[overlapSpans]]' schema. */
+  def nearDupSpans(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 4, minShared: Int = 5,
+                   maxBucket: Int = 16, salt: String = "wfp"): DataFrame = {
+    val fp = fingerprints(df, idCol, textCol, k, w, salt).cache()
+    val pairs = pairsFrom(fp.select(col("doc_id"), col("fp_hash")).distinct(),
+      minShared, maxBucket)
+    val env = fp.groupBy(col("doc_id"), col("fp_hash"))
+      .agg(min(col("pos")).as("p_min"), max(col("pos")).as("p_max"))
+    val out = spansFrom(env, pairs).localCheckpoint(true)
+    fp.unpersist()
     out
   }
 
@@ -138,6 +173,12 @@ object Winnow {
     val env = fingerprints(df, idCol, textCol, k, w, salt)
       .groupBy(col("doc_id"), col("fp_hash"))
       .agg(min(col("pos")).as("p_min"), max(col("pos")).as("p_max"))
+    spansFrom(env, pairs)
+  }
+
+  /** The span-envelope join over a per-(doc, hash) envelope frame —
+    * shared by [[overlapSpans]] and [[nearDupSpans]]. */
+  private def spansFrom(env: DataFrame, pairs: DataFrame): DataFrame = {
     val envA = env.join(pairs.select(col("doc_a").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
     val envB = env.join(pairs.select(col("doc_b").as("doc_id")).distinct(),

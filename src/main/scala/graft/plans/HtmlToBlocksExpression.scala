@@ -105,6 +105,24 @@ object GraftExtensions {
         require(children.size == 2, "graft_interpolate takes (str, map)")
         InterpolateExpression(children(0), children(1))
       }),
+    (FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpExpression].getName, "graft_winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "graft_winnow_fps takes (text, k, w, salt)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow_fps: $what must be an int literal, got $other")
+        }
+        val saltV = children(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow_fps: salt must be a string literal, got $other")
+        }
+        WinnowFpExpression(children.head, intLit(children(1), "k"),
+          intLit(children(2), "w"), saltV)
+      }),
     (FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[ClassifierScoreExpression].getName, "graft_clf_score"),
       (children: Seq[Expression]) => {

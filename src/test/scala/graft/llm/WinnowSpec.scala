@@ -54,6 +54,43 @@ class WinnowSpec extends SparkSpec {
     assert(hashes(1L) == hashes(2L) && hashes(1L) != hashes(3L))
   }
 
+  test("native graft_winnow_fps is bit-identical to the builtin composition") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, "  Tabs\tAnd\nNewlines   collapse  here  like THIS  "),
+      (5L, "w x y z"), // exactly k words -> one gram, < w windows
+      (6L, "a a a a a a a a a a") // repeated grams exercise ties
+    ) ++ (0 until 50).map(i =>
+      (100L + i, s"filler words number $i repeat some shared tail content " * 3)))
+      .toDF("doc_id", "text")
+    val builtin = docs.select(col("doc_id"),
+      Winnow.fingerprintArray(col("text")).as("fps"))
+    val native = docs.select(col("doc_id"),
+      Winnow.fingerprintArrayNative(col("text")).as("fps"))
+    assert(rowsOf(builtin) == rowsOf(native))
+    // and across the corpus fixture
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rowsOf(corpus.select(col("doc_id"),
+        Winnow.fingerprintArray(col("text")).as("fps"))) ==
+      rowsOf(corpus.select(col("doc_id"),
+        Winnow.fingerprintArrayNative(col("text")).as("fps"))))
+  }
+
+  test("nearDupSpans equals the two-stage nearDupPairs + overlapSpans") {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val planted = base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("zq qz "), col("text")).as("text"))
+    val corpus = base.unionByName(planted)
+    val pairs = Winnow.nearDupPairs(corpus, "doc_id", "text", minShared = 3)
+    val twoStage = Winnow.overlapSpans(corpus, "doc_id", "text", pairs)
+    val fused = Winnow.nearDupSpans(corpus, "doc_id", "text", minShared = 3)
+    assert(rowsOf(twoStage) == rowsOf(fused))
+  }
+
   test("nearDupPairs: planted perturbed copies are found, disjoint docs are not") {
     // synthetic corpus with NO cross-doc vocabulary overlap (testdata
     // documents contain genuine near-dups — found while writing this
