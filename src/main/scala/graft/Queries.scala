@@ -2880,6 +2880,19 @@ object Queries {
   // scan end-to-end on the text path. The semdedup stage's oracle is
   // TRUE all-pairs cosine — it binds "no false drops" here; planted
   // drop-binding lives in semdedup/semdedup_pairs.
+  //
+  // ORACLE-DETERMINISM INVARIANT: the Spark side finds within-cluster
+  // pairs only (SemDeDup, k-means partitioning-sensitive) while the
+  // oracle is all-pairs, so equality requires every qualifying pair to
+  // be co-clustered under ANY clustering. The driver testdata satisfies
+  // this vacuously: NO embedding pair reaches cosine 0.9 (measured max
+  // non-exact cosine 0.48 at sf0.001 / 0.51 at sf0.01; exact-duplicate
+  // vectors — the only pairs that could qualify — are co-clustered by
+  // construction since identical vectors get identical assignments).
+  // EmbeddingInvariantSpec is the canary: it brute-forces all pairs at
+  // sf0.001 and fails if a non-exact pair ever crosses the threshold,
+  // so a testdata regeneration that breaks the invariant is caught
+  // before the oracle flakes.
   private val curatePipelineFull = QueryDef("curate_pipeline_full",
     (s, d) => {
       graft.plans.GraftExtensions.register(s)

@@ -33,7 +33,16 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         failed(name) = msg
         System.err.println(s"[verify] $name FAILED: $msg")
+        // mode("overwrite") only clears the target once the write action
+        // starts — a failure during planning leaves a PRIOR run's parquet
+        // in place, which a presence-keyed comparer would read as current.
+        // Wipe the query dir before dropping the error marker.
         val errDir = Paths.get(s"$outDir/$name")
+        if (Files.exists(errDir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(errDir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
         Files.createDirectories(errDir)
         Files.writeString(errDir.resolve("_error.txt"), msg + "\n")
       }

@@ -312,14 +312,27 @@ object Importance {
     * DuckDB `SUM(BIGINT)`. Docs with no features score null. */
   def classifierScoreCol(textCol: Column, weights: IndexedSeq[Double],
                          salt: String = "dsir"): Column = {
-    val scaled = typedLit(weights.map(w => math.round(w * 1e12)))
+    val scaledW = weights.map(w => math.round(w * 1e12))
+    val scaled = typedLit(scaledW)
+    // |sum| ≤ nFeats · max|w|: past this feature count a plain BIGINT
+    // accumulator could wrap SILENTLY (DuckDB's BIGINT SUM errors
+    // instead of wrapping, so a wrap here would also diverge from the
+    // oracle). Docs beyond the cap — order 10M+ features — route
+    // through an exact DECIMAL(38,0) sum; CaseWhen codegen evaluates
+    // only the taken branch, so typical docs never pay the decimal.
+    val safeFeats = Long.MaxValue / math.max(1L, scaledW.map(math.abs).max)
     Dedup.letBound(featsOf(textCol)) { feats =>
-      val s = aggregate(feats, lit(0L), (acc, f) =>
-        acc + element_at(scaled,
-          (featBucket(f, salt, weights.size) + 1).cast("int")))
+      def elemAt(f: Column) = element_at(scaled,
+        (featBucket(f, salt, weights.size) + 1).cast("int"))
+      val sLong = aggregate(feats, lit(0L), (acc, f) => acc + elemAt(f))
+      val sDec = aggregate(feats, lit(0L).cast("decimal(38,0)"),
+        (acc, f) => (acc + elemAt(f).cast("decimal(38,0)"))
+          .cast("decimal(38,0)"))
+      val s = when(size(feats) <= safeFeats, sLong.cast("double"))
+        .otherwise(sDec.cast("double"))
       when(size(feats) > 0,
         round(lit(1.0) / (lit(1.0) +
-          exp(-(s.cast("double") / 1e12 / size(feats)))), 6))
+          exp(-(s / 1e12 / size(feats)))), 6))
     }
   }
 

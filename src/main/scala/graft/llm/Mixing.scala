@@ -138,11 +138,13 @@ object Mixing {
     *
     * Scale shape: the per-source running total is the TWO-PHASE prefix
     * sum from [[Packing.packSequences]] generalized to source groups —
-    * bucket each row DETERMINISTICALLY by the first two hex digits of
+    * bucket each row DETERMINISTICALLY by the first three hex digits of
     * its md5 rank (monotone in rank order, so buckets tile the
     * per-source rank range), per-(bucket, source) totals (a tiny
-    * frame: 256 × |sources| rows), per-source exclusive cumsum over
-    * that frame only, broadcast back, then a bucket-LOCAL window. No
+    * frame: 4096 × |sources| rows), per-source exclusive cumsum over
+    * that frame only, broadcast back, then a bucket-LOCAL window — each
+    * window partition sorts ~1/4096 of a source, so per-partition state
+    * stays small even when one source is most of a 100 TB corpus. No
     * single-partition window touches data even when one source
     * dominates the corpus. The bucket is a pure function of the row
     * (NOT `spark_partition_id`), so the offsets branch and the join
@@ -156,7 +158,7 @@ object Mixing {
     val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
         md5(concat(lit(salt), col(idCol).cast("string"))).as("__rank"))
-      .withColumn("__pid", conv(substring(col("__rank"), 1, 2), 16, 10)
+      .withColumn("__pid", conv(substring(col("__rank"), 1, 3), 16, 10)
         .cast("int"))
     val wPart = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("__pid"))

@@ -464,8 +464,16 @@ object Similarity {
     val centroidsDf = spark.read.parquet(s"$dir/centroids")
     val assigned = spark.read.parquet(s"$dir/assignments")
     // a persisted coarse level marks a hierarchical build: rebuild the
-    // two-level probe so index queries probe under the assignment rule
-    val probe = if (!new java.io.File(s"$dir/coarse").exists()) None else {
+    // two-level probe so index queries probe under the assignment rule.
+    // Existence goes through the Hadoop FileSystem API so an index built
+    // to HDFS/S3 is detected the same as a local one — java.io.File
+    // would silently fall back to the flat probe against
+    // hierarchically-assigned clusters (probe/assignment mismatch).
+    val coarsePath = new org.apache.hadoop.fs.Path(s"$dir/coarse")
+    val coarseExists = coarsePath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(coarsePath)
+    val probe = if (!coarseExists) None else {
       val rows = spark.read.parquet(s"$dir/coarse")
         .select(col("cell"), col("__ctr"), col("kf"))
         .collect().sortBy(_.getInt(0))

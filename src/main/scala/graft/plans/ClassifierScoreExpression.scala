@@ -79,8 +79,24 @@ object ClassifierScore {
     val norm = ws.matcher(text.toLowerCase.toString).replaceAll(" ")
     val md = java.security.MessageDigest.getInstance("MD5")
     val nBuckets = scaled.length
+    // Long accumulation with exact promotion: a pathological doc (order
+    // 10M+ same-sign features) could wrap a plain BIGINT silently, the
+    // one divergence mode from the DECIMAL-routed aggregation path.
+    // Overflow is detected per add (Math.addExact's sign rule) and the
+    // running total promotes to BigInteger — still an exact integer
+    // sum, so the order-independent-sum convention holds.
     var sum = 0L
+    var big: java.math.BigInteger = null
     var nFeats = 0L
+    def add(w: Long): Unit =
+      if (big != null) big = big.add(java.math.BigInteger.valueOf(w))
+      else {
+        val s = sum + w
+        if (((sum ^ s) & (w ^ s)) < 0)
+          big = java.math.BigInteger.valueOf(sum)
+            .add(java.math.BigInteger.valueOf(w))
+        else sum = s
+      }
     var prev: String = null
     var i = 0
     val n = norm.length
@@ -93,10 +109,10 @@ object ClassifierScore {
         var j = i
         while (j < n && norm.charAt(j) != ' ') j += 1
         val word = norm.substring(i, j)
-        sum += scaled(bucket(md, salt, word, nBuckets))
+        add(scaled(bucket(md, salt, word, nBuckets)))
         nFeats += 1
         if (prev != null) {
-          sum += scaled(bucket(md, salt, prev + " " + word, nBuckets))
+          add(scaled(bucket(md, salt, prev + " " + word, nBuckets)))
           nFeats += 1
         }
         prev = word
@@ -105,7 +121,9 @@ object ClassifierScore {
     }
     if (nFeats == 0) null
     else {
-      val m = sum.toDouble / 1e12 / nFeats
+      val exact = if (big != null) new java.math.BigDecimal(big).doubleValue()
+                  else sum.toDouble
+      val m = exact / 1e12 / nFeats
       val score = 1.0 / (1.0 + math.exp(-m))
       java.lang.Double.valueOf(BigDecimal(score)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
