@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.columns.ColumnNs
 import graft.functions.{Fns, HtmlBlocks}
-import graft.llm.{Bpe, Dedup, Mixing, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, ExactSubstr, Mixing, Similarity, TextAnalysis}
 import graft.operators.{Skew, Upsert, WpLoad, WpReaders}
 import graft.sinks.Sinks
 import graft.sources.Sources
@@ -1566,6 +1566,73 @@ object Queries {
              coalesce(string_agg(tok, ' ' ORDER BY pos)
                FILTER (WHERE c = 0), '') AS text
       FROM cov GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Variable-length exact substring dedup ([[ExactSubstr]]): maximal
+    * duplicated runs ≥ L = 20 tokens (any alignment, self-repeats
+    * count). The oracle replays the L-gram reduction literally —
+    * group suffixes by their length-L prefix, mark duplicated window
+    * starts, merge the union cover into maximal runs — so a green
+    * hash binds BOTH the rolling-hash gram keys (no collisions/drift
+    * vs real L-token grams) and the interval-merge arithmetic. */
+  private val dedupSubstrings = QueryDef("dedup_substrings",
+    (s, d) => ExactSubstr.duplicateRuns(t(s, d, "documents"), "doc_id",
+        "text", L = 20, minOcc = 2)
+      .select(col("doc_id"), col("run_start").cast("long").as("run_start"),
+        col("run_end").cast("long").as("run_end"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("run_start")),
+    Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      g AS (SELECT doc_id, unnest(range(0, len(ws)-19)) AS pos,
+              unnest(list_transform(range(0, len(ws)-19),
+                i -> array_to_string(ws[i+1:i+20], ' '))) AS gram
+            FROM w WHERE len(ws) >= 20),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      st AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      nw AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER win IS NULL
+                     OR pos > lag(pos) OVER win + 20 THEN 1 ELSE 0 END AS f
+             FROM st WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      runs AS (SELECT doc_id, pos,
+              sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS rid FROM nw)
+      SELECT doc_id, min(pos)::BIGINT AS run_start,
+             (max(pos)+19)::BIGINT AS run_end,
+             (max(pos)+19-min(pos)+1)::BIGINT AS n_tokens
+      FROM runs GROUP BY doc_id, rid ORDER BY doc_id, run_start"""))
+
+  /** [[ExactSubstr.stripDuplicateRuns]]: tokens inside any shared
+    * ≥ 20-token run dropped (all copies), docs keep their rows. Same
+    * cover replay as `dedup_substrings`, then the oracle re-joins the
+    * ORIGINAL-case tokens outside the cover. */
+  private val dedupSubstringsStrip = QueryDef("dedup_substrings_strip",
+    (s, d) => ExactSubstr.stripDuplicateRuns(t(s, d, "documents"), "doc_id",
+        "text", L = 20, minOcc = 2)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      g AS (SELECT doc_id, unnest(range(0, len(ws)-19)) AS pos,
+              unnest(list_transform(range(0, len(ws)-19),
+                i -> array_to_string(ws[i+1:i+20], ' '))) AS gram
+            FROM w WHERE len(ws) >= 20),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      st AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      nw AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER win IS NULL
+                     OR pos > lag(pos) OVER win + 20 THEN 1 ELSE 0 END AS f
+             FROM st WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      runs AS (SELECT doc_id, pos,
+              sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS rid FROM nw),
+      ra AS (SELECT doc_id, min(pos) AS rs, max(pos)+19 AS re
+             FROM runs GROUP BY doc_id, rid),
+      cov AS (SELECT doc_id, unnest(range(rs, re+1)) AS pos FROM ra),
+      toks AS (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+               unnest(range(0, len(string_split_regex(trim(text), '\\s+')))) AS pos
+               FROM documents)
+      SELECT toks.doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY toks.pos)
+               FILTER (WHERE cov.pos IS NULL), '') AS text
+      FROM toks LEFT JOIN cov
+        ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+      GROUP BY toks.doc_id ORDER BY toks.doc_id"""))
 
   private val decontaminate = QueryDef("decontaminate",
     (s, d) => {
@@ -3739,6 +3806,7 @@ object Queries {
     dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
     dedupNgram, sourceSimPlanted, sourceJaccardExact,
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
+    dedupSubstrings, dedupSubstringsStrip,
     decontaminate, decontaminateBloom, decontaminateFuzzyQ,
     dedupClusters, piiScrub,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,

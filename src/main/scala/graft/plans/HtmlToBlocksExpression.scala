@@ -123,6 +123,23 @@ object GraftExtensions {
         WinnowFpExpression(children.head, intLit(children(1), "k"),
           intLit(children(2), "w"), saltV)
       }),
+    (FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashExpression].getName, "graft_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_gram_hashes takes (text, k, seed)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_hashes: k must be an int literal, got $other")
+        }
+        val seed = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_hashes: seed must be a long literal, got $other")
+        }
+        GramHashExpression(children.head, k, seed)
+      }),
     (FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[ClassifierScoreExpression].getName, "graft_clf_score"),
       (children: Seq[Expression]) => {

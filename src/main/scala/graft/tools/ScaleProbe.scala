@@ -135,6 +135,20 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         0L
       }
+      time(s"substr_runs x$k") {
+        // variable-length exact substring census: rolling-hash gram
+        // keys are map-only, so this should track the 16-byte-key
+        // aggregation curve (translate() preserves within-replica
+        // duplicated runs — output grows linearly with k)
+        graft.llm.ExactSubstr.duplicateRuns(corpus, "doc_id", "text",
+          L = 20).count()
+      }
+      time(s"substr_strip x$k") {
+        graft.llm.ExactSubstr.stripDuplicateRuns(corpus, "doc_id", "text",
+          L = 20)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
       time(s"cross_entropy x$k") {
         graft.llm.TextAnalysis.unigramCrossEntropy(corpus, "doc_id", "text")
           .write.format("noop").mode("overwrite").save()
