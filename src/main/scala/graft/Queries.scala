@@ -1786,6 +1786,73 @@ object Queries {
       SELECT id AS doc_id, min(reach) AS cluster_id
       FROM walk GROUP BY id ORDER BY doc_id"""))
 
+  /** Quality-aware survivor selection ([[Dedup.nearDupClustersBest]]):
+    * exact n-gram Jaccard pairs (the oracle-checkable pair family)
+    * clustered transitively, each cluster keeping its HIGHEST
+    * classifier-score member (seeded weight table, ties to lowest id).
+    * The oracle replays all three stages — pairwise Jaccard, recursive-
+    * CTE components, window arg-max — so a green hash binds the
+    * composed policy end to end, not just the clustering. */
+  private val dedupClustersBest = QueryDef("dedup_clusters_best",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq(col("lang"), floor(col("n_chars") / 50)),
+        n = 1, threshold = 0.5)
+      val wts = graft.llm.Importance.weightArray(
+        graft.llm.Importance.seededWeights(s))
+      val scores = docs.select(col("doc_id"),
+        graft.llm.Importance.classifierScoreColNative(col("text"), wts)
+          .as("score"))
+      Dedup.nearDupClustersBest(pairs, scores).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+      base AS (SELECT doc_id, lang, floor(n_chars/50) AS lb,
+               list_distinct($sqlWords) AS ws
+               FROM documents),
+      pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM base a JOIN base b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+              len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE >= 0.5),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      walk(id, reach) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.id),
+      comp AS (SELECT id AS doc_id, min(reach) AS cluster_id
+               FROM walk GROUP BY id),
+      wl AS (SELECT doc_id,
+            list_filter($sqlWords, x -> x <> '') AS w FROM documents),
+      feats AS (SELECT doc_id, unnest(list_concat(w,
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])
+                 ELSE [] END)) AS feat FROM wl),
+      fb AS (SELECT doc_id,
+            ${sqlHexVal("md5('dsir' || feat)", 4)} % 10000 AS bucket FROM feats),
+      wt AS (SELECT range AS bucket,
+            round(${sqlHexVal("md5('clfw' || CAST(range AS VARCHAR))", 8)}
+                / 4294967296.0 * 2.0 - 1.0, 12) AS weight
+            FROM range(10000)),
+      sc AS (SELECT fb.doc_id,
+            CAST(SUM(CAST(wt.weight AS DECIMAL(27,12))) AS DOUBLE)
+              / count(*) AS m
+            FROM fb JOIN wt USING (bucket) GROUP BY fb.doc_id),
+      score AS (SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) AS s FROM sc),
+      j AS (SELECT comp.doc_id, comp.cluster_id,
+            coalesce(score.s, '-infinity'::DOUBLE) AS s
+            FROM comp LEFT JOIN score ON comp.doc_id = score.doc_id),
+      best AS (SELECT cluster_id, doc_id AS survivor_id FROM (
+            SELECT cluster_id, doc_id, row_number() OVER (
+              PARTITION BY cluster_id ORDER BY s DESC, doc_id ASC) AS rk
+            FROM j) WHERE rk = 1)
+      SELECT j.doc_id, j.cluster_id, best.survivor_id,
+             j.doc_id = best.survivor_id AS keep
+      FROM j JOIN best USING (cluster_id) ORDER BY j.doc_id"""))
+
   /** md5-bucket selection is engine-portable (lowercase hex compared as
     * strings), so the sampling/mixing family is fully oracle-checked —
     * unlike partition-seeded `DataFrame.sample`, the same rows are kept
@@ -3804,7 +3871,7 @@ object Queries {
     partitionedScan, zorderQ,
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
-    dedupNgram, sourceSimPlanted, sourceJaccardExact,
+    dedupNgram, dedupClustersBest, sourceSimPlanted, sourceJaccardExact,
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     dedupSubstrings, dedupSubstringsStrip,
     decontaminate, decontaminateBloom, decontaminateFuzzyQ,

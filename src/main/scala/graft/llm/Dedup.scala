@@ -385,6 +385,44 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** QUALITY-AWARE survivor selection over near-dup clusters: where
+    * [[nearDupClusters]]' min-id labeling keeps an arbitrary cluster
+    * member, real curation keeps the BEST duplicate — highest
+    * classifier score, longest doc, most-trusted source — so dedup
+    * doesn't silently delete the clean copy and keep the mangled one.
+    * `scores` supplies one `(idCol, scoreCol)` row per doc; the
+    * survivor is the cluster's max-score member, ties broken to the
+    * LOWEST id (fully deterministic under any partitioning — the
+    * MixingSpec determinism contract). Docs missing a score row rank
+    * below every scored doc (−∞) but keep deterministic id ordering.
+    *
+    * Output: `(doc_id, cluster_id, survivor_id, keep)` — one row per
+    * CLUSTERED doc (unpaired docs are their own survivors by
+    * definition and never appear, [[nearDupClusters]]' contract).
+    *
+    * Scale shape: clustering is the [[nearDupClusters]] fixpoint; the
+    * arg-max is ONE aggregation on the cluster key — `max` over a
+    * `(score, −id)` struct, so "highest score then lowest id" needs no
+    * window sort — and the survivor frame (one row per cluster) joins
+    * back broadcast-small relative to the corpus. */
+  def nearDupClustersBest(pairs: DataFrame, scores: DataFrame,
+                          idCol: String = "doc_id",
+                          scoreCol: String = "score",
+                          aCol: String = "a", bCol: String = "b",
+                          maxRounds: Int = 30): DataFrame = {
+    val scored = nearDupClusters(pairs, aCol, bCol, maxRounds)
+      .join(scores.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("double").as("__s")), Seq("doc_id"), "left")
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(
+        coalesce(col("__s"), lit(Double.NegativeInfinity)).as("s"),
+        (-col("doc_id")).as("nid"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.nid")).as("survivor_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("keep"))
+  }
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b)).cast("double")

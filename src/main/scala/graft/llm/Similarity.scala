@@ -593,6 +593,27 @@ object Similarity {
     df.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** [[semDedup]] with QUALITY-AWARE survivor selection: instead of
+    * keep-first (drop the higher id of each pair), semantic-twin
+    * CLUSTERS (connected components over the ≥-threshold pairs) each
+    * keep their max-score member, ties to the lowest id — the
+    * [[Dedup.nearDupClustersBest]] policy applied to SemDeDup, so the
+    * curation pipeline keeps the best-quality copy of each semantic
+    * group rather than an id-ordered accident. Vectors in no
+    * qualifying pair always survive (no-signal convention). */
+  def semDedupBest(df: DataFrame, scores: DataFrame,
+                   scoreCol: String = "score",
+                   threshold: Double = 0.95, nClusters: Int = 16,
+                   seed: Long = 42L, idCol: String = "vec_id",
+                   vecCol: String = "embedding", maxCluster: Int = 10000,
+                   fitFraction: Double = 1.0): DataFrame = {
+    val pairs = semDedupPairs(df, threshold, nClusters, seed, idCol, vecCol,
+      maxCluster, fitFraction)
+    val dropped = Dedup.nearDupClustersBest(pairs, scores, idCol, scoreCol)
+      .where(!col("keep")).select(col("doc_id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Per-vector int8 scalar quantization: `scale = max|v_i| / 127`,
     * `q_i = round(v_i / scale)` — 4× storage cut for float32 embedding
     * columns (the difference between 100 TB of vectors fitting a

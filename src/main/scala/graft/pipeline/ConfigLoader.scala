@@ -204,6 +204,23 @@ object ConfigLoader {
           vecCol = o.getOrElse("vecCol", "embedding"),
           maxCluster = o.getOrElse("maxCluster", "10000").toInt,
           fitFraction = o.getOrElse("fitFraction", "1.0").toDouble)),
+      // SemDeDup with quality-aware survivor selection: each semantic-
+      // twin cluster keeps its max-`scoreCol` member (ties to lowest
+      // id) instead of keep-first — the "keep the best duplicate"
+      // policy (Dedup.nearDupClustersBest) as a config step
+      "semdedup_best" -> (o => df => {
+        val idc = o.getOrElse("idCol", "vec_id")
+        val scoreCol = o.getOrElse("scoreCol", "score")
+        graft.llm.Similarity.semDedupBest(df,
+          df.select(ColumnNs.q(idc), ColumnNs.q(scoreCol)),
+          scoreCol = scoreCol,
+          threshold = o.getOrElse("threshold", "0.95").toDouble,
+          nClusters = o.getOrElse("nClusters", "16").toInt,
+          idCol = idc,
+          vecCol = o.getOrElse("vecCol", "embedding"),
+          maxCluster = o.getOrElse("maxCluster", "10000").toInt,
+          fitFraction = o.getOrElse("fitFraction", "1.0").toDouble)
+      }),
       // hashed-linear-classifier quality filter: scores via a trained
       // (bucket, weight) parquet table (weightsPath; absent -> the
       // seeded fixture table) and keeps rows scoring >= minScore;
