@@ -2030,6 +2030,11 @@ object Queries {
         doc_id = 3 AS too_random
       FROM rows ORDER BY doc_id"""))
 
+  /** Full quality-signal surface: the repo's legacy ratios AND the
+    * complete Gopher rule-set inputs (symbol-to-word ratios, bullet/
+    * ellipsis line fractions, alpha-word fraction, Gopher stop-word
+    * hits), plus both keep decisions. The oracle replays every signal
+    * including the published-constant `gopher_ok`. */
   private val textStats = QueryDef("text_stats",
     (s, d) => {
       val df = t(s, d, "documents")
@@ -2041,26 +2046,55 @@ object Queries {
           col("__st.digit_ratio").as("digit_ratio"),
           col("__st.upper_ratio").as("upper_ratio"),
           col("__st.stop_ratio").as("stop_ratio"),
-          TextAnalysis.qualityOk(col("__st")).as("quality_ok"))
+          col("__st.hash_word_ratio").as("hash_word_ratio"),
+          col("__st.ellipsis_word_ratio").as("ellipsis_word_ratio"),
+          col("__st.bullet_line_frac").as("bullet_line_frac"),
+          col("__st.ellipsis_line_frac").as("ellipsis_line_frac"),
+          col("__st.alpha_word_frac").as("alpha_word_frac"),
+          col("__st.stop_hits").cast("long").as("stop_hits"),
+          TextAnalysis.qualityOk(col("__st")).as("quality_ok"),
+          TextAnalysis.gopherOk(col("__st")).as("gopher_ok"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH w AS (
-        SELECT doc_id, text, $sqlWords AS ws, length(text)::DOUBLE AS nc
+        SELECT doc_id, text, $sqlWords AS ws, length(text)::DOUBLE AS nc,
+               string_split(text, chr(10)) AS lns
         FROM documents),
       m AS (SELECT doc_id, text, ws, nc, len(ws) AS n_words,
         CASE WHEN len(ws) > 0 THEN
           round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)", "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
           ELSE 0 END AS mean_word_len,
-        ${sqlStopHits("ws", TextAnalysis.enStop)}::DOUBLE AS stops
-        FROM w)
-      SELECT doc_id, n_words, mean_word_len,
+        ${sqlStopHits("ws", TextAnalysis.enStop)}::DOUBLE AS stops,
+        len(regexp_extract_all(text, '#'))::DOUBLE AS hashes,
+        len(regexp_extract_all(text, '\\.\\.\\.|…'))::DOUBLE AS ells,
+        len(lns)::DOUBLE AS n_lines,
+        len(list_filter(lns, l -> regexp_matches(l, '^\\s*[•‣▶*-]')))::DOUBLE AS bul,
+        len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE AS elns,
+        len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE AS alw,
+        ${sqlStopHits("ws", TextAnalysis.gopherStop)}::BIGINT AS ghits
+        FROM w),
+      r AS (SELECT doc_id, n_words, mean_word_len,
         round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc ELSE 0 END, 4) AS punct_ratio,
         round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / nc ELSE 0 END, 4) AS digit_ratio,
         round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / nc ELSE 0 END, 4) AS upper_ratio,
         round(CASE WHEN n_words > 0 THEN stops / n_words ELSE 0 END, 4) AS stop_ratio,
+        round(CASE WHEN n_words > 0 THEN hashes / n_words ELSE 0 END, 4) AS hash_word_ratio,
+        round(CASE WHEN n_words > 0 THEN ells / n_words ELSE 0 END, 4) AS ellipsis_word_ratio,
+        round(CASE WHEN n_lines > 0 THEN bul / n_lines ELSE 0 END, 4) AS bullet_line_frac,
+        round(CASE WHEN n_lines > 0 THEN elns / n_lines ELSE 0 END, 4) AS ellipsis_line_frac,
+        round(CASE WHEN n_words > 0 THEN alw / n_words ELSE 0 END, 4) AS alpha_word_frac,
+        ghits AS stop_hits
+        FROM m)
+      SELECT doc_id, n_words, mean_word_len, punct_ratio, digit_ratio,
+        upper_ratio, stop_ratio, hash_word_ratio, ellipsis_word_ratio,
+        bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
         (n_words BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 12.0)
-          AND (round(CASE WHEN nc > 0 THEN len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc ELSE 0 END, 4) <= 0.3) AS quality_ok
-      FROM m ORDER BY doc_id"""))
+          AND punct_ratio <= 0.3 AS quality_ok,
+        (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+          AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+          AND alpha_word_frac >= 0.8 AND stop_hits >= 2 AS gopher_ok
+      FROM r ORDER BY doc_id"""))
 
   private val langIdQ = QueryDef("lang_id",
     (s, d) => t(s, d, "documents").select(col("doc_id"), col("lang"),

@@ -196,8 +196,28 @@ object TextAnalysis {
       r.isNull || (r >= minRatio && r <= maxRatio)
     }
 
-  /** Quality-signal columns (Gopher-style length/punct/stopword rules).
-    * Returns a struct; `qualityOk` flattens to the keep decision. */
+  /** The eight Gopher stop words (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446, §A1.1): a document must contain at least TWO
+    * of these to pass the published filter. Distinct from [[enStop]]
+    * (the language-ID list) on purpose — the published rule names
+    * exactly these words. */
+  val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Characters that open a bullet line for the Gopher bullet-line
+    * rule ("90% of lines starting with a bullet point"): the bullet
+    * glyphs plus the ASCII markers Markdown-ish corpora actually use. */
+  private val bulletStartRe = "^\\s*[•‣▶*-]"
+  private val ellipsisEndRe = "(\\.\\.\\.|…)\\s*$"
+
+  /** Quality-signal columns — the COMPLETE Gopher rule-set inputs
+    * (Rae et al. 2021 §A1.1) plus the repo's extra ratios
+    * (punct/digit/upper). Word-level signals come from the normalized
+    * word split; line-level signals (bullet/ellipsis fractions) from
+    * the RAW text's newline structure (normalization collapses
+    * newlines, so it cannot see lines). Returns a struct; `qualityOk`
+    * (legacy relaxed bounds) or `gopherOk` (published constants)
+    * flatten it to a keep decision. */
   def qualityStats(c: Column): Column = {
     val ws = words(c)
     val nWords = size(ws).cast("double")
@@ -209,16 +229,39 @@ object TextAnalysis {
     val digits = regexp_count(c, lit("[0-9]")).cast("double")
     val upper = regexp_count(c, lit("[A-Z]")).cast("double")
     val stop = stopHits(ws, enStop).cast("double")
+    // Gopher symbol-to-word ratios: hashes and ellipses counted
+    // separately (the published rule thresholds EACH at 0.1)
+    val hashes = regexp_count(c, lit("#")).cast("double")
+    val ellipses = regexp_count(c, lit("(\\.\\.\\.|…)")).cast("double")
+    val lines = split(c, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l => l.rlike(bulletStartRe)))
+    val ellipsisLines = size(filter(lines, l => l.rlike(ellipsisEndRe)))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double")
     struct(
       size(ws).as("n_words"),
       round(meanWordLen, 4).as("mean_word_len"),
       round(when(nChars > 0, punct / nChars).otherwise(0d), 4).as("punct_ratio"),
       round(when(nChars > 0, digits / nChars).otherwise(0d), 4).as("digit_ratio"),
       round(when(nChars > 0, upper / nChars).otherwise(0d), 4).as("upper_ratio"),
-      round(when(nWords > 0, stop / nWords).otherwise(0d), 4).as("stop_ratio"))
+      round(when(nWords > 0, stop / nWords).otherwise(0d), 4).as("stop_ratio"),
+      round(when(nWords > 0, hashes / nWords).otherwise(0d), 4)
+        .as("hash_word_ratio"),
+      round(when(nWords > 0, ellipses / nWords).otherwise(0d), 4)
+        .as("ellipsis_word_ratio"),
+      round(when(nLines > 0, bulletLines.cast("double") / nLines)
+        .otherwise(0d), 4).as("bullet_line_frac"),
+      round(when(nLines > 0, ellipsisLines.cast("double") / nLines)
+        .otherwise(0d), 4).as("ellipsis_line_frac"),
+      round(when(nWords > 0, alphaWords / nWords).otherwise(0d), 4)
+        .as("alpha_word_frac"),
+      stopHits(ws, gopherStop).as("stop_hits"))
   }
 
-  /** Gopher-ish keep decision over [[qualityStats]]. */
+  /** Gopher-ish keep decision over [[qualityStats]] — the repo's
+    * legacy RELAXED bounds (length/word-len/punct only), kept stable
+    * because [[curationKeep]] and its oracles compose exactly these
+    * rules. The full published rule set is [[gopherOk]]. */
   def qualityOk(stats: Column,
                 minWords: Int = 10, maxWords: Int = 100000,
                 minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
@@ -226,6 +269,33 @@ object TextAnalysis {
     stats.getField("n_words").between(minWords, maxWords) &&
       stats.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
       stats.getField("punct_ratio") <= maxPunctRatio
+
+  /** The COMPLETE published Gopher quality filter (Rae et al. 2021
+    * §A1.1) over [[qualityStats]] — every default is the paper's
+    * constant: 50–100,000 words; mean word length 3–10; symbol-to-word
+    * ratio ≤ 0.1 for hashes AND for ellipses (each separately); ≤ 90%
+    * of lines starting with a bullet; ≤ 30% of lines ending with an
+    * ellipsis; ≥ 80% of words containing an alphabetic character; and
+    * ≥ 2 of the eight [[gopherStop]] words present. Drop-in comparable
+    * with published Gopher-rule implementations; every threshold is a
+    * parameter for corpus-specific tuning. */
+  def gopherOk(stats: Column,
+               minWords: Int = 50, maxWords: Int = 100000,
+               minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+               maxSymbolWordRatio: Double = 0.1,
+               maxBulletLineFrac: Double = 0.9,
+               maxEllipsisLineFrac: Double = 0.3,
+               minAlphaWordFrac: Double = 0.8,
+               minStopHits: Int = 2): Column =
+    stats.getField("n_words").between(minWords, maxWords) &&
+      stats.getField("mean_word_len")
+        .between(minMeanWordLen, maxMeanWordLen) &&
+      stats.getField("hash_word_ratio") <= maxSymbolWordRatio &&
+      stats.getField("ellipsis_word_ratio") <= maxSymbolWordRatio &&
+      stats.getField("bullet_line_frac") <= maxBulletLineFrac &&
+      stats.getField("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+      stats.getField("alpha_word_frac") >= minAlphaWordFrac &&
+      stats.getField("stop_hits") >= minStopHits
 
   /** Single-pass keep decision for the composed curation filter:
     * language match + Gopher quality bounds + repetition bounds, all

@@ -95,9 +95,33 @@ object ConfigLoader {
         val c = req(o, "column")
         df.withColumn(c, graft.llm.TextAnalysis.scrubPii(ColumnNs.q(c)))
       }),
+      // gopher=true applies the COMPLETE published Gopher rule set
+      // (Rae et al. 2021 constants, each overridable by flag);
+      // default stays the legacy relaxed length/word-len/punct bounds
       "quality_filter" -> (o => df => {
         val st = graft.llm.TextAnalysis.qualityStats(ColumnNs.q(req(o, "column")))
-        df.where(graft.llm.TextAnalysis.qualityOk(st))
+        if (o.getOrElse("gopher", "false").toBoolean)
+          df.where(graft.llm.TextAnalysis.gopherOk(st,
+            minWords = o.getOrElse("minWords", "50").toInt,
+            maxWords = o.getOrElse("maxWords", "100000").toInt,
+            minMeanWordLen = o.getOrElse("minMeanWordLen", "3.0").toDouble,
+            maxMeanWordLen = o.getOrElse("maxMeanWordLen", "10.0").toDouble,
+            maxSymbolWordRatio =
+              o.getOrElse("maxSymbolWordRatio", "0.1").toDouble,
+            maxBulletLineFrac =
+              o.getOrElse("maxBulletLineFrac", "0.9").toDouble,
+            maxEllipsisLineFrac =
+              o.getOrElse("maxEllipsisLineFrac", "0.3").toDouble,
+            minAlphaWordFrac =
+              o.getOrElse("minAlphaWordFrac", "0.8").toDouble,
+            minStopHits = o.getOrElse("minStopHits", "2").toInt))
+        else
+          df.where(graft.llm.TextAnalysis.qualityOk(st,
+            minWords = o.getOrElse("minWords", "10").toInt,
+            maxWords = o.getOrElse("maxWords", "100000").toInt,
+            minMeanWordLen = o.getOrElse("minMeanWordLen", "2.0").toDouble,
+            maxMeanWordLen = o.getOrElse("maxMeanWordLen", "12.0").toDouble,
+            maxPunctRatio = o.getOrElse("maxPunctRatio", "0.3").toDouble))
       }),
       "lang_filter" -> (o => df =>
         df.where(graft.llm.TextAnalysis.langId(ColumnNs.q(req(o, "column")))

@@ -48,6 +48,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L)); assert(!m(2L)); assert(!m(3L))
   }
 
+  test("gopherOk: each published rule fires on its counterexample") {
+    // a passing doc: >= 50 words, mean len 3-10, no symbols/bullets,
+    // alphabetic, >= 2 gopher stop words
+    val good = (("the cat sat with the dog and that was fine to see " * 6)
+      .trim.split(" ").take(60)).mkString(" ")
+    def wordsN(n: Int, tag: String) =
+      (0 until n).map(i => s"$tag${i % 7}ab").mkString(" ")
+    val fewWords = "the cat sat with a dog" // < 50 words
+    val hashy = (good.split(" ").map(w => w + " #")).mkString(" ") // hash ratio 0.5
+    val elly = (good.split(" ").map(w => w + " ...")).mkString(" ")
+    val bullets = (0 until 10).map(i => s"- item $i of the list with that")
+      .mkString("\n") + "\nthe only non bullet line has the and with that"
+    val ellLines = (0 until 10).map(i => s"the line $i trails off with that ...")
+      .mkString("\n")
+    val numeric = (wordsN(10, "w") + " " + (0 until 50).map(_ * 7).mkString(" ")) +
+      " the of and that" // alpha fraction < 0.8
+    val noStops = wordsN(60, "zq") // zero gopher stop words
+    val df = Seq((1L, good), (2L, fewWords), (3L, hashy), (4L, elly),
+      (5L, bullets), (6L, ellLines), (7L, numeric), (8L, noStops))
+      .toDF("id", "t")
+      .withColumn("st", TextAnalysis.qualityStats(col("t")))
+      .select(col("id"), TextAnalysis.gopherOk(col("st")).as("ok"),
+        col("st.bullet_line_frac").as("bf"),
+        col("st.ellipsis_line_frac").as("ef"),
+        col("st.stop_hits").as("sh"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(rows(1L)._1, s"good doc must pass: ${rows(1L)}")
+    assert(!rows(2L)._1, "word-count rule")
+    assert(!rows(3L)._1, "hash symbol-to-word rule")
+    assert(!rows(4L)._1, "ellipsis symbol-to-word rule")
+    assert(!rows(5L)._1 && rows(5L)._2 > 0.9, "bullet-line fraction rule")
+    assert(!rows(6L)._1 && rows(6L)._3 > 0.3, "ellipsis-line fraction rule")
+    assert(!rows(7L)._1, "alpha-word fraction rule")
+    assert(!rows(8L)._1 && rows(8L)._4 == 0, "min stop-hits rule")
+    // sanity: good doc has >= 2 distinct gopher stop words
+    assert(rows(1L)._4 >= 2)
+  }
+
   test("scrubPii redacts emails, ips, phones, long digit runs") {
     val df = Seq("write bob.smith+x@corp.example.org from 10.0.0.1 " +
       "or call +44 (20) 7946-0958 card 4111111111111111 but keep 42").toDF("t")
