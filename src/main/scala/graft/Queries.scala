@@ -1924,6 +1924,43 @@ object Queries {
       SELECT doc_id, source, n_tokens, tok_before FROM c
       WHERE tok_before < 600 ORDER BY doc_id"""))
 
+  /** Multi-epoch budgets ([[Mixing.tokenBudgetSampleEpochs]]): budget
+    * 3000 ≈ 2.3 source passes at sf0.01, so full epochs, the partial
+    * epoch's residual cutoff, AND the maxEpochs cap all bite somewhere
+    * across scale factors. The oracle replays the whole construction —
+    * per-source totals, BIGINT-div full-epoch count, window cumsum for
+    * the partial epoch — over the exploded copies. */
+  private val mixTokenBudgetEpochs = QueryDef("mix_token_budget_epochs",
+    (s, d) => Mixing.tokenBudgetSampleEpochs(t(s, d, "documents"),
+        "doc_id", "text", "source", budget = 3000, maxEpochs = 3)
+      .orderBy(col("doc_id"), col("copy_idx")),
+    Some("""WITH r AS (SELECT doc_id, source,
+        CAST(CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END AS BIGINT)
+          AS n_tokens,
+        md5('graft' || CAST(doc_id AS VARCHAR)) AS rank FROM documents),
+      tot AS (SELECT source, sum(n_tokens) AS t FROM r GROUP BY source),
+      e AS (SELECT source, t,
+        CAST(CASE WHEN t > 0 THEN least(3000 // t, 3) ELSE 3 END AS BIGINT)
+          AS efull
+        FROM tot),
+      c AS (SELECT doc_id, source, n_tokens,
+        CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS pref
+        FROM r),
+      x AS (SELECT c.doc_id, c.source, c.n_tokens, c.pref, e.efull, e.t
+            FROM c JOIN e USING (source)),
+      f AS (SELECT doc_id, source, unnest(range(0, efull)) AS copy_idx,
+              n_tokens, pref, t
+            FROM x WHERE efull >= 1),
+      p AS (SELECT doc_id, source, efull AS copy_idx, n_tokens, pref, t
+            FROM x WHERE efull < 3 AND pref < 3000 - efull * t)
+      SELECT doc_id, source, copy_idx, n_tokens,
+             copy_idx * t + pref AS tok_before
+      FROM (SELECT * FROM f UNION ALL SELECT * FROM p)
+      ORDER BY doc_id, copy_idx"""))
+
   /** weight rounded to 7 decimals on both sides: pow and the stratum-sum
     * fold order are the only FP differences between engines; rounding
     * absorbs the ulp-level divergence (same convention as mm_features). */
@@ -3912,7 +3949,7 @@ object Queries {
     dedupClusters, piiScrub,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
-    mixTokenBudget,
+    mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,

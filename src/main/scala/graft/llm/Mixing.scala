@@ -155,11 +155,26 @@ object Mixing {
                         sourceCol: String, budget: Long,
                         salt: String = "graft"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+    exclusiveTokenPrefix(tokenBase(df, idCol, textCol, sourceCol, salt))
+      .where(col("__pref") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("__pref").as("tok_before"))
+  }
+
+  /** `(doc_id, source, n_tokens, __rank, __pid)` — the md5-rank frame
+    * both budget samplers start from. */
+  private def tokenBase(df: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, salt: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
         md5(concat(lit(salt), col(idCol).cast("string"))).as("__rank"))
       .withColumn("__pid", conv(substring(col("__rank"), 1, 3), 16, 10)
         .cast("int"))
+
+  /** The two-phase EXCLUSIVE per-source prefix sum over the md5-rank
+    * order (see [[tokenBudgetSample]]'s scale-shape doc): adds
+    * `__pref` to the base frame without any single-partition window. */
+  private def exclusiveTokenPrefix(base: DataFrame): DataFrame = {
     val wPart = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("__pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -171,10 +186,63 @@ object Mixing {
       .partitionBy(col("__pid"), col("source")).orderBy(col("__rank"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     base.join(broadcast(offsets), Seq("__pid", "source"))
-      .withColumn("tok_before",
+      .withColumn("__pref",
         col("__poff") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      .where(col("tok_before") < budget)
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_before"))
+  }
+
+  /** MULTI-EPOCH token-budget sampling: trainer mixes routinely spec a
+    * source budget LARGER than the source ([[tokenBudgetSample]] stops
+    * after one pass) — the standard remedy is looping the source
+    * (epochs), which this composes with budget admission. Each source
+    * cycles deterministically in epoch-major md5-rank order (`copy_idx`
+    * = 0, 1, …): the source's exclusive running total continues across
+    * copies, a doc-copy is admitted while that total is below
+    * `budget`, and `maxEpochs` bounds the looping (budget beyond
+    * `maxEpochs` source passes is left unspent). Same guarantees as
+    * the single-pass form: overshoot ≤ one document per source, the
+    * crossing copy is admitted, fully deterministic under any
+    * partitioning. With `maxEpochs = 1` this IS [[tokenBudgetSample]]
+    * plus a zero `copy_idx` (spec-asserted). Output:
+    * `(doc_id, source, copy_idx, n_tokens, tok_before)`.
+    *
+    * Scale shape: ONE windowed prefix pass (the same two-phase sum —
+    * epochs don't multiply the window work because every epoch shares
+    * the per-epoch prefix), one tiny per-source totals aggregate
+    * broadcast back, then map-only arithmetic: full epochs explode
+    * `sequence(0, e_full−1)` per row (`e_full = budget div total`,
+    * capped), and the single partial epoch reuses the prefix against
+    * the residual budget. The corpus is never replicated `maxEpochs`×
+    * and then filtered. Zero-token sources (`total = 0`) emit all
+    * `maxEpochs` copies at `tok_before = 0` — every copy is
+    * budget-admissible and the cap is what bounds them. */
+  def tokenBudgetSampleEpochs(df: DataFrame, idCol: String, textCol: String,
+                              sourceCol: String, budget: Long,
+                              maxEpochs: Int,
+                              salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val base = tokenBase(df, idCol, textCol, sourceCol, salt)
+    // exact integer division (BIGINT div) on both engines — a double
+    // floor(b/t) can cross an integer boundary at FP rounding
+    val totals = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__efull",
+        when(col("__tot") > 0,
+          least(expr(s"${budget}L div __tot"), lit(maxEpochs.toLong)))
+          .otherwise(lit(maxEpochs.toLong)))
+    val x = exclusiveTokenPrefix(base).join(broadcast(totals), Seq("source"))
+    val fullEpochs = x.where(col("__efull") >= 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("__tot"),
+        col("__pref"),
+        explode(sequence(lit(0L), col("__efull") - 1)).as("copy_idx"))
+    val partialEpoch = x.where(col("__efull") < maxEpochs &&
+        col("__pref") < lit(budget) - col("__efull") * col("__tot"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("__tot"),
+        col("__pref"), col("__efull").as("copy_idx"))
+    fullEpochs.unionByName(partialEpoch)
+      .select(col("doc_id"), col("source"), col("copy_idx"),
+        col("n_tokens"),
+        (col("copy_idx") * col("__tot") + col("__pref")).as("tok_before"))
   }
 
   /** Temperature-scaled mixing weights from stratum counts:

@@ -160,6 +160,64 @@ class MixingSpec extends SparkSpec {
     assert(got == expected.toMap)
   }
 
+  test("tokenBudgetSampleEpochs: overshoot bound, cap, single-pass equivalence") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // budget ≈ several source passes with maxEpochs binding nowhere ↔
+    // partial epoch biting: overshoot per source stays <= one document
+    val budget = 1000L
+    val out = Mixing.tokenBudgetSampleEpochs(docs, "doc_id", "text",
+      "source", budget, maxEpochs = 5)
+    val bySource = out.groupBy("source")
+      .agg(sum("n_tokens").as("tot"), max("tok_before").as("maxBefore"),
+        max("n_tokens").as("maxTok"), max("copy_idx").as("maxCopy"))
+      .collect()
+    bySource.foreach { r =>
+      assert(r.getLong(2) < budget) // exclusive prefix of every admission
+      assert(r.getLong(1) - budget <= r.getLong(3)) // <= 1-doc overshoot
+      assert(r.getLong(4) < 5)
+    }
+    // huge budget -> the cap binds exactly: every doc appears maxEpochs
+    // times and spend stops at maxEpochs source passes
+    val capped = Mixing.tokenBudgetSampleEpochs(docs, "doc_id", "text",
+      "source", budget = 100000000L, maxEpochs = 2)
+    assert(capped.count() == docs.count() * 2)
+    assert(capped.groupBy("doc_id").count().agg(max("count")).head.getLong(0) == 2)
+    // maxEpochs = 1 IS the single-pass sampler (plus copy_idx = 0)
+    val one = Mixing.tokenBudgetSampleEpochs(docs, "doc_id", "text",
+      "source", budget, maxEpochs = 1)
+    assert(one.agg(max("copy_idx")).head.getLong(0) == 0L)
+    assert(rowsOf(one.select($"doc_id", $"source", $"n_tokens", $"tok_before")) ==
+      rowsOf(Mixing.tokenBudgetSample(docs, "doc_id", "text", "source", budget)))
+    // deterministic + repartition-invariant
+    assert(rowsOf(out) == rowsOf(Mixing.tokenBudgetSampleEpochs(
+      docs.repartition(17), "doc_id", "text", "source", budget, maxEpochs = 5)))
+  }
+
+  test("tokenBudgetSampleEpochs: exact epoch-major replay on a controlled corpus") {
+    // 4 docs totalling 10 tokens; budget 26 = 2 full epochs + partial
+    // third: replay by hand in epoch-major md5-rank order
+    val sizes = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    val docs = sizes.toSeq.map { case (i, n) => (i, "w " * n.toInt, "s") }
+      .toDF("doc_id", "text", "source")
+    val ranked = sizes.keys.toSeq
+      .map(i => i -> java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .sortBy(_._2).map(_._1)
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    var run = 0L
+    (0L until 3L).foreach { epoch =>
+      ranked.foreach { i =>
+        if (run < 26L) { expected += ((i, epoch, run)); run += sizes(i) }
+      }
+    }
+    val got = Mixing.tokenBudgetSampleEpochs(docs, "doc_id", "text", "source",
+        budget = 26L, maxEpochs = 3)
+      .select($"doc_id", $"copy_idx", $"tok_before")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected.toSet)
+  }
+
   test("tokenBudgetSample: tok_before stable across independent runs") {
     // the round-5 driver flake: two plan branches derived partition ids
     // from spark_partition_id and could disagree on recompute; the
