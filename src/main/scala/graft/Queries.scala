@@ -3484,6 +3484,35 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** Incremental IVF append ([[Similarity.appendIvfIndex]]): the index
+    * is built WITHOUT every 7th vector, which then arrives as an
+    * append batch assigned to the existing centroids — no rebuild.
+    * The planted rank-1 contract covers BOTH populations (base 0 is
+    * appended; bases 1 and 2 are built), and the oracle is the same
+    * brute-force over the union — green only if appended vectors land
+    * in exactly the cluster the query probe visits. */
+  private val annIvfAppend = QueryDef("ann_ivf_append",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivf_append")
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 7 =!= 0), dir)
+      Similarity.appendIvfIndex(s, emb.where(col("vec_id") % 7 === 0), dir)
+      Similarity.ivfQueryIndex(s, dir, perturbedEmbeddings(emb, 3), k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -3963,6 +3992,7 @@ object Queries {
     shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
+    annIvfAppend,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageResize, mmAudioStats,
     mmVideoFrames,

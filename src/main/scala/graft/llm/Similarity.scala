@@ -463,17 +463,27 @@ object Similarity {
     registered(queries)
     val centroidsDf = spark.read.parquet(s"$dir/centroids")
     val assigned = spark.read.parquet(s"$dir/assignments")
-    // a persisted coarse level marks a hierarchical build: rebuild the
-    // two-level probe so index queries probe under the assignment rule.
-    // Existence goes through the Hadoop FileSystem API so an index built
-    // to HDFS/S3 is detected the same as a local one — java.io.File
-    // would silently fall back to the flat probe against
-    // hierarchically-assigned clusters (probe/assignment mismatch).
+    val probe = loadHier(spark, dir, centroidsDf)
+      .map { case (coarse, subs, kf) => twoLevelProbe(coarse, subs, kf) }
+    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol,
+      probe)
+  }
+
+  /** Reconstruct a persisted HIERARCHICAL quantizer's two-level
+    * structure (coarse cells, per-cell sub-centroids, fan-out) — None
+    * for flat builds. A persisted `coarse` level marks a hierarchical
+    * build; existence goes through the Hadoop FileSystem API so an
+    * index on HDFS/S3 is detected the same as a local one —
+    * java.io.File would silently fall back to the flat probe against
+    * hierarchically-assigned clusters (probe/assignment mismatch). */
+  private def loadHier(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       centroidsDf: DataFrame)
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]], Int)] = {
     val coarsePath = new org.apache.hadoop.fs.Path(s"$dir/coarse")
     val coarseExists = coarsePath
       .getFileSystem(spark.sessionState.newHadoopConf())
       .exists(coarsePath)
-    val probe = if (!coarseExists) None else {
+    if (!coarseExists) None else {
       val rows = spark.read.parquet(s"$dir/coarse")
         .select(col("cell"), col("__ctr"), col("kf"))
         .collect().sortBy(_.getInt(0))
@@ -486,10 +496,54 @@ object Similarity {
         byCluster.filter { case (cl, _) =>
           cl >= cell * kf && cl < (cell + 1) * kf }.map(_._2)
       }.toArray
-      Some(twoLevelProbe(coarse, subs, kf))
+      Some((coarse, subs, kf))
     }
-    ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol,
-      probe)
+  }
+
+  /** INCREMENTAL index append — the continuous-ingestion path: assign
+    * new vectors to the EXISTING centroids (no refit, no rebuild) and
+    * append them to the cluster-partitioned `assignments` layout. The
+    * assignment replays the build's own rule exactly — flat builds:
+    * nearest centroid by squared L2 (what the ML KMeans transform
+    * computes, ties to the lowest cluster id); hierarchical builds:
+    * nearest coarse cell then nearest sub-centroid
+    * (`cell·kf + j`) — so an appended vector lands in precisely the
+    * cluster a query's probe visits first for it, and planted
+    * index+append results match a rebuild-from-union
+    * (`ann_ivf_append`'s oracle + IvfAppendSpec's equivalence check).
+    *
+    * Scale shape: one broadcast of the (bounded) centroid tensor, a
+    * map-only assignment pass over the batch, and a partitioned
+    * APPEND — existing cluster directories gain new files, nothing is
+    * rewritten, and partition pruning over probed clusters keeps
+    * working. Centroids drift as appends accumulate (clusters grow
+    * off-center); periodic rebuilds re-center — the standard IVF
+    * maintenance trade, documented not hidden. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     newVecs: DataFrame, dir: String,
+                     cIdCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    registered(newVecs)
+    val centroidsDf = spark.read.parquet(s"$dir/centroids")
+    val c = newVecs.select(col(cIdCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val assignF = loadHier(spark, dir, centroidsDf) match {
+      case Some((coarse, subs, kf)) =>
+        udf { (v: Seq[Double]) =>
+          val a = v.toArray
+          val cell = nearest(a, coarse)
+          cell * kf + nearest(a, subs(cell))
+        }
+      case None =>
+        val centers = centroidsDf.select(col("cluster"), col("__ctr"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1).map(_._2)
+        udf { (v: Seq[Double]) => nearest(v.toArray, centers) }
+    }
+    c.withColumn("cluster", assignF(col("__cv")))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("append")
+      .parquet(s"$dir/assignments")
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket by LSH signature,

@@ -155,6 +155,78 @@ class SimilaritySpec extends SparkSpec {
     assert(dirs.length == 3)
   }
 
+  test("appendIvfIndex: planted results == rebuild-from-union; layout appended") {
+    val vecs = (1L to 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(16)(j =>
+        (math.sin(j * 1.7 + c * 30) + 0.05 * math.cos(i + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val built = df.where(col("vec_id") % 5 =!= 0)
+    val batch = df.where(col("vec_id") % 5 === 0)
+    // planted queries: ε-copies of vectors from BOTH populations
+    val queries = df.where(col("vec_id") <= 6)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val dirA = "/tmp/graft_test/ivf_append/a"
+    Similarity.buildIvfIndex(built, dirA, nCentroids = 4)
+    // layout before append: snapshot per-cluster file counts
+    def clusterFiles(dir: String): Map[String, Int] =
+      new java.io.File(s"$dir/assignments").listFiles()
+        .filter(_.getName.startsWith("cluster=")).map(d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = clusterFiles(dirA)
+    Similarity.appendIvfIndex(spark, batch, dirA)
+    val after = clusterFiles(dirA)
+    // nothing rewritten: every pre-existing cluster dir keeps at least
+    // its old files; appended clusters gained files
+    assert(after.keySet == before.keySet)
+    assert(before.forall { case (k, n) => after(k) >= n })
+    assert(after.values.sum > before.values.sum)
+    // every corpus row present exactly once after the append
+    val ids = spark.read.parquet(s"$dirA/assignments")
+      .select(col("neighbor_id")).as[Long].collect().sorted
+    assert(ids.toSeq == (1L to 80L))
+    val viaAppend = Similarity.ivfQueryIndex(spark, dirA, queries, k = 1)
+      .collect().map(_.toString).toSet
+    val dirB = "/tmp/graft_test/ivf_append/b"
+    Similarity.buildIvfIndex(df, dirB, nCentroids = 4)
+    val viaRebuild = Similarity.ivfQueryIndex(spark, dirB, queries, k = 1)
+      .collect().map(_.toString).toSet
+    assert(viaAppend == viaRebuild && viaAppend.size == 6)
+    // each planted query's rank-1 is its base (bases on both sides)
+    viaAppend.foreach { s => assert(s.contains(",1,")) }
+  }
+
+  test("appendIvfIndex through the hierarchical path (nCentroids > 64)") {
+    val rnd = new scala.util.Random(41)
+    val centers = Seq.fill(12)(Array.fill(16)(rnd.nextGaussian()))
+    val base = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 30
+    } yield ((ci * 30 + j).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    val df = base.toDF("vec_id", "embedding")
+    val built = df.where(col("vec_id") % 3 =!= 0)
+    val batch = df.where(col("vec_id") % 3 === 0)
+    val queries = df.where(col("vec_id") % 90 === 0) // all appended bases
+      .select((col("vec_id") + 9000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val dir = "/tmp/graft_test/ivf_append/h"
+    Similarity.buildIvfIndex(built, dir, nCentroids = 80)
+    Similarity.appendIvfIndex(spark, batch, dir)
+    val got = Similarity.ivfQueryIndex(spark, dir, queries, k = 1, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toMap
+    // an appended exact-twin base must be reachable: the append used
+    // the SAME two-level assignment rule the probe replays
+    got.foreach { case (q, n) => assert(n == q - 9000, s"query $q -> $n") }
+    assert(got.size == queries.count())
+  }
+
   test("semDedupPairs finds planted near-dups within clusters; semDedup keeps first") {
     val rnd = new scala.util.Random(13)
     val centers = Seq.fill(4)(Array.fill(32)(rnd.nextGaussian()))
