@@ -38,8 +38,17 @@ object Bench {
     // the FLOOR reports steady-state engine time instead of whichever
     // burst a single sample landed in
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // optional comma-separated name filter for targeted re-floors of a
+    // single query (e.g. confirming whether a per-query regression is
+    // real or host-steal noise) without paying the full-suite wall time
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = Queries.all.map { q =>
+    val selected = filter match {
+      case Some(names) => Queries.all.filter(q => names(q.name))
+      case None => Queries.all
+    }
+    val results = selected.map { q =>
       val times = (1 to runs).map { _ =>
         // operator-internal caches (LSH signatures etc.) must not leak
         // into the next query's measurement
