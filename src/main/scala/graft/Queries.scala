@@ -2941,6 +2941,90 @@ object Queries {
         min(rank) AS min_rank, max(rank) AS max_rank
       FROM s GROUP BY shard ORDER BY shard"""))
 
+  /** Config-driven trainer-format END TO END: one YAML job (the
+    * reference's migration-file UX, `README.md:35-94`) drives
+    * tokenize → pack → materialize → certified shards with no code.
+    * Extract reads the documents parquet, the `pack_materialize`
+    * transform kind assembles budget-sized context packs from
+    * whitespace tokens ([[graft.llm.Packing.packMaterialize]]), and the
+    * `training_shards` load kind writes `shard=N` parquet dirs plus the
+    * RE-READ manifest ([[graft.llm.Packing.writeTrainingShards]]).
+    * The query returns that on-disk manifest JOINED with a per-shard
+    * re-aggregation of the written pack data (token/doc sums), so the
+    * oracle certifies layout, membership, rank checksums AND pack
+    * contents from first principles in one row set. No intermediate
+    * materialization beyond packSequences' documented localCheckpoint:
+    * the YAML job is one composed plan into the sink. */
+  private val trainerFormatYaml = QueryDef("trainer_format_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "trainer_format")
+      val out = s"$dir/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val yaml =
+        s"""jobs:
+           |  - name: trainer_format
+           |    extract:
+           |      - kind: parquet
+           |        path: $d/documents.parquet
+           |        prefix: ""
+           |    transform:
+           |      - kind: pack_materialize
+           |        options:
+           |          idCol: doc_id
+           |          textCol: text
+           |          budget: 512
+           |    load:
+           |      - kind: training_shards
+           |        options:
+           |          idCol: pack_id
+           |          dir: $out
+           |          nShards: 4
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      val manifest = s.read.parquet(s"$out/manifest")
+      val data = s.read.parquet(s"$out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some("""WITH tc AS (SELECT doc_id,
+        CASE WHEN trim(text)='' THEN []
+             ELSE string_split_regex(trim(text),'\s+') END AS toks
+        FROM documents),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM o),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh AS (SELECT *,
+        (strpos('0123456789abcdef', substr(rank,1,1)) * 16
+         + strpos('0123456789abcdef', substr(rank,2,1)) - 17) % 4 AS shard,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   /** Incremental-pipeline snapshot diff
     * ([[graft.llm.Snapshot.corpusDiff]]): "today's" corpus is derived
     * deterministically from the documents table (doc_id % 7 == 0
@@ -3989,7 +4073,7 @@ object Queries {
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
-    shardShuffleQ, shardManifest, corpusDiffQ, corpusDiffSummary,
+    shardShuffleQ, shardManifest, trainerFormatYaml, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,

@@ -189,6 +189,23 @@ object ConfigLoader {
         df.withColumn(o.getOrElse("outCol", "n_tokens"),
           graft.llm.Unigram.countCol(ColumnNs.q(req(o, "textCol")), pieces))
       }),
+      // trainer-format assembly: concatenate token streams into
+      // budget-sized context packs ([[graft.llm.Packing.packMaterialize]]).
+      // `tokensCol` names an existing array<string> column; absent ->
+      // whitespace tokens of `textCol`. Token-less docs carry nothing
+      // into a pack and are dropped (the pack_materialize query's
+      // convention). Output frame: (pack_id, n_docs, n_tokens, tokens).
+      "pack_materialize" -> (o => df => {
+        val toks: Column = o.get("tokensCol").map(c => ColumnNs.q(c))
+          .getOrElse(filter(
+            split(trim(ColumnNs.q(req(o, "textCol"))), "\\s+"), w => w =!= ""))
+        graft.llm.Packing.packMaterialize(
+          df.withColumn("__graft_toks", toks)
+            .where(size(col("__graft_toks")) > 0),
+          req(o, "idCol"), col("__graft_toks"),
+          budget = req(o, "budget").toLong,
+          numParts = o.getOrElse("numParts", "0").toInt)
+      }),
       // drop both compression-ratio tails (too repetitive / too random);
       // empty texts carry no signal and are kept
       "compression_filter" -> (o => df => {
@@ -294,6 +311,18 @@ object ConfigLoader {
         Sinks.writePartitioned(df, req(o, "path"),
           req(o, "partCols").split(",").map(_.trim).toSeq,
           format = o.getOrElse("format", "parquet")))),
+      // trainer-shard writer: deterministic md5-rank shuffle into
+      // `dir/data/shard=N` parquet dirs plus the RE-READ certified
+      // manifest at `dir/manifest` ([[graft.llm.Packing.writeTrainingShards]]
+      // — the manifest certifies what landed on disk, not what was
+      // intended). With the pack_materialize transform upstream this
+      // completes the config-driven trainer-format path:
+      // tokenize -> pack -> materialize -> certified shards, one YAML job.
+      "training_shards" -> (o => Sinks.Write("training_shards", df => {
+        graft.llm.Packing.writeTrainingShards(df, req(o, "idCol"),
+          req(o, "dir"), req(o, "nShards").toInt)
+        ()
+      })),
       // train the hashed-linear quality classifier on the incoming
       // labeled frame and persist the (bucket, weight) table that
       // classifier_filter's weightsPath loads — the model-producing

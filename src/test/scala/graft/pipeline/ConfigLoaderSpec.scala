@@ -301,4 +301,62 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.columns.toSet == Set("legacy.a", "legacy.b"))
   }
+
+  test("trainer-format YAML pipeline: tokenize -> pack -> certified shards") {
+    val work = Files.createTempDirectory("graft_trainer_cfg").toFile.getPath
+    // budget 4: doc 1 fills pack 0 exactly; doc 2 (3 toks, offset 4)
+    // opens pack 1; doc 4 (5 toks, offset 7) straddles and stays in its
+    // STARTING pack 1 (packSequences' straddle convention); the empty
+    // doc 3 is dropped by the pack_materialize kind
+    Seq((1L, "a b c d"), (2L, "e f g"), (3L, ""), (4L, "h i j k l"))
+      .toDF("doc_id", "text").write.parquet(s"$work/docs.parquet")
+    val yaml =
+      s"""jobs:
+         |  - name: trainer_format
+         |    extract:
+         |      - kind: parquet
+         |        path: $work/docs.parquet
+         |        prefix: ""
+         |    transform:
+         |      - kind: pack_materialize
+         |        options:
+         |          idCol: doc_id
+         |          textCol: text
+         |          budget: 4
+         |    load:
+         |      - kind: training_shards
+         |        options:
+         |          idCol: pack_id
+         |          dir: $work/out
+         |          nShards: 2
+         |""".stripMargin
+    Files.write(new java.io.File(work, "migration.yaml").toPath,
+      yaml.getBytes("UTF-8"))
+    val jobs = ConfigLoader.parseYamlFile(s"$work/migration.yaml")
+    assert(jobs.size == 1 && jobs.head.name == "trainer_format")
+    Pipeline.run(spark, jobs, progress = _ => ())
+    // layout: one shard=N dir per shard under data/, manifest alongside
+    val dataDirs = new java.io.File(s"$work/out/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dataDirs.nonEmpty && dataDirs.forall(_.startsWith("shard=")))
+    val packs = spark.read.parquet(s"$work/out/data")
+    // pack contents: every token of every non-empty doc lands exactly once
+    assert(packs.select(explode(col("tokens"))).as[String].collect().sorted
+      .toSeq == Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l"))
+    // pack shape: {0 -> (1 doc, 4 toks), 1 -> (2 docs, 8 toks)}
+    assert(packs.select(col("pack_id"), col("n_docs"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (p, d2, t) => p -> ((d2, t)) }.toMap
+      == Map(0L -> ((1L, 4L)), 1L -> ((2L, 8L))))
+    // the manifest certifies what landed: per-shard row counts and rank
+    // ranges agree with a re-read of the written files
+    val manifest = spark.read.parquet(s"$work/out/manifest")
+      .select(col("shard"), col("n_rows"), col("min_rank"), col("max_rank"))
+      .as[(Long, Long, String, String)].collect().toSet
+    val rederived = packs
+      .groupBy(col("shard").cast("long"))
+      .agg(count(lit(1)), min(col("rank")), max(col("rank")))
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(manifest == rederived)
+  }
 }
