@@ -2894,6 +2894,153 @@ object Queries {
           ELSE 0.0 END AS top_word_frac
       FROM g ORDER BY doc_id"""))
 
+  /** WARC/WET ingestion ([[graft.sources.Sources.readWarcWet]]): the
+    * corpus is first WRITTEN as a multi-part WET fixture (one
+    * conversion record per doc — URI/date/Content-Length headers +
+    * payload — plus a warcinfo record that must be dropped), then read
+    * back through the splittable lineSep reader. The oracle derives
+    * the same rows from the documents table directly, so the round
+    * trip binds record framing, type filtering, header extraction and
+    * payload recovery (len_ok certifies Content-Length agreement).
+    * Corpus texts contain no newlines or record markers, so framing is
+    * exact by construction (the reader's len_ok exists for corpora
+    * where that does not hold). */
+  private val warcWetScan = QueryDef("warc_wet_scan",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "warc_wet")
+      val rec = concat(
+        lit("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: https://wet.example/doc/"),
+        col("doc_id").cast("string"),
+        lit("\nWARC-Date: 2026-01-01T00:00:00Z\nContent-Length: "),
+        length(col("text")).cast("string"),
+        lit("\n\n"), col("text"))
+      val info = Seq(
+        "WARC/1.0\nWARC-Type: warcinfo\nSoftware: graft-wet-fixture\n\nisPartOf: synthetic")
+        .toDF("value")
+      t(s, d, "documents").select(rec.as("value")).unionByName(info)
+        .repartition(4)
+        .write.mode("overwrite").text(s"$dir/wet")
+      Sources.readWarcWet(s, s"$dir/wet")
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "doc/([0-9]+)$", 1).cast("long"))
+        .select(col("doc_id"), col("url"), col("warc_date"),
+          col("content_length"), col("text"), col("len_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        'https://wet.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        '2026-01-01T00:00:00Z' AS warc_date,
+        CAST(length(text) AS BIGINT) AS content_length,
+        text, true AS len_ok
+      FROM documents ORDER BY doc_id"""))
+
+  /** URL filtering ([[graft.llm.UrlOps.filterByUrl]], the RefinedWeb/
+    * FineWeb first stage): each doc deterministically derives a URL
+    * from (source, doc_id) — every 7th doc lands on an `.adsite`
+    * subdomain, every 5th carries a `casino` query keyword — and the
+    * corpus is anti-joined against a blocklist FRAME holding two exact
+    * registrable domains plus `adsite.example`, which only matches via
+    * the registrable-domain rule (the host `srcN.adsite.example` is
+    * never listed — this row set is green only if host vs domain
+    * matching is implemented separately). Survivors carry their
+    * extracted host+domain so the extraction itself is oracle-bound. */
+  private val urlFilterQ = QueryDef("url_filter",
+    (s, d) => {
+      import s.implicits._
+      val url = concat(lit("https://"), col("source"),
+        when(col("doc_id") % 7 === 0, lit(".adsite")).otherwise(lit("")),
+        lit(".example/doc/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?session=casino")).otherwise(lit("")))
+      val blocklist = Seq("src3.example", "src7.example", "adsite.example")
+        .toDF("domain")
+      graft.llm.UrlOps.filterByUrl(
+          t(s, d, "documents").withColumn("url", url),
+          "url", blocklist, blockedKeywords = Seq("casino"))
+        .select(col("doc_id"), col("url"),
+          graft.llm.UrlOps.urlHost(col("url")).as("host"),
+          graft.llm.UrlOps.urlDomain(
+            graft.llm.UrlOps.urlHost(col("url"))).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+        'https://' || source
+          || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
+          || '.example/doc/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
+          AS url
+        FROM documents),
+      h AS (SELECT doc_id, url,
+        lower(regexp_extract(url,
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
+          AS host FROM u),
+      d AS (SELECT *, CASE WHEN len(string_split(host, '.')) >= 2
+          THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+          ELSE host END AS domain FROM h)
+      SELECT doc_id, url, host, domain FROM d
+      WHERE host NOT IN ('src3.example', 'src7.example', 'adsite.example')
+        AND domain NOT IN ('src3.example', 'src7.example', 'adsite.example')
+        AND NOT contains(lower(url), 'casino')
+      ORDER BY doc_id"""))
+
+  /** C4 cleaning (Raffel et al. 2020 §2.2,
+    * [[graft.llm.TextAnalysis.c4CleanLines]]/`c4PageOk`): the corpus
+    * has no newlines/punctuation, so each doc deterministically derives
+    * a multi-line "page" exercising every rule — a long terminal-punct
+    * line, a 7-word kept line, an exactly-5-word kept line, a too-short
+    * line, a javascript line, a bare line (no terminal punct), plus
+    * page-level lorem-ipsum (doc_id%11) and curly-brace (doc_id%13)
+    * injections — and DuckDB replays the identical derivation. The
+    * bad-word rule uses 'dup' (5% of docs, word-boundary matched via
+    * the normalized word split) + 'xylophone' (absent, proves no-op). */
+  private val c4Clean = QueryDef("c4_clean",
+    (s, d) => {
+      val ws = split(col("text"), " ")
+      val page = concat_ws("\n",
+        concat(col("text"), lit(" one.")),
+        concat(array_join(slice(ws, 1, 6), " "), lit(" two.")),
+        lit("five words are here now."),
+        lit("too short."),
+        lit("this has javascript inside it."),
+        lit("no terminal punctuation here"),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum")),
+        when(col("doc_id") % 13 === 0, lit("code { brace")))
+      t(s, d, "documents")
+        .withColumn("page", page)
+        .withColumn("cleaned", TextAnalysis.c4CleanLines(col("page")))
+        .select(col("doc_id"), col("cleaned"),
+          TextAnalysis.c4PageOk(col("page"), col("cleaned"),
+            minSentences = 3,
+            badWords = Seq("dup", "xylophone")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH pg AS (SELECT doc_id,
+        concat_ws(chr(10),
+          text || ' one.',
+          array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') || ' two.',
+          'five words are here now.',
+          'too short.',
+          'this has javascript inside it.',
+          'no terminal punctuation here',
+          CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum' END,
+          CASE WHEN doc_id % 13 = 0 THEN 'code { brace' END) AS page
+        FROM documents),
+      cl AS (SELECT doc_id, page,
+        array_to_string(list_filter(string_split(page, chr(10)),
+          x -> regexp_matches(x, '[.!?"]\s*$')
+           AND len(list_filter(string_split_regex(trim(x), '\s+'),
+                 w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')), chr(10)) AS cleaned
+        FROM pg)
+      SELECT doc_id, cleaned,
+        (NOT contains(page, '{')
+         AND NOT contains(lower(page), 'lorem ipsum')
+         AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+         AND NOT list_has_any(
+           string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' '),
+           ['dup', 'xylophone'])) AS kept
+      FROM cl ORDER BY doc_id"""))
+
   // deterministic shuffle + shard assignment (reproducible data-loader
   // order; md5 rank is cross-engine identical, so fully oracle-checked)
   private val shardShuffleQ = QueryDef("shard_shuffle",
@@ -4073,7 +4220,8 @@ object Queries {
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
-    shardShuffleQ, shardManifest, trainerFormatYaml, corpusDiffQ, corpusDiffSummary,
+    shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
+    warcWetScan, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,

@@ -196,6 +196,46 @@ object TextAnalysis {
       r.isNull || (r >= minRatio && r <= maxRatio)
     }
 
+  // ---- C4 cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2) ----------
+
+  /** A line "ends in a terminal punctuation mark" per the published C4
+    * heuristic: period, exclamation mark, question mark, or end
+    * quotation mark, allowing trailing whitespace. */
+  private val c4TerminalRe = "[.!?\"]\\s*$"
+
+  /** C4 LINE-level cleaning (Raffel et al. 2020 §2.2): keep only lines
+    * that end in a terminal punctuation mark, contain at least
+    * `minLineWords` whitespace words, and do not contain the word
+    * "javascript" (case-insensitive — the paper's rule targets cookie/
+    * JS boilerplate lines). Returns the surviving lines re-joined with
+    * `\n`. Map-only (split + filter + join inside codegen); at 100 TB
+    * this is a pure scan transform with zero data movement. */
+  def c4CleanLines(c: Column, minLineWords: Int = 5): Column = {
+    val kept = filter(split(c, "\n"), l =>
+      l.rlike(c4TerminalRe) &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    array_join(kept, "\n")
+  }
+
+  /** C4 PAGE-level keep decision (Raffel et al. 2020 §2.2): drop pages
+    * whose RAW text contains a curly brace (code), the phrase "lorem
+    * ipsum" (placeholder boilerplate), or any word from `badWords`
+    * (the paper uses a public blocklist; parameterized here — matched
+    * against the normalized word split, not substrings, so "class"
+    * never matches "ass"); and drop pages whose CLEANED text (pass
+    * [[c4CleanLines]] output) has fewer than `minSentences` sentences
+    * (terminal-mark count, the paper's heuristic). Map-only. */
+  def c4PageOk(raw: Column, cleaned: Column, minSentences: Int = 3,
+               badWords: Seq[String] = Nil): Column = {
+    val base = !raw.contains("{") &&
+      !lower(raw).contains("lorem ipsum") &&
+      regexp_count(cleaned, lit("[.!?]")) >= minSentences
+    if (badWords.isEmpty) base
+    else base && !arrays_overlap(words(raw),
+      array(badWords.map(w => lit(w.toLowerCase)): _*))
+  }
+
   /** The eight Gopher stop words (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",
     * arXiv:2112.11446, §A1.1): a document must contain at least TWO

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level filtering — the FIRST stage of the published web-corpus
+  * curation pipelines (RefinedWeb arXiv:2306.01116 §3.1 "URL
+  * filtering"; FineWeb): documents are kept or dropped on their source
+  * URL alone, before any text is read — domain blocklists (adult/
+  * fraud/spam lists run to millions of entries), URL-substring keyword
+  * rules, and scheme checks.
+  *
+  * Scale shape: everything here is map-only column work except the
+  * blocklist membership, which is a broadcast HASH anti-join in
+  * [[filterByUrl]] (one per match key — an OR'd join condition would
+  * degrade to a nested-loop against the broadcast, so host and
+  * registrable-domain membership are two successive equi anti-joins).
+  * At 100 TB this is the cheapest filter in the pipeline — a short
+  * column scan with zero shuffles — which is exactly why the published
+  * pipelines run it first.
+  */
+object UrlOps {
+
+  /** A URL has an OPAQUE scheme (mailto:, javascript:, tel:) when a
+    * scheme prefix is present without the `//` authority marker — such
+    * URLs have no host at all. Expressed as two rlikes, NOT a
+    * lookahead: the oracle replays this in RE2 (DuckDB), which has no
+    * lookahead. Note an RFC-3986 quirk this inherits: "host:port/x"
+    * without a scheme parses as opaque (the host reads as a scheme). */
+  private val schemePrefixRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+  private val schemeAuthRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+  private def isOpaque(c: Column): Column =
+    c.rlike(schemePrefixRe) && !c.rlike(schemeAuthRe)
+
+  /** Lowercased host of a URL: strips scheme, userinfo, port, path,
+    * query, fragment; keeps subdomains. Scheme-less and
+    * protocol-relative (`//host/…`) inputs resolve to their leading
+    * authority; opaque-scheme URLs (no `//`) have no host → empty
+    * string. Pure regexp — codegen'd. */
+  def urlHost(c: Column): Column =
+    when(isOpaque(c), lit(""))
+      .otherwise(lower(regexp_extract(c,
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)", 1)))
+
+  /** Naive registrable domain: the last two labels of the host
+    * ("a.b.example.com" → "example.com"; single-label hosts pass
+    * through). Deliberately NOT public-suffix-aware — a PSL lookup
+    * needs a broadcast table and belongs in the blocklist frame of
+    * [[filterByUrl]]; this column form is the cheap in-plan
+    * approximation the substring rules compose with. */
+  def urlDomain(host: Column): Column =
+    Dedup.letBound(split(host, "\\.")) { parts =>
+      when(size(parts) >= 2,
+        concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+        .otherwise(host)
+    }
+
+  /** Scheme is http(s), protocol-relative, or absent (crawl corpora
+    * are http(s)); opaque schemes (mailto:, javascript:, tel:) and
+    * other authority schemes (ftp://) are dropped. */
+  def urlSchemeOk(c: Column): Column =
+    !isOpaque(c) &&
+      Dedup.letBound(lower(regexp_extract(c,
+        "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))) { s =>
+        s === "" || s === "http" || s === "https"
+      }
+
+  /** Literal-list keep decision for config-driven use with SMALL lists:
+    * scheme ok, host and registrable domain not in `blockedDomains`,
+    * and no `blockedKeywords` substring in the lowercased URL. For
+    * million-entry lists use [[filterByUrl]] (broadcast anti-join)
+    * instead of a literal array. */
+  def urlOk(c: Column, blockedDomains: Seq[String] = Nil,
+            blockedKeywords: Seq[String] = Nil): Column = {
+    val host = urlHost(c)
+    val base = urlSchemeOk(c)
+    val domRule =
+      if (blockedDomains.isEmpty) lit(true)
+      else {
+        val bad = array(blockedDomains.map(d => lit(d.toLowerCase)): _*)
+        Dedup.letBound(host) { h =>
+          !array_contains(bad, h) && !array_contains(bad, urlDomain(h))
+        }
+      }
+    val kwRule = blockedKeywords
+      .map(k => !lower(c).contains(k.toLowerCase))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    base && domRule && kwRule
+  }
+
+  /** The scale path: drop every row whose URL host OR registrable
+    * domain appears in the blocklist FRAME (UT1-style lists are
+    * millions of domains — too big for a literal, right-sized for a
+    * broadcast), plus the keyword and scheme rules. Two successive
+    * broadcast hash anti-joins (host, then domain) — never an OR'd
+    * join condition, which would forfeit the hash join. */
+  def filterByUrl(df: DataFrame, urlCol: String, blocklist: DataFrame,
+                  domainCol: String = "domain",
+                  blockedKeywords: Seq[String] = Nil): DataFrame = {
+    val bl = broadcast(
+      blocklist.select(lower(col(domainCol)).as("__graft_bad")).distinct())
+    val kwRule = blockedKeywords
+      .map(k => !lower(col(urlCol)).contains(k.toLowerCase))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    df.withColumn("__graft_host", urlHost(col(urlCol)))
+      .withColumn("__graft_dom", urlDomain(col("__graft_host")))
+      .where(urlSchemeOk(col(urlCol)) && kwRule)
+      .join(bl, col("__graft_host") === col("__graft_bad"), "left_anti")
+      .join(bl, col("__graft_dom") === col("__graft_bad"), "left_anti")
+      .drop("__graft_host", "__graft_dom")
+  }
+}

@@ -58,6 +58,10 @@ object ConfigLoader {
         prefix(o))),
       "parquet" -> (o => Pipeline.SourceSpec(
         s => s.read.parquet(req(o, "path")), prefix(o))),
+      // Common Crawl WET segments (the web-corpus ingestion format):
+      // splittable record-marker framing, conversion records only
+      "warc_wet" -> (o => Pipeline.SourceSpec(
+        s => Sources.readWarcWet(s, req(o, "path")), prefix(o))),
       "ledger" -> (o => Pipeline.SourceSpec(
         s => Sources.ledgerLatest(s, req(o, "dir"), req(o, "name")),
         prefix(o))))
@@ -188,6 +192,44 @@ object ConfigLoader {
           req(o, "piecesPath"))
         df.withColumn(o.getOrElse("outCol", "n_tokens"),
           graft.llm.Unigram.countCol(ColumnNs.q(req(o, "textCol")), pieces))
+      }),
+      // URL filtering (the RefinedWeb/FineWeb first stage): either a
+      // blocklistPath parquet frame (scale path — broadcast anti-join
+      // on host and registrable domain) or small literal
+      // blockedDomains, plus blockedKeywords substrings and the
+      // http(s)-scheme rule
+      "url_filter" -> (o => df => {
+        val name = req(o, "column")
+        val kws = o.get("blockedKeywords")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        o.get("blocklistPath") match {
+          case Some(p) => graft.llm.UrlOps.filterByUrl(df, name,
+            df.sparkSession.read.parquet(p),
+            domainCol = o.getOrElse("domainCol", "domain"),
+            blockedKeywords = kws)
+          case None => df.where(graft.llm.UrlOps.urlOk(ColumnNs.q(name),
+            o.get("blockedDomains")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(Nil), kws))
+        }
+      }),
+      // C4 cleaning (Raffel et al. 2020 §2.2): line-level clean (keep
+      // terminal-punct lines with >= minLineWords words and no
+      // "javascript"), then drop pages failing the page rules (curly
+      // brace / lorem ipsum / < minSentences sentences / bad words).
+      // The column is REPLACED by its cleaned text, matching C4's
+      // published pipeline.
+      "c4_filter" -> (o => df => {
+        val name = req(o, "column")
+        val bad = o.get("badWords")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        df.withColumn("__c4_clean", graft.llm.TextAnalysis.c4CleanLines(
+            ColumnNs.q(name), o.getOrElse("minLineWords", "5").toInt))
+          .where(graft.llm.TextAnalysis.c4PageOk(ColumnNs.q(name),
+            col("__c4_clean"), o.getOrElse("minSentences", "3").toInt, bad))
+          .withColumn(name, col("__c4_clean")).drop("__c4_clean")
       }),
       // trainer-format assembly: concatenate token streams into
       // budget-sized context packs ([[graft.llm.Packing.packMaterialize]]).

@@ -167,6 +167,39 @@ object Sources {
     spark.read.json(latest.getPath)
   }
 
+  /** WARC/WET text-extraction reader — the Common Crawl WET format a
+    * 100 TB web-corpus pipeline actually ingests. The file is split on
+    * the `WARC/1.0` record marker (`lineSep` — splittable Hadoop text
+    * input, so a multi-GB WET segment fans out across executors like
+    * [[readXmlDistributed]]), headers and payload separated on the
+    * first blank line, and only `WARC-Type: conversion` records (the
+    * extracted text; warcinfo/request/response records are dropped)
+    * surface as rows `(url, warc_date, content_length, text, len_ok)`.
+    * Handles both `\n` and `\r\n` header conventions. Trailing
+    * newlines of the payload (record framing) are stripped.
+    *
+    * Delimiter-split framing cannot honor Content-Length the way a
+    * sequential reader can, so a payload CONTAINING the record marker
+    * on a line would split early; `len_ok` compares the payload length
+    * against the declared Content-Length (chars == bytes for ASCII
+    * corpora) exactly so such truncation is detectable downstream
+    * rather than silent. */
+  def readWarcWet(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("lineSep", "WARC/1.0").text(path)
+      .select(split(col("value"), "\\r?\\n\\r?\\n", 2).as("p"))
+      .select(col("p").getItem(0).as("h"),
+        coalesce(col("p").getItem(1), lit("")).as("body0"))
+      .where(col("h").rlike("(?m)^WARC-Type: conversion\\r?$"))
+      .select(
+        regexp_extract(col("h"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("url"),
+        regexp_extract(col("h"), "(?m)^WARC-Date: (\\S+)", 1).as("warc_date"),
+        regexp_extract(col("h"), "(?m)^Content-Length: (\\d+)", 1)
+          .cast("long").as("content_length"),
+        regexp_replace(col("body0"), "[\\r\\n]+$", "").as("text"))
+      .withColumn("len_ok", length(col("text")) === col("content_length"))
+  }
+
   /** S11 — local file finder: resolve `file` under `base`, searching
     * subdirectories (`LocalFileSystemExtractor.php:44-91`). */
   def findFile(base: String, file: String): Option[File] = {

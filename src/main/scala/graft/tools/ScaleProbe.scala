@@ -246,6 +246,48 @@ object ScaleProbe {
           corpus.withColumn("label", (col("doc_id") % 2).cast("int")),
           "doc_id", "text", "label", iters = 3).count()
       }
+      time(s"token_budget_epochs x$k") {
+        // budget 3x a source's 1x token mass: at k=1 every source loops
+        // ~3 epochs; at larger k the same budget admits fewer copies —
+        // either way the cost is the shared two-phase prefix pass plus
+        // the bounded full-epoch explode, so the curve tracks the scan
+        graft.llm.Mixing.tokenBudgetSampleEpochs(
+          corpus.withColumn("s", (col("doc_id") % 20).cast("string")),
+          "doc_id", "text", "s", budget = 300000L, maxEpochs = 4).count()
+      }
+      time(s"clusters_best x$k") {
+        // the full keep-best composition: banded minhash pairs (linear
+        // by construction under the dissimilar-replica corpus), label
+        // propagation over bounded clusters, then the arg-max struct
+        // aggregation against a score frame
+        val pairs = graft.llm.Dedup.minhashNearDups(corpus, "doc_id",
+          "text", threshold = 0.5)
+        graft.llm.Dedup.nearDupClustersBest(pairs,
+          corpus.select(col("doc_id"),
+            (col("doc_id") % 97).cast("double").as("score")),
+          "doc_id", "score").count()
+      }
+      // steady-state ANN ingest: the index grows with k, the append
+      // batch is FIXED (500 vectors of one replica, ids shifted) —
+      // append cost = batch x bounded centroids + one partitioned
+      // write, so it should stay near flat as the index grows. The
+      // build happens OUTSIDE the timer: the probe measures ingest,
+      // not (re)build.
+      locally {
+        val wantIvf = opsFilter.isEmpty || opsFilter.exists("ivf_append".contains)
+        if (wantIvf) {
+          val embK = replicateEmb(emb, k).localCheckpoint(true)
+          val dir = s"/tmp/graft_probe/ivf_x$k"
+          graft.llm.Similarity.buildIvfIndex(embK, dir, nCentroids = 16)
+          embK.unpersist()
+          time(s"ivf_append x$k") {
+            graft.llm.Similarity.appendIvfIndex(spark,
+              emb.limit(500).select((col("vec_id") + 900000000L).as("vec_id"),
+                col("embedding")), dir)
+            spark.read.parquet(s"$dir/assignments").count()
+          }
+        }
+      }
       time(s"semdedup x$k") {
         // the 100 TB regime: cluster COUNT scales with the corpus (so
         // cluster sizes stay bounded) while the quantizer fits on a

@@ -324,4 +324,46 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.bigramCrossEntropy(corpus.repartition(7), "doc_id", "text")
     assert(rowsOf(a) == rowsOf(b))
   }
+
+  test("c4CleanLines: each published line rule fires on its own counterexample") {
+    def clean(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.c4CleanLines(col("t")))
+        .as[String].collect().head
+    val kept = "this line ends with a period."
+    // no terminal punctuation -> dropped
+    assert(clean(kept + "\nno terminal punctuation on this line") == kept)
+    // terminal ? ! and end-quote all count as terminal marks
+    assert(clean("is this line long enough here?\nthis one is long enough too!\nhe said \"this is long enough.\"")
+      .split("\n").length == 3)
+    // fewer than 5 words -> dropped even with punctuation
+    assert(clean(kept + "\ntoo short.") == kept)
+    // the word javascript (any case) -> dropped
+    assert(clean(kept + "\nplease enable JavaScript to continue viewing.") == kept)
+    // threshold is parameterized
+    assert(clean("one two three.") == "")
+    assert(Seq("one two three.").toDF("t")
+      .select(TextAnalysis.c4CleanLines(col("t"), minLineWords = 3))
+      .as[String].collect().head == "one two three.")
+  }
+
+  test("c4PageOk: each published page rule fires on its own counterexample") {
+    val goodCleaned = "one good sentence here now. two good sentences here now. three good sentences here now."
+    def ok(raw: String, cleaned: String = goodCleaned,
+           bad: Seq[String] = Nil): Boolean =
+      Seq((raw, cleaned)).toDF("r", "c")
+        .select(TextAnalysis.c4PageOk(col("r"), col("c"), badWords = bad))
+        .as[Boolean].collect().head
+    assert(ok("a perfectly fine page of text"))
+    // curly brace anywhere on the RAW page -> dropped
+    assert(!ok("function f() { return 1 }"))
+    // lorem ipsum (case-insensitive) -> dropped
+    assert(!ok("Lorem Ipsum dolor sit amet"))
+    // fewer than minSentences sentences in the CLEANED text -> dropped
+    assert(!ok("fine raw page", cleaned = "only two sentences. right here."))
+    // bad words match on WORD boundaries of the raw page, not substrings
+    assert(!ok("this page mentions dup once", bad = Seq("dup")))
+    assert(ok("no holdup in this page", bad = Seq("dup")))
+    // matching is case-insensitive via the normalized word split
+    assert(!ok("this page mentions DUP once", bad = Seq("dup")))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def host(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.urlHost(col("u"))).as[String].collect().head
+  private def domain(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.urlDomain(UrlOps.urlHost(col("u"))))
+      .as[String].collect().head
+
+  test("urlHost: scheme, userinfo, port, path, query, case, bare host") {
+    assert(host("https://Example.COM/path?q=1") == "example.com")
+    assert(host("http://user:pw@example.com:8080/p") == "example.com")
+    assert(host("example.com/path") == "example.com")
+    assert(host("//cdn.example.com/x.js") == "cdn.example.com")
+    assert(host("ftp://files.example.com") == "files.example.com")
+    assert(host("https://example.com#frag") == "example.com")
+    assert(host("") == "")
+  }
+
+  test("urlDomain: registrable = last two labels; single label passes through") {
+    assert(domain("https://a.b.example.com/x") == "example.com")
+    assert(domain("https://example.com") == "example.com")
+    assert(domain("http://localhost:9000") == "localhost")
+  }
+
+  test("urlOk: scheme, literal domain list (host AND registrable), keywords") {
+    def ok(u: String, dom: Seq[String] = Nil, kw: Seq[String] = Nil): Boolean =
+      Seq(u).toDF("u").select(UrlOps.urlOk(col("u"), dom, kw))
+        .as[Boolean].collect().head
+    assert(ok("https://good.example/x"))
+    // non-http(s) schemes drop; opaque schemes have no host at all
+    assert(!ok("ftp://good.example/x"))
+    assert(!ok("javascript:alert(1)") && host("javascript:alert(1)") == "")
+    assert(!ok("mailto:a@example.com") && host("mailto:a@example.com") == "")
+    // exact host match
+    assert(!ok("https://bad.example/x", dom = Seq("bad.example")))
+    // registrable-domain match catches unlisted subdomains
+    assert(!ok("https://sub.bad.example/x", dom = Seq("bad.example")))
+    // but a listed SUBDOMAIN does not block its parent domain
+    assert(ok("https://bad.example/x", dom = Seq("sub.bad.example")))
+    // keyword is a case-insensitive substring of the full url
+    assert(!ok("https://fine.example/play?game=CASINO", kw = Seq("casino")))
+    // blocklist matching is case-insensitive on both sides
+    assert(!ok("https://BAD.Example/x", dom = Seq("Bad.EXAMPLE")))
+  }
+
+  test("filterByUrl: broadcast anti-join on host and domain + keywords; plan is hash-join") {
+    val docs = Seq(
+      (1L, "https://keep.example/a"),
+      (2L, "https://bad.example/b"),          // exact domain hit
+      (3L, "https://x.bad.example/c"),        // registrable-domain hit
+      (4L, "https://keep.example/casino"),    // keyword hit
+      (5L, "ftp://keep.example/d"),           // scheme hit
+      (6L, "https://listedhost.keep.example/e") // exact HOST hit
+    ).toDF("id", "url")
+    val bl = Seq("bad.example", "listedhost.keep.example").toDF("domain")
+    val out = UrlOps.filterByUrl(docs, "url", bl,
+      blockedKeywords = Seq("casino"))
+    assert(out.select("id").as[Long].collect().toSet == Set(1L))
+    assert(out.columns.toSeq == Seq("id", "url"))
+    // the anti-joins must be broadcast HASH joins, not nested loops
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

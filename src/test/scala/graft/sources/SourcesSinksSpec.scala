@@ -291,4 +291,60 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.as[(Long, String, Double)].collect().toSet ==
       Set((1L, "a", 1.5), (2L, "b", -2.25)))
   }
+
+  test("readWarcWet: record framing, type filter, headers, len_ok") {
+    val work = tmp()
+    // one file mixing: a warcinfo record (dropped), an \n-framed
+    // conversion record, a \r\n-framed one, an empty-payload one, and
+    // a CORRUPTED one whose payload contains the record marker — the
+    // split truncates it and len_ok must flag that instead of silently
+    // passing truncated text downstream
+    val wet = Seq(
+      "WARC/1.0",
+      "WARC-Type: warcinfo",
+      "Software: test",
+      "",
+      "ignored payload",
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      "WARC-Target-URI: https://a.example/1",
+      "WARC-Date: 2026-01-02T03:04:05Z",
+      "Content-Length: 11",
+      "",
+      "hello world",
+      "WARC/1.0\r",
+      "WARC-Type: conversion\r",
+      "WARC-Target-URI: https://b.example/2\r",
+      "WARC-Date: 2026-01-02T03:04:06Z\r",
+      "Content-Length: 8\r",
+      "\r",
+      "crlf doc",
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      "WARC-Target-URI: https://c.example/3",
+      "WARC-Date: 2026-01-02T03:04:07Z",
+      "Content-Length: 0",
+      "",
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      "WARC-Target-URI: https://d.example/4",
+      "WARC-Date: 2026-01-02T03:04:08Z",
+      "Content-Length: 26",
+      "",
+      "first line",
+      "WARC/1.0 appears mid-text"
+    ).mkString("\n") + "\n"
+    Files.write(new java.io.File(work, "seg.wet").toPath, wet.getBytes("UTF-8"))
+    val out = graft.sources.Sources.readWarcWet(spark, s"$work/seg.wet")
+      .orderBy("url")
+      .as[(String, String, Long, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("https://a.example/1", "2026-01-02T03:04:05Z", 11L, "hello world", true),
+      ("https://b.example/2", "2026-01-02T03:04:06Z", 8L, "crlf doc", true),
+      ("https://c.example/3", "2026-01-02T03:04:07Z", 0L, "", true),
+      // the corrupted record surfaces TRUNCATED (the marker split it)
+      // with len_ok=false; the bogus trailing chunk has no WARC-Type
+      // header and is dropped
+      ("https://d.example/4", "2026-01-02T03:04:08Z", 26L, "first line", false)))
+  }
 }
