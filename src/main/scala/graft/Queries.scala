@@ -2894,6 +2894,108 @@ object Queries {
           ELSE 0.0 END AS top_word_frac
       FROM g ORDER BY doc_id"""))
 
+  /** The COMPOSED web-curation recipe — the front-end counterpart of
+    * `curate_pipeline_full`, run in the order the published web
+    * pipelines (RefinedWeb/FineWeb/C4) run it: URL filtering FIRST
+    * (cheapest — a short-column scan with two broadcast hash
+    * anti-joins, before any text work), then C4 line cleaning + page
+    * rules, then the quality-stats filter over the CLEANED text, then
+    * exact dedup (first-wins; the only corpus shuffle in the whole
+    * plan — everything before it is map-only). URLs and pages derive
+    * deterministically from the documents table (same derivations as
+    * `url_filter`/`c4_clean`) and the oracle replays the ENTIRE
+    * composition in SQL: derivation, host/domain anti-membership,
+    * keyword, line rules, page rules, quality stats, and the
+    * first-wins window. */
+  private val curateWeb = QueryDef("curate_web",
+    (s, d) => {
+      import s.implicits._
+      val ws = split(col("text"), " ")
+      val url = concat(lit("https://"), col("source"),
+        when(col("doc_id") % 7 === 0, lit(".adsite")).otherwise(lit("")),
+        lit(".example/doc/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?session=casino")).otherwise(lit("")))
+      val page = concat_ws("\n",
+        concat(col("text"), lit(" one.")),
+        concat(array_join(slice(ws, 1, 6), " "), lit(" two.")),
+        lit("five words are here now."),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum")),
+        when(col("doc_id") % 13 === 0, lit("code { brace")))
+      val blocklist = Seq("src3.example", "src7.example", "adsite.example")
+        .toDF("domain")
+      val afterUrl = graft.llm.UrlOps.filterByUrl(
+        t(s, d, "documents").withColumn("url", url).withColumn("page", page),
+        "url", blocklist, blockedKeywords = Seq("casino"))
+      val cleaned = afterUrl
+        .withColumn("cleaned", TextAnalysis.c4CleanLines(col("page")))
+        .where(TextAnalysis.c4PageOk(col("page"), col("cleaned"),
+          minSentences = 3, badWords = Seq("dup")))
+        .where(TextAnalysis.qualityOk(TextAnalysis.qualityStats(col("cleaned"))))
+        .withColumn("n_words", size(Dedup.wordsOf(col("cleaned"))).cast("long"))
+      Dedup.exactDedup(cleaned, "doc_id", "cleaned")
+        .select(col("doc_id"), col("url"),
+          md5(col("cleaned")).as("clean_md5"), col("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH u AS (SELECT doc_id, text,
+        'https://' || source
+          || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
+          || '.example/doc/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
+          AS url,
+        concat_ws(chr(10),
+          text || ' one.',
+          array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') || ' two.',
+          'five words are here now.',
+          CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum' END,
+          CASE WHEN doc_id % 13 = 0 THEN 'code { brace' END) AS page
+        FROM documents),
+      uh AS (SELECT *, lower(regexp_extract(url,
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
+          AS host FROM u),
+      ud AS (SELECT *, CASE WHEN len(string_split(host, '.')) >= 2
+          THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+          ELSE host END AS dom FROM uh),
+      u2 AS (SELECT doc_id, url, page FROM ud
+        WHERE host NOT IN ('src3.example', 'src7.example', 'adsite.example')
+          AND dom NOT IN ('src3.example', 'src7.example', 'adsite.example')
+          AND NOT contains(lower(url), 'casino')),
+      cl AS (SELECT doc_id, url, page,
+        array_to_string(list_filter(string_split(page, chr(10)),
+          x -> regexp_matches(x, '[.!?"]\\s*$$')
+           AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                 w -> w <> '')) >= 5
+           AND NOT contains(lower(x), 'javascript')), chr(10)) AS cleaned
+        FROM u2),
+      pk AS (SELECT doc_id, url, cleaned FROM cl
+        WHERE NOT contains(page, '{')
+          AND NOT contains(lower(page), 'lorem ipsum')
+          AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+          AND NOT list_has_any(
+            string_split(trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '),
+            ['dup'])),
+      q AS (SELECT doc_id, url, cleaned,
+          string_split(trim(regexp_replace(lower(cleaned), '\\s+', ' ', 'g')), ' ') AS ws,
+          length(cleaned)::DOUBLE AS nc
+        FROM pk),
+      qs AS (SELECT doc_id, url, cleaned, len(ws) AS n_words,
+          CASE WHEN len(ws) > 0 THEN
+            round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)", "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
+            ELSE 0 END AS mwl,
+          round(CASE WHEN nc > 0
+            THEN len(regexp_extract_all(cleaned, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc
+            ELSE 0 END, 4) AS pr
+        FROM q),
+      f AS (SELECT doc_id, url, cleaned, n_words FROM qs
+        WHERE n_words BETWEEN 10 AND 100000
+          AND mwl BETWEEN 2.0 AND 12.0 AND pr <= 0.3)
+      SELECT doc_id, url, md5(cleaned) AS clean_md5, n_words::BIGINT AS n_words
+      FROM (SELECT doc_id, url, cleaned, n_words,
+          min(doc_id) OVER (PARTITION BY
+            trim(regexp_replace(lower(cleaned), '\\s+', ' ', 'g'))) AS keep
+        FROM f)
+      WHERE doc_id = keep ORDER BY doc_id"""))
+
   /** WARC/WET ingestion ([[graft.sources.Sources.readWarcWet]]): the
     * corpus is first WRITTEN as a multi-part WET fixture (one
     * conversion record per doc — URI/date/Content-Length headers +
@@ -4221,7 +4323,7 @@ object Queries {
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
-    warcWetScan, corpusDiffQ, corpusDiffSummary,
+    warcWetScan, curateWeb, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,

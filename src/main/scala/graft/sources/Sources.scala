@@ -187,9 +187,14 @@ object Sources {
   def readWarcWet(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.option("lineSep", "WARC/1.0").text(path)
+      // get(), not getItem(): a chunk with no blank line (the empty
+      // leading split before a file's first record marker, or header
+      // junk) yields a 1-element split, and getItem(1) THROWS under
+      // ANSI mode once CollapseProject folds this into the same stage
+      // as the filter below
       .select(split(col("value"), "\\r?\\n\\r?\\n", 2).as("p"))
       .select(col("p").getItem(0).as("h"),
-        coalesce(col("p").getItem(1), lit("")).as("body0"))
+        coalesce(get(col("p"), lit(1)), lit("")).as("body0"))
       .where(col("h").rlike("(?m)^WARC-Type: conversion\\r?$"))
       .select(
         regexp_extract(col("h"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("url"),

@@ -246,6 +246,26 @@ object ScaleProbe {
           corpus.withColumn("label", (col("doc_id") % 2).cast("int")),
           "doc_id", "text", "label", iters = 3).count()
       }
+      time(s"url_filter x$k") {
+        // 200-domain blocklist frame (broadcast hash anti-joins) + one
+        // keyword over a derived url column: a pure scan-rate filter
+        val url = concat(lit("https://site"),
+          pmod(col("doc_id"), lit(1000L)).cast("string"),
+          lit(".example/doc/"), col("doc_id").cast("string"))
+        val bl = spark.range(200)
+          .select(concat(lit("site"), col("id"), lit(".example")).as("domain"))
+        graft.llm.UrlOps.filterByUrl(corpus.withColumn("url", url),
+          "url", bl, blockedKeywords = Seq("casino")).count()
+      }
+      time(s"c4_clean x$k") {
+        // line clean + page rules, map-only; noop sink so the cleaned
+        // column is actually materialized
+        val page = concat(col("text"), lit(" tail line one.\nshort.\nthis is a kept closing line."))
+        corpus.select(col("doc_id"),
+            graft.llm.TextAnalysis.c4CleanLines(page).as("c"))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
       time(s"token_budget_epochs x$k") {
         // budget 3x a source's 1x token mass: at k=1 every source loops
         // ~3 epochs; at larger k the same budget admits fewer copies —

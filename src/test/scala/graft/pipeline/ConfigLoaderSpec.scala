@@ -359,4 +359,68 @@ class ConfigLoaderSpec extends SparkSpec {
       .as[(Long, Long, String, String)].collect().toSet
     assert(manifest == rederived)
   }
+
+  test("web-curation YAML pipeline: WET -> url -> c4 -> quality -> dedup") {
+    val work = Files.createTempDirectory("graft_web_cfg").toFile.getPath
+    // five WET conversion records: a keeper, its exact duplicate under
+    // a later url (dedup drops it), a blocked domain, a casino-keyword
+    // url, and a too-short page (quality filter drops it)
+    val body = "the quick brown fox jumps over the lazy dog again today."
+    def rec(url: String, text: String) = Seq(
+      "WARC/1.0", "WARC-Type: conversion", s"WARC-Target-URI: $url",
+      "WARC-Date: 2026-01-03T00:00:00Z", s"Content-Length: ${text.length}",
+      "", text).mkString("\n")
+    val wet = Seq(
+      rec("https://good.example/a", body),
+      rec("https://zgood.example/dupe", body),
+      rec("https://bad.example/b", body),
+      rec("https://fine.example/casino-night", body),
+      rec("https://fine.example/short", "tiny page is too short.")
+    ).mkString("\n") + "\n"
+    new java.io.File(s"$work/wet").mkdirs()
+    Files.write(new java.io.File(s"$work/wet/seg.wet").toPath,
+      wet.getBytes("UTF-8"))
+    val yaml =
+      s"""jobs:
+         |  - name: web_curate
+         |    extract:
+         |      - kind: warc_wet
+         |        path: $work/wet
+         |        prefix: ""
+         |    transform:
+         |      - kind: url_filter
+         |        options:
+         |          column: url
+         |          blockedDomains: bad.example
+         |          blockedKeywords: casino
+         |      - kind: c4_filter
+         |        options:
+         |          column: text
+         |          minLineWords: 3
+         |          minSentences: 1
+         |      - kind: quality_filter
+         |        options:
+         |          column: text
+         |          minWords: 8
+         |      - kind: dedup_exact
+         |        options:
+         |          idCol: url
+         |          textCol: text
+         |    load:
+         |      - kind: json_dir
+         |        options:
+         |          path: $work/out
+         |""".stripMargin
+    Files.write(new java.io.File(work, "migration.yaml").toPath,
+      yaml.getBytes("UTF-8"))
+    Pipeline.run(spark, ConfigLoader.parseYamlFile(s"$work/migration.yaml"),
+      progress = _ => ())
+    val out = spark.read.json(s"$work/out")
+    // only the keeper survives: dupe deduped (url-ordered first-wins),
+    // bad.example domain-blocked, casino keyword-blocked, short page
+    // quality-dropped
+    assert(out.select("url").as[String].collect().toSeq ==
+      Seq("https://good.example/a"))
+    assert(out.select("text").as[String].collect().head == body)
+  }
 }
