@@ -2996,6 +2996,118 @@ object Queries {
         FROM f)
       WHERE doc_id = keep ORDER BY doc_id"""))
 
+  /** Curation-funnel observability: per-SOURCE survival counts at
+    * every stage of the web pipeline (url → c4 → quality → dedup) in
+    * ONE scan — stages become boolean flag columns instead of filters,
+    * the dedup stage is a min-over-content window restricted to
+    * passing docs (`min(CASE WHEN passed THEN doc_id END)` — no second
+    * pass), and a bounded per-source aggregation emits the funnel.
+    * This is the report a pipeline operator watches to see WHERE a
+    * source's documents die; same derivations as `curate_web`, so the
+    * two queries cross-check each other (total dedup survivors here =
+    * curate_web's row count). */
+  private val curationFunnel = QueryDef("curation_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = split(col("text"), " ")
+      val url = concat(lit("https://"), col("source"),
+        when(col("doc_id") % 7 === 0, lit(".adsite")).otherwise(lit("")),
+        lit(".example/doc/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?session=casino")).otherwise(lit("")))
+      val page = concat_ws("\n",
+        concat(col("text"), lit(" one.")),
+        concat(array_join(slice(ws, 1, 6), " "), lit(" two.")),
+        lit("five words are here now."),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum")),
+        when(col("doc_id") % 13 === 0, lit("code { brace")))
+      val flagged = t(s, d, "documents")
+        .withColumn("url", url).withColumn("page", page)
+        .withColumn("url_ok", graft.llm.UrlOps.urlOk(col("url"),
+          Seq("src3.example", "src7.example", "adsite.example"),
+          Seq("casino")))
+        .withColumn("cleaned", TextAnalysis.c4CleanLines(col("page")))
+        .withColumn("c4_ok", TextAnalysis.c4PageOk(col("page"),
+          col("cleaned"), minSentences = 3, badWords = Seq("dup")))
+        .withColumn("q_ok",
+          TextAnalysis.qualityOk(TextAnalysis.qualityStats(col("cleaned"))))
+        .withColumn("passed",
+          col("url_ok") && col("c4_ok") && col("q_ok"))
+      val w = Window.partitionBy(Dedup.normalizeText(col("cleaned")))
+      flagged
+        .withColumn("survived", col("passed") &&
+          col("doc_id") === min(when(col("passed"), col("doc_id"))).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("url_ok").cast("long")).as("n_url_ok"),
+          sum((col("url_ok") && col("c4_ok")).cast("long")).as("n_c4_ok"),
+          sum(col("passed").cast("long")).as("n_quality_ok"),
+          sum(col("survived").cast("long")).as("n_survived"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH u AS (SELECT doc_id, text, source,
+        'https://' || source
+          || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
+          || '.example/doc/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
+          AS url,
+        concat_ws(chr(10),
+          text || ' one.',
+          array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') || ' two.',
+          'five words are here now.',
+          CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum' END,
+          CASE WHEN doc_id % 13 = 0 THEN 'code { brace' END) AS page
+        FROM documents),
+      uh AS (SELECT *, lower(regexp_extract(url,
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
+          AS host FROM u),
+      fl AS (SELECT doc_id, source,
+          (host NOT IN ('src3.example', 'src7.example', 'adsite.example')
+           AND (CASE WHEN len(string_split(host, '.')) >= 2
+                THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                ELSE host END)
+               NOT IN ('src3.example', 'src7.example', 'adsite.example')
+           AND NOT contains(lower(url), 'casino')) AS url_ok,
+          array_to_string(list_filter(string_split(page, chr(10)),
+            x -> regexp_matches(x, '[.!?"]\\s*$$')
+             AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                   w -> w <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')), chr(10)) AS cleaned,
+          (NOT contains(page, '{')
+           AND NOT contains(lower(page), 'lorem ipsum')
+           AND NOT list_has_any(
+             string_split(trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '),
+             ['dup'])) AS c4_page_base
+        FROM uh),
+      q AS (SELECT doc_id, source, url_ok, cleaned,
+          (c4_page_base
+           AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3) AS c4_ok,
+          string_split(trim(regexp_replace(lower(cleaned), '\\s+', ' ', 'g')), ' ') AS ws,
+          length(cleaned)::DOUBLE AS nc
+        FROM fl),
+      qs AS (SELECT doc_id, source, url_ok, c4_ok, cleaned,
+          (len(ws) BETWEEN 10 AND 100000
+           AND (CASE WHEN len(ws) > 0 THEN
+              round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)", "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
+              ELSE 0 END) BETWEEN 2.0 AND 12.0
+           AND round(CASE WHEN nc > 0
+              THEN len(regexp_extract_all(cleaned, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc
+              ELSE 0 END, 4) <= 0.3) AS q_ok
+        FROM q),
+      p AS (SELECT doc_id, source, url_ok, c4_ok, cleaned,
+          (url_ok AND c4_ok AND q_ok) AS passed
+        FROM qs),
+      sv AS (SELECT doc_id, source, url_ok, c4_ok, passed,
+          (passed AND doc_id = min(CASE WHEN passed THEN doc_id END)
+            OVER (PARTITION BY
+              trim(regexp_replace(lower(cleaned), '\\s+', ' ', 'g')))) AS survived
+        FROM p)
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(CASE WHEN url_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_url_ok,
+        CAST(SUM(CASE WHEN url_ok AND c4_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_ok,
+        CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+        CAST(SUM(CASE WHEN survived THEN 1 ELSE 0 END) AS BIGINT) AS n_survived
+      FROM sv GROUP BY source ORDER BY source"""))
+
   /** WARC/WET ingestion ([[graft.sources.Sources.readWarcWet]]): the
     * corpus is first WRITTEN as a multi-part WET fixture (one
     * conversion record per doc — URI/date/Content-Length headers +
@@ -4323,7 +4435,7 @@ object Queries {
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
-    warcWetScan, curateWeb, corpusDiffQ, corpusDiffSummary,
+    warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,

@@ -68,4 +68,14 @@ class UrlOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("curation_funnel cross-checks curate_web: survivor sum == row count") {
+    def q(n: String) = graft.Queries.all.find(_.name == n).get.fn(spark, sfDir)
+    val funnel = q("curation_funnel").select(
+      sum(col("n_survived")), sum(col("n_quality_ok")), sum(col("n_docs")))
+      .as[(Long, Long, Long)].collect().head
+    assert(funnel._1 == q("curate_web").count())
+    // funnel is monotone: each stage can only lose documents
+    assert(funnel._1 <= funnel._2 && funnel._2 <= funnel._3)
+  }
 }
