@@ -3269,6 +3269,63 @@ object Queries {
         md5(CAST(doc_id AS VARCHAR)) AS rank
       FROM documents ORDER BY shard, rank"""))
 
+  /** NO-SPLIT greedy packing ([[graft.llm.Packing.packGreedy]]): every
+    * doc lands wholly in one pack, packs close when the next doc in
+    * stream order does not fit — the padding-aware packing mode
+    * (contrast `pack_sequences`' offset framing). docsPerGroup=8 keeps
+    * the DuckDB replay's LOCKSTEP recursion shallow: the recursive CTE
+    * advances ALL groups one stream position per step, replaying the
+    * native kernel's fold rule literally (oversize → own pack;
+    * doesn't fit → close and open; fits → join), then prefix-sums
+    * per-group pack counts into the same globally dense ids. */
+  private val packGreedyQ = QueryDef("pack_greedy",
+    (s, d) => graft.llm.Packing.packGreedy(
+        t(s, d, "documents").withColumn("__n",
+          size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))),
+        "doc_id", col("__n"), budget = 256, docsPerGroup = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE
+      tc AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+        (row_number() OVER (ORDER BY doc_id) - 1) AS rn FROM tc),
+      g AS (SELECT doc_id, n_tokens, rn // 8 AS grp,
+        CAST(rn % 8 AS BIGINT) AS pos FROM b),
+      rec AS (
+        SELECT grp, CAST(-1 AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS doc_id,
+          CAST(NULL AS BIGINT) AS n_tokens, 0 AS emitted,
+          0 AS open, CAST(0 AS BIGINT) AS running, false AS live
+        FROM (SELECT DISTINCT grp FROM g)
+        UNION ALL
+        SELECT n.grp, n.pos, n.doc_id, n.n_tokens,
+          CASE WHEN n.n_tokens > 256
+                 THEN r.open + (CASE WHEN r.running > 0 THEN 1 ELSE 0 END)
+               WHEN r.running > 0 AND r.running + n.n_tokens > 256
+                 THEN r.open + 1
+               ELSE r.open END AS emitted,
+          CASE WHEN n.n_tokens > 256
+                 THEN r.open + (CASE WHEN r.running > 0 THEN 1 ELSE 0 END) + 1
+               WHEN r.running > 0 AND r.running + n.n_tokens > 256
+                 THEN r.open + 1
+               ELSE r.open END AS open,
+          CASE WHEN n.n_tokens > 256 THEN 0
+               WHEN r.running > 0 AND r.running + n.n_tokens > 256
+                 THEN n.n_tokens
+               ELSE r.running + n.n_tokens END AS running,
+          true AS live
+        FROM rec r JOIN g n ON n.grp = r.grp AND n.pos = r.pos + 1),
+      asg AS (SELECT grp, doc_id, n_tokens, emitted FROM rec WHERE live),
+      np AS (SELECT grp, max(emitted) + 1 AS npacks FROM asg GROUP BY grp),
+      off AS (SELECT grp, COALESCE(SUM(npacks) OVER (ORDER BY grp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        FROM np)
+      SELECT a.doc_id, a.n_tokens,
+        CAST(o.goff + a.emitted AS BIGINT) AS pack_id,
+        a.n_tokens > 256 AS oversize
+      FROM asg a JOIN off o USING (grp) ORDER BY a.doc_id"""))
+
   /** Trainer-shard write path end to end
     * ([[graft.llm.Packing.writeTrainingShards]]): shards land as
     * `shard=N` parquet directories, and the returned manifest is
@@ -4434,6 +4491,7 @@ object Queries {
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
+    packGreedyQ,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
     warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,

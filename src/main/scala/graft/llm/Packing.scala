@@ -135,6 +135,86 @@ object Packing {
       .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("tokens"))
   }
 
+  /** NO-SPLIT (document-boundary-respecting) greedy packing — the
+    * padding-aware packing mode: every document lands WHOLLY inside
+    * one context window, and a pack closes when the next document in
+    * stream order does not fit. Contrast [[packSequences]], whose
+    * offset/chunk framing never pads but lets documents straddle
+    * window boundaries; trainers that must not cross doc boundaries
+    * (doc-attention masking, instruction tuning) use this mode and
+    * measure the padding it costs.
+    *
+    * Distributed shape: greedy first-fit is inherently sequential, so
+    * the stream is cut into bounded GROUPS of `docsPerGroup`
+    * consecutive docs (global row numbers from the same two-phase
+    * prefix sum as packSequences); each group runs the sequential fold
+    * independently via the native O(n) `graft_greedy_pack` kernel
+    * (collect_list state is bounded by docsPerGroup), and per-group
+    * pack counts prefix-sum over a TINY frame (one row per group) into
+    * globally dense pack ids. The only approximation vs a single
+    * sequential pass: at most one underfull pack per group boundary —
+    * fraction ≤ 1/(packs-per-group), vanishing as docsPerGroup grows.
+    *
+    * Oversize docs (n_tokens > budget) get a pack of their own,
+    * flagged `oversize` — the loader's truncate/skip decision, not
+    * ours.
+    *
+    * @return (doc_id, n_tokens, pack_id, oversize), pack ids dense
+    *         from 0 in stream order */
+  def packGreedy(df: DataFrame, idCol: String, tokensCol: Column,
+                 budget: Long, docsPerGroup: Int = 4096,
+                 numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"packGreedy: budget must be positive, got $budget")
+    require(docsPerGroup > 0,
+      s"packGreedy: docsPerGroup must be positive, got $docsPerGroup")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val n = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the partition assignment for the same
+    // two-branch reasons documented on packSequences
+    val base = df.select(col(idCol).as("doc_id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .repartitionByRange(n, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wPart = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = base.groupBy(col("__pid")).agg(count(lit(1)).as("__pcnt"))
+      .withColumn("__poff", coalesce(sum(col("__pcnt")).over(wPart), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+    val rn = base.join(broadcast(counts), Seq("__pid"))
+      .withColumn("__rn",
+        col("__poff") + row_number().over(wLocal).cast("long") - 1)
+      .withColumn("__grp", floor(col("__rn") / docsPerGroup).cast("long"))
+    // bounded-group fold: members sorted by stream position, the
+    // native kernel emits dense local pack indexes in one O(n) pass
+    val grouped = rn.groupBy(col("__grp"))
+      .agg(sort_array(collect_list(
+        struct(col("__rn"), col("doc_id"), col("n_tokens")))).as("ms"))
+      .withColumn("__locals",
+        expr(s"graft_greedy_pack(transform(ms, m -> m.n_tokens), $budget)"))
+      .withColumn("__npacks",
+        (element_at(col("__locals"), -1) + 1).cast("long"))
+    // per-group pack-count prefix: ONE row per group (rows/docsPerGroup
+    // — the same bounded unpartitioned-window shape as the offsets
+    // frame above)
+    val wGrp = Window.orderBy(col("__grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = grouped.select(col("__grp"), col("__npacks"))
+      .withColumn("__gpoff", coalesce(sum(col("__npacks")).over(wGrp), lit(0L)))
+      .select(col("__grp"), col("__gpoff"))
+    grouped.join(broadcast(offs), Seq("__grp"))
+      .select(col("__gpoff"),
+        explode(arrays_zip(col("ms"), col("__locals"))).as("z"))
+      .select(col("z.ms.doc_id").as("doc_id"),
+        col("z.ms.n_tokens").as("n_tokens"),
+        (col("__gpoff") + col("z.__locals")).as("pack_id"),
+        (col("z.ms.n_tokens") > budget).as("oversize"))
+  }
+
   /** Order-independent 64-bit row digest from the md5 `rank` hex: the
     * integer value of its first 8 hex digits (engine-portable pure
     * arithmetic on substrings — no conv()/from_hex, which differ

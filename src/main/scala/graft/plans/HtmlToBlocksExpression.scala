@@ -92,6 +92,18 @@ object GraftExtensions {
         require(children.size == 2, "graft_sorted_intersect_size takes exactly two arguments")
         SortedIntersectSizeExpression(children(0), children(1))
       }),
+    (FunctionIdentifier("graft_greedy_pack"),
+      new ExpressionInfo(classOf[GreedyPackExpression].getName, "graft_greedy_pack"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_greedy_pack takes (array<bigint>, budget)")
+        val b = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_greedy_pack: budget must be an integer literal, got $other")
+        }
+        GreedyPackExpression(children.head, b)
+      }),
     unary("graft_simhash64", classOf[SimHash64Expression], SimHash64Expression(_)),
     unary("graft_nfc", classOf[NfcNormalizeExpression], NfcNormalizeExpression(_)),
     unary("graft_deflate_len", classOf[DeflateLenExpression], DeflateLenExpression(_)),

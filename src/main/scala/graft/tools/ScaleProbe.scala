@@ -246,6 +246,15 @@ object ScaleProbe {
           corpus.withColumn("label", (col("doc_id") % 2).cast("int")),
           "doc_id", "text", "label", iters = 3).count()
       }
+      time(s"pack_greedy x$k") {
+        // no-split first-fit: two bounded prefix frames + one
+        // docsPerGroup-bounded group fold (native kernel) — should
+        // track the pack_sequences curve
+        graft.llm.Packing.packGreedy(
+          corpus.withColumn("__n", size(filter(
+            split(trim(col("text")), "\\s+"), w => w =!= "")).cast("long")),
+          "doc_id", col("__n"), budget = 2048).count()
+      }
       time(s"url_filter x$k") {
         // 200-domain blocklist frame (broadcast hash anti-joins) + one
         // keyword over a derived url column: a pure scan-rate filter

@@ -42,9 +42,15 @@ class DedupClustersPropSpec extends SparkSpec {
     check(Prop.forAll(Gen.listOfN(25, edgeGen)) { edges =>
       edges.isEmpty || {
         val expected = unionFind(edges)
+        // default path (driver-local union-find under the edge cap)
         val got = Dedup.nearDupClusters(edges.toDF("a", "b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got == expected
+        // maxLocalEdges = 0 forces the distributed iterative loop —
+        // both paths must be bit-identical to the ground truth
+        val gotLoop = Dedup.nearDupClusters(edges.toDF("a", "b"),
+            maxLocalEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected && gotLoop == expected
       }
     }, minTests = 8)
   }

@@ -182,4 +182,69 @@ class PackingSpec extends SparkSpec {
     // block "x" (3 docs) exceeds maxBlock=2 and is dropped; "y" survives
     assert(pairs(2) == Set((4L, 5L)))
   }
+
+  /** Reference sequential first-fit (the whole stream as one group). */
+  private def greedyRef(tokens: Seq[Long], budget: Long): Seq[Int] = {
+    var local = 0; var running = 0L
+    tokens.map { t =>
+      if (t > budget) {
+        if (running > 0) local += 1
+        val e = local; local += 1; running = 0L; e
+      } else if (running > 0 && running + t > budget) {
+        local += 1; running = t; local
+      } else { running += t; local }
+    }
+  }
+
+  test("packGreedy: fold rule, oversize isolation, dense ids") {
+    // budget 10: [4,5] fill pack0; 6 opens pack1; 12 oversize -> own
+    // pack2 (closing pack1); 3,7 fill pack3; 10 exact-fit opens pack4
+    val docs = Seq(4L, 5L, 6L, 12L, 3L, 7L, 10L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val out = Packing.packGreedy(docs, "doc_id", col("t"), budget = 10,
+        docsPerGroup = 100)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id", "oversize")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((0L, 0L, false), (1L, 0L, false), (2L, 1L, false),
+      (3L, 2L, true), (4L, 3L, false), (5L, 3L, false), (6L, 4L, false)))
+    // invariant: no non-oversize pack exceeds the budget; ids dense
+    val packs = Packing.packGreedy(docs, "doc_id", col("t"), 10, 100)
+    val sums = packs.groupBy("pack_id")
+      .agg(sum(col("n_tokens")).as("s"), max(col("oversize")).as("o"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(sums.forall { case (_, s, o) => o || s <= 10 })
+    assert(sums.map(_._1).sorted.toSeq == (0L until sums.length).toSeq)
+  }
+
+  test("packGreedy: single group ≡ sequential reference; bounded groups conserve docs") {
+    val tokens = Seq(3L, 9L, 2L, 2L, 2L, 15L, 1L, 8L, 8L, 1L, 4L, 4L, 4L, 0L, 6L)
+    val docs = tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "t")
+    val one = Packing.packGreedy(docs, "doc_id", col("t"), budget = 10,
+        docsPerGroup = 1000)
+      .orderBy("doc_id").select("pack_id").as[Long].collect().toSeq
+    assert(one == greedyRef(tokens, 10).map(_.toLong))
+    // small groups: same doc set exactly once, every pack still legal,
+    // at most one underfull pack per group boundary (ids differ)
+    val small = Packing.packGreedy(docs, "doc_id", col("t"), budget = 10,
+      docsPerGroup = 4)
+    assert(small.select("doc_id").as[Long].collect().sorted.toSeq ==
+      tokens.indices.map(_.toLong))
+    val sums = small.groupBy("pack_id")
+      .agg(sum(col("n_tokens")).as("s"), max(col("oversize")).as("o"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(sums.forall { case (_, s, o) => o || s <= 10 })
+  }
+
+  test("packGreedy: deterministic across input partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packGreedy(df, "doc_id", col("t"), budget = 256,
+          docsPerGroup = 16)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+  }
 }

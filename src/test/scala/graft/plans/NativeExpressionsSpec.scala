@@ -248,4 +248,30 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
   }
+  test("graft_greedy_pack: fold rule; codegen COMPILES") {
+    registered()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Seq(Seq(4L, 5L, 6L, 12L, 3L, 7L, 10L)).toDF("t")
+        .selectExpr("graft_greedy_pack(t, 10) AS p")
+        .as[Seq[Int]].collect().head
+      assert(out == Seq(0, 0, 1, 2, 3, 3, 4))
+      // empty input, oversize-first, exact fit
+      assert(Seq(Seq.empty[Long]).toDF("t")
+        .selectExpr("graft_greedy_pack(t, 10) AS p")
+        .as[Seq[Int]].collect().head.isEmpty)
+      assert(Seq(Seq(99L, 1L)).toDF("t")
+        .selectExpr("graft_greedy_pack(t, 10) AS p")
+        .as[Seq[Int]].collect().head == Seq(0, 1))
+      assert(Seq(Seq(10L, 10L)).toDF("t")
+        .selectExpr("graft_greedy_pack(t, 10) AS p")
+        .as[Seq[Int]].collect().head == Seq(0, 1))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }

@@ -284,4 +284,36 @@ class StreamingSpec extends SparkSpec {
       assert(updatesForUser1.last == ((1L, 1L)))
     } finally q.stop()
   }
+
+  test("web front-end filters compose into a stream: url + c4 at ingest time") {
+    // urlOk (literal lists) and the C4 rules are pure column
+    // expressions, so the web-curation front end runs unchanged on a
+    // stream — documents are kept or dropped at ingest, no state
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val filtered = mem.toDF().toDF("doc_id", "url", "page")
+      .where(graft.llm.UrlOps.urlOk(col("url"),
+        Seq("bad.example"), Seq("casino")))
+      .withColumn("cleaned", graft.llm.TextAnalysis.c4CleanLines(col("page")))
+      .where(graft.llm.TextAnalysis.c4PageOk(col("page"), col("cleaned"),
+        minSentences = 1))
+    assert(filtered.isStreaming)
+    val q = filtered.writeStream
+      .format("memory").queryName("web_stream_test").outputMode("append")
+      .start()
+    try {
+      val goodPage = "a perfectly fine sentence with enough words here."
+      mem.addData(
+        (1L, "https://good.example/a", goodPage),
+        (2L, "https://bad.example/b", goodPage),      // domain-blocked
+        (3L, "https://good.example/casino", goodPage), // keyword-blocked
+        (4L, "https://good.example/d", "code { here.")) // page rule
+      q.processAllAvailable()
+      assert(spark.table("web_stream_test").select("doc_id")
+        .as[Long].collect().toSeq == Seq(1L))
+      // the surviving row carries the cleaned text, same as batch
+      assert(spark.table("web_stream_test").select("cleaned")
+        .as[String].collect().head == goodPage)
+    } finally q.stop()
+  }
 }
