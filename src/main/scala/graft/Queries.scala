@@ -3278,21 +3278,22 @@ object Queries {
     * native kernel's fold rule literally (oversize → own pack;
     * doesn't fit → close and open; fits → join), then prefix-sums
     * per-group pack counts into the same globally dense ids. */
-  private val packGreedyQ = QueryDef("pack_greedy",
-    (s, d) => graft.llm.Packing.packGreedy(
-        t(s, d, "documents").withColumn("__n",
-          size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))),
-        "doc_id", col("__n"), budget = 256, docsPerGroup = 8)
-      .orderBy(col("doc_id")),
-    Some("""WITH RECURSIVE
+  /** Lockstep-recursion replay of [[graft.llm.Packing.packGreedy]]'s
+    * fold rule for the DuckDB oracles: the recursive CTE advances ALL
+    * groups one stream position per step (depth = `g`), then
+    * prefix-sums per-group pack counts into the same globally dense
+    * ids. Yields CTEs ending in `asg` (doc_id, n_tokens, emitted, grp)
+    * and `off` (grp, goff). */
+  private def sqlGreedyCte(budget: Int, g: Int): String =
+    s"""WITH RECURSIVE
       tc AS (SELECT doc_id,
-        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
           w -> w <> '')) AS BIGINT) AS n_tokens
         FROM documents),
       b AS (SELECT doc_id, n_tokens,
         (row_number() OVER (ORDER BY doc_id) - 1) AS rn FROM tc),
-      g AS (SELECT doc_id, n_tokens, rn // 8 AS grp,
-        CAST(rn % 8 AS BIGINT) AS pos FROM b),
+      g AS (SELECT doc_id, n_tokens, rn // $g AS grp,
+        CAST(rn % $g AS BIGINT) AS pos FROM b),
       rec AS (
         SELECT grp, CAST(-1 AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS doc_id,
           CAST(NULL AS BIGINT) AS n_tokens, 0 AS emitted,
@@ -3300,18 +3301,18 @@ object Queries {
         FROM (SELECT DISTINCT grp FROM g)
         UNION ALL
         SELECT n.grp, n.pos, n.doc_id, n.n_tokens,
-          CASE WHEN n.n_tokens > 256
+          CASE WHEN n.n_tokens > $budget
                  THEN r.open + (CASE WHEN r.running > 0 THEN 1 ELSE 0 END)
-               WHEN r.running > 0 AND r.running + n.n_tokens > 256
+               WHEN r.running > 0 AND r.running + n.n_tokens > $budget
                  THEN r.open + 1
                ELSE r.open END AS emitted,
-          CASE WHEN n.n_tokens > 256
+          CASE WHEN n.n_tokens > $budget
                  THEN r.open + (CASE WHEN r.running > 0 THEN 1 ELSE 0 END) + 1
-               WHEN r.running > 0 AND r.running + n.n_tokens > 256
+               WHEN r.running > 0 AND r.running + n.n_tokens > $budget
                  THEN r.open + 1
                ELSE r.open END AS open,
-          CASE WHEN n.n_tokens > 256 THEN 0
-               WHEN r.running > 0 AND r.running + n.n_tokens > 256
+          CASE WHEN n.n_tokens > $budget THEN 0
+               WHEN r.running > 0 AND r.running + n.n_tokens > $budget
                  THEN n.n_tokens
                ELSE r.running + n.n_tokens END AS running,
           true AS live
@@ -3320,11 +3321,52 @@ object Queries {
       np AS (SELECT grp, max(emitted) + 1 AS npacks FROM asg GROUP BY grp),
       off AS (SELECT grp, COALESCE(SUM(npacks) OVER (ORDER BY grp
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
-        FROM np)
+        FROM np)"""
+
+  private val packGreedyQ = QueryDef("pack_greedy",
+    (s, d) => graft.llm.Packing.packGreedy(
+        t(s, d, "documents").withColumn("__n",
+          size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))),
+        "doc_id", col("__n"), budget = 256, docsPerGroup = 8)
+      .orderBy(col("doc_id")),
+    Some(s"""${sqlGreedyCte(256, 8)}
       SELECT a.doc_id, a.n_tokens,
         CAST(o.goff + a.emitted AS BIGINT) AS pack_id,
         a.n_tokens > 256 AS oversize
       FROM asg a JOIN off o USING (grp) ORDER BY a.doc_id"""))
+
+  /** Padding audit over the no-split assignment — the number a trainer
+    * actually pays for doc-boundary-respecting packing: per-pack token
+    * totals vs budget, aggregated to (packs, oversize packs, padded
+    * tokens, carried tokens). One bounded pack_id aggregation over the
+    * [[graft.llm.Packing.packGreedy]] output; cross-checks pack_greedy
+    * (same assignment feeds both). */
+  private val packPaddingStats = QueryDef("pack_padding_stats",
+    (s, d) => {
+      val asg = graft.llm.Packing.packGreedy(
+        t(s, d, "documents").withColumn("__n",
+          size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))),
+        "doc_id", col("__n"), budget = 256, docsPerGroup = 8)
+      asg.groupBy(col("pack_id"))
+        .agg(sum(col("n_tokens")).as("pt"),
+          max(col("oversize")).as("over"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(when(col("over"), 1L).otherwise(0L)).as("n_oversize"),
+          sum(when(!col("over"), lit(256L) - col("pt")).otherwise(0L))
+            .as("padding_tokens"),
+          sum(col("pt")).as("total_tokens"))
+    },
+    Some(s"""${sqlGreedyCte(256, 8)},
+      packs AS (SELECT CAST(o.goff + a.emitted AS BIGINT) AS pack_id,
+          SUM(a.n_tokens) AS pt,
+          max(a.n_tokens > 256) AS over
+        FROM asg a JOIN off o USING (grp) GROUP BY 1)
+      SELECT count(*) AS n_packs,
+        CAST(SUM(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        CAST(SUM(CASE WHEN NOT over THEN 256 - pt ELSE 0 END) AS BIGINT)
+          AS padding_tokens,
+        CAST(SUM(pt) AS BIGINT) AS total_tokens
+      FROM packs"""))
 
   /** Trainer-shard write path end to end
     * ([[graft.llm.Packing.writeTrainingShards]]): shards land as
@@ -4491,7 +4533,7 @@ object Queries {
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
-    packGreedyQ,
+    packGreedyQ, packPaddingStats,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
     warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,

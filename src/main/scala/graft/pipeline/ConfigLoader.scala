@@ -231,6 +231,20 @@ object ConfigLoader {
             col("__c4_clean"), o.getOrElse("minSentences", "3").toInt, bad))
           .withColumn(name, col("__c4_clean")).drop("__c4_clean")
       }),
+      // NO-SPLIT greedy packing assignment: docs land wholly in one
+      // pack (padding-aware mode for doc-attention/instruction
+      // trainers); emits (doc_id, n_tokens, pack_id, oversize)
+      "pack_greedy" -> (o => df => {
+        val toks: Column = o.get("tokensCol").map(c => ColumnNs.q(c))
+          .getOrElse(filter(
+            split(trim(ColumnNs.q(req(o, "textCol"))), "\\s+"), w => w =!= ""))
+        graft.llm.Packing.packGreedy(
+          df.withColumn("__graft_n", size(toks).cast("long")),
+          req(o, "idCol"), col("__graft_n"),
+          budget = req(o, "budget").toLong,
+          docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
+          numParts = o.getOrElse("numParts", "0").toInt)
+      }),
       // trainer-format assembly: concatenate token streams into
       // budget-sized context packs ([[graft.llm.Packing.packMaterialize]]).
       // `tokensCol` names an existing array<string> column; absent ->

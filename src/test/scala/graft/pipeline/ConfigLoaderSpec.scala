@@ -360,6 +360,17 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(manifest == rederived)
   }
 
+  test("pack_greedy kind: no-split assignment from config options") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val docs = Seq((1L, "a b c d"), (2L, "e f g"), (3L, "h i")).toDF("doc_id", "text")
+    // budget 4: doc1 fills pack0; doc2 opens pack1; doc3 (2 toks) does
+    // not fit with doc2 (3+2>4) -> pack2
+    val out = transformKinds("pack_greedy")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "budget" -> "4"))(docs)
+      .orderBy("doc_id").select("pack_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 1L, 2L))
+  }
+
   test("web-curation YAML pipeline: WET -> url -> c4 -> quality -> dedup") {
     val work = Files.createTempDirectory("graft_web_cfg").toFile.getPath
     // five WET conversion records: a keeper, its exact duplicate under
