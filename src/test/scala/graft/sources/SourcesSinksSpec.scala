@@ -347,4 +347,27 @@ class SourcesSinksSpec extends SparkSpec {
       // header and is dropped
       ("https://d.example/4", "2026-01-02T03:04:08Z", 26L, "first line", false)))
   }
+
+  test("readWarcWet: gzipped segments (the format WET actually ships in)") {
+    // Common Crawl distributes .warc.wet.gz; Hadoop's codec layer
+    // decompresses transparently for the text reader (per-file,
+    // non-splittable — parallelism comes from the many segment files,
+    // which is exactly how CC shards its crawls)
+    val work = tmp()
+    val wet = Seq(
+      "WARC/1.0",
+      "WARC-Type: conversion",
+      "WARC-Target-URI: https://gz.example/1",
+      "WARC-Date: 2026-01-02T00:00:00Z",
+      "Content-Length: 10",
+      "",
+      "gzipped ok").mkString("\n") + "\n"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$work/seg.wet.gz"))
+    out.write(wet.getBytes("UTF-8")); out.close()
+    val rows = graft.sources.Sources.readWarcWet(spark, s"$work/seg.wet.gz")
+      .as[(String, String, Long, String, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      ("https://gz.example/1", "2026-01-02T00:00:00Z", 10L, "gzipped ok", true)))
+  }
 }
