@@ -3278,6 +3278,71 @@ object Queries {
     * native kernel's fold rule literally (oversize → own pack;
     * doesn't fit → close and open; fits → join), then prefix-sums
     * per-group pack counts into the same globally dense ids. */
+  /** INCREMENTAL packing ([[graft.llm.Packing.packSequencesAppend]]):
+    * the corpus is split at its median id, the first half packed, the
+    * second half APPENDED continuing the stream (offset shift +
+    * floor re-framing — the last partial pack keeps filling), and the
+    * union compared against the oracle's FULL-stream assignment. A
+    * hash-green row proves append ≡ repack-of-union exactly — the
+    * continuous-ingestion contract (the packing analogue of
+    * `dedup_exact_incremental` / `ann_ivf_append`). */
+  private val packAppendQ = QueryDef("pack_append",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val nTok = TextAnalysis.wsTokenCount(col("text"))
+      val first = graft.llm.Packing.packSequences(
+        docs.where(col("doc_id") <= mid), "doc_id", nTok, budget = 2048)
+      val start = graft.llm.Packing.assignedTokenTotal(first)
+      val appended = graft.llm.Packing.packSequencesAppend(
+        docs.where(col("doc_id") > mid), "doc_id", nTok,
+        budget = 2048, startOffset = start)
+      first.unionByName(appended).orderBy(col("doc_id"))
+    },
+    Some("""WITH tc AS (SELECT doc_id,
+        CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END AS n_tokens
+        FROM documents),
+      o AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(token_offset AS BIGINT) AS token_offset,
+        CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
+      FROM o ORDER BY doc_id"""))
+
+  /** [[graft.llm.Packing.packMaterialize]] with a document separator —
+    * the (doc + EOS)* stream convention trainers feed a causal model:
+    * the separator lands AFTER EVERY member doc, the stream length is
+    * n_tokens + n_docs, and budget accounting stays separator-free
+    * (same assignment as `pack_materialize`). */
+  private val packMaterializeEos = QueryDef("pack_materialize_eos",
+    (s, d) => graft.llm.Packing.packMaterialize(
+        t(s, d, "documents").withColumn("__w",
+          filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+          .where(size(col("__w")) > 0),
+        "doc_id", col("__w"), budget = 2048, docSep = Some("<eos>"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        size(col("tokens")).cast("long").as("stream_len"),
+        md5(array_join(col("tokens"), " ")).as("stream_md5"))
+      .orderBy(col("pack_id")),
+    Some("""WITH tc AS (SELECT doc_id,
+        CASE WHEN trim(text)='' THEN []
+             ELSE string_split_regex(trim(text),'\s+') END AS toks
+        FROM documents),
+      o AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      p AS (SELECT *, CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
+        FROM o)
+      SELECT pack_id, count(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_tokens) + count(*) AS BIGINT) AS stream_len,
+        md5(string_agg(array_to_string(toks, ' ') || ' <eos>', ' '
+          ORDER BY token_offset)) AS stream_md5
+      FROM p GROUP BY pack_id ORDER BY pack_id"""))
+
   /** Lockstep-recursion replay of [[graft.llm.Packing.packGreedy]]'s
     * fold rule for the DuckDB oracles: the recursive CTE advances ALL
     * groups one stream position per step (depth = `g`), then
@@ -4533,7 +4598,7 @@ object Queries {
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
-    packGreedyQ, packPaddingStats,
+    packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
     warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,

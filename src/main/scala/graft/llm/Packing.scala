@@ -75,6 +75,41 @@ object Packing {
       .select(col("doc_id"), col("n_tokens"), col("token_offset"), col("pack_id"))
   }
 
+  /** Incremental continuation of [[packSequences]] — the
+    * continuous-ingestion shape (the packing analogue of
+    * `exactDedupAgainst` / `appendIvfIndex`): a NEW batch continues
+    * the token stream where the existing assignment stopped, so
+    * offsets and pack ids extend the corpus assignment WITHOUT
+    * re-packing it — including filling the last partial pack, because
+    * the floor(offset/budget) framing is a pure function of the
+    * global offset. When batch ids sort after the corpus ids (the
+    * ingestion contract for an orderable stream id), append ≡
+    * repack-of-union exactly (spec- and oracle-bound).
+    *
+    * @param startOffset total token count already assigned — from
+    *                    [[assignedTokenTotal]] over the existing
+    *                    assignment, or carried in the ingestion ledger */
+  def packSequencesAppend(batch: DataFrame, idCol: String, tokensCol: Column,
+                          budget: Long, startOffset: Long,
+                          numParts: Int = 0): DataFrame = {
+    require(startOffset >= 0,
+      s"packSequencesAppend: startOffset must be >= 0, got $startOffset")
+    packSequences(batch, idCol, tokensCol, budget, numParts)
+      .withColumn("token_offset", col("token_offset") + startOffset)
+      .withColumn("pack_id",
+        floor(col("token_offset") / lit(budget)).cast("long"))
+  }
+
+  /** Total token count of an existing [[packSequences]] assignment —
+    * the `startOffset` for the next [[packSequencesAppend]] batch.
+    * One max aggregate (a one-row driver scalar, not a corpus
+    * collect). */
+  def assignedTokenTotal(assignment: DataFrame): Long = {
+    val r = assignment
+      .agg(max(col("token_offset") + col("n_tokens"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Deterministic shuffle + sharding for training-data loaders: every
     * row gets a stable pseudo-random `rank` (md5 of its id — chosen
     * over seeded RNG or xxhash64 because md5 is identical in every
@@ -120,10 +155,20 @@ object Packing {
     * `budget` by less than one document; a loader truncates or
     * overflows per its own policy). */
   def packMaterialize(df: DataFrame, idCol: String, tokensCol: Column,
-                      budget: Long, numParts: Int = 0): DataFrame = {
+                      budget: Long, numParts: Int = 0,
+                      docSep: Option[String] = None): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), tokensCol.as("__toks"))
     val assigned = packSequences(df, idCol, size(tokensCol).cast("long"),
       budget, numParts)
+    // docSep: the document separator token trainers insert between
+    // concatenated docs (EOS/endoftext) — appended AFTER EVERY member
+    // doc, the (doc + EOS)* convention, so the stream length is
+    // n_tokens + n_docs. n_tokens stays the DOC token sum (the budget
+    // accounting is separator-free, matching packSequences).
+    val member: Column => Column = docSep match {
+      case Some(sp) => ts => concat(ts, array(lit(sp)))
+      case None => ts => ts
+    }
     assigned.join(toks, Seq("doc_id"))
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -131,7 +176,7 @@ object Packing {
         // struct sorts by its first field: token_offset orders members
         flatten(transform(
           sort_array(collect_list(struct(col("token_offset"), col("__toks")))),
-          m => m.getField("__toks"))).as("tokens"))
+          m => member(m.getField("__toks")))).as("tokens"))
       .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("tokens"))
   }
 

@@ -237,6 +237,47 @@ class PackingSpec extends SparkSpec {
     assert(sums.forall { case (_, s, o) => o || s <= 10 })
   }
 
+  test("packSequencesAppend: append ≡ repack-of-union; partial pack keeps filling") {
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L), (5L, 1L), (6L, 7L))
+      .toDF("doc_id", "t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val full = Packing.packSequences(docs, "doc_id", col("t"), budget = 6)
+    val first = Packing.packSequences(
+      docs.where(col("doc_id") <= 3), "doc_id", col("t"), budget = 6)
+    val start = Packing.assignedTokenTotal(first)
+    assert(start == 9L)
+    val appended = Packing.packSequencesAppend(
+      docs.where(col("doc_id") > 3), "doc_id", col("t"),
+      budget = 6, startOffset = start)
+    assert(rows(first.unionByName(appended)) == rows(full))
+    // the batch's first doc landed mid-pack (offset 9 -> pack 1), not
+    // at a fresh pack boundary — the partial pack kept filling
+    assert(appended.orderBy("doc_id").select("pack_id").as[Long]
+      .collect().head == 1L)
+    // empty-assignment total is 0 (first batch of a new corpus)
+    assert(Packing.assignedTokenTotal(full.where(col("doc_id") < 0)) == 0L)
+  }
+
+  test("packMaterialize docSep: (doc + EOS)* stream, separator-free accounting") {
+    val docs = Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq("d", "e")))
+      .toDF("doc_id", "toks")
+    val out = Packing.packMaterialize(docs, "doc_id", col("toks"),
+        budget = 3, docSep = Some("<eos>"))
+      .orderBy("pack_id")
+      .select("pack_id", "n_tokens", "tokens")
+      .as[(Long, Long, Seq[String])].collect().toSeq
+    // budget 3: docs 1+2 fill pack 0 (3 tokens), doc 3 opens pack 1;
+    // n_tokens stays the DOC sum, the stream carries one <eos> per doc
+    assert(out == Seq(
+      (0L, 3L, Seq("a", "b", "<eos>", "c", "<eos>")),
+      (1L, 2L, Seq("d", "e", "<eos>"))))
+    // no separator -> the round-6 behavior, unchanged
+    val plain = Packing.packMaterialize(docs, "doc_id", col("toks"), budget = 3)
+      .orderBy("pack_id").select("tokens").as[Seq[String]].collect().toSeq
+    assert(plain == Seq(Seq("a", "b", "c"), Seq("d", "e")))
+  }
+
   test("packGreedy: deterministic across input partitioning") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
