@@ -3343,6 +3343,41 @@ object Queries {
           ORDER BY token_offset)) AS stream_md5
       FROM p GROUP BY pack_id ORDER BY pack_id"""))
 
+  /** Greedy-mode pack MATERIALIZATION
+    * ([[graft.llm.Packing.packGreedyMaterialize]]): the per-pack
+    * concatenated streams under NO-SPLIT packing, with `<eos>` after
+    * every member doc. The oracle joins the lockstep-recursion
+    * assignment back to the token arrays and replays the stream bytes
+    * per pack in member (id) order. */
+  private val packGreedyMatQ = QueryDef("pack_greedy_materialize",
+    (s, d) => graft.llm.Packing.packGreedyMaterialize(
+        t(s, d, "documents").withColumn("__w",
+          filter(split(trim(col("text")), "\\s+"), w => w =!= "")),
+        "doc_id", col("__w"), budget = 256, docsPerGroup = 8,
+        docSep = Some("<eos>"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        col("oversize"),
+        md5(array_join(col("tokens"), " ")).as("stream_md5"))
+      .orderBy(col("pack_id")),
+    Some(s"""${sqlGreedyCte(256, 8)},
+      packs AS (SELECT a.doc_id, a.n_tokens,
+          CAST(o.goff + a.emitted AS BIGINT) AS pack_id
+        FROM asg a JOIN off o USING (grp)),
+      tk AS (SELECT doc_id,
+          CASE WHEN trim(text)='' THEN []
+               ELSE list_filter(string_split_regex(trim(text), '\\s+'),
+                 w -> w <> '') END AS toks
+        FROM documents)
+      SELECT p.pack_id, count(*) AS n_docs,
+        CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+        max(p.n_tokens > 256) AS oversize,
+        md5(string_agg(
+          CASE WHEN len(t.toks) = 0 THEN '<eos>'
+               ELSE array_to_string(t.toks, ' ') || ' <eos>' END,
+          ' ' ORDER BY p.doc_id)) AS stream_md5
+      FROM packs p JOIN tk t USING (doc_id)
+      GROUP BY p.pack_id ORDER BY p.pack_id"""))
+
   /** Lockstep-recursion replay of [[graft.llm.Packing.packGreedy]]'s
     * fold rule for the DuckDB oracles: the recursive CTE advances ALL
     * groups one stream position per step (depth = `g`), then
@@ -4599,6 +4634,7 @@ object Queries {
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
+    packGreedyMatQ,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
     warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,

@@ -260,6 +260,38 @@ object Packing {
         (col("z.ms.n_tokens") > budget).as("oversize"))
   }
 
+  /** Materialize [[packGreedy]]'s no-split assignment into per-pack
+    * concatenated token streams — the trainer-bytes counterpart of
+    * [[packMaterialize]] for the doc-boundary-respecting mode. Members
+    * concatenate in stream (id) order; `docSep` follows the same
+    * (doc + EOS)* convention. Same bounded shape: the greedy
+    * assignment's two prefix frames + ONE shuffle on pack_id whose
+    * groups hold ≤ budget tokens (or a single flagged oversize doc).
+    *
+    * @return (pack_id, n_docs, n_tokens, oversize, tokens) by pack */
+  def packGreedyMaterialize(df: DataFrame, idCol: String, tokensCol: Column,
+                            budget: Long, docsPerGroup: Int = 4096,
+                            numParts: Int = 0,
+                            docSep: Option[String] = None): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokensCol.as("__toks"))
+    val asg = packGreedy(df, idCol, size(tokensCol).cast("long"),
+      budget, docsPerGroup, numParts)
+    val member: Column => Column = docSep match {
+      case Some(sp) => ts => concat(ts, array(lit(sp)))
+      case None => ts => ts
+    }
+    asg.join(toks, Seq("doc_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("oversize")).as("oversize"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("__toks")))),
+          m => member(m.getField("__toks")))).as("tokens"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        col("oversize"), col("tokens"))
+  }
+
   /** Order-independent 64-bit row digest from the md5 `rank` hex: the
     * integer value of its first 8 hex digits (engine-portable pure
     * arithmetic on substrings — no conv()/from_hex, which differ

@@ -278,6 +278,23 @@ class PackingSpec extends SparkSpec {
     assert(plain == Seq(Seq("a", "b", "c"), Seq("d", "e")))
   }
 
+  test("packGreedyMaterialize: no-split streams in member order, oversize flagged") {
+    val docs = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq("d", "e", "f", "g")),
+      (4L, Seq("h", "i"))).toDF("doc_id", "toks")
+    // budget 3: docs 1+2 fill pack 0; doc 3 (4 toks) oversize -> own
+    // pack 1; doc 4 opens pack 2
+    val out = Packing.packGreedyMaterialize(docs, "doc_id", col("toks"),
+        budget = 3, docsPerGroup = 100, docSep = Some("<eos>"))
+      .orderBy("pack_id")
+      .select("pack_id", "n_docs", "oversize", "tokens")
+      .as[(Long, Long, Boolean, Seq[String])].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, false, Seq("a", "b", "<eos>", "c", "<eos>")),
+      (1L, 1L, true, Seq("d", "e", "f", "g", "<eos>")),
+      (2L, 1L, false, Seq("h", "i", "<eos>"))))
+  }
+
   test("packGreedy: deterministic across input partitioning") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
