@@ -1,5 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Accumulates shuffle bytes across completed stages — the measured
+  * counterpart of PLANS.md's "map-only / one shuffle" claims. Listener
+  * events arrive asynchronously; [[settle]] polls until the counters
+  * are quiescent so per-query deltas attribute correctly in a
+  * sequential bench. */
+private class ShuffleTally extends SparkListener {
+  val read = new java.util.concurrent.atomic.AtomicLong
+  val write = new java.util.concurrent.atomic.AtomicLong
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    if (m != null) {
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  def snapshot(): (Long, Long) = (read.get(), write.get())
+  def settle(maxMs: Long = 2000): Unit = {
+    var last = snapshot(); var stableFor = 0L; val t0 = System.nanoTime()
+    while (stableFor < 200 && (System.nanoTime() - t0) / 1e6 < maxMs) {
+      Thread.sleep(50)
+      val cur = snapshot()
+      if (cur == last) stableFor += 50 else { stableFor = 0; last = cur }
+    }
+  }
+}
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line. Failures are explicit: the failed query
@@ -48,6 +75,14 @@ object Bench {
       case Some(names) => Queries.all.filter(q => names(q.name))
       case None => Queries.all
     }
+    // SPARK_GRAFT_BENCH_METRICS=1 adds a per-query shuffle-bytes pass
+    // AFTER the timing runs (the listener's settle-polling must not
+    // perturb the timed measurements): one extra evaluation per query,
+    // reported as "shuffle":{name:[readBytes,writeBytes]}
+    val wantMetrics = sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1")
+    val tally = new ShuffleTally
+    if (wantMetrics) spark.sparkContext.addSparkListener(tally)
+    val shuffles = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val results = selected.map { q =>
       val times = (1 to runs).map { _ =>
         // operator-internal caches (LSH signatures etc.) must not leak
@@ -64,12 +99,26 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      if (wantMetrics && !times.contains(-1.0)) {
+        spark.catalog.clearCache()
+        tally.settle()
+        val (r0, w0) = tally.snapshot()
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          tally.settle()
+          val (r1, w1) = tally.snapshot()
+          shuffles(q.name) = (r1 - r0, w1 - w0)
+        } catch { case _: Throwable => () }
+      }
       q.name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"runs":$runs,"sf":${jstr(sfDir)}}"""
+    val sh = if (shuffles.isEmpty) ""
+      else ""","shuffle":""" + shuffles.map { case (k, (r, w)) =>
+        jstr(k) + s":[$r,$w]" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$sh,"runs":$runs,"sf":${jstr(sfDir)}}"""
     println(line)
     // also persist the metric line to a file: a truncated stdout capture
     // (the r4 BENCH artifact lost its tail) must not lose the round's

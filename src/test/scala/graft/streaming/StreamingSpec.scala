@@ -285,6 +285,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental packing over a stream: per-batch append with carried offset ≡ one-shot repack") {
+    // the streaming trainer-format story: each micro-batch continues
+    // the token stream via packSequencesAppend with the offset carried
+    // across batches (in production, in the ingestion ledger); the
+    // concatenation of per-batch assignments must equal packing the
+    // whole corpus at once — including packs straddling batch
+    // boundaries
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    var offset = 0L
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val asg = graft.llm.Packing.packSequencesAppend(
+          batch.toDF("doc_id", "t"), "doc_id", col("t"),
+          budget = 6, startOffset = offset)
+        val rows = asg.orderBy("doc_id")
+          .as[(Long, Long, Long, Long)](
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+          .collect()
+        results ++= rows
+        offset += rows.map(_._2).sum
+      }
+    val q = mem.toDF().writeStream.foreachBatch(sink).start()
+    try {
+      mem.addData((1L, 3L), (2L, 4L)); q.processAllAvailable()
+      mem.addData((3L, 2L), (4L, 5L)); q.processAllAvailable()
+      mem.addData((5L, 1L), (6L, 7L)); q.processAllAvailable()
+    } finally q.stop()
+    val full = graft.llm.Packing.packSequences(
+        Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L), (5L, 1L), (6L, 7L))
+          .toDF("doc_id", "t"), "doc_id", col("t"), budget = 6)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(results.sortBy(_._1).toSeq == full)
+  }
+
   test("web front-end filters compose into a stream: url + c4 at ingest time") {
     // urlOk (literal lists) and the C4 rules are pure column
     // expressions, so the web-curation front end runs unchanged on a
