@@ -158,6 +158,44 @@ object ConfigLoader {
           req(o, "textCol"),
           k = o.getOrElse("k", "8").toInt,
           minDocs = o.getOrElse("minDocs", "2").toInt)),
+      // variable-length exact substring strip (Lee et al. 2022
+      // ExactSubstr granularity: remove every copy of token runs >= L
+      // shared across >= minOcc occurrences)
+      "strip_duplicate_runs" -> (o => df =>
+        graft.llm.ExactSubstr.stripDuplicateRuns(df, req(o, "idCol"),
+          req(o, "textCol"),
+          L = o.getOrElse("L", "50").toInt,
+          minOcc = o.getOrElse("minOcc", "2").toInt)),
+      // per-source TOKEN budget admission (trainer-mix allowances in
+      // tokens; maxEpochs > 1 loops a source deterministically when
+      // the budget exceeds its size)
+      "token_budget" -> (o => df => {
+        val epochs = o.getOrElse("maxEpochs", "1").toInt
+        if (epochs > 1)
+          graft.llm.Mixing.tokenBudgetSampleEpochs(df, req(o, "idCol"),
+            req(o, "textCol"), req(o, "sourceCol"),
+            budget = req(o, "budget").toLong, maxEpochs = epochs,
+            salt = o.getOrElse("salt", "graft"))
+        else
+          graft.llm.Mixing.tokenBudgetSample(df, req(o, "idCol"),
+            req(o, "textCol"), req(o, "sourceCol"),
+            budget = req(o, "budget").toLong,
+            salt = o.getOrElse("salt", "graft"))
+      }),
+      // greedy-mode pack materialization: no-split streams + optional
+      // (doc + EOS)* separator — feeds training_shards directly
+      "pack_greedy_materialize" -> (o => df => {
+        val toks: Column = o.get("tokensCol").map(c => ColumnNs.q(c))
+          .getOrElse(filter(
+            split(trim(ColumnNs.q(req(o, "textCol"))), "\\s+"), w => w =!= ""))
+        graft.llm.Packing.packGreedyMaterialize(
+          df.withColumn("__graft_toks", toks),
+          req(o, "idCol"), col("__graft_toks"),
+          budget = req(o, "budget").toLong,
+          docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
+          numParts = o.getOrElse("numParts", "0").toInt,
+          docSep = o.get("docSep"))
+      }),
       // "train=0.8,val=0.1,test=0.1" — order defines the hash ladder
       "split" -> (o => df =>
         graft.llm.Mixing.splitByHash(df, req(o, "keyCol"),

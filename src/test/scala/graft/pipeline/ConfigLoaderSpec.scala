@@ -371,6 +371,35 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L))
   }
 
+  test("round-7 kinds: strip_duplicate_runs, token_budget, pack_greedy_materialize") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    // strip_duplicate_runs: a 4-token run shared by docs 1 and 2 is
+    // removed from both; unique text survives
+    val docs = Seq((1L, "u1 u2 a b c d v1"), (2L, "w1 a b c d w2"),
+      (3L, "x y z q")).toDF("doc_id", "text")
+    val stripped = transformKinds("strip_duplicate_runs")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "L" -> "4"))(docs)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(stripped == Seq((1L, "u1 u2 v1"), (2L, "w1 w2"), (3L, "x y z q")))
+    // token_budget: epochs route engages above maxEpochs=1 (copy_idx
+    // column appears); single-pass route keeps the original shape
+    val src = Seq((1L, "a b", "s"), (2L, "c d", "s")).toDF("doc_id", "text", "src")
+    val single = transformKinds("token_budget")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "sourceCol" -> "src",
+        "budget" -> "100"))(src)
+    assert(!single.columns.contains("copy_idx") && single.count() == 2)
+    val multi = transformKinds("token_budget")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "sourceCol" -> "src",
+        "budget" -> "8", "maxEpochs" -> "2"))(src)
+    assert(multi.columns.contains("copy_idx") && multi.count() == 4)
+    // pack_greedy_materialize: streams with EOS from config
+    val mat = transformKinds("pack_greedy_materialize")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "budget" -> "4",
+        "docSep" -> "<eos>"))(docs.where(col("doc_id") === 3))
+      .select("tokens").as[Seq[String]].collect().head
+    assert(mat == Seq("x", "y", "z", "q", "<eos>"))
+  }
+
   test("web-curation YAML pipeline: WET -> url -> c4 -> quality -> dedup") {
     val work = Files.createTempDirectory("graft_web_cfg").toFile.getPath
     // five WET conversion records: a keeper, its exact duplicate under
