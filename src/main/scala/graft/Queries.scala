@@ -1387,6 +1387,39 @@ object Queries {
     Some("""SELECT 'src1' AS a, 'zzclone' AS b,
       CAST(1.0 AS DOUBLE) AS est_jaccard"""))
 
+  /** INCREMENTAL sketch maintenance
+    * ([[graft.llm.Sketches.mergeSignatureFrames]]): per-source
+    * signatures of the first corpus half are "persisted", a batch of
+    * COPIES of those docs (re-keyed — adds no new shingles) is
+    * sketched separately, and the element-wise-min merge must equal
+    * the from-scratch signatures of the union EXACTLY for every
+    * source — min is associative/commutative/idempotent, so equality
+    * is deterministic despite the seeded hashes, and the planted
+    * oracle states it directly. SketchesSpec proves the general
+    * merge ≡ full property on non-planted slices. */
+  private val sketchMergePlanted = QueryDef("sketch_merge_planted",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val first = docs.where(col("doc_id") <= mid)
+      val batch = first.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"), col("text"))
+      val stored = graft.llm.Sketches.groupSignatures(first, "source", "text")
+      val bsig = graft.llm.Sketches.groupSignatures(batch, "source", "text")
+      val merged = graft.llm.Sketches.mergeSignatureFrames(stored, bsig)
+      val full = graft.llm.Sketches.groupSignatures(
+        first.unionByName(batch), "source", "text")
+      merged.join(full.select(col("group_key"), col("sig").as("sig_full")),
+          Seq("group_key"))
+        .select(col("group_key").as("source"),
+          (col("sig") === col("sig_full")).as("sig_equal"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT DISTINCT source, true AS sig_equal FROM documents
+      WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+      ORDER BY source"""))
+
   /** Exact group-level content Jaccard
     * ([[graft.llm.Sketches.groupJaccardExact]]) — the ground truth the
     * sketch estimates; all source pairs, exact rational values. */
@@ -4616,6 +4649,7 @@ object Queries {
     dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
     dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
     dedupNgram, dedupClustersBest, sourceSimPlanted, sourceJaccardExact,
+    sketchMergePlanted,
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     dedupSubstrings, dedupSubstringsStrip,
     decontaminate, decontaminateBloom, decontaminateFuzzyQ,

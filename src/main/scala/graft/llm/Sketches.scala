@@ -65,6 +65,30 @@ object Sketches {
       .agg(union(col("__sig")).as("sig"))
   }
 
+  /** INCREMENTAL sketch maintenance — fold a new batch's group
+    * signatures into a PERSISTED signature frame without rescanning
+    * the corpus (the observability analogue of `exactDedupAgainst` /
+    * `packSequencesAppend`): element-wise min is associative,
+    * commutative and idempotent, so
+    * `merge(sig(A), sig(B)) == sig(A ∪ B)` EXACTLY — spec-proven on
+    * corpus slices and oracle-bound by the planted
+    * `sketch_merge_planted` row. Shape: union → one bounded
+    * (group, pos) aggregation (k rows per group) → re-assemble; groups
+    * absent from one side pass through unchanged (min over one side).
+    * At 100 TB the stored frame is G × k longs — megabytes — and each
+    * daily batch pays only its own scan. */
+  def mergeSignatureFrames(a: DataFrame, b: DataFrame,
+                           groupCol: String = "group_key",
+                           sigCol: String = "sig"): DataFrame =
+    a.select(col(groupCol), col(sigCol))
+      .unionByName(b.select(col(groupCol), col(sigCol)))
+      .select(col(groupCol), posexplode(col(sigCol)).as(Seq("__pos", "__h")))
+      .groupBy(col(groupCol), col("__pos")).agg(min(col("__h")).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__h")))),
+        m => m.getField("__h")).as(sigCol))
+
   /** Estimated content-Jaccard between every pair of groups (a < b):
     * the fraction of matching signature positions — an unbiased
     * estimator of the Jaccard of the groups' shingle-set unions, with

@@ -49,4 +49,28 @@ class SketchesSpec extends SparkSpec {
     assert(!exact.contains(("A", "C")) || exact(("A", "C")) == 0.0)
     assert(est.getOrElse(("A", "C"), 0.0) < 0.15)
   }
+
+  test("mergeSignatureFrames: merge(sig(A), sig(B)) == sig(A ∪ B) exactly") {
+    // NOT planted copies — genuinely different halves of the corpus;
+    // element-wise min associativity makes the equality exact despite
+    // the seeded hashes
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).limit(200)
+      .localCheckpoint(true)
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.groupSignatures(df, "source", "text")
+    val merged = Sketches.mergeSignatureFrames(sigs(a), sigs(b))
+      .as[(String, Seq[Long])].collect().toMap
+    val full = sigs(docs).as[(String, Seq[Long])].collect().toMap
+    assert(merged.keySet == full.keySet)
+    full.foreach { case (g, sig) => assert(merged(g) == sig, s"group $g") }
+    // a group present on only ONE side passes through unchanged
+    val lone = Seq((1L, "onlyA", "some words here")).toDF("doc_id", "source", "text")
+    val m2 = Sketches.mergeSignatureFrames(sigs(a), sigs(lone))
+      .as[(String, Seq[Long])].collect().toMap
+    val loneSig = sigs(lone).as[(String, Seq[Long])].collect().toMap
+    assert(m2("onlyA") == loneSig("onlyA"))
+  }
 }
