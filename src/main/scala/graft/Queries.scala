@@ -3005,7 +3005,9 @@ object Queries {
           AND NOT contains(lower(page), 'lorem ipsum')
           AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
           AND NOT list_has_any(
-            string_split(trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '),
+            list_transform(
+              string_split(trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '),
+              w -> regexp_replace(w, '^[[:punct:]]+|[[:punct:]]+$$', '', 'g')),
             ['dup'])),
       q AS (SELECT doc_id, url, cleaned,
           string_split(trim(regexp_replace(lower(cleaned), '\\s+', ' ', 'g')), ' ') AS ws,
@@ -3108,7 +3110,9 @@ object Queries {
           (NOT contains(page, '{')
            AND NOT contains(lower(page), 'lorem ipsum')
            AND NOT list_has_any(
-             string_split(trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '),
+             list_transform(
+               string_split(trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '),
+               w -> regexp_replace(w, '^[[:punct:]]+|[[:punct:]]+$$', '', 'g')),
              ['dup'])) AS c4_page_base
         FROM uh),
       q AS (SELECT doc_id, source, url_ok, cleaned,
@@ -3284,7 +3288,9 @@ object Queries {
          AND NOT contains(lower(page), 'lorem ipsum')
          AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
          AND NOT list_has_any(
-           string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' '),
+           list_transform(
+             string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' '),
+             w -> regexp_replace(w, '^[[:punct:]]+|[[:punct:]]+$', '', 'g')),
            ['dup', 'xylophone'])) AS kept
       FROM cl ORDER BY doc_id"""))
 

@@ -384,9 +384,13 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("__nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__m"))
+      // lazy checkpoint: next0 feeds BOTH sides of the doubling
+      // self-join below — without it the edges-join-aggregate subtree
+      // executes twice per round
       val next0 = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__m"), col("label"))).as("label"))
+        .localCheckpoint(false)
       // pointer doubling: also jump to the label's OWN label. Labels
       // only ever decrease within a component, so the jump is safe,
       // and it halves the effective diameter per round — a length-d

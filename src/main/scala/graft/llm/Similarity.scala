@@ -535,10 +535,18 @@ object Similarity {
           cell * kf + nearest(a, subs(cell))
         }
       case None =>
+        // the flat build assigned via the ML KMeans transform, whose
+        // mllib findClosest uses norm-pruned fastSquaredDistance — a
+        // naive sum-of-squares loop can differ on FP near-ties and
+        // break append ≡ rebuild for boundary vectors, so replay the
+        // EXACT same predictor over the stored centroids
         val centers = centroidsDf.select(col("cluster"), col("__ctr"))
           .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
           .sortBy(_._1).map(_._2)
-        udf { (v: Seq[Double]) => nearest(v.toArray, centers) }
+        val model = new org.apache.spark.mllib.clustering.KMeansModel(
+          centers.map(org.apache.spark.mllib.linalg.Vectors.dense))
+        udf { (v: Seq[Double]) =>
+          model.predict(org.apache.spark.mllib.linalg.Vectors.dense(v.toArray)) }
     }
     c.withColumn("cluster", assignF(col("__cv")))
       .repartition(col("cluster"))

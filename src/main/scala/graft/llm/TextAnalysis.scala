@@ -232,8 +232,16 @@ object TextAnalysis {
       !lower(raw).contains("lorem ipsum") &&
       regexp_count(cleaned, lit("[.!?]")) >= minSentences
     if (badWords.isEmpty) base
-    else base && !arrays_overlap(words(raw),
-      array(badWords.map(w => lit(w.toLowerCase)): _*))
+    else {
+      // strip edge punctuation from each word before matching: the
+      // normalized split keeps punctuation attached, and a blocklist
+      // must hit "badword." / "(badword" / '"badword"' — word-interior
+      // punctuation still never matches ("class" vs "ass" stays safe)
+      val stripped = transform(words(raw),
+        w => regexp_replace(w, "^\\p{Punct}+|\\p{Punct}+$", ""))
+      base && !arrays_overlap(stripped,
+        array(badWords.map(w => lit(w.toLowerCase)): _*))
+    }
   }
 
   /** The eight Gopher stop words (Rae et al. 2021, "Scaling Language

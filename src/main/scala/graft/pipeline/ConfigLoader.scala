@@ -168,28 +168,22 @@ object ConfigLoader {
           minOcc = o.getOrElse("minOcc", "2").toInt)),
       // per-source TOKEN budget admission (trainer-mix allowances in
       // tokens; maxEpochs > 1 loops a source deterministically when
-      // the budget exceeds its size)
-      "token_budget" -> (o => df => {
-        val epochs = o.getOrElse("maxEpochs", "1").toInt
-        if (epochs > 1)
-          graft.llm.Mixing.tokenBudgetSampleEpochs(df, req(o, "idCol"),
-            req(o, "textCol"), req(o, "sourceCol"),
-            budget = req(o, "budget").toLong, maxEpochs = epochs,
-            salt = o.getOrElse("salt", "graft"))
-        else
-          graft.llm.Mixing.tokenBudgetSample(df, req(o, "idCol"),
-            req(o, "textCol"), req(o, "sourceCol"),
-            budget = req(o, "budget").toLong,
-            salt = o.getOrElse("salt", "graft"))
-      }),
+      // the budget exceeds its size). ALWAYS routes through the epochs
+      // sampler so the output schema is stable — maxEpochs=1 is
+      // spec-identical to the single-pass sampler plus copy_idx=0; a
+      // config tuned between 1 and N epochs must not silently change
+      // columns under a downstream sink
+      "token_budget" -> (o => df =>
+        graft.llm.Mixing.tokenBudgetSampleEpochs(df, req(o, "idCol"),
+          req(o, "textCol"), req(o, "sourceCol"),
+          budget = req(o, "budget").toLong,
+          maxEpochs = o.getOrElse("maxEpochs", "1").toInt,
+          salt = o.getOrElse("salt", "graft"))),
       // greedy-mode pack materialization: no-split streams + optional
       // (doc + EOS)* separator — feeds training_shards directly
       "pack_greedy_materialize" -> (o => df => {
-        val toks: Column = o.get("tokensCol").map(c => ColumnNs.q(c))
-          .getOrElse(filter(
-            split(trim(ColumnNs.q(req(o, "textCol"))), "\\s+"), w => w =!= ""))
         graft.llm.Packing.packGreedyMaterialize(
-          df.withColumn("__graft_toks", toks),
+          df.withColumn("__graft_toks", wsToks(o)),
           req(o, "idCol"), col("__graft_toks"),
           budget = req(o, "budget").toLong,
           docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
@@ -273,11 +267,8 @@ object ConfigLoader {
       // pack (padding-aware mode for doc-attention/instruction
       // trainers); emits (doc_id, n_tokens, pack_id, oversize)
       "pack_greedy" -> (o => df => {
-        val toks: Column = o.get("tokensCol").map(c => ColumnNs.q(c))
-          .getOrElse(filter(
-            split(trim(ColumnNs.q(req(o, "textCol"))), "\\s+"), w => w =!= ""))
         graft.llm.Packing.packGreedy(
-          df.withColumn("__graft_n", size(toks).cast("long")),
+          df.withColumn("__graft_n", size(wsToks(o)).cast("long")),
           req(o, "idCol"), col("__graft_n"),
           budget = req(o, "budget").toLong,
           docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
@@ -290,11 +281,8 @@ object ConfigLoader {
       // into a pack and are dropped (the pack_materialize query's
       // convention). Output frame: (pack_id, n_docs, n_tokens, tokens).
       "pack_materialize" -> (o => df => {
-        val toks: Column = o.get("tokensCol").map(c => ColumnNs.q(c))
-          .getOrElse(filter(
-            split(trim(ColumnNs.q(req(o, "textCol"))), "\\s+"), w => w =!= ""))
         graft.llm.Packing.packMaterialize(
-          df.withColumn("__graft_toks", toks)
+          df.withColumn("__graft_toks", wsToks(o))
             .where(size(col("__graft_toks")) > 0),
           req(o, "idCol"), col("__graft_toks"),
           budget = req(o, "budget").toLong,
@@ -434,6 +422,16 @@ object ConfigLoader {
 
   private def req(o: Options, k: String): String =
     o.getOrElse(k, throw new Pipeline.ValidationException(s"missing option '$k'"))
+
+  /** Shared packing-kind token expression: `tokensCol` names an
+    * existing array<string> column; absent → whitespace tokens of
+    * `textCol`, NULL-SAFE (a null text is zero tokens, not a null
+    * array poisoning downstream size()/fold arithmetic). One
+    * definition so the three packing kinds cannot drift. */
+  private def wsToks(o: Options): Column =
+    o.get("tokensCol").map(c => ColumnNs.q(c)).getOrElse(
+      filter(split(trim(coalesce(ColumnNs.q(req(o, "textCol")), lit(""))),
+        "\\s+"), w => w =!= ""))
   /** "prefix" option: absent -> default "legacy." (the reference's
     * configurable default, README.md:67); "" -> no normalization. */
   private def prefix(o: Options): Option[String] = o.get("prefix") match {

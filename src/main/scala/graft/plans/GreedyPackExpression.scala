@@ -64,7 +64,9 @@ object GreedyPack {
     var running = 0L   // tokens already in the open pack
     var i = 0
     while (i < n) {
-      val t = tokens.getLong(i)
+      // a null element (null text upstream of a size()) counts as a
+      // zero-token doc rather than reading undefined memory
+      val t = if (tokens.isNullAt(i)) 0L else tokens.getLong(i)
       if (t > budget) {
         // oversize: its own pack; close the open one if non-empty
         if (running > 0) local += 1

@@ -303,7 +303,9 @@ object ScaleProbe {
       // build happens OUTSIDE the timer: the probe measures ingest,
       // not (re)build.
       locally {
-        val wantIvf = opsFilter.isEmpty || opsFilter.exists("ivf_append".contains)
+        // same label-contains-token convention as time()
+        val wantIvf = opsFilter.isEmpty ||
+          opsFilter.exists(t => s"ivf_append x$k".contains(t))
         if (wantIvf) {
           val embK = replicateEmb(emb, k).localCheckpoint(true)
           val dir = s"/tmp/graft_probe/ivf_x$k"

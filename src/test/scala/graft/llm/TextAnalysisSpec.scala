@@ -363,6 +363,12 @@ class TextAnalysisSpec extends SparkSpec {
     // bad words match on WORD boundaries of the raw page, not substrings
     assert(!ok("this page mentions dup once", bad = Seq("dup")))
     assert(ok("no holdup in this page", bad = Seq("dup")))
+    // edge punctuation must not shield a blocklisted word...
+    assert(!ok("they said dup.", bad = Seq("dup")))
+    assert(!ok("(dup) appears parenthesized", bad = Seq("dup")))
+    assert(!ok("she wrote \"dup\" in quotes", bad = Seq("dup")))
+    // ...but word-INTERIOR punctuation still never matches
+    assert(ok("the dup-licated hyphen stays safe", bad = Seq("dup")))
     // matching is case-insensitive via the normalized word split
     assert(!ok("this page mentions DUP once", bad = Seq("dup")))
   }

@@ -381,17 +381,20 @@ class ConfigLoaderSpec extends SparkSpec {
       Map("idCol" -> "doc_id", "textCol" -> "text", "L" -> "4"))(docs)
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(stripped == Seq((1L, "u1 u2 v1"), (2L, "w1 w2"), (3L, "x y z q")))
-    // token_budget: epochs route engages above maxEpochs=1 (copy_idx
-    // column appears); single-pass route keeps the original shape
+    // token_budget: STABLE schema — copy_idx is present at every
+    // maxEpochs value (always the epochs sampler; tuning a config
+    // between 1 and N epochs must not change columns under a sink)
     val src = Seq((1L, "a b", "s"), (2L, "c d", "s")).toDF("doc_id", "text", "src")
     val single = transformKinds("token_budget")(
       Map("idCol" -> "doc_id", "textCol" -> "text", "sourceCol" -> "src",
         "budget" -> "100"))(src)
-    assert(!single.columns.contains("copy_idx") && single.count() == 2)
+    assert(single.columns.contains("copy_idx") && single.count() == 2)
+    assert(single.select("copy_idx").as[Long].collect().forall(_ == 0L))
     val multi = transformKinds("token_budget")(
       Map("idCol" -> "doc_id", "textCol" -> "text", "sourceCol" -> "src",
         "budget" -> "8", "maxEpochs" -> "2"))(src)
     assert(multi.columns.contains("copy_idx") && multi.count() == 4)
+    assert(multi.columns.toSeq == single.columns.toSeq)
     // pack_greedy_materialize: streams with EOS from config
     val mat = transformKinds("pack_greedy_materialize")(
       Map("idCol" -> "doc_id", "textCol" -> "text", "budget" -> "4",
