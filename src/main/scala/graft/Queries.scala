@@ -3234,6 +3234,67 @@ object Queries {
         AND NOT contains(lower(url), 'casino')
       ORDER BY doc_id"""))
 
+  /** URL canonicalization ([[graft.llm.UrlOps.canonicalizeUrl]] — the
+    * step before URL-level dedup collapses one page crawled under many
+    * addresses): mixed-case authorities, tracking query params
+    * (alone, leading, and trailing), fragments, and trailing slashes
+    * all derive deterministically from (source, doc_id), and DuckDB
+    * replays the identical regexp chain (with 'g' flags and `\\1`
+    * backrefs — DuckDB replaces first-match by default, Spark replaces
+    * all). */
+  private val urlCanonicalize = QueryDef("url_canonicalize",
+    (s, d) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("source"))))
+          .otherwise(concat(lit("https://www."), col("source"))),
+        lit(".example/Doc/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+            concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("?id="), col("doc_id").cast("string"),
+              lit("&fbclid=xyz")))
+          .when(col("doc_id") % 5 === 2, lit("?utm_campaign=x"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section")).otherwise(lit("")))
+      t(s, d, "documents")
+        .withColumn("url", url)
+        .select(col("doc_id"), col("url"),
+          graft.llm.UrlOps.canonicalizeUrl(col("url")).as("canon"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0
+            THEN 'HTTPS://WWW.' || upper(source)
+            ELSE 'https://www.' || source END)
+        || '.example/Doc/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 5 = 1
+              THEN '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=xyz'
+            WHEN doc_id % 5 = 2 THEN '?utm_campaign=x'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
+        FROM documents),
+      a AS (SELECT doc_id, url,
+        regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS auth
+        FROM u),
+      c0 AS (SELECT doc_id, url,
+        lower(auth) || substr(url, length(auth) + 1) AS s0 FROM a),
+      c1 AS (SELECT doc_id, url, regexp_replace(s0, '#.*$', '', 'g') AS s1 FROM c0),
+      c2 AS (SELECT doc_id, url, regexp_replace(s1,
+        '([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)=[^&#]*',
+        '\1', 'g') AS s2 FROM c1),
+      c3 AS (SELECT doc_id, url,
+        regexp_replace(regexp_replace(regexp_replace(s2,
+          '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g') AS s3
+        FROM c2)
+      SELECT doc_id, url,
+        regexp_replace(s3, '(://[^/?#]+/.+?)/$', '\1', 'g') AS canon
+      FROM c3 ORDER BY doc_id"""))
+
   /** C4 cleaning (Raffel et al. 2020 §2.2,
     * [[graft.llm.TextAnalysis.c4CleanLines]]/`c4PageOk`): the corpus
     * has no newlines/punctuation, so each doc deterministically derives
@@ -4676,6 +4737,7 @@ object Queries {
     packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
+    urlCanonicalize,
     warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,

@@ -88,6 +88,41 @@ object UrlOps {
     base && domRule && kwRule
   }
 
+  /** Tracking query parameters stripped by [[canonicalizeUrl]]: the
+    * analytics/click-id keys that make one page crawl as many URLs
+    * (the reason URL-level dedup needs canonicalization first). */
+  private val trackingParamRe =
+    "(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)"
+
+  /** Canonical form of a URL for URL-LEVEL DEDUP — the step before
+    * exact-dedup on the URL column collapses the same page crawled
+    * under many addresses: lowercase scheme+host, drop the fragment,
+    * strip tracking query parameters ([[trackingParamRe]]; a query
+    * left empty loses its `?`), drop a trailing `/` on a non-root
+    * path. Pure regexp chain — codegen'd, map-only, RE2-replayable
+    * (no lookbehind). Path and retained query keep their case (they
+    * are case-significant per RFC 3986). */
+  def canonicalizeUrl(c: Column): Column = {
+    // case-fold ONLY the scheme://authority prefix (path/query are
+    // case-significant per RFC 3986): extract it, lower it, re-attach
+    // the remainder by length
+    val auth = regexp_extract(c, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val canon0 = Dedup.letBound(auth) { a =>
+      concat(lower(a), substring(c, length(a) + 1, lit(Int.MaxValue)))
+    }
+    // drop fragment
+    val noFrag = regexp_replace(canon0, "#.*$", "")
+    // strip tracking params wherever they sit in the query, then tidy
+    // separators: "?&" -> "?", "&&" -> "&", trailing "?"/"&" dropped
+    val noTrack = regexp_replace(noFrag,
+      s"([?&])$trackingParamRe=[^&#]*", "$1")
+    val tidied = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    // trailing slash on a non-root path (keep "https://h/" as-is)
+    regexp_replace(tidied, "(://[^/?#]+/.+?)/$", "$1")
+  }
+
   /** The scale path: drop every row whose URL host OR registrable
     * domain appears in the blocklist FRAME (UT1-style lists are
     * millions of domains — too big for a literal, right-sized for a

@@ -246,6 +246,14 @@ object ConfigLoader {
               .getOrElse(Nil), kws))
         }
       }),
+      // URL canonicalization before URL-level dedup: case-fold the
+      // authority, drop fragments, strip tracking params, normalize
+      // trailing slashes — in place, or to outCol
+      "url_canonicalize" -> (o => df => {
+        val name = req(o, "column")
+        df.withColumn(o.getOrElse("outCol", name),
+          graft.llm.UrlOps.canonicalizeUrl(ColumnNs.q(name)))
+      }),
       // C4 cleaning (Raffel et al. 2020 §2.2): line-level clean (keep
       // terminal-punct lines with >= minLineWords words and no
       // "javascript"), then drop pages failing the page rules (curly

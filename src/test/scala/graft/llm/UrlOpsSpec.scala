@@ -69,6 +69,36 @@ class UrlOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("canonicalizeUrl: each rule on its own case") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(UrlOps.canonicalizeUrl(col("u")))
+        .as[String].collect().head
+    // authority case-folds; path/query case is preserved
+    assert(canon("HTTPS://WWW.Example.COM/Path?Q=V") ==
+      "https://www.example.com/Path?Q=V")
+    // fragment dropped
+    assert(canon("https://h.example/a#frag") == "https://h.example/a")
+    // tracking params stripped wherever they sit; real params survive
+    assert(canon("https://h.example/a?utm_source=x&id=1") ==
+      "https://h.example/a?id=1")
+    assert(canon("https://h.example/a?id=1&fbclid=zzz") ==
+      "https://h.example/a?id=1")
+    assert(canon("https://h.example/a?utm_a=1&utm_b=2&id=3") ==
+      "https://h.example/a?id=3")
+    // an only-tracking query disappears entirely (no dangling '?')
+    assert(canon("https://h.example/a?utm_campaign=x") ==
+      "https://h.example/a")
+    // trailing slash dropped on a non-root path, kept at root
+    assert(canon("https://h.example/a/b/") == "https://h.example/a/b")
+    assert(canon("https://h.example/") == "https://h.example/")
+    // params merely PREFIXED by a tracking name are untouched
+    assert(canon("https://h.example/a?reftest=1&xref=2") ==
+      "https://h.example/a?reftest=1&xref=2")
+    // everything at once
+    assert(canon("HTTPS://H.Example/a/?utm_source=f#x") ==
+      "https://h.example/a")
+  }
+
   test("curation_funnel cross-checks curate_web: survivor sum == row count") {
     def q(n: String) = graft.Queries.all.find(_.name == n).get.fn(spark, sfDir)
     val funnel = q("curation_funnel").select(

@@ -395,6 +395,11 @@ class ConfigLoaderSpec extends SparkSpec {
         "budget" -> "8", "maxEpochs" -> "2"))(src)
     assert(multi.columns.contains("copy_idx") && multi.count() == 4)
     assert(multi.columns.toSeq == single.columns.toSeq)
+    // url_canonicalize: in-place tracking-param strip from config
+    val canon = transformKinds("url_canonicalize")(Map("column" -> "text"))(
+      Seq((1L, "HTTPS://H.Example/a?utm_source=f&id=1")).toDF("doc_id", "text"))
+      .select("text").as[String].collect().head
+    assert(canon == "https://h.example/a?id=1")
     // pack_greedy_materialize: streams with EOS from config
     val mat = transformKinds("pack_greedy_materialize")(
       Map("idCol" -> "doc_id", "textCol" -> "text", "budget" -> "4",
