@@ -3295,6 +3295,47 @@ object Queries {
         regexp_replace(s3, '(://[^/?#]+/.+?)/$', '\1', 'g') AS canon
       FROM c3 ORDER BY doc_id"""))
 
+  /** URL-level dedup — the composition canonicalization exists for:
+    * first-wins per CANONICAL url (one hash shuffle on the canonical
+    * key). The derived dirty URLs collide exactly when their
+    * canonical forms do (tracking params / fragments / case), so the
+    * oracle's window replay proves the composition, not just the
+    * parts. */
+  private val dedupUrls = QueryDef("dedup_urls",
+    (s, d) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("source"))))
+          .otherwise(concat(lit("https://www."), col("source"))),
+        lit(".example/Doc/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?utm_campaign=x")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section")).otherwise(lit("")))
+      val withCanon = t(s, d, "documents")
+        .withColumn("url", url)
+        .withColumn("canon", graft.llm.UrlOps.canonicalizeUrl(col("url")))
+      Dedup.exactDedup(withCanon, "doc_id", "canon")
+        .select(col("doc_id"), col("canon"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (SELECT doc_id, source,
+        (CASE WHEN doc_id % 2 = 0
+            THEN 'HTTPS://WWW.' || upper(source)
+            ELSE 'https://www.' || source END)
+        || '.example/Doc/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 5 = 0 THEN '?utm_campaign=x' ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END) AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+        'https://www.' || lower(source) || '.example/Doc/'
+          || CAST(doc_id % 50 AS VARCHAR) AS canon
+        FROM u)
+      SELECT doc_id, canon FROM (
+        SELECT doc_id, canon,
+          min(doc_id) OVER (PARTITION BY
+            trim(regexp_replace(lower(canon), '\s+', ' ', 'g'))) AS keep
+        FROM c)
+      WHERE doc_id = keep ORDER BY doc_id"""))
+
   /** C4 cleaning (Raffel et al. 2020 §2.2,
     * [[graft.llm.TextAnalysis.c4CleanLines]]/`c4PageOk`): the corpus
     * has no newlines/punctuation, so each doc deterministically derives
@@ -4737,7 +4778,7 @@ object Queries {
     packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
-    urlCanonicalize,
+    urlCanonicalize, dedupUrls,
     warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
