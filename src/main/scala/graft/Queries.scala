@@ -1972,7 +1972,8 @@ object Queries {
              ELSE len(string_split_regex(trim(text),'\s+')) END AS BIGINT)
           AS n_tokens,
         md5('graft' || CAST(doc_id AS VARCHAR)) AS rank FROM documents),
-      tot AS (SELECT source, sum(n_tokens) AS t FROM r GROUP BY source),
+      tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+              FROM r GROUP BY source),
       e AS (SELECT source, t,
         CAST(CASE WHEN t > 0 THEN least(3000 // t, 3) ELSE 3 END AS BIGINT)
           AS efull
@@ -1990,7 +1991,7 @@ object Queries {
       p AS (SELECT doc_id, source, efull AS copy_idx, n_tokens, pref, t
             FROM x WHERE efull < 3 AND pref < 3000 - efull * t)
       SELECT doc_id, source, copy_idx, n_tokens,
-             copy_idx * t + pref AS tok_before
+             CAST(copy_idx * t + pref AS BIGINT) AS tok_before
       FROM (SELECT * FROM f UNION ALL SELECT * FROM p)
       ORDER BY doc_id, copy_idx"""))
 

@@ -6,7 +6,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Loads <verifyOutDir>/oracle_sql.json, registers each testdata table as a
 DuckDB view over <sfDir>/<name>.parquet, runs every oracle, and compares
 with the Spark result parquet under <verifyOutDir>/<query>/ — values
-compared exactly (row order AND a row-sorted fallback), dtypes reported.
+compared exactly (row order AND a row-sorted fallback). DuckDB result
+types are compared as a HARD failure (TYPE-DIFF): the driver's gate
+hashes typed values, so e.g. an uncast HUGEINT arithmetic result in the
+oracle vs a BIGINT Spark column is a red row there even when the Python
+values are equal ints — this mirror must catch exactly that class.
 """
 import json, sys, glob, os
 import duckdb
@@ -28,11 +32,35 @@ def canon(v):
     return v
 
 
-def rows_of(cur):
-    cols = [d[0] for d in cur.description]
+def kind_of(t):
+    """Representation class a DuckDB type lands in when the driver
+    materializes results (pandas/arrow): the classes whose stringified
+    values diverge even when the Python ints are equal. HUGEINT is the
+    canonical trap — pandas has no int128, so it becomes float64 and
+    `3000.0` hashes differently from BIGINT's `3000`."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT", "FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith(("DATE", "TIMESTAMP", "TIME", "INTERVAL")):
+        return "datetime"
+    return "other"  # VARCHAR, BLOB, LIST, STRUCT, MAP, …
+
+
+def rows_of(rel):
+    """rel is a DuckDB relation (con.sql(...)): exposes exact DuckDB
+    column types, unlike the DB-API cursor whose description collapses
+    HUGEINT/BIGINT/etc. into generic codes."""
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = cur.fetchall()
-    return [cols[i] for i in order], [tuple(canon(r[i]) for i in order) for r in data]
+    data = rel.fetchall()
+    return ([cols[i] for i in order], [types[i] for i in order],
+            [tuple(canon(r[i]) for i in order) for r in data])
 
 
 def main(sf_dir, out_dir):
@@ -57,15 +85,25 @@ def main(sf_dir, out_dir):
             print(f"ROWS-ONLY      {name}: {cnt} rows")
             continue
         try:
-            scols, srows = rows_of(con.execute(
+            scols, stypes, srows = rows_of(con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
-            ocols, orows = rows_of(con.execute(oracle[name]))
+            ocols, otypes, orows = rows_of(con.sql(oracle[name]))
         except Exception as e:
             print(f"ERROR          {name}: {e}")
             n_bad += 1
             continue
         if scols != ocols:
             print(f"SCHEMA-DIFF    {name}: spark={scols} oracle={ocols}")
+            n_bad += 1
+            continue
+        skinds = [kind_of(t) for t in stypes]
+        okinds = [kind_of(t) for t in otypes]
+        if skinds != okinds:
+            diffs = [f"{c}: spark={a}({ka}) oracle={b}({kb})"
+                     for c, a, b, ka, kb
+                     in zip(scols, stypes, otypes, skinds, okinds)
+                     if ka != kb]
+            print(f"TYPE-DIFF      {name}: {'; '.join(diffs)}")
             n_bad += 1
             continue
         if srows == orows:
