@@ -3196,28 +3196,43 @@ object Queries {
     * the registrable-domain rule (the host `srcN.adsite.example` is
     * never listed — this row set is green only if host vs domain
     * matching is implemented separately). Survivors carry their
-    * extracted host+domain so the extraction itself is oracle-bound. */
+    * extracted host+domain so the extraction itself is oracle-bound.
+    *
+    * ccSLD coverage: every 9th doc's host is `sub.srcN.co.example`
+    * with `co.example` declared a public suffix in the query's PSL —
+    * blocklist entry `src1.co.example` then matches the subdomain host
+    * via [[graft.llm.UrlOps.registrableDomain]] (the naive last-two
+    * key would extract `co.example` and MISS it — the exact UT1-list
+    * failure mode), and the surviving rows' 3-label `domain` column
+    * oracle-binds the longest-suffix extraction itself. */
   private val urlFilterQ = QueryDef("url_filter",
     (s, d) => {
       import s.implicits._
-      val url = concat(lit("https://"), col("source"),
-        when(col("doc_id") % 7 === 0, lit(".adsite")).otherwise(lit("")),
+      graft.plans.GraftExtensions.register(s)
+      val hostPart = when(col("doc_id") % 9 === 0,
+          concat(lit("sub."), col("source"), lit(".co")))
+        .otherwise(concat(col("source"),
+          when(col("doc_id") % 7 === 0, lit(".adsite")).otherwise(lit(""))))
+      val url = concat(lit("https://"), hostPart,
         lit(".example/doc/"), col("doc_id").cast("string"),
         when(col("doc_id") % 5 === 0, lit("?session=casino")).otherwise(lit("")))
-      val blocklist = Seq("src3.example", "src7.example", "adsite.example")
-        .toDF("domain")
+      val blocklist = Seq("src3.example", "src7.example", "adsite.example",
+        "src1.co.example").toDF("domain")
+      val psl = Seq("co.example")
       graft.llm.UrlOps.filterByUrl(
           t(s, d, "documents").withColumn("url", url),
-          "url", blocklist, blockedKeywords = Seq("casino"))
+          "url", blocklist, blockedKeywords = Seq("casino"), psl = psl)
         .select(col("doc_id"), col("url"),
           graft.llm.UrlOps.urlHost(col("url")).as("host"),
-          graft.llm.UrlOps.urlDomain(
-            graft.llm.UrlOps.urlHost(col("url"))).as("domain"))
+          graft.llm.UrlOps.registrableDomain(
+            graft.llm.UrlOps.urlHost(col("url")), psl).as("domain"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH u AS (SELECT doc_id,
-        'https://' || source
-          || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
+        'https://'
+          || (CASE WHEN doc_id % 9 = 0 THEN 'sub.' || source || '.co'
+              ELSE source ||
+                (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END) END)
           || '.example/doc/' || CAST(doc_id AS VARCHAR)
           || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
           AS url
@@ -3226,12 +3241,20 @@ object Queries {
         lower(regexp_extract(url,
           '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
           AS host FROM u),
-      d AS (SELECT *, CASE WHEN len(string_split(host, '.')) >= 2
+      d AS (SELECT *, CASE
+          WHEN len(string_split(host, '.')) >= 3
+            AND string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                = 'co.example'
+          THEN string_split(host, '.')[-3] || '.'
+            || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+          WHEN len(string_split(host, '.')) >= 2
           THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
           ELSE host END AS domain FROM h)
       SELECT doc_id, url, host, domain FROM d
-      WHERE host NOT IN ('src3.example', 'src7.example', 'adsite.example')
-        AND domain NOT IN ('src3.example', 'src7.example', 'adsite.example')
+      WHERE host NOT IN ('src3.example', 'src7.example', 'adsite.example',
+                         'src1.co.example')
+        AND domain NOT IN ('src3.example', 'src7.example', 'adsite.example',
+                           'src1.co.example')
         AND NOT contains(lower(url), 'casino')
       ORDER BY doc_id"""))
 

@@ -55,6 +55,20 @@ object UrlOps {
         .otherwise(host)
     }
 
+  /** Public-suffix-aware registrable domain
+    * ([[graft.plans.RegistrableDomainExpression]], SQL
+    * `graft_registrable_domain`): `www.example.co.uk` → `example.co.uk`
+    * when the rule table holds `co.uk`. `psl` is PSL-file syntax (plain
+    * rules, `*.` wildcards, `!` exceptions; `//` comments tolerated) —
+    * a BOUNDED static table (~10k lines for the full public list) that
+    * rides the plan as one literal, parsed once per task into hash
+    * sets: O(host labels) per row with O(1) probes, inside
+    * WholeStageCodegen, zero joins. An empty rule table reproduces
+    * [[urlDomain]]'s naive last-two-labels exactly (the implicit `*`
+    * rule). Caller's session needs `GraftExtensions.register`. */
+  def registrableDomain(host: Column, psl: Seq[String]): Column =
+    call_function("graft_registrable_domain", host, lit(psl.mkString("\n")))
+
   /** Scheme is http(s), protocol-relative, or absent (crawl corpora
     * are http(s)); opaque schemes (mailto:, javascript:, tel:) and
     * other authority schemes (ftp://) are dropped. */
@@ -128,17 +142,30 @@ object UrlOps {
     * millions of domains — too big for a literal, right-sized for a
     * broadcast), plus the keyword and scheme rules. Two successive
     * broadcast hash anti-joins (host, then domain) — never an OR'd
-    * join condition, which would forfeit the hash join. */
+    * join condition, which would forfeit the hash join.
+    *
+    * `psl`: public-suffix rules for the domain key. UT1-style lists
+    * are full of ccSLD domains (`example.co.uk`), which the naive
+    * last-two-labels key can never subdomain-match (`www.example.co.uk`
+    * keys as `co.uk`); with a PSL the key is the true registrable
+    * domain ([[registrableDomain]] — still map-only column work, so
+    * the plan stays exactly two broadcast hash anti-joins). Empty
+    * `psl` keeps the naive key. Callers passing `psl` need
+    * `GraftExtensions.register` on the session. */
   def filterByUrl(df: DataFrame, urlCol: String, blocklist: DataFrame,
                   domainCol: String = "domain",
-                  blockedKeywords: Seq[String] = Nil): DataFrame = {
+                  blockedKeywords: Seq[String] = Nil,
+                  psl: Seq[String] = Nil): DataFrame = {
     val bl = broadcast(
       blocklist.select(lower(col(domainCol)).as("__graft_bad")).distinct())
     val kwRule = blockedKeywords
       .map(k => !lower(col(urlCol)).contains(k.toLowerCase))
       .reduceOption(_ && _).getOrElse(lit(true))
+    val domKey =
+      if (psl.isEmpty) urlDomain(col("__graft_host"))
+      else registrableDomain(col("__graft_host"), psl)
     df.withColumn("__graft_host", urlHost(col(urlCol)))
-      .withColumn("__graft_dom", urlDomain(col("__graft_host")))
+      .withColumn("__graft_dom", domKey)
       .where(urlSchemeOk(col(urlCol)) && kwRule)
       .join(bl, col("__graft_host") === col("__graft_bad"), "left_anti")
       .join(bl, col("__graft_dom") === col("__graft_bad"), "left_anti")

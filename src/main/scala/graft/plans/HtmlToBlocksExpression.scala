@@ -152,6 +152,19 @@ object GraftExtensions {
         }
         GramHashExpression(children.head, k, seed)
       }),
+    (FunctionIdentifier("graft_registrable_domain"),
+      new ExpressionInfo(classOf[RegistrableDomainExpression].getName,
+        "graft_registrable_domain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_registrable_domain takes (host, rules)")
+        val rules = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_registrable_domain: rules must be a string literal, got $other")
+        }
+        RegistrableDomainExpression(children.head, rules)
+      }),
     (FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[ClassifierScoreExpression].getName, "graft_clf_score"),
       (children: Seq[Expression]) => {

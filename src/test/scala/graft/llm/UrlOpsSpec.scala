@@ -28,6 +28,57 @@ class UrlOpsSpec extends SparkSpec {
     assert(domain("http://localhost:9000") == "localhost")
   }
 
+  test("registrableDomain: PSL plain/wildcard/exception rules, ccSLDs") {
+    graft.plans.GraftExtensions.register(spark)
+    val psl = Seq("co.uk", "org.uk", "*.ck", "!www.ck", "// comment", "")
+    def reg(h: String): String =
+      Seq(h).toDF("h").select(UrlOps.registrableDomain(col("h"), psl))
+        .as[String].collect().head
+    // ccSLD: registrable is THREE labels, subdomains collapse onto it
+    assert(reg("www.example.co.uk") == "example.co.uk")
+    assert(reg("a.b.example.co.uk") == "example.co.uk")
+    assert(reg("example.co.uk") == "example.co.uk")
+    // a host that IS a public suffix passes through
+    assert(reg("co.uk") == "co.uk")
+    // unlisted TLD falls back to the implicit '*' rule (= naive last-two)
+    assert(reg("a.b.example.com") == "example.com")
+    assert(reg("localhost") == "localhost")
+    // wildcard *.ck: any x.ck is a public suffix → registrable has 3 labels
+    assert(reg("www.shop.foo.ck") == "shop.foo.ck")
+    // exception !www.ck prevails over *.ck: registrable IS www.ck
+    assert(reg("www.ck") == "www.ck")
+    assert(reg("sub.www.ck") == "www.ck")
+    // defensive case-folding
+    assert(reg("WWW.Example.CO.UK") == "example.co.uk")
+    // empty rule table reproduces the naive form exactly
+    def regEmpty(h: String): String =
+      Seq(h).toDF("h").select(UrlOps.registrableDomain(col("h"), Nil))
+        .as[String].collect().head
+    assert(regEmpty("www.example.co.uk") == "co.uk")
+    assert(regEmpty("single") == "single")
+  }
+
+  test("filterByUrl with PSL: blocklisted ccSLD domain blocks subdomain hosts") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = Seq(
+      (1L, "https://keep.example/a"),
+      (2L, "https://www.example.co.test/b"),   // registrable hit via PSL
+      (3L, "https://deep.sub.example.co.test/c"), // ditto, deeper
+      (4L, "https://other.co.test/d")          // same ccSLD, different apex
+    ).toDF("id", "url")
+    val bl = Seq("example.co.test").toDF("domain")
+    // WITHOUT a PSL the naive key is 'co.test' → every hit is missed
+    val naive = UrlOps.filterByUrl(docs, "url", bl)
+    assert(naive.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // with the PSL the registrable key is 'example.co.test' → blocked
+    val out = UrlOps.filterByUrl(docs, "url", bl, psl = Seq("co.test"))
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 4L))
+    // plan shape is unchanged: two broadcast HASH anti-joins
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("urlOk: scheme, literal domain list (host AND registrable), keywords") {
     def ok(u: String, dom: Seq[String] = Nil, kw: Seq[String] = Nil): Boolean =
       Seq(u).toDF("u").select(UrlOps.urlOk(col("u"), dom, kw))
