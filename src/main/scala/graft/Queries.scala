@@ -3421,18 +3421,29 @@ object Queries {
       FROM cl ORDER BY doc_id"""))
 
   // deterministic shuffle + shard assignment (reproducible data-loader
-  // order; md5 rank is cross-engine identical, so fully oracle-checked)
+  // order; md5 rank is cross-engine identical, so fully oracle-checked).
+  // nShards=4096 exercises the 8-hex-digit key well past the old
+  // 256-shard cap; the oracle replays the hex decode digit-by-digit
+  // (strpos sum of powers of 16 — RE2-free, engine-portable).
   private val shardShuffleQ = QueryDef("shard_shuffle",
     (s, d) => graft.llm.Packing.shardShuffle(
-        t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+        t(s, d, "documents").select(col("doc_id")), "doc_id", nShards = 4096)
       .select(col("doc_id"), col("shard"), col("rank"))
       .orderBy(col("shard"), col("rank")),
-    Some("""SELECT doc_id,
-        CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) * 16
-            + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 17) % 8
+    Some("""WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank
+        FROM documents)
+      SELECT doc_id,
+        CAST((  (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+              + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+              + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+              + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(rank,8,1)) - 1)) % 4096
           AS BIGINT) AS shard,
-        md5(CAST(doc_id AS VARCHAR)) AS rank
-      FROM documents ORDER BY shard, rank"""))
+        rank
+      FROM r ORDER BY shard, rank"""))
 
   /** NO-SPLIT greedy packing ([[graft.llm.Packing.packGreedy]]): every
     * doc lands wholly in one pack, packs close when the next doc in
@@ -3649,9 +3660,7 @@ object Queries {
         .orderBy(col("shard"))
     },
     Some("""WITH r AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS rank FROM documents),
-      s AS (SELECT rank,
-        (strpos('0123456789abcdef', substr(rank,1,1)) * 16
-         + strpos('0123456789abcdef', substr(rank,2,1)) - 17) % 8 AS shard,
+      s0 AS (SELECT rank,
           (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
         + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
         + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
@@ -3660,7 +3669,8 @@ object Queries {
         + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
         + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
         + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
-        FROM r)
+        FROM r),
+      s AS (SELECT rank, digest, digest % 8 AS shard FROM s0)
       SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
         CAST(SUM(digest) AS BIGINT) AS checksum,
         min(rank) AS min_rank, max(rank) AS max_rank
@@ -3731,9 +3741,7 @@ object Queries {
         FROM p GROUP BY pack_id),
       r AS (SELECT pack_id, n_docs, n_tokens,
           md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
-      sh AS (SELECT *,
-        (strpos('0123456789abcdef', substr(rank,1,1)) * 16
-         + strpos('0123456789abcdef', substr(rank,2,1)) - 17) % 4 AS shard,
+      sh0 AS (SELECT *,
           (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
         + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
         + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
@@ -3742,7 +3750,8 @@ object Queries {
         + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
         + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
         + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
-        FROM r)
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
       SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
         CAST(SUM(digest) AS BIGINT) AS checksum,
         min(rank) AS min_rank, max(rank) AS max_rank,

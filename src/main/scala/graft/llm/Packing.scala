@@ -114,24 +114,26 @@ object Packing {
     * row gets a stable pseudo-random `rank` (md5 of its id — chosen
     * over seeded RNG or xxhash64 because md5 is identical in every
     * engine, so the order is auditable cross-engine) and a `shard` from
-    * the first two hex digits mod `nShards`. Shard assignment is
+    * the first EIGHT hex digits mod `nShards`. Shard assignment is
     * MAP-ONLY (no global window, no shuffle until the caller
     * repartitions by shard); within-shard order is `rank`. This is the
     * reproducible-shuffle contract a distributed data loader needs:
     * same corpus → same shard membership and same per-shard order, on
     * any cluster size.
     *
-    * `nShards` ≤ 256 keeps the two-hex-digit key uniform across shards
-    * (256 % nShards skew is ≤1 part in 256/nShards; powers of two are
-    * exactly uniform). */
+    * Eight hex digits give a 2³²-value key, so `nShards` scales to the
+    * ~10⁵ shards a 100 TB corpus wants at ~1 GB/shard (the former
+    * two-digit key capped it at 256, i.e. 400 GB shards at that
+    * scale). Uniformity: 2³² % nShards skew is ≤ nShards/2³² relative
+    * (≤ 1/4096 at the 2²⁰ cap; powers of two are exactly uniform).
+    * The key is [[rankDigest]] — pure per-digit substring arithmetic,
+    * identical in every engine (no conv()/from_hex), so shard
+    * membership is auditable from the `rank` column alone. */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
-    require(nShards > 0 && nShards <= 256,
-      s"shardShuffle: nShards must be in 1..256, got $nShards")
+    require(nShards > 0 && nShards <= (1 << 20),
+      s"shardShuffle: nShards must be in 1..${1 << 20}, got $nShards")
     df.withColumn("rank", md5(col(idCol).cast("string")))
-      .withColumn("shard",
-        expr(s"""pmod(instr('0123456789abcdef', substring(rank, 1, 1)) * 16
-                    + instr('0123456789abcdef', substring(rank, 2, 1)) - 17,
-                 $nShards)""").cast("long"))
+      .withColumn("shard", pmod(rankDigest(col("rank")), lit(nShards.toLong)))
   }
 
   /** Materialize [[packSequences]]' assignments into the actual
