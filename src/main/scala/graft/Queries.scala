@@ -3360,6 +3360,73 @@ object Queries {
         FROM c)
       WHERE doc_id = keep ORDER BY doc_id"""))
 
+  /** Cross-snapshot URL-level incremental dedup
+    * ([[graft.llm.UrlOps.canonicalizeUrl]] ∘ [[Dedup.exactDedupAgainst]]):
+    * a new crawl batch dedups against the PRIOR snapshot's
+    * canonical-URL ledger — the URL analogue of
+    * `dedup_exact_incremental`. The batch mixes recrawls of known
+    * pages under DIFFERENT addresses (upper-cased authority + tracking
+    * params — only canonicalization makes them collide with the
+    * ledger; must all drop), novel pages (survive), and a within-batch
+    * duplicate of each novel page under a fragment variant
+    * (keep-first). Scale shape: the ledger side reduces to DISTINCT
+    * canonical hashes (at steady state a pre-materialized ledger that
+    * never rescans the corpus), and the anti-join + keep-first window
+    * share one BATCH-side shuffle — cost scales with the batch, not
+    * the corpus. */
+  private val dedupUrlsIncr = QueryDef("dedup_urls_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val canon = (u: Column) => graft.llm.UrlOps.canonicalizeUrl(u)
+      val corpus = docs.select(col("doc_id"),
+        canon(concat(lit("https://www."), col("source"), lit(".example/Doc/"),
+          (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
+          .as("canon"))
+      // canon is computed BEFORE the batch ids are re-aliased: a
+      // lateral-column-alias in the same select would otherwise
+      // resolve the url's doc_id to the shifted id
+      val recrawl = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          canon(concat(lit("HTTPS://WWW."), upper(col("source")),
+            lit(".example/Doc/"), (col("doc_id") % 50).cast("string"),
+            lit("?utm_campaign=x"))).as("canon"))
+        .select((col("doc_id") + 100000).as("doc_id"), col("canon"))
+      val novelUrl = concat(lit("https://www."), col("source"),
+        lit(".example/New/"), col("doc_id").cast("string"))
+      val novel = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), canon(novelUrl).as("canon"),
+          canon(concat(novelUrl, lit("#frag"))).as("canon_frag"))
+      val batch = recrawl
+        .unionByName(novel.select((col("doc_id") + 200000).as("doc_id"),
+          col("canon")))
+        .unionByName(novel.select((col("doc_id") + 300000).as("doc_id"),
+          col("canon_frag").as("canon")))
+      Dedup.exactDedupAgainst(batch, corpus, "doc_id", "canon")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ledger AS (SELECT DISTINCT
+        'https://www.' || lower(source) || '.example/Doc/'
+          || CAST(doc_id % 50 AS VARCHAR) AS canon
+        FROM documents),
+      novel AS (SELECT doc_id,
+        'https://www.' || lower(source) || '.example/New/'
+          || CAST(doc_id AS VARCHAR) AS canon
+        FROM documents WHERE doc_id % 25 = 0),
+      batch AS (
+        SELECT doc_id + 100000 AS doc_id,
+          'https://www.' || lower(source) || '.example/Doc/'
+            || CAST(doc_id % 50 AS VARCHAR) AS canon
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 200000, canon FROM novel
+        UNION ALL SELECT doc_id + 300000, canon FROM novel),
+      fresh AS (SELECT b.doc_id, b.canon FROM batch b
+        LEFT JOIN ledger l ON lower(b.canon) = lower(l.canon)
+        WHERE l.canon IS NULL),
+      k AS (SELECT doc_id, canon,
+        min(doc_id) OVER (PARTITION BY lower(canon)) AS keep FROM fresh)
+      SELECT doc_id, canon FROM k WHERE doc_id = keep ORDER BY doc_id"""))
+
   /** C4 cleaning (Raffel et al. 2020 §2.2,
     * [[graft.llm.TextAnalysis.c4CleanLines]]/`c4PageOk`): the corpus
     * has no newlines/punctuation, so each doc deterministically derives
@@ -4811,7 +4878,7 @@ object Queries {
     packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
-    urlCanonicalize, dedupUrls,
+    urlCanonicalize, dedupUrls, dedupUrlsIncr,
     warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,

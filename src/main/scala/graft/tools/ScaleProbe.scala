@@ -266,6 +266,30 @@ object ScaleProbe {
         graft.llm.UrlOps.filterByUrl(corpus.withColumn("url", url),
           "url", bl, blockedKeywords = Seq("casino")).count()
       }
+      time(s"url_dedup_incremental x$k") {
+        // fixed-size crawl batch (500 canonical urls, half colliding
+        // with corpus urls) against the k×-growing corpus URL ledger:
+        // the ledger side is one map-side-combined distinct pass (at
+        // steady state a pre-materialized frame that never rescans),
+        // the anti-join + keep-first shuffle only the BATCH — ingest
+        // cost should track the corpus scan, never the batch quadratic
+        val canonOf = (idExpr: org.apache.spark.sql.Column) =>
+          graft.llm.UrlOps.canonicalizeUrl(concat(
+            lit("https://www.site"), pmod(idExpr, lit(1000L)).cast("string"),
+            lit(".example/Doc/"), idExpr.cast("string"),
+            lit("?utm_campaign=x")))
+        val ledger = corpus.select(col("doc_id"),
+          canonOf(col("doc_id")).as("canon"))
+        // canon first, id shift second: a single select would resolve
+        // the canon expression's doc_id to the shifted alias (LCA)
+        val batch = docs.limit(500)
+          .select(col("doc_id"),
+            canonOf(when(col("doc_id") % 2 === 0, col("doc_id"))
+              .otherwise(col("doc_id") + 900000000L)).as("canon"))
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("canon"))
+        graft.llm.Dedup.exactDedupAgainst(batch, ledger,
+          "doc_id", "canon").count()
+      }
       time(s"c4_clean x$k") {
         // line clean + page rules, map-only; noop sink so the cleaned
         // column is actually materialized
