@@ -3187,6 +3187,186 @@ object Queries {
         text, true AS len_ok
       FROM documents ORDER BY doc_id"""))
 
+  /** Shared raw-WARC `response` fixture: one record per doc with a
+    * full HTTP block (status line + Content-Type + a junk header) and
+    * a boilerplate-wrapped HTML payload (head/title/script, a
+    * link-only nav, an `Overview` heading, the doc text as the one
+    * prose paragraph, a read-more link box, a short footer). Every
+    * 11th doc is a 404, every 13th is a PDF — rows a raw-crawl
+    * pipeline must gate out before extraction. URLs carry the same
+    * adsite/casino patterns as `url_filter`. A `request` record is
+    * interleaved and must be dropped by the type filter. */
+  private def warcResponseFixture(s: SparkSession, d: String,
+                                  sub: String): String = {
+    import s.implicits._
+    val http = concat(
+      when(col("doc_id") % 11 === 0, lit("HTTP/1.1 404 Not Found"))
+        .otherwise(lit("HTTP/1.1 200 OK")),
+      lit("\nContent-Type: "),
+      when(col("doc_id") % 13 === 0, lit("application/pdf"))
+        .otherwise(lit("text/html; charset=UTF-8")),
+      lit("\nServer: synthetic"))
+    val html = concat(
+      lit("<html><head><title>T</title><script>var x=1;</script></head>" +
+        "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></nav><h1>Overview</h1><p>"),
+      col("text"),
+      lit(" pad pad pad pad pad pad pad pad pad end.</p>" +
+        "<div><a href=\"/m\">Read more</a></div>" +
+        "<footer>(c) example</footer></body></html>"))
+    val url = concat(lit("https://"), col("source"),
+      when(col("doc_id") % 7 === 0, lit(".adsite")).otherwise(lit("")),
+      lit(".example/doc/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, lit("?session=casino")).otherwise(lit("")))
+    val rec = concat(
+      lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: "), url,
+      lit("\nWARC-Date: 2026-02-02T00:00:00Z\nContent-Length: "),
+      (length(http) + lit(2) + length(html)).cast("string"),
+      lit("\n\n"), http, lit("\n\n"), html)
+    val req = Seq(
+      "WARC/1.0\nWARC-Type: request\nWARC-Target-URI: https://x.example/\n\nGET / HTTP/1.1")
+      .toDF("value")
+    val dir = tmpDir(d, sub)
+    t(s, d, "documents").select(rec.as("value")).unionByName(req)
+      .repartition(4)
+      .write.mode("overwrite").text(s"$dir/warc")
+    s"$dir/warc"
+  }
+
+  /** SQL derivation of the fixture's expected extracted main text:
+    * heading + blank line + the prose paragraph (boilerplate blocks
+    * fail the density rules — see [[graft.functions.HtmlText]]). */
+  private val sqlMainText =
+    """'Overview' || chr(10) || chr(10) ||
+      trim(regexp_replace(text || ' pad pad pad pad pad pad pad pad pad end.',
+        '\s+', ' ', 'g'))"""
+
+  /** Raw WARC `response` ingestion
+    * ([[graft.sources.Sources.readWarcResponses]]): the corpus is
+    * written as a multi-part raw-crawl fixture (see
+    * [[warcResponseFixture]]), read back through the splittable
+    * reader, and every surfaced column — HTTP status, media type,
+    * declared length, recovered HTML — is oracle-bound to the same
+    * derivation in DuckDB. The interleaved `request` record must
+    * vanish; len_ok certifies WARC Content-Length covers the HTTP
+    * block + separator + body exactly. */
+  private val warcResponseScan = QueryDef("warc_response_scan",
+    (s, d) => {
+      val path = warcResponseFixture(s, d, "warc_resp")
+      Sources.readWarcResponses(s, path)
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "doc/([0-9]+)", 1).cast("long"))
+        .select(col("doc_id"), col("url"), col("warc_date"),
+          col("content_length"), col("http_status"), col("content_type"),
+          col("html"), col("len_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH u AS (SELECT doc_id,
+        'https://' || source
+          || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
+          || '.example/doc/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
+          AS url,
+        (CASE WHEN doc_id % 11 = 0 THEN 'HTTP/1.1 404 Not Found'
+              ELSE 'HTTP/1.1 200 OK' END)
+          || chr(10) || 'Content-Type: '
+          || (CASE WHEN doc_id % 13 = 0 THEN 'application/pdf'
+              ELSE 'text/html; charset=UTF-8' END)
+          || chr(10) || 'Server: synthetic' AS http,
+        '<html><head><title>T</title><script>var x=1;</script></head>'
+          || '<body><nav><a href="/">Home</a> <a href="/a">About</a> '
+          || '<a href="/c">Contact</a></nav><h1>Overview</h1><p>'
+          || text
+          || ' pad pad pad pad pad pad pad pad pad end.</p>'
+          || '<div><a href="/m">Read more</a></div>'
+          || '<footer>(c) example</footer></body></html>' AS html
+        FROM documents)
+      SELECT doc_id, url, '2026-02-02T00:00:00Z' AS warc_date,
+        CAST(length(http) + 2 + length(html) AS BIGINT) AS content_length,
+        (CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END) AS http_status,
+        (CASE WHEN doc_id % 13 = 0 THEN 'application/pdf'
+              ELSE 'text/html' END) AS content_type,
+        html, true AS len_ok
+      FROM u ORDER BY doc_id"""))
+
+  /** HTML → main-content extraction (`graft_html_extract`,
+    * [[graft.functions.HtmlText]] — boilerpipe/jusText-style density
+    * rules): each doc's text is wrapped in the fixture's boilerplate
+    * shell, and the oracle states the expected extraction directly
+    * (heading + prose paragraph; title, nav, read-more and footer
+    * blocks must all fail the word-count/link-density rules). */
+  private val htmlExtractQ = QueryDef("html_extract",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val html = concat(
+        lit("<html><head><title>T</title><script>var x=1;</script></head>" +
+          "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></nav><h1>Overview</h1><p>"),
+        col("text"),
+        lit(" pad pad pad pad pad pad pad pad pad end.</p>" +
+          "<div><a href=\"/m\">Read more</a></div>" +
+          "<footer>(c) example</footer></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.HtmlText.extractCol(html).as("main_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, $sqlMainText AS main_text
+      FROM documents ORDER BY doc_id"""))
+
+  /** Web curation from RAW CRAWL — the composition that makes the raw
+    * WARC front end real: response scan → status/media-type gate →
+    * main-content extraction → URL filter (broadcast anti-joins +
+    * keyword) → exact dedup first-wins on the EXTRACTED text. The
+    * oracle replays every stage from the documents table. This is
+    * `curate_web` starting one step earlier: from the crawler's
+    * archive instead of Common Crawl's pre-extracted WET. */
+  private val curateWebRaw = QueryDef("curate_web_raw",
+    (s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val path = warcResponseFixture(s, d, "warc_curate")
+      val resp = Sources.readWarcResponses(s, path)
+        .where(col("http_status") === 200 &&
+          col("content_type") === "text/html")
+      val extracted = resp.select(
+        regexp_extract(col("url"), "doc/([0-9]+)", 1).cast("long").as("doc_id"),
+        col("url"),
+        graft.functions.HtmlText.extractCol(col("html")).as("main_text"))
+      val blocklist = Seq("src3.example", "src7.example", "adsite.example")
+        .toDF("domain")
+      val filtered = graft.llm.UrlOps.filterByUrl(extracted, "url",
+        blocklist, blockedKeywords = Seq("casino"))
+      Dedup.exactDedup(filtered, "doc_id", "main_text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH u AS (SELECT doc_id, source, text,
+        'https://' || source
+          || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
+          || '.example/doc/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
+          AS url,
+        $sqlMainText AS main_text
+        FROM documents
+        WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+      h AS (SELECT doc_id, url, main_text,
+        lower(regexp_extract(url,
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
+          AS host FROM u),
+      f AS (SELECT doc_id, url, main_text FROM h
+        WHERE host NOT IN ('src3.example', 'src7.example', 'adsite.example')
+          AND (CASE WHEN len(string_split(host, '.')) >= 2
+               THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+               ELSE host END)
+              NOT IN ('src3.example', 'src7.example', 'adsite.example')
+          AND NOT contains(lower(url), 'casino')),
+      k AS (SELECT doc_id, url, main_text,
+        min(doc_id) OVER (PARTITION BY
+          trim(regexp_replace(lower(main_text), '\\s+', ' ', 'g'))) AS keep
+        FROM f)
+      SELECT doc_id, url, main_text FROM k
+      WHERE doc_id = keep ORDER BY doc_id"""))
+
   /** URL filtering ([[graft.llm.UrlOps.filterByUrl]], the RefinedWeb/
     * FineWeb first stage): each doc deterministically derives a URL
     * from (source, doc_id) — every 7th doc lands on an `.adsite`
@@ -4879,7 +5059,8 @@ object Queries {
     packGreedyMatQ,
     shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,
-    warcWetScan, curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
+    warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
+    curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,

@@ -68,6 +68,7 @@ object GraftExtensions {
   private[plans] val functions = Seq(
     unary("graft_html_to_blocks", classOf[HtmlToBlocksExpression], HtmlToBlocksExpression(_)),
     unary("graft_slugify", classOf[SlugifyExpression], SlugifyExpression(_)),
+    unary("graft_html_extract", classOf[HtmlExtractExpression], HtmlExtractExpression(_)),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => {

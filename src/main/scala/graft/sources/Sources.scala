@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, length, regexp_replace, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import java.io.File
@@ -175,8 +176,14 @@ object Sources {
     * first blank line, and only `WARC-Type: conversion` records (the
     * extracted text; warcinfo/request/response records are dropped)
     * surface as rows `(url, warc_date, content_length, text, len_ok)`.
-    * Handles both `\n` and `\r\n` header conventions. Trailing
-    * newlines of the payload (record framing) are stripped.
+    * Handles both `\n` and `\r\n` header conventions. Only the RECORD
+    * FRAMING is stripped from the payload tail — at most two trailing
+    * newline units (the WARC spec's two CRLFs before the next record
+    * marker; single-`\n` framing sheds its one unit the same way). A
+    * payload that legitimately ends in newline(s) counted in
+    * Content-Length keeps them — stripping every trailing newline
+    * would flag such records `len_ok=false`, a false truncation
+    * alarm.
     *
     * Delimiter-split framing cannot honor Content-Length the way a
     * sequential reader can, so a payload CONTAINING the record marker
@@ -201,8 +208,76 @@ object Sources {
         regexp_extract(col("h"), "(?m)^WARC-Date: (\\S+)", 1).as("warc_date"),
         regexp_extract(col("h"), "(?m)^Content-Length: (\\d+)", 1)
           .cast("long").as("content_length"),
-        regexp_replace(col("body0"), "[\\r\\n]+$", "").as("text"))
+        col("body0"))
+      .withColumn("text", framedPayload(col("body0"), col("content_length")))
       .withColumn("len_ok", length(col("text")) === col("content_length"))
+      .drop("body0")
+  }
+
+  /** Raw WARC `response`-record reader — the step BEFORE WET exists: a
+    * crawler's archive holds HTTP responses (status line + headers +
+    * HTML payload), not extracted text. Same splittable `lineSep`
+    * framing as [[readWarcWet]]; each record splits into three
+    * blank-line-separated parts (WARC headers, HTTP headers, body) and
+    * only `WARC-Type: response` records surface, as
+    * `(url, warc_date, content_length, http_status, content_type,
+    * html, len_ok)`.
+    *
+    * `content_length` is the WARC header's count — it covers the HTTP
+    * block AND the body, so `len_ok` accepts either header/body
+    * separator width (`\n\n` or `\r\n\r\n`). Feed `html` to
+    * `graft_html_extract` ([[graft.functions.HtmlText]]) for the
+    * main-content text that replaces a WET `conversion` payload;
+    * gate on `http_status = 200` and `content_type = 'text/html'`
+    * first (crawls carry redirects, errors, and non-HTML media). */
+  def readWarcResponses(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("lineSep", "WARC/1.0").text(path)
+      .select(split(col("value"), "\\r?\\n\\r?\\n", 3).as("p"))
+      .select(col("p").getItem(0).as("h"),
+        coalesce(get(col("p"), lit(1)), lit("")).as("http"),
+        coalesce(get(col("p"), lit(2)), lit("")).as("body0"))
+      .where(col("h").rlike("(?m)^WARC-Type: response\\r?$"))
+      .select(
+        regexp_extract(col("h"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("url"),
+        regexp_extract(col("h"), "(?m)^WARC-Date: (\\S+)", 1).as("warc_date"),
+        regexp_extract(col("h"), "(?m)^Content-Length: (\\d+)", 1)
+          .cast("long").as("content_length"),
+        regexp_extract(col("http"), "^HTTP/[0-9.]+ (\\d{3})", 1)
+          .cast("int").as("http_status"),
+        lower(trim(regexp_extract(col("http"),
+          "(?mi)^Content-Type:\\s*([^;\\r\\n]+)", 1))).as("content_type"),
+        col("http"), col("body0"))
+      // html payload: content_length minus the http block and one
+      // separator is the body's share of the declared count
+      .withColumn("html", framedPayload(col("body0"),
+        col("content_length") - length(col("http")) - lit(2)))
+      .withColumn("len_ok",
+        (length(col("http")) + lit(2) + length(col("html"))
+          === col("content_length")) ||
+        (length(col("http")) + lit(4) + length(col("html"))
+          === col("content_length")))
+      .drop("http", "body0")
+  }
+
+  /** Recover a record payload from its delimiter-split chunk: the
+    * chunk carries the record FRAMING (up to two trailing newline
+    * units per the WARC spec) that is NOT part of Content-Length.
+    * Content-Length is the authoritative byte count the delimiter
+    * split lost, so it disambiguates payloads that legitimately end in
+    * newlines: prefer the strip depth (2, 1, then 0 units) whose
+    * length matches the declared count; when none does (real
+    * truncation, or a non-ASCII corpus where chars != bytes), fall
+    * back to full framing strip and let `len_ok` flag the row. */
+  private def framedPayload(body: Column, contentLength: Column): Column = {
+    // \z, not $: Java's non-multiline $ ALSO matches before a final
+    // newline, so an anchored strip-one pattern would eat two
+    val strip2 = regexp_replace(body, "(\\r?\\n){1,2}\\z", "")
+    val strip1 = regexp_replace(body, "\\r?\\n\\z", "")
+    when(length(strip2) === contentLength, strip2)
+      .when(length(strip1) === contentLength, strip1)
+      .when(length(body) === contentLength, body)
+      .otherwise(strip2)
   }
 
   /** S11 — local file finder: resolve `file` under `base`, searching

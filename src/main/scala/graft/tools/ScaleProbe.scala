@@ -266,6 +266,23 @@ object ScaleProbe {
         graft.llm.UrlOps.filterByUrl(corpus.withColumn("url", url),
           "url", bl, blockedKeywords = Seq("casino")).count()
       }
+      time(s"html_extract x$k") {
+        // raw-crawl main-content extraction: single-pass linear kernel
+        // inside WholeStageCodegen, map-only — must track the scan rate
+        graft.plans.GraftExtensions.register(spark)
+        val html = concat(
+          lit("<html><head><title>T</title><script>var x=1;</script></head>" +
+            "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+            "<h1>Overview</h1><p>"),
+          col("text"),
+          lit(" tail of prose that passes the density rule okay.</p>" +
+            "<div><a href=\"/m\">Read more</a></div>" +
+            "<footer>(c) example</footer></body></html>"))
+        corpus.select(col("doc_id"),
+            graft.functions.HtmlText.extractCol(html).as("t"))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
       time(s"url_dedup_incremental x$k") {
         // fixed-size crawl batch (500 canonical urls, half colliding
         // with corpus urls) against the k×-growing corpus URL ledger:

@@ -348,6 +348,70 @@ class SourcesSinksSpec extends SparkSpec {
       ("https://d.example/4", "2026-01-02T03:04:08Z", 26L, "first line", false)))
   }
 
+  test("readWarcWet: payload legitimately ending in newline keeps it (len_ok)") {
+    val work = tmp()
+    // Content-Length 12 counts the payload's own trailing \n; the
+    // record framing before the next marker adds one more newline.
+    // Stripping EVERY trailing newline would shorten the payload to 11
+    // and raise a false truncation alarm — Content-Length must
+    // disambiguate the strip depth.
+    val wet = "WARC/1.0\n" +
+      "WARC-Type: conversion\n" +
+      "WARC-Target-URI: https://nl.example/1\n" +
+      "WARC-Date: 2026-01-02T00:00:00Z\n" +
+      "Content-Length: 12\n" +
+      "\n" +
+      "ends with n\n" +
+      "\n" +
+      "WARC/1.0\n" +
+      "WARC-Type: conversion\n" +
+      "WARC-Target-URI: https://nl.example/2\n" +
+      "WARC-Date: 2026-01-02T00:00:01Z\n" +
+      "Content-Length: 5\n" +
+      "\n" +
+      "plain\n"
+    Files.write(new java.io.File(work, "nl.wet").toPath, wet.getBytes("UTF-8"))
+    val rows = graft.sources.Sources.readWarcWet(spark, s"$work/nl.wet")
+      .orderBy("url")
+      .as[(String, String, Long, String, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      ("https://nl.example/1", "2026-01-02T00:00:00Z", 12L, "ends with n\n", true),
+      ("https://nl.example/2", "2026-01-02T00:00:01Z", 5L, "plain", true)))
+  }
+
+  test("readWarcResponses: http parse, type/status/media columns, framing") {
+    val work = tmp()
+    def rec(uri: String, status: String, ctype: String, body: String,
+            clOverride: Long = -1): String = {
+      val http = s"HTTP/1.1 $status\nContent-Type: $ctype\nServer: t"
+      val cl = if (clOverride >= 0) clOverride
+        else http.length + 2 + body.length
+      s"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: $uri\n" +
+        s"WARC-Date: 2026-02-02T00:00:00Z\nContent-Length: $cl\n\n" +
+        http + "\n\n" + body
+    }
+    val warc = Seq(
+      // a request record the type filter must drop
+      "WARC/1.0\nWARC-Type: request\nWARC-Target-URI: https://r.example/\n\nGET / HTTP/1.1",
+      rec("https://a.example/1", "200 OK", "text/html; charset=UTF-8",
+        "<html><body><p>hi</p></body></html>"),
+      rec("https://b.example/2", "404 Not Found", "text/html", "<html>gone</html>"),
+      rec("https://c.example/3", "200 OK", "application/pdf", "%PDF-1.4 junk"),
+      // truncation: declared length exceeds what framing recovered
+      rec("https://d.example/4", "200 OK", "text/html", "<p>cut", clOverride = 99999)
+    ).mkString("\n") + "\n"
+    Files.write(new java.io.File(work, "seg.warc").toPath, warc.getBytes("UTF-8"))
+    val rows = graft.sources.Sources.readWarcResponses(spark, s"$work/seg.warc")
+      .orderBy("url")
+      .select("url", "http_status", "content_type", "html", "len_ok")
+      .as[(String, Int, String, String, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      ("https://a.example/1", 200, "text/html", "<html><body><p>hi</p></body></html>", true),
+      ("https://b.example/2", 404, "text/html", "<html>gone</html>", true),
+      ("https://c.example/3", 200, "application/pdf", "%PDF-1.4 junk", true),
+      ("https://d.example/4", 200, "text/html", "<p>cut", false)))
+  }
+
   test("readWarcWet: gzipped segments (the format WET actually ships in)") {
     // Common Crawl distributes .warc.wet.gz; Hadoop's codec layer
     // decompresses transparently for the text reader (per-file,
