@@ -3004,7 +3004,8 @@ object Queries {
       pk AS (SELECT doc_id, url, cleaned FROM cl
         WHERE NOT contains(page, '{')
           AND NOT contains(lower(page), 'lorem ipsum')
-          AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+          AND (len(regexp_extract_all(cleaned, '[.!?]'))
+           + len(regexp_extract_all(cleaned, '[^.!?]"[ \\t]*(\\n|$$)'))) >= 3
           AND NOT list_has_any(
             list_transform(
               string_split(trim(regexp_replace(lower(page), '\\s+', ' ', 'g')), ' '),
@@ -3118,7 +3119,8 @@ object Queries {
         FROM uh),
       q AS (SELECT doc_id, source, url_ok, cleaned,
           (c4_page_base
-           AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3) AS c4_ok,
+           AND (len(regexp_extract_all(cleaned, '[.!?]'))
+           + len(regexp_extract_all(cleaned, '[^.!?]"[ \\t]*(\\n|$$)'))) >= 3) AS c4_ok,
           string_split(trim(regexp_replace(lower(cleaned), '\\s+', ' ', 'g')), ' ') AS ws,
           length(cleaned)::DOUBLE AS nc
         FROM fl),
@@ -3616,7 +3618,11 @@ object Queries {
     * page-level lorem-ipsum (doc_id%11) and curly-brace (doc_id%13)
     * injections — and DuckDB replays the identical derivation. The
     * bad-word rule uses 'dup' (5% of docs, word-boundary matched via
-    * the normalized word split) + 'xylophone' (absent, proves no-op). */
+    * the normalized word split) + 'xylophone' (absent, proves no-op).
+    * The quoted-speech line ends in `"` with no [.!?] anywhere: the
+    * line rule keeps it AND the page sentence count must count it
+    * (the agreed terminal set — a page rule counting only [.!?]
+    * would undercount such pages). */
   private val c4Clean = QueryDef("c4_clean",
     (s, d) => {
       val ws = split(col("text"), " ")
@@ -3624,6 +3630,7 @@ object Queries {
         concat(col("text"), lit(" one.")),
         concat(array_join(slice(ws, 1, 6), " "), lit(" two.")),
         lit("five words are here now."),
+        lit("the speaker said \"kept quoted line\""),
         lit("too short."),
         lit("this has javascript inside it."),
         lit("no terminal punctuation here"),
@@ -3643,6 +3650,7 @@ object Queries {
           text || ' one.',
           array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') || ' two.',
           'five words are here now.',
+          'the speaker said "kept quoted line"',
           'too short.',
           'this has javascript inside it.',
           'no terminal punctuation here',
@@ -3659,7 +3667,8 @@ object Queries {
       SELECT doc_id, cleaned,
         (NOT contains(page, '{')
          AND NOT contains(lower(page), 'lorem ipsum')
-         AND len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+         AND (len(regexp_extract_all(cleaned, '[.!?]'))
+           + len(regexp_extract_all(cleaned, '[^.!?]"[ \t]*(\n|$)'))) >= 3
          AND NOT list_has_any(
            list_transform(
              string_split(trim(regexp_replace(lower(page), '\s+', ' ', 'g')), ' '),

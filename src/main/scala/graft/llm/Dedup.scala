@@ -344,16 +344,21 @@ object Dedup {
     * doc id (the canonical survivor).
     *
     * Two execution paths, identical results:
-    *  - edge sets ≤ `maxLocalEdges` (default 2M symmetric edges ≈
-    *    32 MB of longs) run a DRIVER-LOCAL union-find with path
-    *    compression — O(E·α) in milliseconds. Near-dup edge sets are
-    *    almost always this small relative to the corpus (pairs are the
-    *    OUTPUT of a near-dup pass, not the corpus), and the iterative
-    *    path's per-round cost is fixed job overhead × rounds, which
-    *    dwarfs a bounded collect (measured: 9 rounds × ~0.7 s vs
-    *    ~0.1 s local on 477 k edges). The collect is CAPPED — this is
-    *    the bounded-driver-table pattern (BPE merge table, unigram
-    *    vocab), not an unbounded corpus collect.
+    *  - edge sets ≤ `maxLocalEdges` (default 2M symmetric edges) run
+    *    a DRIVER-LOCAL union-find with path compression — O(E·α) in
+    *    milliseconds. The collect is PRIMITIVE (per-partition packed
+    *    `Array[Long]`, ~16 bytes/edge → ~64 MB driver heap at the cap
+    *    including the node index; see [[localComponents]]) — NOT a
+    *    Row collect, whose ~100+ bytes/row boxing would cost hundreds
+    *    of MB at the same cap. Near-dup edge sets are almost always
+    *    this small relative to the corpus (pairs are the OUTPUT of a
+    *    near-dup pass, not the corpus), and the iterative path's
+    *    per-round cost is fixed job overhead × rounds, which dwarfs a
+    *    bounded collect (measured: 9 rounds × ~0.7 s vs ~0.1 s local
+    *    on 477 k edges). The collect is CAPPED — this is the
+    *    bounded-driver-table pattern (BPE merge table, unigram
+    *    vocab), not an unbounded corpus collect. Drivers with small
+    *    heaps should lower `maxLocalEdges` rather than raise it.
     *  - beyond the cap: iterative min-label propagation with POINTER
     *    DOUBLING (each round takes the min over neighbor labels AND
     *    jumps to the label's own label), so a diameter-d chain
@@ -419,16 +424,40 @@ object Dedup {
 
   /** Driver-local union-find over a CAPPED symmetric edge frame (the
     * fast path of [[nearDupClusters]]); labels every node with its
-    * component's min id — bit-identical to the iterative path. */
+    * component's min id — bit-identical to the iterative path.
+    *
+    * Driver heap is the binding constraint of this fast path, so the
+    * collect is PRIMITIVE: each partition packs its edges into one
+    * `Array[Long]` (16 bytes/edge — a `collect()` of Rows costs
+    * 100+ bytes/edge in Row/boxing overhead, hundreds of MB at the
+    * 2M-edge cap), and the node index is a sorted long array +
+    * binary search rather than a boxed HashMap. Total driver
+    * footprint at the cap: ~32 MB of edge longs + ~32 MB of node ids. */
   private def localComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val rows = edges.select(col("src"), col("dst")).collect()
-    val idx = new java.util.HashMap[Long, Int]()
-    rows.foreach { r =>
-      idx.computeIfAbsent(r.getLong(0), _ => idx.size)
-      idx.computeIfAbsent(r.getLong(1), _ => idx.size)
+    val chunks: Array[Array[Long]] = edges.select(col("src"), col("dst"))
+      .rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator(buf.result())
+      }.collect()
+    var total = 0
+    chunks.foreach(c => total += c.length)
+    val flat = new Array[Long](total)
+    var off = 0
+    chunks.foreach { c =>
+      System.arraycopy(c, 0, flat, off, c.length); off += c.length
     }
-    val n = idx.size
+    // dense node index: sorted unique ids, O(log V) lookups, no boxing
+    val ids = java.util.Arrays.copyOf(flat, flat.length)
+    java.util.Arrays.sort(ids)
+    var n = 0
+    var i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    def indexOf(id: Long): Int = java.util.Arrays.binarySearch(ids, 0, n, id)
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = {
       var r = x
@@ -437,14 +466,15 @@ object Dedup {
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    rows.foreach { r =>
-      val a = find(idx.get(r.getLong(0))); val b = find(idx.get(r.getLong(1)))
+    i = 0
+    while (i < flat.length) {
+      val a = find(indexOf(flat(i)))
+      val b = find(indexOf(flat(i + 1)))
       if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      i += 2
     }
-    val ids = new Array[Long](n)
-    idx.forEach((id, i) => ids(i) = id)
     val minId = Array.fill(n)(Long.MaxValue)
-    var i = 0
+    i = 0
     while (i < n) {
       val r = find(i)
       if (ids(i) < minId(r)) minId(r) = ids(i)

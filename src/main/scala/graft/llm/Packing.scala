@@ -86,14 +86,34 @@ object Packing {
     * ingestion contract for an orderable stream id), append ≡
     * repack-of-union exactly (spec- and oracle-bound).
     *
+    * That contract is CHECKED, not just documented, when the caller
+    * passes `minBatchIdExclusive` (the corpus max id —
+    * [[assignedTokenTotal]]'s natural companion from the same ledger):
+    * an interleaving batch would silently yield offsets/pack ids that
+    * diverge from repack-of-union, so the cheap min-aggregate guard is
+    * worth one extra job over the batch.
+    *
     * @param startOffset total token count already assigned — from
     *                    [[assignedTokenTotal]] over the existing
-    *                    assignment, or carried in the ingestion ledger */
+    *                    assignment, or carried in the ingestion ledger
+    * @param minBatchIdExclusive when set, require every batch id to
+    *                    sort STRICTLY after it (the append-equals-
+    *                    repack precondition); violation throws instead
+    *                    of corrupting the stream */
   def packSequencesAppend(batch: DataFrame, idCol: String, tokensCol: Column,
                           budget: Long, startOffset: Long,
-                          numParts: Int = 0): DataFrame = {
+                          numParts: Int = 0,
+                          minBatchIdExclusive: Option[Long] = None): DataFrame = {
     require(startOffset >= 0,
       s"packSequencesAppend: startOffset must be >= 0, got $startOffset")
+    minBatchIdExclusive.foreach { bound =>
+      val r = batch.agg(min(col(idCol).cast("long"))).head()
+      if (!r.isNullAt(0))
+        require(r.getLong(0) > bound,
+          s"packSequencesAppend: batch min $idCol ${r.getLong(0)} does not " +
+            s"sort after the corpus max id $bound — an interleaving batch " +
+            "breaks append == repack-of-union")
+    }
     packSequences(batch, idCol, tokensCol, budget, numParts)
       .withColumn("token_offset", col("token_offset") + startOffset)
       .withColumn("pack_id",

@@ -76,10 +76,26 @@ object Sketches {
     * (group, pos) aggregation (k rows per group) → re-assemble; groups
     * absent from one side pass through unchanged (min over one side).
     * At 100 TB the stored frame is G × k longs — megabytes — and each
-    * daily batch pays only its own scan. */
+    * daily batch pays only its own scan.
+    *
+    * `k` (the signature length) is part of the persisted frame's
+    * contract and is VALIDATED before merging: signatures built with
+    * different `numHashes` are incomparable, and the positional merge
+    * would otherwise silently emit malformed signatures (the longer
+    * side's extra positions passing through un-merged). The guard is
+    * one min/max aggregate over the two frames — trivial against
+    * sketch-sized inputs. */
   def mergeSignatureFrames(a: DataFrame, b: DataFrame,
                            groupCol: String = "group_key",
-                           sigCol: String = "sig"): DataFrame =
+                           sigCol: String = "sig"): DataFrame = {
+    val ks = a.select(size(col(sigCol)).as("__k"))
+      .unionByName(b.select(size(col(sigCol)).as("__k")))
+      .agg(min(col("__k")), max(col("__k"))).head()
+    if (!ks.isNullAt(0))
+      require(ks.getInt(0) == ks.getInt(1),
+        s"mergeSignatureFrames: signature lengths differ across inputs " +
+          s"(${ks.getInt(0)} vs ${ks.getInt(1)}) — frames built with " +
+          "different numHashes are incomparable")
     a.select(col(groupCol), col(sigCol))
       .unionByName(b.select(col(groupCol), col(sigCol)))
       .select(col(groupCol), posexplode(col(sigCol)).as(Seq("__pos", "__h")))
@@ -88,6 +104,7 @@ object Sketches {
       .agg(transform(
         sort_array(collect_list(struct(col("__pos"), col("__h")))),
         m => m.getField("__h")).as(sigCol))
+  }
 
   /** Estimated content-Jaccard between every pair of groups (a < b):
     * the fraction of matching signature positions — an unbiased

@@ -225,12 +225,21 @@ object TextAnalysis {
     * against the normalized word split, not substrings, so "class"
     * never matches "ass"); and drop pages whose CLEANED text (pass
     * [[c4CleanLines]] output) has fewer than `minSentences` sentences
-    * (terminal-mark count, the paper's heuristic). Map-only. */
+    * (terminal-mark count, the paper's heuristic).
+    *
+    * The sentence count uses the SAME terminal set as the line rule
+    * ([[c4TerminalRe]]): `[.!?]` anywhere, PLUS a line-ending `"` not
+    * already preceded by one of them (quoted speech — the line rule
+    * keeps `he said "no way"`, so the page rule must count it, or a
+    * page of such lines is wrongly dropped). Expressed without
+    * lookahead so the DuckDB (RE2) oracles replay it. Map-only. */
   def c4PageOk(raw: Column, cleaned: Column, minSentences: Int = 3,
                badWords: Seq[String] = Nil): Column = {
+    val sentences = regexp_count(cleaned, lit("[.!?]")) +
+      regexp_count(cleaned, lit("[^.!?]\"[ \\t]*(\\n|$)"))
     val base = !raw.contains("{") &&
       !lower(raw).contains("lorem ipsum") &&
-      regexp_count(cleaned, lit("[.!?]")) >= minSentences
+      sentences >= minSentences
     if (badWords.isEmpty) base
     else {
       // strip edge punctuation from each word before matching: the

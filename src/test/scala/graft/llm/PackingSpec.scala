@@ -285,6 +285,24 @@ class PackingSpec extends SparkSpec {
       .collect().head == 1L)
     // empty-assignment total is 0 (first batch of a new corpus)
     assert(Packing.assignedTokenTotal(full.where(col("doc_id") < 0)) == 0L)
+    // the append-equals-repack precondition is CHECKED when the caller
+    // supplies the corpus max id: an interleaving batch throws instead
+    // of silently corrupting the stream
+    intercept[IllegalArgumentException] {
+      Packing.packSequencesAppend(
+        docs.where(col("doc_id") > 2), "doc_id", col("t"),
+        budget = 6, startOffset = start, minBatchIdExclusive = Some(3L))
+    }
+    // a conforming batch passes the guard with identical output
+    val guarded = Packing.packSequencesAppend(
+      docs.where(col("doc_id") > 3), "doc_id", col("t"),
+      budget = 6, startOffset = start, minBatchIdExclusive = Some(3L))
+    assert(rows(guarded) == rows(appended))
+    // an empty batch is vacuously ordered
+    assert(Packing.packSequencesAppend(
+      docs.where(col("doc_id") < 0), "doc_id", col("t"),
+      budget = 6, startOffset = start,
+      minBatchIdExclusive = Some(3L)).count() == 0L)
   }
 
   test("packMaterialize docSep: (doc + EOS)* stream, separator-free accounting") {

@@ -72,5 +72,12 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Seq[Long])].collect().toMap
     val loneSig = sigs(lone).as[(String, Seq[Long])].collect().toMap
     assert(m2("onlyA") == loneSig("onlyA"))
+    // k is part of the persisted-frame contract: frames built with
+    // different numHashes must be rejected, not positionally merged
+    // into malformed signatures
+    intercept[IllegalArgumentException] {
+      Sketches.mergeSignatureFrames(sigs(a),
+        Sketches.groupSignatures(b, "source", "text", k = 32))
+    }
   }
 }

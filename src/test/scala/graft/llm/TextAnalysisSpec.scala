@@ -371,5 +371,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ok("the dup-licated hyphen stays safe", bad = Seq("dup")))
     // matching is case-insensitive via the normalized word split
     assert(!ok("this page mentions DUP once", bad = Seq("dup")))
+    // the sentence count uses the LINE rule's terminal set: a page of
+    // quote-terminated speech lines (kept by c4CleanLines, zero [.!?])
+    // counts them as sentences instead of being wrongly dropped
+    assert(ok("fine raw page", cleaned =
+      "she said \"no way at all\"\nhe said \"not ever again\"\nthey said \"we shall see\""))
+    // a quote right after [.!?] is the SAME terminal, not a second one
+    assert(!ok("fine raw page", cleaned =
+      "she said \"stop it now.\"\nhe said \"fine then.\""))
   }
 }
