@@ -62,6 +62,17 @@ object ConfigLoader {
       // splittable record-marker framing, conversion records only
       "warc_wet" -> (o => Pipeline.SourceSpec(
         s => Sources.readWarcWet(s, req(o, "path")), prefix(o))),
+      // raw crawler archives (WARC response records): HTTP status +
+      // media-type columns surface for gating; `status`/`contentType`
+      // options apply the standard crawl gate at the source (drop
+      // redirects/errors/non-HTML before any downstream stage runs)
+      "warc_responses" -> (o => Pipeline.SourceSpec(
+        s => {
+          var df = Sources.readWarcResponses(s, req(o, "path"))
+          o.get("status").foreach(v => df = df.where(col("http_status") === v.toInt))
+          o.get("contentType").foreach(v => df = df.where(col("content_type") === v))
+          df
+        }, prefix(o))),
       "ledger" -> (o => Pipeline.SourceSpec(
         s => Sources.ledgerLatest(s, req(o, "dir"), req(o, "name")),
         prefix(o))))
@@ -235,17 +246,46 @@ object ConfigLoader {
         val kws = o.get("blockedKeywords")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
+        // pslPath: a publicsuffix.org-format rules file (bounded
+        // static table; parsed driver-side at config time) makes the
+        // blocklist's domain key the TRUE registrable domain, so
+        // ccSLD entries (example.co.uk) match their subdomains
+        val psl: Seq[String] = o.get("pslPath")
+          .map(p => java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(p)).toArray.map(_.toString).toSeq)
+          .getOrElse(Nil)
         o.get("blocklistPath") match {
-          case Some(p) => graft.llm.UrlOps.filterByUrl(df, name,
-            df.sparkSession.read.parquet(p),
-            domainCol = o.getOrElse("domainCol", "domain"),
-            blockedKeywords = kws)
+          case Some(p) =>
+            if (psl.nonEmpty)
+              graft.plans.GraftExtensions.register(df.sparkSession)
+            graft.llm.UrlOps.filterByUrl(df, name,
+              df.sparkSession.read.parquet(p),
+              domainCol = o.getOrElse("domainCol", "domain"),
+              blockedKeywords = kws, psl = psl)
           case None => df.where(graft.llm.UrlOps.urlOk(ColumnNs.q(name),
             o.get("blockedDomains")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil), kws))
         }
       }),
+      // HTML -> main-content text (the raw-crawl step between
+      // warc_responses and the text stages): boilerpipe/jusText
+      // density rules via the native graft_html_extract expression
+      "html_extract" -> (o => df => {
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val name = req(o, "column")
+        df.withColumn(o.getOrElse("outCol", name),
+          graft.functions.HtmlText.extractCol(ColumnNs.q(name)))
+      }),
+      // incremental exact dedup against a persisted ledger (parquet of
+      // already-ingested content): batch rows whose normalized textCol
+      // already appears in the ledger drop, then keep-first within the
+      // batch. Compose after url_canonicalize for URL-level
+      // cross-snapshot dedup (the dedup_urls_incremental shape).
+      "dedup_exact_against" -> (o => df =>
+        graft.llm.Dedup.exactDedupAgainst(df,
+          df.sparkSession.read.parquet(req(o, "ledgerPath")),
+          req(o, "idCol"), req(o, "textCol"))),
       // URL canonicalization before URL-level dedup: case-fold the
       // authority, drop fragments, strip tracking params, normalize
       // trailing slashes — in place, or to outCol

@@ -203,11 +203,15 @@ object Sources {
       .select(col("p").getItem(0).as("h"),
         coalesce(get(col("p"), lit(1)), lit("")).as("body0"))
       .where(col("h").rlike("(?m)^WARC-Type: conversion\\r?$"))
+      // empty-safe cast (nullif): subexpression elimination can fold
+      // the collapsed projection's casts INTO the filter stage, where
+      // they run on records the type filter would drop (warcinfo has
+      // no Content-Length; ANSI mode throws on casting '')
       .select(
         regexp_extract(col("h"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("url"),
         regexp_extract(col("h"), "(?m)^WARC-Date: (\\S+)", 1).as("warc_date"),
-        regexp_extract(col("h"), "(?m)^Content-Length: (\\d+)", 1)
-          .cast("long").as("content_length"),
+        nullif(regexp_extract(col("h"), "(?m)^Content-Length: (\\d+)", 1),
+          lit("")).cast("long").as("content_length"),
         col("body0"))
       .withColumn("text", framedPayload(col("body0"), col("content_length")))
       .withColumn("len_ok", length(col("text")) === col("content_length"))
@@ -238,13 +242,14 @@ object Sources {
         coalesce(get(col("p"), lit(1)), lit("")).as("http"),
         coalesce(get(col("p"), lit(2)), lit("")).as("body0"))
       .where(col("h").rlike("(?m)^WARC-Type: response\\r?$"))
+      // nullif-guarded casts: see the note in [[readWarcWet]]
       .select(
         regexp_extract(col("h"), "(?m)^WARC-Target-URI: (\\S+)", 1).as("url"),
         regexp_extract(col("h"), "(?m)^WARC-Date: (\\S+)", 1).as("warc_date"),
-        regexp_extract(col("h"), "(?m)^Content-Length: (\\d+)", 1)
-          .cast("long").as("content_length"),
-        regexp_extract(col("http"), "^HTTP/[0-9.]+ (\\d{3})", 1)
-          .cast("int").as("http_status"),
+        nullif(regexp_extract(col("h"), "(?m)^Content-Length: (\\d+)", 1),
+          lit("")).cast("long").as("content_length"),
+        nullif(regexp_extract(col("http"), "^HTTP/[0-9.]+ (\\d{3})", 1),
+          lit("")).cast("int").as("http_status"),
         lower(trim(regexp_extract(col("http"),
           "(?mi)^Content-Type:\\s*([^;\\r\\n]+)", 1))).as("content_type"),
         col("http"), col("body0"))

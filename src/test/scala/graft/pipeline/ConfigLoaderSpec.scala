@@ -471,4 +471,77 @@ class ConfigLoaderSpec extends SparkSpec {
       Seq("https://good.example/a"))
     assert(out.select("text").as[String].collect().head == body)
   }
+
+  test("raw-crawl YAML pipeline: responses -> extract -> psl url filter -> ledger dedup") {
+    val work = Files.createTempDirectory("graft_raw_cfg").toFile.getPath
+    val p1 = "first keeper page with plenty of ordinary prose words here."
+    val p2 = "previously ingested page text with plenty of prose words here."
+    val p3 = "second keeper page with plenty of ordinary prose words here."
+    def rec(url: String, status: String, ctype: String, prose: String) = {
+      val http = s"HTTP/1.1 $status\nContent-Type: $ctype"
+      val html = "<html><body><nav><a href=\"/\">Home</a> <a href=\"/b\">About</a></nav>" +
+        s"<p>$prose</p></body></html>"
+      s"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: $url\n" +
+        s"WARC-Date: 2026-03-03T00:00:00Z\n" +
+        s"Content-Length: ${http.length + 2 + html.length}\n\n$http\n\n$html"
+    }
+    val warc = Seq(
+      rec("https://good.example/a", "200 OK", "text/html", p1),
+      // blocklist entry blocked.co.fake matches this SUBDOMAIN host
+      // only through the PSL (naive last-two key would be co.fake)
+      rec("https://www.blocked.co.fake/x", "200 OK", "text/html", p1),
+      rec("https://gone.example/y", "404 Not Found", "text/html", p1),
+      rec("https://media.example/z", "200 OK", "application/pdf", p1),
+      // extracted text already in the ingestion ledger -> dropped
+      rec("https://good.example/old", "200 OK", "text/html", p2),
+      rec("https://good.example/b", "200 OK", "text/html", p3)
+    ).mkString("\n") + "\n"
+    new java.io.File(s"$work/warc").mkdirs()
+    Files.write(new java.io.File(s"$work/warc/seg.warc").toPath,
+      warc.getBytes("UTF-8"))
+    Files.write(new java.io.File(s"$work/psl.dat").toPath,
+      "// test rules\nco.fake\n".getBytes("UTF-8"))
+    Seq("blocked.co.fake").toDF("domain")
+      .write.parquet(s"$work/blocklist")
+    Seq((0L, p2)).toDF("url_id", "text").write.parquet(s"$work/ledger")
+    val yaml =
+      s"""jobs:
+         |  - name: raw_curate
+         |    extract:
+         |      - kind: warc_responses
+         |        path: $work/warc
+         |        prefix: ""
+         |        status: "200"
+         |        contentType: text/html
+         |    transform:
+         |      - kind: html_extract
+         |        options:
+         |          column: html
+         |          outCol: text
+         |      - kind: url_filter
+         |        options:
+         |          column: url
+         |          blocklistPath: $work/blocklist
+         |          pslPath: $work/psl.dat
+         |      - kind: dedup_exact_against
+         |        options:
+         |          idCol: url
+         |          textCol: text
+         |          ledgerPath: $work/ledger
+         |    load:
+         |      - kind: json_dir
+         |        options:
+         |          path: $work/out
+         |""".stripMargin
+    Files.write(new java.io.File(work, "migration.yaml").toPath,
+      yaml.getBytes("UTF-8"))
+    Pipeline.run(spark, ConfigLoader.parseYamlFile(s"$work/migration.yaml"),
+      progress = _ => ())
+    val out = spark.read.json(s"$work/out")
+    assert(out.select("url").as[String].collect().toSeq.sorted ==
+      Seq("https://good.example/a", "https://good.example/b"))
+    // boilerplate gone, prose extracted
+    assert(out.where(col("url") === "https://good.example/a")
+      .select("text").as[String].collect().head == p1)
+  }
 }
