@@ -3609,6 +3609,58 @@ object Queries {
         min(doc_id) OVER (PARTITION BY lower(canon)) AS keep FROM fresh)
       SELECT doc_id, canon FROM k WHERE doc_id = keep ORDER BY doc_id"""))
 
+  /** Full Gopher repetition signals (Rae et al. 2021 Table A1,
+    * [[graft.llm.TextAnalysis.repetitionStatsFull]] — the thirteen
+    * published fractions in one native pass): each doc derives a page
+    * with a KNOWN repetition structure — one 5-word line three times,
+    * then a doc_id-unique tail — so every numerator is a constant of
+    * the construction (verified word-by-word in RepetitionSpec) and
+    * the oracle states them over SQL-computed raw/normalized lengths.
+    * The structure exercises every signal class: repeated lines (but
+    * not paragraphs), all three top-n-gram windows, and the greedy
+    * non-overlapping dup-n-gram walk at every n (period-5 repeats give
+    * each n a different covered-character count). */
+  private val repetitionStatsQ = QueryDef("repetition_stats",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val L = "alpha beta gamma delta echo"
+      val id = col("doc_id").cast("string")
+      val page = concat(lit(s"$L\n$L\n$L\n\ntail u"), id, lit("a u"),
+        id, lit("b u"), id, lit("c u"), id, lit("d."))
+      val st = graft.llm.TextAnalysis.repetitionStatsFull(page)
+      t(s, d, "documents")
+        .select(Seq(col("doc_id")) ++
+          graft.functions.Repetition.fieldNames.map(f =>
+            round(st.getField(f), 6).as(f)): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        'tail u' || CAST(doc_id AS VARCHAR) || 'a u'
+          || CAST(doc_id AS VARCHAR) || 'b u' || CAST(doc_id AS VARCHAR)
+          || 'c u' || CAST(doc_id AS VARCHAR) || 'd.' AS tail
+        FROM documents),
+      l AS (SELECT doc_id,
+        CAST(length('alpha beta gamma delta echo') * 3 + 4 + length(tail)
+          AS DOUBLE) AS raw_len,
+        CAST(length('alpha beta gamma delta echo') * 3 + 3 + length(tail)
+          AS DOUBLE) AS norm_len
+        FROM p)
+      SELECT doc_id,
+        round(CAST(0.4 AS DOUBLE), 6) AS dup_line_frac,
+        CAST(0.0 AS DOUBLE) AS dup_para_frac,
+        round(54.0 / raw_len, 6) AS dup_line_char_frac,
+        CAST(0.0 AS DOUBLE) AS dup_para_char_frac,
+        round(30.0 / norm_len, 6) AS top_2gram_char_frac,
+        round(48.0 / norm_len, 6) AS top_3gram_char_frac,
+        round(66.0 / norm_len, 6) AS top_4gram_char_frac,
+        round(54.0 / norm_len, 6) AS dup_5gram_char_frac,
+        round(33.0 / norm_len, 6) AS dup_6gram_char_frac,
+        round(38.0 / norm_len, 6) AS dup_7gram_char_frac,
+        round(44.0 / norm_len, 6) AS dup_8gram_char_frac,
+        round(50.0 / norm_len, 6) AS dup_9gram_char_frac,
+        round(55.0 / norm_len, 6) AS dup_10gram_char_frac
+      FROM l ORDER BY doc_id"""))
+
   /** C4 cleaning (Raffel et al. 2020 §2.2,
     * [[graft.llm.TextAnalysis.c4CleanLines]]/`c4PageOk`): the corpus
     * has no newlines/punctuation, so each doc deterministically derives
@@ -5066,7 +5118,8 @@ object Queries {
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
-    shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean, urlFilterQ,
+    shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean,
+    repetitionStatsQ, urlFilterQ,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,

@@ -137,6 +137,32 @@ object TextAnalysis {
       struct(dupG.as("dup_2gram_frac"), topW.as("top_word_frac"))
     }
 
+  /** The COMPLETE Gopher repetition signal set (Rae et al. 2021 Table
+    * A1; [[graft.functions.Repetition]] kernel, one native pass via
+    * `graft_repetition_stats`): duplicate line/paragraph fractions
+    * (count and character weighted), top 2/3/4-gram character
+    * fractions, and greedy duplicate 5..10-gram character fractions —
+    * the thirteen published signals, where [[repetitionStats]] keeps
+    * only its two legacy approximations. Returns a named struct;
+    * caller's session needs `GraftExtensions.register`. Map-only. */
+  def repetitionStatsFull(c: Column): Column = {
+    val arr = call_function("graft_repetition_stats", c)
+    Dedup.letBound(arr) { a =>
+      struct(graft.functions.Repetition.fieldNames.zipWithIndex.map {
+        case (name, i) => element_at(a, i + 1).as(name)
+      }: _*)
+    }
+  }
+
+  /** Keep decision over [[repetitionStatsFull]] with the PUBLISHED
+    * thresholds (each overridable): a document survives only when
+    * every fraction is at or below its bound. */
+  def repetitionOk(stats: Column,
+                   overrides: Map[String, Double] = Map.empty): Column =
+    graft.functions.Repetition.gopherThresholds.map { case (name, bound) =>
+      stats.getField(name) <= lit(overrides.getOrElse(name, bound))
+    }.reduce(_ && _)
+
   /** Exact interpolated quantiles of a numeric column — the thresholds
     * a curation pass derives BEFORE filtering (e.g. "drop below-p05 /
     * above-p99 length documents"). One aggregation, one row out per

@@ -268,6 +268,18 @@ object ConfigLoader {
               .getOrElse(Nil), kws))
         }
       }),
+      // full Gopher repetition removal (Rae et al. 2021 Table A1):
+      // drop docs exceeding any of the thirteen published repetition
+      // fractions; each threshold overridable by its field name
+      "repetition_filter" -> (o => df => {
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val overrides = graft.functions.Repetition.gopherThresholds.flatMap {
+          case (name, _) => o.get(name).map(v => name -> v.toDouble)
+        }.toMap
+        df.where(graft.llm.TextAnalysis.repetitionOk(
+          graft.llm.TextAnalysis.repetitionStatsFull(
+            ColumnNs.q(req(o, "column"))), overrides))
+      }),
       // HTML -> main-content text (the raw-crawl step between
       // warc_responses and the text stages): boilerpipe/jusText
       // density rules via the native graft_html_extract expression

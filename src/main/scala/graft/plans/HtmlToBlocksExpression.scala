@@ -69,6 +69,8 @@ object GraftExtensions {
     unary("graft_html_to_blocks", classOf[HtmlToBlocksExpression], HtmlToBlocksExpression(_)),
     unary("graft_slugify", classOf[SlugifyExpression], SlugifyExpression(_)),
     unary("graft_html_extract", classOf[HtmlExtractExpression], HtmlExtractExpression(_)),
+    unary("graft_repetition_stats", classOf[RepetitionStatsExpression],
+      RepetitionStatsExpression(_)),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => {

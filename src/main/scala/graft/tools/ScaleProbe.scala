@@ -266,6 +266,15 @@ object ScaleProbe {
         graft.llm.UrlOps.filterByUrl(corpus.withColumn("url", url),
           "url", bl, blockedKeywords = Seq("casino")).count()
       }
+      time(s"repetition_stats x$k") {
+        // thirteen Gopher repetition fractions in one native pass —
+        // map-only, must track the scan rate
+        graft.plans.GraftExtensions.register(spark)
+        corpus.select(col("doc_id"),
+            graft.llm.TextAnalysis.repetitionStatsFull(col("text")).as("r"))
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
       time(s"html_extract x$k") {
         // raw-crawl main-content extraction: single-pass linear kernel
         // inside WholeStageCodegen, map-only — must track the scan rate

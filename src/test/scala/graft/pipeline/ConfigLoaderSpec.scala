@@ -107,6 +107,20 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(split.columns.contains("split"))
     assert(split.select("split").distinct().as[String].collect()
       .forall(Set("train", "val")))
+    // repetition_filter: the full Gopher repetition rule set from
+    // config; the boilerplate doc (half its lines one repeat) drops,
+    // prose survives, an override loosens the rule
+    val rdocs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "same line\nsame line\nother one\nlast line")).toDF("doc_id", "text")
+    val rkept = transformKinds("repetition_filter")(
+      Map("column" -> "text"))(rdocs)
+    assert(rkept.select("doc_id").as[Long].collect().toSet == Set(1L))
+    val rloose = transformKinds("repetition_filter")(
+      Map("column" -> "text", "dup_line_frac" -> "0.6",
+        "dup_line_char_frac" -> "0.9", "top_2gram_char_frac" -> "1.0",
+        "top_3gram_char_frac" -> "1.0", "top_4gram_char_frac" -> "1.0"))(rdocs)
+    assert(rloose.count() == 2)
     // semdedup drives from config: the exact-duplicate embedding drops
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
