@@ -2407,6 +2407,39 @@ object Queries {
       WHERE word <> ''
       GROUP BY word ORDER BY n_total DESC, word LIMIT 20"""))
 
+  /** Tokenizer-vocabulary coverage ([[TextAnalysis.vocabCoverage]]):
+    * the vocab is the corpus's own words with global count ≥ 100
+    * (deterministic, data-derived — a real run feeds the tokenizer's
+    * vocab file), so every doc has a mix of in- and out-of-vocab
+    * tokens; per-doc token/OOV counts and the rate are oracle-bound.
+    * Broadcast vocab hash join + map-side-combined doc aggregation. */
+  private val vocabCoverageQ = QueryDef("vocab_coverage",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text")
+        .where(col("n_total") >= 100).select(col("word"))
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents),
+      ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      v AS (SELECT word FROM ww GROUP BY word HAVING count(*) >= 100),
+      c AS (SELECT ww.doc_id,
+          count(*) AS n_tokens,
+          CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov
+        FROM ww LEFT JOIN v ON ww.word = v.word
+        GROUP BY ww.doc_id)
+      SELECT d.doc_id,
+        COALESCE(c.n_tokens, 0) AS n_tokens,
+        COALESCE(c.n_oov, 0) AS n_oov,
+        CASE WHEN COALESCE(c.n_tokens, 0) > 0
+          THEN round(CAST(c.n_oov AS DOUBLE) / c.n_tokens, 6)
+          ELSE CAST(0.0 AS DOUBLE) END AS oov_rate
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id"""))
+
   /** ONE oracle definition of per-doc unigram negative-log-prob rows
     * (CTE `sc`: doc_id, nlp) — shared by `doc_cross_entropy` and
     * `quality_buckets` so the two oracles cannot drift apart on the
@@ -3753,6 +3786,40 @@ object Queries {
         rank
       FROM r ORDER BY shard, rank"""))
 
+  /** Epoch-salted reshuffle ([[graft.llm.Packing.shardShuffle]] with
+    * `salt`): the same corpus under two epoch salts yields two
+    * independent deterministic orders and shard assignments — the
+    * per-epoch reshuffle a trainer replays identically on any cluster.
+    * Both epochs' full (shard, rank) assignments are oracle-bound;
+    * PackingSpec asserts the orders actually differ. */
+  private val shardShuffleEpochs = QueryDef("shard_shuffle_epochs",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      def epoch(e: Int) = graft.llm.Packing
+        .shardShuffle(docs, "doc_id", nShards = 64, salt = s"epoch$e")
+        .withColumn("epoch", lit(e))
+      epoch(0).unionByName(epoch(1))
+        .select(col("epoch"), col("doc_id"), col("shard"), col("rank"))
+        .orderBy(col("epoch"), col("doc_id"))
+    },
+    Some("""WITH e AS (SELECT doc_id, 0 AS epoch FROM documents
+          UNION ALL SELECT doc_id, 1 AS epoch FROM documents),
+      r AS (SELECT doc_id, epoch,
+        md5('epoch' || CAST(epoch AS VARCHAR) || CAST(doc_id AS VARCHAR))
+          AS rank FROM e),
+      s0 AS (SELECT doc_id, epoch, rank,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r)
+      SELECT epoch, doc_id, CAST(digest % 64 AS BIGINT) AS shard, rank
+      FROM s0 ORDER BY epoch, doc_id"""))
+
   /** NO-SPLIT greedy packing ([[graft.llm.Packing.packGreedy]]): every
     * doc lands wholly in one pack, packs close when the next doc in
     * stream order does not fit — the padding-aware packing mode
@@ -4447,6 +4514,43 @@ object Queries {
       SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Brute-force ANN over the int8-QUANTIZED corpus — the composition
+    * that makes [[Similarity.quantizeInt8]]'s 4× storage cut usable
+    * for search: dequantize (`q_i * scale`, map-only) and run the same
+    * broadcast top-k. The oracle replays quantize → dequantize →
+    * cosine → rank entirely in DuckDB (same exact-FP convention as
+    * `ann_bruteforce`/`semdedup_pairs`), so the row set certifies the
+    * quantized rankings bit-for-bit, not just approximately.
+    * SimilaritySpec separately bounds the ranking drift vs the
+    * full-precision ordering. */
+  private val annBruteQuantized = QueryDef("ann_brute_quantized",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val deq = Similarity.quantizeInt8(emb)
+        .select(col("vec_id"),
+          Similarity.dequantizeInt8(col("q"), col("scale")).as("embedding"))
+      Similarity.bruteForceTopK(deq.filter(col("vec_id") < 3), deq, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      sq AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM b),
+      dq AS (SELECT vec_id,
+          CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+               ELSE list_transform(v, x -> CAST(round(x / scale) AS INT) * scale)
+          END AS v
+        FROM sq),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, v AS cv FROM dq),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   private val annLsh = QueryDef("ann_lsh",
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -5110,7 +5214,7 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
-    vocabTopk, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
+    vocabTopk, vocabCoverageQ, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     dsirLogweights, dsirSelect, classifierScoreQ, classifierScoreNativeQ,
     classifierTrainPlanted,
     winnowFingerprints,
@@ -5118,13 +5222,13 @@ object Queries {
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
-    shardShuffleQ, shardManifest, trainerFormatYaml, c4Clean,
+    shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml, c4Clean,
     repetitionStatsQ, urlFilterQ,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
-    annBrute, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
+    annBrute, annBruteQuantized, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageResize, mmAudioStats,

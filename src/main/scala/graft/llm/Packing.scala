@@ -148,11 +148,19 @@ object Packing {
     * (≤ 1/4096 at the 2²⁰ cap; powers of two are exactly uniform).
     * The key is [[rankDigest]] — pure per-digit substring arithmetic,
     * identical in every engine (no conv()/from_hex), so shard
-    * membership is auditable from the `rank` column alone. */
-  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    * membership is auditable from the `rank` column alone.
+    *
+    * `salt` re-keys the whole shuffle deterministically — the
+    * per-epoch reshuffle a trainer wants (`salt = "epoch3"` gives a
+    * fresh order and fresh shard membership, reproducible on any
+    * cluster); the default empty salt is the identity (md5 of the id
+    * alone, byte-compatible with every persisted round-7 manifest). */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   salt: String = ""): DataFrame = {
     require(nShards > 0 && nShards <= (1 << 20),
       s"shardShuffle: nShards must be in 1..${1 << 20}, got $nShards")
-    df.withColumn("rank", md5(col(idCol).cast("string")))
+    df.withColumn("rank",
+        md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("shard", pmod(rankDigest(col("rank")), lit(nShards.toLong)))
   }
 

@@ -478,6 +478,41 @@ object TextAnalysis {
         explode(split(Dedup.normalizeText(col(textCol)), " ")).as("word"))
       .where(col("word") =!= "")
 
+  /** Tokenizer-vocabulary coverage report — the QA pass run before
+    * committing a tokenizer to a corpus (and after ingesting a new
+    * source): per-document token count, out-of-vocabulary count, and
+    * OOV rate against a vocabulary FRAME. High OOV rates flag
+    * wrong-language slices, encoding corruption, or a vocab trained on
+    * the wrong distribution.
+    *
+    * Scale shape: the vocab is bounded (a tokenizer vocabulary —
+    * broadcast hash join against the exploded word stream), the
+    * per-doc aggregation partially combines map-side (explode keeps a
+    * doc's words in one partition, so the shuffle carries ~one row per
+    * doc), and docs with no words surface with zero counts (rate 0.0,
+    * the no-signal convention) rather than vanishing. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, wordCol: String = "word"): DataFrame = {
+    val v = broadcast(vocab.select(lower(col(wordCol)).as("__w")).distinct()
+      .withColumn("__in", lit(1)))
+    val counts = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .join(v, Seq("__w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate", when(col("n_tokens") > 0,
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .otherwise(lit(0d)))
+  }
+
   /** CCNet-style statistical LM quality score: per-document unigram
     * cross-entropy against the corpus's own word distribution, with
     * add-one smoothing — `-mean(ln((n_w + 1) / (N + |V| + 1)))` in

@@ -328,6 +328,27 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == got)
   }
 
+  test("quantized brute-force ANN: bounded ranking drift vs full precision") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val deq = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"),
+        Similarity.dequantizeInt8(col("q"), col("scale")).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = Similarity.bruteForceTopK(queries, emb, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val quant = Similarity.bruteForceTopK(
+        Similarity.quantizeInt8(queries).select(col("vec_id"),
+          Similarity.dequantizeInt8(col("q"), col("scale")).as("embedding")),
+        deq, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    // int8 reconstruction error (<= scale/2 per dim) must not push the
+    // true top-1 neighbor out of the quantized top-5
+    full.foreach { case (q, n1) =>
+      assert(quant(q).contains(n1), s"query $q lost $n1 in ${quant(q)}")
+    }
+  }
+
   test("centroidOutliers flags zero and null vectors first (sentinel -2)") {
     val good = Seq.tabulate(8)(i => (i + 1).toFloat)
     val rows = Seq(

@@ -325,6 +325,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  test("vocabCoverage: per-doc OOV counts, no-word docs surface with zeros") {
+    val docs = Seq(
+      (1L, "known words here"),
+      (2L, "known UNKNOWN zz9"),    // case-folds before the vocab probe
+      (3L, ""),                     // no words: zeros, not a missing row
+      (4L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")
+    val vocab = Seq("known", "words", "here").toDF("word")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0.0),
+      (2L, 3L, 2L, 0.666667),
+      (3L, 0L, 0L, 0.0),
+      (4L, 4L, 4L, 1.0)))
+    // the vocab side must be a broadcast hash join, never shuffled
+    val plan = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("c4CleanLines: each published line rule fires on its own counterexample") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.c4CleanLines(col("t")))
