@@ -191,9 +191,19 @@ object Sources {
     * against the declared Content-Length (chars == bytes for ASCII
     * corpora) exactly so such truncation is detectable downstream
     * rather than silent. */
-  def readWarcWet(spark: SparkSession, path: String): DataFrame = {
+  def readWarcWet(spark: SparkSession, path: String): DataFrame =
+    parseWarcWet(spark.read.option("lineSep", "WARC/1.0").text(path))
+
+  /** Streaming twin of [[readWarcWet]]: the same parse over a
+    * file-stream source, so a landing directory of WET segments feeds
+    * Structured Streaming ingestion with identical row semantics
+    * (record parsing is pure column work — no state). */
+  def readWarcWetStream(spark: SparkSession, dir: String): DataFrame =
+    parseWarcWet(spark.readStream.option("lineSep", "WARC/1.0").text(dir))
+
+  private def parseWarcWet(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.option("lineSep", "WARC/1.0").text(path)
+    raw
       // get(), not getItem(): a chunk with no blank line (the empty
       // leading split before a file's first record marker, or header
       // junk) yields a 1-element split, and getItem(1) THROWS under
@@ -234,9 +244,19 @@ object Sources {
     * main-content text that replaces a WET `conversion` payload;
     * gate on `http_status = 200` and `content_type = 'text/html'`
     * first (crawls carry redirects, errors, and non-HTML media). */
-  def readWarcResponses(spark: SparkSession, path: String): DataFrame = {
+  def readWarcResponses(spark: SparkSession, path: String): DataFrame =
+    parseWarcResponses(spark.read.option("lineSep", "WARC/1.0").text(path))
+
+  /** Streaming twin of [[readWarcResponses]] (see
+    * [[readWarcWetStream]]): a crawler drops finished WARC segments
+    * into a landing directory; the stream picks each file up once and
+    * parses with identical semantics. */
+  def readWarcResponsesStream(spark: SparkSession, dir: String): DataFrame =
+    parseWarcResponses(spark.readStream.option("lineSep", "WARC/1.0").text(dir))
+
+  private def parseWarcResponses(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.option("lineSep", "WARC/1.0").text(path)
+    raw
       .select(split(col("value"), "\\r?\\n\\r?\\n", 3).as("p"))
       .select(col("p").getItem(0).as("h"),
         coalesce(get(col("p"), lit(1)), lit("")).as("http"),

@@ -322,6 +322,70 @@ class StreamingSpec extends SparkSpec {
     assert(results.sortBy(_._1).toSeq == full)
   }
 
+  test("raw-crawl streaming ingest: WARC file stream + per-batch ledger dedup") {
+    // the continuous-crawl shape: a crawler drops WARC segments into a
+    // landing dir; each micro-batch parses responses, gates
+    // status/media, extracts main content, dedups against the
+    // accumulated content ledger, and appends its survivors to it —
+    // so a page recrawled in a LATER segment never re-enters
+    graft.plans.GraftExtensions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+      .toFile.getPath
+    val landing = s"$work/landing"
+    val ledger = s"$work/ledger"
+    new java.io.File(landing).mkdirs()
+    def rec(uri: String, status: String, prose: String): String = {
+      val http = s"HTTP/1.1 $status\nContent-Type: text/html"
+      val html = s"<html><body><p>$prose</p></body></html>"
+      s"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: $uri\n" +
+        s"WARC-Date: 2026-04-04T00:00:00Z\n" +
+        s"Content-Length: ${http.length + 2 + html.length}\n\n$http\n\n$html"
+    }
+    val p1 = "segment one page with plenty of ordinary prose words here."
+    val p2 = "another page with plenty of distinct prose words in it today."
+    val p3 = "a third page with its own plenty of fresh prose words now."
+    def writeSeg(name: String, recs: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/$name"),
+        (recs.mkString("\n") + "\n").getBytes("UTF-8"))
+    // seed the ledger empty-but-present so every batch can read it
+    Seq.empty[(String, String)].toDF("url", "text")
+      .write.mode("overwrite").parquet(ledger)
+    val parsed = graft.sources.Sources.readWarcResponsesStream(spark, landing)
+      .where(col("http_status") === 200 && col("content_type") === "text/html")
+      .select(col("url"),
+        graft.functions.HtmlText.extractCol(col("html")).as("text"))
+    assert(parsed.isStreaming)
+    val q = parsed.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fresh = graft.llm.Dedup.exactDedupAgainst(batch,
+          batch.sparkSession.read.parquet(ledger), "url", "text")
+          .localCheckpoint(true) // sever lineage before overwriting source
+        val all = fresh.unionByName(
+          batch.sparkSession.read.parquet(ledger).localCheckpoint(true))
+        all.write.mode("overwrite").parquet(ledger)
+        ()
+    }.start()
+    try {
+      writeSeg("seg1.warc", Seq(
+        rec("https://a.example/1", "200 OK", p1),
+        rec("https://a.example/err", "404 Not Found", p2)))
+      q.processAllAvailable()
+      writeSeg("seg2.warc", Seq(
+        rec("https://b.example/recrawl", "200 OK", p1), // known content
+        rec("https://b.example/2", "200 OK", p2),
+        rec("https://b.example/3", "200 OK", p3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(ledger)
+      .select("url", "text").as[(String, String)].collect().toMap
+    // recrawled content never re-entered; the 404 never extracted
+    assert(rows.keySet == Set("https://a.example/1",
+      "https://b.example/2", "https://b.example/3"))
+    assert(rows("https://a.example/1") == p1)
+    assert(rows("https://b.example/2") == p2)
+  }
+
   test("web front-end filters compose into a stream: url + c4 at ingest time") {
     // urlOk (literal lists) and the C4 rules are pure column
     // expressions, so the web-curation front end runs unchanged on a
