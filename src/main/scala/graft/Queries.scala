@@ -4551,6 +4551,45 @@ object Queries {
       SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Product-quantization ANN ([[Similarity.fitPq]]/`pqTopK` — Jégou
+    * et al. 2011): seeded driver-local codebooks, so the unplanted row
+    * set is rows-only by convention (like `ann_lsh`/`ann_ivf`);
+    * recall is spec-bound and the planted twin below is oracle-green. */
+  private val annPq = QueryDef("ann_pq",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = Similarity.fitPq(emb)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 3), emb, model, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None) // seeded codebooks; planted twin + spec carry the oracle duty
+
+  /** PQ with the planted ε-twins: ADC shortlists the twin's base
+    * vector (its codes reconstruct nearest to the query), the exact
+    * re-rank scores it with the TRUE cosine, so the brute-force oracle
+    * binds the whole compressed-search path — same convention as
+    * `ann_ivf_planted`. */
+  private val annPqPlanted = QueryDef("ann_pq_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = Similarity.fitPq(emb)
+      Similarity.pqTopK(perturbedEmbeddings(emb, 3), emb, model, k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   private val annLsh = QueryDef("ann_lsh",
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -5228,7 +5267,7 @@ object Queries {
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
-    annBrute, annBruteQuantized, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
+    annBrute, annBruteQuantized, annPq, annPqPlanted, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageResize, mmAudioStats,

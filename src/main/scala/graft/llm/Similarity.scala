@@ -699,6 +699,133 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  // ---- Product quantization (Jégou, Douze, Schmid: "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) ------------
+
+  /** Trained PQ codebooks: `m` subspaces of `dsub` dims, `k` centroids
+    * each. At m=8, k=256 a 64-dim float32 vector compresses 32× (256
+    * bytes → 8 code bytes) — the regime where 100 TB of embeddings
+    * fits the cluster's MEMORY, not just its disks (int8 scalar
+    * quantization stops at 4×). Driver-small by construction
+    * (m × k × dsub doubles = one task-closure table, the
+    * centroid-tensor convention of [[hierarchicalAssign]]). */
+  final case class PqModel(m: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Double]]])
+      extends Serializable {
+    def dim: Int = m * dsub
+    def k: Int = codebooks(0).length
+  }
+
+  /** Fit PQ codebooks on a BOUNDED deterministic sample (hash-chosen,
+    * id-sorted — the [[hierarchicalAssign]] sampling convention, so
+    * the fit is identical under any partitioning): slice each sample
+    * vector into `m` subvectors and run driver-local Lloyd per
+    * subspace. Fit cost: sample × k × dim flops, far below one corpus
+    * scan; the corpus itself is never collected. */
+  def fitPq(corpus: DataFrame, m: Int = 8, k: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            maxSample: Int = 20000): PqModel = {
+    val c = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__cv"))
+    val n = c.count()
+    val frac = if (n <= maxSample) 1.0 else maxSample.toDouble / n
+    val sampleDf = if (frac >= 1.0) c
+      else c.where(pmod(xxhash64(col("__id")), lit(1000000L)) <
+        lit(math.max(1L, (frac * 1000000L).toLong)))
+    val sample: Array[Array[Double]] = sampleDf
+      .select(col("__id").cast("string"), col("__cv"))
+      .collect().sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "fitPq: empty fit sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"fitPq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = (0 until m).map { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(sub, math.min(k, sub.length), iters = 10)
+    }.toArray
+    PqModel(m, dsub, books)
+  }
+
+  /** Encode vectors to PQ codes — MAP-ONLY, the corpus-compression
+    * pass: per subspace, the nearest codebook centroid's index.
+    * Returns (vec_id, codes array<int> of length m). */
+  def pqEncode(df: DataFrame, model: PqModel,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val enc = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      val codes = new Array[Int](model.m)
+      var s = 0
+      while (s < model.m) {
+        val sub = java.util.Arrays.copyOfRange(a, s * model.dsub, (s + 1) * model.dsub)
+        codes(s) = nearest(sub, model.codebooks(s))
+        s += 1
+      }
+      codes
+    }
+    df.select(col(idCol).as("vec_id"),
+      enc(asDouble(col(vecCol))).as("codes"))
+  }
+
+  /** ADC top-k with EXACT re-rank: score every code row against each
+    * (broadcast-small) query by asymmetric distance — the query's true
+    * subvector against the code's reconstructed centroid, summed over
+    * subspaces — shortlist the `shortlist` best per query, join those
+    * few rows back to their full vectors, and re-rank by exact cosine.
+    * The output schema and scores therefore match [[bruteForceTopK]]
+    * exactly (the planted oracle binds the whole path to the
+    * brute-force answer); ADC only decides WHICH tiny candidate set
+    * pays for full-precision distance.
+    *
+    * Scale shape: the codes frame is the only corpus-wide scan (m
+    * bytes of code per row + one broadcast product), the shortlist is
+    * `queries × shortlist` rows, and the full-vector join touches only
+    * those. At 100 TB the codes frame is the 32×-smaller resident
+    * working set. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, model: PqModel,
+             k: Int, shortlist: Int = 50,
+             qIdCol: String = "vec_id", cIdCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    registered(corpus)
+    val codes = pqEncode(corpus, model, cIdCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val adc = udf { (qv: Seq[Double], codes: Seq[Int]) =>
+      val a = qv.toArray
+      var d = 0.0
+      var s = 0
+      while (s < model.m) {
+        val ctr = model.codebooks(s)(codes(s))
+        var j = 0
+        while (j < model.dsub) {
+          val diff = a(s * model.dsub + j) - ctr(j)
+          d += diff * diff
+          j += 1
+        }
+        s += 1
+      }
+      d
+    }
+    val scored = codes.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc(col("__qv"), col("codes")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val short = scored.withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("__qv"))
+    val full = corpus.select(col(cIdCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val reranked = short.join(full, Seq("neighbor_id"))
+      .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Cosine-to-centroid outlier scores: the standard corrupt-embedding
     * probe (zeroed rows, wrong-model vectors, encoding bugs score far
     * from the corpus mean). The centroid's per-dimension sums go

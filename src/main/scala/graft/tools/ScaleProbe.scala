@@ -369,6 +369,16 @@ object ScaleProbe {
           }
         }
       }
+      time(s"pq_encode x$k") {
+        // PQ corpus compression: codebooks fit on a BOUNDED sample
+        // (constant cost), encode is map-only O(m*k*dsub) per row —
+        // must track the scan rate
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val model = graft.llm.Similarity.fitPq(embK)
+        val n = graft.llm.Similarity.pqEncode(embK, model).count()
+        embK.unpersist()
+        n
+      }
       time(s"semdedup x$k") {
         // the 100 TB regime: cluster COUNT scales with the corpus (so
         // cluster sizes stay bounded) while the quantizer fits on a

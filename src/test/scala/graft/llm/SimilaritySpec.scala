@@ -349,6 +349,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("product quantization: deterministic codes, recall with exact re-rank") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Similarity.fitPq(emb)
+    // determinism: same corpus -> same codebooks -> same codes under
+    // any partitioning (the hash-sampled, id-sorted fit contract)
+    val c1 = Similarity.pqEncode(emb, model).orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    val model2 = Similarity.fitPq(emb.repartition(7))
+    val c2 = Similarity.pqEncode(emb.repartition(13), model2).orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(c1 == c2)
+    // codes are m subspace indices in [0, k)
+    assert(c1.forall { case (_, cs) =>
+      cs.length == model.m && cs.forall(c => c >= 0 && c < model.k) })
+    // recall through ADC + exact re-rank. This corpus is the WORST
+    // case for ADC — i.i.d. random vectors have no neighbor structure,
+    // so all cosines crowd ~0 and quantization error rivals the gaps.
+    // Measured at (m=8, k=32, shortlist=100): per-query overlap with
+    // the true top-10 is 8..10 of 10; assert >= 7 with margin.
+    // (Everything is seeded/deterministic — this bound cannot flake;
+    // real embedding corpora, manifold-clustered, do far better.)
+    val fine = Similarity.fitPq(emb, m = 8, k = 32)
+    val queries = emb.filter(col("vec_id") < 5)
+    val top10 = Similarity.bruteForceTopK(queries, emb, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val pq = Similarity.pqTopK(queries, emb, fine, k = 10, shortlist = 100)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    top10.foreach { case (q, t) =>
+      assert((t intersect pq(q)).size >= 7,
+        s"query $q kept only ${(t intersect pq(q)).size} of its true top-10")
+    }
+    // an exact twin planted in the corpus is always recovered at rank 1
+    // with cosine ~1 (its codes are identical to the base's)
+    val twin = emb.where(col("vec_id") === 7)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+    val withTwin = emb.select("vec_id", "embedding").unionByName(twin)
+    val got = Similarity.pqTopK(twin, withTwin, model, k = 1).collect().head
+    assert(got.getAs[Long]("neighbor_id") == 7L)
+    assert(math.abs(got.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
   test("centroidOutliers flags zero and null vectors first (sentinel -2)") {
     val good = Seq.tabulate(8)(i => (i + 1).toFloat)
     val rows = Seq(
