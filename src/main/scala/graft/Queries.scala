@@ -4782,6 +4782,35 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** PQ index persisted + APPENDED ([[Similarity.buildPqIndex]] /
+    * `appendPqIndex` / `pqQueryIndex`): the index is built on 6/7 of
+    * the corpus, the rest appended with the EXISTING codebooks (no
+    * refit), and the planted ε-twins queried through the stored codes
+    * — exact re-rank means the brute-force oracle binds the whole
+    * persisted+incremental path, completing the incremental triad for
+    * PQ (`dedup_exact_incremental`/`ann_ivf_append`/`pack_append`). */
+  private val annPqAppend = QueryDef("ann_pq_append",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "pq_append")
+      Similarity.buildPqIndex(emb.where(col("vec_id") % 7 =!= 0), dir)
+      Similarity.appendPqIndex(s, emb.where(col("vec_id") % 7 === 0), dir)
+      Similarity.pqQueryIndex(s, dir, perturbedEmbeddings(emb, 3), emb, k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -5267,7 +5296,7 @@ object Queries {
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
-    annBrute, annBruteQuantized, annPq, annPqPlanted, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
+    annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageResize, mmAudioStats,

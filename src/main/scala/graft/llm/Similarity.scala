@@ -785,10 +785,23 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, model: PqModel,
              k: Int, shortlist: Int = 50,
              qIdCol: String = "vec_id", cIdCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    pqTopKFromCodes(queries,
+      pqEncode(corpus, model, cIdCol, vecCol)
+        .select(col("vec_id").as("neighbor_id"), col("codes")),
+      corpus, model, k, shortlist, qIdCol, cIdCol, vecCol)
+
+  /** The ADC + re-rank phase over an EXISTING codes frame — shared by
+    * the fit-inline ([[pqTopK]]) and persisted-index
+    * ([[pqQueryIndex]]) paths. `corpus` supplies full vectors for the
+    * exact re-rank of the shortlist only (broadcast-probed by id; the
+    * corpus is scanned, never shuffled). */
+  private def pqTopKFromCodes(queries: DataFrame, codes: DataFrame,
+                              corpus: DataFrame, model: PqModel,
+                              k: Int, shortlist: Int,
+                              qIdCol: String, cIdCol: String,
+                              vecCol: String): DataFrame = {
     registered(corpus)
-    val codes = pqEncode(corpus, model, cIdCol, vecCol)
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
     val q = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
     val adc = udf { (qv: Seq[Double], codes: Seq[Int]) =>
@@ -824,6 +837,71 @@ object Similarity {
     reranked.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Persist a PQ index: the codebook table (m × k tiny rows) plus the
+    * encoded codes frame — the 32×-compressed searchable form of the
+    * corpus. Layout: `dir/codebooks` (subspace, centroid, vals),
+    * `dir/codes` (vec_id, codes). The original vectors are NOT copied
+    * into the index (that would forfeit the compression); the exact
+    * re-rank joins the caller's corpus frame at query time. */
+  def buildPqIndex(corpus: DataFrame, dir: String,
+                   m: Int = 8, k: Int = 16,
+                   cIdCol: String = "vec_id",
+                   vecCol: String = "embedding"): PqModel = {
+    val model = fitPq(corpus, m, k, cIdCol, vecCol)
+    import corpus.sparkSession.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (ctr, j) => (s, j, ctr.toSeq) }
+    }.toIndexedSeq.toDF("subspace", "centroid", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqEncode(corpus, model, cIdCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    model
+  }
+
+  /** Reload a persisted PQ codebook table into a [[PqModel]]. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): PqModel = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("subspace"), col("centroid"), col("vals"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val books = (0 until m).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }.toArray
+    PqModel(m, books(0)(0).length, books)
+  }
+
+  /** INCREMENTAL PQ index append — encode the new batch with the
+    * EXISTING codebooks (no refit: append ≡ encode-the-union with the
+    * same model, exactly — spec-bound) and append to the codes frame.
+    * Map-only over the batch plus one parquet append; codebooks drift
+    * as the distribution shifts (quantization error creeps up, recall
+    * degrades gracefully via the exact re-rank) — periodic refits
+    * re-center, the same maintenance trade as [[appendIvfIndex]]. */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
+                    newVecs: DataFrame, dir: String,
+                    cIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val model = loadPqModel(spark, dir)
+    pqEncode(newVecs, model, cIdCol, vecCol)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Query a persisted PQ index: ADC over the stored codes, exact
+    * re-rank against the caller's `corpus` frame (which must cover
+    * every indexed id — the base corpus plus any appended batches). */
+  def pqQueryIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, corpus: DataFrame, k: Int,
+                   shortlist: Int = 50,
+                   qIdCol: String = "vec_id", cIdCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val model = loadPqModel(spark, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    pqTopKFromCodes(queries, codes, corpus, model, k, shortlist,
+      qIdCol, cIdCol, vecCol)
   }
 
   /** Cosine-to-centroid outlier scores: the standard corrupt-embedding

@@ -393,6 +393,37 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("PQ persisted index: append == encode-union with the same model") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx")
+      .toFile.getPath
+    val base = emb.where(col("vec_id") % 7 =!= 0)
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val model = Similarity.buildPqIndex(base, dir)
+    Similarity.appendPqIndex(spark, batch, dir)
+    // the reloaded model is the built one, bit for bit
+    val reloaded = Similarity.loadPqModel(spark, dir)
+    assert(reloaded.m == model.m && reloaded.dsub == model.dsub)
+    assert(reloaded.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq)
+    // appended codes frame == encoding the union with the SAME model
+    val stored = spark.read.parquet(s"$dir/codes").orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    val direct = Similarity.pqEncode(emb, model).orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(stored == direct)
+    // queries through the stored index == the inline path on the union
+    val queries = emb.filter(col("vec_id") < 3)
+    val viaIndex = Similarity.pqQueryIndex(spark, dir, queries, emb, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val inline = Similarity.pqTopK(queries, emb, model, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(viaIndex == inline)
+  }
+
   test("centroidOutliers flags zero and null vectors first (sentinel -2)") {
     val good = Seq.tabulate(8)(i => (i + 1).toFloat)
     val rows = Seq(
