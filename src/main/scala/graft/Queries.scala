@@ -4811,6 +4811,35 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** IVF-PQ composite ([[Similarity.buildIvfPqIndex]] /
+    * `ivfPqQueryIndex` — the FAISS IVFADC layout): coarse clusters
+    * partition the codes on disk, residuals are PQ-encoded, queries
+    * probe nProbe clusters and ADC only their codes before the exact
+    * re-rank. Planted ε-twins: the twin's cluster is the query's top
+    * probe and its residual codes are the query-residual's ADC
+    * nearest, so the brute-force oracle binds partition-pruned +
+    * compressed search end to end. */
+  private val annIvfPq = QueryDef("ann_ivfpq_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivfpq")
+      Similarity.buildIvfPqIndex(emb, dir)
+      Similarity.ivfPqQueryIndex(s, dir, perturbedEmbeddings(emb, 3), emb, k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -5296,7 +5325,7 @@ object Queries {
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
-    annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
+    annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annIvfPq, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageResize, mmAudioStats,

@@ -904,6 +904,123 @@ object Similarity {
       qIdCol, cIdCol, vecCol)
   }
 
+  /** IVF-PQ composite index — the canonical big-corpus ANN layout
+    * (FAISS's IVFADC): a coarse IVF quantizer partitions the corpus by
+    * cluster, and within each cluster the RESIDUAL (vector − its
+    * centroid) is PQ-encoded. Queries probe nProbe clusters and run
+    * ADC over only those clusters' codes — the scan is BOTH
+    * partition-pruned (IVF) and 32×-compressed (PQ), which is the
+    * combination a 100 TB vector corpus actually needs: nProbe/K of
+    * the data read, at m bytes per vector. Residual encoding (not raw
+    * vectors) is what makes coarse+fine quantization compose: the
+    * codebooks only have to cover the within-cluster spread.
+    *
+    * Layout: `dir/centroids` (IVF), `dir/codebooks` (PQ, residual
+    * space), `dir/codes` partitioned by cluster. Flat coarse quantizer
+    * only (nCentroids ≤ 64 — the hierarchical path's probe rule does
+    * not transfer to residual space). */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String, nCentroids: Int = 16,
+                      m: Int = 8, k: Int = 16, seed: Long = 42L,
+                      cIdCol: String = "vec_id",
+                      vecCol: String = "embedding"): PqModel = {
+    require(nCentroids <= hierarchicalThreshold,
+      s"buildIvfPqIndex: flat coarse quantizer only (nCentroids <= $hierarchicalThreshold)")
+    registered(corpus)
+    val qz = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
+    qz.centroidsDf.coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val resid = qz.assigned
+      .join(broadcast(qz.centroidsDf), Seq("cluster"))
+      .select(col("neighbor_id"), col("cluster"),
+        zip_with(col("__cv"), col("__ctr"), (a, b) => a - b).as("__res"))
+      .localCheckpoint(true) // residuals feed BOTH the fit sample and the encode
+    val model = fitPq(resid, m, k, idCol = "neighbor_id", vecCol = "__res")
+    import corpus.sparkSession.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (ctr, j) => (s, j, ctr.toSeq) }
+    }.toIndexedSeq.toDF("subspace", "centroid", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val enc = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      val codes = new Array[Int](model.m)
+      var s = 0
+      while (s < model.m) {
+        val sub = java.util.Arrays.copyOfRange(a, s * model.dsub, (s + 1) * model.dsub)
+        codes(s) = nearest(sub, model.codebooks(s))
+        s += 1
+      }
+      codes
+    }
+    resid.select(col("neighbor_id").as("vec_id"), col("cluster"),
+        enc(col("__res")).as("codes"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite")
+      .parquet(s"$dir/codes")
+    resid.unpersist()
+    model
+  }
+
+  /** Query an IVF-PQ index: probe the nProbe nearest coarse centroids
+    * per query, ADC the query's RESIDUAL against only those clusters'
+    * codes, shortlist, exact re-rank against the caller's corpus
+    * frame. Scores equal [[bruteForceTopK]]'s for everything the probe
+    * reaches (the planted oracle binds the path end to end). */
+  def ivfPqQueryIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queries: DataFrame, corpus: DataFrame, k: Int,
+                      nProbe: Int = 4, shortlist: Int = 50,
+                      qIdCol: String = "vec_id", cIdCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    registered(corpus)
+    val model = loadPqModel(spark, dir)
+    val centroidsDf = spark.read.parquet(s"$dir/centroids")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val qBase = queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cdot").desc, col("cluster").asc)
+    // per probed cluster the query carries its residual — ADC space
+    // matches the encode space
+    val probed = qBase.crossJoin(broadcast(centroidsDf))
+      .withColumn("__cdot", nDot(col("__qv"), col("__ctr")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cluster"),
+        zip_with(col("__qv"), col("__ctr"), (a, b) => a - b).as("__qres"))
+    val adc = udf { (qres: Seq[Double], cs: Seq[Int]) =>
+      val a = qres.toArray
+      var d = 0.0
+      var s = 0
+      while (s < model.m) {
+        val ctr = model.codebooks(s)(cs(s))
+        var j = 0
+        while (j < model.dsub) {
+          val diff = a(s * model.dsub + j) - ctr(j)
+          d += diff * diff
+          j += 1
+        }
+        s += 1
+      }
+      d
+    }
+    val scored = probed.join(codes, Seq("cluster"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("__adc", adc(col("__qres"), col("codes")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("vec_id").asc)
+    val short = scored.withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("__qv"))
+    val full = corpus.select(col(cIdCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val reranked = short.join(full, Seq("neighbor_id"))
+      .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reranked.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Cosine-to-centroid outlier scores: the standard corrupt-embedding
     * probe (zeroed rows, wrong-model vectors, encoding bugs score far
     * from the corpus mean). The centroid's per-dimension sums go
