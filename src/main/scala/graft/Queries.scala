@@ -2059,6 +2059,50 @@ object Queries {
         len(regexp_extract_all(r, '\+?\d[\d ()-]{7,}\d')) AS n_phones
       FROM raw ORDER BY p_partkey"""))
 
+  /** Luhn-gated card redaction ([[TextAnalysis.piiCardCount]] /
+    * `scrubPiiStrict`): every doc carries an INVALID card-shaped
+    * number (must survive as a plain `<NUMBER>`, never `<CARD>`),
+    * docs %3 a Luhn-VALID separator-formatted card and docs %2 a
+    * valid unformatted one (both must redact as `<CARD>`), plus a
+    * 9-digit id for the long-number rule. The oracle replays the
+    * redaction with literal replaces of the two valid constants (the
+    * controlled-input convention) and the published scrub chain; the
+    * Luhn arithmetic itself is spec-bound digit by digit. */
+  private val piiCards = QueryDef("pii_cards",
+    (s, d) => {
+      val raw = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" pay 4539 1488 0343 6467 now")).otherwise(lit("")),
+        lit(" ref 4539148803436468"),
+        when(col("doc_id") % 2 === 0,
+          lit(" order 4012888888881881")).otherwise(lit("")),
+        lit(" id 987654321"))
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.piiCardCount(raw).as("n_cards"),
+          TextAnalysis.scrubPiiStrict(raw).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH raw AS (SELECT doc_id,
+        text
+        || (CASE WHEN doc_id % 3 = 0 THEN ' pay 4539 1488 0343 6467 now' ELSE '' END)
+        || ' ref 4539148803436468'
+        || (CASE WHEN doc_id % 2 = 0 THEN ' order 4012888888881881' ELSE '' END)
+        || ' id 987654321' AS r
+        FROM documents),
+      sc AS (SELECT doc_id,
+        CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_cards,
+        replace(replace(r, '4539 1488 0343 6467', '<CARD>'),
+          '4012888888881881', '<CARD>') AS r2
+        FROM raw)
+      SELECT doc_id, n_cards,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(r2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{9,}\b', '<NUMBER>', 'g'),
+          '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+      FROM sc ORDER BY doc_id"""))
+
   /** Compression-ratio quality flags ([[TextAnalysis.compressionStats]])
     * on constructed inputs whose verdicts are engine-independent:
     * repeated text deflates far below 20% of raw, and chained-md5 hex
@@ -5303,7 +5347,7 @@ object Queries {
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     dedupSubstrings, dedupSubstringsStrip,
     decontaminate, decontaminateBloom, decontaminateFuzzyQ,
-    dedupClusters, piiScrub,
+    dedupClusters, piiScrub, piiCards,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,

@@ -448,6 +448,52 @@ object TextAnalysis {
     regexp_replace(noLong, phoneRe, "<PHONE>")
   }
 
+  /** Candidate payment-card pattern: 13-19 digits with optional
+    * single space/dash separators, word-bounded. Raw digit runs also
+    * hit phone numbers and ids — [[luhnValid]] is the discriminator. */
+  private val cardRe = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn checksum (ISO/IEC 7812 — the public mod-10 algorithm every
+    * payment card number satisfies) over a digit-string column, in
+    * PURE column ops so the DuckDB oracle replays it: from the
+    * rightmost digit, double every second one (subtracting 9 on
+    * overflow) and require the sum ≡ 0 mod 10. The Luhn gate is what
+    * separates card PII from ordinary long numbers — a raw
+    * digit-run rule either over-redacts ids or under-redacts cards. */
+  def luhnValid(digits: Column): Column =
+    Dedup.letBound(reverse(digits)) { r =>
+      val contrib = transform(sequence(lit(1), length(r)), i =>
+        Dedup.letBound(r.substr(i, lit(1)).cast("int")) { dg =>
+          when(i % 2 === 0,
+            when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
+        })
+      aggregate(contrib, lit(0), (a, x) => a + x) % 10 === 0
+    }
+
+  /** Count of Luhn-valid card numbers in the text. Map-only. */
+  def piiCardCount(c: Column): Column =
+    size(filter(
+      transform(regexp_extract_all(c, lit(cardRe), lit(0)),
+        m => regexp_replace(m, "[ -]", "")),
+      d => length(d).between(13, 19) && luhnValid(d)))
+
+  /** Redact Luhn-valid card numbers (separator-tolerant): each VALID
+    * candidate is replaced literally with `<CARD>`; Luhn-failing
+    * digit runs (order ids, tracking numbers) are left alone. Run
+    * BEFORE [[scrubPii]] — its long-digit rule would otherwise eat
+    * card numbers into indistinct `<NUMBER>`s. */
+  def scrubCards(c: Column): Column =
+    Dedup.letBound(
+      filter(regexp_extract_all(c, lit(cardRe), lit(0)),
+        m => Dedup.letBound(regexp_replace(m, "[ -]", "")) { d =>
+          length(d).between(13, 19) && luhnValid(d)
+        })) { cands =>
+      aggregate(cands, c, (acc, cand) => replace(acc, cand, lit("<CARD>")))
+    }
+
+  /** [[scrubCards]] then [[scrubPii]] — the strict redaction pass. */
+  def scrubPiiStrict(c: Column): Column = scrubPii(scrubCards(c))
+
   /** Count of PII hits per kind (for filtering decisions without
     * rewriting the text). */
   def piiStats(c: Column): Column = struct(

@@ -325,6 +325,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  test("luhnValid / card redaction: checksum gates what counts as a card") {
+    def luhn(s: String): Boolean =
+      Seq(s).toDF("d").select(TextAnalysis.luhnValid(col("d")))
+        .as[Boolean].collect().head
+    // classic test numbers: Visa, Mastercard, Amex (15-digit) pass;
+    // a one-digit corruption fails
+    assert(luhn("4539148803436467"))
+    assert(luhn("5555555555554444"))
+    assert(luhn("378282246310005"))
+    assert(!luhn("4539148803436468"))
+    def scrub(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.scrubPiiStrict(col("t")))
+        .as[String].collect().head
+    def nCards(s: String): Int =
+      Seq(s).toDF("t").select(TextAnalysis.piiCardCount(col("t")))
+        .as[Int].collect().head
+    // separator-formatted and bare forms both redact as <CARD>
+    assert(scrub("pay 4539 1488 0343 6467 now") == "pay <CARD> now")
+    assert(scrub("pay 4539-1488-0343-6467 now") == "pay <CARD> now")
+    assert(scrub("pay 4539148803436467 now") == "pay <CARD> now")
+    // a Luhn-failing digit run is NOT a card — the long-number rule
+    // redacts it as <NUMBER> (order ids keep their distinct label)
+    assert(scrub("ref 4539148803436468 ok") == "ref <NUMBER> ok")
+    // too-short digit runs never match the card pattern
+    assert(nCards("id 123456789012") == 0)
+    assert(nCards("a 4539148803436467 b 4012888888881881") == 2)
+    // emails/ips still scrub after the card pass
+    assert(scrub("u@ex.com 4539148803436467") == "<EMAIL> <CARD>")
+  }
+
   test("vocabCoverage: per-doc OOV counts, no-word docs surface with zeros") {
     val docs = Seq(
       (1L, "known words here"),
