@@ -3864,6 +3864,63 @@ object Queries {
       SELECT epoch, doc_id, CAST(digest % 64 AS BIGINT) AS shard, rank
       FROM s0 ORDER BY epoch, doc_id"""))
 
+  /** Length-bucketed batching ([[graft.llm.Packing.lengthBucketBatches]]):
+    * the bucket is EXACTLY SQL NTILE over (n_tokens, doc_id) and the
+    * batch the 0-based within-bucket cut — the oracle replays both
+    * with the window functions the arithmetic derivation replaces
+    * (the two-phase rank means no global window touches data in the
+    * Spark plan; the SQL windows are the SPEC, not the
+    * implementation). */
+  private val lengthBucketsQ = QueryDef("length_bucket_batches",
+    (s, d) => graft.llm.Packing.lengthBucketBatches(
+        t(s, d, "documents"), "doc_id",
+        TextAnalysis.wsTokenCount(col("text")),
+        nBuckets = 8, batchSize = 16)
+      .orderBy(col("doc_id")),
+    Some("""WITH tc AS (SELECT doc_id,
+        CAST(CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END AS BIGINT)
+          AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+        CAST(NTILE(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+        FROM tc),
+      r AS (SELECT doc_id, n_tokens, bucket,
+        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+        FROM b)
+      SELECT doc_id, n_tokens, bucket,
+        CAST((rn - 1) // 16 AS BIGINT) AS batch_id
+      FROM r ORDER BY doc_id"""))
+
+  /** Per-bucket padding audit ([[graft.llm.Packing.lengthBucketPadding]]):
+    * pad-to-max waste per batch, aggregated per bucket — the measured
+    * saving length bucketing exists for. */
+  private val lengthBucketPaddingQ = QueryDef("length_bucket_padding",
+    (s, d) => graft.llm.Packing.lengthBucketPadding(
+        t(s, d, "documents"), "doc_id",
+        TextAnalysis.wsTokenCount(col("text")),
+        nBuckets = 8, batchSize = 16)
+      .orderBy(col("bucket")),
+    Some("""WITH tc AS (SELECT doc_id,
+        CAST(CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END AS BIGINT)
+          AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+        CAST(NTILE(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+        FROM tc),
+      r AS (SELECT doc_id, n_tokens, bucket,
+        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn
+        FROM b),
+      batches AS (SELECT bucket, (rn - 1) // 16 AS batch_id,
+          count(*) AS n_docs, SUM(n_tokens) AS tok, MAX(n_tokens) AS mx
+        FROM r GROUP BY bucket, batch_id)
+      SELECT bucket, count(*) AS n_batches,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(mx * n_docs - tok) AS BIGINT) AS padding_tokens,
+        CAST(SUM(tok) AS BIGINT) AS total_tokens
+      FROM batches GROUP BY bucket ORDER BY bucket"""))
+
   /** NO-SPLIT greedy packing ([[graft.llm.Packing.packGreedy]]): every
     * doc lands wholly in one pack, packs close when the next doc in
     * stream order does not fit — the padding-aware packing mode
@@ -5363,7 +5420,8 @@ object Queries {
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
     packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
-    shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml, c4Clean,
+    shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
+    lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,

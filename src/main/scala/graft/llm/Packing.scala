@@ -164,6 +164,89 @@ object Packing {
       .withColumn("shard", pmod(rankDigest(col("rank")), lit(nShards.toLong)))
   }
 
+  /** Length-bucketed batch assembly — the padding-reduction trainer
+    * prep for models that DON'T concatenate (instruction tuning,
+    * encoder batches): sort-by-length, cut into `nBuckets` equal-count
+    * buckets, fill fixed-size batches inside each bucket, so a batch's
+    * pad-to-max waste is bounded by the within-bucket length spread
+    * instead of the corpus-wide one.
+    *
+    * Bucket semantics are EXACTLY SQL `NTILE(nBuckets)` over
+    * `(n_tokens, id)` (1-based; the first `N mod nBuckets` buckets
+    * take the extra row), and `batch_id` is the 0-based
+    * `floor(within-bucket-rank / batchSize)` — both derived
+    * ARITHMETICALLY from one global rank, which itself comes from the
+    * [[packSequences]] two-phase prefix machinery (range partition +
+    * per-partition counts + a window over the tiny per-partition
+    * frame). No global window, no ntile over a single partition — the
+    * plan survives a corpus that does not fit one executor.
+    *
+    * Returns (doc_id, n_tokens, bucket, batch_id). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: Column,
+                          nBuckets: Int, batchSize: Int,
+                          numParts: Int = 0): DataFrame = {
+    require(nBuckets > 0, s"lengthBucketBatches: nBuckets must be positive")
+    require(batchSize > 0, s"lengthBucketBatches: batchSize must be positive")
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol).as("doc_id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .repartitionByRange(n, col("n_tokens"), col("doc_id"))
+      .sortWithinPartitions(col("n_tokens"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wPart = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__poff", coalesce(sum(col("__pc")).over(wPart), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val total = base.count()
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val ranked = base.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__rank", // 0-based global rank in length order
+        col("__poff") + row_number().over(wLocal) - 1)
+    // NTILE arithmetic: the first `big` buckets hold base+1 rows
+    val bucketBase = total / nBuckets
+    val big = total % nBuckets
+    val cut = big * (bucketBase + 1) // ranks below `cut` are in big buckets
+    val bucket0 =
+      if (bucketBase == 0) col("__rank") // N < nBuckets: one row per bucket
+      else when(col("__rank") < cut, floor(col("__rank") / (bucketBase + 1)))
+        .otherwise(lit(big) + floor((col("__rank") - cut) / bucketBase))
+    val bucketStart =
+      if (bucketBase == 0) col("__rank")
+      else when(col("__rank") < cut, bucket0 * (bucketBase + 1))
+        .otherwise(lit(cut) + (bucket0 - big) * bucketBase)
+    ranked
+      .withColumn("bucket", (bucket0 + 1).cast("long")) // 1-based, NTILE
+      .withColumn("batch_id",
+        floor((col("__rank") - bucketStart) / batchSize).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("batch_id"))
+  }
+
+  /** Per-batch padding audit of [[lengthBucketBatches]] vs the
+    * same-size batches cut from plain id order: pad-to-max waste per
+    * batch is `batchMax × batchRows − batchTokens`; the report
+    * aggregates both schemes per bucket so the saving is measured, not
+    * assumed. */
+  def lengthBucketPadding(df: DataFrame, idCol: String, tokensCol: Column,
+                          nBuckets: Int, batchSize: Int,
+                          numParts: Int = 0): DataFrame = {
+    val bucketed = lengthBucketBatches(df, idCol, tokensCol, nBuckets,
+      batchSize, numParts)
+    bucketed.groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok"),
+        max(col("n_tokens")).as("mx"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("mx") * col("n_docs") - col("tok")).as("padding_tokens"),
+        sum(col("tok")).as("total_tokens"))
+  }
+
   /** Materialize [[packSequences]]' assignments into the actual
     * concatenated per-pack token streams — the last-mile artifact a
     * training data loader reads. Each pack row carries its member

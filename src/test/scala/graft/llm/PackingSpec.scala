@@ -326,6 +326,40 @@ class PackingSpec extends SparkSpec {
       minBatchIdExclusive = Some(3L)).count() == 0L)
   }
 
+  test("lengthBucketBatches: NTILE semantics, determinism, measured padding win") {
+    val df = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        (pmod(col("id") * 37 + 11, lit(500L)) + 1).as("t"))
+    val out = Packing.lengthBucketBatches(df, "doc_id", col("t"),
+      nBuckets = 8, batchSize = 16).cache()
+    // equal-count buckets (1000 = 8 x 125), 1-based like SQL NTILE
+    val sizes = out.groupBy("bucket").count().orderBy("bucket")
+      .as[(Long, Long)].collect().toSeq
+    assert(sizes == (1L to 8L).map(b => b -> 125L))
+    // batches are full (batchSize) except possibly each bucket's last
+    val batchSizes = out.groupBy("bucket", "batch_id").count()
+      .as[(Long, Long, Long)].collect()
+    assert(batchSizes.forall(_._3 <= 16))
+    assert(batchSizes.count(_._3 < 16) <= 8)
+    // deterministic under any input partitioning
+    val again = Packing.lengthBucketBatches(df.repartition(13), "doc_id",
+      col("t"), nBuckets = 8, batchSize = 16)
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // bucketing must actually cut pad-to-max waste vs id-order batches
+    val bucketedPad = Packing.lengthBucketPadding(df, "doc_id", col("t"),
+        nBuckets = 8, batchSize = 16)
+      .agg(sum(col("padding_tokens"))).head().getLong(0)
+    val idOrderPad = df
+      .withColumn("batch", floor(col("doc_id") / 16))
+      .groupBy("batch")
+      .agg((max(col("t")) * count(lit(1)) - sum(col("t"))).as("pad"))
+      .agg(sum(col("pad"))).head().getLong(0)
+    assert(bucketedPad < idOrderPad / 2,
+      s"bucketed=$bucketedPad idOrder=$idOrderPad")
+    out.unpersist()
+  }
+
   test("packMaterialize docSep: (doc + EOS)* stream, separator-free accounting") {
     val docs = Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq("d", "e")))
       .toDF("doc_id", "toks")
