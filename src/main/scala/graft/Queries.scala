@@ -2659,6 +2659,75 @@ object Queries {
       SELECT doc_id, n_feats, round(log_weight, 4) AS log_weight
       FROM lw ORDER BY doc_id"""))
 
+  /** Invisible-character cleanup ([[TextAnalysis.stripInvisible]]):
+    * zero-width chars injected at known positions must vanish and the
+    * NBSP must become a plain space — proven by BOTH the cleaned text
+    * and the before/after token counts (the corruption this strip
+    * exists to fix: one visual word tokenizing as several). */
+  private val stripInvisibleQ = QueryDef("text_strip_invisible",
+    (s, d) => {
+      val raw = concat(col("text"),
+        lit(" zero\u200Bwidth joined\u200Dpair word\u2060joiner"),
+        lit(" bom\uFEFFmark soft\u00ADhyphen nb\u00A0space"))
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.stripInvisible(raw).as("cleaned"),
+          TextAnalysis.wsTokenCount(raw).as("n_tokens_raw"),
+          TextAnalysis.wsTokenCount(TextAnalysis.stripInvisible(raw))
+            .as("n_tokens_clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        text || ' zerowidth joinedpair wordjoiner bommark softhyphen nb space'
+          AS cleaned,
+        CAST(CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END + 6 AS BIGINT)
+          AS n_tokens_raw,
+        CAST(CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END + 7 AS BIGINT)
+          AS n_tokens_clean
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality-filter calibration ([[graft.llm.Importance.thresholdSweep]]):
+    * the keep-rate curve of the seeded classifier over a threshold
+    * grid — one aggregation pass, every count oracle-bound through the
+    * same score replay as `classifier_score`. */
+  private val clfThresholdSweep = QueryDef("classifier_threshold_sweep",
+    (s, d) => {
+      val scores = graft.llm.Importance.classifierScore(
+        t(s, d, "documents"), graft.llm.Importance.seededWeights(s),
+        "doc_id", "text")
+      graft.llm.Importance.thresholdSweep(scores, "score",
+          Seq(0.3, 0.4, 0.5, 0.6, 0.7))
+        .orderBy(col("threshold"))
+    },
+    Some(s"""WITH wl AS (SELECT doc_id,
+            list_filter($sqlWords, x -> x <> '') AS w FROM documents),
+      feats AS (SELECT doc_id, unnest(list_concat(w,
+            CASE WHEN len(w) >= 2
+                 THEN list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])
+                 ELSE [] END)) AS feat FROM wl),
+      fb AS (SELECT doc_id,
+            ${sqlHexVal("md5('dsir' || feat)", 4)} % 10000 AS bucket FROM feats),
+      wt AS (SELECT range AS bucket,
+            round(${sqlHexVal("md5('clfw' || CAST(range AS VARCHAR))", 8)}
+                / 4294967296.0 * 2.0 - 1.0, 12) AS weight
+            FROM range(10000)),
+      sc AS (SELECT fb.doc_id,
+            round(1.0 / (1.0 + exp(-(
+              CAST(SUM(CAST(wt.weight AS DECIMAL(27,12))) AS DOUBLE)
+                / count(*)))), 6) AS score
+            FROM fb JOIN wt USING (bucket) GROUP BY fb.doc_id),
+      th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS DOUBLE)
+               AS threshold)
+      SELECT th.threshold,
+        (SELECT count(*) FROM sc) AS n_scored,
+        CAST(SUM(CASE WHEN sc.score >= th.threshold THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        round(CAST(SUM(CASE WHEN sc.score >= th.threshold THEN 1 ELSE 0 END)
+          AS DOUBLE) / (SELECT count(*) FROM sc), 6) AS keep_rate
+      FROM th CROSS JOIN sc GROUP BY th.threshold ORDER BY th.threshold"""))
+
   /** DSIR Gumbel-top-k selection ([[graft.llm.Importance.dsirSelect]]):
     * weighted resampling without replacement under a DETERMINISTIC
     * md5-derived Gumbel draw — repartition-invariant, and the top-k
@@ -5404,7 +5473,7 @@ object Queries {
     dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
     dedupSubstrings, dedupSubstringsStrip,
     decontaminate, decontaminateBloom, decontaminateFuzzyQ,
-    dedupClusters, piiScrub, piiCards,
+    dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,

@@ -286,6 +286,33 @@ object Importance {
       .select(col("doc_id"), col("n_feats"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
 
+  /** Keep-rate threshold sweep over a score frame — the calibration
+    * report run BEFORE committing a quality-filter cutoff (a threshold
+    * chosen blind either starves the corpus or keeps the junk; the
+    * sweep shows the kept-fraction curve so the cutoff is a measured
+    * decision). ONE aggregation pass computes every threshold's count
+    * (map-side combined conditional sums — no per-threshold rescans,
+    * no row explosion); the 1-row result unpivots driver-free into
+    * (threshold, n_scored, n_kept, keep_rate). */
+  def thresholdSweep(scores: DataFrame, scoreCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: no thresholds")
+    val aggs = count(col(scoreCol)).as("__n") +: thresholds.zipWithIndex.map {
+      case (t, i) =>
+        sum(when(col(scoreCol) >= t, 1L).otherwise(0L)).as(s"__k$i")
+    }
+    val row = scores.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col("__n").as("n_scored"),
+          coalesce(col(s"__k$i"), lit(0L)).as("n_kept"))
+      }: _*)).as("__s"))
+      .select(col("__s.threshold"), col("__s.n_scored"), col("__s.n_kept"))
+      .withColumn("keep_rate",
+        when(col("n_scored") > 0,
+          round(col("n_kept").cast("double") / col("n_scored"), 6))
+          .otherwise(lit(0d)))
+  }
+
   /** A `(bucket, weight)` table collected to a dense driver-side array
     * for [[classifierScoreCol]] — bounded by construction (≤ nBuckets
     * rows, the same budget the broadcast join carries). Missing buckets

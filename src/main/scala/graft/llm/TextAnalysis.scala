@@ -448,6 +448,21 @@ object TextAnalysis {
     regexp_replace(noLong, phoneRe, "<PHONE>")
   }
 
+  /** Invisible/zero-width characters web text accumulates (tracking
+    * pixels' alt text, CMS artifacts, RTL-boundary junk): zero-width
+    * space/non-joiner/joiner, word joiner, BOM-as-ZWNBSP, soft
+    * hyphen. They corrupt tokenization (one visual word becomes
+    * several), dedup (visually identical docs hash apart) and n-gram
+    * stats — strip them BEFORE any of those. NBSP normalizes to a
+    * plain space (it is a real separator, not junk). Pure
+    * regexp_replace — map-only, codegen'd, RE2-replayable. */
+  private val invisibleRe = "[\\u200B\\u200C\\u200D\\u2060\\uFEFF\\u00AD]"
+
+  /** Strip invisible characters and normalize NBSP (see
+    * [[invisibleRe]]). */
+  def stripInvisible(c: Column): Column =
+    regexp_replace(regexp_replace(c, invisibleRe, ""), "\\u00A0", " ")
+
   /** Candidate payment-card pattern: 13-19 digits with optional
     * single space/dash separators, word-bounded. Raw digit runs also
     * hit phone numbers and ids — [[luhnValid]] is the discriminator. */

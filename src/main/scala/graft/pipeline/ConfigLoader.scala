@@ -268,6 +268,20 @@ object ConfigLoader {
               .getOrElse(Nil), kws))
         }
       }),
+      // invisible-character cleanup (zero-width junk out, NBSP -> space)
+      // — run before tokenization/dedup stages
+      "strip_invisible" -> (o => df => {
+        val name = req(o, "column")
+        df.withColumn(o.getOrElse("outCol", name),
+          graft.llm.TextAnalysis.stripInvisible(ColumnNs.q(name)))
+      }),
+      // length-bucketed batch assembly (NTILE buckets + fixed batches)
+      "length_bucket" -> (o => df =>
+        graft.llm.Packing.lengthBucketBatches(
+          df.withColumn("__graft_n", size(wsToks(o)).cast("long")),
+          req(o, "idCol"), col("__graft_n"),
+          o.getOrElse("nBuckets", "16").toInt,
+          o.getOrElse("batchSize", "32").toInt)),
       // full Gopher repetition removal (Rae et al. 2021 Table A1):
       // drop docs exceeding any of the thirteen published repetition
       // fractions; each threshold overridable by its field name

@@ -211,6 +211,25 @@ class ImportanceSpec extends SparkSpec {
         Importance.classifierScoreColNative(col("text"), wts).as("score"))))
   }
 
+  test("thresholdSweep: one-pass keep-rate curve, monotone, exact counts") {
+    val scores = Seq(0.1, 0.2, 0.5, 0.5, 0.9).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "score")
+    val out = Importance.thresholdSweep(scores, "score", Seq(0.2, 0.5, 0.8))
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0.2, 5L, 4L, 0.8),
+      (0.5, 5L, 3L, 0.6),
+      (0.8, 5L, 1L, 0.2)))
+    // keep-rate is monotone non-increasing in the threshold
+    assert(out.map(_._4).zip(out.map(_._4).tail).forall { case (a, b) => a >= b })
+    // empty input: zero counts, rate 0, no division blowup
+    val empty = Importance.thresholdSweep(
+      scores.where(col("score") > 10), "score", Seq(0.5))
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    assert(empty == Seq((0.5, 0L, 0L, 0.0)))
+  }
+
   test("gumbel draw is deterministic per key and bounded-tail") {
     val g = spark.range(1000)
       .select(Importance.gumbel(col("id"), "t").as("g"))

@@ -325,6 +325,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  test("stripInvisible: zero-width junk vanishes, NBSP becomes a space") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.stripInvisible(col("t")))
+        .as[String].collect().head
+    assert(strip("zero​width") == "zerowidth")
+    assert(strip("join‌er‍!") == "joiner!")
+    assert(strip("word⁠joiner bom﻿ soft­hyphen") ==
+      "wordjoiner bom softhyphen")
+    assert(strip("nb space") == "nb space")
+    // plain text passes through untouched
+    assert(strip("normal text stays") == "normal text stays")
+    // the corruption this fixes: one visual word tokenizing as one word
+    val n = Seq("a​b c").toDF("t")
+      .select(TextAnalysis.wsTokenCount(TextAnalysis.stripInvisible(col("t"))))
+      .as[Long].collect().head
+    assert(n == 2L)
+  }
+
   test("luhnValid / card redaction: checksum gates what counts as a card") {
     def luhn(s: String): Boolean =
       Seq(s).toDF("d").select(TextAnalysis.luhnValid(col("d")))

@@ -107,6 +107,18 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(split.columns.contains("split"))
     assert(split.select("split").distinct().as[String].collect()
       .forall(Set("train", "val")))
+    // strip_invisible + length_bucket kinds
+    val inv = transformKinds("strip_invisible")(Map("column" -> "text"))(
+      Seq((1L, "a\u200bb c")).toDF("doc_id", "text"))
+      .select("text").as[String].collect().head
+    assert(inv == "ab c")
+    val lb = transformKinds("length_bucket")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "nBuckets" -> "2",
+        "batchSize" -> "2"))(
+      Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+        .toDF("doc_id", "text"))
+    assert(lb.columns.toSeq == Seq("doc_id", "n_tokens", "bucket", "batch_id"))
+    assert(lb.select("bucket").distinct().count() == 2)
     // repetition_filter: the full Gopher repetition rule set from
     // config; the boilerplate doc (half its lines one repeat) drops,
     // prose survives, an override loosens the rule
