@@ -5063,6 +5063,87 @@ object Queries {
       SELECT CAST(100 AS BIGINT), false, NULL, NULL, NULL, NULL, NULL, NULL
       ORDER BY asset_id"""))
 
+  /** Perceptual image hashing ([[graft.multimodal.Multimodal.dHash]]):
+    * the ENTIRE dHash pipeline — real PNG decode, integer Rec.601
+    * luma, 9×8 block sums, gradient bits — replayed closed-form in SQL
+    * over the synthetic pixel pattern (18×16 images make every block
+    * an exact 2×2, so the cell comparison is a pure integer-sum
+    * compare in both engines). The 64-bit hash travels as two 32-bit
+    * halves (a single sum-of-powers would overflow BIGINT at bit 63).
+    * A corrupt payload and a sub-9×8 image must surface `ok = false`,
+    * not vanish. */
+  private val mmImageDhash = QueryDef("mm_image_dhash",
+    (s, d) => {
+      val assets = (0L until 12L).map { id =>
+        (id, graft.multimodal.Multimodal.syntheticPng(id, 18, 16))
+      } :+ ((100L, "definitely not an image".getBytes("UTF-8"))) :+
+        ((200L, graft.multimodal.Multimodal.syntheticPng(200L, 6, 5)))
+      val df = s.createDataFrame(assets).toDF("asset_id", "payload")
+        .repartition(4)
+      graft.multimodal.Multimodal.imageDHashes(df)
+        .select(col("asset_id"), col("ok"),
+          shiftrightunsigned(col("dhash"), 32)
+            .bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH ids(asset_id) AS (SELECT unnest(range(0, 12))),
+      xs AS (SELECT asset_id, unnest(range(0, 18)) AS x FROM ids),
+      px AS (SELECT asset_id, x, unnest(range(0, 16)) AS y FROM xs),
+      g AS (SELECT asset_id, x // 2 AS i, y // 2 AS j,
+          (299*((x*7 + y*13 + asset_id*31) % 256)
+           + 587*((x*11 + y*3 + asset_id*17) % 256)
+           + 114*((x*5 + y*19 + asset_id*23) % 256)) // 1000 AS gray
+        FROM px),
+      cells AS (SELECT asset_id, i, j, SUM(gray) AS s
+        FROM g GROUP BY asset_id, i, j),
+      bits AS (SELECT a.asset_id, a.i, a.j,
+          CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON a.asset_id = b.asset_id AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      hs AS (SELECT asset_id,
+          CAST(SUM(CASE WHEN j*8+i >= 32
+            THEN bit * (CAST(1 AS BIGINT) << CAST(j*8+i-32 AS INT))
+            ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(SUM(CASE WHEN j*8+i < 32
+            THEN bit * (CAST(1 AS BIGINT) << CAST(j*8+i AS INT))
+            ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY asset_id)
+      SELECT CAST(asset_id AS BIGINT) AS asset_id, true AS ok,
+        dhash_hi, dhash_lo
+      FROM hs
+      UNION ALL SELECT CAST(100 AS BIGINT), false, NULL, NULL
+      UNION ALL SELECT CAST(200 AS BIGINT), false, NULL, NULL
+      ORDER BY asset_id"""))
+
+  /** Perceptual image NEAR-DUP pairs
+    * ([[graft.multimodal.Multimodal.imageNearDups]] — dHash through
+    * the text-SimHash banding machinery): exact re-encodes of three
+    * images are planted under new ids; each must pair with its
+    * original at Hamming 0, and no cross-image pair sits within the
+    * threshold (the synthetic patterns differ in ~half the gradient
+    * bits). */
+  private val mmImageNearDup = QueryDef("mm_image_neardup",
+    (s, d) => {
+      val base = (0L until 12L).map { id =>
+        (id, graft.multimodal.Multimodal.syntheticPng(id, 18, 16))
+      }
+      val copies = Seq(0L, 4L, 8L).map { id =>
+        (id + 1000L, graft.multimodal.Multimodal.syntheticPng(id, 18, 16))
+      }
+      val df = s.createDataFrame(base ++ copies).toDF("asset_id", "payload")
+        .repartition(4)
+      graft.multimodal.Multimodal.imageNearDups(df)
+        .orderBy(col("a"))
+    },
+    Some("""SELECT a, b, hamming FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(1000 AS BIGINT), CAST(0 AS INT)),
+        (CAST(4 AS BIGINT), CAST(1004 AS BIGINT), CAST(0 AS INT)),
+        (CAST(8 AS BIGINT), CAST(1008 AS BIGINT), CAST(0 AS INT)))
+        t(a, b, hamming)
+      ORDER BY a"""))
+
   /** REAL image resize roundtrip
     * ([[graft.multimodal.Multimodal.resizeImages]]): synthetic PNGs →
     * nearest-neighbor resample to 6×5 → PNG re-encode → REAL re-decode
@@ -5499,7 +5580,7 @@ object Queries {
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annIvfPq, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,
     embedNearDup, semdedupPairsQ, semdedupQ,
-    mmFeatures, mmImageStats, mmImageResize, mmAudioStats,
+    mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize, mmAudioStats,
     mmVideoFrames,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,

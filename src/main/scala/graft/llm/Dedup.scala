@@ -565,9 +565,20 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming` (≤3 guaranteed found by
     * 4-chunk banding; pigeonhole over 16-bit chunks). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingNearDups(simhashFingerprints(df, idCol, textCol),
+      maxHamming, maxBucket)
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit fingerprint frame
+    * `(doc_id, fp)` — the machinery behind [[simhashNearDups]], shared
+    * with perceptual image hashing
+    * ([[graft.multimodal.Multimodal.imageNearDups]]): 4×16-bit chunk
+    * banding (two fingerprints within Hamming 3 agree on ≥1 chunk by
+    * pigeonhole), id+fp-only buckets capped at `maxBucket`, exact
+    * Hamming verify inside buckets. Never an all-pairs join. */
+  def hammingNearDups(fp: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only to Hamming 3")
-    val fp = simhashFingerprints(df, idCol, textCol)
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),

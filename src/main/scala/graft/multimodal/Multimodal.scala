@@ -252,6 +252,99 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual difference hash (dHash — the public
+    * gradient-direction perceptual hash): decode, reduce to a 9×8
+    * GRAYSCALE grid by exact integer block sums (NOT AWT interpolated
+    * scaling, whose output is renderer-dependent — block sums are
+    * bit-reproducible on any JVM and replayable in SQL), then 64 bits
+    * of horizontal gradient: bit (j·8+i) set iff cell(i,j) averages
+    * darker than cell(i+1,j). Per-pixel gray is the integer Rec.601
+    * luma `(299r + 587g + 114b) / 1000`; the cell comparison
+    * cross-multiplies sums by block sizes so no division ever happens
+    * — exact, engine-portable arithmetic end to end.
+    *
+    * Near-identical images (recompression, resize artifacts, tiny
+    * edits) land within a few bits; unrelated images differ in ~32 —
+    * the image analogue of SimHash, and [[imageNearDups]] reuses
+    * exactly that banding machinery. */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = Array.ofDim[Long](9, 8)
+        val counts = Array.ofDim[Long](9, 8)
+        var y = 0
+        while (y < h) {
+          val j = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val i = x * 9 / w
+            val p = img.getRGB(x, y)
+            val gray = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            sums(i)(j) += gray
+            counts(i)(j) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            // avg(i) < avg(i+1)  ⇔  sum(i)·n(i+1) < sum(i+1)·n(i)
+            if (sums(i)(j) * counts(i + 1)(j) < sums(i + 1)(j) * counts(i)(j))
+              hash |= 1L << (j * 8 + i)
+            i += 1
+          }
+          j += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed dHash pass — same batched map-only shape as
+    * [[imageStats]] (binaries never leave the executors; undecodable
+    * or sub-9×8 payloads keep their row with `ok = false`). Output:
+    * (asset_id, ok, dhash). */
+  def imageDHashes(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            dHash(bytes) match {
+              case Some(hs) => Row(r.getLong(0), true, hs)
+              case None => Row(r.getLong(0), false, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Perceptual image near-dup pairs: dHash fingerprints through the
+    * SAME banded Hamming machinery as text SimHash
+    * ([[graft.llm.Dedup.hammingNearDups]] — 4×16-bit chunk buckets,
+    * caps, exact verify; no all-pairs join). Returns
+    * (a, b, hamming). */
+  def imageNearDups(df: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 1000, batchSize: Int = 64): DataFrame =
+    graft.llm.Dedup.hammingNearDups(
+      imageDHashes(df, batchSize).where(col("ok"))
+        .select(col("asset_id").as("doc_id"), col("dhash").as("fp")),
+      maxHamming, maxBucket)
+
   /** Decoded audio shape + amplitude stats. Amplitudes are normalized
     * to [0,1] against the PCM16 full scale (32768). */
   final case class AudioStats(sampleRate: Int, channels: Int, nSamples: Long,

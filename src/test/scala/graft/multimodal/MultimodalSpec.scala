@@ -141,6 +141,40 @@ class MultimodalSpec extends SparkSpec {
     assert(a.rms == math.sqrt(sumSq.toDouble / n) / 32768.0)
   }
 
+  test("dHash: deterministic, robust to re-encode + tiny edits, size-gated") {
+    import graft.multimodal.Multimodal
+    val png = Multimodal.syntheticPng(3L, 18, 16)
+    val h1 = Multimodal.dHash(png).get
+    // decode -> re-encode (lossless) -> identical hash
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash(bos.toByteArray).get == h1)
+    // one-pixel edit moves at most a couple of gradient bits
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    img2.setRGB(0, 0, img2.getRGB(0, 0) ^ 0x0F)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img2, "png", bos2)
+    val h2 = Multimodal.dHash(bos2.toByteArray).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2)
+    // different patterns are FAR apart
+    val hOther = Multimodal.dHash(Multimodal.syntheticPng(7L, 18, 16)).get
+    assert(java.lang.Long.bitCount(h1 ^ hOther) > 10)
+    // gates: sub-9x8, corrupt, empty, null
+    assert(Multimodal.dHash(Multimodal.syntheticPng(1L, 6, 5)).isEmpty)
+    assert(Multimodal.dHash("junk".getBytes).isEmpty)
+    assert(Multimodal.dHash(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.dHash(null).isEmpty)
+    // the distributed near-dup pass recovers a perturbed copy within
+    // the banded Hamming threshold
+    val rows = ((0L until 6L).map(id =>
+        (id, Multimodal.syntheticPng(id, 18, 16))) :+ ((1003L, bos2.toByteArray)))
+    val df = spark.createDataFrame(rows).toDF("asset_id", "payload")
+    val pairs = Multimodal.imageNearDups(df)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs == Set((3L, 1003L)))
+  }
+
   test("decodeAudio: corrupt, empty and null payloads return None") {
     assert(Multimodal.decodeAudio("junk bytes".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
