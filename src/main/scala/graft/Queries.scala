@@ -5144,6 +5144,89 @@ object Queries {
         t(a, b, hamming)
       ORDER BY a"""))
 
+  /** Audio energy-gradient hash
+    * ([[graft.multimodal.Multimodal.audioHash]]): WAV fixtures carry
+    * the closed-form PCM16 pattern `((i·2653 + id·7919) mod 65536) −
+    * 32768`, and 520 samples make every one of the 65 energy blocks an
+    * exact 8-sample sum — the whole hash (REAL `javax.sound` decode →
+    * |amplitude| block sums → 64 gradient bits) replays in SQL. A
+    * corrupt payload and a sub-65-sample stream surface `ok = false`. */
+  private val mmAudioHash = QueryDef("mm_audio_hash",
+    (s, d) => {
+      val assets = (0L until 10L).map { id =>
+        (id, graft.multimodal.Multimodal.syntheticWav(id, 8000, 520))
+      } :+ ((100L, "not audio at all".getBytes("UTF-8"))) :+
+        ((200L, graft.multimodal.Multimodal.syntheticWav(200L, 8000, 40)))
+      val df = s.createDataFrame(assets).toDF("asset_id", "payload")
+        .repartition(4)
+      graft.multimodal.Multimodal.audioHashes(df)
+        .select(col("asset_id"), col("ok"),
+          shiftrightunsigned(col("ahash"), 32)
+            .bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy(col("asset_id"))
+    },
+    Some("""WITH ids(asset_id) AS (SELECT unnest(range(0, 10))),
+      smp AS (SELECT asset_id, unnest(range(0, 520)) AS i FROM ids),
+      amp AS (SELECT asset_id, i // 8 AS blk,
+          abs(((i * 2653 + asset_id * 7919) % 65536) - 32768) AS a
+        FROM smp),
+      blocks AS (SELECT asset_id, blk, SUM(a) AS s
+        FROM amp GROUP BY asset_id, blk),
+      bits AS (SELECT x.asset_id, x.blk AS k,
+          CASE WHEN x.s < y.s THEN 1 ELSE 0 END AS bit
+        FROM blocks x JOIN blocks y
+          ON x.asset_id = y.asset_id AND y.blk = x.blk + 1
+        WHERE x.blk < 64),
+      hs AS (SELECT asset_id,
+          CAST(SUM(CASE WHEN k >= 32
+            THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+            ELSE 0 END) AS BIGINT) AS ahash_hi,
+          CAST(SUM(CASE WHEN k < 32
+            THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+            ELSE 0 END) AS BIGINT) AS ahash_lo
+        FROM bits GROUP BY asset_id)
+      SELECT CAST(asset_id AS BIGINT) AS asset_id, true AS ok,
+        ahash_hi, ahash_lo
+      FROM hs
+      UNION ALL SELECT CAST(100 AS BIGINT), false, NULL, NULL
+      UNION ALL SELECT CAST(200 AS BIGINT), false, NULL, NULL
+      ORDER BY asset_id"""))
+
+  /** Video near-dup by shared frame content
+    * ([[graft.multimodal.Multimodal.videoNearDups]]): videos are
+    * explicit frame lists, so the shared-frame counts are known by
+    * construction — an exact copy shares all 4 frames, an overlapping
+    * clip shares 2, a disjoint video pairs with nothing. */
+  private val mmVideoNearDup = QueryDef("mm_video_neardup",
+    (s, d) => {
+      import graft.multimodal.Multimodal.syntheticPng
+      def video(frameIds: Seq[Long]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        frameIds.foreach(f => bos.write(syntheticPng(f, 18, 16)))
+        bos.toByteArray
+      }
+      val assets = Seq(
+        (0L, video(Seq(10L, 11L, 12L, 13L))),
+        (1L, video(Seq(12L, 13L, 14L, 15L))), // 2-frame overlap with v0
+        (2L, video(Seq(20L, 21L, 22L))),      // disjoint
+        (3L, video(Seq(10L, 11L, 12L, 13L))), // exact copy of v0
+        (4L, video(Seq(13L, 12L, 11L, 10L)))) // frame-REORDERED copy
+      val df = s.createDataFrame(assets).toDF("asset_id", "payload")
+        .repartition(3)
+      graft.multimodal.Multimodal.videoNearDups(df, minShared = 2)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""SELECT a, b, n_shared FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(4 AS BIGINT)),
+        (CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT)))
+        t(a, b, n_shared)
+      ORDER BY a, b"""))
+
   /** REAL image resize roundtrip
     * ([[graft.multimodal.Multimodal.resizeImages]]): synthetic PNGs →
     * nearest-neighbor resample to 6×5 → PNG re-encode → REAL re-decode
@@ -5580,7 +5663,8 @@ object Queries {
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annIvfPq, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend,
     embedNearDup, semdedupPairsQ, semdedupQ,
-    mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize, mmAudioStats,
+    mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
+    mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,

@@ -389,6 +389,130 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Audio energy-gradient hash — the audio analogue of [[dHash]]:
+    * decode PCM16, cut the sample stream into 65 blocks by the same
+    * integer indexing (`block = i·65/n`), sum |amplitude| per block
+    * (exact integers), 64 bits of energy gradient (bit k set iff
+    * block k's mean |amplitude| < block k+1's, compared by
+    * cross-multiplied sums — no division, engine-portable).
+    * Re-encodes and level-preserving container changes keep the hash;
+    * unrelated audio differs in ~32 bits; near-dups route through the
+    * SAME banded Hamming machinery as image/text fingerprints.
+    * Streams shorter than 65 samples have no gradient — None. */
+  def audioHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      if (n < 65) return None
+      val little = !fmt.isBigEndian
+      val sums = new Array[Long](65)
+      val counts = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val s =
+          if (little) (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          else (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+        val b = (i.toLong * 65 / n).toInt
+        sums(b) += math.abs(s.toLong)
+        counts(b) += 1
+        i += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (sums(k) * counts(k + 1) < sums(k + 1) * counts(k))
+          hash |= 1L << k
+        k += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** Distributed [[audioHash]] pass (same shape as [[imageDHashes]]):
+    * (asset_id, ok, ahash). */
+  def audioHashes(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            audioHash(bytes) match {
+              case Some(hs) => Row(r.getLong(0), true, hs)
+              case None => Row(r.getLong(0), false, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Per-frame perceptual hashes of a demuxed video (frames via
+    * [[pngFrames]], hash via [[dHash]]); frameless payloads emit one
+    * `ok = false` row (countable, not dropped). Output:
+    * (asset_id, frame_idx, ok, dhash). */
+  def videoDHashes(df: DataFrame, maxFrames: Int = 64,
+                   batchSize: Int = 16): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            val frames = pngFrames(bytes, maxFrames)
+            if (frames.isEmpty) Seq(Row(id, -1, false, null))
+            else frames.zipWithIndex.map { case (fb, idx) =>
+              dHash(fb) match {
+                case Some(hs) => Row(id, idx, true, hs)
+                case None => Row(id, idx, false, null)
+              }
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Video near-dup pairs by SHARED FRAME content: two videos pair
+    * when ≥ `minShared` distinct frame dHashes coincide (clips,
+    * re-encodes, frame-reordered copies all keep their frame hashes).
+    * Shape: per-video distinct hash set → hash-keyed buckets (ids
+    * only, capped at `maxBucket` — a hash shared by thousands of
+    * videos is stock-footage noise, not a dup signal) → within-bucket
+    * pairs → count per pair. One aggregation per stage, no all-pairs
+    * join. Returns (a, b, n_shared). */
+  def videoNearDups(df: DataFrame, minShared: Int = 2, maxFrames: Int = 64,
+                    maxBucket: Int = 1000, batchSize: Int = 16): DataFrame = {
+    val fh = videoDHashes(df, maxFrames, batchSize)
+      .where(col("ok"))
+      .select(col("asset_id"), col("dhash")).distinct()
+    val buckets = fh.groupBy(col("dhash"))
+      .agg(sort_array(collect_list(col("asset_id"))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+    buckets.select(explode(flatten(
+        transform(col("ms"), (m, i) =>
+          transform(slice(col("ms"), i + 2, size(col("ms"))),
+            other => struct(m.as("a"), other.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Distributed audio-stats pass: batched per-partition PCM decode,
     * same map-only / binaries-stay-on-executors shape as [[imageStats]].
     * Undecodable payloads keep their row with `ok = false` and null

@@ -175,6 +175,40 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((3L, 1003L)))
   }
 
+  test("audioHash / videoNearDups: gradient hash stability, shared-frame pairs") {
+    import graft.multimodal.Multimodal
+    val wav = Multimodal.syntheticWav(5L, 8000, 520)
+    val h1 = Multimodal.audioHash(wav).get
+    // container round-trip (decode -> re-encode WAVE) keeps the hash
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.audioHash(bos.toByteArray).get == h1)
+    // different source audio is far away
+    val h2 = Multimodal.audioHash(Multimodal.syntheticWav(9L, 8000, 520)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) > 10)
+    // gates
+    assert(Multimodal.audioHash(Multimodal.syntheticWav(1L, 8000, 40)).isEmpty)
+    assert(Multimodal.audioHash("junk".getBytes).isEmpty)
+    assert(Multimodal.audioHash(null).isEmpty)
+    // videoNearDups: a clip sharing ONE frame stays below minShared=2
+    def video(ids: Seq[Long]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      ids.foreach(f => b.write(Multimodal.syntheticPng(f, 18, 16)))
+      b.toByteArray
+    }
+    val df = spark.createDataFrame(Seq(
+      (0L, video(Seq(1L, 2L, 3L))),
+      (1L, video(Seq(3L, 7L, 8L))),   // one shared frame: no pair
+      (2L, video(Seq(2L, 3L, 9L))))   // two shared with v0: pair
+    ).toDF("asset_id", "payload")
+    val pairs = Multimodal.videoNearDups(df, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 2L, 2L)))
+  }
+
   test("decodeAudio: corrupt, empty and null payloads return None") {
     assert(Multimodal.decodeAudio("junk bytes".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
