@@ -369,6 +369,38 @@ object ScaleProbe {
           }
         }
       }
+      time(s"vocab_coverage x$k") {
+        // vocab fixed (corpus words >= 100 at 1x scale), coverage scan
+        // grows with k: broadcast hash join + map-side-combined doc agg
+        val vocab = graft.llm.TextAnalysis.vocabulary(docs, "doc_id", "text")
+          .where(col("n_total") >= 100).select(col("word"))
+          .localCheckpoint(true)
+        graft.llm.TextAnalysis.vocabCoverage(corpus, "doc_id", "text", vocab)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
+      time(s"length_bucket x$k") {
+        // same two-phase prefix machinery as pack_sequences — must
+        // track its curve
+        graft.llm.Packing.lengthBucketBatches(corpus, "doc_id",
+          graft.llm.TextAnalysis.wsTokenCount(col("text")),
+          nBuckets = 32, batchSize = 32).count()
+      }
+      time(s"ivfpq_query x$k") {
+        // index build OUTSIDE the timer (one-time cost); the probe
+        // measures query latency against a k×-growing index: probed
+        // clusters grow with k but the scan is partition-pruned and
+        // code-compressed
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val dir = s"/tmp/graft_probe/ivfpq_x$k"
+        graft.llm.Similarity.buildIvfPqIndex(embK, dir, nCentroids = 16)
+        val t0 = System.nanoTime()
+        val n = graft.llm.Similarity.ivfPqQueryIndex(spark, dir,
+          emb.limit(20), embK, k = 5).count()
+        embK.unpersist()
+        System.err.println(f"[scale]   (ivfpq query-only ${(System.nanoTime() - t0) / 1e9}%.2f s)")
+        n
+      }
       time(s"pq_encode x$k") {
         // PQ corpus compression: codebooks fit on a BOUNDED sample
         // (constant cost), encode is map-only O(m*k*dsub) per row —
