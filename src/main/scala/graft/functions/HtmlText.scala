@@ -190,6 +190,9 @@ object HtmlText {
                 if (closing) { if (linkDepth > 0) linkDepth -= 1 }
                 else if (k > j && s.charAt(k - 2) == '/') () // <a/> no-op
                 else linkDepth += 1
+                // anchors are inline boundaries like any other inline
+                // tag: "at<a>this page</a>for" must not glue words
+                if (!lastWasSpace) { buf.append(' '); lastWasSpace = true }
               } else if (blockTags(name)) {
                 flush()
                 curHeading = !closing && headingTags(name)
@@ -247,14 +250,27 @@ object HtmlText {
       case "quot" => "\""
       case "apos" => "'"
       case "nbsp" => " "
+      // Character.toChars, not toChar: astral code points (&#128512;,
+      // emoji and CJK-B live above U+FFFF) need surrogate pairs — a
+      // char truncation would emit mojibake that then poisons dedup
+      // hashes and token stats
       case b if b.startsWith("#x") || b.startsWith("#X") =>
-        try String.valueOf(Integer.parseInt(b.substring(2), 16).toChar)
+        try codePoint(Integer.parseInt(b.substring(2), 16))
         catch { case _: Exception => null }
       case b if b.startsWith("#") =>
-        try String.valueOf(Integer.parseInt(b.substring(1)).toChar)
+        try codePoint(Integer.parseInt(b.substring(1)))
         catch { case _: Exception => null }
       case _ => null
     }
     if (out == null) ("&", i + 1) else (out, semi + 1)
   }
+
+  /** Valid code point → its String (surrogate pair above the BMP);
+    * invalid/surrogate-range references → null (entity passes
+    * through literally). */
+  private def codePoint(cp: Int): String =
+    if (Character.isValidCodePoint(cp) &&
+        !(cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+      new String(Character.toChars(cp))
+    else null
 }

@@ -107,6 +107,22 @@ object Packing {
     require(startOffset >= 0,
       s"packSequencesAppend: startOffset must be >= 0, got $startOffset")
     minBatchIdExclusive.foreach { bound =>
+      // the guard must compare in the SAME order packSequences sorts
+      // by — the column's natural order. A silent cast would pass a
+      // lexicographically-interleaving string batch ("10" < "9" as
+      // strings, 10 > 9 as longs) or null out entirely on non-numeric
+      // ids; restrict the Long-typed guard to integral id columns and
+      // fail loudly otherwise.
+      batch.schema(idCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"packSequencesAppend: minBatchIdExclusive guards integral id " +
+            s"columns only (got ${other.catalogString} for $idCol — a Long " +
+            "bound cannot express the natural order of that type)")
+      }
       val r = batch.agg(min(col(idCol).cast("long"))).head()
       if (!r.isNullAt(0))
         require(r.getLong(0) > bound,

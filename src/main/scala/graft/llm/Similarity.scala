@@ -751,8 +751,16 @@ object Similarity {
     * Returns (vec_id, codes array<int> of length m). */
   def pqEncode(df: DataFrame, model: PqModel,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val enc = udf { (v: Seq[Double]) =>
+               vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      pqEncodeUdf(model)(asDouble(col(vecCol))).as("codes"))
+
+  /** The ONE per-subspace nearest-centroid encoder — shared by
+    * [[pqEncode]] and the IVF-PQ residual encode so a change to the
+    * tie rule or walk can never diverge between paths. */
+  private def pqEncodeUdf(model: PqModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
       val a = v.toArray
       val codes = new Array[Int](model.m)
       var s = 0
@@ -763,8 +771,16 @@ object Similarity {
       }
       codes
     }
-    df.select(col(idCol).as("vec_id"),
-      enc(asDouble(col(vecCol))).as("codes"))
+
+  /** The ONE codebook-table serialization ([[loadPqModel]]'s inverse)
+    * — shared by [[buildPqIndex]] and [[buildIvfPqIndex]]. */
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             model: PqModel, dir: String): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (ctr, j) => (s, j, ctr.toSeq) }
+    }.toIndexedSeq.toDF("subspace", "centroid", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
   /** ADC top-k with EXACT re-rank: score every code row against each
@@ -850,11 +866,7 @@ object Similarity {
                    cIdCol: String = "vec_id",
                    vecCol: String = "embedding"): PqModel = {
     val model = fitPq(corpus, m, k, cIdCol, vecCol)
-    import corpus.sparkSession.implicits._
-    model.codebooks.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (ctr, j) => (s, j, ctr.toSeq) }
-    }.toIndexedSeq.toDF("subspace", "centroid", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeCodebooks(corpus.sparkSession, model, dir)
     pqEncode(corpus, model, cIdCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/codes")
     model
@@ -935,24 +947,9 @@ object Similarity {
         zip_with(col("__cv"), col("__ctr"), (a, b) => a - b).as("__res"))
       .localCheckpoint(true) // residuals feed BOTH the fit sample and the encode
     val model = fitPq(resid, m, k, idCol = "neighbor_id", vecCol = "__res")
-    import corpus.sparkSession.implicits._
-    model.codebooks.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (ctr, j) => (s, j, ctr.toSeq) }
-    }.toIndexedSeq.toDF("subspace", "centroid", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    val enc = udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      val codes = new Array[Int](model.m)
-      var s = 0
-      while (s < model.m) {
-        val sub = java.util.Arrays.copyOfRange(a, s * model.dsub, (s + 1) * model.dsub)
-        codes(s) = nearest(sub, model.codebooks(s))
-        s += 1
-      }
-      codes
-    }
+    writeCodebooks(corpus.sparkSession, model, dir)
     resid.select(col("neighbor_id").as("vec_id"), col("cluster"),
-        enc(col("__res")).as("codes"))
+        pqEncodeUdf(model)(col("__res")).as("codes"))
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$dir/codes")

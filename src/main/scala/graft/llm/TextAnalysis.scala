@@ -503,7 +503,13 @@ object TextAnalysis {
         m => Dedup.letBound(regexp_replace(m, "[ -]", "")) { d =>
           length(d).between(13, 19) && luhnValid(d)
         })) { cands =>
-      aggregate(cands, c, (acc, cand) => replace(acc, cand, lit("<CARD>")))
+      // digit-boundary-anchored regex replace, not a literal one: a
+      // valid card's digits appearing as a SUBSTRING of a longer
+      // non-card run (a 22-digit tracking id) must stay untouched for
+      // the long-number rule. Candidates contain only digits, spaces
+      // and dashes (cardRe), so they embed into a regex verbatim.
+      aggregate(cands, c, (acc, cand) => regexp_replace(acc,
+        concat(lit("(?<![0-9])"), cand, lit("(?![0-9])")), lit("<CARD>")))
     }
 
   /** [[scrubCards]] then [[scrubPii]] — the strict redaction pass. */

@@ -272,17 +272,21 @@ object Sources {
           lit("")).cast("int").as("http_status"),
         lower(trim(regexp_extract(col("http"),
           "(?mi)^Content-Type:\\s*([^;\\r\\n]+)", 1))).as("content_type"),
+        // the separator the 3-way split consumed is 2 chars (LF
+        // convention) or 4 (the spec's CRLF): a record's framing is
+        // consistent, and the multi-line WARC header block always
+        // carries the convention's line endings (the HTTP block can be
+        // a single line and carry none) — guessing a fixed width would
+        // hand CRLF records an html column with a trailing \r\n while
+        // len_ok still passed
+        when(col("h").contains("\r"), lit(4)).otherwise(lit(2)).as("__sep"),
         col("http"), col("body0"))
-      // html payload: content_length minus the http block and one
-      // separator is the body's share of the declared count
       .withColumn("html", framedPayload(col("body0"),
-        col("content_length") - length(col("http")) - lit(2)))
+        col("content_length") - length(col("http")) - col("__sep")))
       .withColumn("len_ok",
-        (length(col("http")) + lit(2) + length(col("html"))
-          === col("content_length")) ||
-        (length(col("http")) + lit(4) + length(col("html"))
-          === col("content_length")))
-      .drop("http", "body0")
+        length(col("http")) + col("__sep") + length(col("html"))
+          === col("content_length"))
+      .drop("http", "body0", "__sep")
   }
 
   /** Recover a record payload from its delimiter-split chunk: the

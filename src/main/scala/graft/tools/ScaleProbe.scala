@@ -386,20 +386,24 @@ object ScaleProbe {
           graft.llm.TextAnalysis.wsTokenCount(col("text")),
           nBuckets = 32, batchSize = 32).count()
       }
-      time(s"ivfpq_query x$k") {
-        // index build OUTSIDE the timer (one-time cost); the probe
-        // measures query latency against a k×-growing index: probed
-        // clusters grow with k but the scan is partition-pruned and
-        // code-compressed
-        val embK = replicateEmb(emb, k).localCheckpoint(true)
-        val dir = s"/tmp/graft_probe/ivfpq_x$k"
-        graft.llm.Similarity.buildIvfPqIndex(embK, dir, nCentroids = 16)
-        val t0 = System.nanoTime()
-        val n = graft.llm.Similarity.ivfPqQueryIndex(spark, dir,
-          emb.limit(20), embK, k = 5).count()
-        embK.unpersist()
-        System.err.println(f"[scale]   (ivfpq query-only ${(System.nanoTime() - t0) / 1e9}%.2f s)")
-        n
+      // IVF-PQ: the one-time index build runs OUTSIDE the timer (same
+      // discipline as ivf_append below); the timed figure is QUERY
+      // latency against a k×-growing index — probed clusters grow with
+      // k but the scan is partition-pruned and code-compressed
+      locally {
+        val want = opsFilter.isEmpty ||
+          opsFilter.exists(t => s"ivfpq_query x$k".contains(t))
+        if (want) {
+          val embK = replicateEmb(emb, k).localCheckpoint(true)
+          val dir = s"/tmp/graft_probe/ivfpq_x$k"
+          graft.llm.Similarity.buildIvfPqIndex(embK, dir, nCentroids = 16)
+          time(s"ivfpq_query x$k") {
+            val n = graft.llm.Similarity.ivfPqQueryIndex(spark, dir,
+              emb.limit(20), embK, k = 5).count()
+            embK.unpersist()
+            n
+          }
+        }
       }
       time(s"pq_encode x$k") {
         // PQ corpus compression: codebooks fit on a BOUNDED sample

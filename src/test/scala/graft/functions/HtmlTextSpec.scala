@@ -43,6 +43,20 @@ class HtmlTextSpec extends SparkSpec {
     assert(x(s"<p>A &amp; B &lt;tag&gt; &#65; &#x42;   and <em>more</em> " +
       s"prose words to pass the rule.</p>") ==
       "A & B <tag> A B and more prose words to pass the rule.")
+    // astral-plane references need surrogate PAIRS — a char truncation
+    // would emit mojibake that poisons dedup hashes downstream
+    assert(x("<p>Great post &#128512; thanks a lot everyone here today.</p>") ==
+      "Great post 😀 thanks a lot everyone here today.")
+    assert(x("<p>Hex form &#x1F600; also decodes in prose this long okay.</p>") ==
+      "Hex form 😀 also decodes in prose this long okay.")
+    // surrogate-range and out-of-range references pass through literally
+    assert(x("<p>Bad ref &#xD800; stays literal in prose this long okay.</p>")
+      .contains("&#xD800;"))
+  }
+
+  test("anchors are inline boundaries: no word gluing across <a> edges") {
+    assert(x("<p>Contact us at<a href='/x'>this page</a>for help with ten words here ok.</p>") ==
+      "Contact us at this page for help with ten words here ok.")
   }
 
   test("script/style/comment/CDATA contents never leak") {

@@ -371,6 +371,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nCards("a 4539148803436467 b 4012888888881881") == 2)
     // emails/ips still scrub after the card pass
     assert(scrub("u@ex.com 4539148803436467") == "<EMAIL> <CARD>")
+    // a valid card's digits EMBEDDED in a longer non-card run stay
+    // untouched by the card pass — the long-number rule owns that run
+    assert(scrub("ref 1234453914880343646788 ok") == "ref <NUMBER> ok")
+    assert(nCards("ref 1234453914880343646788 ok") == 0)
   }
 
   test("vocabCoverage: per-doc OOV counts, no-word docs surface with zeros") {

@@ -390,6 +390,17 @@ class SourcesSinksSpec extends SparkSpec {
         s"WARC-Date: 2026-02-02T00:00:00Z\nContent-Length: $cl\n\n" +
         http + "\n\n" + body
     }
+    // a spec-standard CRLF-framed record: Content-Length counts the
+    // 4-char header/body separator, and the recovered html must NOT
+    // carry a trailing \r\n (the WARC headers' own line endings tell
+    // the reader which framing the record uses)
+    def recCrlf(uri: String, body: String): String = {
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nServer: t"
+      val cl = http.length + 4 + body.length
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-02-02T00:00:00Z\r\nContent-Length: $cl\r\n\r\n" +
+        http + "\r\n\r\n" + body
+    }
     val warc = Seq(
       // a request record the type filter must drop
       "WARC/1.0\nWARC-Type: request\nWARC-Target-URI: https://r.example/\n\nGET / HTTP/1.1",
@@ -398,7 +409,8 @@ class SourcesSinksSpec extends SparkSpec {
       rec("https://b.example/2", "404 Not Found", "text/html", "<html>gone</html>"),
       rec("https://c.example/3", "200 OK", "application/pdf", "%PDF-1.4 junk"),
       // truncation: declared length exceeds what framing recovered
-      rec("https://d.example/4", "200 OK", "text/html", "<p>cut", clOverride = 99999)
+      rec("https://d.example/4", "200 OK", "text/html", "<p>cut", clOverride = 99999),
+      recCrlf("https://e.example/5", "<html><body>crlf page</body></html>")
     ).mkString("\n") + "\n"
     Files.write(new java.io.File(work, "seg.warc").toPath, warc.getBytes("UTF-8"))
     val rows = graft.sources.Sources.readWarcResponses(spark, s"$work/seg.warc")
@@ -409,7 +421,8 @@ class SourcesSinksSpec extends SparkSpec {
       ("https://a.example/1", 200, "text/html", "<html><body><p>hi</p></body></html>", true),
       ("https://b.example/2", 404, "text/html", "<html>gone</html>", true),
       ("https://c.example/3", 200, "application/pdf", "%PDF-1.4 junk", true),
-      ("https://d.example/4", 200, "text/html", "<p>cut", false)))
+      ("https://d.example/4", 200, "text/html", "<p>cut", false),
+      ("https://e.example/5", 200, "text/html", "<html><body>crlf page</body></html>", true)))
   }
 
   test("readWarcWet: gzipped segments (the format WET actually ships in)") {
