@@ -457,6 +457,27 @@ object ConfigLoader {
         Sinks.writeShards(df, req(o, "keyCol"), req(o, "path"),
           req(o, "nShards").toInt,
           format = o.getOrElse("format", "parquet")))),
+      // persisted ANN indexes as config-driven loads: the PQ codes
+      // frame (32x-compressed searchable corpus) and the IVF-PQ
+      // composite (cluster-partitioned residual codes) — the
+      // build-once artifacts queries and appends consume
+      "pq_index" -> (o => Sinks.Write("pq_index", df => {
+        graft.llm.Similarity.buildPqIndex(df, req(o, "dir"),
+          m = o.getOrElse("m", "8").toInt,
+          k = o.getOrElse("k", "16").toInt,
+          cIdCol = o.getOrElse("idCol", "vec_id"),
+          vecCol = o.getOrElse("vecCol", "embedding"))
+        ()
+      })),
+      "ivfpq_index" -> (o => Sinks.Write("ivfpq_index", df => {
+        graft.llm.Similarity.buildIvfPqIndex(df, req(o, "dir"),
+          nCentroids = o.getOrElse("nCentroids", "16").toInt,
+          m = o.getOrElse("m", "8").toInt,
+          k = o.getOrElse("k", "16").toInt,
+          cIdCol = o.getOrElse("idCol", "vec_id"),
+          vecCol = o.getOrElse("vecCol", "embedding"))
+        ()
+      })),
       "ledger" -> (o => Sinks.Write("ledger", df =>
         Sinks.writeLedger(df, req(o, "dir"), req(o, "name"),
           o.getOrElse("runId", System.currentTimeMillis().toString),

@@ -434,6 +434,26 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(mat == Seq("x", "y", "z", "q", "<eos>"))
   }
 
+  test("pq_index / ivfpq_index load kinds build queryable indexes") {
+    import graft.pipeline.ConfigLoader.loadKinds
+    val work = Files.createTempDirectory("graft_idx_cfg").toFile.getPath
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    loadKinds("pq_index")(Map("dir" -> s"$work/pq")) match {
+      case graft.sinks.Sinks.Write(_, f) => f(emb)
+    }
+    val model = graft.llm.Similarity.loadPqModel(spark, s"$work/pq")
+    assert(model.m == 8 && spark.read.parquet(s"$work/pq/codes").count() == emb.count())
+    loadKinds("ivfpq_index")(Map("dir" -> s"$work/ivfpq", "nCentroids" -> "4")) match {
+      case graft.sinks.Sinks.Write(_, f) => f(emb)
+    }
+    val got = graft.llm.Similarity.ivfPqQueryIndex(spark, s"$work/ivfpq",
+      emb.where(col("vec_id") === 3)
+        .select((col("vec_id") + 900000).as("vec_id"), col("embedding")),
+      emb, k = 1).collect().head
+    assert(got.getAs[Long]("neighbor_id") == 3L)
+  }
+
   test("web-curation YAML pipeline: WET -> url -> c4 -> quality -> dedup") {
     val work = Files.createTempDirectory("graft_web_cfg").toFile.getPath
     // five WET conversion records: a keeper, its exact duplicate under
