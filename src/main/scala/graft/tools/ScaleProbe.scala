@@ -308,11 +308,13 @@ object ScaleProbe {
           canonOf(col("doc_id")).as("canon"))
         // canon first, id shift second: a single select would resolve
         // the canon expression's doc_id to the shifted alias (LCA)
+        // offset clears replica ids (k*1e7 + base) at ANY probe k —
+        // 9e8 collided with replicas from k=90 up and zeroed survivors
         val batch = docs.limit(500)
           .select(col("doc_id"),
             canonOf(when(col("doc_id") % 2 === 0, col("doc_id"))
-              .otherwise(col("doc_id") + 900000000L)).as("canon"))
-          .select((col("doc_id") + 900000000L).as("doc_id"), col("canon"))
+              .otherwise(col("doc_id") + 90000000000L)).as("canon"))
+          .select((col("doc_id") + 90000000000L).as("doc_id"), col("canon"))
         graft.llm.Dedup.exactDedupAgainst(batch, ledger,
           "doc_id", "canon").count()
       }
