@@ -846,7 +846,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("__qv"))
     val full = corpus.select(col(cIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
-    val reranked = short.join(full, Seq("neighbor_id"))
+    // the shortlist (queries × shortlist rows) is the BROADCAST side:
+    // without the hint the optimizer can't size the windowed frame and
+    // would sort-merge-join, shuffling the whole corpus for a few
+    // hundred lookups
+    val reranked = full.join(broadcast(short), Seq("neighbor_id"))
       .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -1009,7 +1013,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("__qv"))
     val full = corpus.select(col(cIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
-    val reranked = short.join(full, Seq("neighbor_id"))
+    // the shortlist (queries × shortlist rows) is the BROADCAST side:
+    // without the hint the optimizer can't size the windowed frame and
+    // would sort-merge-join, shuffling the whole corpus for a few
+    // hundred lookups
+    val reranked = full.join(broadcast(short), Seq("neighbor_id"))
       .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
