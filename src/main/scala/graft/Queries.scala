@@ -2211,6 +2211,99 @@ object Queries {
           AND alpha_word_frac >= 0.8 AND stop_hits >= 2 AS gopher_ok
       FROM r ORDER BY doc_id"""))
 
+  /** Corpus DATA CARD — the per-source summary a dataset release ships
+    * (the model/data-card practice): document/token/char volumes,
+    * predicted-English share, Gopher pass rate, and the exact-dup rate
+    * (docs whose normalized text occurs more than once ANYWHERE in the
+    * corpus). One scan computes every per-doc signal; the dup flag
+    * adds the corpus's one content-hash shuffle; the final rollup is a
+    * tiny per-source aggregate. The oracle replays all of it — langId
+    * (with its tie order), the published Gopher conjunction, the dup
+    * window, and the rollup — in one SQL statement. */
+  private val corpusDatacard = QueryDef("corpus_datacard",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        TextAnalysis.gopherOk(TextAnalysis.qualityStats(col("text")))
+          .as("g_ok"),
+        sha2(Dedup.normalizeText(col("text")), 256).as("__h"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__h"))
+      base.withColumn("dup", count(lit(1)).over(w) > 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chr")).as("n_chars"),
+          sum(when(col("pred_lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("g_ok"), 1L).otherwise(0L)).as("n_gopher_ok"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+        .withColumn("en_rate",
+          round(col("n_en").cast("double") / col("n_docs"), 6))
+        .withColumn("gopher_ok_rate",
+          round(col("n_gopher_ok").cast("double") / col("n_docs"), 6))
+        .withColumn("dup_rate",
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, source, text, $sqlWords AS ws,
+               length(text)::DOUBLE AS nc,
+               string_split(text, chr(10)) AS lns
+        FROM documents),
+      m AS (SELECT doc_id, source, text, ws, nc, len(ws) AS n_words,
+        CASE WHEN len(ws) > 0 THEN
+          round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)", "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
+          ELSE 0 END AS mean_word_len,
+        len(regexp_extract_all(text, '#'))::DOUBLE AS hashes,
+        len(regexp_extract_all(text, '\\.\\.\\.|…'))::DOUBLE AS ells,
+        len(lns)::DOUBLE AS n_lines,
+        len(list_filter(lns, l -> regexp_matches(l, '^\\s*[•‣▶*-]')))::DOUBLE AS bul,
+        len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$')))::DOUBLE AS elns,
+        len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE AS alw,
+        ${sqlStopHits("ws", TextAnalysis.gopherStop)}::BIGINT AS ghits,
+        ${sqlStopHits("ws", TextAnalysis.enStop)} AS s_en,
+        ${sqlStopHits("ws", TextAnalysis.deStop)} AS s_de,
+        ${sqlStopHits("ws", TextAnalysis.frStop)} AS s_fr,
+        ${sqlStopHits("ws", TextAnalysis.esStop)} AS s_es,
+        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM w),
+      sig AS (SELECT doc_id, source,
+        CASE WHEN trim(text)='' THEN 0 ELSE len(ws) END AS n_tok,
+        CAST(length(text) AS BIGINT) AS n_chr,
+        CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+             WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+             WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+             WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+             WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+             ELSE 'fr' END AS pred_lang,
+        ((n_words BETWEEN 50 AND 100000)
+          AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          AND round(CASE WHEN n_words > 0 THEN hashes / n_words ELSE 0 END, 4) <= 0.1
+          AND round(CASE WHEN n_words > 0 THEN ells / n_words ELSE 0 END, 4) <= 0.1
+          AND round(CASE WHEN n_lines > 0 THEN bul / n_lines ELSE 0 END, 4) <= 0.9
+          AND round(CASE WHEN n_lines > 0 THEN elns / n_lines ELSE 0 END, 4) <= 0.3
+          AND round(CASE WHEN n_words > 0 THEN alw / n_words ELSE 0 END, 4) >= 0.8
+          AND ghits >= 2) AS g_ok,
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM m),
+      du AS (SELECT *, count(*) OVER (PARTITION BY nt) > 1 AS dup FROM sig)
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+        CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        CAST(SUM(CASE WHEN g_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_ok,
+        CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        round(CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS en_rate,
+        round(CAST(SUM(CASE WHEN g_ok THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS gopher_ok_rate,
+        round(CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS dup_rate
+      FROM du GROUP BY source ORDER BY source"""))
+
   private val langIdQ = QueryDef("lang_id",
     (s, d) => t(s, d, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("predicted"))
@@ -5645,7 +5738,7 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
-    vocabTopk, vocabCoverageQ, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
+    vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
     dsirLogweights, dsirSelect, classifierScoreQ, classifierScoreNativeQ,
     classifierTrainPlanted,
     winnowFingerprints,

@@ -325,6 +325,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  test("corpus_datacard: volumes reconcile with the corpus") {
+    val card = graft.Queries.all.find(_.name == "corpus_datacard").get
+      .fn(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val totals = card.agg(sum(col("n_docs")), sum(col("n_tokens"))).head()
+    assert(totals.getLong(0) == docs.count())
+    assert(totals.getLong(1) ==
+      docs.agg(sum(TextAnalysis.wsTokenCount(col("text")))).head().getLong(0))
+    // rates are rates
+    val rows = card.collect()
+    rows.foreach { r =>
+      Seq("en_rate", "gopher_ok_rate", "dup_rate").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+  }
+
   test("stripInvisible: zero-width junk vanishes, NBSP becomes a space") {
     def strip(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.stripInvisible(col("t")))
