@@ -170,7 +170,17 @@ object Packing {
     * per-epoch reshuffle a trainer wants (`salt = "epoch3"` gives a
     * fresh order and fresh shard membership, reproducible on any
     * cluster); the default empty salt is the identity (md5 of the id
-    * alone, byte-compatible with every persisted round-7 manifest). */
+    * alone, byte-compatible with every persisted round-7 manifest).
+    *
+    * COMPATIBILITY BREAK (round 8): only the `rank` column is
+    * byte-compatible with round-7 output. The `shard` column is NOT —
+    * the key widened from the first 2 to the first 8 hex digits of the
+    * rank, so for the same (id, nShards) the assignment differs even
+    * at nShards ≤ 256. Shard membership written by round ≤ 7 cannot be
+    * re-derived with this function; re-derive it as
+    * `conv(substring(rank, 1, 2), 16, 10) % nShards` from the persisted
+    * `rank`, or re-shard the corpus (the manifest checksums cover the
+    * new layout). */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
                    salt: String = ""): DataFrame = {
     require(nShards > 0 && nShards <= (1 << 20),

@@ -79,6 +79,11 @@ object Similarity {
   private def nNorm(a: Column): Column = sqrt(nDot(a, a))
   private def nCosine(a: Column, b: Column): Column =
     nDot(a, b) / (nNorm(a) * nNorm(b))
+  /** Squared L2 via three dots — the IVF probe ranks clusters with the
+    * SAME metric the KMeans assignment used (min squared L2), never by
+    * dot product (which diverges for non-unit-norm embeddings). */
+  private def nSqDist(a: Column, b: Column): Column =
+    nDot(a, a) - lit(2.0) * nDot(a, b) + nDot(b, b)
   private def registered(df: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     df
@@ -405,10 +410,16 @@ object Similarity {
         // hierarchical quantizer: candidates under the ASSIGNMENT rule
         qBase.withColumn("cluster", explode(p(col("__qv"), nProbe)))
       case None =>
+        // probe by squared L2 ASC — the SAME metric KMeans assigned
+        // with. Ranking by max dot product diverges from the
+        // assignment for non-unit-norm embeddings, so the cluster
+        // holding a query's exact twin could fall outside the nProbe
+        // probed set (the mismatch the hierarchical path's probe
+        // closure was built to avoid).
         val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("__cdot").desc, col("cluster").asc)
+          .orderBy(col("__cdist").asc, col("cluster").asc)
         qBase.crossJoin(broadcast(centroidsDf))
-          .withColumn("__cdot", nDot(col("__qv"), col("__ctr")))
+          .withColumn("__cdist", nSqDist(col("__qv"), col("__ctr")))
           .withColumn("__pr", row_number().over(wProbe))
           .where(col("__pr") <= nProbe)
           .select(col("query_id"), col("__qv"), col("cluster"))
@@ -751,26 +762,35 @@ object Similarity {
     * Returns (vec_id, codes array<int> of length m). */
   def pqEncode(df: DataFrame, model: PqModel,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame =
+               vecCol: String = "embedding"): DataFrame = {
+    registered(df)
     df.select(col(idCol).as("vec_id"),
-      pqEncodeUdf(model)(asDouble(col(vecCol))).as("codes"))
+      nPqEncode(asDouble(col(vecCol)), model).as("codes"))
+  }
+
+  /** The codebook tensor as ONE plan literal (`Double.toString`
+    * round-trip exact) feeding the native kernels — parsed once per
+    * task via the codegen references array, the `PslRules` pattern. */
+  private def modelLit(model: PqModel): Column =
+    lit(graft.plans.PqKernel.serialize(model.m, model.dsub, model.k, model.codebooks))
 
   /** The ONE per-subspace nearest-centroid encoder — shared by
     * [[pqEncode]] and the IVF-PQ residual encode so a change to the
-    * tie rule or walk can never diverge between paths. */
-  private def pqEncodeUdf(model: PqModel)
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      val codes = new Array[Int](model.m)
-      var s = 0
-      while (s < model.m) {
-        val sub = java.util.Arrays.copyOfRange(a, s * model.dsub, (s + 1) * model.dsub)
-        codes(s) = nearest(sub, model.codebooks(s))
-        s += 1
-      }
-      codes
-    }
+    * tie rule or walk can never diverge between paths. Native
+    * codegen'd expression ([[graft.plans.PqEncodeExpression]]),
+    * bit-identical to the former UDF (same walk, same ties-to-lowest
+    * rule). */
+  private def nPqEncode(vec: Column, model: PqModel): Column =
+    call_function("graft_pq_encode", vec, modelLit(model))
+
+  /** Asymmetric distance — the per-(code-row × query) kernel of the
+    * ONE corpus-wide scan in the PQ path, as a native codegen'd
+    * expression ([[graft.plans.PqAdcExpression]]): the UDF form broke
+    * WholeStageCodegen at exactly the operator whose argument is scan
+    * rate. Serves BOTH the flat-PQ (full vectors) and IVF-PQ
+    * (residuals) paths — same arithmetic, different inputs. */
+  private def nAdc(qv: Column, codes: Column, model: PqModel): Column =
+    call_function("graft_adc", qv, codes, modelLit(model))
 
   /** The ONE codebook-table serialization ([[loadPqModel]]'s inverse)
     * — shared by [[buildPqIndex]] and [[buildIvfPqIndex]]. */
@@ -820,25 +840,9 @@ object Similarity {
     registered(corpus)
     val q = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
-    val adc = udf { (qv: Seq[Double], codes: Seq[Int]) =>
-      val a = qv.toArray
-      var d = 0.0
-      var s = 0
-      while (s < model.m) {
-        val ctr = model.codebooks(s)(codes(s))
-        var j = 0
-        while (j < model.dsub) {
-          val diff = a(s * model.dsub + j) - ctr(j)
-          d += diff * diff
-          j += 1
-        }
-        s += 1
-      }
-      d
-    }
     val scored = codes.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__adc", adc(col("__qv"), col("codes")))
+      .withColumn("__adc", nAdc(col("__qv"), col("codes"), model))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("neighbor_id").asc)
     val short = scored.withColumn("__r", row_number().over(wAdc))
@@ -953,7 +957,7 @@ object Similarity {
     val model = fitPq(resid, m, k, idCol = "neighbor_id", vecCol = "__res")
     writeCodebooks(corpus.sparkSession, model, dir)
     resid.select(col("neighbor_id").as("vec_id"), col("cluster"),
-        pqEncodeUdf(model)(col("__res")).as("codes"))
+        nPqEncode(col("__res"), model).as("codes"))
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("overwrite")
       .parquet(s"$dir/codes")
@@ -977,35 +981,22 @@ object Similarity {
     val codes = spark.read.parquet(s"$dir/codes")
     val qBase = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
+    // probe by squared L2 ASC — the metric the IVF assignment used
+    // (see ivfQueryPhase's flat path; dot-product ranking can miss the
+    // cluster holding an exact twin for non-unit-norm embeddings)
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cdot").desc, col("cluster").asc)
+      .orderBy(col("__cdist").asc, col("cluster").asc)
     // per probed cluster the query carries its residual — ADC space
     // matches the encode space
     val probed = qBase.crossJoin(broadcast(centroidsDf))
-      .withColumn("__cdot", nDot(col("__qv"), col("__ctr")))
+      .withColumn("__cdist", nSqDist(col("__qv"), col("__ctr")))
       .withColumn("__pr", row_number().over(wProbe))
       .where(col("__pr") <= nProbe)
       .select(col("query_id"), col("__qv"), col("cluster"),
         zip_with(col("__qv"), col("__ctr"), (a, b) => a - b).as("__qres"))
-    val adc = udf { (qres: Seq[Double], cs: Seq[Int]) =>
-      val a = qres.toArray
-      var d = 0.0
-      var s = 0
-      while (s < model.m) {
-        val ctr = model.codebooks(s)(cs(s))
-        var j = 0
-        while (j < model.dsub) {
-          val diff = a(s * model.dsub + j) - ctr(j)
-          d += diff * diff
-          j += 1
-        }
-        s += 1
-      }
-      d
-    }
     val scored = probed.join(codes, Seq("cluster"))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("__adc", adc(col("__qres"), col("codes")))
+      .withColumn("__adc", nAdc(col("__qres"), col("codes"), model))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("vec_id").asc)
     val short = scored.withColumn("__r", row_number().over(wAdc))

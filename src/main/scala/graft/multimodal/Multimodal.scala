@@ -622,9 +622,11 @@ object Multimodal {
                     ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
           val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
                       bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
-          val next = p + 12 + len
+          // Long boundary: an adversarial len near 2^31 overflows Int
+          // arithmetic to a negative `next` that slips both guards.
+          val next = p.toLong + 12L + len.toLong
           if (len < 0 || next > bytes.length) ok = false
-          else { if (isEnd) end = next; p = next }
+          else { if (isEnd) end = next.toInt; p = next.toInt }
         }
       }
       if (!ok) {

@@ -168,6 +168,30 @@ object GraftExtensions {
         }
         RegistrableDomainExpression(children.head, rules)
       }),
+    (FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[PqAdcExpression].getName, "graft_adc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_adc takes (qv, codes, model)")
+        val model = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_adc: model must be a string literal, got $other")
+        }
+        PqAdcExpression(children(0), children(1), model)
+      }),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpression].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_pq_encode takes (vec, model)")
+        val model = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_encode: model must be a string literal, got $other")
+        }
+        PqEncodeExpression(children.head, model)
+      }),
     (FunctionIdentifier("graft_clf_score"),
       new ExpressionInfo(classOf[ClassifierScoreExpression].getName, "graft_clf_score"),
       (children: Seq[Expression]) => {

@@ -424,6 +424,32 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == inline)
   }
 
+  test("PQ scan plan: native kernels inside WholeStageCodegen, no UDF") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val model = Similarity.fitPq(emb)
+    val queries = emb.filter(col("vec_id") < 3)
+    // the corpus-wide scans of the PQ path (encode at build time, ADC
+    // at query time) must run as native codegen'd expressions — a
+    // ScalaUDF would break WholeStageCodegen at exactly the operator
+    // whose argument is scan rate
+    // `*(n)` is the executed-plan notation for a WholeStageCodegen
+    // span; under AQE it only appears once the final plan has
+    // materialized, so execute first, then read the plan
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val encPlan = finalPlan(Similarity.pqEncode(emb, model))
+    assert(encPlan.contains("graft_pq_encode"), encPlan.take(2000))
+    assert(!encPlan.contains("UDF"), encPlan.take(2000))
+    assert(encPlan.contains("*(1)"), encPlan.take(2000))
+    val qPlan = finalPlan(Similarity.pqTopK(queries, emb, model, k = 5))
+    assert(qPlan.contains("graft_adc"), qPlan.take(2000))
+    assert(!qPlan.contains("UDF"), qPlan.take(2000))
+    assert(qPlan.contains("*("), qPlan.take(2000))
+  }
+
   test("IVF-PQ: cluster-partitioned codes, residual ADC, exact-twin recovery") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")

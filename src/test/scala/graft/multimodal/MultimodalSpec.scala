@@ -255,6 +255,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngFrames(null, 10).isEmpty)
     val truncated = Multimodal.pngFrames(video.dropRight(10), 10)
     assert(truncated.length == 3 && truncated(2).length < f2.length)
+    // adversarial chunk header: len near 2^31 used to overflow the Int
+    // boundary arithmetic to a negative offset that slipped both
+    // guards and threw AIOOBE — corrupt media must stay countable
+    // (the payload comes back as one corrupt-tail frame, no throw)
+    val evil = java.util.Arrays.copyOf(f0, 32)
+    evil(8) = 0x7f.toByte; evil(9) = 0xff.toByte   // chunk length
+    evil(10) = 0xff.toByte; evil(11) = 0xf0.toByte // = 0x7FFFFFF0
+    val evilFrames = Multimodal.pngFrames(evil, 10)
+    assert(evilFrames.length == 1 && evilFrames.head.length == 32)
   }
 
   test("videoFrameStats: per-frame REAL decode; frameless payloads stay countable") {

@@ -274,4 +274,63 @@ class NativeExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("graft_pq_encode / graft_adc: hand values, codegen COMPILES, fail-fast dims") {
+    registered()
+    // m=2, dsub=2, k=2: subspace 0 centroids {(0,0),(10,10)},
+    // subspace 1 centroids {(1,1),(-1,-1)}
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(1.0, 1.0), Array(-1.0, -1.0)))
+    val m = PqKernel.serialize(2, 2, 2, books)
+    // round-trip exactness of the plan-literal serialization
+    val parsed = PqKernel.parse(m)
+    assert(parsed.m == 2 && parsed.dsub == 2 && parsed.k == 2)
+    assert(parsed.flat.toSeq == Seq(0.0, 0.0, 10.0, 10.0, 1.0, 1.0, -1.0, -1.0))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((Seq(9.0, 9.5, -0.5, -0.9), Seq(1, 1))).toDF("v", "codes")
+      // encode: (9,9.5) nearer (10,10); (-0.5,-0.9) nearer (-1,-1)
+      val enc = df.select(call_function("graft_pq_encode", col("v"), lit(m)))
+        .as[Seq[Int]].collect().head
+      assert(enc == Seq(1, 1), enc.mkString(","))
+      // ADC vs codes (1,1): (9-10)^2+(9.5-10)^2 + (-0.5+1)^2+(-0.9+1)^2
+      val adc = df.select(
+        call_function("graft_adc", col("v"), col("codes"), lit(m)))
+        .as[Double].collect().head
+      assert(math.abs(adc - (1.0 + 0.25 + 0.25 + 0.01)) < 1e-12)
+      // ties -> lowest centroid index (the Similarity.nearest rule)
+      val tie = Seq(Seq(5.0, 5.0, 0.0, 0.0)).toDF("v")
+        .select(call_function("graft_pq_encode", col("v"), lit(m)))
+        .as[Seq[Int]].collect().head
+      assert(tie.head == 0, s"tie must go to centroid 0, got ${tie.head}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    // fail-fast: wrong query dim / wrong code count / out-of-range code
+    // surface descriptive errors, not a raw AIOOBE deep in a task
+    def failsWith(df: org.apache.spark.sql.DataFrame, frag: String): Unit = {
+      val e = intercept[Exception] { df.collect() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(s => s != null && s.contains(frag)),
+        s"expected '$frag' in: ${chain(e).mkString(" | ")}")
+    }
+    failsWith(Seq((Seq(1.0, 2.0), Seq(0, 0))).toDF("v", "c")
+      .select(call_function("graft_adc", col("v"), col("c"), lit(m))),
+      "2 dims but the PQ model expects 4")
+    failsWith(Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(0))).toDF("v", "c")
+      .select(call_function("graft_adc", col("v"), col("c"), lit(m))),
+      "1 entries but the PQ model has m=2")
+    failsWith(Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(0, 7))).toDF("v", "c")
+      .select(call_function("graft_adc", col("v"), col("c"), lit(m))),
+      "outside [0, 2)")
+    failsWith(Seq(Seq(1.0, 2.0, 3.0)).toDF("v")
+      .select(call_function("graft_pq_encode", col("v"), lit(m))),
+      "3 dims but the PQ model expects 4")
+  }
 }
