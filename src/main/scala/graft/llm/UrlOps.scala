@@ -69,6 +69,22 @@ object UrlOps {
   def registrableDomain(host: Column, psl: Seq[String]): Column =
     call_function("graft_registrable_domain", host, lit(psl.mkString("\n")))
 
+  /** A bundled VERBATIM excerpt of the real Public Suffix List
+    * (publicsuffix.org, MPL-2.0 — see the resource header), covering
+    * the rule classes production lists exercise: ccSLD plain rules
+    * (`co.uk`, `co.jp`, `com.au`), the wildcard ccTLD `*.ck` with its
+    * exception `!www.ck`, gTLDs, comments, blank lines. This is what
+    * config-driven pipelines get by default when they ask for
+    * PSL-aware URL filtering without supplying their own list; swap in
+    * the full ~250 KB list the same way (it is still one bounded plan
+    * literal). */
+  lazy val bundledPsl: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_slice.dat")
+    require(in != null, "graft/public_suffix_slice.dat missing from resources")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
   /** Scheme is http(s), protocol-relative, or absent (crawl corpora
     * are http(s)); opaque schemes (mailto:, javascript:, tel:) and
     * other authority schemes (ftp://) are dropped. */
