@@ -3679,6 +3679,74 @@ object Queries {
         AND NOT contains(lower(url), 'casino')
       ORDER BY doc_id"""))
 
+  /** URL filtering against the BUNDLED VERBATIM Public Suffix List
+    * excerpt ([[graft.llm.UrlOps.bundledPsl]] — publicsuffix.org,
+    * MPL-2.0), the rules config-driven pipelines get by default: every
+    * production rule class the real list exercises is bound here, not
+    * the synthetic `co.example` table. Hosts derive from
+    * (source, doc_id % 5):
+    *
+    *  - `www.<src>.co.uk` — ccSLD plain rule `co.uk`: registrable =
+    *    `<src>.co.uk`; blocklist entry `src1.co.uk` matches the
+    *    subdomain host ONLY via the registrable key (naive last-two =
+    *    `co.uk` misses it — the UT1 failure mode on real rules).
+    *  - `shop.<src>.com.au` — 3-label host under `com.au`.
+    *  - `x.a.<src>.ck` — WILDCARD `*.ck`: public suffix `<src>.ck`,
+    *    registrable `a.<src>.ck`; blocklist `a.src2.ck` matches only
+    *    via the domain key (the host `x.a.src2.ck` is never listed).
+    *  - `www.ck` — EXCEPTION `!www.ck`: registrable `www.ck` (without
+    *    the exception the wildcard would make `www.ck` itself a public
+    *    suffix); blocked outright.
+    *  - `<src>.com` — gTLD plain rule.
+    *
+    * Survivors carry host + registrable domain so the extraction
+    * under production rules is itself oracle-bound; DuckDB replays
+    * each branch's registrable domain by construction. */
+  private val urlFilterPsl = QueryDef("url_filter_psl",
+    (s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val host = when(col("doc_id") % 5 === 0,
+          concat(lit("www."), col("source"), lit(".co.uk")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("shop."), col("source"), lit(".com.au")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("x.a."), col("source"), lit(".ck")))
+        .when(col("doc_id") % 5 === 3, lit("www.ck"))
+        .otherwise(concat(col("source"), lit(".com")))
+      val url = concat(lit("https://"), host, lit("/doc/"),
+        col("doc_id").cast("string"))
+      val blocklist = Seq("src1.co.uk", "a.src2.ck", "www.ck", "src3.com")
+        .toDF("domain")
+      val psl = graft.llm.UrlOps.bundledPsl
+      graft.llm.UrlOps.filterByUrl(
+          t(s, d, "documents").withColumn("url", url),
+          "url", blocklist, psl = psl)
+        .select(col("doc_id"), col("url"),
+          graft.llm.UrlOps.urlHost(col("url")).as("host"),
+          graft.llm.UrlOps.registrableDomain(
+            graft.llm.UrlOps.urlHost(col("url")), psl).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (SELECT doc_id, source,
+        CASE WHEN doc_id % 5 = 0 THEN 'www.' || source || '.co.uk'
+             WHEN doc_id % 5 = 1 THEN 'shop.' || source || '.com.au'
+             WHEN doc_id % 5 = 2 THEN 'x.a.' || source || '.ck'
+             WHEN doc_id % 5 = 3 THEN 'www.ck'
+             ELSE source || '.com' END AS host,
+        CASE WHEN doc_id % 5 = 0 THEN source || '.co.uk'
+             WHEN doc_id % 5 = 1 THEN source || '.com.au'
+             WHEN doc_id % 5 = 2 THEN 'a.' || source || '.ck'
+             WHEN doc_id % 5 = 3 THEN 'www.ck'
+             ELSE source || '.com' END AS domain
+        FROM documents)
+      SELECT doc_id, 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR)
+          AS url, host, domain
+      FROM u
+      WHERE host NOT IN ('src1.co.uk', 'a.src2.ck', 'www.ck', 'src3.com')
+        AND domain NOT IN ('src1.co.uk', 'a.src2.ck', 'www.ck', 'src3.com')
+      ORDER BY doc_id"""))
+
   /** URL canonicalization ([[graft.llm.UrlOps.canonicalizeUrl]] — the
     * step before URL-level dedup collapses one page crawled under many
     * addresses): mixed-case authorities, tracking query params
@@ -4199,8 +4267,10 @@ object Queries {
     * ids. Yields CTEs ending in `asg` (doc_id, n_tokens, emitted, grp)
     * and `off` (grp, goff). */
   private def sqlGreedyCte(budget: Int, g: Int): String =
-    s"""WITH RECURSIVE
-      tc AS (SELECT doc_id,
+    s"WITH RECURSIVE\n      ${sqlGreedyCteBody(budget, g)}"
+
+  private def sqlGreedyCteBody(budget: Int, g: Int): String =
+    s"""tc AS (SELECT doc_id,
         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
           w -> w <> '')) AS BIGINT) AS n_tokens
         FROM documents),
@@ -4236,6 +4306,134 @@ object Queries {
       off AS (SELECT grp, COALESCE(SUM(npacks) OVER (ORDER BY grp
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
         FROM np)"""
+
+  /** Lockstep-recursion replay of
+    * [[graft.llm.Packing.bucketedPackGreedy]]: NTILE(nb) over
+    * `(n_tokens, doc_id)` (DuckDB's ntile IS the spec — the Scala side
+    * derives the same assignment arithmetically), 0-based
+    * WITHIN-bucket length rank, group key `bucket·2²⁰ + brank/g`
+    * (orders as (bucket, group) — within-bucket groups never reach
+    * 2²⁰), then the identical greedy recursion and per-group
+    * prefix-sum. CTE names carry a `b` suffix so this body composes
+    * with [[sqlGreedyCteBody]] in ONE `WITH RECURSIVE` for
+    * side-by-side scheme comparisons. Ends in `asgb` (grp, doc_id,
+    * n_tokens, emitted), `offb` (grp, goff), and `gbb` (doc_id,
+    * bucket, ...) for the bucket column. */
+  private def sqlBucketedGreedyBody(budget: Int, g: Int, nb: Int): String =
+    s"""tcb AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+          w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      bb AS (SELECT doc_id, n_tokens,
+        CAST(ntile($nb) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket
+        FROM tcb),
+      gbb AS (SELECT doc_id, n_tokens, bucket,
+        (row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1)
+          AS brank FROM bb),
+      gb AS (SELECT doc_id, n_tokens, bucket,
+        bucket * 1048576 + brank // $g AS grp,
+        CAST(brank % $g AS BIGINT) AS pos FROM gbb),
+      recb AS (
+        SELECT grp, CAST(-1 AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS doc_id,
+          CAST(NULL AS BIGINT) AS n_tokens, 0 AS emitted,
+          0 AS open, CAST(0 AS BIGINT) AS running, false AS live
+        FROM (SELECT DISTINCT grp FROM gb)
+        UNION ALL
+        SELECT n.grp, n.pos, n.doc_id, n.n_tokens,
+          CASE WHEN n.n_tokens > $budget
+                 THEN r.open + (CASE WHEN r.running > 0 THEN 1 ELSE 0 END)
+               WHEN r.running > 0 AND r.running + n.n_tokens > $budget
+                 THEN r.open + 1
+               ELSE r.open END AS emitted,
+          CASE WHEN n.n_tokens > $budget
+                 THEN r.open + (CASE WHEN r.running > 0 THEN 1 ELSE 0 END) + 1
+               WHEN r.running > 0 AND r.running + n.n_tokens > $budget
+                 THEN r.open + 1
+               ELSE r.open END AS open,
+          CASE WHEN n.n_tokens > $budget THEN 0
+               WHEN r.running > 0 AND r.running + n.n_tokens > $budget
+                 THEN n.n_tokens
+               ELSE r.running + n.n_tokens END AS running,
+          true AS live
+        FROM recb r JOIN gb n ON n.grp = r.grp AND n.pos = r.pos + 1),
+      asgb AS (SELECT grp, doc_id, n_tokens, emitted FROM recb WHERE live),
+      npb AS (SELECT grp, max(emitted) + 1 AS npacks FROM asgb GROUP BY grp),
+      offb AS (SELECT grp, COALESCE(SUM(npacks) OVER (ORDER BY grp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        FROM npb)"""
+
+  /** Bucket-then-pack assignment
+    * ([[graft.llm.Packing.bucketedPackGreedy]] — the
+    * length_bucket × pack_greedy composition real trainers run):
+    * NTILE(4) length buckets, then the no-split greedy fold WITHIN
+    * each bucket in length order. The full assignment (bucket AND
+    * globally dense pack id per doc) replays in DuckDB through the
+    * bucketed lockstep recursion. */
+  private val packBucketedQ = QueryDef("pack_bucketed",
+    (s, d) => graft.llm.Packing.bucketedPackGreedy(
+        t(s, d, "documents").withColumn("__n",
+          size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))),
+        "doc_id", col("__n"), nBuckets = 4, budget = 256, docsPerGroup = 8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE
+      ${sqlBucketedGreedyBody(256, 8, 4)}
+      SELECT a.doc_id, a.n_tokens, g2.bucket,
+        CAST(o.goff + a.emitted AS BIGINT) AS pack_id,
+        a.n_tokens > 256 AS oversize
+      FROM asgb a JOIN offb o USING (grp) JOIN gbb g2 USING (doc_id)
+      ORDER BY a.doc_id"""))
+
+  /** The padding-efficiency COMPARISON row — why bucket-then-pack
+    * exists: stream-order [[graft.llm.Packing.packGreedy]] vs
+    * [[graft.llm.Packing.bucketedPackGreedy]] on the SAME corpus,
+    * budget, and group size, one audit row per scheme (packs,
+    * oversize, padded tokens, carried tokens). Both folds replay in
+    * ONE DuckDB `WITH RECURSIVE`; the measured saving is recorded in
+    * BASELINE.md. */
+  private val packBucketedPadding = QueryDef("pack_bucketed_padding",
+    (s, d) => {
+      val docs = t(s, d, "documents").withColumn("__n",
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")))
+      def audit(asg: DataFrame, scheme: String): DataFrame =
+        asg.groupBy(col("pack_id"))
+          .agg(sum(col("n_tokens")).as("pt"), max(col("oversize")).as("over"))
+          .agg(count(lit(1)).as("n_packs"),
+            sum(when(col("over"), 1L).otherwise(0L)).as("n_oversize"),
+            sum(when(!col("over"), lit(256L) - col("pt")).otherwise(0L))
+              .as("padding_tokens"),
+            sum(col("pt")).as("total_tokens"))
+          .select(lit(scheme).as("scheme"), col("n_packs"),
+            col("n_oversize"), col("padding_tokens"), col("total_tokens"))
+      audit(graft.llm.Packing.packGreedy(
+          docs, "doc_id", col("__n"), budget = 256, docsPerGroup = 8), "stream")
+        .unionAll(audit(graft.llm.Packing.bucketedPackGreedy(
+          docs, "doc_id", col("__n"), nBuckets = 4, budget = 256,
+          docsPerGroup = 8), "bucketed"))
+        .orderBy(col("scheme"))
+    },
+    Some(s"""WITH RECURSIVE
+      ${sqlGreedyCteBody(256, 8)},
+      ${sqlBucketedGreedyBody(256, 8, 4)},
+      packs1 AS (SELECT CAST(o.goff + a.emitted AS BIGINT) AS pack_id,
+          SUM(a.n_tokens) AS pt, max(a.n_tokens > 256) AS over
+        FROM asg a JOIN off o USING (grp) GROUP BY 1),
+      packs2 AS (SELECT CAST(o.goff + a.emitted AS BIGINT) AS pack_id,
+          SUM(a.n_tokens) AS pt, max(a.n_tokens > 256) AS over
+        FROM asgb a JOIN offb o USING (grp) GROUP BY 1),
+      audit1 AS (SELECT 'stream' AS scheme, count(*) AS n_packs,
+          CAST(SUM(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+          CAST(SUM(CASE WHEN NOT over THEN 256 - pt ELSE 0 END) AS BIGINT)
+            AS padding_tokens,
+          CAST(SUM(pt) AS BIGINT) AS total_tokens
+        FROM packs1),
+      audit2 AS (SELECT 'bucketed' AS scheme, count(*) AS n_packs,
+          CAST(SUM(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+          CAST(SUM(CASE WHEN NOT over THEN 256 - pt ELSE 0 END) AS BIGINT)
+            AS padding_tokens,
+          CAST(SUM(pt) AS BIGINT) AS total_tokens
+        FROM packs2)
+      SELECT * FROM audit1 UNION ALL SELECT * FROM audit2
+      ORDER BY scheme"""))
 
   private val packGreedyQ = QueryDef("pack_greedy",
     (s, d) => graft.llm.Packing.packGreedy(
@@ -5744,11 +5942,12 @@ object Queries {
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
-    packGreedyQ, packPaddingStats, packAppendQ, packMaterializeEos,
+    packGreedyQ, packBucketedQ, packBucketedPadding,
+    packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
-    repetitionStatsQ, urlFilterQ,
+    repetitionStatsQ, urlFilterQ, urlFilterPsl,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,

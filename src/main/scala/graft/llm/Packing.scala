@@ -211,8 +211,23 @@ object Packing {
   def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: Column,
                           nBuckets: Int, batchSize: Int,
                           numParts: Int = 0): DataFrame = {
-    require(nBuckets > 0, s"lengthBucketBatches: nBuckets must be positive")
     require(batchSize > 0, s"lengthBucketBatches: batchSize must be positive")
+    lengthRanked(df, idCol, tokensCol, nBuckets, numParts)
+      .withColumn("batch_id",
+        floor(col("__brank") / batchSize).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("batch_id"))
+  }
+
+  /** The shared length-bucketing front end of [[lengthBucketBatches]]
+    * and [[bucketedPackGreedy]]: NTILE(nBuckets) over `(n_tokens, id)`
+    * plus the 0-based WITHIN-bucket length rank `__brank`, all derived
+    * arithmetically from one global rank built by the two-phase prefix
+    * machinery (range partition + per-partition counts + a window over
+    * the tiny per-partition frame — no global window).
+    * Returns (doc_id, n_tokens, bucket 1-based, __brank). */
+  private def lengthRanked(df: DataFrame, idCol: String, tokensCol: Column,
+                           nBuckets: Int, numParts: Int): DataFrame = {
+    require(nBuckets > 0, s"lengthBucketBatches: nBuckets must be positive")
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("doc_id"),
@@ -247,9 +262,64 @@ object Packing {
         .otherwise(lit(cut) + (bucket0 - big) * bucketBase)
     ranked
       .withColumn("bucket", (bucket0 + 1).cast("long")) // 1-based, NTILE
-      .withColumn("batch_id",
-        floor((col("__rank") - bucketStart) / batchSize).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("batch_id"))
+      .withColumn("__brank", (col("__rank") - bucketStart).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("__brank"))
+  }
+
+  /** Bucket-then-pack — the composition real trainers run
+    * ([[lengthBucketBatches]] and [[packGreedy]] as ONE operator):
+    * NTILE length buckets first, then the no-split greedy fold WITHIN
+    * each bucket in length order. Packing length-sorted docs is what
+    * makes greedy first-fit tight — consecutive docs have near-equal
+    * lengths, so packs close near the budget instead of stranding a
+    * long tail — and the per-bucket boundary costs at most one
+    * underfull pack per bucket (measured, not assumed:
+    * `pack_bucketed_padding` compares this scheme's padding against
+    * stream-order [[packGreedy]] on the same corpus and budget).
+    *
+    * Distributed shape: the bucket and within-bucket rank come from
+    * [[lengthRanked]]'s two-phase prefix machinery; the fold reuses
+    * [[packGreedy]]'s bounded-group native kernel with group key
+    * (bucket, __brank/docsPerGroup), and per-group pack counts
+    * prefix-sum over a TINY one-row-per-group frame ordered by
+    * (bucket, group) into globally dense pack ids. Same approximation
+    * bound as packGreedy: ≤ 1 underfull pack per group boundary.
+    *
+    * @return (doc_id, n_tokens, bucket, pack_id, oversize) — pack ids
+    *         dense from 0 in (bucket, length-order) sequence */
+  def bucketedPackGreedy(df: DataFrame, idCol: String, tokensCol: Column,
+                         nBuckets: Int, budget: Long,
+                         docsPerGroup: Int = 4096,
+                         numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"bucketedPackGreedy: budget must be positive, got $budget")
+    require(docsPerGroup > 0,
+      s"bucketedPackGreedy: docsPerGroup must be positive, got $docsPerGroup")
+    val spark = df.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val ranked = lengthRanked(df, idCol, tokensCol, nBuckets, numParts)
+      .withColumn("__grpb", floor(col("__brank") / docsPerGroup).cast("long"))
+    val grouped = ranked.groupBy(col("bucket"), col("__grpb"))
+      .agg(sort_array(collect_list(
+        struct(col("__brank"), col("doc_id"), col("n_tokens")))).as("ms"))
+      .withColumn("__locals",
+        expr(s"graft_greedy_pack(transform(ms, m -> m.n_tokens), $budget)"))
+      .withColumn("__npacks",
+        (element_at(col("__locals"), -1) + 1).cast("long"))
+    // one row per (bucket, group) — the same bounded unpartitioned
+    // window shape as packGreedy's offsets frame
+    val wGrp = Window.orderBy(col("bucket"), col("__grpb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = grouped.select(col("bucket"), col("__grpb"), col("__npacks"))
+      .withColumn("__gpoff", coalesce(sum(col("__npacks")).over(wGrp), lit(0L)))
+      .select(col("bucket"), col("__grpb"), col("__gpoff"))
+    grouped.join(broadcast(offs), Seq("bucket", "__grpb"))
+      .select(col("bucket"), col("__gpoff"),
+        explode(arrays_zip(col("ms"), col("__locals"))).as("z"))
+      .select(col("z.ms.doc_id").as("doc_id"),
+        col("z.ms.n_tokens").as("n_tokens"),
+        col("bucket"),
+        (col("__gpoff") + col("z.__locals")).as("pack_id"),
+        (col("z.ms.n_tokens") > budget).as("oversize"))
   }
 
   /** Per-batch padding audit of [[lengthBucketBatches]] vs the

@@ -725,6 +725,18 @@ object Similarity {
       extends Serializable {
     def dim: Int = m * dsub
     def k: Int = codebooks(0).length
+
+    /** The codebook tensor serialized ONCE per model (lazily, cached)
+      * and the one `lit` Column wrapping it — every kernel call site
+      * ([[Similarity.nPqEncode]], [[Similarity.nAdc]], encode + ADC in
+      * the same query) shares this single Literal instead of each
+      * re-serializing and carrying its own copy of a potentially
+      * multi-MB m × k × dsub literal. Transient: recomputed per JVM,
+      * never shipped in closures (the kernels ride the codegen
+      * references array, not this). */
+    @transient lazy val serialized: String =
+      graft.plans.PqKernel.serialize(m, dsub, k, codebooks)
+    @transient lazy val serializedLit: Column = lit(serialized)
   }
 
   /** Fit PQ codebooks on a BOUNDED deterministic sample (hash-chosen,
@@ -770,9 +782,11 @@ object Similarity {
 
   /** The codebook tensor as ONE plan literal (`Double.toString`
     * round-trip exact) feeding the native kernels — parsed once per
-    * task via the codegen references array, the `PslRules` pattern. */
-  private def modelLit(model: PqModel): Column =
-    lit(graft.plans.PqKernel.serialize(model.m, model.dsub, model.k, model.codebooks))
+    * task via the codegen references array, the `PslRules` pattern.
+    * Serialized once per model and shared across every call site in a
+    * query ([[PqModel.serializedLit]]) — encode and ADC in the same
+    * plan reference the SAME Literal rather than duplicating it. */
+  private def modelLit(model: PqModel): Column = model.serializedLit
 
   /** The ONE per-subspace nearest-centroid encoder — shared by
     * [[pqEncode]] and the IVF-PQ residual encode so a change to the

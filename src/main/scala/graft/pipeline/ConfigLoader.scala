@@ -249,11 +249,20 @@ object ConfigLoader {
         // pslPath: a publicsuffix.org-format rules file (bounded
         // static table; parsed driver-side at config time) makes the
         // blocklist's domain key the TRUE registrable domain, so
-        // ccSLD entries (example.co.uk) match their subdomains
-        val psl: Seq[String] = o.get("pslPath")
-          .map(p => java.nio.file.Files.readAllLines(
-            java.nio.file.Paths.get(p)).toArray.map(_.toString).toSeq)
-          .getOrElse(Nil)
+        // ccSLD entries (example.co.uk) match their subdomains.
+        // DEFAULT (no pslPath): the bundled verbatim PSL excerpt
+        // (UrlOps.bundledPsl) — config-driven pipelines get real
+        // public-suffix awareness out of the box; pslPath=naive opts
+        // back into the last-two-labels key. For rule-less TLDs the
+        // PSL's implicit `*` rule reproduces the naive key exactly,
+        // so the default only changes behavior where it fixes it
+        // (ccSLDs like example.co.uk).
+        val psl: Seq[String] = o.get("pslPath") match {
+          case Some("naive") => Nil
+          case Some(p) => java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(p)).toArray.map(_.toString).toSeq
+          case None => graft.llm.UrlOps.bundledPsl
+        }
         o.get("blocklistPath") match {
           case Some(p) =>
             if (psl.nonEmpty)
@@ -344,6 +353,20 @@ object ConfigLoader {
         graft.llm.Packing.packGreedy(
           df.withColumn("__graft_n", size(wsToks(o)).cast("long")),
           req(o, "idCol"), col("__graft_n"),
+          budget = req(o, "budget").toLong,
+          docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
+          numParts = o.getOrElse("numParts", "0").toInt)
+      }),
+      // bucket-then-pack (the composition real trainers run): NTILE
+      // length buckets, then the no-split greedy fold WITHIN each
+      // bucket in length order — tighter packs than stream-order
+      // pack_greedy because consecutive docs have near-equal lengths.
+      // Emits (doc_id, n_tokens, bucket, pack_id, oversize).
+      "bucketed_pack" -> (o => df => {
+        graft.llm.Packing.bucketedPackGreedy(
+          df.withColumn("__graft_n", size(wsToks(o)).cast("long")),
+          req(o, "idCol"), col("__graft_n"),
+          nBuckets = o.getOrElse("nBuckets", "16").toInt,
           budget = req(o, "budget").toLong,
           docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
           numParts = o.getOrElse("numParts", "0").toInt)

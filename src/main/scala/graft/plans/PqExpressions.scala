@@ -37,7 +37,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * Both kernels FAIL FAST with descriptive errors on dimension
   * mismatch (query/vector length ≠ m × dsub, codes length ≠ m, code
-  * out of [0, k)) — the `lshBucket` convention; silent wrong-position
+  * out of [0, k)) AND on null array elements (an UnsafeArrayData
+  * null slot would otherwise read silently as 0.0, diverging from the
+  * former Seq[Double] UDF's NPE) — the `lshBucket` convention; silent
+  * wrong-position
   * reads or a raw ArrayIndexOutOfBoundsException deep in a task are
   * both worse than an immediate message. */
 final class PqKernel(val m: Int, val dsub: Int, val k: Int,
@@ -67,6 +70,8 @@ final class PqKernel(val m: Int, val dsub: Int, val k: Int,
       val qBase = s * dsub
       var j = 0
       while (j < dsub) {
+        if (qv.isNullAt(qBase + j)) throw new IllegalArgumentException(
+          s"graft_adc: null element at query-vector position ${qBase + j}")
         val diff = qv.getDouble(qBase + j) - flat(base + j)
         d += diff * diff
         j += 1
@@ -83,6 +88,12 @@ final class PqKernel(val m: Int, val dsub: Int, val k: Int,
     if (n != dim) throw new IllegalArgumentException(
       s"graft_pq_encode: vector has $n dims but the PQ model expects " +
         s"${dim} (m=$m × dsub=$dsub)")
+    var p = 0
+    while (p < n) {
+      if (v.isNullAt(p)) throw new IllegalArgumentException(
+        s"graft_pq_encode: null element at vector position $p")
+      p += 1
+    }
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {

@@ -360,6 +360,45 @@ class PackingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bucketedPackGreedy: packs stay in-bucket, dense ids, measured padding win") {
+    val df = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        (pmod(col("id") * 37 + 11, lit(500L)) + 1).as("t"))
+    val out = Packing.bucketedPackGreedy(df, "doc_id", col("t"),
+      nBuckets = 8, budget = 600, docsPerGroup = 64).cache()
+    // conservation: every doc exactly once, token counts intact
+    assert(out.count() == 1000)
+    assert(out.agg(sum(col("n_tokens"))).head().getLong(0) ==
+      df.agg(sum(col("t"))).head().getLong(0))
+    // pack ids dense from 0
+    val ids = out.select("pack_id").distinct().as[Long].collect().sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1)
+    // a pack never crosses a bucket boundary
+    assert(out.groupBy("pack_id")
+      .agg(countDistinct(col("bucket")).as("nb"))
+      .where(col("nb") > 1).count() == 0)
+    // no pack exceeds the budget (no oversize docs at these lengths)
+    assert(out.where(col("oversize")).count() == 0)
+    assert(out.groupBy("pack_id").agg(sum(col("n_tokens")).as("pt"))
+      .where(col("pt") > 600).count() == 0)
+    // deterministic under any input partitioning
+    val again = Packing.bucketedPackGreedy(df.repartition(13), "doc_id",
+      col("t"), nBuckets = 8, budget = 600, docsPerGroup = 64)
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // the whole point: tighter packs than stream-order greedy on the
+    // same corpus/budget/groups (length-sorted neighbors fill packs)
+    def padding(asg: org.apache.spark.sql.DataFrame): Long = asg
+      .groupBy("pack_id").agg(sum(col("n_tokens")).as("pt"))
+      .agg(sum(lit(600L) - col("pt"))).head().getLong(0)
+    val streamPad = padding(Packing.packGreedy(df, "doc_id", col("t"),
+      budget = 600, docsPerGroup = 64))
+    val bucketedPad = padding(out)
+    assert(bucketedPad < streamPad,
+      s"bucketed=$bucketedPad stream=$streamPad")
+    out.unpersist()
+  }
+
   test("packMaterialize docSep: (doc + EOS)* stream, separator-free accounting") {
     val docs = Seq((1L, Seq("a", "b")), (2L, Seq("c")), (3L, Seq("d", "e")))
       .toDF("doc_id", "toks")

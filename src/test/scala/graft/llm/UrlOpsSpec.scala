@@ -58,6 +58,35 @@ class UrlOpsSpec extends SparkSpec {
     assert(regEmpty("single") == "single")
   }
 
+  test("bundledPsl: VERBATIM production rules — ccSLDs, *.ck wildcard, !www.ck exception") {
+    graft.plans.GraftExtensions.register(spark)
+    val psl = UrlOps.bundledPsl
+    // the resource is a verbatim PSL-syntax excerpt: comments, blanks,
+    // a wildcard, an exception, plain rules — all must parse
+    assert(psl.exists(_.startsWith("//")) && psl.contains("*.ck") &&
+      psl.contains("!www.ck") && psl.contains("co.uk") && psl.contains("com.au"))
+    def reg(h: String): String =
+      Seq(h).toDF("h").select(UrlOps.registrableDomain(col("h"), psl))
+        .as[String].collect().head
+    // production ccSLD rules
+    assert(reg("www.example.co.uk") == "example.co.uk")
+    assert(reg("deep.sub.example.co.uk") == "example.co.uk")
+    assert(reg("shop.example.com.au") == "example.com.au")
+    assert(reg("www.example.co.jp") == "example.co.jp")
+    // plain 1-label rules: com/net/org behave like the naive key
+    assert(reg("a.b.example.com") == "example.com")
+    // wildcard *.ck: <anything>.ck is a public suffix
+    assert(reg("x.a.example.ck") == "a.example.ck")
+    // exception !www.ck prevails over the wildcard
+    assert(reg("www.ck") == "www.ck")
+    assert(reg("sub.www.ck") == "www.ck")
+    // a TLD with both a bare rule and ccSLD rules: apex under .au
+    // (bare 'au' rule) vs under com.au
+    assert(reg("example.au") == "example.au")
+    // unlisted TLD falls back to the implicit '*' rule
+    assert(reg("a.example.zz") == "example.zz")
+  }
+
   test("filterByUrl with PSL: blocklisted ccSLD domain blocks subdomain hosts") {
     graft.plans.GraftExtensions.register(spark)
     val docs = Seq(
