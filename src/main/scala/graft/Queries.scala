@@ -5301,6 +5301,77 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** The four index families' recall rows against ONE shared
+    * brute-force ground truth — used by both recall-audit queries. */
+  private def annRecallUnion(s: SparkSession, d: String, queries: DataFrame,
+                             emb: DataFrame, k: Int, dirTag: String): DataFrame = {
+    // ground truth is queries × k rows; localCheckpoint so four audit
+    // joins don't re-run the brute-force scan
+    val truth = Similarity.bruteForceTopK(queries, emb, k).localCheckpoint()
+    val dir = tmpDir(d, dirTag)
+    Similarity.buildIvfPqIndex(emb, dir)
+    val model = Similarity.fitPq(emb)
+    Similarity.recallRow(
+        Similarity.ivfTopK(queries, emb, k), truth, "ivf", k)
+      .unionAll(Similarity.recallRow(
+        Similarity.ivfPqQueryIndex(s, dir, queries, emb, k), truth, "ivfpq", k))
+      // nBits sized DOWN to corpus density (2^6 buckets; the default
+      // 12 bits gives ~2 vectors/bucket at sf0.01 and measures recall
+      // 0). Even so, hyperplane LSH is honestly weak on THIS corpus:
+      // uniform random vectors have best-neighbor cosine ≈ 0.37
+      // (angle ≈ 68°, per-bit agreement ≈ 0.62), so Hamming-1
+      // multiprobe rarely reaches the true bucket. That is the
+      // audit's finding, not a bug: LSH earns its keep on corpora
+      // with near-duplicate structure (the SimilaritySpec clustered
+      // floor is 0.8) and the audit exposes when a corpus lacks it.
+      .unionAll(Similarity.recallRow(
+        Similarity.lshTopK(queries, emb, k, nBits = 6), truth, "lsh", k))
+      .unionAll(Similarity.recallRow(
+        Similarity.pqTopK(queries, emb, model, k), truth, "pq", k))
+      .orderBy(col("family"))
+  }
+
+  /** Recall@5 of every ANN family (LSH / IVF / PQ / IVF-PQ) against
+    * [[Similarity.bruteForceTopK]] ground truth on the REAL corpus
+    * distribution — the index-quality watchdog the planted twins
+    * can't provide (twins prove each index finds engineered
+    * ε-neighbors; codebook/centroid drift shows up only on real
+    * data). Seeded index internals → rows-only by the repo
+    * convention; the planted twin below is oracle-bound, the measured
+    * floors are recorded in BASELINE.md, and SimilaritySpec fails if
+    * PQ-append drift drops recall below the floor. */
+  private val annRecallAudit = QueryDef("ann_recall_audit",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      annRecallUnion(s, d, emb.filter(col("vec_id") < 5), emb, k = 5,
+        "recall_audit")
+    },
+    None) // seeded internals; planted twin + BASELINE floors + spec
+
+  /** The recall audit's oracle-bound twin: on the ε-planted queries
+    * every family must achieve recall EXACTLY 1.0 at k=1 (each
+    * planted query's true nearest neighbor is its base vector, and
+    * each family's planted query is independently oracle-green), so
+    * the audit MACHINERY — truth join, hit counting, the recall
+    * arithmetic — is bound to a known answer. */
+  private val annRecallAuditPlanted = QueryDef("ann_recall_audit_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      annRecallUnion(s, d, perturbedEmbeddings(emb, 3), emb, k = 1,
+        "recall_audit_planted")
+    },
+    Some("""SELECT * FROM (VALUES
+        ('ivf',   CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        ('ivfpq', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        ('lsh',   CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        ('pq',    CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)))
+        AS t(family, k, n_queries, n_truth, hits, recall)
+      ORDER BY family"""))
+
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -5953,7 +6024,7 @@ object Queries {
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annIvfPq, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    annIvfAppend,
+    annIvfAppend, annRecallAudit, annRecallAuditPlanted,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,

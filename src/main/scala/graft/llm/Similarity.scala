@@ -111,6 +111,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** One recall@k AUDIT row for an ANN result against ground truth —
+    * the index-quality measurement the planted twins can't give
+    * (twins prove each index finds engineered ε-neighbors; this
+    * measures recall on the REAL distribution, where codebook/centroid
+    * drift after appends actually shows): fraction of
+    * [[bruteForceTopK]]'s (query, neighbor) pairs the index retrieved.
+    * Both inputs are tiny (queries × k rows) — the joins are
+    * driver-cheap regardless of corpus size; the corpus cost lives in
+    * producing `result`/`truth`, not here.
+    * Returns (family, k, n_queries, n_truth, hits, recall). */
+  def recallRow(result: DataFrame, truth: DataFrame,
+                family: String, k: Int): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(result.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+      .select(lit(family).as("family"), lit(k.toLong).as("k"),
+        col("n_queries"), col("n_truth"), col("hits"),
+        (col("hits").cast("double") / col("n_truth")).as("recall"))
+
   /** Deterministic pseudo-random unit-free hyperplanes, seeded. */
   private[llm] def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.llm.Similarity
+
+/** Continuous ANN-index ingestion — the streaming twins of
+  * [[graft.llm.Similarity.appendPqIndex]] /
+  * [[graft.llm.Similarity.appendIvfIndex]], built on the same
+  * per-micro-batch ledger pattern as the continuous-crawl ingest
+  * (`Sources.readWarcResponsesStream` + `Dedup.exactDedupAgainst`):
+  * each micro-batch is anti-joined against the ids ALREADY IN THE
+  * INDEX before the batch append runs, so the index itself is the
+  * ledger.
+  *
+  * Why that anti-join and not stream state: `foreachBatch` is
+  * at-least-once — after a failure the same batch can replay — and
+  * vectors can legitimately recur across batches (re-crawled pages,
+  * re-emitted embeddings). Dropping already-indexed ids per batch
+  * makes the append IDEMPOTENT (effective exactly-once on ids)
+  * without any in-memory stream state: there is NO watermark and NO
+  * state store to bound, because the only state is the index on disk.
+  * The ledger probe reads ONLY the id column of the codes/assignments
+  * frame (column-pruned parquet scan, no vectors), so per-batch cost
+  * tracks the id column's size, not the index payload — the same
+  * flat-vs-ledger-growth shape `dedup_urls_incremental` probes.
+  *
+  * Stream-append ≡ batch-append on the same batches (spec-bound in
+  * StreamingSpec): the batch halves already guarantee
+  * append ≡ encode-the-union with the frozen model/centroids, and the
+  * ledger anti-join only removes rows the batch path would duplicate.
+  * Codebook/centroid drift as appends accumulate is the SAME
+  * documented maintenance trade as the batch appends — the
+  * `ann_recall_audit` row plus SimilaritySpec's drift floor are the
+  * tripwires, and a periodic rebuild re-centers.
+  */
+object IndexIngest {
+
+  /** Append a stream of (id, vector) rows to a persisted PQ index
+    * (`dir/codebooks` + `dir/codes`, built by `buildPqIndex`). New ids
+    * are encoded with the EXISTING codebooks and appended to the codes
+    * frame; ids already indexed (or repeated within the batch) are
+    * dropped. Returns the started query; callers own its lifecycle. */
+  def appendPqIndexStream(vecs: DataFrame, dir: String,
+                          cIdCol: String = "vec_id",
+                          vecCol: String = "embedding"): StreamingQuery = {
+    require(vecs.isStreaming, "appendPqIndexStream: expected a streaming frame")
+    vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      appendBatch(batch, s"$dir/codes", "vec_id",
+        fresh => Similarity.appendPqIndex(batch.sparkSession, fresh, dir,
+          cIdCol, vecCol), batchIdCol = cIdCol)
+    }.start()
+  }
+
+  /** Append a stream of (id, vector) rows to a persisted IVF index
+    * (`dir/centroids` + cluster-partitioned `dir/assignments`, built
+    * by `buildIvfIndex`). Assignment replays the build's own rule
+    * against the FROZEN centroids; the partitioned append only adds
+    * files. Same ledger idempotence as the PQ twin. */
+  def appendIvfIndexStream(vecs: DataFrame, dir: String,
+                           cIdCol: String = "vec_id",
+                           vecCol: String = "embedding"): StreamingQuery = {
+    require(vecs.isStreaming, "appendIvfIndexStream: expected a streaming frame")
+    vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      appendBatch(batch, s"$dir/assignments", "neighbor_id",
+        fresh => Similarity.appendIvfIndex(batch.sparkSession, fresh, dir,
+          cIdCol, vecCol), batchIdCol = cIdCol)
+    }.start()
+  }
+
+  /** The shared per-micro-batch step: in-batch keep-first on the id,
+    * anti-join against the index's id column, append only the
+    * survivors. `ledgerIdCol` is the id's name INSIDE the index layout
+    * (PQ codes store `vec_id`; IVF assignments store `neighbor_id`). */
+  private def appendBatch(batch: Dataset[Row], ledgerPath: String,
+                          ledgerIdCol: String,
+                          append: DataFrame => Unit,
+                          batchIdCol: String = "vec_id"): Unit = {
+    val spark = batch.sparkSession
+    val indexed = spark.read.parquet(ledgerPath)
+      .select(col(ledgerIdCol).as("__graft_indexed"))
+    val fresh = batch.dropDuplicates(batchIdCol)
+      .join(indexed, col(batchIdCol) === col("__graft_indexed"), "left_anti")
+      // sever lineage before the append writes into the same
+      // directory the ledger scan reads (the crawl-ingest convention)
+      .localCheckpoint(true)
+    if (!fresh.isEmpty) append(fresh)
+  }
+}

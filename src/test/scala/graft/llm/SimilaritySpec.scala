@@ -424,6 +424,39 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == inline)
   }
 
+  test("PQ append drift: recall vs brute force stays above floor after appends") {
+    // the ann_recall_audit failure mode made concrete: codebooks are
+    // fitted ONCE on the base corpus, then batches append with no
+    // refit (appendPqIndex's documented trade). The recall floor here
+    // is the regression tripwire — if encode-with-stale-codebooks
+    // degrades beyond the documented creep, this fails before the
+    // audit row quietly drifts.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_drift")
+      .toFile.getPath
+    // base = one third of the corpus; two appended batches make the
+    // index 3x its fitted size
+    val base = emb.where(col("vec_id") % 3 === 0)
+    Similarity.buildPqIndex(base, dir, m = 8, k = 32)
+    Similarity.appendPqIndex(spark, emb.where(col("vec_id") % 3 === 1), dir)
+    Similarity.appendPqIndex(spark, emb.where(col("vec_id") % 3 === 2), dir)
+    // every id is indexed exactly once
+    assert(spark.read.parquet(s"$dir/codes").select("vec_id").distinct().count()
+      == emb.count())
+    val queries = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(queries, emb, k = 10)
+    val viaIndex = Similarity.pqQueryIndex(spark, dir, queries, emb, k = 10,
+      shortlist = 100)
+    val row = Similarity.recallRow(viaIndex, truth, "pq_appended", 10)
+      .collect().head
+    val recall = row.getAs[Double]("recall")
+    // floor: the full-corpus fit measures 8..10 of 10 per query on
+    // this worst-case uniform corpus; a third-of-corpus fit costs a
+    // little quantization error but must stay well above chance
+    assert(recall >= 0.6, s"post-append recall collapsed to $recall")
+  }
+
   test("PQ scan plan: native kernels inside WholeStageCodegen, no UDF") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.llm.Similarity
 import EventsStream.Event
 
 class StreamingSpec extends SparkSpec {
@@ -384,6 +385,76 @@ class StreamingSpec extends SparkSpec {
       "https://b.example/2", "https://b.example/3"))
     assert(rows("https://a.example/1") == p1)
     assert(rows("https://b.example/2") == p2)
+  }
+
+  test("streaming PQ index append ≡ batch append; replayed ids never re-enter") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 3 === 0)
+    val b1 = emb.where(col("vec_id") % 3 === 1)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val b2 = emb.where(col("vec_id") % 3 === 2)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val dirS = java.nio.file.Files.createTempDirectory("graft_pq_s").toFile.getPath
+    val dirB = java.nio.file.Files.createTempDirectory("graft_pq_b").toFile.getPath
+    Similarity.buildPqIndex(base, dirS)
+    Similarity.buildPqIndex(base, dirB)
+    // stream path: two micro-batches, each polluted with rows the
+    // ledger must drop — an already-indexed base id in batch 1, an
+    // in-batch duplicate, and a batch-1 replay inside batch 2
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.appendPqIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), dirS)
+    try {
+      val indexedBase = base.as[(Long, Seq[Float])].head()
+      mem.addData(b1 ++ Seq(indexedBase, b1.head))
+      q.processAllAvailable()
+      mem.addData(b2 :+ b1.head)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch path on the clean batches
+    Similarity.appendPqIndex(spark, b1.toDF("vec_id", "embedding"), dirB)
+    Similarity.appendPqIndex(spark, b2.toDF("vec_id", "embedding"), dirB)
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
+    val streamed = codes(dirS)
+    assert(streamed == codes(dirB))
+    // every id exactly once despite the replays
+    assert(streamed.map(_._1) == streamed.map(_._1).distinct)
+    assert(streamed.map(_._1).toSet == emb.select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("streaming IVF index append ≡ batch append on the same batches") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 3 === 0)
+    val b1 = emb.where(col("vec_id") % 3 === 1)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val b2 = emb.where(col("vec_id") % 3 === 2)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val dirS = java.nio.file.Files.createTempDirectory("graft_ivf_s").toFile.getPath
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_b").toFile.getPath
+    Similarity.buildIvfIndex(base, dirS)
+    Similarity.buildIvfIndex(base, dirB)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.appendIvfIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), dirS)
+    try {
+      mem.addData(b1 :+ b1.head) // in-batch duplicate
+      q.processAllAvailable()
+      mem.addData(b2 :+ b1.head) // cross-batch replay
+      q.processAllAvailable()
+    } finally q.stop()
+    Similarity.appendIvfIndex(spark, b1.toDF("vec_id", "embedding"), dirB)
+    Similarity.appendIvfIndex(spark, b2.toDF("vec_id", "embedding"), dirB)
+    def assigned(dir: String) = spark.read.parquet(s"$dir/assignments")
+      .select(col("neighbor_id"), col("cluster"))
+      .orderBy("neighbor_id").as[(Long, Int)].collect().toSeq
+    val streamed = assigned(dirS)
+    assert(streamed == assigned(dirB))
+    assert(streamed.map(_._1) == streamed.map(_._1).distinct)
   }
 
   test("web front-end filters compose into a stream: url + c4 at ingest time") {
