@@ -4595,6 +4595,182 @@ object Queries {
         CAST(SUM(n_docs) AS BIGINT) AS sum_docs
       FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** Shared stage options for the raw-crawl → trainer-shards
+    * composition — ONE place defines the chain both the YAML job and
+    * the funnel query run, so they cannot drift. The quality gate
+    * deliberately relaxes every bound except minWords: the other
+    * signals are individually oracle-bound elsewhere
+    * (`quality_buckets`, `repetition_stats`, `c4_clean`), and one
+    * active replayable rule keeps the end-to-end oracle exact. */
+  private val shardsChain: Seq[(String, Map[String, String])] = Seq(
+    "regexp_extract" -> Map("column" -> "url", "pattern" -> "doc/([0-9]+)",
+      "outCol" -> "doc_id", "castTo" -> "long"),
+    "html_extract" -> Map("column" -> "html", "outCol" -> "main_text"),
+    "url_filter" -> Map("column" -> "url",
+      "blockedDomains" -> "src3.example,src7.example,adsite.example",
+      "blockedKeywords" -> "casino"),
+    "quality_filter" -> Map("column" -> "main_text", "minWords" -> "45",
+      "minMeanWordLen" -> "0", "maxMeanWordLen" -> "1000",
+      "maxPunctRatio" -> "1.0"),
+    "dedup_exact" -> Map("idCol" -> "doc_id", "textCol" -> "main_text"),
+    "pack_materialize" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
+      "budget" -> "512"))
+
+  /** The shared DuckDB replay of [[shardsChain]] up to the packs
+    * frame: fixture gate → main-text extraction → URL filter →
+    * minWords quality gate → exact dedup keep-first → doc-order
+    * token-offset packing. Ends in CTE `packs` (pack_id, n_docs,
+    * n_tokens). */
+  private val sqlShardsChain: String =
+    s"""u AS (SELECT doc_id, source, text,
+        'https://' || source
+          || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
+          || '.example/doc/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
+          AS url,
+        $sqlMainText AS main_text
+        FROM documents
+        WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+      h AS (SELECT *, lower(regexp_extract(url,
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
+          AS host FROM u),
+      f AS (SELECT doc_id, url, main_text FROM h
+        WHERE host NOT IN ('src3.example', 'src7.example', 'adsite.example')
+          AND (CASE WHEN len(string_split(host, '.')) >= 2
+               THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+               ELSE host END)
+              NOT IN ('src3.example', 'src7.example', 'adsite.example')
+          AND NOT contains(lower(url), 'casino')),
+      q AS (SELECT doc_id, main_text FROM f
+        WHERE len(string_split(trim(regexp_replace(lower(main_text),
+          '\\s+', ' ', 'g')), ' ')) >= 45),
+      kd AS (SELECT doc_id, main_text,
+        min(doc_id) OVER (PARTITION BY
+          trim(regexp_replace(lower(main_text), '\\s+', ' ', 'g'))) AS keep
+        FROM q),
+      sv AS (SELECT doc_id, main_text FROM kd WHERE doc_id = keep),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(main_text) = '' THEN []
+             ELSE string_split_regex(trim(main_text), '\\s+') END AS toks
+        FROM sv),
+      oo AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      pp AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM oo),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM pp GROUP BY pack_id)"""
+
+  /** THE one-config product: raw crawl in, certified trainer shards
+    * out. One YAML job drives WARC response ingestion (status +
+    * media-type gate at the source), doc-id recovery from the crawl
+    * URL, HTML main-content extraction, URL block/keyword filtering,
+    * the quality gate, exact dedup, context packing, and the
+    * certified `training_shards` sink — every stage a registry kind,
+    * no code. The query returns the RE-READ on-disk manifest joined
+    * with a per-shard re-aggregation of the written pack data, and
+    * DuckDB replays the ENTIRE funnel from the documents table to the
+    * shard checksums — membership, rank digests, token sums, all from
+    * first principles. */
+  private val curateToShardsYaml = QueryDef("curate_to_shards_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "curate_to_shards")
+      val out = s"$dir/out"
+      val warc = warcResponseFixture(s, d, "warc_to_shards")
+      val transforms = shardsChain.map { case (kind, o) =>
+        s"""      - kind: $kind
+           |        options:
+           |${o.map { case (k, v) => s"          $k: '$v'" }.mkString("\n")}""".stripMargin
+      }.mkString("\n")
+      val yaml =
+        s"""jobs:
+           |  - name: curate_to_shards
+           |    extract:
+           |      - kind: warc_responses
+           |        path: $warc
+           |        prefix: ""
+           |        status: 200
+           |        contentType: text/html
+           |    transform:
+           |$transforms
+           |    load:
+           |      - kind: training_shards
+           |        options:
+           |          idCol: pack_id
+           |          dir: $out
+           |          nShards: 4
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      val manifest = s.read.parquet(s"$out/manifest")
+      val data = s.read.parquet(s"$out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(s"""WITH $sqlShardsChain,
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
+  /** Per-stage observability for the [[shardsChain]] composition: one
+    * row per funnel stage with its surviving row count, each stage
+    * applied THROUGH the config registry (the same kind functions the
+    * YAML resolves — counting a parallel reimplementation would bind
+    * nothing). DuckDB replays every count from the documents table. */
+  private val curateToShardsFunnel = QueryDef("curate_to_shards_funnel",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val warc = warcResponseFixture(s, d, "warc_shards_funnel")
+      val resp = Sources.readWarcResponses(s, warc)
+        .where(col("http_status") === 200 &&
+          col("content_type") === "text/html")
+      // fold the config-registry stages, snapshotting a count per stage
+      val staged = shardsChain.scanLeft(("responses", resp)) {
+        case ((_, df), (kind, opts)) =>
+          kind -> graft.pipeline.ConfigLoader.transformKinds(kind)(opts)(df)
+      }
+      val counts = staged.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(i.toLong).as("step"), lit(name).as("stage"),
+            col("n_rows"))
+      }
+      counts.reduce(_ unionAll _).orderBy(col("step"))
+    },
+    Some(s"""WITH $sqlShardsChain
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS step, 'responses' AS stage,
+          count(*) AS n_rows FROM u
+        UNION ALL SELECT 1, 'regexp_extract', count(*) FROM u
+        UNION ALL SELECT 2, 'html_extract', count(*) FROM u
+        UNION ALL SELECT 3, 'url_filter', count(*) FROM f
+        UNION ALL SELECT 4, 'quality_filter', count(*) FROM q
+        UNION ALL SELECT 5, 'dedup_exact', count(*) FROM sv
+        UNION ALL SELECT 6, 'pack_materialize', count(*) FROM packs)
+      ORDER BY step"""))
+
   /** Incremental-pipeline snapshot diff
     * ([[graft.llm.Snapshot.corpusDiff]]): "today's" corpus is derived
     * deterministically from the documents table (doc_id % 7 == 0
@@ -6017,6 +6193,7 @@ object Queries {
     packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
+    curateToShardsYaml, curateToShardsFunnel,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,

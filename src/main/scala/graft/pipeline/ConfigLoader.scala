@@ -106,6 +106,34 @@ object ConfigLoader {
       // LLM-pipeline transforms as config steps
       "dedup_exact" -> (o => df =>
         graft.llm.Dedup.exactDedup(df, req(o, "idCol"), req(o, "textCol"))),
+      // MinHash near-dedup as a pipeline stage: banded candidate pairs
+      // verified by true shingle Jaccard >= threshold, transitive
+      // clusters labeled by min id, and only the canonical survivor of
+      // each cluster kept (unpaired rows pass through). The anti-join's
+      // right side is the LOSER set — proportional to near-dups found,
+      // not the corpus
+      "dedup_minhash" -> (o => df => {
+        val idc = req(o, "idCol")
+        val pairs = graft.llm.Dedup.minhashNearDups(df, idc,
+          req(o, "textCol"),
+          threshold = o.getOrElse("threshold", "0.7").toDouble,
+          k = o.getOrElse("numHashes", "64").toInt,
+          bands = o.getOrElse("bands", "16").toInt,
+          maxBucket = o.getOrElse("maxBucket", "1000").toInt)
+        val losers = graft.llm.Dedup.nearDupClusters(pairs)
+          .where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("__graft_loser"))
+        df.join(losers, ColumnNs.q(idc) === col("__graft_loser"), "left_anti")
+      }),
+      // generic column derivation by regex (e.g. recover a numeric doc
+      // id from a crawl URL): column + pattern + group -> outCol,
+      // optionally cast (castTo: long/int/double/...)
+      "regexp_extract" -> (o => df => {
+        val base = regexp_extract(ColumnNs.q(req(o, "column")),
+          req(o, "pattern"), o.getOrElse("group", "1").toInt)
+        df.withColumn(req(o, "outCol"),
+          o.get("castTo").map(base.cast).getOrElse(base))
+      }),
       "scrub_pii" -> (o => df => {
         val c = req(o, "column")
         df.withColumn(c, graft.llm.TextAnalysis.scrubPii(ColumnNs.q(c)))

@@ -64,6 +64,33 @@ class ConfigLoaderSpec extends SparkSpec {
       .forall(_._2 == 3L))
   }
 
+  test("dedup_minhash and regexp_extract kinds: near-dedup + id recovery from config") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight with friends"
+    val docs = Seq(
+      (10L, prose),
+      (11L, prose + " extra"),                        // near-dup of 10
+      (12L, prose.replace("quick", "rapid")),         // near-dup of 10
+      (20L, "completely different words about ships sailing across wide " +
+        "oceans under bright starry skies tonight forever onward we go"),
+      (30L, "short unrelated text that matches nothing else at all here " +
+        "truly nothing shared with any other document in this set")
+    ).toDF("doc_id", "text")
+    val out = transformKinds("dedup_minhash")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "threshold" -> "0.5"))(docs)
+    // cluster {10, 11, 12} keeps its min id; singletons pass through
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(10L, 20L, 30L))
+    // regexp_extract: recover a numeric id from a crawl URL, cast long
+    val urls = Seq("https://a.example/doc/42?x=1", "https://b.example/doc/7")
+      .toDF("url")
+    val ids = transformKinds("regexp_extract")(
+      Map("column" -> "url", "pattern" -> "doc/([0-9]+)",
+        "outCol" -> "doc_id", "castTo" -> "long"))(urls)
+    assert(ids.schema("doc_id").dataType.typeName == "long")
+    assert(ids.select("doc_id").as[Long].collect().toSet == Set(42L, 7L))
+  }
+
   test("bpe_token_count kind: persisted ladder drives config-based counting") {
     import graft.pipeline.ConfigLoader.transformKinds
     val work = Files.createTempDirectory("graft_bpe_cfg").toFile.getPath
