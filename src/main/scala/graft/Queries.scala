@@ -5502,6 +5502,11 @@ object Queries {
       // floor is 0.8) and the audit exposes when a corpus lacks it.
       .unionAll(Similarity.recallRow(
         Similarity.lshTopK(queries, emb, k, nBits = 6), truth, "lsh", k))
+      // the remedy the lsh row motivates: Hamming-2 multiprobe trades
+      // a closed-form probe-count increase for recall on hard corpora
+      .unionAll(Similarity.recallRow(
+        Similarity.lshTopK(queries, emb, k, nBits = 6, probeBits = 2),
+        truth, "lsh_h2", k))
       .unionAll(Similarity.recallRow(
         Similarity.pqTopK(queries, emb, model, k), truth, "pq", k))
       .orderBy(col("family"))
@@ -5542,6 +5547,8 @@ object Queries {
         ('ivfpq', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
           CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
         ('lsh',   CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        ('lsh_h2', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
           CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
         ('pq',    CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
           CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)))

@@ -169,14 +169,26 @@ object Similarity {
         .cast("long"))
   }
 
-  /** ANN top-k via random-hyperplane LSH with Hamming-1 multiprobe:
-    * corpus rows key by their bucket; each query probes its own bucket
-    * and every bucket one bit-flip away (nBits+1 probes). Shuffle is by
-    * bucket key; per-bucket candidate lists stay ~corpus/2^nBits. */
+  /** ANN top-k via random-hyperplane LSH with Hamming-`probeBits`
+    * multiprobe: corpus rows key by their bucket; each query probes
+    * its own bucket plus every bucket within `probeBits` bit flips —
+    * `probeBits = 1` (the default, the original behavior) probes
+    * nBits+1 buckets; `probeBits = 2` adds the C(nBits, 2) two-flip
+    * buckets. Two-flip probing is the answer the `ann_recall_audit`
+    * row motivates on hard (weak-neighbor-structure) corpora: recall
+    * rises with probed volume while the probe count stays a CLOSED
+    * FORM of nBits — at 12 bits, 79 of 4096 buckets (~2% of the
+    * corpus) instead of 13 (~0.3%) — and the probe list is still a
+    * literal array (map-only explode, no extra shuffle; the bucket
+    * join is unchanged). Shuffle is by bucket key; per-bucket
+    * candidate lists stay ~corpus/2^nBits. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 12, seed: Long = 42L,
               qIdCol: String = "vec_id", cIdCol: String = "vec_id",
-              vecCol: String = "embedding", dim: Int = -1): DataFrame = {
+              vecCol: String = "embedding", dim: Int = -1,
+              probeBits: Int = 1): DataFrame = {
+    require(probeBits == 1 || probeBits == 2,
+      s"lshTopK: probeBits must be 1 or 2, got $probeBits")
     registered(corpus)
     // dim <= 0 (the default): derive from the data so a mismatch between
     // a hardcoded default and the actual embedding length is impossible
@@ -188,10 +200,14 @@ object Similarity {
     val qBase = queries.select(col(qIdCol).as("query_id"),
         asDouble(col(vecCol)).as("__qv"))
       .withColumn("__b0", lshBucket(col("__qv"), planes))
-    // probe own bucket + each Hamming-1 neighbor
+    // probe own bucket + each Hamming-1 neighbor (+ Hamming-2 when asked)
+    val flips1 = (0 until nBits).map(i => col("__b0").bitwiseXOR(lit(1L << i)))
+    val flips2 =
+      if (probeBits < 2) Nil
+      else for { i <- 0 until nBits; j <- i + 1 until nBits }
+        yield col("__b0").bitwiseXOR(lit((1L << i) | (1L << j)))
     val probes = qBase.select(col("query_id"), col("__qv"),
-      explode(array(col("__b0") +:
-        (0 until nBits).map(i => col("__b0").bitwiseXOR(lit(1L << i))): _*)).as("__bucket"))
+      explode(array(col("__b0") +: (flips1 ++ flips2): _*)).as("__bucket"))
     val cands = probes.join(c, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", nCosine(col("__qv"), col("__cv")))

@@ -657,7 +657,9 @@ object ConfigLoader {
   private val loadRequiredDest: Map[String, Seq[String]] = Map(
     "json" -> Seq("file"), "csv" -> Seq("file"), "json_dir" -> Seq("path"),
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
-    "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"))
+    "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
+    "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
+    "ivfpq_index" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

@@ -47,6 +47,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
   }
 
+  test("lshTopK Hamming-2 multiprobe: candidate superset, recall never drops") {
+    // the ann_recall_audit remedy: two-flip probing must dominate
+    // one-flip on ANY corpus (its probe set is a strict superset), and
+    // on the hard uniform corpus it must actually find more truth
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+    def hits(probeBits: Int): Long =
+      Similarity.recallRow(
+        Similarity.lshTopK(queries, emb, k = 5, nBits = 6,
+          probeBits = probeBits),
+        truth, "lsh", 5).collect().head.getAs[Long]("hits")
+    val h1 = hits(1)
+    val h2 = hits(2)
+    assert(h2 >= h1, s"two-flip probing lost recall: $h2 < $h1")
+    assert(h2 > 0, "Hamming-2 multiprobe found no truth on the uniform corpus")
+    // a planted exact twin is found at rank 1 under either probe depth
+    val twin = emb.where(col("vec_id") === 3)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+    val withTwin = emb.unionByName(twin)
+    Seq(1, 2).foreach { pb =>
+      val got = Similarity.lshTopK(twin, withTwin, k = 1, nBits = 6,
+        probeBits = pb).collect().head
+      assert(got.getAs[Long]("neighbor_id") == 3L)
+    }
+  }
+
   test("ivfTopK recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(11)
     val centers = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
