@@ -257,6 +257,16 @@ object ConfigLoader {
       // unigram-LM token count as a column (Unigram.scala): piecesPath
       // loads a persisted (piece, logprob) table (train once, encode
       // forever — required: unlike BPE there is no default table)
+      // encode text to learned-BPE token ARRAYS (the persisted-ladder
+      // sibling of bpe_token_count): outCol feeds pack_materialize's
+      // tokensCol, closing the tokenizer-aware trainer-format chain —
+      // curate -> bpe_encode -> pack_materialize(tokensCol) -> shards
+      // in one config
+      "bpe_encode" -> (o => df => {
+        val merges = graft.llm.Bpe.loadLadder(req(o, "piecesPath"))
+        df.withColumn(o.getOrElse("outCol", "tokens"),
+          graft.llm.Bpe.encodeCol(ColumnNs.q(req(o, "textCol")), merges))
+      }),
       "unigram_token_count" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)
         val pieces = graft.llm.Unigram.loadPieces(df.sparkSession,

@@ -355,6 +355,55 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(out.columns.toSet == Set("legacy.a", "legacy.b"))
   }
 
+  test("tokenizer-aware trainer format: bpe_encode feeds pack_materialize from config") {
+    val work = Files.createTempDirectory("graft_bpe_pack").toFile.getPath
+    // mini ladder: l+o -> lo, lo+w -> low; "low low" -> [low, low]
+    graft.llm.Bpe.saveLadder(Seq("l" -> "o", "lo" -> "w"),
+      s"$work/ladder.txt")
+    // BPE token counts (not whitespace!): doc 1 = [low, low] (2), doc
+    // 2 = [x, y] (2), doc 3 = [low, x] (2); budget 4 -> docs 1+2 share
+    // pack 0, doc 3 opens pack 1
+    Seq((1L, "low low"), (2L, "xy"), (3L, "low x"))
+      .toDF("doc_id", "text").write.parquet(s"$work/docs.parquet")
+    val yaml =
+      s"""jobs:
+         |  - name: bpe_pack
+         |    extract:
+         |      - kind: parquet
+         |        path: $work/docs.parquet
+         |        prefix: ""
+         |    transform:
+         |      - kind: bpe_encode
+         |        options:
+         |          textCol: text
+         |          piecesPath: $work/ladder.txt
+         |          outCol: toks
+         |      - kind: pack_materialize
+         |        options:
+         |          idCol: doc_id
+         |          tokensCol: toks
+         |          budget: 4
+         |    load:
+         |      - kind: training_shards
+         |        options:
+         |          idCol: pack_id
+         |          dir: $work/out
+         |          nShards: 2
+         |""".stripMargin
+    Files.write(new java.io.File(work, "migration.yaml").toPath,
+      yaml.getBytes("UTF-8"))
+    Pipeline.run(spark, ConfigLoader.parseYamlFile(s"$work/migration.yaml"),
+      progress = _ => ())
+    val packs = spark.read.parquet(s"$work/out/data")
+    // the packed stream is BPE pieces, not whitespace words
+    assert(packs.select(explode(col("tokens"))).as[String].collect().sorted
+      .toSeq == Seq("low", "low", "low", "x", "x", "y"))
+    assert(packs.select(col("pack_id"), col("n_docs"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (p, d2, t) => p -> ((d2, t)) }.toMap
+      == Map(0L -> ((2L, 4L)), 1L -> ((1L, 2L))))
+  }
+
   test("trainer-format YAML pipeline: tokenize -> pack -> certified shards") {
     val work = Files.createTempDirectory("graft_trainer_cfg").toFile.getPath
     // budget 4: doc 1 fills pack 0 exactly; doc 2 (3 toks, offset 4)
