@@ -267,6 +267,14 @@ object ConfigLoader {
         df.withColumn(o.getOrElse("outCol", "tokens"),
           graft.llm.Bpe.encodeCol(ColumnNs.q(req(o, "textCol")), merges))
       }),
+      // unigram-LM (SentencePiece-style) sibling of bpe_encode: Viterbi
+      // segmentation to token arrays from a persisted pieces table
+      "unigram_encode" -> (o => df => {
+        val pieces = graft.llm.Unigram.loadPieces(df.sparkSession,
+          req(o, "piecesPath"))
+        df.withColumn(o.getOrElse("outCol", "tokens"),
+          graft.llm.Unigram.encodeCol(ColumnNs.q(req(o, "textCol")), pieces))
+      }),
       "unigram_token_count" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)
         val pieces = graft.llm.Unigram.loadPieces(df.sparkSession,

@@ -404,6 +404,21 @@ class ConfigLoaderSpec extends SparkSpec {
       == Map(0L -> ((2L, 4L)), 1L -> ((1L, 2L))))
   }
 
+  test("unigram_encode kind: persisted pieces drive Viterbi segmentation from config") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val work = Files.createTempDirectory("graft_uni_cfg").toFile.getPath
+    // pieces strongly favor "ab" as one token; chars carry low mass
+    graft.llm.Unigram.savePieces(spark,
+      Seq("ab" -> -0.5, "a" -> -4.0, "b" -> -4.0, "c" -> -4.0),
+      s"$work/pieces")
+    val df = Seq((1L, "ab c")).toDF("id", "text")
+    val out = transformKinds("unigram_encode")(
+      Map("textCol" -> "text", "piecesPath" -> s"$work/pieces",
+        "outCol" -> "toks"))(df)
+    assert(out.select(explode(col("toks"))).as[String].collect().toSeq
+      == Seq("ab", "c"))
+  }
+
   test("trainer-format YAML pipeline: tokenize -> pack -> certified shards") {
     val work = Files.createTempDirectory("graft_trainer_cfg").toFile.getPath
     // budget 4: doc 1 fills pack 0 exactly; doc 2 (3 toks, offset 4)
