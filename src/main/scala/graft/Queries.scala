@@ -5555,6 +5555,52 @@ object Queries {
         AS t(family, k, n_queries, n_truth, hits, recall)
       ORDER BY family"""))
 
+  /** The practitioner's IVF tuning table: recall@5 against brute-force
+    * truth as `nProbe` doubles 1→8 (of 16 clusters) on the real
+    * corpus — the measured recall-vs-scan-fraction trade that decides
+    * a deployment's probe depth (each probed cluster costs
+    * ~nProbe/nCentroids of the corpus per query). Seeded k-means →
+    * rows-only; the planted twin binds the sweep machinery at recall
+    * 1.0 for every depth (an ε-twin's OWN nearest centroid is its
+    * base's cluster, so even nProbe=1 must recover it). */
+  private val annProbeSweep = QueryDef("ann_probe_sweep",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+        .localCheckpoint()
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.recallRow(
+          Similarity.ivfTopK(queries, emb, k = 5, nProbe = np),
+          truth, s"ivf_p$np", 5)
+      }.reduce(_ unionAll _).orderBy(col("family"))
+    },
+    None) // seeded internals; planted twin below is the oracle
+
+  private val annProbeSweepPlanted = QueryDef("ann_probe_sweep_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = perturbedEmbeddings(emb, 3)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 1)
+        .localCheckpoint()
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.recallRow(
+          Similarity.ivfTopK(queries, emb, k = 1, nProbe = np),
+          truth, s"ivf_p$np", 1)
+      }.reduce(_ unionAll _).orderBy(col("family"))
+    },
+    Some("""SELECT * FROM (VALUES
+        ('ivf_p1', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        ('ivf_p2', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        ('ivf_p4', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        ('ivf_p8', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+          CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE)))
+        AS t(family, k, n_queries, n_truth, hits, recall)
+      ORDER BY family"""))
+
   private val mmFeatures = QueryDef("mm_features",
     (s, d) => t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "UTF-8")).as("n_bytes"),
@@ -6209,6 +6255,7 @@ object Queries {
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annIvfPq, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend, annRecallAudit, annRecallAuditPlanted,
+    annProbeSweep, annProbeSweepPlanted,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
