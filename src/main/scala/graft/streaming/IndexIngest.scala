@@ -70,6 +70,52 @@ object IndexIngest {
     }.start()
   }
 
+  /** Continuous PACKING — the streaming twin of
+    * [[graft.llm.Packing.packSequencesAppend]], completing the
+    * continuous trainer-format chain (crawl ingest → curation stages →
+    * THIS): each micro-batch of documents continues the global token
+    * stream where the persisted assignment stopped, extending offsets
+    * and pack ids without re-packing the corpus (the last partial pack
+    * keeps filling — floor(offset/budget) is a pure function of the
+    * global offset). Same ledger idempotence as the index twins: ids
+    * already assigned (crawl replays, at-least-once redelivery) drop
+    * via an anti-join against the assignment's OWN id column before
+    * the append, so the only state is the assignment on disk. The
+    * batch-side append ≡ repack-of-union contract (monotone ids,
+    * guarded loudly by `minBatchIdExclusive`) carries over verbatim —
+    * spec-bound: streamed assignment == one-shot `packSequences` over
+    * the union of all batches.
+    *
+    * `dir` must hold an existing assignment (seed with an empty or
+    * initial [[graft.llm.Packing.packSequences]] write — the
+    * crawl-ingest "ledger present before the stream starts"
+    * convention). */
+  def appendPackStream(docs: DataFrame, dir: String,
+                       idCol: String, textCol: String,
+                       budget: Long): StreamingQuery = {
+    require(docs.isStreaming, "appendPackStream: expected a streaming frame")
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val existing = spark.read.parquet(dir)
+      val assigned = existing.select(col("doc_id").as("__graft_assigned"))
+      val fresh = batch.dropDuplicates(idCol)
+        .join(assigned, col(idCol) === col("__graft_assigned"), "left_anti")
+        .localCheckpoint(true)
+      if (!fresh.isEmpty) {
+        val startOffset = graft.llm.Packing.assignedTokenTotal(existing)
+        val maxRow = existing.agg(max(col("doc_id"))).head()
+        val bound = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+        val nToks = size(filter(
+          split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+          w => w =!= "")).cast("long")
+        graft.llm.Packing.packSequencesAppend(fresh, idCol, nToks,
+            budget, startOffset, minBatchIdExclusive = bound)
+          .localCheckpoint(true) // sever lineage from the dir we append to
+          .write.mode("append").parquet(dir)
+      }
+    }.start()
+  }
+
   /** The shared per-micro-batch step: in-batch keep-first on the id,
     * anti-join against the index's id column, append only the
     * survivors. `ledgerIdCol` is the id's name INSIDE the index layout

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.llm.Similarity
+import graft.llm.{Packing, Similarity}
 import EventsStream.Event
 
 class StreamingSpec extends SparkSpec {
@@ -455,6 +455,47 @@ class StreamingSpec extends SparkSpec {
     val streamed = assigned(dirS)
     assert(streamed == assigned(dirB))
     assert(streamed.map(_._1) == streamed.map(_._1).distinct)
+  }
+
+  test("streaming pack continuation ≡ one-shot packSequences over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_stream")
+      .toFile.getPath + "/assignment"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)("w").mkString(" ")
+    // seed: initial corpus packed batch-side (the ledger-present
+    // convention); budget 10 so packs straddle batch boundaries
+    val seed = Seq(doc(1, 4), doc(2, 3)).toDF("doc_id", "text")
+    Packing.packSequences(seed, "doc_id",
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).cast("long"),
+        budget = 10)
+      .write.mode("overwrite").parquet(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.appendPackStream(
+      mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", budget = 10)
+    try {
+      // batch 1 carries a replay of seed doc 2 and an in-batch dup
+      mem.addData(doc(3, 5), doc(4, 6), doc(2, 3), doc(3, 5))
+      q.processAllAvailable()
+      // batch 2 replays doc 3 from batch 1
+      mem.addData(doc(5, 2), doc(3, 5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(dir)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // one-shot reference over the union of all unique docs
+    val union = Seq(doc(1, 4), doc(2, 3), doc(3, 5), doc(4, 6), doc(5, 2))
+      .toDF("doc_id", "text")
+    val oneShot = Packing.packSequences(union, "doc_id",
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).cast("long"),
+        budget = 10)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == oneShot)
+    // replays never re-entered: each id exactly once
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // the partial pack kept filling across the stream boundary:
+    // doc 3 (offset 7) starts inside pack 0
+    assert(streamed.find(_._1 == 3L).get._4 == 0L)
   }
 
   test("web front-end filters compose into a stream: url + c4 at ingest time") {
