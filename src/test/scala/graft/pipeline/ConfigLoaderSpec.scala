@@ -419,6 +419,83 @@ class ConfigLoaderSpec extends SparkSpec {
       == Seq("ab", "c"))
   }
 
+  test("full curation vocabulary composes in ONE config: clean -> gate -> dedup -> near-dedup -> tokenize -> pack -> shards") {
+    val work = Files.createTempDirectory("graft_full_cfg").toFile.getPath
+    graft.llm.Bpe.saveLadder(Seq("l" -> "o", "lo" -> "w"),
+      s"$work/ladder.txt")
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight with friends"
+    val docs = Seq(
+      (1L, prose),
+      (2L, prose),                                 // exact dup of 1
+      (3L, prose + " extra"),                      // near-dup of 1
+      (4L, "low low​ low entirely different content about mountains " +
+        "rivers and valleys under a pale morning sky with seven birds"),
+        // ^ zero-width junk inside; unrelated prose so it survives
+      (5L, "too short")                            // fails minWords
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$work/docs.parquet")
+    val yaml =
+      s"""jobs:
+         |  - name: full_curate
+         |    extract:
+         |      - kind: parquet
+         |        path: $work/docs.parquet
+         |        prefix: ""
+         |    transform:
+         |      - kind: strip_invisible
+         |        options:
+         |          column: text
+         |      - kind: quality_filter
+         |        options:
+         |          column: text
+         |          minWords: 5
+         |          minMeanWordLen: 0
+         |          maxMeanWordLen: 1000
+         |          maxPunctRatio: 1.0
+         |      - kind: dedup_exact
+         |        options:
+         |          idCol: doc_id
+         |          textCol: text
+         |      - kind: dedup_minhash
+         |        options:
+         |          idCol: doc_id
+         |          textCol: text
+         |          threshold: '0.5'
+         |      - kind: bpe_encode
+         |        options:
+         |          textCol: text
+         |          piecesPath: $work/ladder.txt
+         |          outCol: toks
+         |      - kind: pack_materialize
+         |        options:
+         |          idCol: doc_id
+         |          tokensCol: toks
+         |          budget: 64
+         |    load:
+         |      - kind: training_shards
+         |        options:
+         |          idCol: pack_id
+         |          dir: $work/out
+         |          nShards: 2
+         |""".stripMargin
+    Files.write(new java.io.File(work, "migration.yaml").toPath,
+      yaml.getBytes("UTF-8"))
+    Pipeline.run(spark, ConfigLoader.parseYamlFile(s"$work/migration.yaml"),
+      progress = _ => ())
+    val packs = spark.read.parquet(s"$work/out/data")
+    val tokens = packs.select(explode(col("tokens"))).as[String].collect()
+    // doc 5 gated, doc 2 exact-dropped, doc 3 near-dropped -> survivors
+    // are docs 1 and 4; doc 4's BPE pieces include the merged "low"s
+    // (the invisible char was stripped BEFORE near-dedup/tokenize)
+    assert(tokens.count(_ == "low") == 3)
+    assert(!tokens.exists(_.contains("​")))
+    // packed token mass reconciles with the materialized streams
+    val total = packs.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(total == tokens.length.toLong)
+    assert(spark.read.parquet(s"$work/out/manifest").count() > 0)
+  }
+
   test("trainer-format YAML pipeline: tokenize -> pack -> certified shards") {
     val work = Files.createTempDirectory("graft_trainer_cfg").toFile.getPath
     // budget 4: doc 1 fills pack 0 exactly; doc 2 (3 toks, offset 4)
