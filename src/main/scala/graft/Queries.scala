@@ -5569,11 +5569,10 @@ object Queries {
       val queries = emb.filter(col("vec_id") < 5)
       val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
         .localCheckpoint()
-      Seq(1, 2, 4, 8).map { np =>
-        Similarity.recallRow(
-          Similarity.ivfTopK(queries, emb, k = 5, nProbe = np),
-          truth, s"ivf_p$np", 5)
-      }.reduce(_ unionAll _).orderBy(col("family"))
+      Similarity.ivfTopKSweep(queries, emb, k = 5, nProbes = Seq(1, 2, 4, 8))
+        .map { case (np, res) =>
+          Similarity.recallRow(res, truth, s"ivf_p$np", 5) }
+        .reduce(_ unionAll _).orderBy(col("family"))
     },
     None) // seeded internals; planted twin below is the oracle
 
@@ -5583,11 +5582,10 @@ object Queries {
       val queries = perturbedEmbeddings(emb, 3)
       val truth = Similarity.bruteForceTopK(queries, emb, k = 1)
         .localCheckpoint()
-      Seq(1, 2, 4, 8).map { np =>
-        Similarity.recallRow(
-          Similarity.ivfTopK(queries, emb, k = 1, nProbe = np),
-          truth, s"ivf_p$np", 1)
-      }.reduce(_ unionAll _).orderBy(col("family"))
+      Similarity.ivfTopKSweep(queries, emb, k = 1, nProbes = Seq(1, 2, 4, 8))
+        .map { case (np, res) =>
+          Similarity.recallRow(res, truth, s"ivf_p$np", 1) }
+        .reduce(_ unionAll _).orderBy(col("family"))
     },
     Some("""SELECT * FROM (VALUES
         ('ivf_p1', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT),

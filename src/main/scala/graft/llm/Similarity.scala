@@ -236,6 +236,27 @@ object Similarity {
       vecCol, qz.probe)
   }
 
+  /** [[ivfTopK]] at several probe depths over ONE quantizer fit — the
+    * probe-depth tuning sweep (`ann_probe_sweep`) pays the seeded
+    * k-means once instead of once per depth; each returned frame is
+    * BIT-IDENTICAL to the equivalent `ivfTopK(nProbe = d)` call
+    * (same seed → same fit — spec-bound), which is also the
+    * amortization story of the persisted IVF index: fit once, search
+    * many times. */
+  def ivfTopKSweep(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nProbes: Seq[Int], nCentroids: Int = 16,
+                   seed: Long = 42L,
+                   qIdCol: String = "vec_id", cIdCol: String = "vec_id",
+                   vecCol: String = "embedding"): Seq[(Int, DataFrame)] = {
+    registered(corpus)
+    val qz = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
+    // one assignment frame feeds every depth; localCheckpoint so the
+    // fit+assign subtree does not re-execute per probe depth
+    val assigned = qz.assigned.localCheckpoint()
+    nProbes.map(np => np -> ivfQueryPhase(queries, qz.centroidsDf, assigned,
+      k, np, qIdCol, vecCol, qz.probe))
+  }
+
   /** Coarse k-means fit + assignment shared by the IVF paths and
     * [[semDedup]]: returns the corpus as (neighbor_id, __cv, cluster)
     * plus the (cluster, __ctr) centroid frame. A coarse quantizer

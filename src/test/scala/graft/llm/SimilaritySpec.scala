@@ -47,6 +47,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
   }
 
+  test("ivfTopKSweep: one fit, per-depth results identical to ivfTopK") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val sweep = Similarity.ivfTopKSweep(queries, emb, k = 5,
+      nProbes = Seq(1, 4))
+    sweep.foreach { case (np, res) =>
+      val direct = Similarity.ivfTopK(queries, emb, k = 5, nProbe = np)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val got = res.orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got == direct, s"sweep diverged from ivfTopK at nProbe=$np")
+    }
+  }
+
   test("lshTopK Hamming-2 multiprobe: candidate superset, recall never drops") {
     // the ann_recall_audit remedy: two-flip probing must dominate
     // one-flip on ANY corpus (its probe set is a strict superset), and
