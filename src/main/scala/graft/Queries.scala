@@ -5576,6 +5576,35 @@ object Queries {
     },
     None) // seeded internals; planted twin below is the oracle
 
+  /** Codebook-drift measured LIVE: recall@5 of a PQ index FITTED ON A
+    * THIRD of the corpus and grown 3× by appends (encode-with-stale-
+    * codebooks — `appendPqIndex`'s documented trade) against the same
+    * brute-force truth as a full-corpus fit. The delta between the
+    * `pq_full_fit` and `pq_appended_3x` rows IS the drift cost this
+    * round — the per-run visibility that SimilaritySpec's static 0.6
+    * floor can only bound. Seeded codebooks → rows-only; the append
+    * machinery itself is oracle-bound by `ann_pq_append`. */
+  private val annRecallDrift = QueryDef("ann_recall_drift",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+        .localCheckpoint()
+      val dir = tmpDir(d, "recall_drift")
+      Similarity.buildPqIndex(emb.where(col("vec_id") % 3 === 0), dir,
+        m = 8, k = 32)
+      Similarity.appendPqIndex(s, emb.where(col("vec_id") % 3 === 1), dir)
+      Similarity.appendPqIndex(s, emb.where(col("vec_id") % 3 === 2), dir)
+      val appended = Similarity.pqQueryIndex(s, dir, queries, emb, k = 5,
+        shortlist = 100)
+      val full = Similarity.pqTopK(queries, emb,
+        Similarity.fitPq(emb, m = 8, k = 32), k = 5, shortlist = 100)
+      Similarity.recallRow(full, truth, "pq_full_fit", 5)
+        .unionAll(Similarity.recallRow(appended, truth, "pq_appended_3x", 5))
+        .orderBy(col("family"))
+    },
+    None) // seeded codebooks; ann_pq_append oracle-binds the machinery
+
   private val annProbeSweepPlanted = QueryDef("ann_probe_sweep_planted",
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -6253,7 +6282,7 @@ object Queries {
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annIvfPq, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend, annRecallAudit, annRecallAuditPlanted,
-    annProbeSweep, annProbeSweepPlanted,
+    annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,

@@ -498,6 +498,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 3L).get._4 == 0L)
   }
 
+  test("pack stream survives restart: a NEW query on the same dir continues cleanly") {
+    // the crash-recovery story: foreachBatch is at-least-once, and on
+    // restart the new query's first batch may replay rows the dead
+    // query already appended — the index-as-ledger anti-join must make
+    // that harmless with NO checkpoint state at all
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_restart")
+      .toFile.getPath + "/assignment"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)("w").mkString(" ")
+    Packing.packSequences(Seq(doc(1, 4)).toDF("doc_id", "text"), "doc_id",
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).cast("long"),
+        budget = 10)
+      .write.mode("overwrite").parquet(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = IndexIngest.appendPackStream(
+      mem1.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", budget = 10)
+    try {
+      mem1.addData(doc(2, 3), doc(3, 5))
+      q1.processAllAvailable()
+    } finally q1.stop() // "crash"
+    // restart: fresh query, fresh source; first batch replays docs 2-3
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = IndexIngest.appendPackStream(
+      mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", budget = 10)
+    try {
+      mem2.addData(doc(2, 3), doc(3, 5), doc(4, 6))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = spark.read.parquet(dir)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val oneShot = Packing.packSequences(
+        Seq(doc(1, 4), doc(2, 3), doc(3, 5), doc(4, 6)).toDF("doc_id", "text"),
+        "doc_id",
+        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")).cast("long"),
+        budget = 10)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed == oneShot)
+  }
+
   test("web front-end filters compose into a stream: url + c4 at ingest time") {
     // urlOk (literal lists) and the C4 rules are pure column
     // expressions, so the web-curation front end runs unchanged on a
