@@ -2665,13 +2665,13 @@ object Queries {
     * transitions. Per-bigram prices are rounded to 12 dp before the
     * DECIMAL-routed per-doc sum on BOTH engines — partial-merge order
     * and libm ulps cannot move a score. */
-  private val docBigramCe = QueryDef("doc_bigram_ce",
-    (s, d) => TextAnalysis.bigramCrossEntropy(t(s, d, "documents"),
-        "doc_id", "text")
-      .select(col("doc_id"), col("n_trans"),
-        round(col("bigram_ce"), 4).as("bigram_ce"))
-      .orderBy(col("doc_id")),
-    Some(s"""WITH wl AS (SELECT doc_id,
+  /** Shared DuckDB CTE chain for the corpus bigram-LM per-doc cross
+    * entropy (mirrors [[TextAnalysis.bigramCrossEntropy]]'s 12-dp
+    * per-transition rounding + DECIMAL accumulation). Ends in
+    * `dce (doc_id, n_trans, bigram_ce)` — used by `doc_bigram_ce`
+    * and the excess-loss reweighting oracle. */
+  private val sqlBigramCeCtes: String =
+    s"""wl AS (SELECT doc_id,
             list_filter($sqlWords, x -> x <> '') AS w FROM documents),
       trs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM
             (SELECT doc_id, unnest(list_transform(range(1, len(w)),
@@ -2687,12 +2687,62 @@ object Queries {
                 + 0.3 * CAST(u2.n + 1 AS DOUBLE)
                       / CAST(tot.total + tot.v + 1 AS DOUBLE)), 12) AS nlp
             FROM bc JOIN uc u1 ON bc.w1 = u1.word
-                    JOIN uc u2 ON bc.w2 = u2.word CROSS JOIN tot)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+                    JOIN uc u2 ON bc.w2 = u2.word CROSS JOIN tot),
+      dce AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
             round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE)
                   / count(*), 4) AS bigram_ce
-      FROM trs JOIN priced USING (w1, w2)
-      GROUP BY doc_id ORDER BY doc_id"""))
+        FROM trs JOIN priced USING (w1, w2)
+        GROUP BY doc_id)"""
+
+  private val docBigramCe = QueryDef("doc_bigram_ce",
+    (s, d) => TextAnalysis.bigramCrossEntropy(t(s, d, "documents"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_trans"),
+        round(col("bigram_ce"), 4).as("bigram_ce"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $sqlBigramCeCtes
+      SELECT doc_id, n_trans, bigram_ce FROM dce ORDER BY doc_id"""))
+
+  /** Excess-loss domain reweighting
+    * ([[graft.llm.Mixing.excessLossWeights]] — one multiplicative-
+    * weights step of the DoReMi recipe over the corpus's own
+    * bigram-LM CE as the proxy loss): per source, token-weighted mean
+    * CE, excess over the corpus baseline, and the normalized
+    * `share · (1 + eta·excess)` tilt. The linearized (rational) tilt
+    * is what makes the WHOLE table — losses, excesses, and final
+    * weights — replayable bit-for-bit in DuckDB; a cross-engine
+    * `exp()` would not be ULP-stable. */
+  private val mixExcessWeights = QueryDef("mix_excess_weights",
+    (s, d) => graft.llm.Mixing.excessLossWeights(
+        t(s, d, "documents"), "doc_id", "text", "source")
+      .orderBy(col("domain")),
+    Some(s"""WITH $sqlBigramCeCtes,
+      dsrc AS (SELECT d.source AS domain, c.n_trans, c.bigram_ce
+        FROM documents d JOIN dce c USING (doc_id)),
+      m AS (SELECT domain, n_trans,
+        CAST(CAST(bigram_ce AS DECIMAL(18,4)) *
+             CAST(n_trans AS DECIMAL(18,0)) AS DECIMAL(38,4)) AS mass
+        FROM dsrc),
+      per AS (SELECT domain, count(*) AS n_docs,
+        CAST(SUM(n_trans) AS BIGINT) AS n_trans, SUM(mass) AS cemass
+        FROM m GROUP BY domain),
+      g AS (SELECT SUM(cemass) AS gmass,
+        CAST(SUM(n_trans) AS BIGINT) AS gtrans FROM per),
+      t1 AS (SELECT per.domain, per.n_docs, per.n_trans,
+        round(CAST(cemass AS DOUBLE) / n_trans, 6) AS mean_ce,
+        round(CAST(g.gmass AS DOUBLE) / g.gtrans, 6) AS baseline,
+        g.gtrans
+        FROM per CROSS JOIN g),
+      t2 AS (SELECT domain, n_docs, n_trans, mean_ce,
+        greatest(0.0, round(mean_ce - baseline, 6)) AS excess_ce,
+        CAST(round((CAST(n_trans AS DOUBLE) / gtrans) *
+          (1.0 + 1.0 * greatest(0.0, round(mean_ce - baseline, 6))), 8)
+          AS DECIMAL(20,8)) AS tilt
+        FROM t1),
+      z AS (SELECT SUM(tilt) AS z FROM t2)
+      SELECT domain, n_docs, n_trans, mean_ce, excess_ce,
+        round(CAST(tilt AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
+      FROM t2 CROSS JOIN z ORDER BY domain"""))
 
   /** Integer value of the first `n` md5 hex chars of `e` as pure
     * substring arithmetic (engine-portable — no conv()/from_hex). */
@@ -6257,7 +6307,8 @@ object Queries {
     decontaminate, decontaminateBloom, decontaminateFuzzyQ,
     dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
-    mixSample, mixStrata, mixUpsample, mixTemperature, mixSplit,
+    mixSample, mixStrata, mixUpsample, mixTemperature, mixExcessWeights,
+    mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,

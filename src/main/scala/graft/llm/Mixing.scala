@@ -261,4 +261,56 @@ object Mixing {
       .select(col(stratumCol), col("n"),
         (col("__w") / col("__tot")).as("weight"))
   }
+
+  /** Excess-loss domain reweighting — one multiplicative-weights step
+    * of the DoReMi recipe (Xie et al. 2023: upweight domains whose
+    * measured loss exceeds the reference) over the corpus's OWN
+    * bigram-LM cross-entropy ([[TextAnalysis.bigramCrossEntropy]] as
+    * the proxy-model loss): per domain, the token-weighted mean CE;
+    * its excess over the corpus-wide mean; and the normalized tilt
+    * `w ∝ share · (1 + eta · excess)`. The tilt is DoReMi's
+    * exponentiated-gradient step linearized — chosen deliberately
+    * because it keeps every number RATIONAL over the rounded inputs,
+    * so the whole table replays bit-for-bit in SQL (a cross-engine
+    * `exp()` is not ULP-stable; the published loop's constants live in
+    * `eta`).
+    *
+    * Numeric discipline (the `doc_bigram_ce` pattern): per-doc CE
+    * rounds to 4 dp, per-domain sums run in DECIMAL (shuffle-order-
+    * proof), divisions happen once in double over exact numerators,
+    * the tilt rounds to 8 dp before the exact-DECIMAL normalizer.
+    * Shapes: one groupBy(domain), two broadcast one-row aggregates —
+    * the corpus is scanned by the CE pass, never again. */
+  def excessLossWeights(df: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, eta: Double = 1.0): DataFrame = {
+    require(eta >= 0.0, s"excessLossWeights: eta must be >= 0, got $eta")
+    val ce = TextAnalysis.bigramCrossEntropy(df, idCol, textCol)
+    val j = df.select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
+      .join(ce, Seq("doc_id"))
+      // exact integer-scaled CE mass: round first, then DECIMAL product
+      .withColumn("__m", (round(col("bigram_ce"), 4).cast("decimal(18,4)") *
+        col("n_trans").cast("decimal(18,0)")).cast("decimal(38,4)"))
+    val per = j.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trans")).as("n_trans"),
+        sum(col("__m")).as("__ceMass"))
+      .withColumn("mean_ce",
+        round(col("__ceMass").cast("double") / col("n_trans"), 6))
+    val global = per.agg(sum(col("__ceMass")).as("__gMass"),
+      sum(col("n_trans")).as("__gTrans"))
+    val tilted = per.join(broadcast(global))
+      .withColumn("baseline_ce",
+        round(col("__gMass").cast("double") / col("__gTrans"), 6))
+      .withColumn("excess_ce",
+        greatest(lit(0.0), round(col("mean_ce") - col("baseline_ce"), 6)))
+      .withColumn("__tilt", round(
+        (col("n_trans").cast("double") / col("__gTrans")) *
+          (lit(1.0) + lit(eta) * col("excess_ce")), 8).cast("decimal(20,8)"))
+    val norm = tilted.agg(sum(col("__tilt")).as("__z"))
+    tilted.join(broadcast(norm))
+      .select(col("domain"), col("n_docs"), col("n_trans"), col("mean_ce"),
+        col("excess_ce"),
+        round(col("__tilt").cast("double") / col("__z").cast("double"), 6)
+          .as("weight"))
+  }
 }

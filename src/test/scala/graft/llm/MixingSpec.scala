@@ -231,4 +231,41 @@ class MixingSpec extends SparkSpec {
     ).map(rowsOf)
     assert(runs.distinct.size == 1)
   }
+
+  test("excessLossWeights: normalized, monotone in excess, eta=0 reduces to share") {
+    // three domains with engineered loss structure: 'rep' is highly
+    // repetitive (low bigram CE), 'mix' moderate, 'rnd' near-random
+    // word soup (high CE) — the high-loss domain must upweight
+    val words = ('a' to 'z').map(_.toString)
+    def soup(seed: Int, n: Int): String =
+      Seq.tabulate(n)(i => words((seed * 31 + i * 17 + i * i * 7) % 26))
+        .mkString(" ")
+    val docs = ((1L to 20L).map(i => (i, "rep", "x y " * 30 + "x y")) ++
+      (21L to 40L).map(i => (i, "mix", soup(i.toInt, 20) + " x y x y x y")) ++
+      (41L to 60L).map(i => (i, "rnd", soup(i.toInt * 7, 60))))
+      .toDF("doc_id", "domain", "text")
+    val out = Mixing.excessLossWeights(docs, "doc_id", "text", "domain",
+      eta = 1.0).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Double]("mean_ce"), r.getAs[Double]("excess_ce"),
+          r.getAs[Double]("weight"))).toMap
+    // weights normalize
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-4)
+    // loss ordering: repetitive < mixed < random
+    assert(out("rep")._1 < out("mix")._1 && out("mix")._1 < out("rnd")._1)
+    // the high-loss domain carries positive excess; the low-loss none
+    assert(out("rnd")._2 > 0.0 && out("rep")._2 == 0.0)
+    // eta = 0: weights collapse to pure token shares
+    val flat = Mixing.excessLossWeights(docs, "doc_id", "text", "domain",
+      eta = 0.0).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_trans"),
+        r.getAs[Double]("weight")))
+    val totTrans = flat.map(_._2).sum.toDouble
+    flat.foreach { case (dom, nt, w) =>
+      assert(math.abs(w - nt / totTrans) < 1e-4, s"$dom: $w vs ${nt / totTrans}")
+    }
+    // upweighting actually happened for the high-loss domain vs its share
+    val rndShare = flat.find(_._1 == "rnd").get._3
+    assert(out("rnd")._3 > rndShare)
+  }
 }
