@@ -2744,6 +2744,56 @@ object Queries {
         round(CAST(tilt AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
       FROM t2 CROSS JOIN z ORDER BY domain"""))
 
+  /** The measured-losses → executable-sampling-plan composition
+    * ([[graft.llm.Mixing.ratesForTargetWeights]] over
+    * [[graft.llm.Mixing.excessLossWeights]]): target weights become
+    * per-domain keep RATES for `mixStrata` — the largest upweight
+    * saturates at 1.0 (sampling cannot mint data) and every other
+    * domain keeps proportionally less, so sampled tokens land ∝ the
+    * target weight. DuckDB replays loss → weight → share → rate end
+    * to end. */
+  private val mixExcessRates = QueryDef("mix_excess_rates",
+    (s, d) => graft.llm.Mixing.ratesForTargetWeights(
+        graft.llm.Mixing.excessLossWeights(
+          t(s, d, "documents"), "doc_id", "text", "source"))
+      .orderBy(col("domain")),
+    Some(s"""WITH $sqlBigramCeCtes,
+      dsrc AS (SELECT d.source AS domain, c.n_trans, c.bigram_ce
+        FROM documents d JOIN dce c USING (doc_id)),
+      m AS (SELECT domain, n_trans,
+        CAST(CAST(bigram_ce AS DECIMAL(18,4)) *
+             CAST(n_trans AS DECIMAL(18,0)) AS DECIMAL(38,4)) AS mass
+        FROM dsrc),
+      per AS (SELECT domain, count(*) AS n_docs,
+        CAST(SUM(n_trans) AS BIGINT) AS n_trans, SUM(mass) AS cemass
+        FROM m GROUP BY domain),
+      g AS (SELECT SUM(cemass) AS gmass,
+        CAST(SUM(n_trans) AS BIGINT) AS gtrans FROM per),
+      t1 AS (SELECT per.domain, per.n_docs, per.n_trans,
+        round(CAST(cemass AS DOUBLE) / n_trans, 6) AS mean_ce,
+        round(CAST(g.gmass AS DOUBLE) / g.gtrans, 6) AS baseline,
+        g.gtrans
+        FROM per CROSS JOIN g),
+      t2 AS (SELECT domain, n_trans, mean_ce,
+        CAST(round((CAST(n_trans AS DOUBLE) / gtrans) *
+          (1.0 + 1.0 * greatest(0.0, round(mean_ce - baseline, 6))), 8)
+          AS DECIMAL(20,8)) AS tilt
+        FROM t1),
+      z AS (SELECT SUM(tilt) AS z FROM t2),
+      wts AS (SELECT domain, n_trans,
+        round(CAST(tilt AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
+        FROM t2 CROSS JOIN z),
+      wtot AS (SELECT CAST(SUM(CAST(n_trans AS DECIMAL(38,0))) AS DECIMAL(38,0))
+          AS wt FROM wts),
+      sh AS (SELECT domain, n_trans,
+        round(CAST(n_trans AS DOUBLE) / CAST(wtot.wt AS DOUBLE), 6) AS share,
+        weight FROM wts CROSS JOIN wtot),
+      rt AS (SELECT *, round(weight / share, 6) AS ratio FROM sh),
+      mxr AS (SELECT max(ratio) AS mx FROM rt)
+      SELECT domain, n_trans, share, weight,
+        round(ratio / mxr.mx, 6) AS rate
+      FROM rt CROSS JOIN mxr ORDER BY domain"""))
+
   /** Integer value of the first `n` md5 hex chars of `e` as pure
     * substring arithmetic (engine-portable — no conv()/from_hex). */
   private def sqlHexVal(e: String, n: Int): String =
@@ -6308,7 +6358,7 @@ object Queries {
     dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixExcessWeights,
-    mixSplit,
+    mixExcessRates, mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,

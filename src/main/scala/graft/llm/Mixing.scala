@@ -313,4 +313,35 @@ object Mixing {
         round(col("__tilt").cast("double") / col("__z").cast("double"), 6)
           .as("weight"))
   }
+
+  /** Turn target mix weights into EXECUTABLE per-domain keep rates for
+    * [[mixStrata]] — the step from "domain i should carry
+    * weight w_i" ([[excessLossWeights]], or any hand-set target mix)
+    * to a sampling plan a single map-only pass can apply: with
+    * `share_i = n_trans_i / Σ n_trans` the natural token share,
+    * `rate_i = (w_i / share_i) / max_j (w_j / share_j)` — the largest
+    * upweight saturates at rate 1.0 (sampling cannot mint data; the
+    * caller upsamples beyond 1.0 with [[upsample]]) and
+    * every other domain keeps proportionally less, so SAMPLED tokens
+    * land ∝ w_i exactly. One groupBy-less pass over the (tiny,
+    * one-row-per-domain) weights frame; the max is a broadcast
+    * one-row aggregate. Returns (domain, n_trans, share, weight,
+    * rate), all 6-dp-rounded doubles over exact DECIMAL/BIGINT inputs
+    * — replayable cross-engine. */
+  def ratesForTargetWeights(weights: DataFrame,
+                            domainCol: String = "domain",
+                            transCol: String = "n_trans",
+                            weightCol: String = "weight"): DataFrame = {
+    val tot = weights.agg(sum(col(transCol).cast("decimal(38,0)")).as("__t"))
+    val shared = weights.join(broadcast(tot))
+      .withColumn("share",
+        round(col(transCol).cast("double") / col("__t").cast("double"), 6))
+      .withColumn("__ratio",
+        round(col(weightCol) / col("share"), 6))
+    val mx = shared.agg(max(col("__ratio")).as("__mx"))
+    shared.join(broadcast(mx))
+      .select(col(domainCol).as("domain"), col(transCol).as("n_trans"),
+        col("share"), col(weightCol).as("weight"),
+        round(col("__ratio") / col("__mx"), 6).as("rate"))
+  }
 }

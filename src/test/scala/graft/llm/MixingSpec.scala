@@ -267,5 +267,17 @@ class MixingSpec extends SparkSpec {
     // upweighting actually happened for the high-loss domain vs its share
     val rndShare = flat.find(_._1 == "rnd").get._3
     assert(out("rnd")._3 > rndShare)
+    // rates: the most-upweighted domain saturates at 1.0; sampled
+    // tokens land proportional to target weights (rate_i * share_i
+    // proportional to w_i)
+    val w = Mixing.excessLossWeights(docs, "doc_id", "text", "domain")
+    val rates = Mixing.ratesForTargetWeights(w).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Double]("share"),
+        r.getAs[Double]("weight"), r.getAs[Double]("rate"))).toSeq
+    assert(rates.map(_._4).max == 1.0)
+    assert(rates.forall { case (_, _, _, rt) => rt > 0.0 && rt <= 1.0 })
+    val props = rates.map { case (dom, sh, wt, rt) => (dom, sh * rt / wt) }
+    // share*rate/weight constant across domains (sampled mass follows w)
+    assert(props.map(_._2).max - props.map(_._2).min < 1e-3, props.toString)
   }
 }
