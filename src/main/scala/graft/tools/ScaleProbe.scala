@@ -336,6 +336,23 @@ object ScaleProbe {
           corpus.withColumn("s", (col("doc_id") % 20).cast("string")),
           "doc_id", "text", "s", budget = 300000L, maxEpochs = 4).count()
       }
+      time(s"bucketed_pack x$k") {
+        // bucket-then-pack: the lengthRanked two-phase machinery + the
+        // per-(bucket, group) bounded fold — must track the
+        // pack_greedy/pack_sequences curve, no extra knee from the
+        // bucket dimension
+        graft.llm.Packing.bucketedPackGreedy(
+          corpus.withColumn("__n", size(filter(
+            split(trim(col("text")), "\\s+"), w => w =!= "")).cast("long")),
+          "doc_id", col("__n"), nBuckets = 16, budget = 2048).count()
+      }
+      time(s"excess_weights x$k") {
+        // DoReMi step: dominated by the bigram-CE pass (linear); the
+        // reweighting itself touches one row per domain
+        graft.llm.Mixing.excessLossWeights(
+          corpus.withColumn("s", (col("doc_id") % 20).cast("string")),
+          "doc_id", "text", "s").count()
+      }
       time(s"clusters_best x$k") {
         // the full keep-best composition: banded minhash pairs (linear
         // by construction under the dissimilar-replica corpus), label
@@ -406,6 +423,26 @@ object ScaleProbe {
             n
           }
         }
+      }
+      time(s"lsh_h2_topk x$k") {
+        // Hamming-2 multiprobe against a k×-growing corpus: the probe
+        // list is a closed form of nBits (79 literals at 12 bits), so
+        // cost should track the bucket-join scan, not the probe count
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val n = graft.llm.Similarity.lshTopK(emb.limit(5), embK, k = 5,
+          probeBits = 2).count()
+        embK.unpersist()
+        n
+      }
+      time(s"recall_audit_truth x$k") {
+        // the audit's ground-truth pass: brute-force top-k of a FIXED
+        // query set against the k×-growing corpus — one broadcast
+        // product + WindowGroupLimit, linear in k by construction
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val n = graft.llm.Similarity.bruteForceTopK(emb.limit(5), embK,
+          k = 5).count()
+        embK.unpersist()
+        n
       }
       time(s"pq_encode x$k") {
         // PQ corpus compression: codebooks fit on a BOUNDED sample
