@@ -538,6 +538,89 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("continuous trainer ingest end to end: WARC stream -> extract -> filter -> dedup ledger -> pack continuation") {
+    // the streaming analogue of curate_to_shards: raw crawl segments
+    // land, main text extracts, URLs gate, recrawled content drops via
+    // the corpus ledger, and survivors CONTINUE the global pack
+    // assignment — all per micro-batch, no stream state anywhere
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_e2e")
+      .toFile.getPath
+    val landing = s"$root/landing"
+    val ledger = s"$root/ledger"
+    val packs = s"$root/assignment"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def rec(id: Long, host: String, body: String): String = {
+      val html = s"<html><body><nav><a href='/'>Home</a> <a href='/a'>A</a> " +
+        s"<a href='/b'>B</a></nav><h1>Overview</h1><p>$body</p>" +
+        "<footer>(c) x</footer></body></html>"
+      val http = "HTTP/1.1 200 OK\nContent-Type: text/html"
+      s"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://$host/doc/$id\n" +
+        s"WARC-Date: 2026-05-05T00:00:00Z\n" +
+        s"Content-Length: ${http.length + 2 + html.length}\n\n$http\n\n$html"
+    }
+    def writeSeg(name: String, recs: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/$name"),
+        (recs.mkString("\n") + "\n").getBytes("UTF-8"))
+    val p1 = "segment one page with plenty of ordinary prose words here today."
+    val p2 = "another page holding plenty of distinct prose words in it now."
+    val p3 = "a third page with its own plenty of fresh prose words tonight."
+    // seed empty ledger + empty pack assignment (ledger-present rule)
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(ledger)
+    spark.read.parquet(ledger)
+      .select(col("doc_id"), lit(0L).as("n_tokens"),
+        lit(0L).as("token_offset"), lit(0L).as("pack_id"))
+      .write.mode("overwrite").parquet(packs)
+    val curated = graft.sources.Sources.readWarcResponsesStream(spark, landing)
+      .where(col("http_status") === 200 && col("content_type") === "text/html")
+      .select(
+        regexp_extract(col("url"), "doc/([0-9]+)", 1).cast("long").as("doc_id"),
+        col("url"),
+        graft.functions.HtmlText.extractCol(col("html")).as("text"))
+      .where(graft.llm.UrlOps.urlOk(col("url"), Seq("bad.example")))
+    val q = curated.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sess = batch.sparkSession
+        // content-level dedup against everything already ingested
+        val fresh = graft.llm.Dedup.exactDedupAgainst(batch,
+            sess.read.parquet(ledger), "doc_id", "text")
+          .localCheckpoint(true)
+        fresh.select("doc_id", "text").unionByName(
+            sess.read.parquet(ledger).localCheckpoint(true))
+          .write.mode("overwrite").parquet(ledger)
+        // survivors continue the global pack assignment
+        val existing = sess.read.parquet(packs)
+        val start = graft.llm.Packing.assignedTokenTotal(existing)
+        graft.llm.Packing.packSequencesAppend(
+            fresh.select("doc_id", "text"), "doc_id",
+            size(filter(split(trim(col("text")), "\\s+"), w => w =!= ""))
+              .cast("long"),
+            budget = 16, startOffset = start)
+          .localCheckpoint(true)
+          .write.mode("append").parquet(packs)
+        ()
+    }.start()
+    try {
+      writeSeg("seg1.warc", Seq(
+        rec(1, "good.example", p1),
+        rec(2, "bad.example", p2)))     // domain-blocked
+      q.processAllAvailable()
+      writeSeg("seg2.warc", Seq(
+        rec(3, "good.example", p1),     // recrawl of doc 1's content
+        rec(4, "good.example", p2),
+        rec(5, "good.example", p3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val asg = spark.read.parquet(packs).where(col("n_tokens") > 0)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // survivors: 1 (first crawl), 4, 5 — 2 URL-blocked, 3 content-dup
+    assert(asg.map(_._1) == Seq(1L, 4L, 5L))
+    // the token stream is CONTINUOUS across micro-batches: offsets
+    // tile with no gaps, doc 4 continues where doc 1's batch stopped
+    assert(asg.map(_._3) == asg.map(_._2).scanLeft(0L)(_ + _).init)
+  }
+
   test("web front-end filters compose into a stream: url + c4 at ingest time") {
     // urlOk (literal lists) and the C4 rules are pure column
     // expressions, so the web-curation front end runs unchanged on a
