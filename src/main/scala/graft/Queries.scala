@@ -2712,11 +2712,13 @@ object Queries {
     * is what makes the WHOLE table — losses, excesses, and final
     * weights — replayable bit-for-bit in DuckDB; a cross-engine
     * `exp()` would not be ULP-stable. */
-  private val mixExcessWeights = QueryDef("mix_excess_weights",
-    (s, d) => graft.llm.Mixing.excessLossWeights(
-        t(s, d, "documents"), "doc_id", "text", "source")
-      .orderBy(col("domain")),
-    Some(s"""WITH $sqlBigramCeCtes,
+  /** Shared DuckDB CTE chain for the excess-loss reweighting (eta = 1)
+    * on top of [[sqlBigramCeCtes]] — ends in `wts (domain, n_docs,
+    * n_trans, mean_ce, excess_ce, weight)`; ONE definition serves
+    * `mix_excess_weights` AND `mix_excess_rates` so the loss→weight
+    * numbers cannot drift between the two oracles. */
+  private val sqlExcessWeightCtes: String =
+    s"""$sqlBigramCeCtes,
       dsrc AS (SELECT d.source AS domain, c.n_trans, c.bigram_ce
         FROM documents d JOIN dce c USING (doc_id)),
       m AS (SELECT domain, n_trans,
@@ -2739,10 +2741,18 @@ object Queries {
           (1.0 + 1.0 * greatest(0.0, round(mean_ce - baseline, 6))), 8)
           AS DECIMAL(20,8)) AS tilt
         FROM t1),
-      z AS (SELECT SUM(tilt) AS z FROM t2)
-      SELECT domain, n_docs, n_trans, mean_ce, excess_ce,
+      z AS (SELECT SUM(tilt) AS z FROM t2),
+      wts AS (SELECT domain, n_docs, n_trans, mean_ce, excess_ce,
         round(CAST(tilt AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
-      FROM t2 CROSS JOIN z ORDER BY domain"""))
+        FROM t2 CROSS JOIN z)"""
+
+  private val mixExcessWeights = QueryDef("mix_excess_weights",
+    (s, d) => graft.llm.Mixing.excessLossWeights(
+        t(s, d, "documents"), "doc_id", "text", "source")
+      .orderBy(col("domain")),
+    Some(s"""WITH $sqlExcessWeightCtes
+      SELECT domain, n_docs, n_trans, mean_ce, excess_ce, weight
+      FROM wts ORDER BY domain"""))
 
   /** The measured-losses → executable-sampling-plan composition
     * ([[graft.llm.Mixing.ratesForTargetWeights]] over
@@ -2757,32 +2767,7 @@ object Queries {
         graft.llm.Mixing.excessLossWeights(
           t(s, d, "documents"), "doc_id", "text", "source"))
       .orderBy(col("domain")),
-    Some(s"""WITH $sqlBigramCeCtes,
-      dsrc AS (SELECT d.source AS domain, c.n_trans, c.bigram_ce
-        FROM documents d JOIN dce c USING (doc_id)),
-      m AS (SELECT domain, n_trans,
-        CAST(CAST(bigram_ce AS DECIMAL(18,4)) *
-             CAST(n_trans AS DECIMAL(18,0)) AS DECIMAL(38,4)) AS mass
-        FROM dsrc),
-      per AS (SELECT domain, count(*) AS n_docs,
-        CAST(SUM(n_trans) AS BIGINT) AS n_trans, SUM(mass) AS cemass
-        FROM m GROUP BY domain),
-      g AS (SELECT SUM(cemass) AS gmass,
-        CAST(SUM(n_trans) AS BIGINT) AS gtrans FROM per),
-      t1 AS (SELECT per.domain, per.n_docs, per.n_trans,
-        round(CAST(cemass AS DOUBLE) / n_trans, 6) AS mean_ce,
-        round(CAST(g.gmass AS DOUBLE) / g.gtrans, 6) AS baseline,
-        g.gtrans
-        FROM per CROSS JOIN g),
-      t2 AS (SELECT domain, n_trans, mean_ce,
-        CAST(round((CAST(n_trans AS DOUBLE) / gtrans) *
-          (1.0 + 1.0 * greatest(0.0, round(mean_ce - baseline, 6))), 8)
-          AS DECIMAL(20,8)) AS tilt
-        FROM t1),
-      z AS (SELECT SUM(tilt) AS z FROM t2),
-      wts AS (SELECT domain, n_trans,
-        round(CAST(tilt AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
-        FROM t2 CROSS JOIN z),
+    Some(s"""WITH $sqlExcessWeightCtes,
       wtot AS (SELECT CAST(SUM(CAST(n_trans AS DECIMAL(38,0))) AS DECIMAL(38,0))
           AS wt FROM wts),
       sh AS (SELECT domain, n_trans,
@@ -4847,10 +4832,15 @@ object Queries {
       val resp = Sources.readWarcResponses(s, warc)
         .where(col("http_status") === 200 &&
           col("content_type") === "text/html")
-      // fold the config-registry stages, snapshotting a count per stage
-      val staged = shardsChain.scanLeft(("responses", resp)) {
+      // fold the config-registry stages, snapshotting a count per stage;
+      // each staged frame is localCheckpoint'd so stage i's count pays
+      // only its own increment, not a re-run of the whole WARC prefix
+      // (seven counts over an uncached chain would cost O(stages²)
+      // full crawl passes)
+      val staged = shardsChain.scanLeft(("responses", resp.localCheckpoint())) {
         case ((_, df), (kind, opts)) =>
           kind -> graft.pipeline.ConfigLoader.transformKinds(kind)(opts)(df)
+            .localCheckpoint()
       }
       val counts = staged.zipWithIndex.map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_rows"))

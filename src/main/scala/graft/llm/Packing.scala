@@ -227,7 +227,7 @@ object Packing {
     * Returns (doc_id, n_tokens, bucket 1-based, __brank). */
   private def lengthRanked(df: DataFrame, idCol: String, tokensCol: Column,
                            nBuckets: Int, numParts: Int): DataFrame = {
-    require(nBuckets > 0, s"lengthBucketBatches: nBuckets must be positive")
+    require(nBuckets > 0, "length bucketing: nBuckets must be positive")
     val n = if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("doc_id"),

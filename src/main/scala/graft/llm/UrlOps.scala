@@ -99,17 +99,26 @@ object UrlOps {
     * scheme ok, host and registrable domain not in `blockedDomains`,
     * and no `blockedKeywords` substring in the lowercased URL. For
     * million-entry lists use [[filterByUrl]] (broadcast anti-join)
-    * instead of a literal array. */
+    * instead of a literal array.
+    *
+    * `psl`: public-suffix rules for the domain key, exactly as on
+    * [[filterByUrl]] — with rules, a blocklisted ccSLD entry
+    * (`example.co.uk`) blocks its subdomain hosts via
+    * [[registrableDomain]]; empty keeps the naive last-two-labels key.
+    * Callers passing `psl` need `GraftExtensions.register`. */
   def urlOk(c: Column, blockedDomains: Seq[String] = Nil,
-            blockedKeywords: Seq[String] = Nil): Column = {
+            blockedKeywords: Seq[String] = Nil,
+            psl: Seq[String] = Nil): Column = {
     val host = urlHost(c)
     val base = urlSchemeOk(c)
     val domRule =
       if (blockedDomains.isEmpty) lit(true)
       else {
         val bad = array(blockedDomains.map(d => lit(d.toLowerCase)): _*)
+        val domKey: Column => Column =
+          if (psl.isEmpty) urlDomain else registrableDomain(_, psl)
         Dedup.letBound(host) { h =>
-          !array_contains(bad, h) && !array_contains(bad, urlDomain(h))
+          !array_contains(bad, h) && !array_contains(bad, domKey(h))
         }
       }
     val kwRule = blockedKeywords

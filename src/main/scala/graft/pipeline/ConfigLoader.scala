@@ -114,6 +114,20 @@ object ConfigLoader {
       // not the corpus
       "dedup_minhash" -> (o => df => {
         val idc = req(o, "idCol")
+        // the cluster-resolution machinery labels components by LONG
+        // id; a string id would cast to null inside a task and die
+        // with an opaque NPE — reject it here with a usable message
+        df.schema(idc).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => ()
+          case other => throw new Pipeline.ValidationException(
+            s"config: dedup_minhash requires an integral idCol (cluster " +
+              s"labels are numeric); '$idc' is ${other.catalogString} — " +
+              "derive a numeric id first (e.g. the regexp_extract kind " +
+              "with castTo: long), or use dedup_exact, which accepts any id")
+        }
         val pairs = graft.llm.Dedup.minhashNearDups(df, idc,
           req(o, "textCol"),
           threshold = o.getOrElse("threshold", "0.7").toDouble,
@@ -258,18 +272,24 @@ object ConfigLoader {
       // loads a persisted (piece, logprob) table (train once, encode
       // forever — required: unlike BPE there is no default table)
       // encode text to learned-BPE token ARRAYS (the persisted-ladder
-      // sibling of bpe_token_count): outCol feeds pack_materialize's
-      // tokensCol, closing the tokenizer-aware trainer-format chain —
-      // curate -> bpe_encode -> pack_materialize(tokensCol) -> shards
-      // in one config
+      // sibling of bpe_token_count — same ladderPath option name;
+      // piecesPath tolerated as an alias): outCol feeds
+      // pack_materialize's tokensCol, closing the tokenizer-aware
+      // trainer-format chain — curate -> bpe_encode ->
+      // pack_materialize(tokensCol) -> shards in one config
       "bpe_encode" -> (o => df => {
-        val merges = graft.llm.Bpe.loadLadder(req(o, "piecesPath"))
+        graft.plans.GraftExtensions.register(df.sparkSession)
+        val path = o.get("ladderPath").orElse(o.get("piecesPath"))
+          .getOrElse(throw new Pipeline.ValidationException(
+            "config: bpe_encode requires 'ladderPath'"))
+        val merges = graft.llm.Bpe.loadLadder(path)
         df.withColumn(o.getOrElse("outCol", "tokens"),
           graft.llm.Bpe.encodeCol(ColumnNs.q(req(o, "textCol")), merges))
       }),
       // unigram-LM (SentencePiece-style) sibling of bpe_encode: Viterbi
       // segmentation to token arrays from a persisted pieces table
       "unigram_encode" -> (o => df => {
+        graft.plans.GraftExtensions.register(df.sparkSession)
         val pieces = graft.llm.Unigram.loadPieces(df.sparkSession,
           req(o, "piecesPath"))
         df.withColumn(o.getOrElse("outCol", "tokens"),
@@ -309,18 +329,20 @@ object ConfigLoader {
             java.nio.file.Paths.get(p)).toArray.map(_.toString).toSeq
           case None => graft.llm.UrlOps.bundledPsl
         }
+        if (psl.nonEmpty)
+          graft.plans.GraftExtensions.register(df.sparkSession)
         o.get("blocklistPath") match {
           case Some(p) =>
-            if (psl.nonEmpty)
-              graft.plans.GraftExtensions.register(df.sparkSession)
             graft.llm.UrlOps.filterByUrl(df, name,
               df.sparkSession.read.parquet(p),
               domainCol = o.getOrElse("domainCol", "domain"),
               blockedKeywords = kws, psl = psl)
+          // the literal-list branch gets the SAME psl-aware domain key
+          // (a blocklisted ccSLD blocks its subdomains on both paths)
           case None => df.where(graft.llm.UrlOps.urlOk(ColumnNs.q(name),
             o.get("blockedDomains")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              .getOrElse(Nil), kws))
+              .getOrElse(Nil), kws, psl = psl))
         }
       }),
       // invisible-character cleanup (zero-width junk out, NBSP -> space)

@@ -103,7 +103,10 @@ object IndexIngest {
         .localCheckpoint(true)
       if (!fresh.isEmpty) {
         val startOffset = graft.llm.Packing.assignedTokenTotal(existing)
-        val maxRow = existing.agg(max(col("doc_id"))).head()
+        // cast before aggregating: packSequencesAppend accepts any
+        // INTEGRAL id (Byte/Short/Int/Long), so a persisted Int-typed
+        // assignment must not blow up the Long read here
+        val maxRow = existing.agg(max(col("doc_id").cast("long"))).head()
         val bound = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
         val nToks = size(filter(
           split(trim(coalesce(col(textCol), lit(""))), "\\s+"),

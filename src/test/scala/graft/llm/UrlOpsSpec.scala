@@ -108,6 +108,19 @@ class UrlOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("urlOk with PSL: blocklisted ccSLD entry blocks subdomain hosts on the literal path") {
+    graft.plans.GraftExtensions.register(spark)
+    def ok(u: String, psl: Seq[String]): Boolean =
+      Seq(u).toDF("u").select(UrlOps.urlOk(col("u"),
+        Seq("example.co.test"), Nil, psl = psl)).as[Boolean].collect().head
+    // naive key misses the subdomain (domain key = 'co.test')
+    assert(ok("https://www.example.co.test/x", Nil))
+    // with the PSL the registrable key is 'example.co.test' -> blocked
+    assert(!ok("https://www.example.co.test/x", Seq("co.test")))
+    assert(!ok("https://example.co.test/x", Seq("co.test")))
+    assert(ok("https://other.co.test/x", Seq("co.test")))
+  }
+
   test("urlOk: scheme, literal domain list (host AND registrable), keywords") {
     def ok(u: String, dom: Seq[String] = Nil, kw: Seq[String] = Nil): Boolean =
       Seq(u).toDF("u").select(UrlOps.urlOk(col("u"), dom, kw))
