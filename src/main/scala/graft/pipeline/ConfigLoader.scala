@@ -552,6 +552,19 @@ object ConfigLoader {
       // frame (32x-compressed searchable corpus) and the IVF-PQ
       // composite (cluster-partitioned residual codes) — the
       // build-once artifacts queries and appends consume
+      // measure-and-persist the excess-loss domain weights + executable
+      // keep rates (the DoReMi step as a model-producing sink, the
+      // classifier_train convention): downstream configs feed the
+      // written rates into mix_strata
+      "excess_weights" -> (o => Sinks.Write("excess_weights", df => {
+        graft.llm.Mixing.ratesForTargetWeights(
+            graft.llm.Mixing.excessLossWeights(df,
+              req(o, "idCol"), req(o, "textCol"), req(o, "domainCol"),
+              eta = o.getOrElse("eta", "1.0").toDouble))
+          .coalesce(1) // one tiny row-per-domain table
+          .write.mode("overwrite").parquet(req(o, "dir"))
+        ()
+      })),
       "pq_index" -> (o => Sinks.Write("pq_index", df => {
         graft.llm.Similarity.buildPqIndex(df, req(o, "dir"),
           m = o.getOrElse("m", "8").toInt,
@@ -699,7 +712,7 @@ object ConfigLoader {
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
-    "ivfpq_index" -> Seq("dir"))
+    "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

@@ -404,6 +404,28 @@ class ConfigLoaderSpec extends SparkSpec {
       == Map(0L -> ((2L, 4L)), 1L -> ((1L, 2L))))
   }
 
+  test("excess_weights load kind: measured domain rates persist as a reusable table") {
+    import graft.pipeline.ConfigLoader.loadKinds
+    val work = Files.createTempDirectory("graft_ew_cfg").toFile.getPath
+    val docs = ((1L to 10L).map(i => (i, "a", "x y " * 20 + "x y")) ++
+      (11L to 20L).map(i => (i, "b",
+        Seq.tabulate(40)(j => ('a' + (i.toInt * 13 + j * 7) % 26).toChar.toString)
+          .mkString(" "))))
+      .toDF("doc_id", "domain", "text")
+    val step = loadKinds("excess_weights")(Map("idCol" -> "doc_id",
+      "textCol" -> "text", "domainCol" -> "domain",
+      "dir" -> s"$work/weights"))
+    graft.sinks.Sinks.runChain(docs, Seq(step))
+    val tbl = spark.read.parquet(s"$work/weights")
+      .select("domain", "weight", "rate")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the random-soup domain carries higher loss -> higher weight; the
+    // max upweight saturates at rate 1.0
+    assert(tbl("b")._1 > tbl("a")._1)
+    assert(tbl.values.map(_._2).max == 1.0)
+  }
+
   test("unigram_encode kind: persisted pieces drive Viterbi segmentation from config") {
     import graft.pipeline.ConfigLoader.transformKinds
     val work = Files.createTempDirectory("graft_uni_cfg").toFile.getPath
