@@ -3196,6 +3196,44 @@ object Queries {
         CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
       FROM o ORDER BY doc_id"""))
 
+  /** SHUFFLE-then-pack — the order real trainers actually pack in
+    * (document order correlates with crawl/source locality; packing in
+    * id order leaks that correlation into every context window):
+    * documents take their epoch-salted md5 rank (the `shard_shuffle`
+    * key machinery) as the packing id, so [[graft.llm.Packing.packSequences]]'s
+    * two-phase prefix machinery runs UNCHANGED over the shuffled order
+    * — range partition by rank, same bounded windows, zero new
+    * operator code — and each epoch's salt draws an independent
+    * deterministic order. DuckDB replays the rank, the rank-ordered
+    * offsets, and the frame assignment. */
+  private val packShuffled = QueryDef("pack_shuffled",
+    (s, d) => {
+      val ranked = t(s, d, "documents")
+        .withColumn("__rank",
+          md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+      graft.llm.Packing.packSequences(ranked, "__rank",
+          TextAnalysis.wsTokenCount(col("text")), budget = 2048)
+        .select(col("doc_id").as("rank"), col("n_tokens"),
+          col("token_offset"), col("pack_id"))
+        .join(ranked.select(col("doc_id"), col("__rank").as("rank")),
+          Seq("rank"))
+        .select(col("doc_id"), col("rank"), col("n_tokens"),
+          col("token_offset"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tc AS (SELECT doc_id,
+        md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS rank,
+        CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END AS n_tokens
+        FROM documents),
+      o AS (SELECT doc_id, rank, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc)
+      SELECT doc_id, rank, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(token_offset AS BIGINT) AS token_offset,
+        CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
+      FROM o ORDER BY doc_id"""))
+
   /** Pack MATERIALIZATION ([[graft.llm.Packing.packMaterialize]]):
     * the per-pack concatenated token streams a training loader reads —
     * whitespace tokens here so DuckDB replays the full chain (offsets,
@@ -6359,7 +6397,7 @@ object Queries {
     classifierTrainPlanted,
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
-    chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences,
+    chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences, packShuffled,
     packGreedyQ, packBucketedQ, packBucketedPadding,
     packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
