@@ -371,6 +371,18 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, aCol: String = "a",
                       bCol: String = "b", maxRounds: Int = 30,
                       maxLocalEdges: Long = 2000000L): DataFrame = {
+    // labels are numeric: a non-numeric id column would cast to null
+    // here and die later as an opaque in-task NPE — fail loudly at the
+    // API for EVERY caller (the config kinds add their own message on
+    // top, but direct callers deserve the same protection)
+    Seq(aCol, bCol).foreach { c =>
+      pairs.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"nearDupClusters: id column '$c' must be numeric (cluster " +
+            s"labels are), got ${other.catalogString}")
+      }
+    }
     val e = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -116,14 +116,13 @@ object ConfigLoader {
         val idc = req(o, "idCol")
         // the cluster-resolution machinery labels components by LONG
         // id; a string id would cast to null inside a task and die
-        // with an opaque NPE — reject it here with a usable message
+        // with an opaque NPE — reject NON-NUMERIC ids here with a
+        // usable message (numeric widths/decimals cast losslessly for
+        // integral values, the pre-existing behavior)
         df.schema(idc).dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType => ()
+          case _: org.apache.spark.sql.types.NumericType => ()
           case other => throw new Pipeline.ValidationException(
-            s"config: dedup_minhash requires an integral idCol (cluster " +
+            s"config: dedup_minhash requires a numeric idCol (cluster " +
               s"labels are numeric); '$idc' is ${other.catalogString} — " +
               "derive a numeric id first (e.g. the regexp_extract kind " +
               "with castTo: long), or use dedup_exact, which accepts any id")

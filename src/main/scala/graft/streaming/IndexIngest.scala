@@ -103,11 +103,23 @@ object IndexIngest {
         .localCheckpoint(true)
       if (!fresh.isEmpty) {
         val startOffset = graft.llm.Packing.assignedTokenTotal(existing)
-        // cast before aggregating: packSequencesAppend accepts any
-        // INTEGRAL id (Byte/Short/Int/Long), so a persisted Int-typed
-        // assignment must not blow up the Long read here
-        val maxRow = existing.agg(max(col("doc_id").cast("long"))).head()
-        val bound = if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+        // the monotone-id guard mirrors packSequencesAppend's contract:
+        // INTEGRAL id columns get the loud min>max-assigned check (cast
+        // is lossless for Byte/Short/Int/Long, so an Int-typed persisted
+        // assignment reads fine); non-integral ids get NO bound — the
+        // batch API would reject one, and silently null-casting the max
+        // here would fake a guard that never fires. Idempotence never
+        // depends on the guard (the ledger anti-join handles replays);
+        // the guard only protects append ≡ repack-of-union ordering.
+        val bound = existing.schema("doc_id").dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            val maxRow = existing.agg(max(col("doc_id").cast("long"))).head()
+            if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+          case _ => None
+        }
         val nToks = size(filter(
           split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
           w => w =!= "")).cast("long")
