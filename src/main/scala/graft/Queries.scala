@@ -1544,6 +1544,71 @@ object Queries {
       FROM aug a LEFT JOIN k ON a.doc_id = k.doc_id
       ORDER BY a.doc_id"""))
 
+  /** Paragraph-boilerplate fixture: every 4th doc gains a TWO-LINE
+    * cookie-banner paragraph (blank-line separated) — one unit at the
+    * paragraph grain, two separate units at the line grain. */
+  private def withParaBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(col("text"),
+          lit("\n\nThis site uses cookies.\nBy continuing you agree.")))
+        .otherwise(col("text")))
+
+  private val sqlParaBoilerplate = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0
+             THEN text || chr(10) || chr(10) || 'This site uses cookies.'
+                  || chr(10) || 'By continuing you agree.'
+             ELSE text END AS text
+      FROM documents"""
+
+  /** Dolma-style PARAGRAPH-grain boilerplate census
+    * ([[Dedup.repeatedParagraphs]]): blank-line-separated blocks shared
+    * by ≥3 distinct documents — the injected two-LINE cookie banner is
+    * ONE repeated unit here (line-grain treats its lines separately). */
+  private val dedupParagraphs = QueryDef("dedup_paragraphs",
+    (s, d) => Dedup.repeatedParagraphs(
+        withParaBoilerplate(t(s, d, "documents")), "doc_id", "text",
+        minDocs = 3)
+      .orderBy(col("line")),
+    Some(s"""WITH aug AS ($sqlParaBoilerplate),
+      l AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\n{2,}')) AS line
+        FROM aug)
+      SELECT line, count(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, line FROM l WHERE len(line) >= 1)
+      GROUP BY line HAVING count(*) >= 3 ORDER BY line"""))
+
+  /** Paragraph-grain corpus cleaning ([[Dedup.stripRepeatedParagraphs]]):
+    * repeated blocks drop WHOLE, survivors re-join with blank lines —
+    * stripping the injected banner must reproduce the original corpus
+    * byte-for-byte (the single-line source texts make the blank-line
+    * re-join exact). */
+  private val dedupParagraphsStrip = QueryDef("dedup_paragraphs_strip",
+    (s, d) => Dedup.stripRepeatedParagraphs(
+        withParaBoilerplate(t(s, d, "documents")), "doc_id", "text",
+        minDocs = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH aug AS ($sqlParaBoilerplate),
+      l AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(parts))) AS pos,
+               unnest(parts) AS line
+        FROM (SELECT doc_id, string_split_regex(text, '\\n{2,}') AS parts
+              FROM aug)),
+      rep AS (
+        SELECT line
+        FROM (SELECT DISTINCT doc_id, line FROM l WHERE len(line) >= 1)
+        GROUP BY line HAVING count(*) >= 3),
+      k AS (
+        SELECT doc_id,
+          string_agg(line, chr(10) || chr(10) ORDER BY pos) AS kept
+        FROM l WHERE line NOT IN (SELECT line FROM rep)
+        GROUP BY doc_id)
+      SELECT a.doc_id, coalesce(k.kept, '') AS text
+      FROM aug a LEFT JOIN k ON a.doc_id = k.doc_id
+      ORDER BY a.doc_id"""))
+
   /** Exact duplicated-span census ([[Dedup.duplicateSpans]]): every
     * 4-token gram shared by ≥2 documents. The oracle rebuilds the same
     * positional tokenization with zipped unnests and a lead() window. */
@@ -6380,7 +6445,8 @@ object Queries {
     dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
     dedupNgram, dedupClustersBest, sourceSimPlanted, sourceJaccardExact,
     sketchMergePlanted,
-    dedupLinesRepeated, dedupLinesStrip, dedupSpansCensus, dedupSpansStrip,
+    dedupLinesRepeated, dedupLinesStrip, dedupParagraphs,
+    dedupParagraphsStrip, dedupSpansCensus, dedupSpansStrip,
     dedupSubstrings, dedupSubstringsStrip,
     decontaminate, decontaminateBloom, decontaminateFuzzyQ,
     dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,

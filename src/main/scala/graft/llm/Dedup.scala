@@ -809,10 +809,23 @@ object Dedup {
     * partials, then a count per line — two shuffles on the line key,
     * both combinable; no joins. */
   def repeatedLines(df: DataFrame, idCol: String, textCol: String,
-                    minDocs: Int = 3, minChars: Int = 1): DataFrame = {
+                    minDocs: Int = 3, minChars: Int = 1): DataFrame =
+    repeatedUnits(df, idCol, textCol, minDocs, minChars, "\n")
+
+  /** [[repeatedLines]] at the PARAGRAPH grain (Dolma-style: blank-line
+    * separated blocks) — whole boilerplate blocks (cookie banners,
+    * multi-line license headers) that line-grain matching only removes
+    * when every constituent line independently clears `minDocs`. */
+  def repeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                         minDocs: Int = 3, minChars: Int = 1): DataFrame =
+    repeatedUnits(df, idCol, textCol, minDocs, minChars, "\n{2,}")
+
+  private def repeatedUnits(df: DataFrame, idCol: String, textCol: String,
+                            minDocs: Int, minChars: Int,
+                            splitRe: String): DataFrame = {
     require(minDocs >= 2, s"repeatedLines: minDocs must be >= 2, got $minDocs")
     df.select(col(idCol).as("doc_id"),
-        explode(split(coalesce(col(textCol), lit("")), "\n")).as("line"))
+        explode(split(coalesce(col(textCol), lit("")), splitRe)).as("line"))
       .where(length(col("line")) >= minChars)
       .distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
@@ -833,13 +846,29 @@ object Dedup {
     * the input, so the only corpus shuffle is the one reassembly
     * aggregation on doc_id. No driver-side state. */
   def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
-                         minDocs: Int = 3, minChars: Int = 1): DataFrame = {
-    val rep = repeatedLines(df, idCol, textCol, minDocs, minChars)
+                         minDocs: Int = 3, minChars: Int = 1): DataFrame =
+    stripRepeatedUnits(df, idCol, textCol, minDocs, minChars, "\n", "\n")
+
+  /** [[stripRepeatedLines]] at the PARAGRAPH grain: blocks occurring in
+    * ≥ `minDocs` distinct documents are dropped whole, the survivors
+    * re-join with blank-line separators (multi-blank-line runs
+    * normalize to one blank line — the standard paragraph-rewrite
+    * trade; line content inside each paragraph is untouched). */
+  def stripRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                              minDocs: Int = 3, minChars: Int = 1): DataFrame =
+    stripRepeatedUnits(df, idCol, textCol, minDocs, minChars,
+      "\n{2,}", "\n\n")
+
+  private def stripRepeatedUnits(df: DataFrame, idCol: String,
+                                 textCol: String, minDocs: Int,
+                                 minChars: Int, splitRe: String,
+                                 joiner: String): DataFrame = {
+    val rep = repeatedUnits(df, idCol, textCol, minDocs, minChars, splitRe)
       .select(col("line"), lit(1).as("__rep"))
     // null text coalesces to "" so the doc still explodes to one line
     // row and keeps its output row (the documented contract)
     df.select(col(idCol).as("doc_id"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        posexplode(split(coalesce(col(textCol), lit("")), splitRe))
           .as(Seq("pos", "line")))
       .join(rep, Seq("line"), "left")
       .groupBy(col("doc_id"))
@@ -847,7 +876,7 @@ object Dedup {
         filter(sort_array(collect_list(
             struct(col("pos"), col("line"), col("__rep")))),
           _.getField("__rep").isNull),
-        _.getField("line")), "\n").as("text"))
+        _.getField("line")), joiner).as("text"))
       .select(col("doc_id"), col("text"))
   }
 

@@ -214,6 +214,32 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("paragraph grain: a multi-line block is ONE unit; strip round-trips") {
+    val banner = "This site uses cookies.\nBy continuing you agree."
+    val docs = Seq(
+      (1L, s"own prose one\n\n$banner"),
+      (2L, s"$banner\n\nown prose two"),
+      (3L, s"own prose three\n\n$banner\n\nmore prose"),
+      (4L, "untouched text")
+    ).toDF("doc_id", "text")
+    // the two-LINE banner counts as one paragraph unit in 3 docs...
+    val rep = Dedup.repeatedParagraphs(docs, "doc_id", "text", minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(rep == Map(banner -> 3L))
+    // ...while at the LINE grain its constituent lines are separate
+    val lines = Dedup.repeatedLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(lines.keySet == Set("This site uses cookies.",
+      "By continuing you agree."))
+    // stripping removes the whole block and re-joins with blank lines
+    val out = Dedup.stripRepeatedParagraphs(docs, "doc_id", "text",
+      minDocs = 3).as[(Long, String)].collect().toMap
+    assert(out(1L) == "own prose one")
+    assert(out(2L) == "own prose two")
+    assert(out(3L) == "own prose three\n\nmore prose")
+    assert(out(4L) == "untouched text")
+  }
+
   test("stripRepeatedLines keeps a null-text doc as an empty-text row") {
     val docs = Seq((1L, "BOILER\nkeep"), (2L, "BOILER\nx"), (3L, null))
       .toDF("doc_id", "text")
