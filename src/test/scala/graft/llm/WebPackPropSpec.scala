@@ -90,4 +90,42 @@ class WebPackPropSpec extends SparkSpec {
       }
     }, minTests = 8)
   }
+
+  test("property: bucketedPackGreedy invariants on random streams") {
+    // for ANY token-length stream, bucket count, and group size:
+    // conservation (every doc exactly once, mass intact), in-bucket
+    // packs only, dense pack ids, budget respected for non-oversize
+    // packs, and determinism under repartitioning
+    val streamGen = for {
+      n <- Gen.choose(1, 120)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 30L))
+      nBuckets <- Gen.choose(1, 6)
+      grp <- Gen.oneOf(3, 7, 64)
+    } yield (toks, nBuckets, grp)
+    check(Prop.forAll(streamGen) { case (toks, nBuckets, grp) =>
+      val df = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+      val out = Packing.bucketedPackGreedy(df, "doc_id", col("t"),
+        nBuckets = nBuckets, budget = 20, docsPerGroup = grp)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("bucket"), r.getAs[Long]("pack_id"),
+          r.getAs[Boolean]("oversize")))
+      val conserved = out.map(_._1).sorted.toSeq == toks.indices.map(_.toLong) &&
+        out.map(_._2).sum == toks.sum
+      val inBucket = out.groupBy(_._4).values
+        .forall(rows => rows.map(_._3).distinct.length == 1)
+      val ids = out.map(_._4).distinct.sorted
+      val dense = ids.isEmpty || (ids.head == 0L && ids.last == ids.length - 1)
+      val budgetOk = out.groupBy(_._4).values.forall { rows =>
+        rows.exists(_._5) || rows.map(_._2).sum <= 20
+      }
+      val again = Packing.bucketedPackGreedy(df.repartition(5), "doc_id",
+        col("t"), nBuckets = nBuckets, budget = 20, docsPerGroup = grp)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val deterministic =
+        out.sortBy(_._1).map(r => Seq(r._1, r._2, r._3, r._4, r._5)).toSeq ==
+          again.toSeq.map(_.toSeq)
+      conserved && inBucket && dense && budgetOk && deterministic
+    }, minTests = 8)
+  }
 }
