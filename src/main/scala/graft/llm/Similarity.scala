@@ -208,10 +208,17 @@ object Similarity {
         yield col("__b0").bitwiseXOR(lit((1L << i) | (1L << j)))
     val probes = qBase.select(col("query_id"), col("__qv"),
       explode(array(col("__b0") +: (flips1 ++ flips2): _*)).as("__bucket"))
+    // no pair dedup needed — and the shuffle it cost is the expensive
+    // one (the full candidate set): the probe list's xor masks are
+    // pairwise distinct, so the probe BUCKETS are distinct, and each
+    // corpus row lives in exactly ONE bucket — a (query, neighbor)
+    // pair can arise through at most one probe. (The removed
+    // dropDuplicates also chose an arbitrary row for duplicate corpus
+    // ids — nondeterministic — where brute force scores every row;
+    // without it the two paths agree on that edge too.)
     val cands = probes.join(c, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w))
