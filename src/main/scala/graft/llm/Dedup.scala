@@ -823,7 +823,7 @@ object Dedup {
   private def repeatedUnits(df: DataFrame, idCol: String, textCol: String,
                             minDocs: Int, minChars: Int,
                             splitRe: String): DataFrame = {
-    require(minDocs >= 2, s"repeatedLines: minDocs must be >= 2, got $minDocs")
+    require(minDocs >= 2, s"repeated-unit dedup: minDocs must be >= 2, got $minDocs")
     df.select(col(idCol).as("doc_id"),
         explode(split(coalesce(col(textCol), lit("")), splitRe)).as("line"))
       .where(length(col("line")) >= minChars)
