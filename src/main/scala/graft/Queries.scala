@@ -5641,6 +5641,34 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** IVF-PQ incremental append ([[Similarity.appendIvfPqIndex]] — the
+    * composite's missing symmetry with `ann_pq_append` /
+    * `ann_ivf_append`): index built WITHOUT every 7th vector, the rest
+    * appended against the frozen centroids + codebooks, then planted
+    * ε-twins must still recover their bases at rank 1 with exact
+    * cosine — including twins whose base arrived BY APPEND. */
+  private val annIvfPqAppend = QueryDef("ann_ivfpq_append",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivfpq_append")
+      Similarity.buildIvfPqIndex(emb.where(col("vec_id") % 7 =!= 0), dir)
+      Similarity.appendIvfPqIndex(s, emb.where(col("vec_id") % 7 === 0), dir)
+      Similarity.ivfPqQueryIndex(s, dir, perturbedEmbeddings(emb, 3), emb, k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   /** IVF-PQ composite ([[Similarity.buildIvfPqIndex]] /
     * `ivfPqQueryIndex` — the FAISS IVFADC layout): coarse clusters
     * partition the codes on disk, residuals are PQ-encoded, queries
@@ -6475,7 +6503,8 @@ object Queries {
     warcWetScan, warcResponseScan, htmlExtractQ, curateWebRaw,
     curateWeb, curationFunnel, corpusDiffQ, corpusDiffSummary,
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
-    annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend, annIvfPq, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
+    annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend,
+    annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend, annRecallAudit, annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ,

@@ -1046,6 +1046,45 @@ object Similarity {
     model
   }
 
+  /** INCREMENTAL IVF-PQ append — completes the index-family symmetry
+    * ([[appendPqIndex]] and [[appendIvfIndex]] both append; the
+    * composite previously required a rebuild): assign new vectors to
+    * the FROZEN coarse centroids by the build's own rule (the MLlib
+    * predictor over the stored centroid table — the [[appendIvfIndex]]
+    * flat-path convention, so FP near-ties cannot diverge append from
+    * rebuild-assignment), PQ-encode each vector's residual with the
+    * FROZEN codebooks, and append to the cluster-partitioned codes
+    * layout (existing cluster directories gain files; partition
+    * pruning keeps working). Append ≡ encode-the-union with the same
+    * centroids and model, exactly (spec-bound). Both quantizers drift
+    * as the distribution shifts — the `ann_recall_drift` /
+    * SimilaritySpec floors are the tripwires, periodic rebuilds
+    * re-center (the standing maintenance trade). */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       newVecs: DataFrame, dir: String,
+                       cIdCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    registered(newVecs)
+    val model = loadPqModel(spark, dir)
+    val centroidsDf = spark.read.parquet(s"$dir/centroids")
+    val centers = centroidsDf.select(col("cluster"), col("__ctr"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val km = new org.apache.spark.mllib.clustering.KMeansModel(
+      centers.map(org.apache.spark.mllib.linalg.Vectors.dense))
+    val assignF = udf { (v: Seq[Double]) =>
+      km.predict(org.apache.spark.mllib.linalg.Vectors.dense(v.toArray)) }
+    newVecs.select(col(cIdCol).as("vec_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cluster", assignF(col("__cv")))
+      .join(broadcast(centroidsDf.select(col("cluster"), col("__ctr"))),
+        Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        nPqEncode(zip_with(col("__cv"), col("__ctr"), (a, b) => a - b), model)
+          .as("codes"))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode("append").parquet(s"$dir/codes")
+  }
+
   /** Query an IVF-PQ index: probe the nProbe nearest coarse centroids
     * per query, ADC the query's RESIDUAL against only those clusters'
     * codes, shortlist, exact re-rank against the caller's corpus

@@ -70,6 +70,23 @@ object IndexIngest {
     }.start()
   }
 
+  /** Append a stream of (id, vector) rows to a persisted IVF-PQ
+    * composite index (`dir/centroids` + `dir/codebooks` +
+    * cluster-partitioned `dir/codes`, built by `buildIvfPqIndex`).
+    * Frozen-centroid assignment + frozen-codebook residual encode per
+    * micro-batch; same codes-ledger idempotence as the PQ twin. */
+  def appendIvfPqIndexStream(vecs: DataFrame, dir: String,
+                             cIdCol: String = "vec_id",
+                             vecCol: String = "embedding"): StreamingQuery = {
+    require(vecs.isStreaming,
+      "appendIvfPqIndexStream: expected a streaming frame")
+    vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      appendBatch(batch, s"$dir/codes", "vec_id",
+        fresh => Similarity.appendIvfPqIndex(batch.sparkSession, fresh, dir,
+          cIdCol, vecCol), batchIdCol = cIdCol)
+    }.start()
+  }
+
   /** Continuous PACKING — the streaming twin of
     * [[graft.llm.Packing.packSequencesAppend]], completing the
     * continuous trainer-format chain (crawl ingest → curation stages →

@@ -501,6 +501,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"post-append recall collapsed to $recall")
   }
 
+  test("IVF-PQ append == encode-union with the frozen centroids and codebooks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfpq_a")
+      .toFile.getPath
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivfpq_b")
+      .toFile.getPath
+    Similarity.buildIvfPqIndex(base, dirA)
+    Similarity.buildIvfPqIndex(base, dirB)
+    Similarity.appendIvfPqIndex(spark, batch, dirA)
+    // reference: append the WHOLE union against dirB's frozen tables —
+    // base rows must re-derive their build-time cluster + codes exactly
+    // (the append rule replays the build rule), so union-append equals
+    // build+batch-append row-for-row
+    spark.read.parquet(s"$dirB/codes").count() // materialize layout
+    Similarity.appendIvfPqIndex(spark,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      dirB)
+    val appended = spark.read.parquet(s"$dirA/codes")
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .orderBy("vec_id").as[(Long, Int, Seq[Int])].collect().toSeq
+    val unionDerived = spark.read.parquet(s"$dirB/codes")
+      .where(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id"), col("cluster"),
+        col("codes"))
+      .orderBy("vec_id").as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(appended == unionDerived)
+    // planted twin whose base arrived BY APPEND is recovered at rank 1
+    val twinBase = batch.limit(1)
+    val twin = twinBase.select((col("vec_id") + 900000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val got = Similarity.ivfPqQueryIndex(spark, dirA, twin, emb, k = 1)
+      .collect().head
+    assert(got.getAs[Long]("neighbor_id") ==
+      twinBase.select("vec_id").as[Long].collect().head)
+  }
+
   test("PQ scan plan: native kernels inside WholeStageCodegen, no UDF") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")

@@ -457,6 +457,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) == streamed.map(_._1).distinct)
   }
 
+  test("streaming IVF-PQ index append ≡ batch append on the same batches") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 3 === 0)
+    val b1 = emb.where(col("vec_id") % 3 === 1)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val b2 = emb.where(col("vec_id") % 3 === 2)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val dirS = java.nio.file.Files.createTempDirectory("graft_ivfpq_s").toFile.getPath
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivfpq_b2").toFile.getPath
+    Similarity.buildIvfPqIndex(base, dirS)
+    Similarity.buildIvfPqIndex(base, dirB)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.appendIvfPqIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), dirS)
+    try {
+      mem.addData(b1 :+ b1.head) // in-batch duplicate
+      q.processAllAvailable()
+      mem.addData(b2 :+ b1.head) // cross-batch replay
+      q.processAllAvailable()
+    } finally q.stop()
+    Similarity.appendIvfPqIndex(spark, b1.toDF("vec_id", "embedding"), dirB)
+    Similarity.appendIvfPqIndex(spark, b2.toDF("vec_id", "embedding"), dirB)
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cluster"), col("codes"))
+      .orderBy("vec_id").as[(Long, Int, Seq[Int])].collect().toSeq
+    val streamed = codes(dirS)
+    assert(streamed == codes(dirB))
+    assert(streamed.map(_._1) == streamed.map(_._1).distinct)
+  }
+
   test("streaming pack continuation ≡ one-shot packSequences over the union") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pack_stream")
       .toFile.getPath + "/assignment"
