@@ -5721,10 +5721,14 @@ object Queries {
       // audit's finding, not a bug: LSH earns its keep on corpora
       // with near-duplicate structure (the SimilaritySpec clustered
       // floor is 0.8) and the audit exposes when a corpus lacks it.
+      // probeBits PINNED to 1 here: this row documents the H1 floor
+      // the default used to ship (and that opt-out callers still get)
       .unionAll(Similarity.recallRow(
-        Similarity.lshTopK(queries, emb, k, nBits = 6), truth, "lsh", k))
-      // the remedy the lsh row motivates: Hamming-2 multiprobe trades
-      // a closed-form probe-count increase for recall on hard corpora
+        Similarity.lshTopK(queries, emb, k, nBits = 6, probeBits = 1),
+        truth, "lsh", k))
+      // the remedy the lsh row motivates — and, since round 11, the
+      // lshTopK DEFAULT: Hamming-2 multiprobe trades a closed-form
+      // probe-count increase for recall on hard corpora
       .unionAll(Similarity.recallRow(
         Similarity.lshTopK(queries, emb, k, nBits = 6, probeBits = 2),
         truth, "lsh_h2", k))

@@ -336,8 +336,21 @@ object Mixing {
     val shared = weights.join(broadcast(tot))
       .withColumn("share",
         round(col(transCol).cast("double") / col("__t").cast("double"), 6))
+      // fail-fast convention (cf. lshBucket's dim guard): a hand-set
+      // weights row with n_trans = 0 has no natural share — dividing
+      // through it poisons max(__ratio) with Infinity/null and
+      // silently collapses every OTHER domain's rate toward 0. A
+      // domain with no tokens cannot be upweighted by sampling; the
+      // caller must drop the row or route it through upsample.
       .withColumn("__ratio",
-        round(col(weightCol) / col("share"), 6))
+        when(col("share") > 0d, round(col(weightCol) / col("share"), 6))
+          .otherwise(raise_error(concat(
+            lit("ratesForTargetWeights: domain '"),
+            col(domainCol).cast("string"),
+            lit(s"' has non-positive token share ($transCol = "),
+            col(transCol).cast("string"),
+            lit(") — drop the row or upsample it explicitly")))
+            .cast("double")))
     val mx = shared.agg(max(col("__ratio")).as("__mx"))
     shared.join(broadcast(mx))
       .select(col(domainCol).as("domain"), col(transCol).as("n_trans"),

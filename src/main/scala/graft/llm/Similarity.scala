@@ -120,11 +120,18 @@ object Similarity {
     * Both inputs are tiny (queries × k rows) — the joins are
     * driver-cheap regardless of corpus size; the corpus cost lives in
     * producing `result`/`truth`, not here.
+    *
+    * Degenerate-input semantics: duplicate (query, neighbor) pairs in
+    * `result` (a caller passing un-ranked candidates) are collapsed
+    * before the join — otherwise the left join fans out and inflates
+    * BOTH hits and n_truth; an empty `truth` yields recall NULL (not a
+    * null-division artifact — recall@k over zero truth pairs is
+    * undefined, and NULL is the honest answer).
     * Returns (family, k, n_queries, n_truth, hits, recall). */
   def recallRow(result: DataFrame, truth: DataFrame,
                 family: String, k: Int): DataFrame =
     truth.select(col("query_id"), col("neighbor_id"))
-      .join(result.select(col("query_id"), col("neighbor_id"))
+      .join(result.select(col("query_id"), col("neighbor_id")).distinct()
           .withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .agg(countDistinct(col("query_id")).as("n_queries"),
@@ -132,7 +139,8 @@ object Similarity {
         coalesce(sum(col("__hit")), lit(0L)).as("hits"))
       .select(lit(family).as("family"), lit(k.toLong).as("k"),
         col("n_queries"), col("n_truth"), col("hits"),
-        (col("hits").cast("double") / col("n_truth")).as("recall"))
+        when(col("n_truth") > 0,
+          col("hits").cast("double") / col("n_truth")).as("recall"))
 
   /** Deterministic pseudo-random unit-free hyperplanes, seeded. */
   private[llm] def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
@@ -172,21 +180,28 @@ object Similarity {
   /** ANN top-k via random-hyperplane LSH with Hamming-`probeBits`
     * multiprobe: corpus rows key by their bucket; each query probes
     * its own bucket plus every bucket within `probeBits` bit flips —
-    * `probeBits = 1` (the default, the original behavior) probes
-    * nBits+1 buckets; `probeBits = 2` adds the C(nBits, 2) two-flip
-    * buckets. Two-flip probing is the answer the `ann_recall_audit`
-    * row motivates on hard (weak-neighbor-structure) corpora: recall
-    * rises with probed volume while the probe count stays a CLOSED
-    * FORM of nBits — at 12 bits, 79 of 4096 buckets (~2% of the
-    * corpus) instead of 13 (~0.3%) — and the probe list is still a
-    * literal array (map-only explode, no extra shuffle; the bucket
-    * join is unchanged). Shuffle is by bucket key; per-bucket
-    * candidate lists stay ~corpus/2^nBits. */
+    * `probeBits = 1` probes nBits+1 buckets; `probeBits = 2` (the
+    * DEFAULT) adds the C(nBits, 2) two-flip buckets. Two-flip probing
+    * is the default because the `ann_recall_audit` row measured it:
+    * on the corpus without planted structure H1 recalls 0.08 where H2
+    * recalls 0.44 (5.5×) — a naive caller should get the measured-good
+    * configuration, not the measured-worst one. The cost is candidate
+    * volume (probed fraction is fixed, so candidates scale with the
+    * corpus — the lsh_h2 probe measured 36× candidates at 100× input,
+    * BASELINE.md round 10); recall rises with probed volume while the
+    * probe count stays a CLOSED FORM of nBits — at 12 bits, 79 of
+    * 4096 buckets (~2% of the corpus) instead of 13 (~0.3%) — and the
+    * probe list is still a literal array (map-only explode, no extra
+    * shuffle; the bucket join is unchanged). Shuffle is by bucket key;
+    * per-bucket candidate lists stay ~corpus/2^nBits. `probeBits = 1`
+    * remains the explicit opt-out for corpora with strong near-dup
+    * structure, where H1 already recalls well (SimilaritySpec binds a
+    * 0.8 floor there) at a fraction of the candidate volume. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 12, seed: Long = 42L,
               qIdCol: String = "vec_id", cIdCol: String = "vec_id",
               vecCol: String = "embedding", dim: Int = -1,
-              probeBits: Int = 1): DataFrame = {
+              probeBits: Int = 2): DataFrame = {
     require(probeBits == 1 || probeBits == 2,
       s"lshTopK: probeBits must be 1 or 2, got $probeBits")
     registered(corpus)

@@ -34,6 +34,11 @@ object ConfigLoader {
 
   type Options = Map[String, String]
 
+  /** One-shot latch for the url_filter bundled-PSL semantics note —
+    * driver-side, printed at most once per JVM. */
+  private val pslDefaultNoted =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   final case class StepConfig(kind: String, options: Options)
 
   /** extract kind -> (options => SourceSpec). */
@@ -326,7 +331,22 @@ object ConfigLoader {
           case Some("naive") => Nil
           case Some(p) => java.nio.file.Files.readAllLines(
             java.nio.file.Paths.get(p)).toArray.map(_.toString).toSeq
-          case None => graft.llm.UrlOps.bundledPsl
+          case None =>
+            // the bundled-PSL default changes what a literal blocklist
+            // ENTRY means: the domain key is now the true registrable
+            // domain, so a public-suffix-style entry ('co.uk' meant to
+            // blanket-block) no longer matches anything — say so once,
+            // loudly, instead of silently passing previously-blocked
+            // URLs (round-10 ADVICE)
+            if (o.contains("blockedDomains") && pslDefaultNoted
+                  .compareAndSet(false, true))
+              System.err.println(
+                "graft: url_filter resolves blockedDomains against the " +
+                "bundled Public Suffix List (the default since round 10): " +
+                "entries must be REGISTRABLE domains (example.co.uk), not " +
+                "public suffixes ('co.uk' blanket-blocks nothing). Set " +
+                "pslPath: naive for the last-two-labels key.")
+            graft.llm.UrlOps.bundledPsl
         }
         if (psl.nonEmpty)
           graft.plans.GraftExtensions.register(df.sparkSession)

@@ -115,7 +115,10 @@ object IndexIngest {
       val spark = batch.sparkSession
       val existing = spark.read.parquet(dir)
       val assigned = existing.select(col("doc_id").as("__graft_assigned"))
-      val fresh = batch.dropDuplicates(idCol)
+      // same null-id guard as appendBatch: a null id never matches the
+      // assignment ledger through `===` and would re-pack every replay
+      val fresh = batch.where(col(idCol).isNotNull)
+        .dropDuplicates(idCol)
         .join(assigned, col(idCol) === col("__graft_assigned"), "left_anti")
         .localCheckpoint(true)
       if (!fresh.isEmpty) {
@@ -159,7 +162,12 @@ object IndexIngest {
     val spark = batch.sparkSession
     val indexed = spark.read.parquet(ledgerPath)
       .select(col(ledgerIdCol).as("__graft_indexed"))
-    val fresh = batch.dropDuplicates(batchIdCol)
+    // null ids can never match the ledger through `===`, so a null-id
+    // row would be re-appended on EVERY micro-batch replay — silently
+    // breaking the documented effective-exactly-once-on-ids contract.
+    // Drop them up front; an id-less vector has no idempotence key.
+    val fresh = batch.where(col(batchIdCol).isNotNull)
+      .dropDuplicates(batchIdCol)
       .join(indexed, col(batchIdCol) === col("__graft_indexed"), "left_anti")
       // sever lineage before the append writes into the same
       // directory the ledger scan reads (the crawl-ingest convention)

@@ -280,4 +280,25 @@ class MixingSpec extends SparkSpec {
     // share*rate/weight constant across domains (sampled mass follows w)
     assert(props.map(_._2).max - props.map(_._2).min < 1e-3, props.toString)
   }
+
+  test("ratesForTargetWeights: zero-share row fails loudly, not by poisoning") {
+    // a hand-set weights row with n_trans = 0 used to produce an
+    // Infinite __ratio that silently collapsed every OTHER domain's
+    // rate toward 0 — now it raises with the offending domain named
+    val w = Seq(("a", 100L, 0.5), ("empty", 0L, 0.5))
+      .toDF("domain", "n_trans", "weight")
+    val e = intercept[Exception] {
+      Mixing.ratesForTargetWeights(w).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("empty")),
+      s"expected the offending domain in the error, got: ${msgs(e)}")
+    // and the all-positive frame is unaffected by the guard
+    val ok = Mixing.ratesForTargetWeights(
+      Seq(("a", 100L, 0.5), ("b", 300L, 0.5)).toDF("domain", "n_trans", "weight"))
+      .collect().map(r => r.getAs[String]("domain") -> r.getAs[Double]("rate"))
+      .toMap
+    assert(ok("a") == 1.0 && ok("b") > 0.0 && ok("b") < 1.0)
+  }
 }

@@ -41,10 +41,22 @@ class SimilaritySpec extends SparkSpec {
     val queries = corpus.filter(col("vec_id") % 20 === 0) // one per cluster
     val exact = Similarity.bruteForceTopK(queries, corpus, k = 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val approx = Similarity.lshTopK(queries, corpus, k = 5, nBits = 8).collect()
+    // probeBits = 1 PINNED: this is the H1 opt-out's floor — on
+    // corpora with real near-dup structure one-flip probing already
+    // recalls >= 0.8 at a fraction of the H2 candidate volume, which
+    // is exactly when opting out of the probeBits = 2 default is sane
+    val approx = Similarity.lshTopK(queries, corpus, k = 5, nBits = 8,
+        probeBits = 1).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
+    // the DEFAULT (H2 since round 11) probes a superset of H1's
+    // buckets, so it can only do better on the same corpus
+    val dflt = Similarity.lshTopK(queries, corpus, k = 5, nBits = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val dfltRecall = exact.intersect(dflt).size.toDouble / exact.size
+    assert(dfltRecall >= recall,
+      s"default (H2) recall $dfltRecall below explicit H1 $recall")
   }
 
   test("ivfTopKSweep: one fit, per-depth results identical to ivfTopK") {
@@ -89,6 +101,20 @@ class SimilaritySpec extends SparkSpec {
         probeBits = pb).collect().head
       assert(got.getAs[Long]("neighbor_id") == 3L)
     }
+  }
+
+  test("recallRow: duplicate result pairs don't inflate, empty truth is NULL recall") {
+    val truth = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    // the same hit listed twice (un-ranked candidate lists do this) —
+    // before the distinct, the left join fanned out to n_truth=3 hits=2
+    val result = Seq((1L, 10L), (1L, 10L)).toDF("query_id", "neighbor_id")
+    val r = Similarity.recallRow(result, truth, "t", 2).collect().head
+    assert(r.getAs[Long]("n_truth") == 2L && r.getAs[Long]("hits") == 1L)
+    assert(r.getAs[Double]("recall") == 0.5)
+    // empty truth: recall@k over zero truth pairs is undefined -> NULL
+    val empty = truth.where(lit(false))
+    val e = Similarity.recallRow(result, empty, "t", 2).collect().head
+    assert(e.getAs[Long]("n_truth") == 0L && e.isNullAt(e.fieldIndex("recall")))
   }
 
   test("ivfTopK recall vs brute force on clustered vectors") {
