@@ -13,7 +13,10 @@ import scala.collection.immutable.VectorMap
   *
   *  - block maps (`key: value` / `key:` + indented block)
   *  - block lists (`- value`, `- key: value` inline-map items, `-` +
-  *    indented block); one-line flow lists `[a, b]` of scalars
+  *    indented block); one-line flow lists `[a, b]` and flow maps
+  *    `{k: v, ...}`, nesting allowed (`[{a: 1}, [2, 3]]`); a
+  *    half-open flow collection fails loudly instead of degrading to
+  *    a string scalar
   *  - scalars: unquoted, 'single'- and "double"-quoted; `true/false`,
   *    `null`/`~`, integers, floats; everything else is a string
   *  - comments: full-line `# ...` and unquoted trailing ` # ...`
@@ -128,6 +131,12 @@ object Yaml {
           if (done || peek.indent <= indent)
             throw new YamlException(s"line ${ln.num}: empty list item")
           out += parseNode(peek.indent)
+        } else if (rest.startsWith("{") || rest.startsWith("[")) {
+          // `- {kind: x, ...}` / `- [a, b]`: a flow collection item —
+          // splitKey would otherwise split at the first colon INSIDE
+          // the braces and mangle it into an inline block map
+          pos += 1
+          out += scalar(rest, ln)
         } else splitKey(rest) match {
           case Some((k, v)) => // `- key: ...` starts an inline map item
             out += parseMapFrom(k, v, ln, indent + 2)
@@ -195,22 +204,34 @@ object Yaml {
     private val IntRe = "^-?\\d+$".r
     private val FloatRe = "^-?\\d+\\.\\d+([eE][+-]?\\d+)?$".r
 
-    /** Quote-aware comma split for flow lists: a comma inside a quoted
-      * scalar (`['hello, world', x]`) is content, not a separator.
-      * Doubled `''` inside single quotes is the YAML quote escape and
-      * must not close the scalar. A quote char only OPENS a quoted
-      * scalar at the start of an element (first non-space char) — a
-      * plain scalar may contain quotes after the first character
-      * (`[it's fine, x]`), which are literal content per YAML. */
+    /** Quote- and bracket-aware comma split for flow collections: a
+      * comma inside a quoted scalar (`['hello, world', x]`) or inside
+      * a NESTED flow collection (`[[1, 2], {a: 3, b: 4}]`) is content,
+      * not a separator — nested elements come back whole and recurse
+      * through [[scalar]]. Doubled `''` inside single quotes is the
+      * YAML quote escape and must not close the scalar. A quote char
+      * only OPENS a quoted scalar at the start of an element (first
+      * non-space char) — a plain scalar may contain quotes after the
+      * first character (`[it's fine, x]`), which are literal content
+      * per YAML. */
     private def splitFlow(body: String, ln: Line): Vector[String] = {
       val out = Vector.newBuilder[String]
       val cur = new StringBuilder
       var quote: Char = 0
+      var depth = 0
       var i = 0
       def atElementStart: Boolean = cur.forall(_.isWhitespace)
+      // flow-MAP elements carry a `key: ` prefix, so a quoted VALUE's
+      // opening quote sits mid-element (`{name: 'a, b'}`) — it opens
+      // right after a `: ` separator
+      def atValueStart: Boolean = {
+        val t = cur.toString
+        t.endsWith(" ") && t.trim.endsWith(":")
+      }
       while (i < body.length) {
         val c = body.charAt(i)
-        if (quote == 0 && (c == '\'' || c == '"') && atElementStart) {
+        if (quote == 0 && (c == '\'' || c == '"') &&
+            (atElementStart || atValueStart)) {
           quote = c; cur.append(c)
         }
         else if (quote == '\'' && c == '\'' && i + 1 < body.length &&
@@ -219,12 +240,26 @@ object Yaml {
         else if (quote == '"' && c == '\\' && i + 1 < body.length) {
           cur.append(c).append(body.charAt(i + 1)); i += 1
         }
-        else if (quote == 0 && c == ',') { out += cur.result(); cur.clear() }
+        else if (quote == 0 && (c == '[' || c == '{')) {
+          depth += 1; cur.append(c)
+        }
+        else if (quote == 0 && (c == ']' || c == '}')) {
+          depth -= 1
+          if (depth < 0) throw new YamlException(
+            s"line ${ln.num}: unbalanced '$c' in flow collection")
+          cur.append(c)
+        }
+        else if (quote == 0 && depth == 0 && c == ',') {
+          out += cur.result(); cur.clear()
+        }
         else cur.append(c)
         i += 1
       }
       if (quote != 0)
         throw new YamlException(s"line ${ln.num}: unclosed quote in flow list")
+      if (depth != 0)
+        throw new YamlException(
+          s"line ${ln.num}: unbalanced brackets in flow collection")
       out += cur.result()
       out.result()
     }
@@ -236,6 +271,26 @@ object Yaml {
         val body = s.substring(1, s.length - 1).trim
         if (body.isEmpty) Vector.empty[Any]
         else splitFlow(body, ln).map(x => scalar(x.trim, ln))
+      case s if s.startsWith("{") && s.endsWith("}") => // one-line flow map
+        // Symfony YAML (the reference's config layer,
+        // GlobalConfig.php:90-107) accepts flow mappings, so a
+        // reference-shaped `options: {budget: 512}` must parse as a
+        // MAP — before round 11 it silently fell through to the
+        // string "{budget: 512}" and degraded downstream
+        val body = s.substring(1, s.length - 1).trim
+        if (body.isEmpty) VectorMap.empty[String, Any]
+        else VectorMap.from(splitFlow(body, ln).map { e =>
+          splitKey(e.trim).getOrElse(throw new YamlException(
+            s"line ${ln.num}: flow mapping entry '${e.trim}' is not " +
+              "'key: value' (a space after the colon is required)")) match {
+            case (k, v) => k -> scalar(v, ln)
+          }
+        })
+      case s if s.startsWith("{") || s.startsWith("[") =>
+        // fail loudly on a half-open flow collection instead of
+        // producing a garbage string scalar
+        throw new YamlException(
+          s"line ${ln.num}: unterminated flow collection '$s'")
       case "null" | "~" | "" => null
       case "true" | "True"   => true
       case "false" | "False" => false

@@ -276,6 +276,32 @@ class ConfigLoaderSpec extends SparkSpec {
     val ok = """{"version":1,"slug":"m","jobs":[{"name":"x","skip":true,
       "load":[{"kind":"json","dir":"/tmp","file":"out.json"}]}]}"""
     assert(ConfigLoader.parse(ok, strict = true).head.name == "x")
+    // YAML flow-map options survive strict validation: since round 11
+    // `options: {budget: 512}` parses as a real map (not the string
+    // "{budget: 512}"), so the flattened option keys are the KNOWN
+    // ones and strict mode passes — and a half-open flow map fails in
+    // the parser, never reaching validation as a silent string
+    val f = Files.createTempFile("graft_strict_flow", ".yaml")
+    Files.writeString(f,
+      """jobs:
+        |  - name: flow
+        |    transform:
+        |      - kind: pack_materialize
+        |        options: {idCol: doc_id, textCol: text, budget: 512}
+        |""".stripMargin)
+    assert(ConfigLoader.parseYamlFile(f.toString, strict = true)
+      .head.name == "flow")
+    val half = Files.createTempFile("graft_strict_flow_bad", ".yaml")
+    Files.writeString(half,
+      """jobs:
+        |  - name: flow
+        |    transform:
+        |      - kind: pack_materialize
+        |        options: {idCol: doc_id
+        |""".stripMargin)
+    assert(intercept[Yaml.YamlException](
+      ConfigLoader.parseYamlFile(half.toString, strict = true))
+      .getMessage.contains("unterminated flow collection"))
   }
 
   test("reference-shaped YAML migration with !include ports verbatim (README.md:35-94)") {

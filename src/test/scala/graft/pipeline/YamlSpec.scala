@@ -144,4 +144,61 @@ class YamlSpec extends AnyFunSuite {
         |""".stripMargin).asInstanceOf[Map[String, Any]]
     assert(m("tags") == Vector("it's fine", "rock'n'roll", "say \"hi\"", "x"))
   }
+
+  test("flow map: parses as a map, nests, preserves types and key order") {
+    // the reference's Symfony-YAML configs use flow mappings
+    // (`options: {budget: 512}`); before round 11 this silently became
+    // the STRING "{budget: 512}"
+    val m = Yaml.parse(
+      """opts: {budget: 512, rate: 0.5, name: 'a, b', on: true}
+        |empty: {}
+        |nested: {inner: {k: v}, list: [1, {x: 2}]}
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    assert(m("opts") == M("budget" -> 512L, "rate" -> 0.5,
+      "name" -> "a, b", "on" -> true))
+    assert(m("opts").asInstanceOf[Map[String, Any]].keys.toSeq ==
+      Seq("budget", "rate", "name", "on"))
+    assert(m("empty") == M())
+    assert(m("nested") == M("inner" -> M("k" -> "v"),
+      "list" -> Vector(1L, M("x" -> 2L))))
+  }
+
+  test("flow map: malformed input fails loudly instead of degrading to a string") {
+    // half-open flow collection
+    assert(intercept[Yaml.YamlException](
+      Yaml.parse("bad: {budget: 512\n")).getMessage
+      .contains("unterminated flow collection"))
+    assert(intercept[Yaml.YamlException](
+      Yaml.parse("bad: [1, 2\n")).getMessage
+      .contains("unterminated flow collection"))
+    // entry that is not `key: value`
+    assert(intercept[Yaml.YamlException](
+      Yaml.parse("bad: {budget=512}\n")).getMessage
+      .contains("is not 'key: value'"))
+    // unbalanced nesting inside a closed-looking collection
+    assert(intercept[Yaml.YamlException](
+      Yaml.parse("bad: [{a: 1]\n")).getMessage
+      .contains("unbalanced"))
+  }
+
+  test("flow map flows through ConfigLoader as step options") {
+    val jobs = ConfigLoader.parse(
+      // JSON is YAML flow style — but exercise the YAML path explicitly
+      // via parseYamlFile on a temp file
+      """{"jobs":[{"name":"j","extract":[],"transform":[],"load":[]}]}""")
+    assert(jobs.head.name == "j")
+    val f = Files.createTempFile("graft_flowmap", ".yaml")
+    Files.writeString(f,
+      """jobs:
+        |  - name: flow
+        |    extract:
+        |      - {kind: parquet, path: /tmp/unused.parquet}
+        |    transform:
+        |      - kind: limit
+        |        options: {n: 2}
+        |""".stripMargin)
+    val spec = ConfigLoader.parseYamlFile(f.toString)
+    assert(spec.head.name == "flow")
+    assert(spec.head.transform.size == 1) // limit resolved with n=2
+  }
 }
