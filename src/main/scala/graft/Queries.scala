@@ -3624,9 +3624,23 @@ object Queries {
     * 11th doc is a 404, every 13th is a PDF — rows a raw-crawl
     * pipeline must gate out before extraction. URLs carry the same
     * adsite/casino patterns as `url_filter`. A `request` record is
-    * interleaved and must be dropped by the type filter. */
+    * interleaved and must be dropped by the type filter.
+    *
+    * `plantNearDups = true` adds three engineered near-duplicate PAIRS
+    * (ids 1M+; each pair is one token repeated 50× vs 51×). A
+    * period-1 repeated-word text has the SAME distinct word-5-gram
+    * set at any length ≥ 5, so each pair's true shingle Jaccard is
+    * EXACTLY 1.0 — identical MinHash signatures, collision in every
+    * band, detection guaranteed — while the normalized texts differ
+    * (50 vs 51 words), so exact dedup keeps both. The ids avoid the
+    * fixture's % 5/7/11/13 gate patterns and the pair tokens are
+    * mutually distinct (cross-pair Jaccard ≈ 1/7 from the shared
+    * pad-suffix grams only). These anchor the funnel's near-dedup
+    * stage the way `dedup_minhash_planted` anchors the standalone
+    * query. */
   private def warcResponseFixture(s: SparkSession, d: String,
-                                  sub: String): String = {
+                                  sub: String,
+                                  plantNearDups: Boolean = false): String = {
     import s.implicits._
     val http = concat(
       when(col("doc_id") % 11 === 0, lit("HTTP/1.1 404 Not Found"))
@@ -3656,11 +3670,33 @@ object Queries {
       "WARC/1.0\nWARC-Type: request\nWARC-Target-URI: https://x.example/\n\nGET / HTTP/1.1")
       .toDF("value")
     val dir = tmpDir(d, sub)
-    t(s, d, "documents").select(rec.as("value")).unionByName(req)
+    val base = t(s, d, "documents").select(col("doc_id"), col("source"),
+      col("text"))
+    val docs =
+      if (!plantNearDups) base
+      else base.unionByName(plantedNearDupDocs
+        .map { case (id, tok, n) => (id, "plantedsrc", (s"$tok " * n).trim) }
+        .toDF("doc_id", "source", "text"))
+    docs.select(rec.as("value")).unionByName(req)
       .repartition(4)
       .write.mode("overwrite").text(s"$dir/warc")
     s"$dir/warc"
   }
+
+  /** The planted near-dup pairs for [[warcResponseFixture]]'s
+    * `plantNearDups` mode: (doc_id, token, repeat count). One
+    * definition feeds the Scala fixture and [[sqlPlantedNearDups]] so
+    * they cannot drift. */
+  private val plantedNearDupDocs: Seq[(Long, String, Int)] = Seq(
+    (1000001L, "plantedalpha", 50), (1000002L, "plantedalpha", 51),
+    (1000003L, "plantedbeta", 50), (1000004L, "plantedbeta", 51),
+    (1000007L, "plantedgamma", 50), (1000008L, "plantedgamma", 51))
+
+  /** DuckDB VALUES list mirroring [[plantedNearDupDocs]]. */
+  private def sqlPlantedNearDups: String =
+    plantedNearDupDocs.map { case (id, tok, n) =>
+      s"($id, '$tok', $n)"
+    }.mkString(", ")
 
   /** SQL derivation of the fixture's expected extracted main text:
     * heading + blank line + the prose paragraph (boilerplate blocks
@@ -4801,14 +4837,38 @@ object Queries {
       "minMeanWordLen" -> "0", "maxMeanWordLen" -> "1000",
       "maxPunctRatio" -> "1.0"),
     "dedup_exact" -> Map("idCol" -> "doc_id", "textCol" -> "main_text"),
+    // near-dedup between exact dedup and packing — the published
+    // FineWeb/Dolma/RefinedWeb funnel order. Threshold 0.75 sits in
+    // the corpus's measured Jaccard gap (organic survivor pairs are
+    // either >= 0.79 or <= 0.4 at every oracle SF), so the banded
+    // stage's verified output equals the exact all-pairs answer the
+    // DuckDB replay computes from first principles; the planted 1.0
+    // pairs ([[warcResponseFixture]] plantNearDups) are detection-
+    // GUARANTEED anchors on top (identical signatures, every band)
+    "dedup_minhash" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
+      "threshold" -> "0.75"),
     "pack_materialize" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
       "budget" -> "512"))
 
   /** The shared DuckDB replay of [[shardsChain]] up to the packs
-    * frame: fixture gate → main-text extraction → URL filter →
-    * minWords quality gate → exact dedup keep-first → doc-order
-    * token-offset packing. Ends in CTE `packs` (pack_id, n_docs,
-    * n_tokens). */
+    * frame: fixture gate (incl. the planted near-dup pairs) →
+    * main-text extraction → URL filter → minWords quality gate →
+    * exact dedup keep-first → MinHash near-dedup (exact all-pairs
+    * word-5-gram Jaccard ≥ 0.75, min-label clustering, canonical
+    * survivor) → doc-order token-offset packing. Ends in CTE `packs`
+    * (pack_id, n_docs, n_tokens).
+    *
+    * The near-dedup replay computes TRUE Jaccard for every survivor
+    * pair — the superset of what banding can find. Equality with the
+    * banded Spark stage holds because (a) the planted pairs are at
+    * Jaccard exactly 1.0 (identical signatures — caught by
+    * construction) and (b) the corpus's organic survivor pairs sit at
+    * ≥ 0.79, where the seeded 16-band/4-row scheme's miss probability
+    * is < 3e-4 and the concrete seeded outcome is verified
+    * oracle-green at every oracle SF. Two min-label iterations
+    * replicate [[graft.llm.Dedup.nearDupClusters]]'s min-id component
+    * canonical for components of diameter ≤ 2 (the measured pair
+    * structure is disjoint edges — diameter 1). */
   private val sqlShardsChain: String =
     s"""u AS (SELECT doc_id, source, text,
         'https://' || source
@@ -4818,7 +4878,15 @@ object Queries {
           AS url,
         $sqlMainText AS main_text
         FROM documents
-        WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0),
+        WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id, source, text,
+          'https://plantedsrc.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          $sqlMainText AS main_text
+        FROM (SELECT CAST(pv.id AS BIGINT) AS doc_id,
+            'plantedsrc' AS source,
+            trim(repeat(pv.tok || ' ', pv.n)) AS text
+          FROM (VALUES $sqlPlantedNearDups) pv(id, tok, n))),
       h AS (SELECT *, lower(regexp_extract(url,
           '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
           AS host FROM u),
@@ -4837,10 +4905,33 @@ object Queries {
           trim(regexp_replace(lower(main_text), '\\s+', ' ', 'g'))) AS keep
         FROM q),
       sv AS (SELECT doc_id, main_text FROM kd WHERE doc_id = keep),
+      mw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(main_text),
+          '\\s+', ' ', 'g')), ' ') AS ws FROM sv),
+      mg AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN
+            list_distinct([array_to_string(ws[i:i+4], ' ')
+                           for i in range(1, len(ws) - 3)])
+          ELSE [array_to_string(ws, ' ')] END AS grams FROM mw),
+      mp AS (SELECT ga.doc_id AS a, gb.doc_id AS b FROM mg ga
+        JOIN mg gb ON ga.doc_id < gb.doc_id
+        WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+          (len(ga.grams) + len(gb.grams)
+            - len(list_intersect(ga.grams, gb.grams))) >= 0.75),
+      mn AS (SELECT a AS x, b AS y FROM mp
+        UNION ALL SELECT b AS x, a AS y FROM mp),
+      ml1 AS (SELECT s.doc_id,
+          LEAST(s.doc_id, COALESCE(MIN(n.y), s.doc_id)) AS lab
+        FROM sv s LEFT JOIN mn n ON n.x = s.doc_id GROUP BY s.doc_id),
+      ml2 AS (SELECT l.doc_id,
+          LEAST(MIN(l.lab), COALESCE(MIN(ln.lab), MIN(l.lab))) AS lab
+        FROM ml1 l LEFT JOIN mn n ON n.x = l.doc_id
+        LEFT JOIN ml1 ln ON ln.doc_id = n.y
+        GROUP BY l.doc_id),
+      sv2 AS (SELECT sv.doc_id, sv.main_text FROM sv
+        JOIN ml2 ON ml2.doc_id = sv.doc_id WHERE ml2.lab = sv.doc_id),
       tc AS (SELECT doc_id,
         CASE WHEN trim(main_text) = '' THEN []
              ELSE string_split_regex(trim(main_text), '\\s+') END AS toks
-        FROM sv),
+        FROM sv2),
       oo AS (SELECT doc_id, len(toks) AS n_tokens,
         COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
@@ -4865,7 +4956,8 @@ object Queries {
     (s, d) => {
       val dir = tmpDir(d, "curate_to_shards")
       val out = s"$dir/out"
-      val warc = warcResponseFixture(s, d, "warc_to_shards")
+      val warc = warcResponseFixture(s, d, "warc_to_shards",
+        plantNearDups = true)
       val transforms = shardsChain.map { case (kind, o) =>
         s"""      - kind: $kind
            |        options:
@@ -4931,14 +5023,15 @@ object Queries {
   private val curateToShardsFunnel = QueryDef("curate_to_shards_funnel",
     (s, d) => {
       graft.plans.GraftExtensions.register(s)
-      val warc = warcResponseFixture(s, d, "warc_shards_funnel")
+      val warc = warcResponseFixture(s, d, "warc_shards_funnel",
+        plantNearDups = true)
       val resp = Sources.readWarcResponses(s, warc)
         .where(col("http_status") === 200 &&
           col("content_type") === "text/html")
       // fold the config-registry stages, snapshotting a count per stage;
       // each staged frame is localCheckpoint'd so stage i's count pays
       // only its own increment, not a re-run of the whole WARC prefix
-      // (seven counts over an uncached chain would cost O(stages²)
+      // (eight counts over an uncached chain would cost O(stages²)
       // full crawl passes)
       val staged = shardsChain.scanLeft(("responses", resp.localCheckpoint())) {
         case ((_, df), (kind, opts)) =>
@@ -4961,7 +5054,8 @@ object Queries {
         UNION ALL SELECT 3, 'url_filter', count(*) FROM f
         UNION ALL SELECT 4, 'quality_filter', count(*) FROM q
         UNION ALL SELECT 5, 'dedup_exact', count(*) FROM sv
-        UNION ALL SELECT 6, 'pack_materialize', count(*) FROM packs)
+        UNION ALL SELECT 6, 'dedup_minhash', count(*) FROM sv2
+        UNION ALL SELECT 7, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
   /** Incremental-pipeline snapshot diff
