@@ -5058,6 +5058,100 @@ object Queries {
         UNION ALL SELECT 7, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
+  /** The streamed-assignment → certified-shards handoff, executable
+    * and oracle-bound (the PLANS d87fc68 claim): the continuous chain
+    * ends at the pack ASSIGNMENT — a ledger
+    * [[graft.streaming.IndexIngest.appendPackStream]] extends forever
+    * — and shards materialize at epoch boundaries from that ledger via
+    * the `materialize_shards` load kind. This query runs the whole
+    * life cycle: seed assignment (one-shot packSequences over epoch
+    * 0), TWO real micro-batches through the streaming path (with a
+    * replayed row batch 2 must drop — the index-as-ledger idempotence
+    * contract), then the registry `materialize_shards` step; DuckDB
+    * replays the equivalent ONE-SHOT pack over the same docs down to
+    * the shard checksums — proving streamed assignment + materialize ≡
+    * one-shot packing end to end. The micro-batch rows are collected
+    * to the driver only to feed MemoryStream — bounded fixture
+    * machinery (90 ids), not part of the operator. */
+  private val packStreamMaterialize = QueryDef("pack_stream_materialize",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "pack_stream_mat")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .where(col("doc_id") < 90 && trim(col("text")) =!= "")
+      val nToks = size(filter(split(trim(col("text")), "\\s+"),
+        w => w =!= "")).cast("long")
+      // epoch 0: seed the assignment ledger batch-side (the
+      // ledger-present-before-the-stream-starts convention); overwrite
+      // clears any stale state from a previous session
+      graft.llm.Packing.packSequences(docs.where(col("doc_id") < 30),
+          "doc_id", nToks, budget = 512L)
+        .write.mode("overwrite").parquet(s"$dir/assign")
+      // epochs 1-2: monotone micro-batches through the REAL streaming
+      // path; batch 2 replays three batch-1 rows (at-least-once
+      // redelivery) that the ledger anti-join must drop
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.IndexIngest.appendPackStream(
+        mem.toDF().toDF("doc_id", "text"), s"$dir/assign",
+        "doc_id", "text", budget = 512L)
+      try {
+        val b1 = docs.where(col("doc_id") >= 30 && col("doc_id") < 60)
+          .as[(Long, String)].collect().toSeq
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        val b2 = docs.where(col("doc_id") >= 60)
+          .as[(Long, String)].collect().toSeq
+        mem.addData(b2 ++ b1.take(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // epoch boundary: certified shards from the assignment ledger,
+      // through the config registry kind (binding the registry step,
+      // not a parallel reimplementation)
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some("""WITH tc AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id < 90 AND trim(text) <> ''),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM o),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   /** Incremental-pipeline snapshot diff
     * ([[graft.llm.Snapshot.corpusDiff]]): "today's" corpus is derived
     * deterministically from the documents table (doc_id % 7 == 0
@@ -6612,7 +6706,7 @@ object Queries {
     packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
-    curateToShardsYaml, curateToShardsFunnel,
+    curateToShardsYaml, curateToShardsFunnel, packStreamMaterialize,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,

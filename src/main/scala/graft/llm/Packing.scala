@@ -369,16 +369,27 @@ object Packing {
     val toks = df.select(col(idCol).as("doc_id"), tokensCol.as("__toks"))
     val assigned = packSequences(df, idCol, size(tokensCol).cast("long"),
       budget, numParts)
-    // docSep: the document separator token trainers insert between
-    // concatenated docs (EOS/endoftext) — appended AFTER EVERY member
-    // doc, the (doc + EOS)* convention, so the stream length is
-    // n_tokens + n_docs. n_tokens stays the DOC token sum (the budget
-    // accounting is separator-free, matching packSequences).
+    materializeAssigned(assigned.join(toks, Seq("doc_id")), docSep)
+  }
+
+  /** The pack-assembly back half shared by [[packMaterialize]] (inline
+    * assignment) and [[materializeShardsFromAssignment]] (persisted —
+    * e.g. streamed — assignment): collect each pack's concatenated
+    * member token stream in offset order from a frame carrying
+    * (doc_id, n_tokens, token_offset, pack_id, __toks).
+    *
+    * docSep: the document separator token trainers insert between
+    * concatenated docs (EOS/endoftext) — appended AFTER EVERY member
+    * doc, the (doc + EOS)* convention, so the stream length is
+    * n_tokens + n_docs. n_tokens stays the DOC token sum (the budget
+    * accounting is separator-free, matching packSequences). */
+  private def materializeAssigned(joined: DataFrame,
+                                  docSep: Option[String]): DataFrame = {
     val member: Column => Column = docSep match {
       case Some(sp) => ts => concat(ts, array(lit(sp)))
       case None => ts => ts
     }
-    assigned.join(toks, Seq("doc_id"))
+    joined
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -387,6 +398,54 @@ object Packing {
           sort_array(collect_list(struct(col("token_offset"), col("__toks")))),
           m => member(m.getField("__toks")))).as("tokens"))
       .select(col("pack_id"), col("n_docs"), col("n_tokens"), col("tokens"))
+  }
+
+  /** The streamed-assignment → certified-shards handoff: read the pack
+    * assignment [[graft.streaming.IndexIngest.appendPackStream]]
+    * accumulated (or any persisted [[packSequences]] output), join the
+    * document store back by id, assemble packs, and run the
+    * certified-shard back half ([[writeTrainingShards]]). This makes
+    * the PLANS-argued split executable as ONE step: the continuous
+    * chain ends at the pack assignment (a ledger the stream can extend
+    * forever), and shards materialize at epoch boundaries from that
+    * ledger — streamed assignment + this call ≡ the one-shot
+    * pack_materialize → training_shards chain over the union of all
+    * batches (oracle-bound by `pack_stream_materialize`; epoch-
+    * boundary case in StreamingSpec).
+    *
+    * Fails LOUDLY on handoff drift instead of shipping corrupt shards:
+    * a doc present in the assignment but missing from the store, or
+    * whose store-side token count no longer matches the assigned
+    * `n_tokens` (retokenized store, wrong `tokensCol`), raises with
+    * the doc id — both would silently hole or shift the token stream.
+    * Zero-token assignment rows are dropped (they occupy no tokens, so
+    * offsets are unaffected — the pack_materialize kind's convention).
+    *
+    * Returns the re-read certified manifest. */
+  def materializeShardsFromAssignment(spark: org.apache.spark.sql.SparkSession,
+                                      assignmentDir: String, docs: DataFrame,
+                                      idCol: String, tokensCol: Column,
+                                      dir: String, nShards: Int,
+                                      docSep: Option[String] = None): DataFrame = {
+    val assigned = spark.read.parquet(assignmentDir)
+      .where(col("n_tokens") > 0)
+    val toks = docs.select(col(idCol).as("doc_id"), tokensCol.as("__toks"))
+    val checked = assigned.join(toks, Seq("doc_id"), "left")
+      .withColumn("__toks",
+        when(col("__toks").isNull, raise_error(concat(
+          lit("materializeShardsFromAssignment: assigned doc "),
+          col("doc_id").cast("string"),
+          lit(" is missing from the document store"))).cast("array<string>"))
+        .when(size(col("__toks")) =!= col("n_tokens"), raise_error(concat(
+          lit("materializeShardsFromAssignment: doc "),
+          col("doc_id").cast("string"),
+          lit(" has "), size(col("__toks")).cast("string"),
+          lit(" store tokens but "), col("n_tokens").cast("string"),
+          lit(" assigned — store and assignment have drifted")))
+          .cast("array<string>"))
+        .otherwise(col("__toks")))
+    val packs = materializeAssigned(checked, docSep)
+    writeTrainingShards(packs, "pack_id", dir, nShards)
   }
 
   /** NO-SPLIT (document-boundary-respecting) greedy packing — the

@@ -633,6 +633,21 @@ object ConfigLoader {
           req(o, "dir"), req(o, "nShards").toInt)
         ()
       })),
+      // the streamed-assignment -> certified-shards handoff (the epoch
+      // boundary of a continuous ingest): the job's frame is the
+      // DOCUMENT STORE; assignmentDir holds the pack assignment
+      // appendPackStream accumulated. Joins member token streams back
+      // by id (failing loudly on store/assignment drift), assembles
+      // packs, and writes dir/data + the re-read certified manifest —
+      // streamed assignment + this step == the one-shot
+      // pack_materialize -> training_shards chain over the same docs.
+      "materialize_shards" -> (o => Sinks.Write("materialize_shards", df => {
+        graft.llm.Packing.materializeShardsFromAssignment(df.sparkSession,
+          req(o, "assignmentDir"), df, req(o, "idCol"), wsToks(o),
+          req(o, "dir"), req(o, "nShards").toInt,
+          docSep = o.get("sep"))
+        ()
+      })),
       // train the hashed-linear quality classifier on the incoming
       // labeled frame and persist the (bucket, weight) table that
       // classifier_filter's weightsPath loads — the model-producing
@@ -741,7 +756,8 @@ object ConfigLoader {
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
-    "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"))
+    "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),
+    "materialize_shards" -> Seq("dir", "assignmentDir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

@@ -530,6 +530,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 3L).get._4 == 0L)
   }
 
+  test("epoch boundary: materialize_shards over a streamed assignment ≡ one-shot pack+shards") {
+    val work = java.nio.file.Files.createTempDirectory("graft_pack_epoch")
+      .toFile.getPath
+    val dir = s"$work/assignment"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    val nToks = size(filter(split(trim(col("text")), "\\s+"),
+      w => w =!= "")).cast("long")
+    // seed epoch + one streamed epoch
+    val seed = Seq(doc(1, 4), doc(2, 3)).toDF("doc_id", "text")
+    Packing.packSequences(seed, "doc_id", nToks, budget = 10)
+      .write.mode("overwrite").parquet(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.appendPackStream(
+      mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", budget = 10)
+    try {
+      mem.addData(doc(3, 5), doc(4, 6), doc(5, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the epoch boundary: certified shards from the assignment ledger
+    val union = Seq(doc(1, 4), doc(2, 3), doc(3, 5), doc(4, 6), doc(5, 2))
+      .toDF("doc_id", "text")
+    Packing.materializeShardsFromAssignment(spark, dir, union,
+      "doc_id", filter(split(trim(col("text")), "\\s+"), w => w =!= ""),
+      s"$work/streamed", nShards = 2)
+    // reference: one-shot materialize + shards over the union
+    Packing.writeTrainingShards(
+      Packing.packMaterialize(union, "doc_id",
+        filter(split(trim(col("text")), "\\s+"), w => w =!= ""), budget = 10),
+      "pack_id", s"$work/oneshot", nShards = 2)
+    def snapshot(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("shard").cast("long"), col("pack_id"), col("n_docs"),
+        col("n_tokens"), col("tokens"))
+      .as[(Long, Long, Long, Long, Seq[String])].collect().sortBy(_._2).toSeq
+    assert(snapshot(s"$work/streamed") == snapshot(s"$work/oneshot"))
+    val manifests = Seq("streamed", "oneshot").map(v =>
+      spark.read.parquet(s"$work/$v/manifest")
+        .as[(Long, Long, Long, String, String)].collect().toSet)
+    assert(manifests(0) == manifests(1))
+    // handoff drift fails loudly: a store missing an assigned doc...
+    val e1 = intercept[Exception] {
+      Packing.materializeShardsFromAssignment(spark, dir,
+        union.where(col("doc_id") =!= 3),
+        "doc_id", filter(split(trim(col("text")), "\\s+"), w => w =!= ""),
+        s"$work/broken1", nShards = 2)
+    }
+    assert(exceptionChain(e1).exists(m =>
+      m.contains("missing from the document store")), exceptionChain(e1))
+    // ...or a retokenized store (token counts drifted from assignment)
+    val e2 = intercept[Exception] {
+      Packing.materializeShardsFromAssignment(spark, dir,
+        union.withColumn("text", concat(col("text"), lit(" extra"))),
+        "doc_id", filter(split(trim(col("text")), "\\s+"), w => w =!= ""),
+        s"$work/broken2", nShards = 2)
+    }
+    assert(exceptionChain(e2).exists(m => m.contains("drifted")),
+      exceptionChain(e2))
+  }
+
+  private def exceptionChain(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ exceptionChain(x.getCause))
+
   test("pack stream survives restart: a NEW query on the same dir continues cleanly") {
     // the crash-recovery story: foreachBatch is at-least-once, and on
     // restart the new query's first batch may replay rows the dead
