@@ -2819,6 +2819,62 @@ object Queries {
       SELECT domain, n_docs, n_trans, mean_ce, excess_ce, weight
       FROM wts ORDER BY domain"""))
 
+  /** The iterated DoReMi loop's DuckDB replay: `steps` unrolled CTE
+    * layers, each re-pricing the baseline as the current-mix-weighted
+    * mean CE, tilting, and renormalizing — generated by the same loop
+    * count the Spark side runs, so the two cannot drift. Sits on the
+    * shared `per` CTE (per-domain CE mass) from
+    * [[sqlExcessWeightCtes]]'s prefix. */
+  private def sqlExcessIterCtes(steps: Int, eta: Double): String = {
+    val head =
+      s"""$sqlBigramCeCtes,
+      dsrc AS (SELECT d.source AS domain, c.n_trans, c.bigram_ce
+        FROM documents d JOIN dce c USING (doc_id)),
+      m AS (SELECT domain, n_trans,
+        CAST(CAST(bigram_ce AS DECIMAL(18,4)) *
+             CAST(n_trans AS DECIMAL(18,0)) AS DECIMAL(38,4)) AS mass
+        FROM dsrc),
+      per AS (SELECT domain, count(*) AS n_docs,
+        CAST(SUM(n_trans) AS BIGINT) AS n_trans, SUM(mass) AS cemass
+        FROM m GROUP BY domain),
+      pm AS (SELECT domain, n_docs, n_trans,
+        round(CAST(cemass AS DOUBLE) / n_trans, 6) AS mean_ce FROM per),
+      gt AS (SELECT CAST(SUM(n_trans) AS BIGINT) AS gtrans FROM pm),
+      w0 AS (SELECT domain,
+        CAST(round(CAST(n_trans AS DOUBLE) / gt.gtrans, 8) AS DECIMAL(20,8))
+          AS w FROM pm CROSS JOIN gt)"""
+    val layers = (1 to steps).map { t =>
+      s"""j$t AS (SELECT pm.domain, pm.mean_ce, w.w
+        FROM pm JOIN w${t - 1} w USING (domain)),
+      b$t AS (SELECT SUM(CAST(w * CAST(mean_ce AS DECIMAL(18,6))
+            AS DECIMAL(38,14))) AS blmass, SUM(w) AS wsum FROM j$t),
+      s$t AS (SELECT domain, mean_ce, w,
+        round(CAST(b.blmass AS DOUBLE) / CAST(b.wsum AS DOUBLE), 6)
+          AS baseline FROM j$t CROSS JOIN b$t b),
+      tl$t AS (SELECT domain, CAST(round(CAST(w AS DOUBLE) *
+          (1.0 + $eta * greatest(0.0, round(mean_ce - baseline, 6))), 8)
+          AS DECIMAL(20,8)) AS tilt FROM s$t),
+      z$t AS (SELECT SUM(tilt) AS z FROM tl$t),
+      w$t AS (SELECT domain, CAST(round(CAST(tilt AS DOUBLE) /
+          CAST(z.z AS DOUBLE), 8) AS DECIMAL(20,8)) AS w
+        FROM tl$t CROSS JOIN z$t z)"""
+    }.mkString(",\n      ")
+    s"$head,\n      $layers"
+  }
+
+  /** Multi-step DoReMi ([[graft.llm.Mixing.excessLossWeightsIter]],
+    * steps = 3): the mix converges toward the point where no domain's
+    * loss exceeds the mix-weighted reference; every intermediate
+    * weight is 8-dp rational, so DuckDB replays all three steps. */
+  private val mixExcessWeightsIter = QueryDef("mix_excess_weights_iter",
+    (s, d) => graft.llm.Mixing.excessLossWeightsIter(
+        t(s, d, "documents"), "doc_id", "text", "source", steps = 3)
+      .orderBy(col("domain")),
+    Some(s"""WITH ${sqlExcessIterCtes(3, 1.0)}
+      SELECT pm.domain, pm.n_docs, pm.n_trans, pm.mean_ce,
+        round(CAST(w.w AS DOUBLE), 6) AS weight
+      FROM pm JOIN w3 w USING (domain) ORDER BY pm.domain"""))
+
   /** The measured-losses → executable-sampling-plan composition
     * ([[graft.llm.Mixing.ratesForTargetWeights]] over
     * [[graft.llm.Mixing.excessLossWeights]]): target weights become
@@ -6690,7 +6746,7 @@ object Queries {
     dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixExcessWeights,
-    mixExcessRates, mixSplit,
+    mixExcessWeightsIter, mixExcessRates, mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,

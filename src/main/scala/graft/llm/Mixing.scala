@@ -284,18 +284,7 @@ object Mixing {
   def excessLossWeights(df: DataFrame, idCol: String, textCol: String,
                         domainCol: String, eta: Double = 1.0): DataFrame = {
     require(eta >= 0.0, s"excessLossWeights: eta must be >= 0, got $eta")
-    val ce = TextAnalysis.bigramCrossEntropy(df, idCol, textCol)
-    val j = df.select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
-      .join(ce, Seq("doc_id"))
-      // exact integer-scaled CE mass: round first, then DECIMAL product
-      .withColumn("__m", (round(col("bigram_ce"), 4).cast("decimal(18,4)") *
-        col("n_trans").cast("decimal(18,0)")).cast("decimal(38,4)"))
-    val per = j.groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_trans")).as("n_trans"),
-        sum(col("__m")).as("__ceMass"))
-      .withColumn("mean_ce",
-        round(col("__ceMass").cast("double") / col("n_trans"), 6))
+    val per = perDomainCe(df, idCol, textCol, domainCol)
     val global = per.agg(sum(col("__ceMass")).as("__gMass"),
       sum(col("n_trans")).as("__gTrans"))
     val tilted = per.join(broadcast(global))
@@ -312,6 +301,87 @@ object Mixing {
         col("excess_ce"),
         round(col("__tilt").cast("double") / col("__z").cast("double"), 6)
           .as("weight"))
+  }
+
+  /** Per-domain token-weighted CE table shared by [[excessLossWeights]]
+    * and [[excessLossWeightsIter]]: one CE pass over the corpus, then
+    * (domain, n_docs, n_trans, __ceMass, mean_ce) with the
+    * `doc_bigram_ce` numeric discipline (round per-doc CE to 4 dp,
+    * DECIMAL mass sums, one double division rounded to 6 dp). */
+  private def perDomainCe(df: DataFrame, idCol: String, textCol: String,
+                          domainCol: String): DataFrame = {
+    val ce = TextAnalysis.bigramCrossEntropy(df, idCol, textCol)
+    df.select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
+      .join(ce, Seq("doc_id"))
+      // exact integer-scaled CE mass: round first, then DECIMAL product
+      .withColumn("__m", (round(col("bigram_ce"), 4).cast("decimal(18,4)") *
+        col("n_trans").cast("decimal(18,0)")).cast("decimal(38,4)"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trans")).as("n_trans"),
+        sum(col("__m")).as("__ceMass"))
+      .withColumn("mean_ce",
+        round(col("__ceMass").cast("double") / col("n_trans"), 6))
+  }
+
+  /** MULTI-STEP excess-loss reweighting — the iterated DoReMi loop
+    * ([[excessLossWeights]] is one multiplicative-weights step; the
+    * published recipe iterates, re-pricing the reference loss under
+    * the updated mix): starting from the natural token shares, each
+    * step recomputes the baseline as the CURRENT-MIX-weighted mean CE
+    * (`Σ wᵢ·ceᵢ / Σ wᵢ` — the w-sum denominator absorbs the 8-dp
+    * normalization residue so the baseline stays a true weighted
+    * mean), tilts `w ← w·(1 + eta·excess)`, and renormalizes. As the
+    * mix shifts toward high-loss domains the baseline rises and the
+    * excesses shrink — the fixed point is the mix under which no
+    * domain's loss exceeds the mix-weighted reference.
+    *
+    * Same rational discipline as the single step (per-domain mean CE
+    * fixed at 6 dp; weights held as 8-dp DECIMAL between steps;
+    * products exact in DECIMAL; one double division per aggregate,
+    * rounded), so a T-step run replays bit-for-bit in SQL as T
+    * unrolled CTE layers (`mix_excess_weights_iter`). The iteration
+    * state is ONE ROW PER DOMAIN — each step is two broadcast one-row
+    * aggregates over a bounded frame, localCheckpoint'd so the plan
+    * stays flat for any T; the corpus is scanned once by the CE pass
+    * and never again. */
+  def excessLossWeightsIter(df: DataFrame, idCol: String, textCol: String,
+                            domainCol: String, eta: Double = 1.0,
+                            steps: Int = 3): DataFrame = {
+    require(eta >= 0.0, s"excessLossWeightsIter: eta must be >= 0, got $eta")
+    require(steps >= 1, s"excessLossWeightsIter: steps must be >= 1, got $steps")
+    val per = perDomainCe(df, idCol, textCol, domainCol).localCheckpoint()
+    val gt = per.agg(sum(col("n_trans")).as("__gt"))
+    var w = per.join(broadcast(gt))
+      .select(col("domain"),
+        round(col("n_trans").cast("double") / col("__gt").cast("double"), 8)
+          .cast("decimal(20,8)").as("__w"))
+      .localCheckpoint()
+    for (_ <- 1 to steps) {
+      val joined = per.select(col("domain"), col("mean_ce"))
+        .join(w, Seq("domain"))
+      val bl = joined.agg(
+        sum((col("__w") * col("mean_ce").cast("decimal(18,6)"))
+          .cast("decimal(38,14)")).as("__blMass"),
+        sum(col("__w")).as("__wSum"))
+      val stepped = joined.join(broadcast(bl))
+        .withColumn("__baseline",
+          round(col("__blMass").cast("double") / col("__wSum").cast("double"), 6))
+        .withColumn("__excess",
+          greatest(lit(0.0), round(col("mean_ce") - col("__baseline"), 6)))
+        .withColumn("__tilt",
+          round(col("__w").cast("double") *
+            (lit(1.0) + lit(eta) * col("__excess")), 8).cast("decimal(20,8)"))
+      val z = stepped.agg(sum(col("__tilt")).as("__z"))
+      w = stepped.join(broadcast(z))
+        .select(col("domain"),
+          round(col("__tilt").cast("double") / col("__z").cast("double"), 8)
+            .cast("decimal(20,8)").as("__w"))
+        .localCheckpoint()
+    }
+    per.join(w, Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("n_trans"), col("mean_ce"),
+        round(col("__w").cast("double"), 6).as("weight"))
   }
 
   /** Turn target mix weights into EXECUTABLE per-domain keep rates for

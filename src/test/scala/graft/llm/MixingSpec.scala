@@ -281,6 +281,44 @@ class MixingSpec extends SparkSpec {
     assert(props.map(_._2).max - props.map(_._2).min < 1e-3, props.toString)
   }
 
+  test("excessLossWeightsIter: monotone reweighting of the max-loss domain; eta=0 fixed point") {
+    // engineered domains: 'hard' is random soup (high bigram CE),
+    // 'easy' is one repeated bigram (low CE)
+    val docs = ((1L to 10L).map(i => (i, "easy", "x y " * 20 + "x y")) ++
+      (11L to 20L).map(i => (i, "hard",
+        Seq.tabulate(40)(j => ('a' + (i.toInt * 13 + j * 7) % 26).toChar.toString)
+          .mkString(" "))))
+      .toDF("doc_id", "domain", "text")
+    def wAt(steps: Int): Map[String, Double] =
+      Mixing.excessLossWeightsIter(docs, "doc_id", "text", "domain",
+          steps = steps)
+        .collect().map(r => r.getAs[String]("domain") ->
+          r.getAs[Double]("weight")).toMap
+    val w1 = wAt(1); val w2 = wAt(2); val w4 = wAt(4)
+    // the max-CE domain's multiplicative factor dominates every other
+    // domain's, so its normalized weight never decreases across steps
+    assert(w2("hard") >= w1("hard"), s"$w1 -> $w2")
+    assert(w4("hard") >= w2("hard"), s"$w2 -> $w4")
+    // and it actually moved above its natural token share
+    val row = Mixing.excessLossWeightsIter(docs, "doc_id", "text", "domain",
+        steps = 1)
+      .select(col("domain"), col("n_trans"), col("weight"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val tot = row.map(_._2).sum.toDouble
+    val hardShare = row.find(_._1 == "hard").get._2 / tot
+    assert(w1("hard") > hardShare)
+    // weights always normalize (8-dp residue tolerance)
+    Seq(w1, w2, w4).foreach(w =>
+      assert(math.abs(w.values.sum - 1.0) < 1e-4, w.toString))
+    // eta = 0: the tilt is identity, so ANY step count returns the
+    // natural token shares — the loop's fixed point is exact
+    val w0 = Mixing.excessLossWeightsIter(docs, "doc_id", "text", "domain",
+        eta = 0.0, steps = 3)
+      .collect().map(r => r.getAs[String]("domain") ->
+        r.getAs[Double]("weight")).toMap
+    assert(math.abs(w0("hard") - hardShare) < 1e-4, s"$w0 vs $hardShare")
+  }
+
   test("ratesForTargetWeights: zero-share row fails loudly, not by poisoning") {
     // a hand-set weights row with n_trans = 0 used to produce an
     // Infinite __ratio that silently collapsed every OTHER domain's
