@@ -4886,6 +4886,13 @@ object Queries {
     "regexp_extract" -> Map("column" -> "url", "pattern" -> "doc/([0-9]+)",
       "outCol" -> "doc_id", "castTo" -> "long"),
     "html_extract" -> Map("column" -> "html", "outCol" -> "main_text"),
+    // prune the raw page + transport metadata the moment extraction is
+    // done: the html column is ~the whole corpus by bytes, and the
+    // near-dedup stage downstream materializes its input once — at
+    // 100 TB, carrying raw pages past extraction multiplies every
+    // checkpoint/shuffle by the page size for nothing
+    "drop" -> Map("columns" ->
+      "html,http_status,content_type,warc_date,content_length,len_ok"),
     "url_filter" -> Map("column" -> "url",
       "blockedDomains" -> "src3.example,src7.example,adsite.example",
       "blockedKeywords" -> "casino"),
@@ -5087,7 +5094,7 @@ object Queries {
       // fold the config-registry stages, snapshotting a count per stage;
       // each staged frame is localCheckpoint'd so stage i's count pays
       // only its own increment, not a re-run of the whole WARC prefix
-      // (eight counts over an uncached chain would cost O(stages²)
+      // (nine counts over an uncached chain would cost O(stages²)
       // full crawl passes)
       val staged = shardsChain.scanLeft(("responses", resp.localCheckpoint())) {
         case ((_, df), (kind, opts)) =>
@@ -5107,11 +5114,12 @@ object Queries {
           count(*) AS n_rows FROM u
         UNION ALL SELECT 1, 'regexp_extract', count(*) FROM u
         UNION ALL SELECT 2, 'html_extract', count(*) FROM u
-        UNION ALL SELECT 3, 'url_filter', count(*) FROM f
-        UNION ALL SELECT 4, 'quality_filter', count(*) FROM q
-        UNION ALL SELECT 5, 'dedup_exact', count(*) FROM sv
-        UNION ALL SELECT 6, 'dedup_minhash', count(*) FROM sv2
-        UNION ALL SELECT 7, 'pack_materialize', count(*) FROM packs)
+        UNION ALL SELECT 3, 'drop', count(*) FROM u
+        UNION ALL SELECT 4, 'url_filter', count(*) FROM f
+        UNION ALL SELECT 5, 'quality_filter', count(*) FROM q
+        UNION ALL SELECT 6, 'dedup_exact', count(*) FROM sv
+        UNION ALL SELECT 7, 'dedup_minhash', count(*) FROM sv2
+        UNION ALL SELECT 8, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
   /** The streamed-assignment → certified-shards handoff, executable

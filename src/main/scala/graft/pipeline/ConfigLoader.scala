@@ -108,6 +108,16 @@ object ConfigLoader {
       "with_uid" -> (o => df =>
         df.withColumn(o.getOrElse("column", "etl.uid"), Fns.uuidV4)),
       "limit" -> (o => df => df.limit(req(o, "n").toInt)),
+      // drop columns the downstream stages no longer need — the
+      // column-pruning step a raw-crawl funnel takes right after
+      // extraction: the raw html is ~the whole corpus by bytes, and
+      // carrying it through dedup/pack checkpoints and shuffles
+      // multiplies every materialization by the page size. Absent
+      // columns are ignored (DataFrame.drop semantics) so one config
+      // serves sources with and without optional metadata.
+      "drop" -> (o => df =>
+        df.drop(req(o, "columns").split(",").map(_.trim)
+          .filter(_.nonEmpty): _*)),
       // LLM-pipeline transforms as config steps
       "dedup_exact" -> (o => df =>
         graft.llm.Dedup.exactDedup(df, req(o, "idCol"), req(o, "textCol"))),
