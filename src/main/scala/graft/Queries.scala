@@ -4881,7 +4881,11 @@ object Queries {
     * deliberately relaxes every bound except minWords: the other
     * signals are individually oracle-bound elsewhere
     * (`quality_buckets`, `repetition_stats`, `c4_clean`), and one
-    * active replayable rule keeps the end-to-end oracle exact. */
+    * active replayable rule keeps the end-to-end oracle exact.
+    * `{SFDIR}` in an option value is substituted with the running
+    * scale-factor directory by both consumers (the YAML job writes
+    * the resolved literal path; the funnel substitutes before
+    * applying the registry kind). */
   private val shardsChain: Seq[(String, Map[String, String])] = Seq(
     "regexp_extract" -> Map("column" -> "url", "pattern" -> "doc/([0-9]+)",
       "outCol" -> "doc_id", "castTo" -> "long"),
@@ -4910,6 +4914,21 @@ object Queries {
     // GUARANTEED anchors on top (identical signatures, every band)
     "dedup_minhash" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
       "threshold" -> "0.75"),
+    // benchmark decontamination between near-dedup and packing — the
+    // published funnel's last gate before the trainer sees a token:
+    // any document sharing an exact word 8-gram with the held-out
+    // eval set is dropped. The eval selector is doc_id % 50 = 1 (NOT
+    // the `decontaminate` query's % 50 = 0): multiples of 50 are
+    // multiples of 5, which the casino-keyword URL filter already
+    // removed — that benchmark never intersects the surviving corpus
+    // and the stage would bind nothing. ≡1 (mod 50) is co-prime with
+    // every upstream drop rule, so the gate verifiably removes rows
+    // at each oracle SF. The eval-suite gram set broadcasts; the
+    // corpus pays one gram pass + id anti-join.
+    "decontaminate" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
+      "benchmarkPath" -> "{SFDIR}/documents.parquet",
+      "benchWhere" -> "doc_id % 50 = 1", "benchTextCol" -> "text",
+      "n" -> "8"),
     "pack_materialize" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
       "budget" -> "512"))
 
@@ -4918,8 +4937,10 @@ object Queries {
     * main-text extraction → URL filter → minWords quality gate →
     * exact dedup keep-first → MinHash near-dedup (exact all-pairs
     * word-5-gram Jaccard ≥ 0.75, min-label clustering, canonical
-    * survivor) → doc-order token-offset packing. Ends in CTE `packs`
-    * (pack_id, n_docs, n_tokens).
+    * survivor) → benchmark decontamination (exact word-8-gram overlap
+    * with the doc_id % 50 = 1 eval set, computed from first
+    * principles) → doc-order token-offset packing. Ends in CTE
+    * `packs` (pack_id, n_docs, n_tokens).
     *
     * The near-dedup replay computes TRUE Jaccard for every survivor
     * pair — the superset of what banding can find. Equality with the
@@ -4991,10 +5012,27 @@ object Queries {
         GROUP BY l.doc_id),
       sv2 AS (SELECT sv.doc_id, sv.main_text FROM sv
         JOIN ml2 ON ml2.doc_id = sv.doc_id WHERE ml2.lab = sv.doc_id),
+      bw AS (SELECT string_split(trim(regexp_replace(lower(text),
+          '\\s+', ' ', 'g')), ' ') AS ws
+        FROM documents WHERE doc_id % 50 = 1),
+      bg AS (SELECT DISTINCT unnest(CASE WHEN len(ws) >= 8
+          THEN [array_to_string(ws[i:i+7], ' ')
+                for i in range(1, len(ws) - 6)]
+          ELSE [array_to_string(ws, ' ')] END) AS g FROM bw),
+      cw AS (SELECT doc_id, string_split(trim(regexp_replace(
+          lower(main_text), '\\s+', ' ', 'g')), ' ') AS ws FROM sv2),
+      cg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+          THEN list_distinct([array_to_string(ws[i:i+7], ' ')
+                for i in range(1, len(ws) - 6)])
+          ELSE [array_to_string(ws, ' ')] END) AS g FROM cw),
+      ct AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+      dc AS (SELECT sv2.doc_id, sv2.main_text FROM sv2
+        LEFT JOIN ct ON ct.doc_id = sv2.doc_id
+        WHERE ct.doc_id IS NULL),
       tc AS (SELECT doc_id,
         CASE WHEN trim(main_text) = '' THEN []
              ELSE string_split_regex(trim(main_text), '\\s+') END AS toks
-        FROM sv2),
+        FROM dc),
       oo AS (SELECT doc_id, len(toks) AS n_tokens,
         COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
@@ -5007,8 +5045,9 @@ object Queries {
   /** THE one-config product: raw crawl in, certified trainer shards
     * out. One YAML job drives WARC response ingestion (status +
     * media-type gate at the source), doc-id recovery from the crawl
-    * URL, HTML main-content extraction, URL block/keyword filtering,
-    * the quality gate, exact dedup, context packing, and the
+    * URL, HTML main-content extraction, raw-page column pruning, URL
+    * block/keyword filtering, the quality gate, exact dedup, MinHash
+    * near-dedup, benchmark decontamination, context packing, and the
     * certified `training_shards` sink — every stage a registry kind,
     * no code. The query returns the RE-READ on-disk manifest joined
     * with a per-shard re-aggregation of the written pack data, and
@@ -5024,7 +5063,8 @@ object Queries {
       val transforms = shardsChain.map { case (kind, o) =>
         s"""      - kind: $kind
            |        options:
-           |${o.map { case (k, v) => s"          $k: '$v'" }.mkString("\n")}""".stripMargin
+           |${o.map { case (k, v) =>
+               s"          $k: '${v.replace("{SFDIR}", d)}'" }.mkString("\n")}""".stripMargin
       }.mkString("\n")
       val yaml =
         s"""jobs:
@@ -5094,11 +5134,12 @@ object Queries {
       // fold the config-registry stages, snapshotting a count per stage;
       // each staged frame is localCheckpoint'd so stage i's count pays
       // only its own increment, not a re-run of the whole WARC prefix
-      // (nine counts over an uncached chain would cost O(stages²)
+      // (ten counts over an uncached chain would cost O(stages²)
       // full crawl passes)
       val staged = shardsChain.scanLeft(("responses", resp.localCheckpoint())) {
         case ((_, df), (kind, opts)) =>
-          kind -> graft.pipeline.ConfigLoader.transformKinds(kind)(opts)(df)
+          val resolved = opts.view.mapValues(_.replace("{SFDIR}", d)).toMap
+          kind -> graft.pipeline.ConfigLoader.transformKinds(kind)(resolved)(df)
             .localCheckpoint()
       }
       val counts = staged.zipWithIndex.map { case ((name, df), i) =>
@@ -5119,7 +5160,8 @@ object Queries {
         UNION ALL SELECT 5, 'quality_filter', count(*) FROM q
         UNION ALL SELECT 6, 'dedup_exact', count(*) FROM sv
         UNION ALL SELECT 7, 'dedup_minhash', count(*) FROM sv2
-        UNION ALL SELECT 8, 'pack_materialize', count(*) FROM packs)
+        UNION ALL SELECT 8, 'decontaminate', count(*) FROM dc
+        UNION ALL SELECT 9, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
   /** The streamed-assignment → certified-shards handoff, executable

@@ -628,6 +628,20 @@ object Dedup {
       .where(col("n_contaminated_grams") >= minOverlaps)
   }
 
+  /** The filtering counterpart of [[contaminated]]: the corpus with
+    * every document sharing ≥ minOverlaps exact word n-grams with the
+    * benchmark removed (left-anti on the contaminated id set — id-only
+    * payloads through the shuffle; the contaminated set is
+    * eval-overlap-sized, so AQE broadcasts it). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8,
+                    minOverlaps: Int = 1): DataFrame = {
+    val bad = contaminated(corpus, benchmark, idCol, textCol, n,
+        minOverlaps)
+      .select(col("doc_id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB path for
     * [[contaminated]]. When the benchmark n-gram set is too large to
     * broadcast as strings (hundreds of millions of grams), the corpus

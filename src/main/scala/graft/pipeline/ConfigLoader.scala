@@ -428,6 +428,23 @@ object ConfigLoader {
         graft.llm.Dedup.exactDedupAgainst(df,
           df.sparkSession.read.parquet(req(o, "ledgerPath")),
           req(o, "idCol"), req(o, "textCol"))),
+      // benchmark decontamination (the published funnel's last gate,
+      // between dedup and packing): drop every document sharing
+      // >= minOverlaps exact word n-grams with a benchmark/eval table
+      // read from benchmarkPath (optionally pre-filtered by benchWhere;
+      // benchTextCol names its text column when it differs from the
+      // corpus's). The benchmark gram set is the broadcast side — eval
+      // suites are small; the 100 TB corpus pays one gram pass and an
+      // id-only anti-join.
+      "decontaminate" -> (o => df => {
+        val textCol = req(o, "textCol")
+        val bench0 = df.sparkSession.read.parquet(req(o, "benchmarkPath"))
+        val bench1 = o.get("benchWhere").fold(bench0)(w => bench0.where(expr(w)))
+        val bench = bench1.select(
+          ColumnNs.q(o.getOrElse("benchTextCol", textCol)).as(textCol))
+        graft.llm.Dedup.decontaminate(df, bench, req(o, "idCol"), textCol,
+          o.getOrElse("n", "8").toInt, o.getOrElse("minOverlaps", "1").toInt)
+      }),
       // URL canonicalization before URL-level dedup: case-fold the
       // authority, drop fragments, strip tracking params, normalize
       // trailing slashes — in place, or to outCol

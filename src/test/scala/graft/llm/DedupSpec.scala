@@ -107,6 +107,18 @@ class DedupSpec extends SparkSpec {
     assert(flagged.contains(3L))        // shares most 8-grams
   }
 
+  test("decontaminate drops exactly the contaminated docs, keeping full rows") {
+    val corpus = Seq((1L, baseText), (2L, otherText), (3L, nearText))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, baseText)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, benchmark, "doc_id", "text", n = 8)
+    assert(kept.columns.toSeq == Seq("doc_id", "text")) // payload intact
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L))
+    // empty benchmark: nothing removed
+    assert(Dedup.decontaminate(corpus, benchmark.limit(0), "doc_id", "text",
+      n = 8).count() == 3L)
+  }
+
   test("contaminatedBloom matches contaminated exactly, even with a tiny FP-heavy bitset") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = docs.filter(col("doc_id") % 50 === 0)

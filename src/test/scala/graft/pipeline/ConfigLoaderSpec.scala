@@ -91,6 +91,32 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(ids.select("doc_id").as[Long].collect().toSet == Set(42L, 7L))
   }
 
+  test("decontaminate kind: benchmark table from path, filtered and renamed") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val prose = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, prose),                                     // = benchmark doc 7
+      (2L, "totally disjoint words with no overlap of any benchmark gram " +
+        "at all in this row of plain filler text here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decon_kind").toString
+    // benchmark names its text column differently + carries a split
+    // column the benchWhere must honor (only eval rows count)
+    Seq((7L, prose, "eval"), (8L, "totally disjoint words with no overlap " +
+        "of any benchmark gram at all in this row of plain filler text here",
+        "train"))
+      .toDF("bench_id", "prompt", "split")
+      .write.mode("overwrite").parquet(s"$dir/bench.parquet")
+    val kept = transformKinds("decontaminate")(Map(
+      "idCol" -> "doc_id", "textCol" -> "text",
+      "benchmarkPath" -> s"$dir/bench.parquet",
+      "benchWhere" -> "split = 'eval'", "benchTextCol" -> "prompt"))(corpus)
+    // doc 1 shares 8-grams with the eval row -> dropped; doc 2 matches
+    // only the train row, which benchWhere excludes -> kept
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("bpe_token_count kind: persisted ladder drives config-based counting") {
     import graft.pipeline.ConfigLoader.transformKinds
     val work = Files.createTempDirectory("graft_bpe_cfg").toFile.getPath
