@@ -3696,7 +3696,8 @@ object Queries {
     * query. */
   private def warcResponseFixture(s: SparkSession, d: String,
                                   sub: String,
-                                  plantNearDups: Boolean = false): String = {
+                                  plantNearDups: Boolean = false,
+                                  plantPii: Boolean = false): String = {
     import s.implicits._
     val http = concat(
       when(col("doc_id") % 11 === 0, lit("HTTP/1.1 404 Not Found"))
@@ -3705,11 +3706,22 @@ object Queries {
       when(col("doc_id") % 13 === 0, lit("application/pdf"))
         .otherwise(lit("text/html; charset=UTF-8")),
       lit("\nServer: synthetic"))
+    // plantPii: a deterministic contact tail INSIDE the prose
+    // paragraph for organic docs with doc_id % 9 = 0, so HTML
+    // extraction keeps it and the funnel's scrub_pii stage has real
+    // (controlled) PII to redact. The organic corpus carries no
+    // digits or '@' at any SF (checked), so the scrub regexes are a
+    // guaranteed no-op everywhere else — the DuckDB replay is exact.
+    val piiTail =
+      if (!plantPii) lit("")
+      else when(col("doc_id") % 9 === 0 && col("doc_id") < 1000000L,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@ex.com or call +1 (555) 123-4567 now"))).otherwise(lit(""))
     val html = concat(
       lit("<html><head><title>T</title><script>var x=1;</script></head>" +
         "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
         "<a href=\"/c\">Contact</a></nav><h1>Overview</h1><p>"),
-      col("text"),
+      col("text"), piiTail,
       lit(" pad pad pad pad pad pad pad pad pad end.</p>" +
         "<div><a href=\"/m\">Read more</a></div>" +
         "<footer>(c) example</footer></body></html>"))
@@ -4929,6 +4941,14 @@ object Queries {
       "benchmarkPath" -> "{SFDIR}/documents.parquet",
       "benchWhere" -> "doc_id % 50 = 1", "benchTextCol" -> "text",
       "n" -> "8"),
+    // PII redaction as the LAST rewrite before the trainer sees a
+    // token (the published funnels anonymize at output time): emails,
+    // IPs, long digit runs, phones → typed placeholders. Map-only,
+    // codegen'd regexp chain; the fixture plants deterministic
+    // contact tails (doc_id % 9 = 0) that MUST redact, and the
+    // organic corpus is digit-free so the stage provably touches
+    // exactly the planted rows.
+    "scrub_pii" -> Map("column" -> "main_text"),
     "pack_materialize" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
       "budget" -> "512"))
 
@@ -4939,8 +4959,10 @@ object Queries {
     * word-5-gram Jaccard ≥ 0.75, min-label clustering, canonical
     * survivor) → benchmark decontamination (exact word-8-gram overlap
     * with the doc_id % 50 = 1 eval set, computed from first
-    * principles) → doc-order token-offset packing. Ends in CTE
-    * `packs` (pack_id, n_docs, n_tokens).
+    * principles) → PII redaction (the planted doc_id % 9 = 0 contact
+    * tails through the published scrub regex chain) → doc-order
+    * token-offset packing. Ends in CTE `packs`
+    * (pack_id, n_docs, n_tokens).
     *
     * The near-dedup replay computes TRUE Jaccard for every survivor
     * pair — the superset of what banding can find. Equality with the
@@ -4960,7 +4982,14 @@ object Queries {
           || '.example/doc/' || CAST(doc_id AS VARCHAR)
           || (CASE WHEN doc_id % 5 = 0 THEN '?session=casino' ELSE '' END)
           AS url,
-        $sqlMainText AS main_text
+        'Overview' || chr(10) || chr(10) ||
+          trim(regexp_replace(text
+            || (CASE WHEN doc_id % 9 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@ex.com or call +1 (555) 123-4567 now'
+                ELSE '' END)
+            || ' pad pad pad pad pad pad pad pad pad end.',
+            '\\s+', ' ', 'g')) AS main_text
         FROM documents
         WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
         UNION ALL
@@ -5029,10 +5058,18 @@ object Queries {
       dc AS (SELECT sv2.doc_id, sv2.main_text FROM sv2
         LEFT JOIN ct ON ct.doc_id = sv2.doc_id
         WHERE ct.doc_id IS NULL),
+      sp AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          main_text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+          '\\b\\d{9,}\\b', '<NUMBER>', 'g'),
+          '\\+?\\d[\\d ()-]{7,}\\d', '<PHONE>', 'g') AS main_text
+        FROM dc),
       tc AS (SELECT doc_id,
         CASE WHEN trim(main_text) = '' THEN []
              ELSE string_split_regex(trim(main_text), '\\s+') END AS toks
-        FROM dc),
+        FROM sp),
       oo AS (SELECT doc_id, len(toks) AS n_tokens,
         COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
@@ -5047,9 +5084,9 @@ object Queries {
     * media-type gate at the source), doc-id recovery from the crawl
     * URL, HTML main-content extraction, raw-page column pruning, URL
     * block/keyword filtering, the quality gate, exact dedup, MinHash
-    * near-dedup, benchmark decontamination, context packing, and the
-    * certified `training_shards` sink — every stage a registry kind,
-    * no code. The query returns the RE-READ on-disk manifest joined
+    * near-dedup, benchmark decontamination, PII redaction, context
+    * packing, and the certified `training_shards` sink — every stage
+    * a registry kind, no code. The query returns the RE-READ on-disk manifest joined
     * with a per-shard re-aggregation of the written pack data, and
     * DuckDB replays the ENTIRE funnel from the documents table to the
     * shard checksums — membership, rank digests, token sums, all from
@@ -5059,7 +5096,7 @@ object Queries {
       val dir = tmpDir(d, "curate_to_shards")
       val out = s"$dir/out"
       val warc = warcResponseFixture(s, d, "warc_to_shards",
-        plantNearDups = true)
+        plantNearDups = true, plantPii = true)
       val transforms = shardsChain.map { case (kind, o) =>
         s"""      - kind: $kind
            |        options:
@@ -5127,14 +5164,14 @@ object Queries {
     (s, d) => {
       graft.plans.GraftExtensions.register(s)
       val warc = warcResponseFixture(s, d, "warc_shards_funnel",
-        plantNearDups = true)
+        plantNearDups = true, plantPii = true)
       val resp = Sources.readWarcResponses(s, warc)
         .where(col("http_status") === 200 &&
           col("content_type") === "text/html")
       // fold the config-registry stages, snapshotting a count per stage;
       // each staged frame is localCheckpoint'd so stage i's count pays
       // only its own increment, not a re-run of the whole WARC prefix
-      // (ten counts over an uncached chain would cost O(stages²)
+      // (eleven counts over an uncached chain would cost O(stages²)
       // full crawl passes)
       val staged = shardsChain.scanLeft(("responses", resp.localCheckpoint())) {
         case ((_, df), (kind, opts)) =>
@@ -5161,7 +5198,8 @@ object Queries {
         UNION ALL SELECT 6, 'dedup_exact', count(*) FROM sv
         UNION ALL SELECT 7, 'dedup_minhash', count(*) FROM sv2
         UNION ALL SELECT 8, 'decontaminate', count(*) FROM dc
-        UNION ALL SELECT 9, 'pack_materialize', count(*) FROM packs)
+        UNION ALL SELECT 9, 'scrub_pii', count(*) FROM sp
+        UNION ALL SELECT 10, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
   /** The streamed-assignment → certified-shards handoff, executable
