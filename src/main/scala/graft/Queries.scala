@@ -3693,11 +3693,23 @@ object Queries {
     * mutually distinct (cross-pair Jaccard ≈ 1/7 from the shared
     * pad-suffix grams only). These anchor the funnel's near-dedup
     * stage the way `dedup_minhash_planted` anchors the standalone
-    * query. */
+    * query. The planted texts carry a leading `the ` so the funnel's
+    * language gate classifies them `en` (period-1 repetition makes
+    * the distinct-gram set boundary-determined, so the 1.0 Jaccard
+    * survives the prefix).
+    *
+    * `plantLang = true` appends the full German stopword list to the
+    * prose paragraph for organic docs with doc_id ≡ 5 (mod 21): 18
+    * distinct deStop hits vs at most 3 English hits flips
+    * [[TextAnalysis.langId]] to `de` deterministically, giving the
+    * funnel's lang_filter gate guaranteed non-English rows. Disjoint
+    * from the PII plant by CRT (x ≡ 5 mod 21 ⇒ x ≡ 2 mod 3, while
+    * x ≡ 0 mod 9 ⇒ x ≡ 0 mod 3). */
   private def warcResponseFixture(s: SparkSession, d: String,
                                   sub: String,
                                   plantNearDups: Boolean = false,
-                                  plantPii: Boolean = false): String = {
+                                  plantPii: Boolean = false,
+                                  plantLang: Boolean = false): String = {
     import s.implicits._
     val http = concat(
       when(col("doc_id") % 11 === 0, lit("HTTP/1.1 404 Not Found"))
@@ -3717,11 +3729,17 @@ object Queries {
       else when(col("doc_id") % 9 === 0 && col("doc_id") < 1000000L,
         concat(lit(" contact user"), col("doc_id").cast("string"),
           lit("@ex.com or call +1 (555) 123-4567 now"))).otherwise(lit(""))
+    // plantLang: see the Scaladoc — the one stopword-list constant
+    // feeds both this tail and the DuckDB replay, so they cannot drift
+    val langTail =
+      if (!plantLang) lit("")
+      else when(col("doc_id") % 21 === 5 && col("doc_id") < 1000000L,
+        lit(" " + TextAnalysis.deStop.mkString(" "))).otherwise(lit(""))
     val html = concat(
       lit("<html><head><title>T</title><script>var x=1;</script></head>" +
         "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
         "<a href=\"/c\">Contact</a></nav><h1>Overview</h1><p>"),
-      col("text"), piiTail,
+      col("text"), piiTail, langTail,
       lit(" pad pad pad pad pad pad pad pad pad end.</p>" +
         "<div><a href=\"/m\">Read more</a></div>" +
         "<footer>(c) example</footer></body></html>"))
@@ -3743,7 +3761,7 @@ object Queries {
     val docs =
       if (!plantNearDups) base
       else base.unionByName(plantedNearDupDocs
-        .map { case (id, tok, n) => (id, "plantedsrc", (s"$tok " * n).trim) }
+        .map { case (id, tok, n) => (id, "plantedsrc", "the " + (s"$tok " * n).trim) }
         .toDF("doc_id", "source", "text"))
     docs.select(rec.as("value")).unionByName(req)
       .repartition(4)
@@ -4912,6 +4930,16 @@ object Queries {
     "url_filter" -> Map("column" -> "url",
       "blockedDomains" -> "src3.example,src7.example,adsite.example",
       "blockedKeywords" -> "casino"),
+    // language gate between the URL filter and the quality rules —
+    // the published FineWeb position, and the cost-ordered one (URL
+    // drops are free, the stopword scan is one map-only pass, the
+    // quality rules then run on less). Keeps langId(main_text) = 'en':
+    // organic docs classify en (a/the present) or und (dozens of
+    // docs per SF carry neither stopword — real organic drops), and
+    // the plantLang rows classify de by an 18-stopword margin. The
+    // replay computes the decision from first principles with the
+    // same stopword constants.
+    "lang_filter" -> Map("column" -> "main_text", "lang" -> "en"),
     "quality_filter" -> Map("column" -> "main_text", "minWords" -> "45",
       "minMeanWordLen" -> "0", "maxMeanWordLen" -> "1000",
       "maxPunctRatio" -> "1.0"),
@@ -4954,7 +4982,9 @@ object Queries {
 
   /** The shared DuckDB replay of [[shardsChain]] up to the packs
     * frame: fixture gate (incl. the planted near-dup pairs) →
-    * main-text extraction → URL filter → minWords quality gate →
+    * main-text extraction → URL filter → language gate (the exact
+    * [[TextAnalysis.langId]] stopword decision, same constants, kept
+    * lang = en) → minWords quality gate →
     * exact dedup keep-first → MinHash near-dedup (exact all-pairs
     * word-5-gram Jaccard ≥ 0.75, min-label clustering, canonical
     * survivor) → benchmark decontamination (exact word-8-gram overlap
@@ -4988,6 +5018,9 @@ object Queries {
                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
                   || '@ex.com or call +1 (555) 123-4567 now'
                 ELSE '' END)
+            || (CASE WHEN doc_id % 21 = 5
+                THEN ' ${TextAnalysis.deStop.mkString(" ")}'
+                ELSE '' END)
             || ' pad pad pad pad pad pad pad pad pad end.',
             '\\s+', ' ', 'g')) AS main_text
         FROM documents
@@ -4998,7 +5031,7 @@ object Queries {
           $sqlMainText AS main_text
         FROM (SELECT CAST(pv.id AS BIGINT) AS doc_id,
             'plantedsrc' AS source,
-            trim(repeat(pv.tok || ' ', pv.n)) AS text
+            'the ' || trim(repeat(pv.tok || ' ', pv.n)) AS text
           FROM (VALUES $sqlPlantedNearDups) pv(id, tok, n))),
       h AS (SELECT *, lower(regexp_extract(url,
           '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^/:?#]+)', 1))
@@ -5010,7 +5043,21 @@ object Queries {
                ELSE host END)
               NOT IN ('src3.example', 'src7.example', 'adsite.example')
           AND NOT contains(lower(url), 'casino')),
-      q AS (SELECT doc_id, main_text FROM f
+      lw AS (SELECT doc_id, main_text,
+        string_split(trim(regexp_replace(lower(main_text),
+          '\\s+', ' ', 'g')), ' ') AS ws FROM f),
+      lsc AS (SELECT doc_id, main_text,
+        ${sqlStopHits("ws", TextAnalysis.enStop)} AS s_en,
+        ${sqlStopHits("ws", TextAnalysis.deStop)} AS s_de,
+        ${sqlStopHits("ws", TextAnalysis.frStop)} AS s_fr,
+        ${sqlStopHits("ws", TextAnalysis.esStop)} AS s_es,
+        len(regexp_extract_all(main_text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM lw),
+      lf AS (SELECT doc_id, main_text FROM lsc
+        WHERE greatest(s_en, s_de, s_fr, s_es, s_zh) > 0
+          AND s_zh < greatest(s_en, s_de, s_fr, s_es, s_zh)
+          AND s_en = greatest(s_en, s_de, s_fr, s_es, s_zh)),
+      q AS (SELECT doc_id, main_text FROM lf
         WHERE len(string_split(trim(regexp_replace(lower(main_text),
           '\\s+', ' ', 'g')), ' ')) >= 45),
       kd AS (SELECT doc_id, main_text,
@@ -5083,9 +5130,10 @@ object Queries {
     * out. One YAML job drives WARC response ingestion (status +
     * media-type gate at the source), doc-id recovery from the crawl
     * URL, HTML main-content extraction, raw-page column pruning, URL
-    * block/keyword filtering, the quality gate, exact dedup, MinHash
-    * near-dedup, benchmark decontamination, PII redaction, context
-    * packing, and the certified `training_shards` sink — every stage
+    * block/keyword filtering, the language gate, the quality gate,
+    * exact dedup, MinHash near-dedup, benchmark decontamination, PII
+    * redaction, context packing, and the certified `training_shards`
+    * sink — every stage
     * a registry kind, no code. The query returns the RE-READ on-disk manifest joined
     * with a per-shard re-aggregation of the written pack data, and
     * DuckDB replays the ENTIRE funnel from the documents table to the
@@ -5096,7 +5144,7 @@ object Queries {
       val dir = tmpDir(d, "curate_to_shards")
       val out = s"$dir/out"
       val warc = warcResponseFixture(s, d, "warc_to_shards",
-        plantNearDups = true, plantPii = true)
+        plantNearDups = true, plantPii = true, plantLang = true)
       val transforms = shardsChain.map { case (kind, o) =>
         s"""      - kind: $kind
            |        options:
@@ -5164,14 +5212,14 @@ object Queries {
     (s, d) => {
       graft.plans.GraftExtensions.register(s)
       val warc = warcResponseFixture(s, d, "warc_shards_funnel",
-        plantNearDups = true, plantPii = true)
+        plantNearDups = true, plantPii = true, plantLang = true)
       val resp = Sources.readWarcResponses(s, warc)
         .where(col("http_status") === 200 &&
           col("content_type") === "text/html")
       // fold the config-registry stages, snapshotting a count per stage;
       // each staged frame is localCheckpoint'd so stage i's count pays
       // only its own increment, not a re-run of the whole WARC prefix
-      // (eleven counts over an uncached chain would cost O(stages²)
+      // (twelve counts over an uncached chain would cost O(stages²)
       // full crawl passes)
       val staged = shardsChain.scanLeft(("responses", resp.localCheckpoint())) {
         case ((_, df), (kind, opts)) =>
@@ -5194,12 +5242,13 @@ object Queries {
         UNION ALL SELECT 2, 'html_extract', count(*) FROM u
         UNION ALL SELECT 3, 'drop', count(*) FROM u
         UNION ALL SELECT 4, 'url_filter', count(*) FROM f
-        UNION ALL SELECT 5, 'quality_filter', count(*) FROM q
-        UNION ALL SELECT 6, 'dedup_exact', count(*) FROM sv
-        UNION ALL SELECT 7, 'dedup_minhash', count(*) FROM sv2
-        UNION ALL SELECT 8, 'decontaminate', count(*) FROM dc
-        UNION ALL SELECT 9, 'scrub_pii', count(*) FROM sp
-        UNION ALL SELECT 10, 'pack_materialize', count(*) FROM packs)
+        UNION ALL SELECT 5, 'lang_filter', count(*) FROM lf
+        UNION ALL SELECT 6, 'quality_filter', count(*) FROM q
+        UNION ALL SELECT 7, 'dedup_exact', count(*) FROM sv
+        UNION ALL SELECT 8, 'dedup_minhash', count(*) FROM sv2
+        UNION ALL SELECT 9, 'decontaminate', count(*) FROM dc
+        UNION ALL SELECT 10, 'scrub_pii', count(*) FROM sp
+        UNION ALL SELECT 11, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
   /** The streamed-assignment → certified-shards handoff, executable
