@@ -2822,9 +2822,10 @@ object Queries {
   /** The iterated DoReMi loop's DuckDB replay: `steps` unrolled CTE
     * layers, each re-pricing the baseline as the current-mix-weighted
     * mean CE, tilting, and renormalizing — generated by the same loop
-    * count the Spark side runs, so the two cannot drift. Sits on the
-    * shared `per` CTE (per-domain CE mass) from
-    * [[sqlExcessWeightCtes]]'s prefix. */
+    * count the Spark side runs, so the two cannot drift. NOTE: this
+    * chain INLINES its own copy of the dsrc/m/per prefix (it is NOT
+    * shared with [[sqlExcessWeightCtes]] — the two CE pipelines must be
+    * kept in step by hand if the numeric discipline ever changes). */
   private def sqlExcessIterCtes(steps: Int, eta: Double): String = {
     val head =
       s"""$sqlBigramCeCtes,
@@ -5251,6 +5252,29 @@ object Queries {
         UNION ALL SELECT 11, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
+  /** Replay the [[shardsChain]] registry stages up to and INCLUDING
+    * `throughKind` over the WARC fixture — spec access to the
+    * intermediate funnel frames (the Jaccard-gap assertion in
+    * ShardsChainGapSpec needs the exact frame ENTERING the near-dedup
+    * stage; re-deriving it outside the registry would bind nothing). */
+  private[graft] def shardsChainThrough(s: SparkSession, d: String,
+                                        throughKind: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    require(shardsChain.exists(_._1 == throughKind),
+      s"shardsChainThrough: no stage '$throughKind' in the chain")
+    val warc = warcResponseFixture(s, d, "warc_gap_probe",
+      plantNearDups = true, plantPii = true, plantLang = true)
+    val resp = Sources.readWarcResponses(s, warc)
+      .where(col("http_status") === 200 &&
+        col("content_type") === "text/html")
+    val upTo = shardsChain.takeWhile(_._1 != throughKind) ++
+      shardsChain.find(_._1 == throughKind)
+    upTo.foldLeft(resp) { case (df, (kind, opts)) =>
+      val resolved = opts.view.mapValues(_.replace("{SFDIR}", d)).toMap
+      graft.pipeline.ConfigLoader.transformKinds(kind)(resolved)(df)
+    }
+  }
+
   /** The streamed-assignment → certified-shards handoff, executable
     * and oracle-bound (the PLANS d87fc68 claim): the continuous chain
     * ends at the pack ASSIGNMENT — a ledger
@@ -6093,13 +6117,25 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Similarity.PqModel)]()
 
   private def annAuditIndexes(d: String,
-                              emb: DataFrame): (String, Similarity.PqModel) =
-    annAuditShared.computeIfAbsent(d, _ => {
+                              emb: DataFrame): (String, Similarity.PqModel) = {
+    // key on (sfDir, corpus fingerprint), not sfDir alone: a regenerated
+    // embeddings fixture at the same path within one JVM must not
+    // silently reuse indexes built from the OLD vectors (round-11
+    // ADVICE). The fingerprint is one order-independent column-pruned
+    // pass (count + summed per-row hash over id AND vector bytes) —
+    // microseconds next to the index builds it guards.
+    // DECIMAL sum: ±2⁶³ hash values long-summed would overflow (an
+    // ANSI-mode error), and the fingerprint must never be lossy
+    val fp = emb.agg(count(lit(1)).as("n"),
+      sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))
+        .as("h")).head()
+    annAuditShared.computeIfAbsent(s"$d#${fp.getLong(0)}#${fp.get(1)}", _ => {
       val dir = tmpDir(d, "recall_audit_shared")
       Similarity.buildIvfPqIndex(emb, dir)
       Similarity.buildIvfIndex(emb, s"$dir/ivf")
       (dir, Similarity.fitPq(emb))
     })
+  }
 
   /** The four index families' recall rows against ONE shared
     * brute-force ground truth — used by both recall-audit queries. */

@@ -21,5 +21,16 @@ class CoverageSpec extends AnyFunSuite {
     val names = Queries.all.map(_.name)
     val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    // the driver consumes SparkEntry's Map adapters, not Queries.all —
+    // verify the adapter layer preserves the registry (oracle keys are
+    // structurally a subset via QueryDef, but the adapter could still
+    // drop entries through a name collision in toMap)
+    val qKeys = SparkEntry.queries.keySet
+    assert(qKeys == names.toSet,
+      s"SparkEntry.queries drifted from the registry: " +
+        s"missing ${(names.toSet -- qKeys).mkString(", ")}")
+    val orphanOracles = SparkEntry.oracleSql.keySet -- qKeys
+    assert(orphanOracles.isEmpty,
+      s"oracle keys with no registered query: ${orphanOracles.mkString(", ")}")
   }
 }
