@@ -2735,9 +2735,9 @@ object Queries {
     * per-transition rounding + DECIMAL accumulation). Ends in
     * `dce (doc_id, n_trans, bigram_ce)` — used by `doc_bigram_ce`
     * and the excess-loss reweighting oracle. */
-  private val sqlBigramCeCtes: String =
+  private def sqlBigramCeCtesFrom(rel: String): String =
     s"""wl AS (SELECT doc_id,
-            list_filter($sqlWords, x -> x <> '') AS w FROM documents),
+            list_filter($sqlWords, x -> x <> '') AS w FROM $rel),
       trs AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM
             (SELECT doc_id, unnest(list_transform(range(1, len(w)),
                i -> {'w1': w[i], 'w2': w[i+1]})) AS p
@@ -2758,6 +2758,8 @@ object Queries {
                   / count(*), 4) AS bigram_ce
         FROM trs JOIN priced USING (w1, w2)
         GROUP BY doc_id)"""
+
+  private val sqlBigramCeCtes: String = sqlBigramCeCtesFrom("documents")
 
   private val docBigramCe = QueryDef("doc_bigram_ce",
     (s, d) => TextAnalysis.bigramCrossEntropy(t(s, d, "documents"),
@@ -2826,11 +2828,17 @@ object Queries {
     * chain INLINES its own copy of the dsrc/m/per prefix (it is NOT
     * shared with [[sqlExcessWeightCtes]] — the two CE pipelines must be
     * kept in step by hand if the numeric discipline ever changes). */
-  private def sqlExcessIterCtes(steps: Int, eta: Double): String = {
+  private def sqlExcessIterCtes(steps: Int, eta: Double,
+                                rel: String = "documents"): String = {
+    // pm / j$t / tl$t are each referenced twice per layer (and pm by
+    // EVERY layer); left to DuckDB's default inlining the expression
+    // tree doubles per layer — measured 8.8 s → 0.07 s at sf0.001 with
+    // the shared frames pinned MATERIALIZED (plain hints, results
+    // unchanged)
     val head =
-      s"""$sqlBigramCeCtes,
+      s"""${sqlBigramCeCtesFrom(rel)},
       dsrc AS (SELECT d.source AS domain, c.n_trans, c.bigram_ce
-        FROM documents d JOIN dce c USING (doc_id)),
+        FROM $rel d JOIN dce c USING (doc_id)),
       m AS (SELECT domain, n_trans,
         CAST(CAST(bigram_ce AS DECIMAL(18,4)) *
              CAST(n_trans AS DECIMAL(18,0)) AS DECIMAL(38,4)) AS mass
@@ -2838,21 +2846,21 @@ object Queries {
       per AS (SELECT domain, count(*) AS n_docs,
         CAST(SUM(n_trans) AS BIGINT) AS n_trans, SUM(mass) AS cemass
         FROM m GROUP BY domain),
-      pm AS (SELECT domain, n_docs, n_trans,
+      pm AS MATERIALIZED (SELECT domain, n_docs, n_trans,
         round(CAST(cemass AS DOUBLE) / n_trans, 6) AS mean_ce FROM per),
       gt AS (SELECT CAST(SUM(n_trans) AS BIGINT) AS gtrans FROM pm),
       w0 AS (SELECT domain,
         CAST(round(CAST(n_trans AS DOUBLE) / gt.gtrans, 8) AS DECIMAL(20,8))
           AS w FROM pm CROSS JOIN gt)"""
     val layers = (1 to steps).map { t =>
-      s"""j$t AS (SELECT pm.domain, pm.mean_ce, w.w
+      s"""j$t AS MATERIALIZED (SELECT pm.domain, pm.mean_ce, w.w
         FROM pm JOIN w${t - 1} w USING (domain)),
       b$t AS (SELECT SUM(CAST(w * CAST(mean_ce AS DECIMAL(18,6))
             AS DECIMAL(38,14))) AS blmass, SUM(w) AS wsum FROM j$t),
       s$t AS (SELECT domain, mean_ce, w,
         round(CAST(b.blmass AS DOUBLE) / CAST(b.wsum AS DOUBLE), 6)
           AS baseline FROM j$t CROSS JOIN b$t b),
-      tl$t AS (SELECT domain, CAST(round(CAST(w AS DOUBLE) *
+      tl$t AS MATERIALIZED (SELECT domain, CAST(round(CAST(w AS DOUBLE) *
           (1.0 + $eta * greatest(0.0, round(mean_ce - baseline, 6))), 8)
           AS DECIMAL(20,8)) AS tilt FROM s$t),
       z$t AS (SELECT SUM(tilt) AS z FROM tl$t),
@@ -2900,6 +2908,55 @@ object Queries {
       SELECT domain, n_trans, share, weight,
         round(ratio / mxr.mx, 6) AS rate
       FROM rt CROSS JOIN mxr ORDER BY domain"""))
+
+  /** Weights→rates→hex-threshold replay tail on top of
+    * [[sqlExcessIterCtes]]'s `w{steps}`/`pm` frames — mirrors
+    * [[graft.llm.Mixing.ratesForTargetWeights]] (6-dp share/ratio/rate
+    * over the 6-dp-rounded iterated weight) plus
+    * [[graft.llm.Mixing.hexThreshold]]: rate 1.0 → 'g' (sorts above
+    * every hex char, keeps every row), else the 8-hex-char value of
+    * round(rate·2³²) — exact-tie rounding differences are impossible
+    * (k·2³³ ≡ 5·10⁵ (mod 10⁶) has no solution for 6-dp rates), so the
+    * two engines' thresholds agree bit-for-bit. Ends in
+    * `thr (domain, th)`. */
+  private def sqlMixThresholdCtes(steps: Int): String =
+    s"""wts2 AS MATERIALIZED (SELECT pm.domain, pm.n_trans,
+        round(CAST(w.w AS DOUBLE), 6) AS weight
+        FROM pm JOIN w$steps w USING (domain)),
+      wtot AS (SELECT CAST(SUM(CAST(n_trans AS DECIMAL(38,0)))
+          AS DECIMAL(38,0)) AS wt FROM wts2),
+      shr AS (SELECT domain,
+        round(CAST(n_trans AS DOUBLE) / CAST(wtot.wt AS DOUBLE), 6) AS share,
+        weight FROM wts2 CROSS JOIN wtot),
+      rr AS (SELECT domain, round(weight / share, 6) AS ratio FROM shr),
+      mxr AS (SELECT max(ratio) AS mx FROM rr),
+      rts AS (SELECT domain, round(ratio / mxr.mx, 6) AS rate
+        FROM rr CROSS JOIN mxr),
+      thr AS (SELECT domain, CASE WHEN rate >= 1.0 THEN 'g'
+          ELSE printf('%08x', CAST(round(rate * 4294967296.0) AS BIGINT))
+        END AS th FROM rts)"""
+
+  /** The DoReMi resample applied THROUGH the config registry
+    * ([[graft.pipeline.ConfigLoader]]'s `mix_excess` kind →
+    * [[graft.llm.Mixing.mixByExcessLoss]]): iterated excess-loss
+    * weights (3 steps) → executable keep rates → md5-bucket
+    * stratified sample, end to end over the documents corpus with
+    * sources as domains. DuckDB replays the ENTIRE composition — the
+    * corpus bigram-LM CE, the 3 unrolled weight layers, the
+    * rate/threshold arithmetic, and the per-row bucket decision — so
+    * survivor MEMBERSHIP binds every number in the chain. */
+  private val mixExcessApplied = QueryDef("mix_excess_applied",
+    (s, d) => graft.pipeline.ConfigLoader.transformKinds("mix_excess")(Map(
+        "idCol" -> "doc_id", "textCol" -> "text", "domainCol" -> "source",
+        "steps" -> "3"))(t(s, d, "documents"))
+      .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+    Some(s"""WITH ${sqlExcessIterCtes(3, 1.0)},
+      ${sqlMixThresholdCtes(3)}
+      SELECT d.doc_id, d.source FROM documents d
+      LEFT JOIN thr ON thr.domain = d.source
+      WHERE substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        < COALESCE(thr.th, 'g')
+      ORDER BY d.doc_id"""))
 
   /** Integer value of the first `n` md5 hex chars of `e` as pure
     * substring arithmetic (engine-portable — no conv()/from_hex). */
@@ -5252,6 +5309,132 @@ object Queries {
         UNION ALL SELECT 11, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
+  /** Curation → TRAINER MIX → packing as ONE config — the published
+    * pipeline order (Dolma/DoReMi/the Pile apply a domain mix between
+    * curation and packing) that [[shardsChain]] does not cover: a YAML
+    * job runs quality gating, exact dedup (bound by planted id-shifted
+    * twins — the organic corpus has no exact dups), the `mix_excess`
+    * DoReMi stage (iterated excess-loss weights measured ON THE
+    * SURVIVING corpus → executable keep rates → md5-bucket stratified
+    * resample, sources as domains), context packing, and certified
+    * `training_shards` — every stage a registry kind, no code. The
+    * DuckDB oracle replays the ENTIRE composition from the documents
+    * table to the shard checksums: the twin-planting union, both
+    * gates, the corpus bigram CE, all 3 DoReMi weight layers, the
+    * rate→threshold arithmetic, the per-row sampling decision, and
+    * doc-order packing — shard membership binds every number in the
+    * mix. */
+  private val curateMixedShards = QueryDef("curate_mixed_shards",
+    (s, d) => {
+      val dir = tmpDir(d, "curate_mixed_shards")
+      val out = s"$dir/out"
+      val src = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      src.unionByName(src.where(col("doc_id") % 17 === 3)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("source"), col("text")))
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      val yaml =
+        s"""jobs:
+           |  - name: curate_mixed_shards
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/docs
+           |        prefix: ""
+           |    transform:
+           |      - kind: quality_filter
+           |        options:
+           |          column: 'text'
+           |          minWords: '45'
+           |          minMeanWordLen: '0'
+           |          maxMeanWordLen: '1000'
+           |          maxPunctRatio: '1.0'
+           |      - kind: dedup_exact
+           |        options:
+           |          idCol: 'doc_id'
+           |          textCol: 'text'
+           |      - kind: mix_excess
+           |        options:
+           |          idCol: 'doc_id'
+           |          textCol: 'text'
+           |          domainCol: 'source'
+           |          steps: '3'
+           |      - kind: pack_materialize
+           |        options:
+           |          idCol: 'doc_id'
+           |          textCol: 'text'
+           |          budget: '512'
+           |    load:
+           |      - kind: training_shards
+           |        options:
+           |          idCol: pack_id
+           |          dir: $out
+           |          nShards: 4
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      val manifest = s.read.parquet(s"$out/manifest")
+      val data = s.read.parquet(s"$out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(s"""WITH du AS (SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+        WHERE doc_id % 17 = 3),
+      mq AS (SELECT doc_id, source, text FROM du
+        WHERE len(string_split(trim(regexp_replace(lower(text),
+          '\\s+', ' ', 'g')), ' ')) >= 45),
+      mkd AS (SELECT doc_id, source, text,
+        min(doc_id) OVER (PARTITION BY
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keep
+        FROM mq),
+      msv AS MATERIALIZED (SELECT doc_id, source, text
+        FROM mkd WHERE doc_id = keep),
+      ${sqlExcessIterCtes(3, 1.0, "msv")},
+      ${sqlMixThresholdCtes(3)},
+      mixed AS (SELECT s.doc_id, s.text FROM msv s
+        LEFT JOIN thr ON thr.domain = s.source
+        WHERE substr(md5('graft' || CAST(s.doc_id AS VARCHAR)), 1, 8)
+          < COALESCE(thr.th, 'g')),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM mixed),
+      oo AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      pp AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM oo),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM pp GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   /** Replay the [[shardsChain]] registry stages up to and INCLUDING
     * `throughKind` over the WARC fixture — spec access to the
     * intermediate funnel frames (the Jaccard-gap assertion in
@@ -6919,7 +7102,7 @@ object Queries {
     dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixExcessWeights,
-    mixExcessWeightsIter, mixExcessRates, mixSplit,
+    mixExcessWeightsIter, mixExcessRates, mixExcessApplied, mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
@@ -6935,7 +7118,8 @@ object Queries {
     packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
-    curateToShardsYaml, curateToShardsFunnel, packStreamMaterialize,
+    curateToShardsYaml, curateToShardsFunnel, curateMixedShards,
+    packStreamMaterialize,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,

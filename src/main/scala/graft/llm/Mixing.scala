@@ -384,6 +384,44 @@ object Mixing {
         round(col("__w").cast("double"), 6).as("weight"))
   }
 
+  /** The DoReMi trainer-mix stage as ONE operator — the published
+    * two-phase recipe (Xie et al. 2023: train a proxy to measure
+    * per-domain excess loss, then RESAMPLE the corpus under the
+    * resulting weights) composed end to end: iterated excess-loss
+    * weights over the corpus's own bigram-LM CE
+    * ([[excessLossWeightsIter]]), weights → executable keep rates
+    * ([[ratesForTargetWeights]]), rates → the map-only stratified
+    * sample ([[mixStrata]]). This is the composition a curation chain
+    * runs between dedup and packing; the `mix_excess` config kind
+    * exposes it as a registry stage.
+    *
+    * The per-domain rates table is ONE ROW PER DOMAIN; collecting it
+    * to the driver is the bounded-driver-table pattern (BPE merge
+    * tables, k-means centroids), and turns the resample into a pure
+    * codegen'd CASE predicate over the corpus — the corpus pays the
+    * one CE scan [[excessLossWeightsIter]] already costs plus one
+    * map-only filter pass, no join. Domains with no scoreable
+    * document (< 2 words everywhere — no CE row, no natural share)
+    * and null domains fall to `defaultRate` 1.0: a domain the proxy
+    * cannot price is passed through, not silently dropped.
+    *
+    * NOTE for chain use: the input is scanned twice (CE pass +
+    * filter pass) — stage wrappers over lazy multi-stage lineages
+    * should materialize the input once first (the `mix_excess` kind
+    * does, the `dedup_minhash` convention). */
+  def mixByExcessLoss(df: DataFrame, idCol: String, textCol: String,
+                      domainCol: String, eta: Double = 1.0,
+                      steps: Int = 1, salt: String = "graft"): DataFrame = {
+    val weights = excessLossWeightsIter(df, idCol, textCol, domainCol,
+      eta, steps)
+    val rates = ratesForTargetWeights(weights)
+      .select(col("domain").cast("string").as("domain"), col("rate"))
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    mixStrata(df, domainCol, idCol, rates, defaultRate = 1.0, salt)
+  }
+
   /** Turn target mix weights into EXECUTABLE per-domain keep rates for
     * [[mixStrata]] — the step from "domain i should carry
     * weight w_i" ([[excessLossWeights]], or any hand-set target mix)

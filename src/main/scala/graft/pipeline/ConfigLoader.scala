@@ -221,6 +221,21 @@ object ConfigLoader {
       "upsample" -> (o => df =>
         graft.llm.Mixing.upsample(df, req(o, "keyCol"),
           req(o, "rate").toDouble, o.getOrElse("salt", "graft"))),
+      // the DoReMi trainer-mix stage as ONE chain step (the published
+      // two-phase recipe: measure iterated excess-loss weights on the
+      // corpus itself, then resample it under them): weights -> rates
+      // -> map-only stratified sample. Multi-pass over its input (CE
+      // scan + filter scan), so the stage materializes the incoming
+      // lazy chain ONCE first — the dedup_minhash stage-boundary
+      // convention
+      "mix_excess" -> (o => df => {
+        val input = df.localCheckpoint()
+        graft.llm.Mixing.mixByExcessLoss(input, req(o, "idCol"),
+          req(o, "textCol"), req(o, "domainCol"),
+          eta = o.getOrElse("eta", "1.0").toDouble,
+          steps = o.getOrElse("steps", "1").toInt,
+          salt = o.getOrElse("salt", "graft"))
+      }),
       "top_k_per_stratum" -> (o => df =>
         graft.llm.Mixing.topKPerStratum(df, req(o, "stratumCol"),
           ColumnNs.q(req(o, "scoreCol")), req(o, "keyCol"),

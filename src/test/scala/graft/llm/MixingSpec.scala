@@ -339,4 +339,41 @@ class MixingSpec extends SparkSpec {
       .toMap
     assert(ok("a") == 1.0 && ok("b") > 0.0 && ok("b") < 1.0)
   }
+
+  test("mixByExcessLoss: hard domain saturates, easy downsamples, eta=0 identity") {
+    // the engineered corpus from the iter test: 'hard' (random soup,
+    // high CE) gets upweighted -> its rate saturates at 1.0 and EVERY
+    // hard row survives; 'easy' keeps proportionally less
+    val docs = ((1L to 30L).map(i => (i, "easy", "x y " * 20 + "x y")) ++
+      (31L to 60L).map(i => (i, "hard",
+        Seq.tabulate(40)(j => ('a' + (i.toInt * 13 + j * 7) % 26).toChar.toString)
+          .mkString(" "))))
+      .toDF("doc_id", "domain", "text")
+    val mixed = Mixing.mixByExcessLoss(docs, "doc_id", "text", "domain",
+      steps = 2)
+    val byDom = mixed.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("hard") == 30L,
+      s"the max-upweight domain must keep rate 1.0, got $byDom")
+    assert(byDom.getOrElse("easy", 0L) < 30L,
+      s"the low-loss domain must be downsampled, got $byDom")
+    // survivors are a SUBSET decided per key: membership is stable
+    // under repartitioning (the deterministic-sampling contract)
+    val again = Mixing.mixByExcessLoss(docs.repartition(7), "doc_id",
+      "text", "domain", steps = 2)
+    assert(rowsOf(mixed) == rowsOf(again))
+    // eta = 0: weights are the natural shares, every rate is 1.0 (up
+    // to the 6-dp rounding of share/ratio), output ≡ input
+    val id = Mixing.mixByExcessLoss(docs, "doc_id", "text", "domain",
+      eta = 0.0, steps = 3)
+    assert(id.count() == docs.count())
+    // a domain with no scoreable doc (single word — no CE transition)
+    // has no rate row and passes through at defaultRate 1.0
+    val withMute = docs.unionByName(
+      Seq((100L, "mute", "solo")).toDF("doc_id", "domain", "text"))
+    val mixedMute = Mixing.mixByExcessLoss(withMute, "doc_id", "text",
+      "domain", steps = 2)
+    assert(mixedMute.where(col("domain") === "mute").count() == 1L,
+      "unscoreable domain must pass through, not be dropped")
+  }
 }
