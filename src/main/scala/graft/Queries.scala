@@ -5552,6 +5552,72 @@ object Queries {
         CAST(SUM(n_docs) AS BIGINT) AS sum_docs
       FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** SHUFFLED epoch-boundary shards from a persisted assignment — the
+    * `materialize_shards` kind's `epochSalt` mode (round-12): the
+    * doc-order ledger's membership + token counts re-pack in
+    * epoch-salted md5-rank order (the `pack_shuffled` machinery) before
+    * shard assembly, so a streamed pipeline ships trainer-ready
+    * SHUFFLED shards at each epoch boundary while the ledger itself
+    * stays doc-ordered and stream-extendable. DuckDB replays the epoch
+    * rank, the rank-ordered offsets, the re-packed frames, and the
+    * shard checksums from first principles. StreamingSpec proves
+    * streamed-assignment + shuffled-materialize ≡ one-shot over the
+    * same docs byte-for-byte. */
+  private val materializeShardsShuffled = QueryDef("materialize_shards_shuffled",
+    (s, d) => {
+      val dir = tmpDir(d, "mat_shards_shuffled")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val nToks = size(filter(split(trim(col("text")), "\\s+"),
+        w => w =!= "")).cast("long")
+      graft.llm.Packing.packSequences(docs, "doc_id", nToks, budget = 512L)
+        .write.mode("overwrite").parquet(s"$dir/assign")
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4",
+          "epochSalt" -> "epoch1", "budget" -> "512"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some("""WITH tc AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE trim(COALESCE(text, '')) <> ''),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS erank FROM tc
+        WHERE len(toks) > 0),
+      oo AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY erank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM o),
+      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM oo),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   /** Incremental-pipeline snapshot diff
     * ([[graft.llm.Snapshot.corpusDiff]]): "today's" corpus is derived
     * deterministically from the documents table (doc_id % 7 == 0
@@ -7119,7 +7185,7 @@ object Queries {
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
     curateToShardsYaml, curateToShardsFunnel, curateMixedShards,
-    packStreamMaterialize,
+    packStreamMaterialize, materializeShardsShuffled,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,

@@ -421,14 +421,47 @@ object Packing {
     * Zero-token assignment rows are dropped (they occupy no tokens, so
     * offsets are unaffected — the pack_materialize kind's convention).
     *
+    * `epochSalt` + `epochBudget`: SHUFFLED epoch-boundary shards — the
+    * order trainers actually want (doc order correlates with
+    * crawl/source locality; packing in ledger order leaks that
+    * correlation into every context window, the `pack_shuffled`
+    * rationale). The streamed assignment stays the doc-order ledger
+    * the stream can extend forever; at the epoch boundary the ledger's
+    * MEMBERSHIP + token counts are re-packed in epoch-salted md5-rank
+    * order (`md5(salt:doc_id)` as the packing id through
+    * [[packSequences]]' unchanged two-phase machinery), so each
+    * epoch's salt draws an independent deterministic order and the
+    * re-pack shuffles only (id, rank, count) rows — the token payload
+    * still moves exactly once, in the pack-assembly join. Epoch-local
+    * pack ids/offsets; the persisted assignment is NOT rewritten.
+    *
     * Returns the re-read certified manifest. */
   def materializeShardsFromAssignment(spark: org.apache.spark.sql.SparkSession,
                                       assignmentDir: String, docs: DataFrame,
                                       idCol: String, tokensCol: Column,
                                       dir: String, nShards: Int,
-                                      docSep: Option[String] = None): DataFrame = {
-    val assigned = spark.read.parquet(assignmentDir)
+                                      docSep: Option[String] = None,
+                                      epochSalt: Option[String] = None,
+                                      epochBudget: Long = 0L): DataFrame = {
+    require(epochSalt.isEmpty || epochBudget > 0,
+      "materializeShardsFromAssignment: epochSalt requires a positive " +
+        "epochBudget (the re-pack cannot recover the budget from the " +
+        "doc-order assignment)")
+    val ledger = spark.read.parquet(assignmentDir)
       .where(col("n_tokens") > 0)
+    val assigned = epochSalt match {
+      case None => ledger
+      case Some(salt) =>
+        val ranked = ledger.select(col("doc_id"),
+          md5(concat(lit(s"$salt:"), col("doc_id").cast("string")))
+            .as("__rank"), col("n_tokens"))
+        packSequences(ranked, "__rank", col("n_tokens"), epochBudget)
+          .select(col("doc_id").as("__rank"), col("n_tokens"),
+            col("token_offset"), col("pack_id"))
+          .join(ranked.select(col("doc_id"), col("__rank")), Seq("__rank"))
+          .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+            col("pack_id"))
+    }
     val toks = docs.select(col(idCol).as("doc_id"), tokensCol.as("__toks"))
     val checked = assigned.join(toks, Seq("doc_id"), "left")
       .withColumn("__toks",

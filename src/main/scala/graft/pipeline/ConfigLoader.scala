@@ -683,11 +683,18 @@ object ConfigLoader {
       // packs, and writes dir/data + the re-read certified manifest —
       // streamed assignment + this step == the one-shot
       // pack_materialize -> training_shards chain over the same docs.
+      // epochSalt (+ budget, required with it): shuffled epoch-boundary
+      // shards — re-pack the ledger's membership in epoch-salted
+      // md5-rank order so streamed pipelines ship trainer-ready
+      // shuffled shards; each epoch's salt draws an independent
+      // deterministic order
       "materialize_shards" -> (o => Sinks.Write("materialize_shards", df => {
         graft.llm.Packing.materializeShardsFromAssignment(df.sparkSession,
           req(o, "assignmentDir"), df, req(o, "idCol"), wsToks(o),
           req(o, "dir"), req(o, "nShards").toInt,
-          docSep = o.get("sep"))
+          docSep = o.get("sep"),
+          epochSalt = o.get("epochSalt"),
+          epochBudget = o.get("budget").map(_.toLong).getOrElse(0L))
         ()
       })),
       // train the hashed-linear quality classifier on the incoming

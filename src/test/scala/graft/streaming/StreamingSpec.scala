@@ -590,6 +590,70 @@ class StreamingSpec extends SparkSpec {
       exceptionChain(e2))
   }
 
+  test("epoch boundary SHUFFLED: streamed assignment + epochSalt ≡ one-shot; salts independent") {
+    val work = java.nio.file.Files.createTempDirectory("graft_pack_shuf")
+      .toFile.getPath
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    val nToks = size(filter(split(trim(col("text")), "\\s+"),
+      w => w =!= "")).cast("long")
+    val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    val seed = Seq(doc(1, 4), doc(2, 3)).toDF("doc_id", "text")
+    val union = Seq(doc(1, 4), doc(2, 3), doc(3, 5), doc(4, 6), doc(5, 2))
+      .toDF("doc_id", "text")
+    // streamed ledger: seed + one real micro-batch
+    Packing.packSequences(seed, "doc_id", nToks, budget = 10)
+      .write.mode("overwrite").parquet(s"$work/streamed_assign")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.appendPackStream(
+      mem.toDF().toDF("doc_id", "text"), s"$work/streamed_assign",
+      "doc_id", "text", budget = 10)
+    try {
+      mem.addData(doc(3, 5), doc(4, 6), doc(5, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one-shot ledger over the union
+    Packing.packSequences(union, "doc_id", nToks, budget = 10)
+      .write.mode("overwrite").parquet(s"$work/oneshot_assign")
+    // shuffled materialize from EACH ledger with the same epoch salt —
+    // the shuffled path consumes only membership + token counts, so
+    // streamed ≡ one-shot byte-for-byte
+    Packing.materializeShardsFromAssignment(spark, s"$work/streamed_assign",
+      union, "doc_id", toks, s"$work/streamed", nShards = 2,
+      epochSalt = Some("e1"), epochBudget = 10)
+    Packing.materializeShardsFromAssignment(spark, s"$work/oneshot_assign",
+      union, "doc_id", toks, s"$work/oneshot", nShards = 2,
+      epochSalt = Some("e1"), epochBudget = 10)
+    def snapshot(d: String) = spark.read.parquet(s"$d/data")
+      .select(col("shard").cast("long"), col("pack_id"), col("n_docs"),
+        col("n_tokens"), col("tokens"))
+      .as[(Long, Long, Long, Long, Seq[String])].collect().sortBy(_._2).toSeq
+    assert(snapshot(s"$work/streamed") == snapshot(s"$work/oneshot"))
+    // the salt actually reorders: epoch-2 shards pack a different
+    // stream than epoch-1 (token totals conserved), and re-running the
+    // same salt reproduces epoch 1 exactly
+    Packing.materializeShardsFromAssignment(spark, s"$work/streamed_assign",
+      union, "doc_id", toks, s"$work/epoch2", nShards = 2,
+      epochSalt = Some("e2"), epochBudget = 10)
+    val e1s = snapshot(s"$work/streamed"); val e2s = snapshot(s"$work/epoch2")
+    assert(e1s.map(_._5) != e2s.map(_._5),
+      "different epoch salts must draw different pack orders")
+    assert(e1s.map(_._4).sum == e2s.map(_._4).sum,
+      "token totals must be conserved across epoch reshuffles")
+    Packing.materializeShardsFromAssignment(spark, s"$work/streamed_assign",
+      union, "doc_id", toks, s"$work/epoch1b", nShards = 2,
+      epochSalt = Some("e1"), epochBudget = 10)
+    assert(snapshot(s"$work/epoch1b") == e1s)
+    // epochSalt without a budget fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Packing.materializeShardsFromAssignment(spark, s"$work/streamed_assign",
+        union, "doc_id", toks, s"$work/bad", nShards = 2,
+        epochSalt = Some("e3"))
+    }
+    assert(e.getMessage.contains("epochBudget"))
+  }
+
   private def exceptionChain(t: Throwable): Seq[String] =
     Option(t).toSeq.flatMap(x =>
       Option(x.getMessage).toSeq ++ exceptionChain(x.getCause))
