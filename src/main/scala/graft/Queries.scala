@@ -1298,6 +1298,32 @@ object Queries {
         CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents WHERE doc_id < 5 ORDER BY new_id"""))
 
+  /** The PERSISTED-signature-ledger near-dup pass
+    * ([[Dedup.minhashNearDupsAgainstLedger]] — the
+    * FineWeb-at-steady-state shape): the corpus side is a parquet
+    * signature ledger written by [[Dedup.minhashLedgerRows]] and read
+    * back (binding the on-disk round trip), so the accepted corpus
+    * text is never rescanned; the batch of re-keyed exact copies must
+    * match its originals at jaccard 1.0 through ledger signatures and
+    * ledger shingle arrays alone. */
+  private val dedupMinhashLedgerQ = QueryDef("dedup_minhash_ledger",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dir = tmpDir(d, "minhash_ledger")
+      Dedup.minhashLedgerRows(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+      val batch = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.minhashNearDupsAgainstLedger(batch,
+          s.read.parquet(s"$dir/sigs"), "doc_id", "text", threshold = 0.9)
+        .where(col("corpus_id") === col("new_id") - 1000000)
+        .select(col("new_id"), col("corpus_id"), col("jaccard"))
+        .orderBy(col("new_id"))
+    },
+    Some("""SELECT doc_id + 1000000 AS new_id, doc_id AS corpus_id,
+        CAST(1.0 AS DOUBLE) AS jaccard
+      FROM documents WHERE doc_id < 5 ORDER BY new_id"""))
+
   /** Fuzzy (near-dup) decontamination
     * ([[Dedup.decontaminateFuzzy]]): a benchmark of verbatim copies of
     * every doc_id % 50 == 0 corpus doc. The oracle COMPUTES the true
@@ -5618,6 +5644,104 @@ object Queries {
         CAST(SUM(n_docs) AS BIGINT) AS sum_docs
       FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** STREAMED CURATION through the real streaming path
+    * ([[graft.streaming.IndexIngest.appendCuratedPackStream]] — the
+    * round-11 verdict's #2): the continuous chain no longer packs RAW
+    * docs — each micro-batch runs the config-registry quality gate,
+    * then incremental dedup against the persisted ledgers (assignment
+    * ids for replays; the content-hash ledger for re-texts), then the
+    * pack append. This query runs the whole life cycle: batch-side
+    * ledger seeding, TWO real micro-batches (batch 2 carries exact
+    * re-texts of earlier docs under fresh ids — the hash ledger must
+    * drop them — AND replayed batch-1 rows — the assignment ledger
+    * must drop those), then the registry `materialize_shards` step.
+    * DuckDB replays the equivalent one-shot gate + pack over the same
+    * docs down to shard checksums: the re-keyed twins provably never
+    * land (their original either shipped — hash dedup — or failed the
+    * same gate), so streamed curation ≡ batch curation end to end.
+    * The MinHash-ledger leg of the streamed chain is bound separately
+    * (`dedup_minhash_ledger` + the StreamingSpec funnel-equivalence
+    * case). */
+  private val curateStreamPack = QueryDef("curate_stream_pack",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "curate_stream_pack")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .where(col("doc_id") < 90)
+      val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
+          "column" -> "text", "minWords" -> "45", "minMeanWordLen" -> "0",
+          "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))
+      graft.streaming.IndexIngest.seedCuratedPack(
+        docs.where(col("doc_id") < 30), dir, "doc_id", "text",
+        budget = 512L, curate = curate)
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.IndexIngest.appendCuratedPackStream(
+        mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+        budget = 512L, curate = curate)
+      try {
+        val b1 = docs.where(col("doc_id") >= 30 && col("doc_id") < 60)
+          .as[(Long, String)].collect().toSeq
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        val twins = docs.where(col("doc_id").isin(31L, 35L, 41L, 47L))
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .as[(Long, String)].collect().toSeq
+        val b2 = docs.where(col("doc_id") >= 60)
+          .as[(Long, String)].collect().toSeq
+        mem.addData(b2 ++ twins ++ b1.take(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some("""WITH gated AS (SELECT doc_id, COALESCE(text, '') AS text
+        FROM documents WHERE doc_id < 90
+          AND len(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+            '\s+', ' ', 'g')), ' ')) >= 45),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM gated),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM o),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   /** Incremental-pipeline snapshot diff
     * ([[graft.llm.Snapshot.corpusDiff]]): "today's" corpus is derived
     * deterministically from the documents table (doc_id % 7 == 0
@@ -7185,7 +7309,8 @@ object Queries {
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
     curateToShardsYaml, curateToShardsFunnel, curateMixedShards,
-    packStreamMaterialize, materializeShardsShuffled,
+    packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
+    dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
     urlCanonicalize, dedupUrls, dedupUrlsIncr,

@@ -73,6 +73,35 @@ object Dedup {
       .drop("__h", "__keep")
   }
 
+  /** The batch's content-hash rows for a persisted exact-dedup ledger
+    * — one `content_hash` per row, the null-text sentinel included
+    * (see [[exactDedupAgainstHashes]]). Append the SURVIVORS' hashes
+    * after each ingest step so the ledger stays the corpus's distinct
+    * hash set without ever rescanning the corpus. */
+  def contentHashes(df: DataFrame, textCol: String): DataFrame =
+    df.select(coalesce(sha2(normalizeText(col(textCol)), 256),
+      lit("__null__")).as("content_hash"))
+
+  /** [[exactDedupAgainst]] with the corpus side ALREADY REDUCED to a
+    * persisted hash ledger (a `content_hash` column, built by
+    * [[contentHashes]]) — the steady-state continuous-ingestion shape
+    * that function's Scaladoc promises: per batch the ledger probe
+    * reads one string column proportional to DISTINCT corpus content,
+    * never the corpus text. Same semantics otherwise: drop batch rows
+    * whose normalized content is in the ledger, then keep-first (min
+    * id) within the batch. */
+  def exactDedupAgainstHashes(batch: DataFrame, hashes: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
+    val h = coalesce(sha2(normalizeText(col(textCol)), 256), lit("__null__"))
+    val seen = hashes.select(col("content_hash").as("__h")).distinct()
+    val w = Window.partitionBy(col("__h"))
+    batch.withColumn("__h", h)
+      .join(seen, Seq("__h"), "left_anti")
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .where(col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+  }
+
   /** Normalized word array. */
   def wordsOf(c: Column): Column = split(normalizeText(c), " ")
 
@@ -297,12 +326,63 @@ object Dedup {
                              idCol: String, textCol: String,
                              threshold: Double = 0.7, k: Int = 64,
                              bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
-    val rowsPer = k / bands
-    require(bands * rowsPer == k, s"bands ($bands) must divide k ($k)")
     val shNew = hashedShingleFrame(newDf, idCol, textCol).cache()
     val shCorp = hashedShingleFrame(corpusDf, idCol, textCol).cache()
-    val sigsNew = signaturesFromHashedShingles(shNew, k)
-    val sigsCorp = signaturesFromHashedShingles(shCorp, k)
+    val out = nearDupsAcross(shNew, signaturesFromHashedShingles(shNew, k),
+      shCorp, signaturesFromHashedShingles(shCorp, k),
+      threshold, k, bands, maxBucket)
+    shNew.unpersist(); shCorp.unpersist()
+    out
+  }
+
+  /** The (doc_id, sig, sh) rows a PERSISTED MinHash ledger stores —
+    * the steady-state corpus side [[minhashNearDupsAgainst]]'s
+    * Scaladoc promises: signature (k mins) for banding/estimation AND
+    * the sorted hashed-shingle array for exact verification, computed
+    * once when a document is accepted and never re-derived from text.
+    * Append the SURVIVORS' rows after each ingest step; read the
+    * ledger back through [[minhashNearDupsAgainstLedger]] with the
+    * SAME k and shingle width. */
+  def minhashLedgerRows(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    hashedShingleFrame(df, idCol, textCol)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig", col("__sh"), lit(k)).as("sig"),
+        col("__sh").as("sh"))
+  }
+
+  /** [[minhashNearDupsAgainst]] with the corpus side READ from a
+    * persisted signature ledger ([[minhashLedgerRows]] layout) instead
+    * of recomputed from text — the FineWeb-at-steady-state shape: each
+    * arriving batch pays its own shingle/signature pass plus a join
+    * against ledger SIGNATURES (fixed k longs per corpus doc, banded
+    * map-only), and exact verification touches only the colliding
+    * ledger rows' shingle arrays. The corpus text is never read. */
+  def minhashNearDupsAgainstLedger(newDf: DataFrame, ledger: DataFrame,
+                                   idCol: String, textCol: String,
+                                   threshold: Double = 0.7, k: Int = 64,
+                                   bands: Int = 16,
+                                   maxBucket: Int = 1000): DataFrame = {
+    val shNew = hashedShingleFrame(newDf, idCol, textCol).cache()
+    val out = nearDupsAcross(shNew, signaturesFromHashedShingles(shNew, k),
+      ledger.select(col("doc_id"), col("sh").as("__sh")),
+      ledger.select(col("doc_id"), col("sig")),
+      threshold, k, bands, maxBucket)
+    shNew.unpersist()
+    out
+  }
+
+  /** The shared new×corpus banded near-dup pass over prepared
+    * (doc_id, __sh) shingle frames and (doc_id, sig) signature frames
+    * — one body serves the recompute-from-text and persisted-ledger
+    * corpus sides so their semantics cannot drift. */
+  private def nearDupsAcross(shNew: DataFrame, sigsNew: DataFrame,
+                             shCorp: DataFrame, sigsCorp: DataFrame,
+                             threshold: Double, k: Int, bands: Int,
+                             maxBucket: Int): DataFrame = {
+    val rowsPer = k / bands
+    require(bands * rowsPer == k, s"bands ($bands) must divide k ($k)")
     def banded(sigs: DataFrame, idOut: String) =
       sigs.select(col("doc_id").as(idOut),
           explode(lshBands(col("sig"), bands, rowsPer)).as("bb"))
@@ -332,9 +412,8 @@ object Dedup {
       .withColumn("jaccard", sortedJaccard(col("sha_"), col("shb_")))
       .where(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("est_jaccard"), col("jaccard"))
-    val out = verified.localCheckpoint(true)
-    shNew.unpersist(); shCorp.unpersist()
-    out
+    // materialize eagerly so callers can release their caches at once
+    verified.localCheckpoint(true)
   }
 
   /** Connected components over near-dup pairs — the survivor-selection

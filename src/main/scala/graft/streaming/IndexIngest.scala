@@ -151,6 +151,160 @@ object IndexIngest {
     }.start()
   }
 
+  /** Shared token-count expression of the pack-stream family (null
+    * text = zero tokens). */
+  private def wsTokens(textCol: String) =
+    size(filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+      w => w =!= "")).cast("long")
+
+  /** Seed the [[appendCuratedPackStream]] ledger set from a BATCH
+    * corpus — the "ledger present before the stream starts"
+    * convention, extended to curation state. Runs the same curation
+    * the stream will run (curate stages → in-batch exact dedup →
+    * optional in-batch MinHash near-dedup with min-id survivors),
+    * packs the survivors one-shot, and writes all ledgers:
+    * `dir/assign` (pack assignment), `dir/hashes` (distinct content
+    * hashes — [[graft.llm.Dedup.contentHashes]]), and, when
+    * `nearDupThreshold` is set, `dir/sigs` (MinHash signature +
+    * shingle rows — [[graft.llm.Dedup.minhashLedgerRows]]). Use the
+    * SAME options on the stream side; k and the shingle width are
+    * part of the persisted format. */
+  def seedCuratedPack(docs: DataFrame, dir: String,
+                      idCol: String, textCol: String, budget: Long,
+                      curate: DataFrame => DataFrame = identity,
+                      nearDupThreshold: Option[Double] = None,
+                      k: Int = 64, bands: Int = 16,
+                      maxBucket: Int = 1000): Unit = {
+    val cur = curate(docs).where(col(idCol).isNotNull)
+      .dropDuplicates(idCol)
+    val exact = graft.llm.Dedup.exactDedup(cur, idCol, textCol)
+    val survivors = (nearDupThreshold match {
+      case None => exact
+      case Some(t) =>
+        val input = exact.localCheckpoint(true)
+        val losers = graft.llm.Dedup.nearDupClusters(
+            graft.llm.Dedup.minhashNearDups(input, idCol, textCol, t, k,
+              bands, maxBucket))
+          .where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("__graft_loser"))
+        input.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
+    }).localCheckpoint(true)
+    graft.llm.Packing.packSequences(survivors, idCol, wsTokens(textCol),
+        budget)
+      .write.mode("overwrite").parquet(s"$dir/assign")
+    graft.llm.Dedup.contentHashes(survivors, textCol)
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    if (nearDupThreshold.isDefined)
+      graft.llm.Dedup.minhashLedgerRows(survivors
+          .select(col(idCol).as("doc_id"), col(textCol)),
+          "doc_id", textCol, k)
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+  }
+
+  /** STREAMED CURATION + PACKING — the continuous twin of the batch
+    * curation funnel's tail, closing the round-11 gap where the
+    * streamed chain packed RAW docs: each micro-batch runs the
+    * caller's map-only curation stages (`curate` — html_extract /
+    * url_filter / lang_filter / quality_filter / scrub_pii compose
+    * into streams unchanged; build it from the same config-registry
+    * kinds the batch funnel resolves), then INCREMENTAL dedup against
+    * the persisted ledgers before the pack append:
+    *
+    *  - replay/id dedup: anti-join against `dir/assign`'s own id
+    *    column (the [[appendPackStream]] idempotence contract);
+    *  - exact content dedup: [[graft.llm.Dedup.exactDedupAgainstHashes]]
+    *    against `dir/hashes` + keep-first within the batch — a
+    *    re-crawled page whose text already shipped never re-packs;
+    *  - near-dedup (opt-in via `nearDupThreshold`): in-batch MinHash
+    *    clusters keep their min-id survivor, then
+    *    [[graft.llm.Dedup.minhashNearDupsAgainstLedger]] drops batch
+    *    docs near-duplicating ANY accepted doc — the corpus side is
+    *    the persisted `dir/sigs` signature ledger, so the accepted
+    *    corpus text is never rescanned.
+    *
+    * Survivors extend the assignment exactly as [[appendPackStream]]
+    * does (carried offset, monotone-id guard) and append their OWN
+    * hash/signature rows, so every ledger stays the accepted-corpus
+    * state without a corpus rescan — per-batch cost tracks the batch
+    * and the (id/hash/signature) ledger columns, never the corpus
+    * payload.
+    *
+    * Equivalence to the one-shot funnel (spec-bound in StreamingSpec):
+    * with monotone ids, cross-batch keep-first IS global keep-min for
+    * exact dedup, and near-dup CLIQUES (every member near-dups the
+    * canonical survivor — the planted-twin and boilerplate shapes)
+    * resolve identically. The one DOCUMENTED divergence: a transitive
+    * near-dup CHAIN whose linking middle doc was itself dropped in an
+    * earlier batch keeps the far end (the ledger only holds accepted
+    * docs) — inherent to ONLINE near-dedup, same greedy semantics as
+    * published incremental pipelines; a periodic batch re-dedup
+    * re-canonicalizes.
+    *
+    * Seed `dir` with [[seedCuratedPack]] (same options) before
+    * starting. */
+  def appendCuratedPackStream(docs: DataFrame, dir: String,
+                              idCol: String, textCol: String, budget: Long,
+                              curate: DataFrame => DataFrame = identity,
+                              nearDupThreshold: Option[Double] = None,
+                              k: Int = 64, bands: Int = 16,
+                              maxBucket: Int = 1000): StreamingQuery = {
+    require(docs.isStreaming,
+      "appendCuratedPackStream: expected a streaming frame")
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val existing = spark.read.parquet(s"$dir/assign")
+      val assigned = existing.select(col("doc_id").as("__graft_assigned"))
+      val cur = curate(batch).where(col(idCol).isNotNull)
+        .dropDuplicates(idCol)
+        .join(assigned, col(idCol) === col("__graft_assigned"), "left_anti")
+      val exact = graft.llm.Dedup.exactDedupAgainstHashes(cur,
+        spark.read.parquet(s"$dir/hashes"), idCol, textCol)
+      val fresh = (nearDupThreshold match {
+        case None => exact
+        case Some(t) =>
+          val input = exact.localCheckpoint(true)
+          val inLosers = graft.llm.Dedup.nearDupClusters(
+              graft.llm.Dedup.minhashNearDups(input, idCol, textCol, t, k,
+                bands, maxBucket))
+            .where(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("__graft_loser"))
+          val inKept = input.join(inLosers,
+            col(idCol) === col("__graft_loser"), "left_anti")
+          val vsLosers = graft.llm.Dedup.minhashNearDupsAgainstLedger(
+              inKept, spark.read.parquet(s"$dir/sigs"), idCol, textCol,
+              t, k, bands, maxBucket)
+            .select(col("new_id").as("__graft_loser")).distinct()
+          inKept.join(vsLosers, col(idCol) === col("__graft_loser"),
+            "left_anti")
+      }).localCheckpoint(true) // sever lineage from all three ledger dirs
+      if (!fresh.isEmpty) {
+        val startOffset = graft.llm.Packing.assignedTokenTotal(existing)
+        // the monotone-id guard mirrors appendPackStream verbatim
+        val bound = existing.schema("doc_id").dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            val maxRow = existing.agg(max(col("doc_id").cast("long"))).head()
+            if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+          case _ => None
+        }
+        graft.llm.Packing.packSequencesAppend(fresh, idCol,
+            wsTokens(textCol), budget, startOffset,
+            minBatchIdExclusive = bound)
+          .localCheckpoint(true)
+          .write.mode("append").parquet(s"$dir/assign")
+        graft.llm.Dedup.contentHashes(fresh, textCol)
+          .write.mode("append").parquet(s"$dir/hashes")
+        if (nearDupThreshold.isDefined)
+          graft.llm.Dedup.minhashLedgerRows(fresh
+              .select(col(idCol).as("doc_id"), col(textCol)),
+              "doc_id", textCol, k)
+            .write.mode("append").parquet(s"$dir/sigs")
+      }
+    }.start()
+  }
+
   /** The shared per-micro-batch step: in-batch keep-first on the id,
     * anti-join against the index's id column, append only the
     * survivors. `ledgerIdCol` is the id's name INSIDE the index layout

@@ -654,6 +654,100 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("epochBudget"))
   }
 
+  test("streamed curation ≡ batch funnel: curate stages + exact/near dedup ledgers inside the pack stream") {
+    val work = java.nio.file.Files.createTempDirectory("graft_cur_stream")
+      .toFile.getPath
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    def rep(tok: String, n: Int): String = Seq.fill(n)(tok).mkString(" ")
+    // seed: organic docs + a near-dup clique canonical (5) + a doc (6)
+    // whose text later batches duplicate exactly + a too-short doc (7)
+    val seed = Seq(doc(1, 8), doc(2, 6), doc(4, 7),
+      5L -> rep("ndtok", 50), doc(6, 9), doc(7, 3))
+    // batch 1: organic + clique member (45) + exact copy of 6's text
+    // (46) + a too-short doc (47) + an IN-BATCH near-dup pair (48, 49)
+    val b1 = Seq(doc(40, 6), 45L -> rep("ndtok", 51),
+      46L -> seed.find(_._1 == 6L).get._2, doc(47, 2),
+      48L -> rep("btok", 50), 49L -> rep("btok", 51))
+    // batch 2: organic + clique member (85 — near-dups the LEDGER, not
+    // this batch) + another exact copy of 6 (86) + REPLAYED b1 rows
+    val b2Unique = Seq(doc(80, 5), 85L -> rep("ndtok", 52),
+      86L -> seed.find(_._1 == 6L).get._2)
+    val b2 = b2Unique ++ b1.take(2)
+    // curation THROUGH the config registry (counting a parallel
+    // reimplementation would bind nothing)
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
+        "column" -> "text", "minWords" -> "5", "minMeanWordLen" -> "0",
+        "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))
+    val dir = s"$work/led"
+    IndexIngest.seedCuratedPack(seed.toDF("doc_id", "text"), dir,
+      "doc_id", "text", budget = 10, curate = curate,
+      nearDupThreshold = Some(0.7))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.appendCuratedPackStream(
+      mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      budget = 10, curate = curate, nearDupThreshold = Some(0.7))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: the one-shot funnel over the union of unique docs
+    val union = (seed ++ b1 ++ b2Unique).toDF("doc_id", "text")
+    val gated = graft.llm.Dedup.exactDedup(curate(union), "doc_id", "text")
+      .localCheckpoint(true)
+    val losers = graft.llm.Dedup.nearDupClusters(
+        graft.llm.Dedup.minhashNearDups(gated, "doc_id", "text", 0.7))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__l"))
+    val survivors = gated.join(losers, col("doc_id") === col("__l"),
+      "left_anti")
+    val nToks = size(filter(split(trim(col("text")), "\\s+"),
+      w => w =!= "")).cast("long")
+    val ref = Packing.packSequences(survivors, "doc_id", nToks, budget = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = spark.read.parquet(s"$dir/assign")
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        col("pack_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == ref,
+      s"streamed-curated assignment diverged from the batch funnel:\n" +
+        s"streamed-only: ${streamed -- ref}\nbatch-only: ${ref -- streamed}")
+    // the dedup decisions the fixture engineered, stated explicitly
+    val ids = streamed.map(_._1)
+    assert(!ids.contains(45L) && !ids.contains(85L),
+      "clique near-dups must drop against the signature ledger across batches")
+    assert(!ids.contains(46L) && !ids.contains(86L),
+      "exact re-texts must drop against the content-hash ledger")
+    assert(ids.contains(48L) && !ids.contains(49L),
+      "in-batch near-dup pair must keep its min-id survivor")
+    assert(!ids.contains(7L) && !ids.contains(47L),
+      "the curation gate must drop short docs in seed and stream alike")
+    // ledgers hold exactly the accepted corpus state
+    val sigIds = spark.read.parquet(s"$dir/sigs").select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(sigIds == ids, s"sig ledger drifted: $sigIds vs $ids")
+    assert(spark.read.parquet(s"$dir/hashes").distinct().count() ==
+      ids.size.toLong)
+    // a fully-duplicate resubmission batch is a no-op (ledger
+    // idempotence across ALL three ledgers)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = IndexIngest.appendCuratedPackStream(
+      mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      budget = 10, curate = curate, nearDupThreshold = Some(0.7))
+    try {
+      mem2.addData(Seq(85L -> rep("ndtok", 52),
+        86L -> seed.find(_._1 == 6L).get._2): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = spark.read.parquet(s"$dir/assign")
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        col("pack_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(after == streamed, "resubmitted near/exact dups must not re-pack")
+  }
+
   private def exceptionChain(t: Throwable): Seq[String] =
     Option(t).toSeq.flatMap(x =>
       Option(x.getMessage).toSeq ++ exceptionChain(x.getCause))
