@@ -5291,7 +5291,17 @@ object Queries {
     * row per funnel stage with its surviving row count, each stage
     * applied THROUGH the config registry (the same kind functions the
     * YAML resolves — counting a parallel reimplementation would bind
-    * nothing). DuckDB replays every count from the documents table. */
+    * nothing). DuckDB replays every count from the documents table.
+    *
+    * Per-stage WALL TIME (round-11 verdict #7) rides the same fold:
+    * each stage's eager localCheckpoint is timed, and the
+    * (step, stage, seconds) table is written to
+    * `<tmp>/funnel_timing/` + printed to stderr — a SIDE artifact,
+    * not a returned column, because wall time is inherently
+    * non-replayable and the driver hash-compares every returned
+    * column against the DuckDB oracle; the count columns stay
+    * oracle-bound and unchanged. BASELINE.md records the measured
+    * stage costs per round from this table. */
   private val curateToShardsFunnel = QueryDef("curate_to_shards_funnel",
     (s, d) => {
       graft.plans.GraftExtensions.register(s)
@@ -5305,16 +5315,33 @@ object Queries {
       // only its own increment, not a re-run of the whole WARC prefix
       // (twelve counts over an uncached chain would cost O(stages²)
       // full crawl passes)
-      val staged = shardsChain.scanLeft(("responses", resp.localCheckpoint())) {
-        case ((_, df), (kind, opts)) =>
-          val resolved = opts.view.mapValues(_.replace("{SFDIR}", d)).toMap
-          kind -> graft.pipeline.ConfigLoader.transformKinds(kind)(resolved)(df)
-            .localCheckpoint()
+      val timings = collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+      def timed[T](step: Long, name: String)(body: => T): T = {
+        val t0 = System.nanoTime
+        val out = body // localCheckpoint is EAGER: this is the stage cost
+        timings += ((step, name, math.rint((System.nanoTime - t0) / 1e6) / 1e3))
+        out
       }
+      val staged = shardsChain.zipWithIndex
+        .scanLeft(("responses",
+          timed(0L, "responses")(resp.localCheckpoint()))) {
+          case ((_, df), ((kind, opts), i)) =>
+            val resolved = opts.view.mapValues(_.replace("{SFDIR}", d)).toMap
+            kind -> timed(i + 1L, kind)(
+              graft.pipeline.ConfigLoader.transformKinds(kind)(resolved)(df)
+                .localCheckpoint())
+        }
       val counts = staged.zipWithIndex.map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_rows"))
           .select(lit(i.toLong).as("step"), lit(name).as("stage"),
             col("n_rows"))
+      }
+      locally {
+        import s.implicits._
+        timings.toSeq.toDF("step", "stage", "seconds").coalesce(1)
+          .write.mode("overwrite").parquet(tmpDir(d, "funnel_timing"))
+        System.err.println("graft: funnel stage seconds " +
+          timings.map { case (_, n, sec) => s"$n=$sec" }.mkString(" "))
       }
       counts.reduce(_ unionAll _).orderBy(col("step"))
     },
