@@ -5061,6 +5061,21 @@ object Queries {
     // organic corpus is digit-free so the stage provably touches
     // exactly the planted rows.
     "scrub_pii" -> Map("column" -> "main_text"),
+    // trainer mix between curation and packing — the published
+    // Dolma/DoReMi/Pile position. The domain dimension on a raw crawl
+    // is the URL's registrable domain (derived map-only right here;
+    // the fixture's hosts are two-label, so the naive key is exact
+    // and SQL-replayable — real crawls pass `psl: bundled` for the
+    // ccSLD-correct walk, oracle-bound separately in url_filter_psl).
+    // The mix stage measures iterated excess-loss weights ON the
+    // curated corpus itself (2 steps, bigram-LM CE as proxy loss),
+    // turns them into executable per-domain keep rates, and resamples
+    // with one codegen'd md5-bucket CASE predicate — the rates table
+    // is one driver row per domain, so the stage adds ZERO joins and
+    // ZERO shuffles beyond the CE scan it measures with.
+    "url_domain" -> Map("column" -> "url", "outCol" -> "mix_domain"),
+    "mix_excess" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
+      "domainCol" -> "mix_domain", "steps" -> "2"),
     "pack_materialize" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
       "budget" -> "512"))
 
@@ -5074,8 +5089,12 @@ object Queries {
     * survivor) → benchmark decontamination (exact word-8-gram overlap
     * with the doc_id % 50 = 1 eval set, computed from first
     * principles) → PII redaction (the planted doc_id % 9 = 0 contact
-    * tails through the published scrub regex chain) → doc-order
-    * token-offset packing. Ends in CTE `packs`
+    * tails through the published scrub regex chain) → registrable-
+    * domain derivation from the crawl URL (last-two-labels — exact on
+    * the two-label fixture hosts) → DoReMi trainer mix (2 iterated
+    * excess-loss layers priced on the curated corpus itself, exact
+    * DECIMAL rational tilts, md5-bucket keep thresholds per domain) →
+    * doc-order token-offset packing. Ends in CTE `packs`
     * (pack_id, n_docs, n_tokens).
     *
     * The near-dedup replay computes TRUE Jaccard for every survivor
@@ -5197,10 +5216,23 @@ object Queries {
           '\\b\\d{9,}\\b', '<NUMBER>', 'g'),
           '\\+?\\d[\\d ()-]{7,}\\d', '<PHONE>', 'g') AS main_text
         FROM dc),
+      mxin AS MATERIALIZED (SELECT sp.doc_id,
+        (CASE WHEN len(string_split(h.host, '.')) >= 2
+          THEN string_split(h.host, '.')[-2] || '.'
+            || string_split(h.host, '.')[-1]
+          ELSE h.host END) AS source,
+        sp.main_text AS text
+        FROM sp JOIN h USING (doc_id)),
+      ${sqlExcessIterCtes(2, 1.0, "mxin")},
+      ${sqlMixThresholdCtes(2)},
+      mxd AS (SELECT mi.doc_id, mi.text AS main_text FROM mxin mi
+        LEFT JOIN thr ON thr.domain = mi.source
+        WHERE substr(md5('graft' || CAST(mi.doc_id AS VARCHAR)), 1, 8)
+          < COALESCE(thr.th, 'g')),
       tc AS (SELECT doc_id,
         CASE WHEN trim(main_text) = '' THEN []
              ELSE string_split_regex(trim(main_text), '\\s+') END AS toks
-        FROM sp),
+        FROM mxd),
       oo AS (SELECT doc_id, len(toks) AS n_tokens,
         COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
@@ -5216,7 +5248,11 @@ object Queries {
     * URL, HTML main-content extraction, raw-page column pruning, URL
     * block/keyword filtering, the language gate, the quality gate,
     * exact dedup, MinHash near-dedup, benchmark decontamination, PII
-    * redaction, context packing, and the certified `training_shards`
+    * redaction, registrable-domain derivation, the DoReMi trainer mix
+    * (iterated excess-loss weights measured on the curated corpus,
+    * applied as per-domain md5-bucket keep rates — the published
+    * Dolma/DoReMi position between curation and packing), context
+    * packing, and the certified `training_shards`
     * sink — every stage
     * a registry kind, no code. The query returns the RE-READ on-disk manifest joined
     * with a per-shard re-aggregation of the written pack data, and
@@ -5313,7 +5349,7 @@ object Queries {
       // fold the config-registry stages, snapshotting a count per stage;
       // each staged frame is localCheckpoint'd so stage i's count pays
       // only its own increment, not a re-run of the whole WARC prefix
-      // (twelve counts over an uncached chain would cost O(stages²)
+      // (fourteen counts over an uncached chain would cost O(stages²)
       // full crawl passes)
       val timings = collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
       def timed[T](step: Long, name: String)(body: => T): T = {
@@ -5359,7 +5395,9 @@ object Queries {
         UNION ALL SELECT 8, 'dedup_minhash', count(*) FROM sv2
         UNION ALL SELECT 9, 'decontaminate', count(*) FROM dc
         UNION ALL SELECT 10, 'scrub_pii', count(*) FROM sp
-        UNION ALL SELECT 11, 'pack_materialize', count(*) FROM packs)
+        UNION ALL SELECT 11, 'url_domain', count(*) FROM sp
+        UNION ALL SELECT 12, 'mix_excess', count(*) FROM mxd
+        UNION ALL SELECT 13, 'pack_materialize', count(*) FROM packs)
       ORDER BY step"""))
 
   /** Curation → TRAINER MIX → packing as ONE config — the published

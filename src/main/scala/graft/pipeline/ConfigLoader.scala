@@ -468,6 +468,20 @@ object ConfigLoader {
         df.withColumn(o.getOrElse("outCol", name),
           graft.llm.UrlOps.canonicalizeUrl(ColumnNs.q(name)))
       }),
+      // registrable-domain column derivation (map-only): the DoReMi
+      // mix stage needs a domain dimension, and on a raw crawl that
+      // dimension is the URL's registrable domain. `psl: bundled`
+      // routes through the public-suffix walk (ccSLD-correct — the
+      // 100 TB path for real crawls, where `co.uk`-style suffixes
+      // make last-two-labels wrong); the default is the naive
+      // last-two-labels key, which is exactly SQL-replayable.
+      "url_domain" -> (o => df => {
+        val host = graft.llm.UrlOps.urlHost(ColumnNs.q(req(o, "column")))
+        df.withColumn(o.getOrElse("outCol", "domain"),
+          if (o.get("psl").contains("bundled"))
+            graft.llm.UrlOps.registrableDomain(host, graft.llm.UrlOps.bundledPsl)
+          else graft.llm.UrlOps.urlDomain(host))
+      }),
       // C4 cleaning (Raffel et al. 2020 §2.2): line-level clean (keep
       // terminal-punct lines with >= minLineWords words and no
       // "javascript"), then drop pages failing the page rules (curly
