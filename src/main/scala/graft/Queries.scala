@@ -2984,6 +2984,53 @@ object Queries {
         < COALESCE(thr.th, 'g')
       ORDER BY d.doc_id"""))
 
+  /** The PUBLISHED DoReMi two-phase shape (Xie et al. 2023) as TWO
+    * registry configs sharing a persisted rates ledger — proxy and
+    * production measure on DIFFERENT corpora, which is the whole
+    * point of the recipe (the proxy run is small; the production
+    * resample is the 100 TB pass): phase 1 slices a disjoint PROXY
+    * half of the documents corpus (md5 'slice' bucket), measures 2
+    * iterated excess-loss steps through the `excess_weights` SINK
+    * (steps option — the model-producing half), and persists the
+    * (domain, rate) table; phase 2 runs the OTHER half through the
+    * stateless `mix_apply` TRANSFORM, which reads the ledger and
+    * resamples with one codegen'd map-only CASE predicate — zero
+    * joins, zero shuffles, and (unlike the in-flight `mix_excess`
+    * global measurement) stream-composable. Domains the proxy never
+    * priced pass through at defaultRate 1.0. DuckDB replays BOTH
+    * phases from first principles — proxy-slice CE, the 2 unrolled
+    * weight layers, rate/threshold arithmetic, and the per-row bucket
+    * decision on the production slice — so survivor membership binds
+    * the ledger round-trip end to end. */
+  private val mixTwoPhase = QueryDef("mix_two_phase",
+    (s, d) => {
+      val dir = tmpDir(d, "mix_two_phase")
+      val docs = t(s, d, "documents")
+      val slice = graft.llm.Mixing.hashBucket(col("doc_id"), "slice")
+      graft.sinks.Sinks.runChain(docs.where(slice < lit("80000000")), Seq(
+        graft.pipeline.ConfigLoader.loadKinds("excess_weights")(Map(
+          "idCol" -> "doc_id", "textCol" -> "text",
+          "domainCol" -> "source", "steps" -> "2",
+          "dir" -> s"$dir/rates"))))
+      graft.pipeline.ConfigLoader.transformKinds("mix_apply")(Map(
+          "ratesDir" -> s"$dir/rates", "domainCol" -> "source",
+          "keyCol" -> "doc_id"))(docs.where(slice >= lit("80000000")))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH prx AS MATERIALIZED (SELECT doc_id, source, text
+        FROM documents
+        WHERE substr(md5('slice' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < '80000000'),
+      ${sqlExcessIterCtes(2, 1.0, "prx")},
+      ${sqlMixThresholdCtes(2)}
+      SELECT d.doc_id, d.source FROM documents d
+      LEFT JOIN thr ON thr.domain = d.source
+      WHERE substr(md5('slice' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          >= '80000000'
+        AND substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < COALESCE(thr.th, 'g')
+      ORDER BY d.doc_id"""))
+
   /** Integer value of the first `n` md5 hex chars of `e` as pure
     * substring arithmetic (engine-portable — no conv()/from_hex). */
   private def sqlHexVal(e: String, n: Int): String =
@@ -5807,6 +5854,109 @@ object Queries {
         CAST(SUM(n_docs) AS BIGINT) AS sum_docs
       FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** STREAMED TRAINER MIX through the real streaming path — the
+    * DoReMi two-phase recipe across the batch/stream boundary, which
+    * is its published deployment shape (Xie et al. 2023: the proxy
+    * run is small and offline; the resample is the production pass —
+    * here a CONTINUOUS ingest): a disjoint PROXY slice of the corpus
+    * measures 2 iterated excess-loss steps through the
+    * `excess_weights` sink once, then every micro-batch of the
+    * production stream runs quality gate + the stateless `mix_apply`
+    * resample (per-domain md5-bucket thresholds from the persisted
+    * ledger — one codegen'd map-only CASE, which is what makes the
+    * mix STREAMABLE; the in-flight global measurement `mix_excess`
+    * never could) before the ledger-deduped pack append. Batch 2
+    * replays batch-1 rows — the assignment ledger must drop them.
+    * DuckDB replays BOTH phases from first principles — proxy-slice
+    * CE → weight layers → rates → thresholds, then the one-shot
+    * gate + mix + pack over the same docs — down to shard checksums,
+    * so streamed mixing ≡ batch mixing end to end. */
+  private val curateStreamMix = QueryDef("curate_stream_mix",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "curate_stream_mix")
+      val all = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("text"), lit("")).as("text"))
+      graft.sinks.Sinks.runChain(
+        all.where(col("doc_id") >= 90 && col("doc_id") < 300), Seq(
+          graft.pipeline.ConfigLoader.loadKinds("excess_weights")(Map(
+            "idCol" -> "doc_id", "textCol" -> "text",
+            "domainCol" -> "source", "steps" -> "2",
+            "dir" -> s"$dir/rates"))))
+      val docs = all.where(col("doc_id") < 90)
+      val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => graft.pipeline.ConfigLoader.transformKinds("mix_apply")(Map(
+          "ratesDir" -> s"$dir/rates", "domainCol" -> "source",
+          "keyCol" -> "doc_id"))(
+          graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
+            "column" -> "text", "minWords" -> "45", "minMeanWordLen" -> "0",
+            "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))(df))
+      graft.streaming.IndexIngest.seedCuratedPack(
+        docs.where(col("doc_id") < 30), dir, "doc_id", "text",
+        budget = 512L, curate = curate)
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val q = graft.streaming.IndexIngest.appendCuratedPackStream(
+        mem.toDF().toDF("doc_id", "source", "text"), dir, "doc_id", "text",
+        budget = 512L, curate = curate)
+      try {
+        val b1 = docs.where(col("doc_id") >= 30 && col("doc_id") < 60)
+          .as[(Long, String, String)].collect().toSeq
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        val b2 = docs.where(col("doc_id") >= 60)
+          .as[(Long, String, String)].collect().toSeq
+        mem.addData(b2 ++ b1.take(3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(s"""WITH prx AS MATERIALIZED (SELECT doc_id, source,
+        COALESCE(text, '') AS text
+        FROM documents WHERE doc_id >= 90 AND doc_id < 300),
+      ${sqlExcessIterCtes(2, 1.0, "prx")},
+      ${sqlMixThresholdCtes(2)},
+      gated AS (SELECT d.doc_id, COALESCE(d.text, '') AS text
+        FROM documents d LEFT JOIN thr ON thr.domain = d.source
+        WHERE d.doc_id < 90
+          AND len(string_split(trim(regexp_replace(lower(COALESCE(d.text, '')),
+            '\\s+', ' ', 'g')), ' ')) >= 45
+          AND substr(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            < COALESCE(thr.th, 'g')),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM gated),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM o),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *, ${sqlHexVal("rank", 8)} AS digest FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   /** Incremental-pipeline snapshot diff
     * ([[graft.llm.Snapshot.corpusDiff]]): "today's" corpus is derived
     * deterministically from the documents table (doc_id % 7 == 0
@@ -7357,7 +7507,8 @@ object Queries {
     dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixExcessWeights,
-    mixExcessWeightsIter, mixExcessRates, mixExcessApplied, mixSplit,
+    mixExcessWeightsIter, mixExcessRates, mixExcessApplied, mixTwoPhase,
+    mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
@@ -7375,6 +7526,7 @@ object Queries {
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
     curateToShardsYaml, curateToShardsFunnel, curateMixedShards,
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
+    curateStreamMix,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,

@@ -422,6 +422,30 @@ object Mixing {
     mixStrata(df, domainCol, idCol, rates, defaultRate = 1.0, salt)
   }
 
+  /** Apply a PERSISTED per-domain rates ledger (the
+    * [[ratesForTargetWeights]] layout the `excess_weights` config sink
+    * writes) to a corpus — the production half of the published DoReMi
+    * two-phase recipe (Xie et al. 2023: a PROXY run measures the
+    * weights; the production run resamples under them). Stateless
+    * given the ledger: the tiny one-row-per-domain frame is collected
+    * to the driver (the bounded-driver-table pattern) and the resample
+    * is one codegen'd map-only CASE predicate — which is exactly why
+    * this composes into the STREAMED curation chain unchanged, where
+    * the in-flight [[mixByExcessLoss]] (a global corpus measurement)
+    * cannot. Domains absent from the ledger keep `defaultRate`: a
+    * domain the proxy never saw is passed through, not dropped. */
+  def applyRatesLedger(df: DataFrame, rates: DataFrame, domainCol: String,
+                       keyCol: String, defaultRate: Double = 1.0,
+                       salt: String = "graft"): DataFrame = {
+    val m = rates
+      .select(col("domain").cast("string").as("domain"),
+        col("rate").cast("double").as("rate"))
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    mixStrata(df, domainCol, keyCol, m, defaultRate, salt)
+  }
+
   /** Turn target mix weights into EXECUTABLE per-domain keep rates for
     * [[mixStrata]] — the step from "domain i should carry
     * weight w_i" ([[excessLossWeights]], or any hand-set target mix)

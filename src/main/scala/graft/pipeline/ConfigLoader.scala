@@ -228,6 +228,18 @@ object ConfigLoader {
       // scan + filter scan), so the stage materializes the incoming
       // lazy chain ONCE first — the dedup_minhash stage-boundary
       // convention
+      // production half of the DoReMi two-phase: resample under a
+      // PERSISTED rates ledger (the excess_weights sink's layout).
+      // Stateless given the ledger — the one kind in the mix family
+      // that composes into the streamed curation chain, where the
+      // in-flight global measurement (mix_excess) cannot run
+      "mix_apply" -> (o => df => {
+        val rates = df.sparkSession.read.parquet(req(o, "ratesDir"))
+        graft.llm.Mixing.applyRatesLedger(df, rates,
+          req(o, "domainCol"), req(o, "keyCol"),
+          defaultRate = o.getOrElse("defaultRate", "1.0").toDouble,
+          salt = o.getOrElse("salt", "graft"))
+      }),
       "mix_excess" -> (o => df => {
         val input = df.localCheckpoint()
         graft.llm.Mixing.mixByExcessLoss(input, req(o, "idCol"),
@@ -642,10 +654,22 @@ object ConfigLoader {
       // classifier_train convention): downstream configs feed the
       // written rates into mix_strata
       "excess_weights" -> (o => Sinks.Write("excess_weights", df => {
-        graft.llm.Mixing.ratesForTargetWeights(
+        val eta = o.getOrElse("eta", "1.0").toDouble
+        // steps > 1 routes through the iterated multi-step loop; the
+        // default stays the single-step measurement for existing
+        // configs (steps=1 through the iterated path is numerically
+        // identical, but the single-step code is one scan cheaper)
+        val weights = o.get("steps").map(_.toInt) match {
+          case Some(n) if n > 1 =>
+            graft.llm.Mixing.excessLossWeightsIter(df,
+              req(o, "idCol"), req(o, "textCol"), req(o, "domainCol"),
+              eta = eta, steps = n)
+          case _ =>
             graft.llm.Mixing.excessLossWeights(df,
               req(o, "idCol"), req(o, "textCol"), req(o, "domainCol"),
-              eta = o.getOrElse("eta", "1.0").toDouble))
+              eta = eta)
+        }
+        graft.llm.Mixing.ratesForTargetWeights(weights)
           .coalesce(1) // one tiny row-per-domain table
           .write.mode("overwrite").parquet(req(o, "dir"))
         ()

@@ -478,6 +478,45 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(tbl.values.map(_._2).max == 1.0)
   }
 
+  test("mix_apply kind: persisted two-phase == in-flight mix_excess; unseen domains pass through") {
+    import graft.pipeline.ConfigLoader.{loadKinds, transformKinds}
+    val work = Files.createTempDirectory("graft_mixapply_cfg").toFile.getPath
+    val docs = ((1L to 30L).map(i => (i, "a", "x y " * 20 + "x y")) ++
+      (31L to 60L).map(i => (i, "b",
+        Seq.tabulate(40)(j => ('a' + (i.toInt * 13 + j * 7) % 26).toChar.toString)
+          .mkString(" "))))
+      .toDF("doc_id", "domain", "text")
+    // phase 1: measure 2 iterated steps on the corpus, persist rates
+    graft.sinks.Sinks.runChain(docs, Seq(loadKinds("excess_weights")(Map(
+      "idCol" -> "doc_id", "textCol" -> "text", "domainCol" -> "domain",
+      "steps" -> "2", "dir" -> s"$work/rates"))))
+    // phase 2 over the SAME corpus must equal the in-flight kind with
+    // the same steps — the ledger round-trip changes nothing
+    val applied = transformKinds("mix_apply")(Map(
+      "ratesDir" -> s"$work/rates", "domainCol" -> "domain",
+      "keyCol" -> "doc_id"))(docs)
+      .select("doc_id").as[Long].collect().sorted
+    val inflight = transformKinds("mix_excess")(Map(
+      "idCol" -> "doc_id", "textCol" -> "text", "domainCol" -> "domain",
+      "steps" -> "2"))(docs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(applied.sameElements(inflight))
+    assert(applied.nonEmpty)
+    // a domain the proxy never priced keeps defaultRate 1.0 — every
+    // row of the unseen domain survives
+    val unseen = (100L to 110L).map(i => (i, "zz", "fresh domain text"))
+      .toDF("doc_id", "domain", "text")
+    val kept = transformKinds("mix_apply")(Map(
+      "ratesDir" -> s"$work/rates", "domainCol" -> "domain",
+      "keyCol" -> "doc_id"))(unseen).count()
+    assert(kept == 11L)
+    // ... and defaultRate 0.0 inverts that to "drop unpriced domains"
+    val dropped = transformKinds("mix_apply")(Map(
+      "ratesDir" -> s"$work/rates", "domainCol" -> "domain",
+      "keyCol" -> "doc_id", "defaultRate" -> "0.0"))(unseen).count()
+    assert(dropped == 0L)
+  }
+
   test("unigram_encode kind: persisted pieces drive Viterbi segmentation from config") {
     import graft.pipeline.ConfigLoader.transformKinds
     val work = Files.createTempDirectory("graft_uni_cfg").toFile.getPath

@@ -748,6 +748,80 @@ class StreamingSpec extends SparkSpec {
     assert(after == streamed, "resubmitted near/exact dups must not re-pack")
   }
 
+  test("streamed mix: a persisted rates ledger resamples inside the pack stream ≡ batch") {
+    // the DoReMi two-phase across the batch/stream boundary: a PROXY
+    // corpus measures the weights once (excess_weights sink), then the
+    // CONTINUOUS chain applies them per micro-batch through the
+    // stateless mix_apply kind — the global in-flight measurement
+    // (mix_excess) could never run inside a stream
+    val work = java.nio.file.Files.createTempDirectory("graft_mix_stream")
+      .toFile.getPath
+    import spark.implicits._
+    val proxy = ((1001L to 1030L).map(i => (i, "a", "x y " * 20 + "x y")) ++
+      (1031L to 1060L).map(i => (i, "b",
+        Seq.tabulate(40)(j => ('a' + (i.toInt * 13 + j * 7) % 26).toChar.toString)
+          .mkString(" "))))
+      .toDF("doc_id", "domain", "text")
+    graft.sinks.Sinks.runChain(proxy, Seq(
+      graft.pipeline.ConfigLoader.loadKinds("excess_weights")(Map(
+        "idCol" -> "doc_id", "textCol" -> "text", "domainCol" -> "domain",
+        "steps" -> "2", "dir" -> s"$work/rates"))))
+    val rates = spark.read.parquet(s"$work/rates")
+      .select("domain", "rate").as[(String, Double)].collect().toMap
+    assert(rates("b") == 1.0 && rates("a") < 1.0,
+      s"high-loss domain must saturate at rate 1.0: $rates")
+    // production corpus: fresh ids, both domains, one too-short doc
+    // per-id distinct texts: identical texts would (correctly) fall to
+    // the stream's content-hash ledger, which the batch twin here
+    // deliberately omits — exact dedup has its own equivalence case
+    def prod(id: Long, dom: String): (Long, String, String) =
+      (id, dom, if (dom == "a") "u v " * 10 + s"u$id v$id"
+                else Seq.tabulate(24)(j =>
+                  ('a' + (id.toInt * 11 + j * 5) % 26).toChar.toString)
+                  .mkString(" "))
+    val seed = (1L to 8L).map(prod(_, "a")) ++ (9L to 12L).map(prod(_, "b"))
+    val b1 = (21L to 28L).map(prod(_, "a")) ++ (29L to 32L).map(prod(_, "b")) :+
+      ((33L, "a", "too short"))
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => graft.pipeline.ConfigLoader.transformKinds("mix_apply")(Map(
+        "ratesDir" -> s"$work/rates", "domainCol" -> "domain",
+        "keyCol" -> "doc_id"))(
+        graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
+          "column" -> "text", "minWords" -> "5", "minMeanWordLen" -> "0",
+          "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))(df))
+    val dir = s"$work/led"
+    IndexIngest.seedCuratedPack(seed.toDF("doc_id", "domain", "text"), dir,
+      "doc_id", "text", budget = 10, curate = curate)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = IndexIngest.appendCuratedPackStream(
+      mem.toDF().toDF("doc_id", "domain", "text"), dir, "doc_id", "text",
+      budget = 10, curate = curate)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: one-shot curate + pack over the union
+    val union = (seed ++ b1).toDF("doc_id", "domain", "text")
+    val nToks = size(filter(split(trim(col("text")), "\\s+"),
+      w => w =!= "")).cast("long")
+    val ref = Packing.packSequences(curate(union), "doc_id", nToks,
+        budget = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val streamed = spark.read.parquet(s"$dir/assign")
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        col("pack_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == ref,
+      s"streamed mix diverged from the batch twin:\n" +
+        s"streamed-only: ${streamed -- ref}\nbatch-only: ${ref -- streamed}")
+    val ids = streamed.map(_._1)
+    assert((9L to 12L).toSet ++ (29L to 32L).toSet subsetOf ids,
+      "rate-1.0 domain must keep every doc")
+    assert(((1L to 8L) ++ (21L to 28L)).exists(id => !ids.contains(id)),
+      "the down-rated domain must actually thin")
+    assert(!ids.contains(33L), "quality gate must compose ahead of the mix")
+  }
+
   private def exceptionChain(t: Throwable): Seq[String] =
     Option(t).toSeq.flatMap(x =>
       Option(x.getMessage).toSeq ++ exceptionChain(x.getCause))
