@@ -5573,6 +5573,193 @@ object Queries {
         CAST(SUM(n_docs) AS BIGINT) AS sum_docs
       FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** Resumable-funnel proof (`cache:` job key / [[graft.pipeline.StageCache]]):
+    * the same quality → exact-dedup → pack → shards chain as
+    * [[curateMixedShards]] minus the mix stage, run THREE times against
+    * one fingerprint-keyed stage cache — cold (every stage computes),
+    * warm (every stage resumes from disk), and with the pack budget
+    * edited (exactly the pack stage recomputes; the expensive curation
+    * prefix resumes). Each frontier is `require`d in-query, so the
+    * green row proves BOTH the resume semantics and — via the DuckDB
+    * replay hashing the warm run's on-disk shards — that resume ≡
+    * recompute byte-for-byte. This is the 100 TB dev loop: a packing
+    * tweak must not re-price extraction/dedup/decontamination. */
+  private val curateResumeShards = QueryDef("curate_resume_shards",
+    (s, d) => {
+      val dir = tmpDir(d, "curate_resume_shards")
+      // fresh dir per invocation — the query exercises the cold→warm→
+      // edited ladder deterministically every run
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      val cache = s"$dir/cache"
+      val out = s"$dir/out"
+      val src = t(s, d, "documents").select(col("doc_id"), col("text"))
+      src.unionByName(src.where(col("doc_id") % 17 === 3)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      def runCfg(budget: Int, outDir: String): graft.pipeline.StageCache.Report = {
+        val yaml =
+          s"""jobs:
+             |  - name: curate_resume_shards
+             |    cache: $cache
+             |    extract:
+             |      - kind: parquet
+             |        path: $dir/docs
+             |        prefix: ""
+             |    transform:
+             |      - kind: quality_filter
+             |        options:
+             |          column: 'text'
+             |          minWords: '45'
+             |          minMeanWordLen: '0'
+             |          maxMeanWordLen: '1000'
+             |          maxPunctRatio: '1.0'
+             |      - kind: dedup_exact
+             |        options:
+             |          idCol: 'doc_id'
+             |          textCol: 'text'
+             |      - kind: pack_materialize
+             |        options:
+             |          idCol: 'doc_id'
+             |          textCol: 'text'
+             |          budget: '$budget'
+             |    load:
+             |      - kind: training_shards
+             |        options:
+             |          idCol: pack_id
+             |          dir: $outDir
+             |          nShards: 4
+             |""".stripMargin
+        val cfgPath = s"$dir/migration_$budget.yaml"
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+        graft.pipeline.Pipeline.run(s,
+          graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+          progress = _ => ())
+        graft.pipeline.StageCache.lastReport(cache).getOrElse(
+          throw new IllegalStateException("stage cache produced no report"))
+      }
+      val cold = runCfg(512, out)
+      require(cold.computedSteps == Seq(0, 1, 2) && cold.reusedSteps.isEmpty,
+        s"cold run must compute every stage, got $cold")
+      val warm = runCfg(512, out)
+      require(warm.reusedSteps == Seq(0, 1, 2) && warm.computedSteps.isEmpty,
+        s"warm run must resume every stage, got $warm")
+      val edited = runCfg(256, s"$dir/out_edited")
+      require(edited.reusedSteps == Seq(0, 1) && edited.computedSteps == Seq(2),
+        s"editing the pack budget must recompute exactly the pack stage, got $edited")
+      val manifest = s.read.parquet(s"$out/manifest")
+      val data = s.read.parquet(s"$out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(s"""WITH du AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 17 = 3),
+      mq AS (SELECT doc_id, text FROM du
+        WHERE len(string_split(trim(regexp_replace(lower(text),
+          '\\s+', ' ', 'g')), ' ')) >= 45),
+      mkd AS (SELECT doc_id, text,
+        min(doc_id) OVER (PARTITION BY
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keep
+        FROM mq),
+      msv AS (SELECT doc_id, text FROM mkd WHERE doc_id = keep),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM msv),
+      oo AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      pp AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM oo),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM pp GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
+  /** Ledger compaction bound to the oracle
+    * ([[graft.streaming.IndexIngest.compactLedgers]]): seed the
+    * curated-pack ledger layout from the documents corpus (quality
+    * gate through the config registry → exact dedup → packed
+    * assignment + content-hash ledger), COMPACT it (the steady-state
+    * maintenance op: per-micro-batch appends leave a tiny-file storm;
+    * the rewrite bin-packs each ledger dir to few large files), then
+    * recompute the per-pack aggregation FROM THE COMPACTED ASSIGNMENT.
+    * Any row the rewrite lost or duplicated shifts a count or token
+    * sum, so the green row proves compaction is content-exact; the
+    * streamed three-ledger twin (files-shrink + continue-after) is
+    * StreamingSpec-bound. */
+  private val ledgerCompactPack = QueryDef("ledger_compact_pack",
+    (s, d) => {
+      val dir = tmpDir(d, "ledger_compact_pack")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      val src = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = src.unionByName(src.where(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val curate = graft.pipeline.ConfigLoader.transformKinds("quality_filter")(
+        Map("column" -> "text", "minWords" -> "45", "minMeanWordLen" -> "0",
+          "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))
+      graft.streaming.IndexIngest.seedCuratedPack(docs, dir,
+        "doc_id", "text", budget = 512, curate = curate)
+      val report = graft.streaming.IndexIngest.compactLedgers(s, dir)
+      require(report.keySet == Set("assign", "hashes") &&
+          report.values.forall(_._2 >= 1),
+        s"compaction must rewrite exactly the present ledgers, got $report")
+      s.read.parquet(s"$dir/assign")
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("pack_id"))
+    },
+    Some(s"""WITH du AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 17 = 3),
+      mq AS (SELECT doc_id, text FROM du
+        WHERE len(string_split(trim(regexp_replace(lower(text),
+          '\\s+', ' ', 'g')), ' ')) >= 45),
+      mkd AS (SELECT doc_id, text,
+        min(doc_id) OVER (PARTITION BY
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keep
+        FROM mq),
+      msv AS (SELECT doc_id, text FROM mkd WHERE doc_id = keep),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM msv),
+      oo AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      pp AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM oo)
+      SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM pp GROUP BY pack_id ORDER BY pack_id"""))
+
   /** Replay the [[shardsChain]] registry stages up to and INCLUDING
     * `throughKind` over the WARC fixture — spec access to the
     * intermediate funnel frames (the Jaccard-gap assertion in
@@ -7525,6 +7712,7 @@ object Queries {
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
     curateToShardsYaml, curateToShardsFunnel, curateMixedShards,
+    curateResumeShards, ledgerCompactPack,
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
     dedupMinhashLedgerQ,

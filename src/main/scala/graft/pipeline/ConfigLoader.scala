@@ -834,7 +834,7 @@ object ConfigLoader {
   private val knownRootKeys = Set("jobs", "migration", "version", "name",
     "slug", "description", "ledger", "sources", "secrets", "settings")
   private val knownJobKeys = Set("name", "dependsOn", "skip", "description",
-    "ledger", "extract", "transform", "load")
+    "ledger", "extract", "transform", "load", "cache")
   /** Load kinds that write files and the destination option(s) strict
     * mode requires them to carry up front (lenient mode defers the
     * missing-option failure to write time). */
@@ -891,14 +891,32 @@ object ConfigLoader {
                    what: String, opts: Options): T =
       reg.getOrElse(kind, throw new Pipeline.ValidationException(
         s"config: unknown $what kind '$kind' (known: ${reg.keys.toSeq.sorted.mkString(", ")})"))(opts)
+    // `cache: <dir>` (or `cache: {dir: ...}`) turns on resumable
+    // fingerprint-keyed stage materialization (StageCache): each
+    // transform stage's output persists under the dir, keyed by the
+    // md5 chain of source + stage configs + input-file stats, so a
+    // re-run recomputes only from the first edited stage down
+    val cacheDir: Option[String] = m.get("cache").flatMap {
+      case s: String => Some(s)
+      case mm: Map[_, _] => mm.asInstanceOf[Tree].get("dir").map(String.valueOf)
+      case other => throw new Pipeline.ValidationException(
+        s"config: 'cache' must be a dir string or {dir: ...}, got $other")
+    }
+    val extractSteps = steps("extract")
+    val transformSteps = steps("transform")
+    val baseStages = transformSteps.map(s =>
+      resolve(s.kind, transformKinds, "transform", s.options))
     Pipeline.JobSpec(
       name = String.valueOf(m.getOrElse("name",
         throw new Pipeline.ValidationException("config: job missing 'name'"))),
       dependsOn = m.get("dependsOn")
         .map(_.asInstanceOf[Vector[Any]].map(String.valueOf).toSeq).getOrElse(Nil),
       skip = m.get("skip").exists(v => String.valueOf(v).toBoolean),
-      extract = steps("extract").map(s => resolve(s.kind, sourceKinds, "source", s.options)),
-      transform = steps("transform").map(s => resolve(s.kind, transformKinds, "transform", s.options)),
+      extract = extractSteps.map(s => resolve(s.kind, sourceKinds, "source", s.options)),
+      transform = cacheDir match {
+        case Some(cd) => StageCache.wrap(cd, extractSteps, transformSteps, baseStages)
+        case None => baseStages
+      },
       load = steps("load").map(s => resolve(s.kind, loadKinds, "load", s.options)))
   }
 

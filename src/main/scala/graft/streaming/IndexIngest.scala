@@ -328,4 +328,56 @@ object IndexIngest {
       .localCheckpoint(true)
     if (!fresh.isEmpty) append(fresh)
   }
+
+  /** Epoch-boundary LEDGER COMPACTION — the steady-state maintenance
+    * op every append-per-micro-batch layout needs: after 10k batches
+    * each ledger dir holds 10k+ tiny parquet files, and every
+    * per-batch anti-join/scan pays the open-file storm (at 100 TB the
+    * listing alone dominates). Rewrites each present ledger subdir
+    * into ceil(bytes / targetBytes) files — content-identical (the
+    * consumers are row-order-insensitive: anti-joins, hash probes,
+    * banded sig joins), just fewer, larger files; the Delta-OPTIMIZE
+    * bin-packing shape without the table format.
+    *
+    * Cost: one shuffle of the LEDGER columns only (ids, hashes,
+    * signatures — never the corpus payload), so compaction tracks
+    * accepted-corpus metadata size, not corpus size.
+    *
+    * NOT concurrency-safe with an in-flight append: run it where
+    * shard materialization already runs — at an epoch boundary with
+    * the stream stopped (the temp-dir + delete + rename swap keeps
+    * the window to the rename, but a concurrent micro-batch could
+    * still read the dir mid-swap). Returns per-subdir
+    * (files_before, files_after) for the dirs that existed. */
+  def compactLedgers(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     subdirs: Seq[String] = Seq("assign", "hashes", "sigs"),
+                     targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+    subdirs.flatMap(sub =>
+      compactDir(spark, s"$dir/$sub", targetBytes).map(sub -> _)).toMap
+
+  /** Compact one parquet directory to ceil(bytes / targetBytes) files.
+    * Absent dir → None (nothing to do). Also fit for the ANN index
+    * ledgers (`codes/`, `assignments/`) between streamed appends. */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, path: String,
+                 targetBytes: Long = 128L << 20): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      def partFiles() = fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith("part-"))
+      val before = partFiles()
+      val n = math.max(1,
+        math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+      // the write consumes the source files BEFORE the swap deletes them
+      spark.read.parquet(path).repartition(n)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      if (!fs.rename(tmp, p))
+        throw new IllegalStateException(
+          s"ledger compaction: rename $tmp -> $p failed; ledger left at $tmp")
+      Some((before.length, partFiles().length))
+    }
+  }
 }

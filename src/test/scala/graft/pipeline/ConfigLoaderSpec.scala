@@ -871,4 +871,137 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(out.where(col("url") === "https://good.example/a")
       .select("text").as[String].collect().head == p1)
   }
+
+  // ---- resumable stage cache (`cache:` job key / StageCache) -------------
+
+  private def cacheCfg(work: String, out: String, minWords: Int = 5,
+                       budget: Int = 64): String = {
+    val cfg =
+      s"""{"jobs": [{
+         |  "name": "cached_curation",
+         |  "cache": "$work/cache",
+         |  "extract": [{"kind": "parquet", "path": "$work/docs", "prefix": ""}],
+         |  "transform": [
+         |    {"kind": "quality_filter",
+         |     "options": {"column": "text", "minWords": "$minWords",
+         |       "minMeanWordLen": "0", "maxMeanWordLen": "1000",
+         |       "maxPunctRatio": "1.0"}},
+         |    {"kind": "dedup_exact", "options": {"idCol": "doc_id", "textCol": "text"}},
+         |    {"kind": "pack_materialize",
+         |     "options": {"idCol": "doc_id", "textCol": "text", "budget": "$budget"}}],
+         |  "load": [{"kind": "training_shards",
+         |    "options": {"idCol": "pack_id", "dir": "$out", "nShards": "2"}}]
+         |}]}""".stripMargin
+    val p = new java.io.File(work, s"cache_${minWords}_$budget.json")
+    Files.write(p.toPath, cfg.getBytes("UTF-8"))
+    p.getPath
+  }
+
+  private def cacheDocs(n: Long) = (1L to n).map { i =>
+    // ids ≡ 2 (mod 10) are exact re-keyed copies of i-1 (dedup prey);
+    // ids ≡ 0 (mod 7) are two-word shorts the quality gate drops
+    val text =
+      if (i % 7 == 0) "too short"
+      else if (i % 10 == 2) (1 to 12).map(w => s"w${(i - 1) % 97}x$w").mkString(" ")
+      else (1 to 12).map(w => s"w${i % 97}x$w").mkString(" ")
+    (i, text)
+  }.toDF("doc_id", "text")
+
+  private def shardTotals(out: String): Seq[(Long, Long, Long)] =
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("shard").cast("long"))
+      .agg(sum("n_tokens").cast("long"), sum("n_docs").cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+  test("stage cache resumes unchanged stages; edits invalidate exactly downstream") {
+    val work = Files.createTempDirectory("graft_stagecache").toFile.getPath
+    val cache = s"$work/cache"
+    cacheDocs(60).write.mode("overwrite").parquet(s"$work/docs")
+    // uncached twin first: the ground truth the cached runs must equal
+    val plainCfg = cacheCfg(work, s"$work/out_plain")
+    val plainJobs = ConfigLoader.parse(
+      new String(Files.readAllBytes(new java.io.File(plainCfg).toPath), "UTF-8")
+        .replace(s""""cache": "$work/cache",""", ""))
+    Pipeline.run(spark, plainJobs, progress = _ => ())
+    val truth = shardTotals(s"$work/out_plain")
+
+    // run 1 (cold): every stage computes
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out1")), progress = _ => ())
+    val r1 = StageCache.lastReport(cache).get
+    assert(r1.computedSteps == Seq(0, 1, 2) && r1.reusedSteps.isEmpty)
+    assert(shardTotals(s"$work/out1") == truth)
+
+    // run 2 (warm, identical config): every stage resumes from disk
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out2")), progress = _ => ())
+    val r2 = StageCache.lastReport(cache).get
+    assert(r2.reusedSteps == Seq(0, 1, 2) && r2.computedSteps.isEmpty)
+    assert(shardTotals(s"$work/out2") == truth)
+
+    // run 3: pack budget edited -> ONLY the pack stage recomputes
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out3", budget = 32)),
+      progress = _ => ())
+    val r3 = StageCache.lastReport(cache).get
+    assert(r3.reusedSteps == Seq(0, 1) && r3.computedSteps == Seq(2))
+
+    // run 4: quality gate edited -> everything downstream recomputes
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out4", minWords = 3)),
+      progress = _ => ())
+    val r4 = StageCache.lastReport(cache).get
+    assert(r4.computedSteps == Seq(0, 1, 2) && r4.reusedSteps.isEmpty)
+
+    // fingerprints chain: run 3 shares stages 0-1 with run 1, differs at 2
+    assert(r3.entries.take(2).map(_.fingerprint) ==
+      r1.entries.take(2).map(_.fingerprint))
+    assert(r3.entries(2).fingerprint != r1.entries(2).fingerprint)
+  }
+
+  test("stage cache invalidates when an input file changes") {
+    val work = Files.createTempDirectory("graft_stagecache_in").toFile.getPath
+    cacheDocs(40).write.mode("overwrite").parquet(s"$work/docs")
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out1")), progress = _ => ())
+    assert(StageCache.lastReport(s"$work/cache").get.computedSteps == Seq(0, 1, 2))
+    // same config, regenerated input -> the chain must NOT resume
+    cacheDocs(41).write.mode("overwrite").parquet(s"$work/docs")
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out2")), progress = _ => ())
+    val r = StageCache.lastReport(s"$work/cache").get
+    assert(r.computedSteps == Seq(0, 1, 2) && r.reusedSteps.isEmpty)
+  }
+
+  test("stage cache prune deletes only unreachable stage dirs") {
+    val work = Files.createTempDirectory("graft_stagecache_pr").toFile.getPath
+    val cache = s"$work/cache"
+    cacheDocs(40).write.mode("overwrite").parquet(s"$work/docs")
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out1")), progress = _ => ())
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out2", budget = 32)),
+      progress = _ => ())
+    val dirs = new java.io.File(cache).list().toSeq.filter(_.startsWith("stage_"))
+    assert(dirs.length == 4) // stages 0,1 shared; two pack variants
+    // prune against the budget=32 chain: the budget=64 pack dir dies
+    val steps = Seq(
+      ConfigLoader.StepConfig("quality_filter", Map("column" -> "text",
+        "minWords" -> "5", "minMeanWordLen" -> "0", "maxMeanWordLen" -> "1000",
+        "maxPunctRatio" -> "1.0")),
+      ConfigLoader.StepConfig("dedup_exact",
+        Map("idCol" -> "doc_id", "textCol" -> "text")),
+      ConfigLoader.StepConfig("pack_materialize", Map("idCol" -> "doc_id",
+        "textCol" -> "text", "budget" -> "32")))
+    val extract = Seq(ConfigLoader.StepConfig("parquet",
+      Map("path" -> s"$work/docs", "prefix" -> "")))
+    val deleted = StageCache.prune(spark, cache, extract, steps)
+    assert(deleted.length == 1 && deleted.head.contains("pack_materialize"))
+    // the surviving chain still resumes fully
+    Pipeline.run(spark,
+      ConfigLoader.parseFile(cacheCfg(work, s"$work/out3", budget = 32)),
+      progress = _ => ())
+    val r = StageCache.lastReport(cache).get
+    assert(r.reusedSteps == Seq(0, 1, 2))
+  }
 }

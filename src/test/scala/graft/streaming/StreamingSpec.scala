@@ -980,4 +980,69 @@ class StreamingSpec extends SparkSpec {
         .as[String].collect().head == goodPage)
     } finally q.stop()
   }
+
+  test("ledger compaction: fewer files, identical content, stream continues cleanly") {
+    val work = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toFile.getPath
+    val dir = s"$work/led"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    def rep(tok: String, n: Int): String = Seq.fill(n)(tok).mkString(" ")
+    IndexIngest.seedCuratedPack(
+      Seq(doc(1, 8), doc(2, 6), 5L -> rep("ndtok", 50)).toDF("doc_id", "text"),
+      dir, "doc_id", "text", budget = 10, nearDupThreshold = Some(0.7))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.appendCuratedPackStream(
+      mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      budget = 10, nearDupThreshold = Some(0.7))
+    try {
+      mem.addData(doc(10, 7), doc(11, 9)); q.processAllAvailable()
+      mem.addData(doc(20, 6), 21L -> rep("ndtok", 51)); q.processAllAvailable()
+    } finally q.stop()
+    def ledger(sub: String) = spark.read.parquet(s"$dir/$sub")
+    def rows(sub: String) = {
+      val df = ledger(sub)
+      df.select(df.columns.map(c => col(c).cast("string")): _*)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    }
+    def files(sub: String) = new java.io.File(s"$dir/$sub").list()
+      .count(_.startsWith("part-"))
+    val before = Seq("assign", "hashes", "sigs").map(s => s -> rows(s)).toMap
+    val filesBefore = Seq("assign", "hashes", "sigs").map(files)
+    // seed write + 2 appended batches -> multiple files per ledger
+    assert(filesBefore.forall(_ >= 3), s"fixture too small: $filesBefore")
+    val report = IndexIngest.compactLedgers(spark, dir)
+    assert(report.keySet == Set("assign", "hashes", "sigs"))
+    Seq("assign", "hashes", "sigs").foreach { s =>
+      assert(files(s) == 1, s"$s should compact to one file, got ${files(s)}")
+      assert(rows(s) == before(s), s"$s content changed under compaction")
+      assert(report(s)._1 >= 3 && report(s)._2 == 1, s"report off: $report")
+    }
+    // the stream continues against the compacted ledgers: dups still
+    // drop, a novel doc extends the assignment with a carried offset
+    val offsetBefore = Packing.assignedTokenTotal(ledger("assign"))
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = IndexIngest.appendCuratedPackStream(
+      mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      budget = 10, nearDupThreshold = Some(0.7))
+    try {
+      mem2.addData(doc(20, 6), 22L -> rep("ndtok", 52), doc(30, 4))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = ledger("assign").select("doc_id", "token_offset")
+      .as[(Long, Long)].collect().toMap
+    assert(!after.contains(22L), "near-dup must still drop post-compaction")
+    assert(after.keySet.size == before("assign").size + 1 &&
+        after.contains(30L),
+      "exactly the novel doc must append")
+    assert(after(30L) == offsetBefore,
+      "appended doc must carry the pre-compaction token offset")
+    // absent subdir: compacting a dir without sigs reports only what exists
+    val dir2 = s"$work/led2"
+    IndexIngest.seedCuratedPack(Seq(doc(1, 8)).toDF("doc_id", "text"),
+      dir2, "doc_id", "text", budget = 10)
+    assert(IndexIngest.compactLedgers(spark, dir2).keySet ==
+      Set("assign", "hashes"))
+  }
 }
