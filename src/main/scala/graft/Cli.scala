@@ -58,8 +58,35 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, command, jobs, flags)
-    finally spark.stop()
+    try {
+      if (command == "stream") runStreams(spark, configPath, flags)
+      else run(spark, command, jobs, flags)
+    } finally spark.stop()
+  }
+
+  /** `stream` verb: run the config's `stream:` jobs — the continuous
+    * curation surface. A job with `availableNow: true` (or `--drain`)
+    * drains what its source has landed and stops (the epoch mode;
+    * idempotent across invocations by the ledger contract); otherwise
+    * the query runs until terminated. `--job a,b` selects by name. */
+  private[graft] def runStreams(spark: SparkSession, configPath: String,
+                                flags: Map[String, String]): Unit = {
+    val only = flags.get("job").map(_.split(",").toSet).getOrElse(Set.empty)
+    val all = ConfigLoader.parseStreamsFile(configPath)
+    val specs = if (only.isEmpty) all else all.filter(s => only(s.name))
+    require(specs.nonEmpty,
+      if (all.isEmpty) s"no stream: jobs in $configPath"
+      else s"--job matched none of: ${all.map(_.name).mkString(", ")}")
+    specs.foreach { sp =>
+      if (sp.availableNow || flags.contains("drain")) {
+        ConfigLoader.runStreamOnce(spark, sp)
+        println(s"[stream] ${sp.name}: drained")
+      } else {
+        val q = ConfigLoader.runStream(spark, sp)
+        println(s"[stream] ${sp.name}: running until terminated")
+        q.awaitTermination()
+      }
+    }
   }
 
   private[graft] def run(spark: SparkSession, command: String,
@@ -163,12 +190,13 @@ object Cli {
   }
 
   private val usage: String =
-    """usage: graft.Cli <process|extract|transform|analyze|config|janitor> <config.json|.yaml|parquet>
+    """usage: graft.Cli <process|extract|transform|analyze|config|janitor|stream> <config.json|.yaml|parquet>
       |  process   [--job a,b] [--skip c] [--dry-run] [--snapshot-dir dir] [--manifest path]
       |  analyze   [--job a,b] [--manifest path]
       |  extract   --job x --out dir [--mode json|csv]
       |  transform --job x --out dir [--mode json|csv]
       |  config    [--strict]
       |  janitor   <entity.parquet> [--post-type a,b] [--ledger-dir d --name n] [--id-col id]
+      |  stream    [--job a,b] [--drain]   (run the config's stream: jobs)
       |""".stripMargin
 }

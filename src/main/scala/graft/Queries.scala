@@ -5961,6 +5961,49 @@ object Queries {
     * The MinHash-ledger leg of the streamed chain is bound separately
     * (`dedup_minhash_ledger` + the StreamingSpec funnel-equivalence
     * case). */
+  /** Shared replay for [[curateStreamPack]] and [[curateStreamYaml]]:
+    * both streamed chains converge to the same final state — the
+    * quality-gated docs < 90 packed in global doc-id order (monotone
+    * batch ids + carried offsets make incremental packing ≡ the
+    * one-shot pack), twins/replays all dropped by the ledgers —
+    * sharded through the md5-rank digest. */
+  private val sqlCurateStreamReplay: String =
+    """WITH gated AS (SELECT doc_id, COALESCE(text, '') AS text
+        FROM documents WHERE doc_id < 90
+          AND len(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+            '\s+', ' ', 'g')), ' ')) >= 45),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM gated),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM o),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""
+
   private val curateStreamPack = QueryDef("curate_stream_pack",
     (s, d) => {
       import s.implicits._
@@ -6005,41 +6048,114 @@ object Queries {
           sum(col("n_docs")).as("sum_docs"))
       manifest.join(data, Seq("shard")).orderBy(col("shard"))
     },
-    Some("""WITH gated AS (SELECT doc_id, COALESCE(text, '') AS text
-        FROM documents WHERE doc_id < 90
-          AND len(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
-            '\s+', ' ', 'g')), ' ')) >= 45),
-      tc AS (SELECT doc_id,
-        CASE WHEN trim(text) = '' THEN []
-             ELSE string_split_regex(trim(text), '\s+') END AS toks
-        FROM gated),
-      o AS (SELECT doc_id, len(toks) AS n_tokens,
-        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
-        FROM tc WHERE len(toks) > 0),
-      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
-          n_tokens FROM o),
-      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
-        FROM p GROUP BY pack_id),
-      r AS (SELECT pack_id, n_docs, n_tokens,
-          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
-      sh0 AS (SELECT *,
-          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
-        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
-        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
-        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
-        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
-        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
-        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
-        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
-        FROM r),
-      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
-      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
-        CAST(SUM(digest) AS BIGINT) AS checksum,
-        min(rank) AS min_rank, max(rank) AS max_rank,
-        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
-      FROM sh GROUP BY shard ORDER BY shard"""))
+    Some(sqlCurateStreamReplay))
+
+  /** The CONTINUOUS chain as ONE CONFIG — the streamed twin of
+    * [[curateToShardsYaml]]'s "every stage a registry kind, no code"
+    * claim: a single YAML declares the batch SEED job (extract →
+    * quality gate → `seed_curated_pack` ledger layout) AND its
+    * `stream:` continuation (a `parquet_stream` landing dir, the same
+    * registry quality gate per micro-batch, the ledger-deduped pack
+    * append). Two epoch drains run through
+    * [[graft.pipeline.ConfigLoader.runStreamOnce]]: drain 1 packs the
+    * first landed file; drain 2 RE-READS it (no checkpoint — ledger
+    * idempotence is the replay contract) plus a second file carrying
+    * organic docs, exact-text twins, and replayed rows — twins and
+    * replays must all drop. Epoch boundary materializes through the
+    * registry `materialize_shards` kind; DuckDB replays the one-shot
+    * equivalent to shard checksums ([[sqlCurateStreamReplay]]). */
+  private val curateStreamYaml = QueryDef("curate_stream_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "curate_stream_yaml")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .where(col("doc_id") < 90)
+      docs.where(col("doc_id") < 30)
+        .write.mode("overwrite").parquet(s"$dir/seed_docs")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/incoming"))
+      // land a batch frame as ONE parquet file in the watched dir
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = s"$dir/land_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/incoming/$name"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val qualityYaml =
+        """          - kind: quality_filter
+          |            options:
+          |              column: 'text'
+          |              minWords: '45'
+          |              minMeanWordLen: '0'
+          |              maxMeanWordLen: '1000'
+          |              maxPunctRatio: '1.0'""".stripMargin
+      val yaml =
+        s"""jobs:
+           |  - name: seed_curation
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/seed_docs
+           |        prefix: ""
+           |    transform:
+           |${qualityYaml.replace("          ", "      ")}
+           |    load:
+           |      - kind: seed_curated_pack
+           |        options:
+           |          idCol: doc_id
+           |          textCol: text
+           |          budget: '512'
+           |          dir: $dir/led
+           |  - name: continuous_curation
+           |    stream:
+           |      source:
+           |        kind: parquet_stream
+           |        path: $dir/incoming
+           |        schemaFrom: $dir/seed_docs
+           |      curate:
+           |${qualityYaml.replace("          ", "        ")}
+           |      pack:
+           |        dir: $dir/led
+           |        idCol: doc_id
+           |        textCol: text
+           |        budget: '512'
+           |      availableNow: true
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      // batch planner runs the seed job and SKIPS the stream job
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      val streams = graft.pipeline.ConfigLoader.parseStreamsYamlFile(cfgPath)
+      require(streams.map(_.name) == Seq("continuous_curation") &&
+          streams.head.availableNow,
+        s"stream parse drifted: $streams")
+      // epoch 1: first landed file
+      land(docs.where(col("doc_id") >= 30 && col("doc_id") < 60), "b1.parquet")
+      graft.pipeline.ConfigLoader.runStreamOnce(s, streams.head)
+      // epoch 2: organic + exact-text twins + b1 re-read (replay)
+      land(docs.where(col("doc_id") >= 60).unionByName(
+        docs.where(col("doc_id").isin(31L, 35L, 41L, 47L))
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))),
+        "b2.parquet")
+      graft.pipeline.ConfigLoader.runStreamOnce(s, streams.head)
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/led/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(sqlCurateStreamReplay))
 
   /** STREAMED TRAINER MIX through the real streaming path — the
     * DoReMi two-phase recipe across the batch/stream boundary, which
@@ -7712,7 +7828,7 @@ object Queries {
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
     curateToShardsYaml, curateToShardsFunnel, curateMixedShards,
-    curateResumeShards, ledgerCompactPack,
+    curateResumeShards, ledgerCompactPack, curateStreamYaml,
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
     dedupMinhashLedgerQ,

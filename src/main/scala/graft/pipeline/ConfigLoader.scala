@@ -748,7 +748,160 @@ object ConfigLoader {
             l2 = o.getOrElse("l2", "0.0").toDouble,
             sampleFraction = o.getOrElse("sampleFraction", "1.0").toDouble)
           .coalesce(1).write.mode("overwrite").parquet(req(o, "path"))
+      })),
+      // seed the streamed-curation ledger layout (assign + hashes +
+      // sigs when nearDupThreshold is set) from a batch corpus — the
+      // "ledger present before the stream starts" convention as a
+      // registry step. Curation belongs in the job's TRANSFORM stages
+      // (the same kinds the stream job's `curate:` list resolves);
+      // this sink runs the in-batch exact (+ optional near-) dedup
+      // and packs the survivors one-shot.
+      "seed_curated_pack" -> (o => Sinks.Write("seed_curated_pack", df => {
+        graft.streaming.IndexIngest.seedCuratedPack(df, req(o, "dir"),
+          req(o, "idCol"), req(o, "textCol"), req(o, "budget").toLong,
+          nearDupThreshold = o.get("nearDupThreshold").map(_.toDouble),
+          k = o.getOrElse("k", "64").toInt,
+          bands = o.getOrElse("bands", "16").toInt,
+          maxBucket = o.getOrElse("maxBucket", "1000").toInt)
       })))
+
+  // ---- config-driven CONTINUOUS curation (`stream:` jobs) -----------------
+
+  /** Streaming source kind -> (spark, options) => streaming frame.
+    * `parquet_stream` watches a landing directory of parquet files
+    * (schema from `schemaFrom` or a batch read of the path itself —
+    * file streams require one up front); `warc_responses_stream` is
+    * the continuous-crawl front end with the same status/contentType
+    * gate options as the batch `warc_responses` source. */
+  val streamSourceKinds: collection.mutable.Map[String, (SparkSession, Options) => DataFrame] =
+    collection.mutable.Map(
+      "parquet_stream" -> ((s, o) => {
+        val path = req(o, "path")
+        val schema = s.read.parquet(o.getOrElse("schemaFrom", path)).schema
+        var reader = s.readStream.schema(schema)
+        o.get("maxFilesPerTrigger").foreach(v =>
+          reader = reader.option("maxFilesPerTrigger", v))
+        reader.parquet(path)
+      }),
+      "warc_responses_stream" -> ((s, o) => {
+        var df = Sources.readWarcResponsesStream(s, req(o, "path"))
+        o.get("status").foreach(v => df = df.where(col("http_status") === v.toInt))
+        o.get("contentType").foreach(v => df = df.where(col("content_type") === v))
+        df
+      }))
+
+  /** One `stream:` job — the config form of the streamed-curation
+    * chain ([[graft.streaming.IndexIngest.appendCuratedPackStream]]):
+    * a streaming source, the per-micro-batch curation stages (any
+    * transform kinds — they run on the batch frame inside
+    * foreachBatch), and the ledger-deduped pack append's options.
+    * `availableNow = true` declares epoch-drain intent: run with
+    * [[runStreamOnce]] (drain what has landed, then stop — the mode
+    * shard materialization and ledger compaction compose with). */
+  final case class StreamSpec(name: String, source: StepConfig,
+                              curate: Seq[StepConfig], pack: Options,
+                              availableNow: Boolean)
+
+  private val knownStreamKeys = Set("source", "curate", "pack", "availableNow")
+
+  /** Parse the `stream:` jobs of a config file (batch `parseYamlFile`
+    * / `parse` skip them; the two surfaces share one file). Unknown
+    * keys inside `stream:` always fail loudly — new surface, no
+    * lenient legacy to honor. */
+  def parseStreamsYamlFile(path: String): Seq[StreamSpec] =
+    streamsFromTree(Yaml.parseFile(path))
+
+  /** Extension-routed stream parse (the CLI's shape): YAML through the
+    * !include-aware parser, anything else as JSON. */
+  def parseStreamsFile(path: String): Seq[StreamSpec] =
+    if (path.endsWith(".yaml") || path.endsWith(".yml"))
+      parseStreamsYamlFile(path)
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      streamsFromTree(deep(mapper.readValue(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8"),
+        classOf[java.util.Map[String, Object]])))
+    }
+
+  private def streamsFromTree(root: Any): Seq[StreamSpec] = {
+    val rootMap = root match {
+      case m: Map[_, _] => m.asInstanceOf[Tree]
+      case _ => throw new Pipeline.ValidationException("config: root must be a map")
+    }
+    rootMap.get("jobs").orElse(rootMap.get("migration"))
+      .map(_.asInstanceOf[Vector[Any]]).getOrElse(Vector.empty)
+      .collect { case j: Map[_, _] if j.asInstanceOf[Tree].contains("stream") =>
+        streamFromTree(j.asInstanceOf[Tree]) }
+  }
+
+  private def streamFromTree(m: Tree): StreamSpec = {
+    val st = m("stream") match {
+      case t: Map[_, _] => t.asInstanceOf[Tree]
+      case other => throw new Pipeline.ValidationException(
+        s"config: 'stream' must be a map, got $other")
+    }
+    rejectUnknown(st, knownStreamKeys, "stream")
+    val source = normalizeStep(
+      st.getOrElse("source", throw new Pipeline.ValidationException(
+        "config: stream job missing 'source'")).asInstanceOf[Tree],
+      "stream.source")
+    val curate = st.get("curate").map(_.asInstanceOf[Vector[Any]]
+      .map(x => normalizeStep(x.asInstanceOf[Tree], "stream.curate")).toSeq)
+      .getOrElse(Nil)
+    val pack: Options = st.getOrElse("pack",
+        throw new Pipeline.ValidationException(
+          "config: stream job missing 'pack'")) match {
+      case t: Map[_, _] => t.asInstanceOf[Tree].map { case (k, v) =>
+        k -> String.valueOf(v) }
+      case other => throw new Pipeline.ValidationException(
+        s"config: stream 'pack' must be a map, got $other")
+    }
+    StreamSpec(
+      name = String.valueOf(m.getOrElse("name",
+        throw new Pipeline.ValidationException("config: job missing 'name'"))),
+      source = source, curate = curate, pack = pack,
+      availableNow = st.get("availableNow").exists(v =>
+        String.valueOf(v).toBoolean))
+  }
+
+  /** Start a `stream:` job: resolve the source and curation kinds,
+    * hand them to the ledger-deduped pack append. The returned query
+    * runs until stopped. Seed the pack dir first (the
+    * `seed_curated_pack` load kind). */
+  def runStream(spark: SparkSession, spec: StreamSpec):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = streamSourceKinds.getOrElse(spec.source.kind,
+      throw new Pipeline.ValidationException(
+        s"config: unknown stream source kind '${spec.source.kind}' " +
+          s"(known: ${streamSourceKinds.keys.toSeq.sorted.mkString(", ")})"))(
+      spark, spec.source.options)
+    val curate: DataFrame => DataFrame = df =>
+      spec.curate.foldLeft(df) { (f, step) =>
+        transformKinds.getOrElse(step.kind,
+          throw new Pipeline.ValidationException(
+            s"config: unknown transform kind '${step.kind}' in stream.curate"))(
+          step.options)(f)
+      }
+    val p = spec.pack
+    graft.streaming.IndexIngest.appendCuratedPackStream(src,
+      req(p, "dir"), req(p, "idCol"), req(p, "textCol"),
+      req(p, "budget").toLong, curate = curate,
+      nearDupThreshold = p.get("nearDupThreshold").map(_.toDouble),
+      k = p.getOrElse("k", "64").toInt,
+      bands = p.getOrElse("bands", "16").toInt,
+      maxBucket = p.getOrElse("maxBucket", "1000").toInt)
+  }
+
+  /** Epoch-drain execution of a `stream:` job: start, process
+    * everything the source has landed, stop. Idempotent across
+    * invocations BY THE LEDGER (no checkpoint dir needed: re-read
+    * files replay into the assignment anti-join and drop), so "run
+    * at each epoch boundary" is safe scheduling. */
+  def runStreamOnce(spark: SparkSession, spec: StreamSpec): Unit = {
+    val q = runStream(spark, spec)
+    try q.processAllAvailable() finally q.stop()
+  }
 
   private def req(o: Options, k: String): String =
     o.getOrElse(k, throw new Pipeline.ValidationException(s"missing option '$k'"))
@@ -844,7 +997,8 @@ object ConfigLoader {
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),
-    "materialize_shards" -> Seq("dir", "assignmentDir"))
+    "materialize_shards" -> Seq("dir", "assignmentDir"),
+    "seed_curated_pack" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)
@@ -864,10 +1018,15 @@ object ConfigLoader {
         throw new Pipeline.ValidationException("config: missing 'jobs' (or 'migration')"))
       .asInstanceOf[Vector[Any]]
     jobs.map {
-      case j: Map[_, _] => jobFromTree(j.asInstanceOf[Tree], strict)
+      case j: Map[_, _] => j.asInstanceOf[Tree]
       case other => throw new Pipeline.ValidationException(
         s"config: job entry must be a map, got $other")
     }
+      // `stream:` jobs are the continuous surface — parsed by
+      // [[parseStreamsYamlFile]]; the batch planner skips them so one
+      // file can declare the seed job AND its continuous twin
+      .filterNot(_.contains("stream"))
+      .map(jobFromTree(_, strict))
   }
 
   private def jobFromTree(m: Tree, strict: Boolean = false): Pipeline.JobSpec = {

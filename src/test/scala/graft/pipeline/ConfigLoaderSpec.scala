@@ -1004,4 +1004,174 @@ class ConfigLoaderSpec extends SparkSpec {
     val r = StageCache.lastReport(cache).get
     assert(r.reusedSteps == Seq(0, 1, 2))
   }
+
+  // ---- `stream:` jobs (config-driven continuous curation) ----------------
+
+  test("stream job parse: batch planner skips it, stream parser binds it, malformed fails loudly") {
+    val work = Files.createTempDirectory("graft_streamcfg").toFile.getPath
+    def write(yaml: String): String = {
+      val p = new java.io.File(work, "s.yaml")
+      Files.write(p.toPath, yaml.getBytes("UTF-8")); p.getPath
+    }
+    val good = write(
+      s"""jobs:
+         |  - name: seed
+         |    extract:
+         |      - kind: parquet
+         |        path: $work/docs
+         |        prefix: ""
+         |    load:
+         |      - kind: seed_curated_pack
+         |        options: {idCol: doc_id, textCol: text, budget: '64', dir: $work/led}
+         |  - name: cont
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        path: $work/in
+         |      curate:
+         |        - kind: quality_filter
+         |          options: {column: text, minWords: '3', minMeanWordLen: '0', maxMeanWordLen: '1000', maxPunctRatio: '1.0'}
+         |      pack: {dir: $work/led, idCol: doc_id, textCol: text, budget: '64'}
+         |      availableNow: true
+         |""".stripMargin)
+    // one file, two surfaces: the batch planner sees ONLY the seed job
+    assert(ConfigLoader.parseYamlFile(good).map(_.name) == Seq("seed"))
+    val specs = ConfigLoader.parseStreamsYamlFile(good)
+    assert(specs.map(_.name) == Seq("cont"))
+    val sp = specs.head
+    assert(sp.source.kind == "parquet_stream" &&
+      sp.source.options("path") == s"$work/in")
+    assert(sp.curate.map(_.kind) == Seq("quality_filter") &&
+      sp.curate.head.options("minWords") == "3")
+    assert(sp.pack("budget") == "64" && sp.availableNow)
+    // loud failures: unknown stream key / missing source / missing pack
+    def streamYaml(body: String) = write(
+      s"""jobs:
+         |  - name: bad
+         |    stream:
+         |$body
+         |""".stripMargin)
+    intercept[Pipeline.ValidationException](ConfigLoader.parseStreamsYamlFile(
+      streamYaml("      sauce: {kind: parquet_stream, path: /x}\n      pack: {dir: /y}")))
+    intercept[Pipeline.ValidationException](ConfigLoader.parseStreamsYamlFile(
+      streamYaml("      pack: {dir: /y, idCol: a, textCol: b, budget: '1'}")))
+    intercept[Pipeline.ValidationException](ConfigLoader.parseStreamsYamlFile(
+      streamYaml("      source: {kind: parquet_stream, path: /x}")))
+    // unknown source kind surfaces at run time with the known list
+    val badKind = ConfigLoader.StreamSpec("b",
+      ConfigLoader.StepConfig("nope", Map("path" -> "/x")), Nil,
+      Map("dir" -> "/y", "idCol" -> "a", "textCol" -> "b", "budget" -> "1"),
+      availableNow = true)
+    intercept[Pipeline.ValidationException](ConfigLoader.runStream(spark, badKind))
+  }
+
+  test("config-driven WARC stream: crawl landing dir -> extract -> gate -> ledger pack, one config") {
+    graft.plans.GraftExtensions.register(spark)
+    val work = Files.createTempDirectory("graft_warccfg").toFile.getPath
+    new java.io.File(s"$work/landing").mkdirs()
+    def rec(uri: String, status: String, prose: String): String = {
+      val http = s"HTTP/1.1 $status\nContent-Type: text/html"
+      val html = s"<html><body><p>$prose</p></body></html>"
+      s"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: $uri\n" +
+        s"WARC-Date: 2026-04-04T00:00:00Z\n" +
+        s"Content-Length: ${http.length + 2 + html.length}\n\n$http\n\n$html"
+    }
+    val p1 = "segment one page with plenty of ordinary prose words here."
+    val p2 = "short."
+    // seed ledgers from one batch doc
+    Seq(("https://seed.example/0",
+        "the seed page text with plenty of ordinary words in it."))
+      .toDF("url", "text")
+      .write.mode("overwrite").parquet(s"$work/seed")
+    Pipeline.run(spark, ConfigLoader.parse(
+      s"""{"jobs": [{"name": "seed",
+         |  "extract": [{"kind": "parquet", "path": "$work/seed", "prefix": ""}],
+         |  "load": [{"kind": "seed_curated_pack",
+         |    "options": {"idCol": "url", "textCol": "text", "budget": "16",
+         |      "dir": "$work/led"}}]}]}""".stripMargin), progress = _ => ())
+    val yaml =
+      s"""jobs:
+         |  - name: crawl
+         |    stream:
+         |      source:
+         |        kind: warc_responses_stream
+         |        path: $work/landing
+         |        status: 200
+         |        contentType: text/html
+         |      curate:
+         |        - kind: html_extract
+         |          options: {column: html, outCol: text}
+         |        - kind: quality_filter
+         |          options: {column: text, minWords: '5', minMeanWordLen: '0', maxMeanWordLen: '1000', maxPunctRatio: '1.0'}
+         |      pack: {dir: $work/led, idCol: url, textCol: text, budget: '16'}
+         |      availableNow: true
+         |""".stripMargin
+    Files.write(new java.io.File(work, "crawl.yaml").toPath,
+      yaml.getBytes("UTF-8"))
+    Files.write(new java.io.File(s"$work/landing", "seg1.warc").toPath,
+      (Seq(rec("https://a.example/1", "200 OK", p1),
+        rec("https://a.example/err", "404 Not Found", p1),
+        rec("https://a.example/2", "200 OK", p2)).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    val spec = ConfigLoader.parseStreamsYamlFile(s"$work/crawl.yaml").head
+    ConfigLoader.runStreamOnce(spark, spec)
+    val ids = spark.read.parquet(s"$work/led/assign").select("doc_id")
+      .as[String].collect().toSet
+    // 404 gated at the source, short page gated by quality, seed intact
+    assert(ids == Set("https://seed.example/0", "https://a.example/1"))
+    // a second drain re-reads seg1 — ledger idempotence, no re-pack
+    ConfigLoader.runStreamOnce(spark, spec)
+    assert(spark.read.parquet(s"$work/led/assign").count() == 2L)
+  }
+
+  test("cli stream verb: drains the config's stream jobs; fails loudly with none") {
+    val work = Files.createTempDirectory("graft_clistream").toFile.getPath
+    (1L to 6L).map(i => (i, (1 to 8).map(w => s"w${i}x$w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/seed")
+    new java.io.File(s"$work/in").mkdirs()
+    val cfg =
+      s"""jobs:
+         |  - name: seed
+         |    extract:
+         |      - kind: parquet
+         |        path: $work/seed
+         |        prefix: ""
+         |    load:
+         |      - kind: seed_curated_pack
+         |        options: {idCol: doc_id, textCol: text, budget: '16', dir: $work/led}
+         |  - name: cont
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        path: $work/in
+         |        schemaFrom: $work/seed
+         |      pack: {dir: $work/led, idCol: doc_id, textCol: text, budget: '16'}
+         |      availableNow: true
+         |""".stripMargin
+    val p = new java.io.File(work, "c.yaml")
+    Files.write(p.toPath, cfg.getBytes("UTF-8"))
+    Pipeline.run(spark, ConfigLoader.parseYamlFile(p.getPath), progress = _ => ())
+    // land one file, drain through the CLI verb
+    (10L to 12L).map(i => (i, (1 to 8).map(w => s"w${i}x$w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/tmp")
+    val part = new java.io.File(s"$work/tmp").listFiles()
+      .find(_.getName.startsWith("part-")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$work/in/b1.parquet").toPath)
+    graft.Cli.runStreams(spark, p.getPath, Map.empty)
+    assert(spark.read.parquet(s"$work/led/assign").count() == 9L)
+    // --job selects by name; a miss lists the candidates
+    val miss = intercept[IllegalArgumentException](
+      graft.Cli.runStreams(spark, p.getPath, Map("job" -> "nope")))
+    assert(miss.getMessage.contains("cont"))
+    // a config without stream jobs fails loudly
+    val batchOnly = new java.io.File(work, "b.json")
+    Files.write(batchOnly.toPath,
+      s"""{"jobs": [{"name": "j", "extract": [{"kind": "parquet", "path": "$work/seed"}]}]}"""
+        .getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      graft.Cli.runStreams(spark, batchOnly.getPath, Map.empty))
+  }
 }
