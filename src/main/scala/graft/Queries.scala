@@ -6157,6 +6157,170 @@ object Queries {
     },
     Some(sqlCurateStreamReplay))
 
+  // ---- retraction / takedown over the curated-pack ledgers ---------------
+
+  /** Shared fixture for the retraction family: seed the curated-pack
+    * ledger set from the quality-gated documents (the
+    * [[curateStreamPack]] corpus — doc_id < 90, registry
+    * quality_filter, budget 512) and return the gated doc frame. */
+  private def seedRetractFixture(s: SparkSession, d: String,
+                                 dir: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .where(col("doc_id") < 90)
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
+        "column" -> "text", "minWords" -> "45", "minMeanWordLen" -> "0",
+        "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))
+    graft.streaming.IndexIngest.seedCuratedPack(docs, dir, "doc_id", "text",
+      budget = 512L, curate = curate)
+    docs
+  }
+
+  /** Materialize + per-shard summary — the curate_stream family's
+    * result shape, shared by the retraction queries. */
+  private def shardsSummary(s: SparkSession, docs: DataFrame,
+                            dir: String): DataFrame = {
+    graft.sinks.Sinks.runChain(docs, Seq(
+      graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+        "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+        "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+    val manifest = s.read.parquet(s"$dir/out/manifest")
+    val data = s.read.parquet(s"$dir/out/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_docs")).as("sum_docs"))
+    manifest.join(data, Seq("shard")).orderBy(col("shard"))
+  }
+
+  /** The retraction replay skeleton: gate → offsets → drop a doc set →
+    * pack → shard digest. `keptFilter` runs AFTER the prefix sum
+    * (scrub semantics: survivors keep their offsets, holes where the
+    * retracted tokens were); pass it as part of `gatedExtra` instead
+    * for repack semantics (retracted docs never enter the sum). */
+  private def sqlRetractReplay(gatedExtra: String, keptFilter: String,
+                               prelude: String = ""): String =
+    s"""WITH $prelude gated AS (SELECT doc_id, COALESCE(text, '') AS text
+        FROM documents WHERE doc_id < 90
+          AND len(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+            '\\s+', ' ', 'g')), ' ')) >= 45 $gatedExtra),
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM gated),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      kept AS (SELECT * FROM o WHERE $keptFilter),
+      p AS (SELECT CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id,
+          n_tokens FROM kept),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""
+
+  /** TAKEDOWN, scrub mode ([[graft.streaming.IndexIngest.retractFromCuratedPack]]
+    * through the registry `retract_pack` kind): seed the curated-pack
+    * ledgers, retract every doc with id % 7 = 3 — the takedown list
+    * deliberately includes ids the quality gate never admitted (no-op
+    * rows) — and materialize. Scrub semantics: surviving assignment
+    * rows keep their token offsets (holes where the retracted tokens
+    * were), so the DuckDB replay computes the prefix sum over the
+    * FULL gated corpus and only then drops the retracted docs —
+    * affected packs get lighter, fully-retracted packs disappear,
+    * nothing else moves. */
+  private val packRetractScrub = QueryDef("pack_retract_scrub",
+    (s, d) => {
+      val dir = tmpDir(d, "pack_retract_scrub")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), Seq(
+          graft.pipeline.ConfigLoader.loadKinds("retract_pack")(Map(
+            "dir" -> dir, "idCol" -> "doc_id"))))
+      shardsSummary(s, docs, dir)
+    },
+    Some(sqlRetractReplay("", "doc_id % 7 <> 3")))
+
+  /** TAKEDOWN, repack mode: same retraction through the registry kind
+    * with `repack`/`budget` set — the assignment is re-prefix-summed
+    * over the surviving membership, so the ledger (and therefore the
+    * shards) is bit-identical to one where the retracted docs were
+    * NEVER ingested. The replay drops the docs BEFORE the prefix sum.
+    * (The never-ingested equivalence is additionally spec-bound
+    * byte-for-byte in StreamingSpec.) */
+  private val packRetractRepack = QueryDef("pack_retract_repack",
+    (s, d) => {
+      val dir = tmpDir(d, "pack_retract_repack")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), Seq(
+          graft.pipeline.ConfigLoader.loadKinds("retract_pack")(Map(
+            "dir" -> dir, "idCol" -> "doc_id",
+            "repack" -> "true", "budget" -> "512"))))
+      shardsSummary(s, docs, dir)
+    },
+    Some(sqlRetractReplay("AND doc_id % 7 <> 3", "TRUE")))
+
+  /** RETROACTIVE DECONTAMINATION
+    * ([[graft.streaming.IndexIngest.retractContaminated]] through the
+    * registry `retract_contaminated` kind): a benchmark published
+    * AFTER the corpus shipped (here the doc_id % 50 = 0 documents —
+    * the `decontaminate` query's convention) arrives as the job's
+    * frame; every ACCEPTED doc sharing an exact word-8-gram with it is
+    * found via the broadcast-gram contamination pass and retracted
+    * (scrub mode). The replay recomputes the contaminated id set from
+    * first principles — normalized words, distinct 8-grams, gram join
+    * — then drops those docs after the prefix sum. */
+  private val retractDecontaminate = QueryDef("retract_decontaminate",
+    (s, d) => {
+      val dir = tmpDir(d, "retract_decontaminate")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(
+        t(s, d, "documents").where(col("doc_id") % 50 === 0), Seq(
+          graft.pipeline.ConfigLoader.loadKinds("retract_contaminated")(Map(
+            "dir" -> dir, "docsPath" -> s"$d/documents.parquet",
+            "idCol" -> "doc_id", "textCol" -> "text"))))
+      shardsSummary(s, docs, dir)
+    },
+    Some(sqlRetractReplay("", "doc_id NOT IN (SELECT doc_id FROM bad)",
+      prelude = s"""norm AS (SELECT doc_id, $sqlWords AS w FROM documents
+          WHERE doc_id < 90
+          AND len(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
+            '\\s+', ' ', 'g')), ' ')) >= 45),
+        cgrams AS (SELECT doc_id,
+          CASE WHEN len(w) >= 8
+               THEN list_distinct(list_transform(range(0, len(w)-7),
+                      i -> array_to_string(w[i+1:i+8], ' ')))
+               ELSE [array_to_string(w, ' ')] END AS gs
+          FROM norm),
+        cg AS (SELECT doc_id, unnest(gs) AS g FROM cgrams),
+        bnorm AS (SELECT $sqlWords AS w FROM documents WHERE doc_id % 50 = 0),
+        bgrams AS (SELECT CASE WHEN len(w) >= 8
+               THEN list_distinct(list_transform(range(0, len(w)-7),
+                      i -> array_to_string(w[i+1:i+8], ' ')))
+               ELSE [array_to_string(w, ' ')] END AS gs
+          FROM bnorm),
+        bg AS (SELECT DISTINCT unnest(gs) AS g FROM bgrams),
+        bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),""")))
+
   /** STREAMED TRAINER MIX through the real streaming path — the
     * DoReMi two-phase recipe across the batch/stream boundary, which
     * is its published deployment shape (Xie et al. 2023: the proxy
@@ -6900,6 +7064,51 @@ object Queries {
         list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
         FROM embeddings WHERE vec_id < 3),
       c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
+  /** INDEX-SIDE RETRACTION
+    * ([[graft.streaming.IndexIngest.retractFromVectorIndex]]): a
+    * takedown is corpus-wide — the doc's embedding must leave the ANN
+    * surface too. The index is built over the corpus PLUS a planted
+    * ε-twin of each query target (dim-0 + 0.003, id + 200000), then
+    * the targets (vec_id < 3 — each the true rank-1 of its planted
+    * query) are retracted from the cluster-partitioned assignments.
+    * The query must now return the TWIN: if retraction silently
+    * failed, the un-retracted base outranks its farther twin and the
+    * hash mismatches. Oracle: brute force over (corpus minus the
+    * retracted ids) plus the twins. */
+  private val annRetractIndex = QueryDef("ann_retract_index",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val twins = emb.where(col("vec_id") < 3).select(
+        (col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.003f)).otherwise(x))
+          .as("embedding"))
+      val dir = tmpDir(d, "ann_retract_index")
+      Similarity.buildIvfIndex(
+        emb.select(col("vec_id"), col("embedding")).unionByName(twins), dir)
+      graft.streaming.IndexIngest.retractFromVectorIndex(s, dir,
+        emb.where(col("vec_id") < 3).select(col("vec_id")), "vec_id")
+      Similarity.ivfQueryIndex(s, dir, perturbedEmbeddings(emb, 3), k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 3
+        UNION ALL
+        SELECT vec_id + 200000 AS neighbor_id,
+          list_concat([embedding[1] + CAST(0.003 AS FLOAT)], embedding[2:])::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 3),
       sc AS (SELECT query_id, neighbor_id,
           ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
         FROM c CROSS JOIN q),
@@ -7831,6 +8040,7 @@ object Queries {
     curateResumeShards, ledgerCompactPack, curateStreamYaml,
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
+    packRetractScrub, packRetractRepack, retractDecontaminate,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
@@ -7840,7 +8050,7 @@ object Queries {
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend,
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    annIvfAppend, annRecallAudit, annRecallAuditPlanted,
+    annIvfAppend, annRetractIndex, annRecallAudit, annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,

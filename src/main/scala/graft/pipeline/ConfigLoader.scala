@@ -763,6 +763,36 @@ object ConfigLoader {
           k = o.getOrElse("k", "64").toInt,
           bands = o.getOrElse("bands", "16").toInt,
           maxBucket = o.getOrElse("maxBucket", "1000").toInt)
+      })),
+      // takedown: the job's frame IS the retraction id list (a
+      // takedown list lands as CSV/parquet like any other source);
+      // removes those docs from the curated-pack ledgers. Epoch
+      // boundary only — see IndexIngest.retractFromCuratedPack.
+      "retract_pack" -> (o => Sinks.Write("retract_pack", df => {
+        graft.streaming.IndexIngest.retractFromCuratedPack(
+          df.sparkSession, req(o, "dir"), df, req(o, "idCol"),
+          repack = o.getOrElse("repack", "false").toBoolean,
+          budget = o.getOrElse("budget", "0").toLong,
+          forgetDocs = o.get("forgetDocsPath")
+            .map(p => df.sparkSession.read.parquet(p)),
+          forgetTextCol = o.getOrElse("forgetTextCol", "text"))
+        () // ledger rewrites are eager; the report frame is advisory
+      })),
+      // retroactive decontamination: the job's frame IS the freshly
+      // published benchmark; accepted docs sharing n-grams with it are
+      // retracted from the curated-pack ledgers (forget=true default —
+      // contaminated is not banned, see retractContaminated).
+      "retract_contaminated" -> (o => Sinks.Write("retract_contaminated", df => {
+        graft.streaming.IndexIngest.retractContaminated(
+          df.sparkSession, req(o, "dir"),
+          df.sparkSession.read.parquet(req(o, "docsPath")),
+          req(o, "idCol"), req(o, "textCol"), benchmark = df,
+          n = o.getOrElse("n", "8").toInt,
+          minOverlaps = o.getOrElse("minOverlaps", "1").toInt,
+          repack = o.getOrElse("repack", "false").toBoolean,
+          budget = o.getOrElse("budget", "0").toLong,
+          forget = o.getOrElse("forget", "true").toBoolean)
+        ()
       })))
 
   // ---- config-driven CONTINUOUS curation (`stream:` jobs) -----------------
@@ -998,7 +1028,9 @@ object ConfigLoader {
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),
     "materialize_shards" -> Seq("dir", "assignmentDir"),
-    "seed_curated_pack" -> Seq("dir"))
+    "seed_curated_pack" -> Seq("dir"),
+    "retract_pack" -> Seq("dir"),
+    "retract_contaminated" -> Seq("dir", "docsPath"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

@@ -380,4 +380,203 @@ object IndexIngest {
       Some((before.length, partFiles().length))
     }
   }
+
+  /** RETRACTION / TAKEDOWN — remove documents from the curated-pack
+    * ledger set ([[seedCuratedPack]] layout) WITHOUT replaying the
+    * curation chain: the opt-out / license-revocation / legal-takedown
+    * op every production training corpus eventually needs, sized to
+    * the takedown list and the ledger metadata, never the corpus.
+    *
+    * Semantics (the takedown intent, not mere deletion):
+    *  - the docs leave the ASSIGNMENT, so no future
+    *    [[graft.llm.Packing.materializeShardsFromAssignment]] ships
+    *    their tokens;
+    *  - by default their content-hash and MinHash-signature rows STAY
+    *    as tombstones — a re-crawled byte-identical copy (hash ledger)
+    *    or near-copy (sig ledger) of retracted content is REFUSED
+    *    re-admission by the unchanged stream dedup path. Pass
+    *    `forgetDocs` (the doc store, same `idCol`; text under
+    *    `forgetTextCol`) to erase those rows too ("retract and
+    *    forget" — the content may legitimately return later). The
+    *    hash ledger stores no ids, so forgetting needs the retracted
+    *    docs' text to recompute which hashes to drop; the sig ledger
+    *    forgets by id.
+    *
+    * Offset modes:
+    *  - scrub (default): surviving assignment rows keep their
+    *    token_offset/pack_id — holes where the retracted tokens were,
+    *    so affected packs get lighter and fully-retracted packs
+    *    disappear, but nothing else moves and the stream's carried
+    *    offset stays valid. O(ledger) rewrite.
+    *  - `repack = true` (requires `budget`): re-run the two-phase
+    *    prefix sum over the surviving membership in id order — the
+    *    assignment becomes byte-identical to one where the retracted
+    *    docs were NEVER ingested (monotone-id append ≡ one-shot pack,
+    *    the [[appendPackStream]] contract), at the cost of shifting
+    *    every downstream doc's pack.
+    *
+    * Not concurrency-safe with an in-flight append — run at an epoch
+    * boundary with the stream stopped, like [[compactLedgers]] (same
+    * temp-dir + delete + rename swap per ledger).
+    *
+    * @return one row per rewritten ledger:
+    *         (ledger, rows_before, rows_removed, rows_after)
+    */
+  def retractFromCuratedPack(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, retractIds: DataFrame,
+                             idCol: String, repack: Boolean = false,
+                             budget: Long = 0L,
+                             forgetDocs: Option[DataFrame] = None,
+                             forgetTextCol: String = "text"): DataFrame = {
+    require(!repack || budget > 0,
+      "retractFromCuratedPack: repack re-runs the prefix sum and needs " +
+        s"the pack budget (got $budget)")
+    val assign = spark.read.parquet(s"$dir/assign")
+    val idType = assign.schema("doc_id").dataType
+    // sever lineage first: the retraction list may itself derive from
+    // the ledgers this op rewrites (retractContaminated reads assign)
+    val rids = retractIds.where(col(idCol).isNotNull)
+      .select(col(idCol).cast(idType).as("__graft_retract")).distinct()
+      .localCheckpoint(true)
+    val report = collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+
+    def rewrite(sub: String, df: DataFrame, kept: DataFrame): Unit = {
+      val before = df.count()
+      val keptCp = kept.localCheckpoint(true)
+      val after = keptCp.count()
+      swapDir(spark, s"$dir/$sub", keptCp)
+      report += ((sub, before, before - after, after))
+    }
+
+    rewrite("assign", assign, {
+      val kept = assign.join(rids,
+        col("doc_id") === col("__graft_retract"), "left_anti")
+      if (repack)
+        graft.llm.Packing.packSequences(kept, "doc_id", col("n_tokens"),
+          budget)
+      else kept
+    })
+    forgetDocs.foreach { store =>
+      val retractedDocs = store.join(rids,
+        col(idCol) === col("__graft_retract"), "left_semi")
+      val hp = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+      if (hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)) {
+        val hashes = spark.read.parquet(s"$dir/hashes")
+        val dead = graft.llm.Dedup.contentHashes(retractedDocs, forgetTextCol)
+          .select(col("content_hash").as("__dead")).distinct()
+        rewrite("hashes", hashes, hashes.join(dead,
+          col("content_hash") === col("__dead"), "left_anti"))
+      }
+      val sp = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+      if (sp.getFileSystem(spark.sessionState.newHadoopConf()).exists(sp)) {
+        val sigs = spark.read.parquet(s"$dir/sigs")
+        rewrite("sigs", sigs, sigs.join(rids,
+          col("doc_id") === col("__graft_retract"), "left_anti"))
+      }
+    }
+    spark.createDataFrame(report.toSeq)
+      .toDF("ledger", "rows_before", "rows_removed", "rows_after")
+  }
+
+  /** RETROACTIVE DECONTAMINATION — the "a new benchmark just shipped"
+    * op: find accepted corpus docs sharing ≥ `minOverlaps` exact word
+    * `n`-grams with the benchmark ([[graft.llm.Dedup.contaminated]] —
+    * broadcast gram set, id-only aggregation) and RETRACT them from
+    * the curated-pack ledgers. The funnel's decontaminate stage only
+    * guards NEW ingests against benchmarks known at ingest time; this
+    * is its inverse for benchmarks published after the corpus shipped.
+    * `docs` is the doc store ([[graft.llm.Packing.materializeShardsFromAssignment]]'s
+    * `docs` side); only docs present in the assignment are scanned.
+    * Tombstone semantics are usually WRONG here — contaminated text is
+    * not banned text, the doc must merely not ship while this
+    * benchmark is in the eval set — so `forget = true` erases the
+    * hash/sig rows and a later de-contaminated pipeline may re-admit;
+    * pass `forget = false` to keep the tombstones. Same epoch-boundary
+    * concurrency contract as [[retractFromCuratedPack]]. */
+  def retractContaminated(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, docs: DataFrame, idCol: String,
+                          textCol: String, benchmark: DataFrame,
+                          n: Int = 8, minOverlaps: Int = 1,
+                          repack: Boolean = false, budget: Long = 0L,
+                          forget: Boolean = true): DataFrame = {
+    val assigned = spark.read.parquet(s"$dir/assign")
+      .select(col("doc_id").as(idCol))
+    val accepted = docs.join(assigned, Seq(idCol), "left_semi")
+    val bad = graft.llm.Dedup.contaminated(accepted, benchmark, idCol,
+        textCol, n, minOverlaps)
+      .select(col("doc_id").as(idCol))
+    retractFromCuratedPack(spark, dir, bad, idCol, repack, budget,
+      forgetDocs = if (forget) Some(docs) else None,
+      forgetTextCol = textCol)
+  }
+
+  /** RETRACTION over the persisted VECTOR INDEXES — a takedown is
+    * corpus-wide: the doc's embedding must leave the ANN surface too,
+    * or a similarity search keeps resurfacing retracted content. Works
+    * on any of the [[graft.llm.Similarity]] index layouts by scrubbing
+    * whichever ledger subdirs exist: `assignments` (IVF — id column
+    * `neighbor_id`, cluster-partitioned layout preserved so the probe
+    * path stays partition-pruned) and `codes` (PQ / IVF-PQ — id column
+    * `vec_id`). Centroids/codebooks are UNTOUCHED: they are fitted
+    * aggregates, not per-doc data, and keeping them preserves
+    * append ≡ encode-the-union for future batches (the same
+    * periodic-refit maintenance trade the appends already document).
+    * No tombstones here — the vector ledgers are downstream of the
+    * pack ledgers, whose hash/sig tombstones are what guard
+    * re-admission of the content itself. Same epoch-boundary
+    * concurrency contract as [[retractFromCuratedPack]].
+    *
+    * @return one row per rewritten ledger:
+    *         (ledger, rows_before, rows_removed, rows_after) */
+  def retractFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, retractIds: DataFrame,
+                             idCol: String): DataFrame = {
+    val rids0 = retractIds.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__graft_retract")).distinct()
+      .localCheckpoint(true)
+    val report = collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    def scrub(sub: String, subIdCol: String,
+              partitionCols: Seq[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
+        val df = spark.read.parquet(s"$dir/$sub")
+        val rids = rids0.select(col("__graft_retract")
+          .cast(df.schema(subIdCol).dataType).as("__graft_retract"))
+        val kept = df.join(rids,
+            col(subIdCol) === col("__graft_retract"), "left_anti")
+          .localCheckpoint(true)
+        val before = df.count()
+        val after = kept.count()
+        swapDir(spark, s"$dir/$sub", kept, partitionCols)
+        report += ((sub, before, before - after, after))
+      }
+    }
+    scrub("assignments", "neighbor_id", Seq("cluster"))
+    scrub("codes", "vec_id", Nil)
+    require(report.nonEmpty,
+      s"retractFromVectorIndex: $dir has neither assignments nor codes — " +
+        "not a persisted vector index")
+    spark.createDataFrame(report.toSeq)
+      .toDF("ledger", "rows_before", "rows_removed", "rows_after")
+  }
+
+  /** Swap-rewrite one ledger dir with `df` (ALREADY lineage-severed
+    * from the dir — localCheckpoint before calling). Non-empty
+    * `partitionCols` preserves a partitioned layout. */
+  private def swapDir(spark: org.apache.spark.sql.SparkSession,
+                      path: String, df: DataFrame,
+                      partitionCols: Seq[String] = Nil): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + "__retract_tmp")
+    val w = (if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*) else df)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(
+        s"retraction: rename $tmp -> $p failed; ledger left at $tmp")
+  }
 }

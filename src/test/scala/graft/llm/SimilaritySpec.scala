@@ -645,4 +645,55 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(out == Map(3L -> -2.0, 4L -> -2.0))
   }
+
+  test("retractFromVectorIndex: IVF assignments + PQ codes scrubbed, layout kept, search forgets") {
+    val vecs = (1L to 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Seq.tabulate(16)(j =>
+        (math.sin(j * 2.1 + c * 40) + 0.05 * math.cos(i + j)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val ivfDir = "/tmp/graft_test/retract_ivf/t"
+    Similarity.buildIvfIndex(df, ivfDir, nCentroids = 3)
+    // planted probe: ε-copy of vec 5 — rank-1 is 5 until retraction
+    val q = df.where(col("vec_id") === 5L)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+          .as("embedding"))
+    assert(Similarity.ivfQueryIndex(spark, ivfDir, q, k = 1)
+      .select("neighbor_id").as[Long].head() == 5L)
+    // the list includes a never-indexed id (999) — a no-op row
+    val report = graft.streaming.IndexIngest.retractFromVectorIndex(
+        spark, ivfDir, Seq(5L, 6L, 999L).toDF("vec_id"), "vec_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(report == Map("assignments" -> ((60L, 2L, 58L))), s"report: $report")
+    // the cluster-partitioned layout survives the rewrite (the probe
+    // path's partition pruning depends on it)
+    assert(new java.io.File(s"$ivfDir/assignments").listFiles()
+      .exists(_.getName.startsWith("cluster=")))
+    val ids = spark.read.parquet(s"$ivfDir/assignments")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ids.contains(5L) && !ids.contains(6L) && ids.size == 58)
+    val afterTop = Similarity.ivfQueryIndex(spark, ivfDir, q, k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(afterTop != 5L && afterTop != 6L,
+      s"search must no longer return retracted vectors, got $afterTop")
+    // PQ codes leg (flat layout, id column vec_id)
+    val pqDir = "/tmp/graft_test/retract_pq/t"
+    Similarity.buildPqIndex(df, pqDir, m = 4, k = 8)
+    val rep2 = graft.streaming.IndexIngest.retractFromVectorIndex(
+        spark, pqDir, Seq(5L).toDF("vec_id"), "vec_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rep2 == Seq(("codes", 60L, 1L, 59L)), s"pq report: $rep2")
+    assert(!spark.read.parquet(s"$pqDir/codes").select("vec_id")
+      .as[Long].collect().contains(5L))
+    // a dir that is not a vector index fails loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.IndexIngest.retractFromVectorIndex(spark,
+        "/tmp/graft_test/retract_ivf/nonexistent",
+        Seq(1L).toDF("vec_id"), "vec_id")
+    }
+  }
 }

@@ -1045,4 +1045,130 @@ class StreamingSpec extends SparkSpec {
     assert(IndexIngest.compactLedgers(spark, dir2).keySet ==
       Set("assign", "hashes"))
   }
+
+  test("retraction scrub: offsets hold, tombstones refuse re-admission, forget re-admits") {
+    val work = java.nio.file.Files.createTempDirectory("graft_retract")
+      .toFile.getPath
+    val dir = s"$work/led"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    def rep(tok: String, n: Int): String = Seq.fill(n)(tok).mkString(" ")
+    val seed = Seq(doc(1, 8), doc(2, 6), doc(3, 7), 5L -> rep("ndtok", 50),
+      doc(6, 9))
+    IndexIngest.seedCuratedPack(seed.toDF("doc_id", "text"), dir,
+      "doc_id", "text", budget = 10, nearDupThreshold = Some(0.7))
+    def assign = spark.read.parquet(s"$dir/assign")
+    val beforeRows = assign
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val totalBefore = Packing.assignedTokenTotal(assign)
+    // takedown list includes an id (99) that was never ingested
+    val report = IndexIngest.retractFromCuratedPack(spark, dir,
+        Seq(2L, 5L, 99L).toDF("doc_id"), "doc_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(report == Map("assign" -> ((5L, 2L, 3L))),
+      s"scrub report off (and no-forget must not touch hashes/sigs): $report")
+    val afterRows = assign
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(afterRows.keySet == Set(1L, 3L, 6L))
+    // scrub: every surviving row byte-identical (holes, nothing moves)
+    afterRows.foreach { case (id, r) => assert(r == beforeRows(id),
+      s"scrub moved doc $id: $r vs ${beforeRows(id)}") }
+    // tombstones: an exact re-text (fresh id) and a near-copy of the
+    // retracted docs must be REFUSED re-admission by the normal stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.appendCuratedPackStream(
+      mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      budget = 10, nearDupThreshold = Some(0.7))
+    try {
+      mem.addData(42L -> seed.find(_._1 == 2L).get._2, // exact re-text of 2
+        43L -> rep("ndtok", 51),                       // near-copy of 5
+        doc(44, 4))                                    // novel
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids1 = assign.select("doc_id").as[Long].collect().toSet
+    assert(ids1 == Set(1L, 3L, 6L, 44L),
+      s"tombstones must refuse 42/43, novel 44 must land: $ids1")
+    assert(assign.where(col("doc_id") === 44L).select("token_offset")
+        .as[Long].head() == totalBefore,
+      "scrub must not move the stream's carried offset")
+    // forget: erase the retracted docs' hash/sig tombstone rows too
+    val nHashes = spark.read.parquet(s"$dir/hashes").count()
+    val report2 = IndexIngest.retractFromCuratedPack(spark, dir,
+        Seq(2L, 5L).toDF("doc_id"), "doc_id",
+        forgetDocs = Some(seed.toDF("doc_id", "text")))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(report2("assign") == ((4L, 0L, 4L)), s"second scrub: $report2")
+    assert(report2("hashes") == ((nHashes, 2L, nHashes - 2)) &&
+        report2("sigs")._2 == 2L, s"forget must erase 2 rows each: $report2")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = IndexIngest.appendCuratedPackStream(
+      mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      budget = 10, nearDupThreshold = Some(0.7))
+    try {
+      mem2.addData(52L -> seed.find(_._1 == 2L).get._2,
+        53L -> rep("ndtok", 51))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids2 = assign.select("doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(1L, 3L, 6L, 44L, 52L, 53L),
+      s"after forget the content must re-admit: $ids2")
+  }
+
+  test("retraction repack: ledger identical to never-ingested; budget required") {
+    val work = java.nio.file.Files.createTempDirectory("graft_retract_rp")
+      .toFile.getPath
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    val all = Seq(doc(1, 8), doc(2, 6), doc(3, 7), doc(5, 5), doc(6, 9))
+    IndexIngest.seedCuratedPack(all.toDF("doc_id", "text"), s"$work/a",
+      "doc_id", "text", budget = 10)
+    intercept[IllegalArgumentException] {
+      IndexIngest.retractFromCuratedPack(spark, s"$work/a",
+        Seq(2L).toDF("doc_id"), "doc_id", repack = true)
+    }
+    IndexIngest.retractFromCuratedPack(spark, s"$work/a",
+      Seq(2L, 5L).toDF("doc_id"), "doc_id", repack = true, budget = 10)
+    IndexIngest.seedCuratedPack(
+      all.filterNot(d => d._1 == 2L || d._1 == 5L).toDF("doc_id", "text"),
+      s"$work/b", "doc_id", "text", budget = 10)
+    def rows(p: String) = spark.read.parquet(p)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows(s"$work/a/assign") == rows(s"$work/b/assign"),
+      "repack must be bit-identical to never having ingested the docs")
+    // by design the hash tombstones REMAIN under repack-without-forget
+    assert(spark.read.parquet(s"$work/a/hashes").count() == 5 &&
+      spark.read.parquet(s"$work/b/hashes").count() == 3)
+  }
+
+  test("retroactive decontamination retracts exactly the accepted gram-sharing docs") {
+    val work = java.nio.file.Files.createTempDirectory("graft_retract_dc")
+      .toFile.getPath
+    val dir = s"$work/led"
+    val phrase = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val corpus = Seq(
+      1L -> "one uno eins un yksi jeden egy unu den ena",
+      2L -> "two dos zwei deux kaksi dwa ketto doua dyo dio",
+      3L -> s"prefix words here $phrase suffix words there",
+      4L -> "four cuatro vier quatre nelja cztery negy patru tessera quattro")
+    // doc 9 shares the phrase but was never accepted — must be a no-op
+    val store = (corpus :+ (9L -> s"unaccepted copy $phrase end"))
+      .toDF("doc_id", "text")
+    IndexIngest.seedCuratedPack(corpus.toDF("doc_id", "text"), dir,
+      "doc_id", "text", budget = 10)
+    val bench = Seq(s"question stem $phrase answer choices").toDF("text")
+    val report = IndexIngest.retractContaminated(spark, dir, store,
+        "doc_id", "text", bench, n = 8)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(report("assign") == ((4L, 1L, 3L)), s"report off: $report")
+    val ids = spark.read.parquet(s"$dir/assign").select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L), s"exactly doc 3 must be retracted: $ids")
+    // forget=true default: contaminated is not banned — hash row erased
+    assert(report("hashes")._2 == 1L &&
+      spark.read.parquet(s"$dir/hashes").count() == 3)
+  }
 }
