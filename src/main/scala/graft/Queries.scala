@@ -6321,6 +6321,92 @@ object Queries {
         bg AS (SELECT DISTINCT unnest(gs) AS g FROM bgrams),
         bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),""")))
 
+  /** INCREMENTAL SHARD REFRESH after a takedown
+    * ([[graft.llm.Packing.refreshRetractedShards]] through the
+    * registry `refresh_shards` kind): the already-materialized shards
+    * are NOT re-materialized — scrub-mode retraction queues the
+    * retracted assignment rows, and the refresh rewrites ONLY the
+    * shard partitions containing affected packs (dynamic partition
+    * overwrite + manifest splice; at 100 TB the takedown costs the
+    * affected shards, not the corpus). The final state must be
+    * indistinguishable from a full re-materialize, so the oracle is
+    * the SAME scrub replay as `pack_retract_scrub` (different
+    * retraction set): offsets over the full gated corpus, retracted
+    * docs dropped after the prefix sum, shard checksums compared. The
+    * file-level incrementality (untouched shard partitions not
+    * rewritten, drained queue, repack rejection) is spec-bound in
+    * StreamingSpec. */
+  private val packRetractRefresh = QueryDef("pack_retract_refresh",
+    (s, d) => {
+      val dir = tmpDir(d, "pack_retract_refresh")
+      val docs = seedRetractFixture(s, d, dir)
+      // materialize the FULL corpus first — refresh must start from
+      // real pre-takedown shards
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      graft.sinks.Sinks.runChain(
+        docs.where(col("doc_id") % 9 === 4).select(col("doc_id")), Seq(
+          graft.pipeline.ConfigLoader.loadKinds("retract_pack")(Map(
+            "dir" -> dir, "idCol" -> "doc_id"))))
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("refresh_shards")(Map(
+          "ledgerDir" -> dir, "idCol" -> "doc_id", "textCol" -> "text",
+          "dir" -> s"$dir/out", "nShards" -> "4"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(sqlRetractReplay("", "doc_id % 9 <> 4")))
+
+  /** UN-RETRACTION (takedown reversal —
+    * [[graft.streaming.IndexIngest.unretractFromCuratedPack]] through
+    * the registry `unretract_pack` kind): retract every id % 7 = 3,
+    * refresh the shards incrementally, then RESTORE the half with
+    * id % 14 = 3 and refresh again. Scrub mode preserved the holes, so
+    * the restored rows re-enter with their original offsets and the
+    * final corpus is exactly "retracted ids % 14 = 10 only" — the
+    * replay states that end state directly from first principles. Both
+    * refreshes run through the touched-pack queue, so the round-trip
+    * also exercises queue → drain → re-queue → drain. */
+  private val packUnretract = QueryDef("pack_unretract",
+    (s, d) => {
+      val dir = tmpDir(d, "pack_unretract")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      graft.sinks.Sinks.runChain(
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), Seq(
+          graft.pipeline.ConfigLoader.loadKinds("retract_pack")(Map(
+            "dir" -> dir, "idCol" -> "doc_id"))))
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("refresh_shards")(Map(
+          "ledgerDir" -> dir, "idCol" -> "doc_id", "textCol" -> "text",
+          "dir" -> s"$dir/out", "nShards" -> "4"))))
+      graft.sinks.Sinks.runChain(
+        docs.where(col("doc_id") % 14 === 3).select(col("doc_id")), Seq(
+          graft.pipeline.ConfigLoader.loadKinds("unretract_pack")(Map(
+            "dir" -> dir, "idCol" -> "doc_id"))))
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("refresh_shards")(Map(
+          "ledgerDir" -> dir, "idCol" -> "doc_id", "textCol" -> "text",
+          "dir" -> s"$dir/out", "nShards" -> "4"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(sqlRetractReplay("",
+      "NOT (doc_id % 7 = 3 AND doc_id % 14 <> 3)")))
+
   /** STREAMED TRAINER MIX through the real streaming path — the
     * DoReMi two-phase recipe across the batch/stream boundary, which
     * is its published deployment shape (Xie et al. 2023: the proxy
@@ -8041,6 +8127,7 @@ object Queries {
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
     packRetractScrub, packRetractRepack, retractDecontaminate,
+    packRetractRefresh, packUnretract,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,

@@ -462,8 +462,19 @@ object Packing {
           .select(col("doc_id"), col("n_tokens"), col("token_offset"),
             col("pack_id"))
     }
+    val packs = materializeAssigned(
+      checkedStoreJoin(assigned, docs, idCol, tokensCol), docSep)
+    writeTrainingShards(packs, "pack_id", dir, nShards)
+  }
+
+  /** The assignment × document-store join with the drift guards both
+    * materialization paths share: a missing doc or a retokenized store
+    * fails loudly (codegen'd raise_error branches), never silently
+    * holes or shifts the token stream. */
+  private def checkedStoreJoin(assigned: DataFrame, docs: DataFrame,
+                               idCol: String, tokensCol: Column): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokensCol.as("__toks"))
-    val checked = assigned.join(toks, Seq("doc_id"), "left")
+    assigned.join(toks, Seq("doc_id"), "left")
       .withColumn("__toks",
         when(col("__toks").isNull, raise_error(concat(
           lit("materializeShardsFromAssignment: assigned doc "),
@@ -477,8 +488,97 @@ object Packing {
           lit(" assigned — store and assignment have drifted")))
           .cast("array<string>"))
         .otherwise(col("__toks")))
-    val packs = materializeAssigned(checked, docSep)
-    writeTrainingShards(packs, "pack_id", dir, nShards)
+  }
+
+  /** INCREMENTAL SHARD REFRESH after scrub-mode retraction — at 100 TB
+    * this is the difference between a takedown costing a full corpus
+    * rewrite and costing the affected shards only. Scrub-mode
+    * [[graft.streaming.IndexIngest.retractFromCuratedPack]] queues the
+    * retracted assignment rows under `ledgerDir/retracted`; this op
+    * drains the queue: it maps the retracted rows' pack ids to their
+    * shards (the same md5-rank digest [[writeTrainingShards]] sharded
+    * by), rebuilds ONLY those shard partitions from the current
+    * assignment + store (same drift guards as full materialization),
+    * dynamic-partition-overwrites them in place, deletes any shard
+    * whose every pack was retracted, and splices the recomputed rows
+    * into the manifest WITHOUT rescanning the untouched shards. The
+    * applied rows move to `ledgerDir/retracted_applied` (the takedown
+    * audit trail) and the queue is deleted — a crash between the shard
+    * write and the drain re-applies idempotently on the next run
+    * (the rebuild is a deterministic function of the assignment).
+    *
+    * Only sound after SCRUB retraction: surviving docs keep their
+    * pack ids, so unaffected shards are bit-identical by construction.
+    * A repack-mode row in the queue fails loudly — repack shifts every
+    * downstream pack; re-materialize instead. `nShards` must equal the
+    * value the shards were materialized with (the pack→shard map is
+    * arithmetic, not stored).
+    *
+    * @return the refreshed manifest */
+  def refreshRetractedShards(spark: org.apache.spark.sql.SparkSession,
+                             ledgerDir: String, docs: DataFrame,
+                             idCol: String, tokensCol: Column,
+                             dir: String, nShards: Int,
+                             docSep: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val conf = spark.sessionState.newHadoopConf()
+    val queuePath = new org.apache.hadoop.fs.Path(s"$ledgerDir/retracted")
+    val queueFs = queuePath.getFileSystem(conf)
+    if (!queueFs.exists(queuePath))
+      return spark.read.parquet(s"$dir/manifest") // nothing queued
+    val retracted = spark.read.parquet(queuePath.toString)
+      .localCheckpoint(true)
+    val modes = retracted.select(col("mode")).distinct()
+      .collect().map(_.getString(0))
+    require(modes.forall(_ == "scrub"),
+      s"refreshRetractedShards: queue contains ${modes.mkString(",")} " +
+        "rows — repack shifts every downstream pack, re-materialize " +
+        "with materializeShardsFromAssignment instead")
+    // takedown-sized driver lists: the affected shards, then every
+    // surviving pack that shares one of them
+    val affected = shardShuffle(
+        retracted.select(col("pack_id")).distinct(), "pack_id", nShards)
+      .select(col("shard")).distinct().collect().map(_.getLong(0))
+    val assignment = spark.read.parquet(s"$ledgerDir/assign")
+      .where(col("n_tokens") > 0)
+    val rebuildPacks = shardShuffle(
+        assignment.select(col("pack_id")).distinct(), "pack_id", nShards)
+      .where(col("shard").isin(affected: _*)).select(col("pack_id"))
+    val subAssign = assignment.join(rebuildPacks, Seq("pack_id"), "left_semi")
+    val sharded = shardShuffle(materializeAssigned(
+        checkedStoreJoin(subAssign, docs, idCol, tokensCol), docSep),
+        "pack_id", nShards)
+      .localCheckpoint(true) // reused thrice: write, empty-set, manifest
+    sharded.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("rank"))
+      .write.partitionBy("shard")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(s"$dir/data")
+    // a shard whose every pack was retracted writes no rows — dynamic
+    // overwrite leaves its stale directory; delete it explicitly
+    val written = sharded.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dataFs = new org.apache.hadoop.fs.Path(s"$dir/data")
+      .getFileSystem(conf)
+    affected.filterNot(written).foreach { sh =>
+      dataFs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/shard=$sh"),
+        true)
+    }
+    // manifest splice: untouched rows survive, affected rows recompute
+    // from the rebuilt frame — no rescan of the untouched shards
+    val oldManifest = spark.read.parquet(s"$dir/manifest")
+      .where(!col("shard").isin(affected: _*))
+      .localCheckpoint(true) // severed before the overwrite below
+    val newRows = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rankDigest(col("rank"))).as("checksum"),
+        min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"))
+    oldManifest.unionByName(newRows).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    // drain the queue into the applied audit trail
+    retracted.write.mode("append").parquet(s"$ledgerDir/retracted_applied")
+    queueFs.delete(queuePath, true)
+    spark.read.parquet(s"$dir/manifest")
   }
 
   /** NO-SPLIT (document-boundary-respecting) greedy packing — the

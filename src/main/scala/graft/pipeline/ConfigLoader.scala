@@ -778,6 +778,28 @@ object ConfigLoader {
           forgetTextCol = o.getOrElse("forgetTextCol", "text"))
         () // ledger rewrites are eager; the report frame is advisory
       })),
+      // takedown reversal: the frame IS the restore id list; matched
+      // scrub-retracted rows re-enter the assignment verbatim and
+      // re-queue their packs for the next refresh_shards
+      "unretract_pack" -> (o => Sinks.Write("unretract_pack", df => {
+        graft.streaming.IndexIngest.unretractFromCuratedPack(
+          df.sparkSession, req(o, "dir"), df, req(o, "idCol"),
+          forgetDocs = o.get("forgetDocsPath")
+            .map(p => df.sparkSession.read.parquet(p)),
+          forgetTextCol = o.getOrElse("forgetTextCol", "text"),
+          k = o.getOrElse("k", "64").toInt)
+        ()
+      })),
+      // incremental shard refresh after scrub-mode retraction: drain
+      // the dir/retracted queue and rewrite ONLY the affected shard
+      // partitions (the frame is the document store, as for
+      // materialize_shards). nShards must match the materialize call.
+      "refresh_shards" -> (o => Sinks.Write("refresh_shards", df => {
+        graft.llm.Packing.refreshRetractedShards(df.sparkSession,
+          req(o, "ledgerDir"), df, req(o, "idCol"), wsToks(o),
+          req(o, "dir"), req(o, "nShards").toInt, docSep = o.get("sep"))
+        ()
+      })),
       // retroactive decontamination: the job's frame IS the freshly
       // published benchmark; accepted docs sharing n-grams with it are
       // retracted from the curated-pack ledgers (forget=true default —
@@ -1030,7 +1052,9 @@ object ConfigLoader {
     "materialize_shards" -> Seq("dir", "assignmentDir"),
     "seed_curated_pack" -> Seq("dir"),
     "retract_pack" -> Seq("dir"),
-    "retract_contaminated" -> Seq("dir", "docsPath"))
+    "retract_contaminated" -> Seq("dir", "docsPath"),
+    "refresh_shards" -> Seq("dir", "ledgerDir"),
+    "unretract_pack" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

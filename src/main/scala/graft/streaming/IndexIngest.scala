@@ -175,6 +175,14 @@ object IndexIngest {
                       nearDupThreshold: Option[Double] = None,
                       k: Int = 64, bands: Int = 16,
                       maxBucket: Int = 1000): Unit = {
+    // a re-seed resets the ledger SET — stale retraction queues from a
+    // previous corpus must not leak into the fresh one
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    Seq("retracted", "retracted_applied").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val cur = curate(docs).where(col(idCol).isNotNull)
       .dropDuplicates(idCol)
     val exact = graft.llm.Dedup.exactDedup(cur, idCol, textCol)
@@ -419,6 +427,12 @@ object IndexIngest {
     * boundary with the stream stopped, like [[compactLedgers]] (same
     * temp-dir + delete + rename swap per ledger).
     *
+    * The retracted assignment rows are queued (mode-tagged) under
+    * `dir/retracted` — the takedown audit trail, and the input
+    * [[graft.llm.Packing.refreshRetractedShards]] drains to rewrite
+    * only the AFFECTED shard partitions instead of re-materializing
+    * the corpus.
+    *
     * @return one row per rewritten ledger:
     *         (ledger, rows_before, rows_removed, rows_after)
     */
@@ -448,6 +462,17 @@ object IndexIngest {
       report += ((sub, before, before - after, after))
     }
 
+    // queue the retracted assignment rows under dir/retracted BEFORE
+    // the swap: the takedown audit trail, and the input
+    // Packing.refreshRetractedShards drains to rewrite only the
+    // affected shard partitions (scrub mode; refresh rejects repack
+    // rows — repack shifts every downstream pack)
+    val retractedRows = assign.join(rids,
+        col("doc_id") === col("__graft_retract"), "left_semi")
+      .withColumn("mode", lit(if (repack) "repack" else "scrub"))
+      .localCheckpoint(true)
+    if (!retractedRows.isEmpty)
+      retractedRows.write.mode("append").parquet(s"$dir/retracted")
     rewrite("assign", assign, {
       val kept = assign.join(rids,
         col("doc_id") === col("__graft_retract"), "left_anti")
@@ -476,6 +501,105 @@ object IndexIngest {
     }
     spark.createDataFrame(report.toSeq)
       .toDF("ledger", "rows_before", "rows_removed", "rows_after")
+  }
+
+  /** UN-RETRACTION — takedown reversal (disputes resolve, opt-outs are
+    * withdrawn, a benchmark rotates out of the eval set): restore
+    * previously scrub-retracted docs to the curated-pack ledgers
+    * WITHOUT any recompute. Scrub mode preserved every survivor's
+    * offsets AND recorded the retracted rows verbatim in the
+    * `retracted` / `retracted_applied` ledgers, so restoration is a
+    * row move: the matched rows append back into the assignment with
+    * their ORIGINAL token_offset/pack_id (the assignment returns to
+    * its exact pre-takedown state), and the same rows re-enter the
+    * `retracted` queue as touched-pack markers so the next
+    * [[graft.llm.Packing.refreshRetractedShards]] rebuilds exactly the
+    * affected shards. Repack-mode rows cannot be restored (their
+    * offsets are gone) and fail loudly.
+    *
+    * Pass `forgetDocs` (the doc store) iff the retraction used it:
+    * the erased hash/sig tombstone rows are recomputed from the store
+    * and re-appended (hashes by content anti-join, sigs by id), so
+    * stream dedup again refuses copies of the restored content.
+    * `retracted_applied` is an append-only audit log — restoration
+    * does not rewrite history; the refresh that follows re-records
+    * the touched packs there.
+    *
+    * @return one row per extended ledger:
+    *         (ledger, rows_restored) */
+  def unretractFromCuratedPack(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, restoreIds: DataFrame,
+                               idCol: String,
+                               forgetDocs: Option[DataFrame] = None,
+                               forgetTextCol: String = "text",
+                               k: Int = 64): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    def existing(sub: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (p.getFileSystem(conf).exists(p))
+        Some(spark.read.parquet(s"$dir/$sub")) else None
+    }
+    val history = (existing("retracted").toSeq ++
+        existing("retracted_applied").toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unretractFromCuratedPack: $dir has no retraction history"))
+    val rids = restoreIds.where(col(idCol).isNotNull)
+      .select(col(idCol).as("__graft_restore")).distinct()
+      .localCheckpoint(true)
+    val matched = history.join(rids,
+        col("doc_id") === col("__graft_restore"), "left_semi")
+      // the same doc can appear in both ledgers (queued + applied) —
+      // one assignment row per doc, and the ledgers never disagree on
+      // it (scrub rows are verbatim assignment rows)
+      .dropDuplicates("doc_id")
+      .localCheckpoint(true)
+    val badModes = matched.where(col("mode") =!= "scrub")
+      .select(col("doc_id")).limit(5).collect().map(_.get(0))
+    require(badModes.isEmpty,
+      s"unretractFromCuratedPack: docs ${badModes.mkString(",")} were " +
+        "retracted in repack mode — their offsets are gone; re-ingest " +
+        "instead")
+    val assign = spark.read.parquet(s"$dir/assign")
+    val toRestore = matched.drop("mode")
+      .join(assign.select(col("doc_id").as("__graft_present")),
+        col("doc_id") === col("__graft_present"), "left_anti")
+      .localCheckpoint(true) // severed before the appends below
+    val report = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val n = toRestore.count()
+    if (n > 0) {
+      toRestore.write.mode("append").parquet(s"$dir/assign")
+      // re-queue as touched-pack markers for the incremental refresh
+      toRestore.withColumn("mode", lit("scrub"))
+        .write.mode("append").parquet(s"$dir/retracted")
+    }
+    report += (("assign", n))
+    forgetDocs.foreach { store =>
+      val restoredDocs = store.join(
+          toRestore.select(col("doc_id").as("__graft_restore")),
+          col(idCol) === col("__graft_restore"), "left_semi")
+      existing("hashes").foreach { hashes =>
+        val fresh = graft.llm.Dedup.contentHashes(restoredDocs, forgetTextCol)
+          .join(hashes.select(col("content_hash").as("__h")).distinct(),
+            col("content_hash") === col("__h"), "left_anti")
+          .select(col("content_hash")).localCheckpoint(true)
+        val hn = fresh.count()
+        if (hn > 0) fresh.write.mode("append").parquet(s"$dir/hashes")
+        report += (("hashes", hn))
+      }
+      existing("sigs").foreach { sigs =>
+        val fresh = graft.llm.Dedup.minhashLedgerRows(
+            restoredDocs.select(col(idCol).as("doc_id"),
+              col(forgetTextCol)), "doc_id", forgetTextCol, k)
+          .join(sigs.select(col("doc_id").as("__graft_sig")).distinct(),
+            col("doc_id") === col("__graft_sig"), "left_anti")
+          .localCheckpoint(true)
+        val sn = fresh.count()
+        if (sn > 0) fresh.write.mode("append").parquet(s"$dir/sigs")
+        report += (("sigs", sn))
+      }
+    }
+    spark.createDataFrame(report.toSeq).toDF("ledger", "rows_restored")
   }
 
   /** RETROACTIVE DECONTAMINATION — the "a new benchmark just shipped"

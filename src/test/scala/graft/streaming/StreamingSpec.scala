@@ -1143,6 +1143,159 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$work/b/hashes").count() == 3)
   }
 
+  test("incremental shard refresh rewrites only affected shards, drains queue, rejects repack") {
+    val work = java.nio.file.Files.createTempDirectory("graft_refresh")
+      .toFile.getPath
+    val dir = s"$work/led"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    // budget 10, ten 10-token docs -> pack i-1 == doc i (ten packs)
+    val docs = (1L to 10L).map(doc(_, 10))
+    val df = docs.toDF("doc_id", "text")
+    val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    IndexIngest.seedCuratedPack(df, dir, "doc_id", "text", budget = 10)
+    Packing.materializeShardsFromAssignment(spark, s"$dir/assign", df,
+      "doc_id", toks, s"$work/out", nShards = 4)
+    def shardFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$work/out/data").listFiles()
+        .filter(_.getName.startsWith("shard=")).map(d =>
+          d.getName -> d.listFiles().map(_.getName)
+            .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = shardFiles()
+    // retract doc 7 (pack 6) — only its shard may be rewritten
+    val affectedShard = Packing.shardShuffle(
+        Seq(6L).toDF("pack_id"), "pack_id", 4)
+      .select("shard").as[Long].head()
+    IndexIngest.retractFromCuratedPack(spark, dir,
+      Seq(7L).toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(s"$dir/retracted")
+      .select("doc_id", "pack_id", "mode").as[(Long, Long, String)]
+      .collect().toSeq == Seq((7L, 6L, "scrub")))
+    Packing.refreshRetractedShards(spark, dir, df, "doc_id", toks,
+      s"$work/out", nShards = 4)
+    val after = shardFiles()
+    val untouched = before.keySet - s"shard=$affectedShard"
+    untouched.foreach { sh => assert(after(sh) == before(sh),
+      s"$sh was rewritten but holds no affected pack") }
+    assert(after(s"shard=$affectedShard") != before(s"shard=$affectedShard"),
+      "the affected shard must be rewritten")
+    // refreshed state == full re-materialize from the same assignment
+    Packing.materializeShardsFromAssignment(spark, s"$dir/assign", df,
+      "doc_id", toks, s"$work/ref", nShards = 4)
+    def snapshot(out: String) = {
+      val d = spark.read.parquet(s"$out/data")
+        .select(col("shard").cast("long"), col("pack_id"), col("n_docs"),
+          col("n_tokens"), col("rank"), concat_ws(" ", col("tokens")))
+        .collect().map(_.toSeq).toSet
+      val m = spark.read.parquet(s"$out/manifest")
+        .collect().map(_.toSeq).toSet
+      (d, m)
+    }
+    assert(snapshot(s"$work/out") == snapshot(s"$work/ref"),
+      "incremental refresh diverged from a full re-materialize")
+    // the queue drained into the audit trail
+    assert(!new java.io.File(s"$dir/retracted").exists())
+    assert(spark.read.parquet(s"$dir/retracted_applied").count() == 1)
+    // second refresh: nothing queued -> no-op, no files touched
+    val files2 = shardFiles()
+    Packing.refreshRetractedShards(spark, dir, df, "doc_id", toks,
+      s"$work/out", nShards = 4)
+    assert(shardFiles() == files2)
+    // a shard whose every pack is retracted disappears (data + manifest)
+    val dir2 = s"$work/led2"
+    val two = Seq(doc(1, 10), doc(2, 10)).toDF("doc_id", "text")
+    IndexIngest.seedCuratedPack(two, dir2, "doc_id", "text", budget = 10)
+    Packing.materializeShardsFromAssignment(spark, s"$dir2/assign", two,
+      "doc_id", toks, s"$work/out2", nShards = 8)
+    val goneShard = Packing.shardShuffle(
+        Seq(0L).toDF("pack_id"), "pack_id", 8)
+      .select("shard").as[Long].head()
+    IndexIngest.retractFromCuratedPack(spark, dir2,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    Packing.refreshRetractedShards(spark, dir2, two, "doc_id", toks,
+      s"$work/out2", nShards = 8)
+    assert(!new java.io.File(s"$work/out2/data/shard=$goneShard").exists(),
+      "a fully-retracted shard's data dir must be deleted")
+    assert(!spark.read.parquet(s"$work/out2/manifest").select("shard")
+      .as[Long].collect().contains(goneShard))
+    // repack-mode queue rows are rejected loudly
+    val dir3 = s"$work/led3"
+    IndexIngest.seedCuratedPack(two, dir3, "doc_id", "text", budget = 10)
+    IndexIngest.retractFromCuratedPack(spark, dir3,
+      Seq(1L).toDF("doc_id"), "doc_id", repack = true, budget = 10)
+    intercept[IllegalArgumentException] {
+      Packing.refreshRetractedShards(spark, dir3, two, "doc_id", toks,
+        s"$work/out2", nShards = 8)
+    }
+  }
+
+  test("un-retraction restores the exact rows and round-trips the shards") {
+    val work = java.nio.file.Files.createTempDirectory("graft_unretract")
+      .toFile.getPath
+    val dir = s"$work/led"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    val df = (1L to 10L).map(doc(_, 10)).toDF("doc_id", "text")
+    val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    IndexIngest.seedCuratedPack(df, dir, "doc_id", "text", budget = 10,
+      nearDupThreshold = Some(0.7))
+    Packing.materializeShardsFromAssignment(spark, s"$dir/assign", df,
+      "doc_id", toks, s"$work/out", nShards = 4)
+    def dataSnap() = spark.read.parquet(s"$work/out/data")
+      .select(col("shard").cast("long"), col("pack_id"), col("n_docs"),
+        col("n_tokens"), col("rank"), concat_ws(" ", col("tokens")))
+      .collect().map(_.toSeq).toSet
+    def manifestSnap() = spark.read.parquet(s"$work/out/manifest")
+      .collect().map(_.toSeq).toSet
+    def assignRows() = spark.read.parquet(s"$dir/assign")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val (origData, origManifest) = (dataSnap(), manifestSnap())
+    val origAssign = assignRows()
+    val origHashes = spark.read.parquet(s"$dir/hashes").count()
+    // retract {3, 7} WITH forget (hash/sig tombstones erased too)
+    IndexIngest.retractFromCuratedPack(spark, dir,
+      Seq(3L, 7L).toDF("doc_id"), "doc_id", forgetDocs = Some(df))
+    Packing.refreshRetractedShards(spark, dir, df, "doc_id", toks,
+      s"$work/out", nShards = 4)
+    assert(assignRows().map(_._1) == origAssign.map(_._1) -- Set(3L, 7L))
+    assert(spark.read.parquet(s"$dir/hashes").count() == origHashes - 2)
+    // restore them (an unknown id 99 in the list is a no-op)
+    val report = IndexIngest.unretractFromCuratedPack(spark, dir,
+        Seq(3L, 7L, 99L).toDF("doc_id"), "doc_id", forgetDocs = Some(df))
+      .as[(String, Long)].collect().toMap
+    assert(report == Map("assign" -> 2L, "hashes" -> 2L, "sigs" -> 2L),
+      s"restore report off: $report")
+    Packing.refreshRetractedShards(spark, dir, df, "doc_id", toks,
+      s"$work/out", nShards = 4)
+    // byte-exact round trip: assignment, hashes, shards, manifest
+    assert(assignRows() == origAssign,
+      "restored assignment must be the exact pre-takedown rows")
+    assert(spark.read.parquet(s"$dir/hashes").count() == origHashes)
+    assert(dataSnap() == origData && manifestSnap() == origManifest,
+      "shards must round-trip through retract + unretract")
+    // idempotence: restoring again matches nothing
+    val again = IndexIngest.unretractFromCuratedPack(spark, dir,
+        Seq(3L).toDF("doc_id"), "doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(again("assign") == 0L)
+    // repack history cannot be restored
+    val dir2 = s"$work/led2"
+    IndexIngest.seedCuratedPack(df, dir2, "doc_id", "text", budget = 10)
+    IndexIngest.retractFromCuratedPack(spark, dir2,
+      Seq(3L).toDF("doc_id"), "doc_id", repack = true, budget = 10)
+    intercept[IllegalArgumentException] {
+      IndexIngest.unretractFromCuratedPack(spark, dir2,
+        Seq(3L).toDF("doc_id"), "doc_id")
+    }
+    // no retraction history at all fails loudly
+    val dir3 = s"$work/led3"
+    IndexIngest.seedCuratedPack(df, dir3, "doc_id", "text", budget = 10)
+    intercept[IllegalArgumentException] {
+      IndexIngest.unretractFromCuratedPack(spark, dir3,
+        Seq(3L).toDF("doc_id"), "doc_id")
+    }
+  }
+
   test("retroactive decontamination retracts exactly the accepted gram-sharing docs") {
     val work = java.nio.file.Files.createTempDirectory("graft_retract_dc")
       .toFile.getPath
