@@ -6407,6 +6407,67 @@ object Queries {
     Some(sqlRetractReplay("",
       "NOT (doc_id % 7 = 3 AND doc_id % 14 <> 3)")))
 
+  /** TAKEDOWN AS ONE CONFIG — the retraction story holds the repo's
+    * "every stage a registry kind, no code" claim: a single YAML
+    * declares the takedown job (the landed opt-out list → the
+    * `retract_pack` kind) and the incremental refresh job (the doc
+    * store → the `refresh_shards` kind), and the batch planner runs
+    * both in order. The query pre-builds the shipped corpus (seed +
+    * full materialize), lands the takedown list and store as parquet,
+    * writes the YAML, and runs it through
+    * [[graft.pipeline.ConfigLoader.parseYamlFile]] +
+    * [[graft.pipeline.Pipeline.run]]. Same first-principles scrub
+    * replay, different retraction set (% 11 = 5). */
+  private val takedownYaml = QueryDef("takedown_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "takedown_yaml")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      docs.where(col("doc_id") % 11 === 5).select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/optout")
+      docs.write.mode("overwrite").parquet(s"$dir/store")
+      val yaml =
+        s"""jobs:
+           |  - name: takedown
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/optout
+           |        prefix: ""
+           |    load:
+           |      - kind: retract_pack
+           |        options: {dir: $dir, idCol: doc_id}
+           |  - name: refresh
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/store
+           |        prefix: ""
+           |    load:
+           |      - kind: refresh_shards
+           |        options:
+           |          ledgerDir: $dir
+           |          idCol: doc_id
+           |          textCol: text
+           |          dir: $dir/out
+           |          nShards: '4'
+           |""".stripMargin
+      val cfgPath = s"$dir/takedown.yaml"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(sqlRetractReplay("", "doc_id % 11 <> 5")))
+
   /** STREAMED TRAINER MIX through the real streaming path — the
     * DoReMi two-phase recipe across the batch/stream boundary, which
     * is its published deployment shape (Xie et al. 2023: the proxy
@@ -8127,7 +8188,7 @@ object Queries {
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
     packRetractScrub, packRetractRepack, retractDecontaminate,
-    packRetractRefresh, packUnretract,
+    packRetractRefresh, packUnretract, takedownYaml,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
