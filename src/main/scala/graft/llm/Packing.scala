@@ -545,8 +545,14 @@ object Packing {
         assignment.select(col("pack_id")).distinct(), "pack_id", nShards)
       .where(col("shard").isin(affected: _*)).select(col("pack_id"))
     val subAssign = assignment.join(rebuildPacks, Seq("pack_id"), "left_semi")
+      .localCheckpoint(true) // reused: store prune + checked join
+    // prune the store BEFORE the token expression runs: the semi-join
+    // carries only (id) through the probe, so the full-corpus scan
+    // tokenizes nothing outside the affected packs
+    val neededStore = docs.join(
+      subAssign.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
     val sharded = shardShuffle(materializeAssigned(
-        checkedStoreJoin(subAssign, docs, idCol, tokensCol), docSep),
+        checkedStoreJoin(subAssign, neededStore, idCol, tokensCol), docSep),
         "pack_id", nShards)
       .localCheckpoint(true) // reused thrice: write, empty-set, manifest
     sharded.repartition(col("shard"))

@@ -469,6 +469,36 @@ object ScaleProbe {
         embK.unpersist()
         n
       }
+      // TAKEDOWN probes: a FIXED 5-doc opt-out list against the
+      // k×-growing corpus. rematerialize is the baseline the
+      // incremental refresh must beat — it grows with the corpus;
+      // retract is ledger-column anti-joins; refresh rebuilds at most
+      // 5 of 512 shard partitions regardless of k (setup — the
+      // packSequences seed write — is outside the timers)
+      if (opsFilter.isEmpty || opsFilter.exists(f =>
+          Seq("retract", "refresh", "rematerialize").exists(_.contains(f)))) {
+        val rdir = s"/tmp/graft_scaleprobe/retract_k$k"
+        val rp = new org.apache.hadoop.fs.Path(rdir)
+        rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+        val rtoks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+        graft.llm.Packing.packSequences(corpus, "doc_id",
+            size(rtoks).cast("long"), budget = 2048)
+          .write.mode("overwrite").parquet(s"$rdir/assign")
+        time(s"rematerialize x$k") {
+          graft.llm.Packing.materializeShardsFromAssignment(spark,
+            s"$rdir/assign", corpus, "doc_id", rtoks, s"$rdir/out",
+            nShards = 512).count()
+        }
+        time(s"retract_fixed x$k") {
+          graft.streaming.IndexIngest.retractFromCuratedPack(spark, rdir,
+            corpus.orderBy(col("doc_id")).limit(5).select(col("doc_id")),
+            "doc_id").count()
+        }
+        time(s"refresh_affected x$k") {
+          graft.llm.Packing.refreshRetractedShards(spark, rdir, corpus,
+            "doc_id", rtoks, s"$rdir/out", nShards = 512).count()
+        }
+      }
     }
     spark.stop()
   }
