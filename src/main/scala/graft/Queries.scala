@@ -6468,6 +6468,70 @@ object Queries {
     },
     Some(sqlRetractReplay("", "doc_id % 11 <> 5")))
 
+  /** TAKEDOWN BY PUBLISHER — the shape real opt-out lists arrive in
+    * (a publisher or license pulls out; the list names SOURCES, not
+    * doc ids). One YAML: the takedown job extracts the doc store,
+    * derives the id set with the generic `where` kind
+    * (`source in src3,src17`), and feeds it to `retract_pack`; the
+    * refresh job rebuilds the affected shards. The replay resolves the
+    * same publishers to ids in SQL and states the end corpus. */
+  private val takedownSourceYaml = QueryDef("takedown_source_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "takedown_source_yaml")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      t(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+          col("source"))
+        .where(col("doc_id") < 90)
+        .write.mode("overwrite").parquet(s"$dir/store")
+      val yaml =
+        s"""jobs:
+           |  - name: takedown_publishers
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/store
+           |        prefix: ""
+           |    transform:
+           |      - kind: where
+           |        options: {column: source, in: 'src3,src17'}
+           |    load:
+           |      - kind: retract_pack
+           |        options: {dir: $dir, idCol: doc_id}
+           |  - name: refresh
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/store
+           |        prefix: ""
+           |    load:
+           |      - kind: refresh_shards
+           |        options:
+           |          ledgerDir: $dir
+           |          idCol: doc_id
+           |          textCol: text
+           |          dir: $dir/out
+           |          nShards: '4'
+           |""".stripMargin
+      val cfgPath = s"$dir/takedown_src.yaml"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(sqlRetractReplay("", "doc_id NOT IN (SELECT doc_id FROM bad)",
+      prelude = """bad AS (SELECT doc_id FROM documents
+          WHERE source IN ('src3', 'src17')),""")))
+
   /** STREAMED TRAINER MIX through the real streaming path — the
     * DoReMi two-phase recipe across the batch/stream boundary, which
     * is its published deployment shape (Xie et al. 2023: the proxy
@@ -8188,7 +8252,7 @@ object Queries {
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
     packRetractScrub, packRetractRepack, retractDecontaminate,
-    packRetractRefresh, packUnretract, takedownYaml,
+    packRetractRefresh, packUnretract, takedownYaml, takedownSourceYaml,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,

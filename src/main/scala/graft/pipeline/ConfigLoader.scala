@@ -494,6 +494,23 @@ object ConfigLoader {
             graft.llm.UrlOps.registrableDomain(host, graft.llm.UrlOps.bundledPsl)
           else graft.llm.UrlOps.urlDomain(host))
       }),
+      // generic row filter — the minimal predicate surface config-side
+      // compositions need (a takedown list is often "every doc from
+      // these publishers", not pre-resolved ids). Exactly ONE of
+      // equals | in (comma-separated) | matches (regex); `not: 'true'`
+      // negates. Anything richer belongs in code, not YAML.
+      "where" -> (o => df => {
+        val c = ColumnNs.q(req(o, "column"))
+        val pred = (o.get("equals"), o.get("in"), o.get("matches")) match {
+          case (Some(v), None, None) => c === v
+          case (None, Some(vs), None) =>
+            c.isin(vs.split(",").map(_.trim).toSeq: _*)
+          case (None, None, Some(re)) => c.rlike(re)
+          case _ => throw new Pipeline.ValidationException(
+            "config: 'where' needs exactly one of equals | in | matches")
+        }
+        df.where(if (o.getOrElse("not", "false").toBoolean) !pred else pred)
+      }),
       // C4 cleaning (Raffel et al. 2020 §2.2): line-level clean (keep
       // terminal-punct lines with >= minLineWords words and no
       // "javascript"), then drop pages failing the page rules (curly

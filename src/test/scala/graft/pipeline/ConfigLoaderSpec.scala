@@ -1174,4 +1174,28 @@ class ConfigLoaderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.Cli.runStreams(spark, batchOnly.getPath, Map.empty))
   }
+
+  test("where kind: equals / in / matches / not; loud on zero or two predicates") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val df = Seq((1L, "src3", "alpha"), (2L, "src17", "beta"),
+      (3L, "src30", "gamma"), (4L, "other", "delta"))
+      .toDF("id", "source", "txt")
+    def ids(o: Map[String, String]) = transformKinds("where")(o)(df)
+      .select("id").as[Long].collect().toSet
+    assert(ids(Map("column" -> "source", "equals" -> "src3")) == Set(1L))
+    assert(ids(Map("column" -> "source", "in" -> "src3, src17")) ==
+      Set(1L, 2L))
+    // `in` is exact membership, not a prefix match: src30 stays out
+    assert(ids(Map("column" -> "source", "matches" -> "^src(3|17)$")) ==
+      Set(1L, 2L))
+    assert(ids(Map("column" -> "source", "in" -> "src3,src17",
+      "not" -> "true")) == Set(3L, 4L))
+    intercept[Pipeline.ValidationException] {
+      transformKinds("where")(Map("column" -> "source"))(df)
+    }
+    intercept[Pipeline.ValidationException] {
+      transformKinds("where")(Map("column" -> "source",
+        "equals" -> "a", "in" -> "b"))(df)
+    }
+  }
 }
