@@ -3486,6 +3486,31 @@ object Queries {
         CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
       FROM o ORDER BY doc_id"""))
 
+  /** CURRICULUM packing ([[graft.llm.Packing.packByScore]]): the token
+    * stream packed in ascending (score, id) order — the easy-to-hard
+    * ordering curriculum recipes feed trainers. Score here is the
+    * documents table's n_chars (length curriculum — shortest first);
+    * DuckDB replays the zero-padded rank, the rank-ordered prefix sum,
+    * and the window assignment. */
+  private val packCurriculum = QueryDef("pack_curriculum",
+    (s, d) => graft.llm.Packing.packByScore(t(s, d, "documents"),
+        "doc_id", coalesce(col("n_chars"), lit(0L)),
+        TextAnalysis.wsTokenCount(col("text")), budget = 2048)
+      .orderBy(col("doc_id")),
+    Some("""WITH tc AS (SELECT doc_id,
+        lpad(CAST(COALESCE(n_chars, 0) AS VARCHAR), 19, '0') || ':' ||
+          lpad(CAST(doc_id AS VARCHAR), 19, '0') AS rank,
+        CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END AS n_tokens
+        FROM documents),
+      o AS (SELECT doc_id, rank, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc)
+      SELECT doc_id, rank, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(token_offset AS BIGINT) AS token_offset,
+        CAST(FLOOR(token_offset / 2048.0) AS BIGINT) AS pack_id
+      FROM o ORDER BY doc_id"""))
+
   /** Pack MATERIALIZATION ([[graft.llm.Packing.packMaterialize]]):
     * the per-pack concatenated token streams a training loader reads —
     * whitespace tokens here so DuckDB replays the full chain (offsets,
@@ -8243,6 +8268,7 @@ object Queries {
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences, packShuffled,
+    packCurriculum,
     packGreedyQ, packBucketedQ, packBucketedPadding,
     packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,

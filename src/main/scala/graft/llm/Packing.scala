@@ -190,6 +190,43 @@ object Packing {
       .withColumn("shard", pmod(rankDigest(col("rank")), lit(nShards.toLong)))
   }
 
+  /** CURRICULUM packing — pack the token stream in ascending
+    * (score, id) order instead of id order: the easy-to-hard ordering
+    * curriculum-learning recipes feed trainers (score = length,
+    * quality bucket, classifier score...). Implementation is the
+    * [[shardShuffle]]/epoch-salt trick with a SORTABLE rank instead of
+    * a random one: rank = zero-padded score ':' zero-padded id, so
+    * [[packSequences]]' two-phase prefix machinery runs UNCHANGED over
+    * the curriculum order — range partition by rank, same bounded
+    * windows, zero new operator code — and the rank string is exactly
+    * SQL-replayable (`lpad`). Scores must be non-negative integers
+    * (zero-padding is only order-preserving there — a codegen'd
+    * raise_error trips on negatives) and ids integral; ties fall back
+    * to id order, keeping the output deterministic.
+    *
+    * @return (doc_id, rank, n_tokens, token_offset, pack_id) */
+  def packByScore(df: DataFrame, idCol: String, scoreCol: Column,
+                  tokensCol: Column, budget: Long,
+                  numParts: Int = 0): DataFrame = {
+    val guarded = when(scoreCol.cast("long") < 0, raise_error(concat(
+        lit("packByScore: negative score for doc "),
+        col(idCol).cast("string"),
+        lit(" — zero-padded ranks are order-preserving only for " +
+          "non-negative scores"))).cast("long"))
+      .otherwise(scoreCol.cast("long"))
+    val ranked = df.select(col(idCol).as("__doc"),
+      concat(lpad(guarded.cast("string"), 19, "0"), lit(":"),
+        lpad(col(idCol).cast("string"), 19, "0")).as("__rank"),
+      tokensCol.cast("long").as("__n"))
+    packSequences(ranked, "__rank", col("__n"), budget, numParts)
+      .select(col("doc_id").as("__rankOut"), col("n_tokens"),
+        col("token_offset"), col("pack_id"))
+      .join(ranked.select(col("__doc"), col("__rank")),
+        col("__rank") === col("__rankOut"))
+      .select(col("__doc").as("doc_id"), col("__rank").as("rank"),
+        col("n_tokens"), col("token_offset"), col("pack_id"))
+  }
+
   /** Length-bucketed batch assembly — the padding-reduction trainer
     * prep for models that DON'T concatenate (instruction tuning,
     * encoder batches): sort-by-length, cut into `nBuckets` equal-count

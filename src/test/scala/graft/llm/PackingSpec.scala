@@ -445,4 +445,24 @@ class PackingSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("packByScore: curriculum order, tie falls back to id, negative score trips") {
+    import org.apache.spark.sql.functions._
+    // (id, score, tokens): curriculum order by (score, id) is
+    // 4 (s=1), 1 (s=2), 3 (s=2), 2 (s=5) -> offsets 0, 7, 12, 15
+    val df = Seq((1L, 2L, 5L), (2L, 5L, 9L), (3L, 2L, 3L), (4L, 1L, 7L))
+      .toDF("doc_id", "score", "n")
+    val out = Packing.packByScore(df, "doc_id", col("score"), col("n"),
+        budget = 10)
+      .select("doc_id", "token_offset", "pack_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(4L -> ((0L, 0L)), 1L -> ((7L, 0L)),
+      3L -> ((12L, 1L)), 2L -> ((15L, 1L))), s"got $out")
+    val ex = intercept[Exception] {
+      Packing.packByScore(
+        Seq((1L, -1L, 5L)).toDF("doc_id", "score", "n"),
+        "doc_id", col("score"), col("n"), budget = 10).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
