@@ -539,6 +539,15 @@ object ConfigLoader {
           docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
           numParts = o.getOrElse("numParts", "0").toInt)
       }),
+      // curriculum packing: ascending (scoreCol, id) order — compose
+      // after classifier_score / quality_bucket / length derivations
+      "pack_curriculum" -> (o => df => {
+        graft.llm.Packing.packByScore(
+          df.withColumn("__graft_n", size(wsToks(o)).cast("long")),
+          req(o, "idCol"), ColumnNs.q(req(o, "scoreCol")),
+          col("__graft_n"), budget = req(o, "budget").toLong,
+          numParts = o.getOrElse("numParts", "0").toInt)
+      }),
       // bucket-then-pack (the composition real trainers run): NTILE
       // length buckets, then the no-split greedy fold WITHIN each
       // bucket in length order — tighter packs than stream-order

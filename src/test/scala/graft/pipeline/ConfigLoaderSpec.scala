@@ -1198,4 +1198,17 @@ class ConfigLoaderSpec extends SparkSpec {
         "equals" -> "a", "in" -> "b"))(df)
     }
   }
+
+  test("pack_curriculum kind packs in (score, id) order from config") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val df = Seq((1L, 2L, "a b c d e"), (2L, 5L, "a b c d e f g h i"),
+      (3L, 2L, "a b c"), (4L, 1L, "a b c d e f g"))
+      .toDF("doc_id", "score", "text")
+    val out = transformKinds("pack_curriculum")(Map(
+        "idCol" -> "doc_id", "scoreCol" -> "score",
+        "textCol" -> "text", "budget" -> "10"))(df)
+      .select("doc_id", "token_offset")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(4L -> 0L, 1L -> 7L, 3L -> 12L, 2L -> 15L), s"got $out")
+  }
 }
