@@ -1324,4 +1324,40 @@ class StreamingSpec extends SparkSpec {
     assert(report("hashes")._2 == 1L &&
       spark.read.parquet(s"$dir/hashes").count() == 3)
   }
+
+  test("retract-all empties the shards cleanly and unretract-all restores them") {
+    val work = java.nio.file.Files.createTempDirectory("graft_retract_all")
+      .toFile.getPath
+    val dir = s"$work/led"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    val df = (1L to 4L).map(doc(_, 10)).toDF("doc_id", "text")
+    val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    IndexIngest.seedCuratedPack(df, dir, "doc_id", "text", budget = 10)
+    Packing.materializeShardsFromAssignment(spark, s"$dir/assign", df,
+      "doc_id", toks, s"$work/out", nShards = 4)
+    def dataSnap() = spark.read.parquet(s"$work/out/data")
+      .select(col("shard").cast("long"), col("pack_id"), col("n_docs"),
+        col("n_tokens"), col("rank"), concat_ws(" ", col("tokens")))
+      .collect().map(_.toSeq).toSet
+    val orig = dataSnap()
+    assert(orig.nonEmpty)
+    IndexIngest.retractFromCuratedPack(spark, dir,
+      (1L to 4L).toDF("doc_id"), "doc_id")
+    Packing.refreshRetractedShards(spark, dir, df, "doc_id", toks,
+      s"$work/out", nShards = 4)
+    // every shard dir deleted, manifest empty, assignment empty
+    assert(!new java.io.File(s"$work/out/data").listFiles()
+      .exists(_.getName.startsWith("shard=")),
+      "all shard dirs must be deleted when every pack is retracted")
+    assert(spark.read.parquet(s"$work/out/manifest").count() == 0)
+    assert(spark.read.parquet(s"$dir/assign").count() == 0)
+    // full restore round-trips to the original bytes
+    IndexIngest.unretractFromCuratedPack(spark, dir,
+      (1L to 4L).toDF("doc_id"), "doc_id")
+    Packing.refreshRetractedShards(spark, dir, df, "doc_id", toks,
+      s"$work/out", nShards = 4)
+    assert(dataSnap() == orig,
+      "unretract-all + refresh must restore the exact original shards")
+  }
 }
