@@ -801,7 +801,8 @@ object ConfigLoader {
           budget = o.getOrElse("budget", "0").toLong,
           forgetDocs = o.get("forgetDocsPath")
             .map(p => df.sparkSession.read.parquet(p)),
-          forgetTextCol = o.getOrElse("forgetTextCol", "text"))
+          forgetTextCol = o.getOrElse("forgetTextCol", "text"),
+          tag = o.getOrElse("tag", ""))
         () // ledger rewrites are eager; the report frame is advisory
       })),
       // takedown reversal: the frame IS the restore id list; matched
@@ -813,7 +814,8 @@ object ConfigLoader {
           forgetDocs = o.get("forgetDocsPath")
             .map(p => df.sparkSession.read.parquet(p)),
           forgetTextCol = o.getOrElse("forgetTextCol", "text"),
-          k = o.getOrElse("k", "64").toInt)
+          k = o.getOrElse("k", "64").toInt,
+          tag = o.getOrElse("tag", ""))
         ()
       })),
       // incremental shard refresh after scrub-mode retraction: drain
@@ -839,7 +841,8 @@ object ConfigLoader {
           minOverlaps = o.getOrElse("minOverlaps", "1").toInt,
           repack = o.getOrElse("repack", "false").toBoolean,
           budget = o.getOrElse("budget", "0").toLong,
-          forget = o.getOrElse("forget", "true").toBoolean)
+          forget = o.getOrElse("forget", "true").toBoolean,
+          tag = o.getOrElse("tag", ""))
         ()
       })))
 

@@ -427,11 +427,21 @@ object IndexIngest {
     * boundary with the stream stopped, like [[compactLedgers]] (same
     * temp-dir + delete + rename swap per ledger).
     *
-    * The retracted assignment rows are queued (mode-tagged) under
-    * `dir/retracted` — the takedown audit trail, and the input
+    * The retracted assignment rows are queued (mode- and tag-tagged)
+    * under `dir/retracted` — the takedown audit trail, and the input
     * [[graft.llm.Packing.refreshRetractedShards]] drains to rewrite
     * only the AFFECTED shard partitions instead of re-materializing
-    * the corpus.
+    * the corpus. `tag` is a caller-supplied audit label (ticket id,
+    * opt-out batch name) carried on every queued row; it defaults to
+    * empty, NOT a timestamp — the ops are deterministic functions of
+    * their inputs, and provenance metadata is the caller's to mint.
+    *
+    * One documented semantics note: retracting a doc that was the
+    * KEEP-MIN SURVIVOR of a dedup class does not resurrect the copies
+    * it suppressed — they were dropped at ingest and never packed
+    * (dedup is lossy by design, same as published pipelines). After a
+    * `forgetDocs` retraction a re-crawl of that content re-admits it
+    * under the new id.
     *
     * @return one row per rewritten ledger:
     *         (ledger, rows_before, rows_removed, rows_after)
@@ -441,7 +451,8 @@ object IndexIngest {
                              idCol: String, repack: Boolean = false,
                              budget: Long = 0L,
                              forgetDocs: Option[DataFrame] = None,
-                             forgetTextCol: String = "text"): DataFrame = {
+                             forgetTextCol: String = "text",
+                             tag: String = ""): DataFrame = {
     require(!repack || budget > 0,
       "retractFromCuratedPack: repack re-runs the prefix sum and needs " +
         s"the pack budget (got $budget)")
@@ -470,6 +481,7 @@ object IndexIngest {
     val retractedRows = assign.join(rids,
         col("doc_id") === col("__graft_retract"), "left_semi")
       .withColumn("mode", lit(if (repack) "repack" else "scrub"))
+      .withColumn("tag", lit(tag))
       .localCheckpoint(true)
     if (!retractedRows.isEmpty)
       retractedRows.write.mode("append").parquet(s"$dir/retracted")
@@ -532,7 +544,8 @@ object IndexIngest {
                                idCol: String,
                                forgetDocs: Option[DataFrame] = None,
                                forgetTextCol: String = "text",
-                               k: Int = 64): DataFrame = {
+                               k: Int = 64,
+                               tag: String = ""): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     def existing(sub: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
@@ -561,7 +574,7 @@ object IndexIngest {
         "retracted in repack mode — their offsets are gone; re-ingest " +
         "instead")
     val assign = spark.read.parquet(s"$dir/assign")
-    val toRestore = matched.drop("mode")
+    val toRestore = matched.drop("mode", "tag")
       .join(assign.select(col("doc_id").as("__graft_present")),
         col("doc_id") === col("__graft_present"), "left_anti")
       .localCheckpoint(true) // severed before the appends below
@@ -571,6 +584,7 @@ object IndexIngest {
       toRestore.write.mode("append").parquet(s"$dir/assign")
       // re-queue as touched-pack markers for the incremental refresh
       toRestore.withColumn("mode", lit("scrub"))
+        .withColumn("tag", lit(tag))
         .write.mode("append").parquet(s"$dir/retracted")
     }
     report += (("assign", n))
@@ -622,7 +636,8 @@ object IndexIngest {
                           textCol: String, benchmark: DataFrame,
                           n: Int = 8, minOverlaps: Int = 1,
                           repack: Boolean = false, budget: Long = 0L,
-                          forget: Boolean = true): DataFrame = {
+                          forget: Boolean = true,
+                          tag: String = ""): DataFrame = {
     val assigned = spark.read.parquet(s"$dir/assign")
       .select(col("doc_id").as(idCol))
     val accepted = docs.join(assigned, Seq(idCol), "left_semi")
@@ -631,7 +646,7 @@ object IndexIngest {
       .select(col("doc_id").as(idCol))
     retractFromCuratedPack(spark, dir, bad, idCol, repack, budget,
       forgetDocs = if (forget) Some(docs) else None,
-      forgetTextCol = textCol)
+      forgetTextCol = textCol, tag = tag)
   }
 
   /** RETRACTION over the persisted VECTOR INDEXES — a takedown is
