@@ -6184,21 +6184,54 @@ object Queries {
 
   // ---- retraction / takedown over the curated-pack ledgers ---------------
 
+  /** Session-scoped template for the retraction family's seeded
+    * ledger set — seven queries seed the IDENTICAL SF-invariant
+    * curated pack (doc_id < 90, registry quality_filter, budget 512)
+    * and then mutate it, so the seed job (gate → exact dedup →
+    * prefix-sum pack → ledger writes, ~1.5 s) used to run seven times
+    * per bench pass for one deterministic result. Keyed on (sfDir,
+    * corpus fingerprint) like [[annAuditShared]]: a regenerated
+    * documents fixture at the same path within one JVM must not
+    * silently reuse a stale template. */
+  private val retractSeedShared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Shared fixture for the retraction family: seed the curated-pack
     * ledger set from the quality-gated documents (the
     * [[curateStreamPack]] corpus — doc_id < 90, registry
-    * quality_filter, budget 512) and return the gated doc frame. */
+    * quality_filter, budget 512) and return the gated doc frame. The
+    * seed runs ONCE per (JVM, sfDir, corpus) into a template dir; each
+    * query gets a filesystem COPY because the retraction ops it then
+    * runs rewrite the ledgers in place. */
   private def seedRetractFixture(s: SparkSession, d: String,
                                  dir: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .where(col("doc_id") < 90)
-    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
-        "column" -> "text", "minWords" -> "45", "minMeanWordLen" -> "0",
-        "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))
-    graft.streaming.IndexIngest.seedCuratedPack(docs, dir, "doc_id", "text",
-      budget = 512L, curate = curate)
+    val fp = docs.agg(count(lit(1)).as("n"),
+      sum(xxhash64(col("doc_id"), col("text")).cast("decimal(38,0)"))
+        .as("h")).head()
+    val template = retractSeedShared.computeIfAbsent(
+      s"$d#${fp.getLong(0)}#${fp.get(1)}", _ => {
+        val t0 = tmpDir(d, "retract_seed_template")
+        val conf = s.sessionState.newHadoopConf()
+        val tp = new org.apache.hadoop.fs.Path(t0)
+        val fs = tp.getFileSystem(conf)
+        if (fs.exists(tp)) fs.delete(tp, true) // stale dir from a prior JVM
+        val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
+            "column" -> "text", "minWords" -> "45", "minMeanWordLen" -> "0",
+            "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))
+        graft.streaming.IndexIngest.seedCuratedPack(docs, t0, "doc_id",
+          "text", budget = 512L, curate = curate)
+        t0
+      })
+    val conf = s.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(template)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true) // re-run within one JVM
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
     docs
   }
 
