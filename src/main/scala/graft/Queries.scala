@@ -2700,6 +2700,38 @@ object Queries {
           AS cross_entropy
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Cross-corpus CE ([[TextAnalysis.crossEntropyAgainst]]) — CCNet's
+    * actual shape: a reference slice (doc_id % 5 = 0, the "wiki")
+    * prices the disjoint target slice's words, add-one smoothed on
+    * the reference; OOV words pay the unseen price. round(4) absorbs
+    * libm-ln ulps; the DECIMAL log-sum handles shuffle order. */
+  private val ceAgainstQ = QueryDef("ce_against",
+    (s, d) => TextAnalysis.crossEntropyAgainst(
+        t(s, d, "documents").where(col("doc_id") % 5 =!= 0),
+        t(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        round(col("ce_against"), 4).as("ce_against"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH rw AS (SELECT unnest($sqlWords) AS word FROM documents
+            WHERE doc_id % 5 = 0),
+      f AS (SELECT word, count(*) AS n FROM rw
+            WHERE word <> '' GROUP BY word),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS v FROM f),
+      w AS (SELECT doc_id, unnest($sqlWords) AS word FROM documents
+            WHERE doc_id % 5 <> 0),
+      ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+      sc AS (SELECT ww.doc_id,
+            CASE WHEN f.word IS NULL THEN 1 ELSE 0 END AS oov,
+            -ln(CAST(COALESCE(f.n, 0) + 1 AS DOUBLE)
+                / CAST(t.total + t.v + 1 AS DOUBLE)) AS nlp
+            FROM ww LEFT JOIN f USING (word) CROSS JOIN t)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(oov) AS BIGINT) AS n_oov,
+        round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
+          AS ce_against
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   /** CCNet-style quality bucketing ([[TextAnalysis.qualityBuckets]]):
     * decile bands of the rounded cross-entropy score, summarized per
     * band. Thresholds come from the same exact-percentile definition
@@ -8295,7 +8327,7 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
-    vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, qualityBucketsQ,
+    vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, qualityBucketsQ,
     dsirLogweights, dsirSelect, classifierScoreQ, classifierScoreNativeQ,
     classifierTrainPlanted,
     winnowFingerprints,

@@ -611,6 +611,55 @@ object TextAnalysis {
           count(lit(1))).as("cross_entropy"))
   }
 
+  /** CCNet's published selection shape: per-document unigram
+    * cross-entropy of a TARGET corpus priced by a REFERENCE corpus's
+    * word distribution — the wiki-trained LM scoring CommonCrawl
+    * (Wenzek et al., arXiv:1911.00359 §4.3). Add-one smoothing on the
+    * reference: `p(w) = (n_ref(w)+1) / (N_ref+|V_ref|+1)`; target
+    * words outside the reference vocabulary take the constant unseen
+    * price `-ln(1/(N_ref+|V_ref|+1))`. [[unigramCrossEntropy]] is the
+    * self-trained stand-in; this is the cross-corpus scoring CCNet
+    * actually runs (low = reference-like prose, high = junk OR
+    * out-of-domain — both tails reviewed before dropping). Returns
+    * one row per scoreable target doc:
+    * (doc_id, n_words, n_oov, ce_against).
+    *
+    * Scale shape: ONE reference vocabulary aggregation (vocab-sized
+    * output — broadcastable at realistic vocab sizes; swap the hint
+    * for a shuffle join if |V_ref| outgrows executors), the per-word
+    * price computed once per vocab entry, a broadcast LEFT pricing
+    * join (misses = OOV pay the unseen price), one doc-key
+    * aggregation for the mean. Reference scanned once, target once;
+    * log-sums route through DECIMAL so merge order cannot move a
+    * score. */
+  def crossEntropyAgainst(target: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String,
+                          refTextCol: String = "text"): DataFrame = {
+    val refFreqs = reference
+      .select(explode(split(Dedup.normalizeText(col(refTextCol)), " "))
+        .as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("__n"))
+    val totals = refFreqs.agg(sum(col("__n")).as("__total"),
+      count(lit(1)).as("__v"))
+    val priced = refFreqs.crossJoin(broadcast(totals))
+      .select(col("word"), (-log((col("__n") + 1).cast("double") /
+        (col("__total") + col("__v") + 1).cast("double"))).as("__nlp"))
+    wordRows(target, idCol, textCol)
+      .join(broadcast(priced), Seq("word"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        when(col("__nlp").isNull, 1L).otherwise(0L).as("__oov"),
+        coalesce(col("__nlp"),
+          -log(lit(1.0) / (col("__total") + col("__v") + 1).cast("double")))
+          .as("__p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__oov")).as("n_oov"),
+        (sum(col("__p").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("ce_against"))
+  }
+
   /** Per-document word-transition rows `(doc_id, w1, w2)` — one row
     * per consecutive word pair. Docs with fewer than two words produce
     * no row. Map-only (let-bound split + explode). */

@@ -599,6 +599,32 @@ object ConfigLoader {
           .select(org.apache.spark.sql.functions.col("doc_id").as(idc))
         df.join(dropped, Seq(idc), "left_anti")
       }),
+      // CCNet's cross-corpus selection: score every doc against a
+      // REFERENCE-trained unigram LM (the wiki pricing CC —
+      // TextAnalysis.crossEntropyAgainst) and keep the most
+      // reference-like `keepFraction` (ce <= the rounded quantile
+      // threshold, ties kept). Anti-join on the DROPPED set, so
+      // unscoreable docs (null/empty text — no CE row) are kept,
+      // matching quality_bucket_filter's no-signal convention
+      "ce_filter_against" -> (o => df => {
+        val idc = req(o, "idCol")
+        val keep = o.getOrElse("keepFraction", "0.8").toDouble
+        require(keep > 0.0 && keep <= 1.0,
+          s"ce_filter_against: keepFraction must be in (0,1], got $keep")
+        val fn = org.apache.spark.sql.functions
+        val ref = df.sparkSession.read.parquet(req(o, "refPath"))
+        val ce = graft.llm.TextAnalysis.crossEntropyAgainst(df, ref,
+            idc, req(o, "textCol"), o.getOrElse("refTextCol", "text"))
+          .select(fn.col("doc_id"),
+            fn.round(fn.col("ce_against"), 4).as("__ce"))
+        val th = graft.llm.TextAnalysis.quantiles(ce, fn.col("__ce"),
+            Seq(keep))
+          .select(fn.round(fn.col("q"), 4).as("__th"))
+        val dropped = ce.crossJoin(fn.broadcast(th))
+          .where(fn.col("__ce") > fn.col("__th"))
+          .select(fn.col("doc_id").as(idc))
+        df.join(dropped, Seq(idc), "left_anti")
+      }),
       "nfc_normalize" -> (o => df => {
         graft.plans.GraftExtensions.register(df.sparkSession)
         val c = req(o, "column")

@@ -290,6 +290,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("crossEntropyAgainst: reference prices, OOV unseen price; exact values") {
+    // reference: n(a)=3, n(b)=1 -> N=4, |V|=2; add-one prices:
+    // p(a)=4/7, p(b)=2/7, unseen=1/7
+    val ref = Seq((10L, "a a a b")).toDF("doc_id", "text")
+    val tgt = Seq((1L, "a b"), (2L, "a zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.crossEntropyAgainst(tgt, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ce1 = -(math.log(4.0 / 7) + math.log(2.0 / 7)) / 2
+    val ce2 = -(math.log(4.0 / 7) + math.log(1.0 / 7)) / 2
+    assert(out(1L)._1 == 2L && out(1L)._2 == 0L &&
+      math.abs(out(1L)._3 - ce1) < 1e-9)
+    assert(out(2L)._1 == 2L && out(2L)._2 == 1L &&
+      math.abs(out(2L)._3 - ce2) < 1e-9)
+    // out-of-domain costs more than in-domain under the reference LM
+    assert(out(2L)._3 > out(1L)._3)
+  }
+
+  test("crossEntropyAgainst: self-scoring degenerates to unigramCrossEntropy") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val self = TextAnalysis.crossEntropyAgainst(corpus, corpus,
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_oov"),
+        round(col("ce_against"), 9).as("ce"))
+    assert(self.where(col("n_oov") =!= 0L).count() == 0L)
+    val uni = TextAnalysis.unigramCrossEntropy(corpus, "doc_id", "text")
+      .select(col("doc_id"), round(col("cross_entropy"), 9).as("ce"))
+    assert(rowsOf(self.drop("n_oov")) == rowsOf(uni))
+  }
+
   test("bigramCrossEntropy: exact value; shuffled text scores worse than fluent") {
     // corpus of one doc "a b a b": c(a)=2, c(b)=2, N=4, |V|=2;
     // bigrams: (a,b)x2, (b,a)x1. λ=0.7.

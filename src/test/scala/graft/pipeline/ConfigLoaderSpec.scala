@@ -223,6 +223,19 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(!qids.contains(8L)) // the junk tail goes
     assert(qids.contains(9L))  // no-signal docs are kept, not dropped
     assert(qkept.count() >= 7)
+    // ce_filter_against keeps the most reference-like keepFraction:
+    // the junk doc prices entirely at the reference LM's unseen price
+    // and lands above the p80 threshold; ties at the threshold keep
+    val refDir = "/tmp/graft_test/cfg_ce_ref"
+    Seq((100L, "the cat sat on the mat and the dog sat too"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(refDir)
+    val cedocs = ((1L to 5L).map(i => (i, "the cat sat on the mat")) :+
+      (6L, "zzz qqq xxx www vvv uuu") :+ (7L, "")).toDF("doc_id", "text")
+    val cekept = transformKinds("ce_filter_against")(
+      Map("idCol" -> "doc_id", "textCol" -> "text",
+        "refPath" -> refDir, "keepFraction" -> "0.8"))(cedocs)
+    val ceids = cekept.select("doc_id").as[Long].collect().toSet
+    assert(ceids == Set(1L, 2L, 3L, 4L, 5L, 7L)) // junk out, no-signal kept
     // compression_filter drops the repetitive tail, keeps prose-like text
     val comp = Seq((1L, "spark " * 300), (2L, "the quick brown fox " +
       "jumped over one lazy dog while twelve boxers drank quarts"))
