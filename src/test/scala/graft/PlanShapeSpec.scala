@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Mechanical plan-shape regression gate — turns the per-round manual
+  * `graft.Plans` audit into assertions. A CartesianProduct or
+  * BroadcastNestedLoopJoin appearing in a gated product plan is a
+  * scale regression (row-pair explosion at 100 TB), not a style
+  * issue; likewise a parquet scan that stops pushing filters or
+  * starts reading pruned columns. Static plans (pre-AQE) are asserted
+  * — AQE only narrows exchanges at runtime, it never introduces a
+  * cartesian the static plan lacked. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val q = Queries.all.find(_.name == name)
+      .getOrElse(fail(s"unknown query: $name"))
+    q.fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+  }
+
+  /** Product plans that must never pair-explode. Deliberately spans
+    * the join/agg/dedup/mix/events/url/decon families; fixture-heavy
+    * queries (seeds, stream drains, shard writes at build time) are
+    * out of scope — their plan shapes are audited in PLANS.md. */
+  private val noPairExplosion = Seq(
+    "q1_agg", "q3_topn", "q5_region_join", "s6_posts_reader",
+    "s8_users_filter", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "mix_strata", "events_asof",
+    "url_filter_psl", "decontaminate", "chunk_by_tokens",
+    "lang_id", "token_counts")
+
+  /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
+    * into the insert branch (bounded by construction); ann_bruteforce
+    * IS the exhaustive baseline the ANN family is measured against. */
+  private val bnljAllowed = Seq("k7_upsert", "ann_bruteforce")
+
+  test("gated product plans have no cartesian or nested-loop join") {
+    noPairExplosion.foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n: CartesianProduct entered the plan")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n: BroadcastNestedLoopJoin entered the plan")
+    }
+  }
+
+  test("BNLJ-allowlisted plans still have no CartesianProduct") {
+    bnljAllowed.foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n: CartesianProduct entered the plan")
+    }
+  }
+
+  test("filters reach the parquet scans (pushdown)") {
+    // customer-segment and order/ship-date predicates must appear as
+    // PushedFilters on the scans, not as post-scan Filter-only nodes
+    val q3 = plan("q3_topn")
+    assert(q3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      "q3_topn: segment filter no longer pushed to the customer scan")
+    assert(q3.contains("LessThan(o_orderdate"),
+      "q3_topn: order-date filter no longer pushed")
+    val s8 = plan("s8_users_filter")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(s8).isDefined,
+      "s8_users_filter: no non-empty PushedFilters on any scan")
+  }
+
+  test("unused columns are pruned from the scans") {
+    // q1 aggregates a handful of lineitem columns; a scan that starts
+    // reading l_comment (the widest column) lost its pruning
+    assert(!plan("q1_agg").contains("l_comment"),
+      "q1_agg: lineitem scan reads l_comment")
+    assert(!plan("q3_topn").contains("l_comment"),
+      "q3_topn: lineitem scan reads l_comment")
+  }
+
+  test("whole-stage codegen spans the hot aggregation path") {
+    // codegen ids only appear on the FINAL adaptive plan — execute,
+    // then explain
+    Seq("q1_agg", "dedup_exact").foreach { n =>
+      val df = Queries.all.find(_.name == n).get.fn(spark, sfDir)
+      df.collect()
+      assert(df.queryExecution.explainString(FormattedMode)
+          .contains("codegen id"),
+        s"$n: no WholeStageCodegen span in the executed plan")
+    }
+  }
+}
