@@ -126,6 +126,14 @@ object ScaleProbe {
       time(s"vocabulary x$k") {
         graft.llm.TextAnalysis.vocabulary(corpus, "doc_id", "text").count()
       }
+      time(s"ce_against x$k") {
+        // fixed-size reference LM (one replica's %5 slice) pricing the
+        // k×-growing target: the reference vocab aggregation is
+        // constant, the pricing join is broadcast map-side — target
+        // cost should grow linearly like doc_cross_entropy's
+        graft.llm.TextAnalysis.crossEntropyAgainst(corpus,
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text").count()
+      }
       // noop-sink evaluation for the two steep-curve suspects: under
       // count() Catalyst prunes the reassembled text / entropy columns
       // and the probe would time a cheaper plan than production runs
