@@ -6287,9 +6287,19 @@ object Queries {
     * pack → shard digest. `keptFilter` runs AFTER the prefix sum
     * (scrub semantics: survivors keep their offsets, holes where the
     * retracted tokens were); pass it as part of `gatedExtra` instead
-    * for repack semantics (retracted docs never enter the sum). */
+    * for repack semantics (retracted docs never enter the sum).
+    * `finalSelect` swaps the terminal per-shard SELECT (over the `sh`
+    * CTE) for callers with a different report shape (shard_audit). */
   private def sqlRetractReplay(gatedExtra: String, keptFilter: String,
-                               prelude: String = ""): String =
+                               prelude: String = "",
+                               finalSelect: String = ""): String = {
+    val sel = if (finalSelect.nonEmpty) finalSelect else
+      """SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""
     s"""WITH $prelude gated AS (SELECT doc_id, COALESCE(text, '') AS text
         FROM documents WHERE doc_id < 90
           AND len(string_split(trim(regexp_replace(lower(COALESCE(text, '')),
@@ -6320,12 +6330,8 @@ object Queries {
         + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
         FROM r),
       sh AS (SELECT *, digest % 4 AS shard FROM sh0)
-      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
-        CAST(SUM(digest) AS BIGINT) AS checksum,
-        min(rank) AS min_rank, max(rank) AS max_rank,
-        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
-      FROM sh GROUP BY shard ORDER BY shard"""
+      $sel"""
+  }
 
   /** TAKEDOWN, scrub mode ([[graft.streaming.IndexIngest.retractFromCuratedPack]]
     * through the registry `retract_pack` kind): seed the curated-pack
@@ -6496,6 +6502,39 @@ object Queries {
     },
     Some(sqlRetractReplay("",
       "NOT (doc_id % 7 = 3 AND doc_id % 14 <> 3)")))
+
+  /** SHARD INTEGRITY AUDIT ([[graft.llm.Packing.auditShards]] through
+    * the registry `audit_shards` kind, failOnBad=true): seed,
+    * materialize, audit — the pre-training read-only gate that
+    * re-derives every manifest aggregate from the on-disk files and
+    * diffs. On an undamaged layout every shard reports `ok` with the
+    * found aggregates equal to the replay's first-principles values;
+    * the corruption taxonomy (missing partition, stray partition,
+    * doctored manifest, failOnBad raise) is spec-bound in PackingSpec
+    * where the filesystem can be damaged deliberately. */
+  private val shardAudit = QueryDef("shard_audit",
+    (s, d) => {
+      val dir = tmpDir(d, "shard_audit")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4")),
+        graft.pipeline.ConfigLoader.loadKinds("audit_shards")(Map(
+          "dir" -> s"$dir/out", "failOnBad" -> "true"))))
+      s.read.parquet(s"$dir/out/audit")
+        .select(col("shard"), col("status"),
+          col("data_rows").as("n_rows"),
+          col("data_checksum").as("checksum"),
+          col("data_min_rank").as("min_rank"),
+          col("data_max_rank").as("max_rank"))
+        .orderBy(col("shard"))
+    },
+    Some(sqlRetractReplay("", "TRUE", finalSelect =
+      """SELECT CAST(shard AS BIGINT) AS shard, 'ok' AS status,
+        COUNT(*) AS n_rows, CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank
+      FROM sh GROUP BY shard ORDER BY shard""")))
 
   /** TAKEDOWN AS ONE CONFIG — the retraction story holds the repo's
     * "every stage a registry kind, no code" claim: a single YAML
@@ -8343,7 +8382,7 @@ object Queries {
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
     packRetractScrub, packRetractRepack, retractDecontaminate,
-    packRetractRefresh, packUnretract, takedownYaml, takedownSourceYaml,
+    packRetractRefresh, packUnretract, shardAudit, takedownYaml, takedownSourceYaml,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,

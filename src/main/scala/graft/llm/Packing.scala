@@ -784,4 +784,51 @@ object Packing {
   def readShard(spark: org.apache.spark.sql.SparkSession, dir: String,
                 shard: Int): DataFrame =
     spark.read.parquet(s"$dir/data").where(col("shard") === shard)
+
+  /** Read-only shard integrity audit — the pre-training counterpart of
+    * the materialize drift guards (which FAIL a run in flight; this
+    * REPORTS on a resting layout). Re-derives the manifest aggregates
+    * from the on-disk `dir/data` files and full-outer-diffs them
+    * against `dir/manifest`, one row per shard:
+    *
+    *  - `ok`         — every certified field matches what's on disk;
+    *  - `missing`    — manifest row with no data partition (lost/
+    *                   deleted `shard=N` directory);
+    *  - `unexpected` — data partition with no manifest row (stray
+    *                   write, crash between shard write and manifest
+    *                   splice);
+    *  - `mismatch`   — both present but rows/checksum/rank-range
+    *                   drifted (truncated part-file, bit-rot, stale
+    *                   manifest).
+    *
+    * Scale shape: ONE bounded-state aggregation over the data files
+    * (the same mergeable [[rankDigest]] sum the writer certified — a
+    * long per shard, map-side combinable) and a one-row-per-shard
+    * full-outer join; no payload columns leave the scan, no collect.
+    * Run it at epoch boundaries or after [[refreshRetractedShards]];
+    * at 100 TB the cost is the pruned two-column data scan. */
+  def auditShards(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val expected = spark.read.parquet(s"$dir/manifest")
+      .select(col("shard").cast("long").as("shard"),
+        col("n_rows").as("manifest_rows"),
+        col("checksum").as("manifest_checksum"),
+        col("min_rank").as("manifest_min_rank"),
+        col("max_rank").as("manifest_max_rank"))
+    val found = spark.read.parquet(s"$dir/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("data_rows"),
+        sum(rankDigest(col("rank"))).as("data_checksum"),
+        min(col("rank")).as("data_min_rank"),
+        max(col("rank")).as("data_max_rank"))
+    expected.join(found, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("manifest_rows").isNull, lit("unexpected"))
+          .when(col("data_rows").isNull, lit("missing"))
+          .when(col("manifest_rows") === col("data_rows") &&
+            col("manifest_checksum") === col("data_checksum") &&
+            col("manifest_min_rank") === col("data_min_rank") &&
+            col("manifest_max_rank") === col("data_max_rank"), lit("ok"))
+          .otherwise(lit("mismatch")))
+  }
 }

@@ -854,6 +854,25 @@ object ConfigLoader {
           req(o, "dir"), req(o, "nShards").toInt, docSep = o.get("sep"))
         ()
       })),
+      // read-only shard integrity audit: re-derive the manifest
+      // aggregates from dir/data and diff against dir/manifest; the
+      // per-shard report lands at reportDir (default dir/audit). With
+      // failOnBad=true any non-ok shard raises — the pre-training gate
+      "audit_shards" -> (o => Sinks.Write("audit_shards", df => {
+        val dir = req(o, "dir")
+        val report = graft.llm.Packing.auditShards(df.sparkSession, dir)
+        report.write.mode("overwrite")
+          .parquet(o.getOrElse("reportDir", s"$dir/audit"))
+        if (o.getOrElse("failOnBad", "false").toBoolean) {
+          val bad = df.sparkSession.read
+            .parquet(o.getOrElse("reportDir", s"$dir/audit"))
+            .where(org.apache.spark.sql.functions.col("status") =!= "ok")
+            .count()
+          require(bad == 0L,
+            s"audit_shards: $bad shard(s) failed the integrity audit at $dir")
+        }
+        ()
+      })),
       // retroactive decontamination: the job's frame IS the freshly
       // published benchmark; accepted docs sharing n-grams with it are
       // retracted from the curated-pack ledgers (forget=true default —
@@ -1109,7 +1128,8 @@ object ConfigLoader {
     "retract_pack" -> Seq("dir"),
     "retract_contaminated" -> Seq("dir", "docsPath"),
     "refresh_shards" -> Seq("dir", "ledgerDir"),
-    "unretract_pack" -> Seq("dir"))
+    "unretract_pack" -> Seq("dir"),
+    "audit_shards" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

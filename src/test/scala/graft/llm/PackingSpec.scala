@@ -200,6 +200,55 @@ class PackingSpec extends SparkSpec {
     assert(missingOne != manifest(0L).getLong(2))
   }
 
+  test("auditShards: corruption taxonomy — ok, missing, unexpected, mismatch") {
+    import java.nio.file.{Files, Paths}
+    val df = spark.range(0, 400).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val dir = Files.createTempDirectory("graft_audit").toFile.getPath
+    Packing.writeTrainingShards(df, "doc_id", dir, nShards = 4)
+    def statuses(): Map[Long, String] =
+      Packing.auditShards(spark, dir)
+        .select(col("shard"), col("status")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // undamaged layout: every shard ok
+    assert(statuses() == (0L to 3L).map(_ -> "ok").toMap)
+    // failOnBad kind passes on a clean layout
+    graft.pipeline.ConfigLoader.loadKinds("audit_shards")(Map(
+      "dir" -> dir, "failOnBad" -> "true")) match {
+      case graft.sinks.Sinks.Write(_, f) => f(df)
+      case other => fail(s"unexpected step: $other")
+    }
+    // stray partition: copy shard=3's files in as shard=9
+    val s3 = Paths.get(s"$dir/data/shard=3")
+    val s9 = Paths.get(s"$dir/data/shard=9")
+    Files.createDirectories(s9)
+    Files.list(s3).forEach(p =>
+      Files.copy(p, s9.resolve(p.getFileName.toString)))
+    assert(statuses() == ((0L to 3L).map(_ -> "ok").toMap + (9L -> "unexpected")))
+    // missing partition: delete shard=1's directory
+    Files.list(Paths.get(s"$dir/data/shard=1")).forEach(Files.delete(_))
+    Files.delete(Paths.get(s"$dir/data/shard=1"))
+    assert(statuses()(1L) == "missing")
+    // doctored manifest: +1 row on shard 0 -> mismatch
+    val doctored = spark.read.parquet(s"$dir/manifest")
+      .withColumn("n_rows", when(col("shard") === 0,
+        col("n_rows") + 1).otherwise(col("n_rows")))
+      .localCheckpoint(true)
+    doctored.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    val st = statuses()
+    assert(st(0L) == "mismatch" && st(1L) == "missing" &&
+      st(2L) == "ok" && st(9L) == "unexpected")
+    // failOnBad raises with the bad-shard count
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.loadKinds("audit_shards")(Map(
+        "dir" -> dir, "failOnBad" -> "true")) match {
+        case graft.sinks.Sinks.Write(_, f) => f(df)
+        case other => fail(s"unexpected step: $other")
+      }
+    }
+    assert(err.getMessage.contains("3 shard(s) failed"))
+  }
+
   test("readShard: partition-pruned to one shard directory") {
     val df = spark.range(0, 300).select(col("id").as("doc_id"))
     val dir = java.nio.file.Files.createTempDirectory("graft_rsh").toFile.getPath
