@@ -2705,15 +2705,14 @@ object Queries {
     * prices the disjoint target slice's words, add-one smoothed on
     * the reference; OOV words pay the unseen price. round(4) absorbs
     * libm-ln ulps; the DECIMAL log-sum handles shuffle order. */
-  private val ceAgainstQ = QueryDef("ce_against",
-    (s, d) => TextAnalysis.crossEntropyAgainst(
-        t(s, d, "documents").where(col("doc_id") % 5 =!= 0),
-        t(s, d, "documents").where(col("doc_id") % 5 === 0),
-        "doc_id", "text")
-      .select(col("doc_id"), col("n_words"), col("n_oov"),
-        round(col("ce_against"), 4).as("ce_against"))
-      .orderBy(col("doc_id")),
-    Some(s"""WITH rw AS (SELECT unnest($sqlWords) AS word FROM documents
+  /** ONE oracle definition of the cross-corpus per-word price rows
+    * (CTE `sc`: doc_id, oov, nlp — reference slice doc_id % 5 = 0
+    * pricing the disjoint target slice) — shared by `ce_against` and
+    * `ce_two_phase` so the two oracles cannot drift on the smoothing,
+    * tokenization, or the unseen price. Mirrors
+    * [[TextAnalysis.cePrices]] + [[TextAnalysis.crossEntropyAgainstPrices]]. */
+  private val sqlCeAgainstCtes =
+    s"""rw AS (SELECT unnest($sqlWords) AS word FROM documents
             WHERE doc_id % 5 = 0),
       f AS (SELECT word, count(*) AS n FROM rw
             WHERE word <> '' GROUP BY word),
@@ -2725,12 +2724,60 @@ object Queries {
             CASE WHEN f.word IS NULL THEN 1 ELSE 0 END AS oov,
             -ln(CAST(COALESCE(f.n, 0) + 1 AS DOUBLE)
                 / CAST(t.total + t.v + 1 AS DOUBLE)) AS nlp
-            FROM ww LEFT JOIN f USING (word) CROSS JOIN t)
+            FROM ww LEFT JOIN f USING (word) CROSS JOIN t)"""
+
+  private val ceAgainstQ = QueryDef("ce_against",
+    (s, d) => TextAnalysis.crossEntropyAgainst(
+        t(s, d, "documents").where(col("doc_id") % 5 =!= 0),
+        t(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        round(col("ce_against"), 4).as("ce_against"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $sqlCeAgainstCtes
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         CAST(SUM(oov) AS BIGINT) AS n_oov,
         round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
           AS ce_against
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** The CCNet DEPLOYMENT shape ([[TextAnalysis.cePrices]] →
+    * [[TextAnalysis.crossEntropyAgainstPrices]] through the registry
+    * `ce_prices` sink + stateless `ce_apply` transform — the
+    * excess_weights → mix_apply two-phase convention): the reference
+    * LM is built ONCE and persisted as a price ledger; the production
+    * corpus is scored and filtered against it with a broadcast join
+    * and a fixed absolute cutoff (3.41 ≈ the corpus median, derived
+    * offline), which is what composes into streams per micro-batch.
+    * Returns the survivors' scored rows; the replay recomputes prices,
+    * scores, and the cutoff from first principles, so survivor
+    * membership binds the ledger round-trip. */
+  private val ceTwoPhase = QueryDef("ce_two_phase",
+    (s, d) => {
+      val dir = tmpDir(d, "ce_two_phase")
+      val ref = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+      val tgt = t(s, d, "documents").where(col("doc_id") % 5 =!= 0)
+      graft.sinks.Sinks.runChain(ref, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("ce_prices")(Map(
+          "dir" -> s"$dir/prices", "textCol" -> "text"))))
+      val kept = graft.pipeline.ConfigLoader.transformKinds("ce_apply")(Map(
+        "pricesDir" -> s"$dir/prices", "idCol" -> "doc_id",
+        "textCol" -> "text", "maxCe" -> "3.41"))(tgt)
+      TextAnalysis.crossEntropyAgainstPrices(kept,
+          s.read.parquet(s"$dir/prices"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_oov"),
+          round(col("ce_against"), 4).as("ce_against"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $sqlCeAgainstCtes
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(SUM(oov) AS BIGINT) AS n_oov,
+        round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE) / count(*), 4)
+          AS ce_against
+      FROM sc GROUP BY doc_id
+      HAVING round(CAST(SUM(CAST(nlp AS DECIMAL(27,12))) AS DOUBLE)
+        / count(*), 4) <= 3.41
+      ORDER BY doc_id"""))
 
   /** CCNet-style quality bucketing ([[TextAnalysis.qualityBuckets]]):
     * decile bands of the rounded cross-entropy score, summarized per
@@ -8366,7 +8413,7 @@ object Queries {
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
-    vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, qualityBucketsQ,
+    vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, ceTwoPhase, qualityBucketsQ,
     dsirLogweights, dsirSelect, classifierScoreQ, classifierScoreNativeQ,
     classifierTrainPlanted,
     winnowFingerprints,

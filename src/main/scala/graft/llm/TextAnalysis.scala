@@ -634,7 +634,21 @@ object TextAnalysis {
     * score. */
   def crossEntropyAgainst(target: DataFrame, reference: DataFrame,
                           idCol: String, textCol: String,
-                          refTextCol: String = "text"): DataFrame = {
+                          refTextCol: String = "text"): DataFrame =
+    crossEntropyAgainstPrices(target, cePrices(reference, refTextCol),
+      idCol, textCol)
+
+  /** The reference LM as a PERSISTABLE price table — the build-once
+    * artifact of the CCNet deployment shape (the wiki LM is trained
+    * once and shipped; scoring is stateless given it): one
+    * `(word, nlp)` row per reference-vocabulary word plus ONE sentinel
+    * row (`word = ''` — the normalizer never emits an empty word, so
+    * the key cannot collide) carrying the unseen price. Vocab-sized;
+    * write it to parquet and feed [[crossEntropyAgainstPrices]] — the
+    * `ce_prices` sink / `ce_apply` transform pair, mirroring the
+    * excess_weights → mix_apply two-phase convention. */
+  def cePrices(reference: DataFrame,
+               refTextCol: String = "text"): DataFrame = {
     val refFreqs = reference
       .select(explode(split(Dedup.normalizeText(col(refTextCol)), " "))
         .as("word"))
@@ -642,17 +656,32 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("__n"))
     val totals = refFreqs.agg(sum(col("__n")).as("__total"),
       count(lit(1)).as("__v"))
-    val priced = refFreqs.crossJoin(broadcast(totals))
+    refFreqs.crossJoin(broadcast(totals))
       .select(col("word"), (-log((col("__n") + 1).cast("double") /
-        (col("__total") + col("__v") + 1).cast("double"))).as("__nlp"))
+        (col("__total") + col("__v") + 1).cast("double"))).as("nlp"))
+      .unionByName(totals.select(lit("").as("word"),
+        (-log(lit(1.0) /
+          (col("__total") + col("__v") + 1).cast("double"))).as("nlp")))
+  }
+
+  /** Stateless scoring against a [[cePrices]] table: one broadcast
+    * LEFT pricing join (misses pay the sentinel unseen price) and the
+    * doc-key mean — no aggregation over the reference, so it composes
+    * into the streamed curation chain per micro-batch where the
+    * in-flight [[crossEntropyAgainst]] measurement cannot run. */
+  def crossEntropyAgainstPrices(target: DataFrame, prices: DataFrame,
+                                idCol: String,
+                                textCol: String): DataFrame = {
+    val vocab = prices.where(col("word") =!= "")
+      .select(col("word"), col("nlp").as("__nlp"))
+    val unseen = prices.where(col("word") === "")
+      .select(col("nlp").as("__unseen"))
     wordRows(target, idCol, textCol)
-      .join(broadcast(priced), Seq("word"), "left")
-      .crossJoin(broadcast(totals))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .crossJoin(broadcast(unseen))
       .select(col("doc_id"),
         when(col("__nlp").isNull, 1L).otherwise(0L).as("__oov"),
-        coalesce(col("__nlp"),
-          -log(lit(1.0) / (col("__total") + col("__v") + 1).cast("double")))
-          .as("__p"))
+        coalesce(col("__nlp"), col("__unseen")).as("__p"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("__oov")).as("n_oov"),

@@ -240,6 +240,25 @@ object ConfigLoader {
           defaultRate = o.getOrElse("defaultRate", "1.0").toDouble,
           salt = o.getOrElse("salt", "graft"))
       }),
+      // production half of the CCNet two-phase: score against a
+      // PERSISTED ce_prices ledger and keep docs at or below the
+      // absolute maxCe cutoff (derived offline — doc_quantiles /
+      // ce_filter_against). Stateless given the ledger, so it composes
+      // into the streamed curation chain where the in-flight
+      // reference aggregation (ce_filter_against) cannot run.
+      // Unscoreable docs (no words) are kept — the no-signal
+      // convention
+      "ce_apply" -> (o => df => {
+        val idc = req(o, "idCol")
+        val fn = org.apache.spark.sql.functions
+        val prices = df.sparkSession.read.parquet(req(o, "pricesDir"))
+        val dropped = graft.llm.TextAnalysis.crossEntropyAgainstPrices(
+            df, prices, idc, req(o, "textCol"))
+          .where(fn.round(fn.col("ce_against"), 4) >
+            req(o, "maxCe").toDouble)
+          .select(fn.col("doc_id").as(idc))
+        df.join(dropped, Seq(idc), "left_anti")
+      }),
       "mix_excess" -> (o => df => {
         val input = df.localCheckpoint()
         graft.llm.Mixing.mixByExcessLoss(input, req(o, "idCol"),
@@ -726,6 +745,17 @@ object ConfigLoader {
           .write.mode("overwrite").parquet(req(o, "dir"))
         ()
       })),
+      // build-once CCNet reference LM: persist the (word, nlp) price
+      // table (+ the '' sentinel unseen-price row) from the job's
+      // frame — the reference corpus. Downstream configs feed it into
+      // the stateless ce_apply transform (the excess_weights →
+      // mix_apply two-phase convention)
+      "ce_prices" -> (o => Sinks.Write("ce_prices", df => {
+        graft.llm.TextAnalysis.cePrices(df,
+            o.getOrElse("textCol", "text"))
+          .write.mode("overwrite").parquet(req(o, "dir"))
+        ()
+      })),
       "pq_index" -> (o => Sinks.Write("pq_index", df => {
         graft.llm.Similarity.buildPqIndex(df, req(o, "dir"),
           m = o.getOrElse("m", "8").toInt,
@@ -1123,6 +1153,7 @@ object ConfigLoader {
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),
+    "ce_prices" -> Seq("dir"),
     "materialize_shards" -> Seq("dir", "assignmentDir"),
     "seed_curated_pack" -> Seq("dir"),
     "retract_pack" -> Seq("dir"),

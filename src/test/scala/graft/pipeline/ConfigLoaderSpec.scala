@@ -236,6 +236,28 @@ class ConfigLoaderSpec extends SparkSpec {
         "refPath" -> refDir, "keepFraction" -> "0.8"))(cedocs)
     val ceids = cekept.select("doc_id").as[Long].collect().toSet
     assert(ceids == Set(1L, 2L, 3L, 4L, 5L, 7L)) // junk out, no-signal kept
+    // two-phase twin: persist the reference LM once (ce_prices sink),
+    // score statelessly against the ledger (ce_apply) — the parquet
+    // round-trip must not move a score vs the in-flight measurement
+    val pricesDir = "/tmp/graft_test/cfg_ce_prices"
+    loadKinds("ce_prices")(Map("dir" -> pricesDir)) match {
+      case graft.sinks.Sinks.Write(_, f) =>
+        f(spark.read.parquet(refDir))
+      case other => fail(s"unexpected step: $other")
+    }
+    val inflight = graft.llm.TextAnalysis.crossEntropyAgainst(
+      cedocs, spark.read.parquet(refDir), "doc_id", "text")
+    val ledgered = graft.llm.TextAnalysis.crossEntropyAgainstPrices(
+      cedocs, spark.read.parquet(pricesDir), "doc_id", "text")
+    assert(rowsOf(inflight) == rowsOf(ledgered))
+    // the junk doc scores above any real-word doc; cut between them
+    val cut = ledgered.where(col("doc_id") === 1L)
+      .select(round(col("ce_against"), 4)).as[Double].head()
+    val applied = transformKinds("ce_apply")(Map(
+      "pricesDir" -> pricesDir, "idCol" -> "doc_id",
+      "textCol" -> "text", "maxCe" -> cut.toString))(cedocs)
+    assert(applied.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 7L)) // ties kept, junk out, no-signal kept
     // compression_filter drops the repetitive tail, keeps prose-like text
     val comp = Seq((1L, "spark " * 300), (2L, "the quick brown fox " +
       "jumped over one lazy dog while twelve boxers drank quarts"))

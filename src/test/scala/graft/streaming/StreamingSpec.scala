@@ -748,6 +748,60 @@ class StreamingSpec extends SparkSpec {
     assert(after == streamed, "resubmitted near/exact dups must not re-pack")
   }
 
+  test("ce_apply composes into the pack stream: ledgered CCNet filter per micro-batch") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ce_stream")
+      .toFile.getPath
+    // reference LM built ONCE (the deployment shape) — in-vocab text
+    // prices strictly below the sentinel unseen price, so an all-OOV
+    // junk doc scores exactly the unseen price and any cutoff between
+    // the two separates them deterministically
+    val ref = Seq((100L, "the cat sat on the mat and the dog sat too"))
+      .toDF("doc_id", "text")
+    graft.llm.TextAnalysis.cePrices(ref)
+      .write.mode("overwrite").parquet(s"$work/prices")
+    val fluent = Seq(1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the mat", 40L -> "the cat and the dog sat",
+      80L -> "the mat and the cat sat")
+    val junk = Seq(7L -> "zzz qqq xxx www vvv uuu",
+      47L -> "jjj kkk lll mmm nnn ooo")
+    val prices = spark.read.parquet(s"$work/prices")
+    val cut = graft.llm.TextAnalysis.crossEntropyAgainstPrices(
+        fluent.toDF("doc_id", "text"), prices, "doc_id", "text")
+      .agg(max(round(col("ce_against"), 4))).as[Double].head()
+    val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      graft.pipeline.ConfigLoader.transformKinds("ce_apply")(Map(
+        "pricesDir" -> s"$work/prices", "idCol" -> "doc_id",
+        "textCol" -> "text", "maxCe" -> cut.toString))
+    val dir = s"$work/led"
+    IndexIngest.seedCuratedPack(
+      Seq(fluent.head, junk.head).toDF("doc_id", "text"), dir,
+      "doc_id", "text", budget = 12, curate = curate)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.appendCuratedPackStream(
+      mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      budget = 12, curate = curate)
+    try {
+      mem.addData(fluent(1), fluent(2), junk(1))
+      q.processAllAvailable()
+      mem.addData(fluent(3)); q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/assign")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 40L, 80L),
+      s"junk must drop against the price ledger in seed and stream alike: $ids")
+    // streamed-curated assignment ≡ the one-shot batch twin
+    val batchDir = s"$work/batch"
+    IndexIngest.seedCuratedPack(
+      (fluent ++ junk).toDF("doc_id", "text"), batchDir,
+      "doc_id", "text", budget = 12, curate = curate)
+    def rows(d: String) = spark.read.parquet(s"$d/assign")
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        col("pack_id")).as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows(dir) == rows(batchDir),
+      "streamed ce_apply curation diverged from the one-shot seed")
+  }
+
   test("streamed mix: a persisted rates ledger resamples inside the pack stream ≡ batch") {
     // the DoReMi two-phase across the batch/stream boundary: a PROXY
     // corpus measures the weights once (excess_weights sink), then the
