@@ -6583,6 +6583,47 @@ object Queries {
         min(rank) AS min_rank, max(rank) AS max_rank
       FROM sh GROUP BY shard ORDER BY shard""")))
 
+  /** TAKEDOWN COMPLIANCE REPORT
+    * ([[graft.streaming.IndexIngest.retractionCompliance]] through the
+    * registry `retraction_compliance` kind, failOnViolation=true): the
+    * full takedown life cycle — seed, retract the opt-out list,
+    * incremental shard refresh — then the read-only report a legal
+    * review asks for: no opt-out id assigned, no retraction pending a
+    * refresh, K rows of drained audit history. The replay computes K
+    * (opt-out docs the gate ADMITTED — never-ingested ids queue
+    * nothing) from first principles; the violation/pending mechanics
+    * (non-zero counts, failOnViolation raise, unretract re-queue) are
+    * spec-bound in StreamingSpec where broken states can be staged. */
+  private val retractCompliance = QueryDef("retract_compliance",
+    (s, d) => {
+      val dir = tmpDir(d, "retract_compliance")
+      val docs = seedRetractFixture(s, d, dir)
+      val optOut = docs.where(col("doc_id") % 7 === 3).select(col("doc_id"))
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      graft.sinks.Sinks.runChain(optOut, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("retract_pack")(Map(
+          "dir" -> dir, "idCol" -> "doc_id"))))
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("refresh_shards")(Map(
+          "ledgerDir" -> dir, "idCol" -> "doc_id", "textCol" -> "text",
+          "dir" -> s"$dir/out", "nShards" -> "4"))))
+      graft.sinks.Sinks.runChain(optOut, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("retraction_compliance")(Map(
+          "dir" -> dir, "idCol" -> "doc_id",
+          "failOnViolation" -> "true"))))
+      s.read.parquet(s"$dir/compliance").orderBy(col("aspect"))
+    },
+    Some(sqlRetractReplay("", "TRUE", finalSelect =
+      """SELECT 'applied_history' AS aspect,
+        CAST((SELECT count(*) FROM o WHERE doc_id % 7 = 3) AS BIGINT) AS n,
+        true AS ok
+      UNION ALL SELECT 'assigned_optout', CAST(0 AS BIGINT), true
+      UNION ALL SELECT 'pending_refresh', CAST(0 AS BIGINT), true
+      ORDER BY aspect""")))
+
   /** TAKEDOWN AS ONE CONFIG — the retraction story holds the repo's
     * "every stage a registry kind, no code" claim: a single YAML
     * declares the takedown job (the landed opt-out list → the
@@ -8429,7 +8470,8 @@ object Queries {
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,
     packRetractScrub, packRetractRepack, retractDecontaminate,
-    packRetractRefresh, packUnretract, shardAudit, takedownYaml, takedownSourceYaml,
+    packRetractRefresh, packUnretract, shardAudit, retractCompliance,
+    takedownYaml, takedownSourceYaml,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,

@@ -903,6 +903,24 @@ object ConfigLoader {
         }
         ()
       })),
+      // takedown compliance report: the job's frame IS the current
+      // opt-out registry; the per-aspect report lands at reportDir
+      // (default dir/compliance). failOnViolation=true raises on any
+      // non-ok aspect — the post-takedown legal gate
+      "retraction_compliance" -> (o => Sinks.Write("retraction_compliance", df => {
+        val dir = req(o, "dir")
+        val out = o.getOrElse("reportDir", s"$dir/compliance")
+        graft.streaming.IndexIngest.retractionCompliance(
+            df.sparkSession, dir, df, req(o, "idCol"))
+          .write.mode("overwrite").parquet(out)
+        if (o.getOrElse("failOnViolation", "false").toBoolean) {
+          val bad = df.sparkSession.read.parquet(out)
+            .where(!org.apache.spark.sql.functions.col("ok")).count()
+          require(bad == 0L,
+            s"retraction_compliance: $bad aspect(s) failed at $dir")
+        }
+        ()
+      })),
       // retroactive decontamination: the job's frame IS the freshly
       // published benchmark; accepted docs sharing n-grams with it are
       // retracted from the curated-pack ledgers (forget=true default —
@@ -1160,7 +1178,8 @@ object ConfigLoader {
     "retract_contaminated" -> Seq("dir", "docsPath"),
     "refresh_shards" -> Seq("dir", "ledgerDir"),
     "unretract_pack" -> Seq("dir"),
-    "audit_shards" -> Seq("dir"))
+    "audit_shards" -> Seq("dir"),
+    "retraction_compliance" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
     val unknown = m.keys.filterNot(known)

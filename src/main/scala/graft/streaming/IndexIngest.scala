@@ -616,6 +616,54 @@ object IndexIngest {
     spark.createDataFrame(report.toSeq).toDF("ledger", "rows_restored")
   }
 
+  /** TAKEDOWN COMPLIANCE REPORT — the read-only proof a legal/opt-out
+    * review asks for, against the CURRENT opt-out registry (not the
+    * internal queue history: un-retraction legitimately restores docs
+    * and re-queues touched-pack markers, so queue rows alone cannot
+    * define compliance). One row per aspect:
+    *
+    *  - `assigned_optout` — opt-out ids still present in the pack
+    *    assignment. Any count > 0 is a VIOLATION (`ok = false`).
+    *  - `pending_refresh` — queued retracted rows not yet drained by
+    *    [[graft.llm.Packing.refreshRetractedShards]]: the ledgers are
+    *    clean but materialized shards may still carry the bytes.
+    *    `ok = false` until the queue drains.
+    *  - `applied_history` — drained retraction rows (the audit
+    *    trail); informational, always `ok`.
+    *
+    * Hash/sig tombstones are deliberately NOT counted as violations:
+    * takedown keeps them so re-crawled copies drop
+    * ([[retractFromCuratedPack]] — `forgetDocs` is the opt-out from
+    * that default).
+    *
+    * Scale shape: one broadcast semi-join of the (thousands-of-rows)
+    * opt-out list against the id-only assignment scan, two metadata
+    * counts. Safe to run while the stream is live. */
+  def retractionCompliance(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, optOut: DataFrame,
+                           idCol: String): DataFrame = {
+    val assign = spark.read.parquet(s"$dir/assign")
+    val idType = assign.schema("doc_id").dataType
+    val ids = optOut.where(col(idCol).isNotNull)
+      .select(col(idCol).cast(idType).as("doc_id")).distinct()
+    val conf = spark.sessionState.newHadoopConf()
+    def ledgerCount(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (p.getFileSystem(conf).exists(p))
+        spark.read.parquet(s"$dir/$sub").count()
+      else 0L
+    }
+    val assigned = assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .count()
+    val pending = ledgerCount("retracted")
+    val applied = ledgerCount("retracted_applied")
+    spark.createDataFrame(Seq(
+        ("applied_history", applied, true),
+        ("assigned_optout", assigned, assigned == 0L),
+        ("pending_refresh", pending, pending == 0L)))
+      .toDF("aspect", "n", "ok")
+  }
+
   /** RETROACTIVE DECONTAMINATION — the "a new benchmark just shipped"
     * op: find accepted corpus docs sharing ≥ `minOverlaps` exact word
     * `n`-grams with the benchmark ([[graft.llm.Dedup.contaminated]] —

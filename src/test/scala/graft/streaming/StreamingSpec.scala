@@ -1379,6 +1379,56 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$dir/hashes").count() == 3)
   }
 
+  test("retractionCompliance: violation, pending queue, drained history") {
+    val work = java.nio.file.Files.createTempDirectory("graft_comply")
+      .toFile.getPath
+    val dir = s"$work/led"
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    val seed = Seq(doc(1, 8), doc(2, 6), doc(3, 7), doc(4, 9))
+    IndexIngest.seedCuratedPack(seed.toDF("doc_id", "text"), dir,
+      "doc_id", "text", budget = 12)
+    val toks = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+    Packing.materializeShardsFromAssignment(spark, s"$dir/assign",
+      seed.toDF("doc_id", "text"), "doc_id", toks,
+      s"$work/out", nShards = 2)
+    def report(optOut: Seq[Long]): Map[String, (Long, Boolean)] =
+      IndexIngest.retractionCompliance(spark, dir,
+          optOut.toDF("doc_id"), "doc_id")
+        .as[(String, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // pre-takedown: an opt-out id still assigned is a VIOLATION
+    val pre = report(Seq(2L))
+    assert(pre("assigned_optout") == ((1L, false)) &&
+      pre("pending_refresh") == ((0L, true)) &&
+      pre("applied_history") == ((0L, true)), s"pre: $pre")
+    // retract but do NOT refresh: ledgers clean, shards stale -> pending
+    IndexIngest.retractFromCuratedPack(spark, dir,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    val mid = report(Seq(2L))
+    assert(mid("assigned_optout") == ((0L, true)) &&
+      mid("pending_refresh") == ((1L, false)) &&
+      mid("applied_history") == ((0L, true)), s"mid: $mid")
+    // the failOnViolation kind raises while the queue is pending
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigLoader.loadKinds("retraction_compliance")(Map(
+        "dir" -> dir, "idCol" -> "doc_id",
+        "failOnViolation" -> "true")) match {
+        case graft.sinks.Sinks.Write(_, f) => f(Seq(2L).toDF("doc_id"))
+        case other => fail(s"unexpected step: $other")
+      }
+    }
+    assert(err.getMessage.contains("1 aspect(s) failed"))
+    // drain: refresh the shards -> fully compliant, history = 1 row
+    Packing.refreshRetractedShards(spark, dir,
+      seed.toDF("doc_id", "text"), "doc_id", toks,
+      s"$work/out", nShards = 2)
+    val post = report(Seq(2L))
+    assert(post("assigned_optout") == ((0L, true)) &&
+      post("pending_refresh") == ((0L, true)) &&
+      post("applied_history") == ((1L, true)), s"post: $post")
+  }
+
   test("retract-all empties the shards cleanly and unretract-all restores them") {
     val work = java.nio.file.Files.createTempDirectory("graft_retract_all")
       .toFile.getPath
