@@ -6627,10 +6627,13 @@ object Queries {
   /** TAKEDOWN AS ONE CONFIG — the retraction story holds the repo's
     * "every stage a registry kind, no code" claim: a single YAML
     * declares the takedown job (the landed opt-out list → the
-    * `retract_pack` kind) and the incremental refresh job (the doc
-    * store → the `refresh_shards` kind), and the batch planner runs
-    * both in order. The query pre-builds the shipped corpus (seed +
-    * full materialize), lands the takedown list and store as parquet,
+    * `retract_pack` kind), the incremental refresh job (the doc
+    * store → the `refresh_shards` kind), and the compliance gate
+    * (opt-out list → `retraction_compliance`, failOnViolation — the
+    * run FAILS unless the takedown verifiably landed), and the batch
+    * planner runs all three in order. The query pre-builds the
+    * shipped corpus (seed + full materialize), lands the takedown
+    * list and store as parquet,
     * writes the YAML, and runs it through
     * [[graft.pipeline.ConfigLoader.parseYamlFile]] +
     * [[graft.pipeline.Pipeline.run]]. Same first-principles scrub
@@ -6669,6 +6672,14 @@ object Queries {
            |          textCol: text
            |          dir: $dir/out
            |          nShards: '4'
+           |  - name: comply
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/optout
+           |        prefix: ""
+           |    load:
+           |      - kind: retraction_compliance
+           |        options: {dir: $dir, idCol: doc_id, failOnViolation: 'true'}
            |""".stripMargin
       val cfgPath = s"$dir/takedown.yaml"
       java.nio.file.Files.writeString(
