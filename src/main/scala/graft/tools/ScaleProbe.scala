@@ -134,6 +134,18 @@ object ScaleProbe {
         graft.llm.TextAnalysis.crossEntropyAgainst(corpus,
           docs.where(col("doc_id") % 5 === 0), "doc_id", "text").count()
       }
+      time(s"ce_apply x$k") {
+        // the deployment path: the SAME scoring against a pre-built
+        // price ledger — zero reference aggregations per run, so the
+        // gap to ce_against is the build-once cost the two-phase saves
+        val pricesDir = s"/tmp/graft_probe_ce_prices"
+        if (k == ks.head)
+          graft.llm.TextAnalysis.cePrices(
+              docs.where(col("doc_id") % 5 === 0))
+            .write.mode("overwrite").parquet(pricesDir)
+        graft.llm.TextAnalysis.crossEntropyAgainstPrices(corpus,
+          spark.read.parquet(pricesDir), "doc_id", "text").count()
+      }
       // noop-sink evaluation for the two steep-curve suspects: under
       // count() Catalyst prunes the reassembled text / entropy columns
       // and the probe would time a cheaper plan than production runs

@@ -27,7 +27,11 @@ class PlanShapeSpec extends SparkSpec {
     "s8_users_filter", "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "mix_strata", "events_asof",
     "url_filter_psl", "decontaminate", "chunk_by_tokens",
-    "lang_id", "token_counts")
+    "lang_id", "token_counts", "events_sessionize", "events_funnel",
+    "events_retention", "embed_neardup", "pii_scrub", "c4_clean",
+    "warc_response_scan", "dedup_urls", "mix_sample", "html_extract",
+    "text_stats", "repetition_stats", "nfc_normalize",
+    "doc_fingerprint", "vocab_coverage")
 
   /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
     * into the insert branch (bounded by construction); ann_bruteforce
