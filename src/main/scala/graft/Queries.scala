@@ -2014,6 +2014,36 @@ object Queries {
                   ELSE '80000000' END
       ORDER BY doc_id"""))
 
+  /** Achieved-vs-target mix report ([[Mixing.mixReport]]) — the
+    * datacard row a trainer-mix run ships (DoReMi/Dolma report
+    * achieved token fractions next to targets): sources as domains,
+    * whitespace token counts, three targets staged to exercise every
+    * flag (src0 ≈ its natural ~1/20 share → ok; src1 with an
+    * impossible 0.2 target → flagged; src99 absent from the corpus →
+    * 0 tokens, flagged — the silent-total-drop case this catches). */
+  private val mixReportQ = QueryDef("mix_report",
+    (s, d) => Mixing.mixReport(t(s, d, "documents"), "source",
+        TextAnalysis.wsTokenCount(col("text")),
+        targets = Map("src0" -> 0.05, "src1" -> 0.2, "src99" -> 0.05))
+      .orderBy(col("domain")),
+    Some("""WITH tc AS (SELECT source AS domain,
+        CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END AS n
+        FROM documents),
+      a AS (SELECT domain, CAST(SUM(n) AS BIGINT) AS tokens
+        FROM tc GROUP BY domain),
+      tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS total FROM a),
+      t(domain, target) AS (VALUES ('src0', CAST(0.05 AS DOUBLE)),
+        ('src1', CAST(0.2 AS DOUBLE)), ('src99', CAST(0.05 AS DOUBLE))),
+      j AS (SELECT COALESCE(a.domain, t.domain) AS domain,
+        COALESCE(a.tokens, CAST(0 AS BIGINT)) AS tokens, t.target
+        FROM a FULL OUTER JOIN t ON a.domain = t.domain)
+      SELECT domain, tokens, round(tokens / tot.total, 6) AS share,
+        target,
+        (target IS NULL OR
+         abs(round(tokens / tot.total, 6) - target) <= 0.02) AS ok
+      FROM j, tot ORDER BY domain"""))
+
   private val mixUpsample = QueryDef("mix_upsample",
     (s, d) => Mixing.upsample(
         t(s, d, "documents").where(col("doc_id") < 200), "doc_id", 2.5)
@@ -8458,7 +8488,7 @@ object Queries {
     dedupClusters, piiScrub, piiCards, stripInvisibleQ, clfThresholdSweep,
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixExcessWeights,
-    mixExcessWeightsIter, mixExcessRates, mixExcessApplied, mixTwoPhase,
+    mixExcessWeightsIter, mixExcessRates, mixExcessApplied, mixTwoPhase, mixReportQ,
     mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,

@@ -446,6 +446,42 @@ object Mixing {
     mixStrata(df, domainCol, keyCol, m, defaultRate, salt)
   }
 
+  /** Achieved-vs-target mix report — the sanity check a trainer-mix
+    * run ships with (DoReMi and the Dolma/Pile datacards report the
+    * achieved per-domain token fractions next to the targets): per
+    * domain, achieved tokens and share against the target weight,
+    * flagged `ok = false` when |share − target| > `tol`. Target
+    * domains absent from the corpus surface with 0 tokens (a silent
+    * total drop is exactly what this catches); corpus domains without
+    * a target carry a null target and are unconstrained (`ok`).
+    * Shares are rounded to 6 dp BEFORE the tolerance comparison so the
+    * flag is engine-stable.
+    *
+    * Scale shape: one aggregation on the bounded domain key (map-side
+    * combined), a one-row total broadcast back, a full-outer join
+    * against the (tiny, driver-literal) target table. */
+  def mixReport(df: DataFrame, domainCol: String, tokensCol: Column,
+                targets: Map[String, Double],
+                tol: Double = 0.02): DataFrame = {
+    require(tol >= 0.0, s"mixReport: tol must be >= 0, got $tol")
+    val spark = df.sparkSession
+    val achieved = df
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(tokensCol.cast("long")).as("tokens"))
+    val total = achieved.agg(sum(col("tokens")).cast("double").as("__total"))
+    val t = spark.createDataFrame(targets.toSeq.sortBy(_._1))
+      .toDF("domain", "target")
+    achieved.join(t, Seq("domain"), "full_outer")
+      .na.fill(0L, Seq("tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("domain"), col("tokens"),
+        round(col("tokens") / col("__total"), 6).as("share"),
+        col("target"),
+        (col("target").isNull ||
+          abs(round(col("tokens") / col("__total"), 6) - col("target"))
+            <= lit(tol)).as("ok"))
+  }
+
   /** Turn target mix weights into EXECUTABLE per-domain keep rates for
     * [[mixStrata]] — the step from "domain i should carry
     * weight w_i" ([[excessLossWeights]], or any hand-set target mix)

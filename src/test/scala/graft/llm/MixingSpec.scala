@@ -319,6 +319,28 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(w0("hard") - hardShare) < 1e-4, s"$w0 vs $hardShare")
   }
 
+  test("mixReport: achieved shares vs targets, absent domains both ways") {
+    // total 100 tokens: a 60, b 25, d 15; targets a 0.6 (exact),
+    // b 0.3 (off by 0.05 — ties INSIDE tolerance), c 0.1 (domain
+    // absent from the corpus — the silent-total-drop case), d
+    // unconstrained (null target)
+    val df = Seq(("a", 35L), ("a", 25L), ("b", 25L), ("d", 15L))
+      .toDF("domain", "n")
+    val out = Mixing.mixReport(df, "domain", col("n"),
+        targets = Map("a" -> 0.6, "b" -> 0.3, "c" -> 0.1), tol = 0.05)
+      .orderBy(col("domain"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4)))).toMap
+    assert(out("a") == ((60L, 0.6, Some(0.6), true)))
+    assert(out("b") == ((25L, 0.25, Some(0.3), true))) // |0.25-0.3| == tol
+    assert(out("c") == ((0L, 0.0, Some(0.1), false)))  // silently dropped
+    assert(out("d") == ((15L, 0.15, None, true)))      // unconstrained
+    intercept[IllegalArgumentException](
+      Mixing.mixReport(df, "domain", col("n"), Map("a" -> 0.6), tol = -1))
+  }
+
   test("ratesForTargetWeights: zero-share row fails loudly, not by poisoning") {
     // a hand-set weights row with n_trans = 0 used to produce an
     // Infinite __ratio that silently collapsed every OTHER domain's
