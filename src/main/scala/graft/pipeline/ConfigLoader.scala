@@ -745,6 +745,39 @@ object ConfigLoader {
           .write.mode("overwrite").parquet(req(o, "dir"))
         ()
       })),
+      // achieved-vs-target mix report (the trainer-mix datacard row):
+      // targets as 'domain:weight,domain:weight'; token counts from a
+      // numeric tokensCol or whitespace-counted textCol. The report
+      // lands at reportDir; failOnOff=true raises on any out-of-
+      // tolerance domain — the post-mix gate
+      "mix_report" -> (o => Sinks.Write("mix_report", df => {
+        val fn = org.apache.spark.sql.functions
+        val targets = req(o, "targets").split(",").map { kv =>
+          kv.split(":") match {
+            case Array(k, v) => k.trim -> v.trim.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"mix_report: malformed targets entry '$kv' " +
+                "(want domain:weight,domain:weight)")
+          }
+        }.toMap
+        val toks = o.get("tokensCol") match {
+          case Some(c) => ColumnNs.q(c).cast("long")
+          case None => graft.llm.TextAnalysis.wsTokenCount(
+            ColumnNs.q(req(o, "textCol"))).cast("long")
+        }
+        val report = graft.llm.Mixing.mixReport(df,
+          req(o, "domainCol"), toks, targets,
+          tol = o.getOrElse("tol", "0.02").toDouble)
+        val out = req(o, "reportDir")
+        report.write.mode("overwrite").parquet(out)
+        if (o.getOrElse("failOnOff", "false").toBoolean) {
+          val bad = df.sparkSession.read.parquet(out)
+            .where(!fn.col("ok")).count()
+          require(bad == 0L,
+            s"mix_report: $bad domain(s) outside tolerance")
+        }
+        ()
+      })),
       // build-once CCNet reference LM: persist the (word, nlp) price
       // table (+ the '' sentinel unseen-price row) from the job's
       // frame — the reference corpus. Downstream configs feed it into
@@ -1172,6 +1205,7 @@ object ConfigLoader {
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),
     "ce_prices" -> Seq("dir"),
+    "mix_report" -> Seq("reportDir"),
     "materialize_shards" -> Seq("dir", "assignmentDir"),
     "seed_curated_pack" -> Seq("dir"),
     "retract_pack" -> Seq("dir"),

@@ -258,6 +258,29 @@ class ConfigLoaderSpec extends SparkSpec {
       "textCol" -> "text", "maxCe" -> cut.toString))(cedocs)
     assert(applied.select("doc_id").as[Long].collect().toSet ==
       Set(1L, 2L, 3L, 4L, 5L, 7L)) // ties kept, junk out, no-signal kept
+    // mix_report kind: the datacard row + the failOnOff gate
+    val mrDir = "/tmp/graft_test/cfg_mix_report"
+    val mrDocs = Seq(("a", "x y z"), ("b", "x y")).toDF("domain", "text")
+    def runMixReport(opts: Map[String, String]): Unit =
+      loadKinds("mix_report")(opts) match {
+        case graft.sinks.Sinks.Write(_, f) => f(mrDocs)
+        case other => fail(s"unexpected step: $other")
+      }
+    runMixReport(Map("domainCol" -> "domain", "textCol" -> "text",
+      "reportDir" -> mrDir, "targets" -> "a:0.6,b:0.4",
+      "failOnOff" -> "true")) // shares are exactly 0.6/0.4 -> passes
+    val mrRows = spark.read.parquet(mrDir)
+      .select("domain", "share", "ok").as[(String, Double, Boolean)]
+      .collect().toSet
+    assert(mrRows == Set(("a", 0.6, true), ("b", 0.4, true)))
+    val mrErr = intercept[IllegalArgumentException](runMixReport(Map(
+      "domainCol" -> "domain", "textCol" -> "text",
+      "reportDir" -> mrDir, "targets" -> "a:0.9,b:0.4",
+      "failOnOff" -> "true")))
+    assert(mrErr.getMessage.contains("1 domain(s) outside tolerance"))
+    intercept[IllegalArgumentException](runMixReport(Map(
+      "domainCol" -> "domain", "textCol" -> "text",
+      "reportDir" -> mrDir, "targets" -> "garbage")))
     // compression_filter drops the repetitive tail, keeps prose-like text
     val comp = Seq((1L, "spark " * 300), (2L, "the quick brown fox " +
       "jumped over one lazy dog while twelve boxers drank quarts"))
