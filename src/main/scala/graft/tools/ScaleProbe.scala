@@ -518,6 +518,19 @@ object ScaleProbe {
           graft.llm.Packing.refreshRetractedShards(spark, rdir, corpus,
             "doc_id", rtoks, s"$rdir/out", nShards = 512).count()
         }
+        time(s"audit_shards x$k") {
+          // the pre-training read-only gate: one bounded-state
+          // aggregation over the k×-growing shard files — should track
+          // the two-column data scan, nothing else
+          graft.llm.Packing.auditShards(spark, s"$rdir/out").count()
+        }
+        time(s"compliance x$k") {
+          // the legal gate: broadcast semi-join on the id-only
+          // assignment scan + two metadata counts — near-flat in k
+          graft.streaming.IndexIngest.retractionCompliance(spark, rdir,
+            corpus.orderBy(col("doc_id")).limit(5).select(col("doc_id")),
+            "doc_id").count()
+        }
       }
     }
     spark.stop()
