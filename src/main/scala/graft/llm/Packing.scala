@@ -815,7 +815,29 @@ object Packing {
         col("checksum").as("manifest_checksum"),
         col("min_rank").as("manifest_min_rank"),
         col("max_rank").as("manifest_max_rank"))
-    val found = spark.read.parquet(s"$dir/data")
+    // a data dir with no files at all (every shard partition lost) is
+    // still a REPORT, not a read failure — parquet schema inference
+    // would otherwise throw before the diff could say "missing"
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasFiles = fs.exists(dataPath) &&
+      fs.listStatus(dataPath).exists(st =>
+        st.isDirectory || st.getPath.getName.endsWith(".parquet"))
+    val foundSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("data_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("data_checksum",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("data_min_rank",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("data_max_rank",
+        org.apache.spark.sql.types.StringType)))
+    val found = if (!hasFiles)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], foundSchema)
+    else spark.read.parquet(s"$dir/data")
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("data_rows"),
         sum(rankDigest(col("rank"))).as("data_checksum"),

@@ -247,6 +247,14 @@ class PackingSpec extends SparkSpec {
       }
     }
     assert(err.getMessage.contains("3 shard(s) failed"))
+    // catastrophic: EVERY data partition lost -> still a report (all
+    // manifest rows missing), not a parquet schema-inference failure
+    val conf = spark.sessionState.newHadoopConf()
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val hfs = dataPath.getFileSystem(conf)
+    hfs.delete(dataPath, true)
+    hfs.mkdirs(dataPath)
+    assert(statuses().values.toSet == Set("missing"))
   }
 
   test("readShard: partition-pruned to one shard directory") {

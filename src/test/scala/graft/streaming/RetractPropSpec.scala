@@ -73,4 +73,38 @@ class RetractPropSpec extends SparkSpec {
     }
     check(prop, 8)
   }
+
+  /** The full takedown loop holds on ANY corpus and ANY takedown set
+    * (including empty and everything): after retract → incremental
+    * refresh, the shard-integrity audit reports every shard ok and the
+    * compliance report is clean — the two read-only gates certify the
+    * exact state the arithmetic invariants above prove. */
+  test("property: retract -> refresh leaves audit and compliance clean") {
+    import org.apache.spark.sql.functions.{col, filter, split, trim}
+    val toks = filter(split(trim(col("text")), "\\s+"),
+      w => w =!= "")
+    val prop = Prop.forAll(caseGen) { case (docs, retractSet) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_rprop2").toFile.getPath
+      val df = docs.map { case (id, n) =>
+        (id, Seq.fill(n.toInt)(s"w$id").mkString(" ")) }
+        .toDF("doc_id", "text")
+      IndexIngest.seedCuratedPack(df, s"$work/led", "doc_id", "text",
+        budget = 7)
+      graft.llm.Packing.materializeShardsFromAssignment(spark,
+        s"$work/led/assign", df, "doc_id", toks, s"$work/out",
+        nShards = 3)
+      IndexIngest.retractFromCuratedPack(spark, s"$work/led",
+        retractSet.toSeq.toDF("doc_id"), "doc_id")
+      graft.llm.Packing.refreshRetractedShards(spark, s"$work/led", df,
+        "doc_id", toks, s"$work/out", nShards = 3)
+      val audit = graft.llm.Packing.auditShards(spark, s"$work/out")
+        .select("status").as[String].collect()
+      val comply = IndexIngest.retractionCompliance(spark, s"$work/led",
+          retractSet.toSeq.toDF("doc_id"), "doc_id")
+        .select("aspect", "ok").as[(String, Boolean)].collect().toMap
+      audit.forall(_ == "ok") && comply.values.forall(identity)
+    }
+    check(prop, 6)
+  }
 }
