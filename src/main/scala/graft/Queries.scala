@@ -7441,6 +7441,32 @@ object Queries {
       WHERE vec_id NOT IN (SELECT DISTINCT b FROM sc WHERE cosine >= 0.9)
       ORDER BY vec_id"""))
 
+  /** D4-style diversity pruning ([[Similarity.diversityPrune]],
+    * Tirumala et al. 2023): drop the most prototypical vectors, keep
+    * the diverse 0.8 per cluster. nClusters = 1 pins the fully
+    * replayable path (centroid = the corpus mean — DuckDB recomputes
+    * it per dimension, scores every vector's cosine against it, and
+    * takes the same rounded quantile threshold); the seeded clustered
+    * path is spec-bound in SimilaritySpec (separated blobs, centroid
+    * points dropped, repartition-invariance). */
+  private val diversityPruneQ = QueryDef("diversity_prune",
+    (s, d) => Similarity.diversityPrune(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        keepFraction = 0.8, nClusters = 1)
+      .select(col("vec_id")).orderBy(col("vec_id")),
+    Some(s"""WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings),
+      x AS (SELECT unnest(range(1, len(v) + 1)) AS i, unnest(v) AS xv
+            FROM u),
+      m AS (SELECT list(mv ORDER BY i) AS c FROM
+            (SELECT i, avg(xv) AS mv FROM x GROUP BY i)),
+      sc AS (SELECT u.vec_id,
+            round(${sqlDot("v", "c")} / (${sqlNorm("v")} * ${sqlNorm("c")}), 6)
+              AS cos
+            FROM u, m),
+      th AS (SELECT round(quantile_cont(cos, 0.8), 6) AS thr FROM sc)
+      SELECT vec_id FROM sc, th WHERE cos <= thr ORDER BY vec_id"""))
+
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -8524,7 +8550,7 @@ object Queries {
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend, annRetractIndex, annRecallAudit, annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
-    embedNearDup, semdedupPairsQ, semdedupQ,
+    embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames,

@@ -732,6 +732,63 @@ object Similarity {
     out
   }
 
+  /** D4-style diversity pruning (Tirumala et al. 2023,
+    * arXiv:2308.12284 — the published step AFTER SemDeDup): drop the
+    * most PROTOTYPICAL vectors — those with the highest cosine to
+    * their cluster centroid — keeping the diverse `keepFraction` per
+    * cluster (ties at the rounded threshold kept; the paper's "keep
+    * examples far from the centroid" diversification). `nClusters = 1`
+    * scores against the corpus MEAN — fully engine-replayable, the
+    * twin the oracle pins; the clustered path shares [[semDedup]]'s
+    * seeded quantizer. Returns the surviving input rows.
+    *
+    * Scale shape: the quantizer assignment (map-only two-level above
+    * 64 clusters), one centroid-keyed cosine projection against the
+    * broadcast centroid table, ONE exact-percentile aggregation on the
+    * bounded cluster key (percentile_approx at corpus scale, same
+    * plan), thresholds broadcast back, and an id semi-join — no
+    * pairwise work anywhere (this prunes density, not duplicates). */
+  def diversityPrune(df: DataFrame, keepFraction: Double,
+                     nClusters: Int = 16, seed: Long = 42L,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     fitFraction: Double = 1.0): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"diversityPrune: keepFraction must be in (0,1], got $keepFraction")
+    require(nClusters >= 1,
+      s"diversityPrune: nClusters must be >= 1, got $nClusters")
+    registered(df)
+    val (assigned, centroids) =
+      if (nClusters == 1) {
+        val a = df.select(col(idCol).as("neighbor_id"),
+          asDouble(col(vecCol)).as("__cv"))
+          .withColumn("cluster", lit(0))
+        val ctr = a
+          .select(posexplode(col("__cv")).as(Seq("__i", "__x")))
+          .groupBy(col("__i")).agg(avg(col("__x")).as("__m"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__i"), col("__m")))),
+            s => s.getField("__m")).as("__ctr"))
+          .select(lit(0).as("cluster"), col("__ctr"))
+        (a, ctr)
+      } else {
+        val q = kmeansAssign(df, nClusters, seed, idCol, vecCol,
+          fitFraction)
+        (q.assigned, q.centroidsDf)
+      }
+    val scored = assigned
+      .join(broadcast(centroids), Seq("cluster"))
+      .select(col("cluster"), col("neighbor_id"),
+        round(nCosine(col("__cv"), asDouble(col("__ctr"))), 6).as("__cos"))
+      .localCheckpoint(true) // percentile + filter both read it
+    val thresholds = scored.groupBy(col("cluster"))
+      .agg(round(percentile(col("__cos"), lit(keepFraction)), 6)
+        .as("__thr"))
+    val keep = scored.join(broadcast(thresholds), Seq("cluster"))
+      .where(col("__cos") <= col("__thr"))
+      .select(col("neighbor_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** SemDeDup keep-set: drop every vector with a LOWER-id semantic
     * twin in its cluster (keep-first, the repo's exact-dedup
     * convention — deterministic where the paper's "keep the example

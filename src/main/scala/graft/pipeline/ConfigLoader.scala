@@ -660,6 +660,16 @@ object ConfigLoader {
           vecCol = o.getOrElse("vecCol", "embedding"),
           maxCluster = o.getOrElse("maxCluster", "10000").toInt,
           fitFraction = o.getOrElse("fitFraction", "1.0").toDouble)),
+      // D4 diversity pruning (the published step AFTER semdedup): drop
+      // the most prototypical keepFraction complement per cluster —
+      // highest cosine to the cluster centroid — keeping diverse data
+      "diversity_prune" -> (o => df =>
+        graft.llm.Similarity.diversityPrune(df,
+          keepFraction = o.getOrElse("keepFraction", "0.8").toDouble,
+          nClusters = o.getOrElse("nClusters", "16").toInt,
+          idCol = o.getOrElse("idCol", "vec_id"),
+          vecCol = o.getOrElse("vecCol", "embedding"),
+          fitFraction = o.getOrElse("fitFraction", "1.0").toDouble)),
       // SemDeDup with quality-aware survivor selection: each semantic-
       // twin cluster keeps its max-`scoreCol` member (ties to lowest
       // id) instead of keep-first — the "keep the best duplicate"

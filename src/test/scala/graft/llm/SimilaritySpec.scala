@@ -297,6 +297,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == queries.count())
   }
 
+  test("diversityPrune: prototypical point dropped, diverse kept; exact 1-cluster case") {
+    // mean of {(1,0),(0,1),(0.7,0.7)} points along (1,1): c rides the
+    // mean direction (cos 1.0), a and b sit at cos ~0.707; the 2/3
+    // quantile threshold lands between them -> c (most prototypical)
+    // is the one dropped
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.7, 0.7))).toDF("vec_id", "embedding")
+    val kept = Similarity.diversityPrune(df, keepFraction = 2.0 / 3,
+      nClusters = 1).select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    // keepFraction = 1 is the identity
+    assert(Similarity.diversityPrune(df, 1.0, nClusters = 1)
+      .count() == 3L)
+    // clustered path: two orthogonal blobs, each loses its most
+    // prototypical third; result deterministic and repartition-proof
+    val blobs = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)), (11L, Seq(0.9, 0.1, 0.0)),
+      (12L, Seq(0.95, 0.05, 0.0)),
+      (20L, Seq(0.0, 1.0, 0.0)), (21L, Seq(0.0, 0.9, 0.1)),
+      (22L, Seq(0.0, 0.95, 0.05))).toDF("vec_id", "embedding")
+    val k1 = Similarity.diversityPrune(blobs, 2.0 / 3, nClusters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(k1.size == 4 && k1.count(_ < 20L) == 2,
+      s"each blob keeps its diverse 2/3: $k1")
+    val k2 = Similarity.diversityPrune(blobs.repartition(5), 2.0 / 3,
+      nClusters = 2).select("vec_id").as[Long].collect().toSet
+    assert(k1 == k2, "diversityPrune must be repartition-invariant")
+    intercept[IllegalArgumentException](
+      Similarity.diversityPrune(df, 0.0, nClusters = 1))
+  }
+
   test("semDedupPairs finds planted near-dups within clusters; semDedup keeps first") {
     val rnd = new scala.util.Random(13)
     val centers = Seq.fill(4)(Array.fill(32)(rnd.nextGaussian()))
