@@ -454,6 +454,16 @@ object ScaleProbe {
         embK.unpersist()
         n
       }
+      time(s"diversity_prune x$k") {
+        // D4 pruning on the k×-growing embedding table: quantizer
+        // assignment + one broadcast-centroid cosine projection + one
+        // bounded-key percentile — must track the scan, no pair work
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val n = graft.llm.Similarity.diversityPrune(embK, 0.8,
+          nClusters = 16).count()
+        embK.unpersist()
+        n
+      }
       time(s"recall_audit_truth x$k") {
         // the audit's ground-truth pass: brute-force top-k of a FIXED
         // query set against the k×-growing corpus — one broadcast
