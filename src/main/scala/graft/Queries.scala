@@ -7467,6 +7467,42 @@ object Queries {
       th AS (SELECT round(quantile_cont(cos, 0.8), 6) AS thr FROM sc)
       SELECT vec_id FROM sc, th WHERE cos <= thr ORDER BY vec_id"""))
 
+  /** The published D4 recipe COMPOSED (Tirumala et al. 2023 run
+    * SemDeDup then diversity-prune the survivors): planted near-twins
+    * die in the dedup step, the most prototypical 20% of the
+    * SURVIVORS die in the prune step. The replay chains the two
+    * verified oracles — all-pairs ≥0.9 cosine drop set, then the
+    * mean-centroid quantile prune recomputed over exactly the
+    * dedup survivors — so the composition is bound end to end, not
+    * just its pieces. */
+  private val d4Curation = QueryDef("d4_curation",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val withPlanted = emb.unionByName(perturbedEmbeddings(emb, 5))
+      val deduped = Similarity.semDedup(withPlanted, threshold = 0.9,
+        nClusters = 8)
+      Similarity.diversityPrune(deduped, keepFraction = 0.8, nClusters = 1)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
+    Some(s"""WITH u AS (${sqlPerturbedUnion(5)}),
+      pa AS (SELECT vec_id AS a, v AS va FROM u),
+      pb AS (SELECT vec_id AS b, v AS vb FROM u),
+      dup AS (SELECT DISTINCT pb.b FROM pa JOIN pb ON pa.a < pb.b
+            WHERE ${sqlDot("va", "vb")} / (${sqlNorm("va")} * ${sqlNorm("vb")})
+              >= 0.9),
+      surv AS (SELECT vec_id, v FROM u
+            WHERE vec_id NOT IN (SELECT b FROM dup)),
+      x AS (SELECT unnest(range(1, len(v) + 1)) AS i, unnest(v) AS xv
+            FROM surv),
+      m AS (SELECT list(mv ORDER BY i) AS c FROM
+            (SELECT i, avg(xv) AS mv FROM x GROUP BY i)),
+      sc AS (SELECT surv.vec_id,
+            round(${sqlDot("v", "c")} / (${sqlNorm("v")} * ${sqlNorm("c")}), 6)
+              AS cos
+            FROM surv, m),
+      th AS (SELECT round(quantile_cont(cos, 0.8), 6) AS thr FROM sc)
+      SELECT vec_id FROM sc, th WHERE cos <= thr ORDER BY vec_id"""))
+
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -8550,7 +8586,7 @@ object Queries {
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend, annRetractIndex, annRecallAudit, annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
-    embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ,
+    embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames,
