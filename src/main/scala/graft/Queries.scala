@@ -7467,6 +7467,58 @@ object Queries {
       th AS (SELECT round(quantile_cont(cos, 0.8), 6) AS thr FROM sc)
       SELECT vec_id FROM sc, th WHERE cos <= thr ORDER BY vec_id"""))
 
+  /** SEMANTIC DEDUP AT INGEST
+    * ([[graft.streaming.IndexIngest.appendIvfIndexStream]] with
+    * `semanticDedupThreshold`): vectors stream into a persisted IVF
+    * index and a fresh vector is REFUSED when a ≥ 0.98 cosine twin is
+    * already indexed. The batch carries 6 planted ε-twins — those of
+    * the indexed slice (vec_id % 3 = 0) must drop, the rest land with
+    * the organic slice (measured organic cross-slice cosine ceiling
+    * ≈ 0.48, so membership is fully determined and the probe finds
+    * every twin in its own cluster). The oracle recomputes the exact
+    * drop rule — max cosine of each candidate against the indexed
+    * base — and states the final index membership. */
+  private val annIngestSemdedup = QueryDef("ann_ingest_semdedup",
+    (s, d) => {
+      val dir = tmpDir(d, "ann_ingest_semdedup")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") % 3 === 0)
+      Similarity.buildIvfIndex(base, dir)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val batch = perturbedEmbeddings(emb, 6)
+        .unionByName(emb.where(col("vec_id") % 3 === 1))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.IndexIngest.appendIvfIndexStream(
+        mem.toDF().toDF("vec_id", "embedding"), dir,
+        semanticDedupThreshold = Some(0.98))
+      try {
+        mem.addData(batch: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/assignments")
+        .select(col("neighbor_id").as("vec_id")).orderBy(col("vec_id"))
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 3 = 0),
+      cand AS (SELECT vec_id + 100000 AS vec_id,
+            list_concat([embedding[1] + CAST(0.001 AS FLOAT)],
+              embedding[2:])::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 6
+          UNION ALL
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 3 = 1),
+      mx AS (SELECT c.vec_id,
+            max(${sqlDot("c.v", "b.v")}
+              / (${sqlNorm("c.v")} * ${sqlNorm("b.v")})) AS mc
+            FROM cand c CROSS JOIN base b GROUP BY c.vec_id)
+      SELECT vec_id FROM base
+      UNION ALL SELECT vec_id FROM mx WHERE mc < 0.98
+      ORDER BY vec_id"""))
+
   /** The published D4 recipe COMPOSED (Tirumala et al. 2023 run
     * SemDeDup then diversity-prune the survivors): planted near-twins
     * die in the dedup step, the most prototypical 20% of the
@@ -8587,6 +8639,7 @@ object Queries {
     annIvfAppend, annRetractIndex, annRecallAudit, annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
+    annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames,

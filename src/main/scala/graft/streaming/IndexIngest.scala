@@ -58,15 +58,43 @@ object IndexIngest {
     * (`dir/centroids` + cluster-partitioned `dir/assignments`, built
     * by `buildIvfIndex`). Assignment replays the build's own rule
     * against the FROZEN centroids; the partitioned append only adds
-    * files. Same ledger idempotence as the PQ twin. */
+    * files. Same ledger idempotence as the PQ twin.
+    *
+    * `semanticDedupThreshold` turns on dedup-before-indexing (the
+    * vector-store ingest hygiene published pipelines run): each fresh
+    * vector probes the index for its nearest neighbor and is DROPPED
+    * when a ≥ threshold cosine twin is already indexed — a different
+    * id carrying semantically-identical content (re-crawled page,
+    * re-encoded asset) never lands. The probe is the index's own
+    * partition-pruned search over the fresh rows only, so per-batch
+    * cost tracks the batch, not the index. In-batch twins (neither
+    * indexed yet) both land — run the `semdedup` transform kind on the
+    * batch upstream when that matters; across batches the second twin
+    * drops against the first. */
   def appendIvfIndexStream(vecs: DataFrame, dir: String,
                            cIdCol: String = "vec_id",
-                           vecCol: String = "embedding"): StreamingQuery = {
+                           vecCol: String = "embedding",
+                           semanticDedupThreshold: Option[Double] = None,
+                           nProbe: Int = 2): StreamingQuery = {
     require(vecs.isStreaming, "appendIvfIndexStream: expected a streaming frame")
+    semanticDedupThreshold.foreach(t => require(t > 0.0 && t <= 1.0,
+      s"appendIvfIndexStream: semanticDedupThreshold must be in (0,1], got $t"))
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       appendBatch(batch, s"$dir/assignments", "neighbor_id",
-        fresh => Similarity.appendIvfIndex(batch.sparkSession, fresh, dir,
-          cIdCol, vecCol), batchIdCol = cIdCol)
+        fresh => {
+          val kept = semanticDedupThreshold match {
+            case None => fresh
+            case Some(t) =>
+              val twins = Similarity.ivfQueryIndex(batch.sparkSession, dir,
+                  fresh, k = 1, nProbe, qIdCol = cIdCol, vecCol = vecCol)
+                .where(col("cosine") >= t)
+                .select(col("query_id").as("__graft_twin"))
+              fresh.join(twins, col(cIdCol) === col("__graft_twin"),
+                "left_anti")
+          }
+          Similarity.appendIvfIndex(batch.sparkSession, kept, dir,
+            cIdCol, vecCol)
+        }, batchIdCol = cIdCol)
     }.start()
   }
 

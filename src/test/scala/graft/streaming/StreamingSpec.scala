@@ -457,6 +457,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) == streamed.map(_._1).distinct)
   }
 
+  test("streaming IVF append with semantic dedup: indexed twins refused, novel lands") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sd")
+      .toFile.getPath
+    Similarity.buildIvfIndex(base, dir)
+    // ε-twin of an INDEXED vector (new id, cosine ~1) + a genuinely
+    // novel vector (vec_id % 3 === 1 — not near-identical to anything
+    // in the base set)
+    def twinOf(id: Long, newId: Long): (Long, Seq[Float]) = {
+      val v = base.where(col("vec_id") === id)
+        .as[(Long, Seq[Float])].head()._2
+      newId -> ((v.head + 0.001f) +: v.tail)
+    }
+    val novel = emb.where(col("vec_id") % 3 === 1).limit(1)
+      .as[(Long, Seq[Float])].head()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.appendIvfIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir,
+      semanticDedupThreshold = Some(0.98))
+    try {
+      mem.addData(twinOf(0L, 7001L), novel)
+      q.processAllAvailable()
+      // second epoch: an ε-twin of the just-landed NOVEL vector must
+      // now drop too (the index grew), and an exact-id replay drops
+      // via the ledger as before
+      mem.addData((7002L, (novel._2.head + 0.001f) +: novel._2.tail),
+        novel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/assignments")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ids.contains(7001L), "twin of an indexed vector must be refused")
+    assert(!ids.contains(7002L), "twin of a streamed-in vector must be refused")
+    assert(ids.contains(novel._1), "the novel vector must land")
+    // with the option OFF the same twin is admitted (opt-in semantics)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = IndexIngest.appendIvfIndexStream(
+      mem2.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      mem2.addData(twinOf(0L, 7003L)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/assignments")
+      .where(col("neighbor_id") === 7003L).count() == 1L)
+  }
+
   test("streaming IVF-PQ index append ≡ batch append on the same batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
