@@ -1017,9 +1017,11 @@ object ConfigLoader {
     * shard materialization and ledger compaction compose with). */
   final case class StreamSpec(name: String, source: StepConfig,
                               curate: Seq[StepConfig], pack: Options,
-                              availableNow: Boolean)
+                              availableNow: Boolean,
+                              index: Options = Map.empty)
 
-  private val knownStreamKeys = Set("source", "curate", "pack", "availableNow")
+  private val knownStreamKeys =
+    Set("source", "curate", "pack", "index", "availableNow")
 
   /** Parse the `stream:` jobs of a config file (batch `parseYamlFile`
     * / `parse` skip them; the two surfaces share one file). Unknown
@@ -1066,26 +1068,33 @@ object ConfigLoader {
     val curate = st.get("curate").map(_.asInstanceOf[Vector[Any]]
       .map(x => normalizeStep(x.asInstanceOf[Tree], "stream.curate")).toSeq)
       .getOrElse(Nil)
-    val pack: Options = st.getOrElse("pack",
-        throw new Pipeline.ValidationException(
-          "config: stream job missing 'pack'")) match {
-      case t: Map[_, _] => t.asInstanceOf[Tree].map { case (k, v) =>
+    def optMap(key: String): Options = st.get(key) match {
+      case None => Map.empty
+      case Some(t: Map[_, _]) => t.asInstanceOf[Tree].map { case (k, v) =>
         k -> String.valueOf(v) }
-      case other => throw new Pipeline.ValidationException(
-        s"config: stream 'pack' must be a map, got $other")
+      case Some(other) => throw new Pipeline.ValidationException(
+        s"config: stream '$key' must be a map, got $other")
     }
+    val pack = optMap("pack")
+    val index = optMap("index")
+    if (pack.isEmpty == index.isEmpty)
+      throw new Pipeline.ValidationException(
+        "config: stream job needs exactly one of 'pack' or 'index'")
     StreamSpec(
       name = String.valueOf(m.getOrElse("name",
         throw new Pipeline.ValidationException("config: job missing 'name'"))),
       source = source, curate = curate, pack = pack,
       availableNow = st.get("availableNow").exists(v =>
-        String.valueOf(v).toBoolean))
+        String.valueOf(v).toBoolean),
+      index = index)
   }
 
   /** Start a `stream:` job: resolve the source and curation kinds,
-    * hand them to the ledger-deduped pack append. The returned query
-    * runs until stopped. Seed the pack dir first (the
-    * `seed_curated_pack` load kind). */
+    * hand them to the ledger-deduped sink — the curated-pack append
+    * (`pack:`) or a persisted ANN index append (`index:`, kinds
+    * ivf/ivfpq/pq). The returned query runs until stopped. Seed the
+    * sink first (`seed_curated_pack` load kind, or the index build
+    * kinds/APIs). */
   def runStream(spark: SparkSession, spec: StreamSpec):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val src = streamSourceKinds.getOrElse(spec.source.kind,
@@ -1100,6 +1109,31 @@ object ConfigLoader {
             s"config: unknown transform kind '${step.kind}' in stream.curate"))(
           step.options)(f)
       }
+    if (spec.index.nonEmpty) {
+      // continuous VECTOR-STORE ingest: curation stages still run per
+      // micro-batch inside foreachBatch; the sink is a persisted ANN
+      // index (build it first — buildIvfIndex/buildPqIndex/
+      // buildIvfPqIndex, the "ledger present before the stream starts"
+      // convention). semanticDedupThreshold (ivf only) refuses
+      // already-indexed semantic twins.
+      val ix = spec.index
+      val dir = req(ix, "dir")
+      val idc = ix.getOrElse("idCol", "vec_id")
+      val vc = ix.getOrElse("vecCol", "embedding")
+      return ix.getOrElse("kind", "ivf") match {
+        case "ivf" => graft.streaming.IndexIngest.appendIvfIndexStream(
+          src, dir, idc, vc,
+          semanticDedupThreshold =
+            ix.get("semanticDedupThreshold").map(_.toDouble),
+          nProbe = ix.getOrElse("nProbe", "2").toInt, curate = curate)
+        case "pq" => graft.streaming.IndexIngest.appendPqIndexStream(
+          src, dir, idc, vc, curate = curate)
+        case "ivfpq" => graft.streaming.IndexIngest.appendIvfPqIndexStream(
+          src, dir, idc, vc, curate = curate)
+        case other => throw new Pipeline.ValidationException(
+          s"config: unknown stream index kind '$other' (known: ivf, ivfpq, pq)")
+      }
+    }
     val p = spec.pack
     graft.streaming.IndexIngest.appendCuratedPackStream(src,
       req(p, "dir"), req(p, "idCol"), req(p, "textCol"),

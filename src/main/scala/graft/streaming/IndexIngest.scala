@@ -45,10 +45,12 @@ object IndexIngest {
     * dropped. Returns the started query; callers own its lifecycle. */
   def appendPqIndexStream(vecs: DataFrame, dir: String,
                           cIdCol: String = "vec_id",
-                          vecCol: String = "embedding"): StreamingQuery = {
+                          vecCol: String = "embedding",
+                          curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
     require(vecs.isStreaming, "appendPqIndexStream: expected a streaming frame")
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      appendBatch(batch, s"$dir/codes", "vec_id",
+      appendBatch(curate(batch.toDF()), s"$dir/codes", "vec_id",
         fresh => Similarity.appendPqIndex(batch.sparkSession, fresh, dir,
           cIdCol, vecCol), batchIdCol = cIdCol)
     }.start()
@@ -75,12 +77,14 @@ object IndexIngest {
                            cIdCol: String = "vec_id",
                            vecCol: String = "embedding",
                            semanticDedupThreshold: Option[Double] = None,
-                           nProbe: Int = 2): StreamingQuery = {
+                           nProbe: Int = 2,
+                           curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
     require(vecs.isStreaming, "appendIvfIndexStream: expected a streaming frame")
     semanticDedupThreshold.foreach(t => require(t > 0.0 && t <= 1.0,
       s"appendIvfIndexStream: semanticDedupThreshold must be in (0,1], got $t"))
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      appendBatch(batch, s"$dir/assignments", "neighbor_id",
+      appendBatch(curate(batch.toDF()), s"$dir/assignments", "neighbor_id",
         fresh => {
           val kept = semanticDedupThreshold match {
             case None => fresh
@@ -105,11 +109,13 @@ object IndexIngest {
     * micro-batch; same codes-ledger idempotence as the PQ twin. */
   def appendIvfPqIndexStream(vecs: DataFrame, dir: String,
                              cIdCol: String = "vec_id",
-                             vecCol: String = "embedding"): StreamingQuery = {
+                             vecCol: String = "embedding",
+                             curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
     require(vecs.isStreaming,
       "appendIvfPqIndexStream: expected a streaming frame")
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      appendBatch(batch, s"$dir/codes", "vec_id",
+      appendBatch(curate(batch.toDF()), s"$dir/codes", "vec_id",
         fresh => Similarity.appendIvfPqIndex(batch.sparkSession, fresh, dir,
           cIdCol, vecCol), batchIdCol = cIdCol)
     }.start()

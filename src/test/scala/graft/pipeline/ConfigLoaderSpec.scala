@@ -1123,6 +1123,68 @@ class ConfigLoaderSpec extends SparkSpec {
     intercept[Pipeline.ValidationException](ConfigLoader.runStream(spark, badKind))
   }
 
+  test("stream job with index sink: one-config continuous vector-store ingest") {
+    val work = Files.createTempDirectory("graft_streamix").toFile.getPath
+    // base index: 3 well-separated unit-ish vectors
+    val base = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    graft.llm.Similarity.buildIvfIndex(base, s"$work/ix", nCentroids = 2)
+    // landing dir: an ε-twin of indexed vec 0 (new id) + a novel
+    // diagonal vector + a null-id row the curate stage must drop
+    new java.io.File(s"$work/in").mkdirs()
+    Seq((Some(100L), Seq(0.999f, 0.001f, 0.0f)),
+      (Some(7L), Seq(0.6f, 0.6f, 0.5f)),
+      (Option.empty[Long], Seq(0.1f, 0.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/in")
+    val p = new java.io.File(work, "ix.yaml")
+    Files.write(p.toPath,
+      s"""jobs:
+         |  - name: vecs
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        path: $work/in
+         |      curate:
+         |        - kind: where
+         |          options: {column: vec_id, matches: '.'}
+         |      index:
+         |        dir: $work/ix
+         |        kind: ivf
+         |        semanticDedupThreshold: '0.98'
+         |      availableNow: true
+         |""".stripMargin.getBytes("UTF-8"))
+    val spec = ConfigLoader.parseStreamsYamlFile(p.getPath).head
+    assert(spec.index("kind") == "ivf" && spec.pack.isEmpty)
+    ConfigLoader.runStreamOnce(spark, spec)
+    val ids = spark.read.parquet(s"$work/ix/assignments")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 7L),
+      s"twin refused, novel landed, base intact: $ids")
+    // drain is idempotent by the ledger: a second run adds nothing
+    ConfigLoader.runStreamOnce(spark, spec)
+    assert(spark.read.parquet(s"$work/ix/assignments").count() == 4L)
+    // exactly one of pack/index, and unknown index kinds fail loudly
+    def streamYaml(body: String): String = {
+      val f = new java.io.File(work, "bad.yaml")
+      Files.write(f.toPath,
+        s"""jobs:
+           |  - name: bad
+           |    stream:
+           |$body
+           |""".stripMargin.getBytes("UTF-8"))
+      f.getPath
+    }
+    intercept[Pipeline.ValidationException](ConfigLoader.parseStreamsYamlFile(
+      streamYaml("      source: {kind: parquet_stream, path: /x}\n" +
+        "      pack: {dir: /y}\n      index: {dir: /z}")))
+    val badKind = ConfigLoader.parseStreamsYamlFile(streamYaml(
+      "      source: {kind: parquet_stream, path: " + s"$work/in}\n" +
+        "      index: {dir: /z, kind: hnsw}")).head
+    intercept[Pipeline.ValidationException](
+      ConfigLoader.runStream(spark, badKind))
+  }
+
   test("config-driven WARC stream: crawl landing dir -> extract -> gate -> ledger pack, one config") {
     graft.plans.GraftExtensions.register(spark)
     val work = Files.createTempDirectory("graft_warccfg").toFile.getPath
