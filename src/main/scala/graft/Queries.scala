@@ -1250,6 +1250,43 @@ object Queries {
           min(doc_id) OVER (PARTITION BY trim(regexp_replace(lower(text),'\s+',' ','g'))) AS keep
         FROM documents) WHERE doc_id = keep ORDER BY doc_id"""))
 
+  /** SOFT dedup annotation ([[Dedup.softDedupWeights]] — the
+    * DCLM-style downweight-instead-of-drop alternative): every doc
+    * keeps its exact-content group size and the flattening draw rate
+    * `1/dup_count`. The oracle recomputes both from the shared
+    * normalized-text convention; organic duplicates in the corpus make
+    * the non-trivial groups real, not planted. */
+  private val dedupSoftWeights = QueryDef("dedup_soft_weights",
+    (s, d) => Dedup.softDedupWeights(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("dup_count"), col("weight"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        count(*) OVER (PARTITION BY trim(regexp_replace(lower(text),'\s+',' ','g'))) AS dup_count,
+        round(CAST(1.0 AS DOUBLE) / count(*) OVER
+          (PARTITION BY trim(regexp_replace(lower(text),'\s+',' ','g'))), 12) AS weight
+      FROM documents ORDER BY doc_id"""))
+
+  /** The sampled form ([[Dedup.softDedupSample]] →
+    * [[graft.llm.Mixing.weightedSample]]): survivor membership is each
+    * row's own md5 draw against its 1/dup_count rate — uniques always
+    * survive, each dup group contributes ~one expected copy with no
+    * positional bias. The oracle replays the draw bit-for-bit (md5
+    * bucket value < rate·2³²), so survivor membership binds the
+    * per-row-rate sampler cross-engine. */
+  private val dedupSoftSample = QueryDef("dedup_soft_sample",
+    (s, d) => Dedup.softDedupSample(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("dup_count"), col("weight"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH sw AS (SELECT doc_id,
+        count(*) OVER (PARTITION BY trim(regexp_replace(lower(text),'\\s+',' ','g'))) AS dup_count
+        FROM documents)
+      SELECT doc_id, dup_count,
+        round(CAST(1.0 AS DOUBLE) / dup_count, 12) AS weight
+      FROM sw
+      WHERE ${sqlHexVal("md5('graft' || CAST(doc_id AS VARCHAR))", 8)}
+        < round(CAST(1.0 AS DOUBLE) / dup_count, 12) * 4294967296.0
+      ORDER BY doc_id"""))
+
   private val dedupMinhash = QueryDef("dedup_minhash",
     (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)
@@ -8591,7 +8628,8 @@ object Queries {
     f23Native, f24Pattern,
     s1Csv, s2Json, s3Xml, s3XmlDist, s10Ledger, orcRoundtrip,
     partitionedScan, zorderQ,
-    dedupExact, dedupExactKeep, dedupMinhash, dedupMinhashPlanted,
+    dedupExact, dedupExactKeep, dedupSoftWeights, dedupSoftSample,
+    dedupMinhash, dedupMinhashPlanted,
     dedupMinhashIncr, dedupExactIncr, dedupSimhash, dedupSimhashPlanted,
     dedupNgram, dedupClustersBest, sourceSimPlanted, sourceJaccardExact,
     sketchMergePlanted,

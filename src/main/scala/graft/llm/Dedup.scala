@@ -73,6 +73,43 @@ object Dedup {
       .drop("__h", "__keep")
   }
 
+  /** SOFT dedup — the DCLM-observed alternative to dropping
+    * duplicates (Li et al. 2024, DataComp-LM: removing all duplicates
+    * outright is not always optimal; downweighting duplicated content
+    * at sampling time preserves its signal at flattened frequency):
+    * every row SURVIVES, annotated with its exact-content group size
+    * (`dup_count`) and the flattening draw rate `weight = 1/dup_count`
+    * (12-dp rounded — the cross-engine weight convention). Feeding
+    * `weight` to [[Mixing.weightedSample]] makes each content group
+    * contribute ~one expected copy, so corpus frequency becomes
+    * sampling probability instead of a hard keep-first decision.
+    *
+    * Scale shape: ONE shuffle on the 256-bit content hash (the same
+    * key [[exactDedup]] shuffles on); the count is a window aggregate
+    * over that partition — no join, no second pass, null text routed
+    * to the shared sentinel group. */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__h"))
+    df.withColumn("__h", coalesce(sha2(normalizeText(col(textCol)), 256),
+        lit("__null__")))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("weight", round(lit(1.0) / col("dup_count"), 12))
+      .drop("__h")
+  }
+
+  /** The sampled form of [[softDedupWeights]]: one deterministic
+    * weighted draw per row under the flattening weights. Unlike
+    * [[exactDedup]]'s min-id survivor, the surviving copies of a
+    * group are decided by each copy's OWN hash draw — no positional
+    * bias, each group survives with ~one expected copy (possibly 0 or
+    * 2+, the soft trade), uniques (weight 1) always survive.
+    * `dup_count`/`weight` stay on the output for downstream mix
+    * reporting. */
+  def softDedupSample(df: DataFrame, idCol: String, textCol: String,
+                      salt: String = "graft"): DataFrame =
+    Mixing.weightedSample(softDedupWeights(df, idCol, textCol), idCol,
+      col("weight"), salt)
+
   /** The batch's content-hash rows for a persisted exact-dedup ledger
     * — one `content_hash` per row, the null-text sentinel included
     * (see [[exactDedupAgainstHashes]]). Append the SURVIVORS' hashes

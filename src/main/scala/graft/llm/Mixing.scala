@@ -45,6 +45,21 @@ object Mixing {
                           salt: String = "graft"): DataFrame =
     df.where(hashBucket(col(keyCol), salt) < lit(hexThreshold(fraction)))
 
+  /** PER-ROW-rate deterministic Bernoulli sample: keeps a row iff its
+    * key's 32-bit md5 bucket falls below that row's OWN rate column —
+    * [[deterministicSample]] generalized from one global fraction to a
+    * rate each row carries (soft-dedup weights, per-doc quality-scaled
+    * admission, any "sample under this column" composition). The
+    * bucket is decoded to its integer value so the threshold can be a
+    * runtime product (`rate * 2^32`) instead of a driver-side hex
+    * literal; a rate ≥ 1 keeps the row always, ≤ 0 never, and the same
+    * (key, salt, rate) always decides the same way. Map-only — the
+    * predicate is one codegen'd expression, no shuffle, no join. */
+  def weightedSample(df: DataFrame, keyCol: String, rateCol: Column,
+                     salt: String = "graft"): DataFrame =
+    df.where(conv(hashBucket(col(keyCol), salt), 16, 10).cast("long")
+      < rateCol.cast("double") * 4294967296.0)
+
   /** Stratified mix-down: per-stratum sampling rates (e.g. language →
     * rate); strata absent from `rates` get `defaultRate`. One map-only
     * pass over the corpus — the per-row threshold is a small CASE

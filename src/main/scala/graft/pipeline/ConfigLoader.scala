@@ -121,6 +121,21 @@ object ConfigLoader {
       // LLM-pipeline transforms as config steps
       "dedup_exact" -> (o => df =>
         graft.llm.Dedup.exactDedup(df, req(o, "idCol"), req(o, "textCol"))),
+      // SOFT dedup (DCLM-style downweight-instead-of-drop): default
+      // samples each copy at rate 1/dup_count (each content group
+      // survives with ~one expected copy, no positional keep-first
+      // bias); sample: false annotates dup_count/weight and keeps
+      // every row — the weights feed a downstream weightedSample /
+      // mix stage instead
+      "dedup_soft" -> (o => df => {
+        val soft = graft.llm.Dedup.softDedupWeights(df,
+          req(o, "idCol"), req(o, "textCol"))
+        if (o.getOrElse("sample", "true").toBoolean)
+          graft.llm.Mixing.weightedSample(soft, req(o, "idCol"),
+              col("weight"), o.getOrElse("salt", "graft"))
+            .drop("dup_count", "weight")
+        else soft
+      }),
       // MinHash near-dedup as a pipeline stage: banded candidate pairs
       // verified by true shingle Jaccard >= threshold, transitive
       // clusters labeled by min id, and only the canonical survivor of

@@ -27,6 +27,41 @@ class DedupSpec extends SparkSpec {
     assert(g(1L) == 2L && g(3L) == 1L && g(4L) == 1L)
   }
 
+  test("softDedupWeights: every row survives with 1/group-size weight") {
+    val soft = Dedup.softDedupWeights(docs, "doc_id", "text")
+    val byId = soft.select("doc_id", "dup_count", "weight")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, w) => id -> ((n, w)) }.toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L)) // nobody dropped
+    assert(byId(1L) == ((2L, 0.5)) && byId(2L) == ((2L, 0.5)))
+    assert(byId(3L) == ((1L, 1.0)) && byId(4L) == ((1L, 1.0)))
+    // per-group weights sum to ~1: the flattening property
+    val sums = soft.groupBy(Dedup.normalizeText(col("text")))
+      .agg(round(sum(col("weight")), 9).as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.forall(_ == 1.0))
+  }
+
+  test("softDedupSample: uniques always survive; draw is deterministic") {
+    val a = Dedup.softDedupSample(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Dedup.softDedupSample(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)                  // same (key, salt) ⇒ same survivors
+    assert(a.contains(3L) && a.contains(4L)) // weight-1 rows always kept
+    // a different salt may draw a different dup-group survivor set but
+    // still keeps every unique
+    val c = Dedup.softDedupSample(docs, "doc_id", "text", salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(c.contains(3L) && c.contains(4L))
+  }
+
+  test("weightedSample: rate 1 keeps all, rate 0 keeps none") {
+    val all = Mixing.weightedSample(docs, "doc_id", lit(1.0)).count()
+    val none = Mixing.weightedSample(docs, "doc_id", lit(0.0)).count()
+    assert(all == 4L && none == 0L)
+  }
+
   test("minhash near-dups finds the near pair, not the unrelated one") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

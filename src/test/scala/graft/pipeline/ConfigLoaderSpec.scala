@@ -195,6 +195,21 @@ class ConfigLoaderSpec extends SparkSpec {
     val semKept = transformKinds("semdedup")(
       Map("threshold" -> "0.99", "nClusters" -> "2"))(vecs)
     assert(semKept.select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+    // dedup_soft: sample=false annotates every row with the flattening
+    // weight; the default sampling mode always keeps weight-1 uniques
+    val sdocs = Seq((1L, "same text"), (2L, "SAME   text"),
+      (3L, "unique content")).toDF("doc_id", "text")
+    val softAnn = transformKinds("dedup_soft")(
+      Map("idCol" -> "doc_id", "textCol" -> "text", "sample" -> "false"))(sdocs)
+    assert(softAnn.count() == 3)
+    assert(softAnn.where(col("doc_id") === 3L)
+      .select("weight").as[Double].head() == 1.0)
+    assert(softAnn.where(col("doc_id") === 1L)
+      .select("dup_count").as[Long].head() == 2L)
+    val softSampled = transformKinds("dedup_soft")(
+      Map("idCol" -> "doc_id", "textCol" -> "text"))(sdocs)
+    assert(softSampled.columns.toSet == Set("doc_id", "text"))
+    assert(softSampled.select("doc_id").as[Long].collect().toSet.contains(3L))
     // classifier_filter loads weights from parquet; no-feature docs are
     // kept regardless of threshold (no-signal convention)
     val wdir = "/tmp/graft_test/cfg_clf_weights"
