@@ -3437,6 +3437,52 @@ object Queries {
         (1, CAST(10 AS BIGINT), CAST(10 AS BIGINT)))
       t(label, n_docs, n_correct) ORDER BY label"""))
 
+  /** The model-based quality-filter DEPLOYMENT shape (the FineWeb-Edu
+    * recipe: train a quality classifier ONCE, persist it, gate the
+    * production corpus with the frozen model) through the registry
+    * kinds — `classifier_train` sink persists the (bucket, weight)
+    * table, the stateless `classifier_filter` transform scores the
+    * holdout against it map-only (the fused native scalar) and keeps
+    * docs at or above the threshold. Same separable planted fixture as
+    * `classifier_train_planted` (whose 10/10-per-class oracle makes
+    * survivor membership structurally determined): every positive
+    * holdout doc survives, every negative dies, and the planted
+    * empty-text doc survives by the no-signal convention — binding the
+    * ledger round-trip, the filter's threshold semantics, AND the
+    * null-score path in one row set. Stateless given the ledger, so
+    * this is the kind that composes into the streamed curation chain. */
+  private val clfTwoPhase = QueryDef("clf_two_phase",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "clf_two_phase")
+      val posV = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+      val negV = Vector("zulu", "yankee", "xray", "whiskey", "victor", "uniform")
+      def text(v: Vector[String], seed: Int, len: Int): String =
+        (0 until len).map(j => v((seed + j * 2) % v.size)).mkString(" ")
+      val train = ((0 until 30).map(i => (i.toLong, text(posV, i, 8), 1)) ++
+          (0 until 30).map(i => ((i + 50).toLong, text(negV, i, 8), 0)))
+        .toDF("doc_id", "text", "label")
+      val holdout = ((0 until 10).map(i =>
+          ((i + 100).toLong, text(posV, i + 3, 6), 1)) ++
+          (0 until 10).map(i => ((i + 110).toLong, text(negV, i + 3, 6), 0)) :+
+          ((150L, "", 1)))
+        .toDF("doc_id", "text", "label")
+      graft.sinks.Sinks.runChain(train, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("classifier_train")(Map(
+          "path" -> s"$dir/weights", "idCol" -> "doc_id",
+          "textCol" -> "text", "labelCol" -> "label",
+          "nBuckets" -> "4096", "iters" -> "15"))))
+      graft.pipeline.ConfigLoader.transformKinds("classifier_filter")(Map(
+          "textCol" -> "text", "weightsPath" -> s"$dir/weights",
+          "nBuckets" -> "4096", "minScore" -> "0.5"))(holdout)
+        .select(col("doc_id"), col("label"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT CAST(100 + i AS BIGINT) AS doc_id, 1 AS label
+      FROM (SELECT unnest(range(0, 10)) AS i)
+      UNION ALL SELECT CAST(150 AS BIGINT), 1
+      ORDER BY doc_id"""))
+
   /** Shared DuckDB CTE chain for the winnowing fingerprint pipeline
     * (mirrors [[graft.llm.Winnow]], k=4 w=4 salt 'wfp'): filtered
     * words → k-grams (short docs: single joined form) → encoded
@@ -8649,7 +8695,7 @@ object Queries {
     unigramTrainPlanted, unigramEncodePlanted,
     vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, ceTwoPhase, qualityBucketsQ,
     dsirLogweights, dsirSelect, classifierScoreQ, classifierScoreNativeQ,
-    classifierTrainPlanted,
+    classifierTrainPlanted, clfTwoPhase,
     winnowFingerprints,
     winnowNeardup, winnowSpans, docBigramCe,
     chunkTokensQ, profileQ, histogramQ, docFingerprint, packSequences, packShuffled,
