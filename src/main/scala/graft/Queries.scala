@@ -8388,6 +8388,124 @@ object Queries {
       SELECT CAST(100 AS BIGINT), CAST(-1 AS INT), false, NULL, NULL, NULL, NULL, NULL
       ORDER BY asset_id, frame_idx"""))
 
+  /** Image-text PAIR curation gate
+    * ([[graft.multimodal.Pairs.pairFilter]] — the LAION/DataComp
+    * recipe: decode + resolution + aspect gates on the image, language
+    * + length gates on the caption, alignment-cosine threshold on the
+    * carried embedding columns). Fixture: synthetic PNGs with
+    * id-derived dims (one too-small, one too-elongated, one corrupt),
+    * captions from the multilingual documents table, embeddings from
+    * the embeddings table — even pairs aligned (img == txt vector,
+    * cosine 1), odd pairs mismatched (vector p vs p+50, whatever
+    * cosine that draws — BOTH engines compute it, so the gate decides
+    * identically either way). The oracle replays every gate from first
+    * principles: closed-form dims, the langId stop-hit tie-break, the
+    * fold-ordered cosine. */
+  private val mmPairFilter = QueryDef("mm_pair_filter",
+    (s, d) => {
+      val assets = (0L until 20L).map { id =>
+        val (w, h) =
+          if (id == 5L) (6, 8)
+          else if (id == 7L) (24, 8)
+          else (8 + (id % 3).toInt * 4, 8)
+        (id, if (id == 13L) "definitely not an image".getBytes("UTF-8")
+             else graft.multimodal.Multimodal.syntheticPng(id, w, h))
+      }
+      val imgs = s.createDataFrame(assets).toDF("pair_id", "payload")
+        .repartition(4)
+      val caps = t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id").as("pair_id"), col("text").as("caption"))
+      val emb = t(s, d, "embeddings")
+      val ie = emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("img_emb"))
+      val te = emb.select(col("vec_id").as("__tv"),
+        col("embedding").as("txt_emb"))
+      val pairs = imgs.join(caps, Seq("pair_id"))
+        .withColumn("__tv", when(col("pair_id") % 2 === 0, col("pair_id"))
+          .otherwise(col("pair_id") + 50))
+        .join(ie, Seq("pair_id")).join(te, Seq("__tv")).drop("__tv")
+      graft.multimodal.Pairs.pairFilter(pairs,
+          minWidth = 8, minHeight = 8, maxAspect = 2.5,
+          langs = Seq("en"), minWords = 3, minAlign = 0.9)
+        .orderBy(col("pair_id"))
+    },
+    Some(s"""WITH ids(pair_id) AS (SELECT unnest(range(0, 20))),
+      dims AS (SELECT pair_id,
+          CASE WHEN pair_id = 5 THEN 6 WHEN pair_id = 7 THEN 24
+               ELSE CAST(8 + (pair_id % 3) * 4 AS INT) END AS w,
+          CAST(8 AS INT) AS h
+        FROM ids WHERE pair_id <> 13),
+      gd AS (SELECT * FROM dims WHERE w >= 8 AND h >= 8
+             AND greatest(w, h) <= 2.5 * least(w, h)),
+      caps AS (SELECT doc_id AS pair_id, text FROM documents
+               WHERE doc_id < 20),
+      sc AS (SELECT pair_id,
+          len(list_filter($sqlWords, x -> x <> '')) AS n_words,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.enStop)} AS s_en,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.deStop)} AS s_de,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.frStop)} AS s_fr,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.esStop)} AS s_es,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM caps),
+      lang AS (SELECT pair_id, n_words,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+               WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+               WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+               WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM sc),
+      ie AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS iv
+             FROM embeddings),
+      te AS (SELECT vec_id AS tv, embedding::DOUBLE[] AS tvv
+             FROM embeddings),
+      al AS (SELECT gd.pair_id, gd.w, gd.h, lang.pred_lang, lang.n_words,
+          round(${sqlDot("iv", "tvv")} /
+            (${sqlNorm("iv")} * ${sqlNorm("tvv")}), 6) AS align
+        FROM gd JOIN lang USING (pair_id) JOIN ie USING (pair_id)
+        JOIN te ON te.tv = CASE WHEN gd.pair_id % 2 = 0 THEN gd.pair_id
+                                ELSE gd.pair_id + 50 END)
+      SELECT pair_id, w AS width, h AS height, pred_lang, n_words, align
+      FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
+      ORDER BY pair_id"""))
+
+  /** PAIR-granularity dedup ([[graft.multimodal.Pairs.pairDedup]]):
+    * planted exact re-encodes (same pixels + same caption) collapse
+    * onto their originals; a planted copy with the SAME image but a
+    * DIFFERENT caption survives (pair semantics — both sides must
+    * repeat); a corrupt payload passes through (dedup is not a
+    * validity gate). Survivor membership is structurally determined,
+    * so the oracle states it directly; the dHash arithmetic itself is
+    * oracle-bound closed-form by `mm_image_dhash`. */
+  private val mmPairDedup = QueryDef("mm_pair_dedup",
+    (s, d) => {
+      val caps = t(s, d, "documents").where(col("doc_id") < 12)
+        .select(col("doc_id"), col("text"))
+      val base = (0L until 12L).map { id =>
+        (id, graft.multimodal.Multimodal.syntheticPng(id, 18, 16), id)
+      }
+      val copies = (0L until 4L).map { id =>
+        (id + 1000L, graft.multimodal.Multimodal.syntheticPng(id, 18, 16), id)
+      }
+      val recaptioned = (0L until 2L).map { id =>
+        (id + 2000L, graft.multimodal.Multimodal.syntheticPng(id, 18, 16), -1L)
+      }
+      val bad = Seq((100L, "definitely not an image".getBytes("UTF-8"), 0L))
+      val assets = s.createDataFrame(base ++ copies ++ recaptioned ++ bad)
+        .toDF("pair_id", "payload", "__cap").repartition(4)
+      val pairs = assets.join(caps, assets("__cap") === caps("doc_id"), "left")
+        .select(col("pair_id"), col("payload"),
+          when(col("__cap") < 0, lit("an entirely different caption here"))
+            .otherwise(col("text")).as("caption"))
+      graft.multimodal.Pairs.pairDedup(pairs)
+        .select(col("pair_id")).orderBy(col("pair_id"))
+    },
+    Some("""SELECT CAST(pair_id AS BIGINT) AS pair_id FROM (
+        SELECT unnest(range(0, 12)) AS pair_id
+        UNION ALL SELECT 100
+        UNION ALL SELECT 2000 UNION ALL SELECT 2001)
+      ORDER BY pair_id"""))
+
   /** The events table's `ts` encoding has varied across testdata
     * generations: TIMESTAMP(NANOS) — which Spark's parquet reader only
     * accepts as long via the legacy conf — and plain TIMESTAMP_MICROS.
@@ -8726,7 +8844,7 @@ object Queries {
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
-    mmVideoFrames,
+    mmVideoFrames, mmPairFilter, mmPairDedup,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

@@ -1,0 +1,150 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** Image-text PAIR curation — the published web-scale pair-dataset
+  * recipe (LAION-5B, Schuhmann et al. 2022; DataComp, Gadre et al.
+  * 2023): decode-gate the image, bound its resolution and aspect
+  * ratio, gate the caption's language and length, threshold the
+  * image↔text alignment score, then dedup at PAIR granularity.
+  *
+  * Division of labor at 100 TB: embedding INFERENCE (CLIP et al.) is a
+  * GPU model pass that happens upstream of the engine — the pairs
+  * frame arrives carrying `img_emb` / `txt_emb` columns the way the
+  * `embeddings` table does. Everything the engine owns — the
+  * distributed decode, the gates, the cosine, the dedup shuffle — is
+  * real and oracle-checkable; nothing here pretends to run the model.
+  *
+  * Scale shape: [[pairFilter]] is ONE pass — the decode is a
+  * per-partition batched `mapPartitions` appending (ok, width,
+  * height) in place (no stats-side self-join: the payload column is
+  * never shuffled), and every gate after it is a codegen'd predicate.
+  * [[pairDedup]] adds the one hash shuffle exact dedup always costs,
+  * on the (dhash, caption) key.
+  */
+object Pairs {
+
+  /** Append (`__ok`, `__w`, `__h`) from a real image decode to every
+    * row IN PLACE — the scan-once alternative to computing
+    * [[Multimodal.imageStats]] separately and joining it back (which
+    * would shuffle the payload bytes or read the input twice). */
+  private def withDims(df: DataFrame, payloadCol: String,
+                       batchSize: Int): DataFrame = {
+    val out = StructType(df.schema.fields ++ Seq(
+      StructField("__ok", BooleanType, nullable = false),
+      StructField("__w", IntegerType, nullable = true),
+      StructField("__h", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val pi = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = if (r.isNullAt(pi)) null else r.getAs[Array[Byte]](pi)
+        Multimodal.decodeImage(bytes) match {
+          case Some(s) => Row.fromSeq(r.toSeq ++ Seq(true, s.width, s.height))
+          case None => Row.fromSeq(r.toSeq ++ Seq(false, null, null))
+        }
+      })
+    }(enc)
+  }
+
+  /** Same shape for the perceptual hash: append (`__ok`, `__dhash`). */
+  private def withDHash(df: DataFrame, payloadCol: String,
+                        batchSize: Int): DataFrame = {
+    val out = StructType(df.schema.fields ++ Seq(
+      StructField("__ok", BooleanType, nullable = false),
+      StructField("__dhash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val pi = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = if (r.isNullAt(pi)) null else r.getAs[Array[Byte]](pi)
+        Multimodal.dHash(bytes) match {
+          case Some(h) => Row.fromSeq(r.toSeq ++ Seq(true, h))
+          case None => Row.fromSeq(r.toSeq ++ Seq(false, null))
+        }
+      })
+    }(enc)
+  }
+
+  /** The DataComp/LAION pair gate. Input columns: `pair_id`,
+    * `payload` (image bytes), `caption`, `img_emb`, `txt_emb`.
+    * Keeps pairs passing ALL of:
+    *  - the image decodes, `width >= minWidth`, `height >= minHeight`,
+    *    `max(w,h)/min(w,h) <= maxAspect` (compared cross-multiplied —
+    *    no division, engine-exact);
+    *  - the caption's predicted language is in `langs` (empty = any)
+    *    and it has `>= minWords` normalized words;
+    *  - `cosine(img_emb, txt_emb) >= minAlign`, 6-dp rounded before
+    *    the comparison so the gate is engine-stable. Pairs missing
+    *    either embedding are DROPPED — deliberately NOT the text
+    *    family's keep-on-no-signal convention, because in the
+    *    published recipes the alignment score is the load-bearing
+    *    filter (DataComp's strongest baseline) and an unscored pair
+    *    is an unscored liability, not a neutral row.
+    *
+    * Output: surviving pairs as (pair_id, width, height, pred_lang,
+    * n_words, align). */
+  def pairFilter(pairs: DataFrame,
+                 minWidth: Int = 8, minHeight: Int = 8,
+                 maxAspect: Double = 3.0,
+                 langs: Seq[String] = Seq("en"), minWords: Int = 2,
+                 minAlign: Double = 0.5,
+                 batchSize: Int = 64): DataFrame = {
+    val d = withDims(pairs, "payload", batchSize)
+      .where(col("__ok"))
+      .where(col("__w") >= minWidth && col("__h") >= minHeight)
+      // max(w,h) <= maxAspect * min(w,h), cross-multiplied
+      .where(greatest(col("__w"), col("__h")).cast("double") <=
+        least(col("__w"), col("__h")).cast("double") * maxAspect)
+    val langOk =
+      if (langs.isEmpty) lit(true)
+      else TextAnalysis.langId(col("caption")).isin(langs: _*)
+    val nWords = size(filter(Dedup.wordsOf(col("caption")), w => w =!= ""))
+    val align = round(Similarity.cosine(
+      col("img_emb").cast("array<double>"),
+      col("txt_emb").cast("array<double>")), 6)
+    d.withColumn("pred_lang", TextAnalysis.langId(col("caption")))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("align", align)
+      .where(langOk && col("n_words") >= minWords)
+      .where(col("align").isNotNull && col("align") >= minAlign)
+      .select(col("pair_id"), col("__w").as("width"),
+        col("__h").as("height"), col("pred_lang"), col("n_words"),
+        col("align"))
+  }
+
+  /** PAIR-granularity exact dedup: a pair is a duplicate only when
+    * BOTH sides repeat — its image's perceptual dHash AND its
+    * normalized caption (`byCaption = false` drops the caption from
+    * the key: image-only dedup, the DataComp convention). Keep-first
+    * (min `pair_id`) per key; undecodable images pass through
+    * unmatched (each forms its own group — dedup is not a validity
+    * gate, [[pairFilter]] is). Exact re-encodes of the same pixels
+    * share a dHash by construction (lossless decode → identical
+    * gradient bits), so recompressed copies collapse; NEAR-duplicate
+    * imagery is [[Multimodal.imageNearDups]]'s banded-Hamming job.
+    *
+    * One hash shuffle on the dedup key — the [[Dedup.exactDedup]]
+    * cost shape with the decode fused into the same pass. */
+  def pairDedup(pairs: DataFrame, byCaption: Boolean = true,
+                batchSize: Int = 64): DataFrame = {
+    val withH = withDHash(pairs, "payload", batchSize)
+    val imgKey = col("__dhash").cast("string")
+    val key =
+      if (byCaption)
+        concat(imgKey, lit("|"), Dedup.normalizeText(col("caption")))
+      else imgKey
+    val w = Window.partitionBy(col("__k"))
+    withH
+      .withColumn("__k", when(col("__ok"), key)
+        .otherwise(concat(lit("__bad__"), col("pair_id").cast("string"))))
+      .withColumn("__keep", min(col("pair_id")).over(w))
+      .where(col("pair_id") === col("__keep"))
+      .drop("__ok", "__dhash", "__k", "__keep")
+  }
+}

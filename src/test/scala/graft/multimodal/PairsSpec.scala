@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vOk = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+  private val vOrth = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+  private val enCap = "the quick brown fox jumps over the lazy dog again"
+
+  private def pair(id: Long, payload: Array[Byte], caption: String,
+                   txt: Seq[Float] = vOk) =
+    (id, payload, caption, vOk, txt)
+
+  private def png(id: Long, w: Int = 16, h: Int = 16) =
+    Multimodal.syntheticPng(id, w, h)
+
+  private def pairsDf(rows: Seq[(Long, Array[Byte], String, Seq[Float], Seq[Float])]) =
+    rows.toDF("pair_id", "payload", "caption", "img_emb", "txt_emb")
+
+  test("pairFilter: each gate drops exactly its violator") {
+    val rows = Seq(
+      pair(1L, png(1L), enCap),                        // survives
+      pair(2L, png(2L, 4, 16), enCap),                 // too narrow
+      pair(3L, png(3L, 48, 8), enCap),                 // aspect 6 > 3
+      pair(4L, "junk".getBytes("UTF-8"), enCap),       // undecodable
+      pair(5L, png(5L), "der und die das ist nicht"),  // not English
+      pair(6L, png(6L), "two words"),                  // too short
+      pair(7L, png(7L), enCap, vOrth))                 // cosine 0 < minAlign
+    val kept = Pairs.pairFilter(pairsDf(rows),
+        minWidth = 8, minHeight = 8, maxAspect = 3.0,
+        langs = Seq("en"), minWords = 3, minAlign = 0.5)
+      .select("pair_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("pairFilter: null embedding drops the pair (no no-signal keep)") {
+    val rows = pairsDf(Seq(pair(1L, png(1L), enCap)))
+      .unionByName(pairsDf(Seq(pair(2L, png(2L), enCap)))
+        .withColumn("txt_emb", lit(null).cast("array<float>")))
+    val kept = Pairs.pairFilter(rows, minAlign = 0.5, minWords = 3)
+      .select("pair_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("pairFilter output carries the gate evidence columns") {
+    val out = Pairs.pairFilter(pairsDf(Seq(pair(1L, png(1L), enCap))),
+      minWords = 3, minAlign = 0.5)
+    assert(out.columns.toSeq ==
+      Seq("pair_id", "width", "height", "pred_lang", "n_words", "align"))
+    val r = out.collect().head
+    assert(r.getAs[Int]("width") == 16 && r.getAs[String]("pred_lang") == "en")
+    assert(r.getAs[Double]("align") == 1.0)
+  }
+
+  test("pairDedup: both sides must repeat; caption flip preserves the pair") {
+    val rows = Seq(
+      pair(1L, png(1L), enCap),
+      pair(10L, png(1L), enCap),            // exact pair dup -> drops
+      pair(11L, png(1L), "different text"), // same image, new caption -> kept
+      pair(12L, png(2L), enCap),            // new image, same caption -> kept
+      pair(100L, "junk".getBytes("UTF-8"), enCap)) // undecodable passes through
+    val kept = Pairs.pairDedup(pairsDf(rows))
+      .select("pair_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 11L, 12L, 100L))
+    // image-only mode: the recaptioned copy collapses too
+    val imgOnly = Pairs.pairDedup(pairsDf(rows), byCaption = false)
+      .select("pair_id").as[Long].collect().toSet
+    assert(imgOnly == Set(1L, 12L, 100L))
+  }
+
+  test("pairDedup keeps the min pair_id and preserves input columns") {
+    val rows = Seq(pair(5L, png(1L), enCap), pair(3L, png(1L), enCap))
+    val out = Pairs.pairDedup(pairsDf(rows))
+    assert(out.columns.toSet ==
+      Set("pair_id", "payload", "caption", "img_emb", "txt_emb"))
+    assert(out.select("pair_id").as[Long].collect().toSeq == Seq(3L))
+  }
+}
