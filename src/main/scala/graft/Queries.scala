@@ -7709,6 +7709,58 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** CONTINUOUS SERVING against the persisted IVF index
+    * ([[graft.streaming.IndexIngest.searchIvfStream]] — the read side
+    * of vector-store operation): two REAL MemoryStream micro-batches
+    * of planted ε-twin queries are answered per batch by the index's
+    * partition-pruned probe, results appended to an on-disk answer
+    * ledger; batch 2 replays two batch-1 queries (at-least-once
+    * redelivery) that the ledger anti-join must refuse to re-answer —
+    * a double-answered query would surface as duplicate rows and fail
+    * the row-count match. Same planted rank-1 contract as
+    * `ann_ivf_planted`: every twin must recover its base, so the
+    * streamed answer set equals the brute-force oracle. */
+  private val annSearchStream = QueryDef("ann_search_stream",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "ann_search_stream")
+      val emb = t(s, d, "embeddings")
+      Similarity.buildIvfIndex(emb, s"$dir/index")
+      val rp = new org.apache.hadoop.fs.Path(s"$dir/results")
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      val queries = perturbedEmbeddings(emb, 6)
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.IndexIngest.searchIvfStream(
+        mem.toDF().toDF("vec_id", "embedding"), s"$dir/index",
+        s"$dir/results", k = 1)
+      try {
+        val b1 = queries.where(col("vec_id") < 100003)
+          .as[(Long, Seq[Float])].collect().toSeq
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        val b2 = queries.where(col("vec_id") >= 100003)
+          .as[(Long, Seq[Float])].collect().toSeq
+        mem.addData(b2 ++ b1.take(2): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/results")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 6),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   /** Incremental IVF append ([[Similarity.appendIvfIndex]]): the index
     * is built WITHOUT every 7th vector, which then arrives as an
     * append batch assigned to the existing centroids — no rebuild.
@@ -8838,7 +8890,8 @@ object Queries {
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend,
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    annIvfAppend, annRetractIndex, annRecallAudit, annRecallAuditPlanted,
+    annIvfAppend, annSearchStream, annRetractIndex, annRecallAudit,
+    annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     annIngestSemdedup,

@@ -121,6 +121,55 @@ object IndexIngest {
     }.start()
   }
 
+  /** SERVE a stream of query vectors against a persisted IVF index —
+    * the READ side of continuous vector-store operation (the append
+    * twins above are the write side): per micro-batch, the index's own
+    * partition-pruned two-level probe runs over JUST the batch's
+    * queries (per-batch cost tracks the batch, never the index) and
+    * the top-k answers land in `outDir` as
+    * (query_id, rank, neighbor_id, cosine) — a result ledger
+    * downstream consumers read like any other table.
+    *
+    * Idempotence mirrors the ingest convention, with the RESULT ledger
+    * as the state: an at-least-once replay (re-read file, redelivered
+    * batch) anti-joins `outDir`'s own `query_id` column and drops
+    * already-answered queries, so each query id is answered exactly
+    * once; null-id and in-batch duplicate queries are dropped up front
+    * for the same reason the appenders drop them. The first batch
+    * finds no ledger and answers everything.
+    *
+    * The index is re-read per micro-batch BY DESIGN: a concurrent
+    * [[appendIvfIndexStream]] grows `dir/assignments` between batches,
+    * and serving picks the additions up on the next batch — the
+    * freshness semantics a combined ingest+serve deployment wants.
+    * Returns the started query; callers own its lifecycle. */
+  def searchIvfStream(queries: DataFrame, dir: String, outDir: String,
+                      k: Int = 5, nProbe: Int = 2,
+                      qIdCol: String = "vec_id",
+                      vecCol: String = "embedding"): StreamingQuery = {
+    require(queries.isStreaming,
+      "searchIvfStream: expected a streaming frame")
+    queries.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val base = batch.toDF().where(col(qIdCol).isNotNull)
+        .dropDuplicates(qIdCol)
+      val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
+          base.join(spark.read.parquet(outDir)
+              .select(col("query_id").as("__graft_answered")).distinct(),
+            col(qIdCol) === col("__graft_answered"), "left_anti")
+        else base)
+        // sever lineage before writing into the directory the
+        // answered-probe reads (the ingest-ledger convention)
+        .localCheckpoint(true)
+      if (!fresh.isEmpty)
+        Similarity.ivfQueryIndex(spark, dir, fresh, k, nProbe,
+            qIdCol, vecCol)
+          .write.mode("append").parquet(outDir)
+    }.start()
+  }
+
   /** Continuous PACKING — the streaming twin of
     * [[graft.llm.Packing.packSequencesAppend]], completing the
     * continuous trainer-format chain (crawl ingest → curation stages →

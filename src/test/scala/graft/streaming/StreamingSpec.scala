@@ -505,6 +505,44 @@ class StreamingSpec extends SparkSpec {
       .where(col("neighbor_id") === 7003L).count() == 1L)
   }
 
+  test("searchIvfStream: streamed answers ≡ batch probe; replays never re-answer") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_serve")
+      .toFile.getPath
+    Similarity.buildIvfIndex(emb, s"$dir/index")
+    val queries = emb.where(col("vec_id") < 6)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.searchIvfStream(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/index",
+      s"$dir/results", k = 3)
+    val b1 = queries.where(col("vec_id") < 5003L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val b2 = queries.where(col("vec_id") >= 5003L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    try {
+      mem.addData(b1 :+ b1.head: _*) // in-batch duplicate query
+      q.processAllAvailable()
+      mem.addData(b2 ++ b1: _*)      // full batch-1 redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/results")
+      .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = Similarity.ivfQueryIndex(spark, s"$dir/index", queries,
+        k = 3, nProbe = 2)
+      .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    // exactly one answer set per query id: the redelivery was refused
+    assert(streamed.map(_._1).distinct.size == 6)
+    assert(streamed.size == 18)
+  }
+
   test("streaming IVF-PQ index append ≡ batch append on the same batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
