@@ -1033,10 +1033,11 @@ object ConfigLoader {
   final case class StreamSpec(name: String, source: StepConfig,
                               curate: Seq[StepConfig], pack: Options,
                               availableNow: Boolean,
-                              index: Options = Map.empty)
+                              index: Options = Map.empty,
+                              search: Options = Map.empty)
 
   private val knownStreamKeys =
-    Set("source", "curate", "pack", "index", "availableNow")
+    Set("source", "curate", "pack", "index", "search", "availableNow")
 
   /** Parse the `stream:` jobs of a config file (batch `parseYamlFile`
     * / `parse` skip them; the two surfaces share one file). Unknown
@@ -1092,24 +1093,26 @@ object ConfigLoader {
     }
     val pack = optMap("pack")
     val index = optMap("index")
-    if (pack.isEmpty == index.isEmpty)
+    val search = optMap("search")
+    if (Seq(pack, index, search).count(_.nonEmpty) != 1)
       throw new Pipeline.ValidationException(
-        "config: stream job needs exactly one of 'pack' or 'index'")
+        "config: stream job needs exactly one of 'pack', 'index' or 'search'")
     StreamSpec(
       name = String.valueOf(m.getOrElse("name",
         throw new Pipeline.ValidationException("config: job missing 'name'"))),
       source = source, curate = curate, pack = pack,
       availableNow = st.get("availableNow").exists(v =>
         String.valueOf(v).toBoolean),
-      index = index)
+      index = index, search = search)
   }
 
   /** Start a `stream:` job: resolve the source and curation kinds,
     * hand them to the ledger-deduped sink — the curated-pack append
-    * (`pack:`) or a persisted ANN index append (`index:`, kinds
-    * ivf/ivfpq/pq). The returned query runs until stopped. Seed the
-    * sink first (`seed_curated_pack` load kind, or the index build
-    * kinds/APIs). */
+    * (`pack:`), a persisted ANN index append (`index:`, kinds
+    * ivf/ivfpq/pq), or continuous index SERVING (`search:` — answers
+    * to a result ledger). The returned query runs until stopped. Seed
+    * the sink first (`seed_curated_pack` load kind, or the index
+    * build kinds/APIs). */
   def runStream(spark: SparkSession, spec: StreamSpec):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val src = streamSourceKinds.getOrElse(spec.source.kind,
@@ -1124,6 +1127,21 @@ object ConfigLoader {
             s"config: unknown transform kind '${step.kind}' in stream.curate"))(
           step.options)(f)
       }
+    if (spec.search.nonEmpty) {
+      // continuous SERVING: per-micro-batch partition-pruned probe of
+      // a persisted IVF index over the job's query stream, answers to
+      // an on-disk result ledger (answer-exactly-once by the ledger's
+      // own query ids). Curation kinds still run per batch — query
+      // normalization/filtering composes the same way ingest does.
+      val sx = spec.search
+      return graft.streaming.IndexIngest.searchIvfStream(src,
+        req(sx, "indexDir"), req(sx, "outDir"),
+        k = sx.getOrElse("k", "5").toInt,
+        nProbe = sx.getOrElse("nProbe", "2").toInt,
+        qIdCol = sx.getOrElse("idCol", "vec_id"),
+        vecCol = sx.getOrElse("vecCol", "embedding"),
+        curate = curate)
+    }
     if (spec.index.nonEmpty) {
       // continuous VECTOR-STORE ingest: curation stages still run per
       // micro-batch inside foreachBatch; the sink is a persisted ANN

@@ -146,14 +146,16 @@ object IndexIngest {
   def searchIvfStream(queries: DataFrame, dir: String, outDir: String,
                       k: Int = 5, nProbe: Int = 2,
                       qIdCol: String = "vec_id",
-                      vecCol: String = "embedding"): StreamingQuery = {
+                      vecCol: String = "embedding",
+                      curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
     require(queries.isStreaming,
       "searchIvfStream: expected a streaming frame")
     queries.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sparkContext.hadoopConfiguration
       val outPath = new org.apache.hadoop.fs.Path(outDir)
-      val base = batch.toDF().where(col(qIdCol).isNotNull)
+      val base = curate(batch.toDF()).where(col(qIdCol).isNotNull)
         .dropDuplicates(qIdCol)
       val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
           base.join(spark.read.parquet(outDir)

@@ -1200,6 +1200,59 @@ class ConfigLoaderSpec extends SparkSpec {
       ConfigLoader.runStream(spark, badKind))
   }
 
+  test("stream job with search sink: one-config continuous serving") {
+    val work = Files.createTempDirectory("graft_streamsv").toFile.getPath
+    val base = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    graft.llm.Similarity.buildIvfIndex(base, s"$work/ix", nCentroids = 2)
+    // query landing dir: near-twins of vecs 0 and 2, plus a null-id
+    // row the curate stage must drop
+    new java.io.File(s"$work/q").mkdirs()
+    Seq((Some(500L), Seq(0.99f, 0.01f, 0.0f)),
+      (Some(501L), Seq(0.0f, 0.01f, 0.99f)),
+      (Option.empty[Long], Seq(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/q")
+    val p = new java.io.File(work, "serve.yaml")
+    Files.write(p.toPath,
+      s"""jobs:
+         |  - name: serve
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        path: $work/q
+         |      curate:
+         |        - kind: where
+         |          options: {column: vec_id, matches: '.'}
+         |      search:
+         |        indexDir: $work/ix
+         |        outDir: $work/answers
+         |        k: 1
+         |      availableNow: true
+         |""".stripMargin.getBytes("UTF-8"))
+    val spec = ConfigLoader.parseStreamsYamlFile(p.getPath).head
+    assert(spec.search("outDir") == s"$work/answers" && spec.pack.isEmpty)
+    ConfigLoader.runStreamOnce(spark, spec)
+    val top = spark.read.parquet(s"$work/answers")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top == Map(500L -> 0L, 501L -> 2L))
+    // re-drain answers nothing twice (answer ledger idempotence)
+    ConfigLoader.runStreamOnce(spark, spec)
+    assert(spark.read.parquet(s"$work/answers").count() == 2L)
+    // search + pack together is rejected
+    val bad = new java.io.File(work, "bad.yaml")
+    Files.write(bad.toPath,
+      s"""jobs:
+         |  - name: bad
+         |    stream:
+         |      source: {kind: parquet_stream, path: /x}
+         |      pack: {dir: /y}
+         |      search: {indexDir: /i, outDir: /o}
+         |""".stripMargin.getBytes("UTF-8"))
+    intercept[Pipeline.ValidationException](
+      ConfigLoader.parseStreamsYamlFile(bad.getPath))
+  }
+
   test("config-driven WARC stream: crawl landing dir -> extract -> gate -> ledger pack, one config") {
     graft.plans.GraftExtensions.register(spark)
     val work = Files.createTempDirectory("graft_warccfg").toFile.getPath
