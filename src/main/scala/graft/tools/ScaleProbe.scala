@@ -79,6 +79,11 @@ object ScaleProbe {
       time(s"exact_dedup x$k") {
         graft.llm.Dedup.exactDupGroups(corpus, "doc_id", "text").count()
       }
+      time(s"soft_dedup x$k") {
+        // the same single hash shuffle as exact_dedup plus a map-only
+        // weighted draw — the curve must match exact_dedup's
+        graft.llm.Dedup.softDedupSample(corpus, "doc_id", "text").count()
+      }
       time(s"minhash_neardup x$k") {
         graft.llm.Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5).count()
       }
@@ -498,6 +503,47 @@ object ScaleProbe {
           nClusters = 16 * k).count()
         embK.unpersist()
         n
+      }
+      // PAIR-CURATION probes: k×-growing pair table cycling a bounded
+      // driver-side PNG set (decode cost per row is what's measured;
+      // identical bytes across replicas don't change it) and broadcast
+      // embedding joins — both ops must track the scan: the filter is
+      // decode + codegen'd gates, the dedup adds one hash shuffle
+      if (opsFilter.isEmpty || opsFilter.exists(f =>
+          Seq("pair_filter", "pair_dedup").exists(_.contains(f)))) {
+        val pngs = (0L until 64L).map(i =>
+          (i, graft.multimodal.Multimodal.syntheticPng(i, 18, 16)))
+        val pngDf = spark.createDataFrame(pngs).toDF("png_id", "payload")
+        val pairs = corpus
+          .select(col("doc_id").as("pair_id"), col("text").as("caption"),
+            pmod(col("doc_id"), lit(64L)).as("png_id"),
+            pmod(col("doc_id"), lit(500L)).as("emb_id"))
+          .join(broadcast(pngDf), "png_id")
+          .join(broadcast(emb.select(col("vec_id").as("emb_id"),
+            col("embedding").as("img_emb"))), "emb_id")
+          .withColumn("txt_emb", col("img_emb"))
+          .drop("png_id", "emb_id")
+        time(s"pair_filter x$k") {
+          graft.multimodal.Pairs.pairFilter(pairs, minAlign = 0.9).count()
+        }
+        time(s"pair_dedup x$k") {
+          graft.multimodal.Pairs.pairDedup(pairs).count()
+        }
+      }
+      // SERVING probe: per-batch answer cost must track the QUERY
+      // batch (k×-growing), not the fixed index it probes
+      if (opsFilter.isEmpty || opsFilter.exists("ivf_serve".contains(_))) {
+        val sdir = s"/tmp/graft_scaleprobe/serve_ix"
+        val sp = new org.apache.hadoop.fs.Path(sdir)
+        sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+        graft.llm.Similarity.buildIvfIndex(emb, sdir)
+        time(s"ivf_serve_queries x$k") {
+          val qk = replicateEmb(emb, k).localCheckpoint(true)
+          val n = graft.llm.Similarity.ivfQueryIndex(spark, sdir, qk,
+            k = 5, nProbe = 2).count()
+          qk.unpersist()
+          n
+        }
       }
       // TAKEDOWN probes: a FIXED 5-doc opt-out list against the
       // k×-growing corpus. rematerialize is the baseline the
