@@ -8521,6 +8521,92 @@ object Queries {
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
 
+  /** Audio-text pair curation gate
+    * ([[graft.multimodal.Pairs.audioPairFilter]] — the speech-dataset
+    * prep recipe: decode + duration-window + sample-rate + silence
+    * gates on the clip, the same language/length/alignment gates on
+    * the transcript). Fixture: synthetic PCM16 WAVs with id-derived
+    * length (every id%4==0 clip too short), one low-rate clip, one
+    * corrupt payload; transcripts and embeddings from the shared
+    * tables. The oracle replays the exact-integer amplitude sums, the
+    * duration arithmetic, and every caption gate from first
+    * principles. */
+  private val mmAudioPairFilter = QueryDef("mm_audio_pair_filter",
+    (s, d) => {
+      val assets = (0L until 20L).map { id =>
+        val rate = if (id == 5L) 4000 else 8000
+        val n = 800 + (id % 4).toInt * 250
+        (id, if (id == 13L) "definitely not audio".getBytes("UTF-8")
+             else graft.multimodal.Multimodal.syntheticWav(id, rate, n))
+      }
+      val clips = s.createDataFrame(assets).toDF("pair_id", "payload")
+        .repartition(4)
+      val caps = t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id").as("pair_id"), col("text").as("caption"))
+      val emb = t(s, d, "embeddings")
+      val ae = emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("audio_emb"))
+      val te = emb.select(col("vec_id").as("__tv"),
+        col("embedding").as("txt_emb"))
+      val pairs = clips.join(caps, Seq("pair_id"))
+        .withColumn("__tv", when(col("pair_id") % 2 === 0, col("pair_id"))
+          .otherwise(col("pair_id") + 50))
+        .join(ae, Seq("pair_id")).join(te, Seq("__tv")).drop("__tv")
+      graft.multimodal.Pairs.audioPairFilter(pairs,
+          minMs = 120, maxMs = 1000, minSampleRate = 8000,
+          minMeanAbs = 0.1, langs = Seq("en"), minWords = 3,
+          minAlign = 0.9)
+        .orderBy(col("pair_id"))
+    },
+    Some(s"""WITH ids(pair_id) AS (SELECT unnest(range(0, 20))),
+      wav AS (SELECT pair_id,
+          CASE WHEN pair_id = 5 THEN 4000 ELSE 8000 END AS rate,
+          800 + (pair_id % 4) * 250 AS n
+        FROM ids WHERE pair_id <> 13),
+      gd AS (SELECT pair_id, CAST(rate AS INT) AS rate, n,
+          CAST(n * 1000 // rate AS BIGINT) AS ms FROM wav),
+      ga AS (SELECT * FROM gd
+             WHERE ms >= 120 AND ms <= 1000 AND rate >= 8000),
+      sm AS (SELECT pair_id, rate, ms, n, unnest(range(0, n)) AS i FROM ga),
+      amp AS (SELECT pair_id, rate, ms,
+          CAST(SUM(ABS(((i*2653 + pair_id*7919) % 65536) - 32768)) AS DOUBLE)
+            / n / 32768.0 AS mean_abs
+        FROM sm GROUP BY pair_id, rate, ms, n),
+      gm AS (SELECT * FROM amp WHERE mean_abs >= 0.1),
+      caps AS (SELECT doc_id AS pair_id, text FROM documents
+               WHERE doc_id < 20),
+      sc AS (SELECT pair_id,
+          len(list_filter($sqlWords, x -> x <> '')) AS n_words,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.enStop)} AS s_en,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.deStop)} AS s_de,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.frStop)} AS s_fr,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.esStop)} AS s_es,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM caps),
+      lang AS (SELECT pair_id, n_words,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+               WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+               WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+               WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM sc),
+      ie AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS iv
+             FROM embeddings),
+      te AS (SELECT vec_id AS tv, embedding::DOUBLE[] AS tvv
+             FROM embeddings),
+      al AS (SELECT gm.pair_id, gm.rate, gm.ms, gm.mean_abs,
+          lang.pred_lang, lang.n_words,
+          round(${sqlDot("iv", "tvv")} /
+            (${sqlNorm("iv")} * ${sqlNorm("tvv")}), 6) AS align
+        FROM gm JOIN lang USING (pair_id) JOIN ie USING (pair_id)
+        JOIN te ON te.tv = CASE WHEN gm.pair_id % 2 = 0 THEN gm.pair_id
+                                ELSE gm.pair_id + 50 END)
+      SELECT pair_id, rate AS sample_rate, ms AS duration_ms, mean_abs,
+        pred_lang, n_words, align
+      FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
+      ORDER BY pair_id"""))
+
   /** PAIR-granularity dedup ([[graft.multimodal.Pairs.pairDedup]]):
     * planted exact re-encodes (same pixels + same caption) collapse
     * onto their originals; a planted copy with the SAME image but a
@@ -8897,7 +8983,7 @@ object Queries {
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
-    mmVideoFrames, mmPairFilter, mmPairDedup,
+    mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

@@ -118,6 +118,69 @@ object Pairs {
         col("align"))
   }
 
+  /** Append (`__ok`, `__rate`, `__ms`, `__meanAbs`) from a real audio
+    * decode in place — the audio sibling of [[withDims]]. */
+  private def withAudio(df: DataFrame, payloadCol: String,
+                        batchSize: Int): DataFrame = {
+    val out = StructType(df.schema.fields ++ Seq(
+      StructField("__ok", BooleanType, nullable = false),
+      StructField("__rate", IntegerType, nullable = true),
+      StructField("__ms", LongType, nullable = true),
+      StructField("__meanAbs", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val pi = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = if (r.isNullAt(pi)) null else r.getAs[Array[Byte]](pi)
+        Multimodal.decodeAudio(bytes) match {
+          case Some(s) => Row.fromSeq(r.toSeq ++
+            Seq(true, s.sampleRate, s.durationMs, s.meanAbs))
+          case None => Row.fromSeq(r.toSeq ++ Seq(false, null, null, null))
+        }
+      })
+    }(enc)
+  }
+
+  /** The audio-text sibling of [[pairFilter]] — the published
+    * speech-dataset gate set (Common Voice / LibriSpeech prep, the
+    * Whisper data pipeline): the clip must decode, its duration must
+    * sit in `[minMs, maxMs]`, its sample rate must reach
+    * `minSampleRate`, and `meanAbs >= minMeanAbs` rejects silent or
+    * near-silent payloads (PCM amplitude stats are exact-integer
+    * sums, engine-portable). The transcript (`caption`) and the
+    * carried audio↔text embedding columns get exactly the image
+    * path's gates: language, length, 6-dp-rounded cosine threshold
+    * (alignment inference upstream, same contract). Output:
+    * (pair_id, sample_rate, duration_ms, mean_abs, pred_lang,
+    * n_words, align). */
+  def audioPairFilter(pairs: DataFrame,
+                      minMs: Long = 500, maxMs: Long = 30L * 60 * 1000,
+                      minSampleRate: Int = 8000, minMeanAbs: Double = 0.0,
+                      langs: Seq[String] = Seq("en"), minWords: Int = 2,
+                      minAlign: Double = 0.5,
+                      batchSize: Int = 64): DataFrame = {
+    val d = withAudio(pairs, "payload", batchSize)
+      .where(col("__ok"))
+      .where(col("__ms") >= minMs && col("__ms") <= maxMs)
+      .where(col("__rate") >= minSampleRate)
+      .where(col("__meanAbs") >= minMeanAbs)
+    val langOk =
+      if (langs.isEmpty) lit(true)
+      else TextAnalysis.langId(col("caption")).isin(langs: _*)
+    val nWords = size(filter(Dedup.wordsOf(col("caption")), w => w =!= ""))
+    val align = round(Similarity.cosine(
+      col("audio_emb").cast("array<double>"),
+      col("txt_emb").cast("array<double>")), 6)
+    d.withColumn("pred_lang", TextAnalysis.langId(col("caption")))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("align", align)
+      .where(langOk && col("n_words") >= minWords)
+      .where(col("align").isNotNull && col("align") >= minAlign)
+      .select(col("pair_id"), col("__rate").as("sample_rate"),
+        col("__ms").as("duration_ms"), col("__meanAbs").as("mean_abs"),
+        col("pred_lang"), col("n_words"), col("align"))
+  }
+
   /** PAIR-granularity exact dedup: a pair is a duplicate only when
     * BOTH sides repeat — its image's perceptual dHash AND its
     * normalized caption (`byCaption = false` drops the caption from

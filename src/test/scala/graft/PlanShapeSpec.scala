@@ -31,7 +31,9 @@ class PlanShapeSpec extends SparkSpec {
     "events_retention", "embed_neardup", "pii_scrub", "c4_clean",
     "warc_response_scan", "dedup_urls", "mix_sample", "html_extract",
     "text_stats", "repetition_stats", "nfc_normalize",
-    "doc_fingerprint", "vocab_coverage")
+    "doc_fingerprint", "vocab_coverage",
+    "dedup_soft_weights", "dedup_soft_sample", "mm_pair_filter",
+    "mm_pair_dedup")
 
   /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
     * into the insert branch (bounded by construction); ann_bruteforce

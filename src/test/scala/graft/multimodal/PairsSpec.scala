@@ -55,6 +55,30 @@ class PairsSpec extends SparkSpec {
     assert(r.getAs[Double]("align") == 1.0)
   }
 
+  test("audioPairFilter: duration, rate and decode gates each drop their violator") {
+    def wav(id: Long, rate: Int = 8000, n: Int = 2000) =
+      Multimodal.syntheticWav(id, rate, n)
+    val rows = Seq(
+      (1L, wav(1L), enCap, vOk, vOk),                   // survives (250 ms)
+      (2L, wav(2L, n = 400), enCap, vOk, vOk),          // 50 ms: too short
+      (3L, wav(3L, n = 80000), enCap, vOk, vOk),        // 10 s: too long
+      (4L, wav(4L, rate = 4000), enCap, vOk, vOk),      // low sample rate
+      (5L, "junk".getBytes("UTF-8"), enCap, vOk, vOk),  // undecodable
+      (6L, wav(6L), enCap, vOk, vOrth))                 // misaligned
+      .toDF("pair_id", "payload", "caption", "audio_emb", "txt_emb")
+    val kept = Pairs.audioPairFilter(rows,
+        minMs = 100, maxMs = 5000, minSampleRate = 8000,
+        langs = Seq("en"), minWords = 3, minAlign = 0.5)
+      .select("pair_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val r = Pairs.audioPairFilter(rows, minMs = 100, maxMs = 5000,
+        minWords = 3, minAlign = 0.5)
+      .where(col("pair_id") === 1L).collect().head
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Long]("duration_ms") == 250L)
+    assert(r.getAs[Double]("mean_abs") > 0.1) // synthetic signal, not silence
+  }
+
   test("pairDedup: both sides must repeat; caption flip preserves the pair") {
     val rows = Seq(
       pair(1L, png(1L), enCap),
