@@ -187,6 +187,33 @@ object ConfigLoader {
         df.withColumn(req(o, "outCol"),
           o.get("castTo").map(base.cast).getOrElse(base))
       }),
+      // image-text pair curation (LAION/DataComp gates) and
+      // pair-granularity dedup as chain steps — the multimodal
+      // counterpart of the text curation kinds; frames carry
+      // pair_id/payload/caption (+ img_emb/txt_emb or audio_emb for
+      // the filters' alignment gate)
+      "pair_filter" -> (o => df =>
+        graft.multimodal.Pairs.pairFilter(df,
+          minWidth = o.getOrElse("minWidth", "8").toInt,
+          minHeight = o.getOrElse("minHeight", "8").toInt,
+          maxAspect = o.getOrElse("maxAspect", "3.0").toDouble,
+          langs = o.getOrElse("langs", "en").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          minWords = o.getOrElse("minWords", "2").toInt,
+          minAlign = o.getOrElse("minAlign", "0.5").toDouble)),
+      "pair_dedup" -> (o => df =>
+        graft.multimodal.Pairs.pairDedup(df,
+          byCaption = o.getOrElse("byCaption", "true").toBoolean)),
+      "audio_pair_filter" -> (o => df =>
+        graft.multimodal.Pairs.audioPairFilter(df,
+          minMs = o.getOrElse("minMs", "500").toLong,
+          maxMs = o.getOrElse("maxMs", (30L * 60 * 1000).toString).toLong,
+          minSampleRate = o.getOrElse("minSampleRate", "8000").toInt,
+          minMeanAbs = o.getOrElse("minMeanAbs", "0.0").toDouble,
+          langs = o.getOrElse("langs", "en").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          minWords = o.getOrElse("minWords", "2").toInt,
+          minAlign = o.getOrElse("minAlign", "0.5").toDouble)),
       "scrub_pii" -> (o => df => {
         val c = req(o, "column")
         df.withColumn(c, graft.llm.TextAnalysis.scrubPii(ColumnNs.q(c)))

@@ -195,6 +195,21 @@ class ConfigLoaderSpec extends SparkSpec {
     val semKept = transformKinds("semdedup")(
       Map("threshold" -> "0.99", "nClusters" -> "2"))(vecs)
     assert(semKept.select("vec_id").as[Long].collect().toSet == Set(1L, 2L))
+    // pair_filter / pair_dedup kinds drive the multimodal pair ops
+    val vOk = Seq(1.0f, 0.0f, 0.0f)
+    val ppairs = Seq(
+      (1L, graft.multimodal.Multimodal.syntheticPng(1L, 16, 16),
+        "the quick brown fox jumps over the dog", vOk, vOk),
+      (2L, graft.multimodal.Multimodal.syntheticPng(2L, 4, 16),
+        "the quick brown fox jumps over the dog", vOk, vOk))
+      .toDF("pair_id", "payload", "caption", "img_emb", "txt_emb")
+    val pKept = transformKinds("pair_filter")(
+      Map("minWidth" -> "8", "minAlign" -> "0.5", "minWords" -> "3"))(ppairs)
+    assert(pKept.select("pair_id").as[Long].collect().toSet == Set(1L))
+    val pdup = transformKinds("pair_dedup")(Map())(
+      ppairs.unionByName(ppairs.limit(1)
+        .withColumn("pair_id", lit(10L))))
+    assert(pdup.select("pair_id").as[Long].collect().toSet == Set(1L, 2L))
     // dedup_soft: sample=false annotates every row with the flattening
     // weight; the default sampling mode always keeps weight-1 uniques
     val sdocs = Seq((1L, "same text"), (2L, "SAME   text"),
