@@ -8607,6 +8607,32 @@ object Queries {
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
 
+  /** Hard-negative mining ([[graft.multimodal.Pairs.hardNegatives]] —
+    * contrastive-training prep): for each pair's text embedding, the
+    * top-3 most-similar OTHER images. Pairs carry the embeddings
+    * table on both sides, so the oracle is the `ann_bruteforce`
+    * replay with the own-image exclusion. */
+  private val mmPairNegatives = QueryDef("mm_pair_negatives",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").where(col("vec_id") < 10)
+      val pairs = emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("img_emb"), col("embedding").as("txt_emb"))
+      graft.multimodal.Pairs.hardNegatives(pairs, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("pair_id"), col("rank"))
+    },
+    Some(s"""WITH p AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.pair_id AS query_id, c.pair_id AS neighbor_id,
+          ${sqlDot("q.v", "c.v")} / (${sqlNorm("q.v")} * ${sqlNorm("c.v")})
+            AS cosine
+        FROM p q CROSS JOIN p c WHERE q.pair_id <> c.pair_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+      SELECT query_id AS pair_id, CAST(rank AS BIGINT) AS rank,
+        neighbor_id AS negative_id, cosine
+      FROM r WHERE rank <= 3 ORDER BY pair_id, rank"""))
+
   /** PAIR-granularity dedup ([[graft.multimodal.Pairs.pairDedup]]):
     * planted exact re-encodes (same pixels + same caption) collapse
     * onto their originals; a planted copy with the SAME image but a
@@ -8984,6 +9010,7 @@ object Queries {
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
+    mmPairNegatives,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

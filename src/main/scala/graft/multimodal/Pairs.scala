@@ -181,6 +181,24 @@ object Pairs {
         col("pred_lang"), col("n_words"), col("align"))
   }
 
+  /** Hard-negative mining — the contrastive-training prep the pair
+    * datasets feed (CLIP-style training improves when in-batch random
+    * negatives are supplemented with MINED hard ones: for each pair's
+    * TEXT, the most text-similar OTHER images): top-k over the
+    * `img_emb` corpus by cosine against each pair's `txt_emb`, the
+    * pair's own image excluded. A documented thin composition of
+    * [[Similarity.bruteForceTopK]] (broadcast query side,
+    * WindowGroupLimit top-k) — at corpus scale the IVF/PQ index paths
+    * substitute the same way they do for `ann_*`. Returns
+    * (pair_id, rank, negative_id, cosine). */
+  def hardNegatives(pairs: DataFrame, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(
+        pairs.select(col("pair_id"), col("txt_emb").as("embedding")),
+        pairs.select(col("pair_id"), col("img_emb").as("embedding")), k,
+        qIdCol = "pair_id", cIdCol = "pair_id")
+      .select(col("query_id").as("pair_id"), col("rank"),
+        col("neighbor_id").as("negative_id"), col("cosine"))
+
   /** PAIR-granularity exact dedup: a pair is a duplicate only when
     * BOTH sides repeat — its image's perceptual dHash AND its
     * normalized caption (`byCaption = false` drops the caption from

@@ -95,6 +95,21 @@ class PairsSpec extends SparkSpec {
     assert(imgOnly == Set(1L, 12L, 100L))
   }
 
+  test("hardNegatives: nearest other image by text cosine, self excluded") {
+    val e1 = Seq(1.0f, 0.0f, 0.0f)
+    val e2 = Seq(0.9f, 0.1f, 0.0f)  // close to e1
+    val e3 = Seq(0.0f, 0.0f, 1.0f)  // orthogonal-ish
+    val pairs = Seq(
+      (1L, e1, e1), (2L, e2, e2), (3L, e3, e3))
+      .toDF("pair_id", "img_emb", "txt_emb")
+    val negs = Pairs.hardNegatives(pairs, k = 1)
+      .select("pair_id", "negative_id").as[(Long, Long)].collect().toMap
+    assert(negs(1L) == 2L) // pair 2's image is pair 1's hardest negative
+    assert(negs(2L) == 1L)
+    assert(!Pairs.hardNegatives(pairs, k = 2).collect()
+      .exists(r => r.getAs[Long]("pair_id") == r.getAs[Long]("negative_id")))
+  }
+
   test("pairDedup keeps the min pair_id and preserves input columns") {
     val rows = Seq(pair(5L, png(1L), enCap), pair(3L, png(1L), enCap))
     val out = Pairs.pairDedup(pairsDf(rows))
