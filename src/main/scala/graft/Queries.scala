@@ -8607,6 +8607,97 @@ object Queries {
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
 
+  /** The COMPOSED multimodal curation chain — pair dedup → pair gate →
+    * deterministic shard assignment (the DataComp recipe end to end:
+    * collapse duplicate pairs first, gate what's left, shard the
+    * survivors for training). Fixture = `mm_pair_filter`'s 20 pairs
+    * plus planted exact-copy pairs (same pixels, caption, embeddings
+    * under new ids) that the dedup stage must drop BEFORE the gates
+    * run. The oracle replays the whole composition: copies
+    * deterministically lose to their min-id originals, then the
+    * filter replay, then the md5-rank shard arithmetic. */
+  private val mmPairCuration = QueryDef("mm_pair_curation",
+    (s, d) => {
+      def dims(id: Long): (Int, Int) =
+        if (id == 5L) (6, 8) else if (id == 7L) (24, 8)
+        else (8 + (id % 3).toInt * 4, 8)
+      val assets = (0L until 20L).map { id =>
+        val (w, h) = dims(id)
+        (id, if (id == 13L) "definitely not an image".getBytes("UTF-8")
+             else graft.multimodal.Multimodal.syntheticPng(id, w, h), id)
+      } ++ Seq(1L, 2L, 4L).map { id =>
+        // copies only of >= 9px-wide images: narrower ones have no
+        // 9x8 dHash grid, so dedup (correctly) routes them to per-row
+        // sentinel keys instead of collapsing them
+        val (w, h) = dims(id)
+        (id + 1000L, graft.multimodal.Multimodal.syntheticPng(id, w, h), id)
+      }
+      val imgs = s.createDataFrame(assets).toDF("pair_id", "payload", "__base")
+        .repartition(4)
+      val caps = t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val emb = t(s, d, "embeddings")
+      val ie = emb.select(col("vec_id"), col("embedding").as("img_emb"))
+      val te = emb.select(col("vec_id").as("__tv"),
+        col("embedding").as("txt_emb"))
+      val pairs = imgs.join(caps, imgs("__base") === caps("doc_id"))
+        .withColumn("__tvk", when(col("__base") % 2 === 0, col("__base"))
+          .otherwise(col("__base") + 50))
+        .join(ie, col("__base") === col("vec_id"))
+        .join(te, col("__tvk") === col("__tv"))
+        .select(col("pair_id"), col("payload"), col("text").as("caption"),
+          col("img_emb"), col("txt_emb"))
+      val deduped = graft.multimodal.Pairs.pairDedup(pairs)
+      val gated = graft.multimodal.Pairs.pairFilter(deduped,
+        minWidth = 8, minHeight = 8, maxAspect = 2.5,
+        langs = Seq("en"), minWords = 3, minAlign = 0.9)
+      graft.llm.Packing.shardShuffle(gated, "pair_id", nShards = 4)
+        .select(col("pair_id"), col("width"), col("height"),
+          col("pred_lang"), col("n_words"), col("align"), col("shard"))
+        .orderBy(col("pair_id"))
+    },
+    Some(s"""WITH ids(pair_id) AS (SELECT unnest(range(0, 20))),
+      dims AS (SELECT pair_id,
+          CASE WHEN pair_id = 5 THEN 6 WHEN pair_id = 7 THEN 24
+               ELSE CAST(8 + (pair_id % 3) * 4 AS INT) END AS w,
+          CAST(8 AS INT) AS h
+        FROM ids WHERE pair_id <> 13),
+      gd AS (SELECT * FROM dims WHERE w >= 8 AND h >= 8
+             AND greatest(w, h) <= 2.5 * least(w, h)),
+      caps AS (SELECT doc_id AS pair_id, text FROM documents
+               WHERE doc_id < 20),
+      sc AS (SELECT pair_id,
+          len(list_filter($sqlWords, x -> x <> '')) AS n_words,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.enStop)} AS s_en,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.deStop)} AS s_de,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.frStop)} AS s_fr,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.esStop)} AS s_es,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM caps),
+      lang AS (SELECT pair_id, n_words,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+               WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+               WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+               WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM sc),
+      ie AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS iv
+             FROM embeddings),
+      te AS (SELECT vec_id AS tv, embedding::DOUBLE[] AS tvv
+             FROM embeddings),
+      al AS (SELECT gd.pair_id, gd.w, gd.h, lang.pred_lang, lang.n_words,
+          round(${sqlDot("iv", "tvv")} /
+            (${sqlNorm("iv")} * ${sqlNorm("tvv")}), 6) AS align
+        FROM gd JOIN lang USING (pair_id) JOIN ie USING (pair_id)
+        JOIN te ON te.tv = CASE WHEN gd.pair_id % 2 = 0 THEN gd.pair_id
+                                ELSE gd.pair_id + 50 END)
+      SELECT pair_id, w AS width, h AS height, pred_lang, n_words, align,
+        CAST(${sqlHexVal("md5(CAST(pair_id AS VARCHAR))", 8)} % 4
+          AS BIGINT) AS shard
+      FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
+      ORDER BY pair_id"""))
+
   /** Hard-negative mining ([[graft.multimodal.Pairs.hardNegatives]] —
     * contrastive-training prep): for each pair's text embedding, the
     * top-3 most-similar OTHER images. Pairs carry the embeddings
@@ -9010,7 +9101,7 @@ object Queries {
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
-    mmPairNegatives,
+    mmPairNegatives, mmPairCuration,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,
