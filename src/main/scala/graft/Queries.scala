@@ -8607,6 +8607,83 @@ object Queries {
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
 
+  /** Video-text pair curation gate
+    * ([[graft.multimodal.Pairs.videoPairFilter]] — WebVid-style prep:
+    * real demux + first-frame decode, frame-count window,
+    * frame-resolution floor, then the shared caption gates). Fixture:
+    * synthetic PNG-frame videos with id-derived frame counts (every
+    * id%3==0 clip too short) and widths (every even id too narrow),
+    * one corrupt payload; ODD pairs carry aligned embeddings so the
+    * alignment gate composes with the structural gates. Dims, frame
+    * counts, and every caption gate replay closed-form. */
+  private val mmVideoPairFilter = QueryDef("mm_video_pair_filter",
+    (s, d) => {
+      val assets = (0L until 20L).map { id =>
+        val w = 8 + (id % 2).toInt * 4
+        val n = 2 + (id % 3).toInt
+        (id, if (id == 13L) "definitely not a video".getBytes("UTF-8")
+             else graft.multimodal.Multimodal.syntheticVideo(id, n, w, 8))
+      }
+      val clips = s.createDataFrame(assets).toDF("pair_id", "payload")
+        .repartition(4)
+      val caps = t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id").as("pair_id"), col("text").as("caption"))
+      val emb = t(s, d, "embeddings")
+      val ve = emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("video_emb"))
+      val te = emb.select(col("vec_id").as("__tv"),
+        col("embedding").as("txt_emb"))
+      val pairs = clips.join(caps, Seq("pair_id"))
+        .withColumn("__tv", when(col("pair_id") % 2 === 1, col("pair_id"))
+          .otherwise(col("pair_id") + 50))
+        .join(ve, Seq("pair_id")).join(te, Seq("__tv")).drop("__tv")
+      graft.multimodal.Pairs.videoPairFilter(pairs,
+          minFrames = 3, maxFrames = 64, minWidth = 10, minHeight = 8,
+          langs = Seq("en"), minWords = 3, minAlign = 0.9)
+        .orderBy(col("pair_id"))
+    },
+    Some(s"""WITH ids(pair_id) AS (SELECT unnest(range(0, 20))),
+      vids AS (SELECT pair_id,
+          CAST(2 + (pair_id % 3) AS INT) AS n_frames,
+          CAST(8 + (pair_id % 2) * 4 AS INT) AS w, CAST(8 AS INT) AS h
+        FROM ids WHERE pair_id <> 13),
+      gv AS (SELECT * FROM vids
+             WHERE n_frames >= 3 AND n_frames <= 64
+               AND w >= 10 AND h >= 8),
+      caps AS (SELECT doc_id AS pair_id, text FROM documents
+               WHERE doc_id < 20),
+      sc AS (SELECT pair_id,
+          len(list_filter($sqlWords, x -> x <> '')) AS n_words,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.enStop)} AS s_en,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.deStop)} AS s_de,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.frStop)} AS s_fr,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.esStop)} AS s_es,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM caps),
+      lang AS (SELECT pair_id, n_words,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+               WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+               WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+               WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM sc),
+      ie AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS iv
+             FROM embeddings),
+      te AS (SELECT vec_id AS tv, embedding::DOUBLE[] AS tvv
+             FROM embeddings),
+      al AS (SELECT gv.pair_id, gv.n_frames, gv.w, gv.h,
+          lang.pred_lang, lang.n_words,
+          round(${sqlDot("iv", "tvv")} /
+            (${sqlNorm("iv")} * ${sqlNorm("tvv")}), 6) AS align
+        FROM gv JOIN lang USING (pair_id) JOIN ie USING (pair_id)
+        JOIN te ON te.tv = CASE WHEN gv.pair_id % 2 = 1 THEN gv.pair_id
+                                ELSE gv.pair_id + 50 END)
+      SELECT pair_id, n_frames, w AS width, h AS height, pred_lang,
+        n_words, align
+      FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
+      ORDER BY pair_id"""))
+
   /** The COMPOSED multimodal curation chain — pair dedup → pair gate →
     * deterministic shard assignment (the DataComp recipe end to end:
     * collapse duplicate pairs first, gate what's left, shard the
@@ -9101,7 +9178,7 @@ object Queries {
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
-    mmPairNegatives, mmPairCuration,
+    mmPairNegatives, mmPairCuration, mmVideoPairFilter,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

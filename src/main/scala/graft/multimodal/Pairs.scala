@@ -181,6 +181,67 @@ object Pairs {
         col("pred_lang"), col("n_words"), col("align"))
   }
 
+  /** Append (`__ok`, `__frames`, `__w`, `__h`) from a real video
+    * demux + first-frame decode in place — the video sibling of
+    * [[withDims]]. `__frames` counts demuxed frames (capped at
+    * `maxFrames`); `__ok` requires at least one frame AND a decodable
+    * first frame (dims come from it). */
+  private def withVideo(df: DataFrame, payloadCol: String,
+                        maxFrames: Int, batchSize: Int): DataFrame = {
+    val out = StructType(df.schema.fields ++ Seq(
+      StructField("__ok", BooleanType, nullable = false),
+      StructField("__frames", IntegerType, nullable = true),
+      StructField("__w", IntegerType, nullable = true),
+      StructField("__h", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val pi = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = if (r.isNullAt(pi)) null else r.getAs[Array[Byte]](pi)
+        val frames = Multimodal.pngFrames(bytes, maxFrames)
+        frames.headOption.flatMap(Multimodal.decodeImage) match {
+          case Some(s) => Row.fromSeq(r.toSeq ++
+            Seq(true, frames.size, s.width, s.height))
+          case None => Row.fromSeq(r.toSeq ++ Seq(false, null, null, null))
+        }
+      })
+    }(enc)
+  }
+
+  /** The video-text sibling of [[pairFilter]] (video-caption dataset
+    * prep — WebVid/HowTo-style gates): the clip must demux and its
+    * first frame decode, carry `[minFrames, maxFrames]` frames, and
+    * meet the frame-resolution floor; the caption and the carried
+    * `video_emb`/`txt_emb` columns get the shared
+    * language/length/alignment gates. Output: (pair_id, n_frames,
+    * width, height, pred_lang, n_words, align). */
+  def videoPairFilter(pairs: DataFrame,
+                      minFrames: Int = 2, maxFrames: Int = 64,
+                      minWidth: Int = 8, minHeight: Int = 8,
+                      langs: Seq[String] = Seq("en"), minWords: Int = 2,
+                      minAlign: Double = 0.5,
+                      batchSize: Int = 16): DataFrame = {
+    val d = withVideo(pairs, "payload", maxFrames, batchSize)
+      .where(col("__ok"))
+      .where(col("__frames") >= minFrames && col("__frames") <= maxFrames)
+      .where(col("__w") >= minWidth && col("__h") >= minHeight)
+    val langOk =
+      if (langs.isEmpty) lit(true)
+      else TextAnalysis.langId(col("caption")).isin(langs: _*)
+    val nWords = size(filter(Dedup.wordsOf(col("caption")), w => w =!= ""))
+    val align = round(Similarity.cosine(
+      col("video_emb").cast("array<double>"),
+      col("txt_emb").cast("array<double>")), 6)
+    d.withColumn("pred_lang", TextAnalysis.langId(col("caption")))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("align", align)
+      .where(langOk && col("n_words") >= minWords)
+      .where(col("align").isNotNull && col("align") >= minAlign)
+      .select(col("pair_id"), col("__frames").as("n_frames"),
+        col("__w").as("width"), col("__h").as("height"),
+        col("pred_lang"), col("n_words"), col("align"))
+  }
+
   /** Hard-negative mining — the contrastive-training prep the pair
     * datasets feed (CLIP-style training improves when in-batch random
     * negatives are supplemented with MINED hard ones: for each pair's

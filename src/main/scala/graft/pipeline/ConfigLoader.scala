@@ -204,6 +204,16 @@ object ConfigLoader {
       "pair_dedup" -> (o => df =>
         graft.multimodal.Pairs.pairDedup(df,
           byCaption = o.getOrElse("byCaption", "true").toBoolean)),
+      "video_pair_filter" -> (o => df =>
+        graft.multimodal.Pairs.videoPairFilter(df,
+          minFrames = o.getOrElse("minFrames", "2").toInt,
+          maxFrames = o.getOrElse("maxFrames", "64").toInt,
+          minWidth = o.getOrElse("minWidth", "8").toInt,
+          minHeight = o.getOrElse("minHeight", "8").toInt,
+          langs = o.getOrElse("langs", "en").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          minWords = o.getOrElse("minWords", "2").toInt,
+          minAlign = o.getOrElse("minAlign", "0.5").toDouble)),
       "audio_pair_filter" -> (o => df =>
         graft.multimodal.Pairs.audioPairFilter(df,
           minMs = o.getOrElse("minMs", "500").toLong,

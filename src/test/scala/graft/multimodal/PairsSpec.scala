@@ -95,6 +95,27 @@ class PairsSpec extends SparkSpec {
     assert(imgOnly == Set(1L, 12L, 100L))
   }
 
+  test("videoPairFilter: frame-count, resolution and decode gates") {
+    def vid(id: Long, n: Int = 4, w: Int = 16) =
+      Multimodal.syntheticVideo(id, n, w, 12)
+    val rows = Seq(
+      (1L, vid(1L), enCap, vOk, vOk),             // survives
+      (2L, vid(2L, n = 1), enCap, vOk, vOk),      // too few frames
+      (3L, vid(3L, w = 4), enCap, vOk, vOk),      // frames too narrow
+      (4L, "junk".getBytes("UTF-8"), enCap, vOk, vOk), // undecodable
+      (5L, vid(5L), enCap, vOk, vOrth))           // misaligned
+      .toDF("pair_id", "payload", "caption", "video_emb", "txt_emb")
+    val kept = Pairs.videoPairFilter(rows,
+        minFrames = 2, minWidth = 8, minHeight = 8,
+        langs = Seq("en"), minWords = 3, minAlign = 0.5)
+      .select("pair_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val r = Pairs.videoPairFilter(rows, minFrames = 2, minWords = 3,
+        minAlign = 0.5)
+      .where(col("pair_id") === 1L).collect().head
+    assert(r.getAs[Int]("n_frames") == 4 && r.getAs[Int]("width") == 16)
+  }
+
   test("hardNegatives: nearest other image by text cosine, self excluded") {
     val e1 = Seq(1.0f, 0.0f, 0.0f)
     val e2 = Seq(0.9f, 0.1f, 0.0f)  // close to e1
