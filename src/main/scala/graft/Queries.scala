@@ -8453,35 +8453,14 @@ object Queries {
     * identically either way). The oracle replays every gate from first
     * principles: closed-form dims, the langId stop-hit tie-break, the
     * fold-ordered cosine. */
-  private val mmPairFilter = QueryDef("mm_pair_filter",
-    (s, d) => {
-      val assets = (0L until 20L).map { id =>
-        val (w, h) =
-          if (id == 5L) (6, 8)
-          else if (id == 7L) (24, 8)
-          else (8 + (id % 3).toInt * 4, 8)
-        (id, if (id == 13L) "definitely not an image".getBytes("UTF-8")
-             else graft.multimodal.Multimodal.syntheticPng(id, w, h))
-      }
-      val imgs = s.createDataFrame(assets).toDF("pair_id", "payload")
-        .repartition(4)
-      val caps = t(s, d, "documents").where(col("doc_id") < 20)
-        .select(col("doc_id").as("pair_id"), col("text").as("caption"))
-      val emb = t(s, d, "embeddings")
-      val ie = emb.select(col("vec_id").as("pair_id"),
-        col("embedding").as("img_emb"))
-      val te = emb.select(col("vec_id").as("__tv"),
-        col("embedding").as("txt_emb"))
-      val pairs = imgs.join(caps, Seq("pair_id"))
-        .withColumn("__tv", when(col("pair_id") % 2 === 0, col("pair_id"))
-          .otherwise(col("pair_id") + 50))
-        .join(ie, Seq("pair_id")).join(te, Seq("__tv")).drop("__tv")
-      graft.multimodal.Pairs.pairFilter(pairs,
-          minWidth = 8, minHeight = 8, maxAspect = 2.5,
-          langs = Seq("en"), minWords = 3, minAlign = 0.9)
-        .orderBy(col("pair_id"))
-    },
-    Some(s"""WITH ids(pair_id) AS (SELECT unnest(range(0, 20))),
+  /** ONE DuckDB replay of the image-pair gate chain over the shared
+    * 20-pair fixture (closed-form dims for the id-derived synthetic
+    * PNGs, the langId tie-break, the fold-ordered cosine with the
+    * even-aligned/odd-mismatched embedding wiring) — shared by
+    * `mm_pair_filter` and `mm_pair_stream` so the batch gate and the
+    * streamed store cannot drift on any gate. */
+  private val sqlPairGateReplay =
+    s"""WITH ids(pair_id) AS (SELECT unnest(range(0, 20))),
       dims AS (SELECT pair_id,
           CASE WHEN pair_id = 5 THEN 6 WHEN pair_id = 7 THEN 24
                ELSE CAST(8 + (pair_id % 3) * 4 AS INT) END AS w,
@@ -8519,7 +8498,37 @@ object Queries {
                                 ELSE gd.pair_id + 50 END)
       SELECT pair_id, w AS width, h AS height, pred_lang, n_words, align
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
-      ORDER BY pair_id"""))
+      ORDER BY pair_id"""
+
+  private val mmPairFilter = QueryDef("mm_pair_filter",
+    (s, d) => {
+      val assets = (0L until 20L).map { id =>
+        val (w, h) =
+          if (id == 5L) (6, 8)
+          else if (id == 7L) (24, 8)
+          else (8 + (id % 3).toInt * 4, 8)
+        (id, if (id == 13L) "definitely not an image".getBytes("UTF-8")
+             else graft.multimodal.Multimodal.syntheticPng(id, w, h))
+      }
+      val imgs = s.createDataFrame(assets).toDF("pair_id", "payload")
+        .repartition(4)
+      val caps = t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id").as("pair_id"), col("text").as("caption"))
+      val emb = t(s, d, "embeddings")
+      val ie = emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("img_emb"))
+      val te = emb.select(col("vec_id").as("__tv"),
+        col("embedding").as("txt_emb"))
+      val pairs = imgs.join(caps, Seq("pair_id"))
+        .withColumn("__tv", when(col("pair_id") % 2 === 0, col("pair_id"))
+          .otherwise(col("pair_id") + 50))
+        .join(ie, Seq("pair_id")).join(te, Seq("__tv")).drop("__tv")
+      graft.multimodal.Pairs.pairFilter(pairs,
+          minWidth = 8, minHeight = 8, maxAspect = 2.5,
+          langs = Seq("en"), minWords = 3, minAlign = 0.9)
+        .orderBy(col("pair_id"))
+    },
+    Some(sqlPairGateReplay))
 
   /** Audio-text pair curation gate
     * ([[graft.multimodal.Pairs.audioPairFilter]] — the speech-dataset
@@ -8774,6 +8783,66 @@ object Queries {
           AS BIGINT) AS shard
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
+
+  /** CONTINUOUS pair ingest
+    * ([[graft.streaming.IndexIngest.appendPairStream]] — the streamed
+    * LAION/DataComp crawl shape): the shared 20-pair fixture arrives
+    * as two REAL MemoryStream micro-batches, batch 2 carrying planted
+    * re-crawls of batch-1 content under new ids (cross-batch pair-key
+    * dedup must refuse them) plus a straight redelivery of two
+    * batch-1 rows (id-ledger idempotence). The accepted store's
+    * evidence columns must equal the BATCH gate replay — the same
+    * DuckDB oracle as `mm_pair_filter`, so the streamed store and the
+    * one-shot gate are bound to each other. */
+  private val mmPairStream = QueryDef("mm_pair_stream",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "mm_pair_stream")
+      val ap = new org.apache.hadoop.fs.Path(dir)
+      ap.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ap, true)
+      def dims(id: Long): (Int, Int) =
+        if (id == 5L) (6, 8) else if (id == 7L) (24, 8)
+        else (8 + (id % 3).toInt * 4, 8)
+      // fixture rows assembled driver-side (the pack_stream_materialize
+      // test-harness feeding convention — tiny, bounded)
+      val caps = t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toMap
+      val embs = t(s, d, "embeddings").where(col("vec_id") < 70)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toMap
+      def mk(id: Long, base: Long)
+          : (Long, Array[Byte], String, Seq[Float], Seq[Float]) = {
+        val (w, h) = dims(base)
+        val payload =
+          if (base == 13L) "definitely not an image".getBytes("UTF-8")
+          else graft.multimodal.Multimodal.syntheticPng(base, w, h)
+        val tv = if (base % 2 == 0) base else base + 50
+        (id, payload, caps(base), embs(base), embs(tv))
+      }
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Byte], String, Seq[Float], Seq[Float])]
+      val q = graft.streaming.IndexIngest.appendPairStream(
+        mem.toDF().toDF("pair_id", "payload", "caption", "img_emb",
+          "txt_emb"),
+        dir, minWidth = 8, minHeight = 8, maxAspect = 2.5,
+        langs = Seq("en"), minWords = 3, minAlign = 0.9)
+      try {
+        val b1 = (0L until 10L).map(i => mk(i, i))
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        val b2 = (10L until 20L).map(i => mk(i, i)) ++
+          Seq(mk(1001L, 1L), mk(1002L, 2L), mk(1004L, 4L)) ++ b1.take(2)
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$dir/accepted")
+        .select(col("pair_id"), col("width"), col("height"),
+          col("pred_lang"), col("n_words"), col("align"))
+        .orderBy(col("pair_id"))
+    },
+    Some(sqlPairGateReplay))
 
   /** Hard-negative mining ([[graft.multimodal.Pairs.hardNegatives]] —
     * contrastive-training prep): for each pair's text embedding, the
@@ -9178,7 +9247,7 @@ object Queries {
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
-    mmPairNegatives, mmPairCuration, mmVideoPairFilter,
+    mmPairNegatives, mmPairCuration, mmVideoPairFilter, mmPairStream,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

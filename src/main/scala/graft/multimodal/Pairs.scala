@@ -94,7 +94,24 @@ object Pairs {
                  maxAspect: Double = 3.0,
                  langs: Seq[String] = Seq("en"), minWords: Int = 2,
                  minAlign: Double = 0.5,
-                 batchSize: Int = 64): DataFrame = {
+                 batchSize: Int = 64): DataFrame =
+    pairFilterAll(pairs, minWidth, minHeight, maxAspect, langs, minWords,
+        minAlign, batchSize)
+      .select(col("pair_id"), col("width"), col("height"),
+        col("pred_lang"), col("n_words"), col("align"))
+
+  /** [[pairFilter]] WITHOUT the evidence projection: surviving rows
+    * keep every input column (payload, caption, embeddings, anything
+    * the caller carried) plus the evidence columns (width, height,
+    * pred_lang, n_words, align) — the form a streamed ingest needs,
+    * where the ACCEPTED pair rows are the product, not just the gate
+    * report. */
+  def pairFilterAll(pairs: DataFrame,
+                    minWidth: Int = 8, minHeight: Int = 8,
+                    maxAspect: Double = 3.0,
+                    langs: Seq[String] = Seq("en"), minWords: Int = 2,
+                    minAlign: Double = 0.5,
+                    batchSize: Int = 64): DataFrame = {
     val d = withDims(pairs, "payload", batchSize)
       .where(col("__ok"))
       .where(col("__w") >= minWidth && col("__h") >= minHeight)
@@ -113,9 +130,26 @@ object Pairs {
       .withColumn("align", align)
       .where(langOk && col("n_words") >= minWords)
       .where(col("align").isNotNull && col("align") >= minAlign)
-      .select(col("pair_id"), col("__w").as("width"),
-        col("__h").as("height"), col("pred_lang"), col("n_words"),
-        col("align"))
+      .withColumn("width", col("__w"))
+      .withColumn("height", col("__h"))
+      .drop("__ok", "__w", "__h")
+  }
+
+  /** The dedup key [[pairDedup]] groups on, exposed for ledger use:
+    * the image's perceptual dHash (× the normalized caption when
+    * `byCaption`), with undecodable payloads routed to per-row
+    * sentinel keys. Appends it as `pair_key`. */
+  def withPairKey(pairs: DataFrame, byCaption: Boolean = true,
+                  batchSize: Int = 64): DataFrame = {
+    val withH = withDHash(pairs, "payload", batchSize)
+    val imgKey = col("__dhash").cast("string")
+    val key =
+      if (byCaption)
+        concat(imgKey, lit("|"), Dedup.normalizeText(col("caption")))
+      else imgKey
+    withH.withColumn("pair_key", when(col("__ok"), key)
+        .otherwise(concat(lit("__bad__"), col("pair_id").cast("string"))))
+      .drop("__ok", "__dhash")
   }
 
   /** Append (`__ok`, `__rate`, `__ms`, `__meanAbs`) from a real audio
@@ -275,18 +309,10 @@ object Pairs {
     * cost shape with the decode fused into the same pass. */
   def pairDedup(pairs: DataFrame, byCaption: Boolean = true,
                 batchSize: Int = 64): DataFrame = {
-    val withH = withDHash(pairs, "payload", batchSize)
-    val imgKey = col("__dhash").cast("string")
-    val key =
-      if (byCaption)
-        concat(imgKey, lit("|"), Dedup.normalizeText(col("caption")))
-      else imgKey
-    val w = Window.partitionBy(col("__k"))
-    withH
-      .withColumn("__k", when(col("__ok"), key)
-        .otherwise(concat(lit("__bad__"), col("pair_id").cast("string"))))
+    val w = Window.partitionBy(col("pair_key"))
+    withPairKey(pairs, byCaption, batchSize)
       .withColumn("__keep", min(col("pair_id")).over(w))
       .where(col("pair_id") === col("__keep"))
-      .drop("__ok", "__dhash", "__k", "__keep")
+      .drop("pair_key", "__keep")
   }
 }

@@ -1071,10 +1071,12 @@ object ConfigLoader {
                               curate: Seq[StepConfig], pack: Options,
                               availableNow: Boolean,
                               index: Options = Map.empty,
-                              search: Options = Map.empty)
+                              search: Options = Map.empty,
+                              pairs: Options = Map.empty)
 
   private val knownStreamKeys =
-    Set("source", "curate", "pack", "index", "search", "availableNow")
+    Set("source", "curate", "pack", "index", "search", "pairs",
+      "availableNow")
 
   /** Parse the `stream:` jobs of a config file (batch `parseYamlFile`
     * / `parse` skip them; the two surfaces share one file). Unknown
@@ -1131,16 +1133,18 @@ object ConfigLoader {
     val pack = optMap("pack")
     val index = optMap("index")
     val search = optMap("search")
-    if (Seq(pack, index, search).count(_.nonEmpty) != 1)
+    val prs = optMap("pairs")
+    if (Seq(pack, index, search, prs).count(_.nonEmpty) != 1)
       throw new Pipeline.ValidationException(
-        "config: stream job needs exactly one of 'pack', 'index' or 'search'")
+        "config: stream job needs exactly one of 'pack', 'index', " +
+          "'search' or 'pairs'")
     StreamSpec(
       name = String.valueOf(m.getOrElse("name",
         throw new Pipeline.ValidationException("config: job missing 'name'"))),
       source = source, curate = curate, pack = pack,
       availableNow = st.get("availableNow").exists(v =>
         String.valueOf(v).toBoolean),
-      index = index, search = search)
+      index = index, search = search, pairs = prs)
   }
 
   /** Start a `stream:` job: resolve the source and curation kinds,
@@ -1164,6 +1168,23 @@ object ConfigLoader {
             s"config: unknown transform kind '${step.kind}' in stream.curate"))(
           step.options)(f)
       }
+    if (spec.pairs.nonEmpty) {
+      // continuous PAIR ingest (the streamed LAION/DataComp crawl):
+      // gates + three dedup layers into the accepted-pairs store;
+      // the store is the only state (index-as-ledger)
+      val px = spec.pairs
+      return graft.streaming.IndexIngest.appendPairStream(src,
+        req(px, "dir"),
+        minWidth = px.getOrElse("minWidth", "8").toInt,
+        minHeight = px.getOrElse("minHeight", "8").toInt,
+        maxAspect = px.getOrElse("maxAspect", "3.0").toDouble,
+        langs = px.getOrElse("langs", "en").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq,
+        minWords = px.getOrElse("minWords", "2").toInt,
+        minAlign = px.getOrElse("minAlign", "0.5").toDouble,
+        byCaption = px.getOrElse("byCaption", "true").toBoolean,
+        curate = curate)
+    }
     if (spec.search.nonEmpty) {
       // continuous SERVING: per-micro-batch partition-pruned probe of
       // a persisted IVF index over the job's query stream, answers to

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -118,6 +119,98 @@ object IndexIngest {
       appendBatch(curate(batch.toDF()), s"$dir/codes", "vec_id",
         fresh => Similarity.appendIvfPqIndex(batch.sparkSession, fresh, dir,
           cIdCol, vecCol), batchIdCol = cIdCol)
+    }.start()
+  }
+
+  /** Seed the streamed-pair-ingest store ([[appendPairStream]]) from a
+    * batch corpus — the "ledger present before the stream starts"
+    * convention for PAIRS: batch-side pair dedup (keep-min per
+    * perceptual key), then the configured gates, accepted rows +
+    * their `pair_key` written as `dir/accepted`. The accepted table
+    * IS the ledger (the index-as-ledger convention): the stream's
+    * replay and cross-batch dedup anti-joins read only its
+    * (pair_id, pair_key) columns — column-pruned, never the payload. */
+  def seedPairStore(pairs: DataFrame, dir: String,
+                    minWidth: Int = 8, minHeight: Int = 8,
+                    maxAspect: Double = 3.0,
+                    langs: Seq[String] = Seq("en"), minWords: Int = 2,
+                    minAlign: Double = 0.5, byCaption: Boolean = true,
+                    batchSize: Int = 64): Unit = {
+    val deduped = graft.multimodal.Pairs.pairDedup(pairs, byCaption,
+      batchSize)
+    val gated = graft.multimodal.Pairs.pairFilterAll(deduped,
+      minWidth, minHeight, maxAspect, langs, minWords, minAlign, batchSize)
+    graft.multimodal.Pairs.withPairKey(gated, byCaption, batchSize)
+      .write.mode("overwrite").parquet(s"$dir/accepted")
+  }
+
+  /** STREAMED PAIR INGEST — the continuous LAION/DataComp crawl shape:
+    * each micro-batch of (pair_id, payload, caption, img_emb,
+    * txt_emb) rows runs the caller's extra curate stages, then the
+    * pair gates ([[graft.multimodal.Pairs.pairFilterAll]] — survivors
+    * keep their full rows), then THREE dedup layers before landing in
+    * `dir/accepted`:
+    *
+    *  - replay/id dedup: anti-join against accepted's own `pair_id`
+    *    (at-least-once redelivery never re-lands a pair);
+    *  - in-batch pair dedup: keep-min per perceptual `pair_key`
+    *    (dHash × normalized caption);
+    *  - cross-batch pair dedup: anti-join the batch's keys against
+    *    accepted's `pair_key` column — a re-crawled copy of an
+    *    ACCEPTED image+caption (new URL, new id, same pixels) is
+    *    refused, the content-hash-ledger semantics of the text chain
+    *    at pair granularity.
+    *
+    * The accepted table is the only state (index-as-ledger): both
+    * anti-joins read two pruned columns of it, never the payload.
+    * Greedy online semantics match the batch [[graft.multimodal.Pairs.pairDedup]]
+    * when ids arrive monotonically (cross-batch keep-first == global
+    * keep-min) — the same documented equivalence as the text chain.
+    * Seed with [[seedPairStore]] (or start empty: a missing accepted
+    * dir means everything is fresh). Gates run BEFORE dedup's shuffle
+    * so rejected pairs never enter an exchange. */
+  def appendPairStream(pairs: DataFrame, dir: String,
+                       minWidth: Int = 8, minHeight: Int = 8,
+                       maxAspect: Double = 3.0,
+                       langs: Seq[String] = Seq("en"), minWords: Int = 2,
+                       minAlign: Double = 0.5, byCaption: Boolean = true,
+                       batchSize: Int = 64,
+                       curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
+    require(pairs.isStreaming,
+      "appendPairStream: expected a streaming frame")
+    pairs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val accPath = new org.apache.hadoop.fs.Path(s"$dir/accepted")
+      val acc: Option[DataFrame] =
+        if (accPath.getFileSystem(conf).exists(accPath))
+          Some(spark.read.parquet(s"$dir/accepted")) else None
+      val cur = curate(batch.toDF()).where(col("pair_id").isNotNull)
+        .dropDuplicates("pair_id")
+      val unseen = acc match {
+        case Some(a) => cur.join(
+          a.select(col("pair_id").as("__graft_seen")),
+          col("pair_id") === col("__graft_seen"), "left_anti")
+        case None => cur
+      }
+      val gated = graft.multimodal.Pairs.pairFilterAll(unseen,
+        minWidth, minHeight, maxAspect, langs, minWords, minAlign,
+        batchSize)
+      val keyed = graft.multimodal.Pairs.withPairKey(gated, byCaption,
+        batchSize)
+      val w = Window.partitionBy(col("pair_key"))
+      val inBatch = keyed
+        .withColumn("__keep", min(col("pair_id")).over(w))
+        .where(col("pair_id") === col("__keep")).drop("__keep")
+      val fresh = (acc match {
+        case Some(a) => inBatch.join(
+          a.select(col("pair_key").as("__graft_key")).distinct(),
+          col("pair_key") === col("__graft_key"), "left_anti")
+        case None => inBatch
+      }).localCheckpoint(true)
+      if (!fresh.isEmpty)
+        fresh.write.mode("append").parquet(s"$dir/accepted")
     }.start()
   }
 

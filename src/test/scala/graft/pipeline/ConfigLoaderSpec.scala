@@ -1268,6 +1268,43 @@ class ConfigLoaderSpec extends SparkSpec {
       ConfigLoader.parseStreamsYamlFile(bad.getPath))
   }
 
+  test("stream job with pairs sink: one-config continuous pair ingest") {
+    val work = Files.createTempDirectory("graft_streampairs").toFile.getPath
+    val vOk = Seq(1.0f, 0.0f, 0.0f)
+    val cap = "the quick brown fox jumps over the lazy dog"
+    new java.io.File(s"$work/in").mkdirs()
+    Seq(
+      (1L, graft.multimodal.Multimodal.syntheticPng(1L, 16, 16), cap, vOk, vOk),
+      (2L, graft.multimodal.Multimodal.syntheticPng(1L, 16, 16), cap, vOk, vOk), // content twin
+      (3L, graft.multimodal.Multimodal.syntheticPng(3L, 4, 16), cap, vOk, vOk))  // too narrow
+      .toDF("pair_id", "payload", "caption", "img_emb", "txt_emb")
+      .write.mode("overwrite").parquet(s"$work/in")
+    val p = new java.io.File(work, "pairs.yaml")
+    Files.write(p.toPath,
+      s"""jobs:
+         |  - name: pairs
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        path: $work/in
+         |      pairs:
+         |        dir: $work/store
+         |        minWidth: '8'
+         |        minWords: '3'
+         |        minAlign: '0.5'
+         |      availableNow: true
+         |""".stripMargin.getBytes("UTF-8"))
+    val spec = ConfigLoader.parseStreamsYamlFile(p.getPath).head
+    assert(spec.pairs("dir") == s"$work/store" && spec.pack.isEmpty)
+    ConfigLoader.runStreamOnce(spark, spec)
+    val ids = spark.read.parquet(s"$work/store/accepted")
+      .select("pair_id").as[Long].collect().toSet
+    assert(ids == Set(1L), s"twin + narrow refused: $ids")
+    // re-drain adds nothing
+    ConfigLoader.runStreamOnce(spark, spec)
+    assert(spark.read.parquet(s"$work/store/accepted").count() == 1L)
+  }
+
   test("config-driven WARC stream: crawl landing dir -> extract -> gate -> ledger pack, one config") {
     graft.plans.GraftExtensions.register(spark)
     val work = Files.createTempDirectory("graft_warccfg").toFile.getPath

@@ -505,6 +505,59 @@ class StreamingSpec extends SparkSpec {
       .where(col("neighbor_id") === 7003L).count() == 1L)
   }
 
+  test("appendPairStream: gates + three dedup layers; streamed ≡ batch store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairstream")
+      .toFile.getPath
+    val vOk = Seq(1.0f, 0.0f, 0.0f)
+    val cap = "the quick brown fox jumps over the lazy dog"
+    def png(id: Long) = graft.multimodal.Multimodal.syntheticPng(id, 16, 16)
+    def pair(id: Long, imgSeed: Long, caption: String = cap) =
+      (id, png(imgSeed), caption, vOk, vOk)
+    // seed: pair 1 accepted batch-side
+    val seed = Seq(pair(1L, 1L))
+      .toDF("pair_id", "payload", "caption", "img_emb", "txt_emb")
+    IndexIngest.seedPairStore(seed, dir, minWords = 3, minAlign = 0.5)
+    assert(spark.read.parquet(s"$dir/accepted").count() == 1L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], String, Seq[Float], Seq[Float])]
+    val q = IndexIngest.appendPairStream(
+      mem.toDF().toDF("pair_id", "payload", "caption", "img_emb", "txt_emb"),
+      dir, minWords = 3, minAlign = 0.5)
+    try {
+      // batch 1: a novel pair, a re-crawl of the SEEDED pair's content
+      // under a new id (cross-batch dedup must refuse), an in-batch
+      // duplicate pair (keep-min), and a gate-failing caption
+      mem.addData(
+        pair(10L, 10L),
+        pair(11L, 1L),                 // same pixels+caption as seed 1
+        pair(12L, 12L), pair(13L, 12L), // in-batch content twins
+        pair(14L, 14L, "too short"))
+      q.processAllAvailable()
+      // batch 2: full redelivery of batch 1 plus one novel pair
+      mem.addData(pair(10L, 10L), pair(11L, 1L), pair(12L, 12L),
+        pair(13L, 12L), pair(14L, 14L, "too short"), pair(20L, 20L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val acc = spark.read.parquet(s"$dir/accepted")
+    val ids = acc.select("pair_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 10L, 12L, 20L),
+      s"seed kept, novel landed, re-crawl + twin + gated refused: $ids")
+    // accepted rows carry the full pair payload + evidence + key
+    assert(acc.columns.toSet.contains("payload") &&
+      acc.columns.toSet.contains("pair_key") &&
+      acc.columns.toSet.contains("align"))
+    // streamed store == one-shot batch curation over the union
+    val union = seed.unionByName(Seq(pair(10L, 10L), pair(11L, 1L),
+        pair(12L, 12L), pair(13L, 12L), pair(14L, 14L, "too short"),
+        pair(20L, 20L))
+      .toDF("pair_id", "payload", "caption", "img_emb", "txt_emb"))
+    val batchIds = graft.multimodal.Pairs.pairFilterAll(
+        graft.multimodal.Pairs.pairDedup(union), minWords = 3,
+        minAlign = 0.5)
+      .select("pair_id").as[Long].collect().toSet
+    assert(batchIds == ids, s"streamed $ids != batch $batchIds")
+  }
+
   test("searchIvfStream: streamed answers ≡ batch probe; replays never re-answer") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
