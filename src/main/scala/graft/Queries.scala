@@ -8784,6 +8784,33 @@ object Queries {
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
 
+  /** Pair-corpus benchmark decontamination
+    * ([[graft.multimodal.Pairs.decontaminatePairs]] — the DataComp
+    * eval-set hygiene step at image granularity): re-encodes of two
+    * corpus images arrive as the "benchmark", and exactly those
+    * corpus pairs must drop via the broadcast chunk-probe; the
+    * corrupt payload passes through (undecodable can't leak a
+    * benchmark). Survivor membership is structurally determined
+    * (dHash bits are closed-form-bound by `mm_image_dhash`). */
+  private val mmPairDecontaminate = QueryDef("mm_pair_decontaminate",
+    (s, d) => {
+      val corpus = ((0L until 12L).map { id =>
+        (id, graft.multimodal.Multimodal.syntheticPng(id, 18, 16))
+      } :+ ((100L, "definitely not an image".getBytes("UTF-8"))))
+      val pairs = s.createDataFrame(corpus).toDF("pair_id", "payload")
+        .repartition(4)
+      val bench = s.createDataFrame(Seq(
+          (9000L, graft.multimodal.Multimodal.syntheticPng(2L, 18, 16)),
+          (9001L, graft.multimodal.Multimodal.syntheticPng(5L, 18, 16))))
+        .toDF("asset_id", "payload")
+      graft.multimodal.Pairs.decontaminatePairs(pairs, bench,
+          maxHamming = 0)
+        .select(col("pair_id")).orderBy(col("pair_id"))
+    },
+    Some("""SELECT CAST(pair_id AS BIGINT) AS pair_id FROM (
+        SELECT unnest(range(0, 12)) AS pair_id UNION ALL SELECT 100)
+      WHERE pair_id NOT IN (2, 5) ORDER BY pair_id"""))
+
   /** CONTINUOUS pair ingest
     * ([[graft.streaming.IndexIngest.appendPairStream]] — the streamed
     * LAION/DataComp crawl shape): the shared 20-pair fixture arrives
@@ -9248,6 +9275,7 @@ object Queries {
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
     mmPairNegatives, mmPairCuration, mmVideoPairFilter, mmPairStream,
+    mmPairDecontaminate,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

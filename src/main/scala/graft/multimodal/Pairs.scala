@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -274,6 +274,48 @@ object Pairs {
       .select(col("pair_id"), col("__frames").as("n_frames"),
         col("__w").as("width"), col("__h").as("height"),
         col("pred_lang"), col("n_words"), col("align"))
+  }
+
+  /** Benchmark decontamination for PAIR corpora — the DataComp
+    * hygiene step (training pairs near-duplicating eval-set imagery —
+    * ImageNet & co. — leak the benchmark): drop corpus pairs whose
+    * image sits within `maxHamming` gradient bits of ANY benchmark
+    * image. `benchmark` carries (asset_id, payload).
+    *
+    * Scale shape: the benchmark side is eval-suite-sized, so its
+    * (chunk, key, fp) probe set BROADCASTS (the text
+    * decontamination's broadcast-gram convention at image
+    * granularity); the corpus pays its fused decode plus one
+    * broadcast join + an id anti-join — the corpus is never shuffled
+    * and the benchmark never self-joined. The 4×16-bit chunk banding
+    * guarantees recall to Hamming 3 (`maxHamming = 0` = exact
+    * perceptual match, still via the shared banding path).
+    * Undecodable corpus payloads pass through (they can't match
+    * benchmark imagery); [[pairFilter]] owns validity. */
+  def decontaminatePairs(pairs: DataFrame, benchmark: DataFrame,
+                         maxHamming: Int = 0,
+                         batchSize: Int = 64): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk banding guarantees recall only to Hamming 3")
+    def chunksOf(fp: Column) = explode(array((0 until 4).map(i =>
+      struct(lit(i).as("chunk"),
+        shiftright(fp, i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+    val bench = Multimodal.imageDHashes(
+        benchmark.select(col("asset_id"), col("payload")), batchSize)
+      .where(col("ok")).select(col("dhash").as("__bfp")).distinct()
+      .select(col("__bfp"), chunksOf(col("__bfp")).as("c"))
+      .select(col("c.chunk"), col("c.key"), col("__bfp"))
+    val withH = withDHash(pairs, "payload", batchSize)
+    val flagged = withH.where(col("__ok"))
+      .select(col("pair_id"), col("__dhash"),
+        chunksOf(col("__dhash")).as("c"))
+      .select(col("pair_id"), col("__dhash"), col("c.chunk"), col("c.key"))
+      .join(broadcast(bench), Seq("chunk", "key"))
+      .where(Dedup.hamming(col("__dhash"), col("__bfp")) <= maxHamming)
+      .select(col("pair_id").as("__graft_contam")).distinct()
+    withH.join(flagged, col("pair_id") === col("__graft_contam"),
+        "left_anti")
+      .drop("__ok", "__dhash")
   }
 
   /** Hard-negative mining — the contrastive-training prep the pair

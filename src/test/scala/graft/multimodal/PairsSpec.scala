@@ -116,6 +116,24 @@ class PairsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_frames") == 4 && r.getAs[Int]("width") == 16)
   }
 
+  test("decontaminatePairs: benchmark re-encodes flagged, rest untouched") {
+    val pairs = Seq(
+      (1L, png(1L), enCap, vOk, vOk),
+      (2L, png(2L), enCap, vOk, vOk),
+      (100L, "junk".getBytes("UTF-8"), enCap, vOk, vOk))
+      .toDF("pair_id", "payload", "caption", "img_emb", "txt_emb")
+    val bench = Seq((9000L, png(2L))).toDF("asset_id", "payload")
+    val kept0 = Pairs.decontaminatePairs(pairs, bench, maxHamming = 0)
+      .select("pair_id").as[Long].collect().toSet
+    assert(kept0 == Set(1L, 100L)) // exact perceptual match dropped
+    val kept3 = Pairs.decontaminatePairs(pairs, bench, maxHamming = 3)
+      .select("pair_id").as[Long].collect().toSet
+    assert(kept3 == Set(1L, 100L)) // hamming-0 match still within 3
+    // input columns preserved for survivors
+    assert(Pairs.decontaminatePairs(pairs, bench).columns.toSet ==
+      Set("pair_id", "payload", "caption", "img_emb", "txt_emb"))
+  }
+
   test("hardNegatives: nearest other image by text cosine, self excluded") {
     val e1 = Seq(1.0f, 0.0f, 0.0f)
     val e2 = Seq(0.9f, 0.1f, 0.0f)  // close to e1
