@@ -8784,6 +8784,51 @@ object Queries {
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
 
+  /** Interleaved-document assembly
+    * ([[graft.multimodal.Pairs.interleaveImages]] — the MMC4 recipe:
+    * page images placed at their most-similar text chunk, capped per
+    * chunk). Five documents of four chunks each (chunk embeddings =
+    * embeddings rows 0..19), ten images distributed round-robin
+    * (image embeddings = rows 20..29): every placement and rank
+    * replays from the shared cosine machinery. */
+  private val mmInterleave = QueryDef("mm_interleave",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val chunks = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") / 4).cast("long").as("doc_id"),
+          pmod(col("vec_id"), lit(4L)).as("chunk_idx"),
+          col("embedding").as("chunk_emb"))
+      val images = emb.where(col("vec_id") >= 20 && col("vec_id") < 30)
+        .select((col("vec_id") + 80).as("asset_id"),
+          pmod(col("vec_id"), lit(5L)).as("doc_id"),
+          col("embedding").as("img_emb"))
+      graft.multimodal.Pairs.interleaveImages(chunks, images,
+          maxPerChunk = 1)
+        .withColumn("img_rank", col("img_rank").cast("long"))
+        .orderBy(col("doc_id"), col("chunk_idx"), col("asset_id"))
+    },
+    Some(s"""WITH ch AS (SELECT vec_id // 4 AS doc_id, vec_id % 4 AS chunk_idx,
+          embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 20),
+      im AS (SELECT vec_id + 80 AS asset_id, vec_id % 5 AS doc_id,
+          embedding::DOUBLE[] AS iv
+        FROM embeddings WHERE vec_id >= 20 AND vec_id < 30),
+      sc AS (SELECT im.asset_id, im.doc_id, ch.chunk_idx,
+          round(${sqlDot("iv", "cv")} /
+            (${sqlNorm("iv")} * ${sqlNorm("cv")}), 6) AS sim
+        FROM im JOIN ch USING (doc_id)),
+      best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY asset_id ORDER BY sim DESC, chunk_idx) AS r
+        FROM sc) WHERE r = 1),
+      ranked AS (SELECT doc_id, chunk_idx, asset_id, sim,
+          ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
+            ORDER BY sim DESC, asset_id) AS img_rank
+        FROM best)
+      SELECT doc_id, chunk_idx, asset_id, sim,
+        CAST(img_rank AS BIGINT) AS img_rank
+      FROM ranked WHERE img_rank <= 1
+      ORDER BY doc_id, chunk_idx, asset_id"""))
+
   /** Pair-corpus benchmark decontamination
     * ([[graft.multimodal.Pairs.decontaminatePairs]] — the DataComp
     * eval-set hygiene step at image granularity): re-encodes of two
@@ -9275,7 +9320,7 @@ object Queries {
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
     mmPairNegatives, mmPairCuration, mmVideoPairFilter, mmPairStream,
-    mmPairDecontaminate,
+    mmPairDecontaminate, mmInterleave,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

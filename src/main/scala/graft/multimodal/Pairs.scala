@@ -276,6 +276,42 @@ object Pairs {
         col("pred_lang"), col("n_words"), col("align"))
   }
 
+  /** Interleaved-document assembly — the MMC4 recipe (Zhu et al.
+    * 2023: images scraped with a page are PLACED into the page's text
+    * by CLIP-similarity assignment, producing the image-text
+    * interleaved sequences multimodal LMs train on): each image goes
+    * to the most-similar text chunk OF ITS OWN DOCUMENT (ties → the
+    * earliest chunk), and each chunk keeps at most `maxPerChunk`
+    * images (best-first, ties → lowest asset id).
+    *
+    * Inputs carry upstream-inference embeddings (the pair-family
+    * contract): `chunks` = (doc_id, chunk_idx, chunk_emb), `images` =
+    * (asset_id, doc_id, img_emb). Similarities are 6-dp rounded
+    * BEFORE ranking so placement is engine-stable.
+    *
+    * Scale shape: ONE hash join on doc_id (images meet only their own
+    * page's chunks — never a corpus cross product); the two ranking
+    * windows partition by asset and by (doc, chunk), both bounded by
+    * per-page fan-out. Returns (doc_id, chunk_idx, asset_id, sim,
+    * img_rank). */
+  def interleaveImages(chunks: DataFrame, images: DataFrame,
+                       maxPerChunk: Int = 1): DataFrame = {
+    val scored = images.join(chunks, Seq("doc_id"))
+      .withColumn("sim", round(Similarity.cosine(
+        col("img_emb").cast("array<double>"),
+        col("chunk_emb").cast("array<double>")), 6))
+    val wImg = Window.partitionBy(col("asset_id"))
+      .orderBy(col("sim").desc, col("chunk_idx"))
+    val best = scored.withColumn("__r", row_number().over(wImg))
+      .where(col("__r") === 1).drop("__r")
+    val wChunk = Window.partitionBy(col("doc_id"), col("chunk_idx"))
+      .orderBy(col("sim").desc, col("asset_id"))
+    best.withColumn("img_rank", row_number().over(wChunk))
+      .where(col("img_rank") <= maxPerChunk)
+      .select(col("doc_id"), col("chunk_idx"), col("asset_id"),
+        col("sim"), col("img_rank"))
+  }
+
   /** Benchmark decontamination for PAIR corpora — the DataComp
     * hygiene step (training pairs near-duplicating eval-set imagery —
     * ImageNet & co. — leak the benchmark): drop corpus pairs whose

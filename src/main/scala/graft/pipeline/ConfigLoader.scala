@@ -204,6 +204,13 @@ object ConfigLoader {
       "pair_dedup" -> (o => df =>
         graft.multimodal.Pairs.pairDedup(df,
           byCaption = o.getOrElse("byCaption", "true").toBoolean)),
+      // benchmark decontamination for pair corpora: benchmarkDir is a
+      // parquet of (asset_id, payload) eval images; pairs within
+      // maxHamming dHash bits of any of them drop
+      "pair_decontaminate" -> (o => df =>
+        graft.multimodal.Pairs.decontaminatePairs(df,
+          df.sparkSession.read.parquet(req(o, "benchmarkDir")),
+          maxHamming = o.getOrElse("maxHamming", "0").toInt)),
       "video_pair_filter" -> (o => df =>
         graft.multimodal.Pairs.videoPairFilter(df,
           minFrames = o.getOrElse("minFrames", "2").toInt,

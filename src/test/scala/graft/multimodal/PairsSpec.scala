@@ -116,6 +116,30 @@ class PairsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_frames") == 4 && r.getAs[Int]("width") == 16)
   }
 
+  test("interleaveImages: best own-doc chunk wins; per-chunk cap holds") {
+    val e1 = Seq(1.0f, 0.0f, 0.0f)
+    val e2 = Seq(0.0f, 1.0f, 0.0f)
+    val near2 = Seq(0.1f, 1.0f, 0.0f)
+    val chunks = Seq(
+      (1L, 0L, e1), (1L, 1L, e2),
+      (2L, 0L, e2)) // doc 2 has an e2 chunk an own-doc image must prefer
+      .toDF("doc_id", "chunk_idx", "chunk_emb")
+    val images = Seq(
+      (10L, 1L, e2),     // doc 1: lands on chunk 1
+      (11L, 1L, near2),  // doc 1: also best at chunk 1, lower sim
+      (12L, 2L, e1))     // doc 2: only chunk 0 available (own doc only)
+      .toDF("asset_id", "doc_id", "img_emb")
+    val out = Pairs.interleaveImages(chunks, images, maxPerChunk = 1)
+      .select("doc_id", "chunk_idx", "asset_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // asset 10 wins chunk (1,1); asset 11 loses the cap and is dropped
+    // (greedy, no respill); asset 12 stays inside its own doc
+    assert(out == Set((1L, 1L, 10L), (2L, 0L, 12L)))
+    val capped2 = Pairs.interleaveImages(chunks, images, maxPerChunk = 2)
+      .select("asset_id").as[Long].collect().toSet
+    assert(capped2 == Set(10L, 11L, 12L))
+  }
+
   test("decontaminatePairs: benchmark re-encodes flagged, rest untouched") {
     val pairs = Seq(
       (1L, png(1L), enCap, vOk, vOk),
