@@ -8784,6 +8784,100 @@ object Queries {
       FROM al WHERE pred_lang = 'en' AND n_words >= 3 AND align >= 0.9
       ORDER BY pair_id"""))
 
+  /** Per-gate pair-funnel counts
+    * ([[graft.multimodal.Pairs.pairFunnel]] — the `curation_funnel`
+    * observability row at pair granularity, computed in ONE
+    * aggregation pass over the shared 20-pair fixture): the oracle
+    * recomputes every gate flag from first principles and must land
+    * on the same seven survival counts. */
+  private val mmPairFunnel = QueryDef("mm_pair_funnel",
+    (s, d) => {
+      def dims(id: Long): (Int, Int) =
+        if (id == 5L) (6, 8) else if (id == 7L) (24, 8)
+        else (8 + (id % 3).toInt * 4, 8)
+      val assets = (0L until 20L).map { id =>
+        val (w, h) = dims(id)
+        (id, if (id == 13L) "definitely not an image".getBytes("UTF-8")
+             else graft.multimodal.Multimodal.syntheticPng(id, w, h))
+      }
+      val imgs = s.createDataFrame(assets).toDF("pair_id", "payload")
+        .repartition(4)
+      val caps = t(s, d, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id").as("pair_id"), col("text").as("caption"))
+      val emb = t(s, d, "embeddings")
+      val ie = emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("img_emb"))
+      val te = emb.select(col("vec_id").as("__tv"),
+        col("embedding").as("txt_emb"))
+      val pairs = imgs.join(caps, Seq("pair_id"))
+        .withColumn("__tv", when(col("pair_id") % 2 === 0, col("pair_id"))
+          .otherwise(col("pair_id") + 50))
+        .join(ie, Seq("pair_id")).join(te, Seq("__tv")).drop("__tv")
+      graft.multimodal.Pairs.pairFunnel(pairs,
+          minWidth = 8, minHeight = 8, maxAspect = 2.5,
+          langs = Seq("en"), minWords = 3, minAlign = 0.9)
+        .orderBy(col("stage_idx"))
+    },
+    Some(s"""WITH ids(pair_id) AS (SELECT unnest(range(0, 20))),
+      base AS (SELECT pair_id, pair_id <> 13 AS decode_ok,
+          CASE WHEN pair_id = 5 THEN 6 WHEN pair_id = 7 THEN 24
+               ELSE CAST(8 + (pair_id % 3) * 4 AS INT) END AS w,
+          CAST(8 AS INT) AS h
+        FROM ids),
+      caps AS (SELECT doc_id AS pair_id, text FROM documents
+               WHERE doc_id < 20),
+      sc AS (SELECT pair_id,
+          len(list_filter($sqlWords, x -> x <> '')) AS n_words,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.enStop)} AS s_en,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.deStop)} AS s_de,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.frStop)} AS s_fr,
+          ${sqlStopHits(s"$sqlWords", TextAnalysis.esStop)} AS s_es,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM caps),
+      lang AS (SELECT pair_id, n_words,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+               WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+               WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+               WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+               WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM sc),
+      ie AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS iv
+             FROM embeddings),
+      te AS (SELECT vec_id AS tv, embedding::DOUBLE[] AS tvv
+             FROM embeddings),
+      fl AS (SELECT b.pair_id, b.decode_ok,
+          b.decode_ok AND b.w >= 8 AND b.h >= 8 AS dims_ok,
+          b.decode_ok AND b.w >= 8 AND b.h >= 8
+            AND greatest(b.w, b.h) <= 2.5 * least(b.w, b.h) AS aspect_ok,
+          lang.pred_lang = 'en' AS is_en, lang.n_words AS n_words,
+          round(${sqlDot("iv", "tvv")} /
+            (${sqlNorm("iv")} * ${sqlNorm("tvv")}), 6) AS align
+        FROM base b JOIN lang ON b.pair_id = lang.pair_id
+        JOIN ie ON b.pair_id = ie.pair_id
+        JOIN te ON te.tv = CASE WHEN b.pair_id % 2 = 0 THEN b.pair_id
+                                ELSE b.pair_id + 50 END),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS input,
+          CAST(SUM(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS decode,
+          CAST(SUM(CASE WHEN dims_ok THEN 1 ELSE 0 END) AS BIGINT) AS dims,
+          CAST(SUM(CASE WHEN aspect_ok THEN 1 ELSE 0 END) AS BIGINT) AS aspect,
+          CAST(SUM(CASE WHEN aspect_ok AND is_en THEN 1 ELSE 0 END)
+            AS BIGINT) AS lang,
+          CAST(SUM(CASE WHEN aspect_ok AND is_en AND n_words >= 3
+            THEN 1 ELSE 0 END) AS BIGINT) AS words,
+          CAST(SUM(CASE WHEN aspect_ok AND is_en AND n_words >= 3
+            AND align >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS align
+        FROM fl)
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+        input AS n_pass FROM agg
+      UNION ALL SELECT 1, 'decode', decode FROM agg
+      UNION ALL SELECT 2, 'dims', dims FROM agg
+      UNION ALL SELECT 3, 'aspect', aspect FROM agg
+      UNION ALL SELECT 4, 'lang', lang FROM agg
+      UNION ALL SELECT 5, 'words', words FROM agg
+      UNION ALL SELECT 6, 'align', align FROM agg
+      ORDER BY stage_idx"""))
+
   /** Interleaved-document assembly
     * ([[graft.multimodal.Pairs.interleaveImages]] — the MMC4 recipe:
     * page images placed at their most-similar text chunk, capped per
@@ -9320,7 +9414,7 @@ object Queries {
     mmAudioHash, mmVideoNearDup, mmAudioStats,
     mmVideoFrames, mmPairFilter, mmPairDedup, mmAudioPairFilter,
     mmPairNegatives, mmPairCuration, mmVideoPairFilter, mmPairStream,
-    mmPairDecontaminate, mmInterleave,
+    mmPairDecontaminate, mmInterleave, mmPairFunnel,
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,

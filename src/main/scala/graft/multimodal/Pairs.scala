@@ -135,6 +135,47 @@ object Pairs {
       .drop("__ok", "__w", "__h")
   }
 
+  /** Per-gate funnel counts for [[pairFilter]] — the observability row
+    * a pair-curation run ships with (the text chain's
+    * `curation_funnel` at pair granularity): how many pairs survive
+    * each successive gate, computed in ONE pass (the gates become
+    * flag columns, one aggregation sums them — no per-stage jobs).
+    * Returns (stage_idx, stage, n_pass) with stage 0 = input rows. */
+  def pairFunnel(pairs: DataFrame,
+                 minWidth: Int = 8, minHeight: Int = 8,
+                 maxAspect: Double = 3.0,
+                 langs: Seq[String] = Seq("en"), minWords: Int = 2,
+                 minAlign: Double = 0.5,
+                 batchSize: Int = 64): DataFrame = {
+    val d = withDims(pairs, "payload", batchSize)
+    val decodeOk = col("__ok")
+    val dimsOk = decodeOk && col("__w") >= minWidth &&
+      col("__h") >= minHeight
+    val aspectOk = dimsOk &&
+      greatest(col("__w"), col("__h")).cast("double") <=
+        least(col("__w"), col("__h")).cast("double") * maxAspect
+    val langOk = aspectOk && (if (langs.isEmpty) lit(true)
+      else TextAnalysis.langId(col("caption")).isin(langs: _*))
+    val nWords = size(filter(Dedup.wordsOf(col("caption")), w => w =!= ""))
+    val wordsOk = langOk && nWords >= minWords
+    val align = round(Similarity.cosine(
+      col("img_emb").cast("array<double>"),
+      col("txt_emb").cast("array<double>")), 6)
+    val alignOk = wordsOk && align.isNotNull && align >= minAlign
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = d.agg(count(lit(1)).as("input"), cnt(decodeOk).as("decode"),
+      cnt(dimsOk).as("dims"), cnt(aspectOk).as("aspect"),
+      cnt(langOk).as("lang"), cnt(wordsOk).as("words"),
+      cnt(alignOk).as("align"))
+    val stages = Seq("input", "decode", "dims", "aspect", "lang",
+      "words", "align")
+    agg.select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
+          col(st).as("n_pass"))
+      }: _*)).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_pass"))
+  }
+
   /** The dedup key [[pairDedup]] groups on, exposed for ledger use:
     * the image's perceptual dHash (× the normalized caption when
     * `byCaption`), with undecodable payloads routed to per-row

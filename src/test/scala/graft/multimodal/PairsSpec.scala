@@ -116,6 +116,22 @@ class PairsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_frames") == 4 && r.getAs[Int]("width") == 16)
   }
 
+  test("pairFunnel: monotone survival counts, one row per gate") {
+    val rows = Seq(
+      (1L, png(1L), enCap, vOk, vOk),
+      (2L, "junk".getBytes("UTF-8"), enCap, vOk, vOk),
+      (3L, png(3L), enCap, vOk, vOrth))
+      .toDF("pair_id", "payload", "caption", "img_emb", "txt_emb")
+    val f = Pairs.pairFunnel(rows, minWords = 3, minAlign = 0.5)
+      .orderBy(col("stage_idx"))
+      .select("stage", "n_pass").as[(String, Long)].collect().toSeq
+    assert(f.map(_._1) ==
+      Seq("input", "decode", "dims", "aspect", "lang", "words", "align"))
+    assert(f.map(_._2) == f.map(_._2).sorted.reverse) // monotone funnel
+    assert(f.head._2 == 3L && f.last._2 == 1L)
+    assert(f(1)._2 == 2L) // the corrupt payload dies at decode
+  }
+
   test("interleaveImages: best own-doc chunk wins; per-chunk cap holds") {
     val e1 = Seq(1.0f, 0.0f, 0.0f)
     val e2 = Seq(0.0f, 1.0f, 0.0f)
