@@ -510,7 +510,8 @@ object ScaleProbe {
       // embedding joins — both ops must track the scan: the filter is
       // decode + codegen'd gates, the dedup adds one hash shuffle
       if (opsFilter.isEmpty || opsFilter.exists(f =>
-          Seq("pair_filter", "pair_dedup").exists(_.contains(f)))) {
+          Seq("pair_filter", "pair_dedup", "pair_decontaminate",
+            "pair_interleave").exists(_.contains(f)))) {
         val pngs = (0L until 64L).map(i =>
           (i, graft.multimodal.Multimodal.syntheticPng(i, 18, 16)))
         val pngDf = spark.createDataFrame(pngs).toDF("png_id", "payload")
@@ -528,6 +529,31 @@ object ScaleProbe {
         }
         time(s"pair_dedup x$k") {
           graft.multimodal.Pairs.pairDedup(pairs).count()
+        }
+        time(s"pair_decontaminate x$k") {
+          // FIXED benchmark probe set (broadcast) vs the k×-growing
+          // pair table: cost must track the corpus decode, the
+          // broadcast join adds nothing that grows with k
+          val bench = spark.createDataFrame((200L until 216L).map(i =>
+              (i, graft.multimodal.Multimodal.syntheticPng(i % 64, 18, 16))))
+            .toDF("asset_id", "payload")
+          graft.multimodal.Pairs.decontaminatePairs(pairs, bench,
+            maxHamming = 0).count()
+        }
+        time(s"pair_interleave x$k") {
+          // interleave over the k×-growing corpus: one doc_id hash
+          // join + two bounded windows — linear in pages
+          val chunks = corpus.select(col("doc_id"),
+              pmod(col("doc_id"), lit(4L)).as("chunk_idx"),
+              pmod(col("doc_id"), lit(500L)).as("emb_id"))
+            .join(broadcast(emb.select(col("vec_id").as("emb_id"),
+              col("embedding").as("chunk_emb"))), "emb_id").drop("emb_id")
+          val imgs = corpus.select(
+              (col("doc_id") + 500000000L).as("asset_id"), col("doc_id"),
+              pmod(col("doc_id") + 7, lit(500L)).as("emb_id"))
+            .join(broadcast(emb.select(col("vec_id").as("emb_id"),
+              col("embedding").as("img_emb"))), "emb_id").drop("emb_id")
+          graft.multimodal.Pairs.interleaveImages(chunks, imgs).count()
         }
       }
       // SERVING probe: per-batch answer cost must track the QUERY
