@@ -7638,6 +7638,202 @@ object Queries {
       th AS (SELECT round(quantile_cont(cos, 0.8), 6) AS thr FROM sc)
       SELECT vec_id FROM sc, th WHERE cos <= thr ORDER BY vec_id"""))
 
+  /** Margin-based bitext mining ([[graft.llm.Bitext.mineBitext]],
+    * the Artetxe & Schwenk ratio-margin + intersection retrieval —
+    * the CCMatrix recipe). Source corpus = every 10th vector; target
+    * corpus = perturbed "translations" of every 20th vector (the
+    * planted true pairs) plus an equal-sized slice of unrelated
+    * distractors. The oracle replays the WHOLE mine from first
+    * principles: all-pairs cosine, both kNN directions, the
+    * rank-ordered-fold kNN means (bit-identical to Spark's
+    * array_sort + sequential fold — no rounding tolerance), the
+    * ratio margin, and mutual-argmax + threshold selection. */
+  private val bitextMineQ = QueryDef("bitext_mine",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val src = emb.where(col("vec_id") % 10 === 0)
+      val tgt = emb.where(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 500000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+            .as("embedding"))
+        .unionByName(emb.where(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 700000).as("vec_id"), col("embedding")))
+      graft.llm.Bitext.mineBitext(src, tgt, k = 4, threshold = 1.3)
+        .orderBy(col("src_id"), col("tgt_id"))
+    },
+    Some(s"""WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 10 = 0),
+      tt AS (SELECT vec_id + 500000 AS tgt_id,
+            list_concat([embedding[1] + CAST(0.001 AS FLOAT)],
+              embedding[2:])::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 20 = 0
+          UNION ALL
+          SELECT vec_id + 700000 AS tgt_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 10 = 3),
+      sc AS (SELECT src_id, tgt_id,
+            ${sqlDot("s.v", "tt.v")} / (${sqlNorm("s.v")} * ${sqlNorm("tt.v")})
+              AS cosine
+          FROM s CROSS JOIN tt),
+      fwd AS (SELECT *, row_number() OVER
+            (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS r FROM sc),
+      bwd AS (SELECT *, row_number() OVER
+            (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS r FROM sc),
+      af AS (SELECT src_id,
+            ${sqlFold("list(cosine ORDER BY r)", "0.0", "(acc,v) -> acc+v")}
+              / count(*) AS a
+          FROM fwd WHERE r <= 4 GROUP BY src_id),
+      ab AS (SELECT tgt_id,
+            ${sqlFold("list(cosine ORDER BY r)", "0.0", "(acc,v) -> acc+v")}
+              / count(*) AS a
+          FROM bwd WHERE r <= 4 GROUP BY tgt_id),
+      cand AS (SELECT DISTINCT src_id, tgt_id, cosine FROM
+          (SELECT src_id, tgt_id, cosine FROM fwd WHERE r <= 4
+           UNION ALL SELECT src_id, tgt_id, cosine FROM bwd WHERE r <= 4)),
+      m AS (SELECT c.src_id, c.tgt_id, c.cosine,
+            c.cosine / ((af.a + ab.a) / 2.0) AS margin
+          FROM cand c JOIN af USING (src_id) JOIN ab USING (tgt_id)),
+      mm AS (SELECT *,
+            row_number() OVER
+              (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rs,
+            row_number() OVER
+              (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rt
+          FROM m)
+      SELECT src_id, tgt_id, cosine, margin FROM mm
+      WHERE rs = 1 AND rt = 1 AND margin >= 1.3
+      ORDER BY src_id, tgt_id"""))
+
+  // ==========================================================================
+  // SFT / conversation prep ([[graft.llm.Sft]]) — fixture: a turns table
+  // derived deterministically from documents (conv_id = doc_id % 50,
+  // turn_idx = doc_id div 50) with violations planted by conv-id
+  // residue: %5==0 swaps role parity (role_order), %7==3 blanks turn 1
+  // (empty_content), %11==2 opens with a system turn whose shifted
+  // parity ends on a user turn (no_assistant_end), conv 49 is cut to
+  // one turn (too_short). The same arithmetic runs on both engines.
+  // ==========================================================================
+  private def sftTurns(s: SparkSession, d: String): DataFrame = {
+    val dmod = col("doc_id") % 50
+    val tix = expr("doc_id div 50")
+    t(s, d, "documents").select(
+        dmod.as("conv_id"), tix.as("turn_idx"),
+        when(dmod % 11 === 2 && tix === 0, "system")
+          .when(dmod % 11 === 2,
+            when(tix % 2 === 1, "user").otherwise("assistant"))
+          .when(dmod % 5 === 0,
+            when(tix % 2 === 0, "assistant").otherwise("user"))
+          .otherwise(when(tix % 2 === 0, "user").otherwise("assistant"))
+          .as("role"),
+        when(dmod % 7 === 3 && tix === 1, "")
+          .otherwise(substring(col("text"), 1, 80)).as("content"))
+      .where(!(col("conv_id") === 49 && col("turn_idx") > 0))
+  }
+
+  private val sqlSftTurns: String =
+    """SELECT doc_id % 50 AS conv_id, doc_id // 50 AS turn_idx,
+      CASE WHEN (doc_id % 50) % 11 = 2 AND doc_id // 50 = 0 THEN 'system'
+           WHEN (doc_id % 50) % 11 = 2 THEN
+             (CASE WHEN (doc_id // 50) % 2 = 1 THEN 'user' ELSE 'assistant' END)
+           WHEN (doc_id % 50) % 5 = 0 THEN
+             (CASE WHEN (doc_id // 50) % 2 = 0 THEN 'assistant' ELSE 'user' END)
+           ELSE (CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END)
+      END AS role,
+      CASE WHEN (doc_id % 50) % 7 = 3 AND doc_id // 50 = 1 THEN ''
+           ELSE substr(text, 1, 80) END AS content
+    FROM documents
+    WHERE NOT (doc_id % 50 = 49 AND doc_id // 50 > 0)"""
+
+  /** Conversation structural validation ([[graft.llm.Sft.validateTurns]]):
+    * the oracle recomputes every rule — optional-system body slice,
+    * strict user/assistant alternation via an indexed list_filter, the
+    * fixed first-failure precedence — from the same fixture. */
+  private val sftValidateQ = QueryDef("sft_validate",
+    (s, d) => graft.llm.Sft.validateTurns(sftTurns(s, d))
+      .orderBy(col("conv_id")),
+    Some(s"""WITH turns AS ($sqlSftTurns),
+      a AS (SELECT conv_id,
+            list(struct_pack(i := turn_idx, r := role, c := content)
+              ORDER BY turn_idx) AS t
+          FROM turns GROUP BY conv_id),
+      b AS (SELECT conv_id, t, list_transform(t, x -> x.r) AS roles FROM a),
+      c AS (SELECT conv_id, t, roles,
+            CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END AS body
+          FROM b),
+      v AS (SELECT conv_id, len(t) AS n_turns,
+            CASE
+              WHEN len(body) < 2 THEN 'too_short'
+              WHEN len(list_filter(t, x -> x.c IS NULL OR len(x.c) = 0)) > 0
+                THEN 'empty_content'
+              WHEN len(list_filter(range(1, len(body) + 1),
+                  i -> body[i] <> (CASE WHEN (i - 1) % 2 = 0
+                    THEN 'user' ELSE 'assistant' END))) > 0 THEN 'role_order'
+              WHEN roles[-1] <> 'assistant' THEN 'no_assistant_end'
+            END AS reason
+          FROM c)
+      SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+        reason IS NULL AS ok, reason
+      FROM v ORDER BY conv_id"""))
+
+  /** Chat-template render ([[graft.llm.Sft.render]]): turns →
+    * `<|role|>content<|end|>` concatenated in turn order, replayed
+    * with an ordered string_agg. */
+  private val sftRenderQ = QueryDef("sft_render",
+    (s, d) => graft.llm.Sft.render(sftTurns(s, d)).orderBy(col("conv_id")),
+    Some(s"""WITH turns AS ($sqlSftTurns)
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        string_agg('<|' || role || '|>' || content || '<|end|>', ''
+          ORDER BY turn_idx) AS text
+      FROM turns GROUP BY conv_id ORDER BY conv_id"""))
+
+  /** Assistant loss-mask spans ([[graft.llm.Sft.assistantSpans]]): the
+    * conversation-partitioned prefix sum replayed as the same window
+    * frame; header 4 = len('<|') + len('|>'), trailer 7 = len('<|end|>'). */
+  private val sftSpansQ = QueryDef("sft_spans",
+    (s, d) => graft.llm.Sft.assistantSpans(sftTurns(s, d))
+      .orderBy(col("conv_id"), col("turn_idx")),
+    Some(s"""WITH turns AS ($sqlSftTurns),
+      p AS (SELECT conv_id, turn_idx, role, content,
+            COALESCE(SUM(4 + len(role) + len(content) + 7) OVER
+              (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+          FROM turns)
+      SELECT conv_id, turn_idx,
+        CAST(prior + 4 + len(role) AS BIGINT) AS start_char,
+        CAST(prior + 4 + len(role) + len(content) AS BIGINT) AS end_char
+      FROM p WHERE role = 'assistant' ORDER BY conv_id, turn_idx"""))
+
+  /** Conversation-grain dedup ([[graft.llm.Sft.conversationDedup]]):
+    * planted duplicates (convs with residue 2 re-keyed +1000, content
+    * re-cased and whitespace-padded) collapse onto the lower-id
+    * originals; the oracle rebuilds the normalized transcript hash. */
+  private val sftDedupQ = QueryDef("sft_dedup",
+    (s, d) => {
+      val base = sftTurns(s, d)
+      val dups = base.where(col("conv_id") % 10 === 2).select(
+        (col("conv_id") + 1000).as("conv_id"), col("turn_idx"), col("role"),
+        concat(lit("  "), upper(col("content"))).as("content"))
+      graft.llm.Sft.conversationDedup(base.unionByName(dups))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("content"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+    Some(s"""WITH t0 AS ($sqlSftTurns),
+      t2 AS (SELECT conv_id, turn_idx, role, content FROM t0
+           UNION ALL
+           SELECT conv_id + 1000, turn_idx, role, '  ' || upper(content)
+             FROM t0 WHERE conv_id % 10 = 2),
+      k AS (SELECT conv_id, md5(string_agg(
+            role || chr(31) ||
+              trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) || chr(30),
+            '' ORDER BY turn_idx)) AS kk
+          FROM t2 GROUP BY conv_id),
+      keep AS (SELECT conv_id FROM
+          (SELECT conv_id, row_number() OVER
+             (PARTITION BY kk ORDER BY conv_id) AS rn FROM k)
+          WHERE rn = 1)
+      SELECT t2.conv_id, turn_idx, role, content
+      FROM t2 JOIN keep USING (conv_id)
+      ORDER BY conv_id, turn_idx"""))
+
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -9409,6 +9605,7 @@ object Queries {
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
+    bitextMineQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,

@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / conversation data preparation — the post-training counterpart
+  * of the pre-training curation surface: multi-turn conversations
+  * arrive as one row per turn and must be structurally validated,
+  * rendered into a single training text with a chat template, given
+  * assistant-only loss-mask spans, and deduplicated at the
+  * conversation grain (the published instruction-tuning hygiene steps
+  * — e.g. the Tülu/OpenAssistant data cards all describe exactly this
+  * chain).
+  *
+  * Every operator here is one hash exchange on the conversation key
+  * (the collect-sort-check/render shape) or one conversation-
+  * partitioned window — no global windows, no driver loops; the
+  * per-conversation arrays are bounded by turns-per-conversation
+  * (tens), never by corpus size, so the shapes hold at 100 TB.
+  *
+  * No counterpart in the reference (WP-ETL has no conversation data);
+  * extension surface per the training-data-pipeline mandate.
+  */
+object Sft {
+
+  /** Chat-template tokens (a ChatML-ish shape). A turn renders as
+    * `<|role|>content<|end|>`; a conversation is its turns rendered in
+    * turn order and concatenated — no separator, so char offsets are a
+    * pure prefix sum of turn lengths ([[assistantSpans]] depends on
+    * that). */
+  val RoleOpen = "<|"
+  val RoleClose = "|>"
+  val TurnEnd = "<|end|>"
+
+  private def turnHeaderLen(role: Column): Column =
+    lit(RoleOpen.length + RoleClose.length) + length(role)
+  private def turnLen(role: Column, content: Column): Column =
+    turnHeaderLen(role) + length(content) + lit(TurnEnd.length)
+
+  /** Structural validation, one verdict row per conversation:
+    * (convCol, n_turns, ok, reason) with `reason` null when ok and the
+    * FIRST failing rule's name otherwise, checked in a fixed order so
+    * the verdict is deterministic:
+    *
+    *  1. `too_short`   — fewer than 2 turns after the optional leading
+    *                     system turn (a prompt with no response, or a
+    *                     response with no prompt, trains nothing);
+    *  2. `empty_content` — any null/empty turn content;
+    *  3. `role_order`  — after the optional system turn (turn 0 only),
+    *                     roles must strictly alternate user, assistant,
+    *                     user, … (this also rejects unknown roles and
+    *                     mid-conversation system turns);
+    *  4. `no_assistant_end` — the last turn must be an assistant turn
+    *                     (a trailing user turn contributes no loss).
+    *
+    * One exchange: collect turns per conversation, array_sort by turn
+    * index, codegen'd array predicates — no second shuffle, no UDF. */
+  def validateTurns(turns: DataFrame, convCol: String = "conv_id",
+                    idxCol: String = "turn_idx", roleCol: String = "role",
+                    contentCol: String = "content"): DataFrame = {
+    val arr = array_sort(collect_list(struct(
+      col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
+    val byConv = turns.groupBy(col(convCol)).agg(arr.as("__t"))
+    val roles = transform(col("__t"), x => x("r"))
+    // body = roles after the optional leading system turn
+    val hasSystem = element_at(roles, 1) === lit("system")
+    val body = when(hasSystem, slice(roles, lit(2), size(roles)))
+      .otherwise(roles)
+    val alternates = forall(
+      zip_with(body, sequence(lit(0), size(body) - 1),
+        (r, i) => r === when(i % 2 === 0, lit("user"))
+          .otherwise(lit("assistant"))),
+      x => x)
+    val reason =
+      when(size(body) < 2, lit("too_short"))
+        .when(exists(col("__t"),
+          x => x("c").isNull || length(x("c")) === 0), lit("empty_content"))
+        .when(!alternates, lit("role_order"))
+        .when(element_at(roles, -1) =!= lit("assistant"),
+          lit("no_assistant_end"))
+    byConv.select(col(convCol), size(col("__t")).cast("long").as("n_turns"),
+      reason.isNull.as("ok"), reason.as("reason"))
+  }
+
+  /** Render each conversation to ONE training text with the chat
+    * template: turns in turn order, each as `<|role|>content<|end|>`,
+    * concatenated. Returns (convCol, n_turns, text). Rendering is
+    * template assembly only — compose with [[validateTurns]] upstream
+    * to drop malformed conversations first. One exchange. */
+  def render(turns: DataFrame, convCol: String = "conv_id",
+             idxCol: String = "turn_idx", roleCol: String = "role",
+             contentCol: String = "content"): DataFrame = {
+    val arr = array_sort(collect_list(struct(
+      col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
+    turns.groupBy(col(convCol)).agg(arr.as("__t"))
+      .select(col(convCol), size(col("__t")).cast("long").as("n_turns"),
+        aggregate(col("__t"), lit(""),
+          (acc, x) => concat(acc, lit(RoleOpen), x("r"), lit(RoleClose),
+            x("c"), lit(TurnEnd))).as("text"))
+  }
+
+  /** Loss-mask spans: for every ASSISTANT turn, the [start, end) char
+    * offsets of its content inside [[render]]'s text — trainers mask
+    * loss to exactly these spans. Returns (convCol, idxCol,
+    * start_char, end_char), offsets 0-based.
+    *
+    * The prefix sum runs in a window partitioned BY CONVERSATION
+    * (bounded by turns-per-conversation — never a global window), so
+    * the span table costs one exchange on the conversation key. */
+  def assistantSpans(turns: DataFrame, convCol: String = "conv_id",
+                     idxCol: String = "turn_idx", roleCol: String = "role",
+                     contentCol: String = "content"): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("__prior",
+        coalesce(sum(turnLen(col(roleCol), col(contentCol))).over(w),
+          lit(0L)))
+      .where(col(roleCol) === "assistant")
+      .select(col(convCol), col(idxCol),
+        (col("__prior") + turnHeaderLen(col(roleCol)))
+          .cast("long").as("start_char"),
+        (col("__prior") + turnHeaderLen(col(roleCol))
+          + length(col(contentCol))).cast("long").as("end_char"))
+  }
+
+  /** Conversation-grain exact dedup, keep-first: conversations whose
+    * normalized transcripts match (content lowercased,
+    * whitespace-collapsed, trimmed; role + turn order significant)
+    * collapse to the lowest conversation id. Returns the SURVIVING
+    * turns, original columns untouched.
+    *
+    * Two exchanges, both on bounded keys: one to build the transcript
+    * hash per conversation (the collect-sort shape), one window over
+    * the hash to pick the keeper — the [[Dedup.exactDedup]] plan at
+    * the conversation grain. */
+  def conversationDedup(turns: DataFrame, convCol: String = "conv_id",
+                        idxCol: String = "turn_idx", roleCol: String = "role",
+                        contentCol: String = "content"): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(contentCol)), "\\s+", " "))
+    val arr = array_sort(collect_list(struct(
+      col(idxCol).as("i"), col(roleCol).as("r"), norm.as("c"))))
+    // unit separators keep (role, content) pairs unambiguous in the key
+    val key = md5(aggregate(arr, lit(""),
+      (acc, x) => concat(acc, x("r"), lit("\u001f"), x("c"), lit("\u001e"))))
+    val keyed = turns.groupBy(col(convCol)).agg(key.as("__k"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col(convCol).asc)
+    val keep = keyed.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).select(col(convCol))
+    turns.join(keep, convCol)
+  }
+}

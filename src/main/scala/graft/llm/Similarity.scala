@@ -77,14 +77,14 @@ object Similarity {
     * registers on entry). */
   private def nDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   private def nNorm(a: Column): Column = sqrt(nDot(a, a))
-  private def nCosine(a: Column, b: Column): Column =
+  private[llm] def nCosine(a: Column, b: Column): Column =
     nDot(a, b) / (nNorm(a) * nNorm(b))
   /** Squared L2 via three dots — the IVF probe ranks clusters with the
     * SAME metric the KMeans assignment used (min squared L2), never by
     * dot product (which diverges for non-unit-norm embeddings). */
   private def nSqDist(a: Column, b: Column): Column =
     nDot(a, a) - lit(2.0) * nDot(a, b) + nDot(b, b)
-  private def registered(df: DataFrame): DataFrame = {
+  private[llm] def registered(df: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     df
   }

@@ -1,0 +1,86 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** SFT / conversation prep ([[Sft]]): hand-computed validation
+  * verdicts, exact render strings, span offsets checked against the
+  * rendered text, and dedup normalization semantics. */
+class SftSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+  private val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "conv_id BIGINT, turn_idx BIGINT, role STRING, content STRING")
+  private def turns(rows: (Long, Long, String, String)*) =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, schema)
+
+  test("validateTurns: each rule fires with its reason, first wins") {
+    val df = turns(
+      // 1: valid user/assistant exchange
+      (1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello"),
+      // 2: valid with leading system
+      (2L, 0L, "system", "be brief"), (2L, 1L, "user", "hi"),
+      (2L, 2L, "assistant", "ok"),
+      // 3: too short (system + one turn — body has 1 element)
+      (3L, 0L, "system", "s"), (3L, 1L, "user", "alone"),
+      // 4: empty content (checked before its role_order violation)
+      (4L, 0L, "assistant", ""), (4L, 1L, "user", "x"),
+      // 5: role order (starts with assistant)
+      (5L, 0L, "assistant", "a"), (5L, 1L, "user", "b"),
+      // 6: mid-conversation system is a role_order violation
+      (6L, 0L, "user", "a"), (6L, 1L, "system", "s"),
+      (6L, 2L, "assistant", "b"),
+      // 7: trailing user turn
+      (7L, 0L, "user", "a"), (7L, 1L, "assistant", "b"),
+      (7L, 2L, "user", "c"))
+    val got = Sft.validateTurns(df).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3))))
+      .toMap
+    assert(got(1L) == (true, None))
+    assert(got(2L) == (true, None))
+    assert(got(3L) == (false, Some("too_short")))
+    assert(got(4L) == (false, Some("empty_content")))
+    assert(got(5L) == (false, Some("role_order")))
+    assert(got(6L) == (false, Some("role_order")))
+    assert(got(7L) == (false, Some("no_assistant_end")))
+  }
+
+  test("render emits the exact template and spans index into it") {
+    val df = turns(
+      (1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello"),
+      (1L, 2L, "user", "more?"), (1L, 3L, "assistant", "sure"))
+    val text = Sft.render(df).collect().head.getString(2)
+    assert(text ==
+      "<|user|>hi<|end|><|assistant|>hello<|end|>" +
+      "<|user|>more?<|end|><|assistant|>sure<|end|>")
+    val spans = Sft.assistantSpans(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.length == 2)
+    for ((_, s, e) <- spans)
+      assert(Set("hello", "sure")(text.substring(s.toInt, e.toInt)))
+  }
+
+  test("conversationDedup: normalization collapses, order does not") {
+    val df = turns(
+      (1L, 0L, "user", "Hello  world"), (1L, 1L, "assistant", "ok"),
+      // duplicate of 1 modulo case/whitespace — drops
+      (2L, 0L, "user", " hello WORLD "), (2L, 1L, "assistant", "OK"),
+      // same contents, different turn order — distinct, survives
+      (3L, 0L, "assistant", "ok"), (3L, 1L, "user", "hello world"),
+      // role swap on identical content — distinct, survives
+      (4L, 0L, "assistant", "hello world"), (4L, 1L, "user", "ok"))
+    val kept = Sft.conversationDedup(df)
+      .select("conv_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("conversationDedup: separator keeps adjacent fields unambiguous") {
+    val df = turns(
+      (1L, 0L, "user", "ab"), (1L, 1L, "assistant", "c"),
+      (2L, 0L, "user", "a"), (2L, 1L, "assistant", "bc"))
+    val kept = Sft.conversationDedup(df)
+      .select("conv_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+}
