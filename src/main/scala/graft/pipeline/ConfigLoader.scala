@@ -266,6 +266,29 @@ object ConfigLoader {
       "lang_filter" -> (o => df =>
         df.where(graft.llm.TextAnalysis.langId(ColumnNs.q(req(o, "column")))
           === req(o, "lang"))),
+      // SFT / conversation prep as chain stages (input: one row per
+      // turn with conv/turn/role/content columns; see graft.llm.Sft)
+      "sft_validate" -> (o => df => {
+        val conv = o.getOrElse("convCol", "conv_id")
+        val verdicts = graft.llm.Sft.validateTurns(df, conv,
+          o.getOrElse("idxCol", "turn_idx"), o.getOrElse("roleCol", "role"),
+          o.getOrElse("contentCol", "content"))
+        // keep only turns of structurally valid conversations (the
+        // routing twin of P8: malformed conversations drop here; pass
+        // annotate: true to keep every turn with ok/reason attached)
+        if (o.getOrElse("annotate", "false").toBoolean)
+          df.join(verdicts.select(col(conv), col("ok"), col("reason")), conv)
+        else df.join(verdicts.where(col("ok")).select(col(conv)), conv)
+      }),
+      "sft_render" -> (o => df =>
+        graft.llm.Sft.render(df, o.getOrElse("convCol", "conv_id"),
+          o.getOrElse("idxCol", "turn_idx"), o.getOrElse("roleCol", "role"),
+          o.getOrElse("contentCol", "content"))),
+      "sft_dedup" -> (o => df =>
+        graft.llm.Sft.conversationDedup(df,
+          o.getOrElse("convCol", "conv_id"),
+          o.getOrElse("idxCol", "turn_idx"), o.getOrElse("roleCol", "role"),
+          o.getOrElse("contentCol", "content"))),
       "sample" -> (o => df =>
         graft.llm.Mixing.deterministicSample(df, req(o, "keyCol"),
           req(o, "fraction").toDouble, o.getOrElse("salt", "graft"))),

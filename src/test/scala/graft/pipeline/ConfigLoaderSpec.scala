@@ -1451,4 +1451,31 @@ class ConfigLoaderSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(4L -> 0L, 1L -> 7L, 3L -> 12L, 2L -> 15L), s"got $out")
   }
+
+  test("sft kinds: validate-gate -> dedup -> render as chain stages") {
+    import graft.pipeline.ConfigLoader.transformKinds
+    val turns = Seq(
+      // conv 1 valid; conv 2 a case-variant duplicate of 1; conv 3
+      // malformed (assistant-first) — the gate drops it before dedup
+      (1L, 0L, "user", "Hi there"), (1L, 1L, "assistant", "hello"),
+      (2L, 0L, "user", "hi  THERE"), (2L, 1L, "assistant", "Hello"),
+      (3L, 0L, "assistant", "x"), (3L, 1L, "user", "y"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val gated = transformKinds("sft_validate")(Map())(turns)
+    assert(gated.select("conv_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L))
+    val deduped = transformKinds("sft_dedup")(Map())(gated)
+    assert(deduped.select("conv_id").distinct().as[Long].collect().toSet
+      == Set(1L))
+    val rendered = transformKinds("sft_render")(Map())(deduped)
+      .as[(Long, Long, String)].collect()
+    assert(rendered.toSeq ==
+      Seq((1L, 2L, "<|user|>Hi there<|end|><|assistant|>hello<|end|>")))
+    // annotate mode keeps malformed turns, tagged
+    val annotated = transformKinds("sft_validate")(
+      Map("annotate" -> "true"))(turns)
+    assert(annotated.where(col("conv_id") === 3)
+      .select("reason").distinct().as[String].collect().toSeq
+      == Seq("role_order"))
+  }
 }
