@@ -111,6 +111,38 @@ object ScaleProbe {
           corpus.withColumn("s", (col("doc_id") % 5).cast("string")),
           "s", "doc_id", rates = Map("0" -> 0.1, "1" -> 0.9)).count()
       }
+      time(s"sft_chain x$k") {
+        // conversations scale WITH the corpus (turns/conv constant at
+        // ~20): the validate-gate + render chain is two conv-key
+        // exchanges over bounded arrays — must track the scan
+        // replica-aware derivation: doc ids are dense only WITHIN a
+        // replica (offset 1e7 apart), so conv/turn indexes must come
+        // from the local id or alternation breaks across replicas
+        val nConv = math.max(1L, (rows / k) / 20L)
+        val turns = corpus.select(
+          (expr("doc_id div 10000000") * 100000L
+            + (col("doc_id") % 10000000L) % nConv).as("conv_id"),
+          expr(s"(doc_id % 10000000) div $nConv").as("turn_idx"),
+          when(expr(s"(doc_id % 10000000) div $nConv") % 2 === 0, "user")
+            .otherwise("assistant").as("role"),
+          substring(col("text"), 1, 80).as("content"))
+        val gated = turns.join(
+          graft.llm.Sft.validateTurns(turns).where(col("ok"))
+            .select(col("conv_id")), "conv_id")
+        graft.llm.Sft.render(gated).count()
+      }
+      time(s"bitext_margin x$k") {
+        // the margin-scoring TAIL over k×-growing kNN ledgers (the
+        // piece that runs at corpus scale after index retrieval):
+        // id-only aggregations + windows, must stay linear
+        val fwd = corpus.select(col("doc_id").as("query_id"))
+          .withColumn("rank", explode(array(lit(1), lit(2), lit(3), lit(4))))
+          .withColumn("neighbor_id", pmod(col("query_id") * 37 + col("rank"), lit(1000000L)))
+          .withColumn("cosine", pmod(col("query_id") * 31 + col("rank") * 7, lit(1000L)).cast("double") / 1000.0)
+        val bwd = fwd.select(col("neighbor_id").as("query_id"), col("rank"),
+          col("query_id").as("neighbor_id"), col("cosine"))
+        graft.llm.Bitext.marginScore(fwd, bwd, threshold = 1.05).count()
+      }
       time(s"minhash_incremental x$k") {
         // fixed-size batch (500 docs of one replica) probed against the
         // k×-growing corpus: steady-state ingest cost should stay near
