@@ -7834,6 +7834,117 @@ object Queries {
       FROM t2 JOIN keep USING (conv_id)
       ORDER BY conv_id, turn_idx"""))
 
+  // ==========================================================================
+  // Preference-pair (DPO/RLHF) prep ([[graft.llm.Preference]]) —
+  // fixture: pairs derived from documents (prompt = first 40 chars,
+  // chosen = next 60, rejected = the reverse of chosen) with planted
+  // violations: %17==2 blanks chosen (empty_side), %13==5 copies
+  // chosen into rejected (tie). Same arithmetic on both engines.
+  // ==========================================================================
+  private def prefPairs(s: SparkSession, d: String): DataFrame = {
+    val chosen = when(col("doc_id") % 17 === 2, "")
+      .otherwise(substring(col("text"), 41, 60))
+    t(s, d, "documents").select(
+      col("doc_id").as("pair_id"), col("source"),
+      substring(col("text"), 1, 40).as("prompt"),
+      chosen.as("chosen"),
+      when(col("doc_id") % 13 === 5, chosen)
+        .otherwise(reverse(substring(col("text"), 41, 60))).as("rejected"))
+  }
+
+  private val sqlPrefPairs: String =
+    """SELECT doc_id AS pair_id, source,
+      substr(text, 1, 40) AS prompt,
+      CASE WHEN doc_id % 17 = 2 THEN ''
+           ELSE substr(text, 41, 60) END AS chosen,
+      CASE WHEN doc_id % 13 = 5 THEN
+             (CASE WHEN doc_id % 17 = 2 THEN ''
+                   ELSE substr(text, 41, 60) END)
+           ELSE reverse(substr(text, 41, 60)) END AS rejected
+    FROM documents"""
+
+  /** Preference-pair validation ([[graft.llm.Preference.validatePairs]]):
+    * map-only first-failure verdicts, replayed as one CASE chain. */
+  private val prefValidateQ = QueryDef("pref_validate",
+    (s, d) => graft.llm.Preference.validatePairs(prefPairs(s, d))
+      .select(col("pair_id"), col("ok"), col("reason"))
+      .orderBy(col("pair_id")),
+    Some(s"""WITH p AS ($sqlPrefPairs),
+      v AS (SELECT pair_id,
+            CASE
+              WHEN prompt IS NULL OR len(prompt) = 0 THEN 'empty_prompt'
+              WHEN chosen IS NULL OR len(chosen) = 0
+                OR rejected IS NULL OR len(rejected) = 0 THEN 'empty_side'
+              WHEN trim(regexp_replace(lower(chosen), '\\s+', ' ', 'g'))
+                 = trim(regexp_replace(lower(rejected), '\\s+', ' ', 'g'))
+                THEN 'tie'
+            END AS reason
+          FROM p)
+      SELECT pair_id, reason IS NULL AS ok, reason
+      FROM v ORDER BY pair_id"""))
+
+  /** Pair-grain dedup ([[graft.llm.Preference.dedupPairs]]): planted
+    * case/whitespace variants (+100000 ids) collapse to the originals. */
+  private val prefDedupQ = QueryDef("pref_dedup",
+    (s, d) => {
+      val base = prefPairs(s, d)
+      val dups = base.where(col("pair_id") % 10 === 4).select(
+        (col("pair_id") + 100000).as("pair_id"), col("source"),
+        concat(lit(" "), upper(col("prompt"))).as("prompt"),
+        col("chosen"), col("rejected"))
+      graft.llm.Preference.dedupPairs(base.unionByName(dups))
+        .select(col("pair_id"), col("prompt"), col("chosen"),
+          col("rejected"))
+        .orderBy(col("pair_id"))
+    },
+    Some(s"""WITH p AS ($sqlPrefPairs),
+      t2 AS (SELECT pair_id, source, prompt, chosen, rejected FROM p
+           UNION ALL
+           SELECT pair_id + 100000, source, ' ' || upper(prompt),
+             chosen, rejected
+             FROM p WHERE pair_id % 10 = 4),
+      k AS (SELECT *, md5(
+            trim(regexp_replace(lower(prompt), '\\s+', ' ', 'g')) || chr(31) ||
+            trim(regexp_replace(lower(chosen), '\\s+', ' ', 'g')) || chr(31) ||
+            trim(regexp_replace(lower(rejected), '\\s+', ' ', 'g'))) AS kk
+          FROM t2),
+      keep AS (SELECT * FROM
+          (SELECT *, row_number() OVER
+             (PARTITION BY kk ORDER BY pair_id) AS rn FROM k)
+          WHERE rn = 1)
+      SELECT pair_id, prompt, chosen, rejected
+      FROM keep ORDER BY pair_id"""))
+
+  /** Length-bias audit ([[graft.llm.Preference.lengthBias]]): integer
+    * length sums (exact), the published mean-gap and chosen-longer
+    * fraction per source. SUMs cast to BIGINT (DuckDB returns HUGEINT). */
+  private val prefLengthBiasQ = QueryDef("pref_length_bias",
+    (s, d) => graft.llm.Preference.lengthBias(prefPairs(s, d))
+      .orderBy(col("source")),
+    Some(s"""WITH p AS ($sqlPrefPairs)
+      SELECT source, count(*) AS n_pairs,
+        CAST(sum(len(chosen)) AS BIGINT) AS chosen_len_sum,
+        CAST(sum(len(rejected)) AS BIGINT) AS rejected_len_sum,
+        CAST(sum(len(chosen)) - sum(len(rejected)) AS DOUBLE) / count(*)
+          AS mean_len_gap,
+        CAST(sum(CASE WHEN len(chosen) > len(rejected) THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) AS chosen_longer_frac
+      FROM p GROUP BY source ORDER BY source"""))
+
+  /** DPO render ([[graft.llm.Preference.renderPairs]]): the two
+    * training texts under the shared chat template, map-only. */
+  private val prefRenderQ = QueryDef("pref_render",
+    (s, d) => graft.llm.Preference.renderPairs(prefPairs(s, d))
+      .select(col("pair_id"), col("text_chosen"), col("text_rejected"))
+      .orderBy(col("pair_id")),
+    Some(s"""WITH p AS ($sqlPrefPairs)
+      SELECT pair_id,
+        '<|user|>' || prompt || '<|end|><|assistant|>' || chosen || '<|end|>'
+          AS text_chosen,
+        '<|user|>' || prompt || '<|end|><|assistant|>' || rejected || '<|end|>'
+          AS text_rejected
+      FROM p ORDER BY pair_id"""))
+
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -9606,6 +9717,7 @@ object Queries {
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     bitextMineQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
+    prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,

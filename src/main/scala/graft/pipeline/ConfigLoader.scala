@@ -289,6 +289,27 @@ object ConfigLoader {
           o.getOrElse("convCol", "conv_id"),
           o.getOrElse("idxCol", "turn_idx"), o.getOrElse("roleCol", "role"),
           o.getOrElse("contentCol", "content"))),
+      // preference-pair (DPO/RLHF) prep: gate-or-annotate validation,
+      // pair-grain dedup, DPO-template render (see graft.llm.Preference)
+      "pref_validate" -> (o => df => {
+        val v = graft.llm.Preference.validatePairs(df,
+          o.getOrElse("promptCol", "prompt"),
+          o.getOrElse("chosenCol", "chosen"),
+          o.getOrElse("rejectedCol", "rejected"))
+        if (o.getOrElse("annotate", "false").toBoolean) v
+        else v.where(col("ok")).drop("ok", "reason")
+      }),
+      "pref_dedup" -> (o => df =>
+        graft.llm.Preference.dedupPairs(df,
+          o.getOrElse("idCol", "pair_id"),
+          o.getOrElse("promptCol", "prompt"),
+          o.getOrElse("chosenCol", "chosen"),
+          o.getOrElse("rejectedCol", "rejected"))),
+      "pref_render" -> (o => df =>
+        graft.llm.Preference.renderPairs(df,
+          o.getOrElse("promptCol", "prompt"),
+          o.getOrElse("chosenCol", "chosen"),
+          o.getOrElse("rejectedCol", "rejected"))),
       "sample" -> (o => df =>
         graft.llm.Mixing.deterministicSample(df, req(o, "keyCol"),
           req(o, "fraction").toDouble, o.getOrElse("salt", "graft"))),
