@@ -4927,11 +4927,15 @@ object Queries {
   private def sqlGreedyCte(budget: Int, g: Int): String =
     s"WITH RECURSIVE\n      ${sqlGreedyCteBody(budget, g)}"
 
-  private def sqlGreedyCteBody(budget: Int, g: Int): String =
+  /** The no-split greedy replay over any (doc_id, text) source CTE —
+    * `src` defaults to the documents table for the standalone pack
+    * rows; chain replays point it at their own upstream CTE. */
+  private def sqlGreedyCteBody(budget: Int, g: Int,
+                               src: String = "documents"): String =
     s"""tc AS (SELECT doc_id,
         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
           w -> w <> '')) AS BIGINT) AS n_tokens
-        FROM documents),
+        FROM $src),
       b AS (SELECT doc_id, n_tokens,
         (row_number() OVER (ORDER BY doc_id) - 1) AS rn FROM tc),
       g AS (SELECT doc_id, n_tokens, rn // $g AS grp,
@@ -7945,6 +7949,124 @@ object Queries {
           AS text_rejected
       FROM p ORDER BY pair_id"""))
 
+  /** ONE-CONFIG SFT curation chain — turns parquet → validate gate →
+    * conversation dedup → chat-template render → no-split greedy pack
+    * (the padding-aware mode instruction tuning requires) → trainer
+    * shards, all registry kinds, mirroring the pre-training
+    * crawl→shards headline. Fixture: the [[sftTurns]] table plus
+    * planted duplicate conversations (the [[sftDedupQ]] convention).
+    * The DuckDB replay chains every verified stage oracle — the
+    * validation rules, the transcript-hash keep-first, the ordered
+    * render, the lockstep-recursion greedy pack, and the md5-rank
+    * shard digest — from first principles in one statement. */
+  private val sftChainYaml = QueryDef("sft_chain_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "sft_chain_yaml")
+      val out = s"$dir/out"
+      val base = sftTurns(s, d)
+      val dups = base.where(col("conv_id") % 10 === 2).select(
+        (col("conv_id") + 1000).as("conv_id"), col("turn_idx"), col("role"),
+        concat(lit("  "), upper(col("content"))).as("content"))
+      base.unionByName(dups).write.mode("overwrite")
+        .parquet(s"$dir/turns")
+      val yaml =
+        s"""jobs:
+           |  - name: sft_chain
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/turns
+           |        prefix: ""
+           |    transform:
+           |      - kind: sft_validate
+           |      - kind: sft_dedup
+           |      - kind: sft_render
+           |      - kind: pack_greedy
+           |        options:
+           |          idCol: 'conv_id'
+           |          textCol: 'text'
+           |          budget: '1024'
+           |          docsPerGroup: '8'
+           |    load:
+           |      - kind: shards
+           |        keyCol: pack_id
+           |        path: $out
+           |        nShards: 2
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          countDistinct(col("pack_id")).as("n_packs"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH RECURSIVE
+      t0 AS ($sqlSftTurns),
+      turns AS (SELECT conv_id, turn_idx, role, content FROM t0
+           UNION ALL
+           SELECT conv_id + 1000, turn_idx, role, '  ' || upper(content)
+             FROM t0 WHERE conv_id % 10 = 2),
+      va AS (SELECT conv_id,
+            list(struct_pack(i := turn_idx, r := role, c := content)
+              ORDER BY turn_idx) AS t
+          FROM turns GROUP BY conv_id),
+      vb AS (SELECT conv_id, t, list_transform(t, x -> x.r) AS roles FROM va),
+      vc AS (SELECT conv_id, t, roles,
+            CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END AS body
+          FROM vb),
+      vv AS (SELECT conv_id,
+            CASE
+              WHEN len(body) < 2 THEN 'too_short'
+              WHEN len(list_filter(t, x -> x.c IS NULL OR len(x.c) = 0)) > 0
+                THEN 'empty_content'
+              WHEN len(list_filter(range(1, len(body) + 1),
+                  i -> body[i] <> (CASE WHEN (i - 1) % 2 = 0
+                    THEN 'user' ELSE 'assistant' END))) > 0 THEN 'role_order'
+              WHEN roles[-1] <> 'assistant' THEN 'no_assistant_end'
+            END AS reason
+          FROM vc),
+      vt AS (SELECT t.* FROM turns t
+          JOIN (SELECT conv_id FROM vv WHERE reason IS NULL) ok
+          USING (conv_id)),
+      kh AS (SELECT conv_id, md5(string_agg(
+            role || chr(31) ||
+              trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) || chr(30),
+            '' ORDER BY turn_idx)) AS kk
+          FROM vt GROUP BY conv_id),
+      keepc AS (SELECT conv_id FROM
+          (SELECT conv_id, row_number() OVER
+             (PARTITION BY kk ORDER BY conv_id) AS rn FROM kh)
+          WHERE rn = 1),
+      kt AS (SELECT t.* FROM vt t JOIN keepc USING (conv_id)),
+      rendered AS (SELECT conv_id AS doc_id,
+            string_agg('<|' || role || '|>' || content || '<|end|>', ''
+              ORDER BY turn_idx) AS text
+          FROM kt GROUP BY conv_id),
+      ${sqlGreedyCteBody(1024, 8, "rendered")},
+      withpack AS (SELECT a.doc_id, a.n_tokens,
+            CAST(o.goff + a.emitted AS BIGINT) AS pack_id
+          FROM asg a JOIN off o USING (grp)),
+      rr AS (SELECT *, md5(CAST(pack_id AS VARCHAR)) AS rank FROM withpack),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM rr),
+      sh AS (SELECT *, digest % 2 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_convs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -9717,7 +9839,7 @@ object Queries {
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     bitextMineQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
-    prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ,
+    prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,
