@@ -7707,6 +7707,42 @@ object Queries {
       WHERE rs = 1 AND rt = 1 AND margin >= 1.3
       ORDER BY src_id, tgt_id"""))
 
+  /** Indexed bitext mining, planted twin
+    * ([[graft.llm.Bitext.mineBitextIndexed]] — the corpus-scale path:
+    * each side's kNN from the OTHER side's persisted IVF index,
+    * partition-pruned probes, the same margin tail). Seeded KMeans
+    * internals make the full margin table rows-only by convention, so
+    * the oracle binds the PLANTED subset: each planted translation's
+    * ε-twin shares its query's nearest cluster (always probed), its
+    * margin ≈ 1.7 vs an organic noise ceiling ≈ 1.3, and mutual argmax
+    * is decided by cosine ≈ 1 — so the mined planted rows are exactly
+    * the planted pairs, independent of which other clusters the probe
+    * visits. */
+  private val bitextMineIndexedPlanted = QueryDef("bitext_mine_indexed_planted",
+    (s, d) => {
+      val dir = tmpDir(d, "bitext_mine_indexed")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val src = emb.where(col("vec_id") % 10 === 0)
+      val tgt = emb.where(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 500000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+            .as("embedding"))
+        .unionByName(emb.where(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 700000).as("vec_id"), col("embedding")))
+      graft.llm.Similarity.buildIvfIndex(src, s"$dir/src")
+      graft.llm.Similarity.buildIvfIndex(tgt, s"$dir/tgt")
+      graft.llm.Bitext.mineBitextIndexed(s, s"$dir/src", s"$dir/tgt",
+          src, tgt, k = 4, threshold = 1.3)
+        .where(col("src_id") % 20 === 0)
+        .select(col("src_id"), col("tgt_id"))
+        .orderBy(col("src_id"))
+    },
+    Some("""SELECT vec_id AS src_id, vec_id + 500000 AS tgt_id
+      FROM embeddings WHERE vec_id % 20 = 0 ORDER BY src_id"""))
+
   // ==========================================================================
   // SFT / conversation prep ([[graft.llm.Sft]]) — fixture: a turns table
   // derived deterministically from documents (conv_id = doc_id % 50,
@@ -9838,7 +9874,7 @@ object Queries {
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
-    bitextMineQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
+    bitextMineQ, bitextMineIndexedPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,

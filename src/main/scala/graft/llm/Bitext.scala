@@ -124,4 +124,29 @@ object Bitext {
     val bwd = crossTopK(tgt, src, k, tgtIdCol, srcIdCol, vecCol)
     marginScore(fwd, bwd, threshold)
   }
+
+  /** Mine with INDEX-APPROXIMATE retrieval — the corpus-scale path
+    * (CCMatrix's actual recipe: FAISS-style index kNN, exact margin
+    * re-score). Each side's kNN comes from the OTHER side's persisted
+    * IVF index ([[Similarity.buildIvfIndex]]), so the corpus scans are
+    * partition-pruned to the probed clusters and neither corpus is
+    * ever broadcast; the scoring tail is [[marginScore]] unchanged.
+    *
+    * Requires DISJOINT id spaces across the two corpora: the index
+    * probe excludes `query_id == neighbor_id` pairs (the
+    * within-corpus self-match rule), which would silently drop
+    * legitimate cross-lingual pairs under colliding ids. */
+  def mineBitextIndexed(spark: org.apache.spark.sql.SparkSession,
+                        srcIndexDir: String, tgtIndexDir: String,
+                        src: DataFrame, tgt: DataFrame, k: Int = 4,
+                        threshold: Double = 1.3, nProbe: Int = 4,
+                        srcIdCol: String = "vec_id",
+                        tgtIdCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val fwd = Similarity.ivfQueryIndex(spark, tgtIndexDir, src, k, nProbe,
+      srcIdCol, vecCol)
+    val bwd = Similarity.ivfQueryIndex(spark, srcIndexDir, tgt, k, nProbe,
+      tgtIdCol, vecCol)
+    marginScore(fwd, bwd, threshold)
+  }
 }
