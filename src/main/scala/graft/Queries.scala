@@ -7743,6 +7743,37 @@ object Queries {
     Some("""SELECT vec_id AS src_id, vec_id + 500000 AS tgt_id
       FROM embeddings WHERE vec_id % 20 = 0 ORDER BY src_id"""))
 
+  /** Per-language routed quality gate (registry kind
+    * `quality_filter_routed` — the FineWeb-2 multilingual shape: the
+    * word floor routes on the lang column, other bounds corpus-wide).
+    * Runs THROUGH the registry so the config path is what's bound. */
+  private val qualityRoutedQ = QueryDef("quality_routed",
+    (s, d) => graft.pipeline.ConfigLoader.transformKinds(
+        "quality_filter_routed")(Map(
+        "column" -> "text", "langCol" -> "lang",
+        "minWordsByLang" -> "en=24,zh=18", "minWords" -> "21"))(
+        t(s, d, "documents"))
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, lang, text, $sqlWords AS ws,
+            length(text)::DOUBLE AS nc
+          FROM documents),
+      m AS (SELECT doc_id, lang, len(ws) AS n_words,
+        CASE WHEN len(ws) > 0 THEN
+          round(${sqlFold("list_transform(ws, w -> length(w)::BIGINT)",
+            "0::BIGINT", "(a,b) -> a+b")}::DOUBLE / len(ws), 4)
+          ELSE 0 END AS mean_word_len,
+        round(CASE WHEN nc > 0 THEN
+            len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / nc
+          ELSE 0 END, 4) AS punct_ratio
+        FROM w)
+      SELECT doc_id, lang FROM m
+      WHERE n_words >= (CASE lang WHEN 'en' THEN 24 WHEN 'zh' THEN 18
+          ELSE 21 END)
+        AND n_words <= 100000
+        AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND punct_ratio <= 0.3
+      ORDER BY doc_id"""))
+
   // ==========================================================================
   // SFT / conversation prep ([[graft.llm.Sft]]) — fixture: a turns table
   // derived deterministically from documents (conv_id = doc_id % 50,
@@ -9874,7 +9905,7 @@ object Queries {
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
-    bitextMineQ, bitextMineIndexedPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
+    bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,

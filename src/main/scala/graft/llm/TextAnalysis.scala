@@ -353,6 +353,23 @@ object TextAnalysis {
       stats.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
       stats.getField("punct_ratio") <= maxPunctRatio
 
+  /** [[qualityOk]] with a PER-ROW routed word floor — the FineWeb-2
+    * multilingual shape: one pipeline, per-language thresholds,
+    * because word counts are not comparable across scripts (a 20-word
+    * zh doc carries the content of a 50-word en doc). `minWords` is a
+    * Column (typically a CASE over the language column); the other
+    * bounds stay corpus-wide scalars. Same codegen'd struct-field
+    * predicate as [[qualityOk]]. */
+  def qualityOkRouted(stats: Column, minWords: Column,
+                      maxWords: Int = 100000,
+                      minMeanWordLen: Double = 2.0,
+                      maxMeanWordLen: Double = 12.0,
+                      maxPunctRatio: Double = 0.3): Column =
+    stats.getField("n_words") >= minWords &&
+      stats.getField("n_words") <= lit(maxWords) &&
+      stats.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      stats.getField("punct_ratio") <= maxPunctRatio
+
   /** The COMPLETE published Gopher quality filter (Rae et al. 2021
     * §A1.1) over [[qualityStats]] — every default is the paper's
     * constant: 50–100,000 words; mean word length 3–10; symbol-to-word

@@ -266,6 +266,27 @@ object ConfigLoader {
       "lang_filter" -> (o => df =>
         df.where(graft.llm.TextAnalysis.langId(ColumnNs.q(req(o, "column")))
           === req(o, "lang"))),
+      // per-language routed quality gate (FineWeb-2's multilingual
+      // shape): one pipeline, a per-language word floor routed by a
+      // lang column (or the n-gram langId when none is given); other
+      // bounds stay corpus-wide. minWordsByLang: "en=50,zh=20"
+      "quality_filter_routed" -> (o => df => {
+        val st = graft.llm.TextAnalysis.qualityStats(
+          ColumnNs.q(req(o, "column")))
+        val langC = o.get("langCol").map(ColumnNs.q).getOrElse(
+          graft.llm.TextAnalysis.langId(ColumnNs.q(req(o, "column"))))
+        val dflt = o.getOrElse("minWords", "10").toInt
+        val minW = req(o, "minWordsByLang").split(",").map { kv =>
+          val Array(l, n) = kv.split("="); l.trim -> n.trim.toInt
+        }.foldLeft(lit(dflt): org.apache.spark.sql.Column) {
+          case (acc, (l, n)) => when(langC === l, lit(n)).otherwise(acc)
+        }
+        df.where(graft.llm.TextAnalysis.qualityOkRouted(st, minW,
+          maxWords = o.getOrElse("maxWords", "100000").toInt,
+          minMeanWordLen = o.getOrElse("minMeanWordLen", "2.0").toDouble,
+          maxMeanWordLen = o.getOrElse("maxMeanWordLen", "12.0").toDouble,
+          maxPunctRatio = o.getOrElse("maxPunctRatio", "0.3").toDouble))
+      }),
       // SFT / conversation prep as chain stages (input: one row per
       // turn with conv/turn/role/content columns; see graft.llm.Sft)
       "sft_validate" -> (o => df => {
