@@ -7774,6 +7774,48 @@ object Queries {
         AND punct_ratio <= 0.3
       ORDER BY doc_id"""))
 
+  /** ICLM semantic chain, planted
+    * ([[graft.llm.Packing.semanticChainOrder]] — In-Context
+    * Pretraining's greedy similarity traversal in bounded groups).
+    * Fixture: 40 dense ids in groups of 10, each group holding one
+    * planted ε-QUINTET (five perturbed copies of one base vector, ids
+    * 10g+2..10g+6) among five unrelated distractors. The traversal
+    * rule provably visits a quintet to exhaustion once entered
+    * (intra-quintet cosine ≈ 1 vs an organic ceiling ≈ 0.7), so each
+    * quintet's chain positions are CONTIGUOUS within its group — the
+    * stated oracle — independent of where in the group the chain
+    * starts. */
+  private val iclmChainPlanted = QueryDef("iclm_chain_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val ids = s.range(40).toDF("doc_id")
+      val planted = ids
+        .where(col("doc_id") % 10 >= 2 && col("doc_id") % 10 <= 6)
+        .withColumn("g", expr("doc_id div 10"))
+        .withColumn("j", col("doc_id") % 10 - 2)
+        .join(emb, col("vec_id") === col("g") + 50)
+        .select(col("doc_id"),
+          transform(col("embedding"), (x, i) => when(i === 0,
+            x + lit(0.0005f) * (col("j") + 1).cast("float")).otherwise(x))
+            .as("embedding"))
+      val distract = ids
+        .where(col("doc_id") % 10 < 2 || col("doc_id") % 10 > 6)
+        .join(emb, col("vec_id") === col("doc_id") + 100)
+        .select(col("doc_id"), col("embedding"))
+      val chain = graft.llm.Packing.semanticChainOrder(
+        planted.unionByName(distract), "doc_id", "embedding",
+        docsPerGroup = 10)
+      chain.where(col("doc_id") % 10 >= 2 && col("doc_id") % 10 <= 6)
+        .groupBy(expr("doc_id div 10").as("g"))
+        .agg(count(lit(1)).as("n"),
+          (countDistinct(col("grp")) === 1).as("same_group"),
+          (max(col("pos")) - min(col("pos")) === 4).as("contiguous"))
+        .orderBy(col("g"))
+    },
+    Some("""SELECT CAST(g AS BIGINT) AS g, CAST(5 AS BIGINT) AS n,
+        true AS same_group, true AS contiguous
+      FROM (VALUES (0), (1), (2), (3)) t(g) ORDER BY g"""))
+
   // ==========================================================================
   // SFT / conversation prep ([[graft.llm.Sft]]) — fixture: a turns table
   // derived deterministically from documents (conv_id = doc_id % 50,
@@ -9905,7 +9947,7 @@ object Queries {
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
-    bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
+    bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,

@@ -682,6 +682,19 @@ object ConfigLoader {
           docsPerGroup = o.getOrElse("docsPerGroup", "4096").toInt,
           numParts = o.getOrElse("numParts", "0").toInt)
       }),
+      // In-Context-Pretraining ordering: bounded-group greedy
+      // nearest-neighbor chain over an embedding column, appended as a
+      // non-negative `semantic_rank` — compose with pack_curriculum
+      // (scoreCol: semantic_rank) for ICLM-ordered context windows
+      "semantic_order" -> (o => df => {
+        val idc = req(o, "idCol")
+        val order = graft.llm.Packing.semanticChainOrder(df, idc,
+          req(o, "vecCol"),
+          docsPerGroup = o.getOrElse("docsPerGroup", "64").toInt,
+          numParts = o.getOrElse("numParts", "0").toInt)
+        df.join(order.select(col("doc_id").as(idc), col("semantic_rank")),
+          idc)
+      }),
       // curriculum packing: ascending (scoreCol, id) order — compose
       // after classifier_score / quality_bucket / length derivations
       "pack_curriculum" -> (o => df => {

@@ -107,6 +107,8 @@ object GraftExtensions {
         }
         GreedyPackExpression(children.head, b)
       }),
+    unary("graft_semantic_chain", classOf[SemanticChainExpression],
+      SemanticChainExpression(_)),
     unary("graft_simhash64", classOf[SimHash64Expression], SimHash64Expression(_)),
     unary("graft_nfc", classOf[NfcNormalizeExpression], NfcNormalizeExpression(_)),
     unary("graft_deflate_len", classOf[DeflateLenExpression], DeflateLenExpression(_)),
