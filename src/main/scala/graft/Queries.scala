@@ -7816,6 +7816,36 @@ object Queries {
         true AS same_group, true AS contiguous
       FROM (VALUES (0), (1), (2), (3)) t(g) ORDER BY g"""))
 
+  /** Contrastive triplet mining ([[graft.llm.Similarity.mineTriplets]]
+    * — the E5/GTE embedding-training data recipe: adjacency positives,
+    * hard negatives from other documents). Fixture: embeddings grouped
+    * four chunks per document (doc = vec_id div 4, idx = vec_id % 4).
+    * The oracle replays the adjacency join, the cross-document cosine
+    * scan, and the per-query negative re-rank exactly. */
+  private val tripletsQ = QueryDef("contrastive_triplets",
+    (s, d) => {
+      val chunks = t(s, d, "embeddings").select(
+        col("vec_id").as("chunk_id"),
+        expr("vec_id div 4").as("doc_id"),
+        (col("vec_id") % 4).as("chunk_idx"), col("embedding"))
+      graft.llm.Similarity.mineTriplets(chunks, nNeg = 2)
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
+    Some(s"""WITH ch AS (SELECT vec_id AS id, vec_id // 4 AS doc,
+            vec_id % 4 AS idx, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT a.id AS query_id, a.doc, a.v AS qv, b.id AS pos_id
+          FROM ch a JOIN ch b ON b.doc = a.doc AND b.idx = a.idx + 1),
+      sc AS (SELECT q.query_id, q.pos_id, c.id AS neg_id,
+            ${sqlDot("q.qv", "c.v")} / (${sqlNorm("q.qv")} * ${sqlNorm("c.v")})
+              AS neg_cosine
+          FROM q JOIN ch c ON c.doc <> q.doc),
+      r AS (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY neg_cosine DESC, neg_id)
+            AS neg_rank
+          FROM sc)
+      SELECT query_id, pos_id, neg_rank, neg_id, neg_cosine
+      FROM r WHERE neg_rank <= 2 ORDER BY query_id, neg_rank"""))
+
   // ==========================================================================
   // SFT / conversation prep ([[graft.llm.Sft]]) — fixture: a turns table
   // derived deterministically from documents (conv_id = doc_id % 50,
@@ -9947,7 +9977,7 @@ object Queries {
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
-    bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
+    bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,

@@ -1246,4 +1246,41 @@ object Similarity {
       .orderBy(col("cos_centroid").asc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Contrastive TRIPLET mining for embedding-model training — the
+    * E5/GTE data recipe: the positive for each chunk is its NATURAL
+    * pair (the next chunk of the same document — adjacency is the
+    * free supervision signal the published recipes use), and the hard
+    * negatives are the corpus's top-`nNeg` cosine neighbors from
+    * OTHER documents (near enough to be hard, guaranteed non-positive
+    * by the document exclusion). Chunks without a successor (the last
+    * chunk of each doc) mine no triplet.
+    *
+    * The exact scan here broadcasts the query side (the audit shape);
+    * at corpus scale generate the negative candidates with the
+    * persisted index probes ([[ivfQueryIndex]]) and keep the same
+    * document-exclusion + re-rank tail. Returns
+    * (query_id, pos_id, neg_rank, neg_id, neg_cosine). */
+  def mineTriplets(chunks: DataFrame, nNeg: Int = 2,
+                   idCol: String = "chunk_id", docCol: String = "doc_id",
+                   idxCol: String = "chunk_idx",
+                   vecCol: String = "embedding"): DataFrame = {
+    registered(chunks)
+    val q = chunks.select(col(idCol).as("query_id"), col(docCol).as("__qd"),
+      col(idxCol).as("__qi"), asDouble(col(vecCol)).as("__qv"))
+    val nxt = chunks.select(col(docCol).as("__qd"),
+      (col(idxCol) - 1).as("__qi"), col(idCol).as("pos_id"))
+    val withPos = q.join(nxt, Seq("__qd", "__qi"))
+    val c = chunks.select(col(idCol).as("neg_id"), col(docCol).as("__cd"),
+      asDouble(col(vecCol)).as("__cv"))
+    val scored = c.crossJoin(broadcast(withPos))
+      .where(col("__cd") =!= col("__qd"))
+      .withColumn("neg_cosine", nCosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("neg_cosine").desc, col("neg_id").asc)
+    scored.withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("pos_id"),
+        col("neg_rank"), col("neg_id"), col("neg_cosine"))
+  }
 }
