@@ -33,12 +33,19 @@ class PlanShapeSpec extends SparkSpec {
     "text_stats", "repetition_stats", "nfc_normalize",
     "doc_fingerprint", "vocab_coverage",
     "dedup_soft_weights", "dedup_soft_sample", "mm_pair_filter",
-    "mm_pair_dedup")
+    "mm_pair_dedup",
+    "sft_validate", "sft_render", "sft_spans", "sft_dedup",
+    "pref_validate", "pref_dedup", "pref_length_bias", "pref_render",
+    "quality_routed")
 
   /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
     * into the insert branch (bounded by construction); ann_bruteforce
-    * IS the exhaustive baseline the ANN family is measured against. */
-  private val bnljAllowed = Seq("k7_upsert", "ann_bruteforce")
+    * IS the exhaustive baseline the ANN family is measured against;
+    * bitext_mine / contrastive_triplets broadcast the query side by
+    * design (the audit shape — the persisted index probes substitute
+    * at corpus scale and carry no cross join). */
+  private val bnljAllowed = Seq("k7_upsert", "ann_bruteforce",
+    "bitext_mine", "contrastive_triplets")
 
   test("gated product plans have no cartesian or nested-loop join") {
     noPairExplosion.foreach { n =>
