@@ -40,12 +40,17 @@ object Bitext {
                 qIdCol: String = "vec_id", cIdCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     Similarity.registered(corpus)
+    // per-side norms precomputed before the pair scan — see
+    // Similarity.bruteForceTopK; bit-identical values (pure CSE)
     val q = queries.select(col(qIdCol).as("query_id"),
       Similarity.asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", Similarity.nNorm(col("__qv")))
     val c = corpus.select(col(cIdCol).as("neighbor_id"),
       Similarity.asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", Similarity.nNorm(col("__cv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", Similarity.nCosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", Similarity.nDot(col("__qv"), col("__cv"))
+        / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -75,8 +75,8 @@ object Similarity {
     * (same sequential accumulation order). Requires
     * `GraftExtensions.register` (every operator in this object
     * registers on entry). */
-  private def nDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
-  private def nNorm(a: Column): Column = sqrt(nDot(a, a))
+  private[llm] def nDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private[llm] def nNorm(a: Column): Column = sqrt(nDot(a, a))
   private[llm] def nCosine(a: Column, b: Column): Column =
     nDot(a, b) / (nNorm(a) * nNorm(b))
   /** Squared L2 via three dots — the IVF probe ranks clusters with the
@@ -97,13 +97,19 @@ object Similarity {
                      qIdCol: String = "vec_id", cIdCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     registered(corpus)
+    // norms are precomputed PER ROW on each side before the pair scan:
+    // nCosine inside the join would recompute sqrt(dot(v,v)) per PAIR
+    // — 3x the flops of the dot itself. Same bitwise values (pure CSE).
     val q = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", nNorm(col("__qv")))
     val c = corpus.select(col(cIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", nNorm(col("__cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", nCosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        nDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -1268,14 +1274,18 @@ object Similarity {
     registered(chunks)
     val q = chunks.select(col(idCol).as("query_id"), col(docCol).as("__qd"),
       col(idxCol).as("__qi"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", nNorm(col("__qv")))
     val nxt = chunks.select(col(docCol).as("__qd"),
       (col(idxCol) - 1).as("__qi"), col(idCol).as("pos_id"))
     val withPos = q.join(nxt, Seq("__qd", "__qi"))
     val c = chunks.select(col(idCol).as("neg_id"), col(docCol).as("__cd"),
       asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", nNorm(col("__cv")))
+    // per-side norms precomputed — see bruteForceTopK; bit-identical
     val scored = c.crossJoin(broadcast(withPos))
       .where(col("__cd") =!= col("__qd"))
-      .withColumn("neg_cosine", nCosine(col("__qv"), col("__cv")))
+      .withColumn("neg_cosine",
+        nDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("neg_cosine").desc, col("neg_id").asc)
     scored.withColumn("neg_rank", row_number().over(w))
