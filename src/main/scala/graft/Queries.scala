@@ -7964,6 +7964,47 @@ object Queries {
         CAST(prior + 4 + len(role) + len(content) AS BIGINT) AS end_char
       FROM p WHERE role = 'assistant' ORDER BY conv_id, turn_idx"""))
 
+  /** The turns fixture in the NESTED HuggingFace chat shape — one row
+    * per conversation, messages = array<struct<role, content>> in turn
+    * order. Built from the same [[sftTurns]] derivation so the flat
+    * queries' oracles replay the nested paths verbatim. */
+  private def sftNested(s: SparkSession, d: String): DataFrame =
+    sftTurns(s, d).groupBy(col("conv_id"))
+      .agg(array_sort(collect_list(struct(
+        col("turn_idx"), col("role"), col("content")))).as("__sorted"))
+      .select(col("conv_id"),
+        transform(col("__sorted"), x => struct(x("role").as("role"),
+          x("content").as("content"))).as("messages"))
+
+  /** Nested (map-only, stream-composable) validation
+    * ([[graft.llm.Sft.validateNested]]) — MUST equal the flat path on
+    * the same conversations, so the oracle is [[sftValidateQ]]'s SQL
+    * verbatim. */
+  private val sftValidateNestedQ = QueryDef("sft_validate_nested",
+    (s, d) => graft.llm.Sft.validateNested(sftNested(s, d))
+      .select(col("conv_id"), col("n_turns"), col("ok"), col("reason"))
+      .orderBy(col("conv_id")),
+    sftValidateQ.oracle)
+
+  /** Nested render ([[graft.llm.Sft.renderNested]]) — flat oracle
+    * verbatim. */
+  private val sftRenderNestedQ = QueryDef("sft_render_nested",
+    (s, d) => graft.llm.Sft.renderNested(sftNested(s, d))
+      .select(col("conv_id"), col("n_turns"), col("text"))
+      .orderBy(col("conv_id")),
+    sftRenderQ.oracle)
+
+  /** Nested loss-mask spans ([[graft.llm.Sft.assistantSpansNested]]),
+    * exploded back to rows — flat oracle verbatim. */
+  private val sftSpansNestedQ = QueryDef("sft_spans_nested",
+    (s, d) => graft.llm.Sft.assistantSpansNested(sftNested(s, d))
+      .select(col("conv_id"), explode(col("spans")).as("s"))
+      .select(col("conv_id"), col("s.turn_idx").as("turn_idx"),
+        col("s.start_char").as("start_char"),
+        col("s.end_char").as("end_char"))
+      .orderBy(col("conv_id"), col("turn_idx")),
+    sftSpansQ.oracle)
+
   /** Conversation-grain dedup ([[graft.llm.Sft.conversationDedup]]):
     * planted duplicates (convs with residue 2 re-keyed +1000, content
     * re-cased and whitespace-padded) collapse onto the lower-id
@@ -9997,6 +10038,7 @@ object Queries {
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
+    sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,

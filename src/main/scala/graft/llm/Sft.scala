@@ -61,8 +61,19 @@ object Sft {
                     contentCol: String = "content"): DataFrame = {
     val arr = array_sort(collect_list(struct(
       col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
-    val byConv = turns.groupBy(col(convCol)).agg(arr.as("__t"))
-    val roles = transform(col("__t"), x => x("r"))
+    turns.groupBy(col(convCol)).agg(arr.as("__t"))
+      .select(col(convCol), size(col("__t")).cast("long").as("n_turns"),
+        verdictOf(col("__t")).isNull.as("ok"),
+        verdictOf(col("__t")).as("reason"))
+  }
+
+  /** The validation rule chain over a sorted (i, r, c) turn array —
+    * shared by the flat (collect-then-check) and nested (map-only)
+    * entry points so the two cannot drift. Null when valid, else the
+    * first failing rule's name (the order documented on
+    * [[validateTurns]]). */
+  private def verdictOf(tArr: Column): Column = {
+    val roles = transform(tArr, x => x("r"))
     // body = roles after the optional leading system turn
     val hasSystem = element_at(roles, 1) === lit("system")
     val body = when(hasSystem, slice(roles, lit(2), size(roles)))
@@ -72,16 +83,37 @@ object Sft {
         (r, i) => r === when(i % 2 === 0, lit("user"))
           .otherwise(lit("assistant"))),
       x => x)
-    val reason =
-      when(size(body) < 2, lit("too_short"))
-        .when(exists(col("__t"),
-          x => x("c").isNull || length(x("c")) === 0), lit("empty_content"))
-        .when(!alternates, lit("role_order"))
-        .when(element_at(roles, -1) =!= lit("assistant"),
-          lit("no_assistant_end"))
-    byConv.select(col(convCol), size(col("__t")).cast("long").as("n_turns"),
-      reason.isNull.as("ok"), reason.as("reason"))
+    when(size(body) < 2, lit("too_short"))
+      .when(exists(tArr,
+        x => x("c").isNull || length(x("c")) === 0), lit("empty_content"))
+      .when(!alternates, lit("role_order"))
+      .when(element_at(roles, -1) =!= lit("assistant"),
+        lit("no_assistant_end"))
   }
+
+  /** A nested `array<struct<role, content>>` column (the HuggingFace
+    * chat-dataset shape — array order IS turn order) normalized to the
+    * shared (i, r, c) turn array. */
+  private def nestedArr(msgsCol: String): Column =
+    transform(col(msgsCol), (m, i) => struct(i.cast("long").as("i"),
+      m("role").as("r"), m("content").as("c")))
+
+  /** [[validateTurns]] for the NESTED input shape: one row per
+    * conversation with a `array<struct<role, content>>` messages
+    * column. Appends (n_turns, ok, reason) as a PURE PROJECTION — no
+    * exchange at all, so it composes into Structured Streaming
+    * unchanged (the flat variant's collect is a stateful aggregation
+    * a stream cannot run without state). */
+  def validateNested(df: DataFrame, msgsCol: String = "messages"): DataFrame =
+    df.withColumn("n_turns", size(col(msgsCol)).cast("long"))
+      .withColumn("reason", verdictOf(nestedArr(msgsCol)))
+      .withColumn("ok", col("reason").isNull)
+
+  /** Shared template fold over a sorted (i, r, c) turn array. */
+  private def renderFold(tArr: Column): Column =
+    aggregate(tArr, lit(""),
+      (acc, x) => concat(acc, lit(RoleOpen), x("r"), lit(RoleClose),
+        x("c"), lit(TurnEnd)))
 
   /** Render each conversation to ONE training text with the chat
     * template: turns in turn order, each as `<|role|>content<|end|>`,
@@ -95,9 +127,38 @@ object Sft {
       col(idxCol).as("i"), col(roleCol).as("r"), col(contentCol).as("c"))))
     turns.groupBy(col(convCol)).agg(arr.as("__t"))
       .select(col(convCol), size(col("__t")).cast("long").as("n_turns"),
-        aggregate(col("__t"), lit(""),
-          (acc, x) => concat(acc, lit(RoleOpen), x("r"), lit(RoleClose),
-            x("c"), lit(TurnEnd))).as("text"))
+        renderFold(col("__t")).as("text"))
+  }
+
+  /** [[render]] for the nested shape — a pure projection appending
+    * `text` (and `n_turns`); stream-composable like [[validateNested]]. */
+  def renderNested(df: DataFrame, msgsCol: String = "messages"): DataFrame =
+    df.withColumn("n_turns", size(col(msgsCol)).cast("long"))
+      .withColumn("text", renderFold(nestedArr(msgsCol)))
+
+  /** [[assistantSpans]] for the nested shape: one row per conversation
+    * with `spans` = array<struct<turn_idx, start_char, end_char>> for
+    * the assistant turns — a pure projection (the per-turn prefix sum
+    * is an O(n²)-in-turns array fold, bounded by turns-per-
+    * conversation), stream-composable. */
+  def assistantSpansNested(df: DataFrame,
+                           msgsCol: String = "messages"): DataFrame = {
+    val arr = nestedArr(msgsCol)
+    val spans = filter(
+      transform(arr, (x, i) => struct(
+        x("i").as("turn_idx"),
+        (aggregate(slice(arr, lit(1), i),
+            lit(0L), (acc, y) => acc + turnLen(y("r"), y("c")).cast("long"))
+          + turnHeaderLen(x("r")).cast("long")).as("start_char"),
+        (aggregate(slice(arr, lit(1), i),
+            lit(0L), (acc, y) => acc + turnLen(y("r"), y("c")).cast("long"))
+          + turnHeaderLen(x("r")).cast("long") + length(x("c")).cast("long"))
+          .as("end_char"),
+        x("r").as("__r"))),
+      s => s("__r") === lit("assistant"))
+    df.withColumn("spans",
+      transform(spans, s => struct(s("turn_idx").as("turn_idx"),
+        s("start_char").as("start_char"), s("end_char").as("end_char"))))
   }
 
   /** Loss-mask spans: for every ASSISTANT turn, the [start, end) char

@@ -1603,4 +1603,47 @@ class StreamingSpec extends SparkSpec {
     assert(dataSnap() == orig,
       "unretract-all + refresh must restore the exact original shards")
   }
+  test("nested SFT validate+render compose into a stream: streamed == batch") {
+    // the nested conversation ops are pure projections (no collect, no
+    // state), so SFT curation of the HuggingFace messages shape runs at
+    // ingest time unchanged -- the streamed-curation counterpart for
+    // post-training data
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[(String, String)])]
+    val df = mem.toDF().toDF("conv_id", "raw")
+      .withColumn("messages", transform(col("raw"),
+        x => struct(x("_1").as("role"), x("_2").as("content"))))
+      .drop("raw")
+    val out = graft.llm.Sft.renderNested(
+      graft.llm.Sft.validateNested(df))
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory")
+      .queryName("sft_nested_stream").outputMode("append").start()
+    val convs = Seq(
+      (1L, Seq("user" -> "hi", "assistant" -> "hello")),
+      (2L, Seq("assistant" -> "backwards", "user" -> "x")),
+      (3L, Seq("system" -> "s", "user" -> "q", "assistant" -> "a")))
+    try {
+      mem.addData(convs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sft_nested_stream")
+        .select("conv_id", "ok", "reason", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), Option(r.getString(2)), r.getString(3))).toMap
+      val batchDf = convs.toDF("conv_id", "raw")
+        .withColumn("messages", transform(col("raw"),
+          x => struct(x("_1").as("role"), x("_2").as("content"))))
+        .drop("raw")
+      val batch = graft.llm.Sft.renderNested(
+          graft.llm.Sft.validateNested(batchDf))
+        .select("conv_id", "ok", "reason", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), Option(r.getString(2)), r.getString(3))).toMap
+      assert(streamed == batch)
+      assert(streamed(1L)._1 && streamed(3L)._1)
+      assert(streamed(2L)._2.contains("role_order"))
+      assert(streamed(1L)._3 ==
+        "<|user|>hi<|end|><|assistant|>hello<|end|>")
+    } finally q.stop()
+  }
 }
