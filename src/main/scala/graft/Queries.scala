@@ -8005,6 +8005,48 @@ object Queries {
       .orderBy(col("conv_id"), col("turn_idx")),
     sftSpansQ.oracle)
 
+  /** Pack-coordinate loss masks ([[graft.llm.Sft.packedMaskSpans]]):
+    * the no-split pack over rendered conversations plus every
+    * assistant span shifted by its conversation's char offset inside
+    * the pack. The replay chains the render string_agg, the lockstep
+    * greedy recursion over the rendered token counts, the
+    * pack-partitioned char prefix window, and the span arithmetic —
+    * one statement, all previously-verified fragments. */
+  private val sftPackMasksQ = QueryDef("sft_pack_masks",
+    (s, d) => graft.llm.Sft.packedMaskSpans(sftTurns(s, d), budget = 1024,
+        docsPerGroup = 8)
+      .orderBy(col("pack_id"), col("conv_id"), col("turn_idx")),
+    Some(s"""WITH RECURSIVE
+      turns AS ($sqlSftTurns),
+      rendered AS (SELECT conv_id AS doc_id,
+            string_agg('<|' || role || '|>' || content || '<|end|>', ''
+              ORDER BY turn_idx) AS text
+          FROM turns GROUP BY conv_id),
+      ${sqlGreedyCteBody(1024, 8, "rendered")},
+      wp AS (SELECT a.doc_id, CAST(o.goff + a.emitted AS BIGINT) AS pack_id
+          FROM asg a JOIN off o USING (grp)),
+      wl AS (SELECT wp.doc_id, wp.pack_id,
+            CAST(len(r.text) AS BIGINT) AS chars
+          FROM wp JOIN rendered r USING (doc_id)),
+      co AS (SELECT doc_id, pack_id,
+            COALESCE(SUM(chars) OVER (PARTITION BY pack_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS char_offset
+          FROM wl),
+      pr AS (SELECT conv_id, turn_idx, role, content,
+            COALESCE(SUM(4 + len(role) + len(content) + 7) OVER
+              (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+          FROM turns),
+      sp AS (SELECT conv_id, turn_idx,
+            prior + 4 + len(role) AS s, prior + 4 + len(role) + len(content) AS e
+          FROM pr WHERE role = 'assistant')
+      SELECT co.pack_id, sp.conv_id, sp.turn_idx,
+        CAST(co.char_offset + sp.s AS BIGINT) AS start_char,
+        CAST(co.char_offset + sp.e AS BIGINT) AS end_char
+      FROM sp JOIN co ON co.doc_id = sp.conv_id
+      ORDER BY pack_id, conv_id, turn_idx"""))
+
   /** Conversation-grain dedup ([[graft.llm.Sft.conversationDedup]]):
     * planted duplicates (convs with residue 2 re-keyed +1000, content
     * re-cased and whitespace-padded) collapse onto the lower-id
@@ -10038,7 +10080,7 @@ object Queries {
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
-    sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ,
+    sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,

@@ -186,6 +186,44 @@ object Sft {
           + length(col(contentCol))).cast("long").as("end_char"))
   }
 
+  /** Trainer-ready SFT packing metadata: no-split greedy pack
+    * ([[Packing.packGreedy]] — the padding-aware mode instruction
+    * tuning requires) over the RENDERED conversations, with every
+    * assistant loss-mask span shifted into PACK coordinates (members
+    * concatenate in conversation-id order within a pack, exactly the
+    * [[Packing.packGreedyMaterialize]] convention) — the table an SFT
+    * trainer actually consumes next to the pack bytes: mask loss to
+    * these [start_char, end_char) ranges of each pack's text.
+    *
+    * Shapes: one render aggregation, the packGreedy two-phase
+    * machinery, one PACK-partitioned char prefix window (bounded by
+    * docs-per-pack), one span join on the conversation key.
+    * Returns (pack_id, convCol, idxCol, start_char, end_char). */
+  def packedMaskSpans(turns: DataFrame, budget: Long,
+                      docsPerGroup: Int = 4096, numParts: Int = 0,
+                      convCol: String = "conv_id",
+                      idxCol: String = "turn_idx", roleCol: String = "role",
+                      contentCol: String = "content"): DataFrame = {
+    val rendered = render(turns, convCol, idxCol, roleCol, contentCol)
+    val wsTokens = size(filter(split(trim(col("text")), "\\s+"),
+      w => w =!= "")).cast("long")
+    val asg = Packing.packGreedy(
+      rendered.withColumn("__n", wsTokens), convCol, col("__n"),
+      budget, docsPerGroup, numParts)
+    val withLen = asg.join(rendered.select(col(convCol).as("doc_id"),
+      length(col("text")).cast("long").as("__chars")), "doc_id")
+    val w = Window.partitionBy(col("pack_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLen
+      .withColumn("__off", coalesce(sum(col("__chars")).over(w), lit(0L)))
+      .select(col("doc_id"), col("pack_id"), col("__off"))
+    assistantSpans(turns, convCol, idxCol, roleCol, contentCol)
+      .join(offsets.withColumnRenamed("doc_id", convCol), convCol)
+      .select(col("pack_id"), col(convCol), col(idxCol),
+        (col("__off") + col("start_char")).as("start_char"),
+        (col("__off") + col("end_char")).as("end_char"))
+  }
+
   /** Conversation-grain exact dedup, keep-first: conversations whose
     * normalized transcripts match (content lowercased,
     * whitespace-collapsed, trimmed; role + turn order significant)

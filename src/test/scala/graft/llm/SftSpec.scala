@@ -75,6 +75,30 @@ class SftSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("packedMaskSpans: spans index into the concatenated pack text") {
+    val df = turns(
+      (1L, 0L, "user", "aa"), (1L, 1L, "assistant", "bbb"),
+      (2L, 0L, "user", "cccc"), (2L, 1L, "assistant", "dd"),
+      (3L, 0L, "user", "e"), (3L, 1L, "assistant", "ffff"))
+    val spans = Sft.packedMaskSpans(df, budget = 1000, docsPerGroup = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    // rebuild each pack's text the way the materializer does: rendered
+    // conversations concatenated in id order within the pack
+    val rendered = Sft.render(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val byPack = spans.groupBy(_._1)
+    for ((_, ss) <- byPack) {
+      val convs = ss.map(_._2).distinct.sorted
+      val packText = convs.map(rendered).mkString("")
+      for ((_, conv, s, e) <- ss) {
+        val got = packText.substring(s.toInt, e.toInt)
+        val expected = Map(1L -> "bbb", 2L -> "dd", 3L -> "ffff")(conv)
+        assert(got == expected, s"conv $conv span [$s,$e) -> '$got'")
+      }
+    }
+  }
+
   test("conversationDedup: separator keeps adjacent fields unambiguous") {
     val df = turns(
       (1L, 0L, "user", "ab"), (1L, 1L, "assistant", "c"),
