@@ -8308,6 +8308,97 @@ object Queries {
         CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs
       FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** ONE-CONFIG DPO chain — preference pairs → validate gate → pair
+    * dedup → DPO-template render → trainer shards, all registry kinds
+    * (the post-training mirror of [[sftChainYaml]] for the preference
+    * half). Fixture: [[prefPairs]] plus planted duplicates. The
+    * replay chains the validation CASE, the normalized-triple hash
+    * keep-first, the template concat, and the md5-rank shard digest. */
+  private val prefChainYaml = QueryDef("pref_chain_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "pref_chain_yaml")
+      val out = s"$dir/out"
+      val base = prefPairs(s, d)
+      val dups = base.where(col("pair_id") % 10 === 4).select(
+        (col("pair_id") + 100000).as("pair_id"), col("source"),
+        concat(lit(" "), upper(col("prompt"))).as("prompt"),
+        col("chosen"), col("rejected"))
+      base.unionByName(dups).write.mode("overwrite")
+        .parquet(s"$dir/pairs")
+      val yaml =
+        s"""jobs:
+           |  - name: pref_chain
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/pairs
+           |        prefix: ""
+           |    transform:
+           |      - kind: pref_validate
+           |      - kind: pref_dedup
+           |      - kind: pref_render
+           |    load:
+           |      - kind: shards
+           |        keyCol: pair_id
+           |        path: $out
+           |        nShards: 2
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(length(col("text_chosen")).cast("long")).as("chosen_chars"),
+          sum(length(col("text_rejected")).cast("long"))
+            .as("rejected_chars"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH p0 AS ($sqlPrefPairs),
+      t2 AS (SELECT pair_id, source, prompt, chosen, rejected FROM p0
+           UNION ALL
+           SELECT pair_id + 100000, source, ' ' || upper(prompt),
+             chosen, rejected
+             FROM p0 WHERE pair_id % 10 = 4),
+      ok AS (SELECT * FROM t2
+          WHERE NOT (prompt IS NULL OR len(prompt) = 0)
+            AND NOT (chosen IS NULL OR len(chosen) = 0
+              OR rejected IS NULL OR len(rejected) = 0)
+            AND trim(regexp_replace(lower(chosen), '\\s+', ' ', 'g'))
+              <> trim(regexp_replace(lower(rejected), '\\s+', ' ', 'g'))),
+      k AS (SELECT *, md5(
+            trim(regexp_replace(lower(prompt), '\\s+', ' ', 'g')) || chr(31) ||
+            trim(regexp_replace(lower(chosen), '\\s+', ' ', 'g')) || chr(31) ||
+            trim(regexp_replace(lower(rejected), '\\s+', ' ', 'g'))) AS kk
+          FROM ok),
+      keep AS (SELECT * FROM
+          (SELECT *, row_number() OVER
+             (PARTITION BY kk ORDER BY pair_id) AS rn FROM k)
+          WHERE rn = 1),
+      r AS (SELECT pair_id,
+            '<|user|>' || prompt || '<|end|><|assistant|>' || chosen
+              || '<|end|>' AS text_chosen,
+            '<|user|>' || prompt || '<|end|><|assistant|>' || rejected
+              || '<|end|>' AS text_rejected,
+            md5(CAST(pair_id AS VARCHAR)) AS rank
+          FROM keep),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 2 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_pairs,
+        CAST(SUM(len(text_chosen)) AS BIGINT) AS chosen_chars,
+        CAST(SUM(len(text_rejected)) AS BIGINT) AS rejected_chars
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -10082,6 +10173,7 @@ object Queries {
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
+    prefChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,

@@ -331,6 +331,17 @@ object ConfigLoader {
           o.getOrElse("promptCol", "prompt"),
           o.getOrElse("chosenCol", "chosen"),
           o.getOrElse("rejectedCol", "rejected"))),
+      // nested (HuggingFace messages-array) SFT variants — pure
+      // projections, so they compose into stream jobs unchanged
+      "sft_validate_nested" -> (o => df => {
+        val v = graft.llm.Sft.validateNested(df,
+          o.getOrElse("messagesCol", "messages"))
+        if (o.getOrElse("annotate", "false").toBoolean) v
+        else v.where(col("ok")).drop("n_turns", "ok", "reason")
+      }),
+      "sft_render_nested" -> (o => df =>
+        graft.llm.Sft.renderNested(df,
+          o.getOrElse("messagesCol", "messages"))),
       "sample" -> (o => df =>
         graft.llm.Mixing.deterministicSample(df, req(o, "keyCol"),
           req(o, "fraction").toDouble, o.getOrElse("salt", "graft"))),
