@@ -8399,42 +8399,6 @@ object Queries {
         CAST(SUM(len(text_rejected)) AS BIGINT) AS rejected_chars
       FROM sh GROUP BY shard ORDER BY shard"""))
 
-  /** Corpus datacard ([[graft.operators.Profile.datacard]]) — per
-    * source: docs, tokens, mean length, exact-dup rate (planted dups:
-    * every 9th doc re-appended under a shifted id), dominant language
-    * + share. Every double derives from exact integer counts. */
-  private val datacardQ = QueryDef("corpus_datacard",
-    (s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      val withDups = docs.unionByName(docs.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 7000000).as("doc_id"), col("source"),
-          col("lang"), col("text")))
-      graft.operators.Profile.datacard(withDups).orderBy(col("source"))
-    },
-    Some("""WITH du AS (SELECT doc_id, source, lang, text FROM documents
-          UNION ALL
-          SELECT doc_id + 7000000, source, lang, text FROM documents
-          WHERE doc_id % 9 = 0),
-      b AS (SELECT source, count(*) AS n_docs,
-          CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
-            AS token_sum,
-          count(DISTINCT md5(text)) AS __nd
-          FROM du GROUP BY source),
-      lc AS (SELECT source, lang, count(*) AS c FROM du
-          GROUP BY source, lang),
-      tl AS (SELECT source, lang, c FROM
-          (SELECT *, row_number() OVER
-             (PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
-           FROM lc) WHERE rn = 1)
-      SELECT b.source, b.n_docs, b.token_sum,
-        CAST(b.token_sum AS DOUBLE) / b.n_docs AS mean_doc_tokens,
-        1.0 - CAST(b.__nd AS DOUBLE) / b.n_docs AS exact_dup_rate,
-        tl.lang AS top_lang,
-        CAST(tl.c AS DOUBLE) / b.n_docs AS top_lang_share
-      FROM b JOIN tl USING (source) ORDER BY source"""))
-
   // LSH ANN with planted queries: the rank-1 neighbor of a perturbed
   // copy is provably its base vector, so the brute-force oracle binds
   // the LSH path's recall (the unplanted ann_lsh stays rows-only)
@@ -10209,7 +10173,7 @@ object Queries {
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
-    prefChainYaml, datacardQ,
+    prefChainYaml,
     annIngestSemdedup,
     mmFeatures, mmImageStats, mmImageDhash, mmImageNearDup, mmImageResize,
     mmAudioHash, mmVideoNearDup, mmAudioStats,

@@ -69,38 +69,4 @@ object Profile {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
-
-  /** Per-source corpus DATACARD — the datasheet row block every data
-    * release ships (Datasheets for Datasets; the Pile/Dolma data
-    * cards): document and token counts, mean document length, the
-    * exact-duplicate rate, and the dominant language with its share.
-    * Two bounded-key aggregations (doc-level stats + a language-mode
-    * pass), one broadcast-sized join — nothing scales worse than the
-    * scan, and every emitted double derives from exact integer counts
-    * so the oracle replays it bit-for-bit.
-    * Returns (sourceCol, n_docs, token_sum, mean_doc_tokens,
-    * exact_dup_rate, top_lang, top_lang_share); top-language ties
-    * break by DESCENDING language code (max over (count, lang)). */
-  def datacard(df: DataFrame, sourceCol: String = "source",
-               textCol: String = "text",
-               langCol: String = "lang"): DataFrame = {
-    val toks = graft.llm.TextAnalysis.wsTokenCount(col(textCol))
-    val base = df.groupBy(col(sourceCol)).agg(
-      count(lit(1)).as("n_docs"),
-      sum(toks.cast("long")).as("token_sum"),
-      countDistinct(md5(col(textCol))).as("__nd"))
-    val topLang = df.groupBy(col(sourceCol), col(langCol))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col(sourceCol))
-      .agg(max(struct(col("__c"), col(langCol).as("__l"))).as("__m"))
-    base.join(topLang, sourceCol)
-      .select(col(sourceCol), col("n_docs"), col("token_sum"),
-        (col("token_sum").cast("double") / col("n_docs"))
-          .as("mean_doc_tokens"),
-        (lit(1.0) - col("__nd").cast("double") / col("n_docs"))
-          .as("exact_dup_rate"),
-        col("__m.__l").as("top_lang"),
-        (col("__m.__c").cast("double") / col("n_docs"))
-          .as("top_lang_share"))
-  }
 }
