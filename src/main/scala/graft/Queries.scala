@@ -2582,6 +2582,26 @@ object Queries {
       """ + duckBpeCount(Bpe.defaultLadder, "text") + """ AS bpe_tokens
       FROM documents ORDER BY doc_id"""))
 
+  /** Tokenizer fertility per language
+    * ([[TextAnalysis.tokenizerFertility]] — the XLM-R/BLOOM
+    * tokenizer-equity audit: subword tokens per whitespace word by
+    * language, exact integer sums on both sides). */
+  private val tokenizerFertilityQ = QueryDef("tokenizer_fertility",
+    (s, d) => TextAnalysis.tokenizerFertility(t(s, d, "documents"))
+      .orderBy(col("lang")),
+    Some("""WITH pc AS (SELECT lang,
+        CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text),'\s+')) END AS words,
+        """ + duckBpeCount(Bpe.defaultLadder, "text") + """ AS toks
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        CAST(SUM(words) AS BIGINT) AS words,
+        CAST(SUM(toks) AS BIGINT) AS tokens,
+        CASE WHEN SUM(words) > 0 THEN
+          CAST(SUM(toks) AS DOUBLE) / CAST(SUM(words) AS DOUBLE) END
+          AS fertility
+      FROM pc GROUP BY lang ORDER BY lang"""))
+
   /** Planted BPE training ([[Bpe.train]]): the classic
     * low/lower/newest/widest corpus, whose 8-merge ladder is derivable
     * by hand (pair counts weighted by word frequency, ties broken
@@ -10137,6 +10157,7 @@ object Queries {
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
+    tokenizerFertilityQ,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
     vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, ceTwoPhase, qualityBucketsQ,

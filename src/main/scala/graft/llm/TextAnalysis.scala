@@ -31,6 +31,31 @@ object TextAnalysis {
                     merges: Seq[(String, String)] = Bpe.defaultLadder): Column =
     Bpe.countCol(c, merges)
 
+  /** Tokenizer FERTILITY per group — subword tokens per whitespace
+    * word, the published tokenizer-equity audit (XLM-R §5, the BLOOM
+    * data card): a language whose fertility is far above the corpus
+    * mean is poorly served by the tokenizer (more tokens per word =
+    * less effective context and higher training cost for the same
+    * text). One partial-aggregated groupBy on the bounded group key;
+    * both counts are exact integers, so the ratio replays bit-for-bit.
+    * Returns (groupCol, n_docs, words, tokens, fertility — null for a
+    * wordless group). */
+  def tokenizerFertility(df: org.apache.spark.sql.DataFrame,
+                         groupCol: String = "lang",
+                         textCol: String = "text",
+                         merges: Seq[(String, String)] = Bpe.defaultLadder)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col(textCol)).cast("long")).as("words"),
+        sum(bpeTokenCount(col(textCol), merges).cast("long")).as("tokens"))
+      .select(col(groupCol), col("n_docs"), col("words"), col("tokens"),
+        when(col("words") > 0,
+          col("tokens").cast("double") / col("words").cast("double"))
+          .as("fertility"))
+  }
+
   // public: SparkEntry mirrors these lists into the DuckDB oracle SQL
   val enStop = Seq("the", "of", "and", "a", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "this", "was", "are", "be",
