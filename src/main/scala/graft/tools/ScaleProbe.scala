@@ -143,6 +143,19 @@ object ScaleProbe {
           col("query_id").as("neighbor_id"), col("cosine"))
         graft.llm.Bitext.marginScore(fwd, bwd, threshold = 1.05).count()
       }
+      time(s"pref_chain x$k") {
+        // DPO prep chain over k×-growing pairs: validation/render are
+        // projections, dedup one hash exchange — must track the scan
+        val prs = corpus.select(col("doc_id").as("pair_id"),
+          (col("doc_id") % 7).cast("string").as("source"),
+          substring(col("text"), 1, 40).as("prompt"),
+          substring(col("text"), 41, 60).as("chosen"),
+          reverse(substring(col("text"), 41, 60)).as("rejected"))
+        val gated = graft.llm.Preference.validatePairs(prs)
+          .where(col("ok")).drop("ok", "reason")
+        graft.llm.Preference.renderPairs(
+          graft.llm.Preference.dedupPairs(gated)).count()
+      }
       time(s"minhash_incremental x$k") {
         // fixed-size batch (500 docs of one replica) probed against the
         // k×-growing corpus: steady-state ingest cost should stay near
@@ -488,6 +501,17 @@ object ScaleProbe {
         val embK = replicateEmb(emb, k).localCheckpoint(true)
         val n = graft.llm.Similarity.lshTopK(emb.limit(5), embK, k = 5,
           probeBits = 2).count()
+        embK.unpersist()
+        n
+      }
+      time(s"semantic_order x$k") {
+        // ICLM chaining on the k×-growing embedding table: the
+        // two-phase group machinery + one bounded O(G²·dim) kernel
+        // pass per group — per-row cost constant, must track the scan
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val n = graft.llm.Packing.semanticChainOrder(
+          embK.select(col("vec_id").as("doc_id"), col("embedding")),
+          docsPerGroup = 64).count()
         embK.unpersist()
         n
       }
