@@ -78,10 +78,11 @@ object Sft {
     val hasSystem = element_at(roles, 1) === lit("system")
     val body = when(hasSystem, slice(roles, lit(2), size(roles)))
       .otherwise(roles)
+    // indexed transform, not zip_with(sequence(...)): sequence(0, -1)
+    // on an empty body would yield [0, -1] and null-pad the zip
     val alternates = forall(
-      zip_with(body, sequence(lit(0), size(body) - 1),
-        (r, i) => r === when(i % 2 === 0, lit("user"))
-          .otherwise(lit("assistant"))),
+      transform(body, (r, i) => r === when(i % 2 === 0, lit("user"))
+        .otherwise(lit("assistant"))),
       x => x)
     when(size(body) < 2, lit("too_short"))
       .when(exists(tArr,

@@ -1452,6 +1452,63 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(out == Map(4L -> 0L, 1L -> 7L, 3L -> 12L, 2L -> 15L), s"got $out")
   }
 
+  test("one-config STREAMING SFT curation: nested convs stream -> gate -> render -> ledger pack") {
+    // the nested SFT kinds are pure projections, so they slot into a
+    // stream job's curate: list unchanged — continuous post-training
+    // data curation with zero new streaming machinery
+    val work = Files.createTempDirectory("graft_sftstream").toFile.getPath
+    new java.io.File(s"$work/landing").mkdirs()
+    def conv(id: Long, msgs: Seq[(String, String)]) = (id, msgs)
+    // seed ledgers from one valid batch conversation
+    Seq(conv(0L, Seq("user" -> "seed prompt", "assistant" -> "seed answer")))
+      .toDF("conv_id", "raw")
+      .withColumn("messages", transform(col("raw"),
+        x => struct(x("_1").as("role"), x("_2").as("content"))))
+      .drop("raw")
+      .write.mode("overwrite").parquet(s"$work/seedconvs")
+    Pipeline.run(spark, ConfigLoader.parse(
+      s"""{"jobs": [{"name": "seed",
+         |  "extract": [{"kind": "parquet", "path": "$work/seedconvs", "prefix": ""}],
+         |  "transform": [
+         |    {"kind": "sft_validate_nested"}, {"kind": "sft_render_nested"}],
+         |  "load": [{"kind": "seed_curated_pack",
+         |    "options": {"idCol": "conv_id", "textCol": "text",
+         |      "budget": "64", "dir": "$work/led"}}]}]}""".stripMargin),
+      progress = _ => ())
+    // landing batch: one valid conv, one malformed (assistant-first)
+    Seq(conv(1L, Seq("user" -> "hi there", "assistant" -> "hello you")),
+        conv(2L, Seq("assistant" -> "backwards", "user" -> "x")))
+      .toDF("conv_id", "raw")
+      .withColumn("messages", transform(col("raw"),
+        x => struct(x("_1").as("role"), x("_2").as("content"))))
+      .drop("raw")
+      .write.mode("overwrite").parquet(s"$work/landing")
+    val yaml =
+      s"""jobs:
+         |  - name: sft_stream
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        path: $work/landing
+         |      curate:
+         |        - kind: sft_validate_nested
+         |        - kind: sft_render_nested
+         |      pack: {dir: $work/led, idCol: conv_id, textCol: text, budget: '64'}
+         |      availableNow: true
+         |""".stripMargin
+    Files.write(new java.io.File(work, "sft.yaml").toPath,
+      yaml.getBytes("UTF-8"))
+    val spec = ConfigLoader.parseStreamsYamlFile(s"$work/sft.yaml").head
+    ConfigLoader.runStreamOnce(spark, spec)
+    val ids = spark.read.parquet(s"$work/led/assign").select("doc_id")
+      .as[Long].collect().toSet
+    // malformed conv 2 gated in-stream; valid conv 1 packed; seed intact
+    assert(ids == Set(0L, 1L))
+    // re-drain: ledger idempotence holds for the SFT shape too
+    ConfigLoader.runStreamOnce(spark, spec)
+    assert(spark.read.parquet(s"$work/led/assign").count() == 2L)
+  }
+
   test("sft kinds: validate-gate -> dedup -> render as chain stages") {
     import graft.pipeline.ConfigLoader.transformKinds
     val turns = Seq(
