@@ -2602,6 +2602,44 @@ object Queries {
           AS fertility
       FROM pc GROUP BY lang ORDER BY lang"""))
 
+  /** T5/UL2 span corruption ([[graft.llm.Objectives.spanCorrupt]]):
+    * deterministic md5-bucket span masking (density 0.25 →
+    * threshold hex 40000000), sentinel-rewritten inputs and the
+    * seq2seq targets. The oracle replays the whole construction —
+    * group hashing, sentinel numbering, input filtering, target
+    * assembly — with DuckDB list ops. */
+  private val spanCorruptQ = QueryDef("span_corrupt",
+    (s, d) => graft.llm.Objectives.spanCorrupt(
+        t(s, d, "documents"), spanLen = 3, density = 0.25)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            t -> t <> '') AS toks
+        FROM documents),
+      g AS (SELECT doc_id, toks, len(toks) AS n,
+          CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+               ELSE list_filter(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT)),
+                 gg -> substr(md5('graft' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(gg AS VARCHAR)), 1, 8) < '40000000') END AS masked
+        FROM w),
+      o AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CAST(len(masked) AS BIGINT) AS n_masked_spans,
+          coalesce(array_to_string(list_filter(list_transform(range(1, n + 1), i ->
+            CASE WHEN coalesce(list_position(masked, (i - 1) // 3), 0) = 0
+                   THEN toks[i]
+                 WHEN (i - 1) % 3 = 0 THEN '<extra_id_'
+                   || CAST(list_position(masked, (i - 1) // 3) - 1 AS VARCHAR)
+                   || '>'
+                 ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS input_text,
+          coalesce(array_to_string(list_transform(range(1, len(masked) + 1), k ->
+            '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+              || array_to_string(
+                toks[masked[CAST(k AS INT)] * 3 + 1
+                  : masked[CAST(k AS INT)] * 3 + 3], ' ')), ' '), '')
+            AS target_text
+        FROM g)
+      SELECT * FROM o ORDER BY doc_id"""))
+
   /** Planted BPE training ([[Bpe.train]]): the classic
     * low/lower/newest/widest corpus, whose 8-merge ladder is derivable
     * by hand (pair counts weighted by word frequency, ties broken
@@ -10157,7 +10195,7 @@ object Queries {
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
-    tokenizerFertilityQ,
+    tokenizerFertilityQ, spanCorruptQ,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
     vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, ceTwoPhase, qualityBucketsQ,
