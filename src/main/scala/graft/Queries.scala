@@ -2640,6 +2640,106 @@ object Queries {
         FROM g)
       SELECT * FROM o ORDER BY doc_id"""))
 
+  /** First-8-hex-chars digest of an md5 VARCHAR expression — the
+    * shard-rank arithmetic as a reusable fragment. */
+  private def sqlDigest32(md5expr: String): String =
+    s"""((strpos('0123456789abcdef', substr($md5expr,1,1)) - 1) * 268435456
+      + (strpos('0123456789abcdef', substr($md5expr,2,1)) - 1) * 16777216
+      + (strpos('0123456789abcdef', substr($md5expr,3,1)) - 1) * 1048576
+      + (strpos('0123456789abcdef', substr($md5expr,4,1)) - 1) * 65536
+      + (strpos('0123456789abcdef', substr($md5expr,5,1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr($md5expr,6,1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr($md5expr,7,1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr($md5expr,8,1)) - 1))"""
+
+  /** Prefix-LM split ([[graft.llm.Objectives.prefixLmSplit]] — the
+    * UL2 S-denoiser / PaLM prefix objective): deterministic uniform
+    * split point from the md5 digest, prefix in, continuation out. */
+  private val prefixLmQ = QueryDef("prefix_lm_split",
+    (s, d) => graft.llm.Objectives.prefixLmSplit(t(s, d, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t <> '') AS toks
+        FROM documents),
+      g AS (SELECT doc_id, toks, len(toks) AS n,
+          ${sqlDigest32("md5('graft' || CAST(doc_id AS VARCHAR) || ':split')")}
+            AS digest
+        FROM w),
+      sp AS (SELECT doc_id, toks, n,
+          CASE WHEN n >= 2 THEN 1 + digest % (n - 1) ELSE n END AS spl
+        FROM g)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        CAST(spl AS BIGINT) AS split_at,
+        coalesce(array_to_string(toks[1 : CAST(spl AS INT)], ' '), '')
+          AS input_text,
+        coalesce(array_to_string(toks[CAST(spl + 1 AS INT) : CAST(n AS INT)],
+          ' '), '') AS target_text
+      FROM sp ORDER BY doc_id"""))
+
+  /** One span-corruption branch of the ul2_mixture replay — the
+    * span_corrupt oracle parameterized by (spanLen, threshold hex,
+    * mode token, bucket predicate) over the shared `w(doc_id, toks,
+    * bucket)` CTE. */
+  private def sqlUl2Span(spanLen: Int, thr: String, mode: String,
+                         cond: String): String = {
+    val L = spanLen
+    s"""SELECT doc_id, '$mode' AS denoiser, CAST(n AS BIGINT) AS n_tokens,
+      '[$mode] ' || coalesce(array_to_string(list_filter(
+        list_transform(range(1, n + 1), i ->
+          CASE WHEN coalesce(list_position(masked, (i - 1) // $L), 0) = 0
+                 THEN toks[i]
+               WHEN (i - 1) % $L = 0 THEN '<extra_id_'
+                 || CAST(list_position(masked, (i - 1) // $L) - 1 AS VARCHAR)
+                 || '>'
+               ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS input_text,
+      coalesce(array_to_string(list_transform(range(1, len(masked) + 1), k ->
+        '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+          || array_to_string(toks[masked[CAST(k AS INT)] * $L + 1
+            : masked[CAST(k AS INT)] * $L + $L], ' ')), ' '), '')
+        AS target_text
+    FROM (SELECT doc_id, toks, len(toks) AS n,
+        CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+             ELSE list_filter(range(0, CAST(ceil(len(toks) / $L.0) AS BIGINT)),
+               gg -> substr(md5('graft' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(gg AS VARCHAR)), 1, 8) < '$thr') END AS masked
+      FROM w WHERE $cond)"""
+  }
+
+  /** UL2 mixture ([[graft.llm.Objectives.ul2Mixture]]): R/X/S
+    * denoisers by md5-bucket thirds, mode tokens prepended. The
+    * replay unions the two span branches (thresholds 26666666 =
+    * 0.15·2³², 80000000 = 0.5·2³²) with the prefix-LM branch. */
+  private val ul2MixtureQ = QueryDef("ul2_mixture",
+    (s, d) => graft.llm.Objectives.ul2Mixture(t(s, d, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t <> '') AS toks,
+          substr(md5('graft' || CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+            AS bucket
+        FROM documents)
+      SELECT * FROM (
+        ${sqlUl2Span(3, "26666666", "R", "bucket < '55555555'")}
+        UNION ALL
+        ${sqlUl2Span(12, "80000000", "X",
+          "bucket >= '55555555' AND bucket < 'aaaaaaab'")}
+        UNION ALL
+        SELECT doc_id, 'S' AS denoiser, CAST(n AS BIGINT) AS n_tokens,
+          '[S] ' || coalesce(array_to_string(toks[1 : CAST(spl AS INT)],
+            ' '), '') AS input_text,
+          coalesce(array_to_string(
+            toks[CAST(spl + 1 AS INT) : CAST(n AS INT)], ' '), '')
+            AS target_text
+        FROM (SELECT doc_id, toks, len(toks) AS n,
+            CASE WHEN len(toks) >= 2 THEN 1 +
+                ${sqlDigest32(
+                  "md5('graft' || CAST(doc_id AS VARCHAR) || ':split')")}
+                % (len(toks) - 1)
+              ELSE len(toks) END AS spl
+          FROM w WHERE bucket >= 'aaaaaaab'))
+      ORDER BY doc_id"""))
+
   /** Planted BPE training ([[Bpe.train]]): the classic
     * low/lower/newest/widest corpus, whose 8-merge ladder is derivable
     * by hand (pair counts weighted by word frequency, ties broken
@@ -10195,7 +10295,7 @@ object Queries {
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
-    tokenizerFertilityQ, spanCorruptQ,
+    tokenizerFertilityQ, spanCorruptQ, prefixLmQ, ul2MixtureQ,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
     vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, ceTwoPhase, qualityBucketsQ,

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Training-OBJECTIVE example construction — turning curated documents
   * into the (input, target) pairs a denoising pretraining objective
   * consumes (T5 span corruption, Raffel et al. 2020 §3.1.4; the UL2
-  * R/X-denoiser family is the same construction at other
-  * density/length settings).
+  * mixture-of-denoisers, Tay et al. 2022, is the same construction at
+  * several density/length settings plus the prefix-LM split, with a
+  * mode token telling the model which denoiser an example came from).
   *
   * The "randomness" is the repo's deterministic md5-bucket convention
   * (the [[Mixing.mixStrata]] machinery): a span group is masked iff
@@ -21,6 +22,49 @@ import org.apache.spark.sql.functions._
   * map-only — no per-row RNG state, no shuffle.
   */
 object Objectives {
+
+  private def wsToks(textCol: String): Column =
+    filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+
+  /** Masked span-group indexes for one (spanLen, density) setting —
+    * empty for an empty document (never `sequence(0, -1)`). */
+  private def maskedGroups(id: Column, toksCol: Column, spanLen: Int,
+                           density: Double, salt: String): Column = {
+    val thr = Mixing.hexThreshold(density)
+    val nGrp = ceil(size(toksCol).cast("double") / spanLen).cast("int")
+    when(size(toksCol) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), nGrp - 1), g =>
+        substring(md5(concat(lit(salt), id.cast("string"),
+          lit(":"), g.cast("string"))), 1, 8) < lit(thr)))
+  }
+
+  private def corruptInput(toksCol: Column, maskedCol: Column,
+                           spanLen: Int): Column =
+    array_join(filter(transform(toksCol, (t, i) => {
+      val g = (i / spanLen).cast("int")
+      val pos = array_position(maskedCol, g)
+      when(pos.isNull || pos === 0, t) // unmasked group: keep token
+        .when(i % spanLen === 0, // masked group start: sentinel
+          concat(lit("<extra_id_"), (pos - 1).cast("string"), lit(">")))
+        .otherwise(lit(null)) // masked continuation: dropped
+    }), t => t.isNotNull), " ")
+
+  private def corruptTarget(toksCol: Column, maskedCol: Column,
+                            spanLen: Int): Column =
+    array_join(transform(maskedCol, (g, k) =>
+      concat(lit("<extra_id_"), k.cast("string"), lit("> "),
+        array_join(slice(toksCol, g * spanLen + 1, lit(spanLen)), " "))),
+      " ")
+
+  /** Deterministic uniform split point over 1..n-1 (n for n < 2). */
+  private def splitPoint(id: Column, toksCol: Column,
+                         salt: String): Column = {
+    val n = size(toksCol)
+    val digest = conv(substring(md5(concat(lit(salt),
+      id.cast("string"), lit(":split"))), 1, 8), 16, 10).cast("long")
+    when(n >= 2, lit(1) + pmod(digest, (n - 1).cast("long")).cast("int"))
+      .otherwise(n)
+  }
 
   /** T5-style span corruption: returns
     * (idCol, n_tokens, n_masked_spans, input_text, target_text) where
@@ -39,31 +83,75 @@ object Objectives {
     require(spanLen > 0, s"spanCorrupt: spanLen must be positive, got $spanLen")
     require(density >= 0 && density <= 1,
       s"spanCorrupt: density must be in [0,1], got $density")
-    val thr = Mixing.hexThreshold(density)
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
-    val nGrp = ceil(size(col("__toks")).cast("double") / spanLen).cast("int")
-    def grpMasked(g: Column): Column =
-      substring(md5(concat(lit(salt), col(idCol).cast("string"),
-        lit(":"), g.cast("string"))), 1, 8) < lit(thr)
-    df.withColumn("__toks", toks)
+    df.withColumn("__toks", wsToks(textCol))
       .withColumn("__masked",
-        when(size(col("__toks")) === 0, array().cast("array<int>"))
-          .otherwise(filter(sequence(lit(0), nGrp - 1), g => grpMasked(g))))
+        maskedGroups(col(idCol), col("__toks"), spanLen, density, salt))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         size(col("__masked")).cast("long").as("n_masked_spans"),
-        array_join(filter(transform(col("__toks"), (t, i) => {
-          val g = (i / spanLen).cast("int")
-          val pos = array_position(col("__masked"), g)
-          when(pos.isNull || pos === 0, t) // unmasked group: keep token
-            .when(i % spanLen === 0, // masked group start: sentinel
-              concat(lit("<extra_id_"), (pos - 1).cast("string"), lit(">")))
-            .otherwise(lit(null)) // masked continuation: dropped
-        }), t => t.isNotNull), " ").as("input_text"),
-        array_join(transform(col("__masked"), (g, k) =>
-          concat(lit("<extra_id_"), k.cast("string"), lit("> "),
-            array_join(slice(col("__toks"), g * spanLen + 1, lit(spanLen)),
-              " "))),
-          " ").as("target_text"))
+        corruptInput(col("__toks"), col("__masked"), spanLen)
+          .as("input_text"),
+        corruptTarget(col("__toks"), col("__masked"), spanLen)
+          .as("target_text"))
+  }
+
+  /** Prefix-LM split (the UL2 S-denoiser / PaLM prefix objective):
+    * each document splits at a DETERMINISTIC token boundary — uniform
+    * over 1..n-1 via the md5 digest of (salt, id) — into
+    * (input_text = the prefix, target_text = the continuation).
+    * Documents with fewer than 2 tokens emit an empty target (the
+    * whole text is the input). Map-only; the digest arithmetic is the
+    * shard-rank convention, so the oracle replays the exact split
+    * point. Returns (idCol, n_tokens, split_at, input_text,
+    * target_text). */
+  def prefixLmSplit(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    salt: String = "graft"): DataFrame = {
+    val n = size(col("__toks"))
+    df.withColumn("__toks", wsToks(textCol))
+      .withColumn("__sp", splitPoint(col(idCol), col("__toks"), salt))
+      .select(col(idCol), n.cast("long").as("n_tokens"),
+        col("__sp").cast("long").as("split_at"),
+        array_join(slice(col("__toks"), lit(1), col("__sp")), " ")
+          .as("input_text"),
+        array_join(slice(col("__toks"), col("__sp") + 1,
+          greatest(n - col("__sp"), lit(0))), " ").as("target_text"))
+  }
+
+  /** The UL2 MIXTURE of denoisers (Tay et al. 2022): every document is
+    * deterministically assigned one denoiser — R (regular spans:
+    * spanLen 3, density 0.15), X (extreme: spanLen 12, density 0.5),
+    * or S (the prefix-LM split) — by md5 bucket thirds, and its input
+    * carries the paper's mode token (`[R] ` / `[X] ` / `[S] `). ONE
+    * scan: all three constructions are codegen'd branches of the same
+    * projection, selected per row. Returns
+    * (idCol, denoiser, n_tokens, input_text, target_text). */
+  def ul2Mixture(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 salt: String = "graft"): DataFrame = {
+    val id = col(idCol)
+    val bucket = substring(md5(concat(lit(salt), id.cast("string"),
+      lit(":mix"))), 1, 8)
+    val den = when(bucket < "55555555", "R")
+      .when(bucket < "aaaaaaab", "X").otherwise("S")
+    val toks = col("__toks")
+    val n = size(toks)
+    df.withColumn("__toks", wsToks(textCol))
+      .withColumn("__mR", maskedGroups(id, toks, 3, 0.15, salt))
+      .withColumn("__mX", maskedGroups(id, toks, 12, 0.5, salt))
+      .withColumn("__sp", splitPoint(id, toks, salt))
+      .withColumn("__den", den)
+      .select(id, col("__den").as("denoiser"),
+        n.cast("long").as("n_tokens"),
+        concat(lit("["), col("__den"), lit("] "),
+          when(col("__den") === "R", corruptInput(toks, col("__mR"), 3))
+            .when(col("__den") === "X", corruptInput(toks, col("__mX"), 12))
+            .otherwise(array_join(slice(toks, lit(1), col("__sp")), " ")))
+          .as("input_text"),
+        when(col("__den") === "R", corruptTarget(toks, col("__mR"), 3))
+          .when(col("__den") === "X", corruptTarget(toks, col("__mX"), 12))
+          .otherwise(array_join(slice(toks, col("__sp") + 1,
+            greatest(n - col("__sp"), lit(0))), " "))
+          .as("target_text"))
   }
 }
