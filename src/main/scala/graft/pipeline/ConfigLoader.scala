@@ -342,6 +342,23 @@ object ConfigLoader {
       "sft_render_nested" -> (o => df =>
         graft.llm.Sft.renderNested(df,
           o.getOrElse("messagesCol", "messages"))),
+      // objective-example construction (T5 span corruption, UL2
+      // prefix-LM and R/X/S mixture) as chain stages — curated docs
+      // in, (input_text, target_text) seq2seq pairs out, map-only
+      "span_corrupt" -> (o => df =>
+        graft.llm.Objectives.spanCorrupt(df,
+          o.getOrElse("idCol", "doc_id"), o.getOrElse("textCol", "text"),
+          spanLen = o.getOrElse("spanLen", "3").toInt,
+          density = o.getOrElse("density", "0.15").toDouble,
+          salt = o.getOrElse("salt", "graft"))),
+      "prefix_lm" -> (o => df =>
+        graft.llm.Objectives.prefixLmSplit(df,
+          o.getOrElse("idCol", "doc_id"), o.getOrElse("textCol", "text"),
+          salt = o.getOrElse("salt", "graft"))),
+      "ul2_mixture" -> (o => df =>
+        graft.llm.Objectives.ul2Mixture(df,
+          o.getOrElse("idCol", "doc_id"), o.getOrElse("textCol", "text"),
+          salt = o.getOrElse("salt", "graft"))),
       "sample" -> (o => df =>
         graft.llm.Mixing.deterministicSample(df, req(o, "keyCol"),
           req(o, "fraction").toDouble, o.getOrElse("salt", "graft"))),
