@@ -2740,6 +2740,40 @@ object Queries {
           FROM w WHERE bucket >= 'aaaaaaab'))
       ORDER BY doc_id"""))
 
+  /** FIM transform ([[graft.llm.Objectives.fimTransform]] — the
+    * Bavarian et al. 2022 code-model objective at the paper's 50/50
+    * rate): selected docs rewrite to the PSM layout with md5-digest
+    * uniform cut points; the rest pass through verbatim. */
+  private val fimTransformQ = QueryDef("fim_transform",
+    (s, d) => graft.llm.Objectives.fimTransform(t(s, d, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, text,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> t <> '') AS toks,
+          substr(md5('graft' || CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
+            < '80000000' AS sel
+        FROM documents),
+      g AS (SELECT doc_id, text, toks, sel, len(toks) AS n,
+          ${sqlDigest32("md5('graft' || CAST(doc_id AS VARCHAR) || ':fim1')")}
+            % (len(toks) + 1) AS d1,
+          ${sqlDigest32("md5('graft' || CAST(doc_id AS VARCHAR) || ':fim2')")}
+            % (len(toks) + 1) AS d2
+        FROM w),
+      p AS (SELECT doc_id, text, toks, sel, n,
+          least(d1, d2) AS p1, greatest(d1, d2) AS p2 FROM g)
+      SELECT doc_id, sel AS fim,
+        CASE WHEN sel THEN
+          '<|fim_pre|> ' ||
+            coalesce(array_to_string(toks[1 : CAST(p1 AS INT)], ' '), '')
+          || ' <|fim_suf|> ' ||
+            coalesce(array_to_string(
+              toks[CAST(p2 + 1 AS INT) : CAST(n AS INT)], ' '), '')
+          || ' <|fim_mid|> ' ||
+            coalesce(array_to_string(
+              toks[CAST(p1 + 1 AS INT) : CAST(p2 AS INT)], ' '), '')
+        ELSE text END AS text
+      FROM p ORDER BY doc_id"""))
+
   /** Planted BPE training ([[Bpe.train]]): the classic
     * low/lower/newest/widest corpus, whose 8-merge ladder is derivable
     * by hand (pair counts weighted by word frequency, ties broken
@@ -10295,7 +10329,7 @@ object Queries {
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
-    tokenizerFertilityQ, spanCorruptQ, prefixLmQ, ul2MixtureQ,
+    tokenizerFertilityQ, spanCorruptQ, prefixLmQ, ul2MixtureQ, fimTransformQ,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
     vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, ceTwoPhase, qualityBucketsQ,

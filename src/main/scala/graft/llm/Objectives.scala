@@ -118,6 +118,51 @@ object Objectives {
           greatest(n - col("__sp"), lit(0))), " ").as("target_text"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * code-model objective): a deterministic `rate` fraction of
+    * documents is rewritten into the PSM layout
+    * `<|fim_pre|> prefix <|fim_suf|> suffix <|fim_mid|> middle`
+    * (SPM swaps the first two segments when `spm = true`); the rest
+    * pass through verbatim — exactly the paper's 50/50 recipe at
+    * rate 0.5. The two cut points are md5-digest uniform over token
+    * boundaries 0..n (p1 ≤ p2 by sorting the draws, the paper's
+    * construction), so the transform is a pure function of (id, salt)
+    * and exactly SQL-replayable. Map-only, nothing shuffles.
+    * Returns (idCol, fim, text). */
+  def fimTransform(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", rate: Double = 0.5,
+                   spm: Boolean = false,
+                   salt: String = "graft"): DataFrame = {
+    require(rate >= 0 && rate <= 1,
+      s"fimTransform: rate must be in [0,1], got $rate")
+    val id = col(idCol)
+    val thr = Mixing.hexThreshold(rate)
+    val selected =
+      substring(md5(concat(lit(salt), id.cast("string"), lit(":fim"))),
+        1, 8) < lit(thr)
+    def draw(tag: String, n: Column): Column =
+      pmod(conv(substring(md5(concat(lit(salt), id.cast("string"),
+        lit(tag))), 1, 8), 16, 10).cast("long"), (n + 1).cast("long"))
+        .cast("int")
+    val toks = col("__toks")
+    val n = size(toks)
+    val d1 = draw(":fim1", n)
+    val d2 = draw(":fim2", n)
+    val p1 = least(d1, d2)
+    val p2 = greatest(d1, d2)
+    val pre = array_join(slice(toks, lit(1), p1), " ")
+    val mid = array_join(slice(toks, p1 + 1, p2 - p1), " ")
+    val suf = array_join(slice(toks, p2 + 1, greatest(n - p2, lit(0))), " ")
+    val fimText =
+      if (spm) concat(lit("<|fim_suf|> "), suf, lit(" <|fim_pre|> "), pre,
+        lit(" <|fim_mid|> "), mid)
+      else concat(lit("<|fim_pre|> "), pre, lit(" <|fim_suf|> "), suf,
+        lit(" <|fim_mid|> "), mid)
+    df.withColumn("__toks", wsToks(textCol))
+      .select(id, selected.as("fim"),
+        when(selected, fimText).otherwise(col(textCol)).as("text"))
+  }
+
   /** The UL2 MIXTURE of denoisers (Tay et al. 2022): every document is
     * deterministically assigned one denoiser — R (regular spans:
     * spanLen 3, density 0.15), X (extreme: spanLen 12, density 0.5),

@@ -52,6 +52,52 @@ class ObjectivesSpec extends SparkSpec {
     assert(masked(1.0) > masked(0.25))
   }
 
+  test("prefixLmSplit: prefix + continuation reconstruct the document") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val out = Objectives.prefixLmSplit(docs).join(docs, "doc_id").collect()
+    for (r <- out) {
+      val (n, sp) = (r.getLong(1), r.getLong(2))
+      val joined = (r.getString(3) + " " + r.getString(4)).trim
+      val orig = r.getString(5).trim.split("\\s+").filter(_.nonEmpty)
+      assert(joined.split("\\s+").filter(_.nonEmpty).toSeq == orig.toSeq)
+      assert(sp >= 1 || n < 2)
+      assert(sp <= math.max(n - 1, n.min(1)) || n < 2)
+    }
+  }
+
+  test("ul2Mixture: mode token matches the bucket, all three appear") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val out = Objectives.ul2Mixture(docs).collect()
+    val byDen = out.groupBy(_.getString(1))
+    assert(byDen.keySet == Set("R", "X", "S"),
+      s"denoisers seen: ${byDen.keySet}")
+    for (r <- out)
+      assert(r.getString(3).startsWith(s"[${r.getString(1)}] "))
+  }
+
+  test("fimTransform: PSM segments reconstruct the doc; rate 0 is identity") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val out = Objectives.fimTransform(docs).join(
+      docs.withColumnRenamed("text", "orig"), "doc_id").collect()
+    assert(out.exists(_.getBoolean(1)) && out.exists(!_.getBoolean(1)))
+    val seg = "<\\|fim_(pre|suf|mid)\\|>".r
+    for (r <- out if r.getBoolean(1)) {
+      val parts = seg.split(r.getString(2)).map(_.trim)
+      // parts: "", pre, suf, mid — reassembled pre+mid+suf = original
+      val rebuilt = (parts(1) + " " + parts(3) + " " + parts(2))
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val orig = r.getString(3).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(rebuilt == orig, s"doc ${r.getLong(0)} FIM round-trip")
+    }
+    for (r <- out if !r.getBoolean(1))
+      assert(r.getString(2) == r.getString(3))
+    val id0 = Objectives.fimTransform(docs, rate = 0.0).collect()
+    assert(id0.forall(!_.getBoolean(1)))
+  }
+
   test("blank and empty docs produce empty pairs, not nulls") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "one two three four"))
       .toDF("doc_id", "text")
