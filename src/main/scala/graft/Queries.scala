@@ -2774,6 +2774,68 @@ object Queries {
         ELSE text END AS text
       FROM p ORDER BY doc_id"""))
 
+  /** License detection ([[TextAnalysis.licenseDetect]] — The Stack's
+    * permissive-license gate): headers planted by doc-id residue
+    * (SPDX MIT / Apache phrase / GPL phrase / MIT phrase / BSD phrase /
+    * none), the oracle replays the same ordered regex chain over the
+    * same planted content. */
+  private val licenseDetectQ = QueryDef("license_detect",
+    (s, d) => {
+      val r = col("doc_id") % 6
+      val content = when(r === 0,
+          concat(lit("// SPDX-License-Identifier: MIT\n"), col("text")))
+        .when(r === 1, concat(
+          lit("/* Licensed under the Apache License, Version 2.0 */\n"),
+          col("text")))
+        .when(r === 2, concat(
+          lit("# This program is free software: GNU General Public License\n"),
+          col("text")))
+        .when(r === 3, concat(
+          lit("// Permission is hereby granted, free of charge\n"),
+          col("text")))
+        .when(r === 4, concat(
+          lit("// Redistribution and use in source and binary forms\n"),
+          col("text")))
+        .otherwise(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.licenseDetect(content).as("license"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10) || text
+          WHEN 1 THEN '/* Licensed under the Apache License, Version 2.0 */'
+            || chr(10) || text
+          WHEN 2 THEN
+            '# This program is free software: GNU General Public License'
+            || chr(10) || text
+          WHEN 3 THEN '// Permission is hereby granted, free of charge'
+            || chr(10) || text
+          WHEN 4 THEN '// Redistribution and use in source and binary forms'
+            || chr(10) || text
+          ELSE text END AS content
+        FROM documents)
+      SELECT doc_id,
+        CASE
+          WHEN regexp_matches(lower(content),
+            'spdx-license-identifier:\s*mit\b') THEN 'mit'
+          WHEN regexp_matches(lower(content),
+            'spdx-license-identifier:\s*apache-2') THEN 'apache-2.0'
+          WHEN regexp_matches(lower(content),
+            'spdx-license-identifier:\s*bsd') THEN 'bsd'
+          WHEN regexp_matches(lower(content),
+            'spdx-license-identifier:\s*(gpl|agpl|lgpl)') THEN 'gpl'
+          WHEN regexp_matches(lower(content),
+            'gnu (general|lesser|affero) public license') THEN 'gpl'
+          WHEN regexp_matches(lower(content),
+            'apache license,? version 2') THEN 'apache-2.0'
+          WHEN regexp_matches(lower(content),
+            'redistribution and use in source and binary forms') THEN 'bsd'
+          WHEN regexp_matches(lower(content),
+            'permission is hereby granted, free of charge') THEN 'mit'
+          ELSE 'unknown' END AS license
+      FROM c ORDER BY doc_id"""))
+
   /** Planted BPE training ([[Bpe.train]]): the classic
     * low/lower/newest/widest corpus, whose 8-merge ladder is derivable
     * by hand (pair counts weighted by word frequency, ties broken
@@ -10329,7 +10391,7 @@ object Queries {
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,
     textStats, compressionStatsQ, langIdQ, scriptStatsQ, tokenCounts,
-    tokenizerFertilityQ, spanCorruptQ, prefixLmQ, ul2MixtureQ, fimTransformQ,
+    tokenizerFertilityQ, spanCorruptQ, prefixLmQ, ul2MixtureQ, fimTransformQ, licenseDetectQ,
     bpeTrainPlanted, bpeEncodePlanted,
     unigramTrainPlanted, unigramEncodePlanted,
     vocabTopk, vocabCoverageQ, corpusDatacard, bigramTopk, topTermsQ, docCrossEntropy, ceAgainstQ, ceTwoPhase, qualityBucketsQ,

@@ -31,6 +31,29 @@ object TextAnalysis {
                     merges: Seq[(String, String)] = Bpe.defaultLadder): Column =
     Bpe.countCol(c, merges)
 
+  /** License classification from header markers — the code-corpus
+    * licensing gate (The Stack, Kocetkov et al. 2022, keeps
+    * permissive-licensed files only). Detection order is fixed and
+    * conservative: an SPDX identifier wins outright (it is the
+    * machine-readable ground truth); otherwise the distinctive phrase
+    * of each license family, checked copyleft-first so a file carrying
+    * both GPL text and an MIT lib header classifies as the RESTRICTIVE
+    * license (the safe direction for a keep-allowlist). RE2-safe
+    * case-insensitive regexes, map-only. Returns one of 'mit',
+    * 'apache-2.0', 'bsd', 'gpl', 'unknown'. */
+  def licenseDetect(c: Column): Column = {
+    def has(re: String) = lower(c).rlike(re)
+    when(has("spdx-license-identifier:\\s*mit\\b"), "mit")
+      .when(has("spdx-license-identifier:\\s*apache-2"), "apache-2.0")
+      .when(has("spdx-license-identifier:\\s*bsd"), "bsd")
+      .when(has("spdx-license-identifier:\\s*(gpl|agpl|lgpl)"), "gpl")
+      .when(has("gnu (general|lesser|affero) public license"), "gpl")
+      .when(has("apache license,? version 2"), "apache-2.0")
+      .when(has("redistribution and use in source and binary forms"), "bsd")
+      .when(has("permission is hereby granted, free of charge"), "mit")
+      .otherwise("unknown")
+  }
+
   /** Tokenizer FERTILITY per group — subword tokens per whitespace
     * word, the published tokenizer-equity audit (XLM-R §5, the BLOOM
     * data card): a language whose fertility is far above the corpus

@@ -359,6 +359,23 @@ object ConfigLoader {
         graft.llm.Objectives.ul2Mixture(df,
           o.getOrElse("idCol", "doc_id"), o.getOrElse("textCol", "text"),
           salt = o.getOrElse("salt", "graft"))),
+      "fim_transform" -> (o => df =>
+        graft.llm.Objectives.fimTransform(df,
+          o.getOrElse("idCol", "doc_id"), o.getOrElse("textCol", "text"),
+          rate = o.getOrElse("rate", "0.5").toDouble,
+          spm = o.getOrElse("spm", "false").toBoolean,
+          salt = o.getOrElse("salt", "graft"))),
+      // code-corpus licensing gate (The Stack's shape): classify the
+      // license from header/SPDX markers, keep an allowlist
+      "license_filter" -> (o => df => {
+        val lic = graft.llm.TextAnalysis.licenseDetect(
+          ColumnNs.q(req(o, "column")))
+        val allowed = o.getOrElse("allow", "mit,apache-2.0,bsd")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (o.getOrElse("annotate", "false").toBoolean)
+          df.withColumn(o.getOrElse("outCol", "license"), lic)
+        else df.where(lic.isin(allowed: _*))
+      }),
       "sample" -> (o => df =>
         graft.llm.Mixing.deterministicSample(df, req(o, "keyCol"),
           req(o, "fraction").toDouble, o.getOrElse("salt", "graft"))),
