@@ -8301,6 +8301,47 @@ object Queries {
       FROM sp JOIN co ON co.doc_id = sp.conv_id
       ORDER BY pack_id, conv_id, turn_idx"""))
 
+  /** SFT benchmark decontamination — the composition every
+    * instruction-tuning release runs (drop conversations sharing an
+    * 8-gram with held-out eval prompts): [[graft.llm.Sft.render]] into
+    * [[graft.llm.Dedup.decontaminate]]. The benchmark side is the
+    * first-80-char prompts of every 40th document — exactly the text
+    * the fixture's conversations embed, so contaminated conversations
+    * exist by construction and the anti-join provably fires. */
+  private val sftDecontaminateQ = QueryDef("sft_decontaminate",
+    (s, d) => {
+      val rendered = graft.llm.Sft.render(sftTurns(s, d))
+      val bench = t(s, d, "documents").where(col("doc_id") % 40 === 7)
+        .select(substring(col("text"), 1, 80).as("text"))
+      graft.llm.Dedup.decontaminate(rendered, bench, "conv_id", "text")
+        .select(col("conv_id"), col("n_turns")).orderBy(col("conv_id"))
+    },
+    Some(s"""WITH turns AS ($sqlSftTurns),
+      rendered AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+            string_agg('<|' || role || '|>' || content || '<|end|>', ''
+              ORDER BY turn_idx) AS text
+          FROM turns GROUP BY conv_id),
+      rn AS (SELECT conv_id, n_turns, $sqlWords AS w FROM rendered),
+      rg AS (SELECT conv_id, unnest(
+            CASE WHEN len(w) >= 8
+                 THEN list_distinct(list_transform(range(0, len(w) - 7),
+                        i -> array_to_string(w[i+1:i+8], ' ')))
+                 ELSE [array_to_string(w, ' ')] END) AS g
+          FROM rn),
+      bsrc AS (SELECT substr(text, 1, 80) AS text FROM documents
+          WHERE doc_id % 40 = 7),
+      bn AS (SELECT $sqlWords AS w FROM bsrc),
+      bg AS (SELECT DISTINCT unnest(
+            CASE WHEN len(w) >= 8
+                 THEN list_distinct(list_transform(range(0, len(w) - 7),
+                        i -> array_to_string(w[i+1:i+8], ' ')))
+                 ELSE [array_to_string(w, ' ')] END) AS g
+          FROM bn),
+      bad AS (SELECT DISTINCT conv_id FROM rg JOIN bg USING (g))
+      SELECT conv_id, n_turns FROM rendered
+      WHERE conv_id NOT IN (SELECT conv_id FROM bad)
+      ORDER BY conv_id"""))
+
   /** Conversation-grain dedup ([[graft.llm.Sft.conversationDedup]]):
     * planted duplicates (convs with residue 2 re-keyed +1000, content
     * re-cased and whitespace-padded) collapse onto the lower-id
@@ -10427,6 +10468,7 @@ object Queries {
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
+    sftDecontaminateQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     prefChainYaml,
     annIngestSemdedup,
