@@ -504,6 +504,29 @@ object ScaleProbe {
         embK.unpersist()
         n
       }
+      time(s"bitext_indexed x$k") {
+        // the CORPUS-SCALE bitext path: FIXED persisted IVF indexes,
+        // k×-growing query sides — per-mine cost must track the query
+        // batches (partition-pruned probes), not the indexed corpora
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val dir = s"/tmp/graft_probe_bitext"
+        if (k == ks.min) {
+          val src = emb.where(col("vec_id") % 2 === 0)
+          val tgt = emb.where(col("vec_id") % 2 === 1)
+            .select((col("vec_id") + 10000000L).as("vec_id"),
+              col("embedding"))
+          graft.llm.Similarity.buildIvfIndex(src, s"$dir/src")
+          graft.llm.Similarity.buildIvfIndex(tgt, s"$dir/tgt")
+        }
+        val qSrc = embK.select((col("vec_id") + 500000000L).as("vec_id"),
+          col("embedding"))
+        val qTgt = embK.select((col("vec_id") + 600000000L).as("vec_id"),
+          col("embedding"))
+        val n = graft.llm.Bitext.mineBitextIndexed(spark, s"$dir/src",
+          s"$dir/tgt", qSrc, qTgt, k = 4, threshold = 1.05).count()
+        embK.unpersist()
+        n
+      }
       time(s"semantic_order x$k") {
         // ICLM chaining on the k×-growing embedding table: the
         // two-phase group machinery + one bounded O(G²·dim) kernel
