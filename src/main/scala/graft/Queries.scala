@@ -8499,7 +8499,13 @@ object Queries {
     (s, d) => {
       val dir = tmpDir(d, "sft_chain_yaml")
       val out = s"$dir/out"
-      val base = sftTurns(s, d)
+      // every third conversation's turn 2 carries a planted email, so
+      // the chain's scrub stage has real PII to redact
+      val base = sftTurns(s, d).withColumn("content",
+        when(col("conv_id") % 3 === 0 && col("turn_idx") === 2,
+          concat(col("content"), lit(" contact x"),
+            col("conv_id").cast("string"), lit("@ex.com now")))
+          .otherwise(col("content")))
       val dups = base.where(col("conv_id") % 10 === 2).select(
         (col("conv_id") + 1000).as("conv_id"), col("turn_idx"), col("role"),
         concat(lit("  "), upper(col("content"))).as("content"))
@@ -8515,6 +8521,9 @@ object Queries {
            |    transform:
            |      - kind: sft_validate
            |      - kind: sft_dedup
+           |      - kind: scrub_pii
+           |        options:
+           |          column: 'content'
            |      - kind: sft_render
            |      - kind: pack_greedy
            |        options:
@@ -8541,7 +8550,13 @@ object Queries {
         .orderBy(col("shard"))
     },
     Some(s"""WITH RECURSIVE
-      t0 AS ($sqlSftTurns),
+      tr AS ($sqlSftTurns),
+      t0 AS (SELECT conv_id, turn_idx, role,
+            CASE WHEN conv_id % 3 = 0 AND turn_idx = 2
+                 THEN content || ' contact x' || CAST(conv_id AS VARCHAR)
+                   || '@ex.com now'
+                 ELSE content END AS content
+          FROM tr),
       turns AS (SELECT conv_id, turn_idx, role, content FROM t0
            UNION ALL
            SELECT conv_id + 1000, turn_idx, role, '  ' || upper(content)
@@ -8579,8 +8594,16 @@ object Queries {
           WHERE rn = 1),
       kt AS (SELECT t.* FROM vt t JOIN keepc USING (conv_id)),
       rendered AS (SELECT conv_id AS doc_id,
-            string_agg('<|' || role || '|>' || content || '<|end|>', ''
-              ORDER BY turn_idx) AS text
+            string_agg('<|' || role || '|>' ||
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                content,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                '<IP>', 'g'),
+                '\\b\\d{9,}\\b', '<NUMBER>', 'g'),
+                '\\+?\\d[\\d ()-]{7,}\\d', '<PHONE>', 'g')
+              || '<|end|>', '' ORDER BY turn_idx) AS text
           FROM kt GROUP BY conv_id),
       ${sqlGreedyCteBody(1024, 8, "rendered")},
       withpack AS (SELECT a.doc_id, a.n_tokens,
