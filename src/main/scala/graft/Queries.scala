@@ -8119,6 +8119,49 @@ object Queries {
       SELECT query_id, pos_id, neg_rank, neg_id, neg_cosine
       FROM r WHERE neg_rank <= 2 ORDER BY query_id, neg_rank"""))
 
+  /** Indexed triplet mining, planted
+    * ([[graft.llm.Similarity.mineTripletsIndexed]] — negatives from a
+    * persisted IVF index). Each 40th chunk gets a planted ε-twin in
+    * its OWN single-chunk document: the twin shares its base's nearest
+    * cluster (always probed) and cosine ≈ 1 beats the organic ceiling,
+    * so it is provably every planted query's rank-1 hard negative —
+    * the stated oracle — regardless of which other clusters the probe
+    * visits. */
+  private val tripletsIndexedPlanted = QueryDef("triplets_indexed_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = emb.select(col("vec_id").as("chunk_id"),
+        expr("vec_id div 4").as("doc_id"),
+        (col("vec_id") % 4).as("chunk_idx"), col("embedding"))
+      val twins = emb.where(col("vec_id") % 40 === 0).select(
+        (col("vec_id") + 200000).as("chunk_id"),
+        (col("vec_id") + 900000).as("doc_id"),
+        lit(0L).as("chunk_idx"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+          .as("embedding"))
+      val chunks = base.unionByName(twins)
+      val fp = emb.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))
+          .as("h")).head()
+      val dir = bitextIndexShared.computeIfAbsent(
+        s"triplets#$d#${fp.getLong(0)}#${fp.get(1)}", _ => {
+          val dir = tmpDir(d, "triplets_indexed")
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+          graft.llm.Similarity.buildIvfIndex(chunks, dir,
+            cIdCol = "chunk_id")
+          dir
+        })
+      graft.llm.Similarity.mineTripletsIndexed(s, dir, chunks)
+        .where(col("query_id") % 40 === 0 && col("neg_rank") === 1)
+        .select(col("query_id"), col("pos_id"), col("neg_id"))
+        .orderBy(col("query_id"))
+    },
+    Some("""SELECT vec_id AS query_id, vec_id + 1 AS pos_id,
+        vec_id + 200000 AS neg_id
+      FROM embeddings WHERE vec_id % 40 = 0 ORDER BY query_id"""))
+
   // ==========================================================================
   // SFT / conversation prep ([[graft.llm.Sft]]) — fixture: a turns table
   // derived deterministically from documents (conv_id = doc_id % 50,
@@ -10489,7 +10532,7 @@ object Queries {
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
-    bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
+    bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, tripletsIndexedPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
     sftDecontaminateQ,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,

@@ -1267,6 +1267,42 @@ object Similarity {
     * persisted index probes ([[ivfQueryIndex]]) and keep the same
     * document-exclusion + re-rank tail. Returns
     * (query_id, pos_id, neg_rank, neg_id, neg_cosine). */
+  /** [[mineTriplets]] with INDEX-APPROXIMATE negative candidates — the
+    * corpus-scale path: the hard negatives come from a persisted IVF
+    * index over the chunks ([[buildIvfIndex]]), partition-pruned, and
+    * the document-exclusion re-rank runs on the id-only candidate
+    * table. `kCandidates` must exceed `nNeg` by at least the maximum
+    * chunks-per-document, or a query's own document could crowd out
+    * its true negatives before the exclusion. */
+  def mineTripletsIndexed(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, chunks: DataFrame,
+                          nNeg: Int = 2, kCandidates: Int = 8,
+                          nProbe: Int = 4, idCol: String = "chunk_id",
+                          docCol: String = "doc_id",
+                          idxCol: String = "chunk_idx",
+                          vecCol: String = "embedding"): DataFrame = {
+    registered(chunks)
+    val fwd = ivfQueryIndex(spark, indexDir, chunks, kCandidates, nProbe,
+      idCol, vecCol)
+    val docsOf = chunks.select(col(idCol).as("neg_id"),
+      col(docCol).as("__nd"))
+    val meta = chunks.select(col(idCol).as("query_id"),
+      col(docCol).as("__qd"), col(idxCol).as("__qi"))
+    val nxt = chunks.select(col(docCol).as("__qd"),
+      (col(idxCol) - 1).as("__qi"), col(idCol).as("pos_id"))
+    val withPos = meta.join(nxt, Seq("__qd", "__qi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    fwd.select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("cosine"))
+      .join(docsOf, "neg_id").join(withPos, "query_id")
+      .where(col("__nd") =!= col("__qd"))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("pos_id"), col("neg_rank"),
+        col("neg_id"), col("cosine").as("neg_cosine"))
+  }
+
   def mineTriplets(chunks: DataFrame, nNeg: Int = 2,
                    idCol: String = "chunk_id", docCol: String = "doc_id",
                    idxCol: String = "chunk_idx",
