@@ -5558,8 +5558,11 @@ object Queries {
     // DuckDB replay computes from first principles; the planted 1.0
     // pairs ([[warcResponseFixture]] plantNearDups) are detection-
     // GUARANTEED anchors on top (identical signatures, every band)
+    // assertGapFloor turns the measured-gap assumption into an
+    // in-query invariant: a survivor pair in [0.75, 0.79) at any SF
+    // raises a named error instead of an opaque checksum mismatch
     "dedup_minhash" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
-      "threshold" -> "0.75"),
+      "threshold" -> "0.75", "assertGapFloor" -> "0.79"),
     // benchmark decontamination between near-dedup and packing — the
     // published funnel's last gate before the trainer sees a token:
     // any document sharing an exact word 8-gram with the held-out

@@ -74,8 +74,13 @@ object Sft {
     * [[validateTurns]]). */
   private def verdictOf(tArr: Column): Column = {
     val roles = transform(tArr, x => x("r"))
-    // body = roles after the optional leading system turn
-    val hasSystem = element_at(roles, 1) === lit("system")
+    // null-safe accessors (get, 0-based) instead of element_at: under
+    // Spark 4's default ANSI mode element_at on an EMPTY array throws
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT — on the nested/streaming path
+    // an empty messages array would crash the job (and permanently
+    // poison a streaming ingest replaying that batch) instead of
+    // returning too_short
+    val hasSystem = get(roles, lit(0)) === lit("system")
     val body = when(hasSystem, slice(roles, lit(2), size(roles)))
       .otherwise(roles)
     // indexed transform, not zip_with(sequence(...)): sequence(0, -1)
@@ -84,11 +89,16 @@ object Sft {
       transform(body, (r, i) => r === when(i % 2 === 0, lit("user"))
         .otherwise(lit("assistant"))),
       x => x)
-    when(size(body) < 2, lit("too_short"))
+    // a NULL turn array (nested path fed a null messages column) must
+    // fail loudly as too_short: without the explicit lead every
+    // when-condition evaluates to null, the CaseWhen falls through to
+    // a null verdict, and a null conversation silently validates ok
+    when(tArr.isNull || size(tArr) === 0, lit("too_short"))
+      .when(size(body) < 2, lit("too_short"))
       .when(exists(tArr,
         x => x("c").isNull || length(x("c")) === 0), lit("empty_content"))
       .when(!alternates, lit("role_order"))
-      .when(element_at(roles, -1) =!= lit("assistant"),
+      .when(get(roles, size(roles) - 1) =!= lit("assistant"),
         lit("no_assistant_end"))
   }
 

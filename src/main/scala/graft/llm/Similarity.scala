@@ -1253,20 +1253,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Contrastive TRIPLET mining for embedding-model training — the
-    * E5/GTE data recipe: the positive for each chunk is its NATURAL
-    * pair (the next chunk of the same document — adjacency is the
-    * free supervision signal the published recipes use), and the hard
-    * negatives are the corpus's top-`nNeg` cosine neighbors from
-    * OTHER documents (near enough to be hard, guaranteed non-positive
-    * by the document exclusion). Chunks without a successor (the last
-    * chunk of each doc) mine no triplet.
-    *
-    * The exact scan here broadcasts the query side (the audit shape);
-    * at corpus scale generate the negative candidates with the
-    * persisted index probes ([[ivfQueryIndex]]) and keep the same
-    * document-exclusion + re-rank tail. Returns
-    * (query_id, pos_id, neg_rank, neg_id, neg_cosine). */
   /** [[mineTriplets]] with INDEX-APPROXIMATE negative candidates — the
     * corpus-scale path: the hard negatives come from a persisted IVF
     * index over the chunks ([[buildIvfIndex]]), partition-pruned, and
@@ -1303,6 +1289,20 @@ object Similarity {
         col("neg_id"), col("cosine").as("neg_cosine"))
   }
 
+  /** Contrastive TRIPLET mining for embedding-model training — the
+    * E5/GTE data recipe: the positive for each chunk is its NATURAL
+    * pair (the next chunk of the same document — adjacency is the
+    * free supervision signal the published recipes use), and the hard
+    * negatives are the corpus's top-`nNeg` cosine neighbors from
+    * OTHER documents (near enough to be hard, guaranteed non-positive
+    * by the document exclusion). Chunks without a successor (the last
+    * chunk of each doc) mine no triplet.
+    *
+    * The exact scan here broadcasts the query side (the audit shape);
+    * at corpus scale generate the negative candidates with the
+    * persisted index probes ([[mineTripletsIndexed]]) and keep the same
+    * document-exclusion + re-rank tail. Returns
+    * (query_id, pos_id, neg_rank, neg_id, neg_cosine). */
   def mineTriplets(chunks: DataFrame, nNeg: Int = 2,
                    idCol: String = "chunk_id", docCol: String = "doc_id",
                    idxCol: String = "chunk_idx",

@@ -172,7 +172,28 @@ object ConfigLoader {
           k = o.getOrElse("numHashes", "64").toInt,
           bands = o.getOrElse("bands", "16").toInt,
           maxBucket = o.getOrElse("maxBucket", "1000").toInt)
-        val losers = graft.llm.Dedup.nearDupClusters(pairs)
+        // assertGapFloor: the banded stage equals an exact all-pairs
+        // oracle only when the corpus has NO pair in
+        // [threshold, gapFloor) — the zone where banding detection is
+        // probabilistic. The measured gap is a corpus property, not a
+        // code property, so at a NEW scale factor a violation must fail
+        // LOUDLY here (the pair, both ids, the measured jaccard)
+        // instead of surfacing as an opaque downstream checksum
+        // mismatch. Detected-pair check only (a pair banding missed
+        // entirely is unobservable by construction) — but any pair in
+        // the zone at all falsifies the gap assumption, and detection
+        // in the zone is likely long before equality breaks.
+        val guarded = o.get("assertGapFloor").map(_.toDouble) match {
+          case Some(gf) => pairs.where(
+            when(col("jaccard") < gf, raise_error(concat(
+              lit("dedup_minhash: pair in the banded/exact equivalence " +
+                s"gap [threshold, $gf): a="), col("a").cast("string"),
+              lit(" b="), col("b").cast("string"),
+              lit(" jaccard="), col("jaccard").cast("string")))
+              .cast("boolean")).otherwise(lit(true)))
+          case None => pairs
+        }
+        val losers = graft.llm.Dedup.nearDupClusters(guarded)
           .where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id").as("__graft_loser"))
         input.join(losers, ColumnNs.q(idc) === col("__graft_loser"),
@@ -276,8 +297,17 @@ object ConfigLoader {
         val langC = o.get("langCol").map(ColumnNs.q).getOrElse(
           graft.llm.TextAnalysis.langId(ColumnNs.q(req(o, "column"))))
         val dflt = o.getOrElse("minWords", "10").toInt
+        // validated parse: a malformed entry ('en', 'en=50=x', 'en=abc')
+        // must surface as the ValidationException the rest of the config
+        // surface raises, not a raw MatchError/NumberFormatException
         val minW = req(o, "minWordsByLang").split(",").map { kv =>
-          val Array(l, n) = kv.split("="); l.trim -> n.trim.toInt
+          kv.split("=", 2) match {
+            case Array(l, n) if l.trim.nonEmpty &&
+                n.trim.matches("\\d+") => l.trim -> n.trim.toInt
+            case _ => throw new Pipeline.ValidationException(
+              s"quality_filter_routed: bad minWordsByLang entry '$kv' " +
+                "(expected lang=count, e.g. en=50)")
+          }
         }.foldLeft(lit(dflt): org.apache.spark.sql.Column) {
           case (acc, (l, n)) => when(langC === l, lit(n)).otherwise(acc)
         }

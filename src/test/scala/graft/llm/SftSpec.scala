@@ -99,6 +99,26 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  test("validateNested: empty and NULL messages fail as too_short, no crash") {
+    // empty array: element_at(roles, 1) under ANSI mode would throw
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT (crashing a streaming ingest
+    // replaying the batch); NULL messages previously fell through every
+    // when-condition to a null verdict and silently validated ok
+    val nestedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "conv_id BIGINT, messages ARRAY<STRUCT<role: STRING, content: STRING>>")
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Seq(Row("user", "hi"), Row("assistant", "hello"))),
+      Row(2L, Seq.empty[Row]),
+      Row(3L, null)).asJava, nestedSchema)
+    val got = Sft.validateNested(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("ok")),
+          Option(r.getString(r.fieldIndex("reason"))))).toMap
+    assert(got(1L) == (true, None))
+    assert(got(2L) == (false, Some("too_short")))
+    assert(got(3L) == (false, Some("too_short")))
+  }
+
   test("conversationDedup: separator keeps adjacent fields unambiguous") {
     val df = turns(
       (1L, 0L, "user", "ab"), (1L, 1L, "assistant", "c"),

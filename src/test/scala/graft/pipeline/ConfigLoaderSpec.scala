@@ -360,6 +360,26 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(e3.getMessage.contains("missing 'kind'"))
   }
 
+  test("quality_filter_routed rejects malformed minWordsByLang entries") {
+    import spark.implicits._
+    import graft.pipeline.ConfigLoader.transformKinds
+    val df = Seq((1L, "en", "some text here")).toDF("doc_id", "lang", "text")
+    // missing '=', extra '=', non-numeric count: each must surface as a
+    // ValidationException naming the entry, not a MatchError/NFE
+    for (bad <- Seq("en", "en=50=x", "en=abc")) {
+      val e = intercept[Pipeline.ValidationException](
+        transformKinds("quality_filter_routed")(Map(
+          "column" -> "text", "langCol" -> "lang",
+          "minWordsByLang" -> bad))(df))
+      assert(e.getMessage.contains(s"bad minWordsByLang entry '$bad'"))
+    }
+    // and a well-formed spec still builds
+    val ok = transformKinds("quality_filter_routed")(Map(
+      "column" -> "text", "langCol" -> "lang",
+      "minWordsByLang" -> "en=2, zh=1"))(df)
+    assert(ok.count() == 1)
+  }
+
   test("strict mode rejects unknown keys and missing destinations; lenient passes") {
     // typo'd job key: lenient silently ignores (dependson != dependsOn),
     // strict rejects — exactly the failure --strict exists to catch
