@@ -8915,6 +8915,48 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** DRIFT-TRIGGERED REINDEX ([[Similarity.reindexIvf]] — the closing
+    * arc of the index lifecycle: build → persist → append → probe →
+    * audit → drift → REINDEX → atomic swap): index built WITHOUT every
+    * 7th vector, the rest appended on the frozen quantizer, then the
+    * whole index reindexed — the quantizer REFIT (at a different
+    * nCentroids, proving a genuine refit rather than a copy) on the
+    * current corpus read back from the serving generation's own
+    * assignments. Twin 0's base arrived BY APPEND, so the oracle is
+    * green only if the reindex corpus-read included the appended
+    * segments; the query resolves the new committed generation
+    * ([[Similarity.resolveIndexRoot]]), and the retired flat layout is
+    * VACUUMED before querying ([[Similarity.vacuumIndex]]) so a result
+    * can only come from the new generation — the swap is what serves,
+    * provably. Same brute-force oracle as `ann_ivf_append`. */
+  private val annReindexPlanted = QueryDef("ann_reindex_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivf_reindex")
+      // generations accumulate across runs in a shared tmp dir and a
+      // stale committed generation would shadow the fresh flat build
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 7 =!= 0), dir)
+      Similarity.appendIvfIndex(s, emb.where(col("vec_id") % 7 === 0), dir)
+      Similarity.reindexIvf(s, dir, nCentroids = 8)
+      Similarity.vacuumIndex(s, dir)
+      Similarity.ivfQueryIndex(s, dir, perturbedEmbeddings(emb, 3), k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
   /** INDEX-SIDE RETRACTION
     * ([[graft.streaming.IndexIngest.retractFromVectorIndex]]): a
     * takedown is corpus-wide — the doc's embedding must leave the ANN
@@ -9207,6 +9249,43 @@ object Queries {
         .orderBy(col("family"))
     },
     None) // seeded codebooks; ann_pq_append oracle-binds the machinery
+
+  /** The `ann_recall_drift` arc CLOSED: the same third-fit index grown
+    * 3× by stale-codebook appends is REINDEXED from the full current
+    * corpus ([[Similarity.reindexPq]] — refit + re-encode + atomic
+    * generation swap), and the recall rows show the restoration live:
+    * `pq_reindexed` must equal `pq_full_fit` exactly (the reindex fit
+    * is the same seeded deterministic fit over the same corpus), with
+    * `pq_appended_3x` in between as the measured drift cost the
+    * reindex erases. Seeded codebooks → rows-only by convention;
+    * `ann_reindex_planted` is the family's oracle-bound twin. */
+  private val annReindexDrift = QueryDef("ann_reindex_drift",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+        .localCheckpoint()
+      val dir = tmpDir(d, "reindex_drift")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Similarity.buildPqIndex(emb.where(col("vec_id") % 3 === 0), dir,
+        m = 8, k = 32)
+      Similarity.appendPqIndex(s, emb.where(col("vec_id") % 3 === 1), dir)
+      Similarity.appendPqIndex(s, emb.where(col("vec_id") % 3 === 2), dir)
+      val drifted = Similarity.pqQueryIndex(s, dir, queries, emb, k = 5,
+        shortlist = 100).localCheckpoint() // pin BEFORE the swap retires
+                                           // the generation it reads
+      Similarity.reindexPq(s, dir, emb, m = 8, k = 32)
+      val restored = Similarity.pqQueryIndex(s, dir, queries, emb, k = 5,
+        shortlist = 100)
+      val full = Similarity.pqTopK(queries, emb,
+        Similarity.fitPq(emb, m = 8, k = 32), k = 5, shortlist = 100)
+      Similarity.recallRow(full, truth, "pq_full_fit", 5)
+        .unionAll(Similarity.recallRow(drifted, truth, "pq_appended_3x", 5))
+        .unionAll(Similarity.recallRow(restored, truth, "pq_reindexed", 5))
+        .orderBy(col("family"))
+    },
+    None) // seeded codebooks; ann_reindex_planted oracle-binds reindex
 
   private val annProbeSweepPlanted = QueryDef("ann_probe_sweep_planted",
     (s, d) => {
@@ -10531,7 +10610,8 @@ object Queries {
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend,
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    annIvfAppend, annSearchStream, annRetractIndex, annRecallAudit,
+    annIvfAppend, annSearchStream, annRetractIndex, annReindexPlanted,
+    annReindexDrift, annRecallAudit,
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,

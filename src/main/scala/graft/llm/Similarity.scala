@@ -522,6 +522,163 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  // ---- Index generations: drift-triggered reindex, atomic swap ------
+
+  /** Marker file whose presence makes a generation directory VISIBLE
+    * to readers: every data file of the generation is fully written
+    * before the marker is created, so a reader either resolves the
+    * complete new generation or keeps the previous one — never a
+    * half-written mix (the parquet `_SUCCESS` idea lifted one level,
+    * to the whole index). */
+  private val GenCommitMarker = "_GRAFT_COMMITTED"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The SERVING root of a possibly multi-generation index: the
+    * lexicographically greatest `gen-NNNN` child carrying the commit
+    * marker, else `dir` itself (the flat layout every build writes —
+    * full back-compat; an index that was never reindexed has no
+    * generation children). Idempotent: a generation directory has no
+    * `gen-*` children, so resolving one returns it unchanged. Every
+    * index reader/appender resolves through here ONCE per operation
+    * (streaming consumers once per MICRO-BATCH — that per-batch
+    * re-read is exactly what makes a [[reindexIvf]] swap invisible to
+    * a serving stream: the next batch simply resolves the new
+    * generation). Goes through the Hadoop FileSystem API so HDFS/S3
+    * indexes resolve the same as local ones. */
+  def resolveIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) return dir
+    val gens = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath)
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g, GenCommitMarker)))
+    if (gens.isEmpty) dir else gens.maxBy(_.getName).toString
+  }
+
+  /** Next generation directory under `dir` — counts EVERY `gen-*`
+    * child (committed or not), so a crashed half-written reindex never
+    * collides with the retry; zero-padded for lexicographic order. */
+  private def nextGenDir(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(spark, p)
+    val n = if (!fs.exists(p)) 0
+      else fs.listStatus(p).map(_.getPath.getName)
+        .collect { case g if g.startsWith("gen-") =>
+          g.stripPrefix("gen-").takeWhile(_.isDigit) }
+        .collect { case s if s.nonEmpty => s.toInt }
+        .foldLeft(0)(math.max)
+    f"$dir/gen-${n + 1}%04d"
+  }
+
+  private def commitGen(spark: org.apache.spark.sql.SparkSession,
+                        genDir: String): Unit = {
+    val m = new org.apache.hadoop.fs.Path(genDir, GenCommitMarker)
+    hadoopFs(spark, m).create(m, true).close()
+  }
+
+  /** REINDEX a persisted IVF index — the closing arc of the index
+    * lifecycle (build → persist → append → probe → audit → drift →
+    * THIS): appends accumulate on frozen centroids until
+    * `ann_recall_drift`-style audits show decay; reindex refits the
+    * quantizer on the CURRENT corpus — read back from the serving
+    * generation's own cluster-partitioned assignments, so appended
+    * segments are included by construction — re-assigns every vector,
+    * and atomically swaps serving to the new generation (data first,
+    * commit marker last; see [[resolveIndexRoot]]).
+    *
+    * Serving continuity is structural, not scheduled: readers resolve
+    * per operation (streams per micro-batch), so an
+    * [[graft.streaming.IndexIngest.searchIvfStream]] in flight answers
+    * the current batch from the old generation and the next batch from
+    * the new one — zero downtime, no stream restart. Old generations
+    * remain on disk (rollback = delete the newest marker).
+    *
+    * Cost scales with the corpus (one read of the assignments, one
+    * quantizer fit, one partitioned write), never with serving
+    * downtime (the swap is one marker-file create). Returns the new
+    * generation's directory. */
+  def reindexIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 nCentroids: Int = 16, seed: Long = 42L): String = {
+    val root = resolveIndexRoot(spark, dir)
+    val corpus = spark.read.parquet(s"$root/assignments")
+      .select(col("neighbor_id").as("vec_id"), col("__cv").as("embedding"))
+    val gen = nextGenDir(spark, dir)
+    buildIvfIndex(corpus, gen, nCentroids, seed)
+    commitGen(spark, gen)
+    gen
+  }
+
+  /** [[reindexIvf]] for a persisted PQ index. PQ codes store no
+    * vectors (that IS the compression), so the current corpus comes
+    * from the caller — the same frame the exact re-rank of
+    * [[pqQueryIndex]] already requires, covering every indexed id
+    * including appended batches. Refits the codebooks on it,
+    * re-encodes, swaps atomically. */
+  def reindexPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                corpus: DataFrame, m: Int = 8, k: Int = 16,
+                cIdCol: String = "vec_id",
+                vecCol: String = "embedding"): String = {
+    val gen = nextGenDir(spark, dir)
+    buildPqIndex(corpus, gen, m, k, cIdCol, vecCol)
+    commitGen(spark, gen)
+    gen
+  }
+
+  /** [[reindexIvf]] for the IVF-PQ composite: refit coarse centroids
+    * AND residual codebooks on the caller's current corpus (the
+    * re-rank frame, as for [[reindexPq]]), re-encode, atomic swap. */
+  def reindexIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   corpus: DataFrame, nCentroids: Int = 16,
+                   m: Int = 8, k: Int = 16, seed: Long = 42L,
+                   cIdCol: String = "vec_id",
+                   vecCol: String = "embedding"): String = {
+    val gen = nextGenDir(spark, dir)
+    buildIvfPqIndex(corpus, gen, nCentroids, m, k, seed, cIdCol, vecCol)
+    commitGen(spark, gen)
+    gen
+  }
+
+  /** Garbage-collect RETIRED generations: once a reindex has committed,
+    * the previous generations (the flat build and any older `gen-*`
+    * dirs) are rollback targets only — at 100 TB each one is a full
+    * copy of the corpus layout, so a deployment vacuums after the new
+    * generation has soaked. Deletes every non-serving generation's
+    * data (the flat layout's data subdirs and all non-latest `gen-*`
+    * dirs); the serving generation is untouched, and a flat-only index
+    * (never reindexed) is a no-op. Returns the deleted roots.
+    *
+    * After a vacuum, rollback means reindexing again, not marker
+    * deletion — the trade a caller opts into explicitly by calling
+    * this. Takedown note: [[graft.streaming.IndexIngest.retractFromVectorIndex]]
+    * scrubs ALL generations, so vacuum is not needed for compliance —
+    * it is purely a disk-cost bound. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Seq[String] = {
+    val serving = resolveIndexRoot(spark, dir)
+    if (serving == dir) return Nil // flat only — nothing retired
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(spark, dp)
+    val servingName = new org.apache.hadoop.fs.Path(serving).getName
+    val deleted = collection.mutable.ArrayBuffer.empty[String]
+    for (sub <- Seq("centroids", "coarse", "assignments", "codebooks",
+        "codes")) {
+      val p = new org.apache.hadoop.fs.Path(dp, sub)
+      if (fs.exists(p)) { fs.delete(p, true); deleted += p.toString }
+    }
+    fs.listStatus(dp)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-")
+        && st.getPath.getName != servingName)
+      .foreach { st => fs.delete(st.getPath, true)
+        deleted += st.getPath.toString }
+    deleted.toSeq
+  }
+
   /** Build a PERSISTENT IVF index — the build-once/query-many shape a
     * 100 TB ANN corpus actually runs (fitting the quantizer per query
     * batch, as [[ivfTopK]] does, re-scans the corpus every time):
@@ -560,9 +717,10 @@ object Similarity {
                     qIdCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     registered(queries)
-    val centroidsDf = spark.read.parquet(s"$dir/centroids")
-    val assigned = spark.read.parquet(s"$dir/assignments")
-    val probe = loadHier(spark, dir, centroidsDf)
+    val root = resolveIndexRoot(spark, dir)
+    val centroidsDf = spark.read.parquet(s"$root/centroids")
+    val assigned = spark.read.parquet(s"$root/assignments")
+    val probe = loadHier(spark, root, centroidsDf)
       .map { case (coarse, subs, kf) => twoLevelProbe(coarse, subs, kf) }
     ivfQueryPhase(queries, centroidsDf, assigned, k, nProbe, qIdCol, vecCol,
       probe)
@@ -623,10 +781,13 @@ object Similarity {
                      cIdCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
     registered(newVecs)
-    val centroidsDf = spark.read.parquet(s"$dir/centroids")
+    // appends land in the SERVING generation — after a reindex, new
+    // batches extend the new quantizer's layout, not the retired one
+    val root = resolveIndexRoot(spark, dir)
+    val centroidsDf = spark.read.parquet(s"$root/centroids")
     val c = newVecs.select(col(cIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
-    val assignF = loadHier(spark, dir, centroidsDf) match {
+    val assignF = loadHier(spark, root, centroidsDf) match {
       case Some((coarse, subs, kf)) =>
         udf { (v: Seq[Double]) =>
           val a = v.toArray
@@ -650,7 +811,7 @@ object Similarity {
     c.withColumn("cluster", assignF(col("__cv")))
       .repartition(col("cluster"))
       .write.partitionBy("cluster").mode("append")
-      .parquet(s"$dir/assignments")
+      .parquet(s"$root/assignments")
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket by LSH signature,
@@ -1039,10 +1200,11 @@ object Similarity {
     model
   }
 
-  /** Reload a persisted PQ codebook table into a [[PqModel]]. */
+  /** Reload a persisted PQ codebook table into a [[PqModel]]
+    * (generation-aware — the serving generation's codebooks). */
   def loadPqModel(spark: org.apache.spark.sql.SparkSession,
                   dir: String): PqModel = {
-    val rows = spark.read.parquet(s"$dir/codebooks")
+    val rows = spark.read.parquet(s"${resolveIndexRoot(spark, dir)}/codebooks")
       .select(col("subspace"), col("centroid"), col("vals"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
@@ -1063,9 +1225,12 @@ object Similarity {
                     newVecs: DataFrame, dir: String,
                     cIdCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
-    val model = loadPqModel(spark, dir)
+    // resolve ONCE so the model and the codes ledger come from the
+    // same generation even if a reindex commits mid-call
+    val root = resolveIndexRoot(spark, dir)
+    val model = loadPqModel(spark, root)
     pqEncode(newVecs, model, cIdCol, vecCol)
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("append").parquet(s"$root/codes")
   }
 
   /** Query a persisted PQ index: ADC over the stored codes, exact
@@ -1076,8 +1241,9 @@ object Similarity {
                    shortlist: Int = 50,
                    qIdCol: String = "vec_id", cIdCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val model = loadPqModel(spark, dir)
-    val codes = spark.read.parquet(s"$dir/codes")
+    val root = resolveIndexRoot(spark, dir)
+    val model = loadPqModel(spark, root)
+    val codes = spark.read.parquet(s"$root/codes")
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     pqTopKFromCodes(queries, codes, corpus, model, k, shortlist,
       qIdCol, cIdCol, vecCol)
@@ -1143,8 +1309,9 @@ object Similarity {
                        cIdCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     registered(newVecs)
-    val model = loadPqModel(spark, dir)
-    val centroidsDf = spark.read.parquet(s"$dir/centroids")
+    val root = resolveIndexRoot(spark, dir)
+    val model = loadPqModel(spark, root)
+    val centroidsDf = spark.read.parquet(s"$root/centroids")
     val centers = centroidsDf.select(col("cluster"), col("__ctr"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -1160,7 +1327,7 @@ object Similarity {
         nPqEncode(zip_with(col("__cv"), col("__ctr"), (a, b) => a - b), model)
           .as("codes"))
       .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("append").parquet(s"$dir/codes")
+      .write.partitionBy("cluster").mode("append").parquet(s"$root/codes")
   }
 
   /** Query an IVF-PQ index: probe the nProbe nearest coarse centroids
@@ -1174,9 +1341,10 @@ object Similarity {
                       qIdCol: String = "vec_id", cIdCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     registered(corpus)
-    val model = loadPqModel(spark, dir)
-    val centroidsDf = spark.read.parquet(s"$dir/centroids")
-    val codes = spark.read.parquet(s"$dir/codes")
+    val root = resolveIndexRoot(spark, dir)
+    val model = loadPqModel(spark, root)
+    val centroidsDf = spark.read.parquet(s"$root/centroids")
+    val codes = spark.read.parquet(s"$root/codes")
     val qBase = queries.select(col(qIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
     // probe by squared L2 ASC — the metric the IVF assignment used

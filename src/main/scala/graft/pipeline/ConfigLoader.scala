@@ -1158,6 +1158,35 @@ object ConfigLoader {
         }
         ()
       })),
+      // drift-triggered index maintenance: reindex a persisted vector
+      // index from the CURRENT corpus into a fresh generation with an
+      // atomic serving swap (Similarity.reindex*). family: ivf reads
+      // the corpus back from the serving generation's own assignments
+      // (the job's frame is ignored); pq/ivfpq re-encode the job's
+      // frame (the exact-re-rank corpus, covering every indexed id)
+      "reindex_index" -> (o => Sinks.Write("reindex_index", df => {
+        val dir = req(o, "dir")
+        o.getOrElse("family", "ivf") match {
+          case "ivf" => graft.llm.Similarity.reindexIvf(df.sparkSession, dir,
+            nCentroids = o.getOrElse("nCentroids", "16").toInt,
+            seed = o.getOrElse("seed", "42").toLong)
+          case "pq" => graft.llm.Similarity.reindexPq(df.sparkSession, dir,
+            df, m = o.getOrElse("m", "8").toInt,
+            k = o.getOrElse("k", "16").toInt,
+            cIdCol = o.getOrElse("idCol", "vec_id"),
+            vecCol = o.getOrElse("vecCol", "embedding"))
+          case "ivfpq" => graft.llm.Similarity.reindexIvfPq(df.sparkSession,
+            dir, df, nCentroids = o.getOrElse("nCentroids", "16").toInt,
+            m = o.getOrElse("m", "8").toInt,
+            k = o.getOrElse("k", "16").toInt,
+            seed = o.getOrElse("seed", "42").toLong,
+            cIdCol = o.getOrElse("idCol", "vec_id"),
+            vecCol = o.getOrElse("vecCol", "embedding"))
+          case other => throw new Pipeline.ValidationException(
+            s"reindex_index: unknown family '$other' (ivf | pq | ivfpq)")
+        }
+        ()
+      })),
       // takedown compliance report: the job's frame IS the current
       // opt-out registry; the per-aspect report lands at reportDir
       // (default dir/compliance). failOnViolation=true raises on any

@@ -51,8 +51,13 @@ object IndexIngest {
       : StreamingQuery = {
     require(vecs.isStreaming, "appendPqIndexStream: expected a streaming frame")
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      appendBatch(curate(batch.toDF()), s"$dir/codes", "vec_id",
-        fresh => Similarity.appendPqIndex(batch.sparkSession, fresh, dir,
+      // generation resolved PER BATCH: after a reindex swap the ledger
+      // probe and the append both move to the new serving generation
+      // on the next micro-batch (resolving once at stream start would
+      // probe the retired ledger and re-append replayed ids)
+      val root = Similarity.resolveIndexRoot(batch.sparkSession, dir)
+      appendBatch(curate(batch.toDF()), s"$root/codes", "vec_id",
+        fresh => Similarity.appendPqIndex(batch.sparkSession, fresh, root,
           cIdCol, vecCol), batchIdCol = cIdCol)
     }.start()
   }
@@ -85,19 +90,21 @@ object IndexIngest {
     semanticDedupThreshold.foreach(t => require(t > 0.0 && t <= 1.0,
       s"appendIvfIndexStream: semanticDedupThreshold must be in (0,1], got $t"))
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      appendBatch(curate(batch.toDF()), s"$dir/assignments", "neighbor_id",
+      // per-batch generation resolve — see appendPqIndexStream
+      val root = Similarity.resolveIndexRoot(batch.sparkSession, dir)
+      appendBatch(curate(batch.toDF()), s"$root/assignments", "neighbor_id",
         fresh => {
           val kept = semanticDedupThreshold match {
             case None => fresh
             case Some(t) =>
-              val twins = Similarity.ivfQueryIndex(batch.sparkSession, dir,
+              val twins = Similarity.ivfQueryIndex(batch.sparkSession, root,
                   fresh, k = 1, nProbe, qIdCol = cIdCol, vecCol = vecCol)
                 .where(col("cosine") >= t)
                 .select(col("query_id").as("__graft_twin"))
               fresh.join(twins, col(cIdCol) === col("__graft_twin"),
                 "left_anti")
           }
-          Similarity.appendIvfIndex(batch.sparkSession, kept, dir,
+          Similarity.appendIvfIndex(batch.sparkSession, kept, root,
             cIdCol, vecCol)
         }, batchIdCol = cIdCol)
     }.start()
@@ -116,8 +123,10 @@ object IndexIngest {
     require(vecs.isStreaming,
       "appendIvfPqIndexStream: expected a streaming frame")
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      appendBatch(curate(batch.toDF()), s"$dir/codes", "vec_id",
-        fresh => Similarity.appendIvfPqIndex(batch.sparkSession, fresh, dir,
+      // per-batch generation resolve — see appendPqIndexStream
+      val root = Similarity.resolveIndexRoot(batch.sparkSession, dir)
+      appendBatch(curate(batch.toDF()), s"$root/codes", "vec_id",
+        fresh => Similarity.appendIvfPqIndex(batch.sparkSession, fresh, root,
           cIdCol, vecCol), batchIdCol = cIdCol)
     }.start()
   }
@@ -891,6 +900,13 @@ object IndexIngest {
     * re-admission of the content itself. Same epoch-boundary
     * concurrency contract as [[retractFromCuratedPack]].
     *
+    * Multi-generation indexes ([[graft.llm.Similarity.reindexIvf]]):
+    * EVERY generation is scrubbed, not just the serving one — a
+    * retired generation on disk is a rollback target and still holds
+    * the vector; a takedown that only touched the serving root would
+    * silently reappear on rollback. Generation ledgers report as
+    * `gen-NNNN/assignments` etc.
+    *
     * @return one row per rewritten ledger:
     *         (ledger, rows_before, rows_removed, rows_after) */
   def retractFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
@@ -900,11 +916,12 @@ object IndexIngest {
       .select(col(idCol).as("__graft_retract")).distinct()
       .localCheckpoint(true)
     val report = collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-    def scrub(sub: String, subIdCol: String,
+    val hconf = spark.sessionState.newHadoopConf()
+    def scrub(root: String, prefix: String, sub: String, subIdCol: String,
               partitionCols: Seq[String]): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
-        val df = spark.read.parquet(s"$dir/$sub")
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      if (p.getFileSystem(hconf).exists(p)) {
+        val df = spark.read.parquet(s"$root/$sub")
         val rids = rids0.select(col("__graft_retract")
           .cast(df.schema(subIdCol).dataType).as("__graft_retract"))
         val kept = df.join(rids,
@@ -912,12 +929,22 @@ object IndexIngest {
           .localCheckpoint(true)
         val before = df.count()
         val after = kept.count()
-        swapDir(spark, s"$dir/$sub", kept, partitionCols)
-        report += ((sub, before, before - after, after))
+        swapDir(spark, s"$root/$sub", kept, partitionCols)
+        report += ((s"$prefix$sub", before, before - after, after))
       }
     }
-    scrub("assignments", "neighbor_id", Seq("cluster"))
-    scrub("codes", "vec_id", Nil)
+    def scrubRoot(root: String, prefix: String): Unit = {
+      scrub(root, prefix, "assignments", "neighbor_id", Seq("cluster"))
+      scrub(root, prefix, "codes", "vec_id", Nil)
+    }
+    scrubRoot(dir, "")
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val fs = dp.getFileSystem(hconf)
+    if (fs.exists(dp))
+      fs.listStatus(dp)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .map(_.getPath).sortBy(_.getName)
+        .foreach(g => scrubRoot(g.toString, s"${g.getName}/"))
     require(report.nonEmpty,
       s"retractFromVectorIndex: $dir has neither assignments nor codes — " +
         "not a persisted vector index")

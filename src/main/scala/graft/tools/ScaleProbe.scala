@@ -448,6 +448,11 @@ object ScaleProbe {
         if (wantIvf) {
           val embK = replicateEmb(emb, k).localCheckpoint(true)
           val dir = s"/tmp/graft_probe/ivf_x$k"
+          // stale generations from a previous probe run would shadow
+          // the fresh flat build (reindex probe below commits gens)
+          val dp = new org.apache.hadoop.fs.Path(dir)
+          dp.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(dp, true)
           graft.llm.Similarity.buildIvfIndex(embK, dir, nCentroids = 16)
           embK.unpersist()
           time(s"ivf_append x$k") {
@@ -455,6 +460,20 @@ object ScaleProbe {
               emb.limit(500).select((col("vec_id") + 900000000L).as("vec_id"),
                 col("embedding")), dir)
             spark.read.parquet(s"$dir/assignments").count()
+          }
+          // drift-triggered REINDEX on the k×-growing index: refit +
+          // re-assign + partitioned rewrite — expected ~linear in k
+          // (one corpus read, one fit, one write). The SWAP the serving
+          // stream sees is the resolve below: one listStatus + marker
+          // probe, constant regardless of corpus size — reindex cost
+          // scales with the corpus, serving downtime is zero.
+          time(s"ivf_reindex x$k") {
+            val gen = graft.llm.Similarity.reindexIvf(spark, dir,
+              nCentroids = 16)
+            spark.read.parquet(s"$gen/assignments").count()
+          }
+          time(s"reindex_resolve x$k") {
+            graft.llm.Similarity.resolveIndexRoot(spark, dir).length.toLong
           }
         }
       }

@@ -380,6 +380,52 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(ok.count() == 1)
   }
 
+  test("reindex_index kind: ivf reindexes from its own assignments, pq re-encodes the job frame") {
+    import java.nio.file.Files
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("graft_reix_kind").toFile.getPath
+    graft.llm.Similarity.buildIvfIndex(emb, s"$dir/ivf")
+    graft.llm.Similarity.buildPqIndex(emb, s"$dir/pq")
+    emb.write.mode("overwrite").parquet(s"$dir/corpus")
+    val yaml =
+      s"""jobs:
+         |  - name: reindex_ivf
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/corpus
+         |        prefix: ""
+         |    load:
+         |      - kind: reindex_index
+         |        options: {dir: $dir/ivf, family: ivf, nCentroids: '8'}
+         |  - name: reindex_pq
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/corpus
+         |        prefix: ""
+         |    load:
+         |      - kind: reindex_index
+         |        options: {dir: $dir/pq, family: pq}
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$dir/reindex.yaml"), yaml)
+    Pipeline.run(spark, ConfigLoader.parseYamlFile(s"$dir/reindex.yaml"),
+      progress = _ => ())
+    // ivf: new committed generation serves, genuinely refit at 8
+    val ivfRoot = graft.llm.Similarity.resolveIndexRoot(spark, s"$dir/ivf")
+    assert(ivfRoot.endsWith("/gen-0001"))
+    assert(spark.read.parquet(s"$ivfRoot/centroids").count() == 8)
+    // pq: the job frame was re-encoded into the new generation
+    val pqRoot = graft.llm.Similarity.resolveIndexRoot(spark, s"$dir/pq")
+    assert(pqRoot.endsWith("/gen-0001"))
+    assert(spark.read.parquet(s"$pqRoot/codes").count() == emb.count())
+    // unknown family fails loudly at run time
+    val e = intercept[Pipeline.ValidationException](
+      graft.sinks.Sinks.runChain(emb, Seq(
+        ConfigLoader.loadKinds("reindex_index")(Map(
+          "dir" -> s"$dir/ivf", "family" -> "hnsw")))))
+    assert(e.getMessage.contains("unknown family 'hnsw'"))
+  }
+
   test("strict mode rejects unknown keys and missing destinations; lenient passes") {
     // typo'd job key: lenient silently ignores (dependson != dependsOn),
     // strict rejects — exactly the failure --strict exists to catch

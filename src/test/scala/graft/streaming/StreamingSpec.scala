@@ -596,6 +596,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 18)
   }
 
+  test("searchIvfStream: reindex swap between micro-batches — serving continuity, new generation serves") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_reix")
+      .toFile.getPath
+    Similarity.buildIvfIndex(emb, s"$dir/index")
+    val queries = emb.where(col("vec_id") < 6)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val b1 = queries.where(col("vec_id") < 5003L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val b2 = queries.where(col("vec_id") >= 5003L)
+      .as[(Long, Seq[Float])].collect().toSeq
+    // expected answers per generation, computed OUTSIDE the stream:
+    // batch 1 against the original build, batch 2 against the reindexed
+    // generation (different nCentroids — a genuinely different quantizer)
+    def expect(qs: Seq[(Long, Seq[Float])]) =
+      Similarity.ivfQueryIndex(spark, s"$dir/index",
+          qs.toDF("vec_id", "embedding"), k = 3, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSeq
+    val want1 = expect(b1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.searchIvfStream(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/index",
+      s"$dir/results", k = 3, nProbe = 2)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // the swap, mid-stream: reindex commits gen-0001 and the retired
+      // flat layout is vacuumed, so batch 2 can ONLY be answered from
+      // the new generation — continuity is observable, not assumed
+      Similarity.reindexIvf(spark, s"$dir/index", nCentroids = 8)
+      Similarity.vacuumIndex(spark, s"$dir/index")
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want2 = expect(b2) // resolves gen-0001 now
+    val got = spark.read.parquet(s"$dir/results")
+      .select(col("query_id"), col("rank").cast("long"),
+        col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == (want1 ++ want2).sorted,
+      s"stream answers != per-generation batch answers")
+    // every query answered exactly once; the stream was never restarted
+    assert(got.map(_._1).distinct.size == 6 && got.size == 18)
+  }
+
   test("streaming IVF-PQ index append ≡ batch append on the same batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
