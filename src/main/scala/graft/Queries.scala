@@ -8165,6 +8165,199 @@ object Queries {
         vec_id + 200000 AS neg_id
       FROM embeddings WHERE vec_id % 40 = 0 ORDER BY query_id"""))
 
+  /** Triplet mining THROUGH THE REGISTRY (`mine_triplets` config kind
+    * — round-11 verdict asked for the mining ops as declarable
+    * stages): same fixture and oracle as `contrastive_triplets`, but
+    * the chain-stage path is what's bound, so a user's YAML
+    * `mine_triplets` stage is proven equal to the library call. */
+  private val tripletsKindQ = QueryDef("mine_triplets_kind",
+    (s, d) => {
+      val chunks = t(s, d, "embeddings").select(
+        col("vec_id").as("chunk_id"),
+        expr("vec_id div 4").as("doc_id"),
+        (col("vec_id") % 4).as("chunk_idx"), col("embedding"))
+      graft.pipeline.ConfigLoader.transformKinds("mine_triplets")(
+          Map("nNeg" -> "2"))(chunks)
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
+    Some(s"""WITH ch AS (SELECT vec_id AS id, vec_id // 4 AS doc,
+            vec_id % 4 AS idx, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT a.id AS query_id, a.doc, a.v AS qv, b.id AS pos_id
+          FROM ch a JOIN ch b ON b.doc = a.doc AND b.idx = a.idx + 1),
+      sc AS (SELECT q.query_id, q.pos_id, c.id AS neg_id,
+            ${sqlDot("q.qv", "c.v")} / (${sqlNorm("q.qv")} * ${sqlNorm("c.v")})
+              AS neg_cosine
+          FROM q JOIN ch c ON c.doc <> q.doc),
+      r AS (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY neg_cosine DESC, neg_id)
+            AS neg_rank
+          FROM sc)
+      SELECT query_id, pos_id, neg_rank, neg_id, neg_cosine
+      FROM r WHERE neg_rank <= 2 ORDER BY query_id, neg_rank"""))
+
+  /** THE CCMATRIX PRODUCT AS ONE CONFIG ([[graft.llm.Bitext]] bound
+    * into the registry — round-12 verdict gap #2): a single YAML
+    * declares embedded sentences (both languages in one table) →
+    * `bitext_mine` (ratio margin, mutual argmax, threshold) →
+    * `render_bitext` (ids joined to the sentence store, one training
+    * row per mined pair) → `pack_greedy` → certified `shards` — the
+    * alignment-data counterpart of `sft_chain_yaml` /
+    * `curate_to_shards_yaml`. Fixture: the `bitext_mine` corpus
+    * (planted ε-translations of every 20th vector + distractors) plus
+    * a deterministic sentence store derived from the ids alone. The
+    * oracle replays the ENTIRE funnel from first principles: all-pairs
+    * cosine, both kNN directions, rank-ordered-fold means, margin +
+    * mutual argmax, the sentence join, the greedy pack recursion, and
+    * the md5-rank shard digest. */
+  private val bitextChainYaml = QueryDef("bitext_chain_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "bitext_chain_yaml")
+      val out = s"$dir/out"
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val src = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), lit("en").as("lang"), col("embedding"))
+      val tgt = emb.where(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 500000).as("vec_id"), lit("de").as("lang"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+            .as("embedding"))
+        .unionByName(emb.where(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 700000).as("vec_id"),
+            lit("de").as("lang"), col("embedding")))
+      src.unionByName(tgt).write.mode("overwrite").parquet(s"$dir/emb")
+      // the sentence store: texts derived from the ids alone (token
+      // counts vary 4..8 so packs straddle pair boundaries)
+      def sentence(prefix: String, base: Column): Column =
+        concat(lit(prefix), base.cast("string"),
+          expr("repeat(' w', CAST(3 + vec_id % 5 AS INT))"))
+      emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"), sentence("en", col("vec_id")).as("text"))
+        .unionByName(emb.where(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 500000).as("id"),
+            sentence("de", col("vec_id") + 500000).as("text")))
+        .unionByName(emb.where(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 700000).as("id"),
+            sentence("dx", col("vec_id") + 700000).as("text")))
+        .write.mode("overwrite").parquet(s"$dir/texts")
+      val yaml =
+        s"""jobs:
+           |  - name: bitext_chain
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/emb
+           |        prefix: ""
+           |    transform:
+           |      - kind: bitext_mine
+           |        options:
+           |          langCol: 'lang'
+           |          srcLang: 'en'
+           |          tgtLang: 'de'
+           |          k: '4'
+           |          threshold: '1.3'
+           |      - kind: render_bitext
+           |        options:
+           |          textsPath: $dir/texts
+           |          sep: ' ||| '
+           |      - kind: pack_greedy
+           |        options:
+           |          idCol: 'pair_id'
+           |          textCol: 'text'
+           |          budget: '24'
+           |          docsPerGroup: '8'
+           |    load:
+           |      - kind: shards
+           |        keyCol: pack_id
+           |        path: $out
+           |        nShards: 2
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          countDistinct(col("pack_id")).as("n_packs"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH RECURSIVE
+      s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 10 = 0),
+      tt AS (SELECT vec_id + 500000 AS tgt_id,
+            list_concat([embedding[1] + CAST(0.001 AS FLOAT)],
+              embedding[2:])::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 20 = 0
+          UNION ALL
+          SELECT vec_id + 700000 AS tgt_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 10 = 3),
+      sc AS (SELECT src_id, tgt_id,
+            ${sqlDot("s.v", "tt.v")} / (${sqlNorm("s.v")} * ${sqlNorm("tt.v")})
+              AS cosine
+          FROM s CROSS JOIN tt),
+      fwd AS (SELECT *, row_number() OVER
+            (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS r FROM sc),
+      bwd AS (SELECT *, row_number() OVER
+            (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS r FROM sc),
+      af AS (SELECT src_id,
+            ${sqlFold("list(cosine ORDER BY r)", "0.0", "(acc,v) -> acc+v")}
+              / count(*) AS a
+          FROM fwd WHERE r <= 4 GROUP BY src_id),
+      ab AS (SELECT tgt_id,
+            ${sqlFold("list(cosine ORDER BY r)", "0.0", "(acc,v) -> acc+v")}
+              / count(*) AS a
+          FROM bwd WHERE r <= 4 GROUP BY tgt_id),
+      cand AS (SELECT DISTINCT src_id, tgt_id, cosine FROM
+          (SELECT src_id, tgt_id, cosine FROM fwd WHERE r <= 4
+           UNION ALL SELECT src_id, tgt_id, cosine FROM bwd WHERE r <= 4)),
+      mg AS (SELECT c.src_id, c.tgt_id, c.cosine,
+            c.cosine / ((af.a + ab.a) / 2.0) AS margin
+          FROM cand c JOIN af USING (src_id) JOIN ab USING (tgt_id)),
+      mm AS (SELECT *,
+            row_number() OVER
+              (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rs,
+            row_number() OVER
+              (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rt
+          FROM mg),
+      mined AS (SELECT src_id, tgt_id FROM mm
+          WHERE rs = 1 AND rt = 1 AND margin >= 1.3),
+      stext AS (SELECT vec_id AS src_id,
+            'en' || CAST(vec_id AS VARCHAR)
+              || repeat(' w', CAST(3 + vec_id % 5 AS INT)) AS st
+          FROM embeddings WHERE vec_id % 10 = 0),
+      ttext AS (SELECT vec_id + 500000 AS tgt_id,
+            'de' || CAST(vec_id + 500000 AS VARCHAR)
+              || repeat(' w', CAST(3 + (vec_id + 500000) % 5 AS INT)) AS tx
+            FROM embeddings WHERE vec_id % 20 = 0
+          UNION ALL
+          SELECT vec_id + 700000 AS tgt_id,
+            'dx' || CAST(vec_id + 700000 AS VARCHAR)
+              || repeat(' w', CAST(3 + (vec_id + 700000) % 5 AS INT)) AS tx
+            FROM embeddings WHERE vec_id % 10 = 3),
+      rendered AS (SELECT m.src_id AS doc_id, st || ' ||| ' || tx AS text
+          FROM mined m JOIN stext USING (src_id) JOIN ttext USING (tgt_id)),
+      ${sqlGreedyCteBody(24, 8, "rendered")},
+      withpack AS (SELECT a.doc_id, a.n_tokens,
+            CAST(o.goff + a.emitted AS BIGINT) AS pack_id
+          FROM asg a JOIN off o USING (grp)),
+      rr AS (SELECT *, md5(CAST(pack_id AS VARCHAR)) AS rank FROM withpack),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM rr),
+      sh AS (SELECT *, digest % 2 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_pairs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   // ==========================================================================
   // SFT / conversation prep ([[graft.llm.Sft]]) — fixture: a turns table
   // derived deterministically from documents (conv_id = doc_id % 50,
@@ -10617,7 +10810,7 @@ object Queries {
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, tripletsIndexedPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
-    sftDecontaminateQ,
+    sftDecontaminateQ, tripletsKindQ, bitextChainYaml,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     prefChainYaml,
     annIngestSemdedup,

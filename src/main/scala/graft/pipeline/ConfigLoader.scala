@@ -395,6 +395,76 @@ object ConfigLoader {
           rate = o.getOrElse("rate", "0.5").toDouble,
           spm = o.getOrElse("spm", "false").toBoolean,
           salt = o.getOrElse("salt", "graft"))),
+      // margin-based bitext mining as a chain stage (the CCMatrix
+      // product, Artetxe & Schwenk ratio margin + mutual argmax): the
+      // frame is ONE embeddings table carrying both sides; langCol +
+      // srcLang/tgtLang split it. mode exact = broadcast scan (the
+      // audit shape, one side driver-small); mode indexed = persisted-
+      // IVF candidate probes via srcIndexDir/tgtIndexDir (each side's
+      // kNN from the OTHER side's index — partition-pruned, neither
+      // corpus broadcast, disjoint id spaces required). Emits
+      // (src_id, tgt_id, cosine, margin).
+      "bitext_mine" -> (o => df => {
+        val idc = o.getOrElse("idCol", "vec_id")
+        val vc = o.getOrElse("vecCol", "embedding")
+        val lang = ColumnNs.q(req(o, "langCol"))
+        val src = df.where(lang === req(o, "srcLang"))
+        val tgt = df.where(lang === req(o, "tgtLang"))
+        val k = o.getOrElse("k", "4").toInt
+        val th = o.getOrElse("threshold", "1.3").toDouble
+        o.getOrElse("mode", "exact") match {
+          case "exact" =>
+            graft.llm.Bitext.mineBitext(src, tgt, k, th, idc, idc, vc)
+          case "indexed" =>
+            graft.llm.Bitext.mineBitextIndexed(df.sparkSession,
+              req(o, "srcIndexDir"), req(o, "tgtIndexDir"), src, tgt, k, th,
+              o.getOrElse("nProbe", "4").toInt, idc, idc, vc)
+          case other => throw new Pipeline.ValidationException(
+            s"bitext_mine: unknown mode '$other' (exact | indexed)")
+        }
+      }),
+      // render mined bitext to translation-pair training rows: join
+      // both ids to a texts table (textsPath parquet) and emit
+      // (pair_id, src_id, tgt_id, text) with text = src <sep> tgt —
+      // pack_greedy/pack_materialize consume (pair_id, text) directly.
+      // Two id-keyed hash joins; the mined set is one-to-one so
+      // pair_id = src_id is unique by construction.
+      "render_bitext" -> (o => df => {
+        val texts = df.sparkSession.read.parquet(req(o, "textsPath"))
+          .select(col(o.getOrElse("textsIdCol", "id")).as("__tid"),
+            col(o.getOrElse("textsTextCol", "text")).as("__ttext"))
+        val sep = o.getOrElse("sep", " ||| ")
+        df.join(texts.select(col("__tid").as("src_id"),
+            col("__ttext").as("__st")), "src_id")
+          .join(texts.select(col("__tid").as("tgt_id"),
+            col("__ttext").as("__tt")), "tgt_id")
+          .select(col("src_id").as("pair_id"), col("src_id"), col("tgt_id"),
+            concat(col("__st"), lit(sep), col("__tt")).as("text"))
+      }),
+      // contrastive triplet mining as a chain stage (E5/GTE recipe —
+      // adjacency positives, cross-document hard negatives): the frame
+      // is the chunks table. mode exact = broadcast audit scan; mode
+      // indexed = persisted-IVF candidates (indexDir) with the same
+      // document-exclusion re-rank tail. Emits
+      // (query_id, pos_id, neg_rank, neg_id, neg_cosine).
+      "mine_triplets" -> (o => df => {
+        val id = o.getOrElse("idCol", "chunk_id")
+        val doc = o.getOrElse("docCol", "doc_id")
+        val idx = o.getOrElse("idxCol", "chunk_idx")
+        val vc = o.getOrElse("vecCol", "embedding")
+        val nNeg = o.getOrElse("nNeg", "2").toInt
+        o.getOrElse("mode", "exact") match {
+          case "exact" =>
+            graft.llm.Similarity.mineTriplets(df, nNeg, id, doc, idx, vc)
+          case "indexed" =>
+            graft.llm.Similarity.mineTripletsIndexed(df.sparkSession,
+              req(o, "indexDir"), df, nNeg,
+              kCandidates = o.getOrElse("kCandidates", "8").toInt,
+              nProbe = o.getOrElse("nProbe", "4").toInt, id, doc, idx, vc)
+          case other => throw new Pipeline.ValidationException(
+            s"mine_triplets: unknown mode '$other' (exact | indexed)")
+        }
+      }),
       // code-corpus licensing gate (The Stack's shape): classify the
       // license from header/SPDX markers, keep an allowlist
       "license_filter" -> (o => df => {

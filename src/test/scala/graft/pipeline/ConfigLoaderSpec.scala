@@ -426,6 +426,62 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown family 'hnsw'"))
   }
 
+  test("bitext_mine / mine_triplets kinds: indexed mode routes through persisted indexes; bad modes rejected") {
+    import java.nio.file.Files
+    import graft.pipeline.ConfigLoader.transformKinds
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // bitext: planted ε-translations (the bitext_mine fixture shape)
+    val src = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), lit("en").as("lang"), col("embedding"))
+    val tgt = emb.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 500000).as("vec_id"), lit("de").as("lang"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+          .as("embedding"))
+      .unionByName(emb.where(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 700000).as("vec_id"),
+          lit("de").as("lang"), col("embedding")))
+    val dir = Files.createTempDirectory("graft_mine_kinds").toFile.getPath
+    graft.llm.Similarity.buildIvfIndex(src, s"$dir/src")
+    graft.llm.Similarity.buildIvfIndex(tgt, s"$dir/tgt")
+    val minedIdx = transformKinds("bitext_mine")(Map(
+      "langCol" -> "lang", "srcLang" -> "en", "tgtLang" -> "de",
+      "mode" -> "indexed", "srcIndexDir" -> s"$dir/src",
+      "tgtIndexDir" -> s"$dir/tgt"))(src.unionByName(tgt))
+    // every planted translation mined (twin shares its query's nearest
+    // cluster; margin ~1.7 beats the organic ceiling)
+    val planted = minedIdx.where(col("src_id") % 20 === 0)
+      .select(col("src_id"), col("tgt_id"))
+      .as[(Long, Long)].collect().toSet
+    val expected = emb.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("vec_id") + 500000)
+      .as[(Long, Long)].collect().toSet
+    assert(planted == expected)
+    // triplets: indexed kind ≡ library call on the same persisted index
+    val chunks = emb.select(col("vec_id").as("chunk_id"),
+      expr("vec_id div 4").as("doc_id"),
+      (col("vec_id") % 4).as("chunk_idx"), col("embedding"))
+    graft.llm.Similarity.buildIvfIndex(chunks, s"$dir/chunks",
+      cIdCol = "chunk_id")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("pos_id"), col("neg_rank"),
+        col("neg_id")).as[(Long, Long, Int, Long)].collect().toSet
+    val viaKind = snap(transformKinds("mine_triplets")(Map(
+      "mode" -> "indexed", "indexDir" -> s"$dir/chunks"))(chunks))
+    val viaLib = snap(graft.llm.Similarity.mineTripletsIndexed(
+      spark, s"$dir/chunks", chunks))
+    assert(viaKind == viaLib && viaKind.nonEmpty)
+    // unknown modes fail loudly
+    val e1 = intercept[Pipeline.ValidationException](
+      transformKinds("bitext_mine")(Map("langCol" -> "lang",
+        "srcLang" -> "en", "tgtLang" -> "de", "mode" -> "faiss"))(src))
+    assert(e1.getMessage.contains("unknown mode 'faiss'"))
+    val e2 = intercept[Pipeline.ValidationException](
+      transformKinds("mine_triplets")(Map("mode" -> "hnsw"))(chunks))
+    assert(e2.getMessage.contains("unknown mode 'hnsw'"))
+  }
+
   test("strict mode rejects unknown keys and missing destinations; lenient passes") {
     // typo'd job key: lenient silently ignores (dependson != dependsOn),
     // strict rejects — exactly the failure --strict exists to catch
