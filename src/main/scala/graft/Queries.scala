@@ -7134,6 +7134,257 @@ object Queries {
       prelude = """bad AS (SELECT doc_id FROM documents
           WHERE source IN ('src3', 'src17')),""")))
 
+  /** The SFT validate→dedup→render replay (the [[sftChainYaml]] CTE
+    * chain without the planted-PII/dup fixture mutations), ending in
+    * `rendered(doc_id, text)` — shared by the SFT-takedown pair so
+    * the two cannot drift. */
+  /** The SFT turns fixture in DuckDB form (moved ahead of the
+    * SFT-takedown pair for initializer order — a later declaration
+    * would be null when these QueryDefs build their oracle SQL). */
+  private val sqlSftTurns: String =
+    """SELECT doc_id % 50 AS conv_id, doc_id // 50 AS turn_idx,
+      CASE WHEN (doc_id % 50) % 11 = 2 AND doc_id // 50 = 0 THEN 'system'
+           WHEN (doc_id % 50) % 11 = 2 THEN
+             (CASE WHEN (doc_id // 50) % 2 = 1 THEN 'user' ELSE 'assistant' END)
+           WHEN (doc_id % 50) % 5 = 0 THEN
+             (CASE WHEN (doc_id // 50) % 2 = 0 THEN 'assistant' ELSE 'user' END)
+           ELSE (CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END)
+      END AS role,
+      CASE WHEN (doc_id % 50) % 7 = 3 AND doc_id // 50 = 1 THEN ''
+           ELSE substr(text, 1, 80) END AS content
+    FROM documents
+    WHERE NOT (doc_id % 50 = 49 AND doc_id // 50 > 0)"""
+
+  private def sqlSftRenderedCtes: String =
+    s"""tr AS ($sqlSftTurns),
+      va AS (SELECT conv_id,
+            list(struct_pack(i := turn_idx, r := role, c := content)
+              ORDER BY turn_idx) AS t
+          FROM tr GROUP BY conv_id),
+      vb AS (SELECT conv_id, t, list_transform(t, x -> x.r) AS roles FROM va),
+      vc AS (SELECT conv_id, t, roles,
+            CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END AS body
+          FROM vb),
+      vv AS (SELECT conv_id,
+            CASE
+              WHEN len(body) < 2 THEN 'too_short'
+              WHEN len(list_filter(t, x -> x.c IS NULL OR len(x.c) = 0)) > 0
+                THEN 'empty_content'
+              WHEN len(list_filter(range(1, len(body) + 1),
+                  i -> body[i] <> (CASE WHEN (i - 1) % 2 = 0
+                    THEN 'user' ELSE 'assistant' END))) > 0 THEN 'role_order'
+              WHEN roles[-1] <> 'assistant' THEN 'no_assistant_end'
+            END AS reason
+          FROM vc),
+      vt AS (SELECT t.* FROM tr t
+          JOIN (SELECT conv_id FROM vv WHERE reason IS NULL) ok
+          USING (conv_id)),
+      kh AS (SELECT conv_id, md5(string_agg(
+            role || chr(31) ||
+              trim(regexp_replace(lower(content), '\\s+', ' ', 'g')) || chr(30),
+            '' ORDER BY turn_idx)) AS kk
+          FROM vt GROUP BY conv_id),
+      keepc AS (SELECT conv_id FROM
+          (SELECT conv_id, row_number() OVER
+             (PARTITION BY kk ORDER BY conv_id) AS rn FROM kh)
+          WHERE rn = 1),
+      kt AS (SELECT t.* FROM vt t JOIN keepc USING (conv_id)),
+      rendered AS (SELECT conv_id AS doc_id,
+            string_agg('<|' || role || '|>' || content || '<|end|>',
+              '' ORDER BY turn_idx) AS text
+          FROM kt GROUP BY conv_id)"""
+
+  /** The SFT pack/shard replay tail over `rendered` with a post-sum
+    * keep filter (scrub semantics) — budget 64, 4 shards. */
+  private def sqlSftShardsReplay(keptFilter: String): String =
+    s"""WITH $sqlSftRenderedCtes,
+      tc AS (SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN []
+             ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        FROM rendered),
+      o AS (SELECT doc_id, len(toks) AS n_tokens,
+        COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+        FROM tc WHERE len(toks) > 0),
+      kept AS (SELECT * FROM o WHERE $keptFilter),
+      p AS (SELECT CAST(FLOOR(token_offset / 64.0) AS BIGINT) AS pack_id,
+          n_tokens FROM kept),
+      packs AS (SELECT pack_id, count(*) AS n_docs, SUM(n_tokens) AS n_tokens
+        FROM p GROUP BY pack_id),
+      r AS (SELECT pack_id, n_docs, n_tokens,
+          md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r),
+      sh AS (SELECT *, digest % 4 AS shard FROM sh0)
+      SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh GROUP BY shard ORDER BY shard"""
+
+  /** Shared runner for the SFT-takedown pair: turns + the
+    * conversation-ownership table land as parquet, then ONE YAML
+    * declares the whole product — SFT chain (validate → dedup →
+    * render) into the curated-pack ledgers + shards, the USER-keyed
+    * takedown (`where user_id` over the ownership store → the
+    * conv_id list → `retract_pack` — the user_id→conv_id expansion a
+    * real legal request needs, since takedowns arrive as users/
+    * conversations, not doc ids), the incremental shard refresh, and
+    * the compliance gate (failOnViolation — the RUN fails unless the
+    * takedown verifiably landed). `extraJobs` appends the reversal
+    * jobs for the unretract twin. */
+  private def runSftTakedown(s: SparkSession, d: String, dir: String,
+                             extraJobs: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    sftTurns(s, d).write.mode("overwrite").parquet(s"$dir/turns")
+    // conversation ownership — the mapping a legal request resolves
+    // through; string user ids (the opt-out registry shape)
+    sftTurns(s, d).select(col("conv_id")).distinct()
+      .select(col("conv_id"),
+        concat(lit("u"), (col("conv_id") % 7).cast("string")).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/conv_meta")
+    val yaml =
+      s"""jobs:
+         |  - name: sft_seed
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/turns
+         |        prefix: ""
+         |    transform:
+         |      - kind: sft_validate
+         |      - kind: sft_dedup
+         |      - kind: sft_render
+         |    load:
+         |      - kind: parquet_dir
+         |        options: {path: $dir/store}
+         |      - kind: seed_curated_pack
+         |        options: {dir: $dir, idCol: conv_id, textCol: text, budget: '64'}
+         |  - name: materialize
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/store
+         |        prefix: ""
+         |    load:
+         |      - kind: materialize_shards
+         |        options:
+         |          assignmentDir: $dir/assign
+         |          idCol: conv_id
+         |          textCol: text
+         |          dir: $dir/out
+         |          nShards: '4'
+         |  - name: takedown_user
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/conv_meta
+         |        prefix: ""
+         |    transform:
+         |      - kind: where
+         |        options: {column: user_id, equals: 'u2'}
+         |    load:
+         |      - kind: retract_pack
+         |        options: {dir: $dir, idCol: conv_id}
+         |  - name: refresh
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/store
+         |        prefix: ""
+         |    load:
+         |      - kind: refresh_shards
+         |        options:
+         |          ledgerDir: $dir
+         |          idCol: conv_id
+         |          textCol: text
+         |          dir: $dir/out
+         |          nShards: '4'
+         |  - name: comply
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/conv_meta
+         |        prefix: ""
+         |    transform:
+         |      - kind: where
+         |        options: {column: user_id, equals: 'u2'}
+         |    load:
+         |      - kind: retraction_compliance
+         |        options: {dir: $dir, idCol: conv_id, failOnViolation: 'true'}
+         |$extraJobs""".stripMargin
+    val cfgPath = s"$dir/sft_takedown.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+    graft.pipeline.Pipeline.run(s,
+      graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+      progress = _ => ())
+    val manifest = s.read.parquet(s"$dir/out/manifest")
+    val data = s.read.parquet(s"$dir/out/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_docs")).as("sum_docs"))
+    manifest.join(data, Seq("shard")).orderBy(col("shard"))
+  }
+
+  /** CONVERSATION-LEVEL TAKEDOWN THROUGH THE SFT PRODUCT (round-12
+    * verdict gap #3): alignment-data takedowns arrive as users or
+    * conversations, not doc ids — this proves the retraction family
+    * composes over the SFT chain's RENDERED-pack ledgers end to end,
+    * in one YAML: render → pack → shards, then user u2's opt-out
+    * expands to its conversations (`where` over the ownership store),
+    * `retract_pack` scrubs them from the rendered assignment, the
+    * refresh rewrites only the touched shards, and the compliance
+    * gate FAILS THE RUN unless zero retained rows remain. The oracle
+    * replays the whole product: validation rules, transcript-hash
+    * dedup, ordered render, conversation token offsets, the post-sum
+    * scrub drop (user 2's convs), packs, md5-rank shard digests. */
+  private val sftTakedownYaml = QueryDef("sft_takedown_yaml",
+    (s, d) => runSftTakedown(s, d, tmpDir(d, "sft_takedown_yaml"), ""),
+    Some(sqlSftShardsReplay("doc_id % 7 <> 2")))
+
+  /** Takedown REVERSAL through the SFT product: the same YAML plus
+    * the restore jobs (`unretract_pack` with the same user-expanded
+    * conv list, then a refresh) — the final shards must equal the
+    * never-retracted corpus, which is what the oracle states (keep
+    * filter TRUE). Proves scrub-mode holes restore losslessly at the
+    * conversation grain. */
+  private val sftUnretractYaml = QueryDef("sft_unretract_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "sft_unretract_yaml")
+      runSftTakedown(s, d, dir,
+        s"""  - name: unretract_user
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/conv_meta
+           |        prefix: ""
+           |    transform:
+           |      - kind: where
+           |        options: {column: user_id, equals: 'u2'}
+           |    load:
+           |      - kind: unretract_pack
+           |        options: {dir: $dir, idCol: conv_id}
+           |  - name: refresh_restore
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/store
+           |        prefix: ""
+           |    load:
+           |      - kind: refresh_shards
+           |        options:
+           |          ledgerDir: $dir
+           |          idCol: conv_id
+           |          textCol: text
+           |          dir: $dir/out
+           |          nShards: '4'
+           |""".stripMargin)
+    },
+    Some(sqlSftShardsReplay("TRUE")))
+
   /** STREAMED TRAINER MIX through the real streaming path — the
     * DoReMi two-phase recipe across the batch/stream boundary, which
     * is its published deployment shape (Xie et al. 2023: the proxy
@@ -8384,19 +8635,8 @@ object Queries {
       .where(!(col("conv_id") === 49 && col("turn_idx") > 0))
   }
 
-  private val sqlSftTurns: String =
-    """SELECT doc_id % 50 AS conv_id, doc_id // 50 AS turn_idx,
-      CASE WHEN (doc_id % 50) % 11 = 2 AND doc_id // 50 = 0 THEN 'system'
-           WHEN (doc_id % 50) % 11 = 2 THEN
-             (CASE WHEN (doc_id // 50) % 2 = 1 THEN 'user' ELSE 'assistant' END)
-           WHEN (doc_id % 50) % 5 = 0 THEN
-             (CASE WHEN (doc_id // 50) % 2 = 0 THEN 'assistant' ELSE 'user' END)
-           ELSE (CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END)
-      END AS role,
-      CASE WHEN (doc_id % 50) % 7 = 3 AND doc_id // 50 = 1 THEN ''
-           ELSE substr(text, 1, 80) END AS content
-    FROM documents
-    WHERE NOT (doc_id % 50 = 49 AND doc_id // 50 > 0)"""
+  // (declaration moved above the SFT-takedown pair — see sqlSftTurns
+  // near sqlSftRenderedCtes; initializer order would otherwise null it)
 
   /** Conversation structural validation ([[graft.llm.Sft.validateTurns]]):
     * the oracle recomputes every rule — optional-system body slice,
@@ -10811,6 +11051,7 @@ object Queries {
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, tripletsIndexedPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
     sftDecontaminateQ, tripletsKindQ, bitextChainYaml,
+    sftTakedownYaml, sftUnretractYaml,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     prefChainYaml,
     annIngestSemdedup,

@@ -1004,6 +1004,11 @@ object ConfigLoader {
           Sinks.destination(dir(o), file(o), overwrite(o)))))),
       "json_dir" -> (o => Sinks.Write("json_dir", df =>
         scoped(df, o)(d => Sinks.writeJson(d, req(o, "path"))))),
+      // generic parquet table writer — the chain-stage handoff sink (a
+      // job materializes a derived store another job's extract reads)
+      "parquet_dir" -> (o => Sinks.Write("parquet_dir", df =>
+        scoped(df, o)(d => d.write
+          .mode(o.getOrElse("mode", "overwrite")).parquet(req(o, "path"))))),
       "shards" -> (o => Sinks.Write("shards", df =>
         Sinks.writeShards(df, req(o, "keyCol"), req(o, "path"),
           req(o, "nShards").toInt,
@@ -1594,6 +1599,7 @@ object ConfigLoader {
     * missing-option failure to write time). */
   private val loadRequiredDest: Map[String, Seq[String]] = Map(
     "json" -> Seq("file"), "csv" -> Seq("file"), "json_dir" -> Seq("path"),
+    "parquet_dir" -> Seq("path"),
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
@@ -1607,6 +1613,7 @@ object ConfigLoader {
     "refresh_shards" -> Seq("dir", "ledgerDir"),
     "unretract_pack" -> Seq("dir"),
     "audit_shards" -> Seq("dir"),
+    "reindex_index" -> Seq("dir"),
     "retraction_compliance" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {
