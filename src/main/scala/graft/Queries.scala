@@ -3431,6 +3431,184 @@ object Queries {
           < COALESCE(thr.th, 'g')
       ORDER BY d.doc_id"""))
 
+  /** The epoch-phase schedule the mix_phase_* queries share: a
+    * balanced warmup then a src3-heavy anneal (the published
+    * mid-training move — upweight the high-quality domain late).
+    * Budgets are SF-constant so the admitted row counts stay bounded
+    * at every scale factor. */
+  private val mixPhasesFixture: Seq[graft.llm.Mixing.MixPhase] = Seq(
+    graft.llm.Mixing.MixPhase("warmup", 2000L,
+      Map("src1" -> 0.4, "src2" -> 0.4, "src3" -> 0.2)),
+    graft.llm.Mixing.MixPhase("anneal", 800L,
+      Map("src1" -> 0.2, "src2" -> 0.2, "src3" -> 0.6)))
+
+  private val mixPhasesOption: String =
+    "warmup=2000:src1=0.4,src2=0.4,src3=0.2;" +
+      "anneal=800:src1=0.2,src2=0.2,src3=0.6"
+
+  /** Shared ledger-replay CTEs (no leading WITH): natural token masses
+    * over the target domains, the phase/weight VALUES table, and the
+    * exact-rational ratesForTargetWeights arithmetic per phase —
+    * ending in `rt` (+ ratio) and `mxr` (per-phase max ratio). */
+  private val sqlPhaseLedgerCtes: String =
+    """nat AS (SELECT source AS domain,
+        CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+          w -> w <> ''))) AS BIGINT) AS n_trans
+        FROM documents WHERE source IN ('src1','src2','src3')
+        GROUP BY source),
+      ph(phase_idx, phase, token_budget, domain, weight) AS (VALUES
+        (0,'warmup',2000,'src1',0.4),(0,'warmup',2000,'src2',0.4),
+        (0,'warmup',2000,'src3',0.2),
+        (1,'anneal',800,'src1',0.2),(1,'anneal',800,'src2',0.2),
+        (1,'anneal',800,'src3',0.6)),
+      wts AS (SELECT ph.*, nat.n_trans FROM ph JOIN nat USING (domain)),
+      wtot AS (SELECT phase_idx, CAST(SUM(CAST(n_trans AS DECIMAL(38,0)))
+          AS DECIMAL(38,0)) AS wt FROM wts GROUP BY phase_idx),
+      shp AS (SELECT w.*, round(CAST(n_trans AS DOUBLE)
+            / CAST(t.wt AS DOUBLE), 6) AS share
+        FROM wts w JOIN wtot t USING (phase_idx)),
+      rt AS (SELECT *, round(weight / share, 6) AS ratio FROM shp),
+      mxr AS (SELECT phase_idx, max(ratio) AS mx FROM rt GROUP BY phase_idx)"""
+
+  /** The schedule-replay CTEs on top of [[sqlPhaseLedgerCtes]]: hex
+    * thresholds per (phase, domain), the phase-salted md5 sample, and
+    * the per-phase GLOBAL exclusive token prefix in md5-rank order —
+    * ending in `adm` (admitted doc-copies with tok_before). */
+  private val sqlPhaseScheduleCtes: String =
+    s"""$sqlPhaseLedgerCtes,
+      thr AS (SELECT phase_idx, phase, token_budget, domain,
+          CASE WHEN round(ratio / mxr.mx, 6) >= 1.0 THEN 'g'
+               ELSE printf('%08x', CAST(round(round(ratio / mxr.mx, 6)
+                 * 4294967296.0) AS BIGINT)) END AS th
+        FROM rt JOIN mxr USING (phase_idx)),
+      tk AS (SELECT doc_id, source AS domain,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      samp AS (SELECT t.phase_idx, t.phase, t.token_budget, k.doc_id,
+          k.domain, k.n_tokens,
+          md5('graft#' || t.phase || '#rank'
+            || CAST(k.doc_id AS VARCHAR)) AS rk
+        FROM thr t JOIN tk k USING (domain)
+        WHERE substr(md5('graft#' || t.phase || CAST(k.doc_id AS VARCHAR)),
+          1, 8) < t.th),
+      pref AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY phase_idx
+          ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS tok_before
+        FROM samp),
+      adm AS (SELECT * FROM pref WHERE tok_before < token_budget)"""
+
+  /** EPOCH-PHASE MIX SCHEDULE, the compiled plan table
+    * ([[graft.llm.Mixing.phaseRatesLedger]] — round-12 verdict gap
+    * #4): one declaration of phase token budgets + per-phase domain
+    * weights compiles through the exact-rational
+    * [[graft.llm.Mixing.ratesForTargetWeights]] arithmetic per phase.
+    * The oracle restates every number from first principles. */
+  private val mixPhaseRates = QueryDef("mix_phase_rates",
+    (s, d) => graft.llm.Mixing.phaseRatesLedger(
+        t(s, d, "documents"), "doc_id", "text", "source", mixPhasesFixture)
+      .orderBy(col("phase_idx"), col("domain")),
+    Some(s"""WITH $sqlPhaseLedgerCtes
+      SELECT CAST(rt.phase_idx AS BIGINT) AS phase_idx, phase,
+        CAST(token_budget AS BIGINT) AS token_budget, domain, n_trans,
+        share, CAST(weight AS DOUBLE) AS weight,
+        round(ratio / mxr.mx, 6) AS rate
+      FROM rt JOIN mxr USING (phase_idx)
+      ORDER BY phase_idx, domain"""))
+
+  /** The schedule EXECUTED through the registry
+    * (`mix_phase_schedule` kind → [[graft.llm.Mixing.phasedMixSchedule]]):
+    * per phase, the phase-salted md5 resample under the compiled rates
+    * (phases re-SELECT independently — the anneal phase is a genuinely
+    * different draw, not a warmup subset) and global token-budget
+    * admission in md5-rank order (the `mix_token_budget_epochs`
+    * prefix machinery; overshoot ≤ one doc per phase). Doc-level
+    * membership + offsets bind every rate, threshold, and
+    * phase-boundary token count. */
+  private val mixPhaseScheduleQ = QueryDef("mix_phase_schedule",
+    (s, d) => graft.pipeline.ConfigLoader.transformKinds(
+        "mix_phase_schedule")(Map(
+        "idCol" -> "doc_id", "textCol" -> "text", "domainCol" -> "source",
+        "phases" -> mixPhasesOption))(t(s, d, "documents"))
+      .orderBy(col("phase_idx"), col("doc_id")),
+    Some(s"""WITH $sqlPhaseScheduleCtes
+      SELECT CAST(phase_idx AS BIGINT) AS phase_idx, phase, doc_id, domain,
+        n_tokens, CAST(tok_before AS BIGINT) AS tok_before
+      FROM adm ORDER BY phase_idx, doc_id"""))
+
+  /** The schedule FEEDING PER-PHASE SHARDS — the deliverable a phased
+    * trainer run consumes (phase 1 shards, then phase 2 shards under
+    * the shifted mix): each phase's admitted docs pack
+    * ([[graft.llm.Packing.packSequences]], budget 256) and materialize
+    * through the registry `materialize_shards` kind into a per-phase
+    * shard set. The per-(phase, shard) manifest+data summary proves
+    * the anneal phase's shards are measurably re-weighted toward src3
+    * — and the oracle replays sample → offsets → packs → md5-rank
+    * digests for BOTH phases. */
+  private val mixPhaseShards = QueryDef("mix_phase_shards",
+    (s, d) => {
+      val dir = tmpDir(d, "mix_phase_shards")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        coalesce(col("text"), lit("")).as("text"))
+      val sched = graft.pipeline.ConfigLoader.transformKinds(
+          "mix_phase_schedule")(Map(
+          "idCol" -> "doc_id", "textCol" -> "text", "domainCol" -> "source",
+          "phases" -> mixPhasesOption))(docs)
+        .localCheckpoint()
+      val wsToks = size(filter(split(trim(col("text")), "\\s+"),
+        w => w =!= "")).cast("long")
+      mixPhasesFixture.zipWithIndex.map { case (p, i) =>
+        val phaseDocs = docs.join(
+          sched.where(col("phase_idx") === i).select(col("doc_id")),
+          "doc_id")
+        graft.llm.Packing.packSequences(phaseDocs, "doc_id", wsToks, 256L)
+          .write.mode("overwrite").parquet(s"$dir/assign$i")
+        graft.sinks.Sinks.runChain(phaseDocs, Seq(
+          graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+            "assignmentDir" -> s"$dir/assign$i", "idCol" -> "doc_id",
+            "textCol" -> "text", "dir" -> s"$dir/out$i",
+            "nShards" -> "2"))))
+        val manifest = s.read.parquet(s"$dir/out$i/manifest")
+        val data = s.read.parquet(s"$dir/out$i/data")
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(sum(col("n_tokens")).as("sum_tokens"),
+            sum(col("n_docs")).as("sum_docs"))
+        manifest.join(data, Seq("shard"))
+          .select(lit(i.toLong).as("phase_idx"), col("*"))
+      }.reduce(_ unionByName _).orderBy(col("phase_idx"), col("shard"))
+    },
+    Some(s"""WITH $sqlPhaseScheduleCtes,
+      o2 AS (SELECT phase_idx, doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY phase_idx
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS token_offset
+        FROM adm WHERE n_tokens > 0),
+      p2 AS (SELECT phase_idx,
+          CAST(FLOOR(token_offset / 256.0) AS BIGINT) AS pack_id, n_tokens
+        FROM o2),
+      packs AS (SELECT phase_idx, pack_id, count(*) AS n_docs,
+          SUM(n_tokens) AS n_tokens
+        FROM p2 GROUP BY phase_idx, pack_id),
+      r2 AS (SELECT *, md5(CAST(pack_id AS VARCHAR)) AS rank FROM packs),
+      sh0 AS (SELECT *,
+          (strpos('0123456789abcdef', substr(rank,1,1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(rank,2,1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(rank,3,1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(rank,4,1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(rank,5,1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(rank,6,1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(rank,7,1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(rank,8,1)) - 1) AS digest
+        FROM r2),
+      sh2 AS (SELECT *, digest % 2 AS shard FROM sh0)
+      SELECT CAST(phase_idx AS BIGINT) AS phase_idx,
+        CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh2 GROUP BY phase_idx, shard ORDER BY phase_idx, shard"""))
+
   /** Integer value of the first `n` md5 hex chars of `e` as pure
     * substring arithmetic (engine-portable — no conv()/from_hex). */
   private def sqlHexVal(e: String, n: Int): String =
@@ -11009,6 +11187,7 @@ object Queries {
     embedNormalize, embedMeanpool, embedQuantize, embedOutliers,
     mixSample, mixStrata, mixUpsample, mixTemperature, mixExcessWeights,
     mixExcessWeightsIter, mixExcessRates, mixExcessApplied, mixTwoPhase, mixReportQ,
+    mixPhaseRates, mixPhaseScheduleQ, mixPhaseShards,
     mixSplit,
     mixTokenBudget, mixTokenBudgetEpochs,
     docQuantiles, topKPerLang,

@@ -497,6 +497,98 @@ object Mixing {
             <= lit(tol)).as("ok"))
   }
 
+  /** One phase of an epoch-phase mix schedule: a token budget and the
+    * per-domain target weights active until that budget is spent. */
+  final case class MixPhase(name: String, tokenBudget: Long,
+                            targets: Map[String, Double]) {
+    require(name.nonEmpty, "MixPhase: empty name")
+    require(tokenBudget > 0,
+      s"MixPhase '$name': tokenBudget must be positive, got $tokenBudget")
+    require(targets.nonEmpty, s"MixPhase '$name': no target weights")
+  }
+
+  /** Compile an EPOCH-PHASE MIX SCHEDULE into a phased rates ledger —
+    * the published two-phase pretraining / mid-training recipes shift
+    * the domain mix at token-budget boundaries (upweight high-quality
+    * or instruction-dense data late); one declaration compiles EVERY
+    * phase's target weights through [[ratesForTargetWeights]] against
+    * the corpus's natural token shares, so the whole schedule becomes
+    * one bounded (phases × domains) plan table a trainer run can audit
+    * up front. The natural shares are measured ONCE (one aggregation
+    * on the bounded domain key) and every phase's rate compilation is
+    * driver-cheap arithmetic over that frame — the corpus never pays
+    * per-phase scans here. Shares are taken over each phase's TARGET
+    * domains (a phase's mix spec is exhaustive — domains it omits
+    * don't dilute its shares). Returns (phase_idx, phase,
+    * token_budget, domain, n_trans, share, weight, rate). */
+  def phaseRatesLedger(df: DataFrame, idCol: String, textCol: String,
+                       domainCol: String,
+                       phases: Seq[MixPhase]): DataFrame = {
+    require(phases.nonEmpty, "phaseRatesLedger: no phases")
+    require(phases.map(_.name).distinct.size == phases.size,
+      "phaseRatesLedger: duplicate phase names")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nat = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+        .as("n_trans"))
+      .localCheckpoint() // one row per domain; every phase reuses it
+    phases.zipWithIndex.map { case (p, i) =>
+      val tgt = p.targets.toSeq.sortBy(_._1).toDF("domain", "weight")
+      ratesForTargetWeights(nat.join(tgt, Seq("domain")))
+        .select(lit(i.toLong).as("phase_idx"), lit(p.name).as("phase"),
+          lit(p.tokenBudget).as("token_budget"), col("domain"),
+          col("n_trans"), col("share"), col("weight"), col("rate"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** EXECUTE an epoch-phase mix schedule: for each phase, one map-only
+    * md5-bucket resample under the phase's compiled rates (salted by
+    * phase name — phases draw INDEPENDENT samples, so the re-weighted
+    * phase genuinely re-selects rather than subsetting the previous
+    * phase), then GLOBAL token-budget admission in md5-rank order (the
+    * [[tokenBudgetSample]] two-phase prefix machinery with a constant
+    * source — overshoot ≤ one document per phase, the phase-boundary
+    * token counts match the `mix_token_budget_epochs` arithmetic).
+    * Domains outside a phase's targets drop for that phase (the spec
+    * is exhaustive). Returns (phase_idx, phase, doc_id, domain,
+    * n_tokens, tok_before).
+    *
+    * Scale shape per phase: the rates table is one driver row per
+    * domain (bounded-driver-table pattern) turning the resample into a
+    * codegen'd CASE predicate; the budget admission is the
+    * already-probed two-phase prefix sum. The corpus pays one
+    * measured-shares aggregation plus one sampled scan per phase —
+    * phases are few (published schedules: 2–4). */
+  def phasedMixSchedule(df: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, phases: Seq[MixPhase],
+                        salt: String = "graft"): DataFrame = {
+    val ledger = phaseRatesLedger(df, idCol, textCol, domainCol, phases)
+      .localCheckpoint()
+    phases.zipWithIndex.map { case (p, i) =>
+      val rates = ledger.where(col("phase_idx") === i)
+        .select(col("domain"), col("rate")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sampled = mixStrata(df, domainCol, idCol, rates,
+        defaultRate = 0.0, salt = s"$salt#${p.name}")
+      // the admission RANK must hash independently of the keep bucket:
+      // a rate-r domain's survivors all carry buckets < r·2³², so
+      // ranking by the SAME hash clusters them at the low end of the
+      // admission order and the budget over-draws exactly the
+      // downweighted domains (measured: the anneal phase came out
+      // src2-heavy instead of src3-heavy) — '#rank' decorrelates them
+      // and the admitted mix tracks the sampled mix
+      tokenBudgetSample(sampled.withColumn("__sched", lit("_")),
+          idCol, textCol, "__sched", p.tokenBudget,
+          salt = s"$salt#${p.name}#rank")
+        .select(col("doc_id"), col("n_tokens"), col("tok_before"))
+        .join(df.select(col(idCol).as("doc_id"),
+          col(domainCol).cast("string").as("domain")), "doc_id")
+        .select(lit(i.toLong).as("phase_idx"), lit(p.name).as("phase"),
+          col("doc_id"), col("domain"), col("n_tokens"), col("tok_before"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Turn target mix weights into EXECUTABLE per-domain keep rates for
     * [[mixStrata]] — the step from "domain i should carry
     * weight w_i" ([[excessLossWeights]], or any hand-set target mix)

@@ -479,6 +479,43 @@ object ConfigLoader {
       "sample" -> (o => df =>
         graft.llm.Mixing.deterministicSample(df, req(o, "keyCol"),
           req(o, "fraction").toDouble, o.getOrElse("salt", "graft"))),
+      // epoch-phase mix schedule (mid-training re-weighting): one
+      // declaration of phase boundaries (token budgets) + per-phase
+      // domain weights, compiled per phase through
+      // ratesForTargetWeights and executed as phase-salted resamples
+      // with global budget admission. phases:
+      //   "warmup=2000:src1=0.4,src2=0.4,src3=0.2;anneal=800:src3=0.8,src1=0.2"
+      "mix_phase_schedule" -> (o => df => {
+        def bad(entry: String, why: String) =
+          throw new Pipeline.ValidationException(
+            s"mix_phase_schedule: bad phases entry '$entry' ($why; " +
+              "expected name=budget:domain=w,domain=w)")
+        val phases = req(o, "phases").split(";").map(_.trim)
+          .filter(_.nonEmpty).map { ph =>
+            ph.split(":", 2) match {
+              case Array(head, tgts) => head.split("=", 2) match {
+                case Array(n, b) if n.trim.nonEmpty && b.trim.matches("\\d+") =>
+                  val targets = tgts.split(",").map { kv =>
+                    kv.split("=", 2) match {
+                      case Array(dm, w) if dm.trim.nonEmpty &&
+                          w.trim.matches("\\d*\\.?\\d+") =>
+                        dm.trim -> w.trim.toDouble
+                      case _ => bad(ph, s"bad weight '$kv'")
+                    }
+                  }.toMap
+                  graft.llm.Mixing.MixPhase(n.trim, b.trim.toLong, targets)
+                case _ => bad(ph, "bad name=budget head")
+              }
+              case _ => bad(ph, "missing ':' separator")
+            }
+          }.toSeq
+        if (phases.isEmpty)
+          throw new Pipeline.ValidationException(
+            "mix_phase_schedule: empty phases")
+        graft.llm.Mixing.phasedMixSchedule(df, req(o, "idCol"),
+          req(o, "textCol"), req(o, "domainCol"), phases,
+          o.getOrElse("salt", "graft"))
+      }),
       "mix_strata" -> (o => df =>
         graft.llm.Mixing.mixStrata(df, req(o, "stratumCol"), req(o, "keyCol"),
           // rates as "en=0.2,de=0.8"

@@ -398,4 +398,54 @@ class MixingSpec extends SparkSpec {
     assert(mixedMute.where(col("domain") === "mute").count() == 1L,
       "unscoreable domain must pass through, not be dropped")
   }
+
+  test("phasedMixSchedule: per-phase re-weighting lands, budgets bound, draws independent") {
+    // 3 domains × 120 docs × 10 tokens — natural shares equal, so
+    // target weights map straight to expected admitted shares
+    val docs = (0L until 360L).map(i =>
+        (i, s"d${i % 3}", "w " * 9 + "w"))
+      .toDF("doc_id", "domain", "text")
+    val phases = Seq(
+      Mixing.MixPhase("p1", 600L, Map("d0" -> 0.45, "d1" -> 0.45, "d2" -> 0.1)),
+      Mixing.MixPhase("p2", 600L, Map("d0" -> 0.1, "d1" -> 0.1, "d2" -> 0.8)))
+    val out = Mixing.phasedMixSchedule(docs, "doc_id", "text", "domain",
+      phases).localCheckpoint()
+    // budget bound: per phase, tokens before the last admitted doc are
+    // < budget and the total overshoots by at most one document
+    val totals = out.groupBy(col("phase")).agg(
+        sum(col("n_tokens")).as("t"), max(col("tok_before")).as("mb"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((ph, (t, mb)) <- totals) {
+      assert(mb < 600L, s"$ph: tok_before must stay below the budget")
+      assert(t >= 600L && t <= 610L, s"$ph: admitted $t tokens (budget 600)")
+    }
+    // the RE-WEIGHTING is what must land (the keep-bucket/rank salt
+    // decorrelation — a shared salt over-admits downweighted domains):
+    // p2 is d2-heavy, p1 is d2-light
+    val share = out.groupBy(col("phase"), col("domain")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val p1d2 = share(("p1", "d2")).toDouble /
+      Seq("d0", "d1", "d2").map(d => share(("p1", d))).sum
+    val p2d2 = share(("p2", "d2")).toDouble /
+      Seq("d0", "d1", "d2").map(d => share(("p2", d))).sum
+    assert(p2d2 > 0.6, s"anneal-style phase must be d2-heavy, got $p2d2")
+    assert(p1d2 < 0.25, s"warmup-style phase must be d2-light, got $p1d2")
+    // phases draw independently: p2's membership is not a subset of p1's
+    val p1Ids = out.where(col("phase") === "p1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val p2Ids = out.where(col("phase") === "p2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((p2Ids -- p1Ids).nonEmpty, "phases must be independent draws")
+    // deterministic under repartitioning (the sampling contract)
+    val again = Mixing.phasedMixSchedule(docs.repartition(7), "doc_id",
+      "text", "domain", phases)
+    assert(rowsOf(out) == rowsOf(again))
+    // ledger shape: one row per (phase, domain); max-upweight saturates
+    val ledger = Mixing.phaseRatesLedger(docs, "doc_id", "text", "domain",
+      phases)
+    assert(ledger.count() == 6)
+    assert(ledger.where(col("phase") === "p2" && col("domain") === "d2")
+      .select("rate").head().getDouble(0) == 1.0)
+  }
 }
