@@ -8594,6 +8594,70 @@ object Queries {
         vec_id + 200000 AS neg_id
       FROM embeddings WHERE vec_id % 40 = 0 ORDER BY query_id"""))
 
+  /** CONTINUOUS bitext candidate mining
+    * ([[graft.streaming.IndexIngest.mineBitextStream]] +
+    * `finalizeBitextLedger` — the streamed half of the CCMatrix
+    * product): the source corpus arrives as two REAL MemoryStream
+    * micro-batches of (id, vector) rows whose forward probes of the
+    * frozen target index append to a candidates ledger (batch 2
+    * replays two batch-1 rows — the ledger anti-join must refuse
+    * them, or the fwd table fans out and the margin means shift); the
+    * epoch-boundary finalize then runs the shared margin tail.
+    * Forward probes are row-independent over a frozen index, so the
+    * result equals one-shot `mineBitextIndexed` (spec-bound in
+    * StreamingSpec) — same planted fixture and stated oracle as
+    * `bitext_mine_indexed_planted`. */
+  private val bitextMineStream = QueryDef("bitext_mine_stream",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val src = emb.where(col("vec_id") % 10 === 0)
+      val tgt = emb.where(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 500000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+            .as("embedding"))
+        .unionByName(emb.where(col("vec_id") % 10 === 3)
+          .select((col("vec_id") + 700000).as("vec_id"), col("embedding")))
+      val fp = emb.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))
+          .as("h")).head()
+      val dir = bitextIndexShared.computeIfAbsent(
+        s"$d#${fp.getLong(0)}#${fp.get(1)}", _ => {
+          val dir = tmpDir(d, "bitext_mine_indexed")
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+          graft.llm.Similarity.buildIvfIndex(src, s"$dir/src")
+          graft.llm.Similarity.buildIvfIndex(tgt, s"$dir/tgt")
+          dir
+        })
+      val ledgerDir = tmpDir(d, "bitext_stream_ledger")
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir)
+      lp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(lp, true)
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.IndexIngest.mineBitextStream(
+        mem.toDF().toDF("vec_id", "embedding"), s"$dir/tgt", ledgerDir)
+      try {
+        val b1 = src.where(col("vec_id") < 200)
+          .as[(Long, Seq[Float])].collect().toSeq
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        val b2 = src.where(col("vec_id") >= 200)
+          .as[(Long, Seq[Float])].collect().toSeq
+        mem.addData(b2 ++ b1.take(2): _*) // at-least-once redelivery
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.IndexIngest.finalizeBitextLedger(s, ledgerDir,
+          s"$dir/src", tgt, k = 4, threshold = 1.3)
+        .where(col("src_id") % 20 === 0)
+        .select(col("src_id"), col("tgt_id"))
+        .orderBy(col("src_id"))
+    },
+    Some("""SELECT vec_id AS src_id, vec_id + 500000 AS tgt_id
+      FROM embeddings WHERE vec_id % 20 = 0 ORDER BY src_id"""))
+
   /** Triplet mining THROUGH THE REGISTRY (`mine_triplets` config kind
     * — round-11 verdict asked for the mining ops as declarable
     * stages): same fixture and oracle as `contrastive_triplets`, but
@@ -11229,7 +11293,7 @@ object Queries {
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, tripletsIndexedPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
-    sftDecontaminateQ, tripletsKindQ, bitextChainYaml,
+    sftDecontaminateQ, tripletsKindQ, bitextChainYaml, bitextMineStream,
     sftTakedownYaml, sftUnretractYaml,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     prefChainYaml,

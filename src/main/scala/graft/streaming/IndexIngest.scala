@@ -131,6 +131,72 @@ object IndexIngest {
     }.start()
   }
 
+  /** STREAMED BITEXT CANDIDATE MINING — the continuous half of the
+    * CCMatrix product: new SOURCE sentences arrive as a stream of
+    * (id, vector) rows, and each micro-batch's forward kNN candidates
+    * (partition-pruned probes of the FROZEN target index,
+    * [[graft.llm.Similarity.ivfQueryIndex]]) append to a candidates
+    * ledger at `outDir`. Idempotence is the answer-ledger convention
+    * ([[searchIvfStream]]): replayed/duplicate source ids anti-join
+    * the ledger's own `query_id` column and are never re-probed.
+    *
+    * The margin/mutual-argmax TAIL deliberately does NOT run per
+    * batch: a target's best-margin source may arrive in a later batch,
+    * so per-batch mutual argmax would diverge from the batch answer.
+    * Forward probes are row-independent over a frozen index — so the
+    * accumulated ledger is EXACTLY the one-shot forward kNN table, and
+    * [[finalizeBitextLedger]] at the epoch boundary reproduces
+    * [[graft.llm.Bitext.mineBitextIndexed]] bit-for-bit (spec-bound).
+    * This is the published deployment shape: candidate generation is
+    * continuous, corpus-level selection happens at epoch boundaries. */
+  def mineBitextStream(src: DataFrame, tgtIndexDir: String, outDir: String,
+                       k: Int = 4, nProbe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
+    require(src.isStreaming, "mineBitextStream: expected a streaming frame")
+    src.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val base = curate(batch.toDF()).where(col(idCol).isNotNull)
+        .dropDuplicates(idCol)
+      val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
+          base.join(spark.read.parquet(outDir)
+              .select(col("query_id").as("__graft_mined")).distinct(),
+            col(idCol) === col("__graft_mined"), "left_anti")
+        else base)
+        .localCheckpoint(true) // sever lineage from the ledger dir
+      if (!fresh.isEmpty)
+        Similarity.ivfQueryIndex(spark, tgtIndexDir, fresh, k, nProbe,
+            idCol, vecCol)
+          .write.mode("append").parquet(outDir)
+    }.start()
+  }
+
+  /** Epoch-boundary finalization of a [[mineBitextStream]] candidates
+    * ledger: the backward kNN of the target corpus against the frozen
+    * SOURCE index plus the accumulated forward ledger feed the shared
+    * margin tail ([[graft.llm.Bitext.marginScore]] — two hash
+    * aggregations, one candidate join, two id-partitioned windows, all
+    * id-only). Equal to one-shot
+    * [[graft.llm.Bitext.mineBitextIndexed]] over the union of the
+    * streamed batches with the same indexes/params (spec-bound). */
+  def finalizeBitextLedger(spark: org.apache.spark.sql.SparkSession,
+                           fwdLedgerDir: String, srcIndexDir: String,
+                           tgt: DataFrame, k: Int = 4,
+                           threshold: Double = 1.3, nProbe: Int = 4,
+                           tgtIdCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val fwd = spark.read.parquet(fwdLedgerDir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+    val bwd = Similarity.ivfQueryIndex(spark, srcIndexDir, tgt, k, nProbe,
+      tgtIdCol, vecCol)
+    graft.llm.Bitext.marginScore(fwd, bwd, threshold)
+  }
+
   /** Seed the streamed-pair-ingest store ([[appendPairStream]]) from a
     * batch corpus — the "ledger present before the stream starts"
     * convention for PAIRS: batch-side pair dedup (keep-min per

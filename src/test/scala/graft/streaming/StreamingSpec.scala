@@ -647,6 +647,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == 6 && got.size == 18)
   }
 
+  test("mineBitextStream + finalize ≡ one-shot mineBitextIndexed; replays refused") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val src = emb.where(col("vec_id") % 10 === 0)
+    val tgt = emb.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+          .as("embedding"))
+      .unionByName(emb.where(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 700000L).as("vec_id"), col("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext_s")
+      .toFile.getPath
+    Similarity.buildIvfIndex(src, s"$dir/src")
+    Similarity.buildIvfIndex(tgt, s"$dir/tgt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.mineBitextStream(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/tgt", s"$dir/fwd")
+    val b1 = src.where(col("vec_id") < 200)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val b2 = src.where(col("vec_id") >= 200)
+      .as[(Long, Seq[Float])].collect().toSeq
+    try {
+      mem.addData(b1 :+ b1.head: _*)      // in-batch duplicate
+      q.processAllAvailable()
+      mem.addData(b2 ++ b1.take(3): _*)   // cross-batch redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+    // ledger idempotence: one fwd row set per source id
+    val fwd = spark.read.parquet(s"$dir/fwd")
+    assert(fwd.groupBy("query_id", "rank").count()
+      .where(col("count") > 1).isEmpty, "replayed ids re-probed")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+      .collect().map(_.toString).toSet
+    val streamed = snap(IndexIngest.finalizeBitextLedger(spark,
+      s"$dir/fwd", s"$dir/src", tgt, k = 4, threshold = 1.3))
+    val oneShot = snap(graft.llm.Bitext.mineBitextIndexed(spark,
+      s"$dir/src", s"$dir/tgt", src, tgt, k = 4, threshold = 1.3))
+    assert(streamed == oneShot && streamed.nonEmpty,
+      "streamed candidates + epoch finalize must equal the one-shot mine")
+  }
+
   test("streaming IVF-PQ index append ≡ batch append on the same batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
