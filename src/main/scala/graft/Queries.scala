@@ -5736,11 +5736,25 @@ object Queries {
     // DuckDB replay computes from first principles; the planted 1.0
     // pairs ([[warcResponseFixture]] plantNearDups) are detection-
     // GUARANTEED anchors on top (identical signatures, every band)
-    // assertGapFloor turns the measured-gap assumption into an
-    // in-query invariant: a survivor pair in [0.75, 0.79) at any SF
-    // raises a named error instead of an opaque checksum mismatch
+    // Measured reality (round 13, corrected): the "Jaccard gap" claim
+    // holds at sf0.001/0.01 but NOT sf0.1 — docs (2862, 3329) are an
+    // organic pair at exact 5-gram j = 0.7733, inside [0.75, 0.79).
+    // Equality with the exact all-pairs oracle nevertheless holds at
+    // every oracle SF because the pair is DETECTED: the seeded
+    // 16-band/4-row scheme's per-pair miss probability is at most
+    // (1 − 0.75⁴)¹⁶ ≈ 0.23% at the threshold itself (and detection is
+    // DETERMINISTIC given the seeded hashes — the funnel oracles
+    // measure the concrete outcome per SF). ShardsChainGapSpec pins
+    // the load-bearing invariant directly: the banded stage's detected
+    // pair set must COVER the exact ≥-threshold pair set. The
+    // dedup_minhash kind's assertGapFloor option (an in-query
+    // raise_error on detected zone pairs) is NOT wired here: a
+    // detected zone pair is handled identically by both engines — it
+    // falsifies the gap premise without breaking equality, so firing
+    // on it is a false alarm (measured live: this exact configuration
+    // errored the round-13 bench on the organic sf0.1 pair).
     "dedup_minhash" -> Map("idCol" -> "doc_id", "textCol" -> "main_text",
-      "threshold" -> "0.75", "assertGapFloor" -> "0.79"),
+      "threshold" -> "0.75"),
     // benchmark decontamination between near-dedup and packing — the
     // published funnel's last gate before the trainer sees a token:
     // any document sharing an exact word 8-gram with the held-out

@@ -172,17 +172,21 @@ object ConfigLoader {
           k = o.getOrElse("numHashes", "64").toInt,
           bands = o.getOrElse("bands", "16").toInt,
           maxBucket = o.getOrElse("maxBucket", "1000").toInt)
-        // assertGapFloor: the banded stage equals an exact all-pairs
-        // oracle only when the corpus has NO pair in
-        // [threshold, gapFloor) — the zone where banding detection is
-        // probabilistic. The measured gap is a corpus property, not a
-        // code property, so at a NEW scale factor a violation must fail
-        // LOUDLY here (the pair, both ids, the measured jaccard)
-        // instead of surfacing as an opaque downstream checksum
-        // mismatch. Detected-pair check only (a pair banding missed
-        // entirely is unobservable by construction) — but any pair in
-        // the zone at all falsifies the gap assumption, and detection
-        // in the zone is likely long before equality breaks.
+        // assertGapFloor (opt-in, OFF by default): raise loudly when a
+        // DETECTED pair's exact Jaccard lands in [threshold, gapFloor).
+        // Scope this correctly: a detected zone pair is handled
+        // identically by the banded stage and an exact oracle — it
+        // does NOT break equality (equality breaks only on MISSED
+        // ≥-threshold pairs, which are unobservable in-query by
+        // construction; ShardsChainGapSpec audits that directly with
+        // an exact all-pairs pass). Use this option as a DRIFT
+        // TRIPWIRE on corpora where "no near-threshold pairs" is a
+        // maintained invariant — a zone pair appearing at all then
+        // signals the corpus has drifted toward the regime where
+        // banding's per-pair miss probability ((1−t^r)^b) starts to
+        // matter. The graft test corpus is NOT such a corpus: sf0.1
+        // carries an organic pair at j = 0.7733 (measured round 13),
+        // so the shards funnel does not set this option.
         val guarded = o.get("assertGapFloor").map(_.toDouble) match {
           case Some(gf) => pairs.where(
             when(col("jaccard") < gf, raise_error(concat(

@@ -23,21 +23,35 @@ import org.apache.spark.sql.functions._
   */
 class ShardsChainGapSpec extends SparkSpec {
 
-  test("no survivor pair with true Jaccard inside the banding gap [0.75, 0.79)") {
+  test("banded detection COVERS the exact ≥-threshold pair set (the oracle-equality invariant)") {
+    // Round-13 correction to this canary: the original form asserted
+    // the gap [0.75, 0.79) is EMPTY — but emptiness is not what
+    // equality needs, and it is false at sf0.1 (organic pair
+    // (2862, 3329) at j = 0.7733, which banding DETECTS, so the funnel
+    // oracles stayed green). The load-bearing invariant is inclusion:
+    // every pair the exact all-pairs oracle finds at ≥ threshold must
+    // be DETECTED by the banded stage — a missed one fails the funnel
+    // checksum with no code bug. Assert exactly that, with the missed
+    // pairs named.
     val entering = Queries.shardsChainThrough(spark, sfDir, "dedup_exact")
       .select(col("doc_id"), col("main_text"))
-    val inGap = graft.llm.Dedup.ngramJaccardPairs(entering, "doc_id",
+      .localCheckpoint()
+    val exact = graft.llm.Dedup.ngramJaccardPairs(entering, "doc_id",
         "main_text", blockCols = Seq(lit(1)), n = 5, threshold = 0.75)
-      .where(col("jaccard") < 0.79)
-      .collect()
-    assert(inGap.isEmpty,
-      "survivor pair(s) with true 5-gram Jaccard inside [0.75, 0.79) — " +
-        "the banded MinHash stage may miss these while the exact " +
-        "all-pairs oracle finds them, so the curate_to_shards oracles " +
-        "can fail WITHOUT a code bug. Re-seat the fixture or the " +
-        "threshold. Pairs: " +
-        inGap.map(r => s"(${r.get(0)}, ${r.get(1)}, j=${r.get(2)})")
-          .mkString("; "))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val detected = graft.llm.Dedup.minhashNearDups(entering, "doc_id",
+        "main_text", threshold = 0.75)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact.filterNot(p => detected((p._1, p._2)))
+    assert(missed.isEmpty,
+      "exact ≥0.75 pair(s) the banded MinHash stage MISSED — the " +
+        "curate_to_shards oracles will fail WITHOUT a code bug " +
+        "(re-seat the banding params or the fixture): " +
+        missed.map(p => s"(${p._1}, ${p._2}, j=${p._3})").mkString("; "))
+    assert(exact.nonEmpty,
+      "no exact ≥0.75 pairs at all — the invariant binds nothing " +
+        "(planted anchors gone?)")
   }
 
   test("planted near-dup pairs sit at Jaccard 1.0 (detection-guaranteed anchors)") {
