@@ -8608,6 +8608,77 @@ object Queries {
         vec_id + 200000 AS neg_id
       FROM embeddings WHERE vec_id % 40 = 0 ORDER BY query_id"""))
 
+  /** CONTINUOUS triplet candidate mining
+    * ([[graft.streaming.IndexIngest.mineTripletsStream]] +
+    * `finalizeTripletsLedger`): chunks arrive as two MemoryStream
+    * micro-batches (batch 2 replays batch-1 rows — the ledger
+    * anti-join refuses them) whose index probes append to a
+    * candidates ledger; the adjacency join + document-exclusion
+    * re-rank run at epoch boundary over the complete chunk store —
+    * BY DESIGN, since a chunk's positive (the next chunk of its doc)
+    * can arrive in a later batch. Candidates are row-independent over
+    * the frozen index, so the result equals one-shot
+    * `mineTripletsIndexed` (spec-bound); same planted fixture and
+    * stated oracle as `triplets_indexed_planted`. */
+  private val tripletsStreamPlanted = QueryDef("triplets_stream_planted",
+    (s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = emb.select(col("vec_id").as("chunk_id"),
+        expr("vec_id div 4").as("doc_id"),
+        (col("vec_id") % 4).as("chunk_idx"), col("embedding"))
+      val twins = emb.where(col("vec_id") % 40 === 0).select(
+        (col("vec_id") + 200000).as("chunk_id"),
+        (col("vec_id") + 900000).as("doc_id"),
+        lit(0L).as("chunk_idx"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+          .as("embedding"))
+      val chunks = base.unionByName(twins)
+      val fp = emb.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))
+          .as("h")).head()
+      val dir = bitextIndexShared.computeIfAbsent(
+        s"triplets#$d#${fp.getLong(0)}#${fp.get(1)}", _ => {
+          val dir = tmpDir(d, "triplets_indexed")
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+          graft.llm.Similarity.buildIvfIndex(chunks, dir,
+            cIdCol = "chunk_id")
+          dir
+        })
+      val ledgerDir = tmpDir(d, "triplets_stream_ledger")
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir)
+      lp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(lp, true)
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Seq[Float])]
+      val q = graft.streaming.IndexIngest.mineTripletsStream(
+        mem.toDF().toDF("chunk_id", "doc_id", "chunk_idx", "embedding"),
+        dir, ledgerDir)
+      try {
+        // split mid-document (chunk_id 200 is doc 50's first half) so
+        // cross-batch adjacency is genuinely exercised
+        val b1 = chunks.where(col("chunk_id") < 202)
+          .as[(Long, Long, Long, Seq[Float])].collect().toSeq
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        val b2 = chunks.where(col("chunk_id") >= 202)
+          .as[(Long, Long, Long, Seq[Float])].collect().toSeq
+        mem.addData(b2 ++ b1.take(2): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.IndexIngest.finalizeTripletsLedger(s, ledgerDir,
+          chunks)
+        .where(col("query_id") % 40 === 0 && col("query_id") < 200000 &&
+          col("neg_rank") === 1)
+        .select(col("query_id"), col("pos_id"), col("neg_id"))
+        .orderBy(col("query_id"))
+    },
+    Some("""SELECT vec_id AS query_id, vec_id + 1 AS pos_id,
+        vec_id + 200000 AS neg_id
+      FROM embeddings WHERE vec_id % 40 = 0 ORDER BY query_id"""))
+
   /** CONTINUOUS bitext candidate mining
     * ([[graft.streaming.IndexIngest.mineBitextStream]] +
     * `finalizeBitextLedger` — the streamed half of the CCMatrix
@@ -11308,7 +11379,7 @@ object Queries {
     bitextMineQ, bitextMineIndexedPlanted, qualityRoutedQ, iclmChainPlanted, tripletsQ, tripletsIndexedPlanted, sftValidateQ, sftRenderQ, sftSpansQ, sftDedupQ,
     sftValidateNestedQ, sftRenderNestedQ, sftSpansNestedQ, sftPackMasksQ,
     sftDecontaminateQ, tripletsKindQ, bitextChainYaml, bitextMineStream,
-    sftTakedownYaml, sftUnretractYaml,
+    tripletsStreamPlanted, sftTakedownYaml, sftUnretractYaml,
     prefValidateQ, prefDedupQ, prefLengthBiasQ, prefRenderQ, sftChainYaml,
     prefChainYaml,
     annIngestSemdedup,

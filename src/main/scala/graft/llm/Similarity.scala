@@ -1438,6 +1438,20 @@ object Similarity {
     registered(chunks)
     val fwd = ivfQueryIndex(spark, indexDir, chunks, kCandidates, nProbe,
       idCol, vecCol)
+    tripletTail(fwd.select(col("query_id"), col("neighbor_id"),
+      col("cosine")), chunks, nNeg, idCol, docCol, idxCol)
+  }
+
+  /** The adjacency-positive + document-exclusion re-rank TAIL over a
+    * (query_id, neighbor_id, cosine) candidate frame — ONE definition
+    * shared by [[mineTripletsIndexed]] and the streamed twin
+    * ([[graft.streaming.IndexIngest.finalizeTripletsLedger]]), so the
+    * two cannot drift. Id-only: one (doc, idx) hash join for the
+    * positives, one doc-lookup join for the exclusion, one
+    * query-partitioned window for the re-rank. */
+  private[graft] def tripletTail(cands: DataFrame, chunks: DataFrame,
+                                 nNeg: Int, idCol: String, docCol: String,
+                                 idxCol: String): DataFrame = {
     val docsOf = chunks.select(col(idCol).as("neg_id"),
       col(docCol).as("__nd"))
     val meta = chunks.select(col(idCol).as("query_id"),
@@ -1447,7 +1461,7 @@ object Similarity {
     val withPos = meta.join(nxt, Seq("__qd", "__qi"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neg_id").asc)
-    fwd.select(col("query_id"), col("neighbor_id").as("neg_id"),
+    cands.select(col("query_id"), col("neighbor_id").as("neg_id"),
         col("cosine"))
       .join(docsOf, "neg_id").join(withPos, "query_id")
       .where(col("__nd") =!= col("__qd"))

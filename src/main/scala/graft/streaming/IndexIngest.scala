@@ -197,6 +197,61 @@ object IndexIngest {
     graft.llm.Bitext.marginScore(fwd, bwd, threshold)
   }
 
+  /** STREAMED TRIPLET CANDIDATE MINING — the [[mineBitextStream]]
+    * pattern for contrastive-training data: new chunks arrive as a
+    * stream of (chunk_id, vector, …) rows and each micro-batch's
+    * top-`kCandidates` neighbors from the FROZEN chunk index append to
+    * a candidates ledger (idempotent on the ledger's own query_id).
+    * The adjacency-positive join and the document-exclusion re-rank
+    * run at epoch boundary ([[finalizeTripletsLedger]]) — a chunk's
+    * positive (the NEXT chunk of its document) may arrive in a later
+    * batch, so per-batch triplet emission would drop cross-batch
+    * adjacencies; candidates are row-independent over the frozen
+    * index, so finalize ≡ one-shot
+    * [[graft.llm.Similarity.mineTripletsIndexed]] (spec-bound). */
+  def mineTripletsStream(chunks: DataFrame, indexDir: String,
+                         outDir: String, kCandidates: Int = 8,
+                         nProbe: Int = 4, idCol: String = "chunk_id",
+                         vecCol: String = "embedding",
+                         curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
+    require(chunks.isStreaming,
+      "mineTripletsStream: expected a streaming frame")
+    chunks.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val base = curate(batch.toDF()).where(col(idCol).isNotNull)
+        .dropDuplicates(idCol)
+      val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
+          base.join(spark.read.parquet(outDir)
+              .select(col("query_id").as("__graft_mined")).distinct(),
+            col(idCol) === col("__graft_mined"), "left_anti")
+        else base)
+        .localCheckpoint(true)
+      if (!fresh.isEmpty)
+        Similarity.ivfQueryIndex(spark, indexDir, fresh, kCandidates,
+            nProbe, idCol, vecCol)
+          .write.mode("append").parquet(outDir)
+    }.start()
+  }
+
+  /** Epoch-boundary finalization of a [[mineTripletsStream]] ledger:
+    * the accumulated candidates join the (by-now complete) chunk store
+    * for adjacency positives and the document-exclusion re-rank —
+    * [[graft.llm.Similarity.mineTripletsIndexed]]'s tail verbatim, so
+    * the result equals the one-shot mine over the union of the
+    * streamed batches (spec-bound). */
+  def finalizeTripletsLedger(spark: org.apache.spark.sql.SparkSession,
+                             ledgerDir: String, chunks: DataFrame,
+                             nNeg: Int = 2, idCol: String = "chunk_id",
+                             docCol: String = "doc_id",
+                             idxCol: String = "chunk_idx"): DataFrame =
+    Similarity.tripletTail(
+      spark.read.parquet(ledgerDir)
+        .select(col("query_id"), col("neighbor_id"), col("cosine")),
+      chunks, nNeg, idCol, docCol, idxCol)
+
   /** Seed the streamed-pair-ingest store ([[appendPairStream]]) from a
     * batch corpus — the "ledger present before the stream starts"
     * convention for PAIRS: batch-side pair dedup (keep-min per

@@ -124,6 +124,32 @@ class ReindexSpec extends SparkSpec {
     assert(top1Bases(dir, 3) == expected)
   }
 
+  test("reindexIvf to a HIERARCHICAL quantizer: two-level gen serves, twins recovered") {
+    // reindex can change the quantizer CLASS: a flat 16-centroid build
+    // refit at 96 centroids crosses the hierarchical threshold (64) —
+    // the new generation must persist its coarse level and the query
+    // path must reconstruct the two-level probe from the gen dir
+    val dir = tmp("graft_gen_hier")
+    Similarity.buildIvfIndex(emb, dir, nCentroids = 16)
+    val g1 = Similarity.reindexIvf(spark, dir, nCentroids = 96)
+    assert(new java.io.File(s"$g1/coarse").exists(),
+      "hierarchical generation must persist its coarse level")
+    Similarity.vacuumIndex(spark, dir)
+    assert(top1Bases(dir, 3) ==
+      Seq((100000L, 0L), (100001L, 1L), (100002L, 2L)))
+    // and appends keep following the hierarchical assignment rule
+    val novel = emb.where(col("vec_id") === 1)
+      .select(lit(888888L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfIndex(spark, novel, dir)
+    val near = Similarity.ivfQueryIndex(spark, dir,
+        novel.select((col("vec_id") + 1).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.0001f)).otherwise(x))
+            .as("embedding")), k = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(near.contains(888888L), s"hierarchical post-swap append lost: $near")
+  }
+
   test("reindexIvfPq and reindexPq: planted recovery through the new generation") {
     val e = emb
     // IVF-PQ: build on 6/7, append the rest, reindex from the full

@@ -691,6 +691,86 @@ class StreamingSpec extends SparkSpec {
       "streamed candidates + epoch finalize must equal the one-shot mine")
   }
 
+  test("mineTripletsStream + finalize ≡ one-shot mineTripletsIndexed; cross-batch adjacency held") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val chunks = emb.select(col("vec_id").as("chunk_id"),
+      expr("vec_id div 4").as("doc_id"),
+      (col("vec_id") % 4).as("chunk_idx"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_trip_s")
+      .toFile.getPath
+    Similarity.buildIvfIndex(chunks, s"$dir/idx", cIdCol = "chunk_id")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Seq[Float])]
+    val q = IndexIngest.mineTripletsStream(
+      mem.toDF().toDF("chunk_id", "doc_id", "chunk_idx", "embedding"),
+      s"$dir/idx", s"$dir/fwd")
+    // batch boundary INSIDE doc 25 (chunks 100..103 split 100,101 /
+    // 102,103): chunk 101's positive (102) arrives in batch 2
+    val b1 = chunks.where(col("chunk_id") < 102)
+      .as[(Long, Long, Long, Seq[Float])].collect().toSeq
+    val b2 = chunks.where(col("chunk_id") >= 102)
+      .as[(Long, Long, Long, Seq[Float])].collect().toSeq
+    try {
+      mem.addData(b1 :+ b1.head: _*)
+      q.processAllAvailable()
+      mem.addData(b2 ++ b1.take(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fwd = spark.read.parquet(s"$dir/fwd")
+    assert(fwd.groupBy("query_id", "rank").count()
+      .where(col("count") > 1).isEmpty, "replayed ids re-probed")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("pos_id"), col("neg_rank"),
+        col("neg_id"), col("neg_cosine"))
+      .collect().map(_.toString).toSet
+    val streamed = snap(IndexIngest.finalizeTripletsLedger(spark,
+      s"$dir/fwd", chunks))
+    val oneShot = snap(Similarity.mineTripletsIndexed(spark,
+      s"$dir/idx", chunks))
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // the cross-boundary adjacency is present: chunk 101 mined with
+    // positive 102 even though 102 arrived a batch later
+    assert(streamed.exists(_.startsWith("[101,102,")),
+      "cross-batch adjacency (101 -> 102) missing from the finalize")
+  }
+
+  test("appendIvfIndexStream across a reindex swap: batches land in the serving generation, ledger holds") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 3 === 0)
+    val b1 = emb.where(col("vec_id") % 3 === 1)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val b2 = emb.where(col("vec_id") % 3 === 2)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_swapp")
+      .toFile.getPath
+    Similarity.buildIvfIndex(base, dir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IndexIngest.appendIvfIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // swap mid-stream; retire the flat layout so batch 2 can ONLY
+      // have landed in (and deduped against) the new generation
+      Similarity.reindexIvf(spark, dir, nCentroids = 8)
+      Similarity.vacuumIndex(spark, dir)
+      mem.addData(b2 ++ b1.take(3): _*) // batch-1 replay ACROSS the swap
+      q.processAllAvailable()
+    } finally q.stop()
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    assert(root.endsWith("/gen-0001"))
+    val ids = spark.read.parquet(s"$root/assignments")
+      .select(col("neighbor_id").as[Long]).collect().toSeq
+    // everything present exactly once: base + b1 (carried through the
+    // reindex) + b2 (appended post-swap); the replayed b1 rows were
+    // refused by the NEW generation's ledger probe
+    assert(ids.sorted == emb.select(col("vec_id").as[Long])
+      .collect().toSeq.sorted)
+  }
+
   test("streaming IVF-PQ index append ≡ batch append on the same batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
