@@ -111,6 +111,19 @@ object ScaleProbe {
           corpus.withColumn("s", (col("doc_id") % 5).cast("string")),
           "s", "doc_id", rates = Map("0" -> 0.1, "1" -> 0.9)).count()
       }
+      time(s"mix_phase x$k") {
+        // 2-phase schedule over the k×-growing corpus: one bounded
+        // shares aggregation + per phase a codegen'd CASE resample and
+        // the two-phase md5-rank prefix — must track the scan, with
+        // the admitted row count FLAT (budget-bounded) at any k
+        graft.llm.Mixing.phasedMixSchedule(
+          corpus.withColumn("s", (col("doc_id") % 5).cast("string")),
+          "doc_id", "text", "s", Seq(
+            graft.llm.Mixing.MixPhase("p1", 20000L,
+              Map("0" -> 0.4, "1" -> 0.4, "2" -> 0.2)),
+            graft.llm.Mixing.MixPhase("p2", 8000L,
+              Map("0" -> 0.2, "1" -> 0.2, "2" -> 0.6)))).count()
+      }
       time(s"sft_chain x$k") {
         // conversations scale WITH the corpus (turns/conv constant at
         // ~20): the validate-gate + render chain is two conv-key
