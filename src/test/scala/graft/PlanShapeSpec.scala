@@ -35,6 +35,7 @@ class PlanShapeSpec extends SparkSpec {
     "dedup_soft_weights", "dedup_soft_sample", "mm_pair_filter",
     "mm_pair_dedup",
     "sft_validate", "sft_render", "sft_spans", "sft_dedup",
+    "sft_validate_nested", "sft_spans_nested",
     "pref_validate", "pref_dedup", "pref_length_bias", "pref_render",
     "quality_routed")
 
@@ -43,9 +44,13 @@ class PlanShapeSpec extends SparkSpec {
     * IS the exhaustive baseline the ANN family is measured against;
     * bitext_mine / contrastive_triplets broadcast the query side by
     * design (the audit shape — the persisted index probes substitute
-    * at corpus scale and carry no cross join). */
+    * at corpus scale and carry no cross join); the mix_phase pair
+    * crosses ONE-ROW total/max aggregates through
+    * ratesForTargetWeights (the k7_upsert class — one row per domain,
+    * bounded by construction). */
   private val bnljAllowed = Seq("k7_upsert", "ann_bruteforce",
-    "bitext_mine", "contrastive_triplets")
+    "bitext_mine", "contrastive_triplets", "mine_triplets_kind",
+    "mix_phase_rates", "mix_phase_schedule")
 
   test("gated product plans have no cartesian or nested-loop join") {
     noPairExplosion.foreach { n =>

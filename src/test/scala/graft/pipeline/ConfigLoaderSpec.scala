@@ -387,6 +387,7 @@ class ConfigLoaderSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_reix_kind").toFile.getPath
     graft.llm.Similarity.buildIvfIndex(emb, s"$dir/ivf")
     graft.llm.Similarity.buildPqIndex(emb, s"$dir/pq")
+    graft.llm.Similarity.buildIvfPqIndex(emb, s"$dir/ivfpq")
     emb.write.mode("overwrite").parquet(s"$dir/corpus")
     val yaml =
       s"""jobs:
@@ -406,6 +407,14 @@ class ConfigLoaderSpec extends SparkSpec {
          |    load:
          |      - kind: reindex_index
          |        options: {dir: $dir/pq, family: pq}
+         |  - name: reindex_ivfpq
+         |    extract:
+         |      - kind: parquet
+         |        path: $dir/corpus
+         |        prefix: ""
+         |    load:
+         |      - kind: reindex_index
+         |        options: {dir: $dir/ivfpq, family: ivfpq, nCentroids: '8'}
          |""".stripMargin
     Files.writeString(java.nio.file.Paths.get(s"$dir/reindex.yaml"), yaml)
     Pipeline.run(spark, ConfigLoader.parseYamlFile(s"$dir/reindex.yaml"),
@@ -418,6 +427,11 @@ class ConfigLoaderSpec extends SparkSpec {
     val pqRoot = graft.llm.Similarity.resolveIndexRoot(spark, s"$dir/pq")
     assert(pqRoot.endsWith("/gen-0001"))
     assert(spark.read.parquet(s"$pqRoot/codes").count() == emb.count())
+    // ivfpq: refit coarse level + residual re-encode in the new gen
+    val cRoot = graft.llm.Similarity.resolveIndexRoot(spark, s"$dir/ivfpq")
+    assert(cRoot.endsWith("/gen-0001"))
+    assert(spark.read.parquet(s"$cRoot/centroids").count() == 8)
+    assert(spark.read.parquet(s"$cRoot/codes").count() == emb.count())
     // unknown family fails loudly at run time
     val e = intercept[Pipeline.ValidationException](
       graft.sinks.Sinks.runChain(emb, Seq(
