@@ -9717,6 +9717,41 @@ object Queries {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       FROM r WHERE rank = 1 ORDER BY query_id"""))
 
+  /** AUTOMATED drift maintenance ([[Similarity.reindexIvfIfDrifted]] —
+    * the scheduled-job form of the lifecycle: measure → compare →
+    * conditionally reindex → re-measure, one audit row out). Both
+    * decision branches are oracle-bound with planted determinism: the
+    * ε-twins' recall@1 is EXACTLY 1.0 on any correct index, so a 0.5
+    * floor provably does NOT reindex (generation stays flat) and a
+    * 1.01 floor provably DOES (a genuine refit at 8 centroids, the
+    * re-measure through the new committed generation, recall exactly
+    * restored) — the loop machinery, the comparison, the swap, and
+    * the audit record are all pinned to stated values. */
+  private val annAutoReindex = QueryDef("ann_autoreindex_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivf_autoreindex")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Similarity.buildIvfIndex(emb, dir)
+      val q = perturbedEmbeddings(emb, 3)
+      val healthy = Similarity.reindexIvfIfDrifted(s, dir, q, emb, k = 1,
+        recallFloor = 0.5).withColumn("step", lit("healthy"))
+      val forced = Similarity.reindexIvfIfDrifted(s, dir, q, emb, k = 1,
+        recallFloor = 1.01, nCentroids = 8).withColumn("step", lit("forced"))
+      healthy.unionByName(forced)
+        .select(col("step"), col("k"), col("recall_before"),
+          col("reindexed"), col("recall_after"), col("generation"))
+        .orderBy(col("step"))
+    },
+    Some("""SELECT * FROM (VALUES
+        ('forced', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), true,
+          CAST(1.0 AS DOUBLE), 'gen-0001'),
+        ('healthy', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), false,
+          CAST(1.0 AS DOUBLE), 'flat'))
+        AS t(step, k, recall_before, reindexed, recall_after, generation)
+      ORDER BY step"""))
+
   /** INDEX-SIDE RETRACTION
     * ([[graft.streaming.IndexIngest.retractFromVectorIndex]]): a
     * takedown is corpus-wide — the doc's embedding must leave the ANN
@@ -11372,7 +11407,7 @@ object Queries {
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend,
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend, annSearchStream, annRetractIndex, annReindexPlanted,
-    annReindexDrift, annRecallAudit,
+    annReindexDrift, annAutoReindex, annRecallAudit,
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,

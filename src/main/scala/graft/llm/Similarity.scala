@@ -614,6 +614,49 @@ object Similarity {
     gen
   }
 
+  /** The drift arc as ONE maintenance operator — measure → compare →
+    * (conditionally) reindex → re-measure: recall@k of the serving IVF
+    * generation against brute-force truth on the caller's probe
+    * queries; when it falls below `recallFloor`, [[reindexIvf]] refits
+    * and swaps, and recall is re-measured through the new generation.
+    * This is the scheduled-maintenance entry point a continuously-
+    * ingesting deployment runs (the audits measure; THIS acts) — the
+    * probe queries are the driver-small audit set, so the truth scan
+    * is one corpus pass and both recall joins are queries × k rows.
+    * Returns one row: (k, recall_before, reindexed, recall_after,
+    * generation) — the maintenance audit-trail record. */
+  def reindexIvfIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, queries: DataFrame,
+                          corpus: DataFrame, k: Int = 5,
+                          recallFloor: Double = 0.8, nProbe: Int = 4,
+                          nCentroids: Int = 16, seed: Long = 42L,
+                          qIdCol: String = "vec_id",
+                          cIdCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(recallFloor > 0.0,
+      s"reindexIvfIfDrifted: recallFloor must be > 0, got $recallFloor")
+    val truth = bruteForceTopK(queries, corpus, k, qIdCol, cIdCol, vecCol)
+      .localCheckpoint()
+    def measure(): Double = {
+      val r = recallRow(ivfQueryIndex(spark, dir, queries, k, nProbe,
+        qIdCol, vecCol), truth, "ivf", k).select(col("recall")).head()
+      require(!r.isNullAt(0),
+        "reindexIvfIfDrifted: empty truth set — no probe queries?")
+      r.getDouble(0)
+    }
+    val before = measure()
+    val drifted = before < recallFloor
+    if (drifted) reindexIvf(spark, dir, nCentroids, seed)
+    val after = if (drifted) measure() else before
+    val gen = {
+      val r = resolveIndexRoot(spark, dir)
+      if (r == dir) "flat" else new org.apache.hadoop.fs.Path(r).getName
+    }
+    import spark.implicits._
+    Seq((k.toLong, before, drifted, after, gen))
+      .toDF("k", "recall_before", "reindexed", "recall_after", "generation")
+  }
+
   /** [[reindexIvf]] for a persisted PQ index. PQ codes store no
     * vectors (that IS the compression), so the current corpus comes
     * from the caller — the same frame the exact re-rank of

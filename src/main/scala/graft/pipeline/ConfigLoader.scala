@@ -1303,6 +1303,23 @@ object ConfigLoader {
         }
         ()
       })),
+      // scheduled index maintenance: measure recall on the probe set,
+      // reindex only when it breaches the floor, persist the audit
+      // record — the job's frame is the corpus (re-rank/truth side),
+      // queriesPath the driver-small probe set
+      "reindex_if_drifted" -> (o => Sinks.Write("reindex_if_drifted", df => {
+        val spark = df.sparkSession
+        val dir = req(o, "dir")
+        graft.llm.Similarity.reindexIvfIfDrifted(spark, dir,
+            spark.read.parquet(req(o, "queriesPath")), df,
+            k = o.getOrElse("k", "5").toInt,
+            recallFloor = req(o, "recallFloor").toDouble,
+            nProbe = o.getOrElse("nProbe", "4").toInt,
+            nCentroids = o.getOrElse("nCentroids", "16").toInt,
+            seed = o.getOrElse("seed", "42").toLong)
+          .write.mode("append")
+          .parquet(o.getOrElse("reportDir", s"$dir/maintenance"))
+      })),
       // takedown compliance report: the job's frame IS the current
       // opt-out registry; the per-aspect report lands at reportDir
       // (default dir/compliance). failOnViolation=true raises on any
@@ -1655,6 +1672,7 @@ object ConfigLoader {
     "unretract_pack" -> Seq("dir"),
     "audit_shards" -> Seq("dir"),
     "reindex_index" -> Seq("dir"),
+    "reindex_if_drifted" -> Seq("dir", "queriesPath"),
     "retraction_compliance" -> Seq("dir"))
 
   private def rejectUnknown(m: Tree, known: Set[String], what: String): Unit = {

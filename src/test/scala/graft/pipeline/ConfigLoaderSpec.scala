@@ -440,6 +440,34 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown family 'hnsw'"))
   }
 
+  test("reindex_if_drifted kind: healthy skips, breach reindexes, maintenance ledger appends") {
+    import java.nio.file.Files
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("graft_autoreix").toFile.getPath
+    graft.llm.Similarity.buildIvfIndex(emb, s"$dir/ivf")
+    // probe set: exact copies — recall@1 is exactly 1.0 on any
+    // correct index, so both decision branches are deterministic
+    emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/probes")
+    def run(floor: String): Unit =
+      graft.sinks.Sinks.runChain(emb, Seq(
+        ConfigLoader.loadKinds("reindex_if_drifted")(Map(
+          "dir" -> s"$dir/ivf", "queriesPath" -> s"$dir/probes",
+          "k" -> "1", "recallFloor" -> floor, "nCentroids" -> "8"))))
+    run("0.5")  // healthy: 1.0 >= 0.5 — no reindex
+    run("1.01") // forced breach: reindex into gen-0001
+    val rep = spark.read.parquet(s"$dir/ivf/maintenance")
+      .select(col("reindexed"), col("generation"),
+        col("recall_before"), col("recall_after"))
+      .as[(Boolean, String, Double, Double)].collect().toSet
+    assert(rep == Set((false, "flat", 1.0, 1.0),
+      (true, "gen-0001", 1.0, 1.0)), rep.toString)
+    assert(graft.llm.Similarity.resolveIndexRoot(spark, s"$dir/ivf")
+      .endsWith("/gen-0001"))
+  }
+
   test("bitext_mine / mine_triplets kinds: indexed mode routes through persisted indexes; bad modes rejected") {
     import java.nio.file.Files
     import graft.pipeline.ConfigLoader.transformKinds
