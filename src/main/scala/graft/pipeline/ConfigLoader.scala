@@ -1394,10 +1394,11 @@ object ConfigLoader {
                               availableNow: Boolean,
                               index: Options = Map.empty,
                               search: Options = Map.empty,
-                              pairs: Options = Map.empty)
+                              pairs: Options = Map.empty,
+                              mine: Options = Map.empty)
 
   private val knownStreamKeys =
-    Set("source", "curate", "pack", "index", "search", "pairs",
+    Set("source", "curate", "pack", "index", "search", "pairs", "mine",
       "availableNow")
 
   /** Parse the `stream:` jobs of a config file (batch `parseYamlFile`
@@ -1456,17 +1457,18 @@ object ConfigLoader {
     val index = optMap("index")
     val search = optMap("search")
     val prs = optMap("pairs")
-    if (Seq(pack, index, search, prs).count(_.nonEmpty) != 1)
+    val mine = optMap("mine")
+    if (Seq(pack, index, search, prs, mine).count(_.nonEmpty) != 1)
       throw new Pipeline.ValidationException(
         "config: stream job needs exactly one of 'pack', 'index', " +
-          "'search' or 'pairs'")
+          "'search', 'pairs' or 'mine'")
     StreamSpec(
       name = String.valueOf(m.getOrElse("name",
         throw new Pipeline.ValidationException("config: job missing 'name'"))),
       source = source, curate = curate, pack = pack,
       availableNow = st.get("availableNow").exists(v =>
         String.valueOf(v).toBoolean),
-      index = index, search = search, pairs = prs)
+      index = index, search = search, pairs = prs, mine = mine)
   }
 
   /** Start a `stream:` job: resolve the source and curation kinds,
@@ -1506,6 +1508,32 @@ object ConfigLoader {
         minAlign = px.getOrElse("minAlign", "0.5").toDouble,
         byCaption = px.getOrElse("byCaption", "true").toBoolean,
         curate = curate)
+    }
+    if (spec.mine.nonEmpty) {
+      // continuous ALIGNMENT-DATA candidate mining: per-micro-batch
+      // partition-pruned probes of a FROZEN persisted index append to
+      // an idempotent candidates ledger; the corpus-level selection
+      // tail (margin/mutual-argmax for bitext, adjacency + doc
+      // exclusion for triplets) runs at epoch boundary via
+      // finalizeBitextLedger / finalizeTripletsLedger — provably equal
+      // to the one-shot indexed mine (spec-bound).
+      val mx = spec.mine
+      return mx.getOrElse("kind", "bitext") match {
+        case "bitext" => graft.streaming.IndexIngest.mineBitextStream(
+          src, req(mx, "tgtIndexDir"), req(mx, "outDir"),
+          k = mx.getOrElse("k", "4").toInt,
+          nProbe = mx.getOrElse("nProbe", "4").toInt,
+          idCol = mx.getOrElse("idCol", "vec_id"),
+          vecCol = mx.getOrElse("vecCol", "embedding"), curate = curate)
+        case "triplets" => graft.streaming.IndexIngest.mineTripletsStream(
+          src, req(mx, "indexDir"), req(mx, "outDir"),
+          kCandidates = mx.getOrElse("kCandidates", "8").toInt,
+          nProbe = mx.getOrElse("nProbe", "4").toInt,
+          idCol = mx.getOrElse("idCol", "chunk_id"),
+          vecCol = mx.getOrElse("vecCol", "embedding"), curate = curate)
+        case other => throw new Pipeline.ValidationException(
+          s"config: unknown stream mine kind '$other' (known: bitext, triplets)")
+      }
     }
     if (spec.search.nonEmpty) {
       // continuous SERVING: per-micro-batch partition-pruned probe of

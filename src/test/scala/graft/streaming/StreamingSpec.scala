@@ -771,6 +771,58 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq.sorted)
   }
 
+  test("mine: stream-job sink via YAML — epoch-drain candidates, finalize ≡ one-shot") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val src = emb.where(col("vec_id") % 10 === 0)
+    val tgt = emb.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+          .as("embedding"))
+      .unionByName(emb.where(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 700000L).as("vec_id"), col("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mine_yaml")
+      .toFile.getPath
+    Similarity.buildIvfIndex(src, s"$dir/src")
+    Similarity.buildIvfIndex(tgt, s"$dir/tgt")
+    // the landing dir: epoch 1 lands half the source corpus, drain;
+    // epoch 2 lands the rest PLUS a re-delivered epoch-1 file
+    src.where(col("vec_id") < 200).write.parquet(s"$dir/landing")
+    val yaml =
+      s"""jobs:
+         |  - name: mine_bitext
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        options: {path: $dir/landing}
+         |      mine:
+         |        kind: bitext
+         |        tgtIndexDir: $dir/tgt
+         |        outDir: $dir/fwd
+         |      availableNow: true
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/streams.yaml"), yaml)
+    val specs = graft.pipeline.ConfigLoader.parseStreamsYamlFile(
+      s"$dir/streams.yaml")
+    assert(specs.size == 1 && specs.head.availableNow)
+    graft.pipeline.ConfigLoader.runStreamOnce(spark, specs.head)
+    src.where(col("vec_id") >= 200).write.mode("append")
+      .parquet(s"$dir/landing")
+    src.where(col("vec_id") < 30).write.mode("append")
+      .parquet(s"$dir/landing") // redelivery
+    graft.pipeline.ConfigLoader.runStreamOnce(spark, specs.head)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+      .collect().map(_.toString).toSet
+    val streamed = snap(IndexIngest.finalizeBitextLedger(spark,
+      s"$dir/fwd", s"$dir/src", tgt, k = 4, threshold = 1.3))
+    val oneShot = snap(graft.llm.Bitext.mineBitextIndexed(spark,
+      s"$dir/src", s"$dir/tgt", src, tgt, k = 4, threshold = 1.3))
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
   test("streaming IVF-PQ index append ≡ batch append on the same batches") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
