@@ -11343,6 +11343,143 @@ object Queries {
       SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM z GROUP BY user_id ORDER BY user_id"""))
 
+  // ---- link-graph quality priors ([[graft.llm.LinkGraph]]) ---------------
+
+  /** Page key for the click graph: the `k` prop of each event is the
+    * page id (the only page-like identity the events table carries). */
+  private def graphPageKey: Column =
+    get_json_object(col("props"), "$.k").cast("long")
+
+  /** 240-minute gap: the synthetic event cadence (~1 event/user/90 min
+    * at sf0.01) makes 30-minute sessions mostly singletons; 240 yields
+    * a dense 100-node transition graph. */
+  private val graphGapMinutes = 240
+
+  /** Edge CTEs (x → edges) replaying [[graft.llm.LinkGraph.sessionTransitions]]:
+    * lag per (user ORDER BY ts, event_id), gap ≤ 240 min, aggregated
+    * (src, dst, weight). The gap product is forced BIGINT — 240·60·10⁶
+    * overflows INT32. */
+  private val sqlGraphEdges: String =
+    """x AS (SELECT user_id, event_id, ts,
+        CAST(props->>'$.k' AS BIGINT) AS page,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts,
+        lag(CAST(props->>'$.k' AS BIGINT))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ppage
+      FROM events),
+      edges AS (SELECT ppage AS src, page AS dst, COUNT(*) AS weight
+      FROM x
+      WHERE ppage IS NOT NULL
+        AND epoch_us(ts) - epoch_us(pts) <= CAST(240 AS BIGINT)*60*1000000
+      GROUP BY 1, 2)"""
+
+  /** Rank CTEs (nodes, nn, outw, r0 … r`iters`) replaying
+    * [[graft.llm.LinkGraph.pageRank]] with `orderedFold = true`: each
+    * sweep folds contributions in src order (bit-exact), new rank =
+    * (1-d)/N + d·mass with the SAME expression tree Spark builds, so
+    * the doubles replay exactly. The damping literals are forced to
+    * DOUBLE — DuckDB parses `1.0 - 0.85` as exact DECIMAL (0.15),
+    * while Scala/Spark compute binary64 `1.0 - 0.85` =
+    * 0.15000000000000002; the one-ulp base difference flips the final
+    * rounding on a few nodes per sweep. */
+  private def sqlGraphRanks(iters: Int, damping: Double = 0.85): String = {
+    val d = s"CAST(${damping.toString} AS DOUBLE)"
+    val sweeps = (1 to iters).map { i =>
+      s"""e$i AS (SELECT e.dst, e.src, (r.rank / o.ow) * e.weight AS contrib
+        FROM edges e JOIN outw o ON e.src = o.src
+        JOIN r${i - 1} r ON e.src = r.node),
+      m$i AS (SELECT dst,
+        ${sqlFold("list(contrib ORDER BY src)", "0.0", "(acc,v) -> acc+v")}
+          AS mass
+        FROM e$i GROUP BY dst),
+      r$i AS (SELECT n.node,
+        (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d * COALESCE(m.mass, 0.0)
+          AS rank
+        FROM nodes n CROSS JOIN nn LEFT JOIN m$i m ON n.node = m.dst)"""
+    }.mkString(",\n      ")
+    s"""nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS ow
+        FROM edges GROUP BY src),
+      r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        FROM nodes CROSS JOIN nn),
+      $sweeps"""
+  }
+
+  /** Host-prior CTE over the final rank frame: host = 'src' || node%20
+    * (the page→host map bridging the click graph onto the documents
+    * table's source domain), prior folded in page order. */
+  private def sqlGraphHostPrior(rankCte: String): String =
+    s"""hp AS (SELECT 'src' || CAST(node % 20 AS VARCHAR) AS host,
+        ${sqlFold("list(rank ORDER BY node)", "0.0", "(acc,v) -> acc+v")}
+          AS prior,
+        COUNT(*) AS n_pages
+      FROM $rankCte GROUP BY 1)"""
+
+  private def graphEdges(s: SparkSession, d: String): DataFrame =
+    graft.llm.LinkGraph.sessionTransitions(events(s, d), graphPageKey,
+      gapMinutes = graphGapMinutes)
+
+  private val graphTransitionsQ = QueryDef("graph_transitions",
+    (s, d) => graphEdges(s, d)
+      .orderBy(col("src"), col("dst")),
+    Some(s"""WITH $sqlGraphEdges
+      SELECT src, dst, weight FROM edges ORDER BY src, dst"""))
+
+  private val graphDegreesQ = QueryDef("graph_degrees",
+    (s, d) => graft.llm.LinkGraph.degreeStats(graphEdges(s, d))
+      .orderBy(col("node")),
+    Some(s"""WITH $sqlGraphEdges,
+      o AS (SELECT src AS node, COUNT(*) AS out_edges,
+          CAST(SUM(weight) AS BIGINT) AS out_weight FROM edges GROUP BY 1),
+      i AS (SELECT dst AS node, COUNT(*) AS in_edges,
+          CAST(SUM(weight) AS BIGINT) AS in_weight FROM edges GROUP BY 1)
+      SELECT COALESCE(o.node, i.node) AS node,
+        COALESCE(out_edges, 0) AS out_edges,
+        COALESCE(out_weight, 0) AS out_weight,
+        COALESCE(in_edges, 0) AS in_edges,
+        COALESCE(in_weight, 0) AS in_weight
+      FROM o FULL OUTER JOIN i ON o.node = i.node
+      ORDER BY node"""))
+
+  private val graphPagerankQ = QueryDef("graph_pagerank",
+    (s, d) => graft.llm.LinkGraph.pageRank(graphEdges(s, d),
+        iters = 3, orderedFold = true)
+      .orderBy(col("node")),
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)}
+      SELECT node, rank FROM r3 ORDER BY node"""))
+
+  private def graphPriors(s: SparkSession, d: String): DataFrame =
+    graft.llm.LinkGraph.hostPrior(
+      graft.llm.LinkGraph.pageRank(graphEdges(s, d),
+        iters = 3, orderedFold = true),
+      concat(lit("src"), (col("node") % 20).cast("string")))
+
+  private val graphHostPriorQ = QueryDef("graph_host_prior",
+    (s, d) => graphPriors(s, d).orderBy(col("host")),
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)},
+      ${sqlGraphHostPrior("r3")}
+      SELECT host, prior, n_pages FROM hp ORDER BY host"""))
+
+  /** The composition the family exists for: the host prior gating the
+    * documents table ahead of the content funnel. The prior frame is
+    * one row per host — broadcast — so the gate is map-only on the
+    * corpus side. Threshold 0.05 = the uniform per-host share of the
+    * (≤ 1) total rank mass: keeps above-average hosts. */
+  private val graphPriorGateQ = QueryDef("graph_prior_gate",
+    (s, d) => graft.llm.LinkGraph.priorGate(
+        t(s, d, "documents"), graphPriors(s, d), "source", minPrior = 0.05)
+      .select(col("doc_id"), col("source"), col("prior"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)},
+      ${sqlGraphHostPrior("r3")}
+      SELECT d.doc_id, d.source, h.prior
+      FROM documents d JOIN hp h ON d.source = h.host
+      WHERE h.prior >= 0.05 ORDER BY d.doc_id"""))
+
   /** Full registry, in SURVEY §2 order. */
   val all: Vector[QueryDef] = Vector(
     q1Agg, q3Topn, q5Region, skewJoinQ, a2Collect, a5Merge, a6Dedup,
@@ -11426,5 +11563,7 @@ object Queries {
     eventsHourly, docsQualityMonitor, eventsEnriched, eventsAttribution,
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,
-    eventsSessions)
+    eventsSessions,
+    graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphHostPriorQ,
+    graphPriorGateQ)
 }

@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Link-graph quality priors — the crawl-side signal family every
+  * large-scale web-curation pipeline keeps next to its content
+  * filters: build a weighted page graph from user navigation (or
+  * hyperlinks), run a fixed number of damped PageRank sweeps over it,
+  * aggregate page scores to a host-level prior, and gate documents on
+  * that prior ahead of the content funnel (the "seed quality" /
+  * host-reputation stage of Common-Crawl-derived corpora — cf. Brin &
+  * Page 1998 for the rank recurrence; curation pipelines consume a
+  * TRUNCATED fixed-iteration sweep because the prior only needs a
+  * stable ordering, not the stationary distribution).
+  *
+  * Physical shapes, sized for the 100 TB case:
+  *  - [[sessionTransitions]] is one window over (user ORDER BY ts) —
+  *    a single hash exchange on the user key, frames bounded by
+  *    events-per-user — followed by one edge aggregation. The edge
+  *    list it emits is the ONLY corpus-sized frame the rest of the
+  *    family touches.
+  *  - [[pageRank]] iterates join(edges, ranks on src) →
+  *    groupBy(dst): per sweep, one hash join against a one-row-per-
+  *    node rank frame and one partially-aggregated exchange on dst.
+  *    Iterations are FIXED (published priors use 3–10 sweeps), and
+  *    each sweep's rank frame is `localCheckpoint`-pinned so lineage
+  *    stays flat and AQE re-plans per sweep. Edges are checkpointed
+  *    once and reused by every sweep — the corpus-sized scan happens
+  *    once, not per iteration.
+  *  - No dangling-mass redistribution: sinks leak their damped mass
+  *    (the Brin–Page simplification most engine implementations ship,
+  *    e.g. GraphX's `staticPageRank`). The prior needs ordering
+  *    stability, not a probability simplex; documented so the oracle
+  *    replays the same recurrence.
+  *  - [[hostPrior]] folds the one-row-per-page rank frame onto the
+  *    host key — bounded by pages-per-host; [[priorGate]] is a
+  *    broadcast join (the prior frame is one row per HOST) plus a
+  *    map-only predicate, so the gate adds zero exchanges to the
+  *    document funnel.
+  *
+  * Determinism: `orderedFold = true` accumulates each node's in-mass
+  * in src-rank order (sorted collect + left fold), making every sweep
+  * bit-exact under any partitioning — the oracle-replay mode, safe
+  * while in-degree is bounded (collected list is one entry per
+  * in-neighbor). At web scale hub pages have unbounded in-degree, so
+  * production runs keep the default partially-aggregated `sum`
+  * (order-nondeterministic in the last ulps, never materializes a
+  * per-node list).
+  *
+  * No counterpart in the reference (PHP WP-ETL has no graph ops);
+  * extension surface per the training-data-pipeline mandate.
+  */
+object LinkGraph {
+
+  /** Weighted transition edges from an event stream: consecutive
+    * events of the same user (ordered by `tsCol`, ties by `tieCol`)
+    * whose gap is ≤ `gapMinutes` emit one (prev page → page) edge;
+    * edges are aggregated to (src, dst, weight = transition count).
+    * Self-loops (page refresh / same-page actions) are kept — they are
+    * real transitions and the rank recurrence handles them. One
+    * window exchange on the user key + one edge aggregation. */
+  def sessionTransitions(events: DataFrame, pageKey: Column,
+                         userCol: String = "user_id",
+                         tsCol: String = "ts",
+                         tieCol: String = "event_id",
+                         gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .withColumn("__page", pageKey)
+      .withColumn("__prev_page", lag(col("__page"), 1).over(byUser))
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+      .where(col("__prev_page").isNotNull &&
+        unix_micros(col(tsCol).cast("timestamp")) -
+          unix_micros(col("__prev_ts").cast("timestamp")) <=
+          gapMinutes.toLong * 60L * 1000000L)
+      .groupBy(col("__prev_page").as("src"), col("__page").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Per-node degree/weight stats over a (src, dst, weight) edge list
+    * — the hub/spam-detection datacard row (a page with huge in-weight
+    * and no out-edges is a rank sink; the reverse is a link farm).
+    * Two partial aggregations + one outer join on the node key; counts
+    * are exact longs. */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_edges"), sum(col("weight")).as("out_weight"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_edges"), sum(col("weight")).as("in_weight"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_edges"), lit(0L)).as("out_edges"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+  }
+
+  /** Sorted-by-key left fold of doubles — bit-exact accumulation under
+    * any partitioning (the Bitext kNN-mean trick). Bounded by the
+    * group's fan-in: use only where that is bounded by construction. */
+  private def orderedFoldSum(key: Column, value: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(key.as("k"), value.as("v")))),
+        x => x("v")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** `iters` sweeps of the damped rank recurrence
+    * `rank(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank(u) · w(u,v) / W(u)`
+    * over a weighted (src, dst, weight) edge list; `W(u)` is u's total
+    * out-weight (exact long sum). Returns one (node, rank) row per
+    * node (nodes = src ∪ dst); nodes with no in-edges hold the
+    * teleport base. Dangling mass is NOT redistributed (see object
+    * doc). `orderedFold = true` is the oracle-exact accumulation mode
+    * — see object doc for the in-degree caveat. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               orderedFold: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"pageRank: damping must be in (0,1), got $damping")
+    // edges are re-joined every sweep — checkpoint ONCE so the source
+    // scan (the only corpus-sized read) doesn't replay per iteration
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("__w")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count() // bounded driver scalar: one row per node
+    require(n > 0, "pageRank: empty edge list")
+    val base = (1.0 - damping) / n
+    val outW = e.groupBy(col("src"))
+      .agg(sum(col("__w")).as("__ow")).localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outW, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), col("src"),
+          ((col("rank") / col("__ow")) * col("__w")).as("__contrib"))
+      val mass =
+        if (orderedFold)
+          contribs.groupBy(col("dst"))
+            .agg(orderedFoldSum(col("src"), col("__contrib")).as("__mass"))
+        else
+          contribs.groupBy(col("dst"))
+            .agg(sum(col("__contrib")).as("__mass"))
+      ranks = nodes
+        .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint() // pin the sweep: flat lineage, AQE re-plan
+    }
+    ranks
+  }
+
+  /** Host-level prior from page ranks: `hostOf` maps the `node` column
+    * to a host key; the prior is the fold of member-page ranks in
+    * page order (bit-exact; bounded by pages-per-host — at true web
+    * scale swap the fold for the partial-agg `sum` exactly as in
+    * [[pageRank]]). One exchange on the host key; the result is one
+    * row per host. */
+  def hostPrior(ranks: DataFrame, hostOf: Column): DataFrame =
+    ranks.withColumn("host", hostOf)
+      .groupBy(col("host"))
+      .agg(orderedFoldSum(col("node"), col("rank")).as("prior"),
+        count(lit(1)).as("n_pages"))
+
+  /** Gate a document frame on its host's prior: keep rows whose host
+    * prior is ≥ `minPrior`. The prior frame is one row per host —
+    * broadcast by construction — so the gate is a broadcast hash join
+    * + map-side predicate: zero new exchanges ahead of the funnel. */
+  def priorGate(docs: DataFrame, priors: DataFrame, docHostCol: String,
+                minPrior: Double): DataFrame =
+    docs.join(broadcast(priors.select(col("host"), col("prior"))),
+        docs(docHostCol) === col("host"))
+      .where(col("prior") >= minPrior)
+      .drop("host")
+}

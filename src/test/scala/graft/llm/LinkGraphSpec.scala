@@ -1,0 +1,115 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Link-graph priors ([[LinkGraph]]): transition extraction honors the
+  * session gap, the rank recurrence hits its known fixed points
+  * bit-exactly, ordered-fold and partial-sum modes agree, and the host
+  * gate keeps exactly the documents whose host clears the prior. */
+class LinkGraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("sessionTransitions: gap bound splits sessions; edges aggregate") {
+    // user 1: A(0) -> B(5) -> [70min gap] -> C(80) -> C(85)
+    // user 2: B(0) -> A(10)
+    val events = Seq(
+      (1L, 10L, ts(0), "A"), (1L, 11L, ts(5), "B"),
+      (1L, 12L, ts(80), "C"), (1L, 13L, ts(85), "C"),
+      (2L, 20L, ts(0), "B"), (2L, 21L, ts(10), "A")
+    ).toDF("user_id", "event_id", "ts", "page")
+    val edges = LinkGraph.sessionTransitions(events, col("page"),
+      gapMinutes = 30)
+    assert(rowsOf(edges) === Set("[A,B,1]", "[C,C,1]", "[B,A,1]"))
+  }
+
+  test("sessionTransitions: same-ts ties break by tieCol") {
+    val events = Seq(
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(0), "B"), (1L, 3L, ts(0), "C")
+    ).toDF("user_id", "event_id", "ts", "page")
+    val edges = LinkGraph.sessionTransitions(events, col("page"))
+    assert(rowsOf(edges) === Set("[A,B,1]", "[B,C,1]"))
+  }
+
+  test("pageRank: two-node cycle fixed point is exactly 1/2 each") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "weight")
+    // each sweep maps 0.5 -> (1-d)/2 + d*0.5 = 0.5 EXACTLY in binary64:
+    // (1.0 - d) is exact (Sterbenz), and halving is exact scaling
+    val ranks = LinkGraph.pageRank(edges, iters = 3).collect()
+    assert(ranks.length === 2)
+    ranks.foreach(r => assert(r.getDouble(1) === 0.5))
+  }
+
+  test("pageRank: source-only node holds the teleport base; sink gains") {
+    // c -> a, a <-> b: c has no in-edges so rank(c) = (1-d)/3 after
+    // every sweep; a receives c's mass so at the fixed point
+    // rank(a) > rank(b) > rank(c) — the a/b split oscillates from the
+    // uniform start, so run enough sweeps to settle the ordering
+    val edges = Seq(("c", "a", 1L), ("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "weight")
+    val r = LinkGraph.pageRank(edges, iters = 20).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("c") === (1.0 - 0.85) / 3)
+    assert(r("a") > r("b") && r("b") > r("c"))
+  }
+
+  test("pageRank: out-weight normalizes — heavier edge carries more") {
+    // a splits 3:1 between b and c; b,c return everything to a
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("src", "dst", "weight")
+    val r = LinkGraph.pageRank(edges, iters = 6).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("b") > r("c"))
+    assert(r("a") > r("b"))
+  }
+
+  test("pageRank: orderedFold and partial-sum modes agree to 1e-12") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val edges = LinkGraph.sessionTransitions(events,
+      get_json_object(col("props"), "$.k").cast("long"), gapMinutes = 240)
+    val a = LinkGraph.pageRank(edges, iters = 3, orderedFold = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = LinkGraph.pageRank(edges, iters = 3, orderedFold = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12,
+      s"node $k: $v vs ${b(k)}") }
+    // mass sanity: sum of ranks is at most 1 (dangling leak only)
+    val total = a.values.sum
+    assert(total <= 1.0 + 1e-9 && total > 0.5)
+  }
+
+  test("degreeStats: exact counts, absent side coalesces to zero") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L))
+      .toDF("src", "dst", "weight")
+    val r = rowsOf(LinkGraph.degreeStats(edges))
+    assert(r === Set(
+      "[a,2,4,1,2]",  // out: a->b,a->c (w 4); in: b->a (w 2)
+      "[b,1,2,1,3]",
+      "[c,0,0,1,1]"))
+  }
+
+  test("hostPrior + priorGate: gate keeps exactly the clearing hosts") {
+    val ranks = Seq((0L, 0.30), (20L, 0.25), (1L, 0.10), (21L, 0.05),
+      (2L, 0.30)).toDF("node", "rank")
+    val priors = LinkGraph.hostPrior(ranks,
+      concat(lit("src"), (col("node") % 20).cast("string")))
+    val p = priors.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(p("src0")._2 === 2L && math.abs(p("src0")._1 - 0.55) < 1e-15)
+    assert(p("src2") === ((0.30, 1L)))
+    val docs = Seq((1L, "src0"), (2L, "src1"), (3L, "src2"), (4L, "src9"))
+      .toDF("doc_id", "source")
+    val kept = LinkGraph.priorGate(docs, priors, "source", minPrior = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // src0 (0.55) and src2 (0.30) clear; src1 (0.15) and absent src9 drop
+    assert(kept === Set(1L, 3L))
+  }
+}
