@@ -11480,6 +11480,47 @@ object Queries {
       FROM documents d JOIN hp h ON d.source = h.host
       WHERE h.prior >= 0.05 ORDER BY d.doc_id"""))
 
+  // ---- scaling-law ablation ladder ([[Mixing.ablationLadder]]) -----------
+
+  /** The md5-bucket CASE ladder for rungs (0.01, 0.1, 0.5, 1.0) —
+    * thresholds are round(r·2³²) in hex, the [[Mixing.hexThreshold]]
+    * arithmetic; rung literals cast to DOUBLE (DuckDB CASE over bare
+    * decimals yields DECIMAL — a type, not value, mismatch). */
+  private val sqlAblationRung: String =
+    """CAST(CASE
+      WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '028f5c29' THEN 0.01
+      WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '1999999a' THEN 0.1
+      WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)
+           < '80000000' THEN 0.5
+      ELSE 1.0 END AS DOUBLE)"""
+
+  private val ablationRungs = Seq(0.01, 0.1, 0.5, 1.0)
+
+  private val ablationLadderQ = QueryDef("ablation_ladder",
+    (s, d) => Mixing.ablationLadder(t(s, d, "documents"), "doc_id",
+        ablationRungs)
+      .select(col("doc_id"), col("rung")).orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, $sqlAblationRung AS rung
+      FROM documents ORDER BY doc_id"""))
+
+  private val ablationLadderStatsQ = QueryDef("ablation_ladder_stats",
+    (s, d) => Mixing.ablationLadderStats(
+        Mixing.ablationLadder(t(s, d, "documents"), "doc_id", ablationRungs),
+        TextAnalysis.wsTokenCount(col("text")))
+      .orderBy(col("rung")),
+    Some(s"""WITH l AS (SELECT doc_id, $sqlAblationRung AS rung,
+        CASE WHEN trim(text)='' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents),
+      a AS (SELECT rung, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens
+        FROM l GROUP BY rung)
+      SELECT rung, docs, tokens,
+        CAST(SUM(docs) OVER (ORDER BY rung) AS BIGINT) AS cum_docs,
+        CAST(SUM(tokens) OVER (ORDER BY rung) AS BIGINT) AS cum_tokens
+      FROM a ORDER BY rung"""))
+
   /** Full registry, in SURVEY §2 order. */
   val all: Vector[QueryDef] = Vector(
     q1Agg, q3Topn, q5Region, skewJoinQ, a2Collect, a5Merge, a6Dedup,
@@ -11565,5 +11606,6 @@ object Queries {
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,
     eventsSessions,
     graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphHostPriorQ,
-    graphPriorGateQ)
+    graphPriorGateQ,
+    ablationLadderQ, ablationLadderStatsQ)
 }

@@ -122,6 +122,50 @@ object Mixing {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Scaling-law ablation ladder: NESTED deterministic subsamples from
+    * one md5 rank — the data-ablation fixture every scaling-law /
+    * data-mix study needs (train at 1%, 10%, 50%, 100% of the corpus
+    * with the smaller runs strict subsets of the larger, so rung
+    * deltas measure DATA added, not a resample). Each row gets the
+    * SMALLEST rung rate whose threshold its bucket clears; consumers
+    * take `rung <= r` for the rate-r ablation, and that membership is
+    * EXACTLY [[deterministicSample]](r) under the same (key, salt) —
+    * the nesting guarantee is the shared-bucket construction, not a
+    * promise. Rows beyond the largest rung are dropped (the ladder
+    * only materializes its largest ablation; a last rung of 1.0 keeps
+    * every row). Map-only: one codegen'd CASE, no shuffle. */
+  def ablationLadder(df: DataFrame, keyCol: String, rungs: Seq[Double],
+                     salt: String = "graft",
+                     rungCol: String = "rung"): DataFrame = {
+    require(rungs.nonEmpty, "ablationLadder: no rungs")
+    require(rungs == rungs.sorted && rungs.distinct.size == rungs.size,
+      s"ablationLadder: rungs must be ascending and distinct, got $rungs")
+    require(rungs.forall(r => r > 0.0 && r <= 1.0),
+      s"ablationLadder: rungs must be in (0,1], got $rungs")
+    val bucket = hashBucket(col(keyCol), salt)
+    val assigned = rungs.foldLeft(Option.empty[Column]) { (acc, r) =>
+      val cond = bucket < lit(hexThreshold(r))
+      Some(acc.fold(when(cond, lit(r)))(_.when(cond, lit(r))))
+    }.get // rungs is non-empty; unmatched rows fall through to null
+    df.withColumn(rungCol, assigned).where(col(rungCol).isNotNull)
+  }
+
+  /** Per-rung datacard over an [[ablationLadder]] frame: marginal and
+    * CUMULATIVE doc/token counts (cumulative = the rate-r ablation's
+    * actual size — what the scaling-law axis plots). One exchange to
+    * the rung key; the cumulative window runs over the one-row-per-rung
+    * aggregate (bounded by the ladder's length — a driver-sized frame,
+    * so the unpartitioned window is safe by construction). */
+  def ablationLadderStats(ladder: DataFrame, tokenCount: Column,
+                          rungCol: String = "rung"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(rungCol))
+    ladder.groupBy(col(rungCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCount.cast("long")).as("tokens"))
+      .withColumn("cum_docs", sum(col("docs")).over(w))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+  }
+
   /** Deterministic best-k-per-stratum selection (e.g. keep the N
     * highest-quality documents per source/domain). Ties broken by
     * `keyCol` so the output is reproducible. One shuffle on the stratum

@@ -448,4 +448,66 @@ class MixingSpec extends SparkSpec {
     assert(ledger.where(col("phase") === "p2" && col("domain") === "d2")
       .select("rate").head().getDouble(0) == 1.0)
   }
+
+  test("ablationLadder: rung membership nests and equals deterministicSample") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rungs = Seq(0.01, 0.1, 0.5, 1.0)
+    val ladder = Mixing.ablationLadder(docs, "doc_id", rungs)
+    val byRung = ladder.select(col("doc_id"), col("rung")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // last rung 1.0 keeps every row
+    assert(byRung.size == docs.count())
+    // the rate-r ablation (rung <= r) IS deterministicSample(r) — the
+    // shared-bucket nesting guarantee, checked for every rung
+    rungs.foreach { r =>
+      val viaLadder = byRung.collect { case (id, rg) if rg <= r => id }.toSet
+      val viaSample = Mixing.deterministicSample(docs, "doc_id", r)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaLadder == viaSample, s"rung $r drifted from the sample")
+    }
+    // nesting is strict: each rung's cumulative set contains the previous
+    val cums = rungs.map(r => byRung.collect {
+      case (id, rg) if rg <= r => id }.toSet)
+    cums.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b)) }
+  }
+
+  test("ablationLadder: rows beyond the largest rung are dropped") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val half = Mixing.ablationLadder(docs, "doc_id", Seq(0.1, 0.5))
+    val sample = Mixing.deterministicSample(docs, "doc_id", 0.5)
+    assert(half.count() == sample.count())
+    assert(half.agg(max(col("rung"))).head().getDouble(0) == 0.5)
+  }
+
+  test("ablationLadder: validation rejects bad rung lists") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    intercept[IllegalArgumentException] {
+      Mixing.ablationLadder(docs, "doc_id", Seq(0.5, 0.1)) }
+    intercept[IllegalArgumentException] {
+      Mixing.ablationLadder(docs, "doc_id", Seq(0.1, 0.1)) }
+    intercept[IllegalArgumentException] {
+      Mixing.ablationLadder(docs, "doc_id", Seq(0.0, 0.5)) }
+    intercept[IllegalArgumentException] {
+      Mixing.ablationLadder(docs, "doc_id", Seq.empty) }
+  }
+
+  test("ablationLadderStats: marginals sum to cumulative; tokens exact") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ladder = Mixing.ablationLadder(docs, "doc_id", Seq(0.1, 0.5, 1.0))
+    val stats = Mixing.ablationLadderStats(ladder,
+      graft.llm.TextAnalysis.wsTokenCount(col("text")))
+      .orderBy(col("rung")).collect()
+    assert(stats.length == 3)
+    var cd = 0L; var ct = 0L
+    stats.foreach { r =>
+      cd += r.getLong(1); ct += r.getLong(2)
+      assert(r.getLong(3) == cd && r.getLong(4) == ct)
+    }
+    // the full-corpus rung's cumulative equals the corpus totals
+    val totalDocs = docs.count()
+    val totalToks = docs.agg(sum(graft.llm.TextAnalysis
+      .wsTokenCount(col("text")).cast("long"))).head().getLong(0)
+    assert(stats.last.getLong(3) == totalDocs)
+    assert(stats.last.getLong(4) == totalToks)
+  }
 }
