@@ -11521,6 +11521,70 @@ object Queries {
         CAST(SUM(tokens) OVER (ORDER BY rung) AS BIGINT) AS cum_tokens
       FROM a ORDER BY rung"""))
 
+  /** The one-config link-graph product: job 1 distills events into
+    * host priors (transitions → 3 ordered-fold PageRank sweeps → host
+    * fold) persisted via `parquet_dir`; job 2 gates the documents
+    * table on them, keeps one language, and cuts the survivors into
+    * the nested scaling-law ablation ladder — the host-quality-gated
+    * data-scaling study as two declared jobs. The DuckDB oracle
+    * replays the WHOLE product from events + documents in one
+    * statement. */
+  private val graphPriorYaml = QueryDef("graph_prior_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "graph_prior_yaml")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val yaml =
+        s"""jobs:
+           |  - name: host_priors
+           |    extract:
+           |      - kind: parquet
+           |        path: $d/events.parquet
+           |        prefix: ""
+           |    transform:
+           |      - kind: graph_transitions
+           |        options: {gapMinutes: '240'}
+           |      - kind: pagerank
+           |        options: {orderedFold: 'true'}
+           |      - kind: host_prior
+           |    load:
+           |      - kind: parquet_dir
+           |        options: {path: $dir/priors}
+           |  - name: gated_ladder
+           |    extract:
+           |      - kind: parquet
+           |        path: $d/documents.parquet
+           |        prefix: ""
+           |    transform:
+           |      - kind: host_prior_gate
+           |        options: {priorsPath: $dir/priors, minPrior: '0.05'}
+           |      - kind: where
+           |        options: {column: lang, equals: 'en'}
+           |      - kind: ablation_ladder
+           |        options: {keyCol: doc_id, rungs: '0.01,0.1,0.5,1.0'}
+           |    load:
+           |      - kind: parquet_dir
+           |        options: {path: $dir/out}
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      s.read.parquet(s"$dir/out")
+        .select(col("doc_id"), col("source"), col("lang"), col("prior"),
+          col("rung"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)},
+      ${sqlGraphHostPrior("r3")}
+      SELECT d.doc_id, d.source, d.lang, h.prior, $sqlAblationRung AS rung
+      FROM documents d JOIN hp h ON d.source = h.host
+      WHERE h.prior >= 0.05 AND d.lang = 'en'
+      ORDER BY d.doc_id"""))
+
   /** Full registry, in SURVEY §2 order. */
   val all: Vector[QueryDef] = Vector(
     q1Agg, q3Topn, q5Region, skewJoinQ, a2Collect, a5Merge, a6Dedup,
@@ -11607,5 +11671,5 @@ object Queries {
     eventsSessions,
     graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphHostPriorQ,
     graphPriorGateQ,
-    ablationLadderQ, ablationLadderStatsQ)
+    ablationLadderQ, ablationLadderStatsQ, graphPriorYaml)
 }

@@ -531,6 +531,57 @@ object ConfigLoader {
       "upsample" -> (o => df =>
         graft.llm.Mixing.upsample(df, req(o, "keyCol"),
           req(o, "rate").toDouble, o.getOrElse("salt", "graft"))),
+      // scaling-law ablation ladder: nested deterministic subsamples
+      // from one md5 rank (rung <= r ≡ deterministic sample at rate r).
+      // rungs: "0.01,0.1,0.5,1.0" — ascending, distinct, in (0,1]
+      "ablation_ladder" -> (o => df => {
+        val rungs = req(o, "rungs").split(",").map(_.trim).map { r =>
+          if (!r.matches("""\d*\.?\d+"""))
+            throw new Pipeline.ValidationException(
+              s"ablation_ladder: bad rung '$r' (expected a number)")
+          r.toDouble
+        }.toSeq
+        try graft.llm.Mixing.ablationLadder(df, req(o, "keyCol"), rungs,
+          o.getOrElse("salt", "graft"), o.getOrElse("rungCol", "rung"))
+        catch { case e: IllegalArgumentException
+            if !e.isInstanceOf[Pipeline.ValidationException] =>
+          // surface the operator's rung-list invariants as the config
+          // surface's uniform failure type
+          throw new Pipeline.ValidationException(e.getMessage)
+        }
+      }),
+      // link-graph quality priors as chain stages (graft.llm.LinkGraph):
+      // job 1: events -> graph_transitions -> pagerank -> host_prior ->
+      // parquet_dir; job 2: documents -> host_prior_gate(priorsPath) —
+      // the two-phase handoff shape (classifier_train/classifier_filter)
+      "graph_transitions" -> (o => df =>
+        graft.llm.LinkGraph.sessionTransitions(df,
+          // page identity: a column, or a JSON prop of a props column
+          o.get("pageCol").map(ColumnNs.q).getOrElse(
+            get_json_object(ColumnNs.q(o.getOrElse("propsCol", "props")),
+              "$." + o.getOrElse("pageProp", "k")).cast("long")),
+          userCol = o.getOrElse("userCol", "user_id"),
+          tsCol = o.getOrElse("tsCol", "ts"),
+          tieCol = o.getOrElse("tieCol", "event_id"),
+          gapMinutes = o.getOrElse("gapMinutes", "30").toInt)),
+      "pagerank" -> (o => df =>
+        graft.llm.LinkGraph.pageRank(df,
+          iters = o.getOrElse("iters", "3").toInt,
+          damping = o.getOrElse("damping", "0.85").toDouble,
+          orderedFold = o.getOrElse("orderedFold", "false").toBoolean)),
+      // page -> host fold; the prefix/mod map is the synthetic bridge
+      // onto the documents table's source domain (real deployments map
+      // page URLs to their registered domain upstream)
+      "host_prior" -> (o => df =>
+        graft.llm.LinkGraph.hostPrior(df,
+          concat(lit(o.getOrElse("hostPrefix", "src")),
+            (col("node") % o.getOrElse("hostMod", "20").toInt)
+              .cast("string")))),
+      "host_prior_gate" -> (o => df =>
+        graft.llm.LinkGraph.priorGate(df,
+          df.sparkSession.read.parquet(req(o, "priorsPath")),
+          o.getOrElse("hostCol", "source"),
+          minPrior = req(o, "minPrior").toDouble)),
       // the DoReMi trainer-mix stage as ONE chain step (the published
       // two-phase recipe: measure iterated excess-loss weights on the
       // corpus itself, then resample it under them): weights -> rates

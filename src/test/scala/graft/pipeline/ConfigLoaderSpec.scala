@@ -1699,4 +1699,54 @@ class ConfigLoaderSpec extends SparkSpec {
       .select("reason").distinct().as[String].collect().toSeq
       == Seq("role_order"))
   }
+
+  test("link-graph + ablation kinds: kind paths equal the library calls") {
+    import ConfigLoader.transformKinds
+    val events = graft.Queries.readEvents(spark, sfDir)
+    // transitions -> pagerank -> host_prior through the registry
+    val edgesK = transformKinds("graph_transitions")(
+      Map("gapMinutes" -> "240"))(events)
+    val edgesL = graft.llm.LinkGraph.sessionTransitions(events,
+      get_json_object(col("props"), "$.k").cast("long"), gapMinutes = 240)
+    assert(rowsOf(edgesK) == rowsOf(edgesL))
+    val ranksK = transformKinds("pagerank")(
+      Map("orderedFold" -> "true"))(edgesK)
+    val ranksL = graft.llm.LinkGraph.pageRank(edgesL, iters = 3,
+      orderedFold = true)
+    assert(rowsOf(ranksK) == rowsOf(ranksL))
+    val priorsK = transformKinds("host_prior")(Map())(ranksK)
+    val priorsL = graft.llm.LinkGraph.hostPrior(ranksL,
+      concat(lit("src"), (col("node") % 20).cast("string")))
+    assert(rowsOf(priorsK) == rowsOf(priorsL))
+    // gate through priorsPath (the two-phase handoff)
+    val work = Files.createTempDirectory("graft_graph_kind").toString
+    priorsK.write.mode("overwrite").parquet(s"$work/priors")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val gatedK = transformKinds("host_prior_gate")(
+      Map("priorsPath" -> s"$work/priors", "minPrior" -> "0.05"))(docs)
+    val gatedL = graft.llm.LinkGraph.priorGate(docs, priorsL,
+      "source", minPrior = 0.05)
+    assert(rowsOf(gatedK) == rowsOf(gatedL))
+    // ablation ladder kind == operator; rung column present
+    val ladK = transformKinds("ablation_ladder")(
+      Map("keyCol" -> "doc_id", "rungs" -> "0.1,0.5,1.0"))(docs)
+    val ladL = graft.llm.Mixing.ablationLadder(docs, "doc_id",
+      Seq(0.1, 0.5, 1.0))
+    assert(rowsOf(ladK) == rowsOf(ladL))
+  }
+
+  test("ablation_ladder kind: malformed rung lists fail as ValidationException") {
+    import ConfigLoader.transformKinds
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // non-numeric entry
+    val e1 = intercept[Pipeline.ValidationException](
+      transformKinds("ablation_ladder")(
+        Map("keyCol" -> "doc_id", "rungs" -> "0.1,abc"))(docs))
+    assert(e1.getMessage.contains("abc"))
+    // operator invariants surface as the config failure type too
+    val e2 = intercept[Pipeline.ValidationException](
+      transformKinds("ablation_ladder")(
+        Map("keyCol" -> "doc_id", "rungs" -> "0.5,0.1"))(docs))
+    assert(e2.getMessage.contains("ascending"))
+  }
 }
