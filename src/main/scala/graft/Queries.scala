@@ -11381,8 +11381,24 @@ object Queries {
     * while Scala/Spark compute binary64 `1.0 - 0.85` =
     * 0.15000000000000002; the one-ulp base difference flips the final
     * rounding on a few nodes per sweep. */
-  private def sqlGraphRanks(iters: Int, damping: Double = 0.85): String = {
+  private def sqlGraphRanks(iters: Int, damping: Double = 0.85,
+                            seedPred: Option[String] = None): String = {
     val d = s"CAST(${damping.toString} AS DOUBLE)"
+    // uniform teleport (PageRank) vs seed-concentrated (TrustRank):
+    // same sweeps, different base/init expressions over a seed count
+    val (cnt, base, r0) = seedPred match {
+      case None => ("nn",
+        s"(CAST(1.0 AS DOUBLE) - $d) / nn.n",
+        "CAST(1.0 AS DOUBLE) / nn.n")
+      case Some(p) => ("ns",
+        s"""CASE WHEN $p THEN (CAST(1.0 AS DOUBLE) - $d) / ns.n
+           ELSE CAST(0.0 AS DOUBLE) END""",
+        s"""CASE WHEN $p THEN CAST(1.0 AS DOUBLE) / ns.n
+           ELSE CAST(0.0 AS DOUBLE) END""")
+    }
+    val seedCte = seedPred.map(p =>
+      s""",
+      ns AS (SELECT COUNT(*) AS n FROM nodes n WHERE $p)""").getOrElse("")
     val sweeps = (1 to iters).map { i =>
       s"""e$i AS (SELECT e.dst, e.src, (r.rank / o.ow) * e.weight AS contrib
         FROM edges e JOIN outw o ON e.src = o.src
@@ -11392,17 +11408,17 @@ object Queries {
           AS mass
         FROM e$i GROUP BY dst),
       r$i AS (SELECT n.node,
-        (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d * COALESCE(m.mass, 0.0)
+        $base + $d * COALESCE(m.mass, 0.0)
           AS rank
-        FROM nodes n CROSS JOIN nn LEFT JOIN m$i m ON n.node = m.dst)"""
+        FROM nodes n CROSS JOIN $cnt LEFT JOIN m$i m ON n.node = m.dst)"""
     }.mkString(",\n      ")
     s"""nodes AS (SELECT DISTINCT node FROM
         (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      nn AS (SELECT COUNT(*) AS n FROM nodes)$seedCte,
       outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS ow
         FROM edges GROUP BY src),
-      r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
-        FROM nodes CROSS JOIN nn),
+      r0 AS (SELECT node, $r0 AS rank
+        FROM nodes n CROSS JOIN $cnt),
       $sweeps"""
   }
 
@@ -11520,6 +11536,24 @@ object Queries {
         CAST(SUM(docs) OVER (ORDER BY rung) AS BIGINT) AS cum_docs,
         CAST(SUM(tokens) OVER (ORDER BY rung) AS BIGINT) AS cum_tokens
       FROM a ORDER BY rung"""))
+
+  /** TrustRank over the click graph: teleport concentrated on the
+    * vetted seed pages (node < 10 — ten trusted pages), the published
+    * spam-demotion prior (Gyöngyi et al. 2004). Seeds hold most trust;
+    * pages unreachable from any seed sit at exactly 0.0 regardless of
+    * their in-links — the property PageRank lacks. */
+  private val graphTrustrankQ = QueryDef("graph_trustrank",
+    (s, d) => {
+      val edges = graphEdges(s, d)
+      val seeds = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .where(col("node") < 10).distinct()
+      graft.llm.LinkGraph.trustRank(edges, seeds, iters = 3,
+        orderedFold = true).orderBy(col("node"))
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3, seedPred = Some("n.node < 10"))}
+      SELECT node, rank FROM r3 ORDER BY node"""))
 
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
@@ -11671,5 +11705,6 @@ object Queries {
     eventsSessions,
     graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphHostPriorQ,
     graphPriorGateQ,
-    ablationLadderQ, ablationLadderStatsQ, graphPriorYaml)
+    ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
+    graphTrustrankQ)
 }

@@ -107,6 +107,51 @@ object LinkGraph {
         x => x("v")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Shared sweep loop: `rank(v) = base(v) + d · Σ in-mass(v)` for
+    * `iters` sweeps over a checkpointed edge list. `withBase` carries
+    * (node, __base, rank) — uniform base = PageRank, seed-only base =
+    * TrustRank; the teleport VECTOR is the only thing the two differ
+    * by (Gyöngyi et al. 2004 §3). */
+  private def rankSweeps(e: DataFrame, withBase: DataFrame, iters: Int,
+                         damping: Double,
+                         orderedFold: Boolean): DataFrame = {
+    val outW = e.groupBy(col("src"))
+      .agg(sum(col("__w")).as("__ow")).localCheckpoint()
+    var ranks = withBase
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(outW, "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst"), col("src"),
+          ((col("rank") / col("__ow")) * col("__w")).as("__contrib"))
+      val mass =
+        if (orderedFold)
+          contribs.groupBy(col("dst"))
+            .agg(orderedFoldSum(col("src"), col("__contrib")).as("__mass"))
+        else
+          contribs.groupBy(col("dst"))
+            .agg(sum(col("__contrib")).as("__mass"))
+      ranks = withBase
+        .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("__base"),
+          (col("__base") + lit(damping) * coalesce(col("__mass"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint() // pin the sweep: flat lineage, AQE re-plan
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  private def checkpointedEdges(edges: DataFrame): DataFrame =
+    // edges are re-joined every sweep — checkpoint ONCE so the source
+    // scan (the only corpus-sized read) doesn't replay per iteration
+    edges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("__w")).localCheckpoint()
+
+  private def nodesOf(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+
   /** `iters` sweeps of the damped rank recurrence
     * `rank(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank(u) · w(u,v) / W(u)`
     * over a weighted (src, dst, weight) edge list; `W(u)` is u's total
@@ -120,40 +165,48 @@ object LinkGraph {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0,1), got $damping")
-    // edges are re-joined every sweep — checkpoint ONCE so the source
-    // scan (the only corpus-sized read) doesn't replay per iteration
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("long").as("__w")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+    val e = checkpointedEdges(edges)
+    val nodes = nodesOf(e)
     val n = nodes.count() // bounded driver scalar: one row per node
     require(n > 0, "pageRank: empty edge list")
-    val base = (1.0 - damping) / n
-    val outW = e.groupBy(col("src"))
-      .agg(sum(col("__w")).as("__ow")).localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(outW, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), col("src"),
-          ((col("rank") / col("__ow")) * col("__w")).as("__contrib"))
-      val mass =
-        if (orderedFold)
-          contribs.groupBy(col("dst"))
-            .agg(orderedFoldSum(col("src"), col("__contrib")).as("__mass"))
-        else
-          contribs.groupBy(col("dst"))
-            .agg(sum(col("__contrib")).as("__mass"))
-      ranks = nodes
-        .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint() // pin the sweep: flat lineage, AQE re-plan
-    }
-    ranks
+    val withBase = nodes.select(col("node"),
+      lit((1.0 - damping) / n).as("__base"), lit(1.0 / n).as("rank"))
+    rankSweeps(e, withBase, iters, damping, orderedFold)
+  }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web
+    * Spam with TrustRank", VLDB 2004): the same damped recurrence with
+    * the teleport vector CONCENTRATED on a vetted seed set — trust
+    * flows out from seeds along links and decays with distance, so
+    * hosts unreachable from any seed end at (near-)zero no matter how
+    * densely they link each other. The spam-demotion prior crawl
+    * pipelines keep next to raw popularity: a link farm inflates
+    * PageRank but not TrustRank. `seeds` is one `node` column
+    * (broadcast — seed lists are vetted and small by construction);
+    * seeds absent from the graph are ignored. Init and teleport are
+    * the published §4.3 form: 1/|S| on seeds, 0 elsewhere. Same
+    * physical shapes and `orderedFold` contract as [[pageRank]]. */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                damping: Double = 0.85,
+                orderedFold: Boolean = false): DataFrame = {
+    require(iters >= 1, s"trustRank: iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"trustRank: damping must be in (0,1), got $damping")
+    val e = checkpointedEdges(edges)
+    val nodes = nodesOf(e)
+    val flagged = nodes
+      .join(broadcast(seeds.select(col("node")).distinct()
+        .withColumn("__seed", lit(1))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0)).as("__seed"))
+      .localCheckpoint()
+    val nSeeds = flagged.where(col("__seed") === 1).count()
+    require(nSeeds > 0, "trustRank: no seed is present in the graph")
+    val withBase = flagged.select(col("node"),
+      when(col("__seed") === 1, lit((1.0 - damping) / nSeeds))
+        .otherwise(lit(0.0)).as("__base"),
+      when(col("__seed") === 1, lit(1.0 / nSeeds))
+        .otherwise(lit(0.0)).as("rank"))
+    rankSweeps(e, withBase, iters, damping, orderedFold)
   }
 
   /** Host-level prior from page ranks: `hostOf` maps the `node` column

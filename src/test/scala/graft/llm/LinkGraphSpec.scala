@@ -112,4 +112,52 @@ class LinkGraphSpec extends SparkSpec {
     // src0 (0.55) and src2 (0.30) clear; src1 (0.15) and absent src9 drop
     assert(kept === Set(1L, 3L))
   }
+
+  test("trustRank: trust flows from seeds only; unreachable nodes at 0") {
+    // s -> a -> b ; spam ring c <-> d linking densely but unreachable
+    // from the seed: TrustRank must leave c,d at exactly 0.0
+    val edges = Seq(("s", "a", 1L), ("a", "b", 1L),
+      ("c", "d", 5L), ("d", "c", 5L)).toDF("src", "dst", "weight")
+    val seeds = Seq("s").toDF("node")
+    val r = LinkGraph.trustRank(edges, seeds, iters = 4).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("c") === 0.0 && r("d") === 0.0)
+    assert(r("s") === (1.0 - 0.85)) // |S| = 1, no in-links: teleport only
+    assert(r("a") > r("b") && r("b") > 0.0)
+    // contrast: PageRank rewards the ring's density
+    val pr = LinkGraph.pageRank(edges, iters = 4).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(pr("c") > pr("a"), "the ring inflates PageRank")
+  }
+
+  test("trustRank: seeds absent from the graph are ignored; none fails") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "weight")
+    val r = LinkGraph.trustRank(edges,
+      Seq("a", "ghost").toDF("node"), iters = 2).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set("a", "b")) // |S ∩ V| = 1
+    assert(r("a") > r("b"))
+    intercept[IllegalArgumentException] {
+      LinkGraph.trustRank(edges, Seq("ghost").toDF("node"), iters = 2)
+        .collect()
+    }
+  }
+
+  test("trustRank: orderedFold and partial-sum modes agree to 1e-12") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val edges = LinkGraph.sessionTransitions(events,
+      get_json_object(col("props"), "$.k").cast("long"), gapMinutes = 240)
+    val seeds = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .where(col("node") < 10).distinct()
+    val a = LinkGraph.trustRank(edges, seeds, iters = 3, orderedFold = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = LinkGraph.trustRank(edges, seeds, iters = 3, orderedFold = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+    // total trust bounded by 1 (teleport + dangling leak only shrink it)
+    assert(a.values.sum <= 1.0 + 1e-9)
+  }
 }
