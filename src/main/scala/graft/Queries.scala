@@ -11555,6 +11555,44 @@ object Queries {
       ${sqlGraphRanks(3, seedPred = Some("n.node < 10"))}
       SELECT node, rank FROM r3 ORDER BY node"""))
 
+  /** Streamed twin of `graph_transitions`: the real events table
+    * arrives as two MemoryStream micro-batches split mid-timeline
+    * (per-user arrival order = event-time order, the stream≡batch
+    * lever) plus an at-least-once redelivery of early rows; per-user
+    * state carries the last page across the boundary; the idempotent
+    * ledger finalizes to the SAME edge list the batch operator
+    * computes — bound to the same oracle. Events collect to the driver
+    * only to feed MemoryStream (bounded fixture convention). */
+  private val graphTransitionsStreamQ = QueryDef("graph_transitions_stream",
+    (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          graphPageKey.as("page"))
+        .as[graft.streaming.EventsStream.PageEvent].collect()
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      val ledgerDir = tmpDir(d, "graph_transitions_stream_ledger")
+      val lp = new org.apache.hadoop.fs.Path(ledgerDir)
+      lp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(lp, true)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventsStream.PageEvent]
+      val q = graft.streaming.EventsStream.transitionsLedgerSink(
+        graft.streaming.EventsStream.transitionsStream(mem.toDS(),
+          gapMinutes = graphGapMinutes, stateTtl = "720 hours"), ledgerDir)
+      try {
+        mem.addData(b1.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((b2 ++ b1.take(50)).toSeq: _*) // redelivery absorbed
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.EventsStream.finalizeTransitionsLedger(s, ledgerDir)
+        .orderBy(col("src"), col("dst"))
+    },
+    Some(s"""WITH $sqlGraphEdges
+      SELECT src, dst, weight FROM edges ORDER BY src, dst"""))
+
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
     * fold) persisted via `parquet_dir`; job 2 gates the documents
@@ -11706,5 +11744,5 @@ object Queries {
     graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphHostPriorQ,
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
-    graphTrustrankQ)
+    graphTrustrankQ, graphTransitionsStreamQ)
 }

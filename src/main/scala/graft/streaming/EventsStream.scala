@@ -237,4 +237,111 @@ object EventsStream {
           }
       }
   }
+
+  final case class PageEvent(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp, page: Long)
+  final case class TransState(lastTsMicros: Long, lastEventId: Long,
+                              lastPage: Long)
+  final case class TransitionHit(user_id: Long, event_id: Long,
+                                 src: Long, dst: Long)
+
+  /** Streamed click-transition mining — the continuous half of the
+    * link-graph prior ([[graft.llm.LinkGraph]]): page events arrive as
+    * micro-batches; per-user state carries the LAST (ts, page) across
+    * batches so a transition spanning a batch boundary is still
+    * emitted. Each qualifying consecutive pair (gap ≤ `gapMinutes`)
+    * emits one [[TransitionHit]] keyed by the LATER event's id — the
+    * idempotence key the ledger sink anti-joins on, so at-least-once
+    * redelivery cannot double-count an edge. State is one small struct
+    * per user, evicted once the event-time watermark passes `stateTtl`
+    * beyond the user's last event (the [[sessionize]] eviction
+    * contract). Equal to [[graft.llm.LinkGraph.sessionTransitions]]
+    * when per-user arrival order matches event-time order (the
+    * watermark drops later-than-ttl stragglers in production;
+    * spec-bound on ordered fixtures). */
+  def transitionsStream(events: Dataset[PageEvent], gapMinutes: Int = 30,
+                        stateTtl: String = "2 hours")
+      : Dataset[TransitionHit] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", stateTtl) else events
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransitionHit](OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[PageEvent],
+         state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val out = Seq.newBuilder[TransitionHit]
+            var st = state.getOption
+              .getOrElse(TransState(Long.MinValue, Long.MinValue,
+                Long.MinValue))
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              // only STRICTLY newer (ts, event_id) advance the walk: a
+              // redelivered or out-of-order-late event must neither
+              // regress state nor fabricate a backward edge (caught
+              // live: replaying batch 1 after batch 2 emitted a bogus
+              // last-page -> first-page transition)
+              val newer = t > st.lastTsMicros ||
+                (t == st.lastTsMicros && e.event_id > st.lastEventId)
+              if (newer) {
+                if (st.lastTsMicros != Long.MinValue &&
+                    t - st.lastTsMicros <= gapMicros)
+                  out += TransitionHit(userId, e.event_id, st.lastPage,
+                    e.page)
+                st = TransState(t, e.event_id, e.page)
+              }
+            }
+            state.update(st)
+            if (streaming) {
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsMicros / 1000L, wm + 1L), stateTtl)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Idempotent ledger sink for [[transitionsStream]]: each
+    * micro-batch's hits anti-join the ledger's own (user_id, event_id)
+    * before appending, so redelivered batches are absorbed. */
+  def transitionsLedgerSink(hits: Dataset[TransitionHit], outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(hits.isStreaming, "transitionsLedgerSink: expected a stream")
+    hits.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[TransitionHit], _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
+            batch.toDF().join(spark.read.parquet(outDir)
+                .select(col("user_id"), col("event_id")).distinct(),
+              Seq("user_id", "event_id"), "left_anti")
+          else batch.toDF())
+          .localCheckpoint(true) // sever lineage from the ledger dir
+        if (!fresh.isEmpty)
+          fresh.write.mode("append").parquet(outDir)
+      }.start()
+  }
+
+  /** Epoch-boundary finalization of a [[transitionsStream]] ledger:
+    * aggregate hits to the (src, dst, weight) edge list — EXACTLY
+    * [[graft.llm.LinkGraph.sessionTransitions]]'s output over the
+    * union of the streamed batches (spec-bound), ready for
+    * [[graft.llm.LinkGraph.pageRank]]/[[graft.llm.LinkGraph.trustRank]].
+    * The defensive dropDuplicates is a no-op when the sink's anti-join
+    * ran (kept so a hand-assembled ledger cannot double-count). */
+  def finalizeTransitionsLedger(spark: org.apache.spark.sql.SparkSession,
+                                ledgerDir: String): DataFrame =
+    spark.read.parquet(ledgerDir)
+      .dropDuplicates("user_id", "event_id")
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
 }

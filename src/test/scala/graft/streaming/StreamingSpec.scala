@@ -1873,4 +1873,65 @@ class StreamingSpec extends SparkSpec {
         "<|user|>hi<|end|><|assistant|>hello<|end|>")
     } finally q.stop()
   }
+
+  test("transitionsStream: cross-batch state + redelivery; finalize ≡ batch sessionTransitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStream.PageEvent
+    // per-user page walks engineered to cross the batch boundary:
+    // user 1: 10 -> 11 (batch 1) -> 12 (batch 2, gap ok) -> 13 (gap too big)
+    // user 2: 20 (batch 1) -> 20 (batch 2) self-loop; user 3 singleton
+    val b1 = Seq(
+      PageEvent(1L, 100L, ts(0), 10L), PageEvent(1L, 101L, ts(5), 11L),
+      PageEvent(2L, 200L, ts(3), 20L), PageEvent(3L, 300L, ts(4), 30L))
+    val b2 = Seq(
+      PageEvent(1L, 102L, ts(20), 12L),   // 15 min after 101: edge 11->12
+      PageEvent(1L, 103L, ts(100), 13L),  // 80 min gap: NO edge
+      PageEvent(2L, 201L, ts(25), 20L))   // self-loop 20->20
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trans_stream").toString + "/ledger"
+    val mem = MemoryStream[PageEvent]
+    val q = EventsStream.transitionsLedgerSink(
+      EventsStream.transitionsStream(mem.toDS(), gapMinutes = 30), dir)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable() // redelivery absorbed
+    } finally q.stop()
+    val streamed = EventsStream.finalizeTransitionsLedger(spark, dir)
+    val batch = graft.llm.LinkGraph.sessionTransitions(
+      (b1 ++ b2).toDF(), col("page"), gapMinutes = 30)
+    assert(rowsOf(streamed) == rowsOf(batch))
+    // the cross-batch edge is present — state carried 11 over the boundary
+    assert(rowsOf(streamed).contains("[11,12,1]"))
+    assert(rowsOf(streamed).contains("[20,20,1]"))
+  }
+
+  test("transitionsStream finalize ≡ batch on real events split mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStream.PageEvent
+    val ev = graft.Queries.readEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"))
+      .as[PageEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ev.splitAt(ev.length / 2) // global ts order → per-user order
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trans_real").toString + "/ledger"
+    val mem = MemoryStream[PageEvent]
+    val q = EventsStream.transitionsLedgerSink(
+      EventsStream.transitionsStream(mem.toDS(), gapMinutes = 240,
+        stateTtl = "48 hours"), dir)
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = EventsStream.finalizeTransitionsLedger(spark, dir)
+    val batch = graft.llm.LinkGraph.sessionTransitions(
+      graft.Queries.readEvents(spark, sfDir),
+      get_json_object(col("props"), "$.k").cast("long"), gapMinutes = 240)
+    assert(rowsOf(streamed) == rowsOf(batch))
+    // and the downstream rank is therefore identical too
+    val rs = graft.llm.LinkGraph.pageRank(streamed, 2, orderedFold = true)
+    val rb = graft.llm.LinkGraph.pageRank(batch, 2, orderedFold = true)
+    assert(rowsOf(rs) == rowsOf(rb))
+  }
 }
