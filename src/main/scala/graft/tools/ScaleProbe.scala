@@ -667,6 +667,46 @@ object ScaleProbe {
           graft.multimodal.Pairs.interleaveImages(chunks, imgs).count()
         }
       }
+      // LINK-GRAPH probe: replicate events by SHIFTING USER IDS (each
+      // replica's walks stay intact, so transitions grow linearly with
+      // k) over the FIXED 100-page node set — the web shape, where the
+      // event log dwarfs the graph. The transitions window + edge
+      // aggregation must track the scan; the 3 PageRank sweeps run
+      // over the saturating distinct-edge list (≤ nodes², constant
+      // here), so their cost must go FLAT as k grows — evidence the
+      // iteration never touches the event log
+      if (opsFilter.isEmpty || opsFilter.exists(f =>
+          Seq("graph_prior", "graph_edges").exists(_.contains(f)))) {
+        val evK = (0 until k).map { i =>
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .select((col("user_id") + lit(i.toLong * 10000000L))
+                .as("user_id"),
+              (col("event_id") + lit(i.toLong * 1000000000L))
+                .as("event_id"),
+              col("ts"), col("props"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        var edges: DataFrame = null
+        time(s"graph_edges x$k") {
+          edges = graft.llm.LinkGraph.sessionTransitions(evK,
+            get_json_object(col("props"), "$.k").cast("long"),
+            gapMinutes = 240).localCheckpoint(true)
+          edges.count()
+        }
+        time(s"graph_prior x$k") {
+          graft.llm.LinkGraph.hostPrior(
+            graft.llm.LinkGraph.pageRank(edges, iters = 3),
+            concat(lit("src"), (col("node") % 20).cast("string"))).count()
+        }
+        evK.unpersist()
+      }
+      time(s"ablation_ladder x$k") {
+        // map-only CASE + one rung-key exchange over a ≤4-row frame:
+        // must track the token-count scan exactly
+        graft.llm.Mixing.ablationLadderStats(
+          graft.llm.Mixing.ablationLadder(corpus, "doc_id",
+            Seq(0.01, 0.1, 0.5, 1.0)),
+          graft.llm.TextAnalysis.wsTokenCount(col("text"))).count()
+      }
       // SERVING probe: per-batch answer cost must track the QUERY
       // batch (k×-growing), not the fixed index it probes
       if (opsFilter.isEmpty || opsFilter.exists("ivf_serve".contains(_))) {

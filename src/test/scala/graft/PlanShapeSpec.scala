@@ -37,7 +37,9 @@ class PlanShapeSpec extends SparkSpec {
     "sft_validate", "sft_render", "sft_spans", "sft_dedup",
     "sft_validate_nested", "sft_spans_nested",
     "pref_validate", "pref_dedup", "pref_length_bias", "pref_render",
-    "quality_routed")
+    "quality_routed",
+    "graph_transitions", "graph_degrees", "graph_prior_gate",
+    "ablation_ladder", "ablation_ladder_stats")
 
   /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
     * into the insert branch (bounded by construction); ann_bruteforce
@@ -89,6 +91,17 @@ class PlanShapeSpec extends SparkSpec {
       "q1_agg: lineitem scan reads l_comment")
     assert(!plan("q3_topn").contains("l_comment"),
       "q3_topn: lineitem scan reads l_comment")
+  }
+
+  test("host-prior gate joins by broadcast (map-only on the corpus side)") {
+    // the gate's contract is zero new exchanges ahead of the funnel: the
+    // one-row-per-host prior frame must enter as a BroadcastHashJoin,
+    // never a shuffle join on the corpus
+    val p = plan("graph_prior_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      "graph_prior_gate: prior join is not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "graph_prior_gate: corpus-side shuffle join entered the gate plan")
   }
 
   test("whole-stage codegen spans the hot aggregation path") {
