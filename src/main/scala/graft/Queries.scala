@@ -11381,52 +11381,59 @@ object Queries {
     * while Scala/Spark compute binary64 `1.0 - 0.85` =
     * 0.15000000000000002; the one-ulp base difference flips the final
     * rounding on a few nodes per sweep. */
+  /** `pfx` namespaces every CTE (nodes/outw/r0…rN…), so one statement
+    * can carry BOTH the PageRank and the TrustRank chain (spam mass). */
   private def sqlGraphRanks(iters: Int, damping: Double = 0.85,
-                            seedPred: Option[String] = None): String = {
+                            seedPred: Option[String] = None,
+                            pfx: String = ""): String = {
     val d = s"CAST(${damping.toString} AS DOUBLE)"
     // uniform teleport (PageRank) vs seed-concentrated (TrustRank):
     // same sweeps, different base/init expressions over a seed count
     val (cnt, base, r0) = seedPred match {
-      case None => ("nn",
-        s"(CAST(1.0 AS DOUBLE) - $d) / nn.n",
-        "CAST(1.0 AS DOUBLE) / nn.n")
-      case Some(p) => ("ns",
-        s"""CASE WHEN $p THEN (CAST(1.0 AS DOUBLE) - $d) / ns.n
+      case None => (s"${pfx}nn",
+        s"(CAST(1.0 AS DOUBLE) - $d) / ${pfx}nn.n",
+        s"CAST(1.0 AS DOUBLE) / ${pfx}nn.n")
+      case Some(p) => (s"${pfx}ns",
+        s"""CASE WHEN $p THEN (CAST(1.0 AS DOUBLE) - $d) / ${pfx}ns.n
            ELSE CAST(0.0 AS DOUBLE) END""",
-        s"""CASE WHEN $p THEN CAST(1.0 AS DOUBLE) / ns.n
+        s"""CASE WHEN $p THEN CAST(1.0 AS DOUBLE) / ${pfx}ns.n
            ELSE CAST(0.0 AS DOUBLE) END""")
     }
     val seedCte = seedPred.map(p =>
       s""",
-      ns AS (SELECT COUNT(*) AS n FROM nodes n WHERE $p)""").getOrElse("")
+      ${pfx}ns AS (SELECT COUNT(*) AS n FROM ${pfx}nodes n WHERE $p)""")
+      .getOrElse("")
     val sweeps = (1 to iters).map { i =>
-      s"""e$i AS (SELECT e.dst, e.src, (r.rank / o.ow) * e.weight AS contrib
-        FROM edges e JOIN outw o ON e.src = o.src
-        JOIN r${i - 1} r ON e.src = r.node),
-      m$i AS (SELECT dst,
+      s"""${pfx}e$i AS (SELECT e.dst, e.src,
+          (r.rank / o.ow) * e.weight AS contrib
+        FROM edges e JOIN ${pfx}outw o ON e.src = o.src
+        JOIN ${pfx}r${i - 1} r ON e.src = r.node),
+      ${pfx}m$i AS (SELECT dst,
         ${sqlFold("list(contrib ORDER BY src)", "0.0", "(acc,v) -> acc+v")}
           AS mass
-        FROM e$i GROUP BY dst),
-      r$i AS (SELECT n.node,
+        FROM ${pfx}e$i GROUP BY dst),
+      ${pfx}r$i AS (SELECT n.node,
         $base + $d * COALESCE(m.mass, 0.0)
           AS rank
-        FROM nodes n CROSS JOIN $cnt LEFT JOIN m$i m ON n.node = m.dst)"""
+        FROM ${pfx}nodes n CROSS JOIN $cnt
+        LEFT JOIN ${pfx}m$i m ON n.node = m.dst)"""
     }.mkString(",\n      ")
-    s"""nodes AS (SELECT DISTINCT node FROM
+    s"""${pfx}nodes AS (SELECT DISTINCT node FROM
         (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-      nn AS (SELECT COUNT(*) AS n FROM nodes)$seedCte,
-      outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS ow
+      ${pfx}nn AS (SELECT COUNT(*) AS n FROM ${pfx}nodes)$seedCte,
+      ${pfx}outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS ow
         FROM edges GROUP BY src),
-      r0 AS (SELECT node, $r0 AS rank
-        FROM nodes n CROSS JOIN $cnt),
+      ${pfx}r0 AS (SELECT node, $r0 AS rank
+        FROM ${pfx}nodes n CROSS JOIN $cnt),
       $sweeps"""
   }
 
   /** Host-prior CTE over the final rank frame: host = 'src' || node%20
     * (the page→host map bridging the click graph onto the documents
     * table's source domain), prior folded in page order. */
-  private def sqlGraphHostPrior(rankCte: String): String =
-    s"""hp AS (SELECT 'src' || CAST(node % 20 AS VARCHAR) AS host,
+  private def sqlGraphHostPrior(rankCte: String,
+                                name: String = "hp"): String =
+    s"""$name AS (SELECT 'src' || CAST(node % 20 AS VARCHAR) AS host,
         ${sqlFold("list(rank ORDER BY node)", "0.0", "(acc,v) -> acc+v")}
           AS prior,
         COUNT(*) AS n_pages
@@ -11593,6 +11600,59 @@ object Queries {
     Some(s"""WITH $sqlGraphEdges
       SELECT src, dst, weight FROM edges ORDER BY src, dst"""))
 
+  /** Host-level spam mass: PageRank and TrustRank (seeds = pages < 10)
+    * host priors joined, mass = popularity not backed by trust. One
+    * DuckDB statement carries BOTH rank chains (prefix-namespaced
+    * CTEs) and replays the join arithmetic bit-for-bit. */
+  private val graphSpamMassQ = QueryDef("graph_spam_mass",
+    (s, d) => {
+      val edges = graphEdges(s, d)
+      val seeds = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .where(col("node") < 10).distinct()
+      val hostOf = concat(lit("src"), (col("node") % 20).cast("string"))
+      val priors = graft.llm.LinkGraph.hostPrior(
+        graft.llm.LinkGraph.pageRank(edges, iters = 3, orderedFold = true),
+        hostOf)
+      val trust = graft.llm.LinkGraph.hostPrior(
+        graft.llm.LinkGraph.trustRank(edges, seeds, iters = 3,
+          orderedFold = true), hostOf)
+      graft.llm.LinkGraph.spamMass(priors, trust, threshold = 0.5)
+        .orderBy(col("host"))
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)},
+      ${sqlGraphRanks(3, seedPred = Some("n.node < 10"), pfx = "t_")},
+      ${sqlGraphHostPrior("r3")},
+      ${sqlGraphHostPrior("t_r3", name = "t_hp")}
+      SELECT hp.host, hp.prior,
+        COALESCE(t_hp.prior, CAST(0.0 AS DOUBLE)) AS trust,
+        (hp.prior - COALESCE(t_hp.prior, CAST(0.0 AS DOUBLE))) / hp.prior
+          AS spam_mass,
+        (hp.prior - COALESCE(t_hp.prior, CAST(0.0 AS DOUBLE))) / hp.prior
+          > 0.5 AS flagged
+      FROM hp LEFT JOIN t_hp ON hp.host = t_hp.host
+      ORDER BY hp.host"""))
+
+  /** Leakage-safe train/val/test split: the hash key is the HOST, not
+    * the document — near-duplicates and same-site pages land in the
+    * SAME split, so eval can't score memorized siblings of training
+    * rows (the published leakage guard: split by site/registrable
+    * domain). Zero new operator code — [[Mixing.splitByHash]] keyed on
+    * `source`. */
+  private val mixSplitGroupedQ = QueryDef("mix_split_grouped",
+    (s, d) => Mixing.splitByHash(t(s, d, "documents"), "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+        CASE WHEN substr(md5('graft' || source), 1, 8)
+                  < 'cccccccd' THEN 'train'
+             WHEN substr(md5('graft' || source), 1, 8)
+                  < 'e6666666' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
     * fold) persisted via `parquet_dir`; job 2 gates the documents
@@ -11744,5 +11804,6 @@ object Queries {
     graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphHostPriorQ,
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
-    graphTrustrankQ, graphTransitionsStreamQ)
+    graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
+    mixSplitGroupedQ)
 }

@@ -225,6 +225,29 @@ object LinkGraph {
       .agg(orderedFoldSum(col("node"), col("rank")).as("prior"),
         count(lit(1)).as("n_pages"))
 
+  /** Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, "Link Spam
+    * Detection Based on Mass Estimation", VLDB 2006, simplified to the
+    * two priors this family already computes): the fraction of a
+    * host's popularity NOT backed by trust,
+    * `spam_mass = (prior - trust) / prior` — near 1 for hosts whose
+    * PageRank comes from link structure no trusted seed can reach,
+    * near 0 (or negative) for hosts the seeds vouch for more than raw
+    * popularity does. `priors` and `trust` are [[hostPrior]] frames
+    * over [[pageRank]] and [[trustRank]] respectively; both are one
+    * row per host, so this is bounded-frame arithmetic — zero
+    * corpus-sized work. Hosts above `threshold` are flagged (the
+    * demotion list a crawl frontier consumes). */
+  def spamMass(priors: DataFrame, trust: DataFrame,
+               threshold: Double = 0.5): DataFrame =
+    priors.select(col("host"), col("prior"))
+      .join(trust.select(col("host"), col("prior").as("__t")),
+        Seq("host"), "left")
+      .select(col("host"), col("prior"),
+        coalesce(col("__t"), lit(0.0)).as("trust"))
+      .withColumn("spam_mass",
+        (col("prior") - col("trust")) / col("prior"))
+      .withColumn("flagged", col("spam_mass") > threshold)
+
   /** Gate a document frame on its host's prior: keep rows whose host
     * prior is ≥ `minPrior`. The prior frame is one row per host —
     * broadcast by construction — so the gate is a broadcast hash join

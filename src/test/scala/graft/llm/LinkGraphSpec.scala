@@ -160,4 +160,18 @@ class LinkGraphSpec extends SparkSpec {
     // total trust bounded by 1 (teleport + dangling leak only shrink it)
     assert(a.values.sum <= 1.0 + 1e-9)
   }
+
+  test("spamMass: untrusted popularity flags; trusted hosts clear") {
+    val priors = Seq(("h1", 0.4, 2L), ("h2", 0.4, 2L), ("h3", 0.2, 1L))
+      .toDF("host", "prior", "n_pages")
+    // h1 fully trusted, h2 untrusted (a link farm), h3 half-trusted
+    val trust = Seq(("h1", 0.5, 2L), ("h3", 0.1, 1L))
+      .toDF("host", "prior", "n_pages")
+    val r = LinkGraph.spamMass(priors, trust, threshold = 0.5).collect()
+      .map(x => x.getString(0) -> ((x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r("h2") === ((1.0, true)))   // no trust row -> mass 1, flagged
+    assert(!r("h1")._2)                 // more trust than popularity
+    assert(r("h1")._1 < 0.0)
+    assert(r("h3")._1 === 0.5 && !r("h3")._2) // exactly at threshold: kept
+  }
 }
