@@ -11653,6 +11653,87 @@ object Queries {
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id"""))
 
+  /** Continuous link-graph maintenance as ONE config: a `stream:` job
+    * with the `graph:` sink drains two landed event epochs into the
+    * idempotent transitions ledger (cross-batch per-user state), then
+    * the declared batch job refreshes the host priors from the ledger
+    * (`finalize_transitions` → ordered-fold `pagerank` → `host_prior`
+    * → `parquet_dir`) — the classifier_train/filter two-phase handoff
+    * shape for the graph family. Bound to the SAME oracle as
+    * `graph_host_prior`: streamed ingest + epoch refresh ≡ the
+    * one-shot batch computation. */
+  private val graphStreamYaml = QueryDef("graph_stream_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "graph_stream_yaml")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/incoming"))
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("ts"), col("props"))
+      ev.limit(1).write.mode("overwrite").parquet(s"$dir/schema")
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = s"$dir/land_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/incoming/$name"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val yaml =
+        s"""jobs:
+           |  - name: graph_ingest
+           |    stream:
+           |      source:
+           |        kind: parquet_stream
+           |        path: $dir/incoming
+           |        schemaFrom: $dir/schema
+           |      graph:
+           |        outDir: $dir/ledger
+           |        gapMinutes: '240'
+           |        stateTtl: '720 hours'
+           |      availableNow: true
+           |  - name: prior_refresh
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/ledger
+           |        prefix: ""
+           |    transform:
+           |      - kind: finalize_transitions
+           |      - kind: pagerank
+           |        options: {orderedFold: 'true'}
+           |      - kind: host_prior
+           |    load:
+           |      - kind: parquet_dir
+           |        options: {path: $dir/priors}
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      val streams = graft.pipeline.ConfigLoader.parseStreamsYamlFile(cfgPath)
+      require(streams.map(_.name) == Seq("graph_ingest") &&
+        streams.head.availableNow, s"stream parse drifted: $streams")
+      // two event-time epochs (the timeline spans ~30 days at every
+      // SF) + a redelivery of early rows the ledger must absorb
+      val cut = "2024-01-15"
+      land(ev.where(col("ts") < lit(cut).cast("timestamp")), "b1.parquet")
+      graft.pipeline.ConfigLoader.runStreamOnce(s, streams.head)
+      land(ev.where(col("ts") >= lit(cut).cast("timestamp"))
+        .unionByName(ev.orderBy(col("ts"), col("event_id")).limit(25)),
+        "b2.parquet")
+      graft.pipeline.ConfigLoader.runStreamOnce(s, streams.head)
+      // batch planner runs ONLY the refresh job (stream jobs skipped)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      s.read.parquet(s"$dir/priors")
+        .select(col("host"), col("prior"), col("n_pages"))
+        .orderBy(col("host"))
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)},
+      ${sqlGraphHostPrior("r3")}
+      SELECT host, prior, n_pages FROM hp ORDER BY host"""))
+
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
     * fold) persisted via `parquet_dir`; job 2 gates the documents
@@ -11805,5 +11886,5 @@ object Queries {
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
-    mixSplitGroupedQ)
+    mixSplitGroupedQ, graphStreamYaml)
 }

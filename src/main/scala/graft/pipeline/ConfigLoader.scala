@@ -577,6 +577,10 @@ object ConfigLoader {
           concat(lit(o.getOrElse("hostPrefix", "src")),
             (col("node") % o.getOrElse("hostMod", "20").toInt)
               .cast("string")))),
+      // epoch-boundary rank refresh, stage 1: the streamed transitions
+      // ledger (hits keyed by user/event) aggregated to the edge list
+      "finalize_transitions" -> (_ => df =>
+        graft.streaming.EventsStream.finalizeTransitions(df)),
       "host_prior_gate" -> (o => df =>
         graft.llm.LinkGraph.priorGate(df,
           df.sparkSession.read.parquet(req(o, "priorsPath")),
@@ -1446,11 +1450,12 @@ object ConfigLoader {
                               index: Options = Map.empty,
                               search: Options = Map.empty,
                               pairs: Options = Map.empty,
-                              mine: Options = Map.empty)
+                              mine: Options = Map.empty,
+                              graph: Options = Map.empty)
 
   private val knownStreamKeys =
     Set("source", "curate", "pack", "index", "search", "pairs", "mine",
-      "availableNow")
+      "graph", "availableNow")
 
   /** Parse the `stream:` jobs of a config file (batch `parseYamlFile`
     * / `parse` skip them; the two surfaces share one file). Unknown
@@ -1509,17 +1514,19 @@ object ConfigLoader {
     val search = optMap("search")
     val prs = optMap("pairs")
     val mine = optMap("mine")
-    if (Seq(pack, index, search, prs, mine).count(_.nonEmpty) != 1)
+    val graph = optMap("graph")
+    if (Seq(pack, index, search, prs, mine, graph).count(_.nonEmpty) != 1)
       throw new Pipeline.ValidationException(
         "config: stream job needs exactly one of 'pack', 'index', " +
-          "'search', 'pairs' or 'mine'")
+          "'search', 'pairs', 'mine' or 'graph'")
     StreamSpec(
       name = String.valueOf(m.getOrElse("name",
         throw new Pipeline.ValidationException("config: job missing 'name'"))),
       source = source, curate = curate, pack = pack,
       availableNow = st.get("availableNow").exists(v =>
         String.valueOf(v).toBoolean),
-      index = index, search = search, pairs = prs, mine = mine)
+      index = index, search = search, pairs = prs, mine = mine,
+      graph = graph)
   }
 
   /** Start a `stream:` job: resolve the source and curation kinds,
@@ -1585,6 +1592,36 @@ object ConfigLoader {
         case other => throw new Pipeline.ValidationException(
           s"config: unknown stream mine kind '$other' (known: bitext, triplets)")
       }
+    }
+    if (spec.graph.nonEmpty) {
+      // CONTINUOUS LINK-GRAPH MAINTENANCE: page events stream into the
+      // idempotent transitions ledger (per-user cross-batch state, hits
+      // keyed by the later event's id); the rank refresh runs at epoch
+      // boundary over the ledger via the BATCH kinds — a `parquet`
+      // extract of the ledger through `pagerank`/`host_prior` in a
+      // declared job, exactly the classifier_train/filter two-phase
+      // handoff shape. Curation kinds (map-only) run on the stream
+      // BEFORE the stateful operator.
+      val gx = spec.graph
+      val ss = src.sparkSession
+      import ss.implicits._
+      val pageCol = gx.get("pageCol").map(ColumnNs.q).getOrElse(
+        get_json_object(ColumnNs.q(gx.getOrElse("propsCol", "props")),
+          "$." + gx.getOrElse("pageProp", "k")).cast("long"))
+      val pe = curate(src).select(
+          ColumnNs.q(gx.getOrElse("userCol", "user_id")).cast("long")
+            .as("user_id"),
+          ColumnNs.q(gx.getOrElse("tieCol", "event_id")).cast("long")
+            .as("event_id"),
+          ColumnNs.q(gx.getOrElse("tsCol", "ts")).cast("timestamp")
+            .as("ts"),
+          pageCol.as("page"))
+        .as[graft.streaming.EventsStream.PageEvent]
+      return graft.streaming.EventsStream.transitionsLedgerSink(
+        graft.streaming.EventsStream.transitionsStream(pe,
+          gapMinutes = gx.getOrElse("gapMinutes", "30").toInt,
+          stateTtl = gx.getOrElse("stateTtl", "2 hours")),
+        req(gx, "outDir"))
     }
     if (spec.search.nonEmpty) {
       // continuous SERVING: per-micro-batch partition-pruned probe of

@@ -340,8 +340,12 @@ object EventsStream {
     * ran (kept so a hand-assembled ledger cannot double-count). */
   def finalizeTransitionsLedger(spark: org.apache.spark.sql.SparkSession,
                                 ledgerDir: String): DataFrame =
-    spark.read.parquet(ledgerDir)
-      .dropDuplicates("user_id", "event_id")
+    finalizeTransitions(spark.read.parquet(ledgerDir))
+
+  /** Frame form of [[finalizeTransitionsLedger]] — also the
+    * `finalize_transitions` config kind (ledger extract → edges). */
+  def finalizeTransitions(hits: DataFrame): DataFrame =
+    hits.dropDuplicates("user_id", "event_id")
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
 }
