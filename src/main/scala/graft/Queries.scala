@@ -11734,6 +11734,45 @@ object Queries {
       ${sqlGraphHostPrior("r3")}
       SELECT host, prior, n_pages FROM hp ORDER BY host"""))
 
+  /** BM25 corpus retrieval ([[graft.llm.Search.bm25TopK]]): top-10
+    * documents for "hash join merge". Output is (rank, doc_id, integer
+    * tf profile, doc length) — rank order and the integer evidence,
+    * never raw float scores (`ln` is not bit-identical across
+    * engines; ordering is robust because equal-score ties share a tf
+    * profile and break by doc id within each engine). */
+  private val bm25TopkQ = QueryDef("bm25_topk", {
+      (s, d) => graft.llm.Search.bm25TopK(t(s, d, "documents"),
+        "hash join merge", k = 10).orderBy(col("rank"))
+    }, {
+      val terms = Seq("hash", "join", "merge")
+      val dfCtes = terms.zipWithIndex.map { case (t, i) =>
+        s"d$i AS (SELECT COUNT(*) AS df FROM t2 WHERE list_contains(ws, '$t'))"
+      }.mkString(",\n      ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(ws, w -> w = '$t')) AS tf$i"
+      }.mkString(", ")
+      val scoreSum = terms.indices.map { i =>
+        s"""ln(1.0 + (st.n - d$i.df + 0.5) / (d$i.df + 0.5))
+          * (CAST(tf$i AS DOUBLE) * 2.2)
+          / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / st.avgdl))"""
+      }.mkString(" + ")
+      val crossDf = terms.indices.map(i => s"CROSS JOIN d$i").mkString(" ")
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      t2 AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM t2),
+      $dfCtes,
+      prof AS (SELECT doc_id, dl, $tfCols FROM t2),
+      scored AS (SELECT doc_id, $scoreSum AS score,
+          [${terms.indices.map(i => s"tf$i").mkString(", ")}] AS tf,
+          CAST(dl AS BIGINT) AS dl
+        FROM prof CROSS JOIN st $crossDf),
+      topk AS (SELECT * FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 10)
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+          AS rank, doc_id, tf, dl
+      FROM topk ORDER BY rank""")
+    })
+
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
     * fold) persisted via `parquet_dir`; job 2 gates the documents
@@ -11886,5 +11925,5 @@ object Queries {
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
-    mixSplitGroupedQ, graphStreamYaml)
+    mixSplitGroupedQ, graphStreamYaml, bm25TopkQ)
 }

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical corpus retrieval — Okapi BM25 (Robertson & Zaragoza, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond", 2009; the
+  * Lucene-practical idf form). A training-data pipeline reaches for
+  * this constantly: retrieve the corpus documents most similar to an
+  * eval prompt (contamination triage beyond n-gram hits), pull
+  * domain-targeted subsets by keyword profile (the lexical cousin of
+  * DSIR), and spot-check what a filter family is about to delete.
+  *
+  * Physical shape, sized for the 100 TB case:
+  *  - one corpus aggregation for document frequencies + average doc
+  *    length (partial-aggregated, one exchange);
+  *  - the df rows for the QUERY'S terms only are collected (bounded by
+  *    the query's term count — a driver-small frame by construction);
+  *  - scoring is then a SINGLE map-only codegen'd expression over the
+  *    tokenized corpus (per-term tf via an array filter against term
+  *    literals; idf/length-norm arithmetic inlined as literals) — no
+  *    join, no shuffle, no inverted index materialized;
+  *  - top-k is `orderBy(score).limit(k)` — Catalyst executes
+  *    TakeOrderedAndProject (per-partition heaps + driver merge of k
+  *    rows), never a global sort.
+  * For REPEATED queries over a static corpus, persist [[bm25Stats]]
+  * once (the two-phase classifier_train/filter shape) and pass it in —
+  * each query then costs one corpus scan, zero aggregations.
+  *
+  * Tokenization is the repo's normalized-word convention
+  * ([[Dedup.normalizeText]]-equivalent: lower → whitespace collapse →
+  * split), so oracle SQL replays it with the shared `sqlWords` form.
+  *
+  * No counterpart in the reference (PHP WP-ETL has no retrieval);
+  * extension surface per the training-data-pipeline mandate.
+  */
+object Search {
+
+  /** Normalized word array (the corpus-wide tokenization every dedup
+    * oracle already replays). */
+  private def words(c: Column): Column =
+    filter(split(trim(regexp_replace(lower(c), "\\s+", " ")), " "),
+      w => w =!= "")
+
+  /** Corpus statistics for BM25: (term document frequencies, corpus
+    * size N, average document length). One partial-aggregated exchange
+    * on the term key; `docLens` is a scalar aggregate. Persist the df
+    * frame for the repeated-query deployment. */
+  def bm25Stats(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, Long, Double) = {
+    val toks = docs.select(col(idCol).as("__id"),
+      words(col(textCol)).as("__ws"))
+    val dfreq = toks
+      .select(col("__id"), explode(array_distinct(col("__ws"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val row = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("__ws")).cast("double")).as("avgdl")).head()
+    (dfreq, row.getLong(0), row.getDouble(1))
+  }
+
+  /** Top-`k` corpus documents for a free-text `query` under BM25
+    * (k1/b at the published defaults). Returns (rank, doc id, and the
+    * integer per-term tf profile that produced the score) — rank is
+    * the comparison contract; raw float scores stay internal because
+    * `ln` is not bit-identical across engines. Ties break by doc id.
+    * Query terms are normalized and DEDUPLICATED (repeated query words
+    * don't double-count — the standard bag-of-terms form). */
+  def bm25TopK(docs: DataFrame, query: String, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val qTerms = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25TopK: empty query")
+    val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
+    // df rows for the query's terms only — bounded by |query|
+    val dfByTerm = dfreq.where(col("term").isin(qTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+      .withColumn("__dl", size(col("__ws")).cast("double"))
+    // one codegen'd scoring expression: Σ_t idf(t) · tf·(k1+1) /
+    // (tf + k1·(1 − b + b·dl/avgdl)); idf = ln(1 + (N − df + ½)/(df + ½))
+    val score = qTerms.map { t =>
+      val dft = dfByTerm.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+      val tf = size(filter(col("__ws"), w => w === t)).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    val tfProfile = array(qTerms.map(t =>
+      size(filter(col("__ws"), w => w === t)).cast("long")): _*)
+    toks.select(col(idCol), score.as("__score"), tfProfile.as("tf"),
+        col("__dl").cast("long").as("dl"))
+      .where(col("__score") > 0.0) // docs sharing no term never rank
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__score").desc, col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("tf"), col("dl"))
+  }
+}

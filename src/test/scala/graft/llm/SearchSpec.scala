@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval ([[Search]]): document frequencies count documents
+  * (not occurrences), hand-computed score ordering holds, zero-overlap
+  * documents never rank, ties break by id, and repeated query words
+  * don't double-count. */
+class SearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a b a"),   // tf_a=2, dl=3
+    (2L, "a c"),     // tf_a=1, dl=2
+    (3L, "c c")      // no 'a'
+  ).toDF("doc_id", "text")
+
+  test("bm25Stats: df is per-document; avgdl exact") {
+    val (dfreq, n, avgdl) = Search.bm25Stats(corpus, "doc_id", "text")
+    val m = dfreq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n === 3L)
+    assert(m === Map("a" -> 2L, "b" -> 1L, "c" -> 2L)) // d3's cc = ONE doc
+    assert(math.abs(avgdl - 7.0 / 3.0) < 1e-15)
+  }
+
+  test("bm25TopK: hand-computed ordering; no-overlap docs excluded") {
+    val hits = Search.bm25TopK(corpus, "a", k = 10).collect()
+    // higher tf wins despite the longer doc at these parameters:
+    // score(d1)=idf·4.4/3.457… > score(d2)=idf·2.2/2.071…; d3 never ranks
+    assert(hits.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(hits.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(hits.head.getSeq[Long](2) === Seq(2L)) // tf profile evidence
+    assert(hits.head.getLong(3) === 3L)
+  }
+
+  test("bm25TopK: multi-term scoring ranks the c-heavy doc for 'c'") {
+    val hits = Search.bm25TopK(corpus, "c c c", k = 2).collect()
+    // repeated query words dedupe — 'c c c' scores like 'c'
+    assert(hits.map(_.getLong(1)).toSeq === Seq(3L, 2L))
+    val again = Search.bm25TopK(corpus, "c", k = 2).collect()
+    assert(hits.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("bm25TopK: exact ties break by doc id; k truncates") {
+    val twins = Seq((5L, "x y"), (4L, "x y"), (6L, "x y"))
+      .toDF("doc_id", "text")
+    val hits = Search.bm25TopK(twins, "x", k = 2).collect()
+    assert(hits.map(_.getLong(1)).toSeq === Seq(4L, 5L))
+  }
+
+  test("bm25TopK: validation") {
+    intercept[IllegalArgumentException](Search.bm25TopK(corpus, "  ", 3))
+    intercept[IllegalArgumentException](Search.bm25TopK(corpus, "a", 0))
+  }
+}
