@@ -11773,6 +11773,74 @@ object Queries {
       FROM topk ORDER BY rank""")
     })
 
+  /** Retrieval-based contamination triage over the multi-query
+    * inverted-index BM25 join ([[graft.llm.Search.bm25JoinTopK]]):
+    * the "benchmark" is three exact copies of corpus documents plus
+    * one 8-word prefix probe; each benchmark row retrieves its top-3
+    * corpus documents with matched-term/tf evidence — the triage
+    * signal n-gram decontamination misses when overlap is reordered.
+    * (On this corpus's near-uniform vocabulary the source need not
+    * rank first — correct BM25 length-norm behavior; the coverage
+    * columns are the signal, and SearchSpec pins rank-1 recovery on a
+    * discriminating vocabulary.) Rank + integer evidence contract
+    * (see `bm25_topk`). */
+  private val bm25DecontaminateQ = QueryDef("bm25_decontaminate", {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ws8 = slice(filter(split(trim(
+            regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+          w => w =!= ""), 1, 8)
+        val bench = docs.where(col("doc_id").isin(11L, 222L, 333L))
+          .select((col("doc_id") + lit(9000L)).as("qid"), col("text"))
+          .unionByName(docs.where(col("doc_id") === 44L)
+            .select(lit(9044L).as("qid"),
+              array_join(ws8, " ").as("text")))
+        graft.llm.Search.bm25JoinTopK(docs, bench, k = 3)
+          .orderBy(col("qid"), col("rank"))
+      }
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      t2 AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM t2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM
+        (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM toks)
+        GROUP BY term),
+      bench AS (SELECT doc_id + 9000 AS qid, text FROM documents
+          WHERE doc_id IN (11, 222, 333)
+        UNION ALL
+        SELECT 9044 AS qid, array_to_string(($sqlWords)[1:8], ' ') AS text
+          FROM documents WHERE doc_id = 44),
+      qterms AS (SELECT qid, unnest(list_distinct(
+          string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),
+            ' '))) AS term
+        FROM bench),
+      qidf AS (SELECT qid, term,
+          ln(1.0 + (st.n - COALESCE(df, 0) + 0.5) / (COALESCE(df, 0) + 0.5))
+            AS idf
+        FROM qterms LEFT JOIN dfreq USING (term) CROSS JOIN st),
+      px AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+          unnest(ws) AS term FROM toks),
+      postings AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+          MIN(dl) AS dl
+        FROM px GROUP BY doc_id, term),
+      scored AS (SELECT q.qid, p.doc_id,
+          ${sqlFold(
+            """list(q.idf * (p.tf * 2.2)
+              / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / st.avgdl))
+              ORDER BY p.term)""",
+            "0.0", "(acc,v) -> acc+v")} AS score,
+          COUNT(*) AS matched_terms,
+          CAST(SUM(p.tf) AS BIGINT) AS sum_tf,
+          CAST(MIN(p.dl) AS BIGINT) AS dl
+        FROM postings p JOIN qidf q USING (term) CROSS JOIN st
+        GROUP BY q.qid, p.doc_id),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, CAST(rank AS INT) AS rank, doc_id, matched_terms,
+        sum_tf, dl
+      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
+
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
     * fold) persisted via `parquet_dir`; job 2 gates the documents
@@ -11925,5 +11993,5 @@ object Queries {
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
-    mixSplitGroupedQ, graphStreamYaml, bm25TopkQ)
+    mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ)
 }

@@ -58,6 +58,68 @@ object Search {
     (dfreq, row.getLong(0), row.getDouble(1))
   }
 
+  /** MULTI-QUERY BM25 — the inverted-index join shape that replaces
+    * [[bm25TopK]]'s inlined literals once there are many queries (a
+    * benchmark suite to triage for contamination, a battery of
+    * keyword profiles): corpus postings (doc, term, tf, dl) from one
+    * explode+aggregate, query terms (qid, term) likewise; scoring is
+    * postings ⋈ broadcast(query terms ⋈ df) on the term key — the
+    * query side is broadcast-small by construction — then one hash
+    * aggregation to (qid, doc) and a per-QID window top-k
+    * (WindowGroupLimit: below-k rows drop during the map-side sort).
+    * Returns (qid, rank, doc id, matched term count, summed tf, dl) —
+    * rank + integer evidence, never raw float scores (see
+    * [[bm25TopK]]). Persist the postings frame for repeated batteries
+    * over a static corpus. */
+  def bm25JoinTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   qIdCol: String = "qid", qTextCol: String = "text",
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25JoinTopK: k must be >= 1, got $k")
+    val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
+    val postings = docs
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), size(col("__ws")).cast("double").as("__dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    val qTerms = queries
+      .select(col(qIdCol).as("__qid"),
+        explode(array_distinct(words(col(qTextCol)))).as("term"))
+      .join(dfreq, Seq("term"), "left")
+      .select(col("__qid"), col("term"),
+        log(lit(1.0) + (lit(n.toDouble) - coalesce(col("df"), lit(0L))
+            .cast("double") + lit(0.5))
+          / (coalesce(col("df"), lit(0L)).cast("double") + lit(0.5)))
+          .as("__idf"))
+    val scored = postings.join(broadcast(qTerms), Seq("term"))
+      .select(col("term"), col("__qid"), col(idCol), col("__dl"),
+        (col("__idf") * (col("__tf") * lit(k1 + 1.0))
+          / (col("__tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl))))
+          .as("__s"),
+        col("__tf"))
+      .groupBy(col("__qid"), col(idCol))
+      // term-ordered fold (bounded by query length): identical
+      // (tf, dl) profiles must produce BIT-equal scores so the
+      // doc-id tiebreak is engine-independent — a partial-agg sum
+      // could differ in the last ulp between two equal-profile docs
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("term"),
+            col("__s").as("v")))), x => x("v")),
+          lit(0.0), (acc, v) => acc + v).as("__score"),
+        count(lit(1)).as("matched_terms"),
+        sum(col("__tf")).cast("long").as("sum_tf"),
+        first(col("__dl")).cast("long").as("dl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"), col(idCol),
+        col("matched_terms"), col("sum_tf"), col("dl"))
+  }
+
   /** Top-`k` corpus documents for a free-text `query` under BM25
     * (k1/b at the published defaults). Returns (rank, doc id, and the
     * integer per-term tf profile that produced the score) — rank is

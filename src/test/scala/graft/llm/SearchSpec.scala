@@ -54,4 +54,35 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.bm25TopK(corpus, "  ", 3))
     intercept[IllegalArgumentException](Search.bm25TopK(corpus, "a", 0))
   }
+
+  test("bm25JoinTopK: the inverted-index join agrees with the inlined scorer") {
+    val queries = Seq((1L, "a"), (2L, "c c c"), (3L, "zzz")).toDF("qid", "text")
+    val joined = Search.bm25JoinTopK(corpus, queries, k = 10).collect()
+    val byQ = joined.groupBy(_.getLong(0))
+    // same ranked doc order as the single-query scorer, per query
+    assert(byQ(1L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq ===
+      Search.bm25TopK(corpus, "a", 10).collect().map(_.getLong(1)).toSeq)
+    assert(byQ(2L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq ===
+      Search.bm25TopK(corpus, "c", 10).collect().map(_.getLong(1)).toSeq)
+    // a query sharing no corpus term retrieves nothing
+    assert(!byQ.contains(3L))
+    // integer evidence: doc 1 for 'a' matched one term with tf 2, dl 3
+    val d1 = byQ(1L).find(_.getLong(2) == 1L).get
+    assert(d1.getLong(3) === 1L && d1.getLong(4) === 2L && d1.getLong(5) === 3L)
+  }
+
+  test("bm25JoinTopK: exact duplicate retrieves its source at rank 1 when terms discriminate") {
+    // distinctive vocabulary: the copy's exclusive terms pin the source.
+    // (On a near-uniform vocabulary BM25 length-norm can rank a denser
+    // short doc above the source — that is correct BM25 behavior, so
+    // the contamination-triage signal there is matched_terms coverage,
+    // not rank; the oracle query binds the ranking either way.)
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "delta epsilon"),
+      (3L, "alpha alpha zeta zeta")).toDF("doc_id", "text")
+    val bench = Seq((7L, "alpha beta gamma delta")).toDF("qid", "text")
+    val hits = Search.bm25JoinTopK(docs, bench, k = 3).collect()
+    val top = hits.find(_.getInt(1) == 1).get
+    assert(top.getLong(2) === 1L)
+    assert(top.getLong(3) === 4L) // full term coverage
+  }
 }
