@@ -699,6 +699,16 @@ object ScaleProbe {
         }
         evK.unpersist()
       }
+      time(s"bm25_battery x$k") {
+        // FIXED 8-query battery against the k×-growing corpus: the
+        // postings explode+aggregate (|tokens| rows) and the scoring
+        // join must track the scan; the query side is broadcast and
+        // constant. Top-k per query is WindowGroupLimit — never a
+        // global sort
+        val battery = docs.limit(8).select(col("doc_id").as("qid"),
+          col("text"))
+        graft.llm.Search.bm25JoinTopK(corpus, battery, k = 5).count()
+      }
       time(s"ablation_ladder x$k") {
         // map-only CASE + one rung-key exchange over a ≤4-row frame:
         // must track the token-count scan exactly
