@@ -1543,6 +1543,42 @@ object Queries {
             len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE >= 0.5
       ORDER BY a, b"""))
 
+  /** Dedup threshold tuning curve: ONE blocked pair scan at the
+    * loosest candidate threshold, then per-threshold survivor counts —
+    * pairs detected and documents that first-wins dedup would drop —
+    * for (0.3, 0.5, 0.7). The artifact a pipeline owner reads before
+    * picking a near-dup threshold: how much of the corpus each setting
+    * costs. Zero new operator code (the exact-Jaccard pair machinery
+    * re-aggregated); the Jaccard is integer-length arithmetic, so the
+    * threshold boundary is bit-exact cross-engine. */
+  private val dedupRateCurveQ = QueryDef("dedup_rate_curve",
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id",
+        "text", blockCols = Seq(col("lang"), floor(col("n_chars") / 50)),
+        n = 1, threshold = 0.3)
+      .select(col("b"), col("jaccard"),
+        explode(array(lit(0.3), lit(0.5), lit(0.7))).as("threshold"))
+      .where(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("b")).as("docs_dropped"))
+      .orderBy(col("threshold")),
+    Some(s"""WITH base AS (
+        SELECT doc_id, lang, floor(n_chars/50) AS lb,
+               list_distinct($sqlWords) AS ws
+        FROM documents),
+      pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.ws, b.ws))::DOUBLE /
+             len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE AS jaccard
+        FROM base a JOIN base b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+              len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE >= 0.3),
+      th AS (SELECT unnest([0.3, 0.5, 0.7]::DOUBLE[]) AS threshold)
+      SELECT threshold, COUNT(*) AS n_pairs,
+        CAST(COUNT(DISTINCT b) AS BIGINT) AS docs_dropped
+      FROM pairs CROSS JOIN th WHERE jaccard >= threshold
+      GROUP BY threshold ORDER BY threshold"""))
+
   /** The synthetic docs are single-line and fully distinct, so (like
     * the planted similarity oracles) the line-dedup queries inject
     * their own boilerplate deterministically: every doc_id % 5 == 0
@@ -11993,5 +12029,6 @@ object Queries {
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
-    mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ)
+    mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
+    dedupRateCurveQ)
 }

@@ -39,7 +39,9 @@ class PlanShapeSpec extends SparkSpec {
     "pref_validate", "pref_dedup", "pref_length_bias", "pref_render",
     "quality_routed",
     "graph_transitions", "graph_degrees", "graph_prior_gate",
-    "ablation_ladder", "ablation_ladder_stats")
+    "ablation_ladder", "ablation_ladder_stats",
+    "bm25_topk", "bm25_decontaminate", "mix_split_grouped",
+    "dedup_rate_curve")
 
   /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
     * into the insert branch (bounded by construction); ann_bruteforce
