@@ -58,6 +58,36 @@ object Search {
     (dfreq, row.getLong(0), row.getDouble(1))
   }
 
+  /** BM25 GATE — keyword-targeted selection as a funnel stage (the
+    * lexical cousin of DSIR's importance gate): keep the documents
+    * scoring at least `minScore` against a keyword profile. Same
+    * one-aggregation-then-map-only shape as [[bm25TopK]] but WITHOUT
+    * the top-k — selectivity lives in the threshold, so the stage
+    * composes into curation chains like the other map-heavy gates.
+    * Multi-pass over its input (stats scan + gate scan): callers in
+    * lazy chains should stage-boundary it the way the registry's
+    * dedup_minhash kind does. */
+  def bm25Gate(docs: DataFrame, query: String, minScore: Double,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25Gate: empty query")
+    val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
+    val dfByTerm = dfreq.where(col("term").isin(qTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ws = words(col(textCol))
+    val dl = size(ws).cast("double")
+    val score = qTerms.map { t =>
+      val dft = dfByTerm.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+      val tf = size(filter(ws, w => w === t)).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    docs.where(score >= lit(minScore))
+  }
+
   /** MULTI-QUERY BM25 — the inverted-index join shape that replaces
     * [[bm25TopK]]'s inlined literals once there are many queries (a
     * benchmark suite to triage for contamination, a battery of

@@ -581,6 +581,15 @@ object ConfigLoader {
       // ledger (hits keyed by user/event) aggregated to the edge list
       "finalize_transitions" -> (_ => df =>
         graft.streaming.EventsStream.finalizeTransitions(df)),
+      // keyword-targeted selection (the lexical DSIR gate): keep docs
+      // scoring >= minScore against a keyword profile. Multi-pass over
+      // its input (df/avgdl stats scan + gate scan) — stage-boundary
+      // the incoming lazy chain once, the dedup_minhash convention
+      "bm25_gate" -> (o => df =>
+        graft.llm.Search.bm25Gate(df.localCheckpoint(), req(o, "query"),
+          req(o, "minScore").toDouble,
+          idCol = o.getOrElse("idCol", "doc_id"),
+          textCol = o.getOrElse("column", "text"))),
       "host_prior_gate" -> (o => df =>
         graft.llm.LinkGraph.priorGate(df,
           df.sparkSession.read.parquet(req(o, "priorsPath")),

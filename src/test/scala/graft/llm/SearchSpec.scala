@@ -85,4 +85,17 @@ class SearchSpec extends SparkSpec {
     assert(top.getLong(2) === 1L)
     assert(top.getLong(3) === 4L) // full term coverage
   }
+
+  test("bm25Gate: threshold keeps exactly the scoring docs; composes as a gate") {
+    // gate at a tiny threshold ≡ "any query term present"
+    val kept = Search.bm25Gate(corpus, "a", minScore = 1e-9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L)) // d3 shares no term
+    // a threshold above every score keeps nothing
+    assert(Search.bm25Gate(corpus, "a", minScore = 1e9).count() === 0L)
+    // schema passes through unchanged (a gate, not a projection)
+    assert(Search.bm25Gate(corpus, "a", 1e-9).columns.toSeq
+      === corpus.columns.toSeq)
+    intercept[IllegalArgumentException](Search.bm25Gate(corpus, " ", 0.1))
+  }
 }

@@ -1749,4 +1749,14 @@ class ConfigLoaderSpec extends SparkSpec {
         Map("keyCol" -> "doc_id", "rungs" -> "0.5,0.1"))(docs))
     assert(e2.getMessage.contains("ascending"))
   }
+
+  test("bm25_gate kind equals the library gate") {
+    import ConfigLoader.transformKinds
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val viaKind = transformKinds("bm25_gate")(
+      Map("query" -> "hash join merge", "minScore" -> "0.9"))(docs)
+    val viaLib = graft.llm.Search.bm25Gate(docs, "hash join merge", 0.9)
+    assert(rowsOf(viaKind) == rowsOf(viaLib))
+    assert(viaKind.count() > 0 && viaKind.count() < docs.count())
+  }
 }
