@@ -11809,6 +11809,38 @@ object Queries {
       FROM topk ORDER BY rank""")
     })
 
+  /** The BM25 gate as an oracle-bound query: documents clearing 0.9
+    * against "hash join merge" (the keyword-targeted selection stage).
+    * The float threshold is safe cross-engine here because no corpus
+    * score lands within ulps of 0.9 (scores spread 0–1.35; `ln`
+    * differences are ~1e-16 relative). */
+  private val bm25GateQ = QueryDef("bm25_gate", {
+      (s, d) => graft.llm.Search.bm25Gate(t(s, d, "documents"),
+          "hash join merge", minScore = 0.9)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }, {
+      val terms = Seq("hash", "join", "merge")
+      val dfCtes = terms.zipWithIndex.map { case (t, i) =>
+        s"d$i AS (SELECT COUNT(*) AS df FROM t2 WHERE list_contains(ws, '$t'))"
+      }.mkString(",\n      ")
+      val scoreSum = terms.zipWithIndex.map { case (t, i) =>
+        s"""ln(1.0 + (st.n - d$i.df + 0.5) / (d$i.df + 0.5))
+          * (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * 2.2)
+          / (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * dl / st.avgdl))"""
+      }.mkString(" + ")
+      val crossDf = terms.indices.map(i => s"CROSS JOIN d$i").mkString(" ")
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      t2 AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM t2),
+      $dfCtes,
+      scored AS (SELECT doc_id, $scoreSum AS score
+        FROM t2 CROSS JOIN st $crossDf)
+      SELECT s.doc_id, d.source FROM scored s
+      JOIN documents d ON s.doc_id = d.doc_id
+      WHERE s.score >= 0.9 ORDER BY s.doc_id""")
+    })
+
   /** Retrieval-based contamination triage over the multi-query
     * inverted-index BM25 join ([[graft.llm.Search.bm25JoinTopK]]):
     * the "benchmark" is three exact copies of corpus documents plus
@@ -12030,5 +12062,5 @@ object Queries {
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
     mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
-    dedupRateCurveQ)
+    bm25GateQ, dedupRateCurveQ)
 }
