@@ -11775,10 +11775,15 @@ object Queries {
     * tf profile, doc length) — rank order and the integer evidence,
     * never raw float scores (`ln` is not bit-identical across
     * engines; ordering is robust because equal-score ties share a tf
-    * profile and break by doc id within each engine). */
+    * profile and break by doc id within each engine). The tf array is
+    * serialized comma-joined (the `s6_posts_meta_embed` map-to-string
+    * convention) so the driver's comparator can hash the column. */
   private val bm25TopkQ = QueryDef("bm25_topk", {
       (s, d) => graft.llm.Search.bm25TopK(t(s, d, "documents"),
-        "hash join merge", k = 10).orderBy(col("rank"))
+        "hash join merge", k = 10)
+        .withColumn("tf",
+          array_join(transform(col("tf"), _.cast("string")), ","))
+        .orderBy(col("rank"))
     }, {
       val terms = Seq("hash", "join", "merge")
       val dfCtes = terms.zipWithIndex.map { case (t, i) =>
@@ -11799,7 +11804,8 @@ object Queries {
       $dfCtes,
       prof AS (SELECT doc_id, dl, $tfCols FROM t2),
       scored AS (SELECT doc_id, $scoreSum AS score,
-          [${terms.indices.map(i => s"tf$i").mkString(", ")}] AS tf,
+          array_to_string([${terms.indices.map(i => s"tf$i").mkString(", ")}],
+            ',') AS tf,
           CAST(dl AS BIGINT) AS dl
         FROM prof CROSS JOIN st $crossDf),
       topk AS (SELECT * FROM scored WHERE score > 0.0
