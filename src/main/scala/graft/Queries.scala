@@ -11513,7 +11513,8 @@ object Queries {
     graft.llm.LinkGraph.hostPrior(
       graft.llm.LinkGraph.pageRank(graphEdges(s, d),
         iters = 3, orderedFold = true),
-      concat(lit("src"), (col("node") % 20).cast("string")))
+      concat(lit("src"), (col("node") % 20).cast("string")),
+      orderedFold = true)
 
   private val graphHostPriorQ = QueryDef("graph_host_prior",
     (s, d) => graphPriors(s, d).orderBy(col("host")),
@@ -11649,10 +11650,10 @@ object Queries {
       val hostOf = concat(lit("src"), (col("node") % 20).cast("string"))
       val priors = graft.llm.LinkGraph.hostPrior(
         graft.llm.LinkGraph.pageRank(edges, iters = 3, orderedFold = true),
-        hostOf)
+        hostOf, orderedFold = true)
       val trust = graft.llm.LinkGraph.hostPrior(
         graft.llm.LinkGraph.trustRank(edges, seeds, iters = 3,
-          orderedFold = true), hostOf)
+          orderedFold = true), hostOf, orderedFold = true)
       graft.llm.LinkGraph.spamMass(priors, trust, threshold = 0.5)
         .orderBy(col("host"))
     },
@@ -11739,6 +11740,7 @@ object Queries {
            |      - kind: pagerank
            |        options: {orderedFold: 'true'}
            |      - kind: host_prior
+           |        options: {orderedFold: 'true'}
            |    load:
            |      - kind: parquet_dir
            |        options: {path: $dir/priors}
@@ -11941,6 +11943,7 @@ object Queries {
            |      - kind: pagerank
            |        options: {orderedFold: 'true'}
            |      - kind: host_prior
+           |        options: {orderedFold: 'true'}
            |    load:
            |      - kind: parquet_dir
            |        options: {path: $dir/priors}

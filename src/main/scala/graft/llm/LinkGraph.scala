@@ -214,15 +214,20 @@ object LinkGraph {
   }
 
   /** Host-level prior from page ranks: `hostOf` maps the `node` column
-    * to a host key; the prior is the fold of member-page ranks in
-    * page order (bit-exact; bounded by pages-per-host — at true web
-    * scale swap the fold for the partial-agg `sum` exactly as in
-    * [[pageRank]]). One exchange on the host key; the result is one
-    * row per host. */
-  def hostPrior(ranks: DataFrame, hostOf: Column): DataFrame =
+    * to a host key; the prior is the sum of member-page ranks. The
+    * default is the partially-aggregated `sum` — map-side combine,
+    * never a per-host list, safe for hosts with 10⁷ member pages.
+    * `orderedFold = true` accumulates in page order instead (bit-exact
+    * under any partitioning — the oracle-replay mode, same contract as
+    * [[pageRank]]; it materializes one array entry per member page, so
+    * use only where pages-per-host is bounded). One exchange on the
+    * host key; the result is one row per host. */
+  def hostPrior(ranks: DataFrame, hostOf: Column,
+                orderedFold: Boolean = false): DataFrame =
     ranks.withColumn("host", hostOf)
       .groupBy(col("host"))
-      .agg(orderedFoldSum(col("node"), col("rank")).as("prior"),
+      .agg((if (orderedFold) orderedFoldSum(col("node"), col("rank"))
+            else sum(col("rank"))).as("prior"),
         count(lit(1)).as("n_pages"))
 
   /** Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, "Link Spam

@@ -55,6 +55,9 @@ object Search {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val row = toks.agg(count(lit(1)).as("n"),
       avg(size(col("__ws")).cast("double")).as("avgdl")).head()
+    require(row.getLong(0) > 0,
+      "bm25Stats: empty corpus (an upstream stage yielded zero rows; " +
+        "BM25 statistics are undefined over nothing)")
     (dfreq, row.getLong(0), row.getDouble(1))
   }
 

@@ -536,10 +536,11 @@ object ConfigLoader {
       // rungs: "0.01,0.1,0.5,1.0" — ascending, distinct, in (0,1]
       "ablation_ladder" -> (o => df => {
         val rungs = req(o, "rungs").split(",").map(_.trim).map { r =>
-          if (!r.matches("""\d*\.?\d+"""))
+          try r.toDouble
+          catch { case _: NumberFormatException =>
             throw new Pipeline.ValidationException(
               s"ablation_ladder: bad rung '$r' (expected a number)")
-          r.toDouble
+          }
         }.toSeq
         try graft.llm.Mixing.ablationLadder(df, req(o, "keyCol"), rungs,
           o.getOrElse("salt", "graft"), o.getOrElse("rungCol", "rung"))
@@ -576,7 +577,9 @@ object ConfigLoader {
         graft.llm.LinkGraph.hostPrior(df,
           concat(lit(o.getOrElse("hostPrefix", "src")),
             (col("node") % o.getOrElse("hostMod", "20").toInt)
-              .cast("string")))),
+              .cast("string")),
+          orderedFold =
+            o.getOrElse("orderedFold", "false").toBoolean)),
       // epoch-boundary rank refresh, stage 1: the streamed transitions
       // ledger (hits keyed by user/event) aggregated to the edge list
       "finalize_transitions" -> (_ => df =>
@@ -1630,7 +1633,8 @@ object ConfigLoader {
         graft.streaming.EventsStream.transitionsStream(pe,
           gapMinutes = gx.getOrElse("gapMinutes", "30").toInt,
           stateTtl = gx.getOrElse("stateTtl", "2 hours")),
-        req(gx, "outDir"))
+        req(gx, "outDir"),
+        bucketSize = gx.getOrElse("ledgerBucketSize", "10000000").toLong)
     }
     if (spec.search.nonEmpty) {
       // continuous SERVING: per-micro-batch partition-pruned probe of

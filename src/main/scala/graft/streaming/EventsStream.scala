@@ -311,23 +311,42 @@ object EventsStream {
 
   /** Idempotent ledger sink for [[transitionsStream]]: each
     * micro-batch's hits anti-join the ledger's own (user_id, event_id)
-    * before appending, so redelivered batches are absorbed. */
-  def transitionsLedgerSink(hits: Dataset[TransitionHit], outDir: String)
+    * before appending, so redelivered batches are absorbed.
+    *
+    * The ledger directory is partitioned by an event-id bucket
+    * (`__bucket = event_id / bucketSize`): a hit keyed by event E can
+    * only collide with a ledger row in E's bucket, so the anti-join
+    * reads ONLY the partitions covering the batch's own id span
+    * (directory pruning via the partition-column `isin`). Per-batch
+    * cost therefore tracks batch size + redelivery horizon, never
+    * ledger lifetime — without this the full-ledger re-read grows
+    * quadratic over the stream's life. The bucket list is collected
+    * driver-side but bounded by the batch's id span / bucketSize. */
+  def transitionsLedgerSink(hits: Dataset[TransitionHit], outDir: String,
+                            bucketSize: Long = 10000000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(hits.isStreaming, "transitionsLedgerSink: expected a stream")
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
     hits.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[TransitionHit], _: Long) =>
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val withBucket = batch.toDF().withColumn("__bucket",
+          floor(col("event_id") / lit(bucketSize)).cast("long"))
+          .localCheckpoint(true) // one pass over the batch source
+        val buckets = withBucket.select(col("__bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq
         val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
-            batch.toDF().join(spark.read.parquet(outDir)
+            withBucket.join(spark.read.parquet(outDir)
+                .where(col("__bucket").isin(buckets: _*)) // dir pruning
                 .select(col("user_id"), col("event_id")).distinct(),
               Seq("user_id", "event_id"), "left_anti")
-          else batch.toDF())
+          else withBucket)
           .localCheckpoint(true) // sever lineage from the ledger dir
         if (!fresh.isEmpty)
-          fresh.write.mode("append").parquet(outDir)
+          fresh.write.mode("append").partitionBy("__bucket")
+            .parquet(outDir)
       }.start()
   }
 

@@ -685,13 +685,17 @@ object ScaleProbe {
                 .as("event_id"),
               col("ts"), col("props"))
         }.reduce(_ unionByName _).localCheckpoint(true)
+        val edgesLazy = graft.llm.LinkGraph.sessionTransitions(evK,
+          get_json_object(col("props"), "$.k").cast("long"),
+          gapMinutes = 240)
         var edges: DataFrame = null
         time(s"graph_edges x$k") {
-          edges = graft.llm.LinkGraph.sessionTransitions(evK,
-            get_json_object(col("props"), "$.k").cast("long"),
-            gapMinutes = 240).localCheckpoint(true)
+          edges = edgesLazy.localCheckpoint(true)
           edges.count()
         }
+        // an opsFilter of just graph_prior skips the graph_edges timer
+        // (label filter) — materialize untimed so pageRank still runs
+        if (edges == null) edges = edgesLazy.localCheckpoint(true)
         time(s"graph_prior x$k") {
           graft.llm.LinkGraph.hostPrior(
             graft.llm.LinkGraph.pageRank(edges, iters = 3),

@@ -72,6 +72,27 @@ class LinkGraphPropSpec extends SparkSpec {
     }, minTests = 8)
   }
 
+  test("hostPrior: fold and partial-sum priors agree to 1e-12; " +
+      "default plan has no per-host list") {
+    check(Prop.forAll(genEdges) { es =>
+      val df = es.toDF("src", "dst", "weight").repartition(4)
+      val ranks = LinkGraph.pageRank(df, iters = 2, orderedFold = true)
+      val hostOf = concat(lit("h"), (col("node") % 3).cast("string"))
+      val a = LinkGraph.hostPrior(ranks, hostOf, orderedFold = true)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val b = LinkGraph.hostPrior(ranks, hostOf)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      a.keySet == b.keySet &&
+        a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 }
+    }, minTests = 8)
+    // the production default never materializes a member-page array
+    val ranks = Seq((1L, 0.5), (2L, 0.25)).toDF("node", "rank")
+    val plan = LinkGraph.hostPrior(ranks,
+        concat(lit("h"), (col("node") % 2).cast("string")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), s"default hostPrior folds:\n$plan")
+  }
+
   test("trustRank: nodes unreachable from the seed set hold exactly 0") {
     check(Prop.forAll(genEdges) { es =>
       val df = es.toDF("src", "dst", "weight")

@@ -1906,6 +1906,45 @@ class StreamingSpec extends SparkSpec {
     assert(rowsOf(streamed).contains("[20,20,1]"))
   }
 
+  test("transitionsLedgerSink: bucket-partitioned ledger prunes the " +
+      "anti-join and still absorbs cross-bucket redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStream.PageEvent
+    // event ids straddle bucket boundaries at bucketSize=100: ids 95..
+    // 105 land in buckets 0 and 1 — a redelivered batch must anti-join
+    // against BOTH partitions it touches
+    val b1 = Seq(
+      PageEvent(1L, 95L, ts(0), 10L), PageEvent(1L, 98L, ts(5), 11L),
+      PageEvent(1L, 103L, ts(10), 12L), PageEvent(2L, 205L, ts(3), 20L))
+    val b2 = Seq(
+      PageEvent(1L, 110L, ts(20), 13L), PageEvent(2L, 210L, ts(8), 21L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trans_bucket").toString + "/ledger"
+    val mem = MemoryStream[PageEvent]
+    val q = EventsStream.transitionsLedgerSink(
+      EventsStream.transitionsStream(mem.toDS(), gapMinutes = 30), dir,
+      bucketSize = 100L)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable() // redelivery absorbed
+      mem.addData((b1 ++ b2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // on-disk layout is partitioned by the id bucket (pruning surface)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(_.getName).sorted
+    assert(parts.toSeq == Seq("__bucket=0", "__bucket=1", "__bucket=2"),
+      s"unexpected ledger layout: ${parts.toSeq}")
+    val streamed = EventsStream.finalizeTransitionsLedger(spark, dir)
+    val batch = graft.llm.LinkGraph.sessionTransitions(
+      (b1 ++ b2).toDF(), col("page"), gapMinutes = 30)
+    assert(rowsOf(streamed) == rowsOf(batch))
+    // idempotent under redelivery: each hit key appears exactly once
+    val hits = spark.read.parquet(dir)
+    assert(hits.count() ==
+      hits.select("user_id", "event_id").distinct().count())
+  }
+
   test("transitionsStream finalize ≡ batch on real events split mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     import EventsStream.PageEvent
