@@ -11822,23 +11822,23 @@ object Queries {
     * The float threshold is safe cross-engine here because no corpus
     * score lands within ulps of 0.9 (scores spread 0–1.35; `ln`
     * differences are ~1e-16 relative). */
-  private val bm25GateQ = QueryDef("bm25_gate", {
-      (s, d) => graft.llm.Search.bm25Gate(t(s, d, "documents"),
-          "hash join merge", minScore = 0.9)
-        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
-    }, {
-      val terms = Seq("hash", "join", "merge")
-      val dfCtes = terms.zipWithIndex.map { case (t, i) =>
-        s"d$i AS (SELECT COUNT(*) AS df FROM t2 WHERE list_contains(ws, '$t'))"
-      }.mkString(",\n      ")
-      val scoreSum = terms.zipWithIndex.map { case (t, i) =>
-        s"""ln(1.0 + (st.n - d$i.df + 0.5) / (d$i.df + 0.5))
-          * (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * 2.2)
-          / (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE)
-            + 1.2 * (0.25 + 0.75 * dl / st.avgdl))"""
-      }.mkString(" + ")
-      val crossDf = terms.indices.map(i => s"CROSS JOIN d$i").mkString(" ")
-      Some(s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+  /** Shared gate-oracle SQL: DuckDB replay of the BM25 0.9 gate for
+    * "hash join merge" over `documents` — used verbatim by both the
+    * inline (`bm25_gate`) and served (`bm25_serve_gate`) queries, the
+    * SQL statement OF the serve ≡ inline equivalence. */
+  private val sqlBm25GateHashJoinMerge: String = {
+    val terms = Seq("hash", "join", "merge")
+    val dfCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"d$i AS (SELECT COUNT(*) AS df FROM t2 WHERE list_contains(ws, '$t'))"
+    }.mkString(",\n      ")
+    val scoreSum = terms.zipWithIndex.map { case (t, i) =>
+      s"""ln(1.0 + (st.n - d$i.df + 0.5) / (d$i.df + 0.5))
+        * (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * 2.2)
+        / (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE)
+          + 1.2 * (0.25 + 0.75 * dl / st.avgdl))"""
+    }.mkString(" + ")
+    val crossDf = terms.indices.map(i => s"CROSS JOIN d$i").mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
       t2 AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
       st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM t2),
       $dfCtes,
@@ -11846,8 +11846,14 @@ object Queries {
         FROM t2 CROSS JOIN st $crossDf)
       SELECT s.doc_id, d.source FROM scored s
       JOIN documents d ON s.doc_id = d.doc_id
-      WHERE s.score >= 0.9 ORDER BY s.doc_id""")
-    })
+      WHERE s.score >= 0.9 ORDER BY s.doc_id"""
+  }
+
+  private val bm25GateQ = QueryDef("bm25_gate", {
+      (s, d) => graft.llm.Search.bm25Gate(t(s, d, "documents"),
+          "hash join merge", minScore = 0.9)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }, Some(sqlBm25GateHashJoinMerge))
 
   /** Retrieval-based contamination triage over the multi-query
     * inverted-index BM25 join ([[graft.llm.Search.bm25JoinTopK]]):
@@ -11916,6 +11922,169 @@ object Queries {
       SELECT qid, CAST(rank AS INT) AS rank, doc_id, matched_terms,
         sum_tf, dl
       FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** DuckDB replay of a multi-query BM25 battery over `documents`:
+    * the full inverted-index recurrence (postings, df, idf with the
+    * term-ordered score fold) against the `benchSql` battery —
+    * shared by the served-battery and streamed-battery queries, whose
+    * outputs must EQUAL the inline join (same scoring plan). */
+  private def sqlBm25Battery(benchSql: String, k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      t2 AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM t2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM
+        (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM toks)
+        GROUP BY term),
+      bench AS ($benchSql),
+      qterms AS (SELECT qid, unnest(list_distinct(
+          string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),
+            ' '))) AS term
+        FROM bench),
+      qidf AS (SELECT qid, term,
+          ln(1.0 + (st.n - COALESCE(df, 0) + 0.5) / (COALESCE(df, 0) + 0.5))
+            AS idf
+        FROM qterms LEFT JOIN dfreq USING (term) CROSS JOIN st),
+      px AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+          unnest(ws) AS term FROM toks),
+      postings AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+          MIN(dl) AS dl
+        FROM px GROUP BY doc_id, term),
+      scored AS (SELECT q.qid, p.doc_id,
+          ${sqlFold(
+            """list(q.idf * (p.tf * 2.2)
+              / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / st.avgdl))
+              ORDER BY p.term)""",
+            "0.0", "(acc,v) -> acc+v")} AS score,
+          COUNT(*) AS matched_terms,
+          CAST(SUM(p.tf) AS BIGINT) AS sum_tf,
+          CAST(MIN(p.dl) AS BIGINT) AS dl
+        FROM postings p JOIN qidf q USING (term) CROSS JOIN st
+        GROUP BY q.qid, p.doc_id),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, CAST(rank AS INT) AS rank, doc_id, matched_terms,
+        sum_tf, dl
+      FROM rk WHERE rank <= $k ORDER BY qid, rank"""
+
+  /** The fixed eval battery the two-phase queries serve (a no-overlap
+    * probe included: it must answer nothing without blocking). */
+  private val bm25BenchSql =
+    """SELECT CAST(1 AS BIGINT) AS qid, 'hash join merge' AS text
+      UNION ALL SELECT CAST(2 AS BIGINT), 'sort spill disk'
+      UNION ALL SELECT CAST(3 AS BIGINT), 'columnar scan pushdown'
+      UNION ALL SELECT CAST(4 AS BIGINT), 'zzz nothing'"""
+
+  private def bm25Bench(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "hash join merge"), (2L, "sort spill disk"),
+      (3L, "columnar scan pushdown"), (4L, "zzz nothing"))
+      .toDF("qid", "text")
+  }
+
+  /** BM25 two-phase deployment ([[graft.llm.Search.buildPostings]] →
+    * [[graft.llm.Search.bm25ServeJoinTopK]]): build the postings index
+    * once, then answer the eval battery FROM the index — a term-pruned
+    * postings read + one broadcast join, zero corpus aggregations per
+    * battery. Bit-identical to the inline `bm25JoinTopK` (shared
+    * scoring plan; SearchSpec pins the equality), so the oracle is the
+    * same inverted-index replay. */
+  private val bm25BuildServeQ = QueryDef("bm25_build_serve", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_serve"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        graft.llm.Search.buildPostings(t(s, d, "documents"), dir)
+        graft.llm.Search.bm25ServeJoinTopK(s, dir, bm25Bench(s), k = 3)
+          .orderBy(col("qid"), col("rank"))
+      }
+    }, Some(sqlBm25Battery(bm25BenchSql, 3)))
+
+  /** Serve-mode BM25 gate ([[graft.llm.Search.bm25ServeGate]]): gate
+    * `documents` against the PERSISTED index stats — one map-only
+    * pass, no corpus aggregation. Same oracle as `bm25_gate`: serving
+    * the indexed corpus from its own stats is exactly the inline
+    * gate. */
+  private val bm25ServeGateQ = QueryDef("bm25_serve_gate", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_sgate"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents")
+        graft.llm.Search.buildPostings(docs, dir)
+        graft.llm.Search.bm25ServeGate(s, dir, docs,
+            "hash join merge", minScore = 0.9)
+          .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      }
+    }, Some(sqlBm25GateHashJoinMerge))
+
+  /** The streamed BM25 battery
+    * ([[graft.streaming.IndexIngest.bm25SearchStream]] via the
+    * `search: {kind: bm25}` stream config): one YAML declares the
+    * batch build job (`build_postings` sink) and the continuous
+    * serving job; the battery lands in two micro-batches with a full
+    * batch-1 redelivery the answer ledger must absorb
+    * (answer-exactly-once by qid). The accumulated ledger EQUALS the
+    * one-shot served battery — per-query answers are row-independent
+    * over a frozen index — so the oracle is the same inverted-index
+    * replay. */
+  private val bm25SearchStreamQ = QueryDef("bm25_search_stream", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_stream"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$dir/incoming"))
+        val bench = bm25Bench(s)
+        bench.limit(1).write.parquet(s"$dir/schema")
+        def land(df: DataFrame, name: String): Unit = {
+          val tmp = s"$dir/land_tmp"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.startsWith("part-")).get
+          fs.rename(part,
+            new org.apache.hadoop.fs.Path(s"$dir/incoming/$name"))
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+        val yaml =
+          s"""jobs:
+             |  - name: build_index
+             |    extract:
+             |      - kind: parquet
+             |        path: $d/documents.parquet
+             |        prefix: ""
+             |    load:
+             |      - kind: build_postings
+             |        options: {path: $dir/ix}
+             |  - name: bm25_serving
+             |    stream:
+             |      source:
+             |        kind: parquet_stream
+             |        path: $dir/incoming
+             |        schemaFrom: $dir/schema
+             |      search:
+             |        kind: bm25
+             |        indexDir: $dir/ix
+             |        outDir: $dir/answers
+             |        k: '3'
+             |      availableNow: true
+             |""".stripMargin
+        val cfgPath = s"$dir/migration.yaml"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(cfgPath), yaml)
+        graft.pipeline.Pipeline.run(s,
+          graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+          progress = _ => ())
+        val stream = graft.pipeline.ConfigLoader
+          .parseStreamsYamlFile(cfgPath).head
+        land(bench.where(col("qid") <= 2L), "b1.parquet")
+        graft.pipeline.ConfigLoader.runStreamOnce(s, stream)
+        land(bench, "b2.parquet") // batch 2 + full batch-1 redelivery
+        graft.pipeline.ConfigLoader.runStreamOnce(s, stream)
+        s.read.parquet(s"$dir/answers").orderBy(col("qid"), col("rank"))
+      }
+    }, Some(sqlBm25Battery(bm25BenchSql, 3)))
 
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
@@ -12071,5 +12240,6 @@ object Queries {
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
     mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
-    bm25GateQ, dedupRateCurveQ)
+    bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
+    dedupRateCurveQ)
 }

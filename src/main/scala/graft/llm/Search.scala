@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lexical corpus retrieval — Okapi BM25 (Robertson & Zaragoza, "The
@@ -23,9 +23,17 @@ import org.apache.spark.sql.functions._
   *  - top-k is `orderBy(score).limit(k)` — Catalyst executes
   *    TakeOrderedAndProject (per-partition heaps + driver merge of k
   *    rows), never a global sort.
-  * For REPEATED queries over a static corpus, persist [[bm25Stats]]
-  * once (the two-phase classifier_train/filter shape) and pass it in —
-  * each query then costs one corpus scan, zero aggregations.
+  *
+  * TWO-PHASE DEPLOYMENT (build once / serve many — the
+  * classifier_train → classifier_filter shape): [[buildPostings]]
+  * persists the inverted index (postings term-range-sharded and
+  * term-sorted for row-group pruning, the df table, and the scalar
+  * stats) once per corpus generation; [[bm25ServeJoinTopK]] then
+  * answers a battery with ZERO corpus aggregations — one pruned
+  * postings read joined against the broadcast query side — and
+  * [[bm25ServeGate]] gates a frame map-only from the persisted stats.
+  * Growing eval suites re-pay only their own size per run, never the
+  * corpus aggregation.
   *
   * Tokenization is the repo's normalized-word convention
   * ([[Dedup.normalizeText]]-equivalent: lower → whitespace collapse →
@@ -44,8 +52,8 @@ object Search {
 
   /** Corpus statistics for BM25: (term document frequencies, corpus
     * size N, average document length). One partial-aggregated exchange
-    * on the term key; `docLens` is a scalar aggregate. Persist the df
-    * frame for the repeated-query deployment. */
+    * on the term key; `docLens` is a scalar aggregate. Persist via
+    * [[buildPostings]] for the repeated-query deployment. */
   def bm25Stats(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, Long, Double) = {
     val toks = docs.select(col(idCol).as("__id"),
@@ -61,6 +69,44 @@ object Search {
     (dfreq, row.getLong(0), row.getDouble(1))
   }
 
+  /** The corpus inverted index: one row per (doc, term) with the term
+    * frequency and the doc's token length — one explode + one
+    * partial-aggregated exchange on (doc, term). */
+  private def postingsOf(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), size(col("__ws")).cast("double").as("__dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        first(col("__dl")).as("__dl"))
+
+  /** The single-query scoring expression over a `textCol` document
+    * frame: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf = ln(1 + (N − df + ½)/(df + ½)) — idf and length-norm
+    * constants inlined as literals, per-term tf via an array filter:
+    * one codegen'd map-only expression, no join, no shuffle. */
+  private def scalarScore(qTerms: Seq[String], dfByTerm: Map[String, Long],
+                          n: Long, avgdl: Double, textCol: String,
+                          k1: Double, b: Double): Column = {
+    val ws = words(col(textCol))
+    val dl = size(ws).cast("double")
+    qTerms.map { t =>
+      val dft = dfByTerm.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+      val tf = size(filter(ws, w => w === t)).cast("double")
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+  }
+
+  private def normQuery(query: String, who: String): Seq[String] = {
+    val qTerms = query.toLowerCase.trim.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, s"$who: empty query")
+    qTerms
+  }
+
   /** BM25 GATE — keyword-targeted selection as a funnel stage (the
     * lexical cousin of DSIR's importance gate): keep the documents
     * scoring at least `minScore` against a keyword profile. Same
@@ -69,26 +115,18 @@ object Search {
     * composes into curation chains like the other map-heavy gates.
     * Multi-pass over its input (stats scan + gate scan): callers in
     * lazy chains should stage-boundary it the way the registry's
-    * dedup_minhash kind does. */
+    * dedup_minhash kind does. For a static corpus already indexed by
+    * [[buildPostings]], [[bm25ServeGate]] is the single-pass form. */
   def bm25Gate(docs: DataFrame, query: String, minScore: Double,
                idCol: String = "doc_id", textCol: String = "text",
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qTerms = query.toLowerCase.trim.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
-    require(qTerms.nonEmpty, "bm25Gate: empty query")
+    val qTerms = normQuery(query, "bm25Gate")
     val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
     val dfByTerm = dfreq.where(col("term").isin(qTerms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ws = words(col(textCol))
-    val dl = size(ws).cast("double")
-    val score = qTerms.map { t =>
-      val dft = dfByTerm.getOrElse(t, 0L).toDouble
-      val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
-      val tf = size(filter(ws, w => w === t)).cast("double")
-      lit(idf) * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
-    }.reduce(_ + _)
-    docs.where(score >= lit(minScore))
+    docs.where(
+      scalarScore(qTerms, dfByTerm, n, avgdl, textCol, k1, b)
+        >= lit(minScore))
   }
 
   /** MULTI-QUERY BM25 — the inverted-index join shape that replaces
@@ -102,20 +140,28 @@ object Search {
     * (WindowGroupLimit: below-k rows drop during the map-side sort).
     * Returns (qid, rank, doc id, matched term count, summed tf, dl) —
     * rank + integer evidence, never raw float scores (see
-    * [[bm25TopK]]). Persist the postings frame for repeated batteries
-    * over a static corpus. */
+    * [[bm25TopK]]). For repeated batteries over a static corpus,
+    * [[buildPostings]] + [[bm25ServeJoinTopK]] skip the corpus
+    * aggregations entirely. */
   def bm25JoinTopK(docs: DataFrame, queries: DataFrame, k: Int,
                    idCol: String = "doc_id", textCol: String = "text",
                    qIdCol: String = "qid", qTextCol: String = "text",
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"bm25JoinTopK: k must be >= 1, got $k")
     val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
-    val postings = docs
-      .select(col(idCol), words(col(textCol)).as("__ws"))
-      .select(col(idCol), size(col("__ws")).cast("double").as("__dl"),
-        explode(col("__ws")).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    joinTopKFrom(postingsOf(docs, idCol, textCol), dfreq, n, avgdl,
+      queries, k, idCol, qIdCol, qTextCol, k1, b)
+  }
+
+  /** Shared scoring tail of the inline ([[bm25JoinTopK]]) and served
+    * ([[bm25ServeJoinTopK]]) battery paths — the two are bit-identical
+    * because everything downstream of the postings/df frames is this
+    * one plan. */
+  private def joinTopKFrom(postings: DataFrame, dfreq: DataFrame,
+                           n: Long, avgdl: Double, queries: DataFrame,
+                           k: Int, idCol: String, qIdCol: String,
+                           qTextCol: String, k1: Double, b: Double)
+      : DataFrame = {
     val qTerms = queries
       .select(col(qIdCol).as("__qid"),
         explode(array_distinct(words(col(qTextCol)))).as("term"))
@@ -153,6 +199,95 @@ object Search {
         col("matched_terms"), col("sum_tf"), col("dl"))
   }
 
+  /** Build-once half of the two-phase deployment: persist the corpus
+    * inverted index under `dir` —
+    *  - `dir/postings` — (id, term, tf, dl), range-sharded on the term
+    *    key and term-sorted WITHIN each file so a term-filtered read
+    *    prunes row groups via parquet min/max stats;
+    *  - `dir/df` — (term, df), the document-frequency table;
+    *  - `dir/stats` — one row (n, avgdl, id_col, text_col): the scalar
+    *    constants plus the column names the index was built over (so
+    *    serving needs only the directory).
+    * One tokenize+explode pass over the corpus at build time; every
+    * battery after that pays zero corpus aggregations. Rebuild per
+    * corpus generation (the index-lifecycle convention). */
+  def buildPostings(docs: DataFrame, dir: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shards: Int = 32): Unit = {
+    require(shards >= 1, s"buildPostings: shards must be >= 1, got $shards")
+    val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
+    postingsOf(docs, idCol, textCol)
+      .select(col(idCol), col("term"), col("__tf").as("tf"),
+        col("__dl").as("dl"))
+      .repartitionByRange(shards, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    dfreq.write.mode("overwrite").parquet(s"$dir/df")
+    docs.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(avgdl).as("avgdl"),
+        lit(idCol).as("id_col"), lit(textCol).as("text_col"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private def readStats(spark: SparkSession, dir: String)
+      : (Long, Double, String, String) = {
+    val st = spark.read.parquet(s"$dir/stats").head()
+    (st.getAs[Long]("n"), st.getAs[Double]("avgdl"),
+      st.getAs[String]("id_col"), st.getAs[String]("text_col"))
+  }
+
+  /** Serve-many half: answer a query battery from a [[buildPostings]]
+    * directory — ZERO corpus aggregations per battery. When the
+    * battery's distinct-term set is driver-small (≤
+    * `termPushdownLimit`, the normal case for eval suites) it is
+    * pushed into the postings scan as a term `isin` literal, so the
+    * term-sorted shards prune to the row groups that can match.
+    * Bit-identical to [[bm25JoinTopK]] over the same corpus: the
+    * scoring tail is literally the same plan (spec-bound). */
+  def bm25ServeJoinTopK(spark: SparkSession, dir: String,
+                        queries: DataFrame, k: Int,
+                        qIdCol: String = "qid", qTextCol: String = "text",
+                        k1: Double = 1.2, b: Double = 0.75,
+                        termPushdownLimit: Int = 8192): DataFrame = {
+    require(k >= 1, s"bm25ServeJoinTopK: k must be >= 1, got $k")
+    val (n, avgdl, idCol, _) = readStats(spark, dir)
+    val dfreq = spark.read.parquet(s"$dir/df")
+    val raw = spark.read.parquet(s"$dir/postings")
+    val batTerms = queries
+      .select(explode(array_distinct(words(col(qTextCol)))).as("term"))
+      .distinct().limit(termPushdownLimit + 1)
+      .collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (batTerms.size <= termPushdownLimit)
+        raw.where(col("term").isin(batTerms: _*))
+      else raw
+    joinTopKFrom(
+      pruned.select(col(idCol), col("term"), col("tf").as("__tf"),
+        col("dl").as("__dl")),
+      dfreq, n, avgdl, queries, k, idCol, qIdCol, qTextCol, k1, b)
+  }
+
+  /** Serve-mode [[bm25Gate]]: gate `docs` against the PERSISTED stats
+    * of a [[buildPostings]] directory — single map-only pass, no
+    * corpus aggregation (the df read is pruned to the query's terms).
+    * The stats describe the indexed corpus: gating the same corpus
+    * equals [[bm25Gate]] bit-for-bit; gating a stream batch or a
+    * different frame scores it against the indexed corpus's
+    * statistics, which is exactly what a frozen-profile gate means. */
+  def bm25ServeGate(spark: SparkSession, dir: String, docs: DataFrame,
+                    query: String, minScore: Double,
+                    textCol: String = "text",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = normQuery(query, "bm25ServeGate")
+    val (n, avgdl, _, _) = readStats(spark, dir)
+    val dfByTerm = spark.read.parquet(s"$dir/df")
+      .where(col("term").isin(qTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.where(
+      scalarScore(qTerms, dfByTerm, n, avgdl, textCol, k1, b)
+        >= lit(minScore))
+  }
+
   /** Top-`k` corpus documents for a free-text `query` under BM25
     * (k1/b at the published defaults). Returns (rank, doc id, and the
     * integer per-term tf profile that produced the score) — rank is
@@ -164,9 +299,7 @@ object Search {
                idCol: String = "doc_id", textCol: String = "text",
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
-    val qTerms = query.toLowerCase.trim.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
-    require(qTerms.nonEmpty, "bm25TopK: empty query")
+    val qTerms = normQuery(query, "bm25TopK")
     val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
     // df rows for the query's terms only — bounded by |query|
     val dfByTerm = dfreq.where(col("term").isin(qTerms: _*))

@@ -587,12 +587,29 @@ object ConfigLoader {
       // keyword-targeted selection (the lexical DSIR gate): keep docs
       // scoring >= minScore against a keyword profile. Multi-pass over
       // its input (df/avgdl stats scan + gate scan) — stage-boundary
-      // the incoming lazy chain once, the dedup_minhash convention
-      "bm25_gate" -> (o => df =>
-        graft.llm.Search.bm25Gate(df.localCheckpoint(), req(o, "query"),
-          req(o, "minScore").toDouble,
-          idCol = o.getOrElse("idCol", "doc_id"),
-          textCol = o.getOrElse("column", "text"))),
+      // the incoming lazy chain once, the dedup_minhash convention.
+      // With indexPath set, the gate serves from a build_postings
+      // directory instead: single map-only pass, zero aggregations
+      "bm25_gate" -> (o => df => o.get("indexPath") match {
+        case Some(ip) =>
+          graft.llm.Search.bm25ServeGate(df.sparkSession, ip, df,
+            req(o, "query"), req(o, "minScore").toDouble,
+            textCol = o.getOrElse("column", "text"))
+        case None =>
+          graft.llm.Search.bm25Gate(df.localCheckpoint(), req(o, "query"),
+            req(o, "minScore").toDouble,
+            idCol = o.getOrElse("idCol", "doc_id"),
+            textCol = o.getOrElse("column", "text"))
+      }),
+      // battery retrieval served from a persisted build_postings index:
+      // the job's frame IS the query battery (qid, text); each run pays
+      // one term-pruned postings read + a broadcast join — never a
+      // corpus aggregation (the two-phase classifier_train/filter shape)
+      "bm25_serve" -> (o => df =>
+        graft.llm.Search.bm25ServeJoinTopK(df.sparkSession,
+          req(o, "indexPath"), df, k = o.getOrElse("k", "5").toInt,
+          qIdCol = o.getOrElse("qIdCol", "qid"),
+          qTextCol = o.getOrElse("qTextCol", "text"))),
       "host_prior_gate" -> (o => df =>
         graft.llm.LinkGraph.priorGate(df,
           df.sparkSession.read.parquet(req(o, "priorsPath")),
@@ -1269,6 +1286,16 @@ object ConfigLoader {
             sampleFraction = o.getOrElse("sampleFraction", "1.0").toDouble)
           .coalesce(1).write.mode("overwrite").parquet(req(o, "path"))
       })),
+      // build the BM25 postings index (postings + df + scalar stats)
+      // that bm25_serve / bm25_gate(indexPath) / the bm25 search
+      // stream serve from — the build-once half of the lexical
+      // two-phase deployment (classifier_train's shape)
+      "build_postings" -> (o => Sinks.Write("build_postings", df => {
+        graft.llm.Search.buildPostings(df, req(o, "path"),
+          idCol = o.getOrElse("idCol", "doc_id"),
+          textCol = o.getOrElse("column", "text"),
+          shards = o.getOrElse("shards", "32").toInt)
+      })),
       // seed the streamed-curation ledger layout (assign + hashes +
       // sigs when nearDupThreshold is set) from a batch corpus — the
       // "ledger present before the stream starts" convention as a
@@ -1638,18 +1665,30 @@ object ConfigLoader {
     }
     if (spec.search.nonEmpty) {
       // continuous SERVING: per-micro-batch partition-pruned probe of
-      // a persisted IVF index over the job's query stream, answers to
+      // a persisted index over the job's query stream, answers to
       // an on-disk result ledger (answer-exactly-once by the ledger's
       // own query ids). Curation kinds still run per batch — query
       // normalization/filtering composes the same way ingest does.
+      // kind: ivf (default) = vector probes; bm25 = lexical battery
+      // over a build_postings directory.
       val sx = spec.search
-      return graft.streaming.IndexIngest.searchIvfStream(src,
-        req(sx, "indexDir"), req(sx, "outDir"),
-        k = sx.getOrElse("k", "5").toInt,
-        nProbe = sx.getOrElse("nProbe", "2").toInt,
-        qIdCol = sx.getOrElse("idCol", "vec_id"),
-        vecCol = sx.getOrElse("vecCol", "embedding"),
-        curate = curate)
+      return sx.getOrElse("kind", "ivf") match {
+        case "ivf" => graft.streaming.IndexIngest.searchIvfStream(src,
+          req(sx, "indexDir"), req(sx, "outDir"),
+          k = sx.getOrElse("k", "5").toInt,
+          nProbe = sx.getOrElse("nProbe", "2").toInt,
+          qIdCol = sx.getOrElse("idCol", "vec_id"),
+          vecCol = sx.getOrElse("vecCol", "embedding"),
+          curate = curate)
+        case "bm25" => graft.streaming.IndexIngest.bm25SearchStream(src,
+          req(sx, "indexDir"), req(sx, "outDir"),
+          k = sx.getOrElse("k", "5").toInt,
+          qIdCol = sx.getOrElse("idCol", "qid"),
+          qTextCol = sx.getOrElse("textCol", "text"),
+          curate = curate)
+        case other => throw new Pipeline.ValidationException(
+          s"config: unknown stream search kind '$other' (known: ivf, bm25)")
+      }
     }
     if (spec.index.nonEmpty) {
       // continuous VECTOR-STORE ingest: curation stages still run per
@@ -1789,6 +1828,7 @@ object ConfigLoader {
     "parquet_dir" -> Seq("path"),
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
+    "build_postings" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),
     "ce_prices" -> Seq("dir"),

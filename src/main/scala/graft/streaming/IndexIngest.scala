@@ -395,6 +395,45 @@ object IndexIngest {
     }.start()
   }
 
+  /** SERVE a stream of text queries against a persisted BM25 postings
+    * index ([[graft.llm.Search.buildPostings]]) — the lexical twin of
+    * [[searchIvfStream]], same contract: per micro-batch the battery
+    * joins the term-pruned postings read (per-batch cost tracks the
+    * batch's term set, never the corpus — zero corpus aggregations),
+    * and (qid, rank, doc id, matched_terms, sum_tf, dl) answers land
+    * in `outDir` as a result ledger. Answer-exactly-once by the
+    * ledger's own `qid` column: redelivered/duplicate query ids
+    * anti-join out; null-id and in-batch duplicates drop up front.
+    * The accumulated ledger over any batch split EQUALS the one-shot
+    * [[graft.llm.Search.bm25ServeJoinTopK]] of the union — per-query
+    * answers are row-independent over a frozen index (spec-bound).
+    * Returns the started query; callers own its lifecycle. */
+  def bm25SearchStream(queries: DataFrame, dir: String, outDir: String,
+                       k: Int = 5, qIdCol: String = "qid",
+                       qTextCol: String = "text",
+                       curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
+    require(queries.isStreaming,
+      "bm25SearchStream: expected a streaming frame")
+    queries.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val base = curate(batch.toDF()).where(col(qIdCol).isNotNull)
+        .dropDuplicates(qIdCol)
+      val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
+          base.join(spark.read.parquet(outDir)
+              .select(col("qid").as("__graft_answered")).distinct(),
+            col(qIdCol) === col("__graft_answered"), "left_anti")
+        else base)
+        .localCheckpoint(true) // sever lineage from the answer ledger
+      if (!fresh.isEmpty)
+        graft.llm.Search.bm25ServeJoinTopK(spark, dir, fresh, k,
+            qIdCol, qTextCol)
+          .write.mode("append").parquet(outDir)
+    }.start()
+  }
+
   /** Continuous PACKING — the streaming twin of
     * [[graft.llm.Packing.packSequencesAppend]], completing the
     * continuous trainer-format chain (crawl ingest → curation stages →

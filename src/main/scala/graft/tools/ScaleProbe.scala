@@ -713,6 +713,29 @@ object ScaleProbe {
           col("text"))
         graft.llm.Search.bm25JoinTopK(corpus, battery, k = 5).count()
       }
+      // TWO-PHASE split of the same battery: the build pays the corpus
+      // aggregations once (tracks the scan); the serve pays a
+      // term-pruned postings read + one broadcast join — the per-run
+      // cost a growing eval suite actually re-pays, which must be a
+      // small fraction of the inline battery and scale with the
+      // battery's term set, not the corpus aggregation
+      if (opsFilter.isEmpty || opsFilter.exists(f =>
+          Seq("bm25_build", "bm25_serve").exists(_.contains(f)))) {
+        val ixDir = s"/tmp/graft_scaleprobe/bm25_ix"
+        val ixp = new org.apache.hadoop.fs.Path(ixDir)
+        ixp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(ixp, true)
+        time(s"bm25_build x$k") {
+          graft.llm.Search.buildPostings(corpus, ixDir)
+          spark.read.parquet(s"$ixDir/postings").count()
+        }
+        time(s"bm25_serve x$k") {
+          val battery = docs.limit(8).select(col("doc_id").as("qid"),
+            col("text"))
+          graft.llm.Search.bm25ServeJoinTopK(spark, ixDir, battery,
+            k = 5).count()
+        }
+      }
       time(s"ablation_ladder x$k") {
         // map-only CASE + one rung-key exchange over a ≤4-row frame:
         // must track the token-count scan exactly

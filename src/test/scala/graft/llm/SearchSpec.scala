@@ -86,6 +86,54 @@ class SearchSpec extends SparkSpec {
     assert(top.getLong(3) === 4L) // full term coverage
   }
 
+  test("two-phase: serve from persisted postings is bit-identical to inline") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ix").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(400)
+      .localCheckpoint(true)
+    Search.buildPostings(docs, dir, shards = 4)
+    val bench = Seq((1L, "hash join merge"), (2L, "sort spill"),
+      (3L, "zzz nothing")).toDF("qid", "text")
+    val inline = Search.bm25JoinTopK(docs, bench, k = 5)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val served = Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(served === inline)
+    // the pushed-down path and the no-pushdown path agree too
+    val noPush = Search.bm25ServeJoinTopK(spark, dir, bench, k = 5,
+        termPushdownLimit = 0)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(noPush === inline)
+    // the served plan never aggregates the corpus: its only scan of
+    // postings carries the term pushdown filter
+    val plan = Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("isin"),
+      s"expected a term-pruned postings scan:\n$plan")
+  }
+
+  test("two-phase: serve gate from persisted stats equals the inline gate") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_gix").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(400)
+      .localCheckpoint(true)
+    Search.buildPostings(docs, dir, shards = 4)
+    val inline = Search.bm25Gate(docs, "hash join merge", 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val served = Search.bm25ServeGate(spark, dir, docs,
+        "hash join merge", 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served === inline && served.nonEmpty)
+    intercept[IllegalArgumentException](
+      Search.bm25ServeGate(spark, dir, docs, "  ", 0.1))
+  }
+
+  test("bm25Stats: empty corpus raises a clear message, not an NPE") {
+    val e = intercept[IllegalArgumentException](
+      Search.bm25Stats(corpus.where(lit(false)), "doc_id", "text"))
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("bm25Gate: threshold keeps exactly the scoring docs; composes as a gate") {
     // gate at a tiny threshold ≡ "any query term present"
     val kept = Search.bm25Gate(corpus, "a", minScore = 1e-9)

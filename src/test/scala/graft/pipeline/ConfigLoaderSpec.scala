@@ -1759,4 +1759,78 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(rowsOf(viaKind) == rowsOf(viaLib))
     assert(viaKind.count() > 0 && viaKind.count() < docs.count())
   }
+
+  test("BM25 two-phase kinds: build_postings sink + bm25_serve / " +
+      "bm25_gate(indexPath) equal the inline paths") {
+    import ConfigLoader.{loadKinds, transformKinds}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val work = Files.createTempDirectory("graft_bm25_kind").toString
+    // build through the sink registry
+    loadKinds("build_postings")(Map("path" -> s"$work/ix")) match {
+      case graft.sinks.Sinks.Write(_, f) => f(docs)
+      case other => fail(s"expected a Write sink, got $other")
+    }
+    // serve battery through the transform registry == inline battery
+    import spark.implicits._
+    val bench = Seq((1L, "hash join merge"), (2L, "sort spill"))
+      .toDF("qid", "text")
+    val servedK = transformKinds("bm25_serve")(
+      Map("indexPath" -> s"$work/ix", "k" -> "4"))(bench)
+    val inline = graft.llm.Search.bm25JoinTopK(docs, bench, k = 4)
+    assert(rowsOf(servedK) == rowsOf(inline))
+    // gate with indexPath == inline gate
+    val gateK = transformKinds("bm25_gate")(
+      Map("indexPath" -> s"$work/ix", "query" -> "hash join merge",
+        "minScore" -> "0.9"))(docs)
+    val gateL = graft.llm.Search.bm25Gate(docs, "hash join merge", 0.9)
+    assert(rowsOf(gateK) == rowsOf(gateL))
+  }
+
+  test("stream search kind 'bm25' routes; unknown search kind rejects") {
+    val d = Files.createTempDirectory("graft_bm25_streamcfg").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    graft.llm.Search.buildPostings(docs, s"$d/ix", shards = 2)
+    // land a FLAT part file (the file-stream source does not recurse)
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(3)
+      .select(col("doc_id").as("qid"), col("text"))
+      .coalesce(1).write.parquet(s"$d/tmp")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$d/in"))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/tmp"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$d/in/b1.parquet"))
+    docs.limit(1).select(col("doc_id").as("qid"), col("text"))
+      .write.mode("overwrite").parquet(s"$d/schema")
+    val yaml =
+      s"""jobs:
+         |  - name: bm25_serving
+         |    stream:
+         |      source:
+         |        kind: parquet_stream
+         |        path: $d/in
+         |        schemaFrom: $d/schema
+         |      search:
+         |        kind: bm25
+         |        indexDir: $d/ix
+         |        outDir: $d/answers
+         |        k: '3'
+         |      availableNow: true
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/cfg.yaml"), yaml)
+    val specs = ConfigLoader.parseStreamsYamlFile(s"$d/cfg.yaml")
+    // schemaFrom carries the full documents schema; queries project it
+    val bad = yaml.replace("kind: bm25", "kind: nope")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/bad.yaml"), bad)
+    intercept[Pipeline.ValidationException](
+      ConfigLoader.runStreamOnce(spark,
+        ConfigLoader.parseStreamsYamlFile(s"$d/bad.yaml").head))
+    ConfigLoader.runStreamOnce(spark, specs.head)
+    val answers = spark.read.parquet(s"$d/answers")
+    assert(answers.select("qid").distinct().count() == 3)
+    assert(answers.columns.toSeq ==
+      Seq("qid", "rank", "doc_id", "matched_terms", "sum_tf", "dl"))
+  }
 }

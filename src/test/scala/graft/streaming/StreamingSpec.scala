@@ -596,6 +596,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 18)
   }
 
+  test("bm25SearchStream: streamed battery ≡ one-shot serve; replays never re-answer") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(400).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_serve")
+      .toFile.getPath
+    graft.llm.Search.buildPostings(docs, s"$dir/index", shards = 4)
+    val battery = Seq((1L, "hash join merge"), (2L, "sort spill disk"),
+      (3L, "columnar scan"), (4L, "zzz nothing"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.bm25SearchStream(
+      mem.toDF().toDF("qid", "text"), s"$dir/index", s"$dir/results",
+      k = 3)
+    val (b1, b2) = battery.splitAt(2)
+    try {
+      mem.addData(b1 :+ b1.head: _*) // in-batch duplicate query
+      q.processAllAvailable()
+      mem.addData(b2 ++ b1: _*)      // full batch-1 redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/results")
+      .orderBy(col("qid"), col("rank")).collect().map(_.toString).toSeq
+    val oneShot = graft.llm.Search.bm25ServeJoinTopK(spark, s"$dir/index",
+        battery.toDF("qid", "text"), k = 3)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toString).toSeq
+    assert(streamed == oneShot)
+    // exactly one answer set per answered qid; the no-overlap query
+    // answers nothing (and its absence doesn't block the ledger)
+    assert(spark.read.parquet(s"$dir/results")
+      .select("qid").distinct().count() == 3)
+  }
+
   test("searchIvfStream: reindex swap between micro-batches — serving continuity, new generation serves") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
