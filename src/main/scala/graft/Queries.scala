@@ -12086,6 +12086,108 @@ object Queries {
       }
     }, Some(sqlBm25Battery(bm25BenchSql, 3)))
 
+  /** HYBRID RETRIEVAL over the real tables
+    * ([[graft.llm.Search.hybridRetrieve]]): two benchmark rows carry
+    * both query representations — their document TEXT (lexical side,
+    * BM25 inverted-index join) and their aligned EMBEDDING (semantic
+    * side, exact cosine top-k) — and reciprocal-rank fusion combines
+    * the two rankings. RRF is rank-only arithmetic
+    * (Σ 1/(60+rank), signal-ordered fold), so the WHOLE composition
+    * replays exactly in DuckDB: the bm25 battery chain and the cosine
+    * chain feed the same fusion recurrence in one statement. */
+  private val hybridRetrieveQ = QueryDef("hybrid_retrieve", {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.where(col("doc_id").isin(11L, 22L))
+          .select((col("doc_id") + lit(9000L)).as("qid"), col("text"))
+          .join(t(s, d, "embeddings")
+              .select((col("vec_id") + lit(9000L)).as("qid"),
+                col("embedding")),
+            Seq("qid"))
+        graft.llm.Search.hybridRetrieve(docs, t(s, d, "embeddings"),
+            bench, k = 5, kPerSignal = 10)
+          .orderBy(col("qid"), col("rank"))
+      }
+    }, {
+      val lexSql = sqlBm25Battery(
+        """SELECT doc_id + 9000 AS qid, text FROM documents
+          WHERE doc_id IN (11, 22)""", 10)
+      Some(s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($lexSql)),
+      qv AS (SELECT vec_id + 9000 AS qid, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id IN (11, 22)),
+      cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      sc AS (SELECT q.qid, c.doc_id,
+          ${sqlDot("q.v", "c.v")} / (${sqlNorm("q.v")} * ${sqlNorm("c.v")})
+            AS cosine
+        FROM cv c CROSS JOIN qv q),
+      sr AS (SELECT qid, doc_id, row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank
+        FROM sc),
+      sem AS (SELECT qid, doc_id, rank FROM sr WHERE rank <= 10),
+      unioned AS (
+        SELECT qid, doc_id, rank, 0 AS signal FROM lex
+        UNION ALL SELECT qid, doc_id, rank, 1 AS signal FROM sem),
+      fused AS (SELECT qid, doc_id,
+          ${sqlFold("list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY signal)",
+            "0.0", "(acc,v) -> acc+v")} AS score,
+          CAST(COUNT(*) AS BIGINT) AS signals,
+          CAST(MIN(rank) AS BIGINT) AS best_rank
+        FROM unioned GROUP BY qid, doc_id),
+      fr AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM fused)
+      SELECT qid, CAST(rank AS INT) AS rank, doc_id, signals, best_rank
+      FROM fr WHERE rank <= 5 ORDER BY qid, rank""")
+    })
+
+  /** The planted hybrid-fusion case — each signal ALONE misses the
+    * contaminant, the fusion finds it. Fully controlled fixture:
+    * query (text "qqalpha qqbeta qqgamma", vector [1,0,0,0]) against
+    * a 5-doc corpus where doc 2 is the LEXICAL herring (the keywords
+    * twice over, orthogonal vector → lexical rank 1, semantically
+    * invisible), doc 3 the SEMANTIC herring (cosine .992, zero term
+    * overlap → semantic rank 1, lexically invisible), and doc 1 the
+    * contaminant (rank 2 on BOTH: tf=1 over 8 words; cosine .894).
+    * RRF at k0=60: doc 1 scores 2/62 = .0323 > each herring's
+    * 1/61 = .0164 — fused rank 1, though NEITHER signal ranked it
+    * first. Hand-derived expected output stated directly (controlled
+    * inputs; the fusion arithmetic itself is oracle-replayed in full
+    * by `hybrid_retrieve`): lex ranks L(1) C(2) — only they share a
+    * term; sem ranks S(1) C(2) n2(3) with cosines .992/.894/.333;
+    * fused C(.03226) then the L/S tie at 1/61 breaks by doc id, then
+    * n2 (1/63). */
+  private val hybridRetrievePlantedQ = QueryDef("hybrid_retrieve_planted", {
+      (s, d) => {
+        import s.implicits._
+        val fx = Seq(
+          (1L, "qqalpha qqbeta qqgamma w1 w2 w3 w4 w5",
+            Seq(2f, 1f, 0f, 0f)),
+          (2L, "qqalpha qqbeta qqgamma qqalpha qqbeta qqgamma",
+            Seq(0f, 0f, 1f, 0f)),
+          (3L, "zzz yyy xxx", Seq(8f, 1f, 0f, 0f)),
+          (4L, "other words entirely", Seq(0f, 1f, 1f, 0f)),
+          (5L, "more unrelated text", Seq(1f, 2f, 2f, 0f))
+        ).toDF("doc_id", "text", "embedding")
+        val bench = Seq((100L, "qqalpha qqbeta qqgamma",
+          Seq(1f, 0f, 0f, 0f))).toDF("qid", "text", "embedding")
+        graft.llm.Search.hybridRetrieve(
+            fx.select(col("doc_id"), col("text")),
+            fx.select(col("doc_id").as("vec_id"), col("embedding")),
+            bench, k = 5, kPerSignal = 3)
+          .orderBy(col("rank"))
+      }
+    },
+    Some("""SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS INT) AS rank,
+        CAST(doc_id AS BIGINT) AS doc_id, CAST(signals AS BIGINT) AS signals,
+        CAST(best_rank AS BIGINT) AS best_rank
+      FROM (VALUES
+        (100, 1, 1, 2, 2),
+        (100, 2, 2, 1, 1),
+        (100, 3, 3, 1, 1),
+        (100, 4, 5, 1, 3)) t(qid, rank, doc_id, signals, best_rank)
+      ORDER BY rank"""))
+
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
     * fold) persisted via `parquet_dir`; job 2 gates the documents
@@ -12241,5 +12343,5 @@ object Queries {
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
     mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
     bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
-    dedupRateCurveQ)
+    hybridRetrieveQ, hybridRetrievePlantedQ, dedupRateCurveQ)
 }

@@ -288,6 +288,84 @@ object Search {
         >= lit(minScore))
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods", SIGIR 2009): fuse N per-query rankings into one by
+    * `score(d) = Σ_signals 1 / (k0 + rank_d)` — rank-only arithmetic,
+    * so the fusion is EXACT across engines (the per-signal sum is
+    * folded in signal order for bit-stable ties). The standard
+    * composition for hybrid retrieval: a contaminant that is rank-2
+    * lexically AND rank-2 semantically outranks each signal's own
+    * rank-1 herring that the other signal never surfaces
+    * (2/(k0+2) > 1/(k0+1) for any k0 ≥ 0).
+    *
+    * Each input frame carries (`qCol`, `idCol`, `rankCol`); extra
+    * columns are ignored. Rankings are per-query top-k frames —
+    * queries × k rows each — so the union/aggregation is bounded by
+    * the battery, never the corpus: the corpus-sized work lives in
+    * producing the rankings. Returns (qid, rank, doc id, signals =
+    * how many rankings surfaced the doc, best_rank = its best
+    * per-signal rank); ties break by doc id. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60,
+              qCol: String = "qid", idCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
+    require(k >= 1, s"rrfFuse: k must be >= 1, got $k")
+    require(k0 >= 0, s"rrfFuse: k0 must be >= 0, got $k0")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(qCol).as("__qid"), col(idCol).as("__id"),
+        col(rankCol).cast("int").as("__r"), lit(i).as("__sig"))
+    }.reduce(_ unionByName _)
+    val fused = tagged
+      .groupBy(col("__qid"), col("__id"))
+      // signal-ordered fold: a doc surfaced by the same (signal, rank)
+      // pairs must score BIT-equal in any engine so doc-id ties are
+      // deterministic (the bm25 term-fold convention)
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("__sig"),
+            (lit(1.0) / (lit(k0.toDouble) + col("__r").cast("double")))
+              .as("v")))), x => x("v")),
+          lit(0.0), (acc, v) => acc + v).as("__score"),
+        count(lit(1)).as("signals"),
+        min(col("__r")).cast("long").as("best_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("__score").desc, col("__id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qCol), col("rank"), col("__id").as(idCol),
+        col("signals"), col("best_rank"))
+  }
+
+  /** HYBRID RETRIEVAL for contamination triage: fuse the lexical
+    * ([[bm25JoinTopK]]) and semantic
+    * ([[graft.llm.Similarity.bruteForceTopK]] — or any frame with the
+    * same rank contract, e.g. a persisted-IVF probe) top-k rankings
+    * of one benchmark via [[rrfFuse]]. `bench` carries BOTH query
+    * representations: (`qIdCol`, `qTextCol`) for BM25 and the same
+    * ids with `qVecCol` for the vector side; `docs`/`embs` are the
+    * corpus sides keyed so that `embs(cIdCol)` = `docs(idCol)`.
+    * Real triage needs both signals: reordered overlap defeats
+    * n-grams but not BM25; paraphrase defeats BM25 but not
+    * embeddings — the fusion surfaces what either signal saw. */
+  def hybridRetrieve(docs: DataFrame, embs: DataFrame, bench: DataFrame,
+                     k: Int, kPerSignal: Int = 10, k0: Int = 60,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     qIdCol: String = "qid", qTextCol: String = "text",
+                     qVecCol: String = "embedding",
+                     cIdCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val lex = bm25JoinTopK(docs, bench.select(col(qIdCol), col(qTextCol)),
+        kPerSignal, idCol, textCol, qIdCol, qTextCol)
+      .select(col("qid"), col(idCol).as("doc_id"), col("rank"))
+    val sem = graft.llm.Similarity.bruteForceTopK(
+        bench.select(col(qIdCol), col(qVecCol).as(vecCol)), embs,
+        kPerSignal, qIdCol = qIdCol, cIdCol = cIdCol, vecCol = vecCol)
+      .select(col("query_id").as("qid"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k, k0)
+  }
+
   /** Top-`k` corpus documents for a free-text `query` under BM25
     * (k1/b at the published defaults). Returns (rank, doc id, and the
     * integer per-term tf profile that produced the score) — rank is

@@ -610,6 +610,26 @@ object ConfigLoader {
           req(o, "indexPath"), df, k = o.getOrElse("k", "5").toInt,
           qIdCol = o.getOrElse("qIdCol", "qid"),
           qTextCol = o.getOrElse("qTextCol", "text"))),
+      // hybrid contamination triage: the job's frame is the benchmark
+      // carrying BOTH query representations (qid, text, embedding);
+      // lexical bm25 top-k + semantic cosine top-k fused by
+      // reciprocal-rank (rank-only arithmetic — exact cross-engine)
+      "hybrid_retrieve" -> (o => df => {
+        val s = df.sparkSession
+        graft.llm.Search.hybridRetrieve(
+          s.read.parquet(req(o, "docsPath")),
+          s.read.parquet(req(o, "embPath")), df,
+          k = o.getOrElse("k", "5").toInt,
+          kPerSignal = o.getOrElse("kPerSignal", "10").toInt,
+          k0 = o.getOrElse("k0", "60").toInt,
+          idCol = o.getOrElse("idCol", "doc_id"),
+          textCol = o.getOrElse("column", "text"),
+          qIdCol = o.getOrElse("qIdCol", "qid"),
+          qTextCol = o.getOrElse("qTextCol", "text"),
+          qVecCol = o.getOrElse("qVecCol", "embedding"),
+          cIdCol = o.getOrElse("cIdCol", "vec_id"),
+          vecCol = o.getOrElse("vecCol", "embedding"))
+      }),
       "host_prior_gate" -> (o => df =>
         graft.llm.LinkGraph.priorGate(df,
           df.sparkSession.read.parquet(req(o, "priorsPath")),

@@ -128,6 +128,46 @@ class SearchSpec extends SparkSpec {
       Search.bm25ServeGate(spark, dir, docs, "  ", 0.1))
   }
 
+  test("rrfFuse: rank-2-everywhere beats rank-1-somewhere; ties break by id") {
+    // signal A ranks (10 @1, 7 @2); signal B ranks (20 @1, 7 @2):
+    // doc 7 (rank 2 in BOTH) must fuse above each signal's rank-1
+    val a = Seq((1L, 10L, 1), (1L, 7L, 2)).toDF("qid", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 7L, 2)).toDF("qid", "doc_id", "rank")
+    val fused = Search.rrfFuse(Seq(a, b), k = 5).collect()
+    assert(fused.map(r => (r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((1, 7L), (2, 10L), (3, 20L))) // 10/20 tie 1/61 → id order
+    val d7 = fused.find(_.getLong(2) == 7L).get
+    assert(d7.getLong(3) === 2L && d7.getLong(4) === 2L) // signals, best
+    intercept[IllegalArgumentException](Search.rrfFuse(Nil, 5))
+    intercept[IllegalArgumentException](Search.rrfFuse(Seq(a), 0))
+  }
+
+  test("hybridRetrieve: fusion finds the contaminant each signal misses") {
+    val fx = Seq(
+      (1L, "qqalpha qqbeta qqgamma w1 w2 w3 w4 w5", Seq(2f, 1f, 0f, 0f)),
+      (2L, "qqalpha qqbeta qqgamma qqalpha qqbeta qqgamma",
+        Seq(0f, 0f, 1f, 0f)),
+      (3L, "zzz yyy xxx", Seq(8f, 1f, 0f, 0f)),
+      (4L, "other words entirely", Seq(0f, 1f, 1f, 0f)),
+      (5L, "more unrelated text", Seq(1f, 2f, 2f, 0f))
+    ).toDF("doc_id", "text", "embedding")
+    val bench = Seq((100L, "qqalpha qqbeta qqgamma", Seq(1f, 0f, 0f, 0f)))
+      .toDF("qid", "text", "embedding")
+    val docs = fx.select(col("doc_id"), col("text"))
+    val embs = fx.select(col("doc_id").as("vec_id"), col("embedding"))
+    // each signal's own rank 1 is a herring, not the contaminant
+    val lex1 = Search.bm25JoinTopK(docs, bench.select("qid", "text"), 3)
+      .where(col("rank") === 1).head().getLong(2)
+    val sem1 = Similarity.bruteForceTopK(
+        bench.select(col("qid").as("vec_id"), col("embedding")), embs, 3)
+      .where(col("rank") === 1).head().getLong(2)
+    assert(lex1 === 2L && sem1 === 3L)
+    // the fusion's rank 1 IS the contaminant, surfaced by both signals
+    val top = Search.hybridRetrieve(docs, embs, bench, k = 5,
+      kPerSignal = 3).where(col("rank") === 1).head()
+    assert(top.getLong(2) === 1L && top.getLong(3) === 2L)
+  }
+
   test("bm25Stats: empty corpus raises a clear message, not an NPE") {
     val e = intercept[IllegalArgumentException](
       Search.bm25Stats(corpus.where(lit(false)), "doc_id", "text"))

@@ -1786,6 +1786,27 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(rowsOf(gateK) == rowsOf(gateL))
   }
 
+  test("hybrid_retrieve kind equals the library fusion") {
+    import ConfigLoader.transformKinds
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_hybrid_kind").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    docs.write.parquet(s"$work/docs")
+    embs.write.parquet(s"$work/embs")
+    val bench = docs.where(col("doc_id") === 11L)
+      .select((col("doc_id") + 9000L).as("qid"), col("text"))
+      .join(embs.select((col("vec_id") + 9000L).as("qid"),
+        col("embedding")), Seq("qid"))
+    val viaKind = transformKinds("hybrid_retrieve")(
+      Map("docsPath" -> s"$work/docs", "embPath" -> s"$work/embs",
+        "k" -> "4", "kPerSignal" -> "6"))(bench)
+    val viaLib = graft.llm.Search.hybridRetrieve(docs, embs, bench,
+      k = 4, kPerSignal = 6)
+    assert(rowsOf(viaKind) == rowsOf(viaLib) && viaKind.count() == 4)
+  }
+
   test("stream search kind 'bm25' routes; unknown search kind rejects") {
     val d = Files.createTempDirectory("graft_bm25_streamcfg").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
