@@ -9788,6 +9788,43 @@ object Queries {
         AS t(step, k, recall_before, reindexed, recall_after, generation)
       ORDER BY step"""))
 
+  /** AUTOMATED drift maintenance for the IVF-PQ composite
+    * ([[Similarity.reindexIvfPqIfDrifted]] — the big-corpus layout
+    * gets the same measure → compare → conditionally-reindex →
+    * re-measure loop as `ann_autoreindex_planted`): recall measured
+    * through the FULL serving path (coarse probe → stored-code ADC
+    * shortlist → exact re-rank); the ε-twins' recall@1 is exactly 1.0
+    * on any correct index, so a 0.5 floor provably does NOT reindex
+    * and a 1.01 floor provably DOES — a genuine refit of BOTH coarse
+    * centroids and residual codebooks (8 centroids / m=4), the
+    * re-measure through the new committed generation, recall exactly
+    * restored. */
+  private val annAutoReindexPq = QueryDef("ann_autoreindex_pq_planted",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivfpq_autoreindex")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Similarity.buildIvfPqIndex(emb, dir)
+      val q = perturbedEmbeddings(emb, 3)
+      val healthy = Similarity.reindexIvfPqIfDrifted(s, dir, q, emb,
+        k = 1, recallFloor = 0.5).withColumn("step", lit("healthy"))
+      val forced = Similarity.reindexIvfPqIfDrifted(s, dir, q, emb,
+          k = 1, recallFloor = 1.01, nCentroids = 8, m = 4)
+        .withColumn("step", lit("forced"))
+      healthy.unionByName(forced)
+        .select(col("step"), col("k"), col("recall_before"),
+          col("reindexed"), col("recall_after"), col("generation"))
+        .orderBy(col("step"))
+    },
+    Some("""SELECT * FROM (VALUES
+        ('forced', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), true,
+          CAST(1.0 AS DOUBLE), 'gen-0001'),
+        ('healthy', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), false,
+          CAST(1.0 AS DOUBLE), 'flat'))
+        AS t(step, k, recall_before, reindexed, recall_after, generation)
+      ORDER BY step"""))
+
   /** INDEX-SIDE RETRACTION
     * ([[graft.streaming.IndexIngest.retractFromVectorIndex]]): a
     * takedown is corpus-wide — the doc's embedding must leave the ANN
@@ -12317,7 +12354,7 @@ object Queries {
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend,
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
     annIvfAppend, annSearchStream, annRetractIndex, annReindexPlanted,
-    annReindexDrift, annAutoReindex, annRecallAudit,
+    annReindexDrift, annAutoReindex, annAutoReindexPq, annRecallAudit,
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,
     embedNearDup, semdedupPairsQ, semdedupQ, diversityPruneQ, d4Curation,

@@ -657,6 +657,56 @@ object Similarity {
       .toDF("k", "recall_before", "reindexed", "recall_after", "generation")
   }
 
+  /** [[reindexIvfIfDrifted]] for the IVF-PQ composite — the actual
+    * big-corpus layout gets the same scheduled-maintenance loop:
+    * recall@k of the serving generation's FULL query path (coarse
+    * probe → stored-code ADC shortlist → exact re-rank) against
+    * brute-force truth on the caller's probe queries; below
+    * `recallFloor`, [[reindexIvfPq]] refits coarse centroids AND
+    * residual codebooks on the caller's corpus (the re-rank frame —
+    * PQ codes store no vectors), swaps atomically, and recall is
+    * re-measured through the new generation. Shortlist misses are
+    * exactly what codebook/centroid drift produces, so the measured
+    * recall is the ADC quality signal. Returns the same one-row audit
+    * record as the IVF form: (k, recall_before, reindexed,
+    * recall_after, generation). */
+  def reindexIvfPqIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, queries: DataFrame,
+                            corpus: DataFrame, k: Int = 5,
+                            recallFloor: Double = 0.8, nProbe: Int = 4,
+                            shortlist: Int = 50, nCentroids: Int = 16,
+                            m: Int = 8, kCodes: Int = 16,
+                            seed: Long = 42L,
+                            qIdCol: String = "vec_id",
+                            cIdCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(recallFloor > 0.0,
+      s"reindexIvfPqIfDrifted: recallFloor must be > 0, got $recallFloor")
+    val truth = bruteForceTopK(queries, corpus, k, qIdCol, cIdCol, vecCol)
+      .localCheckpoint()
+    def measure(): Double = {
+      val r = recallRow(ivfPqQueryIndex(spark, dir, queries, corpus, k,
+        nProbe, shortlist, qIdCol, cIdCol, vecCol), truth, "ivfpq", k)
+        .select(col("recall")).head()
+      require(!r.isNullAt(0),
+        "reindexIvfPqIfDrifted: empty truth set — no probe queries?")
+      r.getDouble(0)
+    }
+    val before = measure()
+    val drifted = before < recallFloor
+    if (drifted)
+      reindexIvfPq(spark, dir, corpus, nCentroids, m, kCodes, seed,
+        cIdCol, vecCol)
+    val after = if (drifted) measure() else before
+    val gen = {
+      val r = resolveIndexRoot(spark, dir)
+      if (r == dir) "flat" else new org.apache.hadoop.fs.Path(r).getName
+    }
+    import spark.implicits._
+    Seq((k.toLong, before, drifted, after, gen))
+      .toDF("k", "recall_before", "reindexed", "recall_after", "generation")
+  }
+
   /** [[reindexIvf]] for a persisted PQ index. PQ codes store no
     * vectors (that IS the compression), so the current corpus comes
     * from the caller — the same frame the exact re-rank of

@@ -1424,14 +1424,28 @@ object ConfigLoader {
       "reindex_if_drifted" -> (o => Sinks.Write("reindex_if_drifted", df => {
         val spark = df.sparkSession
         val dir = req(o, "dir")
-        graft.llm.Similarity.reindexIvfIfDrifted(spark, dir,
-            spark.read.parquet(req(o, "queriesPath")), df,
+        val audit = o.getOrElse("family", "ivf") match {
+          case "ivf" => graft.llm.Similarity.reindexIvfIfDrifted(spark,
+            dir, spark.read.parquet(req(o, "queriesPath")), df,
             k = o.getOrElse("k", "5").toInt,
             recallFloor = req(o, "recallFloor").toDouble,
             nProbe = o.getOrElse("nProbe", "4").toInt,
             nCentroids = o.getOrElse("nCentroids", "16").toInt,
             seed = o.getOrElse("seed", "42").toLong)
-          .write.mode("append")
+          case "ivfpq" => graft.llm.Similarity.reindexIvfPqIfDrifted(
+            spark, dir, spark.read.parquet(req(o, "queriesPath")), df,
+            k = o.getOrElse("k", "5").toInt,
+            recallFloor = req(o, "recallFloor").toDouble,
+            nProbe = o.getOrElse("nProbe", "4").toInt,
+            shortlist = o.getOrElse("shortlist", "50").toInt,
+            nCentroids = o.getOrElse("nCentroids", "16").toInt,
+            m = o.getOrElse("m", "8").toInt,
+            kCodes = o.getOrElse("kCodes", "16").toInt,
+            seed = o.getOrElse("seed", "42").toLong)
+          case other => throw new Pipeline.ValidationException(
+            s"reindex_if_drifted: unknown family '$other' (ivf | ivfpq)")
+        }
+        audit.write.mode("append")
           .parquet(o.getOrElse("reportDir", s"$dir/maintenance"))
       })),
       // takedown compliance report: the job's frame IS the current

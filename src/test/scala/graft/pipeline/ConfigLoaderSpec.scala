@@ -468,6 +468,38 @@ class ConfigLoaderSpec extends SparkSpec {
       .endsWith("/gen-0001"))
   }
 
+  test("reindex_if_drifted kind, family ivfpq: both branches + ledger; bad family rejects") {
+    import java.nio.file.Files
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("graft_autoreix_pq").toFile.getPath
+    graft.llm.Similarity.buildIvfPqIndex(emb, s"$dir/ix")
+    emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/probes")
+    def run(floor: String): Unit =
+      graft.sinks.Sinks.runChain(emb, Seq(
+        ConfigLoader.loadKinds("reindex_if_drifted")(Map(
+          "family" -> "ivfpq", "dir" -> s"$dir/ix",
+          "queriesPath" -> s"$dir/probes", "k" -> "1",
+          "recallFloor" -> floor, "nCentroids" -> "8", "m" -> "4"))))
+    run("0.5")  // healthy: 1.0 >= 0.5 — no reindex
+    run("1.01") // forced breach: refit into gen-0001
+    val rep = spark.read.parquet(s"$dir/ix/maintenance")
+      .select(col("reindexed"), col("generation"),
+        col("recall_before"), col("recall_after"))
+      .as[(Boolean, String, Double, Double)].collect().toSet
+    assert(rep == Set((false, "flat", 1.0, 1.0),
+      (true, "gen-0001", 1.0, 1.0)), rep.toString)
+    assert(graft.llm.Similarity.resolveIndexRoot(spark, s"$dir/ix")
+      .endsWith("/gen-0001"))
+    intercept[Pipeline.ValidationException](
+      graft.sinks.Sinks.runChain(emb, Seq(
+        ConfigLoader.loadKinds("reindex_if_drifted")(Map(
+          "family" -> "nope", "dir" -> s"$dir/ix",
+          "queriesPath" -> s"$dir/probes", "recallFloor" -> "0.5")))))
+  }
+
   test("bitext_mine / mine_triplets kinds: indexed mode routes through persisted indexes; bad modes rejected") {
     import java.nio.file.Files
     import graft.pipeline.ConfigLoader.transformKinds
