@@ -3482,21 +3482,29 @@ object Queries {
     "warmup=2000:src1=0.4,src2=0.4,src3=0.2;" +
       "anneal=800:src1=0.2,src2=0.2,src3=0.6"
 
-  /** Shared ledger-replay CTEs (no leading WITH): natural token masses
-    * over the target domains, the phase/weight VALUES table, and the
+  /** Ledger-replay CTEs (no leading WITH) for any (doc_id, source,
+    * text) relation and phase list: natural token masses over the
+    * target domains, the phase/weight VALUES table, and the
     * exact-rational ratesForTargetWeights arithmetic per phase —
-    * ending in `rt` (+ ratio) and `mxr` (per-phase max ratio). */
-  private val sqlPhaseLedgerCtes: String =
-    """nat AS (SELECT source AS domain,
-        CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+    * ending in `rt` (+ ratio) and `mxr` (per-phase max ratio).
+    * Parameterized so the standalone mix_phase_* queries (over
+    * `documents`) and the phased funnel product (over the curated
+    * survivor CTE) share one replay definition. */
+  private def sqlPhaseLedgerCtesFor(
+      corpus: String, phases: Seq[graft.llm.Mixing.MixPhase]): String = {
+    val domains = phases.flatMap(_.targets.keys).distinct.sorted
+    val valuesRows = phases.zipWithIndex.flatMap { case (p, i) =>
+      p.targets.toSeq.sortBy(_._1).map { case (dm, w) =>
+        s"($i,'${p.name}',${p.tokenBudget},'$dm',$w)" }
+    }.mkString(",\n        ")
+    s"""nat AS (SELECT source AS domain,
+        CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
           w -> w <> ''))) AS BIGINT) AS n_trans
-        FROM documents WHERE source IN ('src1','src2','src3')
+        FROM $corpus
+        WHERE source IN (${domains.map(d => s"'$d'").mkString(",")})
         GROUP BY source),
       ph(phase_idx, phase, token_budget, domain, weight) AS (VALUES
-        (0,'warmup',2000,'src1',0.4),(0,'warmup',2000,'src2',0.4),
-        (0,'warmup',2000,'src3',0.2),
-        (1,'anneal',800,'src1',0.2),(1,'anneal',800,'src2',0.2),
-        (1,'anneal',800,'src3',0.6)),
+        $valuesRows),
       wts AS (SELECT ph.*, nat.n_trans FROM ph JOIN nat USING (domain)),
       wtot AS (SELECT phase_idx, CAST(SUM(CAST(n_trans AS DECIMAL(38,0)))
           AS DECIMAL(38,0)) AS wt FROM wts GROUP BY phase_idx),
@@ -3505,13 +3513,20 @@ object Queries {
         FROM wts w JOIN wtot t USING (phase_idx)),
       rt AS (SELECT *, round(weight / share, 6) AS ratio FROM shp),
       mxr AS (SELECT phase_idx, max(ratio) AS mx FROM rt GROUP BY phase_idx)"""
+  }
 
-  /** The schedule-replay CTEs on top of [[sqlPhaseLedgerCtes]]: hex
+  private val sqlPhaseLedgerCtes: String =
+    sqlPhaseLedgerCtesFor("documents", mixPhasesFixture)
+
+  /** Schedule-replay CTEs on top of [[sqlPhaseLedgerCtesFor]]: hex
     * thresholds per (phase, domain), the phase-salted md5 sample, and
     * the per-phase GLOBAL exclusive token prefix in md5-rank order —
-    * ending in `adm` (admitted doc-copies with tok_before). */
-  private val sqlPhaseScheduleCtes: String =
-    s"""$sqlPhaseLedgerCtes,
+    * ending in `adm` (admitted doc-copies with tok_before). Same
+    * (corpus, phases) parameterization as the ledger CTEs. */
+  private def sqlPhaseScheduleCtesFor(
+      corpus: String, phases: Seq[graft.llm.Mixing.MixPhase],
+      salt: String = "graft"): String =
+    s"""${sqlPhaseLedgerCtesFor(corpus, phases)},
       thr AS (SELECT phase_idx, phase, token_budget, domain,
           CASE WHEN round(ratio / mxr.mx, 6) >= 1.0 THEN 'g'
                ELSE printf('%08x', CAST(round(round(ratio / mxr.mx, 6)
@@ -3520,19 +3535,22 @@ object Queries {
       tk AS (SELECT doc_id, source AS domain,
           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
             w -> w <> '')) AS BIGINT) AS n_tokens
-        FROM documents),
+        FROM $corpus),
       samp AS (SELECT t.phase_idx, t.phase, t.token_budget, k.doc_id,
           k.domain, k.n_tokens,
-          md5('graft#' || t.phase || '#rank'
+          md5('$salt#' || t.phase || '#rank'
             || CAST(k.doc_id AS VARCHAR)) AS rk
         FROM thr t JOIN tk k USING (domain)
-        WHERE substr(md5('graft#' || t.phase || CAST(k.doc_id AS VARCHAR)),
+        WHERE substr(md5('$salt#' || t.phase || CAST(k.doc_id AS VARCHAR)),
           1, 8) < t.th),
       pref AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY phase_idx
           ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
           0) AS tok_before
         FROM samp),
       adm AS (SELECT * FROM pref WHERE tok_before < token_budget)"""
+
+  private val sqlPhaseScheduleCtes: String =
+    sqlPhaseScheduleCtesFor("documents", mixPhasesFixture)
 
   /** EPOCH-PHASE MIX SCHEDULE, the compiled plan table
     * ([[graft.llm.Mixing.phaseRatesLedger]] — round-12 verdict gap
@@ -5861,7 +5879,7 @@ object Queries {
     * replicate [[graft.llm.Dedup.nearDupClusters]]'s min-id component
     * canonical for components of diameter ≤ 2 (the measured pair
     * structure is disjoint edges — diameter 1). */
-  private val sqlShardsChain: String =
+  private val sqlShardsChainToMxin: String =
     s"""u AS (SELECT doc_id, source, text,
         'https://' || source
           || (CASE WHEN doc_id % 7 = 0 THEN '.adsite' ELSE '' END)
@@ -5975,7 +5993,14 @@ object Queries {
             || string_split(h.host, '.')[-1]
           ELSE h.host END) AS source,
         sp.main_text AS text
-        FROM sp JOIN h USING (doc_id)),
+        FROM sp JOIN h USING (doc_id))"""
+
+  /** [[sqlShardsChainToMxin]] + the single-phase DoReMi mix and the
+    * doc-order token-offset packing — ending in CTE `packs`
+    * (pack_id, n_docs, n_tokens). The phased product reuses the
+    * prefix and swaps this mix suffix for the phase-schedule CTEs. */
+  private val sqlShardsChain: String =
+    s"""$sqlShardsChainToMxin,
       ${sqlExcessIterCtes(2, 1.0, "mxin")},
       ${sqlMixThresholdCtes(2)},
       mxd AS (SELECT mi.doc_id, mi.text AS main_text FROM mxin mi
@@ -6075,6 +6100,166 @@ object Queries {
         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         CAST(SUM(n_docs) AS BIGINT) AS sum_docs
       FROM sh GROUP BY shard ORDER BY shard"""))
+
+  /** The phased product's epoch schedule: a balanced warmup over three
+    * surviving registrable domains, then a src2.example-heavy anneal
+    * (the published mid-training upweight). Domains chosen to survive
+    * the funnel at EVERY oracle SF: srcN with N ≡ 0 (mod 5) never
+    * survives — doc_id % 20 = N forces doc_id % 5 = 0, the casino URL
+    * tag — and src3/src7 are the blocked-domain fixtures, so
+    * src1/src2/src4 are the stable choices. Budgets are SF-constant so
+    * the admitted row counts stay bounded at every scale factor. */
+  private val curatePhases: Seq[graft.llm.Mixing.MixPhase] = Seq(
+    graft.llm.Mixing.MixPhase("warmup", 3000L,
+      Map("src1.example" -> 0.34, "src2.example" -> 0.33,
+        "src4.example" -> 0.33)),
+    graft.llm.Mixing.MixPhase("anneal", 1000L,
+      Map("src1.example" -> 0.2, "src2.example" -> 0.6,
+        "src4.example" -> 0.2)))
+
+  private val curatePhasesOption: String =
+    "warmup=3000:src1.example=0.34,src2.example=0.33,src4.example=0.33;" +
+      "anneal=1000:src1.example=0.2,src2.example=0.6,src4.example=0.2"
+
+  /** The funnel stages of [[shardsChain]] WITHOUT the single-phase mix
+    * and packing tail — the curation prefix the phased product shares
+    * with the flat one. */
+  private val curateStagesChain: Seq[(String, Map[String, String])] =
+    shardsChain.filterNot { case (k, _) =>
+      k == "mix_excess" || k == "pack_materialize" }
+
+  private def curateStagesYaml(d: String): String =
+    curateStagesChain.map { case (kind, o) =>
+      s"""      - kind: $kind
+         |        options:
+         |${o.map { case (k, v) =>
+             s"          $k: '${v.replace("{SFDIR}", d)}'" }.mkString("\n")}""".stripMargin
+    }.mkString("\n")
+
+  /** THE PHASED one-config product ([[graft.llm.Packing.phasedShards]]
+    * via the `phased_shards` sink): the full curation funnel feeds an
+    * EPOCH-PHASE mix schedule instead of the flat DoReMi stage — job 1
+    * curates (WARC ingest → extraction → URL/lang/quality gates →
+    * exact + near dedup → decontamination → PII scrub → registrable
+    * domain) into a persisted corpus, job 2 compiles the 2-phase
+    * schedule over it and materializes EACH phase's admitted docs into
+    * its own certified shard generation (`out/phase-0000`,
+    * `out/phase-0001` — the index-lifecycle naming; the trainer walks
+    * generations in phase order). The query returns the per-(phase,
+    * shard) re-read manifest + data summary, and DuckDB replays the
+    * ENTIRE product — funnel membership, phase rates, admission
+    * prefix, per-phase packs, shard digests — from the documents
+    * table in one statement. */
+  private val curatePhasedShardsQ = QueryDef("curate_phased_shards",
+    (s, d) => {
+      val dir = tmpDir(d, "curate_phased_shards")
+      val out = s"$dir/out"
+      val warc = warcResponseFixture(s, d, "warc_phased_shards",
+        plantNearDups = true, plantPii = true, plantLang = true)
+      val yaml =
+        s"""jobs:
+           |  - name: curate
+           |    extract:
+           |      - kind: warc_responses
+           |        path: $warc
+           |        prefix: ""
+           |        status: 200
+           |        contentType: text/html
+           |    transform:
+           |${curateStagesYaml(d)}
+           |    load:
+           |      - kind: parquet_dir
+           |        options: {path: $dir/curated}
+           |  - name: phased_shards
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/curated
+           |        prefix: ""
+           |    load:
+           |      - kind: phased_shards
+           |        options:
+           |          idCol: doc_id
+           |          textCol: main_text
+           |          domainCol: mix_domain
+           |          phases: '$curatePhasesOption'
+           |          budget: '512'
+           |          dir: $out
+           |          nShards: '2'
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      curatePhases.indices.map { i =>
+        val gen = f"$out/phase-$i%04d"
+        val manifest = s.read.parquet(s"$gen/shards/manifest")
+        val data = s.read.parquet(s"$gen/shards/data")
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(sum(col("n_tokens")).as("sum_tokens"),
+            sum(col("n_docs")).as("sum_docs"))
+        manifest.join(data, Seq("shard"))
+          .select(lit(i.toLong).as("phase_idx"), col("*"))
+      }.reduce(_ unionByName _).orderBy(col("phase_idx"), col("shard"))
+    },
+    Some(s"""WITH $sqlShardsChainToMxin,
+      ${sqlPhaseScheduleCtesFor("mxin", curatePhases)},
+      o2 AS (SELECT phase_idx, doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY phase_idx
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS token_offset
+        FROM adm WHERE n_tokens > 0),
+      p2 AS (SELECT phase_idx,
+          CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS pack_id, n_tokens
+        FROM o2),
+      pk2 AS (SELECT phase_idx, pack_id, count(*) AS n_docs,
+          SUM(n_tokens) AS n_tokens
+        FROM p2 GROUP BY phase_idx, pack_id),
+      r2 AS (SELECT *, md5(CAST(pack_id AS VARCHAR)) AS rank FROM pk2),
+      sh0 AS (SELECT *, ${sqlHexVal("rank", 8)} AS digest FROM r2),
+      sh2 AS (SELECT *, digest % 2 AS shard FROM sh0)
+      SELECT CAST(phase_idx AS BIGINT) AS phase_idx,
+        CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows,
+        CAST(SUM(digest) AS BIGINT) AS checksum,
+        min(rank) AS min_rank, max(rank) AS max_rank,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_docs) AS BIGINT) AS sum_docs
+      FROM sh2 GROUP BY phase_idx, shard ORDER BY phase_idx, shard"""))
+
+  /** The phased product's FUNNEL TWIN: per-(phase, domain) admitted
+    * doc/token counts over the SAME curated corpus — the observability
+    * frame that proves the anneal phase is measurably re-weighted
+    * toward src2.example while warmup is balanced. Stages applied
+    * through the config registry (the same kind functions the YAML
+    * resolves); the oracle replays funnel → rates → admission from the
+    * documents table. */
+  private val curatePhasedFunnelQ = QueryDef("curate_phased_funnel",
+    (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      val warc = warcResponseFixture(s, d, "warc_phased_funnel",
+        plantNearDups = true, plantPii = true, plantLang = true)
+      val resp = Sources.readWarcResponses(s, warc)
+        .where(col("http_status") === 200 &&
+          col("content_type") === "text/html")
+      val curated = curateStagesChain.foldLeft(resp) { case (df, (kind, opts)) =>
+        val resolved = opts.view.mapValues(_.replace("{SFDIR}", d)).toMap
+        graft.pipeline.ConfigLoader.transformKinds(kind)(resolved)(df)
+          .localCheckpoint()
+      }
+      graft.llm.Mixing.phasedMixSchedule(curated, "doc_id", "main_text",
+          "mix_domain", curatePhases)
+        .groupBy(col("phase_idx"), col("phase"), col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("phase_idx"), col("domain"))
+    },
+    Some(s"""WITH $sqlShardsChainToMxin,
+      ${sqlPhaseScheduleCtesFor("mxin", curatePhases)}
+      SELECT CAST(phase_idx AS BIGINT) AS phase_idx, phase, domain,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM adm GROUP BY phase_idx, phase, domain
+      ORDER BY phase_idx, domain"""))
 
   /** Per-stage observability for the [[shardsChain]] composition: one
     * row per funnel stage with its surviving row count, each stage
@@ -12337,7 +12522,8 @@ object Queries {
     packPaddingStats, packAppendQ, packMaterializeEos,
     packGreedyMatQ,
     shardShuffleQ, shardShuffleEpochs, shardManifest, trainerFormatYaml,
-    curateToShardsYaml, curateToShardsFunnel, curateMixedShards,
+    curateToShardsYaml, curateToShardsFunnel, curatePhasedShardsQ,
+    curatePhasedFunnelQ, curateMixedShards,
     curateResumeShards, ledgerCompactPack, curateStreamYaml,
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
     curateStreamMix,

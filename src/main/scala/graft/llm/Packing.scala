@@ -918,4 +918,57 @@ object Packing {
         (col("__grp") * docsPerGroup + col("z.__chain").cast("long"))
           .as("semantic_rank"))
   }
+
+  /** PER-PHASE SHARD GENERATIONS — the epoch-phase mix schedule
+    * ([[Mixing.phasedMixSchedule]]) composed into the shard product a
+    * phased trainer run actually consumes: each phase's admitted docs
+    * pack ([[packSequences]]) and materialize into certified training
+    * shards under their own zero-padded generation directory
+    * (`dir/phase-0000`, `dir/phase-0001`, … — the index-lifecycle
+    * naming; a phase's shards never overwrite another's, and the
+    * trainer walks generations in phase order). The schedule is
+    * computed ONCE (one shares aggregation + one sampled scan per
+    * phase); each phase then pays its own pack prefix-sum and
+    * materialization over ONLY its admitted rows. Returns the
+    * per-(phase, shard) summary: the re-read certified manifest
+    * joined with a re-aggregation of the written pack data —
+    * the same audit frame the single-phase product returns, with the
+    * phase dimension in front. */
+  def phasedShards(docs: DataFrame, idCol: String, textCol: String,
+                   domainCol: String, phases: Seq[Mixing.MixPhase],
+                   packBudget: Long, dir: String, nShards: Int,
+                   salt: String = "graft"): DataFrame = {
+    require(packBudget > 0,
+      s"phasedShards: packBudget must be positive, got $packBudget")
+    require(nShards >= 1,
+      s"phasedShards: nShards must be >= 1, got $nShards")
+    val spark = docs.sparkSession
+    // null-safe whitespace tokens: the count feeds the pack prefix
+    // sum, the array feeds the shard materialization (which re-checks
+    // count vs assignment — the store-drift guard)
+    val tokArr = filter(split(trim(coalesce(col(textCol), lit(""))),
+      "\\s+"), w => w =!= "")
+    val tokCount = size(tokArr).cast("long")
+    val sched = Mixing.phasedMixSchedule(docs, idCol, textCol, domainCol,
+      phases, salt).localCheckpoint()
+    phases.zipWithIndex.map { case (p, i) =>
+      val gen = f"$dir/phase-$i%04d"
+      val member = sched.where(col("phase_idx") === i)
+        .select(col("doc_id").as("__pm"))
+      val phaseDocs = docs.join(member, docs(idCol) === col("__pm"))
+        .drop("__pm").localCheckpoint()
+      packSequences(phaseDocs, idCol, tokCount, packBudget)
+        .write.mode("overwrite").parquet(s"$gen/assignment")
+      materializeShardsFromAssignment(spark, s"$gen/assignment",
+        phaseDocs, idCol, tokArr, s"$gen/shards", nShards)
+      val manifest = spark.read.parquet(s"$gen/shards/manifest")
+      val data = spark.read.parquet(s"$gen/shards/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard"))
+        .select(lit(i.toLong).as("phase_idx"), lit(p.name).as("phase"),
+          col("*"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -489,37 +489,11 @@ object ConfigLoader {
       // ratesForTargetWeights and executed as phase-salted resamples
       // with global budget admission. phases:
       //   "warmup=2000:src1=0.4,src2=0.4,src3=0.2;anneal=800:src3=0.8,src1=0.2"
-      "mix_phase_schedule" -> (o => df => {
-        def bad(entry: String, why: String) =
-          throw new Pipeline.ValidationException(
-            s"mix_phase_schedule: bad phases entry '$entry' ($why; " +
-              "expected name=budget:domain=w,domain=w)")
-        val phases = req(o, "phases").split(";").map(_.trim)
-          .filter(_.nonEmpty).map { ph =>
-            ph.split(":", 2) match {
-              case Array(head, tgts) => head.split("=", 2) match {
-                case Array(n, b) if n.trim.nonEmpty && b.trim.matches("\\d+") =>
-                  val targets = tgts.split(",").map { kv =>
-                    kv.split("=", 2) match {
-                      case Array(dm, w) if dm.trim.nonEmpty &&
-                          w.trim.matches("\\d*\\.?\\d+") =>
-                        dm.trim -> w.trim.toDouble
-                      case _ => bad(ph, s"bad weight '$kv'")
-                    }
-                  }.toMap
-                  graft.llm.Mixing.MixPhase(n.trim, b.trim.toLong, targets)
-                case _ => bad(ph, "bad name=budget head")
-              }
-              case _ => bad(ph, "missing ':' separator")
-            }
-          }.toSeq
-        if (phases.isEmpty)
-          throw new Pipeline.ValidationException(
-            "mix_phase_schedule: empty phases")
+      "mix_phase_schedule" -> (o => df =>
         graft.llm.Mixing.phasedMixSchedule(df, req(o, "idCol"),
-          req(o, "textCol"), req(o, "domainCol"), phases,
-          o.getOrElse("salt", "graft"))
-      }),
+          req(o, "textCol"), req(o, "domainCol"),
+          parsePhases(o, "mix_phase_schedule"),
+          o.getOrElse("salt", "graft"))),
       "mix_strata" -> (o => df =>
         graft.llm.Mixing.mixStrata(df, req(o, "stratumCol"), req(o, "keyCol"),
           // rates as "en=0.2,de=0.8"
@@ -1292,6 +1266,21 @@ object ConfigLoader {
           epochBudget = o.get("budget").map(_.toLong).getOrElse(0L))
         ()
       })),
+      // the epoch-phase mix schedule composed into the shard product:
+      // each phase's admitted docs pack and materialize into their own
+      // zero-padded generation dir (dir/phase-0000, …) — the phased
+      // trainer deliverable (warmup shards, then anneal shards under
+      // the shifted mix). phases: "name=budget:domain=w,...;..."
+      "phased_shards" -> (o => Sinks.Write("phased_shards", df => {
+        graft.llm.Packing.phasedShards(df, req(o, "idCol"),
+          req(o, "textCol"), req(o, "domainCol"),
+          parsePhases(o, "phased_shards"),
+          packBudget = req(o, "budget").toLong,
+          dir = req(o, "dir"),
+          nShards = req(o, "nShards").toInt,
+          salt = o.getOrElse("salt", "graft"))
+        ()
+      })),
       // train the hashed-linear quality classifier on the incoming
       // labeled frame and persist the (bucket, weight) table that
       // classifier_filter's weightsPath loads — the model-producing
@@ -1772,6 +1761,40 @@ object ConfigLoader {
   private def req(o: Options, k: String): String =
     o.getOrElse(k, throw new Pipeline.ValidationException(s"missing option '$k'"))
 
+  /** Parse the `phases` option shared by the phase-schedule kinds:
+    * `name=budget:domain=w,domain=w;name=budget:…` →
+    * [[graft.llm.Mixing.MixPhase]] list. One definition so
+    * `mix_phase_schedule` and `phased_shards` cannot drift. */
+  private def parsePhases(o: Options, kind: String)
+      : Seq[graft.llm.Mixing.MixPhase] = {
+    def bad(entry: String, why: String) =
+      throw new Pipeline.ValidationException(
+        s"$kind: bad phases entry '$entry' ($why; " +
+          "expected name=budget:domain=w,domain=w)")
+    val phases = req(o, "phases").split(";").map(_.trim)
+      .filter(_.nonEmpty).map { ph =>
+        ph.split(":", 2) match {
+          case Array(head, tgts) => head.split("=", 2) match {
+            case Array(n, b) if n.trim.nonEmpty && b.trim.matches("\\d+") =>
+              val targets = tgts.split(",").map { kv =>
+                kv.split("=", 2) match {
+                  case Array(dm, w) if dm.trim.nonEmpty &&
+                      w.trim.matches("\\d*\\.?\\d+") =>
+                    dm.trim -> w.trim.toDouble
+                  case _ => bad(ph, s"bad weight '$kv'")
+                }
+              }.toMap
+              graft.llm.Mixing.MixPhase(n.trim, b.trim.toLong, targets)
+            case _ => bad(ph, "bad name=budget head")
+          }
+          case _ => bad(ph, "missing ':' separator")
+        }
+      }.toSeq
+    if (phases.isEmpty)
+      throw new Pipeline.ValidationException(s"$kind: empty phases")
+    phases
+  }
+
   /** Shared packing-kind token expression: `tokensCol` names an
     * existing array<string> column; absent → whitespace tokens of
     * `textCol`, NULL-SAFE (a null text is zero tokens, not a null
@@ -1864,6 +1887,7 @@ object ConfigLoader {
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "build_postings" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
+    "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),
     "ce_prices" -> Seq("dir"),
     "mix_report" -> Seq("reportDir"),

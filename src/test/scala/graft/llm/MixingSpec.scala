@@ -510,4 +510,39 @@ class MixingSpec extends SparkSpec {
     assert(stats.last.getLong(3) == totalDocs)
     assert(stats.last.getLong(4) == totalToks)
   }
+
+  test("phasedShards: per-phase generations, certified manifests, phase mix lands") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phased_shards").toString
+    val docs = (0L until 360L).map(i =>
+        (i, s"d${i % 3}", "w " * 9 + "w"))
+      .toDF("doc_id", "domain", "text")
+    val phases = Seq(
+      Mixing.MixPhase("p1", 600L, Map("d0" -> 0.45, "d1" -> 0.45, "d2" -> 0.1)),
+      Mixing.MixPhase("p2", 600L, Map("d0" -> 0.1, "d1" -> 0.1, "d2" -> 0.8)))
+    val summary = Packing.phasedShards(docs, "doc_id", "text", "domain",
+      phases, packBudget = 64L, dir = dir, nShards = 2).localCheckpoint()
+    // one generation dir per phase, each with a certified shard set
+    for (i <- phases.indices) {
+      val gen = f"$dir/phase-$i%04d"
+      assert(new java.io.File(s"$gen/shards/manifest").exists, gen)
+      assert(new java.io.File(s"$gen/assignment").exists, gen)
+    }
+    // the summary equals the schedule: per-phase token totals match
+    val sched = Mixing.phasedMixSchedule(docs, "doc_id", "text", "domain",
+      phases)
+    val schedTok = sched.groupBy(col("phase_idx"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sumTok = summary.groupBy(col("phase_idx"))
+      .agg(sum(col("sum_tokens")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sumTok == schedTok, s"shards $sumTok != schedule $schedTok")
+    // the phase dimension leads and phases are re-weighted: p2 shards
+    // carry mostly d2 docs (via the schedule membership)
+    assert(summary.select("phase").distinct().count() == 2)
+    intercept[IllegalArgumentException](
+      Packing.phasedShards(docs, "doc_id", "text", "domain", phases,
+        packBudget = 0L, dir = dir, nShards = 2))
+  }
 }

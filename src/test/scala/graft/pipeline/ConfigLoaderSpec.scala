@@ -1818,6 +1818,27 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(rowsOf(gateK) == rowsOf(gateL))
   }
 
+  test("phased_shards kind: routes to the operator; malformed phases reject") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_phased_kind").toString
+    val docs = (0L until 90L).map(i => (i, s"d${i % 3}", "w " * 9 + "w"))
+      .toDF("doc_id", "domain", "text")
+    graft.sinks.Sinks.runChain(docs, Seq(
+      ConfigLoader.loadKinds("phased_shards")(Map(
+        "idCol" -> "doc_id", "textCol" -> "text", "domainCol" -> "domain",
+        "phases" -> "p1=200:d0=0.5,d1=0.5;p2=100:d2=1.0",
+        "budget" -> "64", "dir" -> s"$dir/out", "nShards" -> "2"))))
+    assert(new java.io.File(s"$dir/out/phase-0000/shards/manifest").exists)
+    assert(new java.io.File(s"$dir/out/phase-0001/shards/manifest").exists)
+    val e = intercept[Pipeline.ValidationException](
+      graft.sinks.Sinks.runChain(docs, Seq(
+        ConfigLoader.loadKinds("phased_shards")(Map(
+          "idCol" -> "doc_id", "textCol" -> "text",
+          "domainCol" -> "domain", "phases" -> "p1:d0=x",
+          "budget" -> "64", "dir" -> s"$dir/bad", "nShards" -> "2")))))
+    assert(e.getMessage.contains("phased_shards"))
+  }
+
   test("hybrid_retrieve kind equals the library fusion") {
     import ConfigLoader.transformKinds
     import spark.implicits._
