@@ -11731,6 +11731,40 @@ object Queries {
       ${sqlGraphRanks(3)}
       SELECT node, rank FROM r3 ORDER BY node"""))
 
+  /** INCREMENTAL RANK REFRESH ([[graft.llm.LinkGraph.pageRankRefresh]]
+    * — the continuous-maintenance closing arc: the `graph:` stream's
+    * declared refresh job no longer re-sweeps the whole graph when an
+    * epoch lands). The traced base run holds every edge at one unit
+    * less weight (all nodes present — the incremental path, not the
+    * new-node fallback), the delta re-adds the missing units (exactly
+    * what aggregating the ledger's new buckets produces), and the
+    * refresh folds only the delta-reached frontier per sweep. The
+    * oracle is the FULL 3-sweep replay over the full edge list —
+    * refresh ≡ recompute bit-for-bit is the whole point, so the same
+    * `graph_pagerank` SQL binds it. */
+  private val graphRankRefreshQ = QueryDef("graph_rank_refresh", {
+      (s, d) => {
+        val dir = tmpDir(d, "graph_rank_trace")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val edges = graphEdges(s, d).localCheckpoint()
+        val base = edges.select(col("src"), col("dst"),
+          when(col("weight") > 1, col("weight") - 1)
+            .otherwise(col("weight")).as("weight"))
+        val delta = edges.where(col("weight") > 1)
+          .select(col("src"), col("dst"), lit(1L).as("weight"))
+        require(delta.count() > 0,
+          "graph_rank_refresh: degenerate fixture — no weight-2+ edges")
+        graft.llm.LinkGraph.pageRankTrace(base, iters = 3, dir,
+          orderedFold = true)
+        graft.llm.LinkGraph.pageRankRefresh(s, dir, delta)
+          .orderBy(col("node"))
+      }
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)}
+      SELECT node, rank FROM r3 ORDER BY node"""))
+
   private def graphPriors(s: SparkSession, d: String): DataFrame =
     graft.llm.LinkGraph.hostPrior(
       graft.llm.LinkGraph.pageRank(graphEdges(s, d),
@@ -12560,7 +12594,8 @@ object Queries {
     eventsAsof,
     eventsAsofTol, eventsRolling, eventsFunnel, eventsRetention,
     eventsSessions,
-    graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphHostPriorQ,
+    graphTransitionsQ, graphDegreesQ, graphPagerankQ, graphRankRefreshQ,
+    graphHostPriorQ,
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,

@@ -117,12 +117,14 @@ object LinkGraph {
     * TrustRank; the teleport VECTOR is the only thing the two differ
     * by (Gyöngyi et al. 2004 §3). */
   private def rankSweeps(e: DataFrame, withBase: DataFrame, iters: Int,
-                         damping: Double,
-                         orderedFold: Boolean): DataFrame = {
+                         damping: Double, orderedFold: Boolean,
+                         onSweep: (Int, DataFrame) => Unit =
+                           (_, _) => ()): DataFrame = {
     val outW = e.groupBy(col("src"))
       .agg(sum(col("__w")).as("__ow")).localCheckpoint()
     var ranks = withBase
-    for (_ <- 1 to iters) {
+    onSweep(0, ranks.select(col("node"), col("rank")))
+    for (t <- 1 to iters) {
       val contribs = e
         .join(outW, "src")
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
@@ -141,6 +143,7 @@ object LinkGraph {
           (col("__base") + lit(damping) * coalesce(col("__mass"), lit(0.0)))
             .as("rank"))
         .localCheckpoint() // pin the sweep: flat lineage, AQE re-plan
+      onSweep(t, ranks.select(col("node"), col("rank")))
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -252,6 +255,225 @@ object LinkGraph {
       .withColumn("spam_mass",
         (col("prior") - col("trust")) / col("prior"))
       .withColumn("flagged", col("spam_mass") > threshold)
+
+  // ---- incremental rank refresh: per-sweep trace + delta frontier ----
+
+  private val TraceCommit = "_graft_trace_committed"
+
+  private def traceFs(spark: org.apache.spark.sql.SparkSession,
+                      dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest COMMITTED generation under `dir` (zero-padded names sort
+    * lexically = numerically — the index-lifecycle convention). */
+  private def latestTraceGen(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = traceFs(spark, dir)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-")
+        && fs.exists(new org.apache.hadoop.fs.Path(st.getPath, TraceCommit)))
+      .map(_.getPath.toString).sorted.lastOption
+  }
+
+  private def nextTraceGen(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = traceFs(spark, dir)
+    val next = if (!fs.exists(p)) 0
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+        .map(_.stripPrefix("gen-").toInt).foldLeft(-1)(math.max) + 1
+    f"$dir/gen-$next%04d"
+  }
+
+  /** [[pageRank]] with a PERSISTED PER-SWEEP TRACE — the build half of
+    * incremental rank maintenance: each sweep's full (node, rank)
+    * frame, the checkpointed edge list, and the run constants land
+    * under a new committed generation of `traceDir` (data first,
+    * commit marker last — the index-lifecycle atomic-swap shape), so
+    * a later [[pageRankRefresh]] can re-derive ONLY the delta-reached
+    * nodes per sweep and copy everything else. Trace cost: iters + 1
+    * node-frame writes + one edge write on top of the plain run. */
+  def pageRankTrace(edges: DataFrame, iters: Int, traceDir: String,
+                    damping: Double = 0.85,
+                    orderedFold: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRankTrace: iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"pageRankTrace: damping must be in (0,1), got $damping")
+    val spark = edges.sparkSession
+    // normalize to ONE row per (src, dst): the refresh's broadcast
+    // merge patches by key, so duplicate keys would each absorb the
+    // delta (sessionTransitions output is already key-unique — this
+    // is a no-op pass there)
+    val e = checkpointedEdges(edges
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight")))
+    val nodes = nodesOf(e)
+    val n = nodes.count()
+    require(n > 0, "pageRankTrace: empty edge list")
+    val gen = nextTraceGen(spark, traceDir)
+    e.select(col("src"), col("dst"), col("__w").as("weight"))
+      .write.mode("overwrite").parquet(s"$gen/edges")
+    e.groupBy(col("src")).agg(sum(col("__w")).as("__ow"))
+      .write.mode("overwrite").parquet(s"$gen/outw")
+    spark.range(1).select(lit(iters).as("iters"),
+        lit(damping).as("damping"), lit(n).as("n"),
+        lit(orderedFold).as("ordered_fold"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/meta")
+    val withBase = nodes.select(col("node"),
+      lit((1.0 - damping) / n).as("__base"), lit(1.0 / n).as("rank"))
+    val out = rankSweeps(e, withBase, iters, damping, orderedFold,
+      (t, r) => r.write.mode("overwrite").parquet(f"$gen/sweep-$t%04d"))
+    val m = new org.apache.hadoop.fs.Path(gen, TraceCommit)
+    traceFs(spark, traceDir).create(m, true).close()
+    out
+  }
+
+  /** INCREMENTAL RANK REFRESH — fold only what the delta can reach.
+    * `delta` is a (src, dst, weight) frame of POSITIVE edge-weight
+    * ADDITIONS since the traced run (exactly what aggregating the
+    * transitions ledger's NEW event-id buckets produces — the stream
+    * sink's append-only contract). Per sweep t, the only nodes whose
+    * rank can differ from the traced sweep are those reachable from a
+    * changed-out-weight source within t hops:
+    * `frontier_t = dst(edges, src ∈ S ∪ frontier_(t-1))` with S the
+    * delta's source set — so each sweep recomputes the recurrence for
+    * the frontier ONLY (full in-edge fold per frontier node, so
+    * recomputed values are BIT-equal to a full traced run under
+    * orderedFold) and patches it into the previous trace's sweep
+    * frame. Per-sweep shuffle volume tracks the delta's reach, never
+    * the graph; the linear passes (edge merge, out-weight re-agg) run
+    * once, not per sweep. A delta that introduces NEW nodes changes
+    * N — every node's teleport base moves — so it falls back to a
+    * full [[pageRankTrace]] over the merged edges (the documented
+    * fallback). Either way the result lands as the NEXT committed
+    * trace generation (refreshes chain) and EQUALS
+    * `pageRank(merged edges)` exactly (spec-bound). */
+  def pageRankRefresh(spark: org.apache.spark.sql.SparkSession,
+                      traceDir: String, delta: DataFrame): DataFrame = {
+    val gen = latestTraceGen(spark, traceDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"pageRankRefresh: no committed trace generation under $traceDir" +
+          " — run pageRankTrace first"))
+    val meta = spark.read.parquet(s"$gen/meta").head()
+    val iters = meta.getAs[Int]("iters")
+    val damping = meta.getAs[Double]("damping")
+    val n = meta.getAs[Long]("n")
+    val orderedFold = meta.getAs[Boolean]("ordered_fold")
+    val edgesOld = spark.read.parquet(s"$gen/edges")
+    val deltaAgg = delta
+      .select(col("src"), col("dst"), col("weight").cast("long").as("__dw"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("__dw")).as("__dw")).localCheckpoint()
+    require(deltaAgg.where(col("__dw") <= 0).isEmpty,
+      "pageRankRefresh: delta must be positive weight additions " +
+        "(the append-only transitions-ledger contract)")
+    // ZERO edge shuffles in the merge: the delta broadcasts, the old
+    // edge list is only SCANNED — updated rows via a broadcast left
+    // join, brand-new edge keys via two delta-sized joins (the matched
+    // old keys are a subset of the delta, so both sides stay tiny)
+    val matchedKeys = edgesOld
+      .join(broadcast(deltaAgg.select(col("src"), col("dst"))),
+        Seq("src", "dst"), "left_semi")
+      .localCheckpoint()
+    val newEdges = deltaAgg
+      .join(broadcast(matchedKeys.select(col("src"), col("dst"))),
+        Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"), col("__dw").as("weight"))
+    val merged = edgesOld
+      .join(broadcast(deltaAgg), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (col("weight") + coalesce(col("__dw"), lit(0L))).as("weight"))
+      .unionByName(newEdges)
+      .localCheckpoint()
+    // a delta endpoint absent from the traced node set changes N —
+    // every base term moves, nothing is copyable: full fallback
+    val oldNodes = spark.read.parquet(f"$gen/sweep-0000")
+      .select(col("node"))
+    val newNodes = deltaAgg.select(col("src").as("node"))
+      .unionByName(deltaAgg.select(col("dst").as("node")))
+      .distinct().join(oldNodes, Seq("node"), "left_anti")
+    if (!newNodes.isEmpty)
+      return pageRankTrace(merged, iters, traceDir, damping, orderedFold)
+    // out-weights PATCH from the persisted table — per-src delta sums
+    // broadcast onto a scan, never an edge aggregation
+    val deltaOw = deltaAgg.groupBy(col("src"))
+      .agg(sum(col("__dw")).as("__dow")).localCheckpoint()
+    val outwOld = spark.read.parquet(s"$gen/outw")
+    // a delta src that existed only as a DST has no old out-weight row
+    // — surface it via the same broadcast-semi/anti shape as the edges
+    val matchedOw = outwOld
+      .join(broadcast(deltaOw.select(col("src"))), Seq("src"), "left_semi")
+      .localCheckpoint()
+    val freshOw = deltaOw
+      .join(broadcast(matchedOw.select(col("src"))), Seq("src"),
+        "left_anti")
+      .select(col("src"), col("__dow").as("__ow"))
+    val outW = outwOld
+      .join(broadcast(deltaOw), Seq("src"), "left")
+      .select(col("src"),
+        (col("__ow") + coalesce(col("__dow"), lit(0L))).as("__ow"))
+      .unionByName(freshOw)
+      .localCheckpoint()
+    val sources = deltaAgg.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val base = (1.0 - damping) / n
+    val genNew = nextTraceGen(spark, traceDir)
+    merged.write.mode("overwrite").parquet(s"$genNew/edges")
+    outW.write.mode("overwrite").parquet(s"$genNew/outw")
+    spark.read.parquet(s"$gen/meta")
+      .write.mode("overwrite").parquet(s"$genNew/meta")
+    var patched = spark.read.parquet(f"$gen/sweep-0000").localCheckpoint()
+    patched.write.mode("overwrite").parquet(f"$genNew/sweep-0000")
+    var frontier = spark.emptyDataFrame
+    for (t <- 1 to iters) {
+      val influencers = (if (t == 1) sources
+        else sources.unionByName(frontier).distinct()).localCheckpoint()
+      val affected = merged
+        .join(broadcast(influencers.withColumnRenamed("node", "src")),
+          Seq("src"))
+        .select(col("dst").as("node")).distinct().localCheckpoint()
+      // frontier-first join order: the filtered in-edge frame is
+      // frontier × in-degree (eagerly checkpointed so AQE sees its
+      // true size and broadcasts it) — the out-weight and rank node
+      // frames are then only SCANNED, never shuffled
+      val filtered = merged
+        .join(broadcast(affected.withColumnRenamed("node", "dst")),
+          Seq("dst"))
+        .localCheckpoint()
+      val contribs = filtered
+        .join(outW, Seq("src"))
+        .join(patched.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst"), col("src"),
+          ((col("rank") / col("__ow")) * col("weight").cast("long"))
+            .as("__contrib"))
+      val mass =
+        if (orderedFold)
+          contribs.groupBy(col("dst"))
+            .agg(orderedFoldSum(col("src"), col("__contrib")).as("__mass"))
+        else
+          contribs.groupBy(col("dst"))
+            .agg(sum(col("__contrib")).as("__mass"))
+      val recomputed = affected
+        .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
+            .as("__new"))
+      patched = spark.read.parquet(f"$gen/sweep-$t%04d")
+        .join(recomputed, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("rank")).as("rank"))
+        .localCheckpoint()
+      patched.write.mode("overwrite").parquet(f"$genNew/sweep-$t%04d")
+      frontier = affected
+    }
+    val m = new org.apache.hadoop.fs.Path(genNew, TraceCommit)
+    traceFs(spark, traceDir).create(m, true).close()
+    patched
+  }
 
   /** Gate a document frame on its host's prior: keep rows whose host
     * prior is ≥ `minPrior`. The prior frame is one row per host —

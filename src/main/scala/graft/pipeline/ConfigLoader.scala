@@ -544,6 +544,22 @@ object ConfigLoader {
           iters = o.getOrElse("iters", "3").toInt,
           damping = o.getOrElse("damping", "0.85").toDouble,
           orderedFold = o.getOrElse("orderedFold", "false").toBoolean)),
+      // traced ranks: same recurrence, per-sweep trace persisted under
+      // a committed generation of traceDir so pagerank_refresh can
+      // later fold only the delta's reach
+      "pagerank_trace" -> (o => df =>
+        graft.llm.LinkGraph.pageRankTrace(df,
+          iters = o.getOrElse("iters", "3").toInt,
+          traceDir = req(o, "traceDir"),
+          damping = o.getOrElse("damping", "0.85").toDouble,
+          orderedFold = o.getOrElse("orderedFold", "false").toBoolean)),
+      // incremental refresh: the job's frame IS the edge-weight DELTA
+      // (aggregate the transitions ledger's new buckets); recomputes
+      // only the delta-reached frontier per sweep, chains a new trace
+      // generation, equals the full recompute exactly
+      "pagerank_refresh" -> (o => df =>
+        graft.llm.LinkGraph.pageRankRefresh(df.sparkSession,
+          req(o, "traceDir"), df)),
       // page -> host fold; the prefix/mod map is the synthetic bridge
       // onto the documents table's source domain (real deployments map
       // page URLs to their registered domain upstream)

@@ -703,6 +703,39 @@ object ScaleProbe {
         }
         evK.unpersist()
       }
+      // INCREMENTAL RANK REFRESH probe: here the GRAPH grows with k
+      // (nodes ∝ k, out-degree 24 — the edges ≫ nodes web shape where
+      // the per-sweep edge shuffle is the cost the refresh removes)
+      // while the delta is FIXED at 50 edge-weight bumps among the
+      // first 100 nodes — the epoch-boundary shape where a day's
+      // transitions touch a sliver of the web graph. graph_rank_full
+      // re-shuffles every edge per sweep; graph_rank_refresh's
+      // per-sweep shuffle is the delta's bounded 3-hop reach, so its
+      // residual cost is the node-frame patch I/O, not the edge joins
+      if (opsFilter.isEmpty || opsFilter.exists(f =>
+          Seq("graph_rank_full", "graph_rank_refresh").exists(_.contains(f)))) {
+        val nNodes = 20000L * k
+        val synth = spark.range(nNodes * 24).select(
+            (col("id") % nNodes).as("src"),
+            ((col("id") * 7 + 1) % nNodes).as("dst"),
+            ((col("id") % 3) + 1).as("weight"))
+          .localCheckpoint(true)
+        val tdir = s"/tmp/graft_scaleprobe/rank_trace_x$k"
+        val tp = new org.apache.hadoop.fs.Path(tdir)
+        tp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tp, true)
+        time(s"graph_rank_full x$k") {
+          graft.llm.LinkGraph.pageRankTrace(synth, iters = 3, tdir).count()
+        }
+        val delta = spark.range(50).select(
+          (col("id") % 100L).as("src"),
+          ((col("id") * 3 + 1) % 100L).as("dst"),
+          lit(1L).as("weight"))
+        time(s"graph_rank_refresh x$k") {
+          graft.llm.LinkGraph.pageRankRefresh(spark, tdir, delta).count()
+        }
+        synth.unpersist()
+      }
       time(s"bm25_battery x$k") {
         // FIXED 8-query battery against the k×-growing corpus: the
         // postings explode+aggregate (|tokens| rows) and the scoring

@@ -113,6 +113,53 @@ class LinkGraphSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("pageRankRefresh: delta-frontier refresh equals the full recompute, chains generations") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rank_trace").toString
+    // a 12-node graph, key-unique like a real transitions edge list
+    val e1 = (0L until 24L).map(i =>
+        (i % 12L, (i * 5 + 1) % 12L, (i % 3) + 1L))
+      .toDF("src", "dst", "weight")
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    val full0 = LinkGraph.pageRankTrace(e1, iters = 3, dir,
+      orderedFold = true)
+    assert(rowsOf(full0) ==
+      rowsOf(LinkGraph.pageRank(e1, iters = 3, orderedFold = true)))
+    // delta 1: weight bumps + a NEW edge between existing nodes
+    val d1 = Seq((0L, 1L, 2L), (5L, 9L, 4L)).toDF("src", "dst", "weight")
+    val m1 = e1.unionByName(d1).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    val refreshed1 = LinkGraph.pageRankRefresh(spark, dir, d1)
+    assert(rowsOf(refreshed1) ==
+      rowsOf(LinkGraph.pageRank(m1, iters = 3, orderedFold = true)),
+      "refresh must equal the full recompute bit-for-bit")
+    // delta 2 chains on the refreshed generation
+    val d2 = Seq((3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val m2 = m1.unionByName(d2).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    val refreshed2 = LinkGraph.pageRankRefresh(spark, dir, d2)
+    assert(rowsOf(refreshed2) ==
+      rowsOf(LinkGraph.pageRank(m2, iters = 3, orderedFold = true)))
+    val gens = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).sorted
+    assert(gens.toSeq == Seq("gen-0000", "gen-0001", "gen-0002"))
+    // a delta introducing a NEW node changes N: full fallback, still
+    // exact, still a new committed generation
+    val d3 = Seq((11L, 99L, 1L)).toDF("src", "dst", "weight")
+    val m3 = m2.unionByName(d3).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    val refreshed3 = LinkGraph.pageRankRefresh(spark, dir, d3)
+    assert(rowsOf(refreshed3) ==
+      rowsOf(LinkGraph.pageRank(m3, iters = 3, orderedFold = true)))
+    assert(refreshed3.count() == 13L)
+    // validation: non-positive delta and missing trace reject
+    intercept[IllegalArgumentException](LinkGraph.pageRankRefresh(spark,
+      dir, Seq((0L, 1L, 0L)).toDF("src", "dst", "weight")))
+    intercept[IllegalArgumentException](LinkGraph.pageRankRefresh(spark,
+      "/tmp/graft_no_such_trace", d1))
+  }
+
   test("trustRank: trust flows from seeds only; unreachable nodes at 0") {
     // s -> a -> b ; spam ring c <-> d linking densely but unreachable
     // from the seed: TrustRank must leave c,d at exactly 0.0

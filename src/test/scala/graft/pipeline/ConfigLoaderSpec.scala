@@ -1818,6 +1818,28 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(rowsOf(gateK) == rowsOf(gateL))
   }
 
+  test("pagerank_trace / pagerank_refresh kinds equal the library paths") {
+    import ConfigLoader.transformKinds
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rank_kind").toString
+    val edges = (0L until 30L).map(i =>
+        (i % 10L, (i * 3 + 1) % 10L, (i % 2) + 1L))
+      .toDF("src", "dst", "weight")
+      .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    val traced = transformKinds("pagerank_trace")(Map(
+      "traceDir" -> s"$dir/trace", "iters" -> "3",
+      "orderedFold" -> "true"))(edges)
+    assert(rowsOf(traced) ==
+      rowsOf(graft.llm.LinkGraph.pageRank(edges, 3, orderedFold = true)))
+    val delta = Seq((0L, 1L, 2L)).toDF("src", "dst", "weight")
+    val merged = edges.unionByName(delta)
+      .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    val refreshed = transformKinds("pagerank_refresh")(Map(
+      "traceDir" -> s"$dir/trace"))(delta)
+    assert(rowsOf(refreshed) ==
+      rowsOf(graft.llm.LinkGraph.pageRank(merged, 3, orderedFold = true)))
+  }
+
   test("phased_shards kind: routes to the operator; malformed phases reject") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_phased_kind").toString
