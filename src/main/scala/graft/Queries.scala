@@ -11955,6 +11955,92 @@ object Queries {
     * shape for the graph family. Bound to the SAME oracle as
     * `graph_host_prior`: streamed ingest + epoch refresh ≡ the
     * one-shot batch computation. */
+  /** CONTINUOUS maintenance with an INCREMENTAL epoch refresh — the
+    * composition [[graft.llm.LinkGraph.pageRankRefresh]] exists for:
+    * the `graph:` stream ingests epoch 1 and the refresh job traces
+    * full ranks; epoch 2 lands (plus a redelivery the ledger absorbs)
+    * and the refresh folds ONLY the epoch's ledger DELTA — the hit
+    * files appended since the last finalize (a file-level snapshot
+    * diff; each new hit is one edge-weight unit, so aggregating just
+    * the new files IS the positive edge delta). The oracle is the
+    * full 3-sweep rank over ALL events — stream + incremental refresh
+    * ≡ one-shot batch, end to end. (A delta touching a never-seen
+    * page falls back to the documented full re-trace; the oracle
+    * binds both paths — measured: epoch 2 introduces 3 new pages at
+    * sf0.001 (fallback path, 96 → 99 nodes) and none at sf0.01+
+    * (incremental path, all 100 pages seen in epoch 1).) */
+  private val graphRefreshStreamQ = QueryDef("graph_refresh_stream",
+    (s, d) => {
+      val dir = tmpDir(d, "graph_refresh_stream")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/incoming"))
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("ts"), col("props"))
+      ev.limit(1).write.mode("overwrite").parquet(s"$dir/schema")
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = s"$dir/land_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/incoming/$name"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val yaml =
+        s"""jobs:
+           |  - name: graph_ingest
+           |    stream:
+           |      source:
+           |        kind: parquet_stream
+           |        path: $dir/incoming
+           |        schemaFrom: $dir/schema
+           |      graph:
+           |        outDir: $dir/ledger
+           |        gapMinutes: '240'
+           |        stateTtl: '720 hours'
+           |      availableNow: true
+           |""".stripMargin
+      val cfgPath = s"$dir/migration.yaml"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+      val stream = graft.pipeline.ConfigLoader
+        .parseStreamsYamlFile(cfgPath).head
+      def ledgerFiles(): Set[String] = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/ledger"),
+          true)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) b += f.toString
+        }
+        b.result()
+      }
+      val cut = "2024-01-15"
+      land(ev.where(col("ts") < lit(cut).cast("timestamp")), "b1.parquet")
+      graft.pipeline.ConfigLoader.runStreamOnce(s, stream)
+      // epoch-1 finalize: full traced rank over the ledger so far
+      graft.llm.LinkGraph.pageRankTrace(
+        graft.streaming.EventsStream.finalizeTransitionsLedger(
+          s, s"$dir/ledger"),
+        iters = 3, s"$dir/trace", orderedFold = true)
+      val before = ledgerFiles()
+      land(ev.where(col("ts") >= lit(cut).cast("timestamp"))
+        .unionByName(ev.orderBy(col("ts"), col("event_id")).limit(25)),
+        "b2.parquet")
+      graft.pipeline.ConfigLoader.runStreamOnce(s, stream)
+      // epoch-2 finalize: aggregate ONLY the appended hit files — the
+      // positive edge delta — and fold it into the traced generation
+      val newFiles = (ledgerFiles() -- before).toSeq.sorted
+      require(newFiles.nonEmpty, "graph_refresh_stream: no epoch-2 hits")
+      val delta = graft.streaming.EventsStream.finalizeTransitions(
+        s.read.parquet(newFiles: _*))
+      graft.llm.LinkGraph.pageRankRefresh(s, s"$dir/trace", delta)
+        .orderBy(col("node"))
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)}
+      SELECT node, rank FROM r3 ORDER BY node"""))
+
   private val graphStreamYaml = QueryDef("graph_stream_yaml",
     (s, d) => {
       val dir = tmpDir(d, "graph_stream_yaml")
@@ -12342,6 +12428,31 @@ object Queries {
       }
     }, Some(sqlBm25Battery(bm25BenchSql, 3)))
 
+  /** Incremental postings append
+    * ([[graft.llm.Search.appendPostings]] — the lexical twin of
+    * `ann_ivf_append`): the index is built WITHOUT every 7th document,
+    * which then arrives as an append batch — term-sorted postings
+    * files appended, df merged by one term aggregation, scalar stats
+    * updated from the stored token mass (no corpus re-scan). The
+    * battery then serves FROM the appended index, and the oracle is
+    * the same inverted-index replay over the FULL corpus — green only
+    * if the appended documents are retrievable with exactly the
+    * statistics a fresh rebuild would give them. */
+  private val bm25AppendServeQ = QueryDef("bm25_append_serve", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_append"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents")
+        graft.llm.Search.buildPostings(
+          docs.where(col("doc_id") % 7 =!= 0), dir)
+        graft.llm.Search.appendPostings(s, dir,
+          docs.where(col("doc_id") % 7 === 0))
+        graft.llm.Search.bm25ServeJoinTopK(s, dir, bm25Bench(s), k = 3)
+          .orderBy(col("qid"), col("rank"))
+      }
+    }, Some(sqlBm25Battery(bm25BenchSql, 3)))
+
   /** HYBRID RETRIEVAL over the real tables
     * ([[graft.llm.Search.hybridRetrieve]]): two benchmark rows carry
     * both query representations — their document TEXT (lexical side,
@@ -12601,5 +12712,6 @@ object Queries {
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
     mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
     bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
+    bm25AppendServeQ, graphRefreshStreamQ,
     hybridRetrieveQ, hybridRetrievePlantedQ, dedupRateCurveQ)
 }

@@ -216,6 +216,12 @@ object Search {
                     shards: Int = 32): Unit = {
     require(shards >= 1, s"buildPostings: shards must be >= 1, got $shards")
     val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
+    // total token mass alongside avgdl: [[appendPostings]] keeps the
+    // average EXACT over appends via (sum_dl + new) / (n + new) — an
+    // append must not have to re-scan the indexed corpus
+    val sumDl = docs
+      .agg(sum(size(words(col(textCol))).cast("double")).as("s"))
+      .head().getDouble(0)
     postingsOf(docs, idCol, textCol)
       .select(col(idCol), col("term"), col("__tf").as("tf"),
         col("__dl").as("dl"))
@@ -225,6 +231,57 @@ object Search {
     dfreq.write.mode("overwrite").parquet(s"$dir/df")
     docs.sparkSession.range(1)
       .select(lit(n).as("n"), lit(avgdl).as("avgdl"),
+        lit(sumDl).as("sum_dl"),
+        lit(idCol).as("id_col"), lit(textCol).as("text_col"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Incrementally APPEND new documents to a [[buildPostings]]
+    * directory — the lexical twin of the ANN index's
+    * `appendIvfIndex`: per batch, one tokenize+explode pass over JUST
+    * the new docs appends term-sorted postings files (row-group
+    * pruning keeps working — each appended file carries its own
+    * min/max term stats), the df table merges by one term-keyed
+    * partial aggregation, and the scalar stats update from the stored
+    * token mass (`(sum_dl + Σ new dl) / (n + |new|)` — never a
+    * re-scan of the indexed corpus). Same new-ids contract as the ANN
+    * appenders: the caller feeds documents NOT already indexed
+    * (re-appending an id would double its postings). Serving after an
+    * append equals a fresh rebuild over the union on the rank +
+    * integer-evidence contract (spec-bound; the updated average
+    * document length may differ from a rebuild's in the last ulp —
+    * sum-then-divide vs streaming average — which cannot reorder
+    * distinct tf/dl profiles and shifts equal profiles identically,
+    * so ranks and ties are stable). */
+  def appendPostings(spark: SparkSession, dir: String, newDocs: DataFrame,
+                     shards: Int = 4): Unit = {
+    require(shards >= 1, s"appendPostings: shards must be >= 1, got $shards")
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val (n, sumDl, idCol, textCol) = (st.getAs[Long]("n"),
+      st.getAs[Double]("sum_dl"), st.getAs[String]("id_col"),
+      st.getAs[String]("text_col"))
+    val (dfNew, nNew, _) = bm25Stats(newDocs, idCol, textCol)
+    val sumNew = newDocs
+      .agg(sum(size(words(col(textCol))).cast("double")).as("s"))
+      .head().getDouble(0)
+    postingsOf(newDocs, idCol, textCol)
+      .select(col(idCol), col("term"), col("__tf").as("tf"),
+        col("__dl").as("dl"))
+      .repartitionByRange(shards, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$dir/postings")
+    // sever lineage before overwriting the frame being read (the
+    // ledger-rewrite convention)
+    val mergedDf = spark.read.parquet(s"$dir/df")
+      .unionByName(dfNew)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .localCheckpoint(true)
+    mergedDf.write.mode("overwrite").parquet(s"$dir/df")
+    val n2 = n + nNew
+    val sum2 = sumDl + sumNew
+    spark.range(1)
+      .select(lit(n2).as("n"), lit(sum2 / n2).as("avgdl"),
+        lit(sum2).as("sum_dl"),
         lit(idCol).as("id_col"), lit(textCol).as("text_col"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }

@@ -1321,6 +1321,13 @@ object ConfigLoader {
           textCol = o.getOrElse("column", "text"),
           shards = o.getOrElse("shards", "32").toInt)
       })),
+      // incremental postings append: the job's frame is the NEW (not
+      // yet indexed) documents — one pass over just the batch; column
+      // names come from the index's own stats
+      "append_postings" -> (o => Sinks.Write("append_postings", df => {
+        graft.llm.Search.appendPostings(df.sparkSession, req(o, "path"),
+          df, shards = o.getOrElse("shards", "4").toInt)
+      })),
       // seed the streamed-curation ledger layout (assign + hashes +
       // sigs when nearDupThreshold is set) from a batch corpus — the
       // "ledger present before the stream starts" convention as a
@@ -1901,7 +1908,7 @@ object ConfigLoader {
     "parquet_dir" -> Seq("path"),
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
-    "build_postings" -> Seq("path"),
+    "build_postings" -> Seq("path"), "append_postings" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),

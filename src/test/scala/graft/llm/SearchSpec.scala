@@ -128,6 +128,34 @@ class SearchSpec extends SparkSpec {
       Search.bm25ServeGate(spark, dir, docs, "  ", 0.1))
   }
 
+  test("appendPostings: append ≡ rebuild on the rank + evidence contract") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(400)
+      .localCheckpoint(true)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_bm25_app").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_bm25_reb").toString
+    Search.buildPostings(docs.where(col("doc_id") % 7 =!= 0), dirA,
+      shards = 4)
+    Search.appendPostings(spark, dirA, docs.where(col("doc_id") % 7 === 0),
+      shards = 2)
+    Search.buildPostings(docs, dirB, shards = 4)
+    val bench = Seq((1L, "hash join merge"), (2L, "sort spill"))
+      .toDF("qid", "text")
+    val appended = Search.bm25ServeJoinTopK(spark, dirA, bench, k = 6)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val rebuilt = Search.bm25ServeJoinTopK(spark, dirB, bench, k = 6)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(appended === rebuilt)
+    // the merged stats are the union's: n adds, avgdl from token mass
+    val st = spark.read.parquet(s"$dirA/stats").head()
+    assert(st.getAs[Long]("n") === 400L)
+    val dl = docs.agg(sum(size(filter(split(trim(
+        regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+      w => w =!= "")).cast("double"))).head().getDouble(0)
+    assert(math.abs(st.getAs[Double]("avgdl") - dl / 400.0) < 1e-9)
+  }
+
   test("rrfFuse: rank-2-everywhere beats rank-1-somewhere; ties break by id") {
     // signal A ranks (10 @1, 7 @2); signal B ranks (20 @1, 7 @2):
     // doc 7 (rank 2 in BOTH) must fuse above each signal's rank-1
