@@ -12453,6 +12453,46 @@ object Queries {
       }
     }, Some(sqlBm25Battery(bm25BenchSql, 3)))
 
+  /** Staleness-gated postings rebuild
+    * ([[graft.llm.Search.rebuildPostingsIfStale]] — the
+    * `reindex_if_drifted` maintenance shape for the lexical index):
+    * index built over HALF the corpus; checked against that same half
+    * the drift is exactly 0 (provably no rebuild), checked against
+    * the full corpus the drift is exactly 1.0 — the docs-per-parity
+    * split is even — so the 0.5 floor provably rebuilds and the audit
+    * row's after-count equals the full corpus. Both decision branches
+    * pinned to integer-exact values. */
+  private val bm25RebuildPlantedQ = QueryDef("bm25_rebuild_planted", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_rebuild"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents")
+        val half = docs.where(col("doc_id") % 2 === 0)
+        graft.llm.Search.buildPostings(half, dir)
+        val healthy = graft.llm.Search.rebuildPostingsIfStale(s, dir,
+          half, staleFloor = 0.5).withColumn("step", lit("healthy"))
+        val stale = graft.llm.Search.rebuildPostingsIfStale(s, dir,
+          docs, staleFloor = 0.5).withColumn("step", lit("stale"))
+        healthy.unionByName(stale)
+          .select(col("step"), col("n_index"), col("n_corpus"),
+            col("drift"), col("rebuilt"), col("n_index_after"))
+          .orderBy(col("step"))
+      }
+    },
+    Some("""WITH h AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh
+        FROM documents WHERE doc_id % 2 = 0),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM documents)
+      SELECT * FROM (
+        SELECT 'healthy' AS step, nh AS n_index, nh AS n_corpus,
+          CAST(0.0 AS DOUBLE) AS drift, false AS rebuilt,
+          nh AS n_index_after FROM h
+        UNION ALL
+        SELECT 'stale', nh, na,
+          round(CAST(na - nh AS DOUBLE) / nh, 6), true, na
+        FROM h CROSS JOIN a)
+      ORDER BY step"""))
+
   /** HYBRID RETRIEVAL over the real tables
     * ([[graft.llm.Search.hybridRetrieve]]): two benchmark rows carry
     * both query representations — their document TEXT (lexical side,
@@ -12712,6 +12752,6 @@ object Queries {
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
     mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
     bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
-    bm25AppendServeQ, graphRefreshStreamQ,
+    bm25AppendServeQ, bm25RebuildPlantedQ, graphRefreshStreamQ,
     hybridRetrieveQ, hybridRetrievePlantedQ, dedupRateCurveQ)
 }

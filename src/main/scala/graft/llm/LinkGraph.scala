@@ -475,6 +475,30 @@ object LinkGraph {
     patched
   }
 
+  /** Garbage-collect RETIRED trace generations — each one is a full
+    * copy of the edge list plus iters + 1 node frames, so a
+    * long-running refresh chain vacuums after the new generation has
+    * soaked (the [[graft.llm.Similarity.vacuumIndex]] trade: rollback
+    * after a vacuum means re-tracing, not marker deletion). Deletes
+    * every generation except the latest COMMITTED one (uncommitted
+    * stragglers from a crashed refresh included); the serving
+    * generation is untouched and the next [[pageRankRefresh]] chains
+    * from it unchanged. Returns the deleted roots. */
+  def vacuumRankTrace(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Seq[String] = {
+    val serving = latestTraceGen(spark, dir).getOrElse(return Nil)
+    val servingName = new org.apache.hadoop.fs.Path(serving).getName
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = traceFs(spark, dir)
+    val deleted = collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-")
+        && st.getPath.getName != servingName)
+      .foreach { st => fs.delete(st.getPath, true)
+        deleted += st.getPath.toString }
+    deleted.toSeq
+  }
+
   /** Gate a document frame on its host's prior: keep rows whose host
     * prior is ≥ `minPrior`. The prior frame is one row per host —
     * broadcast by construction — so the gate is a broadcast hash join

@@ -423,6 +423,39 @@ object Search {
     rrfFuse(Seq(lex, sem), k, k0)
   }
 
+  /** Staleness-gated postings REBUILD — the lexical side of the
+    * index-maintenance loop (`reindexIvfIfDrifted`'s shape: measure →
+    * compare → conditionally rebuild → re-measure, one audit row
+    * out). The staleness signal is exact and cheap: the index's
+    * stored corpus size `n` stays in sync through
+    * [[appendPostings]], so relative drift
+    * `|corpus − n| / n` measures exactly the documents that changed
+    * UNDER the index (retractions, rewrites, bulk loads that bypassed
+    * the appender) — the populations whose df/avgdl the serving
+    * scores silently misprice. Above `staleFloor` the index rebuilds
+    * from the caller's corpus ([[buildPostings]] — postings term
+    * statistics cannot be patched under deletion, that IS the
+    * rebuild). Returns (n_index, n_corpus, drift, rebuilt,
+    * n_index_after) — the maintenance audit record. */
+  def rebuildPostingsIfStale(spark: SparkSession, dir: String,
+                             corpus: DataFrame, staleFloor: Double = 0.2,
+                             shards: Int = 32): DataFrame = {
+    require(staleFloor > 0.0,
+      s"rebuildPostingsIfStale: staleFloor must be > 0, got $staleFloor")
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val (n, idCol, textCol) = (st.getAs[Long]("n"),
+      st.getAs[String]("id_col"), st.getAs[String]("text_col"))
+    val nCorpus = corpus.count()
+    val drift =
+      math.rint(math.abs(nCorpus - n).toDouble / n * 1e6) / 1e6
+    val stale = drift > staleFloor
+    if (stale) buildPostings(corpus, dir, idCol, textCol, shards)
+    val nAfter = spark.read.parquet(s"$dir/stats").head().getAs[Long]("n")
+    spark.range(1).select(lit(n).as("n_index"),
+      lit(nCorpus).as("n_corpus"), lit(drift).as("drift"),
+      lit(stale).as("rebuilt"), lit(nAfter).as("n_index_after"))
+  }
+
   /** Top-`k` corpus documents for a free-text `query` under BM25
     * (k1/b at the published defaults). Returns (rank, doc id, and the
     * integer per-term tf profile that produced the score) — rank is

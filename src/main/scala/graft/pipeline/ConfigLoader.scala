@@ -1328,6 +1328,18 @@ object ConfigLoader {
         graft.llm.Search.appendPostings(df.sparkSession, req(o, "path"),
           df, shards = o.getOrElse("shards", "4").toInt)
       })),
+      // staleness-gated postings rebuild (the reindex_if_drifted shape
+      // for the lexical index): the job's frame is the CURRENT corpus;
+      // the audit row appends to the maintenance ledger
+      "rebuild_postings_if_stale" ->
+        (o => Sinks.Write("rebuild_postings_if_stale", df => {
+          val path = req(o, "path")
+          graft.llm.Search.rebuildPostingsIfStale(df.sparkSession, path,
+              df, staleFloor = req(o, "staleFloor").toDouble,
+              shards = o.getOrElse("shards", "32").toInt)
+            .write.mode("append")
+            .parquet(o.getOrElse("reportDir", s"$path/maintenance"))
+        })),
       // seed the streamed-curation ledger layout (assign + hashes +
       // sigs when nearDupThreshold is set) from a batch corpus — the
       // "ledger present before the stream starts" convention as a
@@ -1909,6 +1921,7 @@ object ConfigLoader {
     "shards" -> Seq("path"), "ledger" -> Seq("dir", "name"),
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "build_postings" -> Seq("path"), "append_postings" -> Seq("path"),
+    "rebuild_postings_if_stale" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),

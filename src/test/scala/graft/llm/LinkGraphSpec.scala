@@ -158,6 +158,21 @@ class LinkGraphSpec extends SparkSpec {
       dir, Seq((0L, 1L, 0L)).toDF("src", "dst", "weight")))
     intercept[IllegalArgumentException](LinkGraph.pageRankRefresh(spark,
       "/tmp/graft_no_such_trace", d1))
+    // vacuum: retired generations delete, the serving one survives,
+    // and the next refresh still chains from it
+    val removed = LinkGraph.vacuumRankTrace(spark, dir)
+    assert(removed.size == 3 &&
+      removed.forall(r => !r.endsWith("gen-0003")), removed.toString)
+    val gensLeft = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).toSeq
+    assert(gensLeft == Seq("gen-0003"))
+    val d4 = Seq((4L, 5L, 1L)).toDF("src", "dst", "weight")
+    val m4 = m3.unionByName(d4).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    assert(rowsOf(LinkGraph.pageRankRefresh(spark, dir, d4)) ==
+      rowsOf(LinkGraph.pageRank(m4, iters = 3, orderedFold = true)))
+    assert(LinkGraph.vacuumRankTrace(spark, "/tmp/graft_no_such_trace")
+      .isEmpty)
   }
 
   test("trustRank: trust flows from seeds only; unreachable nodes at 0") {

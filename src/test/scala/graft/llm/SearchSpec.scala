@@ -156,6 +156,33 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(st.getAs[Double]("avgdl") - dl / 400.0) < 1e-9)
   }
 
+  test("rebuildPostingsIfStale: zero drift skips; past the floor rebuilds and serve equals fresh") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_stale").toString
+    val half = docs.where(col("doc_id") % 2 === 0)
+    Search.buildPostings(half, dir, shards = 4)
+    val healthy = Search.rebuildPostingsIfStale(spark, dir, half, 0.5)
+      .head()
+    assert(!healthy.getAs[Boolean]("rebuilt")
+      && healthy.getAs[Double]("drift") === 0.0)
+    val stale = Search.rebuildPostingsIfStale(spark, dir, docs, 0.5).head()
+    assert(stale.getAs[Boolean]("rebuilt")
+      && stale.getAs[Long]("n_index_after") === docs.count())
+    // post-rebuild serving equals a fresh full build, row for row
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_fresh").toString
+    Search.buildPostings(docs, fresh, shards = 4)
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, 5)
+        .orderBy("rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, 5)
+        .orderBy("rank").collect().map(_.toString).toSeq)
+    intercept[IllegalArgumentException](
+      Search.rebuildPostingsIfStale(spark, dir, docs, 0.0))
+  }
+
   test("rrfFuse: rank-2-everywhere beats rank-1-somewhere; ties break by id") {
     // signal A ranks (10 @1, 7 @2); signal B ranks (20 @1, 7 @2):
     // doc 7 (rank 2 in BOTH) must fuse above each signal's rank-1
