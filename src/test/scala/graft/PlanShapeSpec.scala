@@ -41,6 +41,7 @@ class PlanShapeSpec extends SparkSpec {
     "graph_transitions", "graph_degrees", "graph_prior_gate",
     "ablation_ladder", "ablation_ladder_stats",
     "bm25_topk", "bm25_decontaminate", "mix_split_grouped",
+    "bm25_gate", "bm25_build_serve", "bm25_serve_gate",
     "dedup_rate_curve")
 
   /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
@@ -54,7 +55,11 @@ class PlanShapeSpec extends SparkSpec {
     * bounded by construction). */
   private val bnljAllowed = Seq("k7_upsert", "ann_bruteforce",
     "bitext_mine", "contrastive_triplets", "mine_triplets_kind",
-    "mix_phase_rates", "mix_phase_schedule")
+    "mix_phase_rates", "mix_phase_schedule",
+    // the hybrid pair carries bruteForceTopK's broadcast query cross
+    // (the exhaustive-baseline class); the fused tail itself is
+    // battery-bounded joins
+    "hybrid_retrieve", "hybrid_retrieve_planted")
 
   test("gated product plans have no cartesian or nested-loop join") {
     noPairExplosion.foreach { n =>
