@@ -12548,6 +12548,73 @@ object Queries {
       FROM fr WHERE rank <= 5 ORDER BY qid, rank""")
     })
 
+  /** HYBRID contamination triage — `bm25_decontaminate`'s benchmark
+    * (three exact corpus copies + an 8-word prefix probe) re-run
+    * through BOTH retrieval signals and fused: each benchmark row
+    * carries its copied text (lexical side) AND its source's aligned
+    * embedding (semantic side). On this corpus's near-uniform
+    * vocabulary BM25 length-norm can rank a denser short doc above
+    * the source (the documented bm25_decontaminate caveat) — but the
+    * exact-copy embedding puts the source at semantic rank 1 with
+    * cosine exactly 1.0, so the FUSION surfaces the source with
+    * two-signal evidence: precisely the triage upgrade hybrid
+    * retrieval buys. Whole composition replayed in one DuckDB
+    * statement. */
+  private val hybridDecontaminateQ = QueryDef("hybrid_decontaminate", {
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val embs = t(s, d, "embeddings").select("vec_id", "embedding")
+        val ws8 = slice(filter(split(trim(
+            regexp_replace(lower(col("text")), "\\s+", " ")), " "),
+          w => w =!= ""), 1, 8)
+        val benchText = docs.where(col("doc_id").isin(11L, 222L, 333L))
+          .select((col("doc_id") + lit(9000L)).as("qid"), col("text"))
+          .unionByName(docs.where(col("doc_id") === 44L)
+            .select(lit(9044L).as("qid"), array_join(ws8, " ").as("text")))
+        val bench = benchText.join(
+          embs.select((col("vec_id") + lit(9000L)).as("qid"),
+            col("embedding")), Seq("qid"))
+        graft.llm.Search.hybridRetrieve(docs, embs, bench, k = 3,
+            kPerSignal = 5)
+          .orderBy(col("qid"), col("rank"))
+      }
+    }, {
+      val benchSql =
+        s"""SELECT doc_id + 9000 AS qid, text FROM documents
+          WHERE doc_id IN (11, 222, 333)
+        UNION ALL
+        SELECT 9044 AS qid, array_to_string(($sqlWords)[1:8], ' ') AS text
+          FROM documents WHERE doc_id = 44"""
+      val lexSql = sqlBm25Battery(benchSql, 5)
+      Some(s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($lexSql)),
+      qv AS (SELECT vec_id + 9000 AS qid, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id IN (11, 222, 333, 44)),
+      cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      sc AS (SELECT q.qid, c.doc_id,
+          ${sqlDot("q.v", "c.v")} / (${sqlNorm("q.v")} * ${sqlNorm("c.v")})
+            AS cosine
+        FROM cv c CROSS JOIN qv q),
+      sr AS (SELECT qid, doc_id, row_number() OVER
+          (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank
+        FROM sc),
+      sem AS (SELECT qid, doc_id, rank FROM sr WHERE rank <= 5),
+      unioned AS (
+        SELECT qid, doc_id, rank, 0 AS signal FROM lex
+        UNION ALL SELECT qid, doc_id, rank, 1 AS signal FROM sem),
+      fused AS (SELECT qid, doc_id,
+          ${sqlFold("list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY signal)",
+            "0.0", "(acc,v) -> acc+v")} AS score,
+          CAST(COUNT(*) AS BIGINT) AS signals,
+          CAST(MIN(rank) AS BIGINT) AS best_rank
+        FROM unioned GROUP BY qid, doc_id),
+      fr AS (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM fused)
+      SELECT qid, CAST(rank AS INT) AS rank, doc_id, signals, best_rank
+      FROM fr WHERE rank <= 3 ORDER BY qid, rank""")
+    })
+
   /** The planted hybrid-fusion case — each signal ALONE misses the
     * contaminant, the fusion finds it. Fully controlled fixture:
     * query (text "qqalpha qqbeta qqgamma", vector [1,0,0,0]) against
@@ -12753,5 +12820,6 @@ object Queries {
     mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
     bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
     bm25AppendServeQ, bm25RebuildPlantedQ, graphRefreshStreamQ,
-    hybridRetrieveQ, hybridRetrievePlantedQ, dedupRateCurveQ)
+    hybridRetrieveQ, hybridRetrievePlantedQ, hybridDecontaminateQ,
+    dedupRateCurveQ)
 }
