@@ -768,6 +768,16 @@ object ScaleProbe {
           graft.llm.Search.bm25ServeJoinTopK(spark, ixDir, battery,
             k = 5).count()
         }
+        // FIXED 200-doc append onto the k×-growing index: postings
+        // for just the batch + one df merge + a stats patch — must
+        // stay ~flat as the indexed corpus grows (the df merge is the
+        // only index-sized term, a vocabulary-bounded partial agg)
+        time(s"bm25_append x$k") {
+          val fresh = docs.limit(200).select(
+            (col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+          graft.llm.Search.appendPostings(spark, ixDir, fresh)
+          spark.read.parquet(s"$ixDir/df").count()
+        }
       }
       time(s"ablation_ladder x$k") {
         // map-only CASE + one rung-key exchange over a ≤4-row frame:
