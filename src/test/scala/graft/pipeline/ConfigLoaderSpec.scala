@@ -1861,6 +1861,28 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("phased_shards"))
   }
 
+  test("append_postings / rebuild_postings_if_stale kinds: library paths + ledger") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bm25_maint").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+    graft.sinks.Sinks.runChain(docs.where(col("doc_id") % 3 =!= 0), Seq(
+      ConfigLoader.loadKinds("build_postings")(
+        Map("path" -> s"$dir/ix", "shards" -> "4"))))
+    // append the held-out third through the kind
+    graft.sinks.Sinks.runChain(docs.where(col("doc_id") % 3 === 0), Seq(
+      ConfigLoader.loadKinds("append_postings")(
+        Map("path" -> s"$dir/ix"))))
+    assert(spark.read.parquet(s"$dir/ix/stats").head().getAs[Long]("n")
+      == docs.count())
+    // healthy maintenance pass appends a no-rebuild audit row
+    graft.sinks.Sinks.runChain(docs, Seq(
+      ConfigLoader.loadKinds("rebuild_postings_if_stale")(
+        Map("path" -> s"$dir/ix", "staleFloor" -> "0.5"))))
+    val audit = spark.read.parquet(s"$dir/ix/maintenance")
+      .select("rebuilt", "drift").as[(Boolean, Double)].collect().toSeq
+    assert(audit == Seq((false, 0.0)), audit.toString)
+  }
+
   test("hybrid_retrieve kind equals the library fusion") {
     import ConfigLoader.transformKinds
     import spark.implicits._
