@@ -93,6 +93,35 @@ class LinkGraphPropSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), s"default hostPrior folds:\n$plan")
   }
 
+  test("pageRankRefresh ≡ full recompute on random graphs and random deltas") {
+    val genCase = for {
+      es <- genEdges
+      nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      m <- Gen.choose(1, 4)
+      ds <- Gen.listOfN(m, for {
+        s <- Gen.oneOf(nodes)
+        t <- Gen.oneOf(nodes) // existing endpoints: the incremental path
+        w <- Gen.choose(1L, 3L)
+      } yield (s, t, w))
+    } yield (es, ds)
+    check(Prop.forAll(genCase) { case (es, ds) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_rank_prop").toString
+      val e = es.toDF("src", "dst", "weight")
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("weight"))
+      LinkGraph.pageRankTrace(e, iters = 3, dir, orderedFold = true)
+      val delta = ds.toDF("src", "dst", "weight")
+      val merged = e.unionByName(delta).groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("weight"))
+      val refreshed = LinkGraph.pageRankRefresh(spark, dir, delta)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val full = LinkGraph.pageRank(merged, iters = 3, orderedFold = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      refreshed == full // BIT equality, not tolerance
+    }, minTests = 8)
+  }
+
   test("trustRank: nodes unreachable from the seed set hold exactly 0") {
     check(Prop.forAll(genEdges) { es =>
       val df = es.toDF("src", "dst", "weight")
