@@ -7547,6 +7547,124 @@ object Queries {
       prelude = """bad AS (SELECT doc_id FROM documents
           WHERE source IN ('src3', 'src17')),""")))
 
+  /** TAKEDOWN ACROSS EVERY SERVING SURFACE AS ONE CONFIG — the widened
+    * `takedown_yaml` contract: a single declared opt-out list scrubs
+    * the curated packs (`retract_pack` + `refresh_shards`), the
+    * persisted VECTOR index across all generations
+    * (`retract_vector_index`), the BM25 POSTINGS index
+    * (`retract_postings` — tombstones + exact stats patch), vacuums
+    * the retired rank-trace generations (`vacuum_rank_trace`), and
+    * gates the run on pack compliance (`retraction_compliance`,
+    * failOnViolation). The query pre-builds all four stores, runs the
+    * one YAML, then reports each surface's post-takedown row count —
+    * every number restated from first principles in DuckDB, so the
+    * oracle is green only if EVERY surface forgot the publisher. */
+  private val takedownAllYaml = QueryDef("takedown_all_yaml",
+    (s, d) => {
+      val dir = tmpDir(d, "takedown_all_yaml")
+      val docs = seedRetractFixture(s, d, dir)
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      docs.where(col("doc_id") % 11 === 5).select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/optout")
+      docs.write.mode("overwrite").parquet(s"$dir/store")
+      graft.llm.Search.buildPostings(docs, s"$dir/bm25")
+      graft.llm.Similarity.buildIvfIndex(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        s"$dir/ann")
+      // a trace with a retired generation, so the vacuum has work
+      val edges = graphEdges(s, d).localCheckpoint()
+      graft.llm.LinkGraph.pageRankTrace(edges, iters = 2, s"$dir/trace",
+        orderedFold = true)
+      graft.llm.LinkGraph.pageRankRefresh(s, s"$dir/trace",
+        edges.limit(1).select(col("src"), col("dst"),
+          lit(1L).as("weight")))
+      val yaml =
+        s"""jobs:
+           |  - name: takedown
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/optout
+           |        prefix: ""
+           |    load:
+           |      - kind: retract_pack
+           |        options: {dir: $dir, idCol: doc_id}
+           |      - kind: retract_vector_index
+           |        options: {dir: $dir/ann, idCol: doc_id}
+           |      - kind: retract_postings
+           |        options: {dir: $dir/bm25, idCol: doc_id}
+           |  - name: refresh
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/store
+           |        prefix: ""
+           |    load:
+           |      - kind: refresh_shards
+           |        options:
+           |          ledgerDir: $dir
+           |          idCol: doc_id
+           |          textCol: text
+           |          dir: $dir/out
+           |          nShards: '4'
+           |  - name: vacuum
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/optout
+           |        prefix: ""
+           |    load:
+           |      - kind: vacuum_rank_trace
+           |        options: {dir: $dir/trace}
+           |  - name: comply
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/optout
+           |        prefix: ""
+           |    load:
+           |      - kind: retraction_compliance
+           |        options: {dir: $dir, idCol: doc_id, failOnViolation: 'true'}
+           |""".stripMargin
+      val cfgPath = s"$dir/takedown_all.yaml"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(cfgPath), yaml)
+      graft.pipeline.Pipeline.run(s,
+        graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
+        progress = _ => ())
+      import s.implicits._
+      val lexN = s.read.parquet(s"$dir/bm25/delta-0000/stats").head()
+        .getAs[Long]("n")
+      val vecRows = s.read.parquet(s"$dir/ann/assignments").count()
+      val packsDocs = s.read.parquet(s"$dir/out/data")
+        .agg(sum(col("n_docs"))).head().getLong(0)
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/trace")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val traceGens = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$dir/trace"))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .toLong
+      Seq(("lexical_n", lexN), ("packs_docs", packsDocs),
+          ("trace_gens", traceGens), ("vector_rows", vecRows))
+        .toDF("surface", "n").orderBy(col("surface"))
+    },
+    Some(sqlRetractReplay("", "doc_id % 11 <> 5", finalSelect =
+      """SELECT * FROM (
+        SELECT 'lexical_n' AS surface,
+          CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 90)
+             - (SELECT COUNT(*) FROM documents
+                WHERE doc_id < 90 AND doc_id % 11 = 5) AS BIGINT) AS n
+        UNION ALL
+        SELECT 'packs_docs', CAST((SELECT COUNT(*) FROM kept
+          WHERE doc_id % 11 <> 5) AS BIGINT)
+        UNION ALL
+        SELECT 'trace_gens', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'vector_rows',
+          CAST((SELECT COUNT(*) FROM embeddings)
+             - (SELECT COUNT(*) FROM embeddings
+                WHERE vec_id < 90 AND vec_id % 11 = 5) AS BIGINT))
+      ORDER BY surface""")))
+
   /** The SFT validate→dedup→render replay (the [[sftChainYaml]] CTE
     * chain without the planted-PII/dup fixture mutations), ending in
     * `rendered(doc_id, text)` — shared by the SFT-takedown pair so
@@ -11617,18 +11735,20 @@ object Queries {
     * lag per (user ORDER BY ts, event_id), gap ≤ 240 min, aggregated
     * (src, dst, weight). The gap product is forced BIGINT — 240·60·10⁶
     * overflows INT32. */
-  private val sqlGraphEdges: String =
-    """x AS (SELECT user_id, event_id, ts,
-        CAST(props->>'$.k' AS BIGINT) AS page,
+  private def sqlGraphEdgesDef(extraUnion: String = ""): String =
+    s"""x AS (SELECT user_id, event_id, ts,
+        CAST(props->>'$$.k' AS BIGINT) AS page,
         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts,
-        lag(CAST(props->>'$.k' AS BIGINT))
+        lag(CAST(props->>'$$.k' AS BIGINT))
           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ppage
       FROM events),
       edges AS (SELECT ppage AS src, page AS dst, COUNT(*) AS weight
       FROM x
       WHERE ppage IS NOT NULL
         AND epoch_us(ts) - epoch_us(pts) <= CAST(240 AS BIGINT)*60*1000000
-      GROUP BY 1, 2)"""
+      GROUP BY 1, 2$extraUnion)"""
+
+  private val sqlGraphEdges: String = sqlGraphEdgesDef()
 
   /** Rank CTEs (nodes, nn, outw, r0 … r`iters`) replaying
     * [[graft.llm.LinkGraph.pageRank]] with `orderedFold = true`: each
@@ -11643,7 +11763,10 @@ object Queries {
     * can carry BOTH the PageRank and the TrustRank chain (spam mass). */
   private def sqlGraphRanks(iters: Int, damping: Double = 0.85,
                             seedPred: Option[String] = None,
-                            pfx: String = ""): String = {
+                            pfx: String = "",
+                            dangling: Boolean = false): String = {
+    require(!dangling || seedPred.isEmpty,
+      "sqlGraphRanks: dangling redistribution is the uniform-base form")
     val d = s"CAST(${damping.toString} AS DOUBLE)"
     // uniform teleport (PageRank) vs seed-concentrated (TrustRank):
     // same sweeps, different base/init expressions over a seed count
@@ -11661,7 +11784,29 @@ object Queries {
       s""",
       ${pfx}ns AS (SELECT COUNT(*) AS n FROM ${pfx}nodes n WHERE $p)""")
       .getOrElse("")
+    // dangling redistribution ([[LinkGraph.pageRank]]'s
+    // redistributeDangling): per sweep a SCALAR ordered fold of the
+    // sink nodes' ranks divided by N joins the mass term — the same
+    // expression tree the engine builds (dm computed first, / n, then
+    // added inside the damped parenthesis)
+    val dangCte = if (dangling)
+      s""",
+      ${pfx}dang AS (SELECT node FROM ${pfx}nodes
+        WHERE node NOT IN (SELECT src FROM edges))"""
+    else ""
     val sweeps = (1 to iters).map { i =>
+      val dmCte = if (dangling)
+        s"""${pfx}d$i AS (SELECT
+          ${sqlFold("list(rank ORDER BY node)", "0.0", "(acc,v) -> acc+v")}
+            AS dm
+          FROM ${pfx}r${i - 1}
+          WHERE node IN (SELECT node FROM ${pfx}dang)),
+      """
+      else ""
+      val massExpr = if (dangling)
+        s"(COALESCE(m.mass, 0.0) + dd.dm / ${pfx}nn.n)"
+      else "COALESCE(m.mass, 0.0)"
+      val dmJoin = if (dangling) s" CROSS JOIN ${pfx}d$i dd" else ""
       s"""${pfx}e$i AS (SELECT e.dst, e.src,
           (r.rank / o.ow) * e.weight AS contrib
         FROM edges e JOIN ${pfx}outw o ON e.src = o.src
@@ -11670,15 +11815,15 @@ object Queries {
         ${sqlFold("list(contrib ORDER BY src)", "0.0", "(acc,v) -> acc+v")}
           AS mass
         FROM ${pfx}e$i GROUP BY dst),
-      ${pfx}r$i AS (SELECT n.node,
-        $base + $d * COALESCE(m.mass, 0.0)
+      $dmCte${pfx}r$i AS (SELECT n.node,
+        $base + $d * $massExpr
           AS rank
-        FROM ${pfx}nodes n CROSS JOIN $cnt
+        FROM ${pfx}nodes n CROSS JOIN $cnt$dmJoin
         LEFT JOIN ${pfx}m$i m ON n.node = m.dst)"""
     }.mkString(",\n      ")
     s"""${pfx}nodes AS (SELECT DISTINCT node FROM
         (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-      ${pfx}nn AS (SELECT COUNT(*) AS n FROM ${pfx}nodes)$seedCte,
+      ${pfx}nn AS (SELECT COUNT(*) AS n FROM ${pfx}nodes)$seedCte$dangCte,
       ${pfx}outw AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS ow
         FROM edges GROUP BY src),
       ${pfx}r0 AS (SELECT node, $r0 AS rank
@@ -11926,6 +12071,117 @@ object Queries {
           > 0.5 AS flagged
       FROM hp LEFT JOIN t_hp ON hp.host = t_hp.host
       ORDER BY hp.host"""))
+
+  /** INCREMENTAL TRUSTRANK ([[graft.llm.LinkGraph.trustRankTrace]] →
+    * [[graft.llm.LinkGraph.pageRankRefresh]]): the same epoch split as
+    * `graph_rank_refresh` — every weight-2+ edge loses one unit to the
+    * "previous epoch", the removed units ARE the delta — but the
+    * traced recurrence is the SEED-base one (teleport on pages < 10).
+    * The refresh reads the persisted base frame from the generation
+    * and folds only the delta's frontier; the oracle is the full
+    * seed-base sweep over the merged graph, so refresh ≡ full
+    * recompute bit-for-bit. The spam-demotion chain this feeds
+    * refreshes without re-running full sweeps per epoch. */
+  private val graphTrustRefreshQ = QueryDef("graph_trust_refresh", {
+      (s, d) => {
+        val dir = tmpDir(d, "graph_trust_trace")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val edges = graphEdges(s, d).localCheckpoint()
+        val base = edges.select(col("src"), col("dst"),
+          when(col("weight") > 1, col("weight") - 1)
+            .otherwise(col("weight")).as("weight"))
+        val delta = edges.where(col("weight") > 1)
+          .select(col("src"), col("dst"), lit(1L).as("weight"))
+        require(delta.count() > 0,
+          "graph_trust_refresh: degenerate fixture — no weight-2+ edges")
+        val seeds = edges.select(col("src").as("node"))
+          .unionByName(edges.select(col("dst").as("node")))
+          .where(col("node") < 10).distinct()
+        graft.llm.LinkGraph.trustRankTrace(base, seeds, iters = 3, dir,
+          orderedFold = true)
+        graft.llm.LinkGraph.pageRankRefresh(s, dir, delta)
+          .orderBy(col("node"))
+      }
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3, seedPred = Some("n.node < 10"))}
+      SELECT node, rank FROM r3 ORDER BY node"""))
+
+  /** SPAM MASS OVER REFRESHED CHAINS — the full epoch maintenance
+    * product: BOTH priors (popularity and trust) refresh from the SAME
+    * epoch delta via their traces, then fold to hosts and join into
+    * the spam-mass demotion list. One DuckDB statement replays both
+    * full-sweep chains over the merged graph — green only if each
+    * incremental refresh is bit-equal to its full recompute AND the
+    * downstream host/spam arithmetic is engine-exact. */
+  private val graphSpamRefreshQ = QueryDef("graph_spam_refresh", {
+      (s, d) => {
+        val prDir = tmpDir(d, "graph_spamref_pr")
+        val trDir = tmpDir(d, "graph_spamref_tr")
+        val conf = s.sparkContext.hadoopConfiguration
+        Seq(prDir, trDir).foreach { x =>
+          val p = new org.apache.hadoop.fs.Path(x)
+          p.getFileSystem(conf).delete(p, true)
+        }
+        val edges = graphEdges(s, d).localCheckpoint()
+        val base = edges.select(col("src"), col("dst"),
+          when(col("weight") > 1, col("weight") - 1)
+            .otherwise(col("weight")).as("weight"))
+        val delta = edges.where(col("weight") > 1)
+          .select(col("src"), col("dst"), lit(1L).as("weight"))
+        val seeds = edges.select(col("src").as("node"))
+          .unionByName(edges.select(col("dst").as("node")))
+          .where(col("node") < 10).distinct()
+        graft.llm.LinkGraph.pageRankTrace(base, iters = 3, prDir,
+          orderedFold = true)
+        graft.llm.LinkGraph.trustRankTrace(base, seeds, iters = 3, trDir,
+          orderedFold = true)
+        val pr = graft.llm.LinkGraph.pageRankRefresh(s, prDir, delta)
+        val tr = graft.llm.LinkGraph.pageRankRefresh(s, trDir, delta)
+        val hostOf = concat(lit("src"), (col("node") % 20).cast("string"))
+        graft.llm.LinkGraph.spamMass(
+            graft.llm.LinkGraph.hostPrior(pr, hostOf, orderedFold = true),
+            graft.llm.LinkGraph.hostPrior(tr, hostOf, orderedFold = true),
+            threshold = 0.5)
+          .orderBy(col("host"))
+      }
+    },
+    Some(s"""WITH $sqlGraphEdges,
+      ${sqlGraphRanks(3)},
+      ${sqlGraphRanks(3, seedPred = Some("n.node < 10"), pfx = "t_")},
+      ${sqlGraphHostPrior("r3")},
+      ${sqlGraphHostPrior("t_r3", name = "t_hp")}
+      SELECT hp.host, hp.prior,
+        COALESCE(t_hp.prior, CAST(0.0 AS DOUBLE)) AS trust,
+        (hp.prior - COALESCE(t_hp.prior, CAST(0.0 AS DOUBLE))) / hp.prior
+          AS spam_mass,
+        (hp.prior - COALESCE(t_hp.prior, CAST(0.0 AS DOUBLE))) / hp.prior
+          > 0.5 AS flagged
+      FROM hp LEFT JOIN t_hp ON hp.host = t_hp.host
+      ORDER BY hp.host"""))
+
+  /** Dangling-mass PageRank
+    * ([[graft.llm.LinkGraph.pageRank]] `redistributeDangling`): the
+    * click graph plus one planted sink page (an in-link-only node) —
+    * each sweep folds the sink's damped mass back uniformly instead of
+    * leaking it, so the ranks stay a probability simplex. The oracle
+    * replays the scalar-per-sweep recurrence (ordered fold of dangling
+    * ranks, / N, added inside the damped term) bit-for-bit. */
+  private val graphPagerankDanglingQ = QueryDef("graph_pagerank_dangling",
+    (s, d) => {
+      import s.implicits._
+      val sink = Seq((1L, 100001L, 1L)).toDF("src", "dst", "weight")
+      graft.llm.LinkGraph.pageRank(
+          graphEdges(s, d).unionByName(sink), iters = 3,
+          orderedFold = true, redistributeDangling = true)
+        .orderBy(col("node"))
+    },
+    Some(s"""WITH ${sqlGraphEdgesDef(
+        """ UNION ALL SELECT CAST(1 AS BIGINT), CAST(100001 AS BIGINT),
+          CAST(1 AS BIGINT)""")},
+      ${sqlGraphRanks(3, dangling = true)}
+      SELECT node, rank FROM r3 ORDER BY node"""))
 
   /** Leakage-safe train/val/test split: the hash key is the HOST, not
     * the document — near-duplicates and same-site pages land in the
@@ -12270,8 +12526,11 @@ object Queries {
     * term-ordered score fold) against the `benchSql` battery —
     * shared by the served-battery and streamed-battery queries, whose
     * outputs must EQUAL the inline join (same scoring plan). */
-  private def sqlBm25Battery(benchSql: String, k: Int): String =
-    s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+  private def sqlBm25Battery(benchSql: String, k: Int,
+                             corpusSql: String =
+                               "SELECT doc_id, text FROM documents")
+      : String =
+    s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM ($corpusSql)),
       t2 AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
       st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM t2),
       dfreq AS (SELECT term, COUNT(*) AS df FROM
@@ -12493,6 +12752,107 @@ object Queries {
         FROM h CROSS JOIN a)
       ORDER BY step"""))
 
+  /** LEXICAL TAKEDOWN served ([[graft.llm.Search.retractPostings]] →
+    * [[graft.llm.Search.bm25ServeJoinTopK]]): the index is built over
+    * the full corpus, every doc_id % 7 = 3 is retracted (tombstones +
+    * exact df/n/avgdl patch, postings untouched), and the battery
+    * serves from the takedown-adjusted index. The oracle is the full
+    * inverted-index replay over the SURVIVING corpus — green only if
+    * tombstone-serving is bit-equal to a rebuild-after-delete. */
+  private val bm25RetractServeQ = QueryDef("bm25_retract_serve", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_retract"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents")
+        graft.llm.Search.buildPostings(docs, dir)
+        graft.llm.Search.retractPostings(s, dir,
+          docs.where(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "doc_id")
+        graft.llm.Search.bm25ServeJoinTopK(s, dir, bm25Bench(s), k = 3)
+          .orderBy(col("qid"), col("rank"))
+      }
+    }, Some(sqlBm25Battery(bm25BenchSql, 3,
+      corpusSql =
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3")))
+
+  /** The lexical-takedown AUDIT row (same retraction as
+    * `bm25_retract_serve`, run on its own directory): every count the
+    * event reports — docs removed, postings suppressed, vocabulary
+    * terms whose df hit zero — restated from first principles in
+    * DuckDB. */
+  private val bm25RetractAuditQ = QueryDef("bm25_retract_audit", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_raudit"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents")
+        graft.llm.Search.buildPostings(docs, dir)
+        graft.llm.Search.retractPostings(s, dir,
+          docs.where(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "doc_id")
+      }
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws FROM documents),
+      pairs AS (SELECT DISTINCT doc_id, term FROM
+        (SELECT doc_id, unnest(ws) AS term FROM toks)),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        WHERE doc_id % 7 = 3),
+      sup AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+        WHERE doc_id % 7 = 3),
+      dead AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+        (SELECT term FROM pairs GROUP BY term
+         HAVING COUNT(*) = COUNT(CASE WHEN doc_id % 7 = 3 THEN 1 END)))
+      SELECT a.n AS n_index_before, o.n AS n_retracted,
+        a.n - o.n AS n_index_after, sup.n AS postings_suppressed,
+        dead.n AS terms_dropped
+      FROM a CROSS JOIN o CROSS JOIN sup CROSS JOIN dead"""))
+
+  /** EQUAL-COUNT CHURN staleness
+    * ([[graft.llm.Search.rebuildPostingsIfStale]]'s membership-exact
+    * drift — the case a bare row-count diff scores as zero forever):
+    * the index is built over the full corpus, then every
+    * doc_id % 10 = 4 document is REPLACED by a new one (same text,
+    * new id) — the corpus count is unchanged but 2·m documents
+    * differ, so drift = 2m/n clears the 0.1 floor and the index
+    * rebuilds; the same-corpus check stays exactly 0. Both decision
+    * branches pinned to integer-exact values. */
+  private val bm25RebuildChurnPlantedQ =
+    QueryDef("bm25_rebuild_churn_planted", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_churn"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        graft.llm.Search.buildPostings(docs, dir)
+        val same = graft.llm.Search.rebuildPostingsIfStale(s, dir, docs,
+          staleFloor = 0.1).withColumn("step", lit("same"))
+        val churned = docs.where(col("doc_id") % 10 =!= 4)
+          .unionByName(docs.where(col("doc_id") % 10 === 4)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              col("text")))
+        val churn = graft.llm.Search.rebuildPostingsIfStale(s, dir,
+          churned, staleFloor = 0.1).withColumn("step", lit("churn"))
+        same.unionByName(churn)
+          .select(col("step"), col("n_index"), col("n_corpus"),
+            col("drift"), col("rebuilt"), col("n_index_after"))
+          .orderBy(col("step"))
+      }
+    },
+    Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM documents
+        WHERE doc_id % 10 = 4)
+      SELECT * FROM (
+        SELECT 'churn' AS step, n AS n_index, n AS n_corpus,
+          round(CAST(2 * m AS DOUBLE) / n, 6) AS drift, true AS rebuilt,
+          n AS n_index_after FROM a CROSS JOIN m
+        UNION ALL
+        SELECT 'same', n, n, CAST(0.0 AS DOUBLE), false, n FROM a)
+      ORDER BY step"""))
+
   /** HYBRID RETRIEVAL over the real tables
     * ([[graft.llm.Search.hybridRetrieve]]): two benchmark rows carry
     * both query representations — their document TEXT (lexical side,
@@ -12502,24 +12862,27 @@ object Queries {
     * (Σ 1/(60+rank), signal-ordered fold), so the WHOLE composition
     * replays exactly in DuckDB: the bm25 battery chain and the cosine
     * chain feed the same fusion recurrence in one statement. */
-  private val hybridRetrieveQ = QueryDef("hybrid_retrieve", {
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val bench = docs.where(col("doc_id").isin(11L, 22L))
-          .select((col("doc_id") + lit(9000L)).as("qid"), col("text"))
-          .join(t(s, d, "embeddings")
-              .select((col("vec_id") + lit(9000L)).as("qid"),
-                col("embedding")),
-            Seq("qid"))
-        graft.llm.Search.hybridRetrieve(docs, t(s, d, "embeddings"),
-            bench, k = 5, kPerSignal = 10)
-          .orderBy(col("qid"), col("rank"))
-      }
-    }, {
+  /** The two-representation benchmark the hybrid queries share: two
+    * document rows carrying their own text (lexical side) and aligned
+    * embedding (semantic side), qids offset by 9000. */
+  private def hybridBench(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").where(col("doc_id").isin(11L, 22L))
+      .select((col("doc_id") + lit(9000L)).as("qid"), col("text"))
+      .join(t(s, d, "embeddings")
+          .select((col("vec_id") + lit(9000L)).as("qid"),
+            col("embedding")),
+        Seq("qid"))
+
+  /** One-statement replay of the whole hybrid fusion over the real
+    * tables — shared by the inline (`hybrid_retrieve`) and indexed
+    * (`hybrid_retrieve_indexed`) twins: the indexed path probes every
+    * IVF cluster for its oracle run, which makes the semantic ranking
+    * exactly the brute-force scan this SQL states. */
+  private lazy val sqlHybridRealTables: String = {
       val lexSql = sqlBm25Battery(
         """SELECT doc_id + 9000 AS qid, text FROM documents
           WHERE doc_id IN (11, 22)""", 10)
-      Some(s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($lexSql)),
+      s"""WITH lex AS (SELECT qid, doc_id, rank FROM ($lexSql)),
       qv AS (SELECT vec_id + 9000 AS qid, embedding::DOUBLE[] AS v
         FROM embeddings WHERE vec_id IN (11, 22)),
       cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
@@ -12545,8 +12908,41 @@ object Queries {
           (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
         FROM fused)
       SELECT qid, CAST(rank AS INT) AS rank, doc_id, signals, best_rank
-      FROM fr WHERE rank <= 5 ORDER BY qid, rank""")
-    })
+      FROM fr WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  private val hybridRetrieveQ = QueryDef("hybrid_retrieve",
+    (s, d) => graft.llm.Search.hybridRetrieve(t(s, d, "documents"),
+        t(s, d, "embeddings"), hybridBench(s, d), k = 5, kPerSignal = 10)
+      .orderBy(col("qid"), col("rank")),
+    Some(sqlHybridRealTables))
+
+  /** INDEXED hybrid retrieval
+    * ([[graft.llm.Search.hybridRetrieveIndexed]] — the standing
+    * deployment): BOTH signals answer from persisted indexes — the
+    * BM25 postings directory (term-pruned read + broadcast join) and
+    * the IVF vector index (partition-pruned probe + exact re-rank) —
+    * fused by the same reciprocal-rank arithmetic. Probing every
+    * cluster (nProbe = nCentroids) makes the semantic ranking equal
+    * the brute-force scan, so the ONE DuckDB statement that replays
+    * the inline fusion binds the whole indexed path: postings read,
+    * tombstone-free serve, IVF probe, re-rank, fusion. Production
+    * keeps nProbe small; the per-battery cost probe is the
+    * hybrid_indexed ScaleProbe entry. */
+  private val hybridRetrieveIndexedQ = QueryDef("hybrid_retrieve_indexed",
+    (s, d) => {
+      val dir = tmpDir(d, "hybrid_indexed")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Search.buildPostings(t(s, d, "documents"), s"$dir/bm25")
+      graft.llm.Similarity.buildIvfIndex(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        s"$dir/ann")
+      graft.llm.Search.hybridRetrieveIndexed(s, s"$dir/bm25", s"$dir/ann",
+          hybridBench(s, d), k = 5, kPerSignal = 10, nProbe = 16)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(sqlHybridRealTables))
 
   /** HYBRID contamination triage — `bm25_decontaminate`'s benchmark
     * (three exact corpus copies + an 8-word prefix probe) re-run
@@ -12781,7 +13177,7 @@ object Queries {
     curateStreamMix,
     packRetractScrub, packRetractRepack, retractDecontaminate,
     packRetractRefresh, packUnretract, shardAudit, retractCompliance,
-    takedownYaml, takedownSourceYaml,
+    takedownYaml, takedownSourceYaml, takedownAllYaml,
     dedupMinhashLedgerQ,
     lengthBucketsQ, lengthBucketPaddingQ, c4Clean,
     repetitionStatsQ, urlFilterQ, urlFilterPsl,
@@ -12817,9 +13213,12 @@ object Queries {
     graphPriorGateQ,
     ablationLadderQ, ablationLadderStatsQ, graphPriorYaml,
     graphTrustrankQ, graphTransitionsStreamQ, graphSpamMassQ,
+    graphTrustRefreshQ, graphSpamRefreshQ, graphPagerankDanglingQ,
     mixSplitGroupedQ, graphStreamYaml, bm25TopkQ, bm25DecontaminateQ,
     bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
     bm25AppendServeQ, bm25RebuildPlantedQ, graphRefreshStreamQ,
-    hybridRetrieveQ, hybridRetrievePlantedQ, hybridDecontaminateQ,
+    bm25RetractServeQ, bm25RetractAuditQ, bm25RebuildChurnPlantedQ,
+    hybridRetrieveQ, hybridRetrieveIndexedQ, hybridRetrievePlantedQ,
+    hybridDecontaminateQ,
     dedupRateCurveQ)
 }

@@ -115,13 +115,28 @@ object LinkGraph {
     * `iters` sweeps over a checkpointed edge list. `withBase` carries
     * (node, __base, rank) — uniform base = PageRank, seed-only base =
     * TrustRank; the teleport VECTOR is the only thing the two differ
-    * by (Gyöngyi et al. 2004 §3). */
+    * by (Gyöngyi et al. 2004 §3). With `redistributeDangling` the
+    * damped mass a sink node (no out-edges) would otherwise leak is
+    * folded back uniformly: per sweep one SCALAR aggregate over the
+    * (static) dangling node set — the rank sum, ordered-folded in the
+    * oracle-replay mode — divides by `nTotal` and joins every node's
+    * new rank as a literal. Bounded driver traffic: one double per
+    * sweep. */
   private def rankSweeps(e: DataFrame, withBase: DataFrame, iters: Int,
                          damping: Double, orderedFold: Boolean,
                          onSweep: (Int, DataFrame) => Unit =
-                           (_, _) => ()): DataFrame = {
+                           (_, _) => (),
+                         redistributeDangling: Boolean = false,
+                         nTotal: Long = 0L): DataFrame = {
     val outW = e.groupBy(col("src"))
       .agg(sum(col("__w")).as("__ow")).localCheckpoint()
+    // the dangling set is a property of the edge list — compute once
+    val dangling =
+      if (redistributeDangling)
+        withBase.select(col("node"))
+          .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+      else null
     var ranks = withBase
     onSweep(0, ranks.select(col("node"), col("rank")))
     for (t <- 1 to iters) {
@@ -137,11 +152,21 @@ object LinkGraph {
         else
           contribs.groupBy(col("dst"))
             .agg(sum(col("__contrib")).as("__mass"))
+      val newRank =
+        if (redistributeDangling) {
+          val dRanks = ranks.join(dangling, Seq("node"), "left_semi")
+          val dmRow =
+            (if (orderedFold)
+               dRanks.agg(orderedFoldSum(col("node"), col("rank")).as("s"))
+             else dRanks.agg(sum(col("rank")).as("s"))).head()
+          val dm = if (dmRow.isNullAt(0)) 0.0 else dmRow.getDouble(0)
+          col("__base") + lit(damping) *
+            (coalesce(col("__mass"), lit(0.0)) + lit(dm / nTotal))
+        } else
+          col("__base") + lit(damping) * coalesce(col("__mass"), lit(0.0))
       ranks = withBase
         .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"), col("__base"),
-          (col("__base") + lit(damping) * coalesce(col("__mass"), lit(0.0)))
-            .as("rank"))
+        .select(col("node"), col("__base"), newRank.as("rank"))
         .localCheckpoint() // pin the sweep: flat lineage, AQE re-plan
       onSweep(t, ranks.select(col("node"), col("rank")))
     }
@@ -164,11 +189,19 @@ object LinkGraph {
     * over a weighted (src, dst, weight) edge list; `W(u)` is u's total
     * out-weight (exact long sum). Returns one (node, rank) row per
     * node (nodes = src ∪ dst); nodes with no in-edges hold the
-    * teleport base. Dangling mass is NOT redistributed (see object
-    * doc). `orderedFold = true` is the oracle-exact accumulation mode
-    * — see object doc for the in-degree caveat. */
+    * teleport base. Dangling mass is NOT redistributed by default (see
+    * object doc — the ordering-stability simplification); pass
+    * `redistributeDangling = true` for the probability-simplex form:
+    * each sweep folds the sink nodes' damped mass back uniformly
+    * (`rank(v) = (1-d)/N + d·(in-mass(v) + Σ_sinks rank(s)/N)`) at the
+    * cost of one scalar aggregate per sweep — sink-heavy graphs (paper
+    * dumps, leaf-page crawls) keep a comparable total mass either way
+    * the prior consumer normalizes. `orderedFold = true` is the
+    * oracle-exact accumulation mode — see object doc for the in-degree
+    * caveat. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               orderedFold: Boolean = false): DataFrame = {
+               orderedFold: Boolean = false,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0,1), got $damping")
@@ -178,7 +211,8 @@ object LinkGraph {
     require(n > 0, "pageRank: empty edge list")
     val withBase = nodes.select(col("node"),
       lit((1.0 - damping) / n).as("__base"), lit(1.0 / n).as("rank"))
-    rankSweeps(e, withBase, iters, damping, orderedFold)
+    rankSweeps(e, withBase, iters, damping, orderedFold,
+      redistributeDangling = redistributeDangling, nTotal = n)
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web
@@ -289,20 +323,19 @@ object LinkGraph {
     f"$dir/gen-$next%04d"
   }
 
-  /** [[pageRank]] with a PERSISTED PER-SWEEP TRACE — the build half of
-    * incremental rank maintenance: each sweep's full (node, rank)
-    * frame, the checkpointed edge list, and the run constants land
-    * under a new committed generation of `traceDir` (data first,
-    * commit marker last — the index-lifecycle atomic-swap shape), so
-    * a later [[pageRankRefresh]] can re-derive ONLY the delta-reached
-    * nodes per sweep and copy everything else. Trace cost: iters + 1
-    * node-frame writes + one edge write on top of the plain run. */
-  def pageRankTrace(edges: DataFrame, iters: Int, traceDir: String,
-                    damping: Double = 0.85,
-                    orderedFold: Boolean = false): DataFrame = {
-    require(iters >= 1, s"pageRankTrace: iters must be >= 1, got $iters")
+  /** Shared trace writer behind [[pageRankTrace]] / [[trustRankTrace]]:
+    * both recurrences differ ONLY in the teleport vector (Gyöngyi et
+    * al. 2004 §3), so the trace persists the base frame itself —
+    * `gen/base` (node, __base) — plus the seed set for TrustRank, and
+    * [[pageRankRefresh]] refreshes either one from the same epoch
+    * delta without knowing which recurrence it is replaying. */
+  private def runTrace(edges: DataFrame, iters: Int, traceDir: String,
+                       damping: Double, orderedFold: Boolean,
+                       mode: String, seeds: Option[DataFrame])
+      : DataFrame = {
+    require(iters >= 1, s"${mode}Trace: iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
-      s"pageRankTrace: damping must be in (0,1), got $damping")
+      s"${mode}Trace: damping must be in (0,1), got $damping")
     val spark = edges.sparkSession
     // normalize to ONE row per (src, dst): the refresh's broadcast
     // merge patches by key, so duplicate keys would each absorb the
@@ -313,24 +346,77 @@ object LinkGraph {
       .agg(sum(col("weight")).as("weight")))
     val nodes = nodesOf(e)
     val n = nodes.count()
-    require(n > 0, "pageRankTrace: empty edge list")
+    require(n > 0, s"${mode}Trace: empty edge list")
+    val seedFrame = seeds.map(_.select(col("node")).distinct()
+      .localCheckpoint())
+    val withBase = (mode match {
+      case "trustrank" =>
+        val flagged = nodes
+          .join(broadcast(seedFrame.get.withColumn("__seed", lit(1))),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__seed"), lit(0)).as("__seed"))
+          .localCheckpoint()
+        val nSeeds = flagged.where(col("__seed") === 1).count()
+        require(nSeeds > 0, "trustRankTrace: no seed is present in the graph")
+        flagged.select(col("node"),
+          when(col("__seed") === 1, lit((1.0 - damping) / nSeeds))
+            .otherwise(lit(0.0)).as("__base"),
+          when(col("__seed") === 1, lit(1.0 / nSeeds))
+            .otherwise(lit(0.0)).as("rank"))
+      case _ =>
+        nodes.select(col("node"),
+          lit((1.0 - damping) / n).as("__base"), lit(1.0 / n).as("rank"))
+    }).localCheckpoint()
     val gen = nextTraceGen(spark, traceDir)
     e.select(col("src"), col("dst"), col("__w").as("weight"))
       .write.mode("overwrite").parquet(s"$gen/edges")
     e.groupBy(col("src")).agg(sum(col("__w")).as("__ow"))
       .write.mode("overwrite").parquet(s"$gen/outw")
+    withBase.select(col("node"), col("__base"))
+      .write.mode("overwrite").parquet(s"$gen/base")
+    seedFrame.foreach(_.write.mode("overwrite").parquet(s"$gen/seeds"))
     spark.range(1).select(lit(iters).as("iters"),
         lit(damping).as("damping"), lit(n).as("n"),
-        lit(orderedFold).as("ordered_fold"))
+        lit(orderedFold).as("ordered_fold"), lit(mode).as("mode"))
       .coalesce(1).write.mode("overwrite").parquet(s"$gen/meta")
-    val withBase = nodes.select(col("node"),
-      lit((1.0 - damping) / n).as("__base"), lit(1.0 / n).as("rank"))
     val out = rankSweeps(e, withBase, iters, damping, orderedFold,
       (t, r) => r.write.mode("overwrite").parquet(f"$gen/sweep-$t%04d"))
     val m = new org.apache.hadoop.fs.Path(gen, TraceCommit)
     traceFs(spark, traceDir).create(m, true).close()
     out
   }
+
+  /** [[pageRank]] with a PERSISTED PER-SWEEP TRACE — the build half of
+    * incremental rank maintenance: each sweep's full (node, rank)
+    * frame, the checkpointed edge list, the base (teleport) frame and
+    * the run constants land under a new committed generation of
+    * `traceDir` (data first, commit marker last — the index-lifecycle
+    * atomic-swap shape), so a later [[pageRankRefresh]] can re-derive
+    * ONLY the delta-reached nodes per sweep and copy everything else.
+    * Trace cost: iters + 2 node-frame writes + one edge write on top
+    * of the plain run. */
+  def pageRankTrace(edges: DataFrame, iters: Int, traceDir: String,
+                    damping: Double = 0.85,
+                    orderedFold: Boolean = false): DataFrame =
+    runTrace(edges, iters, traceDir, damping, orderedFold, "pagerank",
+      None)
+
+  /** [[trustRank]] with a persisted per-sweep trace — the seed-base
+    * twin of [[pageRankTrace]], so the spam-demotion chain
+    * (TrustRank → host trust prior → spam mass) refreshes from the
+    * SAME epoch delta as the popularity prior instead of re-running
+    * full sweeps per epoch. The generation persists the seed-derived
+    * base frame and the seed set itself (the fallback re-trace needs
+    * it); [[pageRankRefresh]] serves both modes. New nodes in a delta
+    * do NOT move existing TrustRank bases (teleport depends on |S|,
+    * not N), but they change the node frame — the refresh keeps the
+    * documented full-fallback contract for them. */
+  def trustRankTrace(edges: DataFrame, seeds: DataFrame, iters: Int,
+                     traceDir: String, damping: Double = 0.85,
+                     orderedFold: Boolean = false): DataFrame =
+    runTrace(edges, iters, traceDir, damping, orderedFold, "trustrank",
+      Some(seeds))
 
   /** INCREMENTAL RANK REFRESH — fold only what the delta can reach.
     * `delta` is a (src, dst, weight) frame of POSITIVE edge-weight
@@ -349,11 +435,24 @@ object LinkGraph {
     * once, not per sweep. A delta that introduces NEW nodes changes
     * N — every node's teleport base moves — so it falls back to a
     * full [[pageRankTrace]] over the merged edges (the documented
-    * fallback). Either way the result lands as the NEXT committed
-    * trace generation (refreshes chain) and EQUALS
-    * `pageRank(merged edges)` exactly (spec-bound). */
+    * fallback). A delta LARGER than `deltaBroadcastLimit` distinct
+    * edge keys takes the same fallback via a plain shuffle merge —
+    * the broadcast-merge shape assumes an epoch-sized delta, and a
+    * bulk-load epoch must not become a driver/executor-memory hazard
+    * (the frontier frames are bounded by the delta's t-hop reach, so
+    * gating the delta gates them too). Either way the result lands as
+    * the NEXT committed trace generation (refreshes chain) and EQUALS
+    * the full recurrence over the merged edges exactly (spec-bound).
+    *
+    * Serves BOTH recurrences: a [[trustRankTrace]] generation carries
+    * its seed base frame and refreshes identically — only the copied
+    * base differs (mode and base are read from the generation). */
   def pageRankRefresh(spark: org.apache.spark.sql.SparkSession,
-                      traceDir: String, delta: DataFrame): DataFrame = {
+                      traceDir: String, delta: DataFrame,
+                      deltaBroadcastLimit: Long = 2000000L): DataFrame = {
+    require(deltaBroadcastLimit >= 1,
+      s"pageRankRefresh: deltaBroadcastLimit must be >= 1, got " +
+        deltaBroadcastLimit)
     val gen = latestTraceGen(spark, traceDir).getOrElse(
       throw new IllegalArgumentException(
         s"pageRankRefresh: no committed trace generation under $traceDir" +
@@ -363,6 +462,19 @@ object LinkGraph {
     val damping = meta.getAs[Double]("damping")
     val n = meta.getAs[Long]("n")
     val orderedFold = meta.getAs[Boolean]("ordered_fold")
+    // pre-mode traces (no `mode` column / base frame) are uniform-base
+    val mode = if (meta.schema.fieldNames.contains("mode"))
+      meta.getAs[String]("mode") else "pagerank"
+    val fs = traceFs(spark, traceDir)
+    def genHas(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$gen/$name"))
+    def fullTrace(merged: DataFrame): DataFrame = mode match {
+      case "trustrank" =>
+        trustRankTrace(merged, spark.read.parquet(s"$gen/seeds"), iters,
+          traceDir, damping, orderedFold)
+      case _ =>
+        pageRankTrace(merged, iters, traceDir, damping, orderedFold)
+    }
     val edgesOld = spark.read.parquet(s"$gen/edges")
     val deltaAgg = delta
       .select(col("src"), col("dst"), col("weight").cast("long").as("__dw"))
@@ -371,6 +483,16 @@ object LinkGraph {
     require(deltaAgg.where(col("__dw") <= 0).isEmpty,
       "pageRankRefresh: delta must be positive weight additions " +
         "(the append-only transitions-ledger contract)")
+    // size gate: an oversized delta (bulk load, long-gapped epoch)
+    // must not ride the broadcast-merge shape — merge by one ordinary
+    // key shuffle and re-trace (the same documented fallback as new
+    // nodes; everything below this point may assume a bounded delta)
+    if (deltaAgg.count() > deltaBroadcastLimit)
+      return fullTrace(edgesOld
+        .unionByName(deltaAgg.select(col("src"), col("dst"),
+          col("__dw").as("weight")))
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("weight")))
     // ZERO edge shuffles in the merge: the delta broadcasts, the old
     // edge list is only SCANNED — updated rows via a broadcast left
     // join, brand-new edge keys via two delta-sized joins (the matched
@@ -389,15 +511,17 @@ object LinkGraph {
         (col("weight") + coalesce(col("__dw"), lit(0L))).as("weight"))
       .unionByName(newEdges)
       .localCheckpoint()
-    // a delta endpoint absent from the traced node set changes N —
-    // every base term moves, nothing is copyable: full fallback
+    // a delta endpoint absent from the traced node set: for the
+    // uniform base every teleport term moves (N changed); for the
+    // seed base the bases hold but the node/sweep frames don't cover
+    // the newcomer — either way nothing is copyable: full fallback
     val oldNodes = spark.read.parquet(f"$gen/sweep-0000")
       .select(col("node"))
     val newNodes = deltaAgg.select(col("src").as("node"))
       .unionByName(deltaAgg.select(col("dst").as("node")))
       .distinct().join(oldNodes, Seq("node"), "left_anti")
     if (!newNodes.isEmpty)
-      return pageRankTrace(merged, iters, traceDir, damping, orderedFold)
+      return fullTrace(merged)
     // out-weights PATCH from the persisted table — per-src delta sums
     // broadcast onto a scan, never an edge aggregation
     val deltaOw = deltaAgg.groupBy(col("src"))
@@ -426,6 +550,16 @@ object LinkGraph {
     outW.write.mode("overwrite").parquet(s"$genNew/outw")
     spark.read.parquet(s"$gen/meta")
       .write.mode("overwrite").parquet(s"$genNew/meta")
+    // the base frame / seed set are properties of the node set, which
+    // this path did not change — carry them so refreshes keep chaining
+    if (genHas("base"))
+      spark.read.parquet(s"$gen/base")
+        .write.mode("overwrite").parquet(s"$genNew/base")
+    if (genHas("seeds"))
+      spark.read.parquet(s"$gen/seeds")
+        .write.mode("overwrite").parquet(s"$genNew/seeds")
+    val baseDf = if (mode == "trustrank")
+      spark.read.parquet(s"$gen/base") else null
     var patched = spark.read.parquet(f"$gen/sweep-0000").localCheckpoint()
     patched.write.mode("overwrite").parquet(f"$genNew/sweep-0000")
     var frontier = spark.emptyDataFrame
@@ -457,11 +591,22 @@ object LinkGraph {
         else
           contribs.groupBy(col("dst"))
             .agg(sum(col("__contrib")).as("__mass"))
-      val recomputed = affected
+      val massed = affected
         .join(mass.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
-            .as("__new"))
+      // uniform base stays a literal (the scalar from meta — the
+      // bit-exact pagerank shape); the seed base joins the persisted
+      // base frame, broadcast-driven by the bounded `affected` side
+      val recomputed =
+        if (mode == "trustrank")
+          massed.join(baseDf, Seq("node"))
+            .select(col("node"),
+              (col("__base") +
+                lit(damping) * coalesce(col("__mass"), lit(0.0)))
+                .as("__new"))
+        else
+          massed.select(col("node"),
+            (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
+              .as("__new"))
       patched = spark.read.parquet(f"$gen/sweep-$t%04d")
         .join(recomputed, Seq("node"), "left")
         .select(col("node"),
@@ -480,22 +625,43 @@ object LinkGraph {
     * long-running refresh chain vacuums after the new generation has
     * soaked (the [[graft.llm.Similarity.vacuumIndex]] trade: rollback
     * after a vacuum means re-tracing, not marker deletion). Deletes
-    * every generation except the latest COMMITTED one (uncommitted
-    * stragglers from a crashed refresh included); the serving
+    * every RETIRED generation: committed ones older than the serving
+    * generation unconditionally, and UNCOMMITTED stragglers only once
+    * they are older than `uncommittedGraceMs` (by the newest
+    * modification time among the directory and its direct children) —
+    * an uncommitted generation younger than the grace window may be a
+    * refresh/trace currently writing, and a concurrent vacuum must
+    * not destroy it mid-run; a genuinely crashed straggler ages past
+    * the grace and is reclaimed on the next vacuum. The serving
     * generation is untouched and the next [[pageRankRefresh]] chains
     * from it unchanged. Returns the deleted roots. */
   def vacuumRankTrace(spark: org.apache.spark.sql.SparkSession,
-                      dir: String): Seq[String] = {
+                      dir: String,
+                      uncommittedGraceMs: Long = 6L * 3600L * 1000L)
+      : Seq[String] = {
+    require(uncommittedGraceMs >= 0,
+      s"vacuumRankTrace: uncommittedGraceMs must be >= 0, got " +
+        uncommittedGraceMs)
     val serving = latestTraceGen(spark, dir).getOrElse(return Nil)
     val servingName = new org.apache.hadoop.fs.Path(serving).getName
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = traceFs(spark, dir)
+    val now = System.currentTimeMillis()
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      (st.getModificationTime +:
+        fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
     val deleted = collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(p)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-")
         && st.getPath.getName != servingName)
-      .foreach { st => fs.delete(st.getPath, true)
-        deleted += st.getPath.toString }
+      .foreach { st =>
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, TraceCommit))
+        if (committed || now - newestMtime(st) > uncommittedGraceMs) {
+          fs.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      }
     deleted.toSeq
   }
 

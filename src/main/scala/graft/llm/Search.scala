@@ -35,6 +35,21 @@ import org.apache.spark.sql.functions._
   * Growing eval suites re-pay only their own size per run, never the
   * corpus aggregation.
   *
+  * INDEX MAINTENANCE is event-sourced and crash-safe: every mutation
+  * after the base build ([[appendPostings]], [[retractPostings]])
+  * lands as a numbered `delta-NNNN` directory whose data is fully
+  * written BEFORE its commit marker is created — a reader either sees
+  * the whole event or none of it, and a crashed writer's directory is
+  * invisible and reclaimed on retry (the index-generation atomic-swap
+  * idea, applied to an append-only event log so appends never copy
+  * the base postings). Readers resolve: postings = base + every
+  * committed delta's postings files; df/stats = the LATEST committed
+  * delta's tables (each event writes the full post-event df — a
+  * vocabulary-sized frame — and the one-row stats); tombstones = the
+  * latest committed cumulative retraction set. Single concurrent
+  * maintainer per index directory (the ANN-index convention);
+  * serving is lock-free.
+  *
   * Tokenization is the repo's normalized-word convention
   * ([[Dedup.normalizeText]]-equivalent: lower → whitespace collapse →
   * split), so oracle SQL replays it with the shared `sqlWords` form.
@@ -199,15 +214,117 @@ object Search {
         col("matched_terms"), col("sum_tf"), col("dl"))
   }
 
+  // ---- persisted-index layout: base + committed delta events ----------
+
+  /** Marker whose creation is the SINGLE visibility point of a
+    * maintenance event: all of the delta directory's data files exist
+    * before it, so an interrupted append/retraction is invisible to
+    * readers and safely retryable (the crash mid-sequence can no
+    * longer leave tf/df/n inconsistent). */
+  private val DeltaCommit = "_graft_delta_committed"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Resolved read-view of a postings index directory. */
+  private case class IndexState(dir: String, postingsPaths: Seq[String],
+                                idsPaths: Seq[String], dfPath: String,
+                                statsPath: String,
+                                tombstonesPath: Option[String])
+
+  /** Resolve the serving view: base files plus every COMMITTED
+    * `delta-NNNN` event (zero-padded names sort lexically =
+    * numerically). df/stats come from the latest committed event (each
+    * event persists the full post-event tables); tombstones from the
+    * latest event carrying them (retractions write the CUMULATIVE set;
+    * appends never shrink it). */
+  private def resolveIndex(spark: SparkSession, dir: String): IndexState = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val deltas =
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("delta-") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit)))
+          .map(_.getPath).sortBy(_.getName).toSeq
+      else Seq.empty
+    def sub(parent: org.apache.hadoop.fs.Path, name: String)
+        : Option[String] = {
+      val sp = new org.apache.hadoop.fs.Path(parent, name)
+      if (fs.exists(sp)) Some(sp.toString) else None
+    }
+    IndexState(dir,
+      Seq(s"$dir/postings") ++ deltas.flatMap(d => sub(d, "postings")),
+      sub(p, "ids").toSeq ++ deltas.flatMap(d => sub(d, "ids")),
+      deltas.reverse.flatMap(d => sub(d, "df")).headOption
+        .getOrElse(s"$dir/df"),
+      deltas.reverse.flatMap(d => sub(d, "stats")).headOption
+        .getOrElse(s"$dir/stats"),
+      deltas.reverse.flatMap(d => sub(d, "tombstones")).headOption)
+  }
+
+  /** Next event directory: uncommitted leftovers (a crashed writer —
+    * invisible to readers by construction) are reclaimed first, then
+    * the next number after the last committed event. Single-writer
+    * maintenance contract. */
+  private def nextDeltaDir(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    var maxCommitted = -1
+    if (fs.exists(p)) fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta-"))
+      .foreach { st =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit)))
+          maxCommitted = math.max(maxCommitted,
+            st.getPath.getName.stripPrefix("delta-").toInt)
+        else fs.delete(st.getPath, true)
+      }
+    f"$dir/delta-${maxCommitted + 1}%04d"
+  }
+
+  private def commitDelta(spark: SparkSession, deltaDir: String): Unit = {
+    val m = new org.apache.hadoop.fs.Path(deltaDir, DeltaCommit)
+    fsOf(spark, deltaDir).create(m, true).close()
+  }
+
+  private def readStatsRow(spark: SparkSession, state: IndexState) =
+    spark.read.parquet(state.statsPath).head()
+
+  /** The (id, dl) membership frame of the index — one row per indexed,
+    * non-retracted document. From the persisted `ids` frames when
+    * present (build/append write them); derived from the postings for
+    * a pre-`ids` legacy directory. */
+  private def effectiveIds(spark: SparkSession, state: IndexState,
+                           idCol: String): DataFrame = {
+    val stored =
+      if (state.idsPaths.nonEmpty)
+        spark.read.parquet(state.idsPaths: _*)
+      else
+        spark.read.parquet(state.postingsPaths: _*)
+          .select(col(idCol), col("dl")).distinct()
+    state.tombstonesPath match {
+      case Some(tp) =>
+        stored.join(broadcast(spark.read.parquet(tp)), Seq(idCol),
+          "left_anti")
+      case None => stored
+    }
+  }
+
   /** Build-once half of the two-phase deployment: persist the corpus
-    * inverted index under `dir` —
+    * inverted index under `dir` (any previous index state — base,
+    * deltas, tombstones — is wiped: a build IS a new corpus
+    * generation) —
     *  - `dir/postings` — (id, term, tf, dl), range-sharded on the term
     *    key and term-sorted WITHIN each file so a term-filtered read
     *    prunes row groups via parquet min/max stats;
     *  - `dir/df` — (term, df), the document-frequency table;
-    *  - `dir/stats` — one row (n, avgdl, id_col, text_col): the scalar
-    *    constants plus the column names the index was built over (so
-    *    serving needs only the directory).
+    *  - `dir/ids` — (id, dl), the index's membership frame: what
+    *    [[rebuildPostingsIfStale]] compares against the live corpus;
+    *  - `dir/stats` — one row (n, avgdl, sum_dl, id_col, text_col):
+    *    the scalar constants plus the column names the index was built
+    *    over (so serving needs only the directory).
     * One tokenize+explode pass over the corpus at build time; every
     * battery after that pays zero corpus aggregations. Rebuild per
     * corpus generation (the index-lifecycle convention). */
@@ -215,13 +332,16 @@ object Search {
                     idCol: String = "doc_id", textCol: String = "text",
                     shards: Int = 32): Unit = {
     require(shards >= 1, s"buildPostings: shards must be >= 1, got $shards")
+    val spark = docs.sparkSession
     val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
-    // total token mass alongside avgdl: [[appendPostings]] keeps the
-    // average EXACT over appends via (sum_dl + new) / (n + new) — an
-    // append must not have to re-scan the indexed corpus
-    val sumDl = docs
-      .agg(sum(size(words(col(textCol))).cast("double")).as("s"))
-      .head().getDouble(0)
+    // membership frame (id, dl) — doubles as the token-mass source:
+    // [[appendPostings]] keeps the average EXACT over appends via
+    // (sum_dl + new) / (n + new), never a re-scan of the indexed corpus
+    val ids = docs
+      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
+      .localCheckpoint()
+    val sumDl = ids.agg(sum(col("dl")).as("s")).head().getDouble(0)
+    fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
     postingsOf(docs, idCol, textCol)
       .select(col(idCol), col("term"), col("__tf").as("tf"),
         col("__dl").as("dl"))
@@ -229,7 +349,8 @@ object Search {
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings")
     dfreq.write.mode("overwrite").parquet(s"$dir/df")
-    docs.sparkSession.range(1)
+    ids.write.mode("overwrite").parquet(s"$dir/ids")
+    spark.range(1)
       .select(lit(n).as("n"), lit(avgdl).as("avgdl"),
         lit(sumDl).as("sum_dl"),
         lit(idCol).as("id_col"), lit(textCol).as("text_col"))
@@ -239,14 +360,18 @@ object Search {
   /** Incrementally APPEND new documents to a [[buildPostings]]
     * directory — the lexical twin of the ANN index's
     * `appendIvfIndex`: per batch, one tokenize+explode pass over JUST
-    * the new docs appends term-sorted postings files (row-group
+    * the new docs writes term-sorted postings files (row-group
     * pruning keeps working — each appended file carries its own
     * min/max term stats), the df table merges by one term-keyed
     * partial aggregation, and the scalar stats update from the stored
     * token mass (`(sum_dl + Σ new dl) / (n + |new|)` — never a
-    * re-scan of the indexed corpus). Same new-ids contract as the ANN
-    * appenders: the caller feeds documents NOT already indexed
-    * (re-appending an id would double its postings). Serving after an
+    * re-scan of the indexed corpus). The whole event lands as one
+    * committed `delta-NNNN` directory (data first, marker last), so a
+    * crashed append is invisible and the retry double-counts nothing.
+    * Same new-ids contract as the ANN appenders: the caller feeds
+    * documents NOT already indexed (re-appending an id would double
+    * its postings); a TOMBSTONED id is rejected outright — re-admitting
+    * retracted content requires an explicit rebuild. Serving after an
     * append equals a fresh rebuild over the union on the rank +
     * integer-evidence contract (spec-bound; the updated average
     * document length may differ from a rebuild's in the last ulp —
@@ -256,39 +381,134 @@ object Search {
   def appendPostings(spark: SparkSession, dir: String, newDocs: DataFrame,
                      shards: Int = 4): Unit = {
     require(shards >= 1, s"appendPostings: shards must be >= 1, got $shards")
-    val st = spark.read.parquet(s"$dir/stats").head()
+    val state = resolveIndex(spark, dir)
+    val st = readStatsRow(spark, state)
     val (n, sumDl, idCol, textCol) = (st.getAs[Long]("n"),
       st.getAs[Double]("sum_dl"), st.getAs[String]("id_col"),
       st.getAs[String]("text_col"))
+    state.tombstonesPath.foreach { tp =>
+      val clash = newDocs.select(col(idCol))
+        .join(broadcast(spark.read.parquet(tp)), Seq(idCol), "left_semi")
+      require(clash.isEmpty,
+        "appendPostings: batch contains RETRACTED ids — re-admitting " +
+          "taken-down content requires an explicit rebuild " +
+          "(buildPostings / rebuildPostingsIfStale), not an append")
+    }
     val (dfNew, nNew, _) = bm25Stats(newDocs, idCol, textCol)
-    val sumNew = newDocs
-      .agg(sum(size(words(col(textCol))).cast("double")).as("s"))
-      .head().getDouble(0)
+    val newIds = newDocs
+      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
+      .localCheckpoint()
+    val sumNew = newIds.agg(sum(col("dl")).as("s")).head().getDouble(0)
+    val delta = nextDeltaDir(spark, dir)
     postingsOf(newDocs, idCol, textCol)
       .select(col(idCol), col("term"), col("__tf").as("tf"),
         col("__dl").as("dl"))
       .repartitionByRange(shards, col("term"))
       .sortWithinPartitions("term")
-      .write.mode("append").parquet(s"$dir/postings")
-    // sever lineage before overwriting the frame being read (the
-    // ledger-rewrite convention)
-    val mergedDf = spark.read.parquet(s"$dir/df")
+      .write.mode("overwrite").parquet(s"$delta/postings")
+    newIds.write.mode("overwrite").parquet(s"$delta/ids")
+    // merged into the NEW event dir — the previous df is only read,
+    // never overwritten in place, so no lineage severing is needed
+    spark.read.parquet(state.dfPath)
       .unionByName(dfNew)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .localCheckpoint(true)
-    mergedDf.write.mode("overwrite").parquet(s"$dir/df")
+      .write.mode("overwrite").parquet(s"$delta/df")
     val n2 = n + nNew
     val sum2 = sumDl + sumNew
     spark.range(1)
       .select(lit(n2).as("n"), lit(sum2 / n2).as("avgdl"),
         lit(sum2).as("sum_dl"),
         lit(idCol).as("id_col"), lit(textCol).as("text_col"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$delta/stats")
+    commitDelta(spark, delta)
   }
 
-  private def readStats(spark: SparkSession, dir: String)
+  /** LEXICAL TAKEDOWN — retract documents from a [[buildPostings]]
+    * directory without rebuilding it (the postings twin of
+    * `retractFromVectorIndex`: a taken-down document must leave EVERY
+    * serving surface, and "until the next full rebuild" is not a
+    * compliance answer). Tombstone-based: the retracted ids land as a
+    * cumulative tombstone frame the serve paths anti-join (takedown
+    * lists are broadcast-small by construction), while df/n/avgdl are
+    * patched EXACTLY — the per-term df decrements and the removed
+    * token mass are computed from the index's own postings/ids (one
+    * postings scan + retraction-sized aggregations; the base postings
+    * files are never rewritten). Serving after a retraction is
+    * bit-equal to serving a fresh rebuild over the surviving corpus
+    * (oracle-bound): same N, same df, same avgdl, retracted docs
+    * unreachable. The event is one committed `delta-NNNN` directory —
+    * crash-safe and retryable like [[appendPostings]]. Ids already
+    * tombstoned (or never indexed) are skipped, so the stats are never
+    * double-subtracted; a no-op retraction writes nothing.
+    *
+    * @param retractIds frame carrying `idCol` (extra columns ignored)
+    * @return one audit row (n_index_before, n_retracted,
+    *         n_index_after, postings_suppressed, terms_dropped) */
+  def retractPostings(spark: SparkSession, dir: String,
+                      retractIds: DataFrame, idCol: String): DataFrame = {
+    val state = resolveIndex(spark, dir)
+    val st = readStatsRow(spark, state)
+    val (n, sumDl, ixIdCol, textCol) = (st.getAs[Long]("n"),
+      st.getAs[Double]("sum_dl"), st.getAs[String]("id_col"),
+      st.getAs[String]("text_col"))
+    val stored = effectiveIds(spark, state, ixIdCol)
+    val idType = stored.schema(ixIdCol).dataType
+    val rids = retractIds.where(col(idCol).isNotNull)
+      .select(col(idCol).cast(idType).as(ixIdCol)).distinct()
+      .localCheckpoint(true)
+    // only ids actually serving: never-indexed or already-tombstoned
+    // ids must not touch the stats
+    val present = stored.join(broadcast(rids), Seq(ixIdCol), "left_semi")
+      .localCheckpoint(true)
+    val nRemoved = present.count()
+    def audit(removed: Long, suppressed: Long, dropped: Long,
+              after: Long): DataFrame =
+      spark.range(1).select(lit(n).as("n_index_before"),
+        lit(removed).as("n_retracted"), lit(after).as("n_index_after"),
+        lit(suppressed).as("postings_suppressed"),
+        lit(dropped).as("terms_dropped"))
+    if (nRemoved == 0) return audit(0L, 0L, 0L, n)
+    require(n - nRemoved > 0,
+      "retractPostings: retraction empties the corpus — BM25 statistics " +
+        "are undefined over nothing; rebuild (or retire) the index instead")
+    val sumRemoved = present.agg(sum(col("dl")).as("s")).head().getDouble(0)
+    val gone = spark.read.parquet(state.postingsPaths: _*)
+      .join(broadcast(present.select(col(ixIdCol))), Seq(ixIdCol),
+        "left_semi")
+    // (id, term) is unique in the postings, so the per-term row count
+    // IS the df decrement
+    val dfDelta = gone.groupBy(col("term"))
+      .agg(count(lit(1)).as("__gone")).localCheckpoint(true)
+    val suppressed = dfDelta.agg(sum(col("__gone")).as("s")).head()
+      .getLong(0)
+    val dfOld = spark.read.parquet(state.dfPath)
+    val newDf = dfOld.join(dfDelta, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("__gone"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+      .localCheckpoint(true)
+    val termsDropped = dfOld.count() - newDf.count()
+    val prevTomb = state.tombstonesPath
+      .map(tp => spark.read.parquet(tp))
+      .getOrElse(present.select(col(ixIdCol)).limit(0))
+    val delta = nextDeltaDir(spark, dir)
+    newDf.write.mode("overwrite").parquet(s"$delta/df")
+    val n2 = n - nRemoved
+    val sum2 = sumDl - sumRemoved
+    spark.range(1)
+      .select(lit(n2).as("n"), lit(sum2 / n2).as("avgdl"),
+        lit(sum2).as("sum_dl"),
+        lit(ixIdCol).as("id_col"), lit(textCol).as("text_col"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$delta/stats")
+    prevTomb.unionByName(present.select(col(ixIdCol))).distinct()
+      .write.mode("overwrite").parquet(s"$delta/tombstones")
+    commitDelta(spark, delta)
+    audit(nRemoved, suppressed, termsDropped, n2)
+  }
+
+  private def readStats(spark: SparkSession, state: IndexState)
       : (Long, Double, String, String) = {
-    val st = spark.read.parquet(s"$dir/stats").head()
+    val st = readStatsRow(spark, state)
     (st.getAs[Long]("n"), st.getAs[Double]("avgdl"),
       st.getAs[String]("id_col"), st.getAs[String]("text_col"))
   }
@@ -299,17 +519,22 @@ object Search {
     * `termPushdownLimit`, the normal case for eval suites) it is
     * pushed into the postings scan as a term `isin` literal, so the
     * term-sorted shards prune to the row groups that can match.
-    * Bit-identical to [[bm25JoinTopK]] over the same corpus: the
-    * scoring tail is literally the same plan (spec-bound). */
+    * Retracted documents ([[retractPostings]]) are suppressed by one
+    * broadcast anti-join against the tombstone frame — and the stats
+    * they would have skewed were already patched at retraction time.
+    * Bit-identical to [[bm25JoinTopK]] over the same (surviving)
+    * corpus: the scoring tail is literally the same plan
+    * (spec-bound). */
   def bm25ServeJoinTopK(spark: SparkSession, dir: String,
                         queries: DataFrame, k: Int,
                         qIdCol: String = "qid", qTextCol: String = "text",
                         k1: Double = 1.2, b: Double = 0.75,
                         termPushdownLimit: Int = 8192): DataFrame = {
     require(k >= 1, s"bm25ServeJoinTopK: k must be >= 1, got $k")
-    val (n, avgdl, idCol, _) = readStats(spark, dir)
-    val dfreq = spark.read.parquet(s"$dir/df")
-    val raw = spark.read.parquet(s"$dir/postings")
+    val state = resolveIndex(spark, dir)
+    val (n, avgdl, idCol, _) = readStats(spark, state)
+    val dfreq = spark.read.parquet(state.dfPath)
+    val raw = spark.read.parquet(state.postingsPaths: _*)
     val batTerms = queries
       .select(explode(array_distinct(words(col(qTextCol)))).as("term"))
       .distinct().limit(termPushdownLimit + 1)
@@ -318,8 +543,14 @@ object Search {
       if (batTerms.size <= termPushdownLimit)
         raw.where(col("term").isin(batTerms: _*))
       else raw
+    val visible = state.tombstonesPath match {
+      case Some(tp) =>
+        pruned.join(broadcast(spark.read.parquet(tp)), Seq(idCol),
+          "left_anti")
+      case None => pruned
+    }
     joinTopKFrom(
-      pruned.select(col(idCol), col("term"), col("tf").as("__tf"),
+      visible.select(col(idCol), col("term"), col("tf").as("__tf"),
         col("dl").as("__dl")),
       dfreq, n, avgdl, queries, k, idCol, qIdCol, qTextCol, k1, b)
   }
@@ -330,19 +561,30 @@ object Search {
     * The stats describe the indexed corpus: gating the same corpus
     * equals [[bm25Gate]] bit-for-bit; gating a stream batch or a
     * different frame scores it against the indexed corpus's
-    * statistics, which is exactly what a frozen-profile gate means. */
+    * statistics, which is exactly what a frozen-profile gate means.
+    * After a [[retractPostings]], the stats are already
+    * takedown-adjusted, and if `docs` carries the index's id column
+    * the tombstoned rows are dropped too — a retracted document must
+    * not pass a lexical gate back into a corpus build. */
   def bm25ServeGate(spark: SparkSession, dir: String, docs: DataFrame,
                     query: String, minScore: Double,
                     textCol: String = "text",
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = normQuery(query, "bm25ServeGate")
-    val (n, avgdl, _, _) = readStats(spark, dir)
-    val dfByTerm = spark.read.parquet(s"$dir/df")
+    val state = resolveIndex(spark, dir)
+    val (n, avgdl, idCol, _) = readStats(spark, state)
+    val dfByTerm = spark.read.parquet(state.dfPath)
       .where(col("term").isin(qTerms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    docs.where(
+    val gated = docs.where(
       scalarScore(qTerms, dfByTerm, n, avgdl, textCol, k1, b)
         >= lit(minScore))
+    state.tombstonesPath match {
+      case Some(tp) if docs.columns.contains(idCol) =>
+        gated.join(broadcast(spark.read.parquet(tp)), Seq(idCol),
+          "left_anti")
+      case _ => gated
+    }
   }
 
   /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher, "Reciprocal
@@ -404,7 +646,12 @@ object Search {
     * corpus sides keyed so that `embs(cIdCol)` = `docs(idCol)`.
     * Real triage needs both signals: reordered overlap defeats
     * n-grams but not BM25; paraphrase defeats BM25 but not
-    * embeddings — the fusion surfaces what either signal saw. */
+    * embeddings — the fusion surfaces what either signal saw.
+    *
+    * This INLINE form re-pays the corpus tokenize/aggregate and a
+    * full embedding scan per battery — the one-shot shape. A standing
+    * triage deployment should build both indexes once and fuse over
+    * them: [[hybridRetrieveIndexed]]. */
   def hybridRetrieve(docs: DataFrame, embs: DataFrame, bench: DataFrame,
                      k: Int, kPerSignal: Int = 10, k0: Int = 60,
                      idCol: String = "doc_id", textCol: String = "text",
@@ -423,34 +670,86 @@ object Search {
     rrfFuse(Seq(lex, sem), k, k0)
   }
 
+  /** INDEXED HYBRID RETRIEVAL — the fusion a standing 100 TB triage
+    * deployment actually runs: both signals answer from their
+    * PERSISTED indexes, so a battery pays index-read cost, never a
+    * corpus aggregation or a full embedding scan. The lexical ranking
+    * is [[bm25ServeJoinTopK]] over a [[buildPostings]] directory
+    * (term-pruned postings read + one broadcast join); the semantic
+    * ranking is [[graft.llm.Similarity.ivfQueryIndex]] over a
+    * persisted IVF index (partition-pruned to the probed clusters,
+    * exact cosine re-rank); the two feed the same [[rrfFuse]] as the
+    * inline form. With `nProbe` covering every cluster the semantic
+    * ranking equals the brute-force scan exactly (probing is pruning,
+    * the re-rank is exact), so the inline composition's oracle binds
+    * this path too; production keeps `nProbe` small and pays the
+    * documented IVF recall trade. `bench` carries (`qIdCol`,
+    * `qTextCol`, `qVecCol`); the fused doc-id column follows the
+    * postings index's stored id column. */
+  def hybridRetrieveIndexed(spark: SparkSession, bm25Dir: String,
+                            annDir: String, bench: DataFrame, k: Int,
+                            kPerSignal: Int = 10, k0: Int = 60,
+                            nProbe: Int = 4,
+                            qIdCol: String = "qid",
+                            qTextCol: String = "text",
+                            qVecCol: String = "embedding"): DataFrame = {
+    val (_, _, idCol, _) = readStats(spark, resolveIndex(spark, bm25Dir))
+    val lex = bm25ServeJoinTopK(spark, bm25Dir,
+        bench.select(col(qIdCol), col(qTextCol)), kPerSignal,
+        qIdCol = qIdCol, qTextCol = qTextCol)
+      .select(col("qid"), col(idCol).as("doc_id"), col("rank"))
+    val sem = graft.llm.Similarity.ivfQueryIndex(spark, annDir,
+        bench.select(col(qIdCol), col(qVecCol)), kPerSignal,
+        nProbe = nProbe, qIdCol = qIdCol, vecCol = qVecCol)
+      .select(col("query_id").as("qid"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k, k0)
+  }
+
   /** Staleness-gated postings REBUILD — the lexical side of the
     * index-maintenance loop (`reindexIvfIfDrifted`'s shape: measure →
     * compare → conditionally rebuild → re-measure, one audit row
-    * out). The staleness signal is exact and cheap: the index's
-    * stored corpus size `n` stays in sync through
-    * [[appendPostings]], so relative drift
-    * `|corpus − n| / n` measures exactly the documents that changed
-    * UNDER the index (retractions, rewrites, bulk loads that bypassed
-    * the appender) — the populations whose df/avgdl the serving
-    * scores silently misprice. Above `staleFloor` the index rebuilds
-    * from the caller's corpus ([[buildPostings]] — postings term
-    * statistics cannot be patched under deletion, that IS the
-    * rebuild). Returns (n_index, n_corpus, drift, rebuilt,
-    * n_index_after) — the maintenance audit record. */
+    * out). The staleness signal measures exactly the documents that
+    * changed UNDER the index: the persisted membership frame (id,
+    * token length — written at build/append, tombstones excluded) is
+    * compared to the live corpus's by two anti-joins on the (id, dl)
+    * composite, so `drift = |corpus Δ index| / n` counts additions
+    * that bypassed the appender, untracked deletions, AND equal-count
+    * churn or in-place rewrites that shift a document's length —
+    * populations a bare row-count diff scores as zero drift while
+    * df/avgdl silently misprice. (A rewrite preserving the exact
+    * token count is the one blind spot; content hashing at build time
+    * would close it at the cost of hashing the corpus per check.)
+    * Above `staleFloor` the index rebuilds from the caller's corpus
+    * ([[buildPostings]] — postings term statistics cannot be patched
+    * under unknown deletion, that IS the rebuild), which also clears
+    * tombstones and compacts the delta log. Check cost: one map-only
+    * tokenize pass over the corpus + membership-frame anti-joins —
+    * maintenance-cadence work, never postings-sized. Returns
+    * (n_index, n_corpus, drift, rebuilt, n_index_after) — the
+    * maintenance audit record. */
   def rebuildPostingsIfStale(spark: SparkSession, dir: String,
                              corpus: DataFrame, staleFloor: Double = 0.2,
                              shards: Int = 32): DataFrame = {
     require(staleFloor > 0.0,
       s"rebuildPostingsIfStale: staleFloor must be > 0, got $staleFloor")
-    val st = spark.read.parquet(s"$dir/stats").head()
+    val state = resolveIndex(spark, dir)
+    val st = readStatsRow(spark, state)
     val (n, idCol, textCol) = (st.getAs[Long]("n"),
       st.getAs[String]("id_col"), st.getAs[String]("text_col"))
-    val nCorpus = corpus.count()
-    val drift =
-      math.rint(math.abs(nCorpus - n).toDouble / n * 1e6) / 1e6
+    val ixIds = effectiveIds(spark, state, idCol).localCheckpoint(true)
+    val corpusIds = corpus
+      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
+      .localCheckpoint(true)
+    val nCorpus = corpusIds.count()
+    val changed =
+      corpusIds.join(ixIds, Seq(idCol, "dl"), "left_anti").count() +
+        ixIds.join(corpusIds, Seq(idCol, "dl"), "left_anti").count()
+    val drift = math.rint(changed.toDouble / n * 1e6) / 1e6
     val stale = drift > staleFloor
     if (stale) buildPostings(corpus, dir, idCol, textCol, shards)
-    val nAfter = spark.read.parquet(s"$dir/stats").head().getAs[Long]("n")
+    val nAfter = readStatsRow(spark, resolveIndex(spark, dir))
+      .getAs[Long]("n")
     spark.range(1).select(lit(n).as("n_index"),
       lit(nCorpus).as("n_corpus"), lit(drift).as("drift"),
       lit(stale).as("rebuilt"), lit(nAfter).as("n_index_after"))

@@ -543,7 +543,9 @@ object ConfigLoader {
         graft.llm.LinkGraph.pageRank(df,
           iters = o.getOrElse("iters", "3").toInt,
           damping = o.getOrElse("damping", "0.85").toDouble,
-          orderedFold = o.getOrElse("orderedFold", "false").toBoolean)),
+          orderedFold = o.getOrElse("orderedFold", "false").toBoolean,
+          redistributeDangling =
+            o.getOrElse("redistributeDangling", "false").toBoolean)),
       // traced ranks: same recurrence, per-sweep trace persisted under
       // a committed generation of traceDir so pagerank_refresh can
       // later fold only the delta's reach
@@ -553,16 +555,34 @@ object ConfigLoader {
           traceDir = req(o, "traceDir"),
           damping = o.getOrElse("damping", "0.85").toDouble,
           orderedFold = o.getOrElse("orderedFold", "false").toBoolean)),
+      // traced TrustRank: the seed-base twin (seeds land as a parquet
+      // list like any vetted artifact); refreshes through the same
+      // pagerank_refresh kind — the generation remembers its mode
+      "trustrank_trace" -> (o => df =>
+        graft.llm.LinkGraph.trustRankTrace(df,
+          df.sparkSession.read.parquet(req(o, "seedsPath")),
+          iters = o.getOrElse("iters", "3").toInt,
+          traceDir = req(o, "traceDir"),
+          damping = o.getOrElse("damping", "0.85").toDouble,
+          orderedFold = o.getOrElse("orderedFold", "false").toBoolean)),
       // incremental refresh: the job's frame IS the edge-weight DELTA
       // (aggregate the transitions ledger's new buckets); recomputes
       // only the delta-reached frontier per sweep, chains a new trace
-      // generation, equals the full recompute exactly
+      // generation, equals the full recompute exactly. Works on either
+      // trace mode (pagerank/trustrank); deltas above the broadcast
+      // limit take the documented full-retrace fallback
       "pagerank_refresh" -> (o => df =>
         graft.llm.LinkGraph.pageRankRefresh(df.sparkSession,
-          req(o, "traceDir"), df)),
+          req(o, "traceDir"), df,
+          deltaBroadcastLimit =
+            o.getOrElse("deltaBroadcastLimit", "2000000").toLong)),
       // page -> host fold; the prefix/mod map is the synthetic bridge
       // onto the documents table's source domain (real deployments map
-      // page URLs to their registered domain upstream)
+      // page URLs to their registered domain upstream).
+      // BEHAVIOR CHANGE (round 14): the default accumulation flipped
+      // from the bit-exact ordered fold to the partial-agg sum (the
+      // scale-safe mode — never a per-host list). Configs that relied
+      // on byte-replayable priors must pass orderedFold: 'true'
       "host_prior" -> (o => df =>
         graft.llm.LinkGraph.hostPrior(df,
           concat(lit(o.getOrElse("hostPrefix", "src")),
@@ -603,22 +623,41 @@ object ConfigLoader {
       // hybrid contamination triage: the job's frame is the benchmark
       // carrying BOTH query representations (qid, text, embedding);
       // lexical bm25 top-k + semantic cosine top-k fused by
-      // reciprocal-rank (rank-only arithmetic — exact cross-engine)
+      // reciprocal-rank (rank-only arithmetic — exact cross-engine).
+      // With bm25IndexPath + annIndexPath set, BOTH signals answer
+      // from their persisted indexes instead (term-pruned postings
+      // read + partition-pruned IVF probe — the standing-deployment
+      // shape: per-battery cost never touches a corpus aggregation)
       "hybrid_retrieve" -> (o => df => {
         val s = df.sparkSession
-        graft.llm.Search.hybridRetrieve(
-          s.read.parquet(req(o, "docsPath")),
-          s.read.parquet(req(o, "embPath")), df,
-          k = o.getOrElse("k", "5").toInt,
-          kPerSignal = o.getOrElse("kPerSignal", "10").toInt,
-          k0 = o.getOrElse("k0", "60").toInt,
-          idCol = o.getOrElse("idCol", "doc_id"),
-          textCol = o.getOrElse("column", "text"),
-          qIdCol = o.getOrElse("qIdCol", "qid"),
-          qTextCol = o.getOrElse("qTextCol", "text"),
-          qVecCol = o.getOrElse("qVecCol", "embedding"),
-          cIdCol = o.getOrElse("cIdCol", "vec_id"),
-          vecCol = o.getOrElse("vecCol", "embedding"))
+        (o.get("bm25IndexPath"), o.get("annIndexPath")) match {
+          case (Some(bp), Some(ap)) =>
+            graft.llm.Search.hybridRetrieveIndexed(s, bp, ap, df,
+              k = o.getOrElse("k", "5").toInt,
+              kPerSignal = o.getOrElse("kPerSignal", "10").toInt,
+              k0 = o.getOrElse("k0", "60").toInt,
+              nProbe = o.getOrElse("nProbe", "4").toInt,
+              qIdCol = o.getOrElse("qIdCol", "qid"),
+              qTextCol = o.getOrElse("qTextCol", "text"),
+              qVecCol = o.getOrElse("qVecCol", "embedding"))
+          case (None, None) =>
+            graft.llm.Search.hybridRetrieve(
+              s.read.parquet(req(o, "docsPath")),
+              s.read.parquet(req(o, "embPath")), df,
+              k = o.getOrElse("k", "5").toInt,
+              kPerSignal = o.getOrElse("kPerSignal", "10").toInt,
+              k0 = o.getOrElse("k0", "60").toInt,
+              idCol = o.getOrElse("idCol", "doc_id"),
+              textCol = o.getOrElse("column", "text"),
+              qIdCol = o.getOrElse("qIdCol", "qid"),
+              qTextCol = o.getOrElse("qTextCol", "text"),
+              qVecCol = o.getOrElse("qVecCol", "embedding"),
+              cIdCol = o.getOrElse("cIdCol", "vec_id"),
+              vecCol = o.getOrElse("vecCol", "embedding"))
+          case _ => throw new Pipeline.ValidationException(
+            "hybrid_retrieve: bm25IndexPath and annIndexPath come as a " +
+              "pair — the fusion is either fully inline or fully indexed")
+        }
       }),
       "host_prior_gate" -> (o => df =>
         graft.llm.LinkGraph.priorGate(df,
@@ -1370,6 +1409,31 @@ object ConfigLoader {
           tag = o.getOrElse("tag", ""))
         () // ledger rewrites are eager; the report frame is advisory
       })),
+      // takedown over the persisted VECTOR indexes: the frame IS the
+      // retraction id list; scrubs assignments/codes across EVERY
+      // generation (a retired generation is a rollback target)
+      "retract_vector_index" ->
+        (o => Sinks.Write("retract_vector_index", df => {
+          graft.streaming.IndexIngest.retractFromVectorIndex(
+            df.sparkSession, req(o, "dir"), df, req(o, "idCol")).count()
+          () // ledger rewrites are eager; the report frame is advisory
+        })),
+      // takedown over the persisted BM25 postings index: the frame IS
+      // the retraction id list; tombstones the ids and patches
+      // df/n/avgdl exactly, so serving equals a rebuild over the
+      // surviving corpus without rewriting the postings
+      "retract_postings" -> (o => Sinks.Write("retract_postings", df => {
+        graft.llm.Search.retractPostings(df.sparkSession,
+          req(o, "dir"), df, req(o, "idCol")).count()
+        () // the audit row is advisory; the delta commit is eager
+      })),
+      // garbage-collect retired rank-trace generations (committed
+      // non-serving ones; uncommitted stragglers past the grace age)
+      "vacuum_rank_trace" -> (o => Sinks.Write("vacuum_rank_trace", df => {
+        graft.llm.LinkGraph.vacuumRankTrace(df.sparkSession,
+          req(o, "dir"))
+        ()
+      })),
       // takedown reversal: the frame IS the restore id list; matched
       // scrub-retracted rows re-enter the assignment verbatim and
       // re-queue their packs for the next refresh_shards
@@ -1930,6 +1994,9 @@ object ConfigLoader {
     "materialize_shards" -> Seq("dir", "assignmentDir"),
     "seed_curated_pack" -> Seq("dir"),
     "retract_pack" -> Seq("dir"),
+    "retract_vector_index" -> Seq("dir", "idCol"),
+    "retract_postings" -> Seq("dir", "idCol"),
+    "vacuum_rank_trace" -> Seq("dir"),
     "retract_contaminated" -> Seq("dir", "docsPath"),
     "refresh_shards" -> Seq("dir", "ledgerDir"),
     "unretract_pack" -> Seq("dir"),

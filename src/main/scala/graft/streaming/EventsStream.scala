@@ -321,7 +321,15 @@ object EventsStream {
     * cost therefore tracks batch size + redelivery horizon, never
     * ledger lifetime — without this the full-ledger re-read grows
     * quadratic over the stream's life. The bucket list is collected
-    * driver-side but bounded by the batch's id span / bucketSize. */
+    * driver-side but bounded by the batch's id span / bucketSize.
+    *
+    * LEGACY LEDGERS: a directory written by the pre-bucketing flat
+    * sink has no `__bucket` column; restarting over one detects that
+    * from the existing schema and keeps the FLAT layout for that
+    * directory (unpruned anti-join, plain appends) — mixing partition
+    * directories into a flat ledger would corrupt partition discovery,
+    * and a missing-column filter would kill the stream. Bucketed
+    * pruning applies to ledgers born under this sink. */
   def transitionsLedgerSink(hits: Dataset[TransitionHit], outDir: String,
                             bucketSize: Long = 10000000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -332,21 +340,30 @@ object EventsStream {
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         val outPath = new org.apache.hadoop.fs.Path(outDir)
-        val withBucket = batch.toDF().withColumn("__bucket",
-          floor(col("event_id") / lit(bucketSize)).cast("long"))
+        val exists = outPath.getFileSystem(conf).exists(outPath)
+        // schema probe, not a scan: parquet footer of the ledger
+        val legacyFlat = exists &&
+          !spark.read.parquet(outDir).columns.contains("__bucket")
+        val withBucket = (if (legacyFlat) batch.toDF()
+          else batch.toDF().withColumn("__bucket",
+            floor(col("event_id") / lit(bucketSize)).cast("long")))
           .localCheckpoint(true) // one pass over the batch source
-        val buckets = withBucket.select(col("__bucket")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
-            withBucket.join(spark.read.parquet(outDir)
-                .where(col("__bucket").isin(buckets: _*)) // dir pruning
-                .select(col("user_id"), col("event_id")).distinct(),
+        val fresh = (if (exists) {
+            val ledger = spark.read.parquet(outDir)
+            val pruned = if (legacyFlat) ledger else {
+              val buckets = withBucket.select(col("__bucket")).distinct()
+                .collect().map(_.getLong(0)).toSeq
+              ledger.where(col("__bucket").isin(buckets: _*)) // dir pruning
+            }
+            withBucket.join(
+              pruned.select(col("user_id"), col("event_id")).distinct(),
               Seq("user_id", "event_id"), "left_anti")
-          else withBucket)
+          } else withBucket)
           .localCheckpoint(true) // sever lineage from the ledger dir
-        if (!fresh.isEmpty)
-          fresh.write.mode("append").partitionBy("__bucket")
-            .parquet(outDir)
+        if (!fresh.isEmpty) {
+          val w = fresh.write.mode("append")
+          (if (legacyFlat) w else w.partitionBy("__bucket")).parquet(outDir)
+        }
       }.start()
   }
 

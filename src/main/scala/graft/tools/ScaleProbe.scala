@@ -727,6 +727,12 @@ object ScaleProbe {
         time(s"graph_rank_full x$k") {
           graft.llm.LinkGraph.pageRankTrace(synth, iters = 3, tdir).count()
         }
+        // an opsFilter of just graph_rank_refresh label-skips the full
+        // trace above — materialize it untimed so the refresh has a
+        // committed generation to chain from (the graph_edges fix)
+        if (opsFilter.nonEmpty &&
+            !opsFilter.exists(s"graph_rank_full x$k".contains))
+          graft.llm.LinkGraph.pageRankTrace(synth, iters = 3, tdir).count()
         val delta = spark.range(50).select(
           (col("id") % 100L).as("src"),
           ((col("id") * 3 + 1) % 100L).as("dst"),
@@ -762,6 +768,11 @@ object ScaleProbe {
           graft.llm.Search.buildPostings(corpus, ixDir)
           spark.read.parquet(s"$ixDir/postings").count()
         }
+        // serve/append need the index even when the build timer is
+        // label-skipped by the opsFilter — build untimed then
+        if (opsFilter.nonEmpty &&
+            !opsFilter.exists(s"bm25_build x$k".contains))
+          graft.llm.Search.buildPostings(corpus, ixDir)
         time(s"bm25_serve x$k") {
           val battery = docs.limit(8).select(col("doc_id").as("qid"),
             col("text"))

@@ -223,6 +223,113 @@ class LinkGraphSpec extends SparkSpec {
     assert(a.values.sum <= 1.0 + 1e-9)
   }
 
+  test("trustRankTrace + refresh: seed-base refresh equals the full recompute, chains, falls back") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trust_trace").toString
+    val e1 = (0L until 24L).map(i =>
+        (i % 12L, (i * 5 + 1) % 12L, (i % 3) + 1L))
+      .toDF("src", "dst", "weight")
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    val full0 = LinkGraph.trustRankTrace(e1, seeds, iters = 3, dir,
+      orderedFold = true)
+    assert(rowsOf(full0) ==
+      rowsOf(LinkGraph.trustRank(e1, seeds, iters = 3, orderedFold = true)))
+    // incremental path: weight bumps among existing nodes
+    val d1 = Seq((0L, 1L, 2L), (5L, 9L, 4L)).toDF("src", "dst", "weight")
+    val m1 = e1.unionByName(d1).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    assert(rowsOf(LinkGraph.pageRankRefresh(spark, dir, d1)) ==
+      rowsOf(LinkGraph.trustRank(m1, seeds, iters = 3, orderedFold = true)),
+      "trust refresh must equal the full seed-base recompute bit-for-bit")
+    // chains a second epoch on the refreshed generation
+    val d2 = Seq((3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val m2 = m1.unionByName(d2).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    assert(rowsOf(LinkGraph.pageRankRefresh(spark, dir, d2)) ==
+      rowsOf(LinkGraph.trustRank(m2, seeds, iters = 3, orderedFold = true)))
+    // a NEW node falls back to a full re-trace with the PERSISTED seeds
+    val d3 = Seq((11L, 99L, 1L)).toDF("src", "dst", "weight")
+    val m3 = m2.unionByName(d3).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    val refreshed3 = LinkGraph.pageRankRefresh(spark, dir, d3)
+    assert(rowsOf(refreshed3) ==
+      rowsOf(LinkGraph.trustRank(m3, seeds, iters = 3, orderedFold = true)))
+    assert(refreshed3.count() == 13L)
+  }
+
+  test("pageRankRefresh: an oversized delta takes the full-retrace fallback, still exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rank_gate").toString
+    val e1 = (0L until 24L).map(i =>
+        (i % 12L, (i * 5 + 1) % 12L, (i % 3) + 1L))
+      .toDF("src", "dst", "weight")
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    LinkGraph.pageRankTrace(e1, iters = 3, dir, orderedFold = true)
+    // 2 distinct delta keys > limit 1 — must route to the shuffle-merge
+    // + full-trace fallback and still equal the full recompute
+    val d1 = Seq((0L, 1L, 2L), (5L, 9L, 4L)).toDF("src", "dst", "weight")
+    val m1 = e1.unionByName(d1).groupBy(col("src"), col("dst"))
+      .agg(sum(col("weight")).as("weight"))
+    assert(rowsOf(LinkGraph.pageRankRefresh(spark, dir, d1,
+        deltaBroadcastLimit = 1)) ==
+      rowsOf(LinkGraph.pageRank(m1, iters = 3, orderedFold = true)))
+    // the fallback committed a new generation the next refresh chains on
+    val gens = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).sorted.toSeq
+    assert(gens == Seq("gen-0000", "gen-0001"))
+    intercept[IllegalArgumentException](
+      LinkGraph.pageRankRefresh(spark, dir, d1, deltaBroadcastLimit = 0))
+  }
+
+  test("vacuumRankTrace: young uncommitted generations survive the grace window") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rank_vacuum").toString
+    val e1 = Seq((0L, 1L, 1L), (1L, 0L, 1L)).toDF("src", "dst", "weight")
+    LinkGraph.pageRankTrace(e1, iters = 2, dir, orderedFold = true)
+    LinkGraph.pageRankRefresh(spark, dir,
+      Seq((0L, 1L, 1L)).toDF("src", "dst", "weight"))
+    // an in-flight refresh: uncommitted, freshly written
+    val inflight = new java.io.File(s"$dir/gen-0099/edges")
+    inflight.mkdirs()
+    val removed = LinkGraph.vacuumRankTrace(spark, dir)
+    // the retired committed gen goes; the serving and the young
+    // uncommitted straggler stay
+    assert(removed.size == 1 && removed.head.endsWith("gen-0000"))
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).sorted.toSeq
+    assert(left == Seq("gen-0001", "gen-0099"))
+    // past the grace the straggler is reclaimed
+    val removed2 = LinkGraph.vacuumRankTrace(spark, dir,
+      uncommittedGraceMs = 0L)
+    assert(removed2.size == 1 && removed2.head.endsWith("gen-0099"))
+  }
+
+  test("pageRank: dangling redistribution conserves mass; default leaks it") {
+    // a -> b, b -> c: c is a sink (no out-edges)
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L))
+      .toDF("src", "dst", "weight")
+    val leaky = LinkGraph.pageRank(edges, iters = 8, orderedFold = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(leaky.values.sum < 1.0 - 1e-3, "sink mass leaks by default")
+    val conserved = LinkGraph.pageRank(edges, iters = 8,
+        orderedFold = true, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(conserved.values.sum - 1.0) < 1e-9,
+      s"redistribution keeps the simplex: ${conserved.values.sum}")
+    // hand-check one sweep on the 3-node line from the uniform start:
+    // dm = rank(c) = 1/3; rank(a) = (1-d)/3 + d*(1/3)/3
+    val one = LinkGraph.pageRank(edges, iters = 1, orderedFold = true,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expA = (1.0 - 0.85) / 3 + 0.85 * ((1.0 / 3) / 3)
+    assert(one("a") === expA)
+    val expB = (1.0 - 0.85) / 3 + 0.85 * (1.0 / 3 + (1.0 / 3) / 3)
+    assert(one("b") === expB)
+  }
+
   test("spamMass: untrusted popularity flags; trusted hosts clear") {
     val priors = Seq(("h1", 0.4, 2L), ("h2", 0.4, 2L), ("h3", 0.2, 1L))
       .toDF("host", "prior", "n_pages")

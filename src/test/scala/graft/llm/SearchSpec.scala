@@ -148,7 +148,8 @@ class SearchSpec extends SparkSpec {
       .orderBy("qid", "rank").collect().map(_.toString).toSeq
     assert(appended === rebuilt)
     // the merged stats are the union's: n adds, avgdl from token mass
-    val st = spark.read.parquet(s"$dirA/stats").head()
+    // (the append landed them in its committed delta event)
+    val st = spark.read.parquet(s"$dirA/delta-0000/stats").head()
     assert(st.getAs[Long]("n") === 400L)
     val dl = docs.agg(sum(size(filter(split(trim(
         regexp_replace(lower(col("text")), "\\s+", " ")), " "),
@@ -227,6 +228,177 @@ class SearchSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Search.bm25Stats(corpus.where(lit(false)), "doc_id", "text"))
     assert(e.getMessage.contains("empty corpus"))
+  }
+
+  test("appendPostings: an uncommitted delta (crashed append) is invisible and the retry reclaims it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_crash").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+      .localCheckpoint(true)
+    Search.buildPostings(docs.where(col("doc_id") % 7 =!= 0), dir,
+      shards = 4)
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    val before = Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+      .collect().map(_.toString).toSeq
+    // simulate a crash mid-append: a delta dir with data but NO marker
+    val crashed = s"$dir/delta-0000"
+    spark.read.parquet(s"$dir/df").write.parquet(s"$crashed/df")
+    spark.read.parquet(s"$dir/stats")
+      .withColumn("n", lit(999999L)).write.parquet(s"$crashed/stats")
+    // serving ignores the uncommitted event entirely
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+      .collect().map(_.toString).toSeq === before)
+    // the retry reclaims the crashed directory and commits atomically
+    Search.appendPostings(spark, dir, docs.where(col("doc_id") % 7 === 0),
+      shards = 2)
+    assert(new java.io.File(s"$crashed/_graft_delta_committed").exists())
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_crash_fresh").toString
+    Search.buildPostings(docs, fresh, shards = 4)
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+        .orderBy("rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 5)
+        .orderBy("rank").collect().map(_.toString).toSeq)
+  }
+
+  test("retractPostings: serving after a takedown is bit-equal to a rebuild over the survivors") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_retract").toString
+    Search.buildPostings(docs, dir, shards = 4)
+    val optOut = docs.where(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val audit = Search.retractPostings(spark, dir, optOut, "doc_id").head()
+    val nAll = docs.count()
+    val nOut = optOut.count()
+    assert(audit.getAs[Long]("n_index_before") === nAll)
+    assert(audit.getAs[Long]("n_retracted") === nOut)
+    assert(audit.getAs[Long]("n_index_after") === nAll - nOut)
+    // tombstone-served ≡ rebuild-after-delete, row for row: same N,
+    // same df, same avgdl, retracted docs unreachable
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_retract_fresh").toString
+    Search.buildPostings(docs.where(col("doc_id") % 7 =!= 3), fresh,
+      shards = 4)
+    val bench = Seq((1L, "hash join merge"), (2L, "sort spill disk"))
+      .toDF("qid", "text")
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq)
+    // the serve gate drops tombstoned rows when the frame carries ids
+    val gatedIds = Search.bm25ServeGate(spark, dir, docs,
+        "hash join merge", 1e-9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds.forall(_ % 7 != 3) && gatedIds.nonEmpty)
+    // re-retracting the same ids is a no-op: stats never double-subtract
+    val again = Search.retractPostings(spark, dir, optOut, "doc_id").head()
+    assert(again.getAs[Long]("n_retracted") === 0L)
+    assert(again.getAs[Long]("n_index_after") === nAll - nOut)
+    // a tombstoned id cannot sneak back in through the appender
+    val e = intercept[IllegalArgumentException](
+      Search.appendPostings(spark, dir, docs.where(col("doc_id") % 7 === 3)))
+    assert(e.getMessage.contains("RETRACTED"))
+    // retracting everything is rejected, not a divide-by-zero
+    intercept[IllegalArgumentException](
+      Search.retractPostings(spark, dir,
+        docs.select(col("doc_id")), "doc_id"))
+  }
+
+  test("retractPostings: append after retraction and rebuild clearing tombstones") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ret_app").toString
+    Search.buildPostings(docs.where(col("doc_id") % 5 =!= 0), dir,
+      shards = 4)
+    Search.retractPostings(spark, dir,
+      docs.where(col("doc_id") % 5 === 1).select(col("doc_id")), "doc_id")
+    // append of genuinely-new docs composes on top of the retraction
+    Search.appendPostings(spark, dir, docs.where(col("doc_id") % 5 === 0),
+      shards = 2)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ret_app_fresh").toString
+    Search.buildPostings(docs.where(col("doc_id") % 5 =!= 1), fresh,
+      shards = 4)
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
+        .orderBy("rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 8)
+        .orderBy("rank").collect().map(_.toString).toSeq)
+    // a rebuild clears tombstones: the retracted ids serve again, and
+    // an append of a previously-tombstoned id is legal post-rebuild
+    Search.buildPostings(docs, dir, shards = 4)
+    Search.appendPostings(spark, dir,
+      Seq((900001L, "hash join merge")).toDF("doc_id", "text"))
+    val served = Search.bm25ServeJoinTopK(spark, dir, bench, k = 200)
+      .collect().map(_.getLong(2)).toSet
+    assert(served.exists(_ % 5 == 1), "rebuild must clear tombstones")
+  }
+
+  test("rebuildPostingsIfStale: equal-count churn and in-place rewrites are not drift-zero") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .localCheckpoint(true)
+    val n = docs.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_churn").toString
+    Search.buildPostings(docs, dir, shards = 4)
+    // equal-count churn: every doc_id % 10 == 4 replaced by a NEW doc
+    val m = docs.where(col("doc_id") % 10 === 4).count()
+    val churned = docs.where(col("doc_id") % 10 =!= 4)
+      .unionByName(docs.where(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    assert(churned.count() === n)
+    val audit = Search.rebuildPostingsIfStale(spark, dir, churned, 0.1)
+      .head()
+    // membership diff counts both directions: 2m changed documents
+    assert(audit.getAs[Long]("n_corpus") === n)
+    assert(audit.getAs[Double]("drift") ===
+      math.rint(2.0 * m / n * 1e6) / 1e6)
+    assert(audit.getAs[Boolean]("rebuilt"))
+    // in-place rewrite shifting token length: also visible drift
+    Search.buildPostings(docs, dir, shards = 4)
+    val rewritten = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 4,
+        concat(col("text"), lit(" extra tokens appended here")))
+        .otherwise(col("text")).as("text"))
+    val audit2 = Search.rebuildPostingsIfStale(spark, dir, rewritten, 0.1)
+      .head()
+    assert(audit2.getAs[Double]("drift") ===
+      math.rint(2.0 * m / n * 1e6) / 1e6)
+    assert(audit2.getAs[Boolean]("rebuilt"))
+  }
+
+  test("hybridRetrieveIndexed: full-probe indexed fusion equals the inline fusion") {
+    val fx = Seq(
+      (1L, "qqalpha qqbeta qqgamma w1 w2 w3 w4 w5", Seq(2f, 1f, 0f, 0f)),
+      (2L, "qqalpha qqbeta qqgamma qqalpha qqbeta qqgamma",
+        Seq(0f, 0f, 1f, 0f)),
+      (3L, "zzz yyy xxx", Seq(8f, 1f, 0f, 0f)),
+      (4L, "other words entirely", Seq(0f, 1f, 1f, 0f)),
+      (5L, "more unrelated text", Seq(1f, 2f, 2f, 0f))
+    ).toDF("doc_id", "text", "embedding")
+    val bench = Seq((100L, "qqalpha qqbeta qqgamma", Seq(1f, 0f, 0f, 0f)))
+      .toDF("qid", "text", "embedding")
+    val docs = fx.select(col("doc_id"), col("text"))
+    val embs = fx.select(col("doc_id").as("vec_id"), col("embedding"))
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("graft_hyb_bm25").toString
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_hyb_ann").toString
+    Search.buildPostings(docs, bmDir, shards = 2)
+    Similarity.buildIvfIndex(embs, annDir, nCentroids = 2)
+    val inline = Search.hybridRetrieve(docs, embs, bench, k = 5,
+      kPerSignal = 3).orderBy("rank").collect().map(_.toString).toSeq
+    // nProbe covering every cluster: probing is pruning, the re-rank is
+    // exact, so the indexed fusion must reproduce the inline one
+    val indexed = Search.hybridRetrieveIndexed(spark, bmDir, annDir,
+        bench, k = 5, kPerSignal = 3, nProbe = 2)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(indexed === inline)
+    assert(indexed.nonEmpty)
   }
 
   test("bm25Gate: threshold keeps exactly the scoring docs; composes as a gate") {
