@@ -1872,8 +1872,9 @@ class ConfigLoaderSpec extends SparkSpec {
     graft.sinks.Sinks.runChain(docs.where(col("doc_id") % 3 === 0), Seq(
       ConfigLoader.loadKinds("append_postings")(
         Map("path" -> s"$dir/ix"))))
-    assert(spark.read.parquet(s"$dir/ix/stats").head().getAs[Long]("n")
-      == docs.count())
+    // the append landed its post-event stats in a committed delta dir
+    assert(spark.read.parquet(s"$dir/ix/delta-0000/stats").head()
+      .getAs[Long]("n") == docs.count())
     // healthy maintenance pass appends a no-rebuild audit row
     graft.sinks.Sinks.runChain(docs, Seq(
       ConfigLoader.loadKinds("rebuild_postings_if_stale")(
@@ -1902,6 +1903,106 @@ class ConfigLoaderSpec extends SparkSpec {
     val viaLib = graft.llm.Search.hybridRetrieve(docs, embs, bench,
       k = 4, kPerSignal = 6)
     assert(rowsOf(viaKind) == rowsOf(viaLib) && viaKind.count() == 4)
+  }
+
+  test("hybrid_retrieve kind: indexed pair routes to the index fusion; half a pair rejects") {
+    import ConfigLoader.transformKinds
+    val work = Files.createTempDirectory("graft_hybrid_ix_kind").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    graft.llm.Search.buildPostings(docs, s"$work/bm25", shards = 4)
+    graft.llm.Similarity.buildIvfIndex(embs, s"$work/ann")
+    val bench = docs.where(col("doc_id") === 11L)
+      .select((col("doc_id") + 9000L).as("qid"), col("text"))
+      .join(embs.select((col("vec_id") + 9000L).as("qid"),
+        col("embedding")), Seq("qid"))
+    val viaKind = transformKinds("hybrid_retrieve")(
+      Map("bm25IndexPath" -> s"$work/bm25", "annIndexPath" -> s"$work/ann",
+        "k" -> "4", "kPerSignal" -> "6", "nProbe" -> "16"))(bench)
+    val viaLib = graft.llm.Search.hybridRetrieveIndexed(spark,
+      s"$work/bm25", s"$work/ann", bench, k = 4, kPerSignal = 6,
+      nProbe = 16)
+    assert(rowsOf(viaKind) == rowsOf(viaLib) && viaKind.count() == 4)
+    val e = intercept[Pipeline.ValidationException](
+      transformKinds("hybrid_retrieve")(
+        Map("bm25IndexPath" -> s"$work/bm25"))(bench).count())
+    assert(e.getMessage.contains("pair"))
+  }
+
+  test("retract_postings / retract_vector_index kinds scrub their stores") {
+    val work = Files.createTempDirectory("graft_retract_kinds").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    graft.llm.Search.buildPostings(docs, s"$work/bm25", shards = 4)
+    graft.llm.Similarity.buildIvfIndex(embs, s"$work/ann")
+    val optOut = docs.where(col("doc_id") % 9 === 2).select(col("doc_id"))
+    graft.sinks.Sinks.runChain(optOut, Seq(
+      ConfigLoader.loadKinds("retract_postings")(
+        Map("dir" -> s"$work/bm25", "idCol" -> "doc_id")),
+      ConfigLoader.loadKinds("retract_vector_index")(
+        Map("dir" -> s"$work/ann", "idCol" -> "doc_id"))))
+    // lexical: serving equals a rebuild over the survivors
+    val fresh = Files.createTempDirectory("graft_retract_kinds_f").toString
+    graft.llm.Search.buildPostings(docs.where(col("doc_id") % 9 =!= 2),
+      fresh, shards = 4)
+    import spark.implicits._
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    assert(graft.llm.Search.bm25ServeJoinTopK(spark, s"$work/bm25",
+        bench, 5).orderBy("rank").collect().map(_.toString).toSeq ==
+      graft.llm.Search.bm25ServeJoinTopK(spark, fresh, bench, 5)
+        .orderBy("rank").collect().map(_.toString).toSeq)
+    // vector: the scrubbed ids left the assignments ledger
+    val left = spark.read.parquet(s"$work/ann/assignments")
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    val out = optOut.collect().map(_.getLong(0)).toSet
+    assert(left.intersect(out).isEmpty && left.nonEmpty)
+  }
+
+  test("trustrank_trace kind traces; pagerank_refresh serves the trust generation; vacuum_rank_trace reclaims") {
+    import ConfigLoader.transformKinds
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_trust_kind").toString
+    val edges = (0L until 30L).map(i =>
+        (i % 10L, (i * 3 + 1) % 10L, (i % 2) + 1L))
+      .toDF("src", "dst", "weight")
+      .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    Seq(0L, 1L).toDF("node").write.parquet(s"$dir/seeds")
+    val seeds = spark.read.parquet(s"$dir/seeds")
+    val traced = transformKinds("trustrank_trace")(Map(
+      "traceDir" -> s"$dir/trace", "seedsPath" -> s"$dir/seeds",
+      "iters" -> "3", "orderedFold" -> "true"))(edges)
+    assert(rowsOf(traced) ==
+      rowsOf(graft.llm.LinkGraph.trustRank(edges, seeds, 3,
+        orderedFold = true)))
+    val delta = Seq((0L, 1L, 2L)).toDF("src", "dst", "weight")
+    val merged = edges.unionByName(delta)
+      .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    val refreshed = transformKinds("pagerank_refresh")(Map(
+      "traceDir" -> s"$dir/trace"))(delta)
+    assert(rowsOf(refreshed) ==
+      rowsOf(graft.llm.LinkGraph.trustRank(merged, seeds, 3,
+        orderedFold = true)))
+    graft.sinks.Sinks.runChain(delta, Seq(
+      ConfigLoader.loadKinds("vacuum_rank_trace")(
+        Map("dir" -> s"$dir/trace"))))
+    val gens = new java.io.File(s"$dir/trace").listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).toSeq
+    assert(gens == Seq("gen-0001"))
+  }
+
+  test("pagerank kind: redistributeDangling routes to the library option") {
+    import ConfigLoader.transformKinds
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L))
+      .toDF("src", "dst", "weight")
+    val viaKind = transformKinds("pagerank")(Map("iters" -> "4",
+      "orderedFold" -> "true", "redistributeDangling" -> "true"))(edges)
+    assert(rowsOf(viaKind) == rowsOf(graft.llm.LinkGraph.pageRank(edges,
+      4, orderedFold = true, redistributeDangling = true)))
+    val total = viaKind.agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
   }
 
   test("stream search kind 'bm25' routes; unknown search kind rejects") {

@@ -1977,6 +1977,44 @@ class StreamingSpec extends SparkSpec {
       hits.select("user_id", "event_id").distinct().count())
   }
 
+  test("transitionsLedgerSink: restart over a LEGACY flat ledger keeps the flat layout and dedups") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventsStream.PageEvent
+    val b1 = Seq(
+      PageEvent(1L, 100L, ts(0), 10L), PageEvent(1L, 101L, ts(5), 11L),
+      PageEvent(2L, 200L, ts(3), 20L))
+    val b2 = Seq(
+      PageEvent(1L, 102L, ts(20), 12L), PageEvent(2L, 201L, ts(8), 21L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_trans_legacy").toString + "/ledger"
+    // a ledger written by the pre-bucketing sink: flat files, no
+    // __bucket column — exactly what a restart finds on disk (batch
+    // 1's only hit is user 1's 10 -> 11 transition at event 101)
+    Seq(EventsStream.TransitionHit(1L, 101L, 10L, 11L)).toDF()
+      .write.parquet(dir)
+    assert(!spark.read.parquet(dir).columns.contains("__bucket"))
+    val mem = MemoryStream[PageEvent]
+    val q = EventsStream.transitionsLedgerSink(
+      EventsStream.transitionsStream(mem.toDS(), gapMinutes = 30), dir)
+    try {
+      // redelivery of batch 1 must anti-join the legacy rows (not
+      // crash on a missing __bucket filter), batch 2 appends flat
+      mem.addData((b1 ++ b2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // layout stayed flat: no partition directories were mixed in
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(_.getName)
+    assert(parts.isEmpty, s"partition dirs mixed into a flat ledger: ${parts.toSeq}")
+    assert(!spark.read.parquet(dir).columns.contains("__bucket"))
+    val streamed = EventsStream.finalizeTransitionsLedger(spark, dir)
+    val batch = graft.llm.LinkGraph.sessionTransitions(
+      (b1 ++ b2).toDF(), col("page"), gapMinutes = 30)
+    assert(rowsOf(streamed) == rowsOf(batch))
+    val hits = spark.read.parquet(dir)
+    assert(hits.count() ==
+      hits.select("user_id", "event_id").distinct().count())
+  }
+
   test("transitionsStream finalize ≡ batch on real events split mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     import EventsStream.PageEvent
