@@ -790,6 +790,51 @@ object ScaleProbe {
           spark.read.parquet(s"$ixDir/df").count()
         }
       }
+      // HYBRID RETRIEVAL split: a FIXED 4-query two-representation
+      // battery against the k×-growing corpus. The inline fusion
+      // re-pays the corpus tokenize/aggregate AND a full embedding
+      // scan per battery — it must track the scan. The indexed fusion
+      // answers from the persisted postings (term-pruned read) and an
+      // IVF whose cluster COUNT scales with the corpus (sizes stay
+      // bounded — the 100 TB regime), so its per-battery cost must
+      // stay ~flat; the builds pay the corpus once (tracked separately)
+      if (opsFilter.isEmpty || opsFilter.exists(f =>
+          Seq("hybrid_inline", "hybrid_build", "hybrid_indexed")
+            .exists(_.contains(f)))) {
+        val embK = replicateEmb(emb, k).localCheckpoint(true)
+        val bench = docs.limit(4)
+          .join(broadcast(emb.select(col("vec_id").as("doc_id"),
+            col("embedding"))), "doc_id")
+          .select((col("doc_id") + lit(900000000L)).as("qid"),
+            col("text"), col("embedding"))
+          .localCheckpoint(true)
+        time(s"hybrid_inline x$k") {
+          graft.llm.Search.hybridRetrieve(corpus, embK, bench,
+            k = 5, kPerSignal = 10).count()
+        }
+        val hdir = s"/tmp/graft_scaleprobe/hybrid_ix"
+        val hp = new org.apache.hadoop.fs.Path(hdir)
+        hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(hp, true)
+        time(s"hybrid_build x$k") {
+          graft.llm.Search.buildPostings(corpus, s"$hdir/bm25")
+          graft.llm.Similarity.buildIvfIndex(embK, s"$hdir/ann",
+            nCentroids = 16 * k)
+          spark.read.parquet(s"$hdir/bm25/df").count()
+        }
+        if (opsFilter.nonEmpty &&
+            !opsFilter.exists(s"hybrid_build x$k".contains)) {
+          graft.llm.Search.buildPostings(corpus, s"$hdir/bm25")
+          graft.llm.Similarity.buildIvfIndex(embK, s"$hdir/ann",
+            nCentroids = 16 * k)
+        }
+        time(s"hybrid_indexed x$k") {
+          graft.llm.Search.hybridRetrieveIndexed(spark, s"$hdir/bm25",
+            s"$hdir/ann", bench, k = 5, kPerSignal = 10,
+            nProbe = 4).count()
+        }
+        embK.unpersist()
+      }
       time(s"ablation_ladder x$k") {
         // map-only CASE + one rung-key exchange over a ≤4-row frame:
         // must track the token-count scan exactly

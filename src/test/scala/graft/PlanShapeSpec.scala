@@ -42,6 +42,7 @@ class PlanShapeSpec extends SparkSpec {
     "ablation_ladder", "ablation_ladder_stats",
     "bm25_topk", "bm25_decontaminate", "mix_split_grouped",
     "bm25_gate", "bm25_build_serve", "bm25_serve_gate",
+    "bm25_retract_serve",
     "dedup_rate_curve")
 
   /** BNLJ-allowlisted: k7_upsert crosses a ONE-ROW max-id aggregate
@@ -58,8 +59,10 @@ class PlanShapeSpec extends SparkSpec {
     "mix_phase_rates", "mix_phase_schedule",
     // the hybrid pair carries bruteForceTopK's broadcast query cross
     // (the exhaustive-baseline class); the fused tail itself is
-    // battery-bounded joins
-    "hybrid_retrieve", "hybrid_retrieve_planted")
+    // battery-bounded joins. The INDEXED twin crosses only the
+    // broadcast bounded-centroid frame (the IVF probe shape)
+    "hybrid_retrieve", "hybrid_retrieve_planted",
+    "hybrid_retrieve_indexed")
 
   test("gated product plans have no cartesian or nested-loop join") {
     noPairExplosion.foreach { n =>
@@ -109,6 +112,20 @@ class PlanShapeSpec extends SparkSpec {
       "graph_prior_gate: prior join is not broadcast")
     assert(!p.contains("SortMergeJoin"),
       "graph_prior_gate: corpus-side shuffle join entered the gate plan")
+  }
+
+  test("tombstone-served BM25 keeps the pruned scan and a broadcast anti-join") {
+    // the takedown must not cost the serve path its scale shape: the
+    // postings scan stays term-pruned (isin pushdown) and the
+    // tombstone suppression enters as a broadcast LeftAnti, never a
+    // shuffle join against the takedown list
+    val p = plan("bm25_retract_serve")
+    assert(p.contains("isin") || p.contains("PushedFilters"),
+      "bm25_retract_serve: postings scan lost its term pruning")
+    assert(p.contains("LeftAnti"),
+      "bm25_retract_serve: tombstone anti-join missing from the plan")
+    assert(p.contains("BroadcastHashJoin"),
+      "bm25_retract_serve: no broadcast join in the serve plan")
   }
 
   test("whole-stage codegen spans the hot aggregation path") {
