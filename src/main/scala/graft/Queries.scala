@@ -12776,6 +12776,36 @@ object Queries {
       corpusSql =
         "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3")))
 
+  /** POSTINGS COMPACTION served ([[graft.llm.Search.compactPostings]]
+    * — the lifecycle step between cheap appends/retractions and a
+    * full rebuild): build without every 7th doc, append it, retract
+    * every doc_id % 7 = 3, then COMPACT — the whole event log folds
+    * into one fresh committed generation (no corpus re-tokenize,
+    * tombstoned rows physically dropped, ANN-style atomic swap) — and
+    * the battery serves from the compacted index. Same oracle as the
+    * tombstone-served path: the replay over the surviving corpus is
+    * green only if compaction changed the LAYOUT and nothing else. */
+  private val bm25CompactServeQ = QueryDef("bm25_compact_serve", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_compact"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents")
+        graft.llm.Search.buildPostings(
+          docs.where(col("doc_id") % 7 =!= 0), dir)
+        graft.llm.Search.appendPostings(s, dir,
+          docs.where(col("doc_id") % 7 === 0))
+        graft.llm.Search.retractPostings(s, dir,
+          docs.where(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "doc_id")
+        graft.llm.Search.compactPostings(s, dir)
+        graft.llm.Search.bm25ServeJoinTopK(s, dir, bm25Bench(s), k = 3)
+          .orderBy(col("qid"), col("rank"))
+      }
+    }, Some(sqlBm25Battery(bm25BenchSql, 3,
+      corpusSql =
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3")))
+
   /** The lexical-takedown AUDIT row (same retraction as
     * `bm25_retract_serve`, run on its own directory): every count the
     * event reports — docs removed, postings suppressed, vocabulary
@@ -13218,6 +13248,7 @@ object Queries {
     bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
     bm25AppendServeQ, bm25RebuildPlantedQ, graphRefreshStreamQ,
     bm25RetractServeQ, bm25RetractAuditQ, bm25RebuildChurnPlantedQ,
+    bm25CompactServeQ,
     hybridRetrieveQ, hybridRetrieveIndexedQ, hybridRetrievePlantedQ,
     hybridDecontaminateQ,
     dedupRateCurveQ)

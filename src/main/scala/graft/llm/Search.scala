@@ -227,62 +227,77 @@ object Search {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Resolved read-view of a postings index directory. */
-  private case class IndexState(dir: String, postingsPaths: Seq[String],
+  /** Resolved read-view of a postings index directory. `root` is the
+    * serving base — `dir` itself for a never-compacted index, the
+    * latest committed `gen-NNNN` child after a [[compactPostings]]
+    * (the ANN-index generation convention: a compaction lands as a
+    * whole new base, marker last, and readers swap atomically). */
+  private case class IndexState(root: String, postingsPaths: Seq[String],
                                 idsPaths: Seq[String], dfPath: String,
                                 statsPath: String,
                                 tombstonesPath: Option[String])
 
-  /** Resolve the serving view: base files plus every COMMITTED
-    * `delta-NNNN` event (zero-padded names sort lexically =
-    * numerically). df/stats come from the latest committed event (each
-    * event persists the full post-event tables); tombstones from the
-    * latest event carrying them (retractions write the CUMULATIVE set;
-    * appends never shrink it). */
+  /** Resolve the serving view: serving root (latest committed
+    * generation, else the flat layout), its base files, plus every
+    * COMMITTED `delta-NNNN` event under it (zero-padded names sort
+    * lexically = numerically). df/stats come from the latest committed
+    * event (each event persists the full post-event tables);
+    * tombstones from the latest event carrying them (retractions write
+    * the CUMULATIVE set; appends never shrink it). */
   private def resolveIndex(spark: SparkSession, dir: String): IndexState = {
     val fs = fsOf(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val deltas =
-      if (fs.exists(p))
-        fs.listStatus(p)
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("delta-") &&
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit)))
-          .map(_.getPath).sortBy(_.getName).toSeq
-      else Seq.empty
+    def committedChildren(parent: String, prefix: String)
+        : Seq[org.apache.hadoop.fs.Path] = {
+      val p = new org.apache.hadoop.fs.Path(parent)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(prefix) &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit)))
+        .map(_.getPath).sortBy(_.getName).toSeq
+    }
+    val root = committedChildren(dir, "gen-").lastOption
+      .map(_.toString).getOrElse(dir)
+    val deltas = committedChildren(root, "delta-")
     def sub(parent: org.apache.hadoop.fs.Path, name: String)
         : Option[String] = {
       val sp = new org.apache.hadoop.fs.Path(parent, name)
       if (fs.exists(sp)) Some(sp.toString) else None
     }
-    IndexState(dir,
-      Seq(s"$dir/postings") ++ deltas.flatMap(d => sub(d, "postings")),
-      sub(p, "ids").toSeq ++ deltas.flatMap(d => sub(d, "ids")),
+    val rp = new org.apache.hadoop.fs.Path(root)
+    IndexState(root,
+      Seq(s"$root/postings") ++ deltas.flatMap(d => sub(d, "postings")),
+      sub(rp, "ids").toSeq ++ deltas.flatMap(d => sub(d, "ids")),
       deltas.reverse.flatMap(d => sub(d, "df")).headOption
-        .getOrElse(s"$dir/df"),
+        .getOrElse(s"$root/df"),
       deltas.reverse.flatMap(d => sub(d, "stats")).headOption
-        .getOrElse(s"$dir/stats"),
+        .getOrElse(s"$root/stats"),
       deltas.reverse.flatMap(d => sub(d, "tombstones")).headOption)
   }
 
-  /** Next event directory: uncommitted leftovers (a crashed writer —
-    * invisible to readers by construction) are reclaimed first, then
-    * the next number after the last committed event. Single-writer
-    * maintenance contract. */
-  private def nextDeltaDir(spark: SparkSession, dir: String): String = {
+  /** Next numbered child (`delta-NNNN` events, `gen-NNNN` compaction
+    * roots): uncommitted leftovers (a crashed writer — invisible to
+    * readers by construction) are reclaimed first, then the next
+    * number after the last committed one. Single-writer maintenance
+    * contract. */
+  private def nextNumbered(spark: SparkSession, dir: String,
+                           prefix: String): String = {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     var maxCommitted = -1
     if (fs.exists(p)) fs.listStatus(p)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta-"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .foreach { st =>
         if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit)))
           maxCommitted = math.max(maxCommitted,
-            st.getPath.getName.stripPrefix("delta-").toInt)
+            st.getPath.getName.stripPrefix(prefix).toInt)
         else fs.delete(st.getPath, true)
       }
-    f"$dir/delta-${maxCommitted + 1}%04d"
+    f"$dir/$prefix${maxCommitted + 1}%04d"
   }
+
+  private def nextDeltaDir(spark: SparkSession, dir: String): String =
+    nextNumbered(spark, dir, "delta-")
 
   private def commitDelta(spark: SparkSession, deltaDir: String): Unit = {
     val m = new org.apache.hadoop.fs.Path(deltaDir, DeltaCommit)
@@ -399,7 +414,7 @@ object Search {
       .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
       .localCheckpoint()
     val sumNew = newIds.agg(sum(col("dl")).as("s")).head().getDouble(0)
-    val delta = nextDeltaDir(spark, dir)
+    val delta = nextDeltaDir(spark, state.root)
     postingsOf(newDocs, idCol, textCol)
       .select(col(idCol), col("term"), col("__tf").as("tf"),
         col("__dl").as("dl"))
@@ -491,7 +506,7 @@ object Search {
     val prevTomb = state.tombstonesPath
       .map(tp => spark.read.parquet(tp))
       .getOrElse(present.select(col(ixIdCol)).limit(0))
-    val delta = nextDeltaDir(spark, dir)
+    val delta = nextDeltaDir(spark, state.root)
     newDf.write.mode("overwrite").parquet(s"$delta/df")
     val n2 = n - nRemoved
     val sum2 = sumDl - sumRemoved
@@ -504,6 +519,71 @@ object Search {
       .write.mode("overwrite").parquet(s"$delta/tombstones")
     commitDelta(spark, delta)
     audit(nRemoved, suppressed, termsDropped, n2)
+  }
+
+  /** COMPACT the maintenance event log — the lifecycle step between
+    * cheap appends/retractions and a full rebuild: a long history
+    * accumulates `delta-NNNN` directories whose postings files are
+    * batch-sized (correct but small — per-file open costs creep into
+    * every serve, the classic small-files drift at 100 TB), and
+    * tombstoned rows keep occupying the base files. Compaction folds
+    * the RESOLVED view into one fresh base WITHOUT re-tokenizing the
+    * corpus: one read of the live postings (tombstoned rows dropped),
+    * re-range-sharded and term-sorted; df/stats/ids are copied from
+    * the latest event (they are already exact). The new base lands as
+    * a committed `gen-NNNN` generation (data first, marker last — the
+    * ANN-index atomic swap), so readers either keep the old surface or
+    * see the complete new one; the retired surface is reclaimed AFTER
+    * the swap (a crash mid-cleanup leaves orphans the resolver
+    * ignores). Serving before and after is bit-identical (spec +
+    * oracle-bound); tombstones clear because their rows are physically
+    * gone. Same single-maintainer contract as the other writers.
+    *
+    * @return one audit row (n_docs, postings_rows, events_folded,
+    *         tombstones_cleared) */
+  def compactPostings(spark: SparkSession, dir: String,
+                      shards: Int = 32): DataFrame = {
+    require(shards >= 1, s"compactPostings: shards must be >= 1, got $shards")
+    val state = resolveIndex(spark, dir)
+    val st = readStatsRow(spark, state)
+    val ixIdCol = st.getAs[String]("id_col")
+    val postings = spark.read.parquet(state.postingsPaths: _*)
+    val live = state.tombstonesPath match {
+      case Some(tp) =>
+        postings.join(broadcast(spark.read.parquet(tp)), Seq(ixIdCol),
+          "left_anti")
+      case None => postings
+    }
+    val tombCount = state.tombstonesPath
+      .map(tp => spark.read.parquet(tp).count()).getOrElse(0L)
+    val eventsFolded = (state.postingsPaths.size - 1).toLong
+    val gen = nextNumbered(spark, dir, "gen-")
+    live.repartitionByRange(shards, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$gen/postings")
+    spark.read.parquet(state.dfPath)
+      .write.mode("overwrite").parquet(s"$gen/df")
+    effectiveIds(spark, state, ixIdCol)
+      .write.mode("overwrite").parquet(s"$gen/ids")
+    spark.read.parquet(state.statsPath)
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats")
+    commitDelta(spark, gen)
+    // reclaim the retired surface only AFTER the swap is visible
+    val fs = fsOf(spark, dir)
+    if (state.root == dir) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fs.listStatus(p)
+        .filter(stx => stx.getPath.getName.startsWith("delta-") ||
+          Seq("postings", "df", "stats", "ids")
+            .contains(stx.getPath.getName))
+        .foreach(stx => fs.delete(stx.getPath, true))
+    } else fs.delete(new org.apache.hadoop.fs.Path(state.root), true)
+    spark.range(1).select(
+      lit(st.getAs[Long]("n")).as("n_docs"),
+      lit(spark.read.parquet(s"$gen/postings").count())
+        .as("postings_rows"),
+      lit(eventsFolded).as("events_folded"),
+      lit(tombCount).as("tombstones_cleared"))
   }
 
   private def readStats(spark: SparkSession, state: IndexState)

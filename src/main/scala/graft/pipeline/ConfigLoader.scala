@@ -1427,6 +1427,15 @@ object ConfigLoader {
           req(o, "dir"), df, req(o, "idCol")).count()
         () // the audit row is advisory; the delta commit is eager
       })),
+      // fold the BM25 maintenance event log (appends + retraction
+      // tombstones) into one fresh committed generation — no corpus
+      // re-tokenize, serving bit-identical before/after
+      "compact_postings" -> (o => Sinks.Write("compact_postings", df => {
+        graft.llm.Search.compactPostings(df.sparkSession,
+          req(o, "path"),
+          shards = o.getOrElse("shards", "32").toInt).count()
+        () // the audit row is advisory; the generation swap is eager
+      })),
       // garbage-collect retired rank-trace generations (committed
       // non-serving ones; uncommitted stragglers past the grace age)
       "vacuum_rank_trace" -> (o => Sinks.Write("vacuum_rank_trace", df => {
@@ -1986,6 +1995,7 @@ object ConfigLoader {
     "partitioned" -> Seq("path"), "classifier_train" -> Seq("path"),
     "build_postings" -> Seq("path"), "append_postings" -> Seq("path"),
     "rebuild_postings_if_stale" -> Seq("path"),
+    "compact_postings" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),

@@ -336,6 +336,61 @@ class SearchSpec extends SparkSpec {
     assert(served.exists(_ % 5 == 1), "rebuild must clear tombstones")
   }
 
+  test("compactPostings: fold the event log into one generation; serving bit-identical; lifecycle continues") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_compact").toString
+    Search.buildPostings(docs.where(col("doc_id") % 7 > 1), dir, shards = 4)
+    Search.appendPostings(spark, dir, docs.where(col("doc_id") % 7 === 0),
+      shards = 2)
+    Search.appendPostings(spark, dir, docs.where(col("doc_id") % 7 === 1),
+      shards = 2)
+    Search.retractPostings(spark, dir,
+      docs.where(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+    val bench = Seq((1L, "hash join merge"), (2L, "sort spill disk"))
+      .toDF("qid", "text")
+    val before = Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    val audit = Search.compactPostings(spark, dir, shards = 4).head()
+    assert(audit.getAs[Long]("events_folded") === 2L) // two append batches
+    assert(audit.getAs[Long]("tombstones_cleared") ===
+      docs.where(col("doc_id") % 7 === 3).count())
+    // serving is bit-identical through the generation swap
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq === before)
+    // the retired surface is gone: one generation, no flat base, no deltas
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("gen-0000") && !names.contains("postings")
+      && !names.exists(_.startsWith("delta-")), names.toString)
+    assert(new java.io.File(s"$dir/gen-0000").listFiles()
+      .forall(!_.getName.startsWith("delta-")))
+    // tombstones physically cleared: the once-retracted ids may re-enter
+    Search.appendPostings(spark, dir,
+      docs.where(col("doc_id") % 7 === 3), shards = 2)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_compact_f").toString
+    Search.buildPostings(docs, fresh, shards = 4)
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq)
+    // a second compaction retires the first generation
+    Search.compactPostings(spark, dir, shards = 4)
+    val gens = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("gen-")).toSeq
+    assert(gens === Seq("gen-0001"))
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq)
+    // an UNCOMMITTED generation (crashed compaction) is invisible
+    val crashed = new java.io.File(s"$dir/gen-0099/postings")
+    crashed.mkdirs()
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
+      .orderBy("qid", "rank").collect().map(_.toString).nonEmpty)
+  }
+
   test("rebuildPostingsIfStale: equal-count churn and in-place rewrites are not drift-zero") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))

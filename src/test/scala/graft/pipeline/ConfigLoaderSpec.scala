@@ -1960,6 +1960,26 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(left.intersect(out).isEmpty && left.nonEmpty)
   }
 
+  test("compact_postings kind folds the event log; serving unchanged") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_compact_kind").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    graft.llm.Search.buildPostings(docs.where(col("doc_id") % 3 =!= 0),
+      s"$work/ix", shards = 2)
+    graft.llm.Search.appendPostings(spark,
+      s"$work/ix", docs.where(col("doc_id") % 3 === 0))
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    val before = graft.llm.Search.bm25ServeJoinTopK(spark, s"$work/ix",
+      bench, 5).orderBy("rank").collect().map(_.toString).toSeq
+    graft.sinks.Sinks.runChain(docs, Seq(
+      ConfigLoader.loadKinds("compact_postings")(
+        Map("path" -> s"$work/ix", "shards" -> "2"))))
+    assert(new java.io.File(s"$work/ix/gen-0000").exists)
+    assert(!new java.io.File(s"$work/ix/postings").exists)
+    assert(graft.llm.Search.bm25ServeJoinTopK(spark, s"$work/ix",
+      bench, 5).orderBy("rank").collect().map(_.toString).toSeq == before)
+  }
+
   test("trustrank_trace kind traces; pagerank_refresh serves the trust generation; vacuum_rank_trace reclaims") {
     import ConfigLoader.transformKinds
     import spark.implicits._
