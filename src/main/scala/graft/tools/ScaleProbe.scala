@@ -789,6 +789,12 @@ object ScaleProbe {
           graft.llm.Search.appendPostings(spark, ixDir, fresh)
           spark.read.parquet(s"$ixDir/df").count()
         }
+        // compaction folds the event log into one generation: ONE
+        // live-postings read + re-shard write, no tokenize — must
+        // track the index size and stay well under the build
+        time(s"bm25_compact x$k") {
+          graft.llm.Search.compactPostings(spark, ixDir).count()
+        }
       }
       // HYBRID RETRIEVAL split: a FIXED 4-query two-representation
       // battery against the k×-growing corpus. The inline fusion
