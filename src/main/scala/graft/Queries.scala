@@ -12974,6 +12974,69 @@ object Queries {
     },
     Some(sqlHybridRealTables))
 
+  /** STREAMED hybrid serving
+    * ([[graft.streaming.IndexIngest.hybridSearchStream]], the
+    * `search: {kind: hybrid}` stream config): both indexes are built
+    * once, then the two-representation benchmark arrives as two landed
+    * micro-batches (the second redelivering the first — the
+    * answer-exactly-once ledger absorbs it), each answered by the
+    * per-batch indexed fusion. Over frozen indexes the per-query
+    * fusion is row-independent, so the accumulated answer ledger
+    * equals the one-shot composition — bound to the SAME one-statement
+    * oracle as the batch twins (every cluster probed). */
+  private val hybridSearchStreamQ = QueryDef("hybrid_search_stream",
+    (s, d) => {
+      val dir = tmpDir(d, "hybrid_search_stream")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/incoming"))
+      graft.llm.Search.buildPostings(t(s, d, "documents"), s"$dir/bm25")
+      graft.llm.Similarity.buildIvfIndex(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        s"$dir/ann")
+      val bench = hybridBench(s, d)
+      bench.limit(1).write.parquet(s"$dir/schema")
+      def land(df: DataFrame, name: String): Unit = {
+        val tmp = s"$dir/land_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(s"$dir/incoming/$name"))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val yaml =
+        s"""jobs:
+           |  - name: hybrid_serving
+           |    stream:
+           |      source:
+           |        kind: parquet_stream
+           |        path: $dir/incoming
+           |        schemaFrom: $dir/schema
+           |      search:
+           |        kind: hybrid
+           |        bm25IndexDir: $dir/bm25
+           |        annIndexDir: $dir/ann
+           |        outDir: $dir/answers
+           |        k: '5'
+           |        kPerSignal: '10'
+           |        nProbe: '16'
+           |      availableNow: true
+           |""".stripMargin
+      val cfgPath = s"$dir/serving.yaml"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(cfgPath), yaml)
+      val stream = graft.pipeline.ConfigLoader
+        .parseStreamsYamlFile(cfgPath).head
+      land(bench.where(col("qid") <= 9011L), "b1.parquet")
+      graft.pipeline.ConfigLoader.runStreamOnce(s, stream)
+      land(bench, "b2.parquet") // batch 2 + full batch-1 redelivery
+      graft.pipeline.ConfigLoader.runStreamOnce(s, stream)
+      s.read.parquet(s"$dir/answers").orderBy(col("qid"), col("rank"))
+    },
+    Some(sqlHybridRealTables))
+
   /** HYBRID contamination triage — `bm25_decontaminate`'s benchmark
     * (three exact corpus copies + an 8-word prefix probe) re-run
     * through BOTH retrieval signals and fused: each benchmark row
@@ -13250,6 +13313,6 @@ object Queries {
     bm25RetractServeQ, bm25RetractAuditQ, bm25RebuildChurnPlantedQ,
     bm25CompactServeQ,
     hybridRetrieveQ, hybridRetrieveIndexedQ, hybridRetrievePlantedQ,
-    hybridDecontaminateQ,
+    hybridDecontaminateQ, hybridSearchStreamQ,
     dedupRateCurveQ)
 }

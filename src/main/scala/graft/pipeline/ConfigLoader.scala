@@ -1817,8 +1817,22 @@ object ConfigLoader {
           qIdCol = sx.getOrElse("idCol", "qid"),
           qTextCol = sx.getOrElse("textCol", "text"),
           curate = curate)
+        // continuous hybrid triage: both persisted indexes per batch,
+        // reciprocal-rank fused, answer-exactly-once ledger
+        case "hybrid" => graft.streaming.IndexIngest.hybridSearchStream(
+          src, req(sx, "bm25IndexDir"), req(sx, "annIndexDir"),
+          req(sx, "outDir"),
+          k = sx.getOrElse("k", "5").toInt,
+          kPerSignal = sx.getOrElse("kPerSignal", "10").toInt,
+          k0 = sx.getOrElse("k0", "60").toInt,
+          nProbe = sx.getOrElse("nProbe", "4").toInt,
+          qIdCol = sx.getOrElse("idCol", "qid"),
+          qTextCol = sx.getOrElse("textCol", "text"),
+          qVecCol = sx.getOrElse("vecCol", "embedding"),
+          curate = curate)
         case other => throw new Pipeline.ValidationException(
-          s"config: unknown stream search kind '$other' (known: ivf, bm25)")
+          s"config: unknown stream search kind '$other' " +
+            "(known: ivf, bm25, hybrid)")
       }
     }
     if (spec.index.nonEmpty) {

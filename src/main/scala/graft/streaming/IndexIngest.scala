@@ -434,6 +434,49 @@ object IndexIngest {
     }.start()
   }
 
+  /** SERVE a stream of TWO-REPRESENTATION queries against BOTH
+    * persisted indexes — continuous hybrid contamination triage, the
+    * streamed twin of [[graft.llm.Search.hybridRetrieveIndexed]]: per
+    * micro-batch the battery answers from the BM25 postings directory
+    * (term-pruned read + one broadcast join) and the IVF vector index
+    * (partition-pruned probe + exact re-rank), fused by reciprocal
+    * rank; the fused (qid, rank, doc id, signals, best_rank) rows
+    * land in `outDir` as a result ledger. Same answer-exactly-once
+    * contract as [[bm25SearchStream]]: redelivered/duplicate query
+    * ids anti-join out against the ledger's own qid column; null-id
+    * and in-batch duplicates drop up front. Over frozen indexes the
+    * per-query fusion is row-independent, so the accumulated ledger
+    * over any batch split EQUALS the one-shot indexed fusion of the
+    * union (oracle-bound). */
+  def hybridSearchStream(queries: DataFrame, bm25Dir: String,
+                         annDir: String, outDir: String, k: Int = 5,
+                         kPerSignal: Int = 10, k0: Int = 60,
+                         nProbe: Int = 4, qIdCol: String = "qid",
+                         qTextCol: String = "text",
+                         qVecCol: String = "embedding",
+                         curate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
+    require(queries.isStreaming,
+      "hybridSearchStream: expected a streaming frame")
+    queries.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
+      val spark = batch.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val base = curate(batch.toDF()).where(col(qIdCol).isNotNull)
+        .dropDuplicates(qIdCol)
+      val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
+          base.join(spark.read.parquet(outDir)
+              .select(col("qid").as("__graft_answered")).distinct(),
+            col(qIdCol) === col("__graft_answered"), "left_anti")
+        else base)
+        .localCheckpoint(true) // sever lineage from the answer ledger
+      if (!fresh.isEmpty)
+        graft.llm.Search.hybridRetrieveIndexed(spark, bm25Dir, annDir,
+            fresh, k, kPerSignal, k0, nProbe, qIdCol, qTextCol, qVecCol)
+          .write.mode("append").parquet(outDir)
+    }.start()
+  }
+
   /** Continuous PACKING — the streaming twin of
     * [[graft.llm.Packing.packSequencesAppend]], completing the
     * continuous trainer-format chain (crawl ingest → curation stages →
