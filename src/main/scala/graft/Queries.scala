@@ -7632,7 +7632,7 @@ object Queries {
         graft.pipeline.ConfigLoader.parseYamlFile(cfgPath),
         progress = _ => ())
       import s.implicits._
-      val lexN = s.read.parquet(s"$dir/bm25/delta-0000/stats").head()
+      val lexN = graft.llm.Search.servingStats(s, s"$dir/bm25").head()
         .getAs[Long]("n")
       val vecRows = s.read.parquet(s"$dir/ann/assignments").count()
       val packsDocs = s.read.parquet(s"$dir/out/data")
@@ -12781,10 +12781,14 @@ object Queries {
     * full rebuild): build without every 7th doc, append it, retract
     * every doc_id % 7 = 3, then COMPACT — the whole event log folds
     * into one fresh committed generation (no corpus re-tokenize,
-    * tombstoned rows physically dropped, ANN-style atomic swap) — and
-    * the battery serves from the compacted index. Same oracle as the
-    * tombstone-served path: the replay over the surviving corpus is
-    * green only if compaction changed the LAYOUT and nothing else. */
+    * tombstoned rows physically dropped, ANN-style atomic swap), a
+    * zero-grace [[graft.llm.Search.vacuumPostings]] reclaims the
+    * retired surfaces (compaction itself reclaims NOTHING — lock-free
+    * readers keep their files until the swap has soaked) — and the
+    * battery serves from the sole remaining generation. Same oracle
+    * as the tombstone-served path: the replay over the surviving
+    * corpus is green only if compaction + vacuum changed the LAYOUT
+    * and nothing else. */
   private val bm25CompactServeQ = QueryDef("bm25_compact_serve", {
       (s, d) => {
         val dir = "/tmp/graft_q_bm25_compact"
@@ -12799,6 +12803,7 @@ object Queries {
           docs.where(col("doc_id") % 7 === 3).select(col("doc_id")),
           "doc_id")
         graft.llm.Search.compactPostings(s, dir)
+        graft.llm.Search.vacuumPostings(s, dir, graceMs = 0L)
         graft.llm.Search.bm25ServeJoinTopK(s, dir, bm25Bench(s), k = 3)
           .orderBy(col("qid"), col("rank"))
       }
@@ -12970,6 +12975,36 @@ object Queries {
         s"$dir/ann")
       graft.llm.Search.hybridRetrieveIndexed(s, s"$dir/bm25", s"$dir/ann",
           hybridBench(s, d), k = 5, kPerSignal = 10, nProbe = 16)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(sqlHybridRealTables))
+
+  /** COMPRESSED-INDEX hybrid retrieval
+    * ([[graft.llm.Search.hybridRetrieveIndexed]] with
+    * `family = ivfpq` — the 100 TB semantic side): the vector signal
+    * answers from the IVF-PQ composite index (coarse partition-pruned
+    * probe over RESIDUAL PQ codes, ADC shortlist, exact cosine
+    * re-rank against the corpus embeddings) instead of full stored
+    * vectors. Probing every cluster AND a shortlist covering the
+    * probed population makes the ADC stage pure pruning — the
+    * shortlist contains every candidate regardless of codebook
+    * quality, and the exact re-rank then equals the brute-force scan
+    * — so the SAME one-statement inline-fusion oracle binds the whole
+    * compressed path: codebook fit, residual encode, ADC, re-rank,
+    * fusion. Production keeps nProbe/shortlist small and pays the
+    * documented recall trade (`ann_recall_audit` measures it). */
+  private val hybridRetrievePqQ = QueryDef("hybrid_retrieve_pq",
+    (s, d) => {
+      val dir = tmpDir(d, "hybrid_pq")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.llm.Search.buildPostings(t(s, d, "documents"), s"$dir/bm25")
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.llm.Similarity.buildIvfPqIndex(embs, s"$dir/ann")
+      graft.llm.Search.hybridRetrieveIndexed(s, s"$dir/bm25", s"$dir/ann",
+          hybridBench(s, d), k = 5, kPerSignal = 10, nProbe = 16,
+          family = "ivfpq", rerank = Some(embs), shortlist = 1 << 20)
         .orderBy(col("qid"), col("rank"))
     },
     Some(sqlHybridRealTables))
@@ -13313,6 +13348,7 @@ object Queries {
     bm25RetractServeQ, bm25RetractAuditQ, bm25RebuildChurnPlantedQ,
     bm25CompactServeQ,
     hybridRetrieveQ, hybridRetrieveIndexedQ, hybridRetrievePlantedQ,
+    hybridRetrievePqQ,
     hybridDecontaminateQ, hybridSearchStreamQ,
     dedupRateCurveQ)
 }

@@ -228,22 +228,40 @@ object Search {
       .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Resolved read-view of a postings index directory. `root` is the
-    * serving base — `dir` itself for a never-compacted index, the
-    * latest committed `gen-NNNN` child after a [[compactPostings]]
-    * (the ANN-index generation convention: a compaction lands as a
-    * whole new base, marker last, and readers swap atomically). */
+    * serving base — the latest committed `gen-NNNN` child
+    * ([[buildPostings]] and [[compactPostings]] both land one), `dir`
+    * itself only for a pre-generation legacy layout (the ANN-index
+    * generation convention: a new base lands whole, marker last, and
+    * readers swap atomically). Base membership (`baseIds`) is kept
+    * separate from the per-event `deltaIds` frames so a legacy base
+    * that never wrote `ids` can have its membership DERIVED from the
+    * base postings — folding the two into one list would let a single
+    * new-style append mask the entire base population (a retraction
+    * would then silently no-op for base docs: a compliance hole). */
   private case class IndexState(root: String, postingsPaths: Seq[String],
-                                idsPaths: Seq[String], dfPath: String,
+                                baseIds: Option[String],
+                                deltaIds: Seq[String], dfPath: String,
                                 statsPath: String,
                                 tombstonesPath: Option[String])
 
+  /** Numeric suffix of a `prefix-NNNN` child name — None for foreign
+    * directories, so a stray non-numeric name can neither crash the
+    * resolver nor be adopted as an event. Parsing (not lexical
+    * sorting) is what keeps ordering correct past the %04d padding:
+    * `delta-10000` must sort AFTER `delta-9999`, or readers silently
+    * adopt stale df/stats and an older tombstone set. */
+  private def numberedSuffix(name: String, prefix: String): Option[Int] = {
+    val s = name.stripPrefix(prefix)
+    if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toInt) else None
+  }
+
   /** Resolve the serving view: serving root (latest committed
-    * generation, else the flat layout), its base files, plus every
-    * COMMITTED `delta-NNNN` event under it (zero-padded names sort
-    * lexically = numerically). df/stats come from the latest committed
-    * event (each event persists the full post-event tables);
-    * tombstones from the latest event carrying them (retractions write
-    * the CUMULATIVE set; appends never shrink it). */
+    * generation, else the legacy flat layout), its base files, plus
+    * every COMMITTED `delta-NNNN` event under it, ordered by PARSED
+    * event number. df/stats come from the latest committed event
+    * (each event persists the full post-event tables); tombstones
+    * from the latest event carrying them (retractions write the
+    * CUMULATIVE set; appends never shrink it). */
   private def resolveIndex(spark: SparkSession, dir: String): IndexState = {
     val fs = fsOf(spark, dir)
     def committedChildren(parent: String, prefix: String)
@@ -252,9 +270,10 @@ object Search {
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p)
         .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(prefix) &&
+          numberedSuffix(st.getPath.getName, prefix).nonEmpty &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit)))
-        .map(_.getPath).sortBy(_.getName).toSeq
+        .sortBy(st => numberedSuffix(st.getPath.getName, prefix).get)
+        .map(_.getPath).toSeq
     }
     val root = committedChildren(dir, "gen-").lastOption
       .map(_.toString).getOrElse(dir)
@@ -267,13 +286,33 @@ object Search {
     val rp = new org.apache.hadoop.fs.Path(root)
     IndexState(root,
       Seq(s"$root/postings") ++ deltas.flatMap(d => sub(d, "postings")),
-      sub(rp, "ids").toSeq ++ deltas.flatMap(d => sub(d, "ids")),
+      sub(rp, "ids"),
+      deltas.flatMap(d => sub(d, "ids")),
       deltas.reverse.flatMap(d => sub(d, "df")).headOption
         .getOrElse(s"$root/df"),
       deltas.reverse.flatMap(d => sub(d, "stats")).headOption
         .getOrElse(s"$root/stats"),
       deltas.reverse.flatMap(d => sub(d, "tombstones")).headOption)
   }
+
+  /** The resolved serving root of a postings index — the latest
+    * committed generation's directory (`dir` itself for a legacy flat
+    * layout). Public for probes/audits that inspect the physical base
+    * files; serving goes through [[bm25ServeJoinTopK]]. */
+  def servingRoot(spark: SparkSession, dir: String): String =
+    resolveIndex(spark, dir).root
+
+  /** The resolved document-frequency table (term, df) — the latest
+    * committed event's, reflecting every append/retraction. */
+  def servingDf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(resolveIndex(spark, dir).dfPath)
+
+  /** The resolved one-row stats frame (n, avgdl, sum_dl, id_col,
+    * text_col) — the latest committed event's, exactly what the serve
+    * paths score with. The audit surface for takedown/maintenance
+    * checks (no layout path-poking). */
+  def servingStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(resolveIndex(spark, dir).statsPath)
 
   /** Next numbered child (`delta-NNNN` events, `gen-NNNN` compaction
     * roots): uncommitted leftovers (a crashed writer — invisible to
@@ -286,11 +325,12 @@ object Search {
     val p = new org.apache.hadoop.fs.Path(dir)
     var maxCommitted = -1
     if (fs.exists(p)) fs.listStatus(p)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => st.isDirectory &&
+        numberedSuffix(st.getPath.getName, prefix).nonEmpty)
       .foreach { st =>
         if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit)))
           maxCommitted = math.max(maxCommitted,
-            st.getPath.getName.stripPrefix(prefix).toInt)
+            numberedSuffix(st.getPath.getName, prefix).get)
         else fs.delete(st.getPath, true)
       }
     f"$dir/$prefix${maxCommitted + 1}%04d"
@@ -308,17 +348,25 @@ object Search {
     spark.read.parquet(state.statsPath).head()
 
   /** The (id, dl) membership frame of the index — one row per indexed,
-    * non-retracted document. From the persisted `ids` frames when
-    * present (build/append write them); derived from the postings for
-    * a pre-`ids` legacy directory. */
+    * non-retracted document. Base and delta memberships resolve
+    * SEPARATELY: the base from its persisted `ids` frame when present,
+    * else derived from the BASE postings alone (a pre-`ids` legacy
+    * build — deriving only when NO ids exist anywhere would let one
+    * new-style append's ids mask the whole base population, so a
+    * later retraction of a base doc would find it "absent", write no
+    * tombstone, and keep serving taken-down content); each delta
+    * event's `ids` union on top. Tombstones anti-join last. */
   private def effectiveIds(spark: SparkSession, state: IndexState,
                            idCol: String): DataFrame = {
-    val stored =
-      if (state.idsPaths.nonEmpty)
-        spark.read.parquet(state.idsPaths: _*)
-      else
-        spark.read.parquet(state.postingsPaths: _*)
+    val base = state.baseIds match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        spark.read.parquet(s"${state.root}/postings")
           .select(col(idCol), col("dl")).distinct()
+    }
+    val stored = state.deltaIds
+      .map(p => spark.read.parquet(p))
+      .foldLeft(base)(_ unionByName _)
     state.tombstonesPath match {
       case Some(tp) =>
         stored.join(broadcast(spark.read.parquet(tp)), Seq(idCol),
@@ -328,16 +376,22 @@ object Search {
   }
 
   /** Build-once half of the two-phase deployment: persist the corpus
-    * inverted index under `dir` (any previous index state — base,
-    * deltas, tombstones — is wiped: a build IS a new corpus
-    * generation) —
-    *  - `dir/postings` — (id, term, tf, dl), range-sharded on the term
+    * inverted index under `dir`. The build lands as a fresh COMMITTED
+    * `gen-NNNN` generation (data first, marker last — the same atomic
+    * swap as [[compactPostings]]): a crashed build is invisible and
+    * the previous generation keeps serving, never a window with no
+    * index at all. Committing a new generation retires every earlier
+    * one — base, deltas, tombstones: a build IS a new corpus
+    * generation — and the retired surface is reclaimed by a separate
+    * [[vacuumPostings]] (never inline, so lock-free readers that
+    * resolved the old state finish their scans). Generation layout:
+    *  - `gen/postings` — (id, term, tf, dl), range-sharded on the term
     *    key and term-sorted WITHIN each file so a term-filtered read
     *    prunes row groups via parquet min/max stats;
-    *  - `dir/df` — (term, df), the document-frequency table;
-    *  - `dir/ids` — (id, dl), the index's membership frame: what
+    *  - `gen/df` — (term, df), the document-frequency table;
+    *  - `gen/ids` — (id, dl), the index's membership frame: what
     *    [[rebuildPostingsIfStale]] compares against the live corpus;
-    *  - `dir/stats` — one row (n, avgdl, sum_dl, id_col, text_col):
+    *  - `gen/stats` — one row (n, avgdl, sum_dl, id_col, text_col):
     *    the scalar constants plus the column names the index was built
     *    over (so serving needs only the directory).
     * One tokenize+explode pass over the corpus at build time; every
@@ -356,20 +410,21 @@ object Search {
       .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
       .localCheckpoint()
     val sumDl = ids.agg(sum(col("dl")).as("s")).head().getDouble(0)
-    fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    val gen = nextNumbered(spark, dir, "gen-")
     postingsOf(docs, idCol, textCol)
       .select(col(idCol), col("term"), col("__tf").as("tf"),
         col("__dl").as("dl"))
       .repartitionByRange(shards, col("term"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    dfreq.write.mode("overwrite").parquet(s"$dir/df")
-    ids.write.mode("overwrite").parquet(s"$dir/ids")
+      .write.mode("overwrite").parquet(s"$gen/postings")
+    dfreq.write.mode("overwrite").parquet(s"$gen/df")
+    ids.write.mode("overwrite").parquet(s"$gen/ids")
     spark.range(1)
       .select(lit(n).as("n"), lit(avgdl).as("avgdl"),
         lit(sumDl).as("sum_dl"),
         lit(idCol).as("id_col"), lit(textCol).as("text_col"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats")
+    commitDelta(spark, gen)
   }
 
   /** Incrementally APPEND new documents to a [[buildPostings]]
@@ -533,9 +588,12 @@ object Search {
     * the latest event (they are already exact). The new base lands as
     * a committed `gen-NNNN` generation (data first, marker last — the
     * ANN-index atomic swap), so readers either keep the old surface or
-    * see the complete new one; the retired surface is reclaimed AFTER
-    * the swap (a crash mid-cleanup leaves orphans the resolver
-    * ignores). Serving before and after is bit-identical (spec +
+    * see the complete new one; the retired surface is NOT touched —
+    * serving is lock-free, so an in-flight reader that resolved the
+    * pre-compaction state must be able to finish its scans, and a
+    * separate [[vacuumPostings]] reclaims retired generations once
+    * the swap has soaked (the `vacuumRankTrace` grace-window
+    * convention). Serving before and after is bit-identical (spec +
     * oracle-bound); tombstones clear because their rows are physically
     * gone. Same single-maintainer contract as the other writers.
     *
@@ -568,22 +626,67 @@ object Search {
     spark.read.parquet(state.statsPath)
       .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats")
     commitDelta(spark, gen)
-    // reclaim the retired surface only AFTER the swap is visible
-    val fs = fsOf(spark, dir)
-    if (state.root == dir) {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      fs.listStatus(p)
-        .filter(stx => stx.getPath.getName.startsWith("delta-") ||
-          Seq("postings", "df", "stats", "ids")
-            .contains(stx.getPath.getName))
-        .foreach(stx => fs.delete(stx.getPath, true))
-    } else fs.delete(new org.apache.hadoop.fs.Path(state.root), true)
     spark.range(1).select(
       lit(st.getAs[Long]("n")).as("n_docs"),
       lit(spark.read.parquet(s"$gen/postings").count())
         .as("postings_rows"),
       lit(eventsFolded).as("events_folded"),
       lit(tombCount).as("tombstones_cleared"))
+  }
+
+  /** Garbage-collect RETIRED postings surfaces — the reclamation half
+    * that [[buildPostings]]/[[compactPostings]] deliberately do NOT
+    * perform (serving is lock-free; a reader that resolved the old
+    * state must finish its scans — the
+    * [[graft.llm.LinkGraph.vacuumRankTrace]] convention). Reclaims,
+    * under one `graceMs` window:
+    *  - retired COMMITTED generations (and a legacy flat base's data
+    *    dirs + flat-era deltas) — only once the SERVING generation's
+    *    commit is older than `graceMs`: "the swap has soaked", so any
+    *    reader that resolved the pre-swap state has long finished;
+    *  - UNCOMMITTED `gen-`/`delta-` stragglers — only once their own
+    *    newest modification time is older than `graceMs`: younger ones
+    *    may be a writer currently mid-build (single-maintainer covers
+    *    writers racing each other, not a vacuum racing the maintainer).
+    * A never-compacted legacy flat index has nothing retired — no-op.
+    * After a vacuum, rollback means rebuilding, not marker deletion —
+    * the [[graft.llm.Similarity.vacuumIndex]] trade, opted into
+    * explicitly. Returns the deleted paths. */
+  def vacuumPostings(spark: SparkSession, dir: String,
+                     graceMs: Long = 6L * 3600L * 1000L): Seq[String] = {
+    require(graceMs >= 0,
+      s"vacuumPostings: graceMs must be >= 0, got $graceMs")
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return Nil
+    val state = resolveIndex(spark, dir)
+    if (state.root == dir) return Nil // flat only — nothing retired
+    val servingName = new org.apache.hadoop.fs.Path(state.root).getName
+    val now = System.currentTimeMillis()
+    val soaked = now - fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(state.root, DeltaCommit))
+      .getModificationTime > graceMs
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      (st.getModificationTime +:
+        fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+    val flatData = Set("postings", "df", "stats", "ids", "tombstones")
+    val deleted = collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      val retired =
+        if (name == servingName || !st.isDirectory) false
+        else if (name.startsWith("gen-") || name.startsWith("delta-")) {
+          val committed = fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, DeltaCommit))
+          if (committed) soaked // retired by the serving gen's commit
+          else now - newestMtime(st) > graceMs // maybe mid-write
+        } else flatData.contains(name) && soaked // legacy flat base
+      if (retired) {
+        fs.delete(st.getPath, true)
+        deleted += st.getPath.toString
+      }
+    }
+    deleted.toSeq
   }
 
   private def readStats(spark: SparkSession, state: IndexState)
@@ -756,33 +859,62 @@ object Search {
     * corpus aggregation or a full embedding scan. The lexical ranking
     * is [[bm25ServeJoinTopK]] over a [[buildPostings]] directory
     * (term-pruned postings read + one broadcast join); the semantic
-    * ranking is [[graft.llm.Similarity.ivfQueryIndex]] over a
-    * persisted IVF index (partition-pruned to the probed clusters,
-    * exact cosine re-rank); the two feed the same [[rrfFuse]] as the
-    * inline form. With `nProbe` covering every cluster the semantic
-    * ranking equals the brute-force scan exactly (probing is pruning,
-    * the re-rank is exact), so the inline composition's oracle binds
-    * this path too; production keeps `nProbe` small and pays the
-    * documented IVF recall trade. `bench` carries (`qIdCol`,
-    * `qTextCol`, `qVecCol`); the fused doc-id column follows the
-    * postings index's stored id column. */
+    * ranking answers from the persisted vector index of the caller's
+    * `family` — `"ivf"` ([[graft.llm.Similarity.ivfQueryIndex]]:
+    * partition-pruned to the probed clusters, exact cosine re-rank)
+    * or `"ivfpq"` ([[graft.llm.Similarity.ivfPqQueryIndex]]: the same
+    * coarse pruning over RESIDUAL PQ codes — the 32×-compressed
+    * layout a 100 TB vector corpus actually fits in — with an ADC
+    * shortlist and exact re-rank against the caller's `rerank`
+    * frame, which must cover every indexed id); the two feed the same
+    * [[rrfFuse]] as the inline form. With `nProbe` covering every
+    * cluster the IVF ranking equals the brute-force scan exactly
+    * (probing is pruning, the re-rank is exact), so the inline
+    * composition's oracle binds that path; the IVF-PQ ranking is
+    * additionally shortlist-bounded — with `shortlist` covering the
+    * probed population the ADC stage is also pure pruning and the
+    * same oracle binds (the `ann_ivfpq_planted` pinning) — while
+    * production keeps `nProbe`/`shortlist` small and pays the
+    * documented recall trade. `bench` carries (`qIdCol`, `qTextCol`,
+    * `qVecCol`); the fused doc-id column follows the postings index's
+    * stored id column. */
   def hybridRetrieveIndexed(spark: SparkSession, bm25Dir: String,
                             annDir: String, bench: DataFrame, k: Int,
                             kPerSignal: Int = 10, k0: Int = 60,
                             nProbe: Int = 4,
                             qIdCol: String = "qid",
                             qTextCol: String = "text",
-                            qVecCol: String = "embedding"): DataFrame = {
+                            qVecCol: String = "embedding",
+                            family: String = "ivf",
+                            rerank: Option[DataFrame] = None,
+                            shortlist: Int = 50,
+                            cIdCol: String = "vec_id",
+                            cVecCol: String = "embedding"): DataFrame = {
+    require(Seq("ivf", "ivfpq").contains(family),
+      s"hybridRetrieveIndexed: family must be ivf|ivfpq, got '$family'")
     val (_, _, idCol, _) = readStats(spark, resolveIndex(spark, bm25Dir))
     val lex = bm25ServeJoinTopK(spark, bm25Dir,
         bench.select(col(qIdCol), col(qTextCol)), kPerSignal,
         qIdCol = qIdCol, qTextCol = qTextCol)
       .select(col("qid"), col(idCol).as("doc_id"), col("rank"))
-    val sem = graft.llm.Similarity.ivfQueryIndex(spark, annDir,
-        bench.select(col(qIdCol), col(qVecCol)), kPerSignal,
-        nProbe = nProbe, qIdCol = qIdCol, vecCol = qVecCol)
-      .select(col("query_id").as("qid"),
-        col("neighbor_id").as("doc_id"), col("rank"))
+    val semRaw = family match {
+      case "ivf" =>
+        graft.llm.Similarity.ivfQueryIndex(spark, annDir,
+          bench.select(col(qIdCol), col(qVecCol)), kPerSignal,
+          nProbe = nProbe, qIdCol = qIdCol, vecCol = qVecCol)
+      case "ivfpq" =>
+        val corpus = rerank.getOrElse(throw new IllegalArgumentException(
+          "hybridRetrieveIndexed: family 'ivfpq' needs a rerank frame — " +
+            "PQ codes store no vectors, the exact re-rank joins the " +
+            "caller's corpus embeddings (the pqQueryIndex contract)"))
+        graft.llm.Similarity.ivfPqQueryIndex(spark, annDir,
+          bench.select(col(qIdCol), col(qVecCol)),
+          corpus.select(col(cIdCol), col(cVecCol).as(qVecCol)),
+          kPerSignal, nProbe = nProbe, shortlist = shortlist,
+          qIdCol = qIdCol, cIdCol = cIdCol, vecCol = qVecCol)
+    }
+    val sem = semRaw.select(col("query_id").as("qid"),
+      col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, sem), k, k0)
   }
 

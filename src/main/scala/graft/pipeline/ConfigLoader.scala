@@ -626,8 +626,12 @@ object ConfigLoader {
       // reciprocal-rank (rank-only arithmetic — exact cross-engine).
       // With bm25IndexPath + annIndexPath set, BOTH signals answer
       // from their persisted indexes instead (term-pruned postings
-      // read + partition-pruned IVF probe — the standing-deployment
-      // shape: per-battery cost never touches a corpus aggregation)
+      // read + partition-pruned probe — the standing-deployment
+      // shape: per-battery cost never touches a corpus aggregation).
+      // family selects the vector index: ivf (default — exact cosine
+      // re-rank over full stored vectors) or ivfpq (residual ADC over
+      // the compressed codes — the 100 TB layout; needs rerankPath,
+      // the corpus embeddings the exact re-rank joins)
       "hybrid_retrieve" -> (o => df => {
         val s = df.sparkSession
         (o.get("bm25IndexPath"), o.get("annIndexPath")) match {
@@ -639,7 +643,12 @@ object ConfigLoader {
               nProbe = o.getOrElse("nProbe", "4").toInt,
               qIdCol = o.getOrElse("qIdCol", "qid"),
               qTextCol = o.getOrElse("qTextCol", "text"),
-              qVecCol = o.getOrElse("qVecCol", "embedding"))
+              qVecCol = o.getOrElse("qVecCol", "embedding"),
+              family = o.getOrElse("family", "ivf"),
+              rerank = o.get("rerankPath").map(s.read.parquet(_)),
+              shortlist = o.getOrElse("shortlist", "50").toInt,
+              cIdCol = o.getOrElse("cIdCol", "vec_id"),
+              cVecCol = o.getOrElse("vecCol", "embedding"))
           case (None, None) =>
             graft.llm.Search.hybridRetrieve(
               s.read.parquet(req(o, "docsPath")),
@@ -1436,6 +1445,17 @@ object ConfigLoader {
           shards = o.getOrElse("shards", "32").toInt).count()
         () // the audit row is advisory; the generation swap is eager
       })),
+      // garbage-collect retired postings surfaces (committed
+      // generations once the serving swap has soaked past the grace
+      // window; uncommitted stragglers past their own grace age) —
+      // the reclamation half build/compact deliberately defer
+      "vacuum_postings" -> (o => Sinks.Write("vacuum_postings", df => {
+        graft.llm.Search.vacuumPostings(df.sparkSession,
+          req(o, "path"),
+          graceMs = o.getOrElse("graceMs",
+            (6L * 3600L * 1000L).toString).toLong)
+        ()
+      })),
       // garbage-collect retired rank-trace generations (committed
       // non-serving ones; uncommitted stragglers past the grace age)
       "vacuum_rank_trace" -> (o => Sinks.Write("vacuum_rank_trace", df => {
@@ -1818,7 +1838,9 @@ object ConfigLoader {
           qTextCol = sx.getOrElse("textCol", "text"),
           curate = curate)
         // continuous hybrid triage: both persisted indexes per batch,
-        // reciprocal-rank fused, answer-exactly-once ledger
+        // reciprocal-rank fused, answer-exactly-once ledger. family
+        // picks the vector side: ivf (default) or ivfpq (compressed
+        // residual codes + exact re-rank from rerankPath)
         case "hybrid" => graft.streaming.IndexIngest.hybridSearchStream(
           src, req(sx, "bm25IndexDir"), req(sx, "annIndexDir"),
           req(sx, "outDir"),
@@ -1829,7 +1851,12 @@ object ConfigLoader {
           qIdCol = sx.getOrElse("idCol", "qid"),
           qTextCol = sx.getOrElse("textCol", "text"),
           qVecCol = sx.getOrElse("vecCol", "embedding"),
-          curate = curate)
+          curate = curate,
+          family = sx.getOrElse("family", "ivf"),
+          rerankPath = sx.get("rerankPath"),
+          shortlist = sx.getOrElse("shortlist", "50").toInt,
+          cIdCol = sx.getOrElse("cIdCol", "vec_id"),
+          cVecCol = sx.getOrElse("cVecCol", "embedding"))
         case other => throw new Pipeline.ValidationException(
           s"config: unknown stream search kind '$other' " +
             "(known: ivf, bm25, hybrid)")
@@ -2010,6 +2037,7 @@ object ConfigLoader {
     "build_postings" -> Seq("path"), "append_postings" -> Seq("path"),
     "rebuild_postings_if_stale" -> Seq("path"),
     "compact_postings" -> Seq("path"),
+    "vacuum_postings" -> Seq("path"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),

@@ -438,9 +438,11 @@ object IndexIngest {
     * persisted indexes — continuous hybrid contamination triage, the
     * streamed twin of [[graft.llm.Search.hybridRetrieveIndexed]]: per
     * micro-batch the battery answers from the BM25 postings directory
-    * (term-pruned read + one broadcast join) and the IVF vector index
-    * (partition-pruned probe + exact re-rank), fused by reciprocal
-    * rank; the fused (qid, rank, doc id, signals, best_rank) rows
+    * (term-pruned read + one broadcast join) and the vector index of
+    * the caller's `family` — IVF (partition-pruned probe + exact
+    * re-rank) or IVF-PQ (the compressed residual-code layout; exact
+    * re-rank joins the embeddings at `rerankPath`) — fused by
+    * reciprocal rank; the fused (qid, rank, doc id, signals, best_rank) rows
     * land in `outDir` as a result ledger. Same answer-exactly-once
     * contract as [[bm25SearchStream]]: redelivered/duplicate query
     * ids anti-join out against the ledger's own qid column; null-id
@@ -454,7 +456,12 @@ object IndexIngest {
                          nProbe: Int = 4, qIdCol: String = "qid",
                          qTextCol: String = "text",
                          qVecCol: String = "embedding",
-                         curate: DataFrame => DataFrame = identity)
+                         curate: DataFrame => DataFrame = identity,
+                         family: String = "ivf",
+                         rerankPath: Option[String] = None,
+                         shortlist: Int = 50,
+                         cIdCol: String = "vec_id",
+                         cVecCol: String = "embedding")
       : StreamingQuery = {
     require(queries.isStreaming,
       "hybridSearchStream: expected a streaming frame")
@@ -472,7 +479,10 @@ object IndexIngest {
         .localCheckpoint(true) // sever lineage from the answer ledger
       if (!fresh.isEmpty)
         graft.llm.Search.hybridRetrieveIndexed(spark, bm25Dir, annDir,
-            fresh, k, kPerSignal, k0, nProbe, qIdCol, qTextCol, qVecCol)
+            fresh, k, kPerSignal, k0, nProbe, qIdCol, qTextCol, qVecCol,
+            family = family,
+            rerank = rerankPath.map(spark.read.parquet(_)),
+            shortlist = shortlist, cIdCol = cIdCol, cVecCol = cVecCol)
           .write.mode("append").parquet(outDir)
     }.start()
   }

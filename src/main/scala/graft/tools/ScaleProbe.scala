@@ -766,7 +766,9 @@ object ScaleProbe {
           .delete(ixp, true)
         time(s"bm25_build x$k") {
           graft.llm.Search.buildPostings(corpus, ixDir)
-          spark.read.parquet(s"$ixDir/postings").count()
+          spark.read.parquet(
+            s"${graft.llm.Search.servingRoot(spark, ixDir)}/postings")
+            .count()
         }
         // serve/append need the index even when the build timer is
         // label-skipped by the opsFilter — build untimed then
@@ -787,7 +789,7 @@ object ScaleProbe {
           val fresh = docs.limit(200).select(
             (col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
           graft.llm.Search.appendPostings(spark, ixDir, fresh)
-          spark.read.parquet(s"$ixDir/df").count()
+          graft.llm.Search.servingDf(spark, ixDir).count()
         }
         // compaction folds the event log into one generation: ONE
         // live-postings read + re-shard write, no tokenize — must
@@ -826,7 +828,7 @@ object ScaleProbe {
           graft.llm.Search.buildPostings(corpus, s"$hdir/bm25")
           graft.llm.Similarity.buildIvfIndex(embK, s"$hdir/ann",
             nCentroids = 16 * k)
-          spark.read.parquet(s"$hdir/bm25/df").count()
+          graft.llm.Search.servingDf(spark, s"$hdir/bm25").count()
         }
         if (opsFilter.nonEmpty &&
             !opsFilter.exists(s"hybrid_build x$k".contains)) {

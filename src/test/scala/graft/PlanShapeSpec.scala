@@ -60,9 +60,11 @@ class PlanShapeSpec extends SparkSpec {
     // the hybrid pair carries bruteForceTopK's broadcast query cross
     // (the exhaustive-baseline class); the fused tail itself is
     // battery-bounded joins. The INDEXED twin crosses only the
-    // broadcast bounded-centroid frame (the IVF probe shape)
+    // broadcast bounded-centroid frame (the IVF probe shape); the
+    // ivfpq twin additionally crosses the broadcast codebook-bounded
+    // centroid frame for the residual probe — same bounded class
     "hybrid_retrieve", "hybrid_retrieve_planted",
-    "hybrid_retrieve_indexed")
+    "hybrid_retrieve_indexed", "hybrid_retrieve_pq")
 
   test("gated product plans have no cartesian or nested-loop join") {
     noPairExplosion.foreach { n =>

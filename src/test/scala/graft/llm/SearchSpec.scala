@@ -148,8 +148,9 @@ class SearchSpec extends SparkSpec {
       .orderBy("qid", "rank").collect().map(_.toString).toSeq
     assert(appended === rebuilt)
     // the merged stats are the union's: n adds, avgdl from token mass
-    // (the append landed them in its committed delta event)
-    val st = spark.read.parquet(s"$dirA/delta-0000/stats").head()
+    // (the append landed them in its committed delta event, under the
+    // build's committed generation)
+    val st = spark.read.parquet(s"$dirA/gen-0000/delta-0000/stats").head()
     assert(st.getAs[Long]("n") === 400L)
     val dl = docs.agg(sum(size(filter(split(trim(
         regexp_replace(lower(col("text")), "\\s+", " ")), " "),
@@ -240,10 +241,13 @@ class SearchSpec extends SparkSpec {
     val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
     val before = Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
       .collect().map(_.toString).toSeq
-    // simulate a crash mid-append: a delta dir with data but NO marker
-    val crashed = s"$dir/delta-0000"
-    spark.read.parquet(s"$dir/df").write.parquet(s"$crashed/df")
-    spark.read.parquet(s"$dir/stats")
+    // simulate a crash mid-append: a delta dir with data but NO
+    // marker, under the serving generation (the build committed it
+    // as gen-0000)
+    val root = s"$dir/gen-0000"
+    val crashed = s"$root/delta-0000"
+    spark.read.parquet(s"$root/df").write.parquet(s"$crashed/df")
+    spark.read.parquet(s"$root/stats")
       .withColumn("n", lit(999999L)).write.parquet(s"$crashed/stats")
     // serving ignores the uncommitted event entirely
     assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
@@ -359,11 +363,25 @@ class SearchSpec extends SparkSpec {
     // serving is bit-identical through the generation swap
     assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
       .orderBy("qid", "rank").collect().map(_.toString).toSeq === before)
-    // the retired surface is gone: one generation, no flat base, no deltas
+    // compaction does NOT reclaim: a reader that resolved the
+    // pre-compaction state keeps its files (lock-free serving); the
+    // retired build generation and its deltas are still on disk
+    val namesPre = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(namesPre.contains("gen-0000") && namesPre.contains("gen-0001"),
+      namesPre.toString)
+    // a young retired surface survives a graceful vacuum (the swap
+    // has not soaked) ...
+    assert(Search.vacuumPostings(spark, dir).isEmpty)
+    assert(new java.io.File(s"$dir/gen-0000").exists())
+    // ... and a zero-grace vacuum reclaims it: one generation left,
+    // no flat base, no deltas
+    val removed = Search.vacuumPostings(spark, dir, graceMs = 0L)
+    assert(removed.exists(_.endsWith("gen-0000")), removed.toString)
     val names = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(names.contains("gen-0000") && !names.contains("postings")
+    assert(names.contains("gen-0001") && !names.contains("gen-0000")
+      && !names.contains("postings")
       && !names.exists(_.startsWith("delta-")), names.toString)
-    assert(new java.io.File(s"$dir/gen-0000").listFiles()
+    assert(new java.io.File(s"$dir/gen-0001").listFiles()
       .forall(!_.getName.startsWith("delta-")))
     // tombstones physically cleared: the once-retracted ids may re-enter
     Search.appendPostings(spark, dir,
@@ -375,20 +393,28 @@ class SearchSpec extends SparkSpec {
         .orderBy("qid", "rank").collect().map(_.toString).toSeq ===
       Search.bm25ServeJoinTopK(spark, fresh, bench, k = 8)
         .orderBy("qid", "rank").collect().map(_.toString).toSeq)
-    // a second compaction retires the first generation
+    // a second compaction + zero-grace vacuum retires the first gen
     Search.compactPostings(spark, dir, shards = 4)
+    Search.vacuumPostings(spark, dir, graceMs = 0L)
     val gens = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.startsWith("gen-")).toSeq
-    assert(gens === Seq("gen-0001"))
+    assert(gens === Seq("gen-0002"))
     assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
         .orderBy("qid", "rank").collect().map(_.toString).toSeq ===
       Search.bm25ServeJoinTopK(spark, fresh, bench, k = 8)
         .orderBy("qid", "rank").collect().map(_.toString).toSeq)
-    // an UNCOMMITTED generation (crashed compaction) is invisible
+    // an UNCOMMITTED generation (crashed compaction) is invisible to
+    // serving, survives a graceful vacuum (could be a writer
+    // mid-build), and a zero-grace vacuum reclaims the straggler
     val crashed = new java.io.File(s"$dir/gen-0099/postings")
     crashed.mkdirs()
     assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 8)
       .orderBy("qid", "rank").collect().map(_.toString).nonEmpty)
+    assert(Search.vacuumPostings(spark, dir).isEmpty)
+    assert(new java.io.File(s"$dir/gen-0099").exists())
+    assert(Search.vacuumPostings(spark, dir, graceMs = 0L)
+      .exists(_.endsWith("gen-0099")))
+    assert(!new java.io.File(s"$dir/gen-0099").exists())
   }
 
   test("rebuildPostingsIfStale: equal-count churn and in-place rewrites are not drift-zero") {
@@ -454,6 +480,176 @@ class SearchSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.toString).toSeq
     assert(indexed === inline)
     assert(indexed.nonEmpty)
+  }
+
+  test("legacy flat base without ids: append then retract still covers BASE membership") {
+    // zero-token docs write no postings rows, so a legacy base (no
+    // persisted ids) cannot carry them — keep the fixture tokenful
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .limit(200)
+      .localCheckpoint(true)
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_bm25_legacy_src").toString
+    Search.buildPostings(base, staging, shards = 2)
+    // reconstruct the pre-`ids`, pre-generation legacy layout: flat
+    // postings/df/stats at the root, NO ids frame, no gen dirs
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_bm25_legacy").toString
+    val src = Search.servingRoot(spark, staging)
+    spark.read.parquet(s"$src/postings").write.parquet(s"$legacy/postings")
+    spark.read.parquet(s"$src/df").write.parquet(s"$legacy/df")
+    spark.read.parquet(s"$src/stats").coalesce(1)
+      .write.parquet(s"$legacy/stats")
+    // a NEW-STYLE append lands a delta WITH ids — base membership must
+    // not be masked by it (deriving ids only when none exist anywhere
+    // would skip the legacy-base derivation here)
+    Search.appendPostings(spark, legacy, docs.where(col("doc_id") % 3 === 0),
+      shards = 2)
+    // retract BASE docs: they must register as present (tombstone
+    // written, stats patched), not silently no-op
+    val optOut = base.where(col("doc_id") % 5 === 2).select(col("doc_id"))
+    val audit = Search.retractPostings(spark, legacy, optOut, "doc_id")
+      .head()
+    assert(audit.getAs[Long]("n_retracted") === optOut.count())
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_legacy_f").toString
+    Search.buildPostings(
+      docs.where(col("doc_id") % 3 === 0 || col("doc_id") % 5 =!= 2),
+      fresh, shards = 2)
+    val bench = Seq((1L, "hash join merge"), (2L, "sort spill disk"))
+      .toDF("qid", "text")
+    assert(Search.bm25ServeJoinTopK(spark, legacy, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 8)
+        .orderBy("qid", "rank").collect().map(_.toString).toSeq)
+    // staleness over the same membership view reads zero drift against
+    // the true corpus (base ∪ appended minus retracted) — the legacy
+    // base population is not reported as churn
+    val live = docs.where(col("doc_id") % 3 === 0 || col("doc_id") % 5 =!= 2)
+    val stale = Search.rebuildPostingsIfStale(spark, legacy, live, 0.9)
+      .head()
+    assert(stale.getAs[Double]("drift") === 0.0
+      && !stale.getAs[Boolean]("rebuilt"), stale.toString)
+  }
+
+  test("resolveIndex orders events numerically past the %04d padding") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(150)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ord").toString
+    Search.buildPostings(docs.where(col("doc_id") % 3 === 0), dir,
+      shards = 2)
+    Search.appendPostings(spark, dir, docs.where(col("doc_id") % 3 === 1),
+      shards = 2)
+    // age the event past the padding: delta-0000 → delta-9999, so the
+    // NEXT event is delta-10000 — lexically SMALLER than delta-9999,
+    // numerically larger. Readers must adopt the numeric latest.
+    val root = s"$dir/gen-0000"
+    assert(new java.io.File(s"$root/delta-0000")
+      .renameTo(new java.io.File(s"$root/delta-9999")))
+    Search.appendPostings(spark, dir, docs.where(col("doc_id") % 3 === 2),
+      shards = 2)
+    assert(new java.io.File(s"$root/delta-10000").exists())
+    // stats resolve from delta-10000 (the numeric latest): full corpus
+    assert(Search.servingStats(spark, dir).head().getAs[Long]("n")
+      === docs.count())
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ord_f").toString
+    Search.buildPostings(docs, fresh, shards = 2)
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 6)
+        .orderBy("rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 6)
+        .orderBy("rank").collect().map(_.toString).toSeq)
+  }
+
+  test("buildPostings is crash-safe: an interrupted rebuild leaves the old generation serving") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_bcrash").toString
+    Search.buildPostings(docs.where(col("doc_id") % 2 === 0), dir,
+      shards = 2)
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    val before = Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    // a rebuild that crashed mid-write: partial data, NO commit marker
+    spark.read.parquet(s"${Search.servingRoot(spark, dir)}/postings")
+      .limit(3).write.parquet(s"$dir/gen-0001/postings")
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+      .orderBy("rank").collect().map(_.toString).toSeq === before)
+    // the retried rebuild reclaims the straggler and swaps atomically
+    Search.buildPostings(docs, dir, shards = 2)
+    assert(Search.servingRoot(spark, dir).endsWith("gen-0001"))
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_bm25_bcrash_f").toString
+    Search.buildPostings(docs, fresh, shards = 2)
+    assert(Search.bm25ServeJoinTopK(spark, dir, bench, k = 5)
+        .orderBy("rank").collect().map(_.toString).toSeq ===
+      Search.bm25ServeJoinTopK(spark, fresh, bench, k = 5)
+        .orderBy("rank").collect().map(_.toString).toSeq)
+  }
+
+  test("a reader resolved pre-compaction completes after the compaction commits") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_inflight").toString
+    Search.buildPostings(docs.where(col("doc_id") % 3 =!= 0), dir,
+      shards = 2)
+    Search.appendPostings(spark, dir, docs.where(col("doc_id") % 3 === 0),
+      shards = 2)
+    val bench = Seq((1L, "hash join merge")).toDF("qid", "text")
+    // resolve the serving view NOW (paths bind at call time) but do
+    // not execute yet — the in-flight lock-free reader
+    val inflight = Search.bm25ServeJoinTopK(spark, dir, bench, k = 6)
+    val want = Search.bm25ServeJoinTopK(spark, dir, bench, k = 6)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    Search.compactPostings(spark, dir, shards = 2)
+    // no inline reclaim: the pre-compaction reader's files still exist
+    assert(inflight.orderBy("rank").collect().map(_.toString).toSeq
+      === want)
+  }
+
+  test("hybridRetrieveIndexed family=ivfpq: compressed-index fusion equals the inline fusion at full probe") {
+    val fx = Seq(
+      (1L, "qqalpha qqbeta qqgamma w1 w2 w3 w4 w5", Seq(2f, 1f, 0f, 0f)),
+      (2L, "qqalpha qqbeta qqgamma qqalpha qqbeta qqgamma",
+        Seq(0f, 0f, 1f, 0f)),
+      (3L, "zzz yyy xxx", Seq(8f, 1f, 0f, 0f)),
+      (4L, "other words entirely", Seq(0f, 1f, 1f, 0f)),
+      (5L, "more unrelated text", Seq(1f, 2f, 2f, 0f))
+    ).toDF("doc_id", "text", "embedding")
+    val bench = Seq((100L, "qqalpha qqbeta qqgamma", Seq(1f, 0f, 0f, 0f)))
+      .toDF("qid", "text", "embedding")
+    val docs = fx.select(col("doc_id"), col("text"))
+    val embs = fx.select(col("doc_id").as("vec_id"), col("embedding"))
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("graft_hybpq_bm25").toString
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_hybpq_ann").toString
+    Search.buildPostings(docs, bmDir, shards = 2)
+    Similarity.buildIvfPqIndex(embs, annDir, nCentroids = 2, m = 2, k = 2)
+    val inline = Search.hybridRetrieve(docs, embs, bench, k = 5,
+      kPerSignal = 3).orderBy("rank").collect().map(_.toString).toSeq
+    // full probe + shortlist covering the corpus: the ADC stage is
+    // pure pruning, the exact re-rank sees everything — the
+    // compressed-index fusion must reproduce the inline one
+    val indexed = Search.hybridRetrieveIndexed(spark, bmDir, annDir,
+        bench, k = 5, kPerSignal = 3, nProbe = 2, family = "ivfpq",
+        rerank = Some(embs), shortlist = 50)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(indexed === inline && indexed.nonEmpty)
+    // the family needs its re-rank frame — a missing one fails loudly
+    val e = intercept[IllegalArgumentException](
+      Search.hybridRetrieveIndexed(spark, bmDir, annDir, bench, k = 5,
+        family = "ivfpq"))
+    assert(e.getMessage.contains("rerank"))
+    intercept[IllegalArgumentException](
+      Search.hybridRetrieveIndexed(spark, bmDir, annDir, bench, k = 5,
+        family = "nope"))
   }
 
   test("bm25Gate: threshold keeps exactly the scoring docs; composes as a gate") {

@@ -1873,7 +1873,8 @@ class ConfigLoaderSpec extends SparkSpec {
       ConfigLoader.loadKinds("append_postings")(
         Map("path" -> s"$dir/ix"))))
     // the append landed its post-event stats in a committed delta dir
-    assert(spark.read.parquet(s"$dir/ix/delta-0000/stats").head()
+    // under the build's committed generation
+    assert(spark.read.parquet(s"$dir/ix/gen-0000/delta-0000/stats").head()
       .getAs[Long]("n") == docs.count())
     // healthy maintenance pass appends a no-rebuild audit row
     graft.sinks.Sinks.runChain(docs, Seq(
@@ -1930,6 +1931,32 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("pair"))
   }
 
+  test("hybrid_retrieve kind: family ivfpq serves the compressed index via rerankPath") {
+    import ConfigLoader.transformKinds
+    val work = Files.createTempDirectory("graft_hybrid_pq_kind").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    embs.write.parquet(s"$work/embs")
+    graft.llm.Search.buildPostings(docs, s"$work/bm25", shards = 4)
+    graft.llm.Similarity.buildIvfPqIndex(embs, s"$work/ann",
+      nCentroids = 4, m = 4, k = 8)
+    val bench = docs.where(col("doc_id") === 11L)
+      .select((col("doc_id") + 9000L).as("qid"), col("text"))
+      .join(embs.select((col("vec_id") + 9000L).as("qid"),
+        col("embedding")), Seq("qid"))
+    val viaKind = transformKinds("hybrid_retrieve")(
+      Map("bm25IndexPath" -> s"$work/bm25", "annIndexPath" -> s"$work/ann",
+        "k" -> "4", "kPerSignal" -> "6", "nProbe" -> "4",
+        "family" -> "ivfpq", "rerankPath" -> s"$work/embs",
+        "shortlist" -> "64"))(bench)
+    val viaLib = graft.llm.Search.hybridRetrieveIndexed(spark,
+      s"$work/bm25", s"$work/ann", bench, k = 4, kPerSignal = 6,
+      nProbe = 4, family = "ivfpq",
+      rerank = Some(spark.read.parquet(s"$work/embs")), shortlist = 64)
+    assert(rowsOf(viaKind) == rowsOf(viaLib) && viaKind.count() == 4)
+  }
+
   test("retract_postings / retract_vector_index kinds scrub their stores") {
     val work = Files.createTempDirectory("graft_retract_kinds").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
@@ -1974,7 +2001,13 @@ class ConfigLoaderSpec extends SparkSpec {
     graft.sinks.Sinks.runChain(docs, Seq(
       ConfigLoader.loadKinds("compact_postings")(
         Map("path" -> s"$work/ix", "shards" -> "2"))))
-    assert(new java.io.File(s"$work/ix/gen-0000").exists)
+    // build = gen-0000, compaction = gen-0001; the vacuum kind (zero
+    // grace for the test) reclaims the retired build generation
+    assert(new java.io.File(s"$work/ix/gen-0001").exists)
+    graft.sinks.Sinks.runChain(docs, Seq(
+      ConfigLoader.loadKinds("vacuum_postings")(
+        Map("path" -> s"$work/ix", "graceMs" -> "0"))))
+    assert(!new java.io.File(s"$work/ix/gen-0000").exists)
     assert(!new java.io.File(s"$work/ix/postings").exists)
     assert(graft.llm.Search.bm25ServeJoinTopK(spark, s"$work/ix",
       bench, 5).orderBy("rank").collect().map(_.toString).toSeq == before)
