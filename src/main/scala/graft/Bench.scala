@@ -88,6 +88,14 @@ object Bench {
         // operator-internal caches (LSH signatures etc.) must not leak
         // into the next query's measurement
         spark.catalog.clearCache()
+        // checkpoint-heavy queries pin localCheckpoint RDD blocks the
+        // catalog cache clear does not touch; across 330+ queries × 3
+        // runs in one JVM the accumulated blocks are a plausible
+        // driver of the documented late-suite floor aging — release
+        // them between measurements (async: eviction cost must not be
+        // charged to the next query's timer)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         // noop sink: evaluates EVERY output column and final sort, unlike
         // count() (Catalyst prunes projections and eliminates sorts under

@@ -7548,17 +7548,23 @@ object Queries {
           WHERE source IN ('src3', 'src17')),""")))
 
   /** TAKEDOWN ACROSS EVERY SERVING SURFACE AS ONE CONFIG — the widened
-    * `takedown_yaml` contract: a single declared opt-out list scrubs
-    * the curated packs (`retract_pack` + `refresh_shards`), the
-    * persisted VECTOR index across all generations
-    * (`retract_vector_index`), the BM25 POSTINGS index
-    * (`retract_postings` — tombstones + exact stats patch), vacuums
-    * the retired rank-trace generations (`vacuum_rank_trace`), and
-    * gates the run on pack compliance (`retraction_compliance`,
-    * failOnViolation). The query pre-builds all four stores, runs the
+    * `takedown_yaml` contract: one declaration scrubs the curated
+    * packs (`retract_pack` + `refresh_shards`), the persisted VECTOR
+    * index across all generations (`retract_vector_index`), the BM25
+    * POSTINGS index (`retract_postings` — tombstones + exact stats
+    * patch), the SFT CONVERSATION product (user-keyed: the opt-out
+    * user's id expands through the ownership store to its
+    * conversations, `retract_pack` scrubs the RENDERED-pack ledger,
+    * its own refresh + compliance gate — takedowns arrive as users
+    * for alignment data, as publishers for corpus data, and the one
+    * config carries both grains), vacuums the retired rank-trace
+    * generations (`vacuum_rank_trace`), and gates the run on pack
+    * compliance for BOTH pack stores (`retraction_compliance`,
+    * failOnViolation). The query pre-builds all five stores, runs the
     * one YAML, then reports each surface's post-takedown row count —
-    * every number restated from first principles in DuckDB, so the
-    * oracle is green only if EVERY surface forgot the publisher. */
+    * every number restated from first principles in DuckDB (the SFT
+    * count replays validate → dedup → render), so the oracle is green
+    * only if EVERY surface forgot its publisher/user. */
   private val takedownAllYaml = QueryDef("takedown_all_yaml",
     (s, d) => {
       val dir = tmpDir(d, "takedown_all_yaml")
@@ -7581,6 +7587,29 @@ object Queries {
       graft.llm.LinkGraph.pageRankRefresh(s, s"$dir/trace",
         edges.limit(1).select(col("src"), col("dst"),
           lit(1L).as("weight")))
+      // the SFT conversation product: its own rendered-pack ledger
+      // (conv_id grain) + ownership store the user-keyed takedown
+      // resolves through
+      sftTurns(s, d).select(col("conv_id")).distinct()
+        .select(col("conv_id"), concat(lit("u"),
+          (col("conv_id") % 7).cast("string")).as("user_id"))
+        .write.mode("overwrite").parquet(s"$dir/sft_meta")
+      val rendered = graft.pipeline.ConfigLoader.transformKinds(
+          "sft_render")(Map.empty)(
+        graft.pipeline.ConfigLoader.transformKinds("sft_dedup")(Map.empty)(
+          graft.pipeline.ConfigLoader.transformKinds("sft_validate")(
+            Map.empty)(sftTurns(s, d))))
+      graft.sinks.Sinks.runChain(rendered, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("parquet_dir")(
+          Map("path" -> s"$dir/sft_store")),
+        graft.pipeline.ConfigLoader.loadKinds("seed_curated_pack")(Map(
+          "dir" -> s"$dir/sft", "idCol" -> "conv_id",
+          "textCol" -> "text", "budget" -> "64"))))
+      graft.sinks.Sinks.runChain(s.read.parquet(s"$dir/sft_store"), Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/sft/assign", "idCol" -> "conv_id",
+          "textCol" -> "text", "dir" -> s"$dir/sft/out",
+          "nShards" -> "4"))))
       val yaml =
         s"""jobs:
            |  - name: takedown
@@ -7608,6 +7637,30 @@ object Queries {
            |          textCol: text
            |          dir: $dir/out
            |          nShards: '4'
+           |  - name: sft_takedown
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/sft_meta
+           |        prefix: ""
+           |    transform:
+           |      - kind: where
+           |        options: {column: user_id, equals: 'u2'}
+           |    load:
+           |      - kind: retract_pack
+           |        options: {dir: $dir/sft, idCol: conv_id}
+           |  - name: sft_refresh
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/sft_store
+           |        prefix: ""
+           |    load:
+           |      - kind: refresh_shards
+           |        options:
+           |          ledgerDir: $dir/sft
+           |          idCol: conv_id
+           |          textCol: text
+           |          dir: $dir/sft/out
+           |          nShards: '4'
            |  - name: vacuum
            |    extract:
            |      - kind: parquet
@@ -7624,6 +7677,17 @@ object Queries {
            |    load:
            |      - kind: retraction_compliance
            |        options: {dir: $dir, idCol: doc_id, failOnViolation: 'true'}
+           |  - name: sft_comply
+           |    extract:
+           |      - kind: parquet
+           |        path: $dir/sft_meta
+           |        prefix: ""
+           |    transform:
+           |      - kind: where
+           |        options: {column: user_id, equals: 'u2'}
+           |    load:
+           |      - kind: retraction_compliance
+           |        options: {dir: $dir/sft, idCol: conv_id, failOnViolation: 'true'}
            |""".stripMargin
       val cfgPath = s"$dir/takedown_all.yaml"
       java.nio.file.Files.writeString(
@@ -7643,11 +7707,16 @@ object Queries {
         .listStatus(new org.apache.hadoop.fs.Path(s"$dir/trace"))
         .count(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
         .toLong
+      val sftDocs = s.read.parquet(s"$dir/sft/out/data")
+        .agg(sum(col("n_docs"))).head().getLong(0)
       Seq(("lexical_n", lexN), ("packs_docs", packsDocs),
+          ("sft_docs", sftDocs),
           ("trace_gens", traceGens), ("vector_rows", vecRows))
         .toDF("surface", "n").orderBy(col("surface"))
     },
-    Some(sqlRetractReplay("", "doc_id % 11 <> 5", finalSelect =
+    Some(sqlRetractReplay("", "doc_id % 11 <> 5",
+      prelude = s"$sqlSftRenderedCtes,",
+      finalSelect =
       """SELECT * FROM (
         SELECT 'lexical_n' AS surface,
           CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 90)
@@ -7656,6 +7725,10 @@ object Queries {
         UNION ALL
         SELECT 'packs_docs', CAST((SELECT COUNT(*) FROM kept
           WHERE doc_id % 11 <> 5) AS BIGINT)
+        UNION ALL
+        SELECT 'sft_docs', CAST((SELECT COUNT(*) FROM rendered
+          WHERE len(string_split_regex(trim(text), '\s+')) > 0
+            AND doc_id % 7 <> 2) AS BIGINT)
         UNION ALL
         SELECT 'trace_gens', CAST(1 AS BIGINT)
         UNION ALL
@@ -7672,7 +7745,10 @@ object Queries {
   /** The SFT turns fixture in DuckDB form (moved ahead of the
     * SFT-takedown pair for initializer order — a later declaration
     * would be null when these QueryDefs build their oracle SQL). */
-  private val sqlSftTurns: String =
+  // lazy: takedown_all_yaml's oracle (declared EARLIER in the file)
+  // interpolates these through sqlSftRenderedCtes — a strict val would
+  // still be null at that point (the initializer-order trap)
+  private lazy val sqlSftTurns: String =
     """SELECT doc_id % 50 AS conv_id, doc_id // 50 AS turn_idx,
       CASE WHEN (doc_id % 50) % 11 = 2 AND doc_id // 50 = 0 THEN 'system'
            WHEN (doc_id % 50) % 11 = 2 THEN
@@ -9998,6 +10074,47 @@ object Queries {
       val dir = tmpDir(d, "ivf_append")
       Similarity.buildIvfIndex(emb.where(col("vec_id") % 7 =!= 0), dir)
       Similarity.appendIvfIndex(s, emb.where(col("vec_id") % 7 === 0), dir)
+      Similarity.ivfQueryIndex(s, dir, perturbedEmbeddings(emb, 3), k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id + 100000 AS query_id,
+        list_concat([embedding[1] + CAST(0.001 AS FLOAT)], embedding[2:])::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id,
+          ${sqlDot("qv", "cv")} / (${sqlNorm("qv")} * ${sqlNorm("cv")}) AS cosine
+        FROM c CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      FROM r WHERE rank = 1 ORDER BY query_id"""))
+
+  /** VECTOR-INDEX COMPACTION served
+    * ([[Similarity.compactVectorIndex]] — the postings-compaction
+    * move for the ANN family): the index is built WITHOUT every 7th
+    * vector, the held-out population arrives as TWO separate append
+    * batches (each its own batch-sized segment files on the frozen
+    * centroids), the segment history is folded into one fresh
+    * committed generation with the quantizer COPIED (no refit), the
+    * retired surface is vacuumed so a result can only come from the
+    * compacted generation, and the probe serves. Same brute-force
+    * oracle as `ann_ivf_append` over the union — green only if
+    * compaction changed the physical layout and nothing else (planted
+    * rank-1s cover both the built and the appended populations). */
+  private val annCompactServe = QueryDef("ann_compact_serve",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = tmpDir(d, "ivf_compact")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Similarity.buildIvfIndex(emb.where(col("vec_id") % 7 =!= 0), dir)
+      Similarity.appendIvfIndex(s,
+        emb.where(col("vec_id") % 14 === 0), dir)
+      Similarity.appendIvfIndex(s,
+        emb.where(col("vec_id") % 14 === 7), dir)
+      Similarity.compactVectorIndex(s, dir)
+      Similarity.vacuumIndex(s, dir)
       Similarity.ivfQueryIndex(s, dir, perturbedEmbeddings(emb, 3), k = 1)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"))
@@ -13315,7 +13432,8 @@ object Queries {
     repStats, curatePipeline, curatePipelineFull, packMaterializeQ,
     annBrute, annBruteQuantized, annPq, annPqPlanted, annPqAppend,
     annIvfPq, annIvfPqAppend, annLsh, annLshPlanted, annIvfPlanted, annIvfIndex,
-    annIvfAppend, annSearchStream, annRetractIndex, annReindexPlanted,
+    annIvfAppend, annCompactServe, annSearchStream, annRetractIndex,
+    annReindexPlanted,
     annReindexDrift, annAutoReindex, annAutoReindexPq, annRecallAudit,
     annRecallAuditPlanted,
     annProbeSweep, annProbeSweepPlanted, annRecallDrift,

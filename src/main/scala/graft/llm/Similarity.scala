@@ -557,7 +557,14 @@ object Similarity {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
       .map(_.getPath)
       .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g, GenCommitMarker)))
-    if (gens.isEmpty) dir else gens.maxBy(_.getName).toString
+    // numeric, not lexical: past the %04d padding gen-10000 must
+    // outrank gen-9999 (nextGenDir already parses numerically — a
+    // lexical max would silently keep serving the older generation)
+    if (gens.isEmpty) dir
+    else gens.maxBy { g =>
+      val s = g.getName.stripPrefix("gen-").takeWhile(_.isDigit)
+      if (s.isEmpty) -1 else s.toInt
+    }.toString
   }
 
   /** Next generation directory under `dir` — counts EVERY `gen-*`
@@ -770,6 +777,90 @@ object Similarity {
       .foreach { st => fs.delete(st.getPath, true)
         deleted += st.getPath.toString }
     deleted.toSeq
+  }
+
+  /** COMPACT an appended vector index — fold the accumulated
+    * batch-sized segment files into one fresh generation WITHOUT
+    * refitting anything (the [[graft.llm.Search.compactPostings]]
+    * move, applied to the ANN family): every
+    * [[appendIvfIndex]]/[[appendPqIndex]]/[[appendIvfPqIndex]] batch
+    * lands as its own parquet files, and a long low-drift append
+    * history (recall healthy, so [[reindexIvfIfDrifted]] never fires)
+    * accrues per-file open costs into every probe — the classic
+    * small-files drift. Compaction reads the serving generation's
+    * data ONCE and rewrites it folded: cluster-partitioned layouts
+    * (IVF assignments, IVF-PQ codes) re-shuffle on the cluster key —
+    * the build's own write shape, one file per cluster, partition
+    * pruning preserved; flat PQ codes coalesce (no shuffle). The
+    * quantizer state — centroids, coarse level, codebooks — is COPIED
+    * verbatim: no refit, so serving before and after is identical row
+    * for row (spec + oracle-bound; a refit is [[reindexIvf]]'s job,
+    * triggered by measured recall drift, not by file count). The new
+    * generation lands marker-last (the [[resolveIndexRoot]] atomic
+    * swap); the retired surface is reclaimed by the existing
+    * [[vacuumIndex]], never inline. Cost: one read + one write of the
+    * index layout — never the corpus. Single-maintainer contract.
+    *
+    * @return one audit row (kind, generation, segments_before,
+    *         segments_after, rows) — segment counts are parquet data
+    *         files of the folded table */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, shards: Int = 32): DataFrame = {
+    require(shards >= 1,
+      s"compactVectorIndex: shards must be >= 1, got $shards")
+    val root = resolveIndexRoot(spark, dir)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopFs(spark, rp)
+    def has(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(rp, name))
+    def dataFiles(base: String, sub: String): Long = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$base/$sub"), true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    def copyTable(sub: String, gen: String): Unit =
+      spark.read.parquet(s"$root/$sub").coalesce(1)
+        .write.mode("overwrite").parquet(s"$gen/$sub")
+    val kind =
+      if (has("assignments")) "ivf"
+      else if (has("codes") && has("centroids")) "ivfpq"
+      else if (has("codes")) "pq"
+      else throw new IllegalArgumentException(
+        s"compactVectorIndex: no index layout under $root " +
+          "(expected assignments or codes)")
+    val dataSub = if (kind == "ivf") "assignments" else "codes"
+    val before = dataFiles(root, dataSub)
+    val gen = nextGenDir(spark, dir)
+    kind match {
+      case "ivf" =>
+        copyTable("centroids", gen)
+        if (has("coarse")) copyTable("coarse", gen)
+        spark.read.parquet(s"$root/assignments")
+          .repartition(col("cluster"))
+          .write.partitionBy("cluster").mode("overwrite")
+          .parquet(s"$gen/assignments")
+      case "ivfpq" =>
+        copyTable("centroids", gen)
+        copyTable("codebooks", gen)
+        spark.read.parquet(s"$root/codes")
+          .repartition(col("cluster"))
+          .write.partitionBy("cluster").mode("overwrite")
+          .parquet(s"$gen/codes")
+      case "pq" =>
+        copyTable("codebooks", gen)
+        spark.read.parquet(s"$root/codes").coalesce(shards)
+          .write.mode("overwrite").parquet(s"$gen/codes")
+    }
+    commitGen(spark, gen)
+    val genName = new org.apache.hadoop.fs.Path(gen).getName
+    spark.range(1).select(
+      lit(kind).as("kind"), lit(genName).as("generation"),
+      lit(before).as("segments_before"),
+      lit(dataFiles(gen, dataSub)).as("segments_after"),
+      lit(spark.read.parquet(s"$gen/$dataSub").count()).as("rows"))
   }
 
   /** Build a PERSISTENT IVF index — the build-once/query-many shape a

@@ -1445,6 +1445,17 @@ object ConfigLoader {
           shards = o.getOrElse("shards", "32").toInt).count()
         () // the audit row is advisory; the generation swap is eager
       })),
+      // fold an appended vector index's batch-sized segment files
+      // into one fresh committed generation — quantizer state copied
+      // verbatim (no refit), serving identical row for row; reclaim
+      // retired generations via the existing vacuum
+      "compact_vector_index" ->
+        (o => Sinks.Write("compact_vector_index", df => {
+          graft.llm.Similarity.compactVectorIndex(df.sparkSession,
+            req(o, "dir"),
+            shards = o.getOrElse("shards", "32").toInt).count()
+          () // the audit row is advisory; the generation swap is eager
+        })),
       // garbage-collect retired postings surfaces (committed
       // generations once the serving swap has soaked past the grace
       // window; uncommitted stragglers past their own grace age) —
@@ -2038,6 +2049,7 @@ object ConfigLoader {
     "rebuild_postings_if_stale" -> Seq("path"),
     "compact_postings" -> Seq("path"),
     "vacuum_postings" -> Seq("path"),
+    "compact_vector_index" -> Seq("dir"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),

@@ -490,6 +490,48 @@ object ScaleProbe {
           }
         }
       }
+      // SEGMENT-COMPACTION payoff on the k×-growing index: a long
+      // low-drift append history (24 fixed-size batches, each landing
+      // its own files per cluster dir) fragments the layout; the probe
+      // battery pays the per-file opens. Compaction folds the history
+      // (one index read + one cluster-shuffled write — tracks the
+      // INDEX, never the corpus) and the same battery re-runs over one
+      // file per cluster. serve_fragmented vs serve_compacted is the
+      // payoff; ivf_compact is the cost.
+      locally {
+        val want = opsFilter.isEmpty ||
+          opsFilter.exists(t => s"ivf_compact x$k".contains(t))
+        if (want) {
+          val embK = replicateEmb(emb, k).localCheckpoint(true)
+          val dir = s"/tmp/graft_probe/ivfc_x$k"
+          val dp = new org.apache.hadoop.fs.Path(dir)
+          dp.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(dp, true)
+          graft.llm.Similarity.buildIvfIndex(embK, dir, nCentroids = 16)
+          embK.unpersist()
+          for (i <- 0 until 24)
+            graft.llm.Similarity.appendIvfIndex(spark,
+              emb.limit(100).select(
+                (col("vec_id") + lit(900000000L + i * 1000L)).as("vec_id"),
+                col("embedding")), dir)
+          val battery = emb.limit(8)
+            .select((col("vec_id") + lit(800000L)).as("vec_id"),
+              col("embedding"))
+            .localCheckpoint(true)
+          time(s"ivf_serve_fragmented x$k") {
+            graft.llm.Similarity.ivfQueryIndex(spark, dir, battery, k = 5)
+              .count()
+          }
+          time(s"ivf_compact x$k") {
+            graft.llm.Similarity.compactVectorIndex(spark, dir).count()
+          }
+          graft.llm.Similarity.vacuumIndex(spark, dir)
+          time(s"ivf_serve_compacted x$k") {
+            graft.llm.Similarity.ivfQueryIndex(spark, dir, battery, k = 5)
+              .count()
+          }
+        }
+      }
       time(s"vocab_coverage x$k") {
         // vocab fixed (corpus words >= 100 at 1x scale), coverage scan
         // grows with k: broadcast hash join + map-side-combined doc agg

@@ -150,6 +150,83 @@ class ReindexSpec extends SparkSpec {
     assert(near.contains(888888L), s"hierarchical post-swap append lost: $near")
   }
 
+  test("compactVectorIndex: IVF segment fold serves identically with the quantizer copied verbatim") {
+    val dir = tmp("graft_gen_compact")
+    Similarity.buildIvfIndex(emb.where(col("vec_id") % 7 =!= 0), dir)
+    Similarity.appendIvfIndex(spark, emb.where(col("vec_id") % 14 === 0), dir)
+    Similarity.appendIvfIndex(spark, emb.where(col("vec_id") % 14 === 7), dir)
+    val before = Similarity.ivfQueryIndex(spark, dir, twins(5), k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val audit = Similarity.compactVectorIndex(spark, dir).head()
+    assert(audit.getAs[String]("kind") == "ivf")
+    assert(audit.getAs[String]("generation") == "gen-0001")
+    // the fold genuinely folded: fewer data files than the append
+    // history accumulated, same row population
+    assert(audit.getAs[Long]("segments_after")
+      < audit.getAs[Long]("segments_before"), audit.toString)
+    assert(audit.getAs[Long]("rows") == emb.count())
+    // no refit: the centroid table is copied value for value
+    val oldC = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    val newC = spark.read.parquet(s"$dir/gen-0001/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(newC == oldC)
+    // serving is identical row for row through the atomic swap
+    assert(Similarity.ivfQueryIndex(spark, dir, twins(5), k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      == before)
+    // reclaim via the existing vacuum; serving unchanged after it
+    Similarity.vacuumIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/assignments").exists())
+    assert(Similarity.ivfQueryIndex(spark, dir, twins(5), k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      == before)
+    // post-compaction appends extend the compacted generation
+    val novel = emb.where(col("vec_id") === 0)
+      .select(lit(777777L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfIndex(spark, novel, dir)
+    assert(spark.read.parquet(s"$dir/gen-0001/assignments").count()
+      == emb.count() + 1)
+  }
+
+  test("compactVectorIndex: PQ and IVF-PQ code folds serve identically") {
+    val e = emb
+    // flat PQ codes: coalesce fold, codebooks copied
+    val dirP = tmp("graft_gen_compact_pq")
+    Similarity.buildPqIndex(e.where(col("vec_id") % 7 =!= 0), dirP)
+    Similarity.appendPqIndex(spark, e.where(col("vec_id") % 14 === 0), dirP)
+    Similarity.appendPqIndex(spark, e.where(col("vec_id") % 14 === 7), dirP)
+    val beforeP = Similarity.pqQueryIndex(spark, dirP, twins(3), e, k = 1)
+      .orderBy("query_id").collect().map(_.toString).toSeq
+    val auditP = Similarity.compactVectorIndex(spark, dirP, shards = 1)
+      .head()
+    assert(auditP.getAs[String]("kind") == "pq")
+    assert(auditP.getAs[Long]("segments_after")
+      < auditP.getAs[Long]("segments_before"), auditP.toString)
+    assert(Similarity.pqQueryIndex(spark, dirP, twins(3), e, k = 1)
+      .orderBy("query_id").collect().map(_.toString).toSeq == beforeP)
+    // IVF-PQ: cluster-partitioned residual codes, centroids+codebooks
+    // copied
+    val dirC = tmp("graft_gen_compact_ivfpq")
+    Similarity.buildIvfPqIndex(e.where(col("vec_id") % 7 =!= 0), dirC)
+    Similarity.appendIvfPqIndex(spark, e.where(col("vec_id") % 14 === 0),
+      dirC)
+    Similarity.appendIvfPqIndex(spark, e.where(col("vec_id") % 14 === 7),
+      dirC)
+    val beforeC = Similarity.ivfPqQueryIndex(spark, dirC, twins(3), e,
+        k = 1).orderBy("query_id").collect().map(_.toString).toSeq
+    val auditC = Similarity.compactVectorIndex(spark, dirC).head()
+    assert(auditC.getAs[String]("kind") == "ivfpq")
+    assert(auditC.getAs[Long]("segments_after")
+      < auditC.getAs[Long]("segments_before"), auditC.toString)
+    Similarity.vacuumIndex(spark, dirC)
+    assert(Similarity.ivfPqQueryIndex(spark, dirC, twins(3), e, k = 1)
+      .orderBy("query_id").collect().map(_.toString).toSeq == beforeC)
+    // an empty directory fails loudly, not with a half-built gen
+    intercept[IllegalArgumentException](
+      Similarity.compactVectorIndex(spark, tmp("graft_gen_compact_no")))
+  }
+
   test("reindexIvfPq and reindexPq: planted recovery through the new generation") {
     val e = emb
     // IVF-PQ: build on 6/7, append the rest, reindex from the full

@@ -2013,6 +2013,28 @@ class ConfigLoaderSpec extends SparkSpec {
       bench, 5).orderBy("rank").collect().map(_.toString).toSeq == before)
   }
 
+  test("compact_vector_index kind folds appended segments; serving unchanged") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_vcompact_kind").toString
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    graft.llm.Similarity.buildIvfIndex(
+      embs.where(col("vec_id") % 5 =!= 0), s"$work/ann")
+    graft.llm.Similarity.appendIvfIndex(spark,
+      embs.where(col("vec_id") % 5 === 0), s"$work/ann")
+    val q = embs.where(col("vec_id") < 3)
+    val before = graft.llm.Similarity.ivfQueryIndex(spark, s"$work/ann",
+      q, k = 2).orderBy("query_id", "rank").collect()
+      .map(_.toString).toSeq
+    graft.sinks.Sinks.runChain(embs, Seq(
+      ConfigLoader.loadKinds("compact_vector_index")(
+        Map("dir" -> s"$work/ann"))))
+    assert(new java.io.File(s"$work/ann/gen-0001").exists)
+    assert(graft.llm.Similarity.ivfQueryIndex(spark, s"$work/ann",
+      q, k = 2).orderBy("query_id", "rank").collect()
+      .map(_.toString).toSeq == before)
+  }
+
   test("trustrank_trace kind traces; pagerank_refresh serves the trust generation; vacuum_rank_trace reclaims") {
     import ConfigLoader.transformKinds
     import spark.implicits._
