@@ -13303,6 +13303,63 @@ object Queries {
         (100, 4, 5, 1, 3)) t(qid, rank, doc_id, signals, best_rank)
       ORDER BY rank"""))
 
+  /** WEIGHTED fusion flips the planted rank-1 — the
+    * `hybrid_retrieve_planted` fixture re-fused under extreme
+    * weights: the contaminant (doc 1, rank 2 on BOTH signals) has an
+    * invariant weighted score Σw/(k0+2) = 1/62, so it wins under any
+    * near-balanced weighting — but a signal's own rank-1 herring
+    * scores w_s/61, which overtakes 1/62 exactly when
+    * w_s > 61/62 ≈ .9839. At (0.99, 0.01) the LEXICAL herring
+    * (doc 2) takes fused rank 1; at (0.01, 0.99) the SEMANTIC herring
+    * (doc 3) does; the contaminant drops to rank 2 in both — the
+    * weights demonstrably steer the fusion, pinned on both sides of
+    * the 61/62 threshold. Hand-derived expected output (controlled
+    * inputs, margins ≫ ulp; the unweighted fold arithmetic is
+    * oracle-replayed in full by `hybrid_retrieve`). */
+  private val hybridRetrieveWeightedQ =
+    QueryDef("hybrid_retrieve_weighted_planted", {
+      (s, d) => {
+        import s.implicits._
+        val fx = Seq(
+          (1L, "qqalpha qqbeta qqgamma w1 w2 w3 w4 w5",
+            Seq(2f, 1f, 0f, 0f)),
+          (2L, "qqalpha qqbeta qqgamma qqalpha qqbeta qqgamma",
+            Seq(0f, 0f, 1f, 0f)),
+          (3L, "zzz yyy xxx", Seq(8f, 1f, 0f, 0f)),
+          (4L, "other words entirely", Seq(0f, 1f, 1f, 0f)),
+          (5L, "more unrelated text", Seq(1f, 2f, 2f, 0f))
+        ).toDF("doc_id", "text", "embedding")
+        val bench = Seq((100L, "qqalpha qqbeta qqgamma",
+          Seq(1f, 0f, 0f, 0f))).toDF("qid", "text", "embedding")
+        def fuse(tag: String, w: Seq[Double]) =
+          graft.llm.Search.hybridRetrieve(
+              fx.select(col("doc_id"), col("text")),
+              fx.select(col("doc_id").as("vec_id"), col("embedding")),
+              bench, k = 5, kPerSignal = 3, weights = w)
+            .withColumn("weighting", lit(tag))
+        fuse("lex_heavy", Seq(0.99, 0.01))
+          .unionByName(fuse("sem_heavy", Seq(0.01, 0.99)))
+          .select(col("weighting"), col("qid"), col("rank"),
+            col("doc_id"), col("signals"), col("best_rank"))
+          .orderBy(col("weighting"), col("rank"))
+      }
+    },
+    Some("""SELECT weighting, CAST(qid AS BIGINT) AS qid,
+        CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(signals AS BIGINT) AS signals,
+        CAST(best_rank AS BIGINT) AS best_rank
+      FROM (VALUES
+        ('lex_heavy', 100, 1, 2, 1, 1),
+        ('lex_heavy', 100, 2, 1, 2, 2),
+        ('lex_heavy', 100, 3, 3, 1, 1),
+        ('lex_heavy', 100, 4, 5, 1, 3),
+        ('sem_heavy', 100, 1, 3, 1, 1),
+        ('sem_heavy', 100, 2, 1, 2, 2),
+        ('sem_heavy', 100, 3, 5, 1, 3),
+        ('sem_heavy', 100, 4, 2, 1, 1))
+        t(weighting, qid, rank, doc_id, signals, best_rank)
+      ORDER BY weighting, rank"""))
+
   /** The one-config link-graph product: job 1 distills events into
     * host priors (transitions → 3 ordered-fold PageRank sweeps → host
     * fold) persisted via `parquet_dir`; job 2 gates the documents
@@ -13466,7 +13523,7 @@ object Queries {
     bm25RetractServeQ, bm25RetractAuditQ, bm25RebuildChurnPlantedQ,
     bm25CompactServeQ,
     hybridRetrieveQ, hybridRetrieveIndexedQ, hybridRetrievePlantedQ,
-    hybridRetrievePqQ,
+    hybridRetrievePqQ, hybridRetrieveWeightedQ,
     hybridDecontaminateQ, hybridSearchStreamQ,
     dedupRateCurveQ)
 }

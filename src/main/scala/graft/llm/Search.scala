@@ -787,16 +787,35 @@ object Search {
     * the battery, never the corpus: the corpus-sized work lives in
     * producing the rankings. Returns (qid, rank, doc id, signals =
     * how many rankings surfaced the doc, best_rank = its best
-    * per-signal rank); ties break by doc id. */
+    * per-signal rank); ties break by doc id.
+    *
+    * `weights` (one per ranking, empty = unweighted) turns the fusion
+    * into the WEIGHTED form — `score(d) = Σ_s (w_s/Σw)/(k0+rank)`, a
+    * normalized convex combination over the per-signal reciprocal
+    * ranks — the standard knob when one signal is known stronger
+    * (e.g. a curated lexical index vs a drifted embedding space).
+    * Still rank-only arithmetic, so the weighted fusion replays
+    * exactly cross-engine; weights are normalized on the driver and
+    * folded in the same signal order. */
   def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60,
               qCol: String = "qid", idCol: String = "doc_id",
-              rankCol: String = "rank"): DataFrame = {
+              rankCol: String = "rank",
+              weights: Seq[Double] = Nil): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
     require(k >= 1, s"rrfFuse: k must be >= 1, got $k")
     require(k0 >= 0, s"rrfFuse: k0 must be >= 0, got $k0")
+    require(weights.isEmpty || weights.length == rankings.length,
+      s"rrfFuse: ${weights.length} weights for ${rankings.length} rankings")
+    require(weights.forall(_ > 0.0),
+      "rrfFuse: weights must be > 0 (dropping a signal is done by " +
+        "omitting its ranking, not by zeroing it)")
+    val wNorm: Int => Double =
+      if (weights.isEmpty) _ => 1.0
+      else { val s = weights.sum; i => weights(i) / s }
     val tagged = rankings.zipWithIndex.map { case (r, i) =>
       r.select(col(qCol).as("__qid"), col(idCol).as("__id"),
-        col(rankCol).cast("int").as("__r"), lit(i).as("__sig"))
+        col(rankCol).cast("int").as("__r"), lit(i).as("__sig"),
+        lit(wNorm(i)).as("__w"))
     }.reduce(_ unionByName _)
     val fused = tagged
       .groupBy(col("__qid"), col("__id"))
@@ -805,7 +824,7 @@ object Search {
       // deterministic (the bm25 term-fold convention)
       .agg(aggregate(
           transform(array_sort(collect_list(struct(col("__sig"),
-            (lit(1.0) / (lit(k0.toDouble) + col("__r").cast("double")))
+            (col("__w") / (lit(k0.toDouble) + col("__r").cast("double")))
               .as("v")))), x => x("v")),
           lit(0.0), (acc, v) => acc + v).as("__score"),
         count(lit(1)).as("signals"),
@@ -841,7 +860,8 @@ object Search {
                      qIdCol: String = "qid", qTextCol: String = "text",
                      qVecCol: String = "embedding",
                      cIdCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     weights: Seq[Double] = Nil): DataFrame = {
     val lex = bm25JoinTopK(docs, bench.select(col(qIdCol), col(qTextCol)),
         kPerSignal, idCol, textCol, qIdCol, qTextCol)
       .select(col("qid"), col(idCol).as("doc_id"), col("rank"))
@@ -850,7 +870,7 @@ object Search {
         kPerSignal, qIdCol = qIdCol, cIdCol = cIdCol, vecCol = vecCol)
       .select(col("query_id").as("qid"),
         col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, sem), k, k0)
+    rrfFuse(Seq(lex, sem), k, k0, weights = weights)
   }
 
   /** INDEXED HYBRID RETRIEVAL — the fusion a standing 100 TB triage
@@ -889,7 +909,8 @@ object Search {
                             rerank: Option[DataFrame] = None,
                             shortlist: Int = 50,
                             cIdCol: String = "vec_id",
-                            cVecCol: String = "embedding"): DataFrame = {
+                            cVecCol: String = "embedding",
+                            weights: Seq[Double] = Nil): DataFrame = {
     require(Seq("ivf", "ivfpq").contains(family),
       s"hybridRetrieveIndexed: family must be ivf|ivfpq, got '$family'")
     val (_, _, idCol, _) = readStats(spark, resolveIndex(spark, bm25Dir))
@@ -915,7 +936,7 @@ object Search {
     }
     val sem = semRaw.select(col("query_id").as("qid"),
       col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, sem), k, k0)
+    rrfFuse(Seq(lex, sem), k, k0, weights = weights)
   }
 
   /** Staleness-gated postings REBUILD — the lexical side of the

@@ -631,9 +631,13 @@ object ConfigLoader {
       // family selects the vector index: ivf (default — exact cosine
       // re-rank over full stored vectors) or ivfpq (residual ADC over
       // the compressed codes — the 100 TB layout; needs rerankPath,
-      // the corpus embeddings the exact re-rank joins)
+      // the corpus embeddings the exact re-rank joins). weights
+      // ("0.9,0.1" — lexical,semantic) switches the fusion to the
+      // weighted convex form; empty = plain reciprocal-rank
       "hybrid_retrieve" -> (o => df => {
         val s = df.sparkSession
+        val fuseWeights = o.get("weights")
+          .map(_.split(",").map(_.trim.toDouble).toSeq).getOrElse(Nil)
         (o.get("bm25IndexPath"), o.get("annIndexPath")) match {
           case (Some(bp), Some(ap)) =>
             graft.llm.Search.hybridRetrieveIndexed(s, bp, ap, df,
@@ -648,7 +652,8 @@ object ConfigLoader {
               rerank = o.get("rerankPath").map(s.read.parquet(_)),
               shortlist = o.getOrElse("shortlist", "50").toInt,
               cIdCol = o.getOrElse("cIdCol", "vec_id"),
-              cVecCol = o.getOrElse("vecCol", "embedding"))
+              cVecCol = o.getOrElse("vecCol", "embedding"),
+              weights = fuseWeights)
           case (None, None) =>
             graft.llm.Search.hybridRetrieve(
               s.read.parquet(req(o, "docsPath")),
@@ -662,7 +667,8 @@ object ConfigLoader {
               qTextCol = o.getOrElse("qTextCol", "text"),
               qVecCol = o.getOrElse("qVecCol", "embedding"),
               cIdCol = o.getOrElse("cIdCol", "vec_id"),
-              vecCol = o.getOrElse("vecCol", "embedding"))
+              vecCol = o.getOrElse("vecCol", "embedding"),
+              weights = fuseWeights)
           case _ => throw new Pipeline.ValidationException(
             "hybrid_retrieve: bm25IndexPath and annIndexPath come as a " +
               "pair — the fusion is either fully inline or fully indexed")

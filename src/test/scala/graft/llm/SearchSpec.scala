@@ -199,6 +199,31 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.rrfFuse(Seq(a), 0))
   }
 
+  test("rrfFuse weights: extreme weighting promotes that signal's rank-1; validation rejects bad shapes") {
+    val a = Seq((1L, 10L, 1), (1L, 7L, 2)).toDF("qid", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 7L, 2)).toDF("qid", "doc_id", "rank")
+    // doc 7 (rank 2 in both) scores the invariant 1/62 under any
+    // convex weighting; signal A's own rank-1 overtakes it once
+    // w_a > 61/62
+    val lexHeavy = Search.rrfFuse(Seq(a, b), k = 3,
+      weights = Seq(0.99, 0.01)).collect()
+    assert(lexHeavy.map(r => (r.getInt(1), r.getLong(2))).toSeq
+      === Seq((1, 10L), (2, 7L), (3, 20L)))
+    val semHeavy = Search.rrfFuse(Seq(a, b), k = 3,
+      weights = Seq(0.01, 0.99)).collect()
+    assert(semHeavy.map(r => (r.getInt(1), r.getLong(2))).toSeq
+      === Seq((1, 20L), (2, 7L), (3, 10L)))
+    // a balanced weighting equals the unweighted fusion (ranks only —
+    // the score scale cancels in the ordering)
+    assert(Search.rrfFuse(Seq(a, b), k = 3, weights = Seq(2.0, 2.0))
+        .collect().map(_.toString).toSeq ===
+      Search.rrfFuse(Seq(a, b), k = 3).collect().map(_.toString).toSeq)
+    intercept[IllegalArgumentException](
+      Search.rrfFuse(Seq(a, b), k = 3, weights = Seq(1.0)))
+    intercept[IllegalArgumentException](
+      Search.rrfFuse(Seq(a, b), k = 3, weights = Seq(1.0, 0.0)))
+  }
+
   test("hybridRetrieve: fusion finds the contaminant each signal misses") {
     val fx = Seq(
       (1L, "qqalpha qqbeta qqgamma w1 w2 w3 w4 w5", Seq(2f, 1f, 0f, 0f)),
