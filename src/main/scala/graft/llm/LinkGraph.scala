@@ -299,17 +299,24 @@ object LinkGraph {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest COMMITTED generation under `dir` (zero-padded names sort
-    * lexically = numerically — the index-lifecycle convention). */
+  /** Latest COMMITTED generation under `dir`, by PARSED generation
+    * number — past the %04d padding `gen-10000` must outrank
+    * `gen-9999` (a lexical sort would silently chain refreshes off a
+    * stale generation); non-numeric names are ignored, matching
+    * [[nextTraceGen]]'s numeric parse. */
   private def latestTraceGen(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = traceFs(spark, dir)
     if (!fs.exists(p)) return None
-    fs.listStatus(p)
+    val gens = fs.listStatus(p)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-")
+        && st.getPath.getName.stripPrefix("gen-").forall(_.isDigit)
+        && st.getPath.getName.stripPrefix("gen-").nonEmpty
         && fs.exists(new org.apache.hadoop.fs.Path(st.getPath, TraceCommit)))
-      .map(_.getPath.toString).sorted.lastOption
+    if (gens.isEmpty) None
+    else Some(gens.maxBy(
+      _.getPath.getName.stripPrefix("gen-").toInt).getPath.toString)
   }
 
   private def nextTraceGen(spark: org.apache.spark.sql.SparkSession,
@@ -318,7 +325,9 @@ object LinkGraph {
     val fs = traceFs(spark, dir)
     val next = if (!fs.exists(p)) 0
       else fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("gen-"))
+        .filter(n => n.startsWith("gen-")
+          && n.stripPrefix("gen-").nonEmpty
+          && n.stripPrefix("gen-").forall(_.isDigit))
         .map(_.stripPrefix("gen-").toInt).foldLeft(-1)(math.max) + 1
     f"$dir/gen-$next%04d"
   }

@@ -335,6 +335,13 @@ object EventsStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(hits.isStreaming, "transitionsLedgerSink: expected a stream")
     require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    // a ledger's layout is decided at its birth and never changes
+    // (mixing would corrupt partition discovery — see the scaladoc),
+    // so the legacy probe resolves ONCE per sink instance instead of
+    // paying a parquet footer read every micro-batch; it stays
+    // unresolved only until the directory first exists
+    val legacyKnown =
+      new java.util.concurrent.atomic.AtomicReference[Option[Boolean]](None)
     hits.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[TransitionHit], _: Long) =>
         val spark = batch.sparkSession
@@ -342,8 +349,12 @@ object EventsStream {
         val outPath = new org.apache.hadoop.fs.Path(outDir)
         val exists = outPath.getFileSystem(conf).exists(outPath)
         // schema probe, not a scan: parquet footer of the ledger
-        val legacyFlat = exists &&
-          !spark.read.parquet(outDir).columns.contains("__bucket")
+        val legacyFlat = legacyKnown.get().getOrElse {
+          val v = exists &&
+            !spark.read.parquet(outDir).columns.contains("__bucket")
+          if (exists) legacyKnown.set(Some(v))
+          v
+        }
         val withBucket = (if (legacyFlat) batch.toDF()
           else batch.toDF().withColumn("__bucket",
             floor(col("event_id") / lit(bucketSize)).cast("long")))
