@@ -13005,6 +13005,60 @@ object Queries {
         SELECT 'same', n, n, CAST(0.0 AS DOUBLE), false, n FROM a)
       ORDER BY step"""))
 
+  /** TOKEN-COUNT-PRESERVING REWRITE staleness
+    * ([[graft.llm.Search.rebuildPostingsIfStale]] `contentHash` —
+    * closing the (id, dl) membership diff's one documented blind
+    * spot): every doc_id % 10 = 4 document has its FIRST token
+    * replaced by `zzzqq` — token count identical, content changed —
+    * so the default check provably reads drift EXACTLY 0 (the blind
+    * spot, pinned as a branch, not prose) while the contentHash check
+    * compares the stored token-stream hashes and reads 2m/n, clears
+    * the 0.1 floor, and rebuilds. Both branches integer-exact. */
+  private val bm25RebuildRewritePlantedQ =
+    QueryDef("bm25_rebuild_rewrite_planted", {
+      (s, d) => {
+        val dir = "/tmp/graft_q_bm25_rewrite"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .localCheckpoint()
+        graft.llm.Search.buildPostings(docs, dir)
+        val ws = filter(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " "), w => w =!= "")
+        val rewrite = col("doc_id") % 10 === 4 && size(ws) >= 1 &&
+          element_at(ws, 1) =!= "zzzqq"
+        val rewritten = docs.select(col("doc_id"),
+          when(rewrite, concat_ws(" ",
+              concat(array(lit("zzzqq")),
+                slice(ws, lit(2), greatest(size(ws) - 1, lit(0))))))
+            .otherwise(col("text")).as("text"))
+          .localCheckpoint()
+        val blind = graft.llm.Search.rebuildPostingsIfStale(s, dir,
+          rewritten, staleFloor = 0.1).withColumn("step", lit("blind"))
+        val hashed = graft.llm.Search.rebuildPostingsIfStale(s, dir,
+          rewritten, staleFloor = 0.1, contentHash = true)
+          .withColumn("step", lit("hash"))
+        blind.unionByName(hashed)
+          .select(col("step"), col("n_index"), col("n_corpus"),
+            col("drift"), col("rebuilt"), col("n_index_after"))
+          .orderBy(col("step"))
+      }
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $sqlWords AS ws
+        FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM toks
+        WHERE doc_id % 10 = 4 AND len(ws) >= 1 AND ws[1] <> 'zzzqq')
+      SELECT * FROM (
+        SELECT 'blind' AS step, n AS n_index, n AS n_corpus,
+          CAST(0.0 AS DOUBLE) AS drift, false AS rebuilt,
+          n AS n_index_after FROM a
+        UNION ALL
+        SELECT 'hash', n, n, round(CAST(2 * m AS DOUBLE) / n, 6), true, n
+        FROM a CROSS JOIN m)
+      ORDER BY step"""))
+
   /** HYBRID RETRIEVAL over the real tables
     * ([[graft.llm.Search.hybridRetrieve]]): two benchmark rows carry
     * both query representations — their document TEXT (lexical side,
@@ -13521,7 +13575,7 @@ object Queries {
     bm25GateQ, bm25BuildServeQ, bm25ServeGateQ, bm25SearchStreamQ,
     bm25AppendServeQ, bm25RebuildPlantedQ, graphRefreshStreamQ,
     bm25RetractServeQ, bm25RetractAuditQ, bm25RebuildChurnPlantedQ,
-    bm25CompactServeQ,
+    bm25RebuildRewritePlantedQ, bm25CompactServeQ,
     hybridRetrieveQ, hybridRetrieveIndexedQ, hybridRetrievePlantedQ,
     hybridRetrievePqQ, hybridRetrieveWeightedQ,
     hybridDecontaminateQ, hybridSearchStreamQ,

@@ -364,9 +364,11 @@ object Search {
         spark.read.parquet(s"${state.root}/postings")
           .select(col(idCol), col("dl")).distinct()
     }
+    // allowMissingColumns: pre-contentHash membership frames (and the
+    // legacy postings derivation) carry no `ch` — they align as null
     val stored = state.deltaIds
       .map(p => spark.read.parquet(p))
-      .foldLeft(base)(_ unionByName _)
+      .foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
     state.tombstonesPath match {
       case Some(tp) =>
         stored.join(broadcast(spark.read.parquet(tp)), Seq(idCol),
@@ -403,11 +405,15 @@ object Search {
     require(shards >= 1, s"buildPostings: shards must be >= 1, got $shards")
     val spark = docs.sparkSession
     val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
-    // membership frame (id, dl) — doubles as the token-mass source:
-    // [[appendPostings]] keeps the average EXACT over appends via
-    // (sum_dl + new) / (n + new), never a re-scan of the indexed corpus
+    // membership frame (id, dl, ch) — doubles as the token-mass
+    // source ([[appendPostings]] keeps the average EXACT over appends
+    // via (sum_dl + new) / (n + new), never a re-scan of the indexed
+    // corpus); `ch` hashes the NORMALIZED token stream so
+    // [[rebuildPostingsIfStale]]'s contentHash mode can see rewrites
+    // that preserve the token count (the membership-diff blind spot)
     val ids = docs
-      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
+      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"),
+        xxhash64(words(col(textCol))).as("ch"))
       .localCheckpoint()
     val sumDl = ids.agg(sum(col("dl")).as("s")).head().getDouble(0)
     val gen = nextNumbered(spark, dir, "gen-")
@@ -466,7 +472,8 @@ object Search {
     }
     val (dfNew, nNew, _) = bm25Stats(newDocs, idCol, textCol)
     val newIds = newDocs
-      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
+      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"),
+        xxhash64(words(col(textCol))).as("ch"))
       .localCheckpoint()
     val sumNew = newIds.agg(sum(col("dl")).as("s")).head().getDouble(0)
     val delta = nextDeltaDir(spark, state.root)
@@ -950,9 +957,14 @@ object Search {
     * that bypassed the appender, untracked deletions, AND equal-count
     * churn or in-place rewrites that shift a document's length —
     * populations a bare row-count diff scores as zero drift while
-    * df/avgdl silently misprice. (A rewrite preserving the exact
-    * token count is the one blind spot; content hashing at build time
-    * would close it at the cost of hashing the corpus per check.)
+    * df/avgdl silently misprice. A rewrite preserving the exact token
+    * count is the (id, dl) diff's one blind spot; `contentHash = true`
+    * closes it by comparing on the stored token-stream hash too (the
+    * `ch` column build/append persist) at the cost of hashing the
+    * live corpus per check — map-only, fused into the tokenize pass
+    * already being paid. An index whose membership predates the `ch`
+    * column reads full drift under contentHash and rebuilds once,
+    * adopting hashes — self-healing, loud, and documented here.
     * Above `staleFloor` the index rebuilds from the caller's corpus
     * ([[buildPostings]] — postings term statistics cannot be patched
     * under unknown deletion, that IS the rebuild), which also clears
@@ -963,21 +975,30 @@ object Search {
     * maintenance audit record. */
   def rebuildPostingsIfStale(spark: SparkSession, dir: String,
                              corpus: DataFrame, staleFloor: Double = 0.2,
-                             shards: Int = 32): DataFrame = {
+                             shards: Int = 32,
+                             contentHash: Boolean = false): DataFrame = {
     require(staleFloor > 0.0,
       s"rebuildPostingsIfStale: staleFloor must be > 0, got $staleFloor")
     val state = resolveIndex(spark, dir)
     val st = readStatsRow(spark, state)
     val (n, idCol, textCol) = (st.getAs[Long]("n"),
       st.getAs[String]("id_col"), st.getAs[String]("text_col"))
-    val ixIds = effectiveIds(spark, state, idCol).localCheckpoint(true)
+    val keys = Seq(idCol, "dl") ++ (if (contentHash) Seq("ch") else Nil)
+    val ixIdsRaw = effectiveIds(spark, state, idCol)
+    val ixIds = (if (!contentHash || ixIdsRaw.columns.contains("ch"))
+        ixIdsRaw
+      else ixIdsRaw.withColumn("ch", lit(null).cast("long")))
+      .localCheckpoint(true)
     val corpusIds = corpus
-      .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"))
+      .select((col(idCol) +: size(words(col(textCol))).cast("double")
+          .as("dl") +:
+        (if (contentHash) Seq(xxhash64(words(col(textCol))).as("ch"))
+         else Nil)): _*)
       .localCheckpoint(true)
     val nCorpus = corpusIds.count()
     val changed =
-      corpusIds.join(ixIds, Seq(idCol, "dl"), "left_anti").count() +
-        ixIds.join(corpusIds, Seq(idCol, "dl"), "left_anti").count()
+      corpusIds.join(ixIds, keys, "left_anti").count() +
+        ixIds.join(corpusIds, keys, "left_anti").count()
     val drift = math.rint(changed.toDouble / n * 1e6) / 1e6
     val stale = drift > staleFloor
     if (stale) buildPostings(corpus, dir, idCol, textCol, shards)

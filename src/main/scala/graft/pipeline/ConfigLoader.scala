@@ -1390,7 +1390,8 @@ object ConfigLoader {
           val path = req(o, "path")
           graft.llm.Search.rebuildPostingsIfStale(df.sparkSession, path,
               df, staleFloor = req(o, "staleFloor").toDouble,
-              shards = o.getOrElse("shards", "32").toInt)
+              shards = o.getOrElse("shards", "32").toInt,
+              contentHash = o.getOrElse("contentHash", "false").toBoolean)
             .write.mode("append")
             .parquet(o.getOrElse("reportDir", s"$path/maintenance"))
         })),
