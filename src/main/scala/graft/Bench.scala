@@ -134,6 +134,15 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // an UNFILTERED floor-of-3+ run is a bench of record — also land it
+    // at a dedicated path no default sweep targets, so a later runs=2
+    // or filtered spot-check can never overwrite the round's record
+    // (the failure mode three rounds of verdicts flagged)
+    if (runs >= 3 && filter.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_RECORD.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] write BENCH_RECORD.json failed: ${e.getMessage}") }
     spark.stop()
   }
 }
