@@ -6941,6 +6941,69 @@ object Queries {
     },
     Some(sqlCurateStreamReplay))
 
+  /** LEDGER COMPACTION MID-STREAM
+    * ([[graft.streaming.IndexIngest.compactCuratedPack]] — the
+    * small-files closer for the pack-ledger store, at its epoch
+    * boundary): the `curate_stream_pack` product with maintenance in
+    * the middle — seed, stream one micro-batch, STOP, compact every
+    * ledger (per-batch files fold to `shards`, content row-identical),
+    * RESTART the stream, and land a second batch carrying exact-text
+    * twins and replayed rows — which must all drop against the
+    * COMPACTED ledgers (hash dedup and assignment idempotence survive
+    * the fold, proven by behavior, not by diffing files). Epoch
+    * boundary materializes; the oracle is the identical one-shot
+    * replay as the uncompacted twin — green only if compaction
+    * changed the file layout and nothing else. */
+  private val packCompactStream = QueryDef("pack_compact_stream",
+    (s, d) => {
+      import s.implicits._
+      val dir = tmpDir(d, "pack_compact_stream")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .where(col("doc_id") < 90)
+      val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        graft.pipeline.ConfigLoader.transformKinds("quality_filter")(Map(
+          "column" -> "text", "minWords" -> "45", "minMeanWordLen" -> "0",
+          "maxMeanWordLen" -> "1000", "maxPunctRatio" -> "1.0"))
+      graft.streaming.IndexIngest.seedCuratedPack(
+        docs.where(col("doc_id") < 30), dir, "doc_id", "text",
+        budget = 512L, curate = curate)
+      implicit val sqlCtx = s.sqlContext
+      def drain(rows: Seq[(Long, String)]): Unit = {
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.IndexIngest.appendCuratedPackStream(
+          mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+          budget = 512L, curate = curate)
+        try { mem.addData(rows: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      val b1 = docs.where(col("doc_id") >= 30 && col("doc_id") < 60)
+        .as[(Long, String)].collect().toSeq
+      drain(b1)
+      // epoch-boundary maintenance between the two ingest epochs
+      graft.streaming.IndexIngest.compactCuratedPack(s, dir, shards = 2)
+      val twins = docs.where(col("doc_id").isin(31L, 35L, 41L, 47L))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val b2 = docs.where(col("doc_id") >= 60)
+        .as[(Long, String)].collect().toSeq
+      drain(b2 ++ twins ++ b1.take(3))
+      graft.sinks.Sinks.runChain(docs, Seq(
+        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
+      val manifest = s.read.parquet(s"$dir/out/manifest")
+      val data = s.read.parquet(s"$dir/out/data")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_docs")).as("sum_docs"))
+      manifest.join(data, Seq("shard")).orderBy(col("shard"))
+    },
+    Some(sqlCurateStreamReplay))
+
   /** The CONTINUOUS chain as ONE CONFIG — the streamed twin of
     * [[curateToShardsYaml]]'s "every stage a registry kind, no code"
     * claim: a single YAML declares the batch SEED job (extract →
@@ -13530,6 +13593,7 @@ object Queries {
     curatePhasedFunnelQ, curateMixedShards,
     curateResumeShards, ledgerCompactPack, curateStreamYaml,
     packStreamMaterialize, materializeShardsShuffled, curateStreamPack,
+    packCompactStream,
     curateStreamMix,
     packRetractScrub, packRetractRepack, retractDecontaminate,
     packRetractRefresh, packUnretract, shardAudit, retractCompliance,

@@ -757,25 +757,50 @@ object Similarity {
     * deletion — the trade a caller opts into explicitly by calling
     * this. Takedown note: [[graft.streaming.IndexIngest.retractFromVectorIndex]]
     * scrubs ALL generations, so vacuum is not needed for compliance —
-    * it is purely a disk-cost bound. */
+    * it is purely a disk-cost bound.
+    *
+    * `graceMs` (default 0 — immediate, the historical audit-query
+    * behavior) applies the [[graft.llm.Search.vacuumPostings]]
+    * discipline for standing deployments: retired surfaces reclaim
+    * only once the SERVING generation's commit is older than the
+    * window (lock-free readers that resolved pre-swap finish their
+    * scans), and an UNCOMMITTED generation reclaims only once its own
+    * newest modification time ages past it — younger ones may be a
+    * reindex currently writing. */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
-                  dir: String): Seq[String] = {
+                  dir: String, graceMs: Long = 0L): Seq[String] = {
+    require(graceMs >= 0, s"vacuumIndex: graceMs must be >= 0, got $graceMs")
     val serving = resolveIndexRoot(spark, dir)
     if (serving == dir) return Nil // flat only — nothing retired
     val dp = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopFs(spark, dp)
     val servingName = new org.apache.hadoop.fs.Path(serving).getName
+    val now = System.currentTimeMillis()
+    val soaked = graceMs == 0L || now - fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(serving, GenCommitMarker))
+      .getModificationTime > graceMs
+    def agedOut(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      graceMs == 0L || now - (st.getModificationTime +:
+        fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max >
+        graceMs
     val deleted = collection.mutable.ArrayBuffer.empty[String]
-    for (sub <- Seq("centroids", "coarse", "assignments", "codebooks",
-        "codes")) {
-      val p = new org.apache.hadoop.fs.Path(dp, sub)
-      if (fs.exists(p)) { fs.delete(p, true); deleted += p.toString }
-    }
+    if (soaked)
+      for (sub <- Seq("centroids", "coarse", "assignments", "codebooks",
+          "codes")) {
+        val p = new org.apache.hadoop.fs.Path(dp, sub)
+        if (fs.exists(p)) { fs.delete(p, true); deleted += p.toString }
+      }
     fs.listStatus(dp)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-")
         && st.getPath.getName != servingName)
-      .foreach { st => fs.delete(st.getPath, true)
-        deleted += st.getPath.toString }
+      .foreach { st =>
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, GenCommitMarker))
+        if (if (committed) soaked else agedOut(st)) {
+          fs.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      }
     deleted.toSeq
   }
 

@@ -1452,6 +1452,17 @@ object ConfigLoader {
           shards = o.getOrElse("shards", "32").toInt).count()
         () // the audit row is advisory; the generation swap is eager
       })),
+      // fold the curated-pack ledgers' per-batch files (assign/
+      // hashes/sigs/retracted) — epoch boundary only, content
+      // row-identical; the restarted stream dedups against the
+      // folded ledgers identically
+      "compact_pack_ledger" ->
+        (o => Sinks.Write("compact_pack_ledger", df => {
+          graft.streaming.IndexIngest.compactCuratedPack(df.sparkSession,
+            req(o, "dir"),
+            shards = o.getOrElse("shards", "4").toInt).count()
+          () // the audit rows are advisory; the rewrites are eager
+        })),
       // fold an appended vector index's batch-sized segment files
       // into one fresh committed generation — quantizer state copied
       // verbatim (no refit), serving identical row for row; reclaim
@@ -2057,6 +2068,7 @@ object ConfigLoader {
     "compact_postings" -> Seq("path"),
     "vacuum_postings" -> Seq("path"),
     "compact_vector_index" -> Seq("dir"),
+    "compact_pack_ledger" -> Seq("dir"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),

@@ -1168,6 +1168,60 @@ object IndexIngest {
   /** Swap-rewrite one ledger dir with `df` (ALREADY lineage-severed
     * from the dir — localCheckpoint before calling). Non-empty
     * `partitionCols` preserves a partitioned layout. */
+  /** COMPACT the curated-pack ledgers — the small-files closer for
+    * the LAST store family still accruing per-batch file drift
+    * (postings and the vector indexes compact via
+    * [[graft.llm.Search.compactPostings]] /
+    * [[graft.llm.Similarity.compactVectorIndex]]): every micro-batch
+    * of [[appendCuratedPackStream]] (and every retraction queue
+    * append) lands its own parquet files under `dir/assign`,
+    * `dir/hashes`, `dir/sigs`, `dir/retracted` — and the per-batch
+    * ledger anti-joins re-open every one of them, so a long-running
+    * stream's ingest cost creeps with ledger FILE COUNT even while
+    * row counts are stable. Compaction reads each existing ledger
+    * once, coalesces to `shards` files (no shuffle — a pure file
+    * fold; content row-identical, spec + oracle-bound), and rewrites
+    * it through the same [[swapDir]] the retraction rewrites use.
+    * EPOCH BOUNDARY ONLY, like [[retractFromCuratedPack]]: the
+    * single-maintainer contract covers the pack stream too — stop the
+    * stream, compact, restart; the restarted stream dedups against
+    * the folded ledgers identically.
+    *
+    * @return one row per existing ledger:
+    *         (ledger, files_before, files_after, rows) */
+  def compactCuratedPack(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, shards: Int = 4): DataFrame = {
+    require(shards >= 1,
+      s"compactCuratedPack: shards must be >= 1, got $shards")
+    val conf = spark.sessionState.newHadoopConf()
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    val report =
+      collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    for (sub <- Seq("assign", "hashes", "sigs", "retracted")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (p.getFileSystem(conf).exists(p)) {
+        val before = dataFiles(p)
+        // materialize BEFORE the swap: the folded frame's lineage
+        // reads the very files swapDir deletes (the retraction
+        // rewrite discipline)
+        val folded = spark.read.parquet(p.toString).coalesce(shards)
+          .localCheckpoint(true)
+        val rows = folded.count()
+        swapDir(spark, p.toString, folded)
+        report += ((sub, before, dataFiles(p), rows))
+      }
+    }
+    import spark.implicits._
+    report.toSeq.toDF("ledger", "files_before", "files_after", "rows")
+  }
+
   private def swapDir(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame,
                       partitionCols: Seq[String] = Nil): Unit = {

@@ -124,6 +124,25 @@ class ReindexSpec extends SparkSpec {
     assert(top1Bases(dir, 3) == expected)
   }
 
+  test("vacuumIndex grace window: young retired + uncommitted surfaces survive, zero-grace reclaims") {
+    val dir = tmp("graft_gen_vacuum_grace")
+    Similarity.buildIvfIndex(emb, dir)
+    Similarity.reindexIvf(spark, dir, nCentroids = 8)
+    // an uncommitted generation: possibly a reindex mid-write
+    assert(new java.io.File(s"$dir/gen-0099/assignments").mkdirs())
+    // the serving swap has NOT soaked past a day-long grace — the
+    // retired flat base, and the young uncommitted gen, all survive
+    assert(Similarity.vacuumIndex(spark, dir,
+      graceMs = 24L * 3600 * 1000).isEmpty)
+    assert(new java.io.File(s"$dir/assignments").exists())
+    assert(new java.io.File(s"$dir/gen-0099").exists())
+    // zero grace: historical immediate-reclaim behavior
+    val deleted = Similarity.vacuumIndex(spark, dir)
+    assert(deleted.exists(_.endsWith("/assignments")), deleted.toString)
+    assert(deleted.exists(_.endsWith("/gen-0099")), deleted.toString)
+    assert(Similarity.resolveIndexRoot(spark, dir).endsWith("/gen-0001"))
+  }
+
   test("reindexIvf to a HIERARCHICAL quantizer: two-level gen serves, twins recovered") {
     // reindex can change the quantizer CLASS: a flat 16-centroid build
     // refit at 96 centroids crosses the hierarchical threshold (64) —

@@ -1052,6 +1052,59 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("epochBudget"))
   }
 
+  test("compactCuratedPack: ledgers fold row-identically; post-compaction dedup decisions unchanged") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_pack_compact")
+      .toFile.getPath
+    def doc(id: Long, n: Int): (Long, String) =
+      id -> Seq.fill(n)(s"w$id").mkString(" ")
+    def rep(tok: String, n: Int): String = Seq.fill(n)(tok).mkString(" ")
+    val dir = s"$work/led"
+    val seed = Seq(doc(1, 8), doc(2, 6), 5L -> rep("ndtok", 50), doc(6, 9))
+    IndexIngest.seedCuratedPack(seed.toDF("doc_id", "text"), dir,
+      "doc_id", "text", budget = 10, nearDupThreshold = Some(0.7))
+    implicit val sqlCtx = spark.sqlContext
+    def drain(rows: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = IndexIngest.appendCuratedPackStream(
+        mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+        budget = 10, nearDupThreshold = Some(0.7))
+      try { mem.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    drain(Seq(doc(40, 6), doc(41, 7)))
+    drain(Seq(doc(50, 6)))
+    // a retraction populates the fourth ledger (the takedown queue)
+    IndexIngest.retractFromCuratedPack(spark, dir,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    def snap(sub: String): Set[String] =
+      spark.read.parquet(s"$dir/$sub").collect().map(_.toString).toSet
+    val pre = Seq("assign", "hashes", "sigs", "retracted")
+      .map(s => s -> snap(s)).toMap
+    val audit = IndexIngest.compactCuratedPack(spark, dir, shards = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every ledger reported, folded to one file, rows preserved
+    assert(audit.keySet == Set("assign", "hashes", "sigs", "retracted"))
+    audit.foreach { case (sub, (before, after, rows)) =>
+      assert(after == 1L && after <= before, s"$sub: $before -> $after")
+      assert(rows == pre(sub).size, s"$sub rows drifted")
+    }
+    // content row-identical through the fold
+    Seq("assign", "hashes", "sigs", "retracted").foreach { sub =>
+      assert(snap(sub) == pre(sub), s"$sub content changed")
+    }
+    // the restarted stream still dedups against the FOLDED ledgers:
+    // an exact re-text of 6, a near-dup of the ndtok clique, and a
+    // replayed id must all drop; an organic doc lands
+    drain(Seq(doc(80, 5), 86L -> seed.find(_._1 == 6L).get._2,
+      85L -> rep("ndtok", 52), doc(40, 6)))
+    val ids = spark.read.parquet(s"$dir/assign").select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(80L) && !ids.contains(86L) && !ids.contains(85L))
+    assert(ids.count(_ == 40L) <= 1)
+  }
+
   test("streamed curation ≡ batch funnel: curate stages + exact/near dedup ledgers inside the pack stream") {
     val work = java.nio.file.Files.createTempDirectory("graft_cur_stream")
       .toFile.getPath
