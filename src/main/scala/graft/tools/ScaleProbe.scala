@@ -883,6 +883,24 @@ object ScaleProbe {
             s"$hdir/ann", bench, k = 5, kPerSignal = 10,
             nProbe = 4).count()
         }
+        // the COMPRESSED semantic side (family ivfpq): coarse probe
+        // over residual PQ codes + ADC shortlist + exact re-rank —
+        // the layout the 100 TB corpus actually fits in. Cluster
+        // count scales with the corpus (bounded cluster sizes), so
+        // the per-battery cost must stay ~flat like the IVF form;
+        // the build is paid once (untimed here — tracked by
+        // hybrid_build's corpus curve)
+        if (opsFilter.isEmpty ||
+            opsFilter.exists(s"hybrid_indexed_pq x$k".contains)) {
+          graft.llm.Similarity.buildIvfPqIndex(embK, s"$hdir/annpq",
+            nCentroids = math.min(16 * k, 64))
+          time(s"hybrid_indexed_pq x$k") {
+            graft.llm.Search.hybridRetrieveIndexed(spark, s"$hdir/bm25",
+              s"$hdir/annpq", bench, k = 5, kPerSignal = 10,
+              nProbe = 4, family = "ivfpq", rerank = Some(embK),
+              shortlist = 50).count()
+          }
+        }
         embK.unpersist()
       }
       time(s"ablation_ladder x$k") {
