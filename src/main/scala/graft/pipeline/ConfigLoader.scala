@@ -1452,6 +1452,16 @@ object ConfigLoader {
           shards = o.getOrElse("shards", "32").toInt).count()
         () // the audit row is advisory; the generation swap is eager
       })),
+      // fold ONE append-mode parquet ledger directory (answer
+      // ledgers, transitions ledgers, report dirs) — hive partitions
+      // detected and preserved; epoch boundary only
+      "compact_ledger_dir" ->
+        (o => Sinks.Write("compact_ledger_dir", df => {
+          graft.streaming.IndexIngest.compactLedgerDir(df.sparkSession,
+            req(o, "dir"),
+            shards = o.getOrElse("shards", "4").toInt).count()
+          ()
+        })),
       // fold the curated-pack ledgers' per-batch files (assign/
       // hashes/sigs/retracted) — epoch boundary only, content
       // row-identical; the restarted stream dedups against the
@@ -2069,6 +2079,7 @@ object ConfigLoader {
     "vacuum_postings" -> Seq("path"),
     "compact_vector_index" -> Seq("dir"),
     "compact_pack_ledger" -> Seq("dir"),
+    "compact_ledger_dir" -> Seq("dir"),
     "training_shards" -> Seq("dir"), "pq_index" -> Seq("dir"),
     "phased_shards" -> Seq("dir"),
     "ivfpq_index" -> Seq("dir"), "excess_weights" -> Seq("dir"),

@@ -1222,6 +1222,51 @@ object IndexIngest {
     report.toSeq.toDF("ledger", "files_before", "files_after", "rows")
   }
 
+  /** GENERIC ledger-directory compaction — [[compactCuratedPack]] for
+    * any single append-mode parquet ledger: the continuous sinks'
+    * ANSWER ledgers ([[searchIvfStream]]/[[bm25SearchStream]]/
+    * [[hybridSearchStream]] `outDir` — whose answer-exactly-once
+    * anti-join re-reads the ledger every micro-batch, so file-count
+    * creep is ingest-cost creep), the transitions ledgers, maintenance
+    * report dirs. Hive-partitioned layouts (the bucketed transitions
+    * ledger's `__bucket=N` dirs) are detected from the first-level
+    * directory names and preserved — the fold re-partitions ON the
+    * partition columns and rewrites one file per partition (directory
+    * pruning keeps working); flat layouts coalesce to `shards` files.
+    * Content row-identical (spec-bound). EPOCH BOUNDARY ONLY — stop
+    * the stream that owns the ledger, compact, restart (the
+    * [[compactCuratedPack]] contract).
+    *
+    * @return one audit row (files_before, files_after, rows,
+    *         partitioned_by — comma-joined, empty for flat) */
+  def compactLedgerDir(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, shards: Int = 4): DataFrame = {
+    require(shards >= 1,
+      s"compactLedgerDir: shards must be >= 1, got $shards")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"compactLedgerDir: no ledger at $dir")
+    def dataFiles(): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    val partCols = fs.listStatus(p)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct.toSeq
+    val before = dataFiles()
+    val raw = spark.read.parquet(dir)
+    val folded = (if (partCols.nonEmpty) raw else raw.coalesce(shards))
+      .localCheckpoint(true) // sever lineage from the files the swap deletes
+    val rows = folded.count()
+    swapDir(spark, dir, folded, partCols)
+    spark.range(1).select(lit(before).as("files_before"),
+      lit(dataFiles()).as("files_after"), lit(rows).as("rows"),
+      lit(partCols.mkString(",")).as("partitioned_by"))
+  }
+
   private def swapDir(spark: org.apache.spark.sql.SparkSession,
                       path: String, df: DataFrame,
                       partitionCols: Seq[String] = Nil): Unit = {

@@ -1105,6 +1105,52 @@ class StreamingSpec extends SparkSpec {
     assert(ids.count(_ == 40L) <= 1)
   }
 
+  test("compactLedgerDir: flat answer ledgers coalesce; bucketed transitions ledgers fold per partition") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_ledger_dir")
+      .toFile.getPath
+    // flat ledger: two append batches → two file sets → one file
+    val flat = s"$work/answers"
+    Seq((1L, 10L), (2L, 20L)).toDF("qid", "doc_id")
+      .coalesce(2).write.mode("append").parquet(flat)
+    Seq((3L, 30L)).toDF("qid", "doc_id")
+      .coalesce(1).write.mode("append").parquet(flat)
+    val preFlat = spark.read.parquet(flat).collect()
+      .map(_.toString).toSet
+    val a1 = IndexIngest.compactLedgerDir(spark, flat, shards = 1).head()
+    assert(a1.getAs[String]("partitioned_by") == "")
+    assert(a1.getAs[Long]("files_after") == 1L
+      && a1.getAs[Long]("files_before") >= 2L, a1.toString)
+    assert(a1.getAs[Long]("rows") == 3L)
+    assert(spark.read.parquet(flat).collect().map(_.toString).toSet
+      == preFlat)
+    // bucketed ledger: partition dirs preserved, folded per partition
+    val part = s"$work/trans"
+    def land(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "__bucket").repartition(2)
+        .write.partitionBy("__bucket").mode("append").parquet(part)
+    land(Seq((1L, 5L, 0L), (2L, 15L, 1L)))
+    land(Seq((3L, 6L, 0L), (4L, 16L, 1L)))
+    val prePart = spark.read.parquet(part)
+      .select("user_id", "event_id", "__bucket").collect()
+      .map(_.toString).toSet
+    val a2 = IndexIngest.compactLedgerDir(spark, part).head()
+    assert(a2.getAs[String]("partitioned_by") == "__bucket")
+    assert(a2.getAs[Long]("files_after") < a2.getAs[Long]("files_before"),
+      a2.toString)
+    val dirs = new java.io.File(part).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("__bucket=0", "__bucket=1"), dirs.toString)
+    assert(spark.read.parquet(part)
+      .select("user_id", "event_id", "__bucket").collect()
+      .map(_.toString).toSet == prePart)
+    // a pruned read still prunes after the fold (one partition dir)
+    assert(spark.read.parquet(part).where(col("__bucket") === 0L)
+      .count() == 2L)
+    intercept[IllegalArgumentException](
+      IndexIngest.compactLedgerDir(spark, s"$work/nope"))
+  }
+
   test("streamed curation ≡ batch funnel: curate stages + exact/near dedup ledgers inside the pack stream") {
     val work = java.nio.file.Files.createTempDirectory("graft_cur_stream")
       .toFile.getPath
