@@ -43,6 +43,30 @@ object Queries {
     s"/tmp/graft_q/$sf/$name"
   }
 
+  /** Run INDEPENDENT side-effect stages concurrently (optimization
+    * guide §2.6 — Spark's scheduler happily runs several jobs at once;
+    * composite store-building queries measured 30-40% inter-job DRIVER
+    * gaps when the builds run strictly sequentially, so overlapping
+    * them lets one stage's planning/commit overlap another's
+    * execution and back-fills the executor pool that each tiny stage
+    * underuses on its own). Only for stages that touch DISJOINT
+    * output directories and share no frame mutation — results are
+    * identical to the sequential composition by construction. The
+    * first failure propagates with its original exception (a failed
+    * build must surface exactly as it would sequentially). */
+  private def inParallel(stages: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(stages.size)
+    try {
+      val futs = stages.map(f => pool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = f() }))
+      futs.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   // ---- oracle SQL builders ------------------------------------------------
 
   /** WP slug chain (Fns.toSlug) in DuckDB SQL (ASCII inputs — the
@@ -7632,47 +7656,60 @@ object Queries {
     (s, d) => {
       val dir = tmpDir(d, "takedown_all_yaml")
       val docs = seedRetractFixture(s, d, dir)
-      graft.sinks.Sinks.runChain(docs, Seq(
-        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
-          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
-          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
-      docs.where(col("doc_id") % 11 === 5).select(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$dir/optout")
-      docs.write.mode("overwrite").parquet(s"$dir/store")
-      graft.llm.Search.buildPostings(docs, s"$dir/bm25")
-      graft.llm.Similarity.buildIvfIndex(
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        s"$dir/ann")
-      // a trace with a retired generation, so the vacuum has work
-      val edges = graphEdges(s, d).localCheckpoint()
-      graft.llm.LinkGraph.pageRankTrace(edges, iters = 2, s"$dir/trace",
-        orderedFold = true)
-      graft.llm.LinkGraph.pageRankRefresh(s, s"$dir/trace",
-        edges.limit(1).select(col("src"), col("dst"),
-          lit(1L).as("weight")))
-      // the SFT conversation product: its own rendered-pack ledger
-      // (conv_id grain) + ownership store the user-keyed takedown
-      // resolves through
-      sftTurns(s, d).select(col("conv_id")).distinct()
-        .select(col("conv_id"), concat(lit("u"),
-          (col("conv_id") % 7).cast("string")).as("user_id"))
-        .write.mode("overwrite").parquet(s"$dir/sft_meta")
-      val rendered = graft.pipeline.ConfigLoader.transformKinds(
-          "sft_render")(Map.empty)(
-        graft.pipeline.ConfigLoader.transformKinds("sft_dedup")(Map.empty)(
-          graft.pipeline.ConfigLoader.transformKinds("sft_validate")(
-            Map.empty)(sftTurns(s, d))))
-      graft.sinks.Sinks.runChain(rendered, Seq(
-        graft.pipeline.ConfigLoader.loadKinds("parquet_dir")(
-          Map("path" -> s"$dir/sft_store")),
-        graft.pipeline.ConfigLoader.loadKinds("seed_curated_pack")(Map(
-          "dir" -> s"$dir/sft", "idCol" -> "conv_id",
-          "textCol" -> "text", "budget" -> "64"))))
-      graft.sinks.Sinks.runChain(s.read.parquet(s"$dir/sft_store"), Seq(
-        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
-          "assignmentDir" -> s"$dir/sft/assign", "idCol" -> "conv_id",
-          "textCol" -> "text", "dir" -> s"$dir/sft/out",
-          "nShards" -> "4"))))
+      // the five stores build CONCURRENTLY (guide §2.6): each stage
+      // owns a disjoint output directory and none reads another's
+      // output, so the composition is order-free — sequential builds
+      // measured 50 s wall / 30 s job time (369 tiny jobs, the rest
+      // driver gaps); overlapping them fills the gaps and the pool
+      inParallel(
+        () => graft.sinks.Sinks.runChain(docs, Seq(
+          graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+            "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+            "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4")))),
+        () => {
+          docs.where(col("doc_id") % 11 === 5).select(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$dir/optout")
+          docs.write.mode("overwrite").parquet(s"$dir/store")
+        },
+        () => graft.llm.Search.buildPostings(docs, s"$dir/bm25"),
+        () => graft.llm.Similarity.buildIvfIndex(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          s"$dir/ann"),
+        () => {
+          // a trace with a retired generation, so the vacuum has work
+          val edges = graphEdges(s, d).localCheckpoint()
+          graft.llm.LinkGraph.pageRankTrace(edges, iters = 2, s"$dir/trace",
+            orderedFold = true)
+          graft.llm.LinkGraph.pageRankRefresh(s, s"$dir/trace",
+            edges.limit(1).select(col("src"), col("dst"),
+              lit(1L).as("weight")))
+        },
+        () => {
+          // the SFT conversation product: its own rendered-pack ledger
+          // (conv_id grain) + ownership store the user-keyed takedown
+          // resolves through; internally sequential (the shards read
+          // the store the rendered chain writes)
+          sftTurns(s, d).select(col("conv_id")).distinct()
+            .select(col("conv_id"), concat(lit("u"),
+              (col("conv_id") % 7).cast("string")).as("user_id"))
+            .write.mode("overwrite").parquet(s"$dir/sft_meta")
+          val rendered = graft.pipeline.ConfigLoader.transformKinds(
+              "sft_render")(Map.empty)(
+            graft.pipeline.ConfigLoader.transformKinds("sft_dedup")(Map.empty)(
+              graft.pipeline.ConfigLoader.transformKinds("sft_validate")(
+                Map.empty)(sftTurns(s, d))))
+          graft.sinks.Sinks.runChain(rendered, Seq(
+            graft.pipeline.ConfigLoader.loadKinds("parquet_dir")(
+              Map("path" -> s"$dir/sft_store")),
+            graft.pipeline.ConfigLoader.loadKinds("seed_curated_pack")(Map(
+              "dir" -> s"$dir/sft", "idCol" -> "conv_id",
+              "textCol" -> "text", "budget" -> "64"))))
+          graft.sinks.Sinks.runChain(s.read.parquet(s"$dir/sft_store"), Seq(
+            graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+              "assignmentDir" -> s"$dir/sft/assign", "idCol" -> "conv_id",
+              "textCol" -> "text", "dir" -> s"$dir/sft/out",
+              "nShards" -> "4"))))
+        })
       val yaml =
         s"""jobs:
            |  - name: takedown
@@ -12313,12 +12350,24 @@ object Queries {
         val seeds = edges.select(col("src").as("node"))
           .unionByName(edges.select(col("dst").as("node")))
           .where(col("node") < 10).distinct()
-        graft.llm.LinkGraph.pageRankTrace(base, iters = 3, prDir,
-          orderedFold = true)
-        graft.llm.LinkGraph.trustRankTrace(base, seeds, iters = 3, trDir,
-          orderedFold = true)
-        val pr = graft.llm.LinkGraph.pageRankRefresh(s, prDir, delta)
-        val tr = graft.llm.LinkGraph.pageRankRefresh(s, trDir, delta)
+        // the PR and TR chains are independent (disjoint trace dirs,
+        // same checkpointed inputs) — run them concurrently end to
+        // end (guide §2.6); each chain's sweeps stay sequential
+        var prOpt: Option[org.apache.spark.sql.DataFrame] = None
+        var trOpt: Option[org.apache.spark.sql.DataFrame] = None
+        inParallel(
+          () => {
+            graft.llm.LinkGraph.pageRankTrace(base, iters = 3, prDir,
+              orderedFold = true)
+            prOpt = Some(graft.llm.LinkGraph.pageRankRefresh(s, prDir, delta))
+          },
+          () => {
+            graft.llm.LinkGraph.trustRankTrace(base, seeds, iters = 3, trDir,
+              orderedFold = true)
+            trOpt = Some(graft.llm.LinkGraph.pageRankRefresh(s, trDir, delta))
+          })
+        val pr = prOpt.get
+        val tr = trOpt.get
         val hostOf = concat(lit("src"), (col("node") % 20).cast("string"))
         graft.llm.LinkGraph.spamMass(
             graft.llm.LinkGraph.hostPrior(pr, hostOf, orderedFold = true),

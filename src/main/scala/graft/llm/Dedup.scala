@@ -321,7 +321,12 @@ object Dedup {
     // so its three references (banding + both est join-backs) re-derive
     // it rather than caching a second frame.
     val sh = hashedShingleFrame(df, idCol, textCol).cache()
-    val sigs = signaturesFromHashedShingles(sh, k)
+    // the signature frame is referenced THREE times downstream (the
+    // banding pass + both est join-backs in candidatesFromSigs) —
+    // uncached, each reference re-runs the k×|shingles| hash loop over
+    // the whole corpus (guide §1.2: don't compute things three times).
+    // (doc_id, 64 longs) per row: far cheaper to hold than to re-derive.
+    val sigs = signaturesFromHashedShingles(sh, k).cache()
     val slack = estSlack(k)
     val pre = candidatesFromSigs(sigs, k, bands, maxBucket)
       .where(col("est_jaccard") >= threshold - slack)
@@ -331,10 +336,11 @@ object Dedup {
       .withColumn("jaccard", sortedJaccard(col("sha_"), col("shb_")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
-    // materialize eagerly so both caches can be released at once — the
+    // materialize eagerly so all caches can be released at once — the
     // output (near-dup pairs) is orders of magnitude smaller than the
     // corpus
     val out = verified.localCheckpoint(true)
+    sigs.unpersist()
     sh.unpersist()
     out
   }
@@ -365,9 +371,14 @@ object Dedup {
                              bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     val shNew = hashedShingleFrame(newDf, idCol, textCol).cache()
     val shCorp = hashedShingleFrame(corpusDf, idCol, textCol).cache()
-    val out = nearDupsAcross(shNew, signaturesFromHashedShingles(shNew, k),
-      shCorp, signaturesFromHashedShingles(shCorp, k),
+    // each signature frame is referenced twice downstream (banding +
+    // the est join-back) — cache them too, or each reference re-runs
+    // the k×|shingles| hash loop (the minhashNearDups rationale)
+    val sigsNew = signaturesFromHashedShingles(shNew, k).cache()
+    val sigsCorp = signaturesFromHashedShingles(shCorp, k).cache()
+    val out = nearDupsAcross(shNew, sigsNew, shCorp, sigsCorp,
       threshold, k, bands, maxBucket)
+    sigsNew.unpersist(); sigsCorp.unpersist()
     shNew.unpersist(); shCorp.unpersist()
     out
   }
@@ -402,10 +413,12 @@ object Dedup {
                                    bands: Int = 16,
                                    maxBucket: Int = 1000): DataFrame = {
     val shNew = hashedShingleFrame(newDf, idCol, textCol).cache()
-    val out = nearDupsAcross(shNew, signaturesFromHashedShingles(shNew, k),
+    val sigsNew = signaturesFromHashedShingles(shNew, k).cache()
+    val out = nearDupsAcross(shNew, sigsNew,
       ledger.select(col("doc_id"), col("sh").as("__sh")),
       ledger.select(col("doc_id"), col("sig")),
       threshold, k, bands, maxBucket)
+    sigsNew.unpersist()
     shNew.unpersist()
     out
   }

@@ -137,11 +137,21 @@ object LinkGraph {
           .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
           .localCheckpoint()
       else null
+    // edges ⋈ out-weights is loop-INVARIANT — hoisted out of the sweep
+    // loop and checkpointed hash-partitioned on the join key, so each
+    // sweep pays ONE exchange of the (small) rank frame instead of
+    // re-shuffling the edge list every iteration (guide §2.4: two
+    // operations keyed the same way share one exchange; localCheckpoint
+    // preserves the partitioning in the logical plan). Per-sweep
+    // arithmetic is unchanged — (rank / __ow) · __w with the original
+    // column values — so orderedFold results stay bit-identical.
+    val eOw = e.join(outW, "src")
+      .repartition(col("src"))
+      .localCheckpoint()
     var ranks = withBase
     onSweep(0, ranks.select(col("node"), col("rank")))
     for (t <- 1 to iters) {
-      val contribs = e
-        .join(outW, "src")
+      val contribs = eOw
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst"), col("src"),
           ((col("rank") / col("__ow")) * col("__w")).as("__contrib"))
@@ -319,6 +329,31 @@ object LinkGraph {
       _.getPath.getName.stripPrefix("gen-").toInt).getPath.toString)
   }
 
+  /** Overlapped trace-artifact writes (optimization guide §2.6): a
+    * traced run's persisted artifacts (edges/outw/base/meta and each
+    * sweep's rank frame) are consumed only by LATER maintenance runs,
+    * never by the in-flight computation — every frame handed here is
+    * already localCheckpoint'd, so writing it on a side thread
+    * overlaps the (driver-gap-dominated) sweep loop instead of
+    * serializing behind it. Crash-safety is preserved: [[await]]
+    * rethrows the first failure and MUST be called before the commit
+    * marker, so a failed write leaves an uncommitted (invisible)
+    * generation exactly as the sequential form did. */
+  private class AsyncWrites(threads: Int = 2) {
+    private val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(threads)
+    private val futs = collection.mutable.ArrayBuffer
+      .empty[java.util.concurrent.Future[_]]
+    def submit(f: => Unit): Unit =
+      futs += pool.submit(new Runnable { def run(): Unit = f })
+    def await(): Unit =
+      try futs.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      } finally pool.shutdown()
+  }
+
   private def nextTraceGen(spark: org.apache.spark.sql.SparkSession,
                            dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -378,19 +413,27 @@ object LinkGraph {
           lit((1.0 - damping) / n).as("__base"), lit(1.0 / n).as("rank"))
     }).localCheckpoint()
     val gen = nextTraceGen(spark, traceDir)
-    e.select(col("src"), col("dst"), col("__w").as("weight"))
-      .write.mode("overwrite").parquet(s"$gen/edges")
-    e.groupBy(col("src")).agg(sum(col("__w")).as("__ow"))
-      .write.mode("overwrite").parquet(s"$gen/outw")
-    withBase.select(col("node"), col("__base"))
-      .write.mode("overwrite").parquet(s"$gen/base")
-    seedFrame.foreach(_.write.mode("overwrite").parquet(s"$gen/seeds"))
-    spark.range(1).select(lit(iters).as("iters"),
+    // every artifact below derives from checkpointed frames and is
+    // read only by later maintenance runs — write them on the side
+    // pool so the sweep loop never waits on a parquet commit; the
+    // await-before-marker keeps the crash contract (see AsyncWrites)
+    val w = new AsyncWrites()
+    w.submit(e.select(col("src"), col("dst"), col("__w").as("weight"))
+      .write.mode("overwrite").parquet(s"$gen/edges"))
+    w.submit(e.groupBy(col("src")).agg(sum(col("__w")).as("__ow"))
+      .write.mode("overwrite").parquet(s"$gen/outw"))
+    w.submit(withBase.select(col("node"), col("__base"))
+      .write.mode("overwrite").parquet(s"$gen/base"))
+    seedFrame.foreach(sf =>
+      w.submit(sf.write.mode("overwrite").parquet(s"$gen/seeds")))
+    w.submit(spark.range(1).select(lit(iters).as("iters"),
         lit(damping).as("damping"), lit(n).as("n"),
         lit(orderedFold).as("ordered_fold"), lit(mode).as("mode"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$gen/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/meta"))
     val out = rankSweeps(e, withBase, iters, damping, orderedFold,
-      (t, r) => r.write.mode("overwrite").parquet(f"$gen/sweep-$t%04d"))
+      (t, r) =>
+        w.submit(r.write.mode("overwrite").parquet(f"$gen/sweep-$t%04d")))
+    w.await()
     val m = new org.apache.hadoop.fs.Path(gen, TraceCommit)
     traceFs(spark, traceDir).create(m, true).close()
     out
@@ -555,22 +598,32 @@ object LinkGraph {
       .localCheckpoint()
     val base = (1.0 - damping) / n
     val genNew = nextTraceGen(spark, traceDir)
-    merged.write.mode("overwrite").parquet(s"$genNew/edges")
-    outW.write.mode("overwrite").parquet(s"$genNew/outw")
-    spark.read.parquet(s"$gen/meta")
-      .write.mode("overwrite").parquet(s"$genNew/meta")
+    // the generation's carried artifacts and per-sweep frames are read
+    // only by LATER refreshes (each sweep below reads the OLD gen's
+    // frames and its own checkpointed `patched`) — write them on the
+    // side pool so the frontier loop never blocks on a parquet commit;
+    // await-before-marker preserves the crash contract (AsyncWrites)
+    val w = new AsyncWrites()
+    w.submit(merged.write.mode("overwrite").parquet(s"$genNew/edges"))
+    w.submit(outW.write.mode("overwrite").parquet(s"$genNew/outw"))
+    w.submit(spark.read.parquet(s"$gen/meta")
+      .write.mode("overwrite").parquet(s"$genNew/meta"))
     // the base frame / seed set are properties of the node set, which
     // this path did not change — carry them so refreshes keep chaining
     if (genHas("base"))
-      spark.read.parquet(s"$gen/base")
-        .write.mode("overwrite").parquet(s"$genNew/base")
+      w.submit(spark.read.parquet(s"$gen/base")
+        .write.mode("overwrite").parquet(s"$genNew/base"))
     if (genHas("seeds"))
-      spark.read.parquet(s"$gen/seeds")
-        .write.mode("overwrite").parquet(s"$genNew/seeds")
+      w.submit(spark.read.parquet(s"$gen/seeds")
+        .write.mode("overwrite").parquet(s"$genNew/seeds"))
     val baseDf = if (mode == "trustrank")
       spark.read.parquet(s"$gen/base") else null
     var patched = spark.read.parquet(f"$gen/sweep-0000").localCheckpoint()
-    patched.write.mode("overwrite").parquet(f"$genNew/sweep-0000")
+    // snapshot the var before handing it to the by-name submit — the
+    // loop below reassigns `patched`, and a deferred by-name read
+    // would write whichever frame the var holds at RUN time
+    val sweep0 = patched
+    w.submit(sweep0.write.mode("overwrite").parquet(f"$genNew/sweep-0000"))
     var frontier = spark.emptyDataFrame
     for (t <- 1 to iters) {
       val influencers = (if (t == 1) sources
@@ -621,9 +674,11 @@ object LinkGraph {
         .select(col("node"),
           coalesce(col("__new"), col("rank")).as("rank"))
         .localCheckpoint()
-      patched.write.mode("overwrite").parquet(f"$genNew/sweep-$t%04d")
+      val done = patched
+      w.submit(done.write.mode("overwrite").parquet(f"$genNew/sweep-$t%04d"))
       frontier = affected
     }
+    w.await()
     val m = new org.apache.hadoop.fs.Path(genNew, TraceCommit)
     traceFs(spark, traceDir).create(m, true).close()
     patched

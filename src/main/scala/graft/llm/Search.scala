@@ -339,6 +339,20 @@ object Search {
   private def nextDeltaDir(spark: SparkSession, dir: String): String =
     nextNumbered(spark, dir, "delta-")
 
+  /** Scale-ADAPTIVE postings shard count (optimization guide §2/§6):
+    * the caller's `shards` is the CAP (the production knob for a
+    * corpus that needs the fan-out), but the written file count
+    * derives from the corpus's own token mass — one term-range shard
+    * per ~16M tokens — so a small corpus never pays 32 task commits,
+    * 32 parquet footers per serve read and 32 near-empty range
+    * partitions for data that fits one healthy file (§6: aim for
+    * 128 MB–1 GB output files, never thousands of tiny ones). Layout
+    * only — the postings CONTENT, term sort and row-group pruning are
+    * unchanged at any shard count. */
+  private def adaptiveShards(cap: Int, tokenMass: Double): Int =
+    math.min(cap.toLong,
+      math.max(1L, math.ceil(tokenMass / 16e6).toLong)).toInt
+
   private def commitDelta(spark: SparkSession, deltaDir: String): Unit = {
     val m = new org.apache.hadoop.fs.Path(deltaDir, DeltaCommit)
     fsOf(spark, deltaDir).create(m, true).close()
@@ -404,23 +418,42 @@ object Search {
                     shards: Int = 32): Unit = {
     require(shards >= 1, s"buildPostings: shards must be >= 1, got $shards")
     val spark = docs.sparkSession
-    val (dfreq, n, avgdl) = bm25Stats(docs, idCol, textCol)
-    // membership frame (id, dl, ch) — doubles as the token-mass
-    // source ([[appendPostings]] keeps the average EXACT over appends
-    // via (sum_dl + new) / (n + new), never a re-scan of the indexed
-    // corpus); `ch` hashes the NORMALIZED token stream so
-    // [[rebuildPostingsIfStale]]'s contentHash mode can see rewrites
-    // that preserve the token count (the membership-diff blind spot)
+    // TWO tokenize passes total (optimization guide §1.2/§2.3 — the
+    // round-16 rewrite; the previous shape paid FIVE: the stats
+    // action, the membership checkpoint, the df write's recompute,
+    // the range-partitioner's sampling pass and the postings shuffle
+    // each re-tokenized the corpus):
+    //  1. the membership frame (id, dl, ch) — also the token-mass
+    //     source for n/avgdl/sum_dl, folded into ONE action;
+    //  2. the (id, term, tf, dl) aggregate, materialized ONCE — the
+    //     df table, the range-partitioner's sample AND the postings
+    //     write all read it instead of re-exploding the corpus. Its
+    //     checkpoint is index-sized (exactly what this build is about
+    //     to write), never a raw-token-array corpus copy.
+    // The membership pass stays separate because `ch` hashes the
+    // ORDERED token stream, which the per-(doc,term) aggregate has
+    // already collapsed. Every expression is unchanged — the written
+    // index is identical.
     val ids = docs
       .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"),
         xxhash64(words(col(textCol))).as("ch"))
       .localCheckpoint()
-    val sumDl = ids.agg(sum(col("dl")).as("s")).head().getDouble(0)
-    val gen = nextNumbered(spark, dir, "gen-")
-    postingsOf(docs, idCol, textCol)
+    val statsRow = ids.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .head()
+    val n = statsRow.getLong(0)
+    require(n > 0,
+      "bm25Stats: empty corpus (an upstream stage yielded zero rows; " +
+        "BM25 statistics are undefined over nothing)")
+    val sumDl = statsRow.getDouble(1)
+    val avgdl = sumDl / n
+    val postings = postingsOf(docs, idCol, textCol)
       .select(col(idCol), col("term"), col("__tf").as("tf"),
         col("__dl").as("dl"))
-      .repartitionByRange(shards, col("term"))
+      .localCheckpoint()
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val gen = nextNumbered(spark, dir, "gen-")
+    postings
+      .repartitionByRange(adaptiveShards(shards, sumDl), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$gen/postings")
     dfreq.write.mode("overwrite").parquet(s"$gen/df")
@@ -431,6 +464,9 @@ object Search {
         lit(idCol).as("id_col"), lit(textCol).as("text_col"))
       .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats")
     commitDelta(spark, gen)
+    // the two localCheckpoint RDD blocks release via the session's
+    // persistent-RDD sweep (Dataset.unpersist only reaches the cache
+    // registry, not checkpoint blocks — the Bench/clearCache caveat)
   }
 
   /** Incrementally APPEND new documents to a [[buildPostings]]
@@ -470,17 +506,29 @@ object Search {
           "taken-down content requires an explicit rebuild " +
           "(buildPostings / rebuildPostingsIfStale), not an append")
     }
-    val (dfNew, nNew, _) = bm25Stats(newDocs, idCol, textCol)
+    // the batch tokenizes TWICE total (the buildPostings shape): the
+    // membership pass (ordered-stream hash + token mass, one action)
+    // and the postings aggregate, materialized once so the df merge,
+    // the range sample and the postings write all read it
     val newIds = newDocs
       .select(col(idCol), size(words(col(textCol))).cast("double").as("dl"),
         xxhash64(words(col(textCol))).as("ch"))
       .localCheckpoint()
-    val sumNew = newIds.agg(sum(col("dl")).as("s")).head().getDouble(0)
-    val delta = nextDeltaDir(spark, state.root)
-    postingsOf(newDocs, idCol, textCol)
+    val batchRow = newIds
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val nNew = batchRow.getLong(0)
+    require(nNew > 0,
+      "bm25Stats: empty corpus (an upstream stage yielded zero rows; " +
+        "BM25 statistics are undefined over nothing)")
+    val sumNew = batchRow.getDouble(1)
+    val newPostings = postingsOf(newDocs, idCol, textCol)
       .select(col(idCol), col("term"), col("__tf").as("tf"),
         col("__dl").as("dl"))
-      .repartitionByRange(shards, col("term"))
+      .localCheckpoint()
+    val dfNew = newPostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val delta = nextDeltaDir(spark, state.root)
+    newPostings
+      .repartitionByRange(adaptiveShards(shards, sumNew), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$delta/postings")
     newIds.write.mode("overwrite").parquet(s"$delta/ids")
@@ -623,7 +671,8 @@ object Search {
       .map(tp => spark.read.parquet(tp).count()).getOrElse(0L)
     val eventsFolded = (state.postingsPaths.size - 1).toLong
     val gen = nextNumbered(spark, dir, "gen-")
-    live.repartitionByRange(shards, col("term"))
+    live.repartitionByRange(
+        adaptiveShards(shards, st.getAs[Double]("sum_dl")), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$gen/postings")
     spark.read.parquet(state.dfPath)
