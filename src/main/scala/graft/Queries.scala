@@ -7516,13 +7516,18 @@ object Queries {
     (s, d) => {
       val dir = tmpDir(d, "takedown_yaml")
       val docs = seedRetractFixture(s, d, dir)
-      graft.sinks.Sinks.runChain(docs, Seq(
-        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
-          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
-          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
-      docs.where(col("doc_id") % 11 === 5).select(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$dir/optout")
-      docs.write.mode("overwrite").parquet(s"$dir/store")
+      // shard materialization and the optout/store landings are
+      // independent (disjoint dirs) — §2.6
+      inParallel(
+        () => graft.sinks.Sinks.runChain(docs, Seq(
+          graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+            "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+            "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4")))),
+        () => {
+          docs.where(col("doc_id") % 11 === 5).select(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$dir/optout")
+          docs.write.mode("overwrite").parquet(s"$dir/store")
+        })
       val yaml =
         s"""jobs:
            |  - name: takedown
@@ -7581,15 +7586,18 @@ object Queries {
     (s, d) => {
       val dir = tmpDir(d, "takedown_source_yaml")
       val docs = seedRetractFixture(s, d, dir)
-      graft.sinks.Sinks.runChain(docs, Seq(
-        graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
-          "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
-          "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4"))))
-      t(s, d, "documents")
-        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
-          col("source"))
-        .where(col("doc_id") < 90)
-        .write.mode("overwrite").parquet(s"$dir/store")
+      // shard materialization and the store landing are independent
+      // (disjoint dirs) — §2.6
+      inParallel(
+        () => graft.sinks.Sinks.runChain(docs, Seq(
+          graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+            "assignmentDir" -> s"$dir/assign", "idCol" -> "doc_id",
+            "textCol" -> "text", "dir" -> s"$dir/out", "nShards" -> "4")))),
+        () => t(s, d, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+            col("source"))
+          .where(col("doc_id") < 90)
+          .write.mode("overwrite").parquet(s"$dir/store"))
       val yaml =
         s"""jobs:
            |  - name: takedown_publishers
@@ -7953,13 +7961,15 @@ object Queries {
                              extraJobs: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    sftTurns(s, d).write.mode("overwrite").parquet(s"$dir/turns")
-    // conversation ownership — the mapping a legal request resolves
-    // through; string user ids (the opt-out registry shape)
-    sftTurns(s, d).select(col("conv_id")).distinct()
-      .select(col("conv_id"),
-        concat(lit("u"), (col("conv_id") % 7).cast("string")).as("user_id"))
-      .write.mode("overwrite").parquet(s"$dir/conv_meta")
+    // the turn store and the ownership store are independent — §2.6
+    inParallel(
+      () => sftTurns(s, d).write.mode("overwrite").parquet(s"$dir/turns"),
+      // conversation ownership — the mapping a legal request resolves
+      // through; string user ids (the opt-out registry shape)
+      () => sftTurns(s, d).select(col("conv_id")).distinct()
+        .select(col("conv_id"),
+          concat(lit("u"), (col("conv_id") % 7).cast("string")).as("user_id"))
+        .write.mode("overwrite").parquet(s"$dir/conv_meta"))
     val yaml =
       s"""jobs:
          |  - name: sft_seed
@@ -13252,10 +13262,13 @@ object Queries {
       val dir = tmpDir(d, "hybrid_indexed")
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      graft.llm.Search.buildPostings(t(s, d, "documents"), s"$dir/bm25")
-      graft.llm.Similarity.buildIvfIndex(
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        s"$dir/ann")
+      // the two index builds are independent (disjoint dirs) — §2.6
+      inParallel(
+        () => graft.llm.Search.buildPostings(t(s, d, "documents"),
+          s"$dir/bm25"),
+        () => graft.llm.Similarity.buildIvfIndex(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          s"$dir/ann"))
       graft.llm.Search.hybridRetrieveIndexed(s, s"$dir/bm25", s"$dir/ann",
           hybridBench(s, d), k = 5, kPerSignal = 10, nProbe = 16)
         .orderBy(col("qid"), col("rank"))
@@ -13281,10 +13294,13 @@ object Queries {
       val dir = tmpDir(d, "hybrid_pq")
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      graft.llm.Search.buildPostings(t(s, d, "documents"), s"$dir/bm25")
       val embs = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      graft.llm.Similarity.buildIvfPqIndex(embs, s"$dir/ann")
+      // the two index builds are independent (disjoint dirs) — §2.6
+      inParallel(
+        () => graft.llm.Search.buildPostings(t(s, d, "documents"),
+          s"$dir/bm25"),
+        () => graft.llm.Similarity.buildIvfPqIndex(embs, s"$dir/ann"))
       graft.llm.Search.hybridRetrieveIndexed(s, s"$dir/bm25", s"$dir/ann",
           hybridBench(s, d), k = 5, kPerSignal = 10, nProbe = 16,
           family = "ivfpq", rerank = Some(embs), shortlist = 1 << 20)
@@ -13309,12 +13325,16 @@ object Queries {
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(root, true)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/incoming"))
-      graft.llm.Search.buildPostings(t(s, d, "documents"), s"$dir/bm25")
-      graft.llm.Similarity.buildIvfIndex(
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        s"$dir/ann")
       val bench = hybridBench(s, d)
-      bench.limit(1).write.parquet(s"$dir/schema")
+      // both index builds and the stream-schema seed are independent
+      // (disjoint output dirs) — §2.6
+      inParallel(
+        () => graft.llm.Search.buildPostings(t(s, d, "documents"),
+          s"$dir/bm25"),
+        () => graft.llm.Similarity.buildIvfIndex(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          s"$dir/ann"),
+        () => bench.limit(1).write.parquet(s"$dir/schema"))
       def land(df: DataFrame, name: String): Unit = {
         val tmp = s"$dir/land_tmp"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
