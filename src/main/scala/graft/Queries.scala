@@ -3635,25 +3635,33 @@ object Queries {
         .localCheckpoint()
       val wsToks = size(filter(split(trim(col("text")), "\\s+"),
         w => w =!= "")).cast("long")
-      mixPhasesFixture.zipWithIndex.map { case (p, i) =>
-        val phaseDocs = docs.join(
-          sched.where(col("phase_idx") === i).select(col("doc_id")),
-          "doc_id")
-        graft.llm.Packing.packSequences(phaseDocs, "doc_id", wsToks, 256L)
-          .write.mode("overwrite").parquet(s"$dir/assign$i")
-        graft.sinks.Sinks.runChain(phaseDocs, Seq(
-          graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
-            "assignmentDir" -> s"$dir/assign$i", "idCol" -> "doc_id",
-            "textCol" -> "text", "dir" -> s"$dir/out$i",
-            "nShards" -> "2"))))
-        val manifest = s.read.parquet(s"$dir/out$i/manifest")
-        val data = s.read.parquet(s"$dir/out$i/data")
-          .groupBy(col("shard").cast("long").as("shard"))
-          .agg(sum(col("n_tokens")).as("sum_tokens"),
-            sum(col("n_docs")).as("sum_docs"))
-        manifest.join(data, Seq("shard"))
-          .select(lit(i.toLong).as("phase_idx"), col("*"))
-      }.reduce(_ unionByName _).orderBy(col("phase_idx"), col("shard"))
+      // the phases are independent given the checkpointed schedule
+      // (disjoint doc subsets, disjoint dirs) — build them
+      // concurrently (§2.6) and union in phase order
+      val frames =
+        new Array[org.apache.spark.sql.DataFrame](mixPhasesFixture.size)
+      inParallel(mixPhasesFixture.zipWithIndex.map { case (_, i) =>
+        () => {
+          val phaseDocs = docs.join(
+            sched.where(col("phase_idx") === i).select(col("doc_id")),
+            "doc_id")
+          graft.llm.Packing.packSequences(phaseDocs, "doc_id", wsToks, 256L)
+            .write.mode("overwrite").parquet(s"$dir/assign$i")
+          graft.sinks.Sinks.runChain(phaseDocs, Seq(
+            graft.pipeline.ConfigLoader.loadKinds("materialize_shards")(Map(
+              "assignmentDir" -> s"$dir/assign$i", "idCol" -> "doc_id",
+              "textCol" -> "text", "dir" -> s"$dir/out$i",
+              "nShards" -> "2"))))
+          val manifest = s.read.parquet(s"$dir/out$i/manifest")
+          val data = s.read.parquet(s"$dir/out$i/data")
+            .groupBy(col("shard").cast("long").as("shard"))
+            .agg(sum(col("n_tokens")).as("sum_tokens"),
+              sum(col("n_docs")).as("sum_docs"))
+          frames(i) = manifest.join(data, Seq("shard"))
+            .select(lit(i.toLong).as("phase_idx"), col("*"))
+        }
+      }: _*)
+      frames.reduce(_ unionByName _).orderBy(col("phase_idx"), col("shard"))
     },
     Some(s"""WITH $sqlPhaseScheduleCtes,
       o2 AS (SELECT phase_idx, doc_id, n_tokens,

@@ -951,24 +951,45 @@ object Packing {
     val tokCount = size(tokArr).cast("long")
     val sched = Mixing.phasedMixSchedule(docs, idCol, textCol, domainCol,
       phases, salt).localCheckpoint()
-    phases.zipWithIndex.map { case (p, i) =>
-      val gen = f"$dir/phase-$i%04d"
-      val member = sched.where(col("phase_idx") === i)
-        .select(col("doc_id").as("__pm"))
-      val phaseDocs = docs.join(member, docs(idCol) === col("__pm"))
-        .drop("__pm").localCheckpoint()
-      packSequences(phaseDocs, idCol, tokCount, packBudget)
-        .write.mode("overwrite").parquet(s"$gen/assignment")
-      materializeShardsFromAssignment(spark, s"$gen/assignment",
-        phaseDocs, idCol, tokArr, s"$gen/shards", nShards)
-      val manifest = spark.read.parquet(s"$gen/shards/manifest")
-      val data = spark.read.parquet(s"$gen/shards/data")
-        .groupBy(col("shard").cast("long").as("shard"))
-        .agg(sum(col("n_tokens")).as("sum_tokens"),
-          sum(col("n_docs")).as("sum_docs"))
-      manifest.join(data, Seq("shard"))
-        .select(lit(i.toLong).as("phase_idx"), lit(p.name).as("phase"),
-          col("*"))
-    }.reduce(_ unionByName _)
+    // phases are independent once the schedule is materialized (each
+    // reads the checkpointed schedule + docs and owns a disjoint
+    // generation dir) — build them CONCURRENTLY (optimization guide
+    // §2.6: overlap independent jobs; the sequential form measured
+    // ~40% inter-job driver gaps) and union in phase order, so the
+    // result is identical to the sequential composition
+    val frames = new Array[DataFrame](phases.size)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(phases.size, 4))
+    try {
+      val futs = phases.zipWithIndex.map { case (p, i) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val gen = f"$dir/phase-$i%04d"
+            val member = sched.where(col("phase_idx") === i)
+              .select(col("doc_id").as("__pm"))
+            val phaseDocs = docs.join(member, docs(idCol) === col("__pm"))
+              .drop("__pm").localCheckpoint()
+            packSequences(phaseDocs, idCol, tokCount, packBudget)
+              .write.mode("overwrite").parquet(s"$gen/assignment")
+            materializeShardsFromAssignment(spark, s"$gen/assignment",
+              phaseDocs, idCol, tokArr, s"$gen/shards", nShards)
+            val manifest = spark.read.parquet(s"$gen/shards/manifest")
+            val data = spark.read.parquet(s"$gen/shards/data")
+              .groupBy(col("shard").cast("long").as("shard"))
+              .agg(sum(col("n_tokens")).as("sum_tokens"),
+                sum(col("n_docs")).as("sum_docs"))
+            frames(i) = manifest.join(data, Seq("shard"))
+              .select(lit(i.toLong).as("phase_idx"), lit(p.name).as("phase"),
+                col("*"))
+          }
+        })
+      }
+      futs.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+    frames.reduce(_ unionByName _)
   }
 }
