@@ -35,7 +35,10 @@ object Prof {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        // all distinct stage callsites, so broadcast-future jobs (whose
+        // last stage is an anonymous CompletableFuture frame) still
+        // reveal which operator's subtree they executed
+        val site = js.stageInfos.map(_.name).distinct.mkString(" | ")
         jobs.put(js.jobId, JobRec(js.jobId, js.time, site = site))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -60,7 +63,7 @@ object Prof {
         .sortBy(r => -(r.end - r.start))
       println(f"== ${q.name}: total $total%.2f s, ${recs.size} jobs ==")
       recs.take(40).foreach { r =>
-        println(f"  ${(r.end - r.start) / 1e3}%7.3f s  job ${r.id}%4d  ${r.site.take(110)}")
+        println(f"  ${(r.end - r.start) / 1e3}%7.3f s  job ${r.id}%4d  ${r.site.take(220)}")
       }
       val accounted = recs.map(r => r.end - r.start).sum / 1e3
       println(f"  [sum of job times: $accounted%.2f s  (gaps = driver/planning time)]")
