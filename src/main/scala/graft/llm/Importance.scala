@@ -211,6 +211,14 @@ object Importance {
     val spark = labeled.sparkSession
     import spark.implicits._
     val dec = "decimal(27,12)"
+    // partition count sized to the DATA, not the core count (guide §2:
+    // driver-loop state must not pay a fixed 32-way exchange per
+    // iteration when the training set is tiny, and must still fan out
+    // on a real corpus). One cheap map-only count of the training rows
+    // decides it; ~2k docs per partition keeps per-task feature rows in
+    // the healthy range at any scale.
+    val nTrain = train.count()
+    val xParts = math.max(1, math.ceil(nTrain / 2048.0).toInt)
     // (doc_id, bucket, cnt, n, y) — one extraction pass, then
     // hash-partitioned on the doc key and cached so every iteration's
     // per-doc aggregation and error join are exchange-free
@@ -221,19 +229,24 @@ object Importance {
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .join(labeled.select(col(idCol).as("doc_id"),
         col(labelCol).cast("double").as("y")), Seq("doc_id"))
-      .repartition(col("doc_id"))
+      .repartition(xParts, col("doc_id"))
       .cache()
     val nDocs = x.select(col("doc_id")).distinct().count()
     require(nDocs > 0, "trainClassifier: no featured documents")
 
     val w = Array.fill(nBuckets)(0.0)
     (1 to iters).foreach { _ =>
-      val wDf = broadcast(w.toIndexedSeq.zipWithIndex
-        .map { case (wt, b) => (b.toLong, wt) }.toDF("bucket", "weight"))
+      // weight lookup as an array LITERAL indexed per feature row —
+      // the same values the former nBuckets-row broadcast join carried
+      // (the table was dense over 0..nBuckets-1, so the inner join
+      // matched every row exactly once), without paying a broadcast
+      // build + exchange job per iteration
+      val wCol = element_at(typedLit(w.toIndexedSeq),
+        (col("bucket") + 1).cast("int"))
       // err_d = sigmoid(Σ w_b·cnt/n) - y, rounded for the gradient pass
-      val err = x.join(wDf, Seq("bucket"))
+      val err = x
         .groupBy(col("doc_id"), col("y"), col("n"))
-        .agg(sum(round(col("weight") * col("cnt"), 12).cast(dec)).as("__s"))
+        .agg(sum(round(wCol * col("cnt"), 12).cast(dec)).as("__s"))
         .select(col("doc_id"),
           round(lit(1.0) /
               (lit(1.0) + exp(-(col("__s").cast("double") / col("n")))) -

@@ -39,6 +39,70 @@ import graft.llm.Similarity
   */
 object IndexIngest {
 
+  private type SchemaMemo =
+    java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.types.StructType]
+
+  private def newSchemaMemo: SchemaMemo = new SchemaMemo(null)
+
+  /** Read a ledger directory with a PER-STREAM-INSTANCE schema memo: a
+    * ledger's schema is decided at its birth and never changes (the
+    * generation swaps the appenders follow keep the layout), so every
+    * micro-batch after the first skips the parquet footer/schema
+    * inference read — the `transitionsLedgerSink` once-per-sink probe
+    * (optimization round 16) generalized to every per-batch ledger
+    * scan. */
+  private def ledgerRead(spark: org.apache.spark.sql.SparkSession,
+                         path: String, memo: SchemaMemo): DataFrame = {
+    val cached = memo.get()
+    val df = (if (cached != null) spark.read.schema(cached)
+      else spark.read).parquet(path)
+    if (cached == null) memo.set(df.schema)
+    df
+  }
+
+  /** Run INDEPENDENT side-effect stages concurrently (optimization
+    * guide §2.6): ledger writes that touch DISJOINT directories and
+    * share no frame mutation overlap one stage's planning/commit with
+    * another's execution — at any cluster size the concurrent jobs
+    * back-fill the executor pool each small write underuses alone.
+    * Results are identical to the sequential composition by
+    * construction; the first failure propagates with its original
+    * exception. */
+  private def inParallel(stages: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(stages.size)
+    try {
+      val futs = stages.map(f => pool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = f() }))
+      futs.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
+  /** The two driver scalars every pack append needs from the existing
+    * assignment — total assigned tokens (the carried offset) and, for
+    * integral id columns, the max id (the monotone-append guard) — in
+    * ONE aggregation job instead of the two full ledger scans the
+    * separate [[graft.llm.Packing.assignedTokenTotal]] + max-id calls
+    * paid per micro-batch. Values are identical by construction. */
+  private def assignOffsetAndBound(existing: DataFrame): (Long, Option[Long]) = {
+    val integralId = existing.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val r = existing.agg(
+      max(col("token_offset") + col("n_tokens")).as("__tot"),
+      (if (integralId) max(col("doc_id").cast("long"))
+       else lit(null).cast("long")).as("__max")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (!integralId || r.isNullAt(1)) None else Some(r.getLong(1)))
+  }
+
   /** Append a stream of (id, vector) rows to a persisted PQ index
     * (`dir/codebooks` + `dir/codes`, built by `buildPqIndex`). New ids
     * are encoded with the EXISTING codebooks and appended to the codes
@@ -50,6 +114,7 @@ object IndexIngest {
                           curate: DataFrame => DataFrame = identity)
       : StreamingQuery = {
     require(vecs.isStreaming, "appendPqIndexStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo // layout survives generation swaps
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       // generation resolved PER BATCH: after a reindex swap the ledger
       // probe and the append both move to the new serving generation
@@ -58,7 +123,7 @@ object IndexIngest {
       val root = Similarity.resolveIndexRoot(batch.sparkSession, dir)
       appendBatch(curate(batch.toDF()), s"$root/codes", "vec_id",
         fresh => Similarity.appendPqIndex(batch.sparkSession, fresh, root,
-          cIdCol, vecCol), batchIdCol = cIdCol)
+          cIdCol, vecCol), batchIdCol = cIdCol, ledgerSchema)
     }.start()
   }
 
@@ -89,6 +154,7 @@ object IndexIngest {
     require(vecs.isStreaming, "appendIvfIndexStream: expected a streaming frame")
     semanticDedupThreshold.foreach(t => require(t > 0.0 && t <= 1.0,
       s"appendIvfIndexStream: semanticDedupThreshold must be in (0,1], got $t"))
+    val ledgerSchema = newSchemaMemo
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       // per-batch generation resolve — see appendPqIndexStream
       val root = Similarity.resolveIndexRoot(batch.sparkSession, dir)
@@ -106,7 +172,7 @@ object IndexIngest {
           }
           Similarity.appendIvfIndex(batch.sparkSession, kept, root,
             cIdCol, vecCol)
-        }, batchIdCol = cIdCol)
+        }, batchIdCol = cIdCol, ledgerSchema)
     }.start()
   }
 
@@ -122,12 +188,13 @@ object IndexIngest {
       : StreamingQuery = {
     require(vecs.isStreaming,
       "appendIvfPqIndexStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     vecs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       // per-batch generation resolve — see appendPqIndexStream
       val root = Similarity.resolveIndexRoot(batch.sparkSession, dir)
       appendBatch(curate(batch.toDF()), s"$root/codes", "vec_id",
         fresh => Similarity.appendIvfPqIndex(batch.sparkSession, fresh, root,
-          cIdCol, vecCol), batchIdCol = cIdCol)
+          cIdCol, vecCol), batchIdCol = cIdCol, ledgerSchema)
     }.start()
   }
 
@@ -156,6 +223,7 @@ object IndexIngest {
                        curate: DataFrame => DataFrame = identity)
       : StreamingQuery = {
     require(src.isStreaming, "mineBitextStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     src.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sparkContext.hadoopConfiguration
@@ -163,7 +231,7 @@ object IndexIngest {
       val base = curate(batch.toDF()).where(col(idCol).isNotNull)
         .dropDuplicates(idCol)
       val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
-          base.join(spark.read.parquet(outDir)
+          base.join(ledgerRead(spark, outDir, ledgerSchema)
               .select(col("query_id").as("__graft_mined")).distinct(),
             col(idCol) === col("__graft_mined"), "left_anti")
         else base)
@@ -217,6 +285,7 @@ object IndexIngest {
       : StreamingQuery = {
     require(chunks.isStreaming,
       "mineTripletsStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     chunks.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sparkContext.hadoopConfiguration
@@ -224,7 +293,7 @@ object IndexIngest {
       val base = curate(batch.toDF()).where(col(idCol).isNotNull)
         .dropDuplicates(idCol)
       val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
-          base.join(spark.read.parquet(outDir)
+          base.join(ledgerRead(spark, outDir, ledgerSchema)
               .select(col("query_id").as("__graft_mined")).distinct(),
             col(idCol) === col("__graft_mined"), "left_anti")
         else base)
@@ -309,13 +378,14 @@ object IndexIngest {
       : StreamingQuery = {
     require(pairs.isStreaming,
       "appendPairStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     pairs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sparkContext.hadoopConfiguration
       val accPath = new org.apache.hadoop.fs.Path(s"$dir/accepted")
       val acc: Option[DataFrame] =
         if (accPath.getFileSystem(conf).exists(accPath))
-          Some(spark.read.parquet(s"$dir/accepted")) else None
+          Some(ledgerRead(spark, s"$dir/accepted", ledgerSchema)) else None
       val cur = curate(batch.toDF()).where(col("pair_id").isNotNull)
         .dropDuplicates("pair_id")
       val unseen = acc match {
@@ -374,6 +444,7 @@ object IndexIngest {
       : StreamingQuery = {
     require(queries.isStreaming,
       "searchIvfStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     queries.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sparkContext.hadoopConfiguration
@@ -381,7 +452,7 @@ object IndexIngest {
       val base = curate(batch.toDF()).where(col(qIdCol).isNotNull)
         .dropDuplicates(qIdCol)
       val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
-          base.join(spark.read.parquet(outDir)
+          base.join(ledgerRead(spark, outDir, ledgerSchema)
               .select(col("query_id").as("__graft_answered")).distinct(),
             col(qIdCol) === col("__graft_answered"), "left_anti")
         else base)
@@ -415,6 +486,7 @@ object IndexIngest {
       : StreamingQuery = {
     require(queries.isStreaming,
       "bm25SearchStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     queries.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sparkContext.hadoopConfiguration
@@ -422,7 +494,7 @@ object IndexIngest {
       val base = curate(batch.toDF()).where(col(qIdCol).isNotNull)
         .dropDuplicates(qIdCol)
       val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
-          base.join(spark.read.parquet(outDir)
+          base.join(ledgerRead(spark, outDir, ledgerSchema)
               .select(col("qid").as("__graft_answered")).distinct(),
             col(qIdCol) === col("__graft_answered"), "left_anti")
         else base)
@@ -465,6 +537,7 @@ object IndexIngest {
       : StreamingQuery = {
     require(queries.isStreaming,
       "hybridSearchStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     queries.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sparkContext.hadoopConfiguration
@@ -472,7 +545,7 @@ object IndexIngest {
       val base = curate(batch.toDF()).where(col(qIdCol).isNotNull)
         .dropDuplicates(qIdCol)
       val fresh = (if (outPath.getFileSystem(conf).exists(outPath))
-          base.join(spark.read.parquet(outDir)
+          base.join(ledgerRead(spark, outDir, ledgerSchema)
               .select(col("qid").as("__graft_answered")).distinct(),
             col(qIdCol) === col("__graft_answered"), "left_anti")
         else base)
@@ -511,9 +584,10 @@ object IndexIngest {
                        idCol: String, textCol: String,
                        budget: Long): StreamingQuery = {
     require(docs.isStreaming, "appendPackStream: expected a streaming frame")
+    val ledgerSchema = newSchemaMemo
     docs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
-      val existing = spark.read.parquet(dir)
+      val existing = ledgerRead(spark, dir, ledgerSchema)
       val assigned = existing.select(col("doc_id").as("__graft_assigned"))
       // same null-id guard as appendBatch: a null id never matches the
       // assignment ledger through `===` and would re-pack every replay
@@ -522,24 +596,15 @@ object IndexIngest {
         .join(assigned, col(idCol) === col("__graft_assigned"), "left_anti")
         .localCheckpoint(true)
       if (!fresh.isEmpty) {
-        val startOffset = graft.llm.Packing.assignedTokenTotal(existing)
-        // the monotone-id guard mirrors packSequencesAppend's contract:
-        // INTEGRAL id columns get the loud min>max-assigned check (cast
-        // is lossless for Byte/Short/Int/Long, so an Int-typed persisted
-        // assignment reads fine); non-integral ids get NO bound — the
+        // carried offset + monotone-id guard bound in ONE ledger scan.
+        // The guard semantics are unchanged: INTEGRAL id columns get
+        // the loud min>max-assigned check (cast is lossless for
+        // Byte/Short/Int/Long); non-integral ids get NO bound — the
         // batch API would reject one, and silently null-casting the max
         // here would fake a guard that never fires. Idempotence never
         // depends on the guard (the ledger anti-join handles replays);
         // the guard only protects append ≡ repack-of-union ordering.
-        val bound = existing.schema("doc_id").dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType =>
-            val maxRow = existing.agg(max(col("doc_id").cast("long"))).head()
-            if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
-          case _ => None
-        }
+        val (startOffset, bound) = assignOffsetAndBound(existing)
         val nToks = size(filter(
           split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
           w => w =!= "")).cast("long")
@@ -597,16 +662,21 @@ object IndexIngest {
           .select(col("doc_id").as("__graft_loser"))
         input.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
     }).localCheckpoint(true)
-    graft.llm.Packing.packSequences(survivors, idCol, wsTokens(textCol),
-        budget)
-      .write.mode("overwrite").parquet(s"$dir/assign")
-    graft.llm.Dedup.contentHashes(survivors, textCol)
-      .write.mode("overwrite").parquet(s"$dir/hashes")
-    if (nearDupThreshold.isDefined)
-      graft.llm.Dedup.minhashLedgerRows(survivors
-          .select(col(idCol).as("doc_id"), col(textCol)),
-          "doc_id", textCol, k)
-        .write.mode("overwrite").parquet(s"$dir/sigs")
+    // the three ledger writes read only the CHECKPOINTED survivor frame
+    // and land in disjoint directories — overlap them (guide §2.6)
+    inParallel(
+      Seq(
+        () => graft.llm.Packing.packSequences(survivors, idCol,
+            wsTokens(textCol), budget)
+          .write.mode("overwrite").parquet(s"$dir/assign"),
+        () => graft.llm.Dedup.contentHashes(survivors, textCol)
+          .write.mode("overwrite").parquet(s"$dir/hashes")) ++
+      (if (nearDupThreshold.isDefined) Seq(
+        () => graft.llm.Dedup.minhashLedgerRows(survivors
+            .select(col(idCol).as("doc_id"), col(textCol)),
+            "doc_id", textCol, k)
+          .write.mode("overwrite").parquet(s"$dir/sigs"))
+       else Seq.empty): _*)
   }
 
   /** STREAMED CURATION + PACKING — the continuous twin of the batch
@@ -658,15 +728,18 @@ object IndexIngest {
                               maxBucket: Int = 1000): StreamingQuery = {
     require(docs.isStreaming,
       "appendCuratedPackStream: expected a streaming frame")
+    val assignSchema = newSchemaMemo
+    val hashesSchema = newSchemaMemo
+    val sigsSchema = newSchemaMemo
     docs.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
       val spark = batch.sparkSession
-      val existing = spark.read.parquet(s"$dir/assign")
+      val existing = ledgerRead(spark, s"$dir/assign", assignSchema)
       val assigned = existing.select(col("doc_id").as("__graft_assigned"))
       val cur = curate(batch).where(col(idCol).isNotNull)
         .dropDuplicates(idCol)
         .join(assigned, col(idCol) === col("__graft_assigned"), "left_anti")
       val exact = graft.llm.Dedup.exactDedupAgainstHashes(cur,
-        spark.read.parquet(s"$dir/hashes"), idCol, textCol)
+        ledgerRead(spark, s"$dir/hashes", hashesSchema), idCol, textCol)
       val fresh = (nearDupThreshold match {
         case None => exact
         case Some(t) =>
@@ -679,36 +752,34 @@ object IndexIngest {
           val inKept = input.join(inLosers,
             col(idCol) === col("__graft_loser"), "left_anti")
           val vsLosers = graft.llm.Dedup.minhashNearDupsAgainstLedger(
-              inKept, spark.read.parquet(s"$dir/sigs"), idCol, textCol,
-              t, k, bands, maxBucket)
+              inKept, ledgerRead(spark, s"$dir/sigs", sigsSchema), idCol,
+              textCol, t, k, bands, maxBucket)
             .select(col("new_id").as("__graft_loser")).distinct()
           inKept.join(vsLosers, col(idCol) === col("__graft_loser"),
             "left_anti")
       }).localCheckpoint(true) // sever lineage from all three ledger dirs
       if (!fresh.isEmpty) {
-        val startOffset = graft.llm.Packing.assignedTokenTotal(existing)
-        // the monotone-id guard mirrors appendPackStream verbatim
-        val bound = existing.schema("doc_id").dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType =>
-            val maxRow = existing.agg(max(col("doc_id").cast("long"))).head()
-            if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
-          case _ => None
-        }
-        graft.llm.Packing.packSequencesAppend(fresh, idCol,
-            wsTokens(textCol), budget, startOffset,
-            minBatchIdExclusive = bound)
-          .localCheckpoint(true)
-          .write.mode("append").parquet(s"$dir/assign")
-        graft.llm.Dedup.contentHashes(fresh, textCol)
-          .write.mode("append").parquet(s"$dir/hashes")
-        if (nearDupThreshold.isDefined)
-          graft.llm.Dedup.minhashLedgerRows(fresh
-              .select(col(idCol).as("doc_id"), col(textCol)),
-              "doc_id", textCol, k)
-            .write.mode("append").parquet(s"$dir/sigs")
+        // carried offset + monotone-id guard bound in ONE ledger scan
+        // (the appendPackStream contract, semantics unchanged)
+        val (startOffset, bound) = assignOffsetAndBound(existing)
+        // the three ledger appends read only the CHECKPOINTED survivor
+        // frame and land in disjoint directories — overlap them (§2.6)
+        // instead of serializing three tiny write jobs per micro-batch
+        inParallel(
+          Seq(
+            () => graft.llm.Packing.packSequencesAppend(fresh, idCol,
+                wsTokens(textCol), budget, startOffset,
+                minBatchIdExclusive = bound)
+              .localCheckpoint(true)
+              .write.mode("append").parquet(s"$dir/assign"),
+            () => graft.llm.Dedup.contentHashes(fresh, textCol)
+              .write.mode("append").parquet(s"$dir/hashes")) ++
+          (if (nearDupThreshold.isDefined) Seq(
+            () => graft.llm.Dedup.minhashLedgerRows(fresh
+                .select(col(idCol).as("doc_id"), col(textCol)),
+                "doc_id", textCol, k)
+              .write.mode("append").parquet(s"$dir/sigs"))
+           else Seq.empty): _*)
       }
     }.start()
   }
@@ -720,9 +791,10 @@ object IndexIngest {
   private def appendBatch(batch: Dataset[Row], ledgerPath: String,
                           ledgerIdCol: String,
                           append: DataFrame => Unit,
-                          batchIdCol: String = "vec_id"): Unit = {
+                          batchIdCol: String = "vec_id",
+                          ledgerSchema: SchemaMemo = newSchemaMemo): Unit = {
     val spark = batch.sparkSession
-    val indexed = spark.read.parquet(ledgerPath)
+    val indexed = ledgerRead(spark, ledgerPath, ledgerSchema)
       .select(col(ledgerIdCol).as("__graft_indexed"))
     // null ids can never match the ledger through `===`, so a null-id
     // row would be re-appended on EVERY micro-batch replay — silently
