@@ -5572,8 +5572,13 @@ object Queries {
     * BASELINE.md. */
   private val packBucketedPadding = QueryDef("pack_bucketed_padding",
     (s, d) => {
+      // ONE tokenize pass feeds BOTH schemes (§1.2): each pack fold
+      // re-materializes its input internally, so without this the
+      // corpus would pay the split/count twice for an identical frame
       val docs = t(s, d, "documents").withColumn("__n",
-        size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")))
+          size(filter(split(trim(col("text")), "\\s+"), w => w =!= "")))
+        .select(col("doc_id"), col("__n"))
+        .localCheckpoint()
       def audit(asg: DataFrame, scheme: String): DataFrame =
         asg.groupBy(col("pack_id"))
           .agg(sum(col("n_tokens")).as("pt"), max(col("oversize")).as("over"))
@@ -10309,10 +10314,15 @@ object Queries {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       Similarity.buildIvfIndex(emb, dir)
       val q = perturbedEmbeddings(emb, 3)
+      // ONE brute-force truth pass shared by both policy evaluations —
+      // same (queries, corpus, k), so the truth is identical (§1.2)
+      val truth = Similarity.bruteForceTopK(q, emb, k = 1).localCheckpoint()
       val healthy = Similarity.reindexIvfIfDrifted(s, dir, q, emb, k = 1,
-        recallFloor = 0.5).withColumn("step", lit("healthy"))
+        recallFloor = 0.5, sharedTruth = Some(truth))
+        .withColumn("step", lit("healthy"))
       val forced = Similarity.reindexIvfIfDrifted(s, dir, q, emb, k = 1,
-        recallFloor = 1.01, nCentroids = 8).withColumn("step", lit("forced"))
+        recallFloor = 1.01, nCentroids = 8, sharedTruth = Some(truth))
+        .withColumn("step", lit("forced"))
       healthy.unionByName(forced)
         .select(col("step"), col("k"), col("recall_before"),
           col("reindexed"), col("recall_after"), col("generation"))
@@ -10345,10 +10355,14 @@ object Queries {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       Similarity.buildIvfPqIndex(emb, dir)
       val q = perturbedEmbeddings(emb, 3)
+      // ONE brute-force truth pass shared by both policy evaluations
+      val truth = Similarity.bruteForceTopK(q, emb, k = 1).localCheckpoint()
       val healthy = Similarity.reindexIvfPqIfDrifted(s, dir, q, emb,
-        k = 1, recallFloor = 0.5).withColumn("step", lit("healthy"))
+        k = 1, recallFloor = 0.5, sharedTruth = Some(truth))
+        .withColumn("step", lit("healthy"))
       val forced = Similarity.reindexIvfPqIfDrifted(s, dir, q, emb,
-          k = 1, recallFloor = 1.01, nCentroids = 8, m = 4)
+          k = 1, recallFloor = 1.01, nCentroids = 8, m = 4,
+          sharedTruth = Some(truth))
         .withColumn("step", lit("forced"))
       healthy.unionByName(forced)
         .select(col("step"), col("k"), col("recall_before"),

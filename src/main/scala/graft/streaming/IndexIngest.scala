@@ -69,6 +69,8 @@ object IndexIngest {
     * construction; the first failure propagates with its original
     * exception. */
   private def inParallel(stages: (() => Unit)*): Unit = {
+    if (stages.isEmpty) return
+    if (stages.size == 1) { stages.head.apply(); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(stages.size)
     try {
       val futs = stages.map(f => pool.submit(
@@ -831,9 +833,14 @@ object IndexIngest {
     * (files_before, files_after) for the dirs that existed. */
   def compactLedgers(spark: org.apache.spark.sql.SparkSession, dir: String,
                      subdirs: Seq[String] = Seq("assign", "hashes", "sigs"),
-                     targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
-    subdirs.flatMap(sub =>
-      compactDir(spark, s"$dir/$sub", targetBytes).map(sub -> _)).toMap
+                     targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    // independent per-directory rewrites — overlap them (§2.6)
+    val slots = new Array[Option[(Int, Int)]](subdirs.size)
+    inParallel(subdirs.zipWithIndex.map { case (sub, i) =>
+      () => slots(i) = compactDir(spark, s"$dir/$sub", targetBytes)
+    }: _*)
+    subdirs.zip(slots).collect { case (sub, Some(r)) => sub -> r }.toMap
+  }
 
   /** Compact one parquet directory to ceil(bytes / targetBytes) files.
     * Absent dir → None (nothing to do). Also fit for the ANN index
@@ -937,12 +944,17 @@ object IndexIngest {
       .localCheckpoint(true)
     val report = collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
 
-    def rewrite(sub: String, df: DataFrame, kept: DataFrame): Unit = {
-      val before = df.count()
-      val keptCp = kept.localCheckpoint(true)
+    def rewrite(sub: String, df: DataFrame, kept: DataFrame): (String, Long, Long, Long) = {
+      // the before-count and the kept materialization are independent
+      // jobs over the same checkpointed inputs — overlap them (§2.6)
+      var before = 0L
+      var keptCp: DataFrame = null
+      inParallel(
+        () => before = df.count(),
+        () => keptCp = kept.localCheckpoint(true))
       val after = keptCp.count()
       swapDir(spark, s"$dir/$sub", keptCp)
-      report += ((sub, before, before - after, after))
+      (sub, before, before - after, after)
     }
 
     // queue the retracted assignment rows under dir/retracted BEFORE
@@ -957,32 +969,45 @@ object IndexIngest {
       .localCheckpoint(true)
     if (!retractedRows.isEmpty)
       retractedRows.write.mode("append").parquet(s"$dir/retracted")
-    rewrite("assign", assign, {
-      val kept = assign.join(rids,
-        col("doc_id") === col("__graft_retract"), "left_anti")
-      if (repack)
-        graft.llm.Packing.packSequences(kept, "doc_id", col("n_tokens"),
-          budget)
-      else kept
-    })
+    // the three ledger rewrites touch disjoint directories and read
+    // only checkpointed inputs (rids) — after the audit queue above
+    // has landed (crash contract: queue happens-before any swap), run
+    // them concurrently (§2.6) and report in the original fixed order
+    val assignSlot = new Array[(String, Long, Long, Long)](1)
+    val hashSlot = new Array[(String, Long, Long, Long)](1)
+    val sigSlot = new Array[(String, Long, Long, Long)](1)
+    val hconf = spark.sessionState.newHadoopConf()
+    val stages = collection.mutable.ArrayBuffer[() => Unit](
+      () => assignSlot(0) = rewrite("assign", assign, {
+        val kept = assign.join(rids,
+          col("doc_id") === col("__graft_retract"), "left_anti")
+        if (repack)
+          graft.llm.Packing.packSequences(kept, "doc_id", col("n_tokens"),
+            budget)
+        else kept
+      }))
     forgetDocs.foreach { store =>
       val retractedDocs = store.join(rids,
         col(idCol) === col("__graft_retract"), "left_semi")
       val hp = new org.apache.hadoop.fs.Path(s"$dir/hashes")
-      if (hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)) {
+      if (hp.getFileSystem(hconf).exists(hp)) {
         val hashes = spark.read.parquet(s"$dir/hashes")
         val dead = graft.llm.Dedup.contentHashes(retractedDocs, forgetTextCol)
           .select(col("content_hash").as("__dead")).distinct()
-        rewrite("hashes", hashes, hashes.join(dead,
-          col("content_hash") === col("__dead"), "left_anti"))
+        stages += (() => hashSlot(0) = rewrite("hashes", hashes,
+          hashes.join(dead, col("content_hash") === col("__dead"),
+            "left_anti")))
       }
       val sp = new org.apache.hadoop.fs.Path(s"$dir/sigs")
-      if (sp.getFileSystem(spark.sessionState.newHadoopConf()).exists(sp)) {
+      if (sp.getFileSystem(hconf).exists(sp)) {
         val sigs = spark.read.parquet(s"$dir/sigs")
-        rewrite("sigs", sigs, sigs.join(rids,
-          col("doc_id") === col("__graft_retract"), "left_anti"))
+        stages += (() => sigSlot(0) = rewrite("sigs", sigs,
+          sigs.join(rids, col("doc_id") === col("__graft_retract"),
+            "left_anti")))
       }
     }
+    inParallel(stages.toSeq: _*)
+    report ++= Seq(assignSlot(0), hashSlot(0), sigSlot(0)).filter(_ != null)
     spark.createDataFrame(report.toSeq)
       .toDF("ledger", "rows_before", "rows_removed", "rows_after")
   }
@@ -1053,37 +1078,54 @@ object IndexIngest {
     val report = collection.mutable.ArrayBuffer.empty[(String, Long)]
     val n = toRestore.count()
     if (n > 0) {
-      toRestore.write.mode("append").parquet(s"$dir/assign")
-      // re-queue as touched-pack markers for the incremental refresh
-      toRestore.withColumn("mode", lit("scrub"))
-        .withColumn("tag", lit(tag))
-        .write.mode("append").parquet(s"$dir/retracted")
+      // the assignment restore and the touched-pack re-queue are
+      // independent appends of the same CHECKPOINTED frame into
+      // disjoint directories — overlap them (§2.6)
+      inParallel(
+        () => toRestore.write.mode("append").parquet(s"$dir/assign"),
+        // re-queue as touched-pack markers for the incremental refresh
+        () => toRestore.withColumn("mode", lit("scrub"))
+          .withColumn("tag", lit(tag))
+          .write.mode("append").parquet(s"$dir/retracted"))
     }
     report += (("assign", n))
     forgetDocs.foreach { store =>
       val restoredDocs = store.join(
           toRestore.select(col("doc_id").as("__graft_restore")),
           col(idCol) === col("__graft_restore"), "left_semi")
+      // the two tombstone re-appends are independent (disjoint dirs,
+      // both read the checkpointed restore set) — overlap them (§2.6),
+      // reporting in the original fixed order
+      val hSlot = new Array[Long](1); hSlot(0) = -1L
+      val sSlot = new Array[Long](1); sSlot(0) = -1L
+      val stages = collection.mutable.ArrayBuffer.empty[() => Unit]
       existing("hashes").foreach { hashes =>
-        val fresh = graft.llm.Dedup.contentHashes(restoredDocs, forgetTextCol)
-          .join(hashes.select(col("content_hash").as("__h")).distinct(),
-            col("content_hash") === col("__h"), "left_anti")
-          .select(col("content_hash")).localCheckpoint(true)
-        val hn = fresh.count()
-        if (hn > 0) fresh.write.mode("append").parquet(s"$dir/hashes")
-        report += (("hashes", hn))
+        stages += (() => {
+          val fresh = graft.llm.Dedup.contentHashes(restoredDocs, forgetTextCol)
+            .join(hashes.select(col("content_hash").as("__h")).distinct(),
+              col("content_hash") === col("__h"), "left_anti")
+            .select(col("content_hash")).localCheckpoint(true)
+          val hn = fresh.count()
+          if (hn > 0) fresh.write.mode("append").parquet(s"$dir/hashes")
+          hSlot(0) = hn
+        })
       }
       existing("sigs").foreach { sigs =>
-        val fresh = graft.llm.Dedup.minhashLedgerRows(
-            restoredDocs.select(col(idCol).as("doc_id"),
-              col(forgetTextCol)), "doc_id", forgetTextCol, k)
-          .join(sigs.select(col("doc_id").as("__graft_sig")).distinct(),
-            col("doc_id") === col("__graft_sig"), "left_anti")
-          .localCheckpoint(true)
-        val sn = fresh.count()
-        if (sn > 0) fresh.write.mode("append").parquet(s"$dir/sigs")
-        report += (("sigs", sn))
+        stages += (() => {
+          val fresh = graft.llm.Dedup.minhashLedgerRows(
+              restoredDocs.select(col(idCol).as("doc_id"),
+                col(forgetTextCol)), "doc_id", forgetTextCol, k)
+            .join(sigs.select(col("doc_id").as("__graft_sig")).distinct(),
+              col("doc_id") === col("__graft_sig"), "left_anti")
+            .localCheckpoint(true)
+          val sn = fresh.count()
+          if (sn > 0) fresh.write.mode("append").parquet(s"$dir/sigs")
+          sSlot(0) = sn
+        })
       }
+      inParallel(stages.toSeq: _*)
+      if (hSlot(0) >= 0) report += (("hashes", hSlot(0)))
+      if (sSlot(0) >= 0) report += (("sigs", sSlot(0)))
     }
     spark.createDataFrame(report.toSeq).toDF("ledger", "rows_restored")
   }
@@ -1125,10 +1167,14 @@ object IndexIngest {
         spark.read.parquet(s"$dir/$sub").count()
       else 0L
     }
-    val assigned = assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .count()
-    val pending = ledgerCount("retracted")
-    val applied = ledgerCount("retracted_applied")
+    // the three counts are independent read-only jobs — overlap them
+    // (§2.6); concurrent actions on lazy frames are thread-safe
+    var assigned = 0L; var pending = 0L; var applied = 0L
+    inParallel(
+      () => assigned = assign.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .count(),
+      () => pending = ledgerCount("retracted"),
+      () => applied = ledgerCount("retracted_applied"))
     spark.createDataFrame(Seq(
         ("applied_history", applied, true),
         ("assigned_optout", assigned, assigned == 0L),
@@ -1274,11 +1320,15 @@ object IndexIngest {
         if (it.next().getPath.getName.startsWith("part-")) n += 1
       n
     }
-    val report =
-      collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-    for (sub <- Seq("assign", "hashes", "sigs", "retracted")) {
+    // each ledger's fold touches only its own directory — run the four
+    // independent rewrites concurrently (§2.6), reporting in the
+    // original fixed order
+    val subs = Seq("assign", "hashes", "sigs", "retracted")
+    val slots = new Array[(String, Long, Long, Long)](subs.size)
+    inParallel(subs.zipWithIndex.flatMap { case (sub, i) =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      if (p.getFileSystem(conf).exists(p)) {
+      if (!p.getFileSystem(conf).exists(p)) None
+      else Some(() => {
         val before = dataFiles(p)
         // materialize BEFORE the swap: the folded frame's lineage
         // reads the very files swapDir deletes (the retraction
@@ -1287,11 +1337,12 @@ object IndexIngest {
           .localCheckpoint(true)
         val rows = folded.count()
         swapDir(spark, p.toString, folded)
-        report += ((sub, before, dataFiles(p), rows))
-      }
-    }
+        slots(i) = ((sub, before, dataFiles(p), rows))
+      })
+    }: _*)
     import spark.implicits._
-    report.toSeq.toDF("ledger", "files_before", "files_after", "rows")
+    slots.toSeq.filter(_ != null)
+      .toDF("ledger", "files_before", "files_after", "rows")
   }
 
   /** GENERIC ledger-directory compaction — [[compactCuratedPack]] for
