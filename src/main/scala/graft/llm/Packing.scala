@@ -565,17 +565,18 @@ object Packing {
       return spark.read.parquet(s"$dir/manifest") // nothing queued
     val retracted = spark.read.parquet(queuePath.toString)
       .localCheckpoint(true)
-    val modes = retracted.select(col("mode")).distinct()
-      .collect().map(_.getString(0))
+    // ONE takedown-sized driver collect yields both the mode guard and
+    // the affected-shard list (they read the same checkpointed queue)
+    val modeShards = shardShuffle(
+        retracted.select(col("pack_id"), col("mode")).distinct(),
+        "pack_id", nShards)
+      .select(col("mode"), col("shard")).distinct().collect()
+    val modes = modeShards.map(_.getString(0)).distinct
     require(modes.forall(_ == "scrub"),
       s"refreshRetractedShards: queue contains ${modes.mkString(",")} " +
         "rows — repack shifts every downstream pack, re-materialize " +
         "with materializeShardsFromAssignment instead")
-    // takedown-sized driver lists: the affected shards, then every
-    // surviving pack that shares one of them
-    val affected = shardShuffle(
-        retracted.select(col("pack_id")).distinct(), "pack_id", nShards)
-      .select(col("shard")).distinct().collect().map(_.getLong(0))
+    val affected = modeShards.map(_.getLong(1)).distinct
     val assignment = spark.read.parquet(s"$ledgerDir/assign")
       .where(col("n_tokens") > 0)
     val rebuildPacks = shardShuffle(
@@ -592,26 +593,35 @@ object Packing {
         checkedStoreJoin(subAssign, neededStore, idCol, tokensCol), docSep),
         "pack_id", nShards)
       .localCheckpoint(true) // reused thrice: write, empty-set, manifest
-    sharded.repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("rank"))
-      .write.partitionBy("shard")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite).parquet(s"$dir/data")
-    // a shard whose every pack was retracted writes no rows — dynamic
-    // overwrite leaves its stale directory; delete it explicitly
-    val written = sharded.select(col("shard")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // the shard-data write, the written-shard audit collect, and the
+    // untouched-manifest snapshot are independent (the write lands in
+    // $dir/data; the other two read the checkpointed frame and the
+    // old manifest) — overlap them (§2.6), write submitted first so
+    // FIFO keeps the critical path prioritized
+    var written: Set[Long] = Set.empty
+    var oldManifest: DataFrame = null
+    inParallel(
+      () => sharded.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("rank"))
+        .write.partitionBy("shard")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(s"$dir/data"),
+      // a shard whose every pack was retracted writes no rows — dynamic
+      // overwrite leaves its stale directory; delete it explicitly
+      () => written = sharded.select(col("shard")).distinct()
+        .collect().map(_.getLong(0)).toSet,
+      // manifest splice: untouched rows survive, affected rows
+      // recompute from the rebuilt frame — no rescan of the untouched
+      // shards; snapshot severed before the overwrite below
+      () => oldManifest = spark.read.parquet(s"$dir/manifest")
+        .where(!col("shard").isin(affected: _*))
+        .localCheckpoint(true))
     val dataFs = new org.apache.hadoop.fs.Path(s"$dir/data")
       .getFileSystem(conf)
     affected.filterNot(written).foreach { sh =>
       dataFs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/shard=$sh"),
         true)
     }
-    // manifest splice: untouched rows survive, affected rows recompute
-    // from the rebuilt frame — no rescan of the untouched shards
-    val oldManifest = spark.read.parquet(s"$dir/manifest")
-      .where(!col("shard").isin(affected: _*))
-      .localCheckpoint(true) // severed before the overwrite below
     val newRows = sharded.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
         sum(rankDigest(col("rank"))).as("checksum"),
@@ -934,6 +944,27 @@ object Packing {
     * joined with a re-aggregation of the written pack data —
     * the same audit frame the single-phase product returns, with the
     * phase dimension in front. */
+  /** Run INDEPENDENT side-effect stages concurrently (optimization
+    * guide §2.6): stages must touch disjoint outputs and read only
+    * materialized inputs; results equal the sequential composition by
+    * construction, and the first failure propagates with its original
+    * exception. Stages submit in order — FIFO scheduling prioritizes
+    * the first (put the critical path first). */
+  private def inParallel(stages: (() => Unit)*): Unit = {
+    if (stages.isEmpty) return
+    if (stages.size == 1) { stages.head.apply(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(stages.size)
+    try {
+      val futs = stages.map(f => pool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = f() }))
+      futs.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   def phasedShards(docs: DataFrame, idCol: String, textCol: String,
                    domainCol: String, phases: Seq[Mixing.MixPhase],
                    packBudget: Long, dir: String, nShards: Int,

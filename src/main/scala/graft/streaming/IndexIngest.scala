@@ -946,12 +946,15 @@ object IndexIngest {
 
     def rewrite(sub: String, df: DataFrame, kept: DataFrame): (String, Long, Long, Long) = {
       // the before-count and the kept materialization are independent
-      // jobs over the same checkpointed inputs — overlap them (§2.6)
+      // jobs over the same checkpointed inputs — overlap them (§2.6).
+      // The checkpoint is the critical path (the swap waits on it), so
+      // it is submitted FIRST — FIFO scheduling then prioritizes it
+      // and the audit count back-fills.
       var before = 0L
       var keptCp: DataFrame = null
       inParallel(
-        () => before = df.count(),
-        () => keptCp = kept.localCheckpoint(true))
+        () => keptCp = kept.localCheckpoint(true),
+        () => before = df.count())
       val after = keptCp.count()
       swapDir(spark, s"$dir/$sub", keptCp)
       (sub, before, before - after, after)
