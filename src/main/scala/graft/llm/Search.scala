@@ -358,6 +358,30 @@ object Search {
     fsOf(spark, deltaDir).create(m, true).close()
   }
 
+  /** Run INDEPENDENT side-effect stages concurrently (optimization
+    * guide §2.6): stages must touch disjoint outputs and read only
+    * materialized/immutable inputs; results equal the sequential
+    * composition by construction, and the first failure propagates
+    * with its original exception. Stages submit in order — FIFO
+    * scheduling prioritizes the first (put the critical path first).
+    * Event writers use it for the surface writes of one UNCOMMITTED
+    * generation/delta dir: the marker-last commit stays after every
+    * write, so the crash contract is unchanged. */
+  private def inParallel(stages: (() => Unit)*): Unit = {
+    if (stages.isEmpty) return
+    if (stages.size == 1) { stages.head.apply(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(stages.size)
+    try {
+      val futs = stages.map(f => pool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = f() }))
+      futs.foreach { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   private def readStatsRow(spark: SparkSession, state: IndexState) =
     spark.read.parquet(state.statsPath).head()
 
@@ -452,17 +476,23 @@ object Search {
       .localCheckpoint()
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val gen = nextNumbered(spark, dir, "gen-")
-    postings
-      .repartitionByRange(adaptiveShards(shards, sumDl), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$gen/postings")
-    dfreq.write.mode("overwrite").parquet(s"$gen/df")
-    ids.write.mode("overwrite").parquet(s"$gen/ids")
-    spark.range(1)
-      .select(lit(n).as("n"), lit(avgdl).as("avgdl"),
-        lit(sumDl).as("sum_dl"),
-        lit(idCol).as("id_col"), lit(textCol).as("text_col"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats")
+    // the four surface writes read only the two checkpointed frames
+    // and land in disjoint subdirs of the UNCOMMITTED generation —
+    // overlap them (§2.6; the marker-last commit below is unchanged,
+    // so a failed write still leaves an invisible generation). The
+    // postings write is the critical path — submitted first.
+    inParallel(
+      () => postings
+        .repartitionByRange(adaptiveShards(shards, sumDl), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$gen/postings"),
+      () => dfreq.write.mode("overwrite").parquet(s"$gen/df"),
+      () => ids.write.mode("overwrite").parquet(s"$gen/ids"),
+      () => spark.range(1)
+        .select(lit(n).as("n"), lit(avgdl).as("avgdl"),
+          lit(sumDl).as("sum_dl"),
+          lit(idCol).as("id_col"), lit(textCol).as("text_col"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats"))
     commitDelta(spark, gen)
     // the two localCheckpoint RDD blocks release via the session's
     // persistent-RDD sweep (Dataset.unpersist only reaches the cache
@@ -527,24 +557,27 @@ object Search {
       .localCheckpoint()
     val dfNew = newPostings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val delta = nextDeltaDir(spark, state.root)
-    newPostings
-      .repartitionByRange(adaptiveShards(shards, sumNew), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$delta/postings")
-    newIds.write.mode("overwrite").parquet(s"$delta/ids")
-    // merged into the NEW event dir — the previous df is only read,
-    // never overwritten in place, so no lineage severing is needed
-    spark.read.parquet(state.dfPath)
-      .unionByName(dfNew)
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$delta/df")
     val n2 = n + nNew
     val sum2 = sumDl + sumNew
-    spark.range(1)
-      .select(lit(n2).as("n"), lit(sum2 / n2).as("avgdl"),
-        lit(sum2).as("sum_dl"),
-        lit(idCol).as("id_col"), lit(textCol).as("text_col"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$delta/stats")
+    // four independent writes into the UNCOMMITTED event dir — overlap
+    // them (§2.6, the buildPostings convention; marker-last commit
+    // keeps the crash contract). The df merge only READS the previous
+    // event's df table, never overwrites in place.
+    inParallel(
+      () => newPostings
+        .repartitionByRange(adaptiveShards(shards, sumNew), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$delta/postings"),
+      () => newIds.write.mode("overwrite").parquet(s"$delta/ids"),
+      () => spark.read.parquet(state.dfPath)
+        .unionByName(dfNew)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$delta/df"),
+      () => spark.range(1)
+        .select(lit(n2).as("n"), lit(sum2 / n2).as("avgdl"),
+          lit(sum2).as("sum_dl"),
+          lit(idCol).as("id_col"), lit(textCol).as("text_col"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$delta/stats"))
     commitDelta(spark, delta)
   }
 
@@ -585,7 +618,11 @@ object Search {
     // ids must not touch the stats
     val present = stored.join(broadcast(rids), Seq(ixIdCol), "left_semi")
       .localCheckpoint(true)
-    val nRemoved = present.count()
+    // count + removed token mass in ONE aggregation job over the
+    // checkpointed frame (they were two separate full passes)
+    val remRow = present.agg(count(lit(1)).as("c"), sum(col("dl")).as("s"))
+      .head()
+    val nRemoved = remRow.getLong(0)
     def audit(removed: Long, suppressed: Long, dropped: Long,
               after: Long): DataFrame =
       spark.range(1).select(lit(n).as("n_index_before"),
@@ -596,7 +633,7 @@ object Search {
     require(n - nRemoved > 0,
       "retractPostings: retraction empties the corpus — BM25 statistics " +
         "are undefined over nothing; rebuild (or retire) the index instead")
-    val sumRemoved = present.agg(sum(col("dl")).as("s")).head().getDouble(0)
+    val sumRemoved = remRow.getDouble(1)
     val gone = spark.read.parquet(state.postingsPaths: _*)
       .join(broadcast(present.select(col(ixIdCol))), Seq(ixIdCol),
         "left_semi")
@@ -607,26 +644,35 @@ object Search {
     val suppressed = dfDelta.agg(sum(col("__gone")).as("s")).head()
       .getLong(0)
     val dfOld = spark.read.parquet(state.dfPath)
-    val newDf = dfOld.join(dfDelta, Seq("term"), "left")
-      .select(col("term"),
-        (col("df") - coalesce(col("__gone"), lit(0L))).as("df"))
-      .where(col("df") > 0)
-      .localCheckpoint(true)
-    val termsDropped = dfOld.count() - newDf.count()
+    // the old-df count and the patched-df materialization are
+    // independent read-only jobs — overlap them (§2.6)
+    var dfOldCount = 0L
+    var newDf: DataFrame = null
+    inParallel(
+      () => newDf = dfOld.join(dfDelta, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("__gone"), lit(0L))).as("df"))
+        .where(col("df") > 0)
+        .localCheckpoint(true),
+      () => dfOldCount = dfOld.count())
+    val termsDropped = dfOldCount - newDf.count()
     val prevTomb = state.tombstonesPath
       .map(tp => spark.read.parquet(tp))
       .getOrElse(present.select(col(ixIdCol)).limit(0))
     val delta = nextDeltaDir(spark, state.root)
-    newDf.write.mode("overwrite").parquet(s"$delta/df")
     val n2 = n - nRemoved
     val sum2 = sumDl - sumRemoved
-    spark.range(1)
-      .select(lit(n2).as("n"), lit(sum2 / n2).as("avgdl"),
-        lit(sum2).as("sum_dl"),
-        lit(ixIdCol).as("id_col"), lit(textCol).as("text_col"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$delta/stats")
-    prevTomb.unionByName(present.select(col(ixIdCol))).distinct()
-      .write.mode("overwrite").parquet(s"$delta/tombstones")
+    // three independent writes into the UNCOMMITTED event dir (§2.6;
+    // marker-last commit keeps the crash contract)
+    inParallel(
+      () => newDf.write.mode("overwrite").parquet(s"$delta/df"),
+      () => spark.range(1)
+        .select(lit(n2).as("n"), lit(sum2 / n2).as("avgdl"),
+          lit(sum2).as("sum_dl"),
+          lit(ixIdCol).as("id_col"), lit(textCol).as("text_col"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$delta/stats"),
+      () => prevTomb.unionByName(present.select(col(ixIdCol))).distinct()
+        .write.mode("overwrite").parquet(s"$delta/tombstones"))
     commitDelta(spark, delta)
     audit(nRemoved, suppressed, termsDropped, n2)
   }
@@ -667,20 +713,26 @@ object Search {
           "left_anti")
       case None => postings
     }
-    val tombCount = state.tombstonesPath
-      .map(tp => spark.read.parquet(tp).count()).getOrElse(0L)
     val eventsFolded = (state.postingsPaths.size - 1).toLong
     val gen = nextNumbered(spark, dir, "gen-")
-    live.repartitionByRange(
-        adaptiveShards(shards, st.getAs[Double]("sum_dl")), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$gen/postings")
-    spark.read.parquet(state.dfPath)
-      .write.mode("overwrite").parquet(s"$gen/df")
-    effectiveIds(spark, state, ixIdCol)
-      .write.mode("overwrite").parquet(s"$gen/ids")
-    spark.read.parquet(state.statsPath)
-      .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats")
+    // the fold write, the carried-surface copies and the tombstone
+    // audit count are independent (disjoint subdirs of the UNCOMMITTED
+    // generation; read-only sources) — overlap them (§2.6), postings
+    // fold first (critical path). Marker-last commit unchanged.
+    var tombCount = 0L
+    inParallel(
+      () => live.repartitionByRange(
+          adaptiveShards(shards, st.getAs[Double]("sum_dl")), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$gen/postings"),
+      () => spark.read.parquet(state.dfPath)
+        .write.mode("overwrite").parquet(s"$gen/df"),
+      () => effectiveIds(spark, state, ixIdCol)
+        .write.mode("overwrite").parquet(s"$gen/ids"),
+      () => spark.read.parquet(state.statsPath)
+        .coalesce(1).write.mode("overwrite").parquet(s"$gen/stats"),
+      () => tombCount = state.tombstonesPath
+        .map(tp => spark.read.parquet(tp).count()).getOrElse(0L))
     commitDelta(spark, gen)
     spark.range(1).select(
       lit(st.getAs[Long]("n")).as("n_docs"),
