@@ -869,25 +869,31 @@ object Similarity {
     val dataSub = if (kind == "ivf") "assignments" else "codes"
     val before = dataFiles(root, dataSub)
     val gen = nextGenDir(spark, dir)
+    // the data fold (critical path) and the carried-table copies land
+    // in disjoint subdirs of the UNCOMMITTED generation — overlap them
+    // (guide §2.6); the marker-last commit below is unchanged
     kind match {
       case "ivf" =>
-        copyTable("centroids", gen)
-        if (has("coarse")) copyTable("coarse", gen)
-        spark.read.parquet(s"$root/assignments")
-          .repartition(col("cluster"))
-          .write.partitionBy("cluster").mode("overwrite")
-          .parquet(s"$gen/assignments")
+        graft.util.Par.inParallel(
+          () => spark.read.parquet(s"$root/assignments")
+            .repartition(col("cluster"))
+            .write.partitionBy("cluster").mode("overwrite")
+            .parquet(s"$gen/assignments"),
+          () => copyTable("centroids", gen),
+          () => if (has("coarse")) copyTable("coarse", gen))
       case "ivfpq" =>
-        copyTable("centroids", gen)
-        copyTable("codebooks", gen)
-        spark.read.parquet(s"$root/codes")
-          .repartition(col("cluster"))
-          .write.partitionBy("cluster").mode("overwrite")
-          .parquet(s"$gen/codes")
+        graft.util.Par.inParallel(
+          () => spark.read.parquet(s"$root/codes")
+            .repartition(col("cluster"))
+            .write.partitionBy("cluster").mode("overwrite")
+            .parquet(s"$gen/codes"),
+          () => copyTable("centroids", gen),
+          () => copyTable("codebooks", gen))
       case "pq" =>
-        copyTable("codebooks", gen)
-        spark.read.parquet(s"$root/codes").coalesce(shards)
-          .write.mode("overwrite").parquet(s"$gen/codes")
+        graft.util.Par.inParallel(
+          () => spark.read.parquet(s"$root/codes").coalesce(shards)
+            .write.mode("overwrite").parquet(s"$gen/codes"),
+          () => copyTable("codebooks", gen))
     }
     commitGen(spark, gen)
     val genName = new org.apache.hadoop.fs.Path(gen).getName
@@ -910,22 +916,26 @@ object Similarity {
                     vecCol: String = "embedding"): Unit = {
     registered(corpus)
     val qz = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
-    qz.centroidsDf.coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    // hierarchical builds (nCentroids > 64) also persist the coarse
-    // level + kf, so the index query path can reconstruct the
-    // two-level probe and stay consistent with the assignment rule
-    qz.hier.foreach { case (coarse, kf) =>
-      import corpus.sparkSession.implicits._
-      coarse.toIndexedSeq.zipWithIndex
-        .map { case (ctr, cell) => (cell, ctr.toSeq, kf) }
-        .toDF("cell", "__ctr", "kf")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
-    }
-    qz.assigned
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite")
-      .parquet(s"$dir/assignments")
+    // the assignments write is the corpus-sized critical path; the
+    // centroid/coarse tables are driver-bounded one-file writes into
+    // disjoint subdirs — overlap them (guide §2.6), big write first
+    graft.util.Par.inParallel(
+      () => qz.assigned
+        .repartition(col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$dir/assignments"),
+      () => qz.centroidsDf.coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids"),
+      // hierarchical builds (nCentroids > 64) also persist the coarse
+      // level + kf, so the index query path can reconstruct the
+      // two-level probe and stay consistent with the assignment rule
+      () => qz.hier.foreach { case (coarse, kf) =>
+        import corpus.sparkSession.implicits._
+        coarse.toIndexedSeq.zipWithIndex
+          .map { case (ctr, cell) => (cell, ctr.toSeq, kf) }
+          .toDF("cell", "__ctr", "kf")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+      })
   }
 
   /** Query a persisted IVF index ([[buildIvfIndex]]): same results as
@@ -1413,9 +1423,12 @@ object Similarity {
                    cIdCol: String = "vec_id",
                    vecCol: String = "embedding"): PqModel = {
     val model = fitPq(corpus, m, k, cIdCol, vecCol)
-    writeCodebooks(corpus.sparkSession, model, dir)
-    pqEncode(corpus, model, cIdCol, vecCol)
-      .write.mode("overwrite").parquet(s"$dir/codes")
+    // codes write (corpus-sized) ∥ codebook table (driver-bounded) —
+    // disjoint subdirs, model already fitted (guide §2.6)
+    graft.util.Par.inParallel(
+      () => pqEncode(corpus, model, cIdCol, vecCol)
+        .write.mode("overwrite").parquet(s"$dir/codes"),
+      () => writeCodebooks(corpus.sparkSession, model, dir))
     model
   }
 
@@ -1491,20 +1504,23 @@ object Similarity {
       s"buildIvfPqIndex: flat coarse quantizer only (nCentroids <= $hierarchicalThreshold)")
     registered(corpus)
     val qz = kmeansAssign(corpus, nCentroids, seed, cIdCol, vecCol)
-    qz.centroidsDf.coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
     val resid = qz.assigned
       .join(broadcast(qz.centroidsDf), Seq("cluster"))
       .select(col("neighbor_id"), col("cluster"),
         zip_with(col("__cv"), col("__ctr"), (a, b) => a - b).as("__res"))
       .localCheckpoint(true) // residuals feed BOTH the fit sample and the encode
     val model = fitPq(resid, m, k, idCol = "neighbor_id", vecCol = "__res")
-    writeCodebooks(corpus.sparkSession, model, dir)
-    resid.select(col("neighbor_id").as("vec_id"), col("cluster"),
-        nPqEncode(col("__res"), model).as("codes"))
-      .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode("overwrite")
-      .parquet(s"$dir/codes")
+    // codes write (corpus-sized, critical path) ∥ the two
+    // driver-bounded table writes — disjoint subdirs (guide §2.6)
+    graft.util.Par.inParallel(
+      () => resid.select(col("neighbor_id").as("vec_id"), col("cluster"),
+          nPqEncode(col("__res"), model).as("codes"))
+        .repartition(col("cluster"))
+        .write.partitionBy("cluster").mode("overwrite")
+        .parquet(s"$dir/codes"),
+      () => qz.centroidsDf.coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => writeCodebooks(corpus.sparkSession, model, dir))
     resid.unpersist()
     model
   }
