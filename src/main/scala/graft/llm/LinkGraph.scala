@@ -532,14 +532,19 @@ object LinkGraph {
       .select(col("src"), col("dst"), col("weight").cast("long").as("__dw"))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("__dw")).as("__dw")).localCheckpoint()
-    require(deltaAgg.where(col("__dw") <= 0).isEmpty,
+    // positivity guard + size gate in ONE aggregation job over the
+    // checkpointed delta (min > 0 over a non-empty frame is exactly
+    // the former where(__dw <= 0).isEmpty check)
+    val dRow = deltaAgg.agg(count(lit(1)).as("c"), min(col("__dw")).as("m"))
+      .head()
+    require(dRow.getLong(0) == 0L || dRow.getLong(1) > 0L,
       "pageRankRefresh: delta must be positive weight additions " +
         "(the append-only transitions-ledger contract)")
     // size gate: an oversized delta (bulk load, long-gapped epoch)
     // must not ride the broadcast-merge shape — merge by one ordinary
     // key shuffle and re-trace (the same documented fallback as new
     // nodes; everything below this point may assume a bounded delta)
-    if (deltaAgg.count() > deltaBroadcastLimit)
+    if (dRow.getLong(0) > deltaBroadcastLimit)
       return fullTrace(edgesOld
         .unionByName(deltaAgg.select(col("src"), col("dst"),
           col("__dw").as("weight")))
